@@ -1,0 +1,76 @@
+"""fast_causal_inference_spark — a PySpark-native causal-inference analytics engine.
+
+A brand-new implementation of the query and data-processing capabilities of
+Tencent/fast-causal-inference (see SURVEY.md), built idiomatically on Spark SQL:
+statistical operators are expressed as single-pass sufficient-statistics
+aggregations (``groupBy().agg()`` of sums / cross-products kept inside
+whole-stage codegen) followed by closed-form math rendered either as native
+Column expressions or as vectorized post-aggregation finalizers; iterative
+algorithms (logistic IRLS, DML, causal trees/forests) are driver-orchestrated
+loops of Spark aggregations — the MLlib pattern.
+
+Nothing here is a port of the reference's C++/Java engine code; reference
+citations in docstrings (``path:line`` under /root/reference) document *what*
+is being computed, never *how*.
+"""
+
+from fast_causal_inference_spark.session import get_session, configure_session
+from fast_causal_inference_spark.formula import parse_formula
+from fast_causal_inference_spark.operators.deltamethod import delta_method
+from fast_causal_inference_spark.operators.ttest import (
+    ttest_1samp,
+    ttest_2samp,
+    ttests_2samp,
+    student_ttest,
+    welch_ttest,
+    mean_z_test,
+)
+from fast_causal_inference_spark.operators.srm import srm
+from fast_causal_inference_spark.operators.ols import ols, wls, OlsModel, did, iv_regression
+from fast_causal_inference_spark.operators.matrix import matrix_multiplication
+from fast_causal_inference_spark.operators.mann_whitney import mann_whitney_utest
+from fast_causal_inference_spark.operators.kstest import kolmogorov_smirnov_test
+from fast_causal_inference_spark.operators.xexpt import xexpt_ttest_2samp
+from fast_causal_inference_spark.operators.resample import boot_strap, permutation
+from fast_causal_inference_spark.operators.matching import (
+    caliper_matching,
+    exact_matching,
+    smd,
+)
+from fast_causal_inference_spark.operators.groupset import group_set
+from fast_causal_inference_spark.dataframe import CausalDataFrame, readCsv, readSparkDf, readTable
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "get_session",
+    "configure_session",
+    "parse_formula",
+    "delta_method",
+    "ttest_1samp",
+    "ttest_2samp",
+    "ttests_2samp",
+    "student_ttest",
+    "welch_ttest",
+    "mean_z_test",
+    "srm",
+    "ols",
+    "wls",
+    "OlsModel",
+    "did",
+    "iv_regression",
+    "matrix_multiplication",
+    "mann_whitney_utest",
+    "kolmogorov_smirnov_test",
+    "xexpt_ttest_2samp",
+    "boot_strap",
+    "permutation",
+    "caliper_matching",
+    "exact_matching",
+    "smd",
+    "group_set",
+    "CausalDataFrame",
+    "readCsv",
+    "readSparkDf",
+    "readTable",
+]

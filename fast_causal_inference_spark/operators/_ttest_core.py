@@ -1,0 +1,127 @@
+"""Shared numpy core for t-test finalizers (driver- or pandas-UDF-side).
+
+Implements the reference's CUPED (control-variate) math — θ estimated from the
+POOLED sample, per-arm means shifted by θ·(f_X(μ_arm) − f_X(μ_pool)) and
+variances reduced by 2θΣ_XY − θΣ_XXθᵀ — cf.
+``src/udf/starrocks/be/src/exprs/agg/ttest_common.h:42-197`` (behavioral spec
+only; implementation is fresh numpy).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from fast_causal_inference_spark.formula import Node
+from fast_causal_inference_spark.operators.suffstats import NumStats, merge_stats
+from fast_causal_inference_spark import stats_distributions as dist
+
+ALTERNATIVES = ("two-sided", "less", "greater")
+
+
+def arm_mean_var(stats: NumStats, ynode: Node,
+                 xnodes: list[Node] | None,
+                 pooled: NumStats | None = None,
+                 theta: np.ndarray | None = None) -> tuple[float, float]:
+    """Mean and delta-method variance of one arm, optionally CUPED-adjusted."""
+    mean = stats.formula_value(ynode)
+    var = stats.delta_var(ynode)
+    if xnodes:
+        assert pooled is not None and theta is not None
+        k = len(stats.means)
+        x_arm = np.array([n_.value(list(stats.means)) for n_ in xnodes])
+        x_pool = np.array([n_.value(list(pooled.means)) for n_ in xnodes])
+        mean = mean - float(theta @ (x_arm - x_pool))
+        cov_xx = np.array([[stats.delta_cov(a, b) for b in xnodes] for a in xnodes])
+        cov_xy = np.array([stats.delta_cov(ynode, a) for a in xnodes])
+        var = var + float(theta @ cov_xx @ theta) - 2.0 * float(theta @ cov_xy)
+        _ = k
+    return mean, var
+
+
+def cuped_theta(pooled: NumStats, ynode: Node, xnodes: list[Node]) -> np.ndarray:
+    """θ = Σ_XX⁻¹ Σ_XY from pooled delta-method covariances."""
+    cov_xx = np.array([[pooled.delta_cov(a, b) for b in xnodes] for a in xnodes])
+    cov_xy = np.array([pooled.delta_cov(ynode, a) for a in xnodes])
+    try:
+        theta = np.linalg.solve(cov_xx, cov_xy)
+    except np.linalg.LinAlgError:
+        theta = np.linalg.pinv(cov_xx) @ cov_xy
+    return np.nan_to_num(theta, nan=0.0)
+
+
+def p_value(t_stat: float, alternative: str) -> float:
+    """Normal-approximation p-value (matches reference calc_pvalue)."""
+    if math.isnan(t_stat):
+        return float("nan")
+    if math.isinf(t_stat):
+        return 0.0
+    if alternative == "two-sided":
+        return float(2.0 * dist.norm_sf(abs(t_stat)))
+    if alternative == "less":
+        return float(dist.norm_cdf(t_stat))
+    if alternative == "greater":
+        return float(dist.norm_sf(t_stat))
+    return float("nan")
+
+
+def confidence_interval(estimate: float, stderr: float, count: float,
+                        alpha: float, alternative: str) -> tuple[float, float]:
+    """Student-t CI with df = count − 1 (matches reference calc_confidence_interval)."""
+    if alpha <= 0 or count <= 1 or not math.isfinite(stderr):
+        return float("nan"), float("nan")
+    df = count - 1.0
+    if alternative == "two-sided":
+        q = float(dist.t_ppf(1.0 - alpha / 2.0, df))
+        return estimate - q * stderr, estimate + q * stderr
+    q = float(dist.t_ppf(1.0 - alpha, df))
+    if alternative == "less":
+        return float("-inf"), estimate + q * stderr
+    if alternative == "greater":
+        return estimate - q * stderr, float("inf")
+    return float("nan"), float("nan")
+
+
+def ttest_1samp_result(stats: NumStats, ynode: Node, xnodes: list[Node] | None,
+                       mu: float, alternative: str, alpha: float) -> dict:
+    if xnodes:
+        pooled = stats
+        theta = cuped_theta(pooled, ynode, xnodes)
+        mean, var = arm_mean_var(stats, ynode, xnodes, pooled, theta)
+    else:
+        mean, var = arm_mean_var(stats, ynode, None)
+    stderr = math.sqrt(var) if var >= 0 else float("nan")
+    estimate = mean - mu
+    t_stat = estimate / stderr if stderr > 0 else (
+        0.0 if abs(estimate) < 2.3e-16 else math.copysign(float("inf"), estimate))
+    lower, upper = confidence_interval(estimate, stderr, stats.n, alpha, alternative)
+    return {
+        "n": stats.n, "mean": mean, "estimate": estimate, "stderr": stderr,
+        "t_stat": t_stat, "p_value": p_value(t_stat, alternative),
+        "lower": lower, "upper": upper,
+    }
+
+
+def ttest_2samp_result(stats0: NumStats, stats1: NumStats, ynode: Node,
+                       xnodes: list[Node] | None, alternative: str,
+                       alpha: float) -> dict:
+    if xnodes:
+        pooled = merge_stats(stats0, stats1)
+        theta = cuped_theta(pooled, ynode, xnodes)
+        mean0, var0 = arm_mean_var(stats0, ynode, xnodes, pooled, theta)
+        mean1, var1 = arm_mean_var(stats1, ynode, xnodes, pooled, theta)
+    else:
+        mean0, var0 = arm_mean_var(stats0, ynode, None)
+        mean1, var1 = arm_mean_var(stats1, ynode, None)
+    stderr = math.sqrt(var0 + var1) if var0 + var1 >= 0 else float("nan")
+    estimate = mean1 - mean0
+    t_stat = estimate / stderr if stderr > 0 else (
+        0.0 if abs(estimate) < 2.3e-16 else math.copysign(float("inf"), estimate))
+    count = stats0.n + stats1.n
+    lower, upper = confidence_interval(estimate, stderr, count, alpha, alternative)
+    return {
+        "n0": stats0.n, "n1": stats1.n, "mean0": mean0, "mean1": mean1,
+        "estimate": estimate, "stderr": stderr, "t_stat": t_stat,
+        "p_value": p_value(t_stat, alternative), "lower": lower, "upper": upper,
+    }

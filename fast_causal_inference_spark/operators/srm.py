@@ -1,0 +1,53 @@
+"""Sample-ratio-mismatch (SRM) chi-square test.
+
+Parity target: reference ``srm.h:44-160`` / Python facade
+``statistics.py:512-572`` — observed per-group totals of ``x`` vs expected
+``ratio`` proportions, Pearson chi-square with df = #groups − 1.
+
+Spark-first: one ``groupBy(group).agg(sum)``; the chi-square finalizer runs on
+the tiny per-arm relation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fast_causal_inference_spark import stats_distributions as dist
+
+
+def srm(df: DataFrame, x: str, groupby: str,
+        ratio: list[float] | None = None) -> pd.DataFrame:
+    """Chi-square SRM check. Returns a pandas DataFrame: one row per group
+    value (ordered) with observed/expected totals, plus attrs
+    ``chisquare``/``p_value`` (also repeated as columns for convenience)."""
+    xcol = F.expr(x).cast("double")
+    gcol = F.col(groupby) if groupby.isidentifier() else F.expr(groupby)
+    obs = (df.groupBy(gcol.alias("groupname"))
+             .agg(F.sum(xcol).alias("observed"))
+             .orderBy("groupname")
+             .toPandas())
+    f_obs = obs["observed"].to_numpy(dtype=float)
+    kk = len(f_obs)
+    if ratio is None:
+        ratio = [1.0] * kk
+    r = np.asarray(ratio, dtype=float)
+    if len(r) != kk:
+        raise ValueError(f"ratio length {len(r)} != number of groups {kk}")
+    f_exp = r / r.sum() * f_obs.sum()
+    chi2 = float(((f_obs - f_exp) ** 2 / f_exp).sum())
+    p = float(dist.chi2_sf(chi2, kk - 1))
+    obs["expected"] = f_exp
+    obs["chisquare"] = chi2
+    obs["p_value"] = p
+    return obs
+
+
+def srm_spark(df: DataFrame, x: str, groupby: str,
+              ratio: list[float] | None = None) -> DataFrame:
+    """Spark-DataFrame-returning variant of :func:`srm` (for queries())."""
+    spark = df.sparkSession
+    pdf = srm(df, x, groupby, ratio)
+    return spark.createDataFrame(pdf)

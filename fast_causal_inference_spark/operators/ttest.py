@@ -1,0 +1,276 @@
+"""t-test family: one/two-sample with CUPED, classic student/welch, z-test.
+
+Pattern (SURVEY.md §2.6): ONE native ``groupBy().agg()`` computes both arms'
+sufficient statistics in a single pass (conditional sums — no per-arm shuffle),
+then a vectorized Arrow finalizer turns the tiny aggregated relation
+(one row per report group) into estimates / stderr / t / p / CI. All row-scale
+work stays JVM-side; Python only ever sees O(#groups) rows.
+
+Behavioral parity targets (reference, /root/reference):
+``ttest_1samp.h:215-250``, ``ttest_2samp.h:359-427``, ``ttest_common.h:42-241``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fast_causal_inference_spark.formula import parse_formulas
+from fast_causal_inference_spark.operators import _ttest_core as core
+from fast_causal_inference_spark.operators.suffstats import (
+    row_to_stats,
+    suffstat_agg_columns,
+)
+from fast_causal_inference_spark.serialization import ensure_udf_serializable
+
+_RESULT_2SAMP = ["n0", "n1", "mean0", "mean1", "estimate", "stderr",
+                 "t_stat", "p_value", "lower", "upper"]
+_RESULT_1SAMP = ["n", "mean", "estimate", "stderr",
+                 "t_stat", "p_value", "lower", "upper"]
+
+
+def _split_cuped(X: str | None) -> list[str]:
+    """CUPED covariate spec: '+'-separated formulas, optional 'X=' prefix
+    (reference statistics.py:193-195 renders the same surface)."""
+    if not X:
+        return []
+    x = X.strip()
+    if x.lower().startswith("x="):
+        x = x[2:]
+    return [p for p in x.split("+") if p.strip()]
+
+
+def _result_schema(agged: DataFrame, group_cols: list[str],
+                   fields: list[str], extra: list[T.StructField] | None = None
+                   ) -> T.StructType:
+    keep = [f for f in agged.schema.fields if f.name in group_cols]
+    res = [T.StructField(n, T.DoubleType()) for n in fields]
+    return T.StructType((extra or []) + keep + res)
+
+
+def ttest_2samp(df: DataFrame, Y: str, index: str,
+                alternative: str = "two-sided", X: str | None = None,
+                alpha: float = 0.05,
+                treatment_values: tuple = (0, 1),
+                group_cols: list[str] | None = None) -> DataFrame:
+    """Two-sample delta-method t-test of a metric formula, optional CUPED.
+
+    ``Y`` like ``avg(numerator)/avg(denominator)``; ``index`` a column whose
+    values in ``treatment_values`` define (control, treatment); ``X`` a
+    '+'-separated list of covariate formulas for CUPED residualization.
+    """
+    if alternative not in core.ALTERNATIVES:
+        raise ValueError(f"alternative must be one of {core.ALTERNATIVES}")
+    group_cols = list(group_cols or [])
+    x_parts = _split_cuped(X)
+    nodes, base = parse_formulas([Y] + x_parts)
+    ynode, xnodes = nodes[0], nodes[1:]
+    k = len(base)
+
+    idx = F.col(index) if index.isidentifier() else F.expr(index)
+    v0, v1 = treatment_values
+    aggs = (suffstat_agg_columns(base, "g0_", idx == F.lit(v0))
+            + suffstat_agg_columns(base, "g1_", idx == F.lit(v1)))
+    agged = (df.groupBy(*group_cols) if group_cols else df.groupBy()).agg(*aggs)
+
+    schema = _result_schema(agged, group_cols, _RESULT_2SAMP)
+
+    def finalize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                s0 = row_to_stats(r, k, "g0_")
+                s1 = row_to_stats(r, k, "g1_")
+                res = core.ttest_2samp_result(s0, s1, ynode, xnodes or None,
+                                              alternative, alpha)
+                res["mean0"], res["mean1"] = res["mean0"], res["mean1"]
+                rows.append({**{g: r[g] for g in group_cols}, **res})
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    ensure_udf_serializable()
+    return agged.mapInPandas(finalize, schema)
+
+
+def ttest_1samp(df: DataFrame, Y: str, alternative: str = "two-sided",
+                mu: float = 0.0, X: str | None = None, alpha: float = 0.05,
+                group_cols: list[str] | None = None) -> DataFrame:
+    """One-sample delta-method t-test of a metric formula against ``mu``."""
+    if alternative not in core.ALTERNATIVES:
+        raise ValueError(f"alternative must be one of {core.ALTERNATIVES}")
+    group_cols = list(group_cols or [])
+    x_parts = _split_cuped(X)
+    nodes, base = parse_formulas([Y] + x_parts)
+    ynode, xnodes = nodes[0], nodes[1:]
+    k = len(base)
+
+    agged = ((df.groupBy(*group_cols) if group_cols else df.groupBy())
+             .agg(*suffstat_agg_columns(base)))
+    schema = _result_schema(agged, group_cols, _RESULT_1SAMP)
+
+    def finalize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                s = row_to_stats(r, k)
+                res = core.ttest_1samp_result(s, ynode, xnodes or None,
+                                              mu, alternative, alpha)
+                rows.append({**{g: r[g] for g in group_cols}, **res})
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    ensure_udf_serializable()
+    return agged.mapInPandas(finalize, schema)
+
+
+def ttests_2samp(df: DataFrame, Y: str, index: str,
+                 alternatives: list[str] | str = "two-sided",
+                 X: str | None = None, alpha: float = 0.05,
+                 treatment_values: tuple = (0, 1),
+                 group_cols: list[str] | None = None) -> DataFrame:
+    """Multi-output two-sample t-test: one result row per alternative
+    (reference ``ttests_2samp.h``). The sufficient-statistics pass runs ONCE.
+    """
+    if isinstance(alternatives, str):
+        alternatives = [a.strip() for a in alternatives.split(",")]
+    for a in alternatives:
+        if a not in core.ALTERNATIVES:
+            raise ValueError(f"bad alternative {a!r}")
+    group_cols = list(group_cols or [])
+    x_parts = _split_cuped(X)
+    nodes, base = parse_formulas([Y] + x_parts)
+    ynode, xnodes = nodes[0], nodes[1:]
+    k = len(base)
+
+    idx = F.col(index) if index.isidentifier() else F.expr(index)
+    v0, v1 = treatment_values
+    aggs = (suffstat_agg_columns(base, "g0_", idx == F.lit(v0))
+            + suffstat_agg_columns(base, "g1_", idx == F.lit(v1)))
+    agged = (df.groupBy(*group_cols) if group_cols else df.groupBy()).agg(*aggs)
+
+    schema = _result_schema(agged, group_cols, _RESULT_2SAMP,
+                            extra=[T.StructField("alternative", T.StringType())])
+
+    def finalize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                s0 = row_to_stats(r, k, "g0_")
+                s1 = row_to_stats(r, k, "g1_")
+                for alt in alternatives:
+                    res = core.ttest_2samp_result(s0, s1, ynode, xnodes or None,
+                                                  alt, alpha)
+                    rows.append({"alternative": alt,
+                                 **{g: r[g] for g in group_cols}, **res})
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    ensure_udf_serializable()
+    return agged.mapInPandas(finalize, schema)
+
+
+# ---------------------------------------------------------------------------
+# classic tests on a single value column (CH built-in parity: studentTTest,
+# welchTTest, meanZTest — registerAggregateFunctions.cpp:141-144)
+# ---------------------------------------------------------------------------
+
+
+def _two_group_moments(df: DataFrame, value: str, index: str,
+                       treatment_values: tuple,
+                       group_cols: list[str]) -> DataFrame:
+    x = F.expr(value).cast("double")
+    idx = F.col(index) if index.isidentifier() else F.expr(index)
+    v0, v1 = treatment_values
+    aggs = []
+    for tag, v in (("0", v0), ("1", v1)):
+        c = idx == F.lit(v)
+        w = F.when(c, x)
+        aggs += [F.count(w).alias(f"n{tag}"),
+                 F.avg(w).alias(f"m{tag}"),
+                 F.var_samp(w).alias(f"v{tag}")]
+    return (df.groupBy(*group_cols) if group_cols else df.groupBy()).agg(*aggs)
+
+
+def _moment_test(df: DataFrame, value: str, index: str, kind: str,
+                 alternative: str, treatment_values: tuple,
+                 group_cols: list[str] | None,
+                 var_x: float | None = None, var_y: float | None = None,
+                 ) -> DataFrame:
+    group_cols = list(group_cols or [])
+    agged = _two_group_moments(df, value, index, treatment_values, group_cols)
+    fields = ["n0", "n1", "mean0", "mean1", "estimate", "stderr",
+              "t_stat", "df", "p_value"]
+    schema = _result_schema(agged, group_cols, fields)
+
+    def finalize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from fast_causal_inference_spark import stats_distributions as dist
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                n0, n1 = float(r["n0"]), float(r["n1"])
+                m0, m1 = float(r["m0"]), float(r["m1"])
+                s0, s1 = float(r["v0"]), float(r["v1"])
+                est = m1 - m0
+                if kind == "student":
+                    sp = (((n0 - 1) * s0 + (n1 - 1) * s1) / (n0 + n1 - 2))
+                    se = (sp * (1 / n0 + 1 / n1)) ** 0.5
+                    dof = n0 + n1 - 2
+                elif kind == "welch":
+                    a, b = s0 / n0, s1 / n1
+                    se = (a + b) ** 0.5
+                    dof = (a + b) ** 2 / (a * a / (n0 - 1) + b * b / (n1 - 1))
+                else:  # z-test with known variances
+                    se = (var_x / n0 + var_y / n1) ** 0.5
+                    dof = float("inf")
+                t = est / se if se > 0 else float("nan")
+                if kind == "meanz" or not np.isfinite(dof):
+                    sf = float(dist.norm_sf(abs(t)))
+                    cdf_t = float(dist.norm_cdf(t))
+                else:
+                    sf = float(dist.t_sf(abs(t), dof))
+                    cdf_t = float(dist.t_cdf(t, dof))
+                if alternative == "two-sided":
+                    p = 2 * sf
+                elif alternative == "less":
+                    p = cdf_t
+                else:
+                    p = 1 - cdf_t
+                rows.append({**{g: r[g] for g in group_cols},
+                             "n0": n0, "n1": n1, "mean0": m0, "mean1": m1,
+                             "estimate": est, "stderr": se, "t_stat": t,
+                             "df": dof, "p_value": p})
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    ensure_udf_serializable()
+    return agged.mapInPandas(finalize, schema)
+
+
+def student_ttest(df: DataFrame, value: str, index: str,
+                  alternative: str = "two-sided",
+                  treatment_values: tuple = (0, 1),
+                  group_cols: list[str] | None = None) -> DataFrame:
+    """Equal-variance two-sample t-test on a value column."""
+    return _moment_test(df, value, index, "student", alternative,
+                        treatment_values, group_cols)
+
+
+def welch_ttest(df: DataFrame, value: str, index: str,
+                alternative: str = "two-sided",
+                treatment_values: tuple = (0, 1),
+                group_cols: list[str] | None = None) -> DataFrame:
+    """Unequal-variance (Welch) two-sample t-test on a value column."""
+    return _moment_test(df, value, index, "welch", alternative,
+                        treatment_values, group_cols)
+
+
+def mean_z_test(df: DataFrame, value: str, index: str,
+                var_x: float, var_y: float,
+                alternative: str = "two-sided",
+                treatment_values: tuple = (0, 1),
+                group_cols: list[str] | None = None) -> DataFrame:
+    """Two-sample z-test with known population variances."""
+    return _moment_test(df, value, index, "meanz", alternative,
+                        treatment_values, group_cols, var_x=var_x, var_y=var_y)
