@@ -1,38 +1,299 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship grouped CUPED t-test on sf0.001.
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md §2, each with a DuckDB-runnable ANSI-SQL oracle where the semantics
+are SQL-expressible (p-values/CIs are not — DuckDB lacks erf — so oracle-gated
+projections expose the arithmetic columns: estimates, stderr, t-statistics).
+
+Float policy: operator outputs are double-sum based, so Spark and DuckDB can
+differ in the last bits; every oracle-compared column is rounded to 6 decimals
+on BOTH sides. Purely relational queries (q1) instead cast per-row doubles to
+DECIMAL before summing — bitwise-deterministic on both engines.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from fast_causal_inference_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+def _round_all(df: DataFrame, keep: list[str], cols: list[str], nd: int = 6) -> DataFrame:
+    return df.select(*keep, *[F.round(F.col(c), nd).alias(c) for c in cols])
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Grouped two-sample CUPED t-test over the events table at sf0.001."""
+    from fast_causal_inference_spark.operators.ttest import ttest_2samp
+
+    ev = _load(spark, "/root/testdata/sf0.001", "events") \
+        .withColumn("treatment", (F.col("user_id") % 2).cast("int"))
+    return ttest_2samp(ev, "avg(value)", "treatment",
+                       X="avg(event_id)", group_cols=["event_type"])
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
+
+_TTEST_COLS = ["n0", "n1", "mean0", "mean1", "estimate", "stderr", "t_stat"]
+
+
+def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary (relational baseline; decimal-exact)."""
+    li = _load(spark, sf_dir, "lineitem")
+    dec = "decimal(27,7)"
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.col("l_quantity").cast(dec)).cast("double").alias("sum_qty"),
+                 F.sum(F.col("l_extendedprice").cast(dec)).cast("double").alias("sum_base_price"),
+                 F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                       .cast(dec)).cast("double").alias("sum_disc_price"),
+                 F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                        * (1 + F.col("l_tax"))).cast(dec)).cast("double").alias("sum_charge"),
+                 F.count(F.lit(1)).alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(27,7))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,7))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,7))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(27,7))) AS DOUBLE) AS sum_charge,
+       COUNT(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method SE of avg(l_extendedprice)/avg(l_quantity) per returnflag."""
+    from fast_causal_inference_spark.operators.deltamethod import delta_method
+
+    li = _load(spark, sf_dir, "lineitem")
+    out = delta_method(li, "avg(l_extendedprice)/avg(l_quantity)", std=True,
+                       group_cols=["l_returnflag"])
+    return _round_all(out, ["l_returnflag"], ["std"], 6)
+
+
+_DELTA_SQL = """
+WITH a AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS DOUBLE) AS n,
+         sum(l_extendedprice) AS s1, sum(l_quantity) AS s2,
+         sum(l_extendedprice*l_extendedprice) AS c11,
+         sum(l_extendedprice*l_quantity) AS c12,
+         sum(l_quantity*l_quantity) AS c22
+  FROM lineitem GROUP BY l_returnflag
+), m AS (
+  SELECT l_returnflag, n, s1/n AS m1, s2/n AS m2,
+         (c11 - s1*s1/n)/(n-1) AS v11,
+         (c12 - s1*s2/n)/(n-1) AS v12,
+         (c22 - s2*s2/n)/(n-1) AS v22
+  FROM a
+)
+SELECT l_returnflag,
+       round(sqrt(((1/m2)*(1/m2)*v11
+                 + 2*(1/m2)*(-m1/(m2*m2))*v12
+                 + (m1/(m2*m2))*(m1/(m2*m2))*v22)/n), 6) AS std
+FROM m
+"""
+
+
+def q_ttest_2samp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample t-test of avg(value) with treatment = user_id % 2."""
+    from fast_causal_inference_spark.operators.ttest import ttest_2samp
+
+    ev = _load(spark, sf_dir, "events") \
+        .withColumn("treatment", (F.col("user_id") % 2).cast("int"))
+    out = ttest_2samp(ev, "avg(value)", "treatment")
+    return _round_all(out, [], _TTEST_COLS, 6)
+
+
+_TTEST_SQL = """
+WITH arms AS (
+  SELECT CAST(count(*) FILTER (WHERE user_id % 2 = 0) AS DOUBLE) AS n0,
+         CAST(count(*) FILTER (WHERE user_id % 2 = 1) AS DOUBLE) AS n1,
+         avg(value) FILTER (WHERE user_id % 2 = 0) AS m0,
+         avg(value) FILTER (WHERE user_id % 2 = 1) AS m1,
+         var_samp(value) FILTER (WHERE user_id % 2 = 0) AS v0,
+         var_samp(value) FILTER (WHERE user_id % 2 = 1) AS v1
+  FROM events)
+SELECT round(n0, 6) AS n0, round(n1, 6) AS n1,
+       round(m0, 6) AS mean0, round(m1, 6) AS mean1,
+       round(m1 - m0, 6) AS estimate,
+       round(sqrt(v0/n0 + v1/n1), 6) AS stderr,
+       round((m1 - m0)/sqrt(v0/n0 + v1/n1), 6) AS t_stat
+FROM arms
+"""
+
+
+def q_ttest_2samp_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED t-test: Y=avg(l_extendedprice), X=avg(l_quantity), arms by orderkey parity."""
+    from fast_causal_inference_spark.operators.ttest import ttest_2samp
+
+    li = _load(spark, sf_dir, "lineitem") \
+        .withColumn("treatment", (F.col("l_orderkey") % 2).cast("int"))
+    out = ttest_2samp(li, "avg(l_extendedprice)", "treatment", X="avg(l_quantity)")
+    return _round_all(out, [], _TTEST_COLS, 6)
+
+
+_TTEST_CUPED_SQL = """
+WITH pool AS (
+  SELECT covar_samp(l_extendedprice, l_quantity) / var_samp(l_quantity) AS theta,
+         avg(l_quantity) AS x_pool
+  FROM lineitem
+), arms AS (
+  SELECT l_orderkey % 2 AS arm,
+         CAST(count(*) AS DOUBLE) AS n,
+         avg(l_extendedprice) AS my, avg(l_quantity) AS mx,
+         var_samp(l_extendedprice) AS vy, var_samp(l_quantity) AS vx,
+         covar_samp(l_extendedprice, l_quantity) AS cxy
+  FROM lineitem GROUP BY 1
+), adj AS (
+  SELECT arm, n,
+         my - (SELECT theta FROM pool) * (mx - (SELECT x_pool FROM pool)) AS mean_adj,
+         (vy + (SELECT theta FROM pool)*(SELECT theta FROM pool)*vx
+             - 2*(SELECT theta FROM pool)*cxy) / n AS var_adj
+  FROM arms
+)
+SELECT round(a0.n, 6) AS n0, round(a1.n, 6) AS n1,
+       round(a0.mean_adj, 6) AS mean0, round(a1.mean_adj, 6) AS mean1,
+       round(a1.mean_adj - a0.mean_adj, 6) AS estimate,
+       round(sqrt(a0.var_adj + a1.var_adj), 6) AS stderr,
+       round((a1.mean_adj - a0.mean_adj)/sqrt(a0.var_adj + a1.var_adj), 6) AS t_stat
+FROM (SELECT * FROM adj WHERE arm = 0) a0, (SELECT * FROM adj WHERE arm = 1) a1
+"""
+
+
+def q_ttest_1samp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sample t-test of the ratio metric avg(value)/avg(1+event_id%7) vs mu=10."""
+    from fast_causal_inference_spark.operators.ttest import ttest_1samp
+
+    ev = _load(spark, sf_dir, "events")
+    out = ttest_1samp(ev, "avg(value)/avg(1 + event_id % 7)", mu=10.0)
+    return _round_all(out, [], ["n", "mean", "estimate", "stderr", "t_stat"], 6)
+
+
+_TTEST1_SQL = """
+WITH a AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         sum(value) AS s1, sum(1 + event_id % 7) AS s2,
+         sum(value*value) AS c11, sum(value*(1 + event_id % 7)) AS c12,
+         sum((1 + event_id % 7)*(1 + event_id % 7)) AS c22
+  FROM events
+), m AS (
+  SELECT n, s1/n AS m1, s2/n AS m2,
+         (c11 - s1*s1/n)/(n-1) AS v11,
+         (c12 - s1*s2/n)/(n-1) AS v12,
+         (c22 - s2*s2/n)/(n-1) AS v22
+  FROM a
+)
+SELECT round(n, 6) AS n,
+       round(m1/m2, 6) AS mean,
+       round(m1/m2 - 10.0, 6) AS estimate,
+       round(sqrt(((1/m2)*(1/m2)*v11 + 2*(1/m2)*(-m1/(m2*m2))*v12
+                  + (m1/(m2*m2))*(m1/(m2*m2))*v22)/n), 6) AS stderr,
+       round((m1/m2 - 10.0)/sqrt(((1/m2)*(1/m2)*v11 + 2*(1/m2)*(-m1/(m2*m2))*v12
+                  + (m1/(m2*m2))*(m1/(m2*m2))*v22)/n), 6) AS t_stat
+FROM m
+"""
+
+
+def q_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRM observed/expected/chi-square across event_type arms."""
+    from fast_causal_inference_spark.operators.srm import srm_spark
+
+    ev = _load(spark, sf_dir, "events")
+    out = srm_spark(ev, "value", "event_type")
+    return _round_all(out, ["groupname"],
+                      ["observed", "expected", "chisquare"], 6)
+
+
+_SRM_SQL = """
+WITH obs AS (
+  SELECT event_type AS groupname, sum(value) AS observed
+  FROM events GROUP BY event_type
+), tot AS (SELECT sum(observed) AS t, count(*) AS k FROM obs)
+SELECT groupname,
+       round(observed, 6) AS observed,
+       round((SELECT t FROM tot)/(SELECT k FROM tot), 6) AS expected,
+       round((SELECT sum((o2.observed - (SELECT t FROM tot)/(SELECT k FROM tot))
+                    * (o2.observed - (SELECT t FROM tot)/(SELECT k FROM tot))
+                    / ((SELECT t FROM tot)/(SELECT k FROM tot))) FROM obs o2), 6) AS chisquare
+FROM obs
+ORDER BY groupname
+"""
+
+
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch t-test of o_totalprice between order-priority arms."""
+    from fast_causal_inference_spark.operators.ttest import welch_ttest
+
+    o = _load(spark, sf_dir, "orders") \
+        .withColumn("arm", (F.col("o_orderkey") % 2).cast("int"))
+    out = welch_ttest(o, "o_totalprice", "arm")
+    return _round_all(out, [], ["n0", "n1", "mean0", "mean1", "estimate",
+                                "stderr", "t_stat", "df"], 6)
+
+
+_WELCH_SQL = """
+WITH arms AS (
+  SELECT CAST(count(*) FILTER (WHERE o_orderkey % 2 = 0) AS DOUBLE) AS n0,
+         CAST(count(*) FILTER (WHERE o_orderkey % 2 = 1) AS DOUBLE) AS n1,
+         avg(o_totalprice) FILTER (WHERE o_orderkey % 2 = 0) AS m0,
+         avg(o_totalprice) FILTER (WHERE o_orderkey % 2 = 1) AS m1,
+         var_samp(o_totalprice) FILTER (WHERE o_orderkey % 2 = 0) AS v0,
+         var_samp(o_totalprice) FILTER (WHERE o_orderkey % 2 = 1) AS v1
+  FROM orders)
+SELECT round(n0, 6) AS n0, round(n1, 6) AS n1,
+       round(m0, 6) AS mean0, round(m1, 6) AS mean1,
+       round(m1 - m0, 6) AS estimate,
+       round(sqrt(v0/n0 + v1/n1), 6) AS stderr,
+       round((m1 - m0)/sqrt(v0/n0 + v1/n1), 6) AS t_stat,
+       round((v0/n0 + v1/n1)*(v0/n0 + v1/n1)
+             / ((v0/n0)*(v0/n0)/(n0-1) + (v1/n1)*(v1/n1)/(n1-1)), 6) AS df
+FROM arms
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "delta_method": q_delta_method,
+        "ttest_1samp": q_ttest_1samp,
+        "ttest_2samp": q_ttest_2samp,
+        "ttest_2samp_cuped": q_ttest_2samp_cuped,
+        "welch_ttest": q_welch_ttest,
+        "srm": q_srm,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": _Q1_SQL,
+        "delta_method": _DELTA_SQL,
+        "ttest_1samp": _TTEST1_SQL,
+        "ttest_2samp": _TTEST_SQL,
+        "ttest_2samp_cuped": _TTEST_CUPED_SQL,
+        "welch_ttest": _WELCH_SQL,
+        "srm": _SRM_SQL,
+    }

@@ -1,0 +1,70 @@
+"""Local replica of the driver's DuckDB-oracle gate: every queries() entry is
+run on Spark AND its oracle_sql() on DuckDB at sf0.01; results must match
+after column-name sort + row sort (exact equality — both sides round)."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def _duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    pdf = pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
+    return pdf
+
+
+def _entries():
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    os_ = entry.oracle_sql()
+    return [(name, qs[name], os_.get(name)) for name in qs]
+
+
+@pytest.mark.parametrize("name,fn,sql", _entries(), ids=[e[0] for e in _entries()])
+def test_oracle_parity(spark, name, fn, sql):
+    got = _normalize(fn(spark, SF_DIR).toPandas())
+    assert len(got) > 0, f"{name}: empty Spark result"
+    if sql is None:
+        return
+    con = _duck()
+    want = _normalize(con.execute(sql).df())
+    con.close()
+    assert list(got.columns) == list(want.columns), \
+        f"{name}: columns {list(got.columns)} != {list(want.columns)}"
+    assert len(got) == len(want), f"{name}: rowcount {len(got)} != {len(want)}"
+    for c in got.columns:
+        g, w = got[c].to_numpy(), want[c].to_numpy()
+        if np.issubdtype(g.dtype, np.number):
+            mism = ~np.isclose(g.astype(float), w.astype(float),
+                               rtol=0, atol=0, equal_nan=True)
+            assert not mism.any(), \
+                f"{name}.{c}: {g[mism][:5]} != {w[mism][:5]} (exact compare)"
+        else:
+            assert (g == w).all(), f"{name}.{c}: value mismatch"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as entry
+
+    df = entry.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert df.schema is not None
