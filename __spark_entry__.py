@@ -275,6 +275,125 @@ FROM arms
 """
 
 
+def q_ols_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple OLS l_discount ~ l_tax with full inference columns."""
+    from fast_causal_inference_spark.operators.ols import ols_coef_df
+
+    li = _load(spark, sf_dir, "lineitem")
+    out = ols_coef_df(li, "l_discount ~ l_tax")
+    return _round_all(out, ["name"], ["estimate", "stderr", "t_value"], 6)
+
+
+_OLS_SIMPLE_SQL = """
+WITH a AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         avg(l_tax) AS mx, avg(l_discount) AS my,
+         var_samp(l_tax) AS vx, var_samp(l_discount) AS vy,
+         covar_samp(l_tax, l_discount) AS cxy
+  FROM lineitem
+), f AS (
+  SELECT n, mx, my, vx, cxy / vx AS b1,
+         (vy - cxy*cxy/vx) * (n-1) / (n-2) AS sigma2
+  FROM a
+)
+SELECT '(Intercept)' AS name,
+       round(my - b1*mx, 6) AS estimate,
+       round(sqrt(sigma2 * (1.0/n + mx*mx/((n-1)*vx))), 6) AS stderr,
+       round((my - b1*mx) / sqrt(sigma2 * (1.0/n + mx*mx/((n-1)*vx))), 6) AS t_value
+FROM f
+UNION ALL
+SELECT 'l_tax' AS name,
+       round(b1, 6) AS estimate,
+       round(sqrt(sigma2 / ((n-1)*vx)), 6) AS stderr,
+       round(b1 / sqrt(sigma2 / ((n-1)*vx)), 6) AS t_value
+FROM f
+"""
+
+
+def q_ols_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-regressor OLS (betas only): l_extendedprice ~ l_quantity + l_discount."""
+    from fast_causal_inference_spark.operators.ols import ols_coef_df
+
+    li = _load(spark, sf_dir, "lineitem")
+    out = ols_coef_df(li, "l_extendedprice ~ l_quantity + l_discount")
+    return _round_all(out, ["name"], ["estimate"], 4)
+
+
+# Cramer's-rule solve of the 3x3 normal equations, entirely in SQL.
+_OLS_MULTI_SQL = """
+WITH a AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         sum(l_quantity) AS s1, sum(l_discount) AS s2, sum(l_extendedprice) AS sy,
+         sum(l_quantity*l_quantity) AS c11, sum(l_quantity*l_discount) AS c12,
+         sum(l_discount*l_discount) AS c22,
+         sum(l_quantity*l_extendedprice) AS c1y, sum(l_discount*l_extendedprice) AS c2y
+  FROM lineitem
+), d AS (
+  SELECT *,
+    n*(c11*c22 - c12*c12) - s1*(s1*c22 - c12*s2) + s2*(s1*c12 - c11*s2) AS det,
+    sy*(c11*c22 - c12*c12) - s1*(c1y*c22 - c12*c2y) + s2*(c1y*c12 - c11*c2y) AS det0,
+    n*(c1y*c22 - c2y*c12) - sy*(s1*c22 - c12*s2) + s2*(s1*c2y - c1y*s2) AS det1,
+    n*(c11*c2y - c12*c1y) - s1*(s1*c2y - c1y*s2) + sy*(s1*c12 - c11*s2) AS det2
+  FROM a
+)
+SELECT '(Intercept)' AS name, round(det0/det, 4) AS estimate FROM d
+UNION ALL SELECT 'l_quantity', round(det1/det, 4) FROM d
+UNION ALL SELECT 'l_discount', round(det2/det, 4) FROM d
+"""
+
+
+def q_wls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted simple regression: l_discount ~ l_tax, weight = l_quantity."""
+    from fast_causal_inference_spark.operators.ols import wls
+
+    li = _load(spark, sf_dir, "lineitem")
+    model = wls(li, "l_discount ~ l_tax", weight="l_quantity")
+    return spark.createDataFrame(
+        [(n, round(float(b), 6)) for n, b in zip(model.names, model.beta)],
+        "name string, estimate double")
+
+
+_WLS_SQL = """
+WITH a AS (
+  SELECT sum(l_quantity) AS sw,
+         sum(l_quantity*l_tax) AS swx, sum(l_quantity*l_discount) AS swy,
+         sum(l_quantity*l_tax*l_tax) AS swxx,
+         sum(l_quantity*l_tax*l_discount) AS swxy
+  FROM lineitem
+), f AS (
+  SELECT (sw*swxy - swx*swy)/(sw*swxx - swx*swx) AS b1, sw, swx, swy FROM a
+)
+SELECT '(Intercept)' AS name, round((swy - b1*swx)/sw, 6) AS estimate FROM f
+UNION ALL SELECT 'l_tax', round(b1, 6) FROM f
+"""
+
+
+def q_matrix_multiplication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XᵀX over (l_quantity, l_discount, l_tax), scaled by 1/n for stability."""
+    from fast_causal_inference_spark.operators.matrix import matrix_multiplication_df
+
+    li = _load(spark, sf_dir, "lineitem")
+    cnt = li.count()
+    out = matrix_multiplication_df(li, "l_quantity", "l_discount", "l_tax")
+    return out.select("i", "j", F.round(F.col("value") / cnt, 6).alias("value"))
+
+
+_MATRIX_SQL = """
+WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM lineitem),
+g AS (
+  SELECT sum(l_quantity*l_quantity) AS m00, sum(l_quantity*l_discount) AS m01,
+         sum(l_quantity*l_tax) AS m02, sum(l_discount*l_discount) AS m11,
+         sum(l_discount*l_tax) AS m12, sum(l_tax*l_tax) AS m22
+  FROM lineitem)
+SELECT i, j, round(v/(SELECT c FROM n), 6) AS value FROM (
+  SELECT 0 AS i, 0 AS j, m00 AS v FROM g
+  UNION ALL SELECT 0, 1, m01 FROM g UNION ALL SELECT 0, 2, m02 FROM g
+  UNION ALL SELECT 1, 0, m01 FROM g UNION ALL SELECT 1, 1, m11 FROM g
+  UNION ALL SELECT 1, 2, m12 FROM g UNION ALL SELECT 2, 0, m02 FROM g
+  UNION ALL SELECT 2, 1, m12 FROM g UNION ALL SELECT 2, 2, m22 FROM g)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q_q1_pricing_summary,
@@ -284,6 +403,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ttest_2samp_cuped": q_ttest_2samp_cuped,
         "welch_ttest": q_welch_ttest,
         "srm": q_srm,
+        "ols": q_ols_simple,
+        "ols_multi": q_ols_multi,
+        "wls": q_wls,
+        "matrix_multiplication": q_matrix_multiplication,
     }
 
 
@@ -296,4 +419,8 @@ def oracle_sql() -> dict[str, str]:
         "ttest_2samp_cuped": _TTEST_CUPED_SQL,
         "welch_ttest": _WELCH_SQL,
         "srm": _SRM_SQL,
+        "ols": _OLS_SIMPLE_SQL,
+        "ols_multi": _OLS_MULTI_SQL,
+        "wls": _WLS_SQL,
+        "matrix_multiplication": _MATRIX_SQL,
     }

@@ -1,4 +1,53 @@
-"""Placeholder — implemented later this round."""
+"""Gramian / matrix products over columns (reference
+``matrix_multiplication.h:41-308``, facade ``statistics.py:952-1016``).
 
-def matrix_multiplication(*a, **k):
-    raise NotImplementedError
+XᵀX over rows is just an aggregation of outer-product sums — a single
+``agg()`` of k(k+1)/2 native sum columns; optional inverse on the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def matrix_multiplication(df: DataFrame, *cols: str, std: bool = False,
+                          invert: bool = False,
+                          weight: str | None = None) -> np.ndarray:
+    """XᵀX (optionally weighted / standardized / inverted) as numpy.
+
+    ``std=True`` appends a constant-1 column (reference semantics: include the
+    intercept row/col).
+    """
+    exprs = [F.expr(c).cast("double") for c in cols]
+    if std:
+        exprs.append(F.lit(1.0))
+    k = len(exprs)
+    w = F.expr(weight).cast("double") if weight else F.lit(1.0)
+    aggs = []
+    for i in range(k):
+        for j in range(i, k):
+            aggs.append(F.sum(w * exprs[i] * exprs[j]).alias(f"m_{i}_{j}"))
+    row = df.agg(*aggs).collect()[0]
+    m = np.empty((k, k))
+    for i in range(k):
+        for j in range(i, k):
+            m[i, j] = m[j, i] = row[f"m_{i}_{j}"]
+    if invert:
+        try:
+            m = np.linalg.inv(m)
+        except np.linalg.LinAlgError:
+            m = np.linalg.pinv(m)
+    return m
+
+
+def matrix_multiplication_df(df: DataFrame, *cols: str, std: bool = False,
+                             invert: bool = False,
+                             weight: str | None = None) -> DataFrame:
+    """Spark-DataFrame form: one row per (i, j) entry (for the oracle gate)."""
+    m = matrix_multiplication(df, *cols, std=std, invert=invert, weight=weight)
+    spark = df.sparkSession
+    rows = [(i, j, float(m[i, j])) for i in range(m.shape[0])
+            for j in range(m.shape[1])]
+    return spark.createDataFrame(rows, "i int, j int, value double")

@@ -1,20 +1,446 @@
-"""Placeholder — implemented later this round."""
+"""OLS / WLS by closed-form normal equations, plus DID and 2SLS (IV).
 
-def ols(*a, **k):
-    raise NotImplementedError
+Parity targets (reference under /root/reference): ``ols.h:40-756`` (R-style
+summary at :505-547), Python facades ``regression.py:309-505`` (ols/wls),
+``regression.py:780-953`` (did / iv_regression), Calcite macros
+``DIDParser.java``, ``IvRegressionParser.java``.
+
+Spark-first design: ONE ``groupBy().agg()`` over the shared
+sufficient-statistics kernel yields the Gramian (XᵀX, Xᵀy, yᵀy) —
+O(k²) doubles shuffled regardless of row count — and the driver solves the
+k×k system with numpy. Prediction is a pure Column dot-product (no UDF), so
+scoring 100 TB stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fast_causal_inference_spark import stats_distributions as dist
+from fast_causal_inference_spark.operators.suffstats import suffstat_agg_columns
 
 
-def wls(*a, **k):
-    raise NotImplementedError
+def parse_r_formula(formula: str) -> tuple[str, list[str]]:
+    """``'y ~ x1 + x2'`` → ('y', ['x1', 'x2']). Terms are SQL expressions."""
+    if "~" not in formula:
+        raise ValueError(f"formula needs '~': {formula!r}")
+    lhs, rhs = formula.split("~", 1)
+    feats = [t.strip() for t in rhs.split("+") if t.strip()]
+    if not feats:
+        raise ValueError(f"no regressors in {formula!r}")
+    return lhs.strip(), feats
 
 
-class OlsModel:  # noqa: D101
-    pass
+@dataclass
+class OlsModel:
+    """Fitted linear model with inference statistics and Spark scoring."""
+
+    y_expr: str
+    feature_exprs: list[str]
+    use_bias: bool
+    beta: np.ndarray               # (p,) — intercept first when use_bias
+    stderr: np.ndarray             # (p,)
+    n: float
+    sigma2: float                  # residual variance (SSR / df_resid)
+    xtx_inv: np.ndarray            # (p, p)
+    r2: float
+    adj_r2: float
+    f_stat: float
+    f_pvalue: float
+    weight_expr: str | None = None
+    names: list[str] = field(default_factory=list)
+
+    def __post_init__(self):
+        if not self.names:
+            self.names = ((["(Intercept)"] if self.use_bias else [])
+                          + list(self.feature_exprs))
+
+    # -- inference ------------------------------------------------------
+    @property
+    def p(self) -> int:
+        return len(self.beta)
+
+    @property
+    def df_resid(self) -> float:
+        return self.n - self.p
+
+    @property
+    def t_values(self) -> np.ndarray:
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return self.beta / self.stderr
+
+    @property
+    def p_values(self) -> np.ndarray:
+        return 2.0 * dist.t_sf(np.abs(self.t_values), self.df_resid)
+
+    # -- scoring (pure Column expressions — no UDF) ---------------------
+    def _x_columns(self) -> list[Column]:
+        return [F.expr(e).cast("double") for e in self.feature_exprs]
+
+    def predict_column(self) -> Column:
+        xs = self._x_columns()
+        out: Column = F.lit(float(self.beta[0])) if self.use_bias else F.lit(0.0)
+        coefs = self.beta[1:] if self.use_bias else self.beta
+        for b, x in zip(coefs, xs):
+            out = out + float(b) * x
+        return out
+
+    def predict(self, df: DataFrame, alias: str = "prediction",
+                interval: str | None = None, alpha: float = 0.05) -> DataFrame:
+        """Score rows; ``interval='confidence'|'prediction'`` adds bounds
+        (x(XᵀX)⁻¹xᵀ closed form — reference OlsInterval semantics)."""
+        out = df.withColumn(alias, self.predict_column())
+        if interval is None:
+            return out
+        xs = ([F.lit(1.0)] if self.use_bias else []) + self._x_columns()
+        quad: Column = F.lit(0.0)
+        for i in range(self.p):
+            for j in range(self.p):
+                quad = quad + float(self.xtx_inv[i, j]) * xs[i] * xs[j]
+        var = F.lit(self.sigma2) * (quad + (1.0 if interval == "prediction" else 0.0))
+        q = float(dist.t_ppf(1.0 - alpha / 2.0, self.df_resid))
+        half = F.lit(q) * F.sqrt(var)
+        return (out.withColumn(f"{alias}_lower", F.col(alias) - half)
+                   .withColumn(f"{alias}_upper", F.col(alias) + half))
+
+    def effect(self, df: DataFrame, alias: str = "effect") -> DataFrame:
+        return self.predict(df, alias)
+
+    # -- presentation ---------------------------------------------------
+    def coef_table(self):
+        import pandas as pd
+
+        return pd.DataFrame({
+            "name": self.names,
+            "estimate": self.beta,
+            "stderr": self.stderr,
+            "t_value": self.t_values,
+            "p_value": self.p_values,
+        })
+
+    def summary(self) -> str:
+        """R-style lm() summary block (format parity with ols.h:505-547)."""
+        def stars(p):
+            return ("***" if p < 0.001 else "**" if p < 0.01 else
+                    "*" if p < 0.05 else "." if p < 0.1 else " ")
+
+        lines = [
+            f"Call:\n  lm( formula = {self.y_expr} ~ "
+            + " + ".join(self.feature_exprs) + " )\n",
+            "Coefficients:",
+            f"{'':>14}{'Estimate':>12}{'Std. Error':>12}{'t value':>10}{'Pr(>|t|)':>10}",
+        ]
+        for name, b, se, t, p in zip(self.names, self.beta, self.stderr,
+                                     self.t_values, self.p_values):
+            lines.append(f"{name:>14}{b:>12.6f}{se:>12.6f}{t:>10.3f}{p:>10.4g} {stars(p)}")
+        lines.append("")
+        lines.append(f"Residual standard error: {math.sqrt(self.sigma2):.6f} "
+                     f"on {int(self.df_resid)} degrees of freedom")
+        lines.append(f"Multiple R-squared: {self.r2:.6f}, "
+                     f"Adjusted R-squared: {self.adj_r2:.6f}")
+        lines.append(f"F-statistic: {self.f_stat:.4f} on {self.p - 1} and "
+                     f"{int(self.df_resid)} DF,  p-value: {self.f_pvalue:.4g}")
+        return "\n".join(lines)
+
+    def __repr__(self):
+        return self.summary()
+
+    # -- model state round-trip (reference ols_train / eval_ml_method) --
+    def to_json(self) -> str:
+        return json.dumps({
+            "y_expr": self.y_expr, "feature_exprs": self.feature_exprs,
+            "use_bias": self.use_bias, "beta": self.beta.tolist(),
+            "stderr": self.stderr.tolist(), "n": self.n, "sigma2": self.sigma2,
+            "xtx_inv": self.xtx_inv.tolist(), "r2": self.r2,
+            "adj_r2": self.adj_r2, "f_stat": self.f_stat,
+            "f_pvalue": self.f_pvalue, "weight_expr": self.weight_expr,
+        })
+
+    @classmethod
+    def from_json(cls, s: str) -> "OlsModel":
+        d = json.loads(s)
+        return cls(y_expr=d["y_expr"], feature_exprs=d["feature_exprs"],
+                   use_bias=d["use_bias"], beta=np.array(d["beta"]),
+                   stderr=np.array(d["stderr"]), n=d["n"], sigma2=d["sigma2"],
+                   xtx_inv=np.array(d["xtx_inv"]), r2=d["r2"],
+                   adj_r2=d["adj_r2"], f_stat=d["f_stat"],
+                   f_pvalue=d["f_pvalue"], weight_expr=d.get("weight_expr"))
 
 
-def did(*a, **k):
-    raise NotImplementedError
+def _fit_from_row(row, feats: list[str], y_expr: str, use_bias: bool,
+                  n_rows: float, weight_expr: str | None) -> OlsModel:
+    """Solve the normal equations from one sufficient-statistics row."""
+    k = len(feats)
+    kk = k + 1
+    n_w = float(row["n"])                      # Σw (or n when unweighted)
+    s = np.array([row[f"s{i}"] for i in range(kk)], dtype=float)
+    cross = np.empty((kk, kk))
+    for i in range(kk):
+        for j in range(i, kk):
+            cross[i, j] = cross[j, i] = row[f"c{min(i,j)}_{max(i,j)}"]
+
+    p = k + (1 if use_bias else 0)
+    xtx = np.empty((p, p))
+    xty = np.empty(p)
+    if use_bias:
+        xtx[0, 0] = n_w
+        for i in range(k):
+            xtx[0, i + 1] = xtx[i + 1, 0] = s[i]
+            xty[i + 1] = cross[i, k]
+            for j in range(k):
+                xtx[i + 1, j + 1] = cross[i, j]
+        xty[0] = s[k]
+    else:
+        for i in range(k):
+            xty[i] = cross[i, k]
+            for j in range(k):
+                xtx[i, j] = cross[i, j]
+    yty = cross[k, k]
+
+    try:
+        beta = np.linalg.solve(xtx, xty)
+        xtx_inv = np.linalg.inv(xtx)
+    except np.linalg.LinAlgError:
+        xtx_inv = np.linalg.pinv(xtx)
+        beta = xtx_inv @ xty
+
+    ssr = float(yty - 2.0 * beta @ xty + beta @ xtx @ beta)
+    ssr = max(ssr, 0.0)
+    if use_bias:
+        sst = float(yty - s[k] ** 2 / n_w)
+    else:
+        sst = float(yty)
+    df_resid = n_rows - p
+    sigma2 = ssr / df_resid if df_resid > 0 else float("nan")
+    stderr = np.sqrt(np.maximum(np.diag(xtx_inv), 0.0) * sigma2)
+    r2 = 1.0 - ssr / sst if sst > 0 else float("nan")
+    df_model = p - 1 if use_bias else p
+    adj_r2 = 1.0 - (1.0 - r2) * (n_rows - (1 if use_bias else 0)) / df_resid
+    if df_model > 0 and sigma2 > 0:
+        f_stat = (sst - ssr) / df_model / sigma2
+        f_p = float(dist.f_sf(f_stat, df_model, df_resid))
+    else:
+        f_stat, f_p = float("nan"), float("nan")
+
+    return OlsModel(y_expr=y_expr, feature_exprs=feats, use_bias=use_bias,
+                    beta=beta, stderr=stderr, n=n_rows, sigma2=sigma2,
+                    xtx_inv=xtx_inv, r2=r2, adj_r2=adj_r2,
+                    f_stat=f_stat, f_pvalue=f_p, weight_expr=weight_expr)
 
 
-def iv_regression(*a, **k):
-    raise NotImplementedError
+def ols(df: DataFrame, formula: str, use_bias: bool = True,
+        weight: str | None = None) -> OlsModel:
+    """Closed-form (W)LS fit of an R-style formula ``'y ~ x1 + x2'``.
+
+    One aggregation pass builds the Gramian; numpy solves on the driver.
+    """
+    y_expr, feats = parse_r_formula(formula)
+    base = feats + [y_expr]
+    wcol = F.expr(weight).cast("double") if weight else None
+    aggs = suffstat_agg_columns(base, weight=wcol)
+    aggs.append(F.count(F.lit(1)).alias("n_rows__"))
+    row = df.agg(*aggs).collect()[0]
+    return _fit_from_row(row, feats, y_expr, use_bias,
+                         float(row["n_rows__"]), weight)
+
+
+def wls(df: DataFrame, formula: str, weight: str,
+        use_bias: bool = True) -> OlsModel:
+    """Weighted least squares (reference ``regression.py:459-505``)."""
+    return ols(df, formula, use_bias=use_bias, weight=weight)
+
+
+def ols_coef_df(df: DataFrame, formula: str, use_bias: bool = True,
+                weight: str | None = None) -> DataFrame:
+    """Coefficient table as a Spark DataFrame (for the correctness gate)."""
+    model = ols(df, formula, use_bias=use_bias, weight=weight)
+    spark = df.sparkSession
+    return spark.createDataFrame(model.coef_table())
+
+
+# ---------------------------------------------------------------------------
+# DID and IV
+# ---------------------------------------------------------------------------
+
+
+def did(df: DataFrame, Y: str, treatment: str, time: str,
+        *covariates: str) -> OlsModel:
+    """Difference-in-differences: OLS of
+    ``Y ~ treatment + time + treatment*time + X`` (reference
+    ``regression.py:780-862``)."""
+    feats = [treatment, time, f"({treatment})*({time})", *covariates]
+    return ols(df, f"{Y} ~ {' + '.join(feats)}", use_bias=True)
+
+
+def iv_regression(df: DataFrame, formula: str) -> OlsModel:
+    """Two-stage least squares for ``'y ~ (t ~ z) + x1 + x2'``
+    (reference ``regression.py:865-953``, ``IvRegressionParser.java:31-130``).
+
+    Stage 1 fits t̂ = f(z, x) per endogenous regressor; stage 2 regresses y on
+    fitted values + exogenous covariates, with the covariance corrected to use
+    residuals from the ORIGINAL regressors (classic 2SLS sandwich).
+    All passes are Gramian aggregations over one shared base-column set.
+    """
+    import re
+
+    m = re.match(r"^\s*(?P<y>[^~]+?)\s*~\s*(?P<rhs>.+)$", formula)
+    if not m:
+        raise ValueError(f"bad IV formula {formula!r}")
+    y_expr = m.group("y").strip()
+    rhs = m.group("rhs")
+    endo: list[tuple[str, list[str]]] = []   # (t, [z...])
+    exog: list[str] = []
+    for part in _split_top_level(rhs):
+        im = re.match(r"^\((?P<t>[^~]+?)\s*~\s*(?P<z>.+)\)$", part.strip())
+        if im:
+            endo.append((im.group("t").strip(),
+                         [z.strip() for z in im.group("z").split("+")]))
+        else:
+            exog.append(part.strip())
+    if not endo:
+        raise ValueError("IV formula needs at least one (t ~ z) term")
+
+    t_exprs = [t for t, _ in endo]
+    z_exprs = sorted({z for _, zs in endo for z in zs})
+    instruments = z_exprs + exog             # first-stage regressors
+    base = sorted(set(t_exprs + instruments + exog + [y_expr]))
+    idx = {e: i for i, e in enumerate(base)}
+
+    aggs = suffstat_agg_columns(base)
+    aggs.append(F.count(F.lit(1)).alias("n_rows__"))
+    row = df.agg(*aggs).collect()[0]
+    k = len(base)
+    n = float(row["n_rows__"])
+    s = np.array([row[f"s{i}"] for i in range(k)], dtype=float)
+    cross = np.empty((k, k))
+    for i in range(k):
+        for j in range(i, k):
+            cross[i, j] = cross[j, i] = row[f"c{min(i,j)}_{max(i,j)}"]
+
+    def gram(exprs_a: list[str], exprs_b: list[str], bias_a=True, bias_b=True):
+        """Cross-product matrix [1?, A]ᵀ[1?, B] from shared sums."""
+        ia = [idx[e] for e in exprs_a]
+        ib = [idx[e] for e in exprs_b]
+        pa, pb = len(ia) + bias_a, len(ib) + bias_b
+        g = np.empty((pa, pb))
+        if bias_a and bias_b:
+            g[0, 0] = n
+        if bias_a:
+            for j, e in enumerate(ib):
+                g[0, j + bias_b] = s[e]
+        if bias_b:
+            for i, e in enumerate(ia):
+                g[i + bias_a, 0] = s[e]
+        for i, ea in enumerate(ia):
+            for j, eb in enumerate(ib):
+                g[i + bias_a, j + bias_b] = cross[ea, eb]
+        return g
+
+    # stage 1: coefficients of each endogenous t on [1, instruments]
+    zz = gram(instruments, instruments)
+    first_stage = {}
+    for t, _ in endo:
+        zt = gram(instruments, [t])[:, 1]
+        first_stage[t] = np.linalg.solve(zz, zt)
+
+    # stage 2 design: X̂ = [1, t̂…, exog]; all Gramians of X̂ expand into
+    # stage-1 coefficient combinations of the shared sums
+    def proj_vec(t):
+        """Column of cross-products between t̂ and the [1, instruments] basis."""
+        return first_stage[t]
+
+    p2 = 1 + len(endo) + len(exog)
+    names = ["(Intercept)"] + t_exprs + exog
+    xtx = np.empty((p2, p2))
+    xty = np.empty(p2)
+    zb = gram(instruments, instruments)               # [1,Z]ᵀ[1,Z]
+    zy = gram(instruments, [y_expr])[:, 1]            # [1,Z]ᵀ y
+    zx = {e: gram(instruments, [e])[:, 1] for e in exog + t_exprs}
+
+    def col_repr(j):
+        """Representation of design column j in the [1, instruments] basis
+        (exact for intercept/exog; stage-1 coefs for t̂)."""
+        if j == 0:
+            v = np.zeros(1 + len(instruments))
+            v[0] = 1.0
+            return v, None
+        j -= 1
+        if j < len(endo):
+            return first_stage[t_exprs[j]], t_exprs[j]
+        e = exog[j - len(endo)]
+        return None, e
+
+    for i in range(p2):
+        vi, ei = col_repr(i)
+        for j in range(p2):
+            vj, ej = col_repr(j)
+            if vi is not None and vj is not None:
+                xtx[i, j] = float(vi @ zb @ vj)
+            elif vi is not None:
+                xtx[i, j] = float(vi @ zx[ej])
+            elif vj is not None:
+                xtx[i, j] = float(vj @ zx[ei])
+            else:
+                xtx[i, j] = cross[idx[ei], idx[ej]]
+        if vi is not None:
+            xty[i] = float(vi @ zy)
+        else:
+            xty[i] = cross[idx[ei], idx[y_expr]]
+
+    beta = np.linalg.solve(xtx, xty)
+    xtx_inv = np.linalg.inv(xtx)
+
+    # 2SLS residuals use ORIGINAL t, not t̂: SSR = Σ(y − Xβ)² over real X
+    x_real = ["__one__"] + t_exprs + exog
+    gr = np.empty((p2, p2))
+    gy = np.empty(p2)
+    for i, ea in enumerate(x_real):
+        for j, eb in enumerate(x_real):
+            if ea == "__one__" and eb == "__one__":
+                gr[i, j] = n
+            elif ea == "__one__":
+                gr[i, j] = s[idx[eb]]
+            elif eb == "__one__":
+                gr[i, j] = s[idx[ea]]
+            else:
+                gr[i, j] = cross[idx[ea], idx[eb]]
+        gy[i] = s[idx[y_expr]] if ea == "__one__" else cross[idx[ea], idx[y_expr]]
+    yty = cross[idx[y_expr], idx[y_expr]]
+    ssr = float(yty - 2.0 * beta @ gy + beta @ gr @ beta)
+    df_resid = n - p2
+    sigma2 = ssr / df_resid
+    stderr = np.sqrt(np.maximum(np.diag(xtx_inv), 0.0) * sigma2)
+    sst = float(yty - s[idx[y_expr]] ** 2 / n)
+    r2 = 1.0 - ssr / sst if sst > 0 else float("nan")
+    adj_r2 = 1.0 - (1.0 - r2) * (n - 1) / df_resid
+    df_model = p2 - 1
+    f_stat = (sst - ssr) / df_model / sigma2 if sigma2 > 0 else float("nan")
+    f_p = float(dist.f_sf(f_stat, df_model, df_resid))
+
+    return OlsModel(y_expr=y_expr, feature_exprs=t_exprs + exog, use_bias=True,
+                    beta=beta, stderr=stderr, n=n, sigma2=sigma2,
+                    xtx_inv=xtx_inv, r2=r2, adj_r2=adj_r2, f_stat=f_stat,
+                    f_pvalue=f_p, names=names)
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on '+' at paren depth 0."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "+" and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    return [p.strip() for p in out if p.strip()]
