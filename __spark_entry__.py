@@ -394,6 +394,149 @@ SELECT i, j, round(v/(SELECT c FROM n), 6) AS value FROM (
 """
 
 
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U on events.value, arms by user parity."""
+    from fast_causal_inference_spark.operators.mann_whitney import (
+        mann_whitney_utest_spark,
+    )
+
+    ev = _load(spark, sf_dir, "events") \
+        .withColumn("treatment", (F.col("user_id") % 2).cast("int"))
+    out = mann_whitney_utest_spark(ev, "value", "treatment")
+    return _round_all(out, [], ["u0", "u1", "z", "n0", "n1"], 6)
+
+
+_MW_SQL = """
+WITH s AS (
+  SELECT value AS v, CAST(user_id % 2 = 1 AS INT) AS g FROM events
+), w AS (
+  SELECT g, v, rank() OVER (ORDER BY v) AS rnk,
+         count(*) OVER (PARTITION BY v) AS t
+  FROM s
+), agg AS (
+  SELECT sum(CASE WHEN g = 1 THEN rnk + (t - 1)/2.0 END) AS r1,
+         CAST(sum(g) AS DOUBLE) AS n1, CAST(count(*) AS DOUBLE) AS n
+  FROM w
+), tie AS (
+  SELECT sum(CAST(t AS DOUBLE)*t*t - t) AS tt
+  FROM (SELECT count(*) AS t FROM s GROUP BY v)
+), f AS (
+  SELECT n, n1, n - n1 AS n0,
+         r1 - n1*(n1+1)/2.0 AS u1,
+         (n - n1)*n1 - (r1 - n1*(n1+1)/2.0) AS u0,
+         sqrt((n - n1)*n1/12.0*((n+1) - (SELECT tt FROM tie)/(n*(n-1)))) AS sd
+  FROM agg
+)
+SELECT round(u0, 6) AS u0, round(u1, 6) AS u1,
+       round((abs(u1 - n0*n1/2.0) - 0.5)/sd, 6) AS z,
+       round(n0, 6) AS n0, round(n1, 6) AS n1
+FROM f
+"""
+
+
+def q_kstest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS of o_totalprice between order-key-parity arms."""
+    from fast_causal_inference_spark.operators.kstest import (
+        kolmogorov_smirnov_test_spark,
+    )
+
+    o = _load(spark, sf_dir, "orders") \
+        .withColumn("arm", (F.col("o_orderkey") % 2).cast("int"))
+    out = kolmogorov_smirnov_test_spark(o, "o_totalprice", "arm")
+    return _round_all(out, [], ["d_statistic", "n0", "n1"], 6)
+
+
+_KS_SQL = """
+WITH s AS (
+  SELECT o_totalprice AS v, CAST(o_orderkey % 2 = 1 AS INT) AS g FROM orders
+), c AS (
+  SELECT v, sum(1 - g) AS c0, sum(g) AS c1 FROM s GROUP BY v
+), n AS (
+  SELECT CAST(sum(c0) AS DOUBLE) AS n0, CAST(sum(c1) AS DOUBLE) AS n1 FROM c
+), e AS (
+  SELECT sum(c0) OVER (ORDER BY v) / (SELECT n0 FROM n) AS f0,
+         sum(c1) OVER (ORDER BY v) / (SELECT n1 FROM n) AS f1
+  FROM c
+)
+SELECT round(max(abs(f0 - f1)), 6) AS d_statistic,
+       (SELECT round(n0, 6) FROM n) AS n0, (SELECT round(n1, 6) FROM n) AS n1
+FROM e
+"""
+
+
+def q_xexpt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xexpt avg-metric experiment report on events (SQL-expressible columns)."""
+    from fast_causal_inference_spark.operators.xexpt import xexpt_ttest_2samp_spark
+
+    ev = _load(spark, sf_dir, "events") \
+        .withColumn("treatment", (F.col("user_id") % 2).cast("int"))
+    out = xexpt_ttest_2samp_spark(ev, "value", "1 + event_id % 7", "treatment",
+                                  "user_id", treatment_values=(0, 1))
+    return _round_all(out, [], ["numerator0", "numerator1", "denominator0",
+                                "denominator1", "mean0", "mean1", "diff",
+                                "diff_relative", "t_stat", "mde"], 6)
+
+
+# z_{0.975} / z_{0.8} inlined (stdlib-NormalDist values; rounded output hides
+# sub-1e-10 differences)
+_XEXPT_SQL = """
+WITH a AS (
+  SELECT CAST(user_id % 2 = 1 AS INT) AS arm, value AS num,
+         1 + event_id % 7 AS den
+  FROM events
+), g AS (
+  SELECT arm, CAST(count(*) AS DOUBLE) AS n, sum(num) AS sn, sum(den) AS sd_,
+         sum(num*num) AS cnn, sum(num*den) AS cnd, sum(den*den) AS cdd
+  FROM a GROUP BY arm
+), m AS (
+  SELECT arm, n, sn, sd_, sn/n AS m1, sd_/n AS m2,
+         (cnn - sn*sn/n)/(n-1) AS v11, (cnd - sn*sd_/n)/(n-1) AS v12,
+         (cdd - sd_*sd_/n)/(n-1) AS v22
+  FROM g
+), d AS (
+  SELECT arm, n, sn, sd_, m1/m2 AS mean,
+         ((1/m2)*(1/m2)*v11 + 2*(1/m2)*(-m1/(m2*m2))*v12
+          + (m1/(m2*m2))*(m1/(m2*m2))*v22)/n AS var_mean,
+         ((1/m2)*(1/m2)*v11 + 2*(1/m2)*(-m1/(m2*m2))*v12
+          + (m1/(m2*m2))*(m1/(m2*m2))*v22)*n AS var_samp_scaled
+  FROM m
+), j AS (
+  SELECT d0.sn AS numerator0, d1.sn AS numerator1,
+         d0.sd_ AS denominator0, d1.sd_ AS denominator1,
+         d0.mean AS mean0, d1.mean AS mean1,
+         d1.mean - d0.mean AS diff,
+         sqrt(d0.var_mean + d1.var_mean) AS stderr
+  FROM (SELECT * FROM d WHERE arm = 0) d0, (SELECT * FROM d WHERE arm = 1) d1
+)
+SELECT round(numerator0, 6) AS numerator0, round(numerator1, 6) AS numerator1,
+       round(denominator0, 6) AS denominator0, round(denominator1, 6) AS denominator1,
+       round(mean0, 6) AS mean0, round(mean1, 6) AS mean1,
+       round(diff, 6) AS diff, round(diff/mean0, 6) AS diff_relative,
+       round(diff/stderr, 6) AS t_stat,
+       round((1.959963984540054 + 0.8416212335729143)*stderr/mean0, 6) AS mde
+FROM j
+"""
+
+
+def q_boot_strap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap replicas of a ratio metric (seeded; rows-only check —
+    replica values depend on Spark's partition-deterministic rand())."""
+    from fast_causal_inference_spark.operators.resample import boot_strap
+
+    ev = _load(spark, sf_dir, "events")
+    return boot_strap(ev, "avg(value)", n_resamples=20, seed=7)
+
+
+def q_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test (rows-only check — depends on Spark rand())."""
+    from fast_causal_inference_spark.operators.resample import permutation
+
+    ev = _load(spark, sf_dir, "events") \
+        .withColumn("treatment", (F.col("user_id") % 2).cast("int"))
+    pdf = permutation(ev, "avg(value)", "treatment", permutation_num=20, seed=7)
+    return spark.createDataFrame(pdf)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q_q1_pricing_summary,
@@ -407,6 +550,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_multi": q_ols_multi,
         "wls": q_wls,
         "matrix_multiplication": q_matrix_multiplication,
+        "mann_whitney_utest": q_mann_whitney,
+        "kolmogorov_smirnov_test": q_kstest,
+        "xexpt_ttest_2samp": q_xexpt,
+        "boot_strap": q_boot_strap,
+        "permutation": q_permutation,
     }
 
 
@@ -423,4 +571,7 @@ def oracle_sql() -> dict[str, str]:
         "ols_multi": _OLS_MULTI_SQL,
         "wls": _WLS_SQL,
         "matrix_multiplication": _MATRIX_SQL,
+        "mann_whitney_utest": _MW_SQL,
+        "kolmogorov_smirnov_test": _KS_SQL,
+        "xexpt_ttest_2samp": _XEXPT_SQL,
     }

@@ -1,4 +1,114 @@
-"""Placeholder — implemented later this round."""
+"""Mann-Whitney U test — distributed rank statistics without a global sort.
 
-def mann_whitney_utest(*a, **k):
-    raise NotImplementedError
+Parity target: reference ``mann_whitney.h:44-295`` (rank/tie handling
+:104-139; normal approximation with tie correction and optional continuity
+correction).
+
+Scale design (SURVEY.md §7 "partition-wise rank merge"): a single
+``repartitionByRange`` + ``sortWithinPartitions`` puts each value range in one
+partition with ties co-located; every partition then emits FOUR scalars
+(count, treatment count, local rank-sum, tie term) and the driver merges them
+with prefix-count offsets. No window over a single partition, no full collect
+— the shuffled payload is the data itself (unavoidable for exact ranks) but
+the reduction is O(#partitions).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fast_causal_inference_spark import stats_distributions as dist
+from fast_causal_inference_spark.serialization import ensure_udf_serializable
+
+_SCHEMA = "pid long, n double, n1 double, r1_local double, ties double"
+
+
+def _partition_rank_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from pyspark import TaskContext
+
+    chunks = list(batches)
+    pdf = pd.concat(chunks) if chunks else None
+    pid = TaskContext.get().partitionId()
+    if pdf is None or len(pdf) == 0:
+        yield pd.DataFrame([{"pid": pid, "n": 0.0, "n1": 0.0,
+                             "r1_local": 0.0, "ties": 0.0}])
+        return
+    # rows arrive sorted by v; group tie-runs
+    grp = pdf.groupby("v", sort=True).agg(t=("g", "size"), g1=("g", "sum"))
+    t = grp["t"].to_numpy(dtype=float)
+    g1 = grp["g1"].to_numpy(dtype=float)
+    start = t.cumsum() - t                       # rows before each run (local)
+    avg_rank = start + (t + 1.0) / 2.0           # local 1-based average rank
+    r1_local = float((g1 * avg_rank).sum())
+    ties = float((t ** 3 - t).sum())
+    yield pd.DataFrame([{"pid": pid, "n": float(len(pdf)),
+                         "n1": float(g1.sum()), "r1_local": r1_local,
+                         "ties": ties}])
+
+
+def mann_whitney_utest(df: DataFrame, data: str, index: str,
+                       alternative: str = "two-sided",
+                       continuity_correction: bool = True,
+                       treatment_values: tuple = (0, 1),
+                       num_partitions: int | None = None) -> pd.DataFrame:
+    """U statistic (treatment arm) + tie-corrected normal-approximation p.
+
+    Returns a one-row pandas DataFrame: u0, u1, z, p_value, n0, n1.
+    """
+    idx = F.col(index) if index.isidentifier() else F.expr(index)
+    v0, v1 = treatment_values
+    vcol = F.expr(data).cast("double")
+    sub = (df.select((idx == F.lit(v1)).cast("int").alias("g"), vcol.alias("v"))
+             .where(idx.isin([v0, v1]) & vcol.isNotNull()))
+    p = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    rp = sub.repartitionByRange(p, "v").sortWithinPartitions("v")
+    ensure_udf_serializable()
+    parts = rp.mapInPandas(_partition_rank_stats, _SCHEMA).collect()
+    parts.sort(key=lambda r: r["pid"])
+
+    n = sum(r["n"] for r in parts)
+    n1 = sum(r["n1"] for r in parts)
+    n0 = n - n1
+    if n0 == 0 or n1 == 0:
+        raise ValueError("both groups must be non-empty")
+    r1 = 0.0
+    offset = 0.0
+    tie_sum = 0.0
+    for r in parts:
+        r1 += r["r1_local"] + offset * r["n1"]
+        offset += r["n"]
+        tie_sum += r["ties"]
+
+    u1 = r1 - n1 * (n1 + 1.0) / 2.0
+    u0 = n0 * n1 - u1
+    mu = n0 * n1 / 2.0
+    sd = math.sqrt(n0 * n1 / 12.0 * ((n + 1.0) - tie_sum / (n * (n - 1.0))))
+    cc = 0.5 if continuity_correction else 0.0
+    if alternative == "two-sided":
+        num = abs(u1 - mu)
+        z = (num - cc) / sd if sd > 0 else float("nan")
+        p_val = 2.0 * float(dist.norm_sf(z))
+    elif alternative == "greater":
+        z = (u1 - mu - cc) / sd
+        p_val = float(dist.norm_sf(z))
+    elif alternative == "less":
+        z = (u1 - mu + cc) / sd
+        p_val = float(dist.norm_cdf(z))
+    else:
+        raise ValueError(f"bad alternative {alternative!r}")
+    p_val = min(p_val, 1.0)
+    return pd.DataFrame([{
+        "u0": u0, "u1": u1, "z": z, "p_value": p_val,
+        "n0": n0, "n1": n1,
+    }])
+
+
+def mann_whitney_utest_spark(df: DataFrame, *args, **kwargs) -> DataFrame:
+    pdf = mann_whitney_utest(df, *args, **kwargs)
+    return df.sparkSession.createDataFrame(pdf)
