@@ -537,6 +537,174 @@ def q_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(pdf)
 
 
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators (dedup / similarity / text analysis)
+# ---------------------------------------------------------------------------
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document whitespace token counts."""
+    from fast_causal_inference_spark.datapipe.text import token_count
+
+    d = _load(spark, sf_dir, "documents")
+    return d.select("doc_id", token_count("text").alias("n_tokens"))
+
+
+_TOKEN_COUNT_SQL = """
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE length(string_split_regex(trim(lower(text)), '\\s+')) END
+       AS n_tokens
+FROM documents
+"""
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over documents ∪ copies (ids+100000): surviving ids."""
+    from fast_causal_inference_spark.datapipe.dedup import exact_dedup
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = d.where(F.col("doc_id") < 50) \
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    out = exact_dedup(d.unionByName(copies))
+    return out.select("doc_id")
+
+
+_EXACT_DEDUP_SQL = """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50
+), keyed AS (
+  SELECT doc_id, md5(text) AS h,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM all_docs
+)
+SELECT doc_id FROM keyed WHERE rn = 1
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram Jaccard near-dup pairs (inverted-index join) over documents."""
+    from fast_causal_inference_spark.datapipe.dedup import ngram_jaccard_pairs
+
+    d = _load(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(d, threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+_NGRAM_JACCARD_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(length(toks) - 2, 1) + 1),
+           i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS grams
+  FROM t
+), inv AS (
+  SELECT doc_id, length(grams) AS n_sh, unnest(grams) AS g FROM sh
+), common AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+         any_value(l.n_sh) AS na, any_value(r.n_sh) AS nb,
+         count(*) AS inter
+  FROM inv l JOIN inv r ON l.g = r.g AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(inter AS DOUBLE)/(na + nb - inter), 6) AS jaccard
+FROM common
+WHERE CAST(inter AS DOUBLE)/(na + nb - inter) >= 0.5
+"""
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for the first 3 vectors."""
+    from fast_causal_inference_spark.datapipe.similarity import knn_bruteforce
+
+    e = _load(spark, sf_dir, "embeddings")
+    queries_df = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    out = knn_bruteforce(e, queries_df, k=5)
+    return out.select("query_id", "vec_id", "rank",
+                      F.round("score", 4).alias("score"))
+
+
+_KNN_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS query_vec
+  FROM embeddings WHERE vec_id < 3
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(e.embedding, q.query_vec) AS score
+  FROM embeddings e CROSS JOIN q
+), ranked AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, rank, round(CAST(score AS DOUBLE), 4) AS score
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH cosine near-dup detection: planted exact copies must be found."""
+    from fast_causal_inference_spark.datapipe.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    e = _load(spark, sf_dir, "embeddings")
+    copies = e.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 50000).alias("vec_id"), "embedding", "label")
+    out = embedding_near_dup_pairs(e.unionByName(copies), threshold=0.999)
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+_EMB_NEAR_DUP_SQL = """
+WITH all_vecs AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 50000, embedding FROM embeddings WHERE vec_id < 20
+)
+SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+       round(CAST(list_cosine_similarity(l.embedding, r.embedding) AS DOUBLE), 4) AS cosine
+FROM all_vecs l JOIN all_vecs r ON l.vec_id < r.vec_id
+WHERE list_cosine_similarity(l.embedding, r.embedding) >= 0.999
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (rows-only: banding depends on xxhash64,
+    which DuckDB cannot reproduce; jaccard values are exact set Jaccards)."""
+    from fast_causal_inference_spark.datapipe.dedup import minhash_lsh_pairs
+
+    d = _load(spark, sf_dir, "documents")
+    out = minhash_lsh_pairs(d, threshold=0.5, num_hashes=64, bands=16)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only: xxhash64-based signature)."""
+    from fast_causal_inference_spark.datapipe.dedup import simhash_pairs
+
+    d = _load(spark, sf_dir, "documents")
+    return simhash_pairs(d, max_hamming=8)
+
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full text-analysis profile (lang-ID/quality heuristics are Spark-side
+    definitions; token counts are oracle-checked separately)."""
+    from fast_causal_inference_spark.datapipe.text import text_profile
+
+    d = _load(spark, sf_dir, "documents")
+    out = text_profile(d)
+    return out.select("doc_id", "n_tokens", "n_tokens_bpe", "lang_pred",
+                      F.round("quality", 6).alias("quality"), "fingerprint")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q_q1_pricing_summary,
@@ -555,6 +723,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xexpt_ttest_2samp": q_xexpt,
         "boot_strap": q_boot_strap,
         "permutation": q_permutation,
+        "token_count": q_token_count,
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard_dedup": q_ngram_jaccard,
+        "knn_bruteforce": q_knn_bruteforce,
+        "embedding_near_dup": q_embedding_near_dup,
+        "minhash_lsh_dedup": q_minhash_lsh,
+        "simhash_dedup": q_simhash,
+        "text_profile": q_text_profile,
     }
 
 
@@ -574,4 +750,9 @@ def oracle_sql() -> dict[str, str]:
         "mann_whitney_utest": _MW_SQL,
         "kolmogorov_smirnov_test": _KS_SQL,
         "xexpt_ttest_2samp": _XEXPT_SQL,
+        "token_count": _TOKEN_COUNT_SQL,
+        "exact_dedup": _EXACT_DEDUP_SQL,
+        "ngram_jaccard_dedup": _NGRAM_JACCARD_SQL,
+        "knn_bruteforce": _KNN_SQL,
+        "embedding_near_dup": _EMB_NEAR_DUP_SQL,
     }

@@ -1,0 +1,231 @@
+"""Deduplication at training-corpus scale: exact, MinHash-LSH, SimHash,
+n-gram Jaccard.
+
+All variants follow the shuffle-frugal shapes used by production dedup
+pipelines:
+
+* **exact** — hash-groupBy: one shuffle on a 128-bit content key.
+* **MinHash + LSH** — signatures are pure Column expressions (nested
+  higher-order functions over shingles — no UDF); candidate pairs come from a
+  self-equi-join on (band, band-hash), i.e. a shuffle on small keys instead of
+  an O(n²) cross join; candidates are verified with exact shingle Jaccard.
+* **SimHash** — 64-bit signature via bitwise majority vote of token hashes;
+  near-dup candidates via the pigeonhole band trick (k-bit Hamming ⇒ at least
+  one of k+1 chunks equal), verified with ``bit_count(xor)``.
+* **n-gram Jaccard** — inverted-index join on shingle hashes with a hot-key
+  cutoff, the classic MapReduce similarity-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from fast_causal_inference_spark.datapipe.text import content_md5, tokens
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", keep: str = "min") -> DataFrame:
+    """Keep one row per exact text (lowest/highest id). One hash shuffle."""
+    key = content_md5(F.col(text_col))
+    order = F.col(id_col).asc() if keep == "min" else F.col(id_col).desc()
+    w = Window.partitionBy(key).orderBy(order)
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .where(F.col("__rn") == 1).drop("__rn"))
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(content_hash, n_dups, keep_id) for every duplicated text."""
+    return (df.groupBy(content_md5(F.col(text_col)).alias("content_hash"))
+              .agg(F.count("*").alias("n_dups"),
+                   F.min(id_col).alias("keep_id"))
+              .where(F.col("n_dups") > 1))
+
+
+# ---------------------------------------------------------------------------
+# shingles + MinHash
+# ---------------------------------------------------------------------------
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingle array (distinct) of normalized text."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))))
+
+
+def minhash_signature(text: Column | str, num_hashes: int = 64,
+                      shingle_size: int = 3) -> Column:
+    """MinHash signature: for seed s, min over shingles of xxhash64(shingle, s).
+
+    Pure nested higher-order functions — evaluated JVM-side per row.
+    """
+    sh = shingles(text, shingle_size)
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    return F.transform(
+        seeds,
+        lambda s: F.array_min(F.transform(sh, lambda g: F.xxhash64(g, s))))
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two (distinct-element) arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    return inter / (F.size(a) + F.size(b) - inter)
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", num_hashes: int = 64,
+                      bands: int = 16, shingle_size: int = 3,
+                      threshold: float = 0.7) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b) with exact-Jaccard verification.
+
+    banding: signature split into ``bands`` rows of ``num_hashes//bands``;
+    docs sharing any (band, band-hash) bucket become candidates.
+    """
+    rows = num_hashes // bands
+    sig = (df.select(F.col(id_col).alias("id"),
+                     shingles(F.col(text_col), shingle_size).alias("sh"))
+             .withColumn("sig", F.transform(
+                 F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                 lambda s: F.array_min(
+                     F.transform(F.col("sh"), lambda g: F.xxhash64(g, s))))))
+    banded = sig.select(
+        "id", "sh",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.xxhash64(F.concat_ws(
+                    ",", F.transform(F.slice(F.col("sig"), b * rows + 1, rows),
+                                     lambda x: x.cast("string"))))
+                .alias("bucket")))).alias("bb")) \
+        .select("id", "sh", "bb.band", "bb.bucket")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (left.join(right, [F.col("l.band") == F.col("r.band"),
+                              F.col("l.bucket") == F.col("r.bucket"),
+                              F.col("l.id") < F.col("r.id")])
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                    F.col("l.sh").alias("sh_a"), F.col("r.sh").alias("sh_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    return (cand.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+                .where(F.col("jaccard") >= threshold)
+                .select("id_a", "id_b", "jaccard"))
+
+
+def minhash_dedup(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", **lsh_kwargs) -> DataFrame:
+    """Drop near-duplicates: for every verified pair, the higher id loses.
+
+    (Single-link transitive closure is iterative; this one-round greedy drop
+    is the standard first pass and removes every detected pair.)
+    """
+    pairs = minhash_lsh_pairs(df, text_col, id_col, **lsh_kwargs)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def _bit_masks(bits: int) -> list[int]:
+    """Signed-64 bit masks 1<<i (i=63 wraps to the sign bit)."""
+    return [(1 << i) if i < 63 else -(1 << 63) for i in range(bits)]
+
+
+def simhash(text: Column | str, bits: int = 64) -> Column:
+    """SimHash: per-bit majority vote over token hashes, packed into a long.
+
+    Shift amounts can't be lambda variables in Spark SQL, so bit tests use a
+    literal mask array instead (h & mᵢ ≠ 0).
+    """
+    toks = tokens(text)
+    masks = F.array(*[F.lit(m).cast("long") for m in _bit_masks(bits)])
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(masks,
+                        lambda m: F.when(
+                            F.xxhash64(t).bitwiseAND(m) != 0, 1).otherwise(-1)),
+            lambda a, b: a + b))
+    packed = F.aggregate(
+        F.zip_with(votes, masks,
+                   lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x))
+    return packed
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", max_hamming: int = 3,
+                  chunks: int = 4) -> DataFrame:
+    """Near-dup pairs by SimHash: pigeonhole on ``chunks`` 16-bit chunks
+    (hamming ≤ chunks−1 guarantees ≥1 equal chunk), verify with bit_count."""
+    width = 64 // chunks
+    sigs = df.select(F.col(id_col).alias("id"),
+                     simhash(F.col(text_col)).alias("sig"))
+    chunked = sigs.select(
+        "id", "sig",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("chunk"),
+                     F.shiftright(F.col("sig"), c * width)
+                     .bitwiseAND(F.lit((1 << width) - 1)).alias("key"))
+            for c in range(chunks)
+        ])).alias("ck")).select("id", "sig", "ck.chunk", "ck.key")
+    left, right = chunked.alias("l"), chunked.alias("r")
+    cand = (left.join(right, [F.col("l.chunk") == F.col("r.chunk"),
+                              F.col("l.key") == F.col("r.key"),
+                              F.col("l.id") < F.col("r.id")])
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                    F.col("l.sig").alias("sig_a"), F.col("r.sig").alias("sig_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    return (cand.withColumn("hamming", hamming64(F.col("sig_a"), F.col("sig_b")))
+                .where(F.col("hamming") <= max_hamming)
+                .select("id_a", "id_b", "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard via inverted index
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.5,
+                        max_shingle_freq: int = 1000) -> DataFrame:
+    """All pairs with shingle-Jaccard ≥ threshold, via inverted-index join.
+
+    ``max_shingle_freq`` drops ubiquitous shingles (hot keys) before the
+    self-join — the standard guard against quadratic blowup on stop-phrases.
+    """
+    sh = (df.select(F.col(id_col).alias("id"),
+                    shingles(F.col(text_col), n).alias("sh"))
+            .withColumn("n_sh", F.size("sh")))
+    inv = sh.select("id", "n_sh", F.explode("sh").alias("g")) \
+            .withColumn("gh", F.xxhash64("g")).drop("g")
+    freq = inv.groupBy("gh").count().where(F.col("count") <= max_shingle_freq)
+    inv = inv.join(F.broadcast(freq.select("gh")), "gh")
+    l, r = inv.alias("l"), inv.alias("r")
+    common = (l.join(r, [F.col("l.gh") == F.col("r.gh"),
+                         F.col("l.id") < F.col("r.id")])
+              .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                       F.col("l.n_sh").alias("na"), F.col("r.n_sh").alias("nb"))
+              .agg(F.count("*").alias("inter")))
+    return (common.withColumn(
+        "jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard"))

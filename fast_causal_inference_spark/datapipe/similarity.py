@@ -1,0 +1,132 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* ``cosine`` / ``dot`` / ``l2_distance`` — pure higher-order-function Columns.
+* ``knn_bruteforce`` — broadcast the (small) query set, score every row,
+  window top-k per query. The exact baseline; one pass over the corpus.
+* ``lsh_knn`` — random-hyperplane LSH: driver-generated deterministic
+  projection matrix embedded as an array literal, signature = sign-bit pack,
+  candidates from bucket equi-join (optionally multi-probe), exact rerank.
+  The scale path: corpus is hashed once, the join touches only colliding
+  buckets.
+* ``embedding_near_dup_pairs`` — cosine near-duplicate detection via the same
+  bucket join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def l2_distance(a: Column, b: Column) -> Column:
+    return F.sqrt(F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def knn_bruteforce(df: DataFrame, queries: DataFrame, k: int = 10,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   query_id_col: str = "query_id",
+                   query_vec_col: str = "query_vec",
+                   metric: str = "cosine") -> DataFrame:
+    """Exact top-k neighbors per query. Query side is broadcast."""
+    score = {"cosine": cosine, "dot": dot}.get(metric)
+    if score is None and metric != "l2":
+        raise ValueError(f"unknown metric {metric!r}")
+    joined = df.crossJoin(F.broadcast(queries))
+    if metric == "l2":
+        s = -l2_distance(F.col(vec_col), F.col(query_vec_col))
+    else:
+        s = score(F.col(vec_col), F.col(query_vec_col))
+    scored = joined.select(query_id_col, id_col, s.alias("score"))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k))
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def hyperplane_signature(vec: Column, planes: np.ndarray) -> Column:
+    """Pack sign(v·hᵢ) bits into a long (n_planes ≤ 63)."""
+    n_planes = planes.shape[0]
+    bits = []
+    for i in range(n_planes):
+        h = F.array(*[F.lit(float(x)) for x in planes[i]])
+        bits.append(F.when(dot(vec, h) > 0,
+                           F.shiftleft(F.lit(1).cast("long"), i))
+                    .otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def lsh_knn(df: DataFrame, queries: DataFrame, k: int = 10,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            query_id_col: str = "query_id", query_vec_col: str = "query_vec",
+            dim: int = 64, n_tables: int = 8, n_planes: int = 12,
+            seed: int = 42) -> DataFrame:
+    """Approximate top-k: ``n_tables`` independent hyperplane tables; rows
+    colliding with the query in ANY table are candidates, reranked exactly."""
+    tables = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+
+    def with_buckets(frame: DataFrame, vcol: str, keep: list[str]) -> DataFrame:
+        buckets = F.array(*[
+            F.struct(F.lit(t).alias("table"),
+                     hyperplane_signature(F.col(vcol), tables[t]).alias("bucket"))
+            for t in range(n_tables)])
+        return frame.select(*keep, vcol, F.explode(buckets).alias("tb")) \
+                    .select(*keep, vcol, "tb.table", "tb.bucket")
+
+    corpus_b = with_buckets(df, vec_col, [id_col])
+    query_b = with_buckets(queries, query_vec_col, [query_id_col])
+    cand = (corpus_b.join(F.broadcast(query_b), ["table", "bucket"])
+            .select(query_id_col, id_col, vec_col, query_vec_col)
+            .dropDuplicates([query_id_col, id_col]))
+    scored = cand.select(query_id_col, id_col,
+                         cosine(F.col(vec_col), F.col(query_vec_col))
+                         .alias("score"))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k))
+
+
+def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
+                             id_col: str = "vec_id", vec_col: str = "embedding",
+                             dim: int = 64, n_tables: int = 8,
+                             n_planes: int = 14, seed: int = 42) -> DataFrame:
+    """Pairs with cosine ≥ threshold via LSH bucket self-join + exact verify."""
+    tables = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+    buckets = F.array(*[
+        F.struct(F.lit(t).alias("table"),
+                 hyperplane_signature(F.col(vec_col), tables[t]).alias("bucket"))
+        for t in range(n_tables)])
+    b = (df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                   F.explode(buckets).alias("tb"))
+           .select("id", "v", "tb.table", "tb.bucket"))
+    l, r = b.alias("l"), b.alias("r")
+    cand = (l.join(r, [F.col("l.table") == F.col("r.table"),
+                       F.col("l.bucket") == F.col("r.bucket"),
+                       F.col("l.id") < F.col("r.id")])
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                    F.col("l.v").alias("va"), F.col("r.v").alias("vb"))
+            .dropDuplicates(["id_a", "id_b"]))
+    return (cand.withColumn("cosine", cosine(F.col("va"), F.col("vb")))
+                .where(F.col("cosine") >= threshold)
+                .select("id_a", "id_b", "cosine"))

@@ -1,0 +1,121 @@
+"""Text analysis for large-scale training-data pipelines.
+
+Everything here is a pure Column expression (whole-stage codegen, no Python in
+the row path): token counting, n-gram/stopword language ID, quality scoring,
+and content fingerprinting. Designed to run over billions of documents — the
+only shuffle any of these need is whatever aggregation the caller adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# compact stopword lists for the n-gram/stopword language-ID heuristic
+_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "se", "por"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "den", "mit", "von"],
+    "fr": ["le", "la", "de", "et", "les", "un", "des", "en", "du", "est"],
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization of lower-cased text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count (0 for empty/blank text)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0)) \
+        .otherwise(F.size(tokens(c)))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """BPE-style token estimate: split on word boundaries / punctuation /
+    digit runs (regex approximation of a byte-pair tokenizer's granularity)."""
+    c = F.col(text) if isinstance(text, str) else text
+    pieces = F.split(c, r"(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])")
+    return F.size(F.filter(pieces, lambda p: F.length(F.trim(p)) > 0))
+
+
+def _stopword_hits(toks: Column, lang: str) -> Column:
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+
+def language_id(text: Column | str) -> Column:
+    """Heuristic language ID over {en, es, de, fr, zh, unknown}.
+
+    CJK-character ratio decides 'zh'; otherwise the language whose stopword
+    list hits the most tokens wins (ties → 'unknown' when zero hits).
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens(c)
+    cjk = F.length(F.regexp_replace(c, r"[^一-鿿]", ""))
+    scores = F.array(*[
+        F.struct(_stopword_hits(toks, lang).alias("hits"),
+                 F.lit(lang).alias("lang"))
+        for lang in _STOPWORDS
+    ])
+    best = F.array_max(scores)
+    return (F.when(cjk * 3 > F.length(c), F.lit("zh"))
+            .when(best["hits"] > 0, best["lang"])
+            .otherwise(F.lit("unknown")))
+
+
+def quality_score(text: Column | str) -> Column:
+    """[0, 1] document-quality heuristic (Gopher-style signals, closed form):
+
+    * length in a sane band (30–100k chars)
+    * mean word length in [3, 10]
+    * stopword presence
+    * bounded symbol/punctuation ratio
+    * bounded max-token-repetition ratio
+    Each signal contributes 0.2.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens(c)
+    n_tok = F.size(toks)
+    n_chars = F.length(c)
+    mean_wlen = (n_chars - n_tok + 1) / n_tok
+    sw_all = F.array(*[F.lit(w) for ws in _STOPWORDS.values() for w in ws])
+    sw_ratio = F.size(F.filter(toks, lambda t: F.array_contains(sw_all, t))) / n_tok
+    sym_ratio = (F.length(F.regexp_replace(c, r"[A-Za-z0-9\s一-鿿]", ""))
+                 / F.greatest(n_chars, F.lit(1)))
+    rep_ratio = (n_tok - F.size(F.array_distinct(toks))) \
+        / F.greatest(n_tok, F.lit(1))
+    score = (
+        F.when((n_chars >= 30) & (n_chars <= 100000), 0.2).otherwise(0.0)
+        + F.when((mean_wlen >= 2.0) & (mean_wlen <= 12.0), 0.2).otherwise(0.0)
+        + F.when(sw_ratio > 0.0, 0.2).otherwise(0.0)
+        + F.when(sym_ratio < 0.2, 0.2).otherwise(0.0)
+        + F.when(rep_ratio < 0.3, 0.2).otherwise(0.0)
+    )
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0.0)).otherwise(score)
+
+
+def fingerprint(text: Column | str) -> Column:
+    """64-bit content fingerprint of whitespace-normalized text (rolling-hash
+    equivalent: stable under whitespace/case jitter)."""
+    c = F.col(text) if isinstance(text, str) else text
+    normalized = F.concat_ws(" ", tokens(c))
+    return F.xxhash64(normalized)
+
+
+def content_md5(text: Column | str) -> Column:
+    """Hex MD5 of the exact text (engine-portable exact-dup key)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(c)
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full per-document analysis columns."""
+    c = F.col(text_col)
+    return (df.withColumn("n_tokens", token_count(c))
+              .withColumn("n_tokens_bpe", bpe_ish_token_count(c))
+              .withColumn("lang_pred", language_id(c))
+              .withColumn("quality", quality_score(c))
+              .withColumn("fingerprint", fingerprint(c)))

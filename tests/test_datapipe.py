@@ -1,0 +1,240 @@
+"""Dedup / similarity / text / multimodal vs pandas-numpy oracles on the
+real documents/embeddings testdata."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fast_causal_inference_spark.datapipe import dedup, similarity, text
+from fast_causal_inference_spark.datapipe.multimodal import (
+    image_features,
+    image_resize,
+    synthesize_media_column,
+    video_frame_sample,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from fast_causal_inference_spark.sources.tables import load_table
+
+    return load_table(spark, SF_DIR, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from fast_causal_inference_spark.sources.tables import load_table
+
+    return load_table(spark, SF_DIR, "embeddings").cache()
+
+
+# -- text -------------------------------------------------------------------
+
+
+def test_token_count(spark, docs):
+    got = docs.select("doc_id", text.token_count("text").alias("n"),
+                      "text").limit(20).collect()
+    for r in got:
+        assert r["n"] == len(r["text"].split())
+
+
+def test_language_id(spark):
+    # note: the testdata's `lang` labels do NOT reflect the actual text
+    # (all docs are English-ish word salad), so detection is validated on
+    # constructed samples per language instead
+    samples = [
+        ("the cat is in the house and it is warm", "en"),
+        ("el perro está en la casa y el gato en el jardín", "es"),
+        ("der Hund und die Katze sind in den Haus mit der Maus", "de"),
+        ("le chat et le chien sont dans les maisons de la ville", "fr"),
+        ("今天天气很好我们去公园散步吧", "zh"),
+        ("zxqv foo123 bar456", "unknown"),
+    ]
+    df = spark.createDataFrame(samples, "text string, want string")
+    got = df.select("want", text.language_id("text").alias("pred")).collect()
+    for r in got:
+        assert r["pred"] == r["want"], r
+
+
+def test_quality_and_fingerprint(spark, docs):
+    out = docs.select(text.quality_score("text").alias("q"),
+                      text.fingerprint("text").alias("fp"),
+                      "text").limit(50).collect()
+    for r in out:
+        assert 0.0 <= r["q"] <= 1.0
+    # fingerprint is whitespace-insensitive
+    one = docs.limit(1)
+    a = one.select(text.fingerprint("text")).collect()[0][0]
+    b = one.select(text.fingerprint(
+        F.concat(F.lit("  "), F.regexp_replace("text", " ", "   ")))).collect()[0][0]
+    assert a == b
+
+
+# -- dedup ------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, docs):
+    """documents ∪ copies of 10 docs (new ids) ∪ slightly-edited copies."""
+    base = docs.select("doc_id", "text")
+    copies = docs.limit(10).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text")
+    near = docs.limit(10).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra token")).alias("text"))
+    return base.unionByName(copies).unionByName(near).cache()
+
+
+def test_exact_dedup(spark, docs, docs_with_dups):
+    n_docs = docs.count()
+    out = dedup.exact_dedup(docs_with_dups)
+    assert out.count() == n_docs + 10          # near-dups survive exact dedup
+    # survivors keep the LOWEST id
+    assert out.where(F.col("doc_id") >= 100000).count() == 10
+    groups = dedup.exact_dup_groups(docs_with_dups)
+    assert groups.count() == 10
+    assert groups.agg(F.max("n_dups")).collect()[0][0] == 2
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs_with_dups):
+    pairs = dedup.minhash_lsh_pairs(docs_with_dups, threshold=0.5,
+                                    num_hashes=64, bands=16).toPandas()
+    # the 10 exact copies must be found (jaccard 1.0)
+    exact = pairs[(pairs.id_b - pairs.id_a == 100000) & (pairs.jaccard == 1.0)]
+    assert len(exact) == 10
+    # the 10 edited copies should be caught as near-dups
+    near = pairs[(pairs.id_b - pairs.id_a == 200000)]
+    assert len(near) >= 8
+    assert (near.jaccard < 1.0).all() and (near.jaccard > 0.5).all()
+
+
+def test_minhash_dedup_drops_losers(spark, docs, docs_with_dups):
+    out = dedup.minhash_dedup(docs_with_dups, threshold=0.5)
+    pairs = dedup.minhash_lsh_pairs(docs_with_dups, threshold=0.5).toPandas()
+    losers = set(pairs.id_b)
+    # exactly the higher-id member of each detected pair is dropped
+    assert out.count() == docs_with_dups.count() - len(losers)
+    assert out.where(F.col("doc_id").isin([int(x) for x in losers])).count() == 0
+    # every copied doc (id+100000) is a loser of its original
+    assert {(r.id_a, r.id_b) for r in pairs.itertuples()
+            if r.id_b - r.id_a == 100000 and r.jaccard == 1.0} \
+        == {(i, i + 100000) for i in
+            docs.limit(10).toPandas().doc_id.astype(int)}
+
+
+def test_simhash_pairs(spark, docs_with_dups):
+    pairs = dedup.simhash_pairs(docs_with_dups, max_hamming=0).toPandas()
+    exact = pairs[(pairs.id_b - pairs.id_a == 100000)]
+    assert len(exact) >= 10                     # identical text → same simhash
+    assert (exact.hamming == 0).all()
+
+
+def test_ngram_jaccard_matches_bruteforce(spark, docs_with_dups):
+    got = dedup.ngram_jaccard_pairs(docs_with_dups, threshold=0.6).toPandas()
+    pdf = docs_with_dups.toPandas()
+
+    def sh(t):
+        toks = t.lower().split()
+        return {" ".join(toks[i:i + 3]) for i in range(max(len(toks) - 2, 1))}
+
+    sets = {r.doc_id: sh(r.text) for r in pdf.itertuples()}
+    want = set()
+    for a in sets:
+        for b in sets:
+            if a < b:
+                j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+                if j >= 0.6:
+                    want.add((a, b))
+    assert {(r.id_a, r.id_b) for r in got.itertuples()} == want
+
+
+# -- similarity -------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def emb_pdf(emb):
+    return emb.toPandas()
+
+
+def brute_topk(emb_pdf, qvec, k):
+    M = np.stack(emb_pdf.embedding.to_numpy())
+    sims = M @ qvec / (np.linalg.norm(M, axis=1) * np.linalg.norm(qvec))
+    order = np.lexsort((emb_pdf.vec_id.to_numpy(), -sims))
+    return emb_pdf.vec_id.to_numpy()[order][:k], np.sort(sims)[::-1][:k]
+
+
+def test_knn_bruteforce_exact(spark, emb, emb_pdf):
+    qp = emb_pdf.head(3)
+    queries = spark.createDataFrame(
+        [(int(r.vec_id), [float(x) for x in r.embedding])
+         for r in qp.itertuples()], "query_id long, query_vec array<float>")
+    got = similarity.knn_bruteforce(emb, queries, k=5).toPandas()
+    for qid in qp.vec_id:
+        qvec = np.array(emb_pdf[emb_pdf.vec_id == qid].embedding.iloc[0])
+        want_ids, want_sims = brute_topk(emb_pdf, qvec, 5)
+        sub = got[got.query_id == qid].sort_values("rank")
+        assert list(sub.vec_id) == list(want_ids)
+        assert sub.score.to_numpy() == pytest.approx(want_sims, rel=1e-5)
+        assert sub.iloc[0].vec_id == qid        # self is its own best match
+
+
+def test_lsh_knn_recall(spark, emb, emb_pdf):
+    qp = emb_pdf.head(5)
+    queries = spark.createDataFrame(
+        [(int(r.vec_id), [float(x) for x in r.embedding])
+         for r in qp.itertuples()], "query_id long, query_vec array<float>")
+    # uniform-random embeddings are hyperplane-LSH's worst case (all cosines
+    # near 0) — use few planes so buckets stay populated
+    got = similarity.lsh_knn(emb, queries, k=5, n_tables=8, n_planes=6) \
+        .toPandas()
+    hits = 0
+    for qid in qp.vec_id:
+        qvec = np.array(emb_pdf[emb_pdf.vec_id == qid].embedding.iloc[0])
+        want_ids, _ = brute_topk(emb_pdf, qvec, 5)
+        sub = set(got[got.query_id == qid].vec_id)
+        hits += len(sub & set(want_ids))
+    assert hits / (5 * len(qp)) > 0.3           # recall@5 over brute force
+    # self must always collide with itself
+    for qid in qp.vec_id:
+        assert qid in set(got[got.query_id == qid].vec_id)
+
+
+def test_embedding_near_dup(spark, emb, emb_pdf):
+    # duplicate 5 vectors with new ids → must be found at cosine ≈ 1
+    extra = spark.createDataFrame(
+        [(int(r.vec_id) + 50000, [float(x) for x in r.embedding], int(r.label))
+         for r in emb_pdf.head(5).itertuples()],
+        "vec_id long, embedding array<float>, label int")
+    both = emb.unionByName(extra)
+    pairs = similarity.embedding_near_dup_pairs(both, threshold=0.99).toPandas()
+    found = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+    for r in emb_pdf.head(5).itertuples():
+        assert (r.vec_id, r.vec_id + 50000) in found
+
+
+# -- multimodal -------------------------------------------------------------
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = synthesize_media_column(docs.limit(20), "text")
+    feats = image_features(media, n_features=16).toPandas()
+    assert feats.features.map(len).eq(16).all()
+    # deterministic: same payload → same features
+    feats2 = image_features(media, n_features=16).toPandas()
+    a = feats.sort_values("doc_id").features.iloc[0]
+    b = feats2.sort_values("doc_id").features.iloc[0]
+    assert list(a) == list(b)
+    resized = image_resize(media).toPandas()
+    assert resized.resized.map(len).eq(32).all()
+    frames = video_frame_sample(media, max_frames=4)
+    pdf = frames.toPandas()
+    assert pdf.groupby("doc_id").frame_idx.max().le(3).all()
+    assert len(pdf) >= 20
+
+
+def test_multimodal_strict_raises(spark, docs):
+    media = synthesize_media_column(docs.limit(2), "text")
+    with pytest.raises(Exception):
+        image_features(media, strict=True).collect()

@@ -1,0 +1,89 @@
+"""Matching / group_set invariants vs pandas oracles."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fast_causal_inference_spark.operators.groupset import group_set
+from fast_causal_inference_spark.operators.matching import (
+    caliper_matching,
+    exact_matching,
+    prognostic_score_matching,
+    smd,
+)
+
+
+def test_caliper_matching_invariants(spark, ab_df):
+    matched = caliper_matching(ab_df, "weight", "treatment", caliper=0.1)
+    got = matched.where(F.col("match_index").isNotNull()) \
+        .groupBy("match_index") \
+        .agg(F.sum("treatment").alias("t"), F.count("*").alias("c"),
+             F.min(F.floor(F.col("weight") / 0.1)).alias("bmin"),
+             F.max(F.floor(F.col("weight") / 0.1)).alias("bmax")).collect()
+    assert len(got) > 0
+    for r in got:
+        assert r["c"] == 2 and r["t"] == 1        # exactly one treated + one control
+        assert r["bmin"] == r["bmax"]             # same caliper bucket
+
+
+def test_caliper_matching_quota(spark, ab_df, ab_pdf):
+    matched = caliper_matching(ab_df, "weight", "treatment", caliper=0.1,
+                               seed=1).toPandas()
+    pdf = ab_pdf.assign(bucket=np.floor(ab_pdf.weight / 0.1))
+    for b, cell in pdf.groupby("bucket"):
+        quota = min((cell.treatment == 1).sum(), (cell.treatment == 0).sum())
+        cellm = matched[np.floor(matched.weight / 0.1) == b]
+        assert cellm.match_index.notna().sum() == 2 * quota
+
+
+def test_caliper_matching_1k(spark, ab_df):
+    matched = caliper_matching(ab_df, "weight", "treatment", caliper=0.2, k=2)
+    got = matched.where(F.col("match_index").isNotNull()) \
+        .groupBy("match_index") \
+        .agg(F.sum("treatment").alias("t"), F.count("*").alias("c")).collect()
+    for r in got:
+        assert r["t"] == 1 and r["c"] == 3        # 1 treated : 2 controls
+
+
+def test_exact_matching(spark, ab_df):
+    df = ab_df.withColumn("cat", (F.col("x3") > 1).cast("int"))
+    matched = exact_matching(df, "treatment", ["cat"])
+    got = matched.where(F.col("match_index").isNotNull()) \
+        .groupBy("match_index") \
+        .agg(F.sum("treatment").alias("t"), F.count("*").alias("c"),
+             F.countDistinct("cat").alias("k")).collect()
+    for r in got:
+        assert r["c"] == 2 and r["t"] == 1 and r["k"] == 1
+
+
+def test_smd(spark, ab_pdf, ab_df):
+    out = smd(ab_df, "treatment", ["x1", "y"]).set_index("covariate")
+    for c in ("x1", "y"):
+        g0 = ab_pdf[ab_pdf.treatment == 0][c]
+        g1 = ab_pdf[ab_pdf.treatment == 1][c]
+        want = (g1.mean() - g0.mean()) / np.sqrt((g0.var() + g1.var()) / 2)
+        assert out.loc[c, "smd"] == pytest.approx(want, rel=1e-9)
+    # y has a real treatment effect, x1 doesn't
+    assert abs(out.loc["y", "smd"]) > 5 * abs(out.loc["x1", "smd"])
+
+
+def test_prognostic_matching_runs(spark, ab_df):
+    out = prognostic_score_matching(ab_df, "y", "treatment", ["x1", "x2"],
+                                    caliper=0.5)
+    n_matched = out.where(F.col("match_index").isNotNull()).count()
+    assert n_matched > 0 and n_matched % 2 == 0
+
+
+def test_group_set(spark, ab_pdf, ab_df):
+    df = ab_df.withColumn("g1", (F.col("x1") > 0).cast("int")) \
+              .withColumn("g2", (F.col("x2") > 0).cast("int"))
+    out = group_set(df, "y", "treatment", ["g1", "g2"]).toPandas()
+    pdf = ab_pdf.assign(g1=(ab_pdf.x1 > 0).astype(int),
+                        g2=(ab_pdf.x2 > 0).astype(int))
+    assert len(out) == 8  # 2 cols × 2 values × 2 treatments
+    for _, r in out.iterrows():
+        cell = pdf[(pdf[r["column"]] == int(r["value"]))
+                   & (pdf.treatment == r["treatment"])]
+        assert r["cnt"] == len(cell)
+        assert r["sum"] == pytest.approx(cell.y.sum(), rel=1e-9)
+        assert r["sum2"] == pytest.approx((cell.y**2).sum(), rel=1e-9)
