@@ -705,6 +705,223 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("quality", 6).alias("quality"), "fingerprint")
 
 
+# ---------------------------------------------------------------------------
+# DML / uplift / logistic
+# ---------------------------------------------------------------------------
+
+
+def q_linear_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constant-effect LinearDML with deterministic folds (l_orderkey % 3)."""
+    from fast_causal_inference_spark.operators.dml import linear_dml
+
+    li = _load(spark, sf_dir, "lineitem")
+    res = linear_dml(li, "l_extendedprice", "l_quantity", ["l_discount"],
+                     cv=3, fold_expr="l_orderkey")
+    return spark.createDataFrame(
+        [(round(float(res.theta[0]), 6),)], "theta double")
+
+
+_LINEAR_DML_SQL = """
+WITH base AS (
+  SELECT l_orderkey % 3 AS fold, l_extendedprice AS y,
+         l_quantity AS t, l_discount AS x
+  FROM lineitem
+), folds AS (SELECT DISTINCT fold FROM base),
+fy AS (
+  SELECT f.fold,
+         (SELECT regr_slope(y, x) FROM base b WHERE b.fold <> f.fold) AS s,
+         (SELECT regr_intercept(y, x) FROM base b WHERE b.fold <> f.fold) AS i
+  FROM folds f
+), ft AS (
+  SELECT f.fold,
+         (SELECT regr_slope(t, x) FROM base b WHERE b.fold <> f.fold) AS s,
+         (SELECT regr_intercept(t, x) FROM base b WHERE b.fold <> f.fold) AS i
+  FROM folds f
+), resid AS (
+  SELECT b.y - (fy.i + fy.s * b.x) AS ry, b.t - (ft.i + ft.s * b.x) AS rt
+  FROM base b JOIN fy ON b.fold = fy.fold JOIN ft ON b.fold = ft.fold
+)
+SELECT round(covar_samp(ry, rt) / var_samp(rt), 6) AS theta FROM resid
+"""
+
+
+def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed rank-formula ROC-AUC of value scoring user-parity labels."""
+    from fast_causal_inference_spark.operators.logistic import auc
+
+    ev = _load(spark, sf_dir, "events") \
+        .withColumn("label", (F.col("user_id") % 2).cast("int"))
+    val = auc(ev, "value", "label")
+    return spark.createDataFrame([(round(val, 6),)], "auc double")
+
+
+_AUC_SQL = """
+WITH s AS (
+  SELECT value AS v, CAST(user_id % 2 = 1 AS INT) AS g FROM events
+), w AS (
+  SELECT g, rank() OVER (ORDER BY v) AS rnk,
+         count(*) OVER (PARTITION BY v) AS t
+  FROM s
+), agg AS (
+  SELECT sum(CASE WHEN g = 1 THEN rnk + (t - 1)/2.0 END) AS r1,
+         CAST(sum(g) AS DOUBLE) AS n1, CAST(count(*) AS DOUBLE) AS n
+  FROM w
+)
+SELECT round((r1 - n1*(n1+1)/2.0) / ((n - n1) * n1), 6) AS auc FROM agg
+"""
+
+
+def q_lift_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative uplift lift/gain over 10 ITE-ranked buckets."""
+    from fast_causal_inference_spark.uplift.evaluation import get_lift_gain
+
+    ev = _load(spark, sf_dir, "events") \
+        .withColumn("t", (F.col("user_id") % 2).cast("int")) \
+        .withColumn("ite_hat", (F.col("event_id") % 100) / 100.0)
+    pdf = get_lift_gain(ev, "ite_hat", "value", "t", k=10,
+                        tiebreak="event_id")
+    for c in ["ratio", "ite_avg", "lift", "gain", "ate_baseline",
+              "random_gain"]:
+        pdf[c] = pdf[c].round(6)
+    return spark.createDataFrame(pdf)
+
+
+_LIFT_GAIN_SQL = """
+WITH s AS (
+  SELECT (event_id % 100)/100.0 AS ite, value AS y,
+         CAST(user_id % 2 AS INT) AS t, event_id
+  FROM events
+), b AS (
+  SELECT *, ntile(10) OVER (ORDER BY ite DESC, event_id) AS bucket FROM s
+), a AS (
+  SELECT bucket, CAST(count(*) AS DOUBLE) AS n, CAST(sum(t) AS DOUBLE) AS n1,
+         sum(CASE WHEN t = 1 THEN y END) AS y1,
+         sum(CASE WHEN t = 0 THEN y END) AS y0,
+         avg(ite) AS ite_avg
+  FROM b GROUP BY bucket
+), tot AS (
+  SELECT sum(n) AS tn,
+         sum(y1)/sum(n1) - sum(y0)/sum(n - n1) AS ate
+  FROM a
+), c AS (
+  SELECT bucket, ite_avg,
+         sum(n) OVER w AS cn, sum(n1) OVER w AS cn1,
+         sum(n - n1) OVER w AS cn0,
+         sum(y1) OVER w AS cy1, sum(y0) OVER w AS cy0
+  FROM a WINDOW w AS (ORDER BY bucket)
+)
+SELECT bucket,
+       round(cn/(SELECT tn FROM tot), 6) AS ratio,
+       round(ite_avg, 6) AS ite_avg,
+       round(cy1/cn1 - cy0/cn0, 6) AS lift,
+       round((cy1/cn1 - cy0/cn0)*cn/(SELECT tn FROM tot), 6) AS gain,
+       round((SELECT ate FROM tot), 6) AS ate_baseline,
+       round((SELECT ate FROM tot)*cn/(SELECT tn FROM tot), 6) AS random_gain
+FROM c
+"""
+
+
+def q_smd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized-mean-difference balance table on lineitem covariates."""
+    from fast_causal_inference_spark.operators.matching import smd
+
+    li = _load(spark, sf_dir, "lineitem") \
+        .withColumn("arm", (F.col("l_orderkey") % 2).cast("int"))
+    pdf = smd(li, "arm", ["l_quantity", "l_discount", "l_tax"])
+    for c in ["mean0", "mean1", "smd"]:
+        pdf[c] = pdf[c].round(6)
+    return spark.createDataFrame(pdf)
+
+
+_SMD_SQL = """
+WITH m AS (
+  SELECT 'l_quantity' AS covariate,
+         avg(l_quantity) FILTER (WHERE l_orderkey % 2 = 0) AS mean0,
+         avg(l_quantity) FILTER (WHERE l_orderkey % 2 = 1) AS mean1,
+         var_samp(l_quantity) FILTER (WHERE l_orderkey % 2 = 0) AS v0,
+         var_samp(l_quantity) FILTER (WHERE l_orderkey % 2 = 1) AS v1
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_discount',
+         avg(l_discount) FILTER (WHERE l_orderkey % 2 = 0),
+         avg(l_discount) FILTER (WHERE l_orderkey % 2 = 1),
+         var_samp(l_discount) FILTER (WHERE l_orderkey % 2 = 0),
+         var_samp(l_discount) FILTER (WHERE l_orderkey % 2 = 1)
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_tax',
+         avg(l_tax) FILTER (WHERE l_orderkey % 2 = 0),
+         avg(l_tax) FILTER (WHERE l_orderkey % 2 = 1),
+         var_samp(l_tax) FILTER (WHERE l_orderkey % 2 = 0),
+         var_samp(l_tax) FILTER (WHERE l_orderkey % 2 = 1)
+  FROM lineitem
+)
+SELECT covariate, round(mean0, 6) AS mean0, round(mean1, 6) AS mean1,
+       round((mean1 - mean0)/sqrt((v0 + v1)/2), 6) AS smd
+FROM m
+"""
+
+
+def q_group_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cnt, sum, sum2) per treatment × column × value in one melted pass."""
+    from fast_causal_inference_spark.operators.groupset import group_set
+
+    li = _load(spark, sf_dir, "lineitem") \
+        .withColumn("arm", (F.col("l_orderkey") % 2).cast("int"))
+    out = group_set(li, "l_extendedprice", "arm",
+                    ["l_returnflag", "l_linestatus"])
+    return out.select("column", "value", F.col("treatment").alias("arm"),
+                      F.col("cnt").cast("long").alias("cnt"),
+                      F.round("sum", 2).alias("sum"),
+                      F.round(F.col("sum2") / F.lit(1e6), 4).alias("sum2_m"))
+
+
+_GROUP_SET_SQL = """
+WITH melted AS (
+  SELECT 'l_returnflag' AS "column", l_returnflag AS value,
+         CAST(l_orderkey % 2 AS INT) AS arm, l_extendedprice AS y
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_linestatus', l_linestatus, CAST(l_orderkey % 2 AS INT),
+         l_extendedprice
+  FROM lineitem
+)
+SELECT "column", value, arm, count(*) AS cnt,
+       round(sum(y), 2) AS sum, round(sum(y*y)/1e6, 4) AS sum2_m
+FROM melted GROUP BY 1, 2, 3
+"""
+
+
+def q_caliper_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caliper matching cell accounting (rows-only: pair ids involve rand(),
+    but the per-cell matched quota is deterministic and checked here)."""
+    from fast_causal_inference_spark.operators.matching import caliper_matching
+
+    o = _load(spark, sf_dir, "orders") \
+        .withColumn("arm", (F.col("o_orderkey") % 2).cast("int")) \
+        .withColumn("score", F.col("o_totalprice") / 500000.0)
+    m = caliper_matching(o, "score", "arm", caliper=0.1)
+    return (m.where(F.col("match_index").isNotNull())
+             .groupBy(F.floor(F.col("score") / 0.1).alias("bucket"))
+             .agg(F.count(F.lit(1)).alias("n_matched"),
+                  F.sum("arm").alias("n_treated")))
+
+
+_CALIPER_SQL = """
+WITH b AS (
+  SELECT floor(o_totalprice/500000.0/0.1) AS bucket,
+         CAST(o_orderkey % 2 AS INT) AS arm
+  FROM orders
+), q AS (
+  SELECT bucket,
+         least(sum(arm), sum(1 - arm)) AS quota
+  FROM b GROUP BY bucket
+)
+SELECT bucket, 2*quota AS n_matched, quota AS n_treated
+FROM q WHERE quota > 0
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q_q1_pricing_summary,
@@ -731,6 +948,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dedup": q_minhash_lsh,
         "simhash_dedup": q_simhash,
         "text_profile": q_text_profile,
+        "linear_dml": q_linear_dml,
+        "auc": q_auc,
+        "lift_gain": q_lift_gain,
+        "smd": q_smd,
+        "group_set": q_group_set,
+        "caliper_matching": q_caliper_matching,
     }
 
 
@@ -755,4 +978,10 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_dedup": _NGRAM_JACCARD_SQL,
         "knn_bruteforce": _KNN_SQL,
         "embedding_near_dup": _EMB_NEAR_DUP_SQL,
+        "linear_dml": _LINEAR_DML_SQL,
+        "auc": _AUC_SQL,
+        "lift_gain": _LIFT_GAIN_SQL,
+        "smd": _SMD_SQL,
+        "group_set": _GROUP_SET_SQL,
+        "caliper_matching": _CALIPER_SQL,
     }

@@ -1,0 +1,128 @@
+"""Uplift evaluation: lift/gain curves, Qini, AUUC, per-bucket CATE.
+
+Parity targets: reference ``uplift.py:76-194`` (get_lift_gain / ``lift()``
+macro — rank by predicted ITE desc, K buckets, cumulative lift/gain vs the
+ATE/random baselines, AUUC) and ``LiftParser.java:25-120`` (the window-SQL
+rewrite the gateway generates); the reference also ships its own PySpark
+evaluation suite (``lib/spark_evaluation.py``) whose metric definitions these
+reproduce — implementation here is fresh.
+
+Scale shape: ``ntile(K)`` over the ITE ordering + ONE groupBy(K buckets).
+The only global structure is the K-bucket assignment; all cumulative math
+happens on the K-row aggregate (driver-side pandas, K ≪ rows).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _bucketed_stats(df: DataFrame, ite: str, y: str, t: str,
+                    k: int, tiebreak: str | None = None) -> pd.DataFrame:
+    """Per-ITE-rank-bucket treatment/control counts and outcome sums.
+
+    ``tiebreak`` — optional column giving a deterministic total order under
+    score ties (needed for engine-reproducible bucketing).
+    """
+    tcol = F.expr(t).cast("double")
+    ycol = F.expr(y).cast("double")
+    order = [F.desc("__ite")] + ([F.col("__tb")] if tiebreak else [])
+    sel = [ycol.alias("__y"), tcol.alias("__t"), F.expr(ite).alias("__ite")]
+    if tiebreak:
+        sel.append(F.expr(tiebreak).alias("__tb"))
+    b = (df.select(*sel)
+           .withColumn("__bucket", F.ntile(k).over(Window.orderBy(*order))))
+    agg = (b.groupBy("__bucket")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("__t").alias("n1"),
+                F.sum(F.when(F.col("__t") == 1, F.col("__y"))).alias("y1"),
+                F.sum(F.when(F.col("__t") == 0, F.col("__y"))).alias("y0"),
+                F.avg("__ite").alias("ite_avg"))
+           .orderBy("__bucket"))
+    pdf = agg.toPandas()
+    pdf["n0"] = pdf["n"] - pdf["n1"]
+    pdf[["y1", "y0"]] = pdf[["y1", "y0"]].fillna(0.0)
+    return pdf
+
+
+def get_lift_gain(df: DataFrame, ite: str, y: str, t: str,
+                  k: int = 10, tiebreak: str | None = None) -> pd.DataFrame:
+    """Cumulative lift/gain table over K ITE-ranked buckets.
+
+    Columns: bucket, ratio (population share), lift (cumulative uplift of the
+    targeted share), gain (lift·ratio, i.e. cumulative incremental outcome per
+    capita scaled), ate_baseline (overall ATE), random_gain (ATE·ratio).
+    """
+    pdf = _bucketed_stats(df, ite, y, t, k, tiebreak)
+    cn1 = pdf.n1.cumsum()
+    cn0 = pdf.n0.cumsum()
+    cy1 = pdf.y1.cumsum()
+    cy0 = pdf.y0.cumsum()
+    cn = pdf.n.cumsum()
+    total = pdf.n.sum()
+    with np.errstate(divide="ignore", invalid="ignore"):
+        uplift_cum = cy1 / cn1 - cy0 / cn0
+    ate = float(pdf.y1.sum() / pdf.n1.sum() - pdf.y0.sum() / pdf.n0.sum())
+    out = pd.DataFrame({
+        "bucket": pdf["__bucket"],
+        "ratio": cn / total,
+        "ite_avg": pdf.ite_avg,
+        "lift": uplift_cum,
+        "gain": uplift_cum * (cn / total),
+        "ate_baseline": ate,
+        "random_gain": ate * (cn / total),
+    })
+    return out
+
+
+def qini_curve(df: DataFrame, ite: str, y: str, t: str,
+               k: int = 10) -> pd.DataFrame:
+    """Qini curve points: incremental outcomes at each targeted share
+    (treatment-count-scaled variant, the standard Qini definition)."""
+    pdf = _bucketed_stats(df, ite, y, t, k)
+    cn1 = pdf.n1.cumsum()
+    cn0 = pdf.n0.cumsum()
+    cy1 = pdf.y1.cumsum()
+    cy0 = pdf.y0.cumsum()
+    cn = pdf.n.cumsum()
+    total = pdf.n.sum()
+    with np.errstate(divide="ignore", invalid="ignore"):
+        qini = cy1 - cy0 * (cn1 / cn0.replace(0, np.nan))
+    n1_tot = pdf.n1.sum()
+    y1_tot = pdf.y1.sum()
+    y0_tot = pdf.y0.sum()
+    n0_tot = pdf.n0.sum()
+    random_q = (y1_tot - y0_tot * n1_tot / n0_tot) * (cn / total)
+    return pd.DataFrame({"bucket": pdf["__bucket"], "ratio": cn / total,
+                         "qini": qini, "random_qini": random_q})
+
+
+def auuc(df: DataFrame, ite: str, y: str, t: str, k: int = 100) -> float:
+    """Area under the uplift (gain) curve, trapezoid over K buckets,
+    normalized to the random-targeting baseline area."""
+    g = get_lift_gain(df, ite, y, t, k)
+    x = np.concatenate([[0.0], g.ratio.to_numpy()])
+    yv = np.concatenate([[0.0], g.gain.fillna(0.0).to_numpy()])
+    return float(np.trapz(yv, x))
+
+
+def qini_score(df: DataFrame, ite: str, y: str, t: str, k: int = 100) -> float:
+    """Qini coefficient: area between the Qini curve and the random line."""
+    q = qini_curve(df, ite, y, t, k)
+    x = np.concatenate([[0.0], q.ratio.to_numpy()])
+    actual = np.concatenate([[0.0], q.qini.fillna(0.0).to_numpy()])
+    rand = np.concatenate([[0.0], q.random_qini.to_numpy()])
+    return float(np.trapz(actual, x) - np.trapz(rand, x))
+
+
+def cate_by_bucket(df: DataFrame, ite: str, y: str, t: str,
+                   k: int = 10) -> pd.DataFrame:
+    """Non-cumulative per-bucket CATE vs predicted ITE (calibration table)."""
+    pdf = _bucketed_stats(df, ite, y, t, k)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cate = pdf.y1 / pdf.n1 - pdf.y0 / pdf.n0
+    return pd.DataFrame({"bucket": pdf["__bucket"], "n": pdf.n,
+                         "ite_pred": pdf.ite_avg, "cate_actual": cate})

@@ -1,0 +1,202 @@
+"""Uplift meta-learners: S / T / X-learner, class-variable transformation,
+transformed outcome, propensity model.
+
+The reference ships these as PySpark/MLlib code (``lib/spark_upliftml.py`` —
+treated as a semantic spec; implementation here is fresh and built on this
+package's closed-form OLS/logistic so the fits are single-pass Gramian
+aggregations instead of iterative MLlib jobs; any scoring is a pure Column
+dot-product).
+
+All learners expose ``fit(df) -> self`` and ``predict(df, alias='ite')``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fast_causal_inference_spark.operators.logistic import logistic_regression
+from fast_causal_inference_spark.operators.ols import ols
+
+
+def _formula(y: str, feats: list[str]) -> str:
+    return f"{y} ~ {' + '.join(feats)}"
+
+
+@dataclass
+class SLearner:
+    """Single model with the treatment as a feature (+ optional t·X
+    interactions); ITE = f(x, 1) − f(x, 0)."""
+
+    features: list[str]
+    outcome: str = "y"
+    treatment: str = "treatment"
+    interactions: bool = True
+    model_: object = field(default=None, repr=False)
+
+    def fit(self, df: DataFrame) -> "SLearner":
+        feats = list(self.features) + [self.treatment]
+        if self.interactions:
+            feats += [f"({self.treatment})*({x})" for x in self.features]
+        self.model_ = ols(df, _formula(self.outcome, feats))
+        return self
+
+    def ite_column(self) -> Column:
+        m = self.model_
+        # f(x,1) − f(x,0) = β_t + Σ β_{t·x} x
+        names = m.feature_exprs
+        out: Column = F.lit(0.0)
+        coefs = m.beta[1:]
+        for b, name in zip(coefs, names):
+            if name == self.treatment:
+                out = out + float(b)
+            elif name.startswith(f"({self.treatment})*"):
+                xexpr = name[len(f"({self.treatment})*"):]
+                out = out + float(b) * F.expr(xexpr).cast("double")
+        return out
+
+    def predict(self, df: DataFrame, alias: str = "ite") -> DataFrame:
+        return df.withColumn(alias, self.ite_column())
+
+
+@dataclass
+class TLearner:
+    """Separate outcome models per arm; ITE = f₁(x) − f₀(x)."""
+
+    features: list[str]
+    outcome: str = "y"
+    treatment: str = "treatment"
+    model0_: object = field(default=None, repr=False)
+    model1_: object = field(default=None, repr=False)
+
+    def fit(self, df: DataFrame) -> "TLearner":
+        t = F.expr(self.treatment)
+        f = _formula(self.outcome, self.features)
+        self.model0_ = ols(df.where(t == 0), f)
+        self.model1_ = ols(df.where(t == 1), f)
+        return self
+
+    def ite_column(self) -> Column:
+        return self.model1_.predict_column() - self.model0_.predict_column()
+
+    def predict(self, df: DataFrame, alias: str = "ite") -> DataFrame:
+        return df.withColumn(alias, self.ite_column())
+
+
+@dataclass
+class XLearner:
+    """T-learner first stage, imputed-effect second stage, propensity blend:
+    τ(x) = g(x)·τ₀(x) + (1−g(x))·τ₁(x)."""
+
+    features: list[str]
+    outcome: str = "y"
+    treatment: str = "treatment"
+    model0_: object = field(default=None, repr=False)
+    model1_: object = field(default=None, repr=False)
+    tau0_: object = field(default=None, repr=False)
+    tau1_: object = field(default=None, repr=False)
+    prop_: object = field(default=None, repr=False)
+
+    def fit(self, df: DataFrame) -> "XLearner":
+        t = F.expr(self.treatment)
+        f = _formula(self.outcome, self.features)
+        self.model0_ = ols(df.where(t == 0), f)
+        self.model1_ = ols(df.where(t == 1), f)
+        # imputed individual effects
+        d1 = df.where(t == 1).withColumn(
+            "__d", F.expr(self.outcome).cast("double")
+            - self.model0_.predict_column())
+        d0 = df.where(t == 0).withColumn(
+            "__d", self.model1_.predict_column()
+            - F.expr(self.outcome).cast("double"))
+        self.tau1_ = ols(d1, _formula("__d", self.features))
+        self.tau0_ = ols(d0, _formula("__d", self.features))
+        self.prop_ = logistic_regression(df, _formula(self.treatment,
+                                                      self.features))
+        return self
+
+    def ite_column(self) -> Column:
+        g = self.prop_.predict_proba_column()
+        return g * self.tau0_.predict_column() \
+            + (1 - g) * self.tau1_.predict_column()
+
+    def predict(self, df: DataFrame, alias: str = "ite") -> DataFrame:
+        return df.withColumn(alias, self.ite_column())
+
+
+@dataclass
+class TransformedOutcome:
+    """Transformed-outcome regression: Y* = Y·(T−g)/(g(1−g)); an OLS of Y* on
+    X estimates τ(x) directly (expected-value identity)."""
+
+    features: list[str]
+    outcome: str = "y"
+    treatment: str = "treatment"
+    propensity: float | None = None      # None → fit logistic propensity
+    model_: object = field(default=None, repr=False)
+    prop_: object = field(default=None, repr=False)
+
+    def fit(self, df: DataFrame) -> "TransformedOutcome":
+        t = F.expr(self.treatment).cast("double")
+        y = F.expr(self.outcome).cast("double")
+        if self.propensity is None:
+            self.prop_ = logistic_regression(
+                df, _formula(self.treatment, self.features))
+            g = self.prop_.predict_proba_column()
+        else:
+            g = F.lit(float(self.propensity))
+        ystar = y * (t - g) / (g * (1 - g))
+        work = df.withColumn("__ystar", ystar)
+        self.model_ = ols(work, _formula("__ystar", self.features))
+        return self
+
+    def ite_column(self) -> Column:
+        return self.model_.predict_column()
+
+    def predict(self, df: DataFrame, alias: str = "ite") -> DataFrame:
+        return df.withColumn(alias, self.ite_column())
+
+
+@dataclass
+class CVT:
+    """Class-variable transformation (Jaskowski-Jaroszewicz): for binary Y
+    with 50/50 assignment, Z = Y·T + (1−Y)(1−T); P(Z=1|x) maps to uplift
+    2·P−1. Propensity-weighted variant when assignment isn't balanced."""
+
+    features: list[str]
+    outcome: str = "y"
+    treatment: str = "treatment"
+    model_: object = field(default=None, repr=False)
+
+    def fit(self, df: DataFrame) -> "CVT":
+        t = F.expr(self.treatment).cast("double")
+        y = F.expr(self.outcome).cast("double")
+        z = y * t + (1 - y) * (1 - t)
+        work = df.withColumn("__z", z)
+        self.model_ = logistic_regression(work, _formula("__z", self.features))
+        return self
+
+    def ite_column(self) -> Column:
+        return 2 * self.model_.predict_proba_column() - 1
+
+    def predict(self, df: DataFrame, alias: str = "ite") -> DataFrame:
+        return df.withColumn(alias, self.ite_column())
+
+
+@dataclass
+class PropensityModel:
+    """Logistic propensity g(x) = P(T=1|x) (building block for IPW/matching)."""
+
+    features: list[str]
+    treatment: str = "treatment"
+    model_: object = field(default=None, repr=False)
+
+    def fit(self, df: DataFrame) -> "PropensityModel":
+        self.model_ = logistic_regression(
+            df, _formula(self.treatment, self.features))
+        return self
+
+    def predict(self, df: DataFrame, alias: str = "propensity") -> DataFrame:
+        return df.withColumn(alias, self.model_.predict_proba_column())

@@ -1,0 +1,192 @@
+"""DML / logistic / meta-learners / uplift evaluation vs numpy oracles on a
+simulated heterogeneous-effect dataset."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from fast_causal_inference_spark.operators.dml import linear_dml, non_param_dml
+from fast_causal_inference_spark.operators.estimators import (
+    ate_estimator,
+    ipw_estimator,
+)
+from fast_causal_inference_spark.operators.logistic import (
+    auc,
+    logistic_regression,
+)
+from fast_causal_inference_spark.uplift.evaluation import (
+    auuc,
+    cate_by_bucket,
+    get_lift_gain,
+    qini_score,
+)
+from fast_causal_inference_spark.uplift.metalearners import (
+    CVT,
+    PropensityModel,
+    SLearner,
+    TLearner,
+    TransformedOutcome,
+    XLearner,
+)
+
+
+@pytest.fixture(scope="module")
+def hte_pdf():
+    """Confounded treatment, heterogeneous effect τ(x) = 1 + 2·x1."""
+    rng = np.random.default_rng(99)
+    n = 8000
+    x1 = rng.normal(0, 1, n)
+    x2 = rng.normal(0, 1, n)
+    g = 1 / (1 + np.exp(-(0.5 * x1 - 0.3 * x2)))     # confounded propensity
+    t = (rng.uniform(0, 1, n) < g).astype(float)
+    tau = 1.0 + 2.0 * x1
+    y = 2.0 + x1 + 0.5 * x2 + tau * t + rng.normal(0, 1, n)
+    ybin = (y > np.median(y)).astype(float)
+    return pd.DataFrame({"x1": x1, "x2": x2, "t": t, "y": y,
+                         "ybin": ybin, "g_true": g})
+
+
+@pytest.fixture(scope="module")
+def hte_df(spark, hte_pdf):
+    return spark.createDataFrame(hte_pdf).repartition(4).cache()
+
+
+def test_logistic_irls_matches_numpy(spark, hte_pdf, hte_df):
+    m = logistic_regression(hte_df, "t ~ x1 + x2")
+    # numpy IRLS oracle
+    X = np.column_stack([np.ones(len(hte_pdf)), hte_pdf.x1, hte_pdf.x2])
+    yv = hte_pdf.t.to_numpy()
+    beta = np.zeros(3)
+    for _ in range(30):
+        eta = X @ beta
+        mu = 1 / (1 + np.exp(-eta))
+        s = mu * (1 - mu) + 1e-10
+        z = eta + (yv - mu) / s
+        W = s
+        beta_new = np.linalg.solve(X.T @ (W[:, None] * X), X.T @ (W * z))
+        if np.max(np.abs(beta_new - beta)) < 1e-10:
+            beta = beta_new
+            break
+        beta = beta_new
+    assert m.beta == pytest.approx(beta, rel=1e-6)
+    assert m.converged
+    # coefficients recover the truth within 3 SE
+    for est, true, se in zip(m.beta, [0.0, 0.5, -0.3], m.stderr):
+        assert abs(est - true) < 4 * se
+
+
+def test_logistic_mllib_agrees(spark, hte_df):
+    m1 = logistic_regression(hte_df, "t ~ x1 + x2")
+    m2 = logistic_regression(hte_df, "t ~ x1 + x2", use_mllib=True)
+    assert m2.beta == pytest.approx(m1.beta, rel=1e-3)
+
+
+def test_auc(spark, hte_pdf, hte_df):
+    scored = hte_df.withColumn("score", F.col("g_true"))
+    got = auc(scored, "score", "t")
+    # pandas oracle
+    r = hte_pdf.g_true.rank(method="average")
+    n1 = hte_pdf.t.sum()
+    n0 = len(hte_pdf) - n1
+    want = (r[hte_pdf.t == 1].sum() - n1 * (n1 + 1) / 2) / (n0 * n1)
+    assert got == pytest.approx(want, rel=1e-9)
+    assert got > 0.6        # the true propensity separates arms
+
+
+def test_linear_dml_recovers_ate(spark, hte_df, hte_pdf):
+    res = linear_dml(hte_df, "y", "t", ["x1", "x2"], cv=3)
+    true_ate = 1.0 + 2.0 * hte_pdf.x1.mean()
+    assert res.ate == pytest.approx(true_ate, abs=4 * res.stderr[0] + 0.05)
+    # naive OLS-free diff-in-means is confounded and further from truth
+    naive = hte_pdf[hte_pdf.t == 1].y.mean() - hte_pdf[hte_pdf.t == 0].y.mean()
+    assert abs(res.ate - true_ate) < abs(naive - true_ate)
+
+
+def test_linear_dml_heterogeneity(spark, hte_df):
+    res = linear_dml(hte_df, "y", "t", ["x1", "x2"], cv=3,
+                     heterogeneity=["x1"])
+    # τ(x) = 1 + 2 x1 → coefficient on t̃·x1 ≈ 2
+    assert res.theta[1] == pytest.approx(2.0, abs=0.15)
+    assert res.theta[0] == pytest.approx(1.0, abs=0.15)
+    scored = res.effect(hte_df).select("x1", "effect").limit(100).toPandas()
+    assert scored.effect.to_numpy() == pytest.approx(
+        res.theta[0] + res.theta[1] * scored.x1.to_numpy(), rel=1e-9)
+
+
+def test_non_param_dml(spark, hte_df):
+    res = non_param_dml(hte_df, "y", "t", ["x1", "x2"], cv=3)
+    assert res.names == ["theta"]
+    assert 1.0 < res.ate < 2.0       # weighted-moment ATE in sane range
+    het = non_param_dml(hte_df, "y", "t", ["x1", "x2"], cv=3,
+                        heterogeneity=["x1"])
+    assert het.theta[1] == pytest.approx(2.0, abs=0.25)
+
+
+def test_meta_learners_rank_heterogeneity(spark, hte_df):
+    """All learners should produce ITEs positively correlated with τ(x).
+
+    (x1 is selected alongside ite — toPandas() order is not the pandas
+    fixture's order after repartition.)
+    """
+    for learner in (SLearner(["x1", "x2"], "y", "t"),
+                    TLearner(["x1", "x2"], "y", "t"),
+                    XLearner(["x1", "x2"], "y", "t"),
+                    TransformedOutcome(["x1", "x2"], "y", "t")):
+        fitted = learner.fit(hte_df)
+        out = fitted.predict(hte_df).select("x1", "ite").toPandas()
+        corr = np.corrcoef(out.ite, 1.0 + 2.0 * out.x1)[0, 1]
+        assert corr > 0.9, type(learner).__name__
+    # S-learner on a linear DGP recovers τ(x) almost exactly
+    out = SLearner(["x1", "x2"], "y", "t").fit(hte_df) \
+        .predict(hte_df).select("x1", "ite").toPandas()
+    assert np.corrcoef(out.ite, 1.0 + 2.0 * out.x1)[0, 1] > 0.99
+
+
+def test_cvt_binary(spark, hte_df):
+    fitted = CVT(["x1", "x2"], "ybin", "t").fit(hte_df)
+    ite = fitted.predict(hte_df).select("x1", "ite").toPandas()
+    # uplift on the binary outcome increases with x1
+    assert np.corrcoef(ite.ite, ite.x1)[0, 1] > 0.5
+
+
+def test_propensity_model(spark, hte_df, hte_pdf):
+    fitted = PropensityModel(["x1", "x2"], "t").fit(hte_df)
+    p = fitted.predict(hte_df).select("propensity", "g_true").toPandas()
+    assert np.corrcoef(p.propensity, p.g_true)[0, 1] > 0.97
+
+
+def test_lift_gain_and_auuc(spark, hte_df, hte_pdf):
+    scored = hte_df.withColumn("ite_hat", 1.0 + 2.0 * F.col("x1"))
+    table = get_lift_gain(scored, "ite_hat", "y", "t", k=10)
+    assert len(table) == 10
+    assert table.ratio.iloc[-1] == pytest.approx(1.0)
+    # top bucket has higher uplift than the full population ATE
+    assert table.lift.iloc[0] > table.ate_baseline.iloc[0]
+    # last-gain point equals the full ATE (within fp)
+    assert table.gain.iloc[-1] == pytest.approx(
+        table.ate_baseline.iloc[0], rel=1e-9)
+    # perfect-ranking AUUC beats random-ranking AUUC
+    a_perfect = auuc(scored, "ite_hat", "y", "t", k=20)
+    rnd = scored.withColumn("noise", F.rand(5))
+    a_random = auuc(rnd, "noise", "y", "t", k=20)
+    assert a_perfect > a_random
+    assert qini_score(scored, "ite_hat", "y", "t", k=20) > \
+        qini_score(rnd, "noise", "y", "t", k=20)
+
+
+def test_cate_calibration(spark, hte_df):
+    scored = hte_df.withColumn("ite_hat", 1.0 + 2.0 * F.col("x1"))
+    cal = cate_by_bucket(scored, "ite_hat", "y", "t", k=5)
+    # actual CATE should track predicted ITE monotonically-ish
+    assert np.corrcoef(cal.ite_pred, cal.cate_actual)[0, 1] > 0.95
+
+
+def test_ate_and_ipw_estimators(spark, hte_df, hte_pdf):
+    a = ate_estimator(hte_df, "y", "t", B=50).iloc[0]
+    naive = hte_pdf[hte_pdf.t == 1].y.mean() - hte_pdf[hte_pdf.t == 0].y.mean()
+    assert a.ATE == pytest.approx(naive, rel=1e-9)
+    assert a.lower < a.ATE < a.upper
+    ipw = ipw_estimator(hte_df, "y", "t", "g_true", B=50).iloc[0]
+    assert ipw.lower < ipw.ATE < ipw.upper
+    assert ipw.stddev > 0
