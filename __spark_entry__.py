@@ -922,6 +922,44 @@ FROM q WHERE quota > 0
 """
 
 
+def q_pearsonr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation with t-statistic per returnflag group."""
+    from fast_causal_inference_spark.operators.matrix import pearsonr
+
+    li = _load(spark, sf_dir, "lineitem")
+    pdf = pearsonr(li, "l_quantity", "l_extendedprice",
+                   group_cols=["l_returnflag"])
+    pdf = pdf[["l_returnflag", "r", "n", "t_stat"]]
+    pdf["r"] = pdf["r"].round(6)
+    pdf["t_stat"] = pdf["t_stat"].round(6)
+    return spark.createDataFrame(pdf)
+
+
+_PEARSONR_SQL = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS r,
+       count(*) AS n,
+       round(corr(l_quantity, l_extendedprice)
+             * sqrt((count(*) - 2)
+                    / (1 - corr(l_quantity, l_extendedprice)
+                         * corr(l_quantity, l_extendedprice))), 6) AS t_stat
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_causal_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Honest causal tree leaves (rows-only: greedy split search is
+    algorithmic, not SQL-expressible; leaf stats are deterministic)."""
+    from fast_causal_inference_spark.uplift.causal_tree import CausalTree
+
+    li = _load(spark, sf_dir, "lineitem") \
+        .withColumn("arm", (F.col("l_orderkey") % 2).cast("int"))
+    tree = CausalTree(["l_quantity", "l_discount"], "l_extendedprice", "arm",
+                      max_depth=2, min_node_size=100).fit(li)
+    pdf = tree.leaves()[["node_id", "depth", "n", "n_treated", "tau"]]
+    return spark.createDataFrame(pdf)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q_q1_pricing_summary,
@@ -954,6 +992,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smd": q_smd,
         "group_set": q_group_set,
         "caliper_matching": q_caliper_matching,
+        "pearsonr": q_pearsonr,
+        "causal_tree": q_causal_tree,
     }
 
 
@@ -984,4 +1024,5 @@ def oracle_sql() -> dict[str, str]:
         "smd": _SMD_SQL,
         "group_set": _GROUP_SET_SQL,
         "caliper_matching": _CALIPER_SQL,
+        "pearsonr": _PEARSONR_SQL,
     }

@@ -1,0 +1,275 @@
+"""Function surface parity with the reference's ``dataframe/functions.py``.
+
+Most names are thin aliases onto native ``pyspark.sql.functions`` (kept thin
+on purpose — Catalyst sees the native expression). The few functions Spark
+lacks (``erf``/``erfc``/``tgamma``, Student-t ``cdf``) are vectorized Arrow
+UDFs over numpy/stdlib-math. Vector (array-column) operators are higher-order
+functions, JVM-side.
+
+Reference name map: ``functions.py:98-1882`` and ``cdf.cpp:39-96`` under
+/root/reference.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from fast_causal_inference_spark.serialization import ensure_udf_serializable
+
+# -- aggregates (§2.4) ------------------------------------------------------
+count = F.count
+sum = F.sum                                  # noqa: A001
+avg = F.avg
+mean = F.avg
+max = F.max                                  # noqa: A001
+min = F.min                                  # noqa: A001
+any_value = F.any_value
+anyLast = F.last
+anyMin = F.min_by
+anyMax = F.max_by
+stddevPop = F.stddev_pop
+stddevSamp = F.stddev_samp
+varPop = F.var_pop
+varSamp = F.var_samp
+corr = F.corr
+covarPop = F.covar_pop
+covarSamp = F.covar_samp
+
+
+def quantile(col, level: float, exact: bool = False) -> Column:
+    """CH quantile / quantileExact → percentile_approx / exact percentile."""
+    c = F.col(col) if isinstance(col, str) else col
+    if exact:
+        return F.percentile(c, F.lit(level))
+    return F.percentile_approx(c, F.lit(level))
+
+
+def quantiles(col, *levels: float, exact: bool = False) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    arr = F.array(*[F.lit(v) for v in levels])
+    if exact:
+        return F.percentile(c, arr)
+    return F.percentile_approx(c, arr)
+
+
+# -- scalar math (§2.5) -----------------------------------------------------
+col = F.col
+lit = F.lit
+sqrt = F.sqrt
+abs = F.abs                                  # noqa: A001
+mod = F.pmod
+floor = F.floor
+ceil = F.ceil
+power = F.pow
+pow = F.pow                                  # noqa: A001
+exp = F.exp
+log = F.log
+ln = F.log
+log2 = F.log2
+log10 = F.log10
+cbrt = F.cbrt
+round = F.round                              # noqa: A001
+sin = F.sin
+cos = F.cos
+tan = F.tan
+asin = F.asin
+acos = F.acos
+atan = F.atan
+isnull = F.isnull
+isnotnull = lambda c: ~F.isnull(c)           # noqa: E731
+murmur_hash3_32 = F.hash                     # Spark's hash IS 32-bit Murmur3
+xxhash64 = F.xxhash64
+
+
+def exp2(c) -> Column:
+    return F.pow(F.lit(2.0), F.col(c) if isinstance(c, str) else c)
+
+
+def exp10(c) -> Column:
+    return F.pow(F.lit(10.0), F.col(c) if isinstance(c, str) else c)
+
+
+def intExp2(c) -> Column:
+    return exp2(c).cast("long")
+
+
+def intExp10(c) -> Column:
+    return exp10(c).cast("long")
+
+
+def gcd(a, b) -> Column:
+    if not (isinstance(a, str) and isinstance(b, str)):
+        raise TypeError("gcd takes column-name strings")
+    return F.expr(f"gcd({a}, {b})")
+
+
+def lcm(a, b) -> Column:
+    if not (isinstance(a, str) and isinstance(b, str)):
+        raise TypeError("lcm takes column-name strings")
+    return F.expr(f"lcm({a}, {b})")
+
+
+def lgamma(c) -> Column:
+    @F.pandas_udf("double")
+    def _lg(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: math.lgamma(v) if v == v else float("nan"))
+
+    ensure_udf_serializable()
+    return _lg(F.col(c) if isinstance(c, str) else c)
+
+
+def e() -> Column:
+    return F.lit(math.e)
+
+
+def pi() -> Column:
+    return F.lit(math.pi)
+
+
+def rand(seed: int | None = None) -> Column:
+    return F.rand(seed) if seed is not None else F.rand()
+
+
+rand_cannonical = rand   # reference's [0,1) variant — F.rand already is
+
+
+def If(cond: Column, x, y) -> Column:
+    return F.when(cond, x).otherwise(y)
+
+
+# erf/erfc/tgamma/cdf need real special functions → Arrow UDFs ---------------
+
+
+def _pandas_udf_double(fn):
+    ensure_udf_serializable()
+    return F.pandas_udf(fn, "double")
+
+
+def erf(c) -> Column:
+    @F.pandas_udf("double")
+    def _erf(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: math.erf(v) if v == v else float("nan"))
+
+    ensure_udf_serializable()
+    return _erf(F.col(c) if isinstance(c, str) else c)
+
+
+def erfc(c) -> Column:
+    @F.pandas_udf("double")
+    def _erfc(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: math.erfc(v) if v == v else float("nan"))
+
+    ensure_udf_serializable()
+    return _erfc(F.col(c) if isinstance(c, str) else c)
+
+
+def tgamma(c) -> Column:
+    @F.pandas_udf("double")
+    def _g(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: math.gamma(v) if v == v else float("nan"))
+
+    ensure_udf_serializable()
+    return _g(F.col(c) if isinstance(c, str) else c)
+
+
+def _tgamma_col(c: Column) -> Column:
+    return tgamma(c)
+
+
+def cdf(score, df: float = 120.0) -> Column:
+    """Student-t CDF column (reference scalar ``cdf(score[, df])``,
+    ``cdf.cpp:39-96`` — df defaults to 120)."""
+    @F.pandas_udf("double")
+    def _cdf(s: pd.Series) -> pd.Series:
+        from fast_causal_inference_spark import stats_distributions as dist
+
+        return pd.Series(dist.t_cdf(s.to_numpy(dtype=float), df))
+
+    ensure_udf_serializable()
+    return _cdf(F.col(score) if isinstance(score, str) else score)
+
+
+# -- vector ops on array columns (§2.5) -------------------------------------
+
+
+def _c(v) -> Column:
+    return F.col(v) if isinstance(v, str) else v
+
+
+def L1Norm(v) -> Column:
+    return F.aggregate(_c(v), F.lit(0.0), lambda a, x: a + F.abs(x))
+
+
+def L2Norm(v) -> Column:
+    return F.sqrt(F.aggregate(_c(v), F.lit(0.0), lambda a, x: a + x * x))
+
+
+def LinfNorm(v) -> Column:
+    return F.array_max(F.transform(_c(v), lambda x: F.abs(x)))
+
+
+def LpNorm(v, p: float) -> Column:
+    return F.pow(F.aggregate(_c(v), F.lit(0.0),
+                             lambda a, x: a + F.pow(F.abs(x), p)),
+                 1.0 / p)
+
+
+def L1Distance(a, b) -> Column:
+    return F.aggregate(F.zip_with(_c(a), _c(b), lambda x, y: F.abs(x - y)),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def L2Distance(a, b) -> Column:
+    return F.sqrt(L2SquaredDistance(a, b))
+
+
+def L2SquaredDistance(a, b) -> Column:
+    return F.aggregate(F.zip_with(_c(a), _c(b), lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def LinfDistance(a, b) -> Column:
+    return F.array_max(F.zip_with(_c(a), _c(b), lambda x, y: F.abs(x - y)))
+
+
+def LpDistance(a, b, p: float) -> Column:
+    return F.pow(F.aggregate(
+        F.zip_with(_c(a), _c(b), lambda x, y: F.pow(F.abs(x - y), p)),
+        F.lit(0.0), lambda acc, v: acc + v), 1.0 / p)
+
+
+def L1Normalize(v) -> Column:
+    n = L1Norm(v)
+    return F.transform(_c(v), lambda x: x / n)
+
+
+def L2Normalize(v) -> Column:
+    n = L2Norm(v)
+    return F.transform(_c(v), lambda x: x / n)
+
+
+def LinfNormalize(v) -> Column:
+    n = LinfNorm(v)
+    return F.transform(_c(v), lambda x: x / n)
+
+
+def LpNormalize(v, p: float) -> Column:
+    n = LpNorm(v, p)
+    return F.transform(_c(v), lambda x: x / n)
+
+
+def dotProduct(a, b) -> Column:
+    return F.aggregate(F.zip_with(_c(a), _c(b), lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def cosineSimilarity(a, b) -> Column:
+    return dotProduct(a, b) / (L2Norm(a) * L2Norm(b))
+
+
+def cosineDistance(a, b) -> Column:
+    return 1.0 - cosineSimilarity(a, b)

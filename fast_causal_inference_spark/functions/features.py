@@ -1,0 +1,75 @@
+"""Feature engineering: one-hot encoding, explicit/quantile binning.
+
+Parity targets: reference ``features.py:17-282`` (OneHotEncoder / cut_bins /
+Bucketizer with explicit edges or ``quantilesArray``) and ``lib/tools.py:608``.
+Built on native Spark ML transformers / Column expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def one_hot_encode(df: DataFrame, cols: list[str],
+                   drop_last: bool = False) -> DataFrame:
+    """Distinct values → 0/1 indicator columns ``{col}_{value}``.
+
+    Values are discovered with one distinct() per column (driver-side small);
+    the indicators themselves are pure CASE WHEN columns — scoring-friendly
+    and schema-explicit, unlike ML-pipeline vector output.
+    """
+    out = df
+    for c in cols:
+        values = [r[0] for r in
+                  df.select(c).distinct().orderBy(c).collect()
+                  if r[0] is not None]
+        if drop_last and len(values) > 1:
+            values = values[:-1]
+        for v in values:
+            out = out.withColumn(
+                f"{c}_{v}", (F.col(c) == F.lit(v)).cast("int"))
+    return out
+
+
+def cut_bins(col, bins: list[float], labels: list | None = None) -> Column:
+    """Explicit bin edges → labels (reference cut_bins / cutbins macro).
+
+    Bins are left-open/right-closed like the reference: value v falls in bin i
+    when bins[i] < v <= bins[i+1]; outside → NULL.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if labels is None:
+        labels = [f"({bins[i]}, {bins[i+1]}]" for i in range(len(bins) - 1)]
+    if len(labels) != len(bins) - 1:
+        raise ValueError("need len(bins)-1 labels")
+    expr = F.lit(None).cast("string")
+    out = None
+    for i in range(len(bins) - 1):
+        cond = (c > bins[i]) & (c <= bins[i + 1])
+        out = F.when(cond, str(labels[i])) if out is None \
+            else out.when(cond, str(labels[i]))
+    return out.otherwise(expr)
+
+
+def bucketize(df: DataFrame, col: str, splits: list[float] | None = None,
+              num_quantiles: int | None = None,
+              output_col: str | None = None,
+              relative_error: float = 1e-4) -> DataFrame:
+    """Bucket index column from explicit splits or quantile edges.
+
+    ``num_quantiles`` → edges from ``approxQuantile`` (sketch-based — no
+    global sort, works at any scale; the reference's ``quantilesArray`` path).
+    """
+    output_col = output_col or f"{col}_bucket"
+    if splits is None:
+        if not num_quantiles:
+            raise ValueError("need splits or num_quantiles")
+        probs = [i / num_quantiles for i in range(1, num_quantiles)]
+        edges = df.approxQuantile(col, probs, relative_error)
+        splits = [float("-inf")] + sorted(set(edges)) + [float("inf")]
+    from pyspark.ml.feature import Bucketizer
+
+    b = Bucketizer(splits=splits, inputCol=col, outputCol=output_col,
+                   handleInvalid="keep")
+    return b.transform(df)

@@ -93,8 +93,13 @@ def ttest_1samp_result(stats: NumStats, ynode: Node, xnodes: list[Node] | None,
         mean, var = arm_mean_var(stats, ynode, None)
     stderr = math.sqrt(var) if var >= 0 else float("nan")
     estimate = mean - mu
-    t_stat = estimate / stderr if stderr > 0 else (
-        0.0 if abs(estimate) < 2.3e-16 else math.copysign(float("inf"), estimate))
+    if math.isnan(stderr):
+        t_stat = float("nan")
+    elif stderr > 0:
+        t_stat = estimate / stderr
+    else:
+        t_stat = 0.0 if abs(estimate) < 2.3e-16 \
+            else math.copysign(float("inf"), estimate)
     lower, upper = confidence_interval(estimate, stderr, stats.n, alpha, alternative)
     return {
         "n": stats.n, "mean": mean, "estimate": estimate, "stderr": stderr,
@@ -116,8 +121,13 @@ def ttest_2samp_result(stats0: NumStats, stats1: NumStats, ynode: Node,
         mean1, var1 = arm_mean_var(stats1, ynode, None)
     stderr = math.sqrt(var0 + var1) if var0 + var1 >= 0 else float("nan")
     estimate = mean1 - mean0
-    t_stat = estimate / stderr if stderr > 0 else (
-        0.0 if abs(estimate) < 2.3e-16 else math.copysign(float("inf"), estimate))
+    if math.isnan(stderr) or math.isnan(estimate):
+        t_stat = float("nan")
+    elif stderr > 0:
+        t_stat = estimate / stderr
+    else:
+        t_stat = 0.0 if abs(estimate) < 2.3e-16 \
+            else math.copysign(float("inf"), estimate)
     count = stats0.n + stats1.n
     lower, upper = confidence_interval(estimate, stderr, count, alpha, alternative)
     return {

@@ -51,3 +51,28 @@ def matrix_multiplication_df(df: DataFrame, *cols: str, std: bool = False,
     rows = [(i, j, float(m[i, j])) for i in range(m.shape[0])
             for j in range(m.shape[1])]
     return spark.createDataFrame(rows, "i int, j int, value double")
+
+
+def pearsonr(df, x: str, y: str, group_cols: list[str] | None = None):
+    """Pearson correlation with a t-transform p-value (reference CH-only
+    ``Pearsonr`` UDAF — ``AggregateFunctionPearsonr.h``).
+
+    One native agg (F.corr + count); p = 2·P(T_{n−2} > |r|·√((n−2)/(1−r²))).
+    """
+    import pandas as pd
+
+    from fast_causal_inference_spark import stats_distributions as dist
+
+    group_cols = list(group_cols or [])
+    agged = ((df.groupBy(*group_cols) if group_cols else df.groupBy())
+             .agg(F.corr(F.expr(x).cast("double"),
+                         F.expr(y).cast("double")).alias("r"),
+                  F.count(F.lit(1)).alias("n")))
+    pdf = agged.toPandas()
+    r = pdf["r"].to_numpy(dtype=float)
+    n = pdf["n"].to_numpy(dtype=float)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = r * np.sqrt((n - 2) / (1 - r * r))
+    pdf["t_stat"] = t
+    pdf["p_value"] = 2.0 * dist.t_sf(np.abs(t), n - 2)
+    return pd.DataFrame(pdf)

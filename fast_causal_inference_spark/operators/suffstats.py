@@ -77,15 +77,19 @@ class StatView:
         return F.col(_pair_name(self.prefix, i, j))
 
     def mu(self, i: int) -> Column:
-        return self.s(i) / self.n
+        # nullif guards: ANSI mode (Spark 4 default) errors on x/0, and
+        # sparse groups (empty or single-row arms) are routine at scale
+        return self.s(i) / F.nullif(self.n, F.lit(0.0))
 
     def mus(self) -> list[Column]:
         return [self.mu(i) for i in range(self.k)]
 
     def cov(self, i: int, j: int) -> Column:
         """Sample covariance (n-1 denominator), matching the reference
-        (``delta_method.h:174``)."""
-        return (self.c(i, j) - self.s(i) * self.s(j) / self.n) / (self.n - 1)
+        (``delta_method.h:174``); NULL for n ≤ 1 groups (ANSI-safe)."""
+        return ((self.c(i, j) - self.s(i) * self.s(j)
+                 / F.nullif(self.n, F.lit(0.0)))
+                / F.nullif(self.n - 1, F.lit(0.0)))
 
     def var_of_formula_mean(self, node: Node) -> Column:
         """Delta-method Var[f(x̄)] = ∇fᵀ C ∇f / n as a Column expression."""
@@ -161,7 +165,9 @@ def row_to_stats(row, k: int, prefix: str = "") -> NumStats:
         for j in range(i, k):
             c[i, j] = c[j, i] = row[_pair_name(prefix, i, j)]
     means = s / n
-    cov = (c - np.outer(s, s) / n) / (n - 1.0) if n > 1 else np.zeros((k, k))
+    # NaN covariance for n ≤ 1 — consistent with the columnar path's NULLs
+    cov = ((c - np.outer(s, s) / n) / (n - 1.0) if n > 1
+           else np.full((k, k), np.nan))
     return NumStats(n=n, means=means, cov=cov)
 
 
