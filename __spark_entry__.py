@@ -960,6 +960,59 @@ def q_causal_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(pdf)
 
 
+def q_causal_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Causal forest feature importance (rows-only: iterative algorithm)."""
+    from fast_causal_inference_spark.uplift.causal_forest import CausalForest
+
+    li = _load(spark, sf_dir, "lineitem") \
+        .withColumn("arm", (F.col("l_orderkey") % 2).cast("int"))
+    cf = CausalForest(["l_quantity", "l_discount", "l_tax"],
+                      "l_extendedprice", "arm", num_trees=4, max_depth=2,
+                      min_node_size=50, seed=5).fit(li)
+    return spark.createDataFrame(cf.feature_importance())
+
+
+def q_ttest_2samp_pse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-stratified t-test, strata = l_linestatus."""
+    from fast_causal_inference_spark.operators.ttest import ttest_2samp
+
+    li = _load(spark, sf_dir, "lineitem") \
+        .withColumn("treatment", (F.col("l_orderkey") % 2).cast("int"))
+    out = ttest_2samp(li, "avg(l_extendedprice)", "treatment",
+                      pse="l_linestatus")
+    return _round_all(out, [], _TTEST_COLS, 6)
+
+
+_TTEST_PSE_SQL = """
+WITH cells AS (
+  SELECT l_linestatus AS s, l_orderkey % 2 AS arm,
+         CAST(count(*) AS DOUBLE) AS n, avg(l_extendedprice) AS m,
+         var_samp(l_extendedprice) AS v
+  FROM lineitem GROUP BY 1, 2
+), strata AS (
+  SELECT a0.s, a0.n AS n0, a1.n AS n1, a0.m AS m0, a1.m AS m1,
+         a0.v AS v0, a1.v AS v1, a0.n + a1.n AS ns
+  FROM (SELECT * FROM cells WHERE arm = 0) a0
+  JOIN (SELECT * FROM cells WHERE arm = 1) a1 USING (s)
+  WHERE a0.n >= 2 AND a1.n >= 2
+), tot AS (SELECT sum(ns) AS t FROM strata),
+comb AS (
+  SELECT sum(n0) AS n0, sum(n1) AS n1,
+         sum(m0 * ns/(SELECT t FROM tot)) AS mean0,
+         sum(m1 * ns/(SELECT t FROM tot)) AS mean1,
+         sum((v0/n0) * (ns/(SELECT t FROM tot))*(ns/(SELECT t FROM tot))) AS var0,
+         sum((v1/n1) * (ns/(SELECT t FROM tot))*(ns/(SELECT t FROM tot))) AS var1
+  FROM strata
+)
+SELECT round(n0, 6) AS n0, round(n1, 6) AS n1,
+       round(mean0, 6) AS mean0, round(mean1, 6) AS mean1,
+       round(mean1 - mean0, 6) AS estimate,
+       round(sqrt(var0 + var1), 6) AS stderr,
+       round((mean1 - mean0)/sqrt(var0 + var1), 6) AS t_stat
+FROM comb
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q_q1_pricing_summary,
@@ -994,6 +1047,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caliper_matching": q_caliper_matching,
         "pearsonr": q_pearsonr,
         "causal_tree": q_causal_tree,
+        "causal_forest": q_causal_forest,
+        "ttest_2samp_pse": q_ttest_2samp_pse,
     }
 
 
@@ -1025,4 +1080,5 @@ def oracle_sql() -> dict[str, str]:
         "group_set": _GROUP_SET_SQL,
         "caliper_matching": _CALIPER_SQL,
         "pearsonr": _PEARSONR_SQL,
+        "ttest_2samp_pse": _TTEST_PSE_SQL,
     }

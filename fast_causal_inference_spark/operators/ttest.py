@@ -56,13 +56,20 @@ def ttest_2samp(df: DataFrame, Y: str, index: str,
                 alternative: str = "two-sided", X: str | None = None,
                 alpha: float = 0.05,
                 treatment_values: tuple = (0, 1),
-                group_cols: list[str] | None = None) -> DataFrame:
+                group_cols: list[str] | None = None,
+                pse: str | None = None) -> DataFrame:
     """Two-sample delta-method t-test of a metric formula, optional CUPED.
 
     ``Y`` like ``avg(numerator)/avg(denominator)``; ``index`` a column whose
     values in ``treatment_values`` define (control, treatment); ``X`` a
-    '+'-separated list of covariate formulas for CUPED residualization.
+    '+'-separated list of covariate formulas for CUPED residualization;
+    ``pse`` a discrete column for post-stratification (strata combined with
+    weights n_s/n — mean: Σw·m_s, variance: Σw²·v_s — matching the reference
+    ``ttest_2samp.h:292-358``; single-arm/singleton strata are skipped).
     """
+    if pse is not None:
+        return _ttest_2samp_pse(df, Y, index, alternative, X, alpha,
+                                treatment_values, group_cols, pse)
     if alternative not in core.ALTERNATIVES:
         raise ValueError(f"alternative must be one of {core.ALTERNATIVES}")
     group_cols = list(group_cols or [])
@@ -93,6 +100,81 @@ def ttest_2samp(df: DataFrame, Y: str, index: str,
 
     ensure_udf_serializable()
     return agged.mapInPandas(finalize, schema)
+
+
+def _ttest_2samp_pse(df: DataFrame, Y: str, index: str, alternative: str,
+                     X: str | None, alpha: float, treatment_values: tuple,
+                     group_cols: list[str] | None, pse: str) -> DataFrame:
+    """Post-stratified two-sample t-test (see ttest_2samp docstring)."""
+    import math
+
+    if alternative not in core.ALTERNATIVES:
+        raise ValueError(f"alternative must be one of {core.ALTERNATIVES}")
+    group_cols = list(group_cols or [])
+    x_parts = _split_cuped(X)
+    nodes, base = parse_formulas([Y] + x_parts)
+    ynode, xnodes = nodes[0], nodes[1:]
+    k = len(base)
+
+    idx = F.col(index) if index.isidentifier() else F.expr(index)
+    psec = F.col(pse) if pse.isidentifier() else F.expr(pse)
+    v0, v1 = treatment_values
+    aggs = (suffstat_agg_columns(base, "g0_", idx == F.lit(v0))
+            + suffstat_agg_columns(base, "g1_", idx == F.lit(v1)))
+    agged = df.groupBy(*group_cols, psec.alias("__pse")).agg(*aggs)
+
+    schema = _result_schema(agged, group_cols, _RESULT_2SAMP)
+
+    def finalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        total = 0.0
+        strata = []
+        for _, r in pdf.iterrows():
+            s0 = row_to_stats(r, k, "g0_")
+            s1 = row_to_stats(r, k, "g1_")
+            if s0.n < 2 or s1.n < 2 or np.isnan(s0.n) or np.isnan(s1.n):
+                continue
+            strata.append((s0, s1))
+            total += s0.n + s1.n
+        mean0 = mean1 = var0 = var1 = 0.0
+        n0 = n1 = 0.0
+        for s0, s1 in strata:
+            if xnodes:
+                from fast_causal_inference_spark.operators.suffstats import (
+                    merge_stats,
+                )
+
+                pooled = merge_stats(s0, s1)
+                theta = core.cuped_theta(pooled, ynode, xnodes)
+                m0, vv0 = core.arm_mean_var(s0, ynode, xnodes, pooled, theta)
+                m1, vv1 = core.arm_mean_var(s1, ynode, xnodes, pooled, theta)
+            else:
+                m0, vv0 = core.arm_mean_var(s0, ynode, None)
+                m1, vv1 = core.arm_mean_var(s1, ynode, None)
+            w = (s0.n + s1.n) / total
+            mean0 += m0 * w
+            mean1 += m1 * w
+            var0 += vv0 * w * w
+            var1 += vv1 * w * w
+            n0 += s0.n
+            n1 += s1.n
+        estimate = mean1 - mean0
+        stderr = math.sqrt(var0 + var1) if strata else float("nan")
+        t_stat = estimate / stderr if stderr and stderr > 0 else float("nan")
+        lower, upper = core.confidence_interval(
+            estimate, stderr, n0 + n1, alpha, alternative)
+        rows = [{**{g: pdf[g].iloc[0] for g in group_cols},
+                 "n0": n0, "n1": n1, "mean0": mean0, "mean1": mean1,
+                 "estimate": estimate, "stderr": stderr, "t_stat": t_stat,
+                 "p_value": core.p_value(t_stat, alternative),
+                 "lower": lower, "upper": upper}]
+        return pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    ensure_udf_serializable()
+    gb = agged.groupBy(*group_cols) if group_cols \
+        else agged.groupBy(F.lit(1).alias("__dummy"))
+    return gb.applyInPandas(finalize, schema)
 
 
 def ttest_1samp(df: DataFrame, Y: str, alternative: str = "two-sided",

@@ -141,3 +141,40 @@ def test_srm(spark, ab_pdf, ab_df):
     chi2 = (((f_obs - f_exp) ** 2) / f_exp).sum()
     assert out["chisquare"].iloc[0] == pytest.approx(chi2, rel=1e-9)
     assert out["observed"].to_numpy() == pytest.approx(f_obs)
+
+
+def test_ttest_2samp_pse(spark, ab_pdf, ab_df):
+    """PSE: stratified on a discrete covariate; matches hand-rolled
+    post-stratified combination (w = n_s/n, mean Σw·m, var Σw²·v)."""
+    import numpy as np
+
+    df = ab_df.withColumn("stratum", (ab_df.x3 > 1).cast("int"))
+    res = ttest_2samp(df, "avg(y)", "treatment", pse="stratum") \
+        .collect()[0].asDict()
+    pdf = ab_pdf.assign(stratum=(ab_pdf.x3 > 1).astype(int))
+    total = len(pdf)
+    mean = {0: 0.0, 1: 0.0}
+    var = {0: 0.0, 1: 0.0}
+    for _, cell in pdf.groupby("stratum"):
+        w = len(cell) / total
+        for t in (0, 1):
+            arm = cell[cell.treatment == t].y
+            mean[t] += w * arm.mean()
+            var[t] += w * w * arm.var(ddof=1) / len(arm)
+    est = mean[1] - mean[0]
+    se = math.sqrt(var[0] + var[1])
+    assert res["estimate"] == pytest.approx(est, rel=1e-9)
+    assert res["stderr"] == pytest.approx(se, rel=1e-9)
+    # PSE with a prognostic stratum should not hurt precision materially
+    plain = ttest_2samp(ab_df, "avg(y)", "treatment").collect()[0].asDict()
+    assert res["stderr"] < plain["stderr"] * 1.05
+
+
+def test_ttest_2samp_pse_grouped(spark, ab_df):
+    df = ab_df.withColumn("stratum", (ab_df.x3 > 1).cast("int")) \
+              .withColumn("seg", (ab_df.x1 > 0).cast("int"))
+    rows = ttest_2samp(df, "avg(y)", "treatment", pse="stratum",
+                       group_cols=["seg"]).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert np.isfinite(r["estimate"]) and r["stderr"] > 0
