@@ -58,10 +58,11 @@ class CausalDataFrame:
 
     def ttest_2samp(self, Y: str, index: str, alternative: str = "two-sided",
                     X: str | None = None, alpha: float = 0.05,
-                    treatment_values=(0, 1), group_cols=None):
+                    treatment_values=(0, 1), group_cols=None,
+                    pse: str | None = None):
         from fast_causal_inference_spark.operators.ttest import ttest_2samp
         return ttest_2samp(self._df, Y, index, alternative, X, alpha,
-                           treatment_values, group_cols)
+                           treatment_values, group_cols, pse)
 
     def srm(self, x: str, groupby: str, ratio=None):
         from fast_causal_inference_spark.operators.srm import srm

@@ -15,6 +15,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -63,7 +64,10 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
 
 
 def hyperplane_signature(vec: Column, planes: np.ndarray) -> Column:
-    """Pack sign(v·hᵢ) bits into a long (n_planes ≤ 63)."""
+    """Pack sign(v·hᵢ) bits into a long (n_planes ≤ 63). Column-expression
+    form — fine for a handful of planes; use :func:`bucket_signatures_udf`
+    for many tables (one numpy matmul per Arrow batch beats hundreds of
+    nested higher-order aggregates in codegen)."""
     n_planes = planes.shape[0]
     bits = []
     for i in range(n_planes):
@@ -77,6 +81,37 @@ def hyperplane_signature(vec: Column, planes: np.ndarray) -> Column:
     return out
 
 
+def bucket_signatures_udf(tables: list[np.ndarray]):
+    """Arrow UDF: embedding → array of per-table bucket ids.
+
+    All tables' hyperplanes are stacked into ONE (Σplanes × dim) matrix so a
+    batch of B vectors costs a single (B × dim)·(dim × Σplanes) matmul.
+    """
+    from fast_causal_inference_spark.serialization import (
+        ensure_udf_serializable,
+    )
+
+    stacked = np.vstack(tables)                      # (total_planes, dim)
+    sizes = [t.shape[0] for t in tables]
+    offsets = np.cumsum([0] + sizes)
+    pows = [2 ** np.arange(s, dtype=np.int64) for s in sizes]
+
+    @F.pandas_udf("array<long>")
+    def _sig(vecs: pd.Series) -> pd.Series:
+        import numpy as _np
+
+        X = _np.stack(vecs.to_numpy())               # (B, dim)
+        bits = (X @ stacked.T) > 0                   # (B, total_planes)
+        out = []
+        for b in bits:
+            out.append([int(b[offsets[t]:offsets[t + 1]] @ pows[t])
+                        for t in range(len(sizes))])
+        return pd.Series(out)
+
+    ensure_udf_serializable()
+    return _sig
+
+
 def lsh_knn(df: DataFrame, queries: DataFrame, k: int = 10,
             id_col: str = "vec_id", vec_col: str = "embedding",
             query_id_col: str = "query_id", query_vec_col: str = "query_vec",
@@ -85,14 +120,12 @@ def lsh_knn(df: DataFrame, queries: DataFrame, k: int = 10,
     """Approximate top-k: ``n_tables`` independent hyperplane tables; rows
     colliding with the query in ANY table are candidates, reranked exactly."""
     tables = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+    sig = bucket_signatures_udf(tables)
 
     def with_buckets(frame: DataFrame, vcol: str, keep: list[str]) -> DataFrame:
-        buckets = F.array(*[
-            F.struct(F.lit(t).alias("table"),
-                     hyperplane_signature(F.col(vcol), tables[t]).alias("bucket"))
-            for t in range(n_tables)])
-        return frame.select(*keep, vcol, F.explode(buckets).alias("tb")) \
-                    .select(*keep, vcol, "tb.table", "tb.bucket")
+        return (frame.withColumn("__sigs", sig(F.col(vcol)))
+                .select(*keep, vcol,
+                        F.posexplode("__sigs").alias("table", "bucket")))
 
     corpus_b = with_buckets(df, vec_col, [id_col])
     query_b = with_buckets(queries, query_vec_col, [query_id_col])
@@ -113,13 +146,10 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                              n_planes: int = 14, seed: int = 42) -> DataFrame:
     """Pairs with cosine ≥ threshold via LSH bucket self-join + exact verify."""
     tables = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
-    buckets = F.array(*[
-        F.struct(F.lit(t).alias("table"),
-                 hyperplane_signature(F.col(vec_col), tables[t]).alias("bucket"))
-        for t in range(n_tables)])
-    b = (df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                   F.explode(buckets).alias("tb"))
-           .select("id", "v", "tb.table", "tb.bucket"))
+    sig = bucket_signatures_udf(tables)
+    b = (df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+           .withColumn("__sigs", sig(F.col("v")))
+           .select("id", "v", F.posexplode("__sigs").alias("table", "bucket")))
     l, r = b.alias("l"), b.alias("r")
     cand = (l.join(r, [F.col("l.table") == F.col("r.table"),
                        F.col("l.bucket") == F.col("r.bucket"),

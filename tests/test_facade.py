@@ -1,0 +1,65 @@
+"""CausalDataFrame facade: relational verbs delegate to native Spark."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fast_causal_inference_spark.dataframe import (
+    CausalDataFrame,
+    readCsv,
+    readParquet,
+    readSparkDf,
+)
+
+
+def test_relational_chaining(spark, ab_df):
+    cdf = readSparkDf(ab_df)
+    out = (cdf.filter("x1 > 0")
+              .withColumn("z", F.col("x1") * 2)
+              .select("z", "treatment", "y")
+              .withColumnRenamed("z", "x2z"))
+    assert isinstance(out, CausalDataFrame)
+    assert set(out.columns) == {"x2z", "treatment", "y"}
+    assert out.count() == ab_df.filter("x1 > 0").count()
+
+
+def test_join_union_sample_split(spark, ab_df):
+    cdf = readSparkDf(ab_df.select("treatment", "y", "x1"))
+    dims = readSparkDf(
+        spark.createDataFrame([(0, "control"), (1, "treat")], "treatment int, name string"))
+    joined = cdf.join(dims.df, on="treatment", how="left")
+    assert "name" in joined.columns
+    semi = cdf.join(dims.df.filter("treatment = 1"), on="treatment", how="left_semi")
+    assert semi.select("treatment").distinct().count() == 1
+    u = cdf.unionByName(cdf.df)
+    assert u.count() == 2 * cdf.count()
+    s = cdf.sample(0.5, seed=1)
+    assert 0 < s.count() < cdf.count()
+    a, b = cdf.randomSplit([0.8, 0.2], seed=1)
+    assert a.count() + b.count() == cdf.count()
+
+
+def test_describe(spark, ab_df):
+    d = readSparkDf(ab_df).describe(["y", "x1"])
+    assert list(d.columns) == ["y", "x1"]
+    assert d.loc["count", "y"] == ab_df.count()
+    assert d.loc["25%", "y"] <= d.loc["50%", "y"] <= d.loc["75%", "y"]
+
+
+def test_stat_verbs_through_facade(spark, ab_df):
+    cdf = readSparkDf(ab_df)
+    tt = cdf.ttest_2samp("avg(y)", "treatment").collect()[0]
+    assert tt["p_value"] < 0.05                 # y has a true effect
+    m = cdf.ols("y ~ x1 + x2")
+    assert len(m.beta) == 3
+    dm = cdf.delta_method("avg(numerator)/avg(denominator)")
+    assert dm.collect()[0][0] > 0
+
+
+def test_readers(spark, tmp_path, ab_pdf):
+    p = str(tmp_path / "t.csv")
+    ab_pdf.head(100).to_csv(p, index=False)
+    cdf = readCsv(p, spark)
+    assert cdf.count() == 100
+    pq = str(tmp_path / "t.parquet")
+    spark.createDataFrame(ab_pdf.head(50)).write.parquet(pq)
+    assert readParquet(pq, spark).count() == 50
