@@ -84,6 +84,78 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: revenue per order for a market segment — fact-fact
+    join with a broadcast customer dimension filter."""
+    li = _load(spark, sf_dir, "lineitem")
+    o = _load(spark, sf_dir, "orders")
+    c = _load(spark, sf_dir, "customer")
+    dec = "decimal(27,7)"
+    cust = F.broadcast(c.where(F.col("c_mktsegment") == "BUILDING")
+                        .select("c_custkey"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+              .join(cust, o.o_custkey == F.col("c_custkey"))
+              .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+              .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                         .cast(dec)).cast("double").alias("revenue"))
+              .orderBy(F.desc("revenue"), "o_orderkey")
+              .limit(10)
+              .select("o_orderkey", "o_orderpriority", "revenue"))
+
+
+_Q3_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,7)))
+            AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: revenue by nation within one region — a 5-way join
+    where every dimension side is broadcast."""
+    li = _load(spark, sf_dir, "lineitem")
+    o = _load(spark, sf_dir, "orders")
+    c = _load(spark, sf_dir, "customer")
+    s = _load(spark, sf_dir, "supplier")
+    n = _load(spark, sf_dir, "nation")
+    r = _load(spark, sf_dir, "region")
+    dec = "decimal(27,7)"
+    nr = F.broadcast(n.join(r.where(F.col("r_name") == "ASIA"),
+                            n.n_regionkey == r.r_regionkey)
+                      .select("n_nationkey", "n_name"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+              .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+              .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+              .join(nr, (c.c_nationkey == F.col("n_nationkey"))
+                        & (s.s_nationkey == F.col("n_nationkey")))
+              .groupBy("n_name")
+              .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                         .cast(dec)).cast("double").alias("revenue"))
+              .orderBy(F.desc("revenue")))
+
+
+_Q5_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,7)))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON c_nationkey = n_nationkey AND s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC
+"""
+
+
 def q_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta-method SE of avg(l_extendedprice)/avg(l_quantity) per returnflag."""
     from fast_causal_inference_spark.operators.deltamethod import delta_method
@@ -1016,6 +1088,8 @@ FROM comb
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q_q1_pricing_summary,
+        "q3_shipping_priority": q_q3_shipping_priority,
+        "q5_region_revenue": q_q5_region_revenue,
         "delta_method": q_delta_method,
         "ttest_1samp": q_ttest_1samp,
         "ttest_2samp": q_ttest_2samp,
@@ -1055,6 +1129,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": _Q1_SQL,
+        "q3_shipping_priority": _Q3_SQL,
+        "q5_region_revenue": _Q5_SQL,
         "delta_method": _DELTA_SQL,
         "ttest_1samp": _TTEST1_SQL,
         "ttest_2samp": _TTEST_SQL,

@@ -1,0 +1,235 @@
+"""All-in-SQL macro front-end.
+
+The reference exposes its operators as SQL "macro" functions expanded by a
+forked Calcite gateway (``SqlForward.java``, parsers in ``sql/olap/`` —
+deltamethod, ttest_1samp/2samp, srm, ols/wls, did, lift, linearDML,
+caliperMatching, xexpt_ttest_2samp…). Here the same surface is a thin
+pre-processor: ``sql(spark, "SELECT ttest_2samp('avg(n)/avg(d)', t) FROM
+tbl WHERE ... GROUP BY g")`` detects a macro call in the select list, applies
+WHERE/GROUP BY, and routes to the corresponding operator — no string-template
+SQL generation, Catalyst sees the operator's native plan. Non-macro SQL falls
+through to ``spark.sql`` untouched.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MACRO_RE = re.compile(
+    r"^\s*SELECT\s+(?P<fn>[A-Za-z_][A-Za-z_0-9]*)\s*\((?P<args>.*)\)\s*"
+    r"FROM\s+(?P<table>[A-Za-z_][\w.]*)"
+    r"(?:\s+WHERE\s+(?P<where>.*?))?"
+    r"(?:\s+GROUP\s+BY\s+(?P<groupby>.*?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+MACROS = frozenset({
+    "deltamethod", "delta_method", "avg_metric",
+    "ttest_1samp", "ttest_2samp", "ttests_2samp",
+    "xexpt_ttest_2samp", "srm",
+    "mann_whitney_utest", "kolmogorov_smirnov_test",
+    "ols", "wls", "did", "ivregression", "iv_regression",
+    "lineardml", "nonparamdml", "lift", "calipermatching", "exactmatching",
+    "boot_strap", "bootstrap", "permutation", "group_set", "pearsonr",
+})
+
+
+def _split_args(s: str) -> list[str]:
+    """Split on top-level commas (paren/quote aware)."""
+    out, depth, cur, quote = [], 0, [], None
+    for ch in s:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return [a for a in out if a]
+
+
+def _lit(arg: str):
+    """Unquote string literals; parse numbers and kwarg forms."""
+    a = arg.strip()
+    if len(a) >= 2 and a[0] in "'\"" and a[-1] == a[0]:
+        return a[1:-1]
+    try:
+        return int(a)
+    except ValueError:
+        pass
+    try:
+        return float(a)
+    except ValueError:
+        pass
+    return a
+
+
+def _kwargs(args: list[str]) -> tuple[list, dict]:
+    pos, kw = [], {}
+    for a in args:
+        m = re.match(r"^([A-Za-z_][A-Za-z_0-9]*)\s*=\s*(?![=])(.*)$", a)
+        if m and m.group(1).lower() not in ("x",):  # X='...' stays positional-ish
+            kw[m.group(1)] = _lit(m.group(2))
+        elif m:
+            kw[m.group(1)] = _lit(m.group(2))
+        else:
+            pos.append(_lit(a))
+    return pos, kw
+
+
+def sql(spark: SparkSession, query: str):
+    """Run a (possibly macro-bearing) SQL string.
+
+    Returns whatever the macro returns (DataFrame or pandas DataFrame for
+    report-style operators); plain SQL returns ``spark.sql(query)``.
+    """
+    m = _MACRO_RE.match(query)
+    if not m or m.group("fn").lower() not in MACROS:
+        return spark.sql(query)
+    fn = m.group("fn").lower()
+    df = spark.table(m.group("table"))
+    if m.group("where"):
+        df = df.where(m.group("where"))
+    group_cols = None
+    if m.group("groupby"):
+        from pyspark.sql import functions as F
+
+        group_cols = []
+        for i, g in enumerate(s.strip() for s in m.group("groupby").split(",")):
+            if g.isidentifier():
+                group_cols.append(g)
+            else:
+                # expression keys are materialized so operators see plain names
+                name = f"group_{i}"
+                df = df.withColumn(name, F.expr(g))
+                group_cols.append(name)
+    pos, kw = _kwargs(_split_args(m.group("args")))
+    return _dispatch(fn, df, pos, kw, group_cols)
+
+
+def _dispatch(fn: str, df: DataFrame, pos: list, kw: dict,
+              group_cols: list[str] | None):
+    from fast_causal_inference_spark.operators import (
+        deltamethod,
+        dml,
+        groupset,
+        kstest,
+        mann_whitney,
+        matching,
+        matrix,
+        ols,
+        resample,
+        srm,
+        ttest,
+        xexpt,
+    )
+
+    if fn in ("deltamethod", "delta_method"):
+        std = bool(kw.pop("std", pos[1] if len(pos) > 1 else True))
+        return deltamethod.delta_method(df, pos[0], std=std,
+                                        group_cols=group_cols, **kw)
+    if fn == "avg_metric":
+        return deltamethod.avg_metric(df, pos[0], group_cols=group_cols)
+    if fn == "ttest_1samp":
+        return ttest.ttest_1samp(df, pos[0],
+                                 *(p for p in pos[1:]), group_cols=group_cols,
+                                 **{k.lower(): v for k, v in kw.items()})
+    if fn == "ttest_2samp":
+        x = kw.pop("X", kw.pop("x", None))
+        extra = [p for p in pos[2:]]
+        alt = extra[0] if extra else kw.pop("alternative", "two-sided")
+        return ttest.ttest_2samp(df, pos[0], str(pos[1]), alternative=alt,
+                                 X=x, group_cols=group_cols,
+                                 pse=kw.pop("pse", None))
+    if fn == "ttests_2samp":
+        return ttest.ttests_2samp(df, pos[0], str(pos[1]),
+                                  alternatives=pos[2] if len(pos) > 2
+                                  else "two-sided", group_cols=group_cols)
+    if fn == "xexpt_ttest_2samp":
+        return xexpt.xexpt_ttest_2samp_spark(
+            df, str(pos[0]), str(pos[1]), str(pos[2]), str(pos[3]),
+            **{k.lower() if k in ("MDE", "X") else k: v
+               for k, v in kw.items()})
+    if fn == "srm":
+        ratio = kw.pop("ratio", pos[2] if len(pos) > 2 else None)
+        if isinstance(ratio, str):
+            ratio = [float(x) for x in re.findall(r"[\d.]+", ratio)]
+        return srm.srm_spark(df, str(pos[0]), str(pos[1]), ratio)
+    if fn == "mann_whitney_utest":
+        return mann_whitney.mann_whitney_utest_spark(df, str(pos[0]),
+                                                     str(pos[1]), **kw)
+    if fn == "kolmogorov_smirnov_test":
+        return kstest.kolmogorov_smirnov_test_spark(df, str(pos[0]),
+                                                    str(pos[1]))
+    if fn in ("ols", "wls"):
+        if len(pos) == 1 and "~" in str(pos[0]):
+            formula = str(pos[0])
+        else:
+            formula = f"{pos[0]} ~ {' + '.join(str(p) for p in pos[1:])}"
+        if fn == "wls":
+            return ols.wls(df, formula, weight=str(kw.get("weight", pos[-1])))
+        return ols.ols(df, formula, use_bias=bool(kw.get("use_bias", True)))
+    if fn == "did":
+        return ols.did(df, str(pos[0]), str(pos[1]), str(pos[2]),
+                       *(str(p) for p in pos[3:]))
+    if fn in ("ivregression", "iv_regression"):
+        return ols.iv_regression(df, str(pos[0]))
+    if fn == "lineardml":
+        x = kw.pop("X", None) or pos[2]
+        xs = [p.strip() for p in str(x).split("+")]
+        return dml.linear_dml(df, str(pos[0]), str(pos[1]), xs,
+                              cv=int(kw.pop("cv", 3)), **kw)
+    if fn == "nonparamdml":
+        xs = [p.strip() for p in str(pos[2]).split("+")]
+        return dml.non_param_dml(df, str(pos[0]), str(pos[1]), xs,
+                                 cv=int(kw.pop("cv", 3)))
+    if fn == "lift":
+        from fast_causal_inference_spark.uplift import evaluation
+
+        return evaluation.get_lift_gain(df, str(pos[0]), str(pos[1]),
+                                        str(pos[2]),
+                                        k=int(pos[3]) if len(pos) > 3 else 10)
+    if fn == "calipermatching":
+        return matching.caliper_matching(
+            df, str(pos[0]), str(pos[1]),
+            caliper=float(pos[2]) if len(pos) > 2 else 0.05,
+            k=int(kw.get("k", 1)))
+    if fn == "exactmatching":
+        return matching.exact_matching(df, str(pos[0]),
+                                       [str(p) for p in pos[1:]])
+    if fn in ("boot_strap", "bootstrap"):
+        return resample.boot_strap(df, str(pos[0]),
+                                   n_resamples=int(pos[1]) if len(pos) > 1
+                                   else 100,
+                                   **{k: v for k, v in kw.items()})
+    if fn == "permutation":
+        import pandas as _pd
+
+        out = resample.permutation(df, str(pos[0]), str(pos[1]),
+                                   permutation_num=int(pos[2])
+                                   if len(pos) > 2 else 100)
+        return df.sparkSession.createDataFrame(_pd.DataFrame(out))
+    if fn == "group_set":
+        return groupset.group_set(df, str(pos[0]), str(pos[1]),
+                                  [str(p) for p in pos[2:]])
+    if fn == "pearsonr":
+        out = matrix.pearsonr(df, str(pos[0]), str(pos[1]),
+                              group_cols=group_cols)
+        return df.sparkSession.createDataFrame(out)
+    raise ValueError(f"unknown macro {fn!r}")

@@ -21,20 +21,38 @@ from pyspark.sql import functions as F
 
 
 def _bucketed_stats(df: DataFrame, ite: str, y: str, t: str,
-                    k: int, tiebreak: str | None = None) -> pd.DataFrame:
+                    k: int, tiebreak: str | None = None,
+                    method: str = "ntile") -> pd.DataFrame:
     """Per-ITE-rank-bucket treatment/control counts and outcome sums.
 
     ``tiebreak`` — optional column giving a deterministic total order under
     score ties (needed for engine-reproducible bucketing).
+    ``method='quantile'`` — the scale path: bucket by approxQuantile sketch
+    edges of the ITE instead of a global ntile sort (a single-partition
+    window is the one non-distributed step of the exact variant; the sketch
+    keeps everything parallel at the cost of slightly uneven buckets).
     """
     tcol = F.expr(t).cast("double")
     ycol = F.expr(y).cast("double")
-    order = [F.desc("__ite")] + ([F.col("__tb")] if tiebreak else [])
     sel = [ycol.alias("__y"), tcol.alias("__t"), F.expr(ite).alias("__ite")]
     if tiebreak:
         sel.append(F.expr(tiebreak).alias("__tb"))
-    b = (df.select(*sel)
-           .withColumn("__bucket", F.ntile(k).over(Window.orderBy(*order))))
+    base = df.select(*sel)
+    if method == "quantile":
+        probs = [i / k for i in range(1, k)]
+        edges = base.approxQuantile("__ite", probs, 0.001)
+        edges = sorted(set(edges), reverse=True)   # bucket 1 = highest ITE
+        bucket = None
+        for i, e in enumerate(edges):
+            cond = F.col("__ite") > e
+            bucket = F.when(cond, i + 1) if bucket is None \
+                else bucket.when(cond, i + 1)
+        bucket = (bucket.otherwise(len(edges) + 1) if bucket is not None
+                  else F.lit(1))
+        b = base.withColumn("__bucket", bucket)
+    else:
+        order = [F.desc("__ite")] + ([F.col("__tb")] if tiebreak else [])
+        b = base.withColumn("__bucket", F.ntile(k).over(Window.orderBy(*order)))
     agg = (b.groupBy("__bucket")
            .agg(F.count(F.lit(1)).alias("n"),
                 F.sum("__t").alias("n1"),
@@ -49,14 +67,15 @@ def _bucketed_stats(df: DataFrame, ite: str, y: str, t: str,
 
 
 def get_lift_gain(df: DataFrame, ite: str, y: str, t: str,
-                  k: int = 10, tiebreak: str | None = None) -> pd.DataFrame:
+                  k: int = 10, tiebreak: str | None = None,
+                  method: str = "ntile") -> pd.DataFrame:
     """Cumulative lift/gain table over K ITE-ranked buckets.
 
     Columns: bucket, ratio (population share), lift (cumulative uplift of the
     targeted share), gain (lift·ratio, i.e. cumulative incremental outcome per
     capita scaled), ate_baseline (overall ATE), random_gain (ATE·ratio).
     """
-    pdf = _bucketed_stats(df, ite, y, t, k, tiebreak)
+    pdf = _bucketed_stats(df, ite, y, t, k, tiebreak, method)
     cn1 = pdf.n1.cumsum()
     cn0 = pdf.n0.cumsum()
     cy1 = pdf.y1.cumsum()

@@ -200,3 +200,29 @@ class PropensityModel:
 
     def predict(self, df: DataFrame, alias: str = "propensity") -> DataFrame:
         return df.withColumn(alias, self.model_.predict_proba_column())
+
+
+@dataclass
+class RetrospectiveLearner:
+    """Retrospective estimation (binary outcomes): model P(T=1 | Y=1, X)
+    among converters; under randomized assignment with known treatment share
+    the score ranks uplift (reference ships the same learner in its PySpark
+    uplift library)."""
+
+    features: list[str]
+    outcome: str = "y"
+    treatment: str = "treatment"
+    model_: object = field(default=None, repr=False)
+
+    def fit(self, df: DataFrame) -> "RetrospectiveLearner":
+        converters = df.where(F.expr(self.outcome).cast("double") == 1)
+        self.model_ = logistic_regression(
+            converters, _formula(self.treatment, self.features))
+        return self
+
+    def ite_column(self) -> Column:
+        # monotone uplift score; calibrate externally if effect sizes needed
+        return self.model_.predict_proba_column()
+
+    def predict(self, df: DataFrame, alias: str = "ite") -> DataFrame:
+        return df.withColumn(alias, self.ite_column())

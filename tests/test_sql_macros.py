@@ -1,0 +1,82 @@
+"""All-in-SQL macro front-end: macros route to operators; plain SQL passes
+through; results agree with direct operator calls."""
+
+import pytest
+
+from fast_causal_inference_spark.plans.sql_macros import sql
+
+
+@pytest.fixture(scope="module", autouse=True)
+def views(spark, ab_df):
+    ab_df.createOrReplaceTempView("ab")
+    yield
+
+
+def test_plain_sql_passthrough(spark):
+    out = sql(spark, "SELECT count(*) AS n FROM ab")
+    assert out.collect()[0]["n"] == 4000
+
+
+def test_deltamethod_macro(spark, ab_df):
+    from fast_causal_inference_spark.operators.deltamethod import delta_method
+
+    got = sql(spark, "SELECT deltamethod('avg(numerator)/avg(denominator)') FROM ab") \
+        .collect()[0][0]
+    want = delta_method(ab_df, "avg(numerator)/avg(denominator)").collect()[0][0]
+    assert got == pytest.approx(want, rel=1e-12)
+
+
+def test_ttest_macro_with_where_and_groupby(spark, ab_df):
+    from fast_causal_inference_spark.operators.ttest import ttest_2samp
+
+    got = sql(spark, "SELECT ttest_2samp('avg(y)', treatment) FROM ab "
+                     "WHERE x1 > 0 GROUP BY x3 > 1")
+    assert got.count() == 2
+    from pyspark.sql import functions as F
+
+    direct = ttest_2samp(ab_df.where("x1 > 0").withColumn("group_0", F.expr("x3 > 1")),
+                         "avg(y)", "treatment", group_cols=["group_0"])
+    # same estimates (join on the boolean group key)
+    g = {r[0]: r["estimate"] for r in got.collect()}
+    d = {r[0]: r["estimate"] for r in direct.collect()}
+    for k in g:
+        assert g[k] == pytest.approx(d[k], rel=1e-12)
+
+
+def test_ttest_cuped_macro(spark):
+    out = sql(spark, "SELECT ttest_2samp('avg(numerator)/avg(denominator)', "
+                     "treatment, X='avg(numerator_pre)/avg(denominator_pre)') "
+                     "FROM ab").collect()[0]
+    assert out["stderr"] > 0
+
+
+def test_ols_macro_forms(spark, ab_df):
+    from fast_causal_inference_spark.operators.ols import ols as ols_op
+
+    m1 = sql(spark, "SELECT ols('y ~ x1 + x2') FROM ab")
+    m2 = sql(spark, "SELECT ols(y, x1, x2) FROM ab")
+    want = ols_op(ab_df, "y ~ x1 + x2")
+    assert m1.beta == pytest.approx(want.beta, rel=1e-12)
+    assert m2.beta == pytest.approx(want.beta, rel=1e-12)
+
+
+def test_lineardml_macro(spark):
+    res = sql(spark, "SELECT linearDML(y, treatment, x1+x2, cv=3) FROM ab")
+    assert res.ate == pytest.approx(0.9, abs=0.2)      # true effect 0.9
+
+
+def test_srm_and_lift_macros(spark):
+    srm_out = sql(spark, "SELECT srm(denominator, treatment) FROM ab")
+    assert srm_out.count() == 2
+    lift = sql(spark, "SELECT lift(x1, y, treatment, 5) FROM ab")
+    assert len(lift) == 5
+
+
+def test_matching_macro(spark):
+    out = sql(spark, "SELECT caliperMatching(weight, treatment, 0.1) FROM ab")
+    assert "match_index" in out.columns
+
+
+def test_unknown_function_falls_through(spark):
+    out = sql(spark, "SELECT upper(concat('a','b')) AS u FROM ab LIMIT 1")
+    assert out.collect()[0]["u"] == "AB"

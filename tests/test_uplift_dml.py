@@ -190,3 +190,27 @@ def test_ate_and_ipw_estimators(spark, hte_df, hte_pdf):
     ipw = ipw_estimator(hte_df, "y", "t", "g_true", B=50).iloc[0]
     assert ipw.lower < ipw.ATE < ipw.upper
     assert ipw.stddev > 0
+
+
+def test_retrospective_learner(spark, hte_df):
+    from fast_causal_inference_spark.uplift.metalearners import (
+        RetrospectiveLearner,
+    )
+
+    fitted = RetrospectiveLearner(["x1", "x2"], "ybin", "t").fit(hte_df)
+    out = fitted.predict(hte_df).select("x1", "ite").toPandas()
+    # uplift on ybin rises with x1 → retrospective score should follow
+    assert np.corrcoef(out.ite, out.x1)[0, 1] > 0.3
+
+
+def test_lift_gain_quantile_method(spark, hte_df):
+    from fast_causal_inference_spark.uplift.evaluation import get_lift_gain
+
+    scored = hte_df.withColumn("ite_hat", 1.0 + 2.0 * F.col("x1"))
+    exact = get_lift_gain(scored, "ite_hat", "y", "t", k=10)
+    approx = get_lift_gain(scored, "ite_hat", "y", "t", k=10,
+                           method="quantile")
+    assert len(approx) == 10
+    # bucket shares near 1/k and lifts track the exact variant
+    assert approx.ratio.iloc[-1] == pytest.approx(1.0)
+    assert np.corrcoef(exact.lift, approx.lift)[0, 1] > 0.99
