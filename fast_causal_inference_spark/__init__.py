@@ -39,6 +39,11 @@ from fast_causal_inference_spark.operators.matching import (
 )
 from fast_causal_inference_spark.operators.groupset import group_set
 from fast_causal_inference_spark.dataframe import CausalDataFrame, readCsv, readSparkDf, readTable
+from fast_causal_inference_spark.plans.sql_macros import sql
+from fast_causal_inference_spark.result import TestResult, test_result
+from fast_causal_inference_spark.operators.logistic import logistic_regression, auc
+from fast_causal_inference_spark.operators.dml import linear_dml, non_param_dml
+from fast_causal_inference_spark.operators.estimators import ate_estimator, ipw_estimator
 
 __version__ = "0.1.0"
 
@@ -73,4 +78,13 @@ __all__ = [
     "readCsv",
     "readSparkDf",
     "readTable",
+    "sql",
+    "TestResult",
+    "test_result",
+    "logistic_regression",
+    "auc",
+    "linear_dml",
+    "non_param_dml",
+    "ate_estimator",
+    "ipw_estimator",
 ]

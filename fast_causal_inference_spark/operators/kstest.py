@@ -23,10 +23,40 @@ from fast_causal_inference_spark import stats_distributions as dist
 from fast_causal_inference_spark.serialization import ensure_udf_serializable
 
 
+def _exact_ks_pvalue(d: float, n0: int, n1: int) -> float:
+    """Exact P(D ≥ d) by the lattice-path probability recursion
+    p[i][j] = p[i-1][j]·i/(i+j) + p[i][j-1]·j/(i+j), zeroing cells with
+    |i/n0 − j/n1| ≥ d (numerically stable — works in probabilities, no
+    binomial overflow). O(n0·n1); for the no-ties null distribution."""
+    import numpy as np
+
+    prev = np.zeros(n1 + 1)
+    prev[0] = 1.0
+    for j in range(1, n1 + 1):
+        prev[j] = prev[j - 1] if (j / n1) < d else 0.0
+    for i in range(1, n0 + 1):
+        cur = np.zeros(n1 + 1)
+        cur[0] = prev[0] if abs(i / n0) < d else 0.0
+        for j in range(1, n1 + 1):
+            if abs(i / n0 - j / n1) >= d:
+                cur[j] = 0.0
+            else:
+                tot = i + j
+                cur[j] = prev[j] * (i / tot) + cur[j - 1] * (j / tot)
+        prev = cur
+    return float(min(max(1.0 - prev[n1], 0.0), 1.0))
+
+
 def kolmogorov_smirnov_test(df: DataFrame, data: str, index: str,
                             treatment_values: tuple = (0, 1),
-                            num_partitions: int | None = None) -> pd.DataFrame:
-    """Returns one-row pandas DataFrame: d_statistic, p_value, n0, n1."""
+                            num_partitions: int | None = None,
+                            mode: str = "auto") -> pd.DataFrame:
+    """Returns one-row pandas DataFrame: d_statistic, p_value, n0, n1.
+
+    ``mode``: 'asymp' (Kolmogorov limit with Stephens' adjustment), 'exact'
+    (lattice-path null distribution — reference SR exposes the same modes),
+    or 'auto' (exact when n0·n1 ≤ 4e6).
+    """
     idx = F.col(index) if index.isidentifier() else F.expr(index)
     v0, v1 = treatment_values
     vcol = F.expr(data).cast("double")
@@ -74,10 +104,15 @@ def kolmogorov_smirnov_test(df: DataFrame, data: str, index: str,
     d_stat = max(r["d"] for r in rp.mapInPandas(gap, "d double").collect())
     rp.unpersist()
 
-    en = math.sqrt(n0 * n1 / (n0 + n1))
-    # asymptotic with Stephens' small-sample adjustment (matches scipy 'asymp')
-    lam = (en + 0.12 + 0.11 / en) * d_stat
-    p_val = float(dist.kolmogorov_sf(lam))
+    use_exact = (mode == "exact"
+                 or (mode == "auto" and n0 * n1 <= 4_000_000))
+    if use_exact:
+        p_val = _exact_ks_pvalue(d_stat, int(n0), int(n1))
+    else:
+        en = math.sqrt(n0 * n1 / (n0 + n1))
+        # asymptotic w/ Stephens' small-sample adjustment (scipy 'asymp')
+        lam = (en + 0.12 + 0.11 / en) * d_stat
+        p_val = float(dist.kolmogorov_sf(lam))
     return pd.DataFrame([{
         "d_statistic": d_stat, "p_value": p_val, "n0": n0, "n1": n1,
     }])

@@ -130,15 +130,20 @@ class OlsModel:
             return ("***" if p < 0.001 else "**" if p < 0.01 else
                     "*" if p < 0.05 else "." if p < 0.1 else " ")
 
+        name_w = max(14, max(len(n) for n in self.names) + 2)
+        num_w = max(12, max(len(f"{v:.6f}") for v in
+                            list(self.beta) + list(self.stderr)) + 2)
         lines = [
             f"Call:\n  lm( formula = {self.y_expr} ~ "
             + " + ".join(self.feature_exprs) + " )\n",
             "Coefficients:",
-            f"{'':>14}{'Estimate':>12}{'Std. Error':>12}{'t value':>10}{'Pr(>|t|)':>10}",
+            f"{'':>{name_w}}{'Estimate':>{num_w}}{'Std. Error':>{num_w}}"
+            f"{'t value':>10}{'Pr(>|t|)':>10}",
         ]
         for name, b, se, t, p in zip(self.names, self.beta, self.stderr,
                                      self.t_values, self.p_values):
-            lines.append(f"{name:>14}{b:>12.6f}{se:>12.6f}{t:>10.3f}{p:>10.4g} {stars(p)}")
+            lines.append(f"{name:>{name_w}}{b:>{num_w}.6f}{se:>{num_w}.6f}"
+                         f"{t:>10.3f}{p:>10.4g} {stars(p)}")
         lines.append("")
         lines.append(f"Residual standard error: {math.sqrt(self.sigma2):.6f} "
                      f"on {int(self.df_resid)} degrees of freedom")

@@ -63,3 +63,15 @@ def test_readers(spark, tmp_path, ab_pdf):
     pq = str(tmp_path / "t.parquet")
     spark.createDataFrame(ab_pdf.head(50)).write.parquet(pq)
     assert readParquet(pq, spark).count() == 50
+
+
+def test_test_result_wrapper(spark, ab_df):
+    from fast_causal_inference_spark.operators.ttest import ttest_2samp
+    from fast_causal_inference_spark.result import test_result
+
+    r = test_result(ttest_2samp(ab_df, "avg(y)", "treatment"))
+    assert r.estimate == r["estimate"]
+    assert r.t_statistic == r.t_stat            # reference-style alias
+    assert r.pvalue == r.p_value
+    assert r.confidence_interval == (r.lower, r.upper)
+    assert "estimate" in repr(r) and "p_value" in r.summary()

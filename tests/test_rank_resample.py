@@ -75,7 +75,8 @@ def ks_oracle(x0, x1):
 
 
 def test_ks_statistic(spark, ab_pdf, ab_df):
-    res = kolmogorov_smirnov_test(ab_df, "y", "treatment").iloc[0]
+    res = kolmogorov_smirnov_test(ab_df, "y", "treatment",
+                                  mode="asymp").iloc[0]
     x0 = ab_pdf[ab_pdf.treatment == 0].y.to_numpy()
     x1 = ab_pdf[ab_pdf.treatment == 1].y.to_numpy()
     d = ks_oracle(x0, x1)
@@ -160,3 +161,39 @@ def test_permutation_null_and_effect(spark, ab_df):
                       seed=3).iloc[0]
     assert eff.p_value <= 1.0 / 60 + 1e-9   # y has a strong true effect
     assert abs(eff.observed_diff) > 5 * null.perm_std
+
+
+
+def test_ks_exact_mode_matches_enumeration(spark):
+    """Exact KS null probability vs brute-force path enumeration (n=5+5)."""
+    import itertools
+
+    from fast_causal_inference_spark.operators.kstest import _exact_ks_pvalue
+
+    n0 = n1 = 5
+    for d in (0.2000001, 0.4000001, 0.6000001, 0.8000001):
+        total = 0
+        exceed = 0
+        for comb in itertools.combinations(range(n0 + n1), n0):
+            i = j = 0
+            dmax = 0.0
+            mask = set(comb)
+            for step in range(n0 + n1):
+                if step in mask:
+                    i += 1
+                else:
+                    j += 1
+                dmax = max(dmax, abs(i / n0 - j / n1))
+            total += 1
+            if dmax >= d:
+                exceed += 1
+        want = exceed / total
+        got = _exact_ks_pvalue(d, n0, n1)
+        assert got == pytest.approx(want, abs=1e-12), d
+
+
+def test_ks_exact_vs_asymp_consistent(spark, ab_df):
+    ex = kolmogorov_smirnov_test(ab_df, "y", "treatment", mode="exact").iloc[0]
+    asym = kolmogorov_smirnov_test(ab_df, "y", "treatment", mode="asymp").iloc[0]
+    assert ex.d_statistic == asym.d_statistic
+    assert ex.p_value == pytest.approx(asym.p_value, abs=0.05)
