@@ -72,6 +72,71 @@ class CausalDataFrame:
         from fast_causal_inference_spark.operators.ols import ols
         return ols(self._df, formula, use_bias=use_bias)
 
+    def xexpt_ttest_2samp(self, numerator, denominator, index, uin, **kwargs):
+        from fast_causal_inference_spark.operators.xexpt import xexpt_ttest_2samp
+        return xexpt_ttest_2samp(self._df, numerator, denominator, index,
+                                 uin, **kwargs)
+
+    def mann_whitney_utest(self, data, index, **kwargs):
+        from fast_causal_inference_spark.operators.mann_whitney import (
+            mann_whitney_utest,
+        )
+        return mann_whitney_utest(self._df, data, index, **kwargs)
+
+    def kolmogorov_smirnov_test(self, data, index, **kwargs):
+        from fast_causal_inference_spark.operators.kstest import (
+            kolmogorov_smirnov_test,
+        )
+        return kolmogorov_smirnov_test(self._df, data, index, **kwargs)
+
+    def wls(self, formula: str, weight: str, use_bias: bool = True):
+        from fast_causal_inference_spark.operators.ols import wls
+        return wls(self._df, formula, weight, use_bias)
+
+    def boot_strap(self, expr: str, **kwargs):
+        from fast_causal_inference_spark.operators.resample import boot_strap
+        return boot_strap(self._df, expr, **kwargs)
+
+    def permutation(self, expr: str, index: str, **kwargs):
+        from fast_causal_inference_spark.operators.resample import permutation
+        return permutation(self._df, expr, index, **kwargs)
+
+    # -- reference-named conveniences ----------------------------------
+    def split(self, test_size: float = 0.5, seed: int | None = None):
+        """Train/test split (reference dataframe.py:857-874)."""
+        return [CausalDataFrame(d) for d in
+                self._df.randomSplit([1 - test_size, test_size], seed=seed)]
+
+    def materializedView(self, name: str | None = None,
+                         physical: bool = False):
+        """Persist the current plan (reference dataframe.py:1753-1790):
+        temp view + cache by default, a saved table when ``physical``."""
+        name = name or f"fcis_view_{abs(hash(self)) % 10**9}"
+        if physical:
+            self._df.write.mode("overwrite").saveAsTable(name)
+        else:
+            self._df.cache().createOrReplaceTempView(name)
+        return name
+
+    def toCsv(self, path: str, **options):
+        self._df.write.options(header=True, **options).mode("overwrite") \
+            .csv(path)
+
+    def toOlap(self, table: str, mode: str = "overwrite"):
+        self._df.write.mode(mode).saveAsTable(table)
+
+    toClickHouse = toOlap
+    toStarRocks = toOlap
+
+    def getExecutedSql(self) -> str:
+        """Introspection parity (reference getExecutedSql): the optimized
+        logical plan Catalyst will run."""
+        return self._df._jdf.queryExecution().optimizedPlan().toString()
+
+    def getTableName(self) -> str:
+        plan = self._df._jdf.queryExecution().analyzed().toString()
+        return plan.splitlines()[-1].strip()
+
     def describe(self, cols=None):
         from pyspark.sql import functions as F
         df = self._df

@@ -75,3 +75,20 @@ def test_test_result_wrapper(spark, ab_df):
     assert r.pvalue == r.p_value
     assert r.confidence_interval == (r.lower, r.upper)
     assert "estimate" in repr(r) and "p_value" in r.summary()
+
+
+def test_reference_named_conveniences(spark, ab_df):
+    cdf = readSparkDf(ab_df)
+    a, b = cdf.split(0.25, seed=3)
+    assert a.count() + b.count() == cdf.count()
+    assert b.count() < a.count()
+    name = cdf.materializedView("fcis_test_view")
+    assert spark.table(name).count() == cdf.count()
+    assert "LocalRelation" in cdf.getExecutedSql() or \
+        "Relation" in cdf.getExecutedSql()
+    mw = cdf.mann_whitney_utest("y", "treatment")
+    assert mw.iloc[0].p_value < 0.05
+    ks = cdf.kolmogorov_smirnov_test("y", "treatment")
+    assert ks.iloc[0].d_statistic > 0
+    bs = cdf.boot_strap("avg(y)", n_resamples=10, seed=1)
+    assert bs.count() == 10
