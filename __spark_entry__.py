@@ -1085,6 +1085,43 @@ FROM comb
 """
 
 
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per group (reference quantile(exact=True)
+    / quantileTestBucket shape). Spark `percentile` == DuckDB quantile_cont."""
+    import fast_causal_inference_spark.functions as fn
+
+    li = _load(spark, sf_dir, "lineitem")
+    out = (li.groupBy("l_returnflag")
+           .agg(fn.quantile("l_extendedprice", 0.5, exact=True).alias("p50"),
+                fn.quantile("l_extendedprice", 0.9, exact=True).alias("p90"),
+                fn.quantile("l_extendedprice", 0.99, exact=True).alias("p99")))
+    return _round_all(out, ["l_returnflag"], ["p50", "p90", "p99"], 6)
+
+
+_QUANTILES_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+       round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_xexpt_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xexpt SUM metric via 128 uin-hash buckets (rows-only: bucket
+    assignment uses xxhash64)."""
+    from fast_causal_inference_spark.operators.xexpt import xexpt_ttest_2samp_spark
+
+    ev = _load(spark, sf_dir, "events") \
+        .withColumn("treatment", (F.col("user_id") % 2).cast("int"))
+    out = xexpt_ttest_2samp_spark(ev, "value", "1 + event_id % 7", "treatment",
+                                  "user_id", metric_type="sum",
+                                  group_buckets=(1, 1),
+                                  treatment_values=(0, 1))
+    return _round_all(out, [], ["numerator0", "numerator1", "mean0", "mean1",
+                                "diff", "t_stat"], 6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q_q1_pricing_summary,
@@ -1123,6 +1160,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "causal_tree": q_causal_tree,
         "causal_forest": q_causal_forest,
         "ttest_2samp_pse": q_ttest_2samp_pse,
+        "quantiles": q_quantiles,
+        "xexpt_sum_metric": q_xexpt_sum,
     }
 
 
@@ -1157,4 +1196,5 @@ def oracle_sql() -> dict[str, str]:
         "caliper_matching": _CALIPER_SQL,
         "pearsonr": _PEARSONR_SQL,
         "ttest_2samp_pse": _TTEST_PSE_SQL,
+        "quantiles": _QUANTILES_SQL,
     }

@@ -183,5 +183,13 @@ def readTable(name: str, spark: SparkSession | None = None) -> CausalDataFrame:
     return CausalDataFrame(spark.table(name))
 
 
-def readSparkDf(df: DataFrame) -> CausalDataFrame:
+def readSparkDf(df: DataFrame, na_fill: float | None = None) -> CausalDataFrame:
+    """Wrap a Spark DataFrame; ``na_fill`` fills numeric NULLs first
+    (the reference's ingest preprocessing — lib/tools.py:578 fills NA so
+    sufficient-statistics counts and sums stay consistent)."""
+    if na_fill is not None:
+        num_cols = [f.name for f in df.schema.fields
+                    if f.dataType.typeName() in
+                    ("double", "float", "long", "integer", "short")]
+        df = df.na.fill(na_fill, subset=num_cols)
     return CausalDataFrame(df)
