@@ -157,16 +157,17 @@ def simhash(text: Column | str, bits: int = 64) -> Column:
     Shift amounts can't be lambda variables in Spark SQL, so bit tests use a
     literal mask array instead (h & mᵢ ≠ 0).
     """
-    toks = tokens(text)
+    # hash each token ONCE (HOF lambdas are interpreted per element — an
+    # xxhash64 inside the mask loop would run 64× per token)
+    hashes = F.transform(tokens(text), lambda t: F.xxhash64(t))
     masks = F.array(*[F.lit(m).cast("long") for m in _bit_masks(bits)])
     votes = F.aggregate(
-        toks,
+        hashes,
         F.array_repeat(F.lit(0), bits),
-        lambda acc, t: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
             F.transform(masks,
-                        lambda m: F.when(
-                            F.xxhash64(t).bitwiseAND(m) != 0, 1).otherwise(-1)),
+                        lambda m: F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1)),
             lambda a, b: a + b))
     packed = F.aggregate(
         F.zip_with(votes, masks,
