@@ -1122,6 +1122,122 @@ def q_xexpt_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "diff", "t_stat"], 6)
 
 
+def q_ttest_1samp_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sample CUPED t-test (θ from the same sample), k=1 covariate."""
+    from fast_causal_inference_spark.operators.ttest import ttest_1samp
+
+    li = _load(spark, sf_dir, "lineitem")
+    out = ttest_1samp(li, "avg(l_extendedprice)", mu=50000.0,
+                      X="avg(l_quantity)")
+    return _round_all(out, [], ["n", "mean", "estimate", "stderr", "t_stat"], 6)
+
+
+_TTEST1_CUPED_SQL = """
+WITH a AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         avg(l_extendedprice) AS my, avg(l_quantity) AS mx,
+         var_samp(l_extendedprice) AS vy, var_samp(l_quantity) AS vx,
+         covar_samp(l_extendedprice, l_quantity) AS cxy
+  FROM lineitem
+), f AS (
+  SELECT n, my, cxy/vx AS theta,
+         (vy + (cxy/vx)*(cxy/vx)*vx - 2*(cxy/vx)*cxy)/n AS var_adj
+  FROM a
+)
+SELECT round(n, 6) AS n, round(my, 6) AS mean,
+       round(my - 50000.0, 6) AS estimate,
+       round(sqrt(var_adj), 6) AS stderr,
+       round((my - 50000.0)/sqrt(var_adj), 6) AS t_stat
+FROM f
+"""
+
+
+def q_delta_method_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-slot composite formula — exercises general symbolic autodiff:
+    f = avg(q)·avg(tax) + avg(disc)."""
+    from fast_causal_inference_spark.operators.deltamethod import delta_method
+
+    li = _load(spark, sf_dir, "lineitem")
+    out = delta_method(
+        li, "avg(l_quantity)*avg(l_tax) + avg(l_discount)", std=True,
+        group_cols=["l_linestatus"])
+    return _round_all(out, ["l_linestatus"], ["std"], 6)
+
+
+# gradient: (m_tax, m_qty, 1) over (q, tax, disc)
+_DELTA_COMPOSITE_SQL = """
+WITH a AS (
+  SELECT l_linestatus, CAST(count(*) AS DOUBLE) AS n,
+         avg(l_quantity) AS m1, avg(l_tax) AS m2, avg(l_discount) AS m3,
+         var_samp(l_quantity) AS v11, var_samp(l_tax) AS v22,
+         var_samp(l_discount) AS v33,
+         covar_samp(l_quantity, l_tax) AS v12,
+         covar_samp(l_quantity, l_discount) AS v13,
+         covar_samp(l_tax, l_discount) AS v23
+  FROM lineitem GROUP BY l_linestatus
+)
+SELECT l_linestatus,
+       round(sqrt((m2*m2*v11 + m1*m1*v22 + v33
+                 + 2*m2*m1*v12 + 2*m2*v13 + 2*m1*v23)/n), 6) AS std
+FROM a
+"""
+
+
+def q_student_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled-variance two-sample t-test (CH studentTTest parity)."""
+    from fast_causal_inference_spark.operators.ttest import student_ttest
+
+    ev = _load(spark, sf_dir, "events") \
+        .withColumn("arm", (F.col("user_id") % 2).cast("int"))
+    out = student_ttest(ev, "value", "arm")
+    return _round_all(out, [], ["n0", "n1", "estimate", "stderr",
+                                "t_stat", "df"], 6)
+
+
+_STUDENT_SQL = """
+WITH arms AS (
+  SELECT CAST(count(*) FILTER (WHERE user_id % 2 = 0) AS DOUBLE) AS n0,
+         CAST(count(*) FILTER (WHERE user_id % 2 = 1) AS DOUBLE) AS n1,
+         avg(value) FILTER (WHERE user_id % 2 = 0) AS m0,
+         avg(value) FILTER (WHERE user_id % 2 = 1) AS m1,
+         var_samp(value) FILTER (WHERE user_id % 2 = 0) AS v0,
+         var_samp(value) FILTER (WHERE user_id % 2 = 1) AS v1
+  FROM events
+), f AS (
+  SELECT n0, n1, m1 - m0 AS est,
+         sqrt(((n0-1)*v0 + (n1-1)*v1)/(n0+n1-2) * (1/n0 + 1/n1)) AS se
+  FROM arms
+)
+SELECT round(n0, 6) AS n0, round(n1, 6) AS n1,
+       round(est, 6) AS estimate, round(se, 6) AS stderr,
+       round(est/se, 6) AS t_stat, round(n0 + n1 - 2, 6) AS df
+FROM f
+"""
+
+
+def q_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """describe()-style summary stats (count/avg/std/min/max per column)."""
+    o = _load(spark, sf_dir, "orders")
+    x = F.col("o_totalprice")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(x).alias("cnt"),
+        F.round(F.avg(x), 6).alias("avg"),
+        F.round(F.stddev_samp(x), 6).alias("std"),
+        F.round(F.min(x), 6).alias("min"),
+        F.round(F.max(x), 6).alias("max"))
+
+
+_DESCRIBE_SQL = """
+SELECT o_orderpriority,
+       count(o_totalprice) AS cnt,
+       round(avg(o_totalprice), 6) AS avg,
+       round(stddev_samp(o_totalprice), 6) AS std,
+       round(min(o_totalprice), 6) AS min,
+       round(max(o_totalprice), 6) AS max
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q_q1_pricing_summary,
@@ -1162,6 +1278,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ttest_2samp_pse": q_ttest_2samp_pse,
         "quantiles": q_quantiles,
         "xexpt_sum_metric": q_xexpt_sum,
+        "ttest_1samp_cuped": q_ttest_1samp_cuped,
+        "delta_method_composite": q_delta_method_composite,
+        "student_ttest": q_student_ttest,
+        "describe": q_describe,
     }
 
 
@@ -1197,4 +1317,8 @@ def oracle_sql() -> dict[str, str]:
         "pearsonr": _PEARSONR_SQL,
         "ttest_2samp_pse": _TTEST_PSE_SQL,
         "quantiles": _QUANTILES_SQL,
+        "ttest_1samp_cuped": _TTEST1_CUPED_SQL,
+        "delta_method_composite": _DELTA_COMPOSITE_SQL,
+        "student_ttest": _STUDENT_SQL,
+        "describe": _DESCRIBE_SQL,
     }

@@ -18,6 +18,8 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from fast_causal_inference_spark import stats_distributions as _dist
+
 from fast_causal_inference_spark.serialization import ensure_udf_serializable
 
 # -- aggregates (§2.4) ------------------------------------------------------
@@ -185,9 +187,7 @@ def cdf(score, df: float = 120.0) -> Column:
     ``cdf.cpp:39-96`` — df defaults to 120)."""
     @F.pandas_udf("double")
     def _cdf(s: pd.Series) -> pd.Series:
-        from fast_causal_inference_spark import stats_distributions as dist
-
-        return pd.Series(dist.t_cdf(s.to_numpy(dtype=float), df))
+        return pd.Series(_dist.t_cdf(s.to_numpy(dtype=float), df))
 
     ensure_udf_serializable()
     return _cdf(F.col(score) if isinstance(score, str) else score)

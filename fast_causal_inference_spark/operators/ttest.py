@@ -14,14 +14,17 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from fast_causal_inference_spark.formula import parse_formulas
+from fast_causal_inference_spark import stats_distributions as dist
 from fast_causal_inference_spark.operators import _ttest_core as core
 from fast_causal_inference_spark.operators.suffstats import (
+    merge_stats,
     row_to_stats,
     suffstat_agg_columns,
 )
@@ -126,8 +129,6 @@ def _ttest_2samp_pse(df: DataFrame, Y: str, index: str, alternative: str,
     schema = _result_schema(agged, group_cols, _RESULT_2SAMP)
 
     def finalize(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
         total = 0.0
         strata = []
         for _, r in pdf.iterrows():
@@ -141,10 +142,6 @@ def _ttest_2samp_pse(df: DataFrame, Y: str, index: str, alternative: str,
         n0 = n1 = 0.0
         for s0, s1 in strata:
             if xnodes:
-                from fast_causal_inference_spark.operators.suffstats import (
-                    merge_stats,
-                )
-
                 pooled = merge_stats(s0, s1)
                 theta = core.cuped_theta(pooled, ynode, xnodes)
                 m0, vv0 = core.arm_mean_var(s0, ynode, xnodes, pooled, theta)
@@ -286,9 +283,6 @@ def _moment_test(df: DataFrame, value: str, index: str, kind: str,
     schema = _result_schema(agged, group_cols, fields)
 
     def finalize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        from fast_causal_inference_spark import stats_distributions as dist
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
