@@ -981,7 +981,7 @@ def q_caliper_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CALIPER_SQL = """
 WITH b AS (
-  SELECT floor(o_totalprice/500000.0/0.1) AS bucket,
+  SELECT CAST(floor(o_totalprice/500000.0/0.1) AS BIGINT) AS bucket,
          CAST(o_orderkey % 2 AS INT) AS arm
   FROM orders
 ), q AS (
@@ -989,7 +989,7 @@ WITH b AS (
          least(sum(arm), sum(1 - arm)) AS quota
   FROM b GROUP BY bucket
 )
-SELECT bucket, 2*quota AS n_matched, quota AS n_treated
+SELECT bucket, CAST(2*quota AS BIGINT) AS n_matched, CAST(quota AS BIGINT) AS n_treated
 FROM q WHERE quota > 0
 """
 

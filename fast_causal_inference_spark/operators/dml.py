@@ -144,13 +144,12 @@ def non_param_dml(df: DataFrame, Y: str, T: str, X: list[str],
             F.sum("__w").alias("sw"),
             F.count(F.lit(1)).alias("n")).collect()[0]
         theta0 = row["swr"] / row["sw"]
+        # sandwich: Var(θ) = Σ(t̃·(ỹ-θt̃))² / (Σt̃²)², and t̃(ỹ-θt̃) = w(r-θ)
         resid = work.select(
-            (F.col("__w") * F.pow(F.col("__ratio") - F.lit(theta0), 2))
-            .alias("e"), (F.col("__w") * F.col("__w")).alias("w2"))
-        r2_ = resid.agg(F.sum("e").alias("se"),
-                        F.sum("w2").alias("sw2")).collect()[0]
-        se0 = float(np.sqrt(r2_["se"] / row["n"]) /
-                    (row["sw"] / np.sqrt(row["n"])))
+            (F.col("__w") * F.col("__w")
+             * F.pow(F.col("__ratio") - F.lit(theta0), 2)).alias("e"))
+        r2_ = resid.agg(F.sum("e").alias("se")).collect()[0]
+        se0 = float(np.sqrt(r2_["se"]) / row["sw"])
         theta, stderr = np.array([theta0]), np.array([se0])
         final = None
     names = (["(Intercept)"] + hetero) if hetero else ["theta"]

@@ -95,11 +95,11 @@ def mann_whitney_utest(df: DataFrame, data: str, index: str,
         z = (num - cc) / sd if sd > 0 else float("nan")
         p_val = 2.0 * float(dist.norm_sf(z))
     elif alternative == "greater":
-        z = (u1 - mu - cc) / sd
-        p_val = float(dist.norm_sf(z))
+        z = (u1 - mu - cc) / sd if sd > 0 else float("nan")
+        p_val = float(dist.norm_sf(z)) if sd > 0 else float("nan")
     elif alternative == "less":
-        z = (u1 - mu + cc) / sd
-        p_val = float(dist.norm_cdf(z))
+        z = (u1 - mu + cc) / sd if sd > 0 else float("nan")
+        p_val = float(dist.norm_cdf(z)) if sd > 0 else float("nan")
     else:
         raise ValueError(f"bad alternative {alternative!r}")
     p_val = min(p_val, 1.0)

@@ -41,11 +41,19 @@ def suffstat_agg_columns(base_exprs: list[str], prefix: str = "",
     ``cond`` restricts the statistics to matching rows (used to compute both
     treatment arms of a two-sample test in ONE pass — no second shuffle).
     ``weight`` produces weighted sums (WLS; n becomes Σw).
+
+    Rows where any base expression is NULL are skipped entirely (n excluded
+    too), matching the reference UDAFs which drop null inputs — otherwise
+    NULL*x silently leaves the sums but not the count, deflating means.
     """
     xs = [F.expr(e).cast("double") for e in base_exprs]
     one: Column = F.lit(1.0) if weight is None else weight.cast("double")
-    if cond is not None:
-        one = F.when(cond, one)
+    guard: Column | None = cond
+    for x in xs:
+        nn = x.isNotNull()
+        guard = nn if guard is None else (guard & nn)
+    if guard is not None:
+        one = F.when(guard, one)
     out = [F.sum(one).alias(f"{prefix}n")]
     for i, x in enumerate(xs):
         out.append(F.sum(one * x).alias(f"{prefix}s{i}"))
@@ -156,15 +164,21 @@ class NumStats:
         return float(ga @ self.cov @ gb / self.n)
 
 
+def _f(v) -> float:
+    """NULL-safe float: conditional F.sum yields NULL on empty arms/groups —
+    surface NaN instead of TypeError(float(None))."""
+    return float(v) if v is not None else float("nan")
+
+
 def row_to_stats(row, k: int, prefix: str = "") -> NumStats:
     """Unpack a collected Row / mapping into :class:`NumStats`."""
-    n = float(row[f"{prefix}n"])
-    s = np.array([row[f"{prefix}s{i}"] for i in range(k)], dtype=float)
+    n = _f(row[f"{prefix}n"])
+    s = np.array([_f(row[f"{prefix}s{i}"]) for i in range(k)], dtype=float)
     c = np.empty((k, k), dtype=float)
     for i in range(k):
         for j in range(i, k):
-            c[i, j] = c[j, i] = row[_pair_name(prefix, i, j)]
-    means = s / n
+            c[i, j] = c[j, i] = _f(row[_pair_name(prefix, i, j)])
+    means = s / n if n > 0 else np.full(k, np.nan)   # n NaN/0 → NaN means
     # NaN covariance for n ≤ 1 — consistent with the columnar path's NULLs
     cov = ((c - np.outer(s, s) / n) / (n - 1.0) if n > 1
            else np.full((k, k), np.nan))

@@ -79,6 +79,15 @@ def xexpt_ttest_2samp(df: DataFrame, numerator: str, denominator: str,
         b = (df.where(arm.isNotNull())
                .groupBy(arm.alias("arm"), bucket.alias("bucket"))
                .agg(*sums))
+        # the reference's bucket semantics are FIXED 128 buckets per arm:
+        # sparse arms must contribute zero observations for empty buckets,
+        # else mean = avg(bucket sums)/(ratio/128) inflates. Right-join the
+        # (tiny) bucket relation against the full 0..127 × {0,1} grid.
+        sess = df.sparkSession
+        grid = (sess.range(N_BUCKETS).select(F.col("id").alias("bucket"))
+                .crossJoin(sess.range(2).select(F.col("id").cast("int").alias("arm"))))
+        b = (grid.join(b, ["arm", "bucket"], "left")
+                 .na.fill({f"b{i}": 0.0 for i in range(k)}))
         # stage 2: sufficient stats over the (tiny) bucket relation; the
         # denominator observation becomes the arm's traffic share
         den_i = base.index(denominator.strip()) if denominator.strip() in base else 1
@@ -86,12 +95,16 @@ def xexpt_ttest_2samp(df: DataFrame, numerator: str, denominator: str,
                 F.lit(float(group_buckets[0])).alias("r")  # placeholder
                 for i in range(k)]
         _ = repl
+        # NB: bare "1.0/128" parses as DECIMAL in Spark SQL and rounds to
+        # 0.007813 — route through repr() + string cast for an exact double
+        r0, r1 = (float(group_buckets[0]) / N_BUCKETS,
+                  float(group_buckets[1]) / N_BUCKETS)
         exprs = []
         for i in range(k):
             if i == den_i:
                 exprs.append(
-                    f"CASE WHEN arm = 0 THEN {float(group_buckets[0])}/{N_BUCKETS} "
-                    f"ELSE {float(group_buckets[1])}/{N_BUCKETS} END")
+                    f"CASE WHEN arm = 0 THEN CAST('{r0!r}' AS DOUBLE) "
+                    f"ELSE CAST('{r1!r}' AS DOUBLE) END")
             else:
                 exprs.append(f"b{i}")
         aggs = (suffstat_agg_columns(exprs, "g0_", F.col("arm") == 0)

@@ -1,21 +1,38 @@
-"""Causal forest — honest trees grown level-wise, ALL trees in one
-aggregation pass per depth.
+"""Causal forest — GRF gradient-split honest trees, grown level-wise with
+ALL trees in one aggregation pass per depth.
 
-Parity target: reference ``causal_forest.h`` (2 241 LoC; TreeOptions
-:182-235 — mtry, min_node_size, honesty/honesty_fraction, sample fraction,
-quantile-sketch split candidates) driven by ``uplift.py:1898-2160`` (init
-pass + passes per depth level with forest state carried between passes).
+Parity target: reference ``causal_forest.h`` (TreeOptions :182-250 — mtry,
+min_node_size, honesty/honesty_fraction, alpha, imbalance_penalty;
+``responses_by_sample`` pseudo-outcomes :1103-1110; ``find_best_split_value``
+decrease criterion :1132-1235; leaf-moment prediction :1343-1367 solved in
+``causal_forest_eval.h:100-110``) driven by ``uplift.py:1898-2160``.
 
-Spark-first restatement of that design: the forest state lives on the driver;
-each depth level runs ONE job — rows are exploded over (tree × candidate
-feature) with per-(row, tree) deterministic hash draws deciding subsample
-membership and the honest half, and a single
-``groupBy(tree, node, feature, bin, treatment)`` aggregates (cnt, Σy, Σy²).
-Split search on the driver maximizes the CT-H heterogeneity criterion
-n_l·n_r/n²·(τ_l−τ_r)² (the τ-moment member of the GRF family — the reference's
-gradient trees share the same sufficient statistics). Prediction averages
-per-tree honest leaf effects via one Arrow-batched UDF over the broadcast
-forest.
+The reference is grf's instrumental forest with instrument z = treatment:
+
+* per node, the local effect θ = Σ(z−z̄)(y−ȳ) / Σ(z−z̄)(t−t̄) (binary t →
+  difference in arm means);
+* pseudo-outcomes ρᵢ = (zᵢ−z̄)·[(yᵢ−ȳ) − θ(tᵢ−t̄)];
+* split decrease = (Σ_L ρ)²/n_L + (Σ_R ρ)²/n_R − imbalance_penalty·(1/s_L+1/s_R),
+  subject to ≥ min_node_size treated AND control rows per child and child
+  z-variance s_child ≥ alpha·s_node;
+* prediction: walk each tree to its honest leaf, average the leaf moment
+  vector (ȳ, t̄, z̄, y·z̄, z̄², w̄) across trees, then solve the moment once:
+  θ(x) = (m_yz·m_w − m_y·m_z)/(m_zz·m_w − m_t·m_z).
+
+Spark-first restatement: forest state lives on the driver; each depth level
+runs ONE job — rows explode over trees (deterministic hash draws for
+subsample membership and the honest half), a **broadcast join** against the
+frontier's (tree, node, feature) relation amplifies each row by exactly the
+mtry features its node draws (grf draws mtry per node, not per tree), and a
+single ``groupBy(tree, node, feature, bin, treatment)`` aggregates
+(cnt, Σy).  Those two numbers per cell are sufficient for every GRF quantity
+above because ρ is an affine function of y within an arm:
+Σ_{S,a} ρ = (a−t̄)[(Σ_{S,a}y − n_{S,a}ȳ) − θ·n_{S,a}(a−t̄)].
+
+Variance (beyond the reference, grf §4.1 "bootstrap of little bags"): with
+``ci_group_size`` ℓ ≥ 2, trees are grown in groups sharing one half-sample
+draw; V̂(x) = max(0, B̂ − Ŵ/ℓ) where B̂ is the between-group variance of group
+mean predictions and Ŵ the within-group tree variance.
 """
 
 from __future__ import annotations
@@ -37,16 +54,33 @@ class _Node:
     threshold: float | None = None
     left: int | None = None
     right: int | None = None
-    tau: float = float("nan")
-    n: float = 0.0
+    feats: list[str] = field(default_factory=list)   # per-node mtry draw
+    # honest-half leaf moments: counts and y-sums per arm
+    n0: float = 0.0
+    n1: float = 0.0
+    s0: float = 0.0
+    s1: float = 0.0
+
+    @property
+    def n(self) -> float:
+        return self.n0 + self.n1
+
+    @property
+    def tau(self) -> float:
+        if self.n0 > 0 and self.n1 > 0:
+            return self.s1 / self.n1 - self.s0 / self.n0
+        return float("nan")
 
 
 @dataclass
 class CausalForest:
-    """Honest causal forest (bagged heterogeneity trees).
+    """Honest GRF-criterion causal forest.
 
     ``sample_fraction`` — per-tree row subsample (without replacement, by
-    hash); ``mtry`` — features considered per tree (None → ceil(√p)).
+    hash; shared within a ci group); ``mtry`` — features drawn per NODE
+    (None → ceil(√p)); ``alpha`` — min child z-variance as a fraction of the
+    node's (reference TreeOptions default 0.05); ``ci_group_size`` ≥ 2
+    enables little-bags variance estimates.
     """
 
     features: list[str]
@@ -60,9 +94,11 @@ class CausalForest:
     sample_fraction: float = 0.7
     honesty: bool = True
     honesty_fraction: float = 0.5
+    alpha: float = 0.05
+    imbalance_penalty: float = 0.0
+    ci_group_size: int = 1
     seed: int = 42
     trees_: list[dict[int, _Node]] = field(default_factory=list, repr=False)
-    tree_feats_: list[list[str]] = field(default_factory=list, repr=False)
     edges_: dict[str, list[float]] = field(default_factory=dict, repr=False)
 
     # ------------------------------------------------------------------
@@ -86,15 +122,15 @@ class CausalForest:
 
         return descend(0)
 
-    def fit(self, df: DataFrame) -> "CausalForest":
-        rng = np.random.default_rng(self.seed)
+    def _draw_feats(self, rng: np.random.Generator) -> list[str]:
         p = len(self.features)
         m = self.mtry or max(1, math.ceil(math.sqrt(p)))
-        self.tree_feats_ = [
-            list(rng.choice(self.features, size=min(m, p), replace=False))
-            for _ in range(self.num_trees)
-        ]
-        self.trees_ = [{0: _Node()} for _ in range(self.num_trees)]
+        return list(rng.choice(self.features, size=min(m, p), replace=False))
+
+    def fit(self, df: DataFrame) -> "CausalForest":
+        rng = np.random.default_rng(self.seed)
+        self.trees_ = [{0: _Node(feats=self._draw_feats(rng))}
+                       for _ in range(self.num_trees)]
 
         tcol = F.expr(self.treatment).cast("int")
         ycol = F.expr(self.outcome).cast("double")
@@ -115,7 +151,7 @@ class CausalForest:
         for _depth in range(self.max_depth):
             if not any(frontier):
                 break
-            stats = self._level_stats(work, split_half=True)
+            stats = self._level_stats(work, frontier, split_half=True)
             for t in range(self.num_trees):
                 new_front = []
                 for nid in frontier[t]:
@@ -128,28 +164,29 @@ class CausalForest:
                     node.threshold = thr
                     node.left = next_ids[t]
                     node.right = next_ids[t] + 1
-                    self.trees_[t][next_ids[t]] = _Node()
-                    self.trees_[t][next_ids[t] + 1] = _Node()
+                    # children draw their own mtry features (grf per-node)
+                    self.trees_[t][next_ids[t]] = _Node(
+                        feats=self._draw_feats(rng))
+                    self.trees_[t][next_ids[t] + 1] = _Node(
+                        feats=self._draw_feats(rng))
                     new_front += [next_ids[t], next_ids[t] + 1]
                     next_ids[t] += 2
                 frontier[t] = new_front
 
-        # honest leaf effects on the estimation half
-        eff = self._leaf_stats(work)
-        for (t, nid), arms in eff.items():
-            if 0 in arms and 1 in arms and arms[0][0] > 0 and arms[1][0] > 0:
-                n0, s0 = arms[0]
-                n1, s1 = arms[1]
-                node = self.trees_[t][nid]
-                node.tau = s1 / n1 - s0 / n0
-                node.n = n0 + n1
+        # honest leaf moments on the estimation half
+        for (t, nid), arms in self._leaf_stats(work).items():
+            node = self.trees_[t][nid]
+            node.n0, node.s0 = arms.get(0, (0.0, 0.0))
+            node.n1, node.s1 = arms.get(1, (0.0, 0.0))
         work.unpersist()
         return self
 
     # -- level machinery ------------------------------------------------
     def _membership(self, t: int) -> Column:
-        """Deterministic per-(row, tree) subsample draw."""
-        d = F.pmod(F.xxhash64(F.col("__h"), F.lit(t)), F.lit(10000))
+        """Deterministic subsample draw, shared within a ci group so the
+        little-bags variance contrast isolates half-sample noise."""
+        g = t // max(self.ci_group_size, 1)
+        d = F.pmod(F.xxhash64(F.col("__h"), F.lit(g)), F.lit(10000))
         return d < int(self.sample_fraction * 10000)
 
     def _half(self, t: int) -> Column:
@@ -159,7 +196,8 @@ class CausalForest:
         d = F.pmod(F.xxhash64(F.col("__h"), F.lit(t), F.lit(7)), F.lit(1000))
         return (d < int(self.honesty_fraction * 1000)).cast("int")
 
-    def _level_stats(self, work: DataFrame, split_half: bool) -> pd.DataFrame:
+    def _melt(self, work: DataFrame, split_half: bool,
+              keep: list[str]) -> DataFrame:
         per_tree = F.array(*[
             F.struct(F.lit(t).alias("tree"),
                      self._node_col(t).alias("node"),
@@ -168,37 +206,41 @@ class CausalForest:
                      .alias("inc"))
             for t in range(self.num_trees)
         ])
-        melted = (work.select("__t", "__y", *self.features,
-                              F.explode(per_tree).alias("tn"))
-                  .where(F.col("tn.inc")))
-        # only the features each tree actually considers
-        fb = F.array(*[
-            F.struct(F.lit(feat).alias("feature"),
-                     self._bin_col(feat).alias("bin"))
-            for feat in self.features
-        ])
-        melted = (melted.select(F.col("tn.tree").alias("tree"),
-                                F.col("tn.node").alias("node"),
-                                "__t", "__y", F.explode(fb).alias("fb"))
-                  .select("tree", "node", "__t", "__y",
-                          "fb.feature", "fb.bin"))
-        agg = (melted.groupBy("tree", "node", "feature", "bin", "__t")
+        return (work.select("__t", "__y", *keep,
+                            F.explode(per_tree).alias("tn"))
+                .where(F.col("tn.inc"))
+                .select(F.col("tn.tree").alias("tree"),
+                        F.col("tn.node").alias("node"), "__t", "__y", *keep))
+
+    def _level_stats(self, work: DataFrame, frontier: list[list[int]],
+                     split_half: bool) -> pd.DataFrame:
+        """(cnt, Σy) per (tree, node, feature, bin, arm) — the frontier's
+        (tree, node, feature) relation is broadcast-joined so each row is
+        amplified by exactly its node's mtry features, not all p."""
+        sess = work.sparkSession
+        rel = [(t, nid, feat)
+               for t in range(self.num_trees)
+               for nid in frontier[t]
+               for feat in self.trees_[t][nid].feats]
+        if not rel:
+            return pd.DataFrame(
+                columns=["tree", "node", "feature", "bin", "__t", "cnt", "s"])
+        ff = sess.createDataFrame(rel, "tree int, node int, feature string")
+        feat_union = sorted({r[2] for r in rel})
+        melted = self._melt(work, split_half, feat_union)
+        joined = melted.join(F.broadcast(ff), ["tree", "node"])
+        bin_expr = None
+        for feat in feat_union:
+            cnd = F.col("feature") == feat
+            bin_expr = (F.when(cnd, self._bin_col(feat)) if bin_expr is None
+                        else bin_expr.when(cnd, self._bin_col(feat)))
+        agg = (joined.withColumn("bin", bin_expr)
+               .groupBy("tree", "node", "feature", "bin", "__t")
                .agg(F.count(F.lit(1)).alias("cnt"), F.sum("__y").alias("s")))
         return agg.toPandas()
 
     def _leaf_stats(self, work: DataFrame) -> dict:
-        per_tree = F.array(*[
-            F.struct(F.lit(t).alias("tree"),
-                     self._node_col(t).alias("node"),
-                     (self._membership(t) & (self._half(t)
-                                             == (0 if self.honesty else 1)))
-                     .alias("inc"))
-            for t in range(self.num_trees)
-        ])
-        melted = (work.select("__t", "__y", F.explode(per_tree).alias("tn"))
-                  .where(F.col("tn.inc"))
-                  .select(F.col("tn.tree").alias("tree"),
-                          F.col("tn.node").alias("node"), "__t", "__y"))
+        melted = self._melt(work, split_half=not self.honesty, keep=[])
         rows = (melted.groupBy("tree", "node", "__t")
                 .agg(F.count(F.lit(1)).alias("n"), F.sum("__y").alias("s"))
                 .collect())
@@ -208,12 +250,42 @@ class CausalForest:
                 float(r["n"]), float(r["s"]))
         return out
 
+    # -- GRF split search ----------------------------------------------
     def _best_split(self, stats: pd.DataFrame, t: int, nid: int):
         sub = stats[(stats.tree == t) & (stats.node == nid)]
         if sub.empty:
             return None
+        node = self.trees_[t][nid]
+        # node totals from any one feature slice (bins partition the rows)
+        f0 = None
+        for f in node.feats:
+            if not sub[sub.feature == f].empty:
+                f0 = f
+                break
+        if f0 is None:
+            return None
+        tot = sub[sub.feature == f0]
+        arm = tot["__t"]          # NB: attribute access would name-mangle
+        n1 = float(tot.loc[arm == 1, "cnt"].sum())
+        n0 = float(tot.loc[arm == 0, "cnt"].sum())
+        s1 = float(tot.loc[arm == 1, "s"].sum())
+        s0 = float(tot.loc[arm == 0, "s"].sum())
+        n = n0 + n1
+        # reference updateStop: num_samples ≤ min_node_size → leaf
+        if n <= self.min_node_size or n0 == 0.0 or n1 == 0.0:
+            return None
+        tbar = n1 / n
+        ybar = (s0 + s1) / n
+        # θ = Σ(z−z̄)(y−ȳ)/Σ(z−z̄)(t−t̄); binary z=t → arm mean difference
+        denom = n0 * n1 / n
+        if abs(denom) <= 1e-10:
+            return None
+        theta = s1 / n1 - s0 / n0
+        size_node = denom                      # Σ(z−z̄)² for binary z
+        min_child = self.alpha * size_node
+        # Σρ for a cell (bin, arm a): (a−t̄)[(Σy − n·ȳ) − θ·n·(a−t̄)]
         best_score, best = 0.0, None
-        for feat in self.tree_feats_[t]:
+        for feat in node.feats:
             fs = sub[sub.feature == feat]
             if fs.empty:
                 continue
@@ -225,68 +297,130 @@ class CausalForest:
                 if r["__t"] in (0, 1):
                     cnt[int(r["__t"]), int(r["bin"])] = r["cnt"]
                     ssum[int(r["__t"]), int(r["bin"])] = r["s"]
+            rho = np.zeros((2, nb))
+            for a in (0, 1):
+                za = a - tbar
+                rho[a] = za * ((ssum[a] - cnt[a] * ybar) - theta * cnt[a] * za)
             ccnt = cnt.cumsum(axis=1)
-            csum = ssum.cumsum(axis=1)
+            crho = rho.cumsum(axis=1)
+            rho_tot = float(rho.sum())
             for b in range(nb - 1):
                 l0, l1 = ccnt[0, b], ccnt[1, b]
                 r0 = ccnt[0, -1] - l0
                 r1 = ccnt[1, -1] - l1
+                # ≥ min_node_size small-z (control) AND large-z (treated)
+                # rows in each child (reference :1192-1203)
                 if min(l0, l1, r0, r1) < self.min_node_size:
                     continue
-                tau_l = csum[1, b] / l1 - csum[0, b] / l0
-                tau_r = ((csum[1, -1] - csum[1, b]) / r1
-                         - (csum[0, -1] - csum[0, b]) / r0)
                 nl, nr = l0 + l1, r0 + r1
-                n = nl + nr
-                score = nl * nr / (n * n) * (tau_l - tau_r) ** 2
+                size_left = l0 * l1 / nl
+                size_right = r0 * r1 / nr
+                if size_left < min_child or size_right < min_child:
+                    continue
+                if self.imbalance_penalty > 0.0 and (size_left == 0.0
+                                                     or size_right == 0.0):
+                    continue
+                sum_l = float(crho[0, b] + crho[1, b])
+                sum_r = rho_tot - sum_l
+                score = sum_l * sum_l / nl + sum_r * sum_r / nr
+                score -= self.imbalance_penalty * (1.0 / size_left
+                                                   + 1.0 / size_right)
                 if score > best_score:
                     best_score, best = score, (feat, edges[b])
         return best
 
     # -- predict --------------------------------------------------------
-    def predict(self, df: DataFrame, alias: str = "ite") -> DataFrame:
-        """Average per-tree honest leaf effect — one Arrow UDF pass with the
-        (tiny) forest broadcast in the closure."""
+    def predict(self, df: DataFrame, alias: str = "ite",
+                variance: bool = False) -> DataFrame:
+        """Reference semantics (causal_forest_eval.h:100-110): average the
+        honest leaf moment vector across trees, then solve the moment once.
+        ``variance=True`` adds ``<alias>_var`` via grf little bags
+        (requires ci_group_size ≥ 2 at fit time).
+        """
         forest = [
-            {nid: (nd.feature, nd.threshold, nd.left, nd.right, nd.tau)
+            {nid: (nd.feature, nd.threshold, nd.left, nd.right,
+                   nd.n0, nd.n1, nd.s0, nd.s1)
              for nid, nd in tree.items()}
             for tree in self.trees_
         ]
         feats = self.features
+        want_var = variance
+        gsize = self.ci_group_size
+        if want_var and gsize < 2:
+            raise ValueError("variance needs ci_group_size >= 2 at fit time")
         ensure_udf_serializable()
 
-        @F.pandas_udf("double")
-        def _ite(*cols: pd.Series) -> pd.Series:
+        def _score(*cols):
             X = {f: c.to_numpy(dtype=float) for f, c in zip(feats, cols)}
             n = len(cols[0])
-            acc = np.zeros(n)
+            # accumulated leaf moment means: y, t, z, yz, zz, w
+            m = np.zeros((6, n))
             used = np.zeros(n)
+            per_tree_theta = []
             for tree in forest:
                 node_ids = np.zeros(n, dtype=int)
                 active = np.ones(n, dtype=bool)
                 for _ in range(64):
                     moved = False
                     for nid in np.unique(node_ids[active]):
-                        feat, thr, left, right, _tau = tree[nid]
+                        feat, thr = tree[nid][0], tree[nid][1]
                         if feat is None:
                             continue
                         mask = active & (node_ids == nid)
                         goes_left = X[feat][mask] <= thr
                         idx = np.where(mask)[0]
-                        node_ids[idx[goes_left]] = left
-                        node_ids[idx[~goes_left]] = right
+                        node_ids[idx[goes_left]] = tree[nid][2]
+                        node_ids[idx[~goes_left]] = tree[nid][3]
                         moved = True
                     if not moved:
                         break
-                taus = np.array([tree[nid][4] for nid in node_ids])
-                ok = ~np.isnan(taus)
-                acc[ok] += taus[ok]
+                leaf = np.array([tree[nid][4:] for nid in node_ids])  # n0,n1,s0,s1
+                ln = leaf[:, 0] + leaf[:, 1]
+                ok = ln > 0
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    my = (leaf[:, 2] + leaf[:, 3]) / ln
+                    mt = leaf[:, 1] / ln
+                    myz = leaf[:, 3] / ln
+                tm = np.vstack([my, mt, mt, myz, mt, np.ones(n)])
+                m[:, ok] += tm[:, ok]
                 used[ok] += 1
+                if want_var:
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        th_b = (myz - my * mt) / (mt - mt * mt)
+                    th_b[~ok] = np.nan
+                    per_tree_theta.append(th_b)
             with np.errstate(invalid="ignore", divide="ignore"):
-                return pd.Series(np.where(used > 0, acc / used, np.nan))
+                mm = m / used
+                num = mm[3] * mm[5] - mm[0] * mm[2]
+                den = mm[4] * mm[5] - mm[1] * mm[2]
+                theta = np.where(used > 0, num / den, np.nan)
+            if not want_var:
+                return pd.Series(theta)
+            th = np.array(per_tree_theta)          # (B, n)
+            groups = th.reshape(len(forest) // gsize, gsize, n)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                gmean = np.nanmean(groups, axis=1)           # (G, n)
+                b_hat = np.nanvar(gmean, axis=0, ddof=0)
+                w_hat = np.nanmean(np.nanvar(groups, axis=1, ddof=1), axis=0)
+            var = np.maximum(b_hat - w_hat / gsize, 0.0)
+            return pd.DataFrame({"ite": theta, "var": var})
 
-        return df.withColumn(alias, _ite(*[F.expr(f).cast("double")
-                                           for f in feats]))
+        in_cols = [F.expr(f).cast("double") for f in feats]
+        if want_var:
+            @F.pandas_udf("struct<ite:double,var:double>")
+            def _ite_var(*cols: pd.Series) -> pd.DataFrame:
+                return _score(*cols)
+
+            res = df.withColumn("__o", _ite_var(*in_cols))
+            return (res.withColumn(alias, F.col("__o.ite"))
+                       .withColumn(f"{alias}_var", F.col("__o.var"))
+                       .drop("__o"))
+
+        @F.pandas_udf("double")
+        def _ite(*cols: pd.Series) -> pd.Series:
+            return _score(*cols)
+
+        return df.withColumn(alias, _ite(*in_cols))
 
     def feature_importance(self) -> pd.DataFrame:
         """Depth-decayed split importance (weight (1/4)^depth — shallow splits

@@ -1,0 +1,130 @@
+"""GRF gradient-splitting fidelity: the forest's chosen split and leaf
+effects must match a hand-computed (numpy) GRF criterion on the same binned
+data, and little-bags variance must behave like a variance.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from fast_causal_inference_spark.uplift.causal_forest import CausalForest
+
+
+@pytest.fixture(scope="module")
+def grf_pdf():
+    rng = np.random.default_rng(5)
+    n = 4000
+    x1 = rng.normal(0, 1, n)
+    x2 = rng.normal(0, 1, n)
+    t = rng.integers(0, 2, n).astype(float)
+    tau = np.where(x1 > 0.2, 3.0, -1.0)
+    y = 0.5 + 0.2 * x2 + tau * t + rng.normal(0, 1, n)
+    return pd.DataFrame({"x1": x1, "x2": x2, "t": t, "y": y})
+
+
+def _hand_grf_split(pdf, feats, edges_map, min_node_size, alpha):
+    """Reference criterion (causal_forest.h:1132-1235) in plain numpy."""
+    y = pdf["y"].to_numpy(float)
+    t = pdf["t"].to_numpy(float)
+    n = len(pdf)
+    n1 = t.sum()
+    n0 = n - n1
+    tbar, ybar = n1 / n, y.mean()
+    theta = y[t == 1].mean() - y[t == 0].mean()
+    rho = (t - tbar) * ((y - ybar) - theta * (t - tbar))
+    size_node = n0 * n1 / n
+    min_child = alpha * size_node
+    best_score, best = 0.0, None
+    for feat in feats:
+        edges = edges_map[feat]
+        x = pdf[feat].to_numpy(float)
+        nb = len(edges) + 1
+        bins = np.searchsorted(np.array(edges), x, side="left")
+        # forest bins by when(c <= e): first edge index with x <= e
+        bins = np.array([next((i for i, e in enumerate(edges) if xv <= e),
+                              len(edges)) for xv in x])
+        cnt = np.zeros((2, nb))
+        srho = np.zeros((2, nb))
+        for a in (0, 1):
+            for b in range(nb):
+                m = (t == a) & (bins == b)
+                cnt[a, b] = m.sum()
+                srho[a, b] = rho[m].sum()
+        ccnt = cnt.cumsum(axis=1)
+        crho = srho.cumsum(axis=1)
+        for b in range(nb - 1):
+            l0, l1 = ccnt[0, b], ccnt[1, b]
+            r0, r1 = ccnt[0, -1] - l0, ccnt[1, -1] - l1
+            if min(l0, l1, r0, r1) < min_node_size:
+                continue
+            nl, nr = l0 + l1, r0 + r1
+            if l0 * l1 / nl < min_child or r0 * r1 / nr < min_child:
+                continue
+            sl = crho[0, b] + crho[1, b]
+            sr = srho.sum() - sl
+            score = sl * sl / nl + sr * sr / nr
+            if score > best_score:
+                best_score, best = score, (feat, edges[b])
+    return best, best_score
+
+
+def test_split_matches_hand_grf(spark, grf_pdf):
+    df = spark.createDataFrame(grf_pdf).repartition(4)
+    cf = CausalForest(["x1", "x2"], "y", "t", num_trees=1, max_depth=1,
+                      min_node_size=40, mtry=2, sample_fraction=1.0,
+                      honesty=False, n_bins=8, seed=9).fit(df)
+    root = cf.trees_[0][0]
+    assert root.feature is not None, "root must split on this fixture"
+    best, _ = _hand_grf_split(grf_pdf, ["x1", "x2"], cf.edges_,
+                              min_node_size=40, alpha=cf.alpha)
+    assert best is not None
+    assert root.feature == best[0]
+    assert root.threshold == pytest.approx(best[1], rel=1e-12)
+    # honest=False leaves aggregate the full sample: check leaf effects
+    left = grf_pdf[grf_pdf[root.feature] <= root.threshold]
+    right = grf_pdf[grf_pdf[root.feature] > root.threshold]
+    for node_id, part in ((root.left, left), (root.right, right)):
+        nd = cf.trees_[0][node_id]
+        tau_hand = (part.loc[part.t == 1, "y"].mean()
+                    - part.loc[part.t == 0, "y"].mean())
+        assert nd.tau == pytest.approx(tau_hand, rel=1e-9)
+
+
+def test_moment_prediction_matches_leaf_tau_single_tree(spark, grf_pdf):
+    # with ONE tree the moment solve reduces to the leaf tau exactly
+    df = spark.createDataFrame(grf_pdf).repartition(4)
+    cf = CausalForest(["x1"], "y", "t", num_trees=1, max_depth=1,
+                      min_node_size=40, mtry=1, sample_fraction=1.0,
+                      honesty=False, n_bins=8, seed=9).fit(df)
+    root = cf.trees_[0][0]
+    scored = cf.predict(df).select("x1", "ite").toPandas()
+    for node_id, mask in ((root.left, scored.x1 <= root.threshold),
+                          (root.right, scored.x1 > root.threshold)):
+        nd = cf.trees_[0][node_id]
+        got = scored.loc[mask, "ite"].dropna().unique()
+        assert len(got) == 1
+        assert got[0] == pytest.approx(nd.tau, rel=1e-9)
+
+
+def test_little_bags_variance(spark, grf_pdf):
+    df = spark.createDataFrame(grf_pdf).repartition(4).cache()
+    cf = CausalForest(["x1", "x2"], "y", "t", num_trees=20, max_depth=3,
+                      min_node_size=40, mtry=2, sample_fraction=0.5,
+                      ci_group_size=2, seed=3).fit(df)
+    scored = cf.predict(df, variance=True).select(
+        "x1", "ite", "ite_var").toPandas().dropna()
+    assert (scored.ite_var >= 0).all()
+    assert (scored.ite_var > 0).mean() > 0.5
+    # CI sanity: ±1.96·se covers the true tau for most rows (loose bound —
+    # little bags is noisy at B=20, but must be in the right ballpark)
+    true = np.where(scored.x1 > 0.2, 3.0, -1.0)
+    se = np.sqrt(scored.ite_var)
+    cover = ((scored.ite - 1.96 * se <= true)
+             & (true <= scored.ite + 1.96 * se)).mean()
+    assert cover > 0.4
+
+    # variance=True requires ci groups
+    cf1 = CausalForest(["x1"], "y", "t", num_trees=2, seed=3)
+    cf1.fit(df)
+    with pytest.raises(ValueError):
+        cf1.predict(df, variance=True)
