@@ -600,13 +600,25 @@ def q_boot_strap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Permutation test (rows-only check — depends on Spark rand())."""
+    """Exact arm-preserving permutation test (rows-only check — replica
+    draws are seeded numpy, still partition-layout dependent)."""
     from fast_causal_inference_spark.operators.resample import permutation
 
     ev = _load(spark, sf_dir, "events") \
         .withColumn("treatment", (F.col("user_id") % 2).cast("int"))
     pdf = permutation(ev, "avg(value)", "treatment", permutation_num=20, seed=7)
     return spark.createDataFrame(pdf)
+
+
+def q_boot_strap_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap distribution of OLS coefficients (rows-only: replica
+    weights depend on Spark rand()); reference BootStrapOls semantics."""
+    from fast_causal_inference_spark.operators.resample import boot_strap_ols
+
+    li = _load(spark, sf_dir, "lineitem")
+    pdf = boot_strap_ols(li, "l_extendedprice ~ l_quantity + l_discount",
+                         n_resamples=20, seed=7)
+    return spark.createDataFrame(pdf.drop(columns=["n_resamples"]))
 
 
 # ---------------------------------------------------------------------------
@@ -1257,6 +1269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kolmogorov_smirnov_test": q_kstest,
         "xexpt_ttest_2samp": q_xexpt,
         "boot_strap": q_boot_strap,
+        "boot_strap_ols": q_boot_strap_ols,
         "permutation": q_permutation,
         "token_count": q_token_count,
         "exact_dedup": q_exact_dedup,

@@ -31,7 +31,12 @@ from fast_causal_inference_spark.operators.matrix import matrix_multiplication
 from fast_causal_inference_spark.operators.mann_whitney import mann_whitney_utest
 from fast_causal_inference_spark.operators.kstest import kolmogorov_smirnov_test
 from fast_causal_inference_spark.operators.xexpt import xexpt_ttest_2samp
-from fast_causal_inference_spark.operators.resample import boot_strap, permutation
+from fast_causal_inference_spark.operators.resample import (
+    boot_strap,
+    boot_strap_multi,
+    boot_strap_ols,
+    permutation,
+)
 from fast_causal_inference_spark.operators.matching import (
     caliper_matching,
     exact_matching,
@@ -69,6 +74,8 @@ __all__ = [
     "kolmogorov_smirnov_test",
     "xexpt_ttest_2samp",
     "boot_strap",
+    "boot_strap_multi",
+    "boot_strap_ols",
     "permutation",
     "caliper_matching",
     "exact_matching",

@@ -95,48 +95,234 @@ def boot_strap_summary(df: DataFrame, expr: str, n_resamples: int = 100,
     return out.toPandas()
 
 
+def _hypergeometric_counts(sizes: list[int], n1: int, B: int,
+                           seed: int) -> np.ndarray:
+    """Exact hierarchical SRSWOR allocation: K[b][p] = number of treated
+    labels partition p receives in replica b, drawn sequentially from the
+    hypergeometric so that ΣK[b] == n1 exactly and every subset of size n1
+    is equally likely."""
+    rng = np.random.default_rng(seed)
+    K = np.zeros((B, len(sizes)), dtype=np.int64)
+    for b in range(B):
+        good, total = n1, sum(sizes)
+        for p, m in enumerate(sizes):
+            if total <= 0 or good <= 0:
+                k = 0
+            elif good >= total:
+                k = m
+            else:
+                k = int(rng.hypergeometric(good, total - good, m)) if m else 0
+            K[b, p] = k
+            good -= k
+            total -= m
+    return K
+
+
+def _permutation_replica_stats(sub: DataFrame, k: int, n1: int, B: int,
+                               seed: int) -> DataFrame:
+    """Per-replica treated-arm (count, Σx_i) under exact label permutation.
+
+    The cached input's partition layout is read once for sizes, the driver
+    allocates per-(replica, partition) treated counts (hypergeometric), and
+    one ``mapInPandas`` pass selects exactly that many rows per partition
+    with a deterministic per-(seed, replica, partition) numpy draw.  Shuffle
+    payload: B×P tiny stat rows — no per-replica row explosion at all.
+    """
+    from fast_causal_inference_spark.serialization import (
+        ensure_udf_serializable,
+    )
+
+    size_rows = (sub.groupBy(F.spark_partition_id().alias("pid")).count()
+                 .collect())
+    sizes_map = {r["pid"]: int(r["count"]) for r in size_rows}
+    n_parts = sub.rdd.getNumPartitions()
+    sizes = [sizes_map.get(p, 0) for p in range(n_parts)]
+    K = _hypergeometric_counts(sizes, n1, B, seed)
+    bcols = [f"__b{i}" for i in range(k)]
+    schema = ("replica_id long, n double, "
+              + ", ".join(f"s{i} double" for i in range(k)))
+
+    def _select(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        chunks = [c for c in batches]
+        if not chunks:
+            return
+        X = np.concatenate([c[bcols].to_numpy(dtype=float) for c in chunks])
+        m = len(X)
+        out = {"replica_id": [], "n": []}
+        for i in range(X.shape[1]):
+            out[f"s{i}"] = []
+        for b in range(B):
+            kk = int(K[b, pid]) if pid < K.shape[1] else 0
+            kk = min(kk, m)
+            rng = np.random.default_rng([seed, b, pid])
+            idx = rng.permutation(m)[:kk]
+            out["replica_id"].append(b)
+            out["n"].append(float(kk))
+            sel = X[idx]
+            for i in range(X.shape[1]):
+                out[f"s{i}"].append(float(sel[:, i].sum()) if kk else 0.0)
+        yield pd.DataFrame(out)
+
+    ensure_udf_serializable()
+    part = sub.mapInPandas(_select, schema)
+    return part.groupBy("replica_id").agg(
+        F.sum("n").alias("n"),
+        *[F.sum(f"s{i}").alias(f"s{i}") for i in range(k)])
+
+
+def boot_strap_multi(df: DataFrame, exprs: list[str], n_resamples: int = 100,
+                     resample_frac: float = 1.0, seed: int = 42,
+                     group_cols: list[str] | None = None) -> DataFrame:
+    """B Poisson-bootstrap replicas of SEVERAL metric formulas in ONE pass
+    (reference ``BootStrapMulti`` wraps a list of inner aggregates).
+
+    Returns (group_cols…, replica_id, value_0 … value_{m-1}) with one column
+    per formula — the replicas are drawn jointly, so cross-metric replica
+    correlations are preserved (what you need for bootstrap CIs of ratios
+    or differences of metrics).
+    """
+    from fast_causal_inference_spark.formula import parse_formulas
+
+    group_cols = list(group_cols or [])
+    nodes, base = parse_formulas(exprs)
+    rep = F.explode(F.sequence(F.lit(0), F.lit(n_resamples - 1))) \
+        .alias("replica_id")
+    w = poisson_weight_column(resample_frac, F.rand(seed)).cast("double")
+    exploded = df.select(*group_cols,
+                         *[F.expr(e).cast("double").alias(f"__b{i}")
+                           for i, e in enumerate(base)], rep) \
+                 .withColumn("__w", w)
+    view = StatView(len(base))
+    aggs = suffstat_agg_columns([f"__b{i}" for i in range(len(base))],
+                                weight=F.col("__w"))
+    agged = exploded.groupBy(*group_cols, "replica_id").agg(*aggs)
+    return agged.select(*group_cols, "replica_id",
+                        *[view.value(nd).alias(f"value_{i}")
+                          for i, nd in enumerate(nodes)])
+
+
+def boot_strap_ols(df: DataFrame, formula: str, n_resamples: int = 100,
+                   resample_frac: float = 1.0, seed: int = 42,
+                   use_bias: bool = True, alpha: float = 0.05,
+                   return_replicas: bool = False):
+    """Bootstrap distribution of OLS coefficients (reference
+    ``AggregateFunctionBootStrap.h:895-907`` — ``BootStrapOls`` replicates
+    the whole regression under resampling).
+
+    One pass: rows explode into B replicas, each with a Poisson(frac)
+    weight; ONE ``groupBy(replica_id)`` aggregates the weighted Gramian per
+    replica (shuffle: B×k² doubles) and numpy solves B small systems on the
+    driver.  Returns a per-coefficient pandas summary — full-sample
+    ``estimate``, bootstrap mean/SE and percentile CI — or, with
+    ``return_replicas=True``, also the raw (B, p) coefficient matrix.
+    """
+    from fast_causal_inference_spark.operators.ols import (
+        _fit_from_row,
+        ols,
+        parse_r_formula,
+    )
+
+    y_expr, feats = parse_r_formula(formula)
+    base = feats + [y_expr]
+    full = ols(df, formula, use_bias=use_bias)
+
+    rep = F.explode(F.sequence(F.lit(0), F.lit(n_resamples - 1))) \
+        .alias("replica_id")
+    w = poisson_weight_column(resample_frac, F.rand(seed)).cast("double")
+    exploded = df.select(*[F.expr(e).cast("double").alias(f"__b{i}")
+                           for i, e in enumerate(base)], rep) \
+                 .withColumn("__w", w)
+    bcols = [f"__b{i}" for i in range(len(base))]
+    aggs = suffstat_agg_columns(bcols, weight=F.col("__w"))
+    rows = exploded.groupBy("replica_id").agg(*aggs).collect()
+
+    betas = []
+    for r in rows:
+        n_w = float(r["n"] or 0.0)
+        if n_w <= len(feats) + 1:
+            continue
+        m = _fit_from_row(r, bcols[:-1], bcols[-1], use_bias, n_w, None)
+        betas.append(m.beta)
+    B = np.array(betas)                      # (B_eff, p)
+    names = (["(Intercept)"] + feats) if use_bias else feats
+    lo_q, hi_q = 100 * alpha / 2, 100 * (1 - alpha / 2)
+    summary = pd.DataFrame({
+        "name": names,
+        "estimate": full.beta,
+        "boot_mean": B.mean(axis=0),
+        "boot_se": B.std(axis=0, ddof=1),
+        "lower": np.percentile(B, lo_q, axis=0),
+        "upper": np.percentile(B, hi_q, axis=0),
+        "n_resamples": len(B),
+    })
+    if return_replicas:
+        return summary, B
+    return summary
+
+
 def permutation(df: DataFrame, expr: str, index: str,
                 permutation_num: int = 100, seed: int = 42,
                 treatment_values: tuple = (0, 1),
                 mde: float = 0.0) -> pd.DataFrame:
     """Permutation test of the between-arm difference of a metric formula.
 
-    Re-randomizes treatment B times (Bernoulli with the observed arm share —
-    the reference's shuffled-label semantics at scale), recomputes the metric
-    difference per replica in ONE aggregation pass, and reports the
-    permutation p-value of the observed difference (optionally shifted by
-    ``mde`` for power probing).
+    EXACT label permutation (reference ``AggregateFunctionPermutation.h``
+    shuffles the observed labels): each replica assigns exactly n₁ treated
+    labels uniformly without replacement via driver-side hypergeometric
+    partition allocation + in-partition numpy draws, recomputes the metric
+    difference per replica, and reports the permutation p-value of the
+    observed difference (optionally shifted by ``mde`` for power probing).
+
+    Scale: the only extra jobs are a partition-size count and one
+    ``mapInPandas`` pass whose shuffle output is B×P stat rows — there is no
+    B-fold row explosion, so cost is one data scan regardless of B.
     """
     node, base = parse_formula(expr)
     idx = F.col(index) if index.isidentifier() else F.expr(index)
     v0, v1 = treatment_values
-    sub = df.where(idx.isin([v0, v1])) \
-            .select((idx == F.lit(v1)).cast("int").alias("__t"),
-                    *[F.expr(e).cast("double").alias(f"__b{i}")
-                      for i, e in enumerate(base)])
     k = len(base)
+    bcols = [f"__b{i}" for i in range(k)]
+    notnull = None
+    for c in bcols:
+        nn = F.col(c).isNotNull()
+        notnull = nn if notnull is None else (notnull & nn)
+    sub = (df.where(idx.isin([v0, v1]))
+             .select((idx == F.lit(v1)).cast("int").alias("__t"),
+                     *[F.expr(e).cast("double").alias(f"__b{i}")
+                       for i, e in enumerate(base)])
+             .where(notnull)
+             .cache())
     view0 = StatView(k, "g0_")
     view1 = StatView(k, "g1_")
-    bcols = [f"__b{i}" for i in range(k)]
 
-    # observed difference
+    # observed difference + arm sizes + total sums (one pass)
     obs_row = sub.agg(*(suffstat_agg_columns(bcols, "g0_", F.col("__t") == 0)
-                        + suffstat_agg_columns(bcols, "g1_", F.col("__t") == 1)
-                        + [F.avg(F.col("__t").cast("double")).alias("p1__")])) \
+                        + suffstat_agg_columns(bcols, "g1_", F.col("__t") == 1))) \
                  .select((view1.value(node) - view0.value(node)).alias("diff"),
-                         F.col("p1__")).collect()[0]
+                         view0.n.alias("n0"), view1.n.alias("n1"),
+                         *[(view0.s(i) + view1.s(i)).alias(f"tot{i}")
+                           for i in range(k)]).collect()[0]
     observed = float(obs_row["diff"])
-    p1 = float(obs_row["p1__"])
+    n0 = int(obs_row["n0"] or 0)
+    n1 = int(obs_row["n1"] or 0)
+    if n0 == 0 or n1 == 0:
+        raise ValueError("both arms must be non-empty")
+    tot = np.array([float(obs_row[f"tot{i}"]) for i in range(k)])
+    n = n0 + n1
 
-    rep = F.explode(F.sequence(F.lit(0), F.lit(permutation_num - 1))) \
-        .alias("replica_id")
-    exploded = sub.select(*bcols, rep) \
-                  .withColumn("__t", (F.rand(seed) < p1).cast("int"))
-    aggs = (suffstat_agg_columns(bcols, "g0_", F.col("__t") == 0)
-            + suffstat_agg_columns(bcols, "g1_", F.col("__t") == 1))
-    reps = exploded.groupBy("replica_id").agg(*aggs) \
-        .select((view1.value(node) - view0.value(node)).alias("diff"))
-    diffs = np.array([r["diff"] for r in reps.collect()], dtype=float)
+    reps = _permutation_replica_stats(sub, k, n1, permutation_num, seed) \
+        .collect()
+    sub.unpersist()
+    diffs = np.empty(len(reps))
+    for j, r in enumerate(reps):
+        rn1 = float(r["n"])
+        s1 = np.array([float(r[f"s{i}"]) for i in range(k)])
+        mu1 = list(s1 / rn1)
+        mu0 = list((tot - s1) / (n - rn1))
+        diffs[j] = float(node.value(mu1)) - float(node.value(mu0))
     shifted = abs(observed) - abs(mde)
     p_val = float((np.abs(diffs) >= shifted).mean())
     return pd.DataFrame([{

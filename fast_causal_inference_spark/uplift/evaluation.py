@@ -19,10 +19,16 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# auto method switch: exact global-sort ntile is fine (and engine-exact) up
+# to this many rows; above it the approxQuantile sketch path keeps bucketing
+# fully parallel — ntile(k) OVER (ORDER BY ite) is a single-partition window,
+# the textbook driver-of-one bottleneck at 100 TB.
+AUTO_NTILE_MAX = 1_000_000
+
 
 def _bucketed_stats(df: DataFrame, ite: str, y: str, t: str,
                     k: int, tiebreak: str | None = None,
-                    method: str = "ntile") -> pd.DataFrame:
+                    method: str = "auto") -> pd.DataFrame:
     """Per-ITE-rank-bucket treatment/control counts and outcome sums.
 
     ``tiebreak`` — optional column giving a deterministic total order under
@@ -38,6 +44,8 @@ def _bucketed_stats(df: DataFrame, ite: str, y: str, t: str,
     if tiebreak:
         sel.append(F.expr(tiebreak).alias("__tb"))
     base = df.select(*sel)
+    if method == "auto":
+        method = "ntile" if base.count() <= AUTO_NTILE_MAX else "quantile"
     if method == "quantile":
         probs = [i / k for i in range(1, k)]
         edges = base.approxQuantile("__ite", probs, 0.001)
@@ -68,12 +76,16 @@ def _bucketed_stats(df: DataFrame, ite: str, y: str, t: str,
 
 def get_lift_gain(df: DataFrame, ite: str, y: str, t: str,
                   k: int = 10, tiebreak: str | None = None,
-                  method: str = "ntile") -> pd.DataFrame:
+                  method: str = "auto") -> pd.DataFrame:
     """Cumulative lift/gain table over K ITE-ranked buckets.
 
     Columns: bucket, ratio (population share), lift (cumulative uplift of the
     targeted share), gain (lift·ratio, i.e. cumulative incremental outcome per
     capita scaled), ate_baseline (overall ATE), random_gain (ATE·ratio).
+
+    ``method``: 'ntile' (exact global sort), 'quantile' (sketch buckets,
+    fully parallel), or 'auto' (default — exact below AUTO_NTILE_MAX rows,
+    sketch above).
     """
     pdf = _bucketed_stats(df, ite, y, t, k, tiebreak, method)
     cn1 = pdf.n1.cumsum()

@@ -197,3 +197,95 @@ def test_ks_exact_vs_asymp_consistent(spark, ab_df):
     asym = kolmogorov_smirnov_test(ab_df, "y", "treatment", mode="asymp").iloc[0]
     assert ex.d_statistic == asym.d_statistic
     assert ex.p_value == pytest.approx(asym.p_value, abs=0.05)
+
+
+def test_permutation_exact_arm_preserving(spark):
+    """Every replica must carry exactly n1 treated labels (true shuffle)."""
+    import pandas as pd
+
+    from fast_causal_inference_spark.operators.resample import (
+        _permutation_replica_stats,
+    )
+
+    rng = np.random.default_rng(2)
+    pdf = pd.DataFrame({"__t": [1] * 37 + [0] * 63,
+                        "__b0": rng.normal(0, 1, 100)})
+    sub = spark.createDataFrame(pdf).repartition(5).cache()
+    sub.count()
+    reps = _permutation_replica_stats(sub, 1, 37, 50, seed=3).collect()
+    assert len(reps) == 50
+    assert all(r["n"] == 37.0 for r in reps)
+
+
+def test_permutation_pvalue_matches_enumeration(spark):
+    """Small-n fixture: permutation p-value ≈ brute-force enumeration over
+    all C(n, n1) treated subsets."""
+    from itertools import combinations
+
+    import pandas as pd
+
+    from fast_causal_inference_spark.operators.resample import permutation
+
+    x = [0.3, 1.1, 2.9, 0.2, 4.1, 3.8, 3.3, 0.9, 1.7, 2.2]
+    t = [0, 0, 1, 0, 1, 1, 1, 0, 0, 0]
+    pdf = pd.DataFrame({"x": x, "t": t})
+    df = spark.createDataFrame(pdf).repartition(3)
+    n1 = sum(t)
+    xs = np.array(x)
+    obs = xs[np.array(t) == 1].mean() - xs[np.array(t) == 0].mean()
+    diffs = []
+    for comb in combinations(range(len(x)), n1):
+        m = np.zeros(len(x), dtype=bool)
+        m[list(comb)] = True
+        diffs.append(xs[m].mean() - xs[~m].mean())
+    exact_p = float((np.abs(diffs) >= abs(obs)).mean())
+
+    out = permutation(df, "avg(x)", "t", permutation_num=3000, seed=11)
+    assert out["observed_diff"].iloc[0] == pytest.approx(obs, rel=1e-9)
+    # Monte-Carlo over exact shuffles → binomial noise around the exact p
+    se = np.sqrt(exact_p * (1 - exact_p) / 3000)
+    assert out["p_value"].iloc[0] == pytest.approx(exact_p, abs=4 * se + 1e-3)
+
+
+def test_boot_strap_ols_tracks_analytic_se(spark):
+    import pandas as pd
+
+    from fast_causal_inference_spark.operators.resample import boot_strap_ols
+
+    rng = np.random.default_rng(8)
+    n = 5000
+    x1 = rng.normal(0, 1, n)
+    x2 = rng.normal(0, 2, n)
+    y = 1.0 + 2.0 * x1 - 0.5 * x2 + rng.normal(0, 1, n)
+    df = spark.createDataFrame(pd.DataFrame({"x1": x1, "x2": x2, "y": y})) \
+        .repartition(4)
+    summ, B = boot_strap_ols(df, "y ~ x1 + x2", n_resamples=80, seed=5,
+                             return_replicas=True)
+    assert B.shape == (80, 3)
+    assert summ["estimate"].to_numpy() == pytest.approx([1.0, 2.0, -0.5],
+                                                        abs=0.1)
+    # bootstrap SE within 2x of the analytic OLS SE (~1/sqrt(n))
+    from fast_causal_inference_spark.operators.ols import ols
+    full = ols(df, "y ~ x1 + x2")
+    ratio = summ["boot_se"].to_numpy() / full.stderr
+    assert (0.5 < ratio).all() and (ratio < 2.0).all()
+    # percentile CI covers the full-sample estimate
+    assert (summ["lower"] <= summ["estimate"]).all()
+    assert (summ["estimate"] <= summ["upper"]).all()
+
+
+def test_boot_strap_multi_joint_replicas(spark):
+    import pandas as pd
+
+    from fast_causal_inference_spark.operators.resample import boot_strap_multi
+
+    rng = np.random.default_rng(4)
+    pdf = pd.DataFrame({"a": rng.normal(10, 1, 2000),
+                        "b": rng.normal(5, 1, 2000)})
+    df = spark.createDataFrame(pdf).repartition(4)
+    out = boot_strap_multi(df, ["avg(a)", "avg(b)", "avg(a)/avg(b)"],
+                           n_resamples=40, seed=2).toPandas()
+    assert len(out) == 40
+    # joint draw: the ratio column must equal value_0/value_1 per replica
+    assert out["value_2"].to_numpy() == pytest.approx(
+        (out["value_0"] / out["value_1"]).to_numpy(), rel=1e-12)

@@ -214,3 +214,40 @@ def test_lift_gain_quantile_method(spark, hte_df):
     # bucket shares near 1/k and lifts track the exact variant
     assert approx.ratio.iloc[-1] == pytest.approx(1.0)
     assert np.corrcoef(exact.lift, approx.lift)[0, 1] > 0.99
+
+
+def test_lift_gain_auto_switches_to_sketch(spark, hte_df, monkeypatch):
+    """Above the auto threshold the default path must avoid the
+    single-partition ntile window entirely."""
+    from fast_causal_inference_spark.uplift import evaluation as ev
+
+    scored = hte_df.withColumn("ite_hat", 1.0 + 2.0 * F.col("x1"))
+    exact = get_lift_gain(scored, "ite_hat", "y", "t", k=10)   # auto→ntile
+    monkeypatch.setattr(ev, "AUTO_NTILE_MAX", 100)
+    approx = get_lift_gain(scored, "ite_hat", "y", "t", k=10)  # auto→quantile
+    explicit = get_lift_gain(scored, "ite_hat", "y", "t", k=10,
+                             method="quantile")
+    assert approx["gain"].to_numpy() == pytest.approx(
+        explicit["gain"].to_numpy(), nan_ok=True)
+    # sketch path tracks the exact path loosely (uneven buckets)
+    assert np.nanmax(np.abs(approx["gain"].to_numpy()
+                            - exact["gain"].to_numpy())) < 0.5
+
+
+def test_quantile_path_has_no_window(spark, hte_df):
+    """Plan check: the sketch path contains no Window operator at all."""
+    from pyspark.sql import functions as F
+
+    base = hte_df.select(F.col("y").cast("double").alias("__y"),
+                         F.col("t").cast("double").alias("__t"),
+                         F.col("x1").alias("__ite"))
+    edges = base.approxQuantile("__ite", [0.25, 0.5, 0.75], 0.001)
+    bucket = None
+    for i, e in enumerate(sorted(set(edges), reverse=True)):
+        cond = F.col("__ite") > e
+        bucket = F.when(cond, i + 1) if bucket is None \
+            else bucket.when(cond, i + 1)
+    b = base.withColumn("__bucket", bucket.otherwise(4))
+    agg = b.groupBy("__bucket").agg(F.count(F.lit(1)).alias("n"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
