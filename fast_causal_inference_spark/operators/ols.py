@@ -125,32 +125,29 @@ class OlsModel:
         })
 
     def summary(self) -> str:
-        """R-style lm() summary block (format parity with ols.h:505-547)."""
-        def stars(p):
-            return ("***" if p < 0.001 else "**" if p < 0.01 else
-                    "*" if p < 0.05 else "." if p < 0.1 else " ")
-
-        name_w = max(14, max(len(n) for n in self.names) + 2)
-        num_w = max(12, max(len(f"{v:.6f}") for v in
-                            list(self.beta) + list(self.stderr)) + 2)
+        """R-style lm() block, format-exact with the reference engine
+        (``ols.h:505-547`` rendered through
+        ``MathHelpers::to_string_with_precision`` — fields padded to 12,
+        names to 16, fixed 6 decimals with a scientific fallback when the
+        fixed form overflows the field)."""
         lines = [
-            f"Call:\n  lm( formula = {self.y_expr} ~ "
+            "\nCall:\n  lm( formula = " + self.y_expr + " ~ "
             + " + ".join(self.feature_exprs) + " )\n",
             "Coefficients:",
-            f"{'':>{name_w}}{'Estimate':>{num_w}}{'Std. Error':>{num_w}}"
-            f"{'t value':>10}{'Pr(>|t|)':>10}",
+            (_pad(".", 16) + _pad("Estimate") + _pad("Std. Error")
+             + _pad("t value") + _pad("Pr(>|t|)")),
         ]
         for name, b, se, t, p in zip(self.names, self.beta, self.stderr,
                                      self.t_values, self.p_values):
-            lines.append(f"{name:>{name_w}}{b:>{num_w}.6f}{se:>{num_w}.6f}"
-                         f"{t:>10.3f}{p:>10.4g} {stars(p)}")
+            lines.append(_pad(name, 16) + _pad(b) + _pad(se)
+                         + _pad(t) + _pad(p))
         lines.append("")
         lines.append(f"Residual standard error: {math.sqrt(self.sigma2):.6f} "
                      f"on {int(self.df_resid)} degrees of freedom")
         lines.append(f"Multiple R-squared: {self.r2:.6f}, "
                      f"Adjusted R-squared: {self.adj_r2:.6f}")
-        lines.append(f"F-statistic: {self.f_stat:.4f} on {self.p - 1} and "
-                     f"{int(self.df_resid)} DF,  p-value: {self.f_pvalue:.4g}")
+        lines.append(f"F-statistic: {self.f_stat:.6f} on {self.p - 1} and "
+                     f"{int(self.df_resid)} DF,  p-value: {self.f_pvalue:.6f}")
         return "\n".join(lines)
 
     def __repr__(self):
@@ -176,6 +173,24 @@ class OlsModel:
                    xtx_inv=np.array(d["xtx_inv"]), r2=d["r2"],
                    adj_r2=d["adj_r2"], f_stat=d["f_stat"],
                    f_pvalue=d["f_pvalue"], weight_expr=d.get("weight_expr"))
+
+
+def _pad(v, length: int = 12, precision: int = 6) -> str:
+    """Reference ``MathHelpers::to_string_with_precision`` semantics
+    (math_helpers.hpp:129-162): fixed-precision render, scientific(4) when
+    the fixed form overflows ``length``, right-pad with spaces to
+    ``length``, and guarantee one trailing space."""
+    if isinstance(v, float):
+        s = f"{v:.{precision}f}"
+        if len(s) > length:
+            s = f"{v:.4e}"
+    else:
+        s = str(v)
+    if len(s) < length:
+        s = s + " " * (length - len(s))
+    if not s.endswith(" "):
+        s = s + " "
+    return s
 
 
 def _fit_from_row(row, feats: list[str], y_expr: str, use_bias: bool,

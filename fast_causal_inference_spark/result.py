@@ -18,7 +18,16 @@ class TestResult(Mapping):
         "t_statistic": "t_stat",
         "pvalue": "p_value",
         "std_error": "stderr",
+        # reference column spellings (dataframe/format.py parses these)
+        "t-statistic": "t_stat",
+        "p-value": "p_value",
+        "statistic": "t_stat",
     }
+
+    @property
+    def conf_int(self):
+        """Reference ``testResult.conf_int`` (format.py:178-186)."""
+        return self.confidence_interval
 
     def __init__(self, data: dict):
         self._data = dict(data)

@@ -1,0 +1,223 @@
+"""Reference-output golden parity (VERDICT.md round-1 item 6).
+
+Two layers:
+
+* **Format parity** — the OLS ``summary()`` block is byte-compatible with
+  the reference engine's R-style output (``ols.h:505-547`` through
+  ``MathHelpers::to_string_with_precision``; sample in the reference's own
+  golden file ``test/sql/test_all_in_sql/R/test_ols``), and result columns
+  follow the documented ``testResult`` attribute surface
+  (``dataframe/format.py:131-228``).
+
+* **Numeric goldens** — the reference's fixture CSVs are not shipped, so the
+  numbers here are pinned on this repo's seeded replica of
+  ``test_data_small`` (FIXTURES.md §1 / ``examples/test_data_small.sql``):
+  deterministic, exact to 6 dp, covering 12 documented operator outputs.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from fast_causal_inference_spark.result import test_result as wrap_result
+from fast_causal_inference_spark.testing import make_test_data_small
+
+
+@pytest.fixture(scope="module")
+def tds(spark):
+    df = make_test_data_small(spark).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def _as_golden(row_dict):
+    return {k: (round(v, 6) if isinstance(v, float) else v)
+            for k, v in row_dict.items()}
+
+
+def test_golden_ttest_1samp(spark, tds):
+    from fast_causal_inference_spark.operators.ttest import ttest_1samp
+
+    got = _as_golden(ttest_1samp(tds, "avg(y)", mu=2.0).collect()[0].asDict())
+    assert got == {
+        "n": 10000.0, "mean": 1.976472, "estimate": -0.023528,
+        "stderr": 0.044169, "t_stat": -0.532687, "p_value": 0.59425,
+        "lower": -0.110109, "upper": 0.063052,
+    }
+
+
+def test_golden_ttest_2samp_ratio(spark, tds):
+    from fast_causal_inference_spark.operators.ttest import ttest_2samp
+
+    got = _as_golden(
+        ttest_2samp(tds, "avg(numerator)/avg(denominator)", "treatment")
+        .collect()[0].asDict())
+    assert got == {
+        "n0": 5047.0, "n1": 4953.0, "mean0": 1.990084, "mean1": 2.155227,
+        "estimate": 0.165143, "stderr": 0.009383, "t_stat": 17.599483,
+        "p_value": 0.0, "lower": 0.14675, "upper": 0.183537,
+    }
+
+
+def test_golden_ttest_2samp_cuped(spark, tds):
+    from fast_causal_inference_spark.operators.ttest import ttest_2samp
+
+    got = _as_golden(
+        ttest_2samp(tds, "avg(numerator)/avg(denominator)", "treatment",
+                    X="avg(numerator_pre)/avg(denominator_pre)")
+        .collect()[0].asDict())
+    assert got["estimate"] == 0.158095
+    assert got["stderr"] == 0.007981          # CUPED shrinks 0.009383→
+    assert got["t_stat"] == 19.809623
+
+
+def test_golden_ttest_2samp_pse(spark, tds):
+    from fast_causal_inference_spark.operators.ttest import ttest_2samp
+
+    got = _as_golden(
+        ttest_2samp(tds, "avg(numerator)", "treatment", pse="x_cat1")
+        .collect()[0].asDict())
+    assert got["estimate"] == 0.863673
+    assert got["stderr"] == 0.116292
+    assert got["t_stat"] == 7.426759
+
+
+def test_golden_delta_method(spark, tds):
+    from fast_causal_inference_spark.operators.deltamethod import delta_method
+
+    got = _as_golden(
+        delta_method(tds, "avg(numerator)/avg(denominator)")
+        .collect()[0].asDict())
+    assert got == {"std": 0.004769}
+
+
+def test_golden_srm(spark, tds):
+    from fast_causal_inference_spark.operators.srm import srm
+
+    pdf = srm(tds, "numerator", "x_cat1").sort_values("groupname")
+    assert pdf["chisquare"].round(6).unique().tolist() == [9.215052]
+    assert pdf["p_value"].round(6).unique().tolist() == [0.055943]
+    assert pdf["observed"].round(6).tolist() == [
+        20415.186135, 20550.846392, 20964.359072, 20657.207705, 20829.914248]
+
+
+def test_golden_mann_whitney(spark, tds):
+    from fast_causal_inference_spark.operators.mann_whitney import (
+        mann_whitney_utest,
+    )
+
+    got = _as_golden(mann_whitney_utest(tds, "y", "treatment")
+                     .iloc[0].to_dict())
+    assert got == {"u0": 9479453.0, "u1": 15518338.0, "z": 20.919186,
+                   "p_value": 0.0, "n0": 5047.0, "n1": 4953.0}
+
+
+def test_golden_kolmogorov_smirnov(spark, tds):
+    from fast_causal_inference_spark.operators.kstest import (
+        kolmogorov_smirnov_test,
+    )
+
+    got = _as_golden(kolmogorov_smirnov_test(tds, "y", "treatment")
+                     .iloc[0].to_dict())
+    assert got["d_statistic"] == 0.176113
+    assert got["p_value"] == 0.0
+
+
+def test_golden_ols(spark, tds):
+    from fast_causal_inference_spark.operators.ols import ols
+
+    m = ols(tds, "y ~ x1 + x2 + x3")
+    assert [round(float(b), 6) for b in m.beta] == [
+        1.9776, 0.443421, -0.793622, 0.338161]
+    assert [round(float(s), 6) for s in m.stderr] == [
+        0.040854, 0.04094, 0.020552, 0.040892]
+    assert round(m.r2, 6) == 0.144774
+
+
+def test_golden_wls(spark, tds):
+    from fast_causal_inference_spark.operators.ols import wls
+
+    m = wls(tds, "y ~ x1 + x2", "weight")
+    assert [round(float(b), 6) for b in m.beta] == [1.99489, 0.47003,
+                                                    -0.817641]
+
+
+def test_golden_pearsonr(spark, tds):
+    from fast_causal_inference_spark.operators.matrix import pearsonr
+
+    got = pearsonr(tds, "x1", "y").round(6).iloc[0].to_dict()
+    assert got["r"] == 0.106399
+    assert got["t_stat"] == 10.699556
+
+
+def test_golden_xexpt(spark, tds):
+    from fast_causal_inference_spark.operators.xexpt import xexpt_ttest_2samp
+
+    got = _as_golden(
+        xexpt_ttest_2samp(tds, "numerator", "denominator", "treatment", "id")
+        .iloc[0].to_dict())
+    assert got["mean0"] == 1.990084 and got["mean1"] == 2.155227
+    assert got["diff_relative"] == 0.082983
+    assert got["power"] == 0.185446
+    assert got["recommend_samples"] == 172884.0
+    assert got["mde"] == 0.01321
+    # documented output column order (xexpt_ttest_2samp.h:560-611)
+    assert list(got)[:12] == [
+        "groupname0", "groupname1", "numerator0", "numerator1",
+        "denominator0", "denominator1", "mean0", "mean1",
+        "std_samp0", "std_samp1", "diff", "diff_relative"]
+
+
+def test_golden_summary_format(spark, tds):
+    """Byte-level layout parity with the reference R-block (sample:
+    reference repo test/sql/test_all_in_sql/R/test_ols lines 50-81)."""
+    from fast_causal_inference_spark.operators.ols import ols
+
+    s = ols(tds, "y ~ x1 + x2 + x3").summary()
+    lines = s.split("\n")
+    assert lines[0] == ""
+    assert lines[1] == "Call:"
+    assert lines[2] == "  lm( formula = y ~ x1 + x2 + x3 )"
+    assert lines[3] == ""
+    assert lines[4] == "Coefficients:"
+    # header: name field padded to 16, numeric fields to 12, each + space
+    assert lines[5] == (".               Estimate    Std. Error  "
+                        "t value     Pr(>|t|)    ")
+    assert lines[6] == ("(Intercept)     1.977600    0.040854    "
+                        "48.406050   0.000000    ")
+    assert lines[7].startswith("x1              0.443421    ")
+    assert lines[10] == ""
+    assert lines[11] == ("Residual standard error: 4.085323 on 9996 "
+                         "degrees of freedom")
+    assert lines[12] == ("Multiple R-squared: 0.144774, "
+                         "Adjusted R-squared: 0.144517")
+    assert lines[13] == ("F-statistic: 564.045029 on 3 and 9996 DF,  "
+                         "p-value: 0.000000")
+
+
+def test_golden_testresult_api(spark, tds):
+    """testResult attribute surface (dataframe/format.py:131-228):
+    p_value / statistic / conf_int / estimate / stderr / mean0 / mean1."""
+    from fast_causal_inference_spark.operators.ttest import ttest_2samp
+
+    r = wrap_result(ttest_2samp(tds, "avg(numerator)/avg(denominator)",
+                                "treatment"))
+    assert round(r.estimate, 6) == 0.165143
+    assert round(r.stderr, 6) == 0.009383
+    assert round(r.statistic, 6) == 17.599483
+    assert r.p_value == r["p-value"] == r["t-statistic"] * 0 + r.p_value
+    assert round(r.mean0, 6) == 1.990084
+    assert round(r.mean1, 6) == 2.155227
+    lo, hi = r.conf_int
+    assert round(lo, 6) == 0.14675 and round(hi, 6) == 0.183537
+
+
+def test_golden_scientific_fallback():
+    from fast_causal_inference_spark.operators.ols import _pad
+
+    # fixed-6 overflowing the 12-char field switches to scientific(4),
+    # mirroring MathHelpers' Scientific branch
+    assert _pad(123456789.123456) == "1.2346e+08  "
+    assert _pad(-20.528704) == "-20.528704  "
+    assert _pad(".", 16) == ".               "
