@@ -1119,6 +1119,42 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_quantile_test_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quantileTestBucket arm quantiles (oracle checks the quantile columns;
+    bucket-bootstrap SEs/p-values are pytest-covered — hash buckets are not
+    oracle-able)."""
+    from fast_causal_inference_spark.operators.quantile_test import (
+        quantile_test_bucket,
+    )
+
+    ev = _load(spark, sf_dir, "events") \
+        .withColumn("treatment", (F.col("user_id") % 2).cast("int"))
+    pdf = quantile_test_bucket(ev, "value", "treatment", "user_id",
+                               percentiles=(0.25, 0.5, 0.75), seed=5)
+    pdf = pdf[["percentile", "treatment", "quantile_qtb"]].copy()
+    pdf["quantile_qtb"] = pdf["quantile_qtb"].round(6)
+    return spark.createDataFrame(pdf)
+
+
+_QTB_SQL = """
+WITH q AS (
+  SELECT CAST(user_id % 2 AS BIGINT) AS treatment,
+         quantile_cont(value, 0.25) AS q25,
+         quantile_cont(value, 0.50) AS q50,
+         quantile_cont(value, 0.75) AS q75
+  FROM events GROUP BY user_id % 2
+)
+SELECT CAST(0.25 AS DOUBLE) AS percentile, treatment,
+       round(q25, 6) AS quantile_qtb FROM q
+UNION ALL
+SELECT CAST(0.50 AS DOUBLE) AS percentile, treatment,
+       round(q50, 6) AS quantile_qtb FROM q
+UNION ALL
+SELECT CAST(0.75 AS DOUBLE) AS percentile, treatment,
+       round(q75, 6) AS quantile_qtb FROM q
+"""
+
+
 def q_xexpt_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """xexpt SUM metric via 128 uin-hash buckets (rows-only: bucket
     assignment uses xxhash64)."""
@@ -1290,6 +1326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "causal_forest": q_causal_forest,
         "ttest_2samp_pse": q_ttest_2samp_pse,
         "quantiles": q_quantiles,
+        "quantile_test_bucket": q_quantile_test_bucket,
         "xexpt_sum_metric": q_xexpt_sum,
         "ttest_1samp_cuped": q_ttest_1samp_cuped,
         "delta_method_composite": q_delta_method_composite,
@@ -1330,6 +1367,7 @@ def oracle_sql() -> dict[str, str]:
         "pearsonr": _PEARSONR_SQL,
         "ttest_2samp_pse": _TTEST_PSE_SQL,
         "quantiles": _QUANTILES_SQL,
+        "quantile_test_bucket": _QTB_SQL,
         "ttest_1samp_cuped": _TTEST1_CUPED_SQL,
         "delta_method_composite": _DELTA_COMPOSITE_SQL,
         "student_ttest": _STUDENT_SQL,

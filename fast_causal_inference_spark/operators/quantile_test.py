@@ -1,0 +1,132 @@
+"""quantileTestBucket — two-sample quantile test with bucket-bootstrap SEs.
+
+Parity target: the reference gateway macro ``QuantileTestBucketParser.java``
+(unparseClickHouse :52-162): per arm, exact quantiles of Y at the requested
+percentiles; users hashed into 128 buckets whose per-bucket quantiles are
+bootstrap-resampled to estimate each quantile's standard error; then a
+normal-approximation test of the relative quantile difference with CI,
+power at ``mde``, and a recommended sample size.
+
+Spark-first: two aggregations — ``groupBy(arm)`` for exact arm quantiles
+(native ``percentile``) and ``groupBy(arm, bucket)`` for the 128 bucket
+quantiles (bounded state) — then the 2×128-row bootstrap runs in numpy on
+the driver.  One data scan per aggregation regardless of B.
+
+Deviation from the gateway output: test columns are NULL (not ``''``
+strings) on control rows, and CI tuples are split into _lower/_upper
+numeric columns.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fast_causal_inference_spark import stats_distributions as dist
+
+N_BUCKETS = 128
+
+
+def quantile_test_bucket(df: DataFrame, Y: str, index: str, uin: str,
+                         percentiles: tuple = (0.25, 0.5, 0.75),
+                         alpha: float = 0.05, power: float = 0.8,
+                         mde: float = 0.005, n_bootstrap: int = 500,
+                         treatment_values: tuple = (0, 1),
+                         seed: int = 42) -> pd.DataFrame:
+    idx = F.col(index) if index.isidentifier() else F.expr(index)
+    ucol = F.col(uin) if uin.isidentifier() else F.expr(uin)
+    ycol = F.expr(Y).cast("double")
+    v0, v1 = treatment_values
+    arm = F.when(idx == F.lit(v0), 0).when(idx == F.lit(v1), 1)
+    pct = list(float(p) for p in percentiles)
+    parr = F.array(*[F.lit(p) for p in pct])
+
+    sub = (df.where(arm.isNotNull() & ycol.isNotNull())
+             .select(arm.alias("arm"), ycol.alias("y"), ucol.alias("uin")))
+
+    # arm-level exact quantiles + counts (quantilesExactExclusive analogue)
+    arm_rows = (sub.groupBy("arm")
+                .agg(F.percentile("y", parr).alias("q"),
+                     F.count(F.lit(1)).alias("cnt")).collect())
+    armq = {r["arm"]: (list(r["q"]), float(r["cnt"])) for r in arm_rows}
+    if 0 not in armq or 1 not in armq:
+        raise ValueError("both arms must be non-empty")
+
+    # 128 hash buckets per arm (murmur3_32, like the gateway's
+    # murmurHash3_32(uin)/2^25), per-bucket exact quantiles
+    bucket = F.pmod(F.hash(F.col("uin")), F.lit(N_BUCKETS))
+    brows = (sub.groupBy("arm", bucket.alias("bucket"))
+             .agg(F.percentile("y", parr).alias("q")).collect())
+    bq: dict[int, list[list[float]]] = {0: [], 1: []}
+    for r in brows:
+        bq[r["arm"]].append(list(r["q"]))
+
+    # bootstrap std of the bucket-quantile mean (gateway:
+    # stddevPop(BootStrap('AVG',128,B)(quantile)))
+    rng = np.random.default_rng(seed)
+    qstd = np.zeros((2, len(pct)))
+    for a in (0, 1):
+        vals = np.array(bq[a])               # (n_buckets, n_pct)
+        nb = len(vals)
+        draws = rng.integers(0, nb, size=(n_bootstrap, nb))
+        means = vals[draws].mean(axis=1)     # (B, n_pct)
+        qstd[a] = means.std(axis=0, ddof=0)
+
+    z_hi = float(dist.norm_ppf(1 - alpha / 2))
+    z_lo = float(dist.norm_ppf(alpha / 2))
+    point = z_hi - float(dist.norm_ppf(1 - power))
+
+    out = []
+    for j, p in enumerate(pct):
+        qx, qy = armq[0][0][j], armq[1][0][j]
+        cnt_y = armq[1][1]
+        sx, sy = qstd[0, j], qstd[1, j]
+        std_samp = sy * math.sqrt(cnt_y)
+        abs_diff = qy - qx
+        rela = (qy / qx - 1.0) if qx != 0 else (0.0 if qy == 0
+                                                else float("inf"))
+        se = math.sqrt(sx * sx + sy * sy) * (rela + 1.0)
+        if rela == 0:
+            pv = 1.0
+        elif se == 0:
+            pv = 0.0
+        else:
+            pv = 2.0 * float(dist.norm_sf(abs(rela / se)))
+        abs_w = z_hi * se * qx
+        rela_w = z_hi * se
+        shift = mde / se if se > 0 else float("inf")
+        pw = (1.0 if se == 0 else
+              1.0 - float(dist.norm_cdf(z_hi - shift))
+              + float(dist.norm_cdf(z_lo - shift)))
+        recom = (None if math.isinf(rela) else
+                 float(math.ceil(se * se * cnt_y * point * point
+                                 / (mde * mde))))
+        # control row (test columns NULL, like the gateway's '' strings)
+        out.append({"percentile": p, "treatment": 0,
+                    "quantile_qtb": qx,
+                    "std_samp_qtb": sx * math.sqrt(armq[0][1]),
+                    "p_value": None, "abs_diff": None,
+                    "abs_diff_lower": None, "abs_diff_upper": None,
+                    "rela_diff_qtb": None, "rela_diff_lower": None,
+                    "rela_diff_upper": None, "test_power": None,
+                    "recom_sample_size": None})
+        out.append({"percentile": p, "treatment": 1,
+                    "quantile_qtb": qy, "std_samp_qtb": std_samp,
+                    "p_value": pv, "abs_diff": abs_diff,
+                    "abs_diff_lower": abs_diff - abs_w,
+                    "abs_diff_upper": abs_diff + abs_w,
+                    "rela_diff_qtb": rela,
+                    "rela_diff_lower": rela - rela_w,
+                    "rela_diff_upper": rela + rela_w,
+                    "test_power": pw, "recom_sample_size": recom})
+    return pd.DataFrame(out).sort_values(
+        ["percentile", "treatment"]).reset_index(drop=True)
+
+
+def quantile_test_bucket_spark(df: DataFrame, *args, **kwargs) -> DataFrame:
+    pdf = quantile_test_bucket(df, *args, **kwargs)
+    return df.sparkSession.createDataFrame(pdf)

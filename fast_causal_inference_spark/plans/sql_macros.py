@@ -33,6 +33,9 @@ MACROS = frozenset({
     "ols", "wls", "did", "ivregression", "iv_regression",
     "lineardml", "nonparamdml", "lift", "calipermatching", "exactmatching",
     "boot_strap", "bootstrap", "permutation", "group_set", "pearsonr",
+    "bootstrapmulti", "boot_strap_multi", "bootstrapols", "boot_strap_ols",
+    "quantiletestbucket", "quantile_test_bucket",
+    "recursiveforcasting", "recursive_forcasting",
 })
 
 
@@ -225,6 +228,34 @@ def _dispatch(fn: str, df: DataFrame, pos: list, kw: dict,
                                    permutation_num=int(pos[2])
                                    if len(pos) > 2 else 100)
         return df.sparkSession.createDataFrame(_pd.DataFrame(out))
+    if fn in ("bootstrapmulti", "boot_strap_multi"):
+        exprs = [str(p) for p in pos if "(" in str(p)]
+        return resample.boot_strap_multi(
+            df, exprs, n_resamples=int(kw.pop("n_resamples", 100)), **kw)
+    if fn in ("bootstrapols", "boot_strap_ols"):
+        pdf = resample.boot_strap_ols(
+            df, str(pos[0]), n_resamples=int(kw.pop("n_resamples",
+                                                    pos[1] if len(pos) > 1
+                                                    else 100)), **kw)
+        return df.sparkSession.createDataFrame(pdf)
+    if fn in ("quantiletestbucket", "quantile_test_bucket"):
+        from fast_causal_inference_spark.operators import quantile_test
+
+        pct = kw.pop("percentiles", None)
+        if isinstance(pct, str):
+            pct = tuple(float(x) for x in re.findall(r"[\d.]+", pct))
+        return quantile_test.quantile_test_bucket_spark(
+            df, str(pos[0]), str(pos[1]), str(pos[2]),
+            percentiles=pct or (0.25, 0.5, 0.75),
+            **{k.lower(): v for k, v in kw.items()})
+    if fn in ("recursiveforcasting", "recursive_forcasting"):
+        from fast_causal_inference_spark.operators import longterm
+
+        surro = [s.strip() for s in str(pos[0]).split("+")]
+        pdf = longterm.long_term_effect(
+            df, surro, str(pos[1]), str(pos[2]),
+            **{k.lower(): v for k, v in kw.items()})
+        return df.sparkSession.createDataFrame(pdf)
     if fn == "group_set":
         return groupset.group_set(df, str(pos[0]), str(pos[1]),
                                   [str(p) for p in pos[2:]])

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
 from pyspark.sql import SparkSession
 
 _DEFAULTS = {
@@ -47,3 +48,67 @@ def get_session(app_name: str = "fast_causal_inference_spark",
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         builder = builder.master(f"local[{cpus}]" if cpus else "local[*]")
     return configure_session(builder).getOrCreate()
+
+
+def register_sql_functions(spark: SparkSession) -> SparkSession:
+    """Register the All-in-SQL scalar surface via ``spark.udf.register``.
+
+    The reference's engines ship erf/normal/t-distribution scalars that raw
+    SQL relies on for p-values (SURVEY.md §4; ``examples/schema.sql:43-58``
+    lists the gateway UDF dictionary).  Spark SQL has no erf, so these are
+    Arrow-vectorized pandas UDFs over the pure-numpy kernels in
+    ``stats_distributions`` — after this call, e.g.::
+
+        SELECT 2 * norm_sf(abs(t_stat)) AS p FROM ...
+
+    works in plain ``spark.sql``.  Returns the session for chaining.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from fast_causal_inference_spark import stats_distributions as _dist
+    from fast_causal_inference_spark.serialization import (
+        ensure_udf_serializable,
+    )
+
+    ensure_udf_serializable()
+
+    def _u1(fn):
+        @pandas_udf("double")
+        def _f(x: pd.Series) -> pd.Series:
+            import numpy as _np
+            return pd.Series(_np.asarray(fn(x.to_numpy(dtype=float)),
+                                          dtype=float))
+        return _f
+
+    def _u2(fn):
+        @pandas_udf("double")
+        def _f(x: pd.Series, y: pd.Series) -> pd.Series:
+            import numpy as _np
+            return pd.Series(_np.asarray(
+                fn(x.to_numpy(dtype=float), y.to_numpy(dtype=float)),
+                dtype=float))
+        return _f
+
+    import math as _math
+
+    import numpy as _np
+
+    spark.udf.register("erf", _u1(lambda x: _np.vectorize(_math.erf)(x)))
+    spark.udf.register("erfc", _u1(lambda x: _np.vectorize(_math.erfc)(x)))
+    spark.udf.register("norm_cdf", _u1(_dist.norm_cdf))
+    spark.udf.register("norm_sf", _u1(_dist.norm_sf))
+    spark.udf.register("norm_ppf", _u1(_dist.norm_ppf))
+    spark.udf.register("t_cdf", _u2(_dist.t_cdf))
+    spark.udf.register("t_sf", _u2(_dist.t_sf))
+    spark.udf.register("chi2_sf", _u2(_dist.chi2_sf))
+    spark.udf.register("kolmogorov_sf", _u1(_dist.kolmogorov_sf))
+
+    @pandas_udf("double")
+    def _f_sf(x: pd.Series, dfn: pd.Series, dfd: pd.Series) -> pd.Series:
+        import numpy as _np2
+        return pd.Series(_np2.asarray(
+            _dist.f_sf(x.to_numpy(dtype=float), dfn.to_numpy(dtype=float),
+                       dfd.to_numpy(dtype=float)), dtype=float))
+
+    spark.udf.register("f_sf", _f_sf)
+    return spark

@@ -80,3 +80,51 @@ def test_matching_macro(spark):
 def test_unknown_function_falls_through(spark):
     out = sql(spark, "SELECT upper(concat('a','b')) AS u FROM ab LIMIT 1")
     assert out.collect()[0]["u"] == "AB"
+
+
+def test_register_sql_functions(spark):
+    from fast_causal_inference_spark.session import register_sql_functions
+
+    register_sql_functions(spark)
+    row = spark.sql(
+        "SELECT erf(1.0) AS e, norm_cdf(1.959963984540054) AS c, "
+        "norm_sf(1.959963984540054) AS s, t_sf(2.0, 10.0) AS t, "
+        "chi2_sf(3.841458820694124, 1.0) AS x, "
+        "f_sf(4.0, 2.0, 20.0) AS f, norm_ppf(0.975) AS q").collect()[0]
+    assert row["e"] == pytest.approx(0.8427007929497149, rel=1e-12)
+    assert row["c"] == pytest.approx(0.975, abs=1e-9)
+    assert row["s"] == pytest.approx(0.025, abs=1e-9)
+    assert row["t"] == pytest.approx(0.036694, abs=1e-4)   # scipy t.sf(2,10)
+    assert row["x"] == pytest.approx(0.05, abs=1e-6)
+    assert row["q"] == pytest.approx(1.959963984540054, abs=1e-6)
+
+
+def test_quantile_test_bucket_macro(spark, ab_df):
+    from pyspark.sql import functions as F
+
+    ab_df.withColumn("uid", F.monotonically_increasing_id()) \
+        .createOrReplaceTempView("ab_uid")
+    out = sql(spark, "SELECT quantileTestBucket(y, treatment, uid, "
+                     "percentiles='0.25,0.5,0.75') FROM ab_uid")
+    pdf = out.toPandas()
+    assert len(pdf) == 6                      # 3 percentiles × 2 arms
+    assert set(pdf.treatment) == {0, 1}
+    treat = pdf[pdf.treatment == 1]
+    assert treat.p_value.notna().all()
+    assert (treat.abs_diff_lower <= treat.abs_diff).all()
+    assert (treat.abs_diff <= treat.abs_diff_upper).all()
+
+
+def test_boot_strap_ols_macro(spark):
+    out = sql(spark, "SELECT bootStrapOls('y ~ x1', n_resamples=15) "
+                     "FROM ab")
+    pdf = out.toPandas()
+    assert len(pdf) == 2
+    assert {"estimate", "boot_se", "lower", "upper"} <= set(pdf.columns)
+
+
+def test_recursive_forcasting_macro(spark):
+    out = sql(spark, "SELECT recursiveForcasting('x1 + x2', y, treatment, "
+                     "horizons=2) FROM ab")
+    pdf = out.toPandas()
+    assert len(pdf) == 2
