@@ -51,12 +51,48 @@ def _partition_rank_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
                          "ties": ties}])
 
 
+_EXACT_MAX_N = 50
+
+
+def _exact_u_pvalue(u1: float, n0: int, n1: int, alternative: str) -> float:
+    """Exact null distribution of U by subset-sum DP over ranks 1..n
+    (no ties). O(n·n1·n1·n0) — driver-side, n ≤ _EXACT_MAX_N."""
+    import numpy as np
+
+    n = n0 + n1
+    smax = n1 * n + 1
+    g = np.zeros((n1 + 1, smax), dtype=float)
+    g[0, 0] = 1.0
+    for i in range(1, n + 1):
+        for k in range(min(i, n1), 0, -1):
+            g[k, i:] += g[k - 1, :-i] if i else g[k - 1, :]
+    sums = g[n1]                      # counts of rank-sums for treated
+    total = sums.sum()
+    # U = ranksum - n1(n1+1)/2
+    offset = n1 * (n1 + 1) // 2
+    u_counts = sums[offset:offset + n0 * n1 + 1]
+    u = int(round(u1))
+    cdf = float(u_counts[:u + 1].sum() / total)
+    sf = float(u_counts[u:].sum() / total)
+    if alternative == "less":
+        return min(cdf, 1.0)
+    if alternative == "greater":
+        return min(sf, 1.0)
+    return min(2.0 * min(cdf, sf), 1.0)
+
+
 def mann_whitney_utest(df: DataFrame, data: str, index: str,
                        alternative: str = "two-sided",
                        continuity_correction: bool = True,
                        treatment_values: tuple = (0, 1),
-                       num_partitions: int | None = None) -> pd.DataFrame:
-    """U statistic (treatment arm) + tie-corrected normal-approximation p.
+                       num_partitions: int | None = None,
+                       method: str = "auto") -> pd.DataFrame:
+    """U statistic (treatment arm) + p-value.
+
+    ``method``: 'asymptotic' — tie-corrected normal approximation (the
+    reference engine's only mode, mann_whitney.h:148-165); 'exact' — exact
+    small-sample U distribution (no ties required); 'auto' — exact when
+    n ≤ 50 and tie-free, else asymptotic (scipy convention).
 
     Returns a one-row pandas DataFrame: u0, u1, z, p_value, n0, n1.
     """
@@ -87,6 +123,18 @@ def mann_whitney_utest(df: DataFrame, data: str, index: str,
 
     u1 = r1 - n1 * (n1 + 1.0) / 2.0
     u0 = n0 * n1 - u1
+    no_ties = tie_sum == 0.0
+    if method == "exact" or (method == "auto" and no_ties
+                             and n <= _EXACT_MAX_N):
+        if not no_ties:
+            raise ValueError("exact method requires tie-free data")
+        if n > 2 * _EXACT_MAX_N:
+            raise ValueError(f"exact method limited to n <= {2 * _EXACT_MAX_N}")
+        p_val = _exact_u_pvalue(u1, int(n0), int(n1), alternative)
+        return pd.DataFrame([{
+            "u0": u0, "u1": u1, "z": float("nan"), "p_value": p_val,
+            "n0": n0, "n1": n1,
+        }])
     mu = n0 * n1 / 2.0
     sd = math.sqrt(n0 * n1 / 12.0 * ((n + 1.0) - tie_sum / (n * (n - 1.0))))
     cc = 0.5 if continuity_correction else 0.0

@@ -118,3 +118,54 @@ def prognostic_score_matching(df: DataFrame, outcome: str, index: str,
     out = caliper_matching(scored, "__prognostic", index, caliper=caliper,
                            k=k, seed=seed, treatment_values=treatment_values)
     return out
+
+
+def matching_plot(df: DataFrame, T: str, col: str, bins: int = 50,
+                  xlim: tuple | None = None, sample_limit: int = 10000,
+                  seed: int = 42, plot: bool = False):
+    """Overlaid treatment/control density of ``col`` (reference
+    ``dataframe/match.py:228-298`` — samples ≤10k per arm, seaborn
+    distplot).  This container has no matplotlib, so the primitive returns
+    the binned densities as a pandas DataFrame
+    (bin_left, bin_right, density_control, density_treatment); pass
+    ``plot=True`` to also draw when matplotlib IS importable.
+
+    Scale: per-arm ``orderBy(rand()).limit(k)`` is a distributed top-k
+    (TakeOrderedAndProject), not a global sort — same sampling semantics as
+    the reference's ``order by rand() limit 10000``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    tcol = F.expr(T)
+    c = F.expr(col).cast("double").alias("v")
+    take = lambda arm: [r["v"] for r in (df.where(tcol == arm).select(c)
+                        .where(F.col("v").isNotNull())
+                        .orderBy(F.rand(seed)).limit(sample_limit).collect())]
+    x0 = np.array(take(0), dtype=float)
+    x1 = np.array(take(1), dtype=float)
+    if len(x0) == 0 or len(x1) == 0:
+        raise ValueError("both arms must be non-empty")
+    lo, hi = (xlim if xlim is not None
+              else (min(x0.min(), x1.min()), max(x0.max(), x1.max())))
+    edges = np.linspace(lo, hi, bins + 1)
+    d0, _ = np.histogram(x0, bins=edges, density=True)
+    d1, _ = np.histogram(x1, bins=edges, density=True)
+    out = pd.DataFrame({
+        "bin_left": edges[:-1], "bin_right": edges[1:],
+        "density_control": d0, "density_treatment": d1,
+    })
+    if plot:
+        try:
+            import matplotlib.pyplot as plt
+        except ImportError as e:
+            raise ImportError("matplotlib not installed; use the returned "
+                              "density table instead") from e
+        mid = 0.5 * (edges[:-1] + edges[1:])
+        plt.figure(figsize=(8, 8))
+        plt.plot(mid, d0, label="Control")
+        plt.plot(mid, d1, label="Treatment")
+        plt.xlabel(col)
+        plt.ylabel("density")
+        plt.legend()
+    return out

@@ -87,3 +87,16 @@ def test_group_set(spark, ab_pdf, ab_df):
         assert r["cnt"] == len(cell)
         assert r["sum"] == pytest.approx(cell.y.sum(), rel=1e-9)
         assert r["sum2"] == pytest.approx((cell.y**2).sum(), rel=1e-9)
+
+
+def test_matching_plot_densities(spark, ab_df):
+    from fast_causal_inference_spark.operators.matching import matching_plot
+
+    out = matching_plot(ab_df, "treatment", "x1", bins=20)
+    assert len(out) == 20
+    # densities integrate to ~1 over the binning
+    w = out.bin_right - out.bin_left
+    assert (out.density_control * w).sum() == pytest.approx(1.0, abs=1e-6)
+    assert (out.density_treatment * w).sum() == pytest.approx(1.0, abs=1e-6)
+    # randomized assignment: the two densities overlap heavily
+    assert np.abs(out.density_control - out.density_treatment).mean() < 0.15

@@ -289,3 +289,56 @@ def test_boot_strap_multi_joint_replicas(spark):
     # joint draw: the ratio column must equal value_0/value_1 per replica
     assert out["value_2"].to_numpy() == pytest.approx(
         (out["value_0"] / out["value_1"]).to_numpy(), rel=1e-12)
+
+
+def test_mann_whitney_exact_p_matches_enumeration(spark):
+    """Exact-U p-value equals brute-force enumeration over assignments."""
+    from itertools import combinations
+
+    import pandas as pd
+
+    from fast_causal_inference_spark.operators.mann_whitney import (
+        mann_whitney_utest,
+    )
+
+    x = [1.3, 2.7, 0.4, 3.9, 5.2, 4.4, 2.1, 6.6, 0.9, 3.1]
+    t = [0, 0, 0, 0, 0, 1, 1, 1, 1, 1]
+    df = spark.createDataFrame(pd.DataFrame({"x": x, "t": t})).repartition(3)
+    out = mann_whitney_utest(df, "x", "t", method="exact")
+
+    xs = np.array(x)
+    n1 = sum(t)
+    ranks = pd.Series(x).rank().to_numpy()
+    obs_u = ranks[np.array(t) == 1].sum() - n1 * (n1 + 1) / 2
+
+    us = []
+    for comb in combinations(range(len(x)), n1):
+        m = np.zeros(len(x), dtype=bool)
+        m[list(comb)] = True
+        us.append(ranks[m].sum() - n1 * (n1 + 1) / 2)
+    us = np.array(us)
+    cdf = (us <= obs_u).mean()
+    sf = (us >= obs_u).mean()
+    expect = min(1.0, 2 * min(cdf, sf))
+    assert out["p_value"].iloc[0] == pytest.approx(expect, rel=1e-12)
+    assert out["u1"].iloc[0] == pytest.approx(obs_u)
+
+    for alt, want in (("less", cdf), ("greater", sf)):
+        got = mann_whitney_utest(df, "x", "t", alternative=alt,
+                                 method="exact")
+        assert got["p_value"].iloc[0] == pytest.approx(min(1.0, want),
+                                                       rel=1e-12)
+
+
+def test_mann_whitney_auto_uses_asymptotic_with_ties(spark):
+    import pandas as pd
+
+    from fast_causal_inference_spark.operators.mann_whitney import (
+        mann_whitney_utest,
+    )
+
+    pdf = pd.DataFrame({"x": [1.0, 1.0, 2.0, 3.0] * 3,
+                        "t": [0, 1] * 6})
+    df = spark.createDataFrame(pdf)
+    out = mann_whitney_utest(df, "x", "t")       # ties → asymptotic
+    assert not np.isnan(out["z"].iloc[0])
