@@ -610,6 +610,25 @@ def q_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(pdf)
 
 
+def q_stochastic_sgd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition mini-batch SGD + model averaging (rows-only: the
+    update path depends on partition layout and a seeded shuffle)."""
+    from fast_causal_inference_spark.operators.logistic import (
+        stochastic_linear_regression,
+    )
+
+    li = _load(spark, sf_dir, "lineitem").coalesce(4)
+    m = stochastic_linear_regression(
+        li, "l_extendedprice ~ l_quantity + l_discount",
+        learning_rate=0.05, l1=0.0, batch_size=64, epochs=3, seed=7,
+        standardize=True)
+    import pandas as pd
+
+    return spark.createDataFrame(pd.DataFrame({
+        "name": ["(Intercept)"] + m.feature_exprs,
+        "beta": [float(b) for b in m.beta]}))
+
+
 def q_boot_strap_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bootstrap distribution of OLS coefficients (rows-only: replica
     weights depend on Spark rand()); reference BootStrapOls semantics."""
@@ -1306,6 +1325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xexpt_ttest_2samp": q_xexpt,
         "boot_strap": q_boot_strap,
         "boot_strap_ols": q_boot_strap_ols,
+        "stochastic_sgd": q_stochastic_sgd,
         "permutation": q_permutation,
         "token_count": q_token_count,
         "exact_dedup": q_exact_dedup,

@@ -31,6 +31,10 @@ from fast_causal_inference_spark.operators.matrix import matrix_multiplication
 from fast_causal_inference_spark.operators.mann_whitney import mann_whitney_utest
 from fast_causal_inference_spark.operators.kstest import kolmogorov_smirnov_test
 from fast_causal_inference_spark.operators.xexpt import xexpt_ttest_2samp
+from fast_causal_inference_spark.operators.logistic import (
+    stochastic_linear_regression,
+    stochastic_logistic_regression,
+)
 from fast_causal_inference_spark.operators.resample import (
     boot_strap,
     boot_strap_multi,
@@ -74,6 +78,8 @@ __all__ = [
     "kolmogorov_smirnov_test",
     "xexpt_ttest_2samp",
     "boot_strap",
+    "stochastic_linear_regression",
+    "stochastic_logistic_regression",
     "boot_strap_multi",
     "boot_strap_ols",
     "permutation",

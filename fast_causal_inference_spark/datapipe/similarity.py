@@ -42,11 +42,25 @@ def knn_bruteforce(df: DataFrame, queries: DataFrame, k: int = 10,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    query_id_col: str = "query_id",
                    query_vec_col: str = "query_vec",
-                   metric: str = "cosine") -> DataFrame:
-    """Exact top-k neighbors per query. Query side is broadcast."""
+                   metric: str = "cosine",
+                   max_queries: int = 10_000) -> DataFrame:
+    """Exact top-k neighbors per query. Query side is broadcast.
+
+    Cost is O(|corpus|·|queries|): one corpus scan per ~10⁴ broadcast
+    queries is the intended envelope.  A large query set silently degrades
+    to an all-pairs cartesian, so sets above ``max_queries`` are rejected —
+    use :func:`lsh_knn` (bucketed, output-proportional) for query sets at
+    corpus scale, or raise the cap explicitly if you mean it.
+    """
     score = {"cosine": cosine, "dot": dot}.get(metric)
     if score is None and metric != "l2":
         raise ValueError(f"unknown metric {metric!r}")
+    nq = queries.count()
+    if nq > max_queries:
+        raise ValueError(
+            f"{nq} queries exceeds max_queries={max_queries}; brute force "
+            f"is O(corpus x queries) — use lsh_knn for large query sets or "
+            f"pass a higher max_queries deliberately")
     joined = df.crossJoin(F.broadcast(queries))
     if metric == "l2":
         s = -l2_distance(F.col(vec_col), F.col(query_vec_col))

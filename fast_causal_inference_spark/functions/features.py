@@ -12,18 +12,29 @@ from pyspark.sql import functions as F
 
 
 def one_hot_encode(df: DataFrame, cols: list[str],
-                   drop_last: bool = False) -> DataFrame:
+                   drop_last: bool = False,
+                   max_categories: int = 1000) -> DataFrame:
     """Distinct values → 0/1 indicator columns ``{col}_{value}``.
 
     Values are discovered with one distinct() per column (driver-side small);
     the indicators themselves are pure CASE WHEN columns — scoring-friendly
     and schema-explicit, unlike ML-pipeline vector output.
+
+    ``max_categories`` guards against encoding an id-like column into
+    millions of indicator columns (driver OOM + unusable schema).
     """
     out = df
     for c in cols:
         values = [r[0] for r in
-                  df.select(c).distinct().orderBy(c).collect()
+                  df.select(c).distinct().orderBy(c)
+                  .limit(max_categories + 1).collect()
                   if r[0] is not None]
+        if len(values) > max_categories:
+            raise ValueError(
+                f"column {c!r} has more than max_categories="
+                f"{max_categories} distinct values; one-hot encoding an "
+                f"id-like column is almost never intended — bucket or hash "
+                f"it instead, or raise max_categories deliberately")
         if drop_last and len(values) > 1:
             values = values[:-1]
         for v in values:

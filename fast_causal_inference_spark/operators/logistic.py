@@ -2,10 +2,12 @@
 
 Parity target: reference ``regression.py:45-255`` (``Logistic(tol, iter)`` —
 each IRLS iteration is ONE engine aggregation of a weighted Gramian, solved on
-the driver) and the CH ``stochasticLogisticRegression`` facade
-(``regression.py:553-764``; exact SGD semantics intentionally not replicated —
-MLlib's LBFGS logistic is the Spark-native equivalent, available via
-``use_mllib=True``).
+the driver) and the CH ``stochasticLogisticRegression`` /
+``stochasticLinearRegression`` facades (``regression.py:553-764``) — the
+engine UDAF runs mini-batch SGD per data block and AVERAGES states on
+merge, which maps 1:1 onto per-partition SGD + weighted model averaging
+(implemented in ``_sgd_fit`` below; methods SGD/Momentum/Nesterov/Lasso,
+reference defaults learning_rate=1e-5, l1=0.1, batch_size=15).
 
 Each iteration shuffles O(k²) doubles; row-scale work stays in codegen.
 """
@@ -158,44 +160,194 @@ def auc(df: DataFrame, score: str, label: str) -> float:
     return float(r.u1 / (r.n0 * r.n1))
 
 
-# thin facades mirroring the reference's stochastic_* surface ---------------
+# stochastic SGD family — reference stochasticLinear/LogisticRegression ----
 
 
-def stochastic_logistic_regression(df: DataFrame, formula: str,
-                                   l1: float = 0.0, **kwargs):
-    """Reference stochasticLogisticRegression facade → MLlib logistic
-    (elasticNet for the Lasso updater)."""
-    from pyspark.ml.classification import LogisticRegression
-    from pyspark.ml.feature import VectorAssembler
+@dataclass
+class SGDModel:
+    """Model-averaged mini-batch SGD fit (linear or logistic link)."""
+
+    kind: str                      # 'linear' | 'logistic'
+    feature_exprs: list[str]
+    beta: np.ndarray               # [bias, w_1..w_k]
+    n: float
+    n_partitions: int
+
+    def linear_column(self) -> Column:
+        out: Column = F.lit(float(self.beta[0]))
+        for b, e in zip(self.beta[1:], self.feature_exprs):
+            out = out + float(b) * F.expr(e).cast("double")
+        return out
+
+    def predict_column(self) -> Column:
+        z = self.linear_column()
+        if self.kind == "logistic":
+            return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        return z
+
+    def predict(self, df: DataFrame, alias: str = "prediction") -> DataFrame:
+        return df.withColumn(alias, self.predict_column())
+
+    def effect(self, df: DataFrame, alias: str = "effect") -> DataFrame:
+        return self.predict(df, alias)
+
+
+def _sgd_fit(df: DataFrame, formula: str, kind: str,
+             learning_rate: float, l1: float, l2: float,
+             batch_size: int, method: str, epochs: int,
+             seed: int, standardize: bool = False) -> SGDModel:
+    """Per-partition mini-batch SGD + weighted model averaging — the Spark
+    restatement of the reference UDAF's block-SGD + merge-average
+    (ClickHouse stochastic*Regression semantics).
+
+    One data scan per epoch set (epochs run INSIDE the partition pass);
+    shuffle payload is (k+2) doubles per partition.
+    """
     from fast_causal_inference_spark.operators.ols import parse_r_formula
+    from fast_causal_inference_spark.serialization import (
+        ensure_udf_serializable,
+    )
+
+    import pandas as pd
 
     y_expr, feats = parse_r_formula(formula)
-    prepared = df.select(F.expr(y_expr).cast("double").alias("__label"),
-                         *[F.expr(e).cast("double").alias(f"__f{i}")
-                           for i, e in enumerate(feats)])
-    va = VectorAssembler(inputCols=[f"__f{i}" for i in range(len(feats))],
-                         outputCol="__features")
-    lr = LogisticRegression(featuresCol="__features", labelCol="__label",
-                            regParam=l1, elasticNetParam=1.0 if l1 > 0 else 0.0,
-                            **kwargs)
-    return lr.fit(va.transform(prepared))
+    k = len(feats)
+    cols = [F.expr(y_expr).cast("double").alias("__y")] + \
+        [F.expr(e).cast("double").alias(f"__x{i}") for i, e in enumerate(feats)]
+    sub = df.select(*cols).na.drop()
+    mu = np.zeros(k)
+    sd = np.ones(k)
+    mu_y, sd_y = 0.0, 1.0
+    if standardize:
+        stats = sub.agg(*([F.avg("__y"), F.stddev_samp("__y")]
+                          + [f for i in range(k)
+                             for f in (F.avg(f"__x{i}"),
+                                       F.stddev_samp(f"__x{i}"))])).collect()[0]
+        mu_y = float(stats[0])
+        sd_y = float(stats[1]) or 1.0
+        for i in range(k):
+            mu[i] = float(stats[2 + 2 * i])
+            sd[i] = float(stats[3 + 2 * i]) or 1.0
+        zc = [(((F.col("__y") - mu_y) / sd_y) if kind == "linear"
+               else F.col("__y")).alias("__y")]
+        zc += [((F.col(f"__x{i}") - float(mu[i])) / float(sd[i]))
+               .alias(f"__x{i}") for i in range(k)]
+        sub = sub.select(*zc)
+    method_l = method.lower()
+    if method_l not in ("sgd", "momentum", "nesterov", "lasso", "adam"):
+        raise ValueError(f"unknown method {method!r}")
+
+    schema = "n double, " + ", ".join(f"w{i} double" for i in range(k + 1))
+
+    def _part(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks)
+        y = pdf["__y"].to_numpy(dtype=float)
+        X = np.column_stack([np.ones(len(pdf))] +
+                            [pdf[f"__x{i}"].to_numpy(dtype=float)
+                             for i in range(k)])
+        m = len(y)
+        rng = np.random.default_rng([seed, pid])
+        w = np.zeros(k + 1)
+        v = np.zeros(k + 1)
+        ada_m = np.zeros(k + 1)
+        ada_v = np.zeros(k + 1)
+        t = 0
+        for _ in range(epochs):
+            order = rng.permutation(m)
+            for s0 in range(0, m, batch_size):
+                idx = order[s0:s0 + batch_size]
+                Xb, yb = X[idx], y[idx]
+                if method_l == "nesterov":
+                    w_eval = w + 0.9 * v
+                else:
+                    w_eval = w
+                z = Xb @ w_eval
+                if kind == "logistic":
+                    p = 1.0 / (1.0 + np.exp(-np.clip(z, -35, 35)))
+                    err = p - yb
+                else:
+                    err = z - yb
+                g = Xb.T @ err / len(idx) + l2 * w_eval
+                t += 1
+                if method_l in ("momentum", "nesterov"):
+                    v = 0.9 * v - learning_rate * g
+                    w = w + v
+                elif method_l == "adam":
+                    ada_m = 0.9 * ada_m + 0.1 * g
+                    ada_v = 0.999 * ada_v + 0.001 * g * g
+                    mh = ada_m / (1 - 0.9 ** t)
+                    vh = ada_v / (1 - 0.999 ** t)
+                    w = w - learning_rate * mh / (np.sqrt(vh) + 1e-8)
+                else:
+                    w = w - learning_rate * g
+                if l1 > 0.0 or method_l == "lasso":
+                    # proximal soft-threshold (bias exempt)
+                    thr = learning_rate * l1
+                    w[1:] = np.sign(w[1:]) * np.maximum(
+                        np.abs(w[1:]) - thr, 0.0)
+        out = {"n": [float(m)]}
+        for i in range(k + 1):
+            out[f"w{i}"] = [float(w[i])]
+        yield pd.DataFrame(out)
+
+    ensure_udf_serializable()
+    rows = sub.mapInPandas(_part, schema).collect()
+    if not rows:
+        raise ValueError("empty input")
+    def _f(v):
+        return float(v) if v is not None else float("nan")
+
+    ns = np.array([_f(r["n"]) for r in rows])
+    W = np.array([[_f(r[f"w{i}"]) for i in range(k + 1)] for r in rows])
+    ok = np.isfinite(W).all(axis=1)
+    if not ok.any():
+        raise ValueError(
+            "SGD diverged on every partition (non-finite weights) — lower "
+            "learning_rate or pass standardize=True")
+    ns, W = ns[ok], W[ok]
+    beta = (W * ns[:, None]).sum(axis=0) / ns.sum()
+    if standardize:
+        # de-standardize back to the original feature space
+        w0, wj = beta[0], beta[1:]
+        if kind == "linear":
+            orig_j = wj * sd_y / sd
+            orig_0 = mu_y + sd_y * w0 - float((orig_j * mu).sum())
+        else:
+            orig_j = wj / sd
+            orig_0 = w0 - float((orig_j * mu).sum())
+        beta = np.concatenate([[orig_0], orig_j])
+    return SGDModel(kind=kind, feature_exprs=feats, beta=beta,
+                    n=float(ns.sum()), n_partitions=int(ok.sum()))
 
 
 def stochastic_linear_regression(df: DataFrame, formula: str,
-                                 l1: float = 0.0, **kwargs):
-    """Reference stochasticLinearRegression facade → MLlib linear regression
-    (elasticNet=1 reproduces the Lasso updater)."""
-    from pyspark.ml.regression import LinearRegression
-    from pyspark.ml.feature import VectorAssembler
-    from fast_causal_inference_spark.operators.ols import parse_r_formula
+                                 learning_rate: float = 1e-5,
+                                 l1: float = 0.1, l2: float = 0.0,
+                                 batch_size: int = 15, method: str = "SGD",
+                                 epochs: int = 1, seed: int = 42,
+                                 standardize: bool = False) -> SGDModel:
+    """Reference ``stochasticLinearRegression`` (regression.py:670-764):
+    mini-batch SGD with L1 prox / momentum / Nesterov updaters, states
+    merge-averaged — here per-partition SGD + weighted model averaging.
+    ``standardize=True`` z-scores internally (coefficients returned in the
+    original space) — recommended for unscaled features."""
+    return _sgd_fit(df, formula, "linear", learning_rate, l1, l2,
+                    batch_size, method, epochs, seed, standardize)
 
-    y_expr, feats = parse_r_formula(formula)
-    prepared = df.select(F.expr(y_expr).cast("double").alias("__label"),
-                         *[F.expr(e).cast("double").alias(f"__f{i}")
-                           for i, e in enumerate(feats)])
-    va = VectorAssembler(inputCols=[f"__f{i}" for i in range(len(feats))],
-                         outputCol="__features")
-    lr = LinearRegression(featuresCol="__features", labelCol="__label",
-                          regParam=l1, elasticNetParam=1.0 if l1 > 0 else 0.0,
-                          **kwargs)
-    return lr.fit(va.transform(prepared))
+
+def stochastic_logistic_regression(df: DataFrame, formula: str,
+                                   learning_rate: float = 1e-5,
+                                   l1: float = 0.1, l2: float = 0.0,
+                                   batch_size: int = 15, method: str = "SGD",
+                                   epochs: int = 1, seed: int = 42,
+                                   standardize: bool = False) -> SGDModel:
+    """Reference ``stochasticLogisticRegression`` (regression.py:553-668):
+    same updater family through the sigmoid link."""
+    return _sgd_fit(df, formula, "logistic", learning_rate, l1, l2,
+                    batch_size, method, epochs, seed, standardize)

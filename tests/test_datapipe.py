@@ -238,3 +238,30 @@ def test_multimodal_strict_raises(spark, docs):
     media = synthesize_media_column(docs.limit(2), "text")
     with pytest.raises(Exception):
         image_features(media, strict=True).collect()
+
+
+def test_knn_bruteforce_query_cap(spark, docs):
+    import pandas as pd
+
+    from fast_causal_inference_spark.datapipe.similarity import knn_bruteforce
+
+    base = spark.createDataFrame(pd.DataFrame({
+        "vec_id": range(50), "embedding": [[1.0, 0.0]] * 50}))
+    q = base.select(F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("query_vec"))
+    with pytest.raises(ValueError, match="max_queries"):
+        knn_bruteforce(base, q, k=3, max_queries=10)
+    out = knn_bruteforce(base, q.limit(2), k=3)
+    assert out.count() == 6
+
+
+def test_one_hot_cardinality_cap(spark):
+    import pandas as pd
+
+    from fast_causal_inference_spark.functions.features import one_hot_encode
+
+    df = spark.createDataFrame(pd.DataFrame({"c": [str(i) for i in range(40)]}))
+    with pytest.raises(ValueError, match="max_categories"):
+        one_hot_encode(df, ["c"], max_categories=10)
+    ok = one_hot_encode(df, ["c"], max_categories=40)
+    assert len([c for c in ok.columns if c.startswith("c_")]) == 40
