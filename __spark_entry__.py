@@ -610,6 +610,159 @@ def q_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(pdf)
 
 
+def q_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences coefficients (saturated 2x2 — the OLS
+    solution equals the closed-form cell-mean contrasts the oracle uses)."""
+    from fast_causal_inference_spark.operators.ols import did
+
+    ev = _load(spark, sf_dir, "events") \
+        .withColumn("arm", (F.col("user_id") % 2).cast("int")) \
+        .withColumn("post", (F.col("event_id") % 2).cast("int"))
+    m = did(ev, "value", "arm", "post")
+    import pandas as pd
+
+    return spark.createDataFrame(pd.DataFrame({
+        "name": ["intercept", "treatment", "time", "interaction"],
+        "beta": [round(float(b), 6) for b in m.beta]}))
+
+
+_DID_SQL = """
+WITH cells AS (
+  SELECT CAST(user_id % 2 AS INT) AS arm,
+         CAST(event_id % 2 AS INT) AS post,
+         avg(value) AS m
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT
+    max(CASE WHEN arm = 0 AND post = 0 THEN m END) AS m00,
+    max(CASE WHEN arm = 1 AND post = 0 THEN m END) AS m10,
+    max(CASE WHEN arm = 0 AND post = 1 THEN m END) AS m01,
+    max(CASE WHEN arm = 1 AND post = 1 THEN m END) AS m11
+  FROM cells
+)
+SELECT 'intercept' AS name, round(m00, 6) AS beta FROM w
+UNION ALL SELECT 'treatment', round(m10 - m00, 6) FROM w
+UNION ALL SELECT 'time', round(m01 - m00, 6) FROM w
+UNION ALL SELECT 'interaction', round((m11 - m10) - (m01 - m00), 6) FROM w
+"""
+
+
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve on integer-bucketed event durations."""
+    from fast_causal_inference_spark.operators.survival import kaplan_meier
+
+    ev = _load(spark, sf_dir, "events") \
+        .withColumn("t_", F.round(F.col("value") / 10.0).cast("double")) \
+        .withColumn("e_", (F.col("event_id") % 5 != 0).cast("int"))
+    pdf = kaplan_meier(ev, "t_", "e_")
+    pdf = pdf.round({"survival": 6})
+    pdf["time"] = pdf["time"].astype(float)
+    pdf["n_risk"] = pdf["n_risk"].astype(float)
+    pdf["n_event"] = pdf["n_event"].astype(float)
+    return spark.createDataFrame(pdf)
+
+
+_KM_SQL = """
+WITH a AS (
+  SELECT CAST(round(value/10.0) AS DOUBLE) AS time,
+         CAST(sum(CASE WHEN event_id % 5 != 0 THEN 1 ELSE 0 END) AS DOUBLE)
+           AS n_event,
+         count(*) AS n_obs
+  FROM events GROUP BY 1
+), b AS (
+  SELECT time, n_event, n_obs,
+         CAST((SELECT sum(n_obs) FROM a)
+              - coalesce(sum(n_obs) OVER (ORDER BY time
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS DOUBLE) AS n_risk
+  FROM a
+)
+SELECT time, n_risk, n_event,
+       round(exp(sum(ln((n_risk - n_event) / n_risk))
+                 OVER (ORDER BY time)), 6) AS survival
+FROM b ORDER BY time
+"""
+
+
+def q_t_learner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-learner (single covariate ⇒ per-arm simple OLS, regr_*-oracle-able):
+    average predicted ITE by return flag."""
+    from fast_causal_inference_spark.uplift.metalearners import TLearner
+
+    li = _load(spark, sf_dir, "lineitem") \
+        .withColumn("arm", (F.col("l_orderkey") % 2).cast("int"))
+    tl = TLearner(["l_quantity"], "l_extendedprice", "arm").fit(li)
+    return (tl.predict(li, "ite")
+            .groupBy("l_returnflag")
+            .agg(F.round(F.avg("ite"), 6).alias("avg_ite"))
+            .orderBy("l_returnflag"))
+
+
+_T_LEARNER_SQL = """
+WITH m AS (
+  SELECT
+    regr_intercept(l_extendedprice, l_quantity)
+      FILTER (l_orderkey % 2 = 0) AS i0,
+    regr_slope(l_extendedprice, l_quantity)
+      FILTER (l_orderkey % 2 = 0) AS s0,
+    regr_intercept(l_extendedprice, l_quantity)
+      FILTER (l_orderkey % 2 = 1) AS i1,
+    regr_slope(l_extendedprice, l_quantity)
+      FILTER (l_orderkey % 2 = 1) AS s1
+  FROM lineitem
+)
+SELECT l_returnflag,
+       round(avg((i1 + s1 * l_quantity) - (i0 + s0 * l_quantity)), 6)
+         AS avg_ite
+FROM lineitem, m GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_exact_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact matching per o_orderpriority: deterministic per-key quotas."""
+    from fast_causal_inference_spark.operators.matching import exact_matching
+
+    o = _load(spark, sf_dir, "orders") \
+        .withColumn("arm", (F.col("o_orderkey") % 2).cast("int"))
+    m = exact_matching(o, "arm", ["o_orderpriority"])
+    return (m.where(F.col("match_index").isNotNull())
+             .groupBy("o_orderpriority")
+             .agg(F.count(F.lit(1)).alias("n_matched"),
+                  F.sum("arm").alias("n_treated"))
+             .orderBy("o_orderpriority"))
+
+
+_EXACT_MATCHING_SQL = """
+WITH q AS (
+  SELECT o_orderpriority,
+         least(sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END),
+               sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)) AS quota
+  FROM orders GROUP BY 1
+)
+SELECT o_orderpriority,
+       CAST(2 * quota AS BIGINT) AS n_matched,
+       CAST(quota AS BIGINT) AS n_treated
+FROM q WHERE quota > 0 ORDER BY o_orderpriority
+"""
+
+
+def q_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATE point estimate (difference in arm means)."""
+    from fast_causal_inference_spark.operators.estimators import ate_estimator
+
+    ev = _load(spark, sf_dir, "events") \
+        .withColumn("arm", (F.col("user_id") % 2).cast("int"))
+    pdf = ate_estimator(ev, "value", "arm", B=10, seed=3)
+    return spark.createDataFrame(pdf[["ATE"]].round(6))
+
+
+_ATE_SQL = """
+SELECT round(avg(value) FILTER (user_id % 2 = 1)
+             - avg(value) FILTER (user_id % 2 = 0), 6) AS ATE
+FROM events
+"""
+
+
 def q_stochastic_sgd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-partition mini-batch SGD + model averaging (rows-only: the
     update path depends on partition layout and a seeded shuffle)."""
@@ -1326,6 +1479,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boot_strap": q_boot_strap,
         "boot_strap_ols": q_boot_strap_ols,
         "stochastic_sgd": q_stochastic_sgd,
+        "did": q_did,
+        "survival_km": q_survival_km,
+        "t_learner": q_t_learner,
+        "exact_matching": q_exact_matching,
+        "ate": q_ate,
         "permutation": q_permutation,
         "token_count": q_token_count,
         "exact_dedup": q_exact_dedup,
@@ -1388,6 +1546,11 @@ def oracle_sql() -> dict[str, str]:
         "ttest_2samp_pse": _TTEST_PSE_SQL,
         "quantiles": _QUANTILES_SQL,
         "quantile_test_bucket": _QTB_SQL,
+        "did": _DID_SQL,
+        "survival_km": _KM_SQL,
+        "t_learner": _T_LEARNER_SQL,
+        "exact_matching": _EXACT_MATCHING_SQL,
+        "ate": _ATE_SQL,
         "ttest_1samp_cuped": _TTEST1_CUPED_SQL,
         "delta_method_composite": _DELTA_COMPOSITE_SQL,
         "student_ttest": _STUDENT_SQL,
