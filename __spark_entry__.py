@@ -875,6 +875,56 @@ WHERE CAST(inter AS DOUBLE)/(na + nb - inter) >= 0.5
 """
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clusters: connected components over the
+    (oracle-stable) n-gram Jaccard pair graph."""
+    from fast_causal_inference_spark.datapipe.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    d = _load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.5)
+    return connected_components(pairs).orderBy("id")
+
+
+_DEDUP_COMPONENTS_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(length(toks) - 2, 1) + 1),
+           i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS grams
+  FROM t
+), inv AS (
+  SELECT doc_id, length(grams) AS n_sh, unnest(grams) AS g FROM sh
+), common AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+         any_value(l.n_sh) AS na, any_value(r.n_sh) AS nb, count(*) AS inter
+  FROM inv l JOIN inv r ON l.g = r.g AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM common
+  WHERE CAST(inter AS DOUBLE)/(na + nb - inter) >= 0.5
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), nodes AS (
+  SELECT DISTINCT u AS id FROM edges
+), reach AS (
+  WITH RECURSIVE r(id, label) AS (
+    SELECT id, id FROM nodes
+    UNION
+    SELECT e.u, r.label FROM edges e JOIN r ON r.id = e.v
+  )
+  SELECT id, label FROM r
+)
+SELECT id, min(label) AS component FROM reach GROUP BY id ORDER BY id
+"""
+
+
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for the first 3 vectors."""
     from fast_causal_inference_spark.datapipe.similarity import knn_bruteforce
@@ -1484,6 +1534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_learner": q_t_learner,
         "exact_matching": q_exact_matching,
         "ate": q_ate,
+        "dedup_components": q_dedup_components,
         "permutation": q_permutation,
         "token_count": q_token_count,
         "exact_dedup": q_exact_dedup,
@@ -1551,6 +1602,7 @@ def oracle_sql() -> dict[str, str]:
         "t_learner": _T_LEARNER_SQL,
         "exact_matching": _EXACT_MATCHING_SQL,
         "ate": _ATE_SQL,
+        "dedup_components": _DEDUP_COMPONENTS_SQL,
         "ttest_1samp_cuped": _TTEST1_CUPED_SQL,
         "delta_method_composite": _DELTA_COMPOSITE_SQL,
         "student_ttest": _STUDENT_SQL,

@@ -337,3 +337,74 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                 .where(F.col("jaccard") >= threshold)
                 .select("id_a", "id_b", "jaccard"))
     return verified
+
+
+# ---------------------------------------------------------------------------
+# transitive closure — duplicate clusters from pairs
+# ---------------------------------------------------------------------------
+
+
+def connected_components(pairs: DataFrame, a_col: str = "id_a",
+                         b_col: str = "id_b",
+                         max_iterations: int = 20) -> DataFrame:
+    """(id, component) for every id in the pair relation — component =
+    MIN id reachable through the duplicate graph (transitive closure).
+
+    Iterative min-label propagation with pointer jumping: each round every
+    node takes the min of its own label, its neighbors' labels, AND its
+    label's label (path halving) — one groupBy + two joins per round, all
+    keyed shuffles, no driver state.  Plain propagation needs O(diameter)
+    rounds; the pointer-jump join makes long chains converge in
+    O(log diameter).  Dedup graphs are near-cliques, so 2-3 rounds are
+    typical; ``localCheckpoint`` truncates the growing lineage.
+
+    Use with any of the *_pairs outputs::
+
+        comp = connected_components(minhash_lsh_pairs(df))
+        keep = comp.groupBy("component").agg(F.min("id").alias("keep_id"))
+    """
+    edges = (pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+             .where(F.col("u") != F.col("v")).distinct()
+             .localCheckpoint(eager=True))
+    sym = edges.union(edges.select(F.col("v").alias("u"),
+                                   F.col("u").alias("v")))
+    labels = (sym.groupBy("u").agg(F.min("v").alias("l"))
+              .select(F.col("u").alias("id"),
+                      F.least("u", "l").alias("label"))
+              .localCheckpoint(eager=True))
+
+    for _ in range(max_iterations):
+        # neighbor labels
+        nb = (sym.join(labels.withColumnRenamed("id", "v"), "v")
+              .groupBy("u").agg(F.min("label").alias("nl"))
+              .withColumnRenamed("u", "id"))
+        stepped = (labels.join(nb, "id", "left")
+                   .select("id", F.least("label",
+                                         F.coalesce("nl", "label"))
+                           .alias("label")))
+        # pointer jumping: label <- label(label)
+        parent = stepped.select(F.col("id").alias("label"),
+                                F.col("label").alias("gl"))
+        jumped = (stepped.join(parent, "label", "left")
+                  .select("id", F.least("label",
+                                        F.coalesce("gl", "label"))
+                          .alias("label"))
+                  .localCheckpoint(eager=True))
+        changed = (jumped.alias("n").join(
+            labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label")))
+        labels = jumped
+        if changed.isEmpty():
+            break
+
+    return labels.select("id", F.col("label").alias("component"))
+
+
+def dedup_clusters(df: DataFrame, pairs: DataFrame,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Drop ALL transitive near-duplicates, keeping each component's min id
+    (the closure of the per-pair greedy drop in :func:`minhash_dedup`)."""
+    comp = connected_components(pairs)
+    losers = comp.where(F.col("id") != F.col("component")) \
+                 .select(F.col("id").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")

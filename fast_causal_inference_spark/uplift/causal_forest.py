@@ -141,9 +141,12 @@ class CausalForest:
         work = work.withColumn("__h", rowh).cache()
 
         probs = [i / self.n_bins for i in range(1, self.n_bins)]
-        for feat in self.features:
-            edges = work.select(F.expr(feat).cast("double").alias("__f")) \
-                .approxQuantile("__f", probs, 0.001)
+        # ONE sketch pass for all features (approxQuantile accepts a list)
+        fcols = [f"__feat{i}" for i in range(len(self.features))]
+        fwork = work.select(*[F.expr(f).cast("double").alias(c)
+                              for f, c in zip(self.features, fcols)])
+        all_edges = fwork.approxQuantile(fcols, probs, 0.001)
+        for feat, edges in zip(self.features, all_edges):
             self.edges_[feat] = sorted(set(edges))
 
         frontier = [[0] for _ in range(self.num_trees)]

@@ -265,3 +265,35 @@ def test_one_hot_cardinality_cap(spark):
         one_hot_encode(df, ["c"], max_categories=10)
     ok = one_hot_encode(df, ["c"], max_categories=40)
     assert len([c for c in ok.columns if c.startswith("c_")]) == 40
+
+
+def test_connected_components_chain_and_clique(spark):
+    import pandas as pd
+
+    from fast_causal_inference_spark.datapipe.dedup import (
+        connected_components,
+    )
+
+    # chain 1-2-3-4, clique 10-11-12, isolated pair 20-21
+    pairs = spark.createDataFrame(pd.DataFrame({
+        "id_a": [1, 2, 3, 10, 10, 11, 20],
+        "id_b": [2, 3, 4, 11, 12, 12, 21]}))
+    comp = connected_components(pairs).toPandas()
+    got = dict(zip(comp.id, comp.component))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
+
+
+def test_dedup_clusters_transitive(spark):
+    import pandas as pd
+
+    from fast_causal_inference_spark.datapipe.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 9],
+        "text": ["a"] * 5}))
+    # 1~2, 2~3, 3~4 — transitively all dupes of 1; 9 untouched
+    pairs = spark.createDataFrame(pd.DataFrame({
+        "id_a": [1, 2, 3], "id_b": [2, 3, 4]}))
+    kept = sorted(r["doc_id"] for r in dedup_clusters(docs, pairs).collect())
+    assert kept == [1, 9]
