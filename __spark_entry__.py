@@ -610,6 +610,97 @@ def q_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(pdf)
 
 
+def q_ttests_2samp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector t-test: one row per alternative from ONE suff-stats pass
+    (p/bounds are alternative- and erf-dependent — estimate/stderr/t are
+    the oracle-checkable core)."""
+    from fast_causal_inference_spark.operators.ttest import ttests_2samp
+
+    ev = _load(spark, sf_dir, "events") \
+        .withColumn("arm", (F.col("user_id") % 2).cast("int"))
+    out = ttests_2samp(ev, "avg(value)", "arm",
+                       ["two-sided", "less", "greater"])
+    return _round_all(out.select("alternative", "n0", "n1", "estimate",
+                                 "stderr", "t_stat"),
+                      ["alternative", "n0", "n1"],
+                      ["estimate", "stderr", "t_stat"], 6)
+
+
+_TTESTS_SQL = """
+WITH s AS (
+  SELECT CAST(count(*) FILTER (user_id % 2 = 0) AS DOUBLE) AS n0,
+         CAST(count(*) FILTER (user_id % 2 = 1) AS DOUBLE) AS n1,
+         avg(value) FILTER (user_id % 2 = 0) AS m0,
+         avg(value) FILTER (user_id % 2 = 1) AS m1,
+         var_samp(value) FILTER (user_id % 2 = 0) AS v0,
+         var_samp(value) FILTER (user_id % 2 = 1) AS v1
+  FROM events
+), alts AS (SELECT unnest(['two-sided', 'less', 'greater']) AS alternative)
+SELECT alternative, n0, n1,
+       round(m1 - m0, 6) AS estimate,
+       round(sqrt(v0/n0 + v1/n1), 6) AS stderr,
+       round((m1 - m0)/sqrt(v0/n0 + v1/n1), 6) AS t_stat
+FROM alts, s
+"""
+
+
+def q_mean_z_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample z-test with known variances (p excluded: erf)."""
+    from fast_causal_inference_spark.operators.ttest import mean_z_test
+
+    ev = _load(spark, sf_dir, "events") \
+        .withColumn("arm", (F.col("user_id") % 2).cast("int"))
+    out = mean_z_test(ev, "value", "arm", 900.0, 900.0)
+    return _round_all(out.select("n0", "n1", "mean0", "mean1", "estimate",
+                                 "stderr", "t_stat"),
+                      ["n0", "n1"],
+                      ["mean0", "mean1", "estimate", "stderr", "t_stat"], 6)
+
+
+_MEAN_Z_SQL = """
+SELECT CAST(count(*) FILTER (user_id % 2 = 0) AS DOUBLE) AS n0,
+       CAST(count(*) FILTER (user_id % 2 = 1) AS DOUBLE) AS n1,
+       round(avg(value) FILTER (user_id % 2 = 0), 6) AS mean0,
+       round(avg(value) FILTER (user_id % 2 = 1), 6) AS mean1,
+       round(avg(value) FILTER (user_id % 2 = 1)
+             - avg(value) FILTER (user_id % 2 = 0), 6) AS estimate,
+       round(sqrt(900.0/count(*) FILTER (user_id % 2 = 0)
+                  + 900.0/count(*) FILTER (user_id % 2 = 1)), 6) AS stderr,
+       round((avg(value) FILTER (user_id % 2 = 1)
+              - avg(value) FILTER (user_id % 2 = 0))
+             / sqrt(900.0/count(*) FILTER (user_id % 2 = 0)
+                    + 900.0/count(*) FILTER (user_id % 2 = 1)), 6) AS t_stat
+FROM events
+"""
+
+
+def q_iv_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2SLS, just-identified single endogenous regressor — the IV estimator
+    collapses to cov(z,y)/cov(z,t), exactly oracle-able."""
+    from fast_causal_inference_spark.operators.ols import iv_regression
+
+    li = _load(spark, sf_dir, "lineitem") \
+        .withColumn("z", (F.col("l_partkey") % 3).cast("double"))
+    m = iv_regression(li, "l_extendedprice ~ (l_quantity ~ z)")
+    import pandas as pd
+
+    return spark.createDataFrame(pd.DataFrame({
+        "name": ["intercept", "l_quantity"],
+        "beta": [round(float(b), 6) for b in m.beta]}))
+
+
+_IV_SQL = """
+WITH s AS (
+  SELECT covar_samp(CAST(l_partkey % 3 AS DOUBLE), l_extendedprice) AS czy,
+         covar_samp(CAST(l_partkey % 3 AS DOUBLE), l_quantity) AS czt,
+         avg(l_extendedprice) AS my, avg(l_quantity) AS mt
+  FROM lineitem
+)
+SELECT 'intercept' AS name, round(my - czy/czt * mt, 6) AS beta FROM s
+UNION ALL SELECT 'l_quantity', round(czy/czt, 6) FROM s
+"""
+
+
 def q_did(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Difference-in-differences coefficients (saturated 2x2 — the OLS
     solution equals the closed-form cell-mean contrasts the oracle uses)."""
@@ -1530,6 +1621,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boot_strap_ols": q_boot_strap_ols,
         "stochastic_sgd": q_stochastic_sgd,
         "did": q_did,
+        "ttests_2samp": q_ttests_2samp,
+        "mean_z_test": q_mean_z_test,
+        "iv_regression": q_iv_regression,
         "survival_km": q_survival_km,
         "t_learner": q_t_learner,
         "exact_matching": q_exact_matching,
@@ -1598,6 +1692,9 @@ def oracle_sql() -> dict[str, str]:
         "quantiles": _QUANTILES_SQL,
         "quantile_test_bucket": _QTB_SQL,
         "did": _DID_SQL,
+        "ttests_2samp": _TTESTS_SQL,
+        "mean_z_test": _MEAN_Z_SQL,
+        "iv_regression": _IV_SQL,
         "survival_km": _KM_SQL,
         "t_learner": _T_LEARNER_SQL,
         "exact_matching": _EXACT_MATCHING_SQL,
