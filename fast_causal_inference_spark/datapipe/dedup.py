@@ -366,6 +366,38 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
     edges = (pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
              .where(F.col("u") != F.col("v")).distinct()
              .localCheckpoint(eager=True))
+    n_edges = edges.count()
+    # small graphs (the normal case: pairs are the COMPRESSED dedup output)
+    # solve on the driver with union-find — the distributed loop costs
+    # ~20 scheduled jobs, pure overhead below millions of edges
+    if n_edges <= 2_000_000:
+        import pandas as pd
+
+        ep = edges.toPandas()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for u, v in zip(ep["u"], ep["v"]):
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                # min id becomes the root
+                lo, hi = (ru, rv) if ru < rv else (rv, ru)
+                parent[hi] = lo
+        ids = pd.unique(pd.concat([ep["u"], ep["v"]]))
+        out = pd.DataFrame({"id": ids,
+                            "component": [find(i) for i in ids]})
+        return pairs.sparkSession.createDataFrame(
+            out.sort_values("id"))
+    # size the iteration shuffles to the pair graph
+    parts = int(max(2, min(200, n_edges // 500_000 + 2)))
+    edges = edges.repartition(parts, "u").localCheckpoint(eager=True)
     sym = edges.union(edges.select(F.col("v").alias("u"),
                                    F.col("u").alias("v")))
     labels = (sym.groupBy("u").agg(F.min("v").alias("l"))

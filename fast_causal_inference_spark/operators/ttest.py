@@ -47,6 +47,16 @@ def _split_cuped(X: str | None) -> list[str]:
     return [p for p in x.split("+") if p.strip()]
 
 
+def _finalize_local(spark, pdf: pd.DataFrame, finalize,
+                    schema: T.StructType) -> DataFrame:
+    """Ungrouped reports aggregate to a HANDFUL of rows — finalize on the
+    driver instead of shipping a pandas-UDF closure (pickle-by-value of the
+    package + Python-worker round trip cost ~2 s per call; the distributed
+    mapInPandas path remains for grouped reports with many groups)."""
+    out = pd.concat(list(finalize(iter([pdf]))), ignore_index=True)
+    return spark.createDataFrame(out[[f.name for f in schema.fields]], schema)
+
+
 def _result_schema(agged: DataFrame, group_cols: list[str],
                    fields: list[str], extra: list[T.StructField] | None = None
                    ) -> T.StructType:
@@ -101,6 +111,9 @@ def ttest_2samp(df: DataFrame, Y: str, index: str,
                 rows.append({**{g: r[g] for g in group_cols}, **res})
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
+    if not group_cols:
+        return _finalize_local(df.sparkSession, agged.toPandas(),
+                               finalize, schema)
     ensure_udf_serializable()
     return agged.mapInPandas(finalize, schema)
 
@@ -168,10 +181,12 @@ def _ttest_2samp_pse(df: DataFrame, Y: str, index: str, alternative: str,
                  "lower": lower, "upper": upper}]
         return pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
+    if not group_cols:
+        out = finalize(agged.toPandas())
+        return df.sparkSession.createDataFrame(
+            out[[f.name for f in schema.fields]], schema)
     ensure_udf_serializable()
-    gb = agged.groupBy(*group_cols) if group_cols \
-        else agged.groupBy(F.lit(1).alias("__dummy"))
-    return gb.applyInPandas(finalize, schema)
+    return agged.groupBy(*group_cols).applyInPandas(finalize, schema)
 
 
 def ttest_1samp(df: DataFrame, Y: str, alternative: str = "two-sided",
@@ -200,6 +215,9 @@ def ttest_1samp(df: DataFrame, Y: str, alternative: str = "two-sided",
                 rows.append({**{g: r[g] for g in group_cols}, **res})
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
+    if not group_cols:
+        return _finalize_local(df.sparkSession, agged.toPandas(),
+                               finalize, schema)
     ensure_udf_serializable()
     return agged.mapInPandas(finalize, schema)
 
@@ -245,6 +263,9 @@ def ttests_2samp(df: DataFrame, Y: str, index: str,
                                  **{g: r[g] for g in group_cols}, **res})
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
+    if not group_cols:
+        return _finalize_local(df.sparkSession, agged.toPandas(),
+                               finalize, schema)
     ensure_udf_serializable()
     return agged.mapInPandas(finalize, schema)
 
@@ -320,6 +341,9 @@ def _moment_test(df: DataFrame, value: str, index: str, kind: str,
                              "df": dof, "p_value": p})
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
+    if not group_cols:
+        return _finalize_local(df.sparkSession, agged.toPandas(),
+                               finalize, schema)
     ensure_udf_serializable()
     return agged.mapInPandas(finalize, schema)
 

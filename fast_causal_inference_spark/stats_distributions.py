@@ -173,17 +173,34 @@ def t_cdf(t, df):
 
 
 def t_ppf(p, df):
-    """Inverse Student-t CDF by monotone bisection on t_cdf (driver-side use)."""
+    """Inverse Student-t CDF (driver-side use).
+
+    df > 2000 → Cornish-Fisher expansion around the normal quantile
+    (error O(df⁻³), ≪1e-8 — and avoids the large-a ``betainc`` continued
+    fraction, whose slow convergence at the bisection's extreme endpoints
+    cost ~3 s per call at df ~10⁵); otherwise monotone bisection on t_cdf.
+    """
     p = np.atleast_1d(np.asarray(p, dtype=float))
     df = np.broadcast_to(np.asarray(df, dtype=float), p.shape)
-    lo = np.full_like(p, -1e3)
-    hi = np.full_like(p, 1e3)
-    for _ in range(200):
-        mid = 0.5 * (lo + hi)
-        c = t_cdf(mid, df)
-        lo = np.where(c < p, mid, lo)
-        hi = np.where(c >= p, mid, hi)
-    out = 0.5 * (lo + hi)
+    out = np.empty_like(p)
+    big = df > 2000
+    if big.any():
+        z = np.asarray(norm_ppf(p[big]), dtype=float)
+        v = df[big]
+        g1 = (z ** 3 + z) / 4.0
+        g2 = (5 * z ** 5 + 16 * z ** 3 + 3 * z) / 96.0
+        out[big] = z + g1 / v + g2 / (v * v)
+    small = ~big
+    if small.any():
+        ps, dfs = p[small], df[small]
+        lo = np.full_like(ps, -1e3)
+        hi = np.full_like(ps, 1e3)
+        for _ in range(200):
+            mid = 0.5 * (lo + hi)
+            c = t_cdf(mid, dfs)
+            lo = np.where(c < ps, mid, lo)
+            hi = np.where(c >= ps, mid, hi)
+        out[small] = 0.5 * (lo + hi)
     return out if out.shape != (1,) else float(out[0])
 
 
