@@ -34,7 +34,7 @@ MACROS = frozenset({
     "lineardml", "nonparamdml", "lift", "calipermatching", "exactmatching",
     "boot_strap", "bootstrap", "permutation", "group_set", "pearsonr",
     "bootstrapmulti", "boot_strap_multi", "bootstrapols", "boot_strap_ols",
-    "quantiletestbucket", "quantile_test_bucket",
+    "quantiletestbucket", "quantile_test_bucket", "cutbins",
     "recursiveforcasting", "recursive_forcasting",
 })
 
@@ -256,6 +256,17 @@ def _dispatch(fn: str, df: DataFrame, pos: list, kw: dict,
             df, surro, str(pos[1]), str(pos[2]),
             **{k.lower(): v for k, v in kw.items()})
         return df.sparkSession.createDataFrame(pdf)
+    if fn == "cutbins":
+        # cutbins(x, '[0, 10, 20]' [, labels]) — appends {x}_bin
+        import json as _json
+
+        from fast_causal_inference_spark.functions.features import cut_bins
+
+        col = str(pos[0])
+        bins = pos[1]
+        if isinstance(bins, str):
+            bins = _json.loads(bins)
+        return df.withColumn(f"{col}_bin", cut_bins(col, list(bins)))
     if fn == "group_set":
         return groupset.group_set(df, str(pos[0]), str(pos[1]),
                                   [str(p) for p in pos[2:]])

@@ -128,3 +128,9 @@ def test_recursive_forcasting_macro(spark):
                      "horizons=2) FROM ab")
     pdf = out.toPandas()
     assert len(pdf) == 2
+
+
+def test_cutbins_macro(spark):
+    out = sql(spark, "SELECT cutbins(x1, '[-10, 0, 10]') FROM ab")
+    pdf = out.select("x1_bin").distinct().toPandas()
+    assert len(pdf) >= 2
