@@ -35,6 +35,7 @@ MACROS = frozenset({
     "boot_strap", "bootstrap", "permutation", "group_set", "pearsonr",
     "bootstrapmulti", "boot_strap_multi", "bootstrapols", "boot_strap_ols",
     "quantiletestbucket", "quantile_test_bucket", "cutbins",
+    "olsstate", "predict",
     "recursiveforcasting", "recursive_forcasting",
 })
 
@@ -256,6 +257,20 @@ def _dispatch(fn: str, df: DataFrame, pos: list, kw: dict,
             df, surro, str(pos[1]), str(pos[2]),
             **{k.lower(): v for k, v in kw.items()})
         return df.sparkSession.createDataFrame(pdf)
+    if fn == "olsstate":
+        # olsState('y ~ x1 + x2') -> one-row relation with the serialized
+        # model (reference gateway UDF dict: olsState / predict pair)
+        formula = str(pos[0])
+        model = ols.ols(df, formula,
+                        use_bias=bool(kw.get("use_bias", True)))
+        return df.sparkSession.createDataFrame(
+            [(model.to_json(),)], "model string")
+    if fn == "predict":
+        # predict('<model-json>') -> FROM-table + prediction column
+        from fast_causal_inference_spark.operators.ols import OlsModel
+
+        model = OlsModel.from_json(str(pos[0]))
+        return model.predict(df, alias=str(kw.get("alias", "prediction")))
     if fn == "cutbins":
         # cutbins(x, '[0, 10, 20]' [, labels]) — appends {x}_bin
         import json as _json

@@ -134,3 +134,13 @@ def test_cutbins_macro(spark):
     out = sql(spark, "SELECT cutbins(x1, '[-10, 0, 10]') FROM ab")
     pdf = out.select("x1_bin").distinct().toPandas()
     assert len(pdf) >= 2
+
+
+def test_olsstate_predict_macros(spark):
+    state = sql(spark, "SELECT olsState('y ~ x1 + x2') FROM ab")
+    model_json = state.collect()[0]["model"]
+    out = sql(spark, f"SELECT predict('{model_json}') FROM ab")
+    pdf = out.select("y", "prediction").toPandas()
+    import numpy as np
+
+    assert np.corrcoef(pdf.y, pdf.prediction)[0, 1] > 0.8
