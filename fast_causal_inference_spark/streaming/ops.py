@@ -129,3 +129,119 @@ def run_to_memory(stream_out: DataFrame, query_name: str,
     q = (stream_out.writeStream.format("memory").queryName(query_name)
          .outputMode(output_mode).trigger(availableNow=True).start())
     q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# stateful: always-valid sequential testing (mSPRT)
+# ---------------------------------------------------------------------------
+
+
+def streaming_sequential_ttest(stream: DataFrame, Y: str, index: str,
+                               ts_col: str, group_col: str | None = None,
+                               tau: float = 1.0,
+                               watermark: str = "10 minutes",
+                               treatment_values: tuple = (0, 1)) -> DataFrame:
+    """Always-valid sequential test over a live experiment stream — the
+    mixture SPRT (mSPRT) with a N(0, τ²) mixture over the effect, the
+    standard "peeking-safe" monitor for streaming A/B platforms.
+
+    True custom stateful streaming: ``applyInPandasWithState`` keeps the
+    cumulative per-arm moments (n, Σy, Σy²) and the running max of the
+    mixture likelihood ratio Λ in ``GroupState``; each micro-batch folds its
+    rows into the state and emits one row per experiment group:
+    (n0, n1, estimate, stderr, z, lambda_, always_valid_p) where
+    ``always_valid_p = min(1, 1/max_s Λ_s)`` is valid under continuous
+    monitoring (optional stopping).
+
+    Λ for the normal approximation: with δ̂ the mean difference and
+    V = SE², Λ = sqrt(V/(V+τ²)) · exp(δ̂²·τ² / (2V(V+τ²))).
+
+    State is O(1) doubles per experiment group — scale-independent.
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    from fast_causal_inference_spark.serialization import (
+        ensure_udf_serializable,
+    )
+
+    idx = F.col(index) if index.isidentifier() else F.expr(index)
+    v0, v1 = treatment_values
+    gcol = group_col or "__expt"
+    base = stream if group_col else stream.withColumn(gcol, F.lit("all"))
+    prepared = (base.withWatermark(ts_col, watermark)
+                .select(F.col(gcol).cast("string").alias("g"),
+                        F.expr(Y).cast("double").alias("y"),
+                        F.when(idx == F.lit(v0), 0)
+                         .when(idx == F.lit(v1), 1).alias("arm"))
+                .where(F.col("arm").isNotNull() & F.col("y").isNotNull()))
+
+    out_schema = T.StructType([
+        T.StructField("g", T.StringType()),
+        T.StructField("n0", T.DoubleType()),
+        T.StructField("n1", T.DoubleType()),
+        T.StructField("estimate", T.DoubleType()),
+        T.StructField("stderr", T.DoubleType()),
+        T.StructField("z", T.DoubleType()),
+        T.StructField("lambda_", T.DoubleType()),
+        T.StructField("always_valid_p", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n0", T.DoubleType()),
+        T.StructField("s0", T.DoubleType()),
+        T.StructField("ss0", T.DoubleType()),
+        T.StructField("n1", T.DoubleType()),
+        T.StructField("s1", T.DoubleType()),
+        T.StructField("ss1", T.DoubleType()),
+        T.StructField("max_lambda", T.DoubleType()),
+    ])
+    tau2 = float(tau) * float(tau)
+
+    def update(key, pdfs, state: GroupState):
+        import math as _math
+
+        if state.exists:
+            n0, s0, ss0, n1, s1, ss1, maxl = state.get
+        else:
+            n0 = s0 = ss0 = n1 = s1 = ss1 = 0.0
+            maxl = 1.0
+        for pdf in pdfs:
+            a = pdf["arm"].to_numpy()
+            y = pdf["y"].to_numpy(dtype=float)
+            m1 = a == 1
+            n1 += float(m1.sum()); s1 += float(y[m1].sum())
+            ss1 += float((y[m1] ** 2).sum())
+            m0 = a == 0
+            n0 += float(m0.sum()); s0 += float(y[m0].sum())
+            ss0 += float((y[m0] ** 2).sum())
+        if n0 > 1 and n1 > 1:
+            mu0, mu1 = s0 / n0, s1 / n1
+            var0 = (ss0 - s0 * s0 / n0) / (n0 - 1)
+            var1 = (ss1 - s1 * s1 / n1) / (n1 - 1)
+            V = var0 / n0 + var1 / n1
+            est = mu1 - mu0
+            if V > 0:
+                lam = _math.sqrt(V / (V + tau2)) * _math.exp(
+                    est * est * tau2 / (2.0 * V * (V + tau2)))
+                maxl = max(maxl, lam)
+                z = est / _math.sqrt(V)
+            else:
+                lam, z = float("nan"), float("nan")
+            row = (key[0], n0, n1, est,
+                   _math.sqrt(V) if V > 0 else float("nan"), z, lam,
+                   min(1.0, 1.0 / maxl))
+        else:
+            row = (key[0], n0, n1, float("nan"), float("nan"),
+                   float("nan"), float("nan"), 1.0)
+        state.update((n0, s0, ss0, n1, s1, ss1, maxl))
+        import pandas as _pd
+
+        yield _pd.DataFrame([row], columns=[f.name for f in out_schema])
+
+    ensure_udf_serializable()
+    return prepared.groupBy("g").applyInPandasWithState(
+        update, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout)

@@ -73,3 +73,32 @@ def test_streaming_srm(spark, stream_dir):
     got = spark.table("srm_stream").toPandas()
     assert got.n0.sum() + got.n1.sum() == 1000
     assert (got.chisquare >= 0).all()
+
+
+def test_streaming_sequential_ttest_state(spark, stream_dir):
+    import numpy as np
+
+    from fast_causal_inference_spark.streaming.ops import (
+        streaming_sequential_ttest,
+    )
+
+    s = _read_stream(spark, stream_dir)
+    out = streaming_sequential_ttest(s, "value", "treatment", "ts", tau=0.5)
+    run_to_memory(out, "seq_stream", output_mode="append")
+    got = spark.table("seq_stream").toPandas()
+    assert len(got) >= 1
+    final = got.iloc[-1]
+
+    # cumulative state must equal the batch moments over ALL data
+    pdf = spark.read.parquet(stream_dir).toPandas()
+    y0 = pdf.loc[pdf.treatment == 0, "value"]
+    y1 = pdf.loc[pdf.treatment == 1, "value"]
+    assert final.n0 == len(y0) and final.n1 == len(y1)
+    assert final.estimate == pytest.approx(y1.mean() - y0.mean(), rel=1e-9)
+    V = y0.var(ddof=1) / len(y0) + y1.var(ddof=1) / len(y1)
+    assert final.stderr == pytest.approx(np.sqrt(V), rel=1e-9)
+    # mSPRT invariants
+    assert 0.0 < final.always_valid_p <= 1.0
+    lam = np.sqrt(V / (V + 0.25)) * np.exp(
+        final.estimate ** 2 * 0.25 / (2 * V * (V + 0.25)))
+    assert final.lambda_ == pytest.approx(lam, rel=1e-9)
