@@ -966,6 +966,19 @@ WHERE CAST(inter AS DOUBLE)/(na + nb - inter) >= 0.5
 """
 
 
+def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k (rows-only: approximate index, seeded k-means)."""
+    from fast_causal_inference_spark.datapipe.similarity import ivf_knn
+
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    out = ivf_knn(emb, q, k=5, n_lists=16, n_probe=6, seed=3)
+    return out.select("query_id", "vec_id", "rank",
+                      F.round("score", 4).alias("score"))
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive duplicate clusters: connected components over the
     (oracle-stable) n-gram Jaccard pair graph."""
@@ -1629,6 +1642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_matching": q_exact_matching,
         "ate": q_ate,
         "dedup_components": q_dedup_components,
+        "ivf_knn": q_ivf_knn,
         "permutation": q_permutation,
         "token_count": q_token_count,
         "exact_dedup": q_exact_dedup,

@@ -10,6 +10,9 @@
   buckets.
 * ``embedding_near_dup_pairs`` — cosine near-duplicate detection via the same
   bucket join.
+* ``ivf_knn`` — FAISS-style inverted-file index: seeded driver k-means
+  coarse quantizer, GEMM-batched assignment pass, n_probe cells per query,
+  exact rerank. The candidate-volume knob for corpus-scale ANN.
 """
 
 from __future__ import annotations
@@ -174,3 +177,94 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     return (cand.withColumn("cosine", cosine(F.col("va"), F.col("vb")))
                 .where(F.col("cosine") >= threshold)
                 .select("id_a", "id_b", "cosine"))
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+
+def _train_centroids(df: DataFrame, vec_col: str, n_lists: int,
+                     sample_per_list: int, iters: int,
+                     seed: int) -> np.ndarray:
+    """Seeded Lloyd k-means on a driver-side sample (the standard IVF
+    training recipe — centroids are a tiny model, training data a bounded
+    sample; the full corpus is only ever scanned for assignment)."""
+    n_sample = n_lists * sample_per_list
+    rows = (df.select(F.col(vec_col).alias("v"))
+            .where(F.col("v").isNotNull())
+            .orderBy(F.xxhash64(F.col("v").cast("string"), F.lit(seed)))
+            .limit(n_sample).collect())
+    X = np.array([r["v"] for r in rows], dtype=float)
+    if len(X) < n_lists:
+        raise ValueError(f"need ≥{n_lists} vectors to train {n_lists} lists")
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), n_lists, replace=False)]
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(n_lists):
+            m = assign == j
+            if m.any():
+                C[j] = X[m].mean(axis=0)
+    return C
+
+
+def _assign_udf(C: np.ndarray):
+    from fast_causal_inference_spark.serialization import (
+        ensure_udf_serializable,
+    )
+
+    @F.pandas_udf("int")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        import numpy as _np
+
+        X = _np.stack(vecs.to_numpy()).astype(float)   # (B, dim)
+        # argmin ||x-c||² = argmax (x·c − ||c||²/2): one GEMM per batch
+        scores = X @ C.T - 0.5 * (C * C).sum(axis=1)[None, :]
+        return pd.Series(scores.argmax(axis=1).astype("int32"))
+
+    ensure_udf_serializable()
+    return _assign
+
+
+def ivf_knn(df: DataFrame, queries: DataFrame, k: int = 10,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            query_id_col: str = "query_id", query_vec_col: str = "query_vec",
+            n_lists: int = 64, n_probe: int = 8,
+            sample_per_list: int = 40, train_iters: int = 8,
+            seed: int = 42) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are partitioned into
+    ``n_lists`` coarse-quantizer cells (one GEMM-batched assignment pass);
+    each query probes its ``n_probe`` nearest cells and reranks exactly.
+
+    Scale shape: candidate volume ≈ |corpus|·n_probe/n_lists per query —
+    the knob production IVF indexes (FAISS-style) expose — and the
+    assignment column can be precomputed/persisted once per corpus.  The
+    (tiny) probe relation is broadcast; the only shuffle is the per-query
+    top-k window over candidates.
+    """
+    C = _train_centroids(df, vec_col, n_lists, sample_per_list,
+                         train_iters, seed)
+    assign = _assign_udf(C)
+    corpus = df.withColumn("__list", assign(F.col(vec_col)))
+
+    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    probes = []
+    for r in q_rows:
+        v = np.asarray(r[query_vec_col], dtype=float)
+        d = v @ C.T - 0.5 * (C * C).sum(axis=1)
+        for lst in np.argsort(-d)[:n_probe]:
+            probes.append((r[query_id_col], int(lst), list(map(float, v))))
+    sess = df.sparkSession
+    probe_df = sess.createDataFrame(
+        probes, f"{query_id_col} long, __list int, {query_vec_col} array<double>")
+
+    cand = corpus.join(F.broadcast(probe_df), "__list")
+    scored = cand.select(query_id_col, id_col,
+                         cosine(F.col(vec_col).cast("array<double>"),
+                                F.col(query_vec_col)).alias("score"))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"),
+                                                F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k))

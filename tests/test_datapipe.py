@@ -297,3 +297,30 @@ def test_dedup_clusters_transitive(spark):
         "id_a": [1, 2, 3], "id_b": [2, 3, 4]}))
     kept = sorted(r["doc_id"] for r in dedup_clusters(docs, pairs).collect())
     assert kept == [1, 9]
+
+
+def test_ivf_knn_recall(spark):
+    import pandas as pd
+
+    from fast_causal_inference_spark.datapipe.similarity import (
+        ivf_knn,
+        knn_bruteforce,
+    )
+    from fast_causal_inference_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    exact = knn_bruteforce(emb, q, k=5).toPandas()
+    approx = ivf_knn(emb, q, k=5, n_lists=16, n_probe=6, seed=3).toPandas()
+    # recall@5 of IVF with 6/16 probes should be high on this corpus
+    hits = 0
+    for qid in exact.query_id.unique():
+        e = set(exact.loc[exact.query_id == qid, "vec_id"])
+        a = set(approx.loc[approx.query_id == qid, "vec_id"])
+        hits += len(e & a)
+    assert hits / len(exact) > 0.6
+    # the probed query always finds itself (cosine 1)
+    self_hits = approx[(approx.query_id == approx.vec_id)]
+    assert len(self_hits) == 5
