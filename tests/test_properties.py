@@ -1,0 +1,79 @@
+"""Property-based tests (hypothesis) for the two foundations every operator
+rests on: the sufficient-statistics algebra and the formula autodiff."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fast_causal_inference_spark.formula import parse_formula
+from fast_causal_inference_spark.operators.suffstats import (
+    NumStats,
+    merge_stats,
+)
+
+
+def _stats_of(X: np.ndarray) -> NumStats:
+    n = len(X)
+    return NumStats(n=float(n), means=X.mean(axis=0),
+                    cov=np.cov(X, rowvar=False, ddof=1).reshape(
+                        X.shape[1], X.shape[1]))
+
+
+arrays = st.integers(2, 40).flatmap(
+    lambda n: st.lists(
+        st.tuples(st.floats(-50, 50, allow_nan=False),
+                  st.floats(-50, 50, allow_nan=False)),
+        min_size=n, max_size=n))
+
+
+@settings(max_examples=60, deadline=None)
+@given(arrays, arrays)
+def test_merge_stats_equals_pooled(a, b):
+    A, B = np.array(a), np.array(b)
+    merged = merge_stats(_stats_of(A), _stats_of(B))
+    pooled = _stats_of(np.vstack([A, B]))
+    assert merged.n == pooled.n
+    assert np.allclose(merged.means, pooled.means, rtol=1e-9, atol=1e-9)
+    assert np.allclose(merged.cov, pooled.cov, rtol=1e-7, atol=1e-7)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.floats(0.5, 20, allow_nan=False),
+       st.floats(0.5, 20, allow_nan=False),
+       st.floats(0.5, 20, allow_nan=False))
+def test_formula_gradient_matches_numeric(x0, x1, x2):
+    """Symbolic gradient of a ratio-of-means formula == central difference."""
+    node, base = parse_formula("avg(a)/avg(b) + avg(c)*avg(a)")
+    k = len(base)
+    mus = [x0, x1, x2][:k]
+    grads = node.gradient(k)
+    eps = 1e-6
+    for i in range(k):
+        up = list(mus); up[i] += eps
+        dn = list(mus); dn[i] -= eps
+        num = (node.value(up) - node.value(dn)) / (2 * eps)
+        sym = grads[i].value(list(mus))
+        assert np.isclose(sym, num, rtol=1e-4, atol=1e-6)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.floats(-30, 30, allow_nan=False), min_size=3,
+                max_size=60))
+def test_exact_mw_distribution_sums_to_one(xs):
+    from fast_causal_inference_spark.operators.mann_whitney import (
+        _exact_u_pvalue,
+    )
+
+    n = len(xs)
+    n1 = max(1, n // 3)
+    n0 = n - n1
+    # two-sided p at the median U is 1; extreme U is small but positive
+    p_mid = _exact_u_pvalue(n0 * n1 / 2.0, n0, n1, "two-sided")
+    assert 0.5 <= p_mid <= 1.0
+    p_hi = _exact_u_pvalue(float(n0 * n1), n0, n1, "greater")
+    assert 0.0 < p_hi <= 1.0
+    # cdf + sf partition: less@u + greater@(u+1) == 1
+    for u in (0, n0 * n1 // 2):
+        less = _exact_u_pvalue(float(u), n0, n1, "less")
+        greater = _exact_u_pvalue(float(u + 1), n0, n1, "greater")
+        assert np.isclose(less + greater, 1.0, atol=1e-12)
