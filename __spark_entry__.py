@@ -966,6 +966,32 @@ WHERE CAST(inter AS DOUBLE)/(na + nb - inter) >= 0.5
 """
 
 
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: synthesized binary payloads →
+    frame-sampling explode; the deterministic (sha-seeded) fake frame count
+    is DuckDB-oracle-able, so the batching/explode plumbing gets a REAL
+    value check even without codecs in the container."""
+    from fast_causal_inference_spark.datapipe.multimodal import (
+        synthesize_media_column,
+        video_frame_sample,
+    )
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    media = synthesize_media_column(d, "text")
+    frames = video_frame_sample(media, max_frames=8)
+    return (frames.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_frames"))
+            .orderBy("doc_id"))
+
+
+_VIDEO_FRAMES_SQL = """
+SELECT doc_id,
+       ('0x' || substr(sha256(sha256(text)), 1, 4))::BIGINT % 8 + 1
+         AS n_frames
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-k (rows-only: approximate index, seeded k-means)."""
     from fast_causal_inference_spark.datapipe.similarity import ivf_knn
@@ -1643,6 +1669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ate": q_ate,
         "dedup_components": q_dedup_components,
         "ivf_knn": q_ivf_knn,
+        "video_frames": q_video_frames,
         "permutation": q_permutation,
         "token_count": q_token_count,
         "exact_dedup": q_exact_dedup,
@@ -1714,6 +1741,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_matching": _EXACT_MATCHING_SQL,
         "ate": _ATE_SQL,
         "dedup_components": _DEDUP_COMPONENTS_SQL,
+        "video_frames": _VIDEO_FRAMES_SQL,
         "ttest_1samp_cuped": _TTEST1_CUPED_SQL,
         "delta_method_composite": _DELTA_COMPOSITE_SQL,
         "student_ttest": _STUDENT_SQL,

@@ -150,3 +150,34 @@ def synthesize_media_column(df: DataFrame, from_col: str,
     the multimodal pipeline be exercised on the text testdata."""
     return df.withColumn(
         payload_col, F.sha2(F.col(from_col).cast("string"), 256).cast("binary"))
+
+
+def audio_features(df: DataFrame, payload_col: str = "payload",
+                   n_mfcc: int = 13, strict: bool = False) -> DataFrame:
+    """Decode + MFCC-style feature-extract an audio column
+    → ``audio_features array<float>`` (STUB kernel — no audio codecs in
+    this container; deterministic content-seeded stand-in)."""
+    ensure_udf_serializable()
+    out_schema = T.StructType(df.schema.fields
+                              + [T.StructField("audio_features",
+                                               T.ArrayType(T.FloatType()))])
+    cols = [f.name for f in df.schema.fields]
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if strict:
+            raise NotImplementedError(
+                "audio decode requires soundfile/librosa — not in container")
+        for pdf in batches:
+            feats = []
+            for p in pdf[payload_col]:
+                payload = bytes(p) if p is not None else b""
+                seed = int.from_bytes(
+                    hashlib.sha256(payload).digest()[:8], "big")
+                rng = np.random.default_rng(seed)
+                feats.append(rng.standard_normal(n_mfcc)
+                             .astype(np.float32).tolist())
+            pdf = pdf.copy()
+            pdf["audio_features"] = feats
+            yield pdf[cols + ["audio_features"]]
+
+    return df.mapInPandas(extract, out_schema)

@@ -324,3 +324,22 @@ def test_ivf_knn_recall(spark):
     # the probed query always finds itself (cosine 1)
     self_hits = approx[(approx.query_id == approx.vec_id)]
     assert len(self_hits) == 5
+
+
+def test_audio_features_plumbing(spark, docs):
+    from fast_causal_inference_spark.datapipe.multimodal import (
+        audio_features,
+        synthesize_media_column,
+    )
+
+    media = synthesize_media_column(docs.limit(20), "text")
+    out = audio_features(media, n_mfcc=5).select("doc_id", "audio_features")
+    pdf = out.toPandas()
+    assert len(pdf) == 20
+    assert all(len(v) == 5 for v in pdf.audio_features)
+    # deterministic: same payload -> same features
+    pdf2 = audio_features(media, n_mfcc=5).select("audio_features").toPandas()
+    assert pdf.audio_features.tolist() == pdf2.audio_features.tolist()
+
+    with pytest.raises(Exception):
+        audio_features(media, strict=True).collect()
