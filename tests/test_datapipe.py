@@ -339,7 +339,9 @@ def test_audio_features_plumbing(spark, docs):
     assert all(len(v) == 5 for v in pdf.audio_features)
     # deterministic: same payload -> same features
     pdf2 = audio_features(media, n_mfcc=5).select("audio_features").toPandas()
-    assert pdf.audio_features.tolist() == pdf2.audio_features.tolist()
+    a = [list(map(float, v)) for v in pdf.audio_features]
+    b = [list(map(float, v)) for v in pdf2.audio_features]
+    assert a == b
 
     with pytest.raises(Exception):
         audio_features(media, strict=True).collect()
