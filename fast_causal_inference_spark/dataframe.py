@@ -102,6 +102,72 @@ class CausalDataFrame:
         return permutation(self._df, expr, index, **kwargs)
 
     # -- reference-named conveniences ----------------------------------
+    def boot_strap_ols(self, formula: str, **kwargs):
+        from fast_causal_inference_spark.operators.resample import (
+            boot_strap_ols,
+        )
+
+        return boot_strap_ols(self._df, formula, **kwargs)
+
+    def boot_strap_multi(self, exprs, **kwargs):
+        from fast_causal_inference_spark.operators.resample import (
+            boot_strap_multi,
+        )
+
+        return boot_strap_multi(self._df, list(exprs), **kwargs)
+
+    def quantile_test_bucket(self, Y, index, uin, **kwargs):
+        from fast_causal_inference_spark.operators.quantile_test import (
+            quantile_test_bucket,
+        )
+
+        return quantile_test_bucket(self._df, Y, index, uin, **kwargs)
+
+    def stochastic_linear_regression(self, formula: str, **kwargs):
+        from fast_causal_inference_spark.operators.logistic import (
+            stochastic_linear_regression,
+        )
+
+        return stochastic_linear_regression(self._df, formula, **kwargs)
+
+    def stochastic_logistic_regression(self, formula: str, **kwargs):
+        from fast_causal_inference_spark.operators.logistic import (
+            stochastic_logistic_regression,
+        )
+
+        return stochastic_logistic_regression(self._df, formula, **kwargs)
+
+    def matching_plot(self, T: str, col: str, **kwargs):
+        from fast_causal_inference_spark.operators.matching import (
+            matching_plot,
+        )
+
+        return matching_plot(self._df, T, col, **kwargs)
+
+    def did(self, Y: str, treatment: str, time: str, *covariates):
+        from fast_causal_inference_spark.operators.ols import did
+
+        return did(self._df, Y, treatment, time, *covariates)
+
+    def iv_regression(self, formula: str):
+        from fast_causal_inference_spark.operators.ols import iv_regression
+
+        return iv_regression(self._df, formula)
+
+    def kaplan_meier(self, time: str, event: str, group=None):
+        from fast_causal_inference_spark.operators.survival import (
+            kaplan_meier,
+        )
+
+        return kaplan_meier(self._df, time, event, group)
+
+    def get_lift_gain(self, ite: str, y: str, t: str, **kwargs):
+        from fast_causal_inference_spark.uplift.evaluation import (
+            get_lift_gain,
+        )
+
+        return get_lift_gain(self._df, ite, y, t, **kwargs)
+
     def split(self, test_size: float = 0.5, seed: int | None = None):
         """Train/test split (reference dataframe.py:857-874)."""
         return [CausalDataFrame(d) for d in

@@ -293,8 +293,12 @@ def did(df: DataFrame, Y: str, treatment: str, time: str,
         *covariates: str) -> OlsModel:
     """Difference-in-differences: OLS of
     ``Y ~ treatment + time + treatment*time + X`` (reference
-    ``regression.py:780-862``)."""
-    feats = [treatment, time, f"({treatment})*({time})", *covariates]
+    ``regression.py:780-862``).  Treatment/time may be boolean expressions
+    (e.g. ``"ds >= '2024-06-01'"``) — cast so the interaction is numeric
+    under ANSI mode."""
+    t = f"CAST(({treatment}) AS DOUBLE)"
+    s = f"CAST(({time}) AS DOUBLE)"
+    feats = [t, s, f"{t}*{s}", *covariates]
     return ols(df, f"{Y} ~ {' + '.join(feats)}", use_bias=True)
 
 

@@ -92,3 +92,21 @@ def test_reference_named_conveniences(spark, ab_df):
     assert ks.iloc[0].d_statistic > 0
     bs = cdf.boot_strap("avg(y)", n_resamples=10, seed=1)
     assert bs.count() == 10
+
+
+def test_facade_round2_methods(spark, ab_df):
+    import fast_causal_inference_spark as fcis
+
+    cdf = fcis.readSparkDf(ab_df)
+    summ = cdf.boot_strap_ols("y ~ x1", n_resamples=10, seed=2)
+    assert len(summ) == 2
+    m = cdf.stochastic_linear_regression("y ~ x1 + x2", learning_rate=0.05,
+                                         l1=0.0, epochs=5, batch_size=64,
+                                         seed=1, standardize=True)
+    assert abs(m.beta[1] - 0.5) < 0.4
+    dens = cdf.matching_plot("treatment", "x1", bins=10)
+    assert len(dens) == 10
+    dd = cdf.did("y", "treatment", "x3 > 1")
+    assert len(dd.beta) == 4
+    lg = cdf.get_lift_gain("x1", "y", "treatment", k=5)
+    assert len(lg) == 5
