@@ -1,0 +1,62 @@
+"""End-to-end demo — the reference's documented workflow, Spark-first.
+
+Run: python examples/demo.py  (uses /root/testdata/sf0.001 if present,
+else synthesizes the test_data_small fixture).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import fast_causal_inference_spark as fcis                       # noqa: E402
+from fast_causal_inference_spark.testing import make_test_data_small  # noqa: E402
+
+
+def main():
+    spark = fcis.get_session("fcis-demo")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = make_test_data_small(spark, n=10000, seed=0).cache()
+    cdf = fcis.readSparkDf(df)
+
+    print("== delta method ==")
+    cdf.delta_method("avg(numerator)/avg(denominator)").show()
+
+    print("== two-sample t-test with CUPED ==")
+    cdf.ttest_2samp("avg(numerator)/avg(denominator)", "treatment",
+                    X="avg(numerator_pre)/avg(denominator_pre)").show()
+
+    print("== xexpt experiment report ==")
+    print(cdf.xexpt_ttest_2samp("numerator", "denominator", "treatment",
+                                "id").T)
+
+    print("== OLS (R-style summary) ==")
+    print(fcis.ols(df, "y ~ x1 + x2 + x3").summary())
+
+    print("== bootstrap of OLS coefficients ==")
+    print(cdf.boot_strap_ols("y ~ x1 + x2", n_resamples=50))
+
+    print("== exact permutation test ==")
+    print(fcis.permutation(df, "avg(y)", "treatment", permutation_num=200))
+
+    print("== uplift: T-learner + lift/gain ==")
+    from fast_causal_inference_spark.uplift.metalearners import TLearner
+
+    scored = TLearner(["x1", "x2"], "y", "treatment").fit(df).predict(df)
+    print(fcis.readSparkDf(scored).get_lift_gain("ite", "y", "treatment", k=5))
+
+    print("== All-in-SQL ==")
+    from fast_causal_inference_spark.plans.sql_macros import sql
+    from fast_causal_inference_spark.session import register_sql_functions
+
+    register_sql_functions(spark)
+    df.createOrReplaceTempView("tbl")
+    sql(spark, "SELECT ttest_2samp('avg(numerator)/avg(denominator)', "
+               "treatment) FROM tbl").show()
+    spark.sql("SELECT 2 * norm_sf(1.96) AS p_two_sided").show()
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
