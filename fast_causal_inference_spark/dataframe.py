@@ -184,6 +184,24 @@ class CausalDataFrame:
             self._df.cache().createOrReplaceTempView(name)
         return name
 
+    def readJdbc(self, url: str, table: str, **options):
+        """JDBC source (the Spark-native analogue of the reference's
+        readClickHouse/readStarRocks — point it at any JDBC OLAP engine)."""
+        reader = self._df.sparkSession.read.format("jdbc") \
+            .option("url", url).option("dbtable", table)
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        return CausalDataFrame(reader.load())
+
+    def toJdbc(self, url: str, table: str, mode: str = "append", **options):
+        """JDBC sink (toClickHouse/toStarRocks analogue)."""
+        writer = self._df.write.format("jdbc").mode(mode) \
+            .option("url", url).option("dbtable", table)
+        for k, v in options.items():
+            writer = writer.option(k, v)
+        writer.save()
+        return self
+
     def toCsv(self, path: str, **options):
         self._df.write.options(header=True, **options).mode("overwrite") \
             .csv(path)

@@ -336,7 +336,10 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                 .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
                 .where(F.col("jaccard") >= threshold)
                 .select("id_a", "id_b", "jaccard"))
-    return verified
+    # the pair relation is the COMPRESSED output (output-proportional, tiny
+    # vs corpus) — cache it so downstream consumers (dedup drop, transitive
+    # closure) and repeated identical calls reuse one computation
+    return verified.cache()
 
 
 # ---------------------------------------------------------------------------
