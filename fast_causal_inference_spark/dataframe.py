@@ -161,6 +161,11 @@ class CausalDataFrame:
 
         return kaplan_meier(self._df, time, event, group)
 
+    def cox_ph(self, time: str, event: str, covariates, **kwargs):
+        from fast_causal_inference_spark.operators.survival import cox_ph
+
+        return cox_ph(self._df, time, event, list(covariates), **kwargs)
+
     def get_lift_gain(self, ite: str, y: str, t: str, **kwargs):
         from fast_causal_inference_spark.uplift.evaluation import (
             get_lift_gain,
