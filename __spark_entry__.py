@@ -966,6 +966,20 @@ WHERE CAST(inter AS DOUBLE)/(na + nb - inter) >= 0.5
 """
 
 
+def q_cox_ph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox proportional hazards (rows-only: iterative Newton solve)."""
+    from fast_causal_inference_spark.operators.survival import cox_ph
+
+    ev = _load(spark, sf_dir, "events") \
+        .withColumn("t_", F.round(F.col("value"), 0)) \
+        .withColumn("e_", (F.col("event_id") % 4 != 0).cast("int")) \
+        .withColumn("x_", (F.col("user_id") % 5).cast("double"))
+    pdf = cox_ph(ev, "t_", "e_", ["x_"])
+    for c in ["coef", "hazard_ratio", "stderr", "z", "p_value"]:
+        pdf[c] = pdf[c].round(6)
+    return spark.createDataFrame(pdf)
+
+
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: synthesized binary payloads →
     frame-sampling explode; the deterministic (sha-seeded) fake frame count
@@ -1670,6 +1684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "ivf_knn": q_ivf_knn,
         "video_frames": q_video_frames,
+        "cox_ph": q_cox_ph,
         "permutation": q_permutation,
         "token_count": q_token_count,
         "exact_dedup": q_exact_dedup,
