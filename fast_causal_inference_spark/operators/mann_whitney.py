@@ -160,3 +160,74 @@ def mann_whitney_utest(df: DataFrame, data: str, index: str,
 def mann_whitney_utest_spark(df: DataFrame, *args, **kwargs) -> DataFrame:
     pdf = mann_whitney_utest(df, *args, **kwargs)
     return df.sparkSession.createDataFrame(pdf)
+
+
+def mann_whitney_utest_grouped(df: DataFrame, data: str, index: str,
+                               group_cols: list[str],
+                               alternative: str = "two-sided",
+                               continuity_correction: bool = True,
+                               treatment_values: tuple = (0, 1),
+                               method: str = "asymptotic") -> DataFrame:
+    """GROUP BY variant (the reference's mannWhitneyUTest is an aggregate —
+    usable per group in SQL).  Each group's ranks are computed inside ONE
+    ``applyInPandas`` task: right when groups are report cells (thousands of
+    rows each); use :func:`mann_whitney_utest` for one globally-huge test.
+    """
+    from pyspark.sql import types as T
+
+    from fast_causal_inference_spark.serialization import (
+        ensure_udf_serializable,
+    )
+
+    idx = F.col(index) if index.isidentifier() else F.expr(index)
+    v0, v1 = treatment_values
+    vcol = F.expr(data).cast("double")
+    sub = (df.select(*group_cols,
+                     (idx == F.lit(v1)).cast("int").alias("__g"),
+                     vcol.alias("__v"))
+             .where(idx.isin([v0, v1]) & vcol.isNotNull()))
+    keep = [f for f in sub.schema.fields if f.name in group_cols]
+    schema = T.StructType(keep + [
+        T.StructField(n, T.DoubleType())
+        for n in ("u0", "u1", "z", "p_value", "n0", "n1")])
+
+    def finalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        r = pdf["__v"].rank(method="average").to_numpy()
+        g = pdf["__g"].to_numpy()
+        n = float(len(pdf))
+        n1 = float(g.sum())
+        n0 = n - n1
+        out = {c: pdf[c].iloc[0] for c in group_cols}
+        if n0 == 0 or n1 == 0:
+            out.update({"u0": float("nan"), "u1": float("nan"),
+                        "z": float("nan"), "p_value": float("nan"),
+                        "n0": n0, "n1": n1})
+            return pd.DataFrame([out], columns=[f.name for f in schema.fields])
+        r1 = float(r[g == 1].sum())
+        u1 = r1 - n1 * (n1 + 1.0) / 2.0
+        u0 = n0 * n1 - u1
+        _, counts = np.unique(pdf["__v"].to_numpy(), return_counts=True)
+        ties = float((counts.astype(float) ** 3 - counts).sum())
+        mu = n0 * n1 / 2.0
+        sd = math.sqrt(n0 * n1 / 12.0 * ((n + 1.0) - ties / (n * (n - 1.0))))
+        cc = 0.5 if continuity_correction else 0.0
+        if sd > 0:
+            if alternative == "two-sided":
+                z = (abs(u1 - mu) - cc) / sd
+                p = min(1.0, 2.0 * float(dist.norm_sf(z)))
+            elif alternative == "greater":
+                z = (u1 - mu - cc) / sd
+                p = float(dist.norm_sf(z))
+            else:
+                z = (u1 - mu + cc) / sd
+                p = float(dist.norm_cdf(z))
+        else:
+            z, p = float("nan"), float("nan")
+        out.update({"u0": u0, "u1": u1, "z": z, "p_value": p,
+                    "n0": n0, "n1": n1})
+        return pd.DataFrame([out], columns=[f.name for f in schema.fields])
+
+    ensure_udf_serializable()
+    return sub.groupBy(*group_cols).applyInPandas(finalize, schema)

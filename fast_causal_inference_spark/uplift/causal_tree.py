@@ -100,11 +100,13 @@ class CausalTree:
             work = work.withColumn("__split", F.lit(1))
         work = work.cache()
 
-        # quantile sketch edges per feature (single pass, all features)
+        # quantile sketch edges — ONE multi-column pass for all features
         probs = [i / self.n_bins for i in range(1, self.n_bins)]
-        for feat in self.features:
-            qdf = work.select(F.expr(feat).cast("double").alias("__f"))
-            edges = qdf.approxQuantile("__f", probs, 0.001)
+        fcols = [f"__feat{i}" for i in range(len(self.features))]
+        qdf = work.select(*[F.expr(f).cast("double").alias(c)
+                            for f, c in zip(self.features, fcols)])
+        for feat, edges in zip(self.features,
+                               qdf.approxQuantile(fcols, probs, 0.001)):
             self.edges_[feat] = sorted(set(edges))
 
         self.nodes_ = {0: _Node(0, 0)}

@@ -342,3 +342,23 @@ def test_mann_whitney_auto_uses_asymptotic_with_ties(spark):
     df = spark.createDataFrame(pdf)
     out = mann_whitney_utest(df, "x", "t")       # ties → asymptotic
     assert not np.isnan(out["z"].iloc[0])
+
+
+def test_mann_whitney_grouped_matches_global(spark, ab_df):
+    from pyspark.sql import functions as F
+
+    from fast_causal_inference_spark.operators.mann_whitney import (
+        mann_whitney_utest,
+        mann_whitney_utest_grouped,
+    )
+
+    grouped = mann_whitney_utest_grouped(
+        ab_df.withColumn("seg", F.expr("x3 > 1")),
+        "y", "treatment", ["seg"]).orderBy("seg").toPandas()
+    assert len(grouped) == 2
+    for _, row in grouped.iterrows():
+        sub = ab_df.where(F.expr(f"(x3 > 1) = {row.seg}"))
+        single = mann_whitney_utest(sub, "y", "treatment").iloc[0]
+        assert row.u1 == pytest.approx(single.u1)
+        assert row.z == pytest.approx(single.z, rel=1e-9)
+        assert row.p_value == pytest.approx(single.p_value, rel=1e-9)
