@@ -121,3 +121,53 @@ def kolmogorov_smirnov_test(df: DataFrame, data: str, index: str,
 def kolmogorov_smirnov_test_spark(df: DataFrame, *args, **kwargs) -> DataFrame:
     pdf = kolmogorov_smirnov_test(df, *args, **kwargs)
     return df.sparkSession.createDataFrame(pdf)
+
+
+def kolmogorov_smirnov_test_grouped(df: DataFrame, data: str, index: str,
+                                    group_cols: list[str],
+                                    treatment_values: tuple = (0, 1),
+                                    mode: str = "asymp") -> DataFrame:
+    """GROUP BY variant: each report cell's KS computed in one
+    ``applyInPandas`` task (cells are small; use the distributed
+    :func:`kolmogorov_smirnov_test` for one globally-huge test)."""
+    from pyspark.sql import types as T
+
+    idx = F.col(index) if index.isidentifier() else F.expr(index)
+    v0, v1 = treatment_values
+    vcol = F.expr(data).cast("double")
+    sub = (df.select(*group_cols,
+                     (idx == F.lit(v1)).cast("int").alias("__g"),
+                     vcol.alias("__v"))
+             .where(idx.isin([v0, v1]) & vcol.isNotNull()))
+    keep = [f for f in sub.schema.fields if f.name in group_cols]
+    schema = T.StructType(keep + [
+        T.StructField(n, T.DoubleType())
+        for n in ("d_statistic", "p_value", "n0", "n1")])
+
+    def finalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        out = {c: pdf[c].iloc[0] for c in group_cols}
+        g = pdf["__g"].to_numpy()
+        n1 = float(g.sum())
+        n0 = float(len(pdf)) - n1
+        if n0 == 0 or n1 == 0:
+            out.update({"d_statistic": float("nan"), "p_value": float("nan"),
+                        "n0": n0, "n1": n1})
+            return pd.DataFrame([out],
+                                columns=[f.name for f in schema.fields])
+        grp = pdf.groupby("__v", sort=True).agg(t=("__g", "size"),
+                                                g1=("__g", "sum"))
+        cum1 = grp["g1"].cumsum().to_numpy(dtype=float)
+        cum0 = grp["t"].cumsum().to_numpy(dtype=float) - cum1
+        d = float(np.abs(cum0 / n0 - cum1 / n1).max())
+        if mode == "exact" or (mode == "auto" and n0 * n1 <= 4_000_000):
+            p = _exact_ks_pvalue(d, int(n0), int(n1))
+        else:
+            en = math.sqrt(n0 * n1 / (n0 + n1))
+            p = float(dist.kolmogorov_sf((en + 0.12 + 0.11 / en) * d))
+        out.update({"d_statistic": d, "p_value": p, "n0": n0, "n1": n1})
+        return pd.DataFrame([out], columns=[f.name for f in schema.fields])
+
+    ensure_udf_serializable()
+    return sub.groupBy(*group_cols).applyInPandas(finalize, schema)

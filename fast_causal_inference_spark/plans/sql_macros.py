@@ -176,9 +176,15 @@ def _dispatch(fn: str, df: DataFrame, pos: list, kw: dict,
             ratio = [float(x) for x in re.findall(r"[\d.]+", ratio)]
         return srm.srm_spark(df, str(pos[0]), str(pos[1]), ratio)
     if fn == "mann_whitney_utest":
+        if group_cols:
+            return mann_whitney.mann_whitney_utest_grouped(
+                df, str(pos[0]), str(pos[1]), group_cols, **kw)
         return mann_whitney.mann_whitney_utest_spark(df, str(pos[0]),
                                                      str(pos[1]), **kw)
     if fn == "kolmogorov_smirnov_test":
+        if group_cols:
+            return kstest.kolmogorov_smirnov_test_grouped(
+                df, str(pos[0]), str(pos[1]), group_cols)
         return kstest.kolmogorov_smirnov_test_spark(df, str(pos[0]),
                                                     str(pos[1]))
     if fn in ("ols", "wls"):

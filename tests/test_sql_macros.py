@@ -144,3 +144,13 @@ def test_olsstate_predict_macros(spark):
     import numpy as np
 
     assert np.corrcoef(pdf.y, pdf.prediction)[0, 1] > 0.8
+
+
+def test_mw_ks_macros_with_groupby(spark):
+    mw = sql(spark, "SELECT mann_whitney_utest(y, treatment) FROM ab "
+                    "GROUP BY x3 > 1")
+    assert mw.count() == 2
+    ks = sql(spark, "SELECT kolmogorov_smirnov_test(y, treatment) FROM ab "
+                    "GROUP BY x3 > 1")
+    pdf = ks.toPandas()
+    assert len(pdf) == 2 and (pdf.d_statistic > 0).all()
