@@ -42,8 +42,33 @@ def xexpt_ttest_2samp(df: DataFrame, numerator: str, denominator: str,
                       index: str, uin: str, metric_type: str = "avg",
                       group_buckets: tuple = (1, 1), alpha: float = 0.05,
                       mde: float = 0.005, power: float = 0.8,
-                      X: str = "", treatment_values: tuple | None = None):
-    """Returns a one-row pandas DataFrame with the full experiment report."""
+                      X: str = "", treatment_values: tuple | None = None,
+                      group_cols: list[str] | None = None):
+    """Returns a pandas DataFrame with the full experiment report —
+    one row per report cell (``group_cols``, reference
+    ``df.groupBy('ds').xexpt_ttest_2samp(...)``) or a single row."""
+    if group_cols:
+        # drill-down: grouped suff-stats pass, per-cell finalize on the
+        # driver (report cells are bounded; this matches the reference's
+        # groupBy drill-down semantics, statistics.py:479-480)
+        import pandas as pd
+
+        cells = df.select(*group_cols).distinct().collect()
+        outs = []
+        for r in cells:
+            cond = None
+            for g in group_cols:
+                c = (F.col(g) == F.lit(r[g])) if r[g] is not None \
+                    else F.col(g).isNull()
+                cond = c if cond is None else (cond & c)
+            rep = xexpt_ttest_2samp(
+                df.where(cond), numerator, denominator, index, uin,
+                metric_type, group_buckets, alpha, mde, power, X,
+                treatment_values)
+            for g in group_cols:
+                rep.insert(0, g, r[g])
+            outs.append(rep)
+        return pd.concat(outs, ignore_index=True)
     if metric_type not in ("avg", "sum"):
         raise ValueError("metric_type must be 'avg' or 'sum'")
 
@@ -186,7 +211,7 @@ def xexpt_ttest_2samp(df: DataFrame, numerator: str, denominator: str,
 
 def xexpt_ttest_2samp_spark(df: DataFrame, *args, **kwargs) -> DataFrame:
     """Spark-DataFrame wrapper for the correctness gate."""
+    skip = {"groupname0", "groupname1", *(kwargs.get("group_cols") or [])}
     pdf = xexpt_ttest_2samp(df, *args, **kwargs)
     return df.sparkSession.createDataFrame(
-        pdf.astype({c: float for c in pdf.columns
-                    if c not in ("groupname0", "groupname1")}))
+        pdf.astype({c: float for c in pdf.columns if c not in skip}))

@@ -168,6 +168,7 @@ def _dispatch(fn: str, df: DataFrame, pos: list, kw: dict,
     if fn == "xexpt_ttest_2samp":
         return xexpt.xexpt_ttest_2samp_spark(
             df, str(pos[0]), str(pos[1]), str(pos[2]), str(pos[3]),
+            group_cols=group_cols,
             **{k.lower() if k in ("MDE", "X") else k: v
                for k, v in kw.items()})
     if fn == "srm":

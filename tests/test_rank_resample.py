@@ -362,3 +362,23 @@ def test_mann_whitney_grouped_matches_global(spark, ab_df):
         assert row.u1 == pytest.approx(single.u1)
         assert row.z == pytest.approx(single.z, rel=1e-9)
         assert row.p_value == pytest.approx(single.p_value, rel=1e-9)
+
+
+def test_xexpt_grouped_drilldown(spark, ab_df):
+    from pyspark.sql import functions as F
+
+    from fast_causal_inference_spark.operators.xexpt import xexpt_ttest_2samp
+
+    df = ab_df.withColumn("seg", (F.col("x3") > 1).cast("int")) \
+              .withColumn("uin", F.monotonically_increasing_id())
+    rep = xexpt_ttest_2samp(df, "numerator", "denominator", "treatment",
+                            "uin", group_cols=["seg"],
+                            treatment_values=(0, 1))
+    assert len(rep) == 2
+    assert set(rep.seg) == {0, 1}
+    # each cell equals the single-cell report on the filtered frame
+    single = xexpt_ttest_2samp(df.where("seg = 1"), "numerator",
+                               "denominator", "treatment", "uin",
+                               treatment_values=(0, 1))
+    row = rep[rep.seg == 1].drop(columns=["seg"]).reset_index(drop=True)
+    assert row.equals(single)

@@ -154,3 +154,11 @@ def test_mw_ks_macros_with_groupby(spark):
                     "GROUP BY x3 > 1")
     pdf = ks.toPandas()
     assert len(pdf) == 2 and (pdf.d_statistic > 0).all()
+
+
+def test_xexpt_macro_with_groupby(spark):
+    out = sql(spark, "SELECT xexpt_ttest_2samp('numerator', 'denominator', "
+                     "treatment, x1) FROM ab GROUP BY x3 > 1")
+    pdf = out.toPandas()
+    assert len(pdf) == 2
+    assert "group_0" in pdf.columns
