@@ -46,6 +46,13 @@ class CausalDataFrame:
     def __repr__(self):
         return f"CausalDataFrame({self._df})"
 
+    def groupBy(self, *cols):
+        """Reference drill-down UX: ``df.groupBy('ds').ttest_2samp(...)``
+        (statistics.py docstrings) — returns a grouped view whose
+        statistical verbs run per group.  Non-statistical names fall
+        through to the native ``DataFrame.groupBy``."""
+        return CausalGroupedData(self, [str(c) for c in cols])
+
     # -- statistical verbs ---------------------------------------------
     def delta_method(self, expr: str, std: bool = True, group_cols=None):
         from fast_causal_inference_spark.operators.deltamethod import delta_method
@@ -254,6 +261,46 @@ class CausalDataFrame:
 # ---------------------------------------------------------------------------
 # sources (reference dataframe.py:1985-2046 readCsv/readSparkDf/readOlap)
 # ---------------------------------------------------------------------------
+
+
+class CausalGroupedData:
+    """Grouped statistical verbs (the reference's drill-down chaining)."""
+
+    _GROUPED_VERBS = {
+        "delta_method", "ttest_1samp", "ttest_2samp", "xexpt_ttest_2samp",
+    }
+
+    def __init__(self, cdf: CausalDataFrame, cols: list[str]):
+        self._cdf = cdf
+        self._cols = cols
+
+    def __getattr__(self, name):
+        if name in self._GROUPED_VERBS:
+            fn = getattr(self._cdf, name)
+
+            def wrapper(*args, **kwargs):
+                kwargs.setdefault("group_cols", self._cols)
+                return fn(*args, **kwargs)
+
+            return wrapper
+        if name == "mann_whitney_utest":
+            def mw(data, index, **kwargs):
+                from fast_causal_inference_spark.operators.mann_whitney \
+                    import mann_whitney_utest_grouped
+
+                return mann_whitney_utest_grouped(
+                    self._cdf.df, data, index, self._cols, **kwargs)
+            return mw
+        if name == "kolmogorov_smirnov_test":
+            def ks(data, index, **kwargs):
+                from fast_causal_inference_spark.operators.kstest \
+                    import kolmogorov_smirnov_test_grouped
+
+                return kolmogorov_smirnov_test_grouped(
+                    self._cdf.df, data, index, self._cols, **kwargs)
+            return ks
+        # everything else: the native grouped API
+        return getattr(self._cdf.df.groupBy(*self._cols), name)
 
 
 def readCsv(path: str, spark: SparkSession | None = None, **options) -> CausalDataFrame:

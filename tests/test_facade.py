@@ -110,3 +110,18 @@ def test_facade_round2_methods(spark, ab_df):
     assert len(dd.beta) == 4
     lg = cdf.get_lift_gain("x1", "y", "treatment", k=5)
     assert len(lg) == 5
+
+
+def test_groupby_chaining(spark, ab_df):
+    import fast_causal_inference_spark as fcis
+    from pyspark.sql import functions as F
+
+    cdf = fcis.readSparkDf(ab_df.withColumn("seg", (F.col("x3") > 1)
+                                            .cast("int")))
+    out = cdf.groupBy("seg").ttest_2samp("avg(y)", "treatment")
+    assert out.count() == 2
+    mw = cdf.groupBy("seg").mann_whitney_utest("y", "treatment")
+    assert mw.count() == 2
+    # native grouped ops still reachable
+    agg = cdf.groupBy("seg").count()
+    assert agg.count() == 2
