@@ -109,6 +109,60 @@ class CausalDataFrame:
         return permutation(self._df, expr, index, **kwargs)
 
     # -- reference-named conveniences ----------------------------------
+    def student_ttest(self, value: str, index: str, **kwargs):
+        from fast_causal_inference_spark.operators.ttest import student_ttest
+
+        return student_ttest(self._df, value, index, **kwargs)
+
+    def welch_ttest(self, value: str, index: str, **kwargs):
+        from fast_causal_inference_spark.operators.ttest import welch_ttest
+
+        return welch_ttest(self._df, value, index, **kwargs)
+
+    def mean_z_test(self, value: str, index: str, var_x: float,
+                    var_y: float, **kwargs):
+        from fast_causal_inference_spark.operators.ttest import mean_z_test
+
+        return mean_z_test(self._df, value, index, var_x, var_y, **kwargs)
+
+    def matrix_multiplication(self, *cols, **kwargs):
+        from fast_causal_inference_spark.operators.matrix import (
+            matrix_multiplication,
+        )
+
+        return matrix_multiplication(self._df, *cols, **kwargs)
+
+    def pearsonr(self, x: str, y: str, **kwargs):
+        from fast_causal_inference_spark.operators.matrix import pearsonr
+
+        return pearsonr(self._df, x, y, **kwargs)
+
+    def quantile(self, col: str, level: float, exact: bool = False):
+        import fast_causal_inference_spark.functions as fn
+
+        return self._df.agg(
+            fn.quantile(col, level, exact=exact).alias("quantile")) \
+            .collect()[0]["quantile"]
+
+    def quantiles(self, col: str, *levels: float, exact: bool = False):
+        import fast_causal_inference_spark.functions as fn
+
+        return list(self._df.agg(
+            fn.quantiles(col, *levels, exact=exact).alias("q"))
+            .collect()[0]["q"])
+
+    def toClickHouse(self, table: str, **kwargs):
+        """Alias of toOlap/toJdbc — point at a ClickHouse JDBC url via
+        kwargs, else saves as a Spark table."""
+        if "url" in kwargs:
+            return self.toJdbc(kwargs.pop("url"), table, **kwargs)
+        return self.toOlap(table)
+
+    def toStarRocks(self, table: str, **kwargs):
+        if "url" in kwargs:
+            return self.toJdbc(kwargs.pop("url"), table, **kwargs)
+        return self.toOlap(table)
+
     def boot_strap_ols(self, formula: str, **kwargs):
         from fast_causal_inference_spark.operators.resample import (
             boot_strap_ols,

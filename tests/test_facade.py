@@ -125,3 +125,18 @@ def test_groupby_chaining(spark, ab_df):
     # native grouped ops still reachable
     agg = cdf.groupBy("seg").count()
     assert agg.count() == 2
+
+
+def test_facade_parity_methods(spark, ab_df):
+    import fast_causal_inference_spark as fcis
+
+    cdf = fcis.readSparkDf(ab_df)
+    assert cdf.student_ttest("y", "treatment").count() == 1
+    assert cdf.welch_ttest("y", "treatment").count() == 1
+    assert cdf.mean_z_test("y", "treatment", 1.0, 1.0).count() == 1
+    r = cdf.pearsonr("x1", "y")
+    assert abs(r.iloc[0]["r"]) <= 1.0
+    q = cdf.quantiles("y", 0.25, 0.5, 0.75, exact=True)
+    assert q[0] <= q[1] <= q[2]
+    m = cdf.matrix_multiplication("x1", "x2")
+    assert m.shape == (2, 2) or m.shape == (3, 3)
