@@ -109,6 +109,60 @@ class CausalDataFrame:
         return permutation(self._df, expr, index, **kwargs)
 
     # -- reference-named conveniences ----------------------------------
+    # reference aggregate shorthands: df.stddevPop('x') → scalar
+    def _agg1(self, fn_name: str, col: str):
+        import fast_causal_inference_spark.functions as fn
+
+        c = getattr(fn, fn_name)(col).alias("v")
+        return self._df.agg(c).collect()[0]["v"]
+
+    def any(self, col: str):
+        return self._agg1("any_value", col)
+
+    def anyLast(self, col: str):
+        return self._agg1("anyLast", col)
+
+    def anyMin(self, col: str, by: str | None = None):
+        import fast_causal_inference_spark.functions as fn
+
+        return self._df.agg(fn.anyMin(col, by or col).alias("v")) \
+            .collect()[0]["v"]
+
+    def anyMax(self, col: str, by: str | None = None):
+        import fast_causal_inference_spark.functions as fn
+
+        return self._df.agg(fn.anyMax(col, by or col).alias("v")) \
+            .collect()[0]["v"]
+
+    def stddevPop(self, col: str):
+        return self._agg1("stddevPop", col)
+
+    def stddevSamp(self, col: str):
+        return self._agg1("stddevSamp", col)
+
+    def varPop(self, col: str):
+        return self._agg1("varPop", col)
+
+    def varSamp(self, col: str):
+        return self._agg1("varSamp", col)
+
+    def covarPop(self, x: str, y: str):
+        import fast_causal_inference_spark.functions as fn
+
+        return self._df.agg(fn.covarPop(x, y).alias("v")).collect()[0]["v"]
+
+    def covarSamp(self, x: str, y: str):
+        import fast_causal_inference_spark.functions as fn
+
+        return self._df.agg(fn.covarSamp(x, y).alias("v")).collect()[0]["v"]
+
+    def brief(self):
+        """Compact schema + size summary (reference ``brief``)."""
+        n = self._df.count()
+        cols = ", ".join(f"{f.name}:{f.dataType.simpleString()}"
+                         for f in self._df.schema.fields)
+        return f"rows={n} cols={len(self._df.columns)} [{cols}]"
+
     def student_ttest(self, value: str, index: str, **kwargs):
         from fast_causal_inference_spark.operators.ttest import student_ttest
 

@@ -140,3 +140,19 @@ def test_facade_parity_methods(spark, ab_df):
     assert q[0] <= q[1] <= q[2]
     m = cdf.matrix_multiplication("x1", "x2")
     assert m.shape == (2, 2) or m.shape == (3, 3)
+
+
+def test_facade_aggregate_shorthands(spark, ab_df):
+    import numpy as np
+
+    import fast_causal_inference_spark as fcis
+
+    cdf = fcis.readSparkDf(ab_df)
+    pdf = ab_df.toPandas()
+    assert cdf.stddevSamp("y") == pytest.approx(pdf.y.std(ddof=1), rel=1e-9)
+    assert cdf.varPop("y") == pytest.approx(pdf.y.var(ddof=0), rel=1e-9)
+    assert cdf.covarSamp("x1", "y") == pytest.approx(
+        np.cov(pdf.x1, pdf.y, ddof=1)[0, 1], rel=1e-9)
+    assert cdf.anyMin("y") == pytest.approx(pdf.y.min())
+    assert cdf.anyMax("y") == pytest.approx(pdf.y.max())
+    assert "rows=4000" in cdf.brief()
