@@ -370,6 +370,12 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
              .where(F.col("u") != F.col("v")).distinct()
              .localCheckpoint(eager=True))
     n_edges = edges.count()
+    id_type = dict(zip(pairs.schema.names,
+                       [f.dataType.simpleString()
+                        for f in pairs.schema.fields]))[a_col]
+    if n_edges == 0:
+        return pairs.sparkSession.createDataFrame(
+            [], f"id {id_type}, component {id_type}")
     # small graphs (the normal case: pairs are the COMPRESSED dedup output)
     # solve on the driver with union-find — the distributed loop costs
     # ~20 scheduled jobs, pure overhead below millions of edges

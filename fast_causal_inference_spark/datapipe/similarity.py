@@ -58,10 +58,10 @@ def knn_bruteforce(df: DataFrame, queries: DataFrame, k: int = 10,
     score = {"cosine": cosine, "dot": dot}.get(metric)
     if score is None and metric != "l2":
         raise ValueError(f"unknown metric {metric!r}")
-    nq = queries.count()
+    nq = queries.limit(max_queries + 1).count()
     if nq > max_queries:
         raise ValueError(
-            f"{nq} queries exceeds max_queries={max_queries}; brute force "
+            f">{max_queries} queries exceeds max_queries; brute force "
             f"is O(corpus x queries) — use lsh_knn for large query sets or "
             f"pass a higher max_queries deliberately")
     joined = df.crossJoin(F.broadcast(queries))
@@ -257,8 +257,12 @@ def ivf_knn(df: DataFrame, queries: DataFrame, k: int = 10,
         for lst in np.argsort(-d)[:n_probe]:
             probes.append((r[query_id_col], int(lst), list(map(float, v))))
     sess = df.sparkSession
+    qid_type = {f.name: f.dataType.simpleString()
+                for f in queries.schema.fields}[query_id_col]
     probe_df = sess.createDataFrame(
-        probes, f"{query_id_col} long, __list int, {query_vec_col} array<double>")
+        probes,
+        f"{query_id_col} {qid_type}, __list int, "
+        f"{query_vec_col} array<double>")
 
     cand = corpus.join(F.broadcast(probe_df), "__list")
     scored = cand.select(query_id_col, id_col,

@@ -26,9 +26,9 @@ def one_hot_encode(df: DataFrame, cols: list[str],
     out = df
     for c in cols:
         values = [r[0] for r in
-                  df.select(c).distinct().orderBy(c)
-                  .limit(max_categories + 1).collect()
-                  if r[0] is not None]
+                  df.select(c).where(F.col(c).isNotNull())
+                  .distinct().orderBy(c)
+                  .limit(max_categories + 1).collect()]
         if len(values) > max_categories:
             raise ValueError(
                 f"column {c!r} has more than max_categories="

@@ -210,6 +210,16 @@ def mann_whitney_utest_grouped(df: DataFrame, data: str, index: str,
         u0 = n0 * n1 - u1
         _, counts = np.unique(pdf["__v"].to_numpy(), return_counts=True)
         ties = float((counts.astype(float) ** 3 - counts).sum())
+        no_ties = ties == 0.0
+        if method == "exact" or (method == "auto" and no_ties
+                                 and n <= _EXACT_MAX_N):
+            if not no_ties:
+                raise ValueError("exact method requires tie-free data")
+            p_exact = _exact_u_pvalue(u1, int(n0), int(n1), alternative)
+            out.update({"u0": u0, "u1": u1, "z": float("nan"),
+                        "p_value": p_exact, "n0": n0, "n1": n1})
+            return pd.DataFrame([out],
+                                columns=[f.name for f in schema.fields])
         mu = n0 * n1 / 2.0
         sd = math.sqrt(n0 * n1 / 12.0 * ((n + 1.0) - ties / (n * (n - 1.0))))
         cc = 0.5 if continuity_correction else 0.0

@@ -104,6 +104,11 @@ def xexpt_ttest_2samp(df: DataFrame, numerator: str, denominator: str,
         b = (df.where(arm.isNotNull())
                .groupBy(arm.alias("arm"), bucket.alias("bucket"))
                .agg(*sums))
+        present = {r["arm"] for r in b.select("arm").distinct().collect()}
+        if present != {0, 1}:
+            raise ValueError(
+                f"sum-metric xexpt needs rows in both arms; "
+                f"present arms: {sorted(present)}")
         # the reference's bucket semantics are FIXED 128 buckets per arm:
         # sparse arms must contribute zero observations for empty buckets,
         # else mean = avg(bucket sums)/(ratio/128) inflates. Right-join the

@@ -88,9 +88,7 @@ def _kwargs(args: list[str]) -> tuple[list, dict]:
     pos, kw = [], {}
     for a in args:
         m = re.match(r"^([A-Za-z_][A-Za-z_0-9]*)\s*=\s*(?![=])(.*)$", a)
-        if m and m.group(1).lower() not in ("x",):  # X='...' stays positional-ish
-            kw[m.group(1)] = _lit(m.group(2))
-        elif m:
+        if m:
             kw[m.group(1)] = _lit(m.group(2))
         else:
             pos.append(_lit(a))
@@ -169,8 +167,7 @@ def _dispatch(fn: str, df: DataFrame, pos: list, kw: dict,
         return xexpt.xexpt_ttest_2samp_spark(
             df, str(pos[0]), str(pos[1]), str(pos[2]), str(pos[3]),
             group_cols=group_cols,
-            **{k.lower() if k in ("MDE", "X") else k: v
-               for k, v in kw.items()})
+            **{("mde" if k == "MDE" else k): v for k, v in kw.items()})
     if fn == "srm":
         ratio = kw.pop("ratio", pos[2] if len(pos) > 2 else None)
         if isinstance(ratio, str):
@@ -185,7 +182,7 @@ def _dispatch(fn: str, df: DataFrame, pos: list, kw: dict,
     if fn == "kolmogorov_smirnov_test":
         if group_cols:
             return kstest.kolmogorov_smirnov_test_grouped(
-                df, str(pos[0]), str(pos[1]), group_cols)
+                df, str(pos[0]), str(pos[1]), group_cols, **kw)
         return kstest.kolmogorov_smirnov_test_spark(df, str(pos[0]),
                                                     str(pos[1]))
     if fn in ("ols", "wls"):

@@ -128,6 +128,11 @@ class CausalForest:
         return list(rng.choice(self.features, size=min(m, p), replace=False))
 
     def fit(self, df: DataFrame) -> "CausalForest":
+        if self.ci_group_size > 1 and self.num_trees % self.ci_group_size:
+            raise ValueError(
+                f"num_trees={self.num_trees} must be a multiple of "
+                f"ci_group_size={self.ci_group_size} for little-bags "
+                f"variance")
         rng = np.random.default_rng(self.seed)
         self.trees_ = [{0: _Node(feats=self._draw_feats(rng))}
                        for _ in range(self.num_trees)]

@@ -107,3 +107,94 @@ def test_mann_whitney_one_sided_all_tied(spark):
     for alt in ("greater", "less", "two-sided"):
         out = mann_whitney_utest(df, "v", "g", alternative=alt)
         assert math.isnan(out["z"].iloc[0])
+
+
+def test_review_fixes_round2(spark):
+    """Round-2 code-review regressions."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    # 1. connected_components on an empty pair relation -> empty, no crash
+    from fast_causal_inference_spark.datapipe.dedup import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    empty_pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [1], "id_b": [1]}))   # self-loop only
+    assert connected_components(empty_pairs).count() == 0
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": [1, 2],
+                                               "text": ["a", "b"]}))
+    assert dedup_clusters(docs, empty_pairs).count() == 2
+
+    # 2. forest rejects non-divisible ci groups at fit time
+    from fast_causal_inference_spark.uplift.causal_forest import CausalForest
+
+    with pytest.raises(ValueError, match="multiple of"):
+        CausalForest(["x"], num_trees=5, ci_group_size=2).fit(docs)
+
+    # 6. one-hot cap not defeated by NULLs
+    from fast_causal_inference_spark.functions.features import one_hot_encode
+
+    withnull = spark.createDataFrame(pd.DataFrame(
+        {"c": [None] + [str(i) for i in range(11)]}))
+    with pytest.raises(ValueError, match="max_categories"):
+        one_hot_encode(withnull, ["c"], max_categories=10)
+
+    # 7. sum-metric xexpt raises on a missing arm instead of mean=0
+    from fast_causal_inference_spark.operators.xexpt import xexpt_ttest_2samp
+
+    one_arm = spark.createDataFrame(pd.DataFrame(
+        {"uin": range(50), "t": [0] * 50, "num": [1.0] * 50,
+         "den": [1.0] * 50}))
+    with pytest.raises(ValueError, match="both arms"):
+        xexpt_ttest_2samp(one_arm, "num", "den", "t", "uin",
+                          metric_type="sum", treatment_values=(0, 1))
+
+
+def test_review_fixes_macros_and_grouped(spark):
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from fast_causal_inference_spark.plans.sql_macros import sql
+
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame({
+        "num": rng.normal(5, 1, 400), "den": np.ones(400),
+        "np_": rng.normal(5, 1, 400), "dp_": np.ones(400),
+        "treatment": rng.integers(0, 2, 400),
+        "uid": np.arange(400)})
+    spark.createDataFrame(pdf).createOrReplaceTempView("xmacro")
+    # 3. X kwarg reaches the operator (CUPED in All-in-SQL)
+    out = sql(spark, "SELECT xexpt_ttest_2samp('num', 'den', treatment, "
+                     "uid, X='avg(np_)/avg(dp_)') FROM xmacro")
+    assert out.count() == 1
+
+    # 5. grouped MW honors method='exact' on tiny tie-free groups
+    from fast_causal_inference_spark.operators.mann_whitney import (
+        mann_whitney_utest,
+        mann_whitney_utest_grouped,
+    )
+
+    small = pd.DataFrame({"v": rng.permutation(16).astype(float),
+                          "t": [0, 1] * 8, "g": [0] * 8 + [1] * 8})
+    sdf = spark.createDataFrame(small)
+    grouped = mann_whitney_utest_grouped(sdf, "v", "t", ["g"],
+                                         method="exact") \
+        .orderBy("g").toPandas()
+    for _, row in grouped.iterrows():
+        single = mann_whitney_utest(sdf.where(F.col("g") == row.g),
+                                    "v", "t", method="exact").iloc[0]
+        assert row.p_value == pytest.approx(single.p_value, rel=1e-12)
+
+    # 4. ivf_knn works with non-long query ids
+    from fast_causal_inference_spark.datapipe.similarity import ivf_knn
+
+    emb = spark.createDataFrame(pd.DataFrame({
+        "vec_id": [f"d{i}" for i in range(120)],
+        "embedding": [list(rng.normal(0, 1, 8)) for _ in range(120)]}))
+    q = emb.limit(2).select(F.col("vec_id").alias("query_id"),
+                            F.col("embedding").alias("query_vec"))
+    out = ivf_knn(emb, q, k=3, n_lists=4, n_probe=4, sample_per_list=20)
+    assert out.count() == 6
