@@ -53,7 +53,12 @@ def xexpt_ttest_2samp(df: DataFrame, numerator: str, denominator: str,
         # groupBy drill-down semantics, statistics.py:479-480)
         import pandas as pd
 
-        cells = df.select(*group_cols).distinct().collect()
+        cells = df.select(*group_cols).distinct().limit(1001).collect()
+        if len(cells) > 1000:
+            raise ValueError(
+                "xexpt drill-down runs one aggregation per cell; >1000 "
+                "distinct group values is almost never intended — bucket "
+                "the group key first")
         outs = []
         for r in cells:
             cond = None
