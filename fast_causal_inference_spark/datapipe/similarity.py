@@ -233,7 +233,7 @@ def ivf_knn(df: DataFrame, queries: DataFrame, k: int = 10,
             query_id_col: str = "query_id", query_vec_col: str = "query_vec",
             n_lists: int = 64, n_probe: int = 8,
             sample_per_list: int = 40, train_iters: int = 8,
-            seed: int = 42) -> DataFrame:
+            seed: int = 42, max_queries: int = 10_000) -> DataFrame:
     """IVF approximate top-k: corpus vectors are partitioned into
     ``n_lists`` coarse-quantizer cells (one GEMM-batched assignment pass);
     each query probes its ``n_probe`` nearest cells and reranks exactly.
@@ -249,7 +249,14 @@ def ivf_knn(df: DataFrame, queries: DataFrame, k: int = 10,
     assign = _assign_udf(C)
     corpus = df.withColumn("__list", assign(F.col(vec_col)))
 
-    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    q_rows = (queries.select(query_id_col, query_vec_col)
+              .limit(max_queries + 1).collect())
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"ivf_knn collects the query side to build the probe relation; "
+            f"got more than max_queries={max_queries} queries. Raise "
+            f"max_queries only if the driver can hold them, or batch the "
+            f"query set.")
     probes = []
     for r in q_rows:
         v = np.asarray(r[query_vec_col], dtype=float)

@@ -25,6 +25,14 @@ import re
 from dataclasses import dataclass
 
 
+def _is_column(v) -> bool:
+    try:
+        from pyspark.sql import Column
+    except ImportError:          # driver-math-only use of the module
+        return False
+    return isinstance(v, Column)
+
+
 class Node:
     """Arithmetic expression over mean-slots ``Sym(i)``."""
 
@@ -99,6 +107,12 @@ class BinOp(Node):
         if self.op == "*":
             return x * y
         if self.op == "/":
+            if _is_column(x) or _is_column(y):
+                # ANSI mode (Spark 4 default) raises DIVIDE_BY_ZERO on a
+                # bare Column `/`; a zero-denominator group must yield NULL
+                from pyspark.sql import functions as F
+
+                return F.try_divide(x, y)
             return x / y
         if self.op == "^":
             return x ** y

@@ -62,9 +62,16 @@ def kolmogorov_smirnov_test(df: DataFrame, data: str, index: str,
     vcol = F.expr(data).cast("double")
     sub = (df.select((idx == F.lit(v1)).cast("int").alias("g"), vcol.alias("v"))
              .where(idx.isin([v0, v1]) & vcol.isNotNull()))
-    p = num_partitions or int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    rp = sub.repartitionByRange(p, "v").sortWithinPartitions("v").cache()
+    # size by scan parallelism (see mann_whitney) — a small input skips the
+    # 32-way range exchange and its boundary-sampling job entirely
+    in_parts = sub.rdd.getNumPartitions()
+    p = num_partitions or max(1, min(
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")),
+        in_parts))
+    if p == 1:
+        rp = sub.coalesce(1).cache()
+    else:
+        rp = sub.repartitionByRange(p, "v").sortWithinPartitions("v").cache()
 
     # pass 1: per-partition per-group counts → prefix offsets
     counts = rp.selectExpr("spark_partition_id() AS pid", "g") \
@@ -126,7 +133,7 @@ def kolmogorov_smirnov_test_spark(df: DataFrame, *args, **kwargs) -> DataFrame:
 def kolmogorov_smirnov_test_grouped(df: DataFrame, data: str, index: str,
                                     group_cols: list[str],
                                     treatment_values: tuple = (0, 1),
-                                    mode: str = "asymp") -> DataFrame:
+                                    mode: str = "auto") -> DataFrame:
     """GROUP BY variant: each report cell's KS computed in one
     ``applyInPandas`` task (cells are small; use the distributed
     :func:`kolmogorov_smirnov_test` for one globally-huge test)."""

@@ -101,9 +101,19 @@ def mann_whitney_utest(df: DataFrame, data: str, index: str,
     vcol = F.expr(data).cast("double")
     sub = (df.select((idx == F.lit(v1)).cast("int").alias("g"), vcol.alias("v"))
              .where(idx.isin([v0, v1]) & vcol.isNotNull()))
-    p = num_partitions or int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    rp = sub.repartitionByRange(p, "v").sortWithinPartitions("v")
+    # Size the rank pass by the scan parallelism, not the session shuffle
+    # default: a small input (few file splits) doesn't pay a 32-way range
+    # shuffle + its boundary-sampling job, while a 1000-split scan still
+    # fans out.  Single partition → the pandas groupby sorts locally, so the
+    # range exchange (and its sampling pass) is skipped entirely.
+    in_parts = sub.rdd.getNumPartitions()
+    p = num_partitions or max(1, min(
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")),
+        in_parts))
+    if p == 1:
+        rp = sub.coalesce(1)
+    else:
+        rp = sub.repartitionByRange(p, "v").sortWithinPartitions("v")
     ensure_udf_serializable()
     parts = rp.mapInPandas(_partition_rank_stats, _SCHEMA).collect()
     parts.sort(key=lambda r: r["pid"])
@@ -167,7 +177,7 @@ def mann_whitney_utest_grouped(df: DataFrame, data: str, index: str,
                                alternative: str = "two-sided",
                                continuity_correction: bool = True,
                                treatment_values: tuple = (0, 1),
-                               method: str = "asymptotic") -> DataFrame:
+                               method: str = "auto") -> DataFrame:
     """GROUP BY variant (the reference's mannWhitneyUTest is an aggregate —
     usable per group in SQL).  Each group's ranks are computed inside ONE
     ``applyInPandas`` task: right when groups are report cells (thousands of

@@ -246,6 +246,10 @@ def boot_strap_ols(df: DataFrame, formula: str, n_resamples: int = 100,
             continue
         m = _fit_from_row(r, bcols[:-1], bcols[-1], use_bias, n_w, None)
         betas.append(m.beta)
+    if len(betas) < 2:
+        raise ValueError(
+            f"only {len(betas)} bootstrap replica(s) had weighted n > p; "
+            "increase n_resamples or resample_frac (or supply more rows)")
     B = np.array(betas)                      # (B_eff, p)
     names = (["(Intercept)"] + feats) if use_bias else feats
     lo_q, hi_q = 100 * alpha / 2, 100 * (1 - alpha / 2)
@@ -305,7 +309,8 @@ def permutation(df: DataFrame, expr: str, index: str,
                          view0.n.alias("n0"), view1.n.alias("n1"),
                          *[(view0.s(i) + view1.s(i)).alias(f"tot{i}")
                            for i in range(k)]).collect()[0]
-    observed = float(obs_row["diff"])
+    observed = (float(obs_row["diff"]) if obs_row["diff"] is not None
+                else float("nan"))
     n0 = int(obs_row["n0"] or 0)
     n1 = int(obs_row["n1"] or 0)
     if n0 == 0 or n1 == 0:
@@ -322,11 +327,19 @@ def permutation(df: DataFrame, expr: str, index: str,
         s1 = np.array([float(r[f"s{i}"]) for i in range(k)])
         mu1 = list(s1 / rn1)
         mu0 = list((tot - s1) / (n - rn1))
-        diffs[j] = float(node.value(mu1)) - float(node.value(mu0))
+        try:
+            diffs[j] = float(node.value(mu1)) - float(node.value(mu0))
+        except ZeroDivisionError:
+            # a ratio metric whose denominator sums to zero in a replica arm
+            diffs[j] = float("nan")
+    valid = diffs[~np.isnan(diffs)]
+    if len(valid) == 0:
+        raise ValueError("every permutation replica was degenerate "
+                         "(metric denominator summed to zero)")
     shifted = abs(observed) - abs(mde)
-    p_val = float((np.abs(diffs) >= shifted).mean())
+    p_val = float((np.abs(valid) >= shifted).mean())
     return pd.DataFrame([{
         "observed_diff": observed, "p_value": p_val,
-        "n_permutations": len(diffs),
-        "perm_mean": float(diffs.mean()), "perm_std": float(diffs.std(ddof=1)),
+        "n_permutations": len(valid),
+        "perm_mean": float(valid.mean()), "perm_std": float(valid.std(ddof=1)),
     }])

@@ -93,8 +93,8 @@ def register_sql_functions(spark: SparkSession) -> SparkSession:
 
     import numpy as _np
 
-    spark.udf.register("erf", _u1(lambda x: _np.vectorize(_math.erf)(x)))
-    spark.udf.register("erfc", _u1(lambda x: _np.vectorize(_math.erfc)(x)))
+    spark.udf.register("erf", _u1(_dist.erf))
+    spark.udf.register("erfc", _u1(_dist.erfc))
     spark.udf.register("norm_cdf", _u1(_dist.norm_cdf))
     spark.udf.register("norm_sf", _u1(_dist.norm_sf))
     spark.udf.register("norm_ppf", _u1(_dist.norm_ppf))

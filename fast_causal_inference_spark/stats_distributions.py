@@ -59,9 +59,9 @@ def betainc(a, b, x):
     x = np.asarray(x, dtype=float)
     x = np.clip(x, 0.0, 1.0)
     with np.errstate(divide="ignore", invalid="ignore"):
-        lbeta = (np.vectorize(math.lgamma)(a + b)
-                 - np.vectorize(math.lgamma)(a)
-                 - np.vectorize(math.lgamma)(b))
+        lbeta = (np.vectorize(math.lgamma, otypes=[float])(a + b)
+                 - np.vectorize(math.lgamma, otypes=[float])(a)
+                 - np.vectorize(math.lgamma, otypes=[float])(b))
         front = np.exp(lbeta + a * np.log(np.where(x > 0, x, 1.0))
                        + b * np.log1p(np.where(x < 1, -x, 0.0)))
     use_direct = x < (a + 1.0) / (a + b + 2.0)
@@ -88,7 +88,7 @@ def _gser(a, x):
         summ += delta
         if np.all(np.abs(delta) < np.abs(summ) * _EPS):
             break
-    lg = np.vectorize(math.lgamma)(np.broadcast_to(a, x.shape))
+    lg = np.vectorize(math.lgamma, otypes=[float])(np.broadcast_to(a, x.shape))
     with np.errstate(divide="ignore", invalid="ignore"):
         out = summ * np.exp(-x + np.broadcast_to(a, x.shape)
                             * np.log(np.where(x > 0, x, 1.0)) - lg)
@@ -115,7 +115,7 @@ def _gcf(a, x):
         h = h * delta
         if np.all(np.abs(delta - 1.0) < _EPS):
             break
-    lg = np.vectorize(math.lgamma)(a)
+    lg = np.vectorize(math.lgamma, otypes=[float])(a)
     with np.errstate(divide="ignore", invalid="ignore"):
         return np.exp(-x + a * np.log(np.where(x > 0, x, 1.0)) - lg) * h
 
@@ -139,9 +139,28 @@ def gammainc_lower(a, x):
 _SQRT2 = math.sqrt(2.0)
 
 
+def erf(x):
+    """Vectorized error function via the regularized incomplete gamma:
+    erf(x) = sign(x) · P(1/2, x²).  Handles zero-length input (np.vectorize
+    over math.erf raises on empty arrays unless otypes is given)."""
+    x = np.asarray(x, dtype=float)
+    if x.size == 0:
+        return np.zeros_like(x)
+    return np.where(x >= 0.0, 1.0, -1.0) * gammainc_lower(0.5, x * x)
+
+
+def erfc(x):
+    """Complementary error function 1 − erf(x) (≤1e-15 absolute error;
+    relative accuracy in the far tail is limited by the subtraction, which
+    is irrelevant at the 6-decimal gate precision)."""
+    return 1.0 - erf(x)
+
+
 def norm_cdf(z):
     z = np.asarray(z, dtype=float)
-    return 0.5 * (1.0 + np.vectorize(math.erf)(z / _SQRT2))
+    if z.size == 0:
+        return np.zeros_like(z)
+    return 0.5 * (1.0 + erf(z / _SQRT2))
 
 
 def norm_sf(z):
@@ -153,9 +172,9 @@ def norm_ppf(p):
     from statistics import NormalDist
 
     nd = NormalDist()
-    return np.vectorize(lambda q: nd.inv_cdf(min(max(q, 1e-300), 1 - 1e-16)))(
-        np.asarray(p, dtype=float)
-    )
+    return np.vectorize(
+        lambda q: nd.inv_cdf(min(max(q, 1e-300), 1 - 1e-16)), otypes=[float]
+    )(np.asarray(p, dtype=float))
 
 
 def t_sf(t, df):
