@@ -590,6 +590,63 @@ FROM j
 """
 
 
+def q_xexpt_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xexpt drill-down by event_type — ONE grouped suff-stats pass for all
+    report cells (reference groupBy('ds').xexpt_ttest_2samp semantics)."""
+    from fast_causal_inference_spark.operators.xexpt import xexpt_ttest_2samp_spark
+
+    ev = _load(spark, sf_dir, "events") \
+        .withColumn("treatment", (F.col("user_id") % 2).cast("int"))
+    out = xexpt_ttest_2samp_spark(ev, "value", "1 + event_id % 7", "treatment",
+                                  "user_id", treatment_values=(0, 1),
+                                  group_cols=["event_type"])
+    return _round_all(out, ["event_type"],
+                      ["numerator0", "numerator1", "denominator0",
+                       "denominator1", "mean0", "mean1", "diff",
+                       "diff_relative", "t_stat", "mde"], 6)
+
+
+_XEXPT_GROUPED_SQL = """
+WITH a AS (
+  SELECT event_type, CAST(user_id % 2 = 1 AS INT) AS arm, value AS num,
+         1 + event_id % 7 AS den
+  FROM events
+), g AS (
+  SELECT event_type, arm, CAST(count(*) AS DOUBLE) AS n, sum(num) AS sn,
+         sum(den) AS sd_, sum(num*num) AS cnn, sum(num*den) AS cnd,
+         sum(den*den) AS cdd
+  FROM a GROUP BY event_type, arm
+), m AS (
+  SELECT event_type, arm, n, sn, sd_, sn/n AS m1, sd_/n AS m2,
+         (cnn - sn*sn/n)/(n-1) AS v11, (cnd - sn*sd_/n)/(n-1) AS v12,
+         (cdd - sd_*sd_/n)/(n-1) AS v22
+  FROM g
+), d AS (
+  SELECT event_type, arm, n, sn, sd_, m1/m2 AS mean,
+         ((1/m2)*(1/m2)*v11 + 2*(1/m2)*(-m1/(m2*m2))*v12
+          + (m1/(m2*m2))*(m1/(m2*m2))*v22)/n AS var_mean
+  FROM m
+), j AS (
+  SELECT d0.event_type AS event_type,
+         d0.sn AS numerator0, d1.sn AS numerator1,
+         d0.sd_ AS denominator0, d1.sd_ AS denominator1,
+         d0.mean AS mean0, d1.mean AS mean1,
+         d1.mean - d0.mean AS diff,
+         sqrt(d0.var_mean + d1.var_mean) AS stderr
+  FROM (SELECT * FROM d WHERE arm = 0) d0
+  JOIN (SELECT * FROM d WHERE arm = 1) d1 USING (event_type)
+)
+SELECT event_type,
+       round(numerator0, 6) AS numerator0, round(numerator1, 6) AS numerator1,
+       round(denominator0, 6) AS denominator0, round(denominator1, 6) AS denominator1,
+       round(mean0, 6) AS mean0, round(mean1, 6) AS mean1,
+       round(diff, 6) AS diff, round(diff/mean0, 6) AS diff_relative,
+       round(diff/stderr, 6) AS t_stat,
+       round((1.959963984540054 + 0.8416212335729143)*stderr/mean0, 6) AS mde
+FROM j
+"""
+
+
 def q_boot_strap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap replicas of a ratio metric (seeded; rows-only check —
     replica values depend on Spark's partition-deterministic rand())."""
@@ -1670,6 +1727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_whitney_utest": q_mann_whitney,
         "kolmogorov_smirnov_test": q_kstest,
         "xexpt_ttest_2samp": q_xexpt,
+        "xexpt_grouped": q_xexpt_grouped,
         "boot_strap": q_boot_strap,
         "boot_strap_ols": q_boot_strap_ols,
         "stochastic_sgd": q_stochastic_sgd,
@@ -1732,6 +1790,7 @@ def oracle_sql() -> dict[str, str]:
         "mann_whitney_utest": _MW_SQL,
         "kolmogorov_smirnov_test": _KS_SQL,
         "xexpt_ttest_2samp": _XEXPT_SQL,
+        "xexpt_grouped": _XEXPT_GROUPED_SQL,
         "token_count": _TOKEN_COUNT_SQL,
         "exact_dedup": _EXACT_DEDUP_SQL,
         "ngram_jaccard_dedup": _NGRAM_JACCARD_SQL,

@@ -47,33 +47,6 @@ def xexpt_ttest_2samp(df: DataFrame, numerator: str, denominator: str,
     """Returns a pandas DataFrame with the full experiment report —
     one row per report cell (``group_cols``, reference
     ``df.groupBy('ds').xexpt_ttest_2samp(...)``) or a single row."""
-    if group_cols:
-        # drill-down: grouped suff-stats pass, per-cell finalize on the
-        # driver (report cells are bounded; this matches the reference's
-        # groupBy drill-down semantics, statistics.py:479-480)
-        import pandas as pd
-
-        cells = df.select(*group_cols).distinct().limit(1001).collect()
-        if len(cells) > 1000:
-            raise ValueError(
-                "xexpt drill-down runs one aggregation per cell; >1000 "
-                "distinct group values is almost never intended — bucket "
-                "the group key first")
-        outs = []
-        for r in cells:
-            cond = None
-            for g in group_cols:
-                c = (F.col(g) == F.lit(r[g])) if r[g] is not None \
-                    else F.col(g).isNull()
-                cond = c if cond is None else (cond & c)
-            rep = xexpt_ttest_2samp(
-                df.where(cond), numerator, denominator, index, uin,
-                metric_type, group_buckets, alpha, mde, power, X,
-                treatment_values)
-            for g in group_cols:
-                rep.insert(0, g, r[g])
-            outs.append(rep)
-        return pd.concat(outs, ignore_index=True)
     if metric_type not in ("avg", "sum"):
         raise ValueError("metric_type must be 'avg' or 'sum'")
 
@@ -91,6 +64,16 @@ def xexpt_ttest_2samp(df: DataFrame, numerator: str, denominator: str,
     nodes, base = parse_formulas([y_formula] + x_parts)
     ynode, xnodes = nodes[0], nodes[1:]
     k = len(base)
+
+    if group_cols:
+        # drill-down: ONE grouped suff-stats aggregation over all report
+        # cells (reference ``groupBy('ds').xexpt_ttest_2samp`` is a single
+        # grouped pass, statistics.py:479-480); the tiny per-cell stat rows
+        # are finalized on the driver. No per-cell Spark jobs.
+        return _xexpt_grouped(
+            df, list(group_cols), numerator, denominator, idx, uin,
+            metric_type, group_buckets, alpha, mde, power,
+            ynode, xnodes, base, k, v0, v1)
 
     if metric_type == "avg":
         aggs = (suffstat_agg_columns(base, "g0_", idx == F.lit(v0))
@@ -149,8 +132,19 @@ def xexpt_ttest_2samp(df: DataFrame, numerator: str, denominator: str,
         row = b.agg(*aggs).collect()[0]
         s0 = row_to_stats(row, k, "g0_")
         s1 = row_to_stats(row, k, "g1_")
-        den_sums = (float(row["den0__"]), float(row["den1__"]))
 
+    import pandas as pd
+
+    return pd.DataFrame([_report_from_stats(
+        s0, s1, ynode, xnodes, base, numerator, denominator, metric_type,
+        group_buckets, alpha, mde, power, v0, v1)])
+
+
+def _report_from_stats(s0, s1, ynode, xnodes, base, numerator, denominator,
+                       metric_type, group_buckets, alpha, mde, power,
+                       v0, v1) -> dict:
+    """Finalize one report cell from its two arms' sufficient statistics —
+    pure driver math shared by the single and grouped paths."""
     # delta-method means/vars (+CUPED pooled θ)
     if xnodes:
         from fast_causal_inference_spark.operators.suffstats import merge_stats
@@ -179,8 +173,9 @@ def xexpt_ttest_2samp(df: DataFrame, numerator: str, denominator: str,
     count = s0.n + s1.n
     lower, upper = core.confidence_interval(estimate, stderr, count, alpha,
                                             "two-sided")
-    diff_relative = estimate / mean0
-    lower_rel, upper_rel = lower / mean0, upper / mean0
+    diff_relative = estimate / mean0 if mean0 else float("nan")
+    lower_rel = lower / mean0 if mean0 else float("nan")
+    upper_rel = upper / mean0 if mean0 else float("nan")
 
     # per-arm per-denominator-unit std (reference std_samp)
     std_samp0 = math.sqrt(max(var0, 0.0) * den_disp[0]) if metric_type == "sum" \
@@ -191,19 +186,19 @@ def xexpt_ttest_2samp(df: DataFrame, numerator: str, denominator: str,
     # power / MDE / recommended samples (reference xexpt_ttest_2samp.h:505-522)
     z_a2 = float(dist.norm_ppf(1 - alpha / 2))
     z_a2_lo = float(dist.norm_ppf(alpha / 2))
-    shift = abs(mean0 * mde) / stderr
+    shift = abs(mean0 * mde) / stderr if stderr > 0 else float("nan")
     power_at_mde = float(1 - dist.norm_cdf(z_a2 - shift)
                          + dist.norm_cdf(z_a2_lo - shift))
-    mde_at_power = (z_a2 + float(dist.norm_ppf(power))) * stderr / mean0
+    mde_at_power = ((z_a2 + float(dist.norm_ppf(power))) * stderr / mean0
+                    if mean0 else float("nan"))
     std_ratio = std_samp0 / std_samp1 if std_samp1 > 0 else float("nan")
     cnt_ratio = den_disp[0] / den_disp[1] if den_disp[1] else float("nan")
     alpha_power = z_a2 - float(dist.norm_ppf(1 - power))
     recommend = ((std_ratio ** 2 + cnt_ratio) / cnt_ratio) * alpha_power ** 2 \
-        * (std_samp1 / mean0) ** 2 / mde ** 2
+        * (std_samp1 / mean0) ** 2 / mde ** 2 if mean0 and cnt_ratio \
+        else float("nan")
 
-    import pandas as pd
-
-    return pd.DataFrame([{
+    return {
         "groupname0": v0, "groupname1": v1,
         "numerator0": num_sums[0], "numerator1": num_sums[1],
         ("denominator0" if metric_type == "avg" else "ratio0"): den_disp[0],
@@ -214,9 +209,98 @@ def xexpt_ttest_2samp(df: DataFrame, numerator: str, denominator: str,
         "lower": lower, "upper": upper,
         "lower_relative": lower_rel, "upper_relative": upper_rel,
         "p_value": p_value, "t_stat": t_stat,
-        "power": power_at_mde, "recommend_samples": float(np.floor(recommend + 0.5)),
+        "power": power_at_mde,
+        "recommend_samples": float(np.floor(recommend + 0.5))
+        if math.isfinite(recommend) else float("nan"),
         "mde": mde_at_power,
-    }])
+    }
+
+
+def _xexpt_grouped(df: DataFrame, group_cols: list[str], numerator: str,
+                   denominator: str, idx, uin: str, metric_type: str,
+                   group_buckets: tuple, alpha: float, mde: float,
+                   power: float, ynode, xnodes, base: list[str], k: int,
+                   v0, v1):
+    """Drill-down report — ONE aggregation pass for ALL cells.
+
+    avg: ``groupBy(*group_cols)`` with both arms' conditional sufficient
+    statistics (same shape as the grouped t-test).  sum: ``groupBy(
+    *group_cols, arm, bucket)`` bucket sums, then a tiny second aggregation
+    to per-(cell, arm) stats.  Missing buckets need no grid zero-fill: a
+    zero bucket adds nothing to any sum or cross-sum, the forced n=128
+    restores the count, and the per-bucket denominator is the CONSTANT arm
+    traffic share, so its variance/covariances are exactly zero.  Driver
+    work is O(#cells); Spark jobs: one per aggregation, never per cell.
+    """
+    import pandas as pd
+
+    from fast_causal_inference_spark.operators.suffstats import NumStats
+
+    if metric_type == "avg":
+        aggs = (suffstat_agg_columns(base, "g0_", idx == F.lit(v0))
+                + suffstat_agg_columns(base, "g1_", idx == F.lit(v1)))
+        pdf = df.groupBy(*group_cols).agg(*aggs).toPandas()
+        rows = []
+        for _, r in pdf.iterrows():
+            s0 = row_to_stats(r, k, "g0_")
+            s1 = row_to_stats(r, k, "g1_")
+            rep = _report_from_stats(
+                s0, s1, ynode, xnodes or None, base, numerator, denominator,
+                metric_type, group_buckets, alpha, mde, power, v0, v1)
+            rows.append({**{g: r[g] for g in group_cols}, **rep})
+        return pd.DataFrame(rows)
+
+    # sum metric
+    ucol = F.col(uin) if uin.isidentifier() else F.expr(uin)
+    bucket = F.pmod(F.xxhash64(ucol), F.lit(N_BUCKETS))
+    arm = F.when(idx == F.lit(v0), 0).when(idx == F.lit(v1), 1)
+    sums = [F.sum(F.expr(e).cast("double")).alias(f"b{i}")
+            for i, e in enumerate(base)]
+    b = (df.where(arm.isNotNull())
+           .groupBy(*group_cols, arm.alias("arm"), bucket.alias("bucket"))
+           .agg(*sums))
+    den_i = base.index(denominator.strip()) if denominator.strip() in base else 1
+    others = [i for i in range(k) if i != den_i]
+    aggs2 = []
+    for i in others:
+        aggs2.append(F.sum(F.col(f"b{i}")).alias(f"s{i}"))
+    for ai, i in enumerate(others):
+        for j in others[ai:]:
+            aggs2.append(F.sum(F.col(f"b{i}") * F.col(f"b{j}"))
+                         .alias(f"c{i}_{j}"))
+    per_arm = b.groupBy(*group_cols, "arm").agg(*aggs2).toPandas()
+
+    ratios = (float(group_buckets[0]) / N_BUCKETS,
+              float(group_buckets[1]) / N_BUCKETS)
+
+    def _arm_stats(cell: pd.DataFrame, a: int) -> NumStats:
+        r = ratios[a]
+        means = np.zeros(k)
+        cov = np.zeros((k, k))
+        means[den_i] = r
+        sub = cell[cell["arm"] == a]
+        if len(sub):
+            row = sub.iloc[0]
+            for i in others:
+                means[i] = float(row[f"s{i}"]) / N_BUCKETS
+            for ai, i in enumerate(others):
+                for j in others[ai:]:
+                    cij = (float(row[f"c{i}_{j}"])
+                           - float(row[f"s{i}"]) * float(row[f"s{j}"])
+                           / N_BUCKETS) / (N_BUCKETS - 1.0)
+                    cov[i, j] = cov[j, i] = cij
+        return NumStats(n=float(N_BUCKETS), means=means, cov=cov)
+
+    rows = []
+    for key, cell in per_arm.groupby(group_cols, dropna=False, sort=False):
+        key = key if isinstance(key, tuple) else (key,)
+        s0 = _arm_stats(cell, 0)
+        s1 = _arm_stats(cell, 1)
+        rep = _report_from_stats(
+            s0, s1, ynode, xnodes or None, base, numerator, denominator,
+            metric_type, group_buckets, alpha, mde, power, v0, v1)
+        rows.append({**dict(zip(group_cols, key)), **rep})
+    return pd.DataFrame(rows)
 
 
 def xexpt_ttest_2samp_spark(df: DataFrame, *args, **kwargs) -> DataFrame:

@@ -382,3 +382,53 @@ def test_xexpt_grouped_drilldown(spark, ab_df):
                                treatment_values=(0, 1))
     row = rep[rep.seg == 1].drop(columns=["seg"]).reset_index(drop=True)
     assert row.equals(single)
+
+
+def test_xexpt_grouped_sum_metric(spark, ab_df):
+    """Grouped sum-metric drill-down: per-cell equality with the single-cell
+    report (exercises the analytic bucket zero-fill — constant denominator
+    column has zero covariance)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from fast_causal_inference_spark.operators.xexpt import xexpt_ttest_2samp
+
+    df = ab_df.withColumn("seg", (F.col("x3") > 1).cast("int")) \
+              .withColumn("uin", F.monotonically_increasing_id())
+    rep = xexpt_ttest_2samp(df, "numerator", "denominator", "treatment",
+                            "uin", metric_type="sum", group_buckets=(1, 1),
+                            group_cols=["seg"], treatment_values=(0, 1))
+    assert len(rep) == 2
+    single = xexpt_ttest_2samp(df.where("seg = 1"), "numerator",
+                               "denominator", "treatment", "uin",
+                               metric_type="sum", group_buckets=(1, 1),
+                               treatment_values=(0, 1))
+    row = rep[rep.seg == 1].drop(columns=["seg"]).reset_index(drop=True)
+    num = [c for c in row.columns if c not in ("groupname0", "groupname1")]
+    assert np.allclose(row[num].to_numpy(float), single[num].to_numpy(float),
+                       rtol=1e-9, equal_nan=True)
+
+
+def test_xexpt_grouped_is_one_pass(spark, ab_df):
+    """The drill-down must NOT run one Spark job per cell (the pre-round-3
+    driver loop); both metric types stay at a constant handful of jobs."""
+    from pyspark.sql import functions as F
+
+    from fast_causal_inference_spark.operators.xexpt import xexpt_ttest_2samp
+
+    # 20 cells — the old per-cell loop would run >20 jobs
+    df = ab_df.withColumn("seg", (F.col("x3") * 7).cast("int") % 20) \
+              .withColumn("uin", F.monotonically_increasing_id())
+    sc = spark.sparkContext
+    sc.setJobGroup("xexpt_one_pass_avg", "")
+    xexpt_ttest_2samp(df, "numerator", "denominator", "treatment", "uin",
+                      group_cols=["seg"], treatment_values=(0, 1))
+    n_avg = len(sc.statusTracker().getJobIdsForGroup("xexpt_one_pass_avg"))
+    sc.setJobGroup("xexpt_one_pass_sum", "")
+    xexpt_ttest_2samp(df, "numerator", "denominator", "treatment", "uin",
+                      metric_type="sum", group_buckets=(1, 1),
+                      group_cols=["seg"], treatment_values=(0, 1))
+    n_sum = len(sc.statusTracker().getJobIdsForGroup("xexpt_one_pass_sum"))
+    sc.setJobGroup("default", "")
+    assert n_avg <= 4, f"grouped avg xexpt ran {n_avg} jobs"
+    assert n_sum <= 5, f"grouped sum xexpt ran {n_sum} jobs"
