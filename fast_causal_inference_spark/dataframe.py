@@ -288,6 +288,14 @@ class CausalDataFrame:
 
         return get_lift_gain(self._df, ite, y, t, **kwargs)
 
+    def uplift_report(self, ite: str, y: str, t: str, **kwargs):
+        """lift/gain + Qini + AUUC + calibration from ONE scan."""
+        from fast_causal_inference_spark.uplift.evaluation import (
+            uplift_report,
+        )
+
+        return uplift_report(self._df, ite, y, t, **kwargs)
+
     def split(self, test_size: float = 0.5, seed: int | None = None):
         """Train/test split (reference dataframe.py:857-874)."""
         return [CausalDataFrame(d) for d in

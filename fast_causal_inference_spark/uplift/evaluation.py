@@ -28,7 +28,8 @@ AUTO_NTILE_MAX = 1_000_000
 
 def _bucketed_stats(df: DataFrame, ite: str, y: str, t: str,
                     k: int, tiebreak: str | None = None,
-                    method: str = "auto") -> pd.DataFrame:
+                    method: str = "auto",
+                    n_rows: int | None = None) -> pd.DataFrame:
     """Per-ITE-rank-bucket treatment/control counts and outcome sums.
 
     ``tiebreak`` — optional column giving a deterministic total order under
@@ -37,6 +38,8 @@ def _bucketed_stats(df: DataFrame, ite: str, y: str, t: str,
     edges of the ITE instead of a global ntile sort (a single-partition
     window is the one non-distributed step of the exact variant; the sketch
     keeps everything parallel at the cost of slightly uneven buckets).
+    ``n_rows`` — pre-known row count; spares the auto method switch its
+    extra count() scan when the caller already knows it.
     """
     tcol = F.expr(t).cast("double")
     ycol = F.expr(y).cast("double")
@@ -45,7 +48,9 @@ def _bucketed_stats(df: DataFrame, ite: str, y: str, t: str,
         sel.append(F.expr(tiebreak).alias("__tb"))
     base = df.select(*sel)
     if method == "auto":
-        method = "ntile" if base.count() <= AUTO_NTILE_MAX else "quantile"
+        if n_rows is None:
+            n_rows = base.count()
+        method = "ntile" if n_rows <= AUTO_NTILE_MAX else "quantile"
     if method == "quantile":
         probs = [i / k for i in range(1, k)]
         edges = base.approxQuantile("__ite", probs, 0.001)
@@ -74,20 +79,7 @@ def _bucketed_stats(df: DataFrame, ite: str, y: str, t: str,
     return pdf
 
 
-def get_lift_gain(df: DataFrame, ite: str, y: str, t: str,
-                  k: int = 10, tiebreak: str | None = None,
-                  method: str = "auto") -> pd.DataFrame:
-    """Cumulative lift/gain table over K ITE-ranked buckets.
-
-    Columns: bucket, ratio (population share), lift (cumulative uplift of the
-    targeted share), gain (lift·ratio, i.e. cumulative incremental outcome per
-    capita scaled), ate_baseline (overall ATE), random_gain (ATE·ratio).
-
-    ``method``: 'ntile' (exact global sort), 'quantile' (sketch buckets,
-    fully parallel), or 'auto' (default — exact below AUTO_NTILE_MAX rows,
-    sketch above).
-    """
-    pdf = _bucketed_stats(df, ite, y, t, k, tiebreak, method)
+def _lift_gain_from_stats(pdf: pd.DataFrame) -> pd.DataFrame:
     cn1 = pdf.n1.cumsum()
     cn0 = pdf.n0.cumsum()
     cy1 = pdf.y1.cumsum()
@@ -109,11 +101,25 @@ def get_lift_gain(df: DataFrame, ite: str, y: str, t: str,
     return out
 
 
-def qini_curve(df: DataFrame, ite: str, y: str, t: str,
-               k: int = 10) -> pd.DataFrame:
-    """Qini curve points: incremental outcomes at each targeted share
-    (treatment-count-scaled variant, the standard Qini definition)."""
-    pdf = _bucketed_stats(df, ite, y, t, k)
+def get_lift_gain(df: DataFrame, ite: str, y: str, t: str,
+                  k: int = 10, tiebreak: str | None = None,
+                  method: str = "auto",
+                  n_rows: int | None = None) -> pd.DataFrame:
+    """Cumulative lift/gain table over K ITE-ranked buckets.
+
+    Columns: bucket, ratio (population share), lift (cumulative uplift of the
+    targeted share), gain (lift·ratio, i.e. cumulative incremental outcome per
+    capita scaled), ate_baseline (overall ATE), random_gain (ATE·ratio).
+
+    ``method``: 'ntile' (exact global sort), 'quantile' (sketch buckets,
+    fully parallel), or 'auto' (default — exact below AUTO_NTILE_MAX rows,
+    sketch above).  ``n_rows`` spares auto its count() scan.
+    """
+    return _lift_gain_from_stats(
+        _bucketed_stats(df, ite, y, t, k, tiebreak, method, n_rows))
+
+
+def _qini_from_stats(pdf: pd.DataFrame) -> pd.DataFrame:
     cn1 = pdf.n1.cumsum()
     cn0 = pdf.n0.cumsum()
     cy1 = pdf.y1.cumsum()
@@ -131,29 +137,68 @@ def qini_curve(df: DataFrame, ite: str, y: str, t: str,
                          "qini": qini, "random_qini": random_q})
 
 
-def auuc(df: DataFrame, ite: str, y: str, t: str, k: int = 100) -> float:
-    """Area under the uplift (gain) curve, trapezoid over K buckets,
-    normalized to the random-targeting baseline area."""
-    g = get_lift_gain(df, ite, y, t, k)
+def qini_curve(df: DataFrame, ite: str, y: str, t: str, k: int = 10,
+               n_rows: int | None = None) -> pd.DataFrame:
+    """Qini curve points: incremental outcomes at each targeted share
+    (treatment-count-scaled variant, the standard Qini definition)."""
+    return _qini_from_stats(
+        _bucketed_stats(df, ite, y, t, k, n_rows=n_rows))
+
+
+def _auuc_from_stats(pdf: pd.DataFrame) -> float:
+    g = _lift_gain_from_stats(pdf)
     x = np.concatenate([[0.0], g.ratio.to_numpy()])
     yv = np.concatenate([[0.0], g.gain.fillna(0.0).to_numpy()])
     return float(np.trapz(yv, x))
 
 
-def qini_score(df: DataFrame, ite: str, y: str, t: str, k: int = 100) -> float:
-    """Qini coefficient: area between the Qini curve and the random line."""
-    q = qini_curve(df, ite, y, t, k)
+def _qini_score_from_stats(pdf: pd.DataFrame) -> float:
+    q = _qini_from_stats(pdf)
     x = np.concatenate([[0.0], q.ratio.to_numpy()])
     actual = np.concatenate([[0.0], q.qini.fillna(0.0).to_numpy()])
     rand = np.concatenate([[0.0], q.random_qini.to_numpy()])
     return float(np.trapz(actual, x) - np.trapz(rand, x))
 
 
-def cate_by_bucket(df: DataFrame, ite: str, y: str, t: str,
-                   k: int = 10) -> pd.DataFrame:
+def auuc(df: DataFrame, ite: str, y: str, t: str, k: int = 100,
+         n_rows: int | None = None) -> float:
+    """Area under the uplift (gain) curve, trapezoid over K buckets,
+    normalized to the random-targeting baseline area."""
+    return _auuc_from_stats(_bucketed_stats(df, ite, y, t, k, n_rows=n_rows))
+
+
+def qini_score(df: DataFrame, ite: str, y: str, t: str, k: int = 100,
+               n_rows: int | None = None) -> float:
+    """Qini coefficient: area between the Qini curve and the random line."""
+    return _qini_score_from_stats(
+        _bucketed_stats(df, ite, y, t, k, n_rows=n_rows))
+
+
+def cate_by_bucket(df: DataFrame, ite: str, y: str, t: str, k: int = 10,
+                   n_rows: int | None = None) -> pd.DataFrame:
     """Non-cumulative per-bucket CATE vs predicted ITE (calibration table)."""
-    pdf = _bucketed_stats(df, ite, y, t, k)
+    pdf = _bucketed_stats(df, ite, y, t, k, n_rows=n_rows)
     with np.errstate(divide="ignore", invalid="ignore"):
         cate = pdf.y1 / pdf.n1 - pdf.y0 / pdf.n0
     return pd.DataFrame({"bucket": pdf["__bucket"], "n": pdf.n,
                          "ite_pred": pdf.ite_avg, "cate_actual": cate})
+
+
+def uplift_report(df: DataFrame, ite: str, y: str, t: str, k: int = 10,
+                  tiebreak: str | None = None, method: str = "auto",
+                  n_rows: int | None = None) -> dict:
+    """Full uplift evaluation from ONE bucketed-stats pass: lift/gain table,
+    Qini curve, AUUC, Qini coefficient, and the calibration table all share
+    a single scan+aggregation instead of one per metric."""
+    pdf = _bucketed_stats(df, ite, y, t, k, tiebreak, method, n_rows)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cate = pdf.y1 / pdf.n1 - pdf.y0 / pdf.n0
+    return {
+        "lift_gain": _lift_gain_from_stats(pdf),
+        "qini": _qini_from_stats(pdf),
+        "auuc": _auuc_from_stats(pdf),
+        "qini_score": _qini_score_from_stats(pdf),
+        "cate_by_bucket": pd.DataFrame(
+            {"bucket": pdf["__bucket"], "n": pdf.n,
+             "ite_pred": pdf.ite_avg, "cate_actual": cate}),
+    }

@@ -251,3 +251,32 @@ def test_quantile_path_has_no_window(spark, hte_df):
     agg = b.groupBy("__bucket").agg(F.count(F.lit(1)).alias("n"))
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_uplift_report_single_scan(spark, hte_df):
+    """uplift_report computes all metrics from ONE bucketed-stats pass and
+    agrees with the individual entry points."""
+    import numpy as np
+
+    from fast_causal_inference_spark.uplift.evaluation import (
+        auuc,
+        get_lift_gain,
+        qini_score,
+        uplift_report,
+    )
+
+    scored = hte_df.withColumn("ite_hat", F.col("x1"))
+    n = scored.count()
+    sc = spark.sparkContext
+    sc.setJobGroup("uplift_report_scan", "")
+    rep = uplift_report(scored, "ite_hat", "y", "t", k=10, n_rows=n)
+    n_jobs = len(sc.statusTracker().getJobIdsForGroup("uplift_report_scan"))
+    sc.setJobGroup("default", "")
+    assert n_jobs <= 2, f"uplift_report ran {n_jobs} jobs (want one pass)"
+    lg = get_lift_gain(scored, "ite_hat", "y", "t", k=10, n_rows=n)
+    assert np.allclose(rep["lift_gain"].gain.to_numpy(),
+                       lg.gain.to_numpy(), equal_nan=True)
+    assert rep["auuc"] == pytest.approx(
+        auuc(scored, "ite_hat", "y", "t", k=10, n_rows=n))
+    assert rep["qini_score"] == pytest.approx(
+        qini_score(scored, "ite_hat", "y", "t", k=10, n_rows=n))
