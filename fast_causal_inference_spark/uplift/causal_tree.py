@@ -88,8 +88,11 @@ class CausalTree:
     def fit(self, df: DataFrame) -> "CausalTree":
         t = F.expr(self.treatment).cast("int")
         y = F.expr(self.outcome).cast("double")
-        work = df.select(*{f for feat in self.features
-                           for f in _cols_of(df, feat)},
+        # sorted: a bare set comprehension iterates in per-process string-
+        # hash order, and the column list feeds xxhash64 for the honesty
+        # split — unsorted, the fitted tree differs between processes
+        work = df.select(*sorted({f for feat in self.features
+                                  for f in _cols_of(df, feat)}),
                          t.alias("__t"), y.alias("__y"))
         if self.honesty:
             h = F.pmod(F.xxhash64(*[F.col(c) for c in work.columns],
