@@ -1205,14 +1205,72 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full text-analysis profile (lang-ID/quality heuristics are Spark-side
-    definitions; token counts are oracle-checked separately)."""
+    """Full text-analysis profile — every column value-checked against a
+    DuckDB re-derivation: whitespace + BPE-ish token counts, stopword/CJK
+    language ID (including the argmax tie rule), the 5-signal Gopher-style
+    quality score, and the whitespace-normalized md5 fingerprint (the
+    xxhash64 fingerprint variant stays the scale path in the library)."""
     from fast_causal_inference_spark.datapipe.text import text_profile
 
     d = _load(spark, sf_dir, "documents")
     out = text_profile(d)
     return out.select("doc_id", "n_tokens", "n_tokens_bpe", "lang_pred",
-                      F.round("quality", 6).alias("quality"), "fingerprint")
+                      F.round("quality", 6).alias("quality"),
+                      "fingerprint_md5")
+
+
+_TEXT_PROFILE_SQL = r"""
+WITH t AS (
+  SELECT doc_id, text, trim(lower(text)) AS lt FROM documents
+), tok AS (
+  SELECT doc_id, text, string_split_regex(lt, '\s+') AS toks,
+         length(lt) = 0 AS blank
+  FROM t
+), base AS (
+  SELECT doc_id, text, toks, blank,
+         CASE WHEN blank THEN 0 ELSE len(toks) END AS n_tokens,
+         len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+           + length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+           AS n_tokens_bpe,
+         len(list_filter(toks, x -> list_contains(
+           ['the','a','of','and','to','in','is','it','that','for'], x))) AS h_en,
+         len(list_filter(toks, x -> list_contains(
+           ['el','la','de','que','y','en','un','los','se','por'], x))) AS h_es,
+         len(list_filter(toks, x -> list_contains(
+           ['der','die','das','und','ist','ein','zu','den','mit','von'], x))) AS h_de,
+         len(list_filter(toks, x -> list_contains(
+           ['le','la','de','et','les','un','des','en','du','est'], x))) AS h_fr,
+         length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS cjk,
+         length(text) AS n_chars,
+         len(toks) AS sz,
+         len(list_distinct(toks)) AS dist_toks,
+         length(regexp_replace(text, '[A-Za-z0-9\s\x{4e00}-\x{9fff}]', '', 'g')) AS syms
+  FROM tok
+), lang AS (
+  SELECT *, greatest(h_en, h_es, h_de, h_fr) AS mx,
+         h_en + h_es + h_de + h_fr AS sw_any
+  FROM base
+)
+SELECT doc_id, n_tokens, n_tokens_bpe,
+       CASE WHEN cjk * 3 > n_chars THEN 'zh'
+            WHEN mx > 0 THEN (CASE WHEN h_fr = mx THEN 'fr'
+                                   WHEN h_es = mx THEN 'es'
+                                   WHEN h_en = mx THEN 'en'
+                                   ELSE 'de' END)
+            ELSE 'unknown' END AS lang_pred,
+       round(CASE WHEN blank THEN 0.0 ELSE
+           (CASE WHEN n_chars BETWEEN 30 AND 100000 THEN 0.2 ELSE 0.0 END)
+         + (CASE WHEN (n_chars - sz + 1.0)/sz BETWEEN 2.0 AND 12.0
+                 THEN 0.2 ELSE 0.0 END)
+         + (CASE WHEN sw_any > 0 THEN 0.2 ELSE 0.0 END)
+         + (CASE WHEN syms * 1.0 / greatest(n_chars, 1) < 0.2
+                 THEN 0.2 ELSE 0.0 END)
+         + (CASE WHEN (sz - dist_toks) * 1.0 / greatest(sz, 1) < 0.3
+                 THEN 0.2 ELSE 0.0 END)
+         END, 6) AS quality,
+       md5(array_to_string(toks, ' ')) AS fingerprint_md5
+FROM lang
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2101,6 +2159,69 @@ FROM j
 """
 
 
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal family, long format (doc_id, modality, feature, value):
+    video frame-sampling (synthetic payloads), REAL BMP decode stats, and
+    REAL PCM-WAV decode stats.  The synthesized payloads derive dims/color/
+    length/amplitude from sha256 hex substrings of the text, so DuckDB can
+    recompute every value — the decode kernels are genuinely end-to-end
+    value-checked (pure-Python BMP/WAV codecs; jpeg/mp3 still raise)."""
+    from fast_causal_inference_spark.datapipe.multimodal import (
+        audio_stats,
+        image_stats,
+        synthesize_audio_column,
+        synthesize_image_column,
+        synthesize_media_column,
+        video_frame_sample,
+    )
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    media = synthesize_media_column(d, "text")
+    vid = (video_frame_sample(media, max_frames=8)
+           .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames"))
+           .select("doc_id", F.lit("video").alias("modality"),
+                   F.lit("n_frames").alias("feature"),
+                   F.col("n_frames").cast("double").alias("value")))
+    img = image_stats(synthesize_image_column(d, "text"))
+    img_long = img.select(
+        "doc_id", F.lit("image").alias("modality"),
+        F.expr("stack(3, 'width', CAST(width AS DOUBLE), "
+               "'height', CAST(height AS DOUBLE), "
+               "'mean_pixel', mean_pixel) AS (feature, value)"))
+    aud = audio_stats(synthesize_audio_column(d, "text"))
+    aud_long = aud.select(
+        "doc_id", F.lit("audio").alias("modality"),
+        F.expr("stack(2, 'n_samples', CAST(n_samples AS DOUBLE), "
+               "'rms', rms) AS (feature, value)"))
+    out = vid.unionByName(img_long).unionByName(aud_long)
+    return out.select("doc_id", "modality", "feature",
+                      F.round("value", 6).alias("value"))
+
+
+_MEDIA_FEATURES_SQL = """
+WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents)
+SELECT doc_id, 'video' AS modality, 'n_frames' AS feature,
+       CAST(('0x' || substr(sha256(hx), 1, 4))::BIGINT % 8 + 1 AS DOUBLE)
+         AS value
+FROM h
+UNION ALL
+SELECT doc_id, 'image', 'width',
+       CAST(('0x' || substr(hx, 1, 4))::BIGINT % 16 + 1 AS DOUBLE) FROM h
+UNION ALL
+SELECT doc_id, 'image', 'height',
+       CAST(('0x' || substr(hx, 5, 4))::BIGINT % 16 + 1 AS DOUBLE) FROM h
+UNION ALL
+SELECT doc_id, 'image', 'mean_pixel',
+       CAST(('0x' || substr(hx, 9, 2))::BIGINT AS DOUBLE) FROM h
+UNION ALL
+SELECT doc_id, 'audio', 'n_samples',
+       CAST(('0x' || substr(hx, 11, 4))::BIGINT % 2000 + 100 AS DOUBLE) FROM h
+UNION ALL
+SELECT doc_id, 'audio', 'rms',
+       CAST(('0x' || substr(hx, 15, 4))::BIGINT % 30000 AS DOUBLE) FROM h
+"""
+
+
 def q_boot_strap_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap family in long format (variant, item, stat, value):
     metric replicas + bootstrap-of-OLS coefficient summary."""
@@ -2174,9 +2295,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": q_knn_bruteforce,
         "ivf_knn": q_ivf_knn,
         "embedding_near_dup": q_embedding_near_dup,
-        "token_count": q_token_count,
         "text_profile": q_text_profile,
-        "video_frames": q_video_frames,
+        "media_features": q_media_features,
     }
 
 
@@ -2239,6 +2359,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": _DEDUP_COMPONENTS_SQL,
         "knn_bruteforce": _KNN_SQL,
         "embedding_near_dup": _EMB_NEAR_DUP_SQL,
-        "token_count": _TOKEN_COUNT_SQL,
-        "video_frames": _VIDEO_FRAMES_SQL,
+        "media_features": _MEDIA_FEATURES_SQL,
+        "text_profile": _TEXT_PROFILE_SQL,
     }

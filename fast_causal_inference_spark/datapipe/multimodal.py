@@ -5,18 +5,25 @@ all heavy per-item work (decode, resize, feature-extract, frame-sample) runs
 as Arrow-batched ``mapInPandas`` so executors stream fixed-size batches
 instead of materializing whole partitions.
 
-The decode kernels themselves are STUBBED — this container has no
-image/audio codecs (no PIL/cv2/ffmpeg). Each stub either raises
-``NotImplementedError`` (``strict=True``) or produces a deterministic fake
-derived from the payload bytes (``strict=False``, default) so the Spark-side
-plumbing — schema, batching, partitioning, UDF signatures — is real and
-testable end-to-end. Swap ``_fake_*`` for real codecs on a cluster with the
-libraries installed.
+Decode support is two-tier:
+
+* **Uncompressed formats decode for real, in pure Python/numpy** — BMP
+  (24-bit BITMAPINFOHEADER), PPM (binary P6), and PCM WAV (stdlib
+  ``wave``).  Image/audio stats, resize, embeddings, and MFCC-style
+  features below run on actual pixel/sample arrays for these formats.
+* **Codec formats (jpeg/png/mp3/mp4/…) need external libraries** this
+  container does not have (no PIL/cv2/ffmpeg): those payloads raise
+  ``NotImplementedError`` under ``strict=True`` or fall back to a
+  deterministic content-seeded fake under ``strict=False`` so the
+  Spark-side plumbing stays exercisable end-to-end.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from collections.abc import Iterator
 
 import numpy as np
@@ -26,6 +33,124 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from fast_causal_inference_spark.serialization import ensure_udf_serializable
+
+
+# ---------------------------------------------------------------------------
+# pure-Python codecs for uncompressed formats
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a 24-bit uncompressed BMP."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError("encode_bmp expects (h, w, 3) uint8")
+    h, w, _ = a.shape
+    row_size = (3 * w + 3) & ~3                      # rows pad to 4 bytes
+    img_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                       2835, 2835, 0, 0)
+    rows = []
+    pad = b"\x00" * (row_size - 3 * w)
+    for y in range(h - 1, -1, -1):                   # bottom-up
+        rows.append(a[y, :, ::-1].tobytes() + pad)   # BGR
+    return header + info + b"".join(rows)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode a 24-bit uncompressed BMP into an (h, w, 3) uint8 RGB array."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMPs not supported")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only 24-bit uncompressed BMP supported")
+    flip = h > 0
+    h = abs(h)
+    row_size = (3 * w + 3) & ~3
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    for i in range(h):
+        row = np.frombuffer(payload, dtype=np.uint8,
+                            count=3 * w, offset=offset + i * row_size)
+        y = h - 1 - i if flip else i
+        out[y] = row.reshape(w, 3)[:, ::-1]          # BGR -> RGB
+    return out
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a binary PPM (P6)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = a.shape
+    return f"P6\n{w} {h}\n255\n".encode() + a.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Decode a binary PPM (P6) into an (h, w, 3) uint8 RGB array."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header: magic, whitespace-separated width/height/maxval (comments #..)
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            while pos < len(payload) and payload[pos:pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1                                          # single ws after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise NotImplementedError("only maxval=255 PPMs supported")
+    return np.frombuffer(payload, dtype=np.uint8, count=h * w * 3,
+                         offset=pos).reshape(h, w, 3).copy()
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode BMP or PPM payloads for real; raise for codec formats."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    raise NotImplementedError(
+        "only uncompressed BMP/PPM decode in-container; jpeg/png need PIL/cv2")
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """Encode an int16 mono sample array as a PCM WAV."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(sample_rate)
+        wv.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a PCM WAV into (int16 mono samples, sample_rate)."""
+    if payload[:4] != b"RIFF":
+        raise NotImplementedError(
+            "only PCM WAV decode in-container; mp3/ogg need codec libraries")
+    with wave.open(io.BytesIO(payload), "rb") as wv:
+        if wv.getsampwidth() != 2:
+            raise NotImplementedError("only 16-bit PCM WAV supported")
+        frames = wv.readframes(wv.getnframes())
+        rate = wv.getframerate()
+        ch = wv.getnchannels()
+    x = np.frombuffer(frames, dtype="<i2")
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1).astype(np.int16)
+    return x, rate
 
 MEDIA_META_SCHEMA = T.StructType([
     T.StructField("media_type", T.StringType()),     # image | audio | video
@@ -50,10 +175,29 @@ def attach_media_metadata(df: DataFrame, payload_col: str,
 
 
 def _fake_image_features(payload: bytes, n_features: int) -> np.ndarray:
-    """Deterministic stand-in for a CNN embedding: seeded by content digest."""
+    """Deterministic stand-in for codec-format embeddings (content-seeded)."""
     seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
     rng = np.random.default_rng(seed)
     return rng.standard_normal(n_features).astype(np.float32)
+
+
+def _pool_embedding(img: np.ndarray, n_features: int) -> np.ndarray:
+    """Real image embedding: grayscale mean-pool to a fixed grid, scaled to
+    [0, 1] (the classic perceptual-hash feature map)."""
+    g = np.asarray(img, dtype=np.float64).mean(axis=2)
+    side = max(int(round(n_features ** 0.5)), 1)
+    h, w = g.shape
+    ys = np.arange(side + 1) * h // side
+    xs = np.arange(side + 1) * w // side
+    out = np.empty(side * side, dtype=np.float32)
+    for i in range(side):
+        y0 = min(int(ys[i]), h - 1)
+        y1 = max(int(ys[i + 1]), y0 + 1)
+        for j in range(side):
+            x0 = min(int(xs[j]), w - 1)
+            x1 = max(int(xs[j + 1]), x0 + 1)
+            out[i * side + j] = g[y0:y1, x0:x1].mean() / 255.0
+    return out
 
 
 def image_features(df: DataFrame, payload_col: str = "payload",
@@ -61,7 +205,9 @@ def image_features(df: DataFrame, payload_col: str = "payload",
                    strict: bool = False) -> DataFrame:
     """Decode + feature-extract an image column → ``features array<float>``.
 
-    STUB decode (see module docstring): real Arrow plumbing, fake kernel.
+    BMP/PPM payloads decode for real (grayscale mean-pool embedding over
+    actual pixels); codec formats raise under ``strict`` or fall back to a
+    content-seeded fake (module docstring).
     """
     ensure_udf_serializable()
     out_schema = T.StructType(df.schema.fields
@@ -70,15 +216,21 @@ def image_features(df: DataFrame, payload_col: str = "payload",
     cols = [f.name for f in df.schema.fields]
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if strict:
-            raise NotImplementedError(
-                "image decode requires PIL/cv2 — not present in this container")
         for pdf in batches:
-            feats = [
-                _fake_image_features(bytes(p) if p is not None else b"",
-                                     n_features).tolist()
-                for p in pdf[payload_col]
-            ]
+            feats = []
+            for p in pdf[payload_col]:
+                payload = bytes(p) if p is not None else b""
+                try:
+                    feats.append(
+                        _pool_embedding(decode_image(payload),
+                                        n_features).tolist())
+                except (NotImplementedError, ValueError, struct.error):
+                    if strict:
+                        raise NotImplementedError(
+                            "non-BMP/PPM image decode requires PIL/cv2 — "
+                            "not present in this container")
+                    feats.append(_fake_image_features(
+                        payload, n_features).tolist())
             pdf = pdf.copy()
             pdf["features"] = feats
             yield pdf[cols + ["features"]]
@@ -86,25 +238,70 @@ def image_features(df: DataFrame, payload_col: str = "payload",
     return df.mapInPandas(extract, out_schema)
 
 
+def image_stats(df: DataFrame, payload_col: str = "payload",
+                strict: bool = True) -> DataFrame:
+    """Real decode statistics per image: ``width``, ``height``,
+    ``mean_pixel`` (BMP/PPM in pure numpy; codec formats raise)."""
+    ensure_udf_serializable()
+    out_schema = T.StructType(df.schema.fields
+                              + [T.StructField("width", T.IntegerType()),
+                                 T.StructField("height", T.IntegerType()),
+                                 T.StructField("mean_pixel", T.DoubleType())])
+    cols = [f.name for f in df.schema.fields]
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, ms = [], [], []
+            for p in pdf[payload_col]:
+                payload = bytes(p) if p is not None else b""
+                try:
+                    img = decode_image(payload)
+                    hs.append(int(img.shape[0]))
+                    ws.append(int(img.shape[1]))
+                    ms.append(float(img.astype(np.float64).mean()))
+                except (NotImplementedError, ValueError, struct.error):
+                    if strict:
+                        raise
+                    ws.append(None)
+                    hs.append(None)
+                    ms.append(None)
+            pdf = pdf.copy()
+            pdf["width"], pdf["height"], pdf["mean_pixel"] = ws, hs, ms
+            yield pdf[cols + ["width", "height", "mean_pixel"]]
+
+    return df.mapInPandas(stats, out_schema)
+
+
 def image_resize(df: DataFrame, payload_col: str = "payload",
                  width: int = 224, height: int = 224,
                  strict: bool = False) -> DataFrame:
-    """Resize an image column (STUB kernel: truncated content hash bytes)."""
+    """Resize an image column — REAL nearest-neighbor resample for BMP/PPM
+    payloads (re-encoded as BMP); codec formats raise under ``strict`` or
+    fall back to a content-hash stub."""
     ensure_udf_serializable()
     out_schema = T.StructType(df.schema.fields
                               + [T.StructField("resized", T.BinaryType())])
     cols = [f.name for f in df.schema.fields]
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if strict:
-            raise NotImplementedError("image resize requires PIL/cv2")
         for pdf in batches:
+            out = []
+            for p in pdf[payload_col]:
+                payload = bytes(p) if p is not None else b""
+                try:
+                    img = decode_image(payload)
+                    h, w = img.shape[:2]
+                    yi = (np.arange(height) * h // height).clip(0, h - 1)
+                    xi = (np.arange(width) * w // width).clip(0, w - 1)
+                    out.append(encode_bmp(img[yi][:, xi]))
+                except (NotImplementedError, ValueError, struct.error):
+                    if strict:
+                        raise NotImplementedError(
+                            "non-BMP/PPM image resize requires PIL/cv2")
+                    out.append(hashlib.sha256(
+                        payload + f"{width}x{height}".encode()).digest())
             pdf = pdf.copy()
-            pdf["resized"] = [
-                hashlib.sha256((bytes(p) if p is not None else b"")
-                               + f"{width}x{height}".encode()).digest()
-                for p in pdf[payload_col]
-            ]
+            pdf["resized"] = out
             yield pdf[cols + ["resized"]]
 
     return df.mapInPandas(resize, out_schema)
@@ -152,11 +349,146 @@ def synthesize_media_column(df: DataFrame, from_col: str,
         payload_col, F.sha2(F.col(from_col).cast("string"), 256).cast("binary"))
 
 
+def synthesize_image_column(df: DataFrame, from_col: str,
+                            payload_col: str = "payload") -> DataFrame:
+    """Synthesize a REAL 24-bit BMP payload per row, with dimensions and a
+    constant fill color derived from sha256 hex substrings of ``from_col``
+    — the same derivation an external SQL oracle can compute:
+    w = hex[0:4] % 16 + 1, h = hex[4:8] % 16 + 1, color = hex[8:10]."""
+    ensure_udf_serializable()
+    out_schema = T.StructType(df.schema.fields
+                              + [T.StructField(payload_col, T.BinaryType())])
+    cols = [f.name for f in df.schema.fields]
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for v in pdf[from_col]:
+                hx = hashlib.sha256(str(v).encode()).hexdigest()
+                w = int(hx[0:4], 16) % 16 + 1
+                h = int(hx[4:8], 16) % 16 + 1
+                c = int(hx[8:10], 16)
+                payloads.append(encode_bmp(np.full((h, w, 3), c, np.uint8)))
+            pdf = pdf.copy()
+            pdf[payload_col] = payloads
+            yield pdf[cols + [payload_col]]
+
+    return df.mapInPandas(synth, out_schema)
+
+
+def synthesize_audio_column(df: DataFrame, from_col: str,
+                            payload_col: str = "payload",
+                            sample_rate: int = 16_000) -> DataFrame:
+    """Synthesize a REAL PCM WAV payload per row: constant-amplitude signal
+    with length and amplitude derived from sha256 hex substrings of
+    ``from_col`` (n = hex[10:14] % 2000 + 100, amp = hex[14:18] % 30000) —
+    so rms == amp is recomputable by an external SQL oracle."""
+    ensure_udf_serializable()
+    out_schema = T.StructType(df.schema.fields
+                              + [T.StructField(payload_col, T.BinaryType())])
+    cols = [f.name for f in df.schema.fields]
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for v in pdf[from_col]:
+                hx = hashlib.sha256(str(v).encode()).hexdigest()
+                n = int(hx[10:14], 16) % 2000 + 100
+                amp = int(hx[14:18], 16) % 30000
+                payloads.append(encode_wav(
+                    np.full(n, amp, dtype=np.int16), sample_rate))
+            pdf = pdf.copy()
+            pdf[payload_col] = payloads
+            yield pdf[cols + [payload_col]]
+
+    return df.mapInPandas(synth, out_schema)
+
+
+def audio_stats(df: DataFrame, payload_col: str = "payload",
+                strict: bool = True) -> DataFrame:
+    """Real decode statistics per audio payload: ``n_samples``,
+    ``sample_rate``, ``rms`` (PCM WAV via the stdlib wave module)."""
+    ensure_udf_serializable()
+    out_schema = T.StructType(df.schema.fields
+                              + [T.StructField("n_samples", T.LongType()),
+                                 T.StructField("sample_rate", T.IntegerType()),
+                                 T.StructField("rms", T.DoubleType())])
+    cols = [f.name for f in df.schema.fields]
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ns, rates, rms = [], [], []
+            for p in pdf[payload_col]:
+                payload = bytes(p) if p is not None else b""
+                try:
+                    x, rate = decode_wav(payload)
+                    ns.append(len(x))
+                    rates.append(rate)
+                    rms.append(float(np.sqrt(np.mean(
+                        x.astype(np.float64) ** 2))) if len(x) else 0.0)
+                except (NotImplementedError, ValueError, wave.Error, EOFError):
+                    if strict:
+                        raise
+                    ns.append(None)
+                    rates.append(None)
+                    rms.append(None)
+            pdf = pdf.copy()
+            pdf["n_samples"], pdf["sample_rate"], pdf["rms"] = ns, rates, rms
+            yield pdf[cols + ["n_samples", "sample_rate", "rms"]]
+
+    return df.mapInPandas(stats, out_schema)
+
+
+def _mel_filterbank(n_filters: int, n_fft: int, rate: int) -> np.ndarray:
+    """Triangular mel filterbank (standard public construction)."""
+    def hz_to_mel(f):
+        return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=float) / 700.0)
+
+    def mel_to_hz(m):
+        return 700.0 * (10.0 ** (np.asarray(m, dtype=float) / 2595.0) - 1.0)
+
+    mels = np.linspace(hz_to_mel(0.0), hz_to_mel(rate / 2.0), n_filters + 2)
+    bins = np.floor((n_fft + 1) * mel_to_hz(mels) / rate).astype(int)
+    fb = np.zeros((n_filters, n_fft // 2 + 1))
+    for i in range(n_filters):
+        lo, mid, hi = bins[i], bins[i + 1], bins[i + 2]
+        for k in range(lo, mid):
+            if mid > lo:
+                fb[i, k] = (k - lo) / (mid - lo)
+        for k in range(mid, hi):
+            if hi > mid:
+                fb[i, k] = (hi - k) / (hi - mid)
+    return fb
+
+
+def _mfcc(x: np.ndarray, rate: int, n_mfcc: int, n_fft: int = 512,
+          n_filters: int = 26) -> np.ndarray:
+    """MFCC over the whole clip (mean across frames): frame → |rfft|² →
+    mel filterbank → log → DCT-II.  Pure numpy (no scipy in container)."""
+    x = np.asarray(x, dtype=np.float64)
+    if len(x) < n_fft:
+        x = np.pad(x, (0, n_fft - len(x)))
+    hop = n_fft // 2
+    n_frames = 1 + (len(x) - n_fft) // hop
+    window = np.hanning(n_fft)
+    frames = np.stack([x[i * hop:i * hop + n_fft] * window
+                       for i in range(n_frames)])
+    power = np.abs(np.fft.rfft(frames, axis=1)) ** 2 / n_fft
+    fb = _mel_filterbank(n_filters, n_fft, rate)
+    energies = np.log(power @ fb.T + 1e-10)          # (frames, n_filters)
+    # DCT-II matrix (orthonormal), first n_mfcc rows
+    k = np.arange(n_filters)
+    dct = np.cos(np.pi * np.outer(np.arange(n_mfcc), 2 * k + 1)
+                 / (2 * n_filters))
+    return (energies.mean(axis=0) @ dct.T).astype(np.float32)
+
+
 def audio_features(df: DataFrame, payload_col: str = "payload",
                    n_mfcc: int = 13, strict: bool = False) -> DataFrame:
-    """Decode + MFCC-style feature-extract an audio column
-    → ``audio_features array<float>`` (STUB kernel — no audio codecs in
-    this container; deterministic content-seeded stand-in)."""
+    """Decode + MFCC feature-extract an audio column
+    → ``audio_features array<float>``.  PCM WAV payloads run a REAL numpy
+    MFCC (framed rfft → mel filterbank → log → DCT-II); codec formats
+    raise under ``strict`` or fall back to a content-seeded fake."""
     ensure_udf_serializable()
     out_schema = T.StructType(df.schema.fields
                               + [T.StructField("audio_features",
@@ -164,18 +496,23 @@ def audio_features(df: DataFrame, payload_col: str = "payload",
     cols = [f.name for f in df.schema.fields]
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if strict:
-            raise NotImplementedError(
-                "audio decode requires soundfile/librosa — not in container")
         for pdf in batches:
             feats = []
             for p in pdf[payload_col]:
                 payload = bytes(p) if p is not None else b""
-                seed = int.from_bytes(
-                    hashlib.sha256(payload).digest()[:8], "big")
-                rng = np.random.default_rng(seed)
-                feats.append(rng.standard_normal(n_mfcc)
-                             .astype(np.float32).tolist())
+                try:
+                    x, rate = decode_wav(payload)
+                    feats.append(_mfcc(x, rate, n_mfcc).tolist())
+                except (NotImplementedError, ValueError, wave.Error, EOFError):
+                    if strict:
+                        raise NotImplementedError(
+                            "non-WAV audio decode requires codec libraries "
+                            "not present in this container")
+                    seed = int.from_bytes(
+                        hashlib.sha256(payload).digest()[:8], "big")
+                    rng = np.random.default_rng(seed)
+                    feats.append(rng.standard_normal(n_mfcc)
+                                 .astype(np.float32).tolist())
             pdf = pdf.copy()
             pdf["audio_features"] = feats
             yield pdf[cols + ["audio_features"]]

@@ -97,12 +97,20 @@ def quality_score(text: Column | str) -> Column:
     return F.when(F.length(F.trim(c)) == 0, F.lit(0.0)).otherwise(score)
 
 
-def fingerprint(text: Column | str) -> Column:
-    """64-bit content fingerprint of whitespace-normalized text (rolling-hash
-    equivalent: stable under whitespace/case jitter)."""
+def fingerprint(text: Column | str, method: str = "xxhash64") -> Column:
+    """Content fingerprint of whitespace-normalized text (rolling-hash
+    equivalent: stable under whitespace/case jitter).
+
+    ``method='xxhash64'`` (default) — 64-bit, the cheap scale path;
+    ``method='md5'`` — hex string, portable across engines (DuckDB/CH md5
+    match Spark's), used by the oracle-checked gate."""
     c = F.col(text) if isinstance(text, str) else text
     normalized = F.concat_ws(" ", tokens(c))
-    return F.xxhash64(normalized)
+    if method == "md5":
+        return F.md5(normalized)
+    if method == "xxhash64":
+        return F.xxhash64(normalized)
+    raise ValueError(f"unknown fingerprint method {method!r}")
 
 
 def content_md5(text: Column | str) -> Column:
@@ -118,4 +126,5 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
               .withColumn("n_tokens_bpe", bpe_ish_token_count(c))
               .withColumn("lang_pred", language_id(c))
               .withColumn("quality", quality_score(c))
-              .withColumn("fingerprint", fingerprint(c)))
+              .withColumn("fingerprint", fingerprint(c))
+              .withColumn("fingerprint_md5", fingerprint(c, method="md5")))

@@ -345,3 +345,82 @@ def test_audio_features_plumbing(spark, docs):
 
     with pytest.raises(Exception):
         audio_features(media, strict=True).collect()
+
+
+def test_codec_roundtrips():
+    """Pure-Python BMP/PPM/WAV codecs: encode->decode identity."""
+    import numpy as np
+
+    from fast_causal_inference_spark.datapipe.multimodal import (
+        decode_bmp,
+        decode_image,
+        decode_ppm,
+        decode_wav,
+        encode_bmp,
+        encode_ppm,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(0)
+    for h, w in [(1, 1), (3, 5), (16, 9)]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+        assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+        assert np.array_equal(decode_image(encode_ppm(img)), img)
+    x = (rng.standard_normal(4000) * 500).astype(np.int16)
+    y, rate = decode_wav(encode_wav(x, 8000))
+    assert rate == 8000 and np.array_equal(x, y)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG....")
+    with pytest.raises(NotImplementedError):
+        decode_wav(b"ID3....")
+
+
+def test_image_audio_kernels_real(spark):
+    """image_stats/image_resize/audio_stats/audio_features run REAL decode
+    paths on synthesized BMP/WAV payloads."""
+    import numpy as np
+
+    from fast_causal_inference_spark.datapipe.multimodal import (
+        audio_features,
+        audio_stats,
+        decode_bmp,
+        image_resize,
+        image_stats,
+        synthesize_audio_column,
+        synthesize_image_column,
+    )
+
+    d = spark.createDataFrame([(i, f"doc number {i}") for i in range(20)],
+                              "doc_id int, text string")
+    img = synthesize_image_column(d, "text")
+    st = image_stats(img).toPandas()
+    assert (st.width.between(1, 16)).all() and (st.height.between(1, 16)).all()
+    # constant-fill images: mean == the hash-derived color, an exact integer
+    assert (st.mean_pixel == st.mean_pixel.round()).all()
+    rz = image_resize(img, width=4, height=3, strict=True).toPandas()
+    shapes = {decode_bmp(bytes(b)).shape for b in rz.resized}
+    assert shapes == {(3, 4, 3)}
+    aud = synthesize_audio_column(d, "text")
+    au = audio_stats(aud).toPandas()
+    assert (au.n_samples >= 100).all() and (au.sample_rate == 16000).all()
+    assert (au.rms == au.rms.round()).all()          # constant signal
+    af = audio_features(aud, n_mfcc=5, strict=True).toPandas()
+    assert all(len(v) == 5 and np.isfinite(v).all()
+               for v in af.audio_features)
+
+
+def test_strict_raises_for_codec_formats(spark):
+    from fast_causal_inference_spark.datapipe.multimodal import (
+        audio_features,
+        image_features,
+    )
+
+    d = spark.createDataFrame([(1, bytearray(b"\x89PNG fake"))],
+                              "doc_id int, payload binary")
+    with pytest.raises(Exception, match="PIL|cv2|NotImplemented"):
+        image_features(d, strict=True).collect()
+    a = spark.createDataFrame([(1, bytearray(b"ID3 fake mp3"))],
+                              "doc_id int, payload binary")
+    with pytest.raises(Exception, match="codec|NotImplemented"):
+        audio_features(a, strict=True).collect()
