@@ -2159,6 +2159,31 @@ FROM j
 """
 
 
+def q_longterm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LongTerm surrogate forecast: per-user per-period (value-sum, count)
+    surrogates pivoted from events; transition model pooled on periods 1-2,
+    rolled to periods 3-4 with Poisson-bootstrap CIs.  Partitioning is
+    pinned (repartition by user + sort) so the seeded replica weights are
+    layout-stable — golden-gated."""
+    from fast_causal_inference_spark.operators.longterm import long_term
+
+    ev = _load(spark, sf_dir, "events")
+    per = F.pmod(F.dayofmonth("ts"), F.lit(4))
+    wide = (ev.groupBy("user_id")
+            .agg(*[F.sum(F.when(per == t, F.col("value")).otherwise(0.0))
+                   .alias(f"y_t{t}") for t in range(4)],
+                 *[F.sum(F.when(per == t, 1.0).otherwise(0.0))
+                   .alias(f"m_t{t}") for t in range(4)])
+            .withColumn("treatment", F.pmod(F.col("user_id"), F.lit(2)))
+            .repartition(8, "user_id").sortWithinPartitions("user_id"))
+    surr = [[f"y_t{t}", f"m_t{t}"] for t in range(4)]
+    pdf = long_term(wide, surr, "treatment", key_metric=0, train_periods=2,
+                    bs_num=50, seed=11)
+    for c in pdf.columns:
+        pdf[c] = pdf[c].astype(float).round(6)
+    return spark.createDataFrame(pdf)
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal family, long format (doc_id, modality, feature, value):
     video frame-sampling (synthetic payloads), REAL BMP decode stats, and
@@ -2287,6 +2312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lift_gain": q_lift_gain,
         "causal_tree": q_causal_tree,
         "causal_forest": q_causal_forest,
+        "longterm": q_longterm,
         "exact_dedup": q_exact_dedup,
         "minhash_lsh_dedup": q_minhash_lsh,
         "simhash_dedup": q_simhash,

@@ -276,6 +276,13 @@ class CausalDataFrame:
 
         return kaplan_meier(self._df, time, event, group)
 
+    def long_term(self, surrogates, treatment: str, **kwargs):
+        """Recursive surrogate forecast with bootstrap CIs (reference
+        LongTerm; dataframe/longterm.py:253-282)."""
+        from fast_causal_inference_spark.operators.longterm import long_term
+
+        return long_term(self._df, surrogates, treatment, **kwargs)
+
     def cox_ph(self, time: str, event: str, covariates, **kwargs):
         from fast_causal_inference_spark.operators.survival import cox_ph
 

@@ -40,6 +40,7 @@ GOLDEN_KEYS = [
     "causal_tree",
     "causal_forest",
     "simhash_dedup",
+    "longterm",
 ]
 
 

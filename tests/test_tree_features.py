@@ -151,3 +151,45 @@ def test_functions_surface(spark, ab_df):
         (2 * F.abs(F.col("x1") - F.col("x2"))).alias("want")).limit(5).collect()
     for r in r2:
         assert r["d1"] == pytest.approx(r["want"], rel=1e-9)
+
+
+def test_long_term_reference_semantics(spark):
+    """long_term vs a hand-rolled numpy simulation of the reference
+    pipeline: observed per-period z-tests exact; bootstrap mean of the
+    recursive roll tracks the deterministic point roll."""
+    import numpy as np
+    import pandas as pd
+
+    from fast_causal_inference_spark.operators.longterm import long_term
+
+    rng = np.random.default_rng(7)
+    n, T, k = 2000, 4, 2
+    treat = rng.integers(0, 2, n)
+    S = np.zeros((n, T, k))
+    S[:, 0, 0] = 1.0 + 0.5 * treat + rng.normal(0, 1, n)
+    S[:, 0, 1] = 0.5 + 0.2 * treat + rng.normal(0, 1, n)
+    A = np.array([[0.6, 0.1], [0.2, 0.5]])
+    for t in range(1, T):
+        S[:, t] = S[:, t - 1] @ A.T + 0.3 + rng.normal(0, 0.5, (n, k))
+    cols = {f"s{t}_{c}": S[:, t, c] for t in range(T) for c in range(k)}
+    cols["treatment"] = treat
+    df = spark.createDataFrame(pd.DataFrame(cols))
+    surr = [[f"s{t}_0", f"s{t}_1"] for t in range(T)]
+    out = long_term(df, surr, "treatment", key_metric=0, train_periods=2,
+                    bs_num=40, seed=3)
+    assert list(out.t) == [1, 2, 3, 4]
+    for t in range(T):
+        est = S[treat == 1, t, 0].mean() - S[treat == 0, t, 0].mean()
+        assert out.estimate[t] == pytest.approx(est, abs=1e-9)
+    # deterministic point roll (numpy) vs bootstrap centre
+    X = np.column_stack([np.ones(n), S[:, 0, 0], S[:, 0, 1]])
+    B = np.linalg.lstsq(X, S[:, 1], rcond=None)[0]
+    v = {a: S[treat == a, 1].mean(axis=0) for a in (0, 1)}
+    point = []
+    for _ in range(2):
+        for a in (0, 1):
+            v[a] = np.concatenate([[1.0], v[a]]) @ B
+        point.append(v[1][0] - v[0][0])
+    assert np.allclose(point, out.mean_pred.to_numpy()[2:], atol=0.2)
+    assert (out.std_pred.to_numpy()[2:] > 0).all()
+    assert np.isnan(out.mean_pred.to_numpy()[:2]).all()
