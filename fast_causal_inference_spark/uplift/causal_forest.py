@@ -99,18 +99,12 @@ class CausalForest:
     ci_group_size: int = 1
     seed: int = 42
     trees_: list[dict[int, _Node]] = field(default_factory=list, repr=False)
-    edges_: dict[str, list[float]] = field(default_factory=dict, repr=False)
+    fine_edges_: dict[str, list[float]] = field(default_factory=dict,
+                                                repr=False)
+    # last-grown level's per-(tree, node, feature) candidate thresholds
+    _level_edges: dict = field(default_factory=dict, repr=False)
 
     # ------------------------------------------------------------------
-    def _bin_col(self, feat: str) -> Column:
-        edges = self.edges_[feat]
-        c = F.expr(feat).cast("double")
-        out = None
-        for i, e in enumerate(edges):
-            out = F.when(c <= e, i) if out is None else out.when(c <= e, i)
-        return (out.otherwise(len(edges)) if out is not None
-                else F.lit(0)).cast("int")
-
     def _node_col(self, t: int) -> Column:
         def descend(nid: int) -> Column:
             node = self.trees_[t][nid]
@@ -145,14 +139,21 @@ class CausalForest:
         rowh = F.xxhash64(*[F.col(c) for c in work.columns], F.lit(self.seed))
         work = work.withColumn("__h", rowh).cache()
 
-        probs = [i / self.n_bins for i in range(1, self.n_bins)]
-        # ONE sketch pass for all features (approxQuantile accepts a list)
+        # ONE fine global quantile grid (8× n_bins, capped at 128): the
+        # per-node candidate re-sketch in _best_split re-bins within each
+        # node's own range on this grid, so deep narrow nodes keep
+        # candidate resolution without a per-node sketch job
+        n_fine = min(128, max(self.n_bins, 2) * 8)
+        probs = [i / n_fine for i in range(1, n_fine)]
         fcols = [f"__feat{i}" for i in range(len(self.features))]
         fwork = work.select(*[F.expr(f).cast("double").alias(c)
                               for f, c in zip(self.features, fcols)])
-        all_edges = fwork.approxQuantile(fcols, probs, 0.001)
+        # candidate thresholds need no sub-0.1% precision (grf SAMPLES its
+        # candidates); 0.005 halves the sketch-job cost on wide inputs
+        all_edges = fwork.approxQuantile(fcols, probs, 0.005)
+        self.fine_edges_ = {}
         for feat, edges in zip(self.features, all_edges):
-            self.edges_[feat] = sorted(set(edges))
+            self.fine_edges_[feat] = sorted(set(edges))
 
         frontier = [[0] for _ in range(self.num_trees)]
         next_ids = [1] * self.num_trees
@@ -220,17 +221,43 @@ class CausalForest:
                 .select(F.col("tn.tree").alias("tree"),
                         F.col("tn.node").alias("node"), "__t", "__y", *keep))
 
+    def _bin_col(self, feat: str) -> Column:
+        """bin = first i with v ≤ edges[i], else len(edges) — built as a
+        BALANCED nested-WHEN tree: log₂(n_fine) comparisons per row instead
+        of a linear n_fine-branch CASE chain (the fine grid is 8× the old
+        one; a linear chain made the level pass ~2× slower)."""
+        edges = self.fine_edges_[feat]
+        if not edges:
+            return F.lit(0).cast("int")
+        c = F.expr(feat).cast("double")
+
+        def build(lo: int, hi: int) -> Column:
+            if lo == hi:
+                return F.lit(lo)
+            mid = (lo + hi) // 2
+            return F.when(c <= edges[mid], build(lo, mid)) \
+                    .otherwise(build(mid + 1, hi))
+
+        return build(0, len(edges)).cast("int")
+
     def _level_stats(self, work: DataFrame, frontier: list[list[int]],
                      split_half: bool) -> pd.DataFrame:
-        """(cnt, Σy) per (tree, node, feature, bin, arm) — the frontier's
-        (tree, node, feature) relation is broadcast-joined so each row is
-        amplified by exactly its node's mtry features, not all p."""
+        """(cnt, Σy) per (tree, node, feature, FINE bin, arm) — one job per
+        level; the frontier's (tree, node, feature) relation is broadcast-
+        joined so each row is amplified by exactly its node's mtry
+        features, not all p.  Binning is on the fine global quantile grid;
+        per-node candidate RE-SELECTION happens in ``_best_split`` (the
+        reference's per-node quantile_size re-sketch, realized as
+        re-binning within the node's range — prefix sums at a fine-bin
+        boundary are exact regardless of which boundaries become
+        candidates)."""
         sess = work.sparkSession
         rel = [(t, nid, feat)
                for t in range(self.num_trees)
                for nid in frontier[t]
                for feat in self.trees_[t][nid].feats]
         if not rel:
+            self._level_edges = {}
             return pd.DataFrame(
                 columns=["tree", "node", "feature", "bin", "__t", "cnt", "s"])
         ff = sess.createDataFrame(rel, "tree int, node int, feature string")
@@ -297,14 +324,15 @@ class CausalForest:
             fs = sub[sub.feature == feat]
             if fs.empty:
                 continue
-            edges = self.edges_[feat]
+            edges = self.fine_edges_[feat]
             nb = len(edges) + 1
             cnt = np.zeros((2, nb))
             ssum = np.zeros((2, nb))
-            for _, r in fs.iterrows():
-                if r["__t"] in (0, 1):
-                    cnt[int(r["__t"]), int(r["bin"])] = r["cnt"]
-                    ssum[int(r["__t"]), int(r["bin"])] = r["s"]
+            ok = fs["__t"].isin((0, 1))
+            arm_i = fs.loc[ok, "__t"].to_numpy(dtype=int)
+            bin_i = fs.loc[ok, "bin"].to_numpy(dtype=int)
+            cnt[arm_i, bin_i] = fs.loc[ok, "cnt"].to_numpy(dtype=float)
+            ssum[arm_i, bin_i] = fs.loc[ok, "s"].to_numpy(dtype=float)
             rho = np.zeros((2, nb))
             for a in (0, 1):
                 za = a - tbar
@@ -312,7 +340,20 @@ class CausalForest:
             ccnt = cnt.cumsum(axis=1)
             crho = rho.cumsum(axis=1)
             rho_tot = float(rho.sum())
-            for b in range(nb - 1):
+            # per-node candidate RE-SKETCH (reference quantile_size): pick
+            # the n_bins-quantile boundaries of THIS node's own rows on
+            # the fine grid — deep narrow nodes get candidates inside
+            # their range instead of a handful of coarse global edges
+            cum = ccnt[0] + ccnt[1]
+            n_node = cum[-1]
+            cand: list[int] = []
+            for j in range(1, self.n_bins):
+                target = j * n_node / self.n_bins
+                b = int(np.searchsorted(cum[:-1], target, side="left"))
+                if b < nb - 1 and (not cand or cand[-1] != b):
+                    cand.append(b)
+            self._level_edges[(t, nid, feat)] = [edges[b] for b in cand]
+            for b in cand:
                 l0, l1 = ccnt[0, b], ccnt[1, b]
                 r0 = ccnt[0, -1] - l0
                 r1 = ccnt[1, -1] - l1
