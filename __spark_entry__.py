@@ -2159,6 +2159,89 @@ FROM j
 """
 
 
+def q_vector_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector function surface (§2.5): dot / cosine / L2 norm / L2 distance
+    between consecutive embeddings — every value recomputed by DuckDB list
+    functions (float32 inputs cast to double on both sides)."""
+    import fast_causal_inference_spark.functions as fn
+
+    emb = _load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 50) \
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    b = emb.select((F.col("vec_id") - 1).alias("vec_id"),
+                   F.col("v").alias("w"))
+    pairs = emb.join(b, "vec_id")
+    out = pairs.select(
+        "vec_id",
+        fn.dotProduct(F.col("v"), F.col("w")).alias("dot"),
+        fn.cosineSimilarity(F.col("v"), F.col("w")).alias("cosine"),
+        fn.L2Norm(F.col("v")).alias("l2_norm"),
+        fn.L2Distance(F.col("v"), F.col("w")).alias("l2_dist"))
+    return _round_all(out, ["vec_id"],
+                      ["dot", "cosine", "l2_norm", "l2_dist"], 6)
+
+
+_VECTOR_FUNCTIONS_SQL = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id < 50
+), p AS (
+  SELECT a.vec_id, a.v, b.v AS w
+  FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+)
+SELECT vec_id,
+       round(list_dot_product(v, w), 6) AS dot,
+       round(CAST(list_cosine_similarity(v, w) AS DOUBLE), 6) AS cosine,
+       round(sqrt(list_dot_product(v, v)), 6) AS l2_norm,
+       round(CAST(list_distance(v, w) AS DOUBLE), 6) AS l2_dist
+FROM p
+"""
+
+
+def q_feature_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-engineering surface (§2.10): one-hot indicators and explicit
+    cut_bins, reduced to (encoder, level, cnt) counts for the oracle."""
+    import fast_causal_inference_spark.functions as fn
+    from fast_causal_inference_spark.functions.features import (
+        cut_bins as features_cut_bins,
+        one_hot_encode,
+    )
+
+    li = _load(spark, sf_dir, "lineitem")
+    oh = one_hot_encode(li.select("l_returnflag"), ["l_returnflag"])
+    ind_cols = [c for c in oh.columns if c.startswith("l_returnflag_")]
+    oh_long = oh.select(F.expr(
+        "stack({n}, {args}) AS (level, flag)".format(
+            n=len(ind_cols),
+            args=", ".join(f"'{c.split('_')[-1]}', `{c}`"
+                           for c in ind_cols)))) \
+        .where(F.col("flag") == 1) \
+        .groupBy("level").agg(F.count(F.lit(1)).alias("cnt")) \
+        .select(F.lit("onehot").alias("encoder"), "level", "cnt")
+    binned = li.select(
+        features_cut_bins("l_quantity", [0.0, 10.0, 25.0, 40.0, 60.0],
+                          labels=["q1", "q2", "q3", "q4"]).alias("level"))
+    cb_long = (binned.where(F.col("level").isNotNull())
+               .groupBy("level").agg(F.count(F.lit(1)).alias("cnt"))
+               .select(F.lit("cut_bins").alias("encoder"), "level", "cnt"))
+    return oh_long.unionByName(cb_long)
+
+
+_FEATURE_ENCODING_SQL = """
+SELECT 'onehot' AS encoder, l_returnflag AS level, count(*) AS cnt
+FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT 'cut_bins',
+       CASE WHEN l_quantity > 0 AND l_quantity <= 10 THEN 'q1'
+            WHEN l_quantity > 10 AND l_quantity <= 25 THEN 'q2'
+            WHEN l_quantity > 25 AND l_quantity <= 40 THEN 'q3'
+            WHEN l_quantity > 40 AND l_quantity <= 60 THEN 'q4' END AS level,
+       count(*) AS cnt
+FROM lineitem
+WHERE l_quantity > 0 AND l_quantity <= 60
+GROUP BY 2
+"""
+
+
 def q_longterm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LongTerm surrogate forecast: per-user per-period (value-sum, count)
     surrogates pivoted from events; transition model pooled on periods 1-2,
@@ -2314,15 +2397,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "causal_forest": q_causal_forest,
         "longterm": q_longterm,
         "exact_dedup": q_exact_dedup,
-        "minhash_lsh_dedup": q_minhash_lsh,
-        "simhash_dedup": q_simhash,
+        # ngram first: it builds the cached shingle+pair relations that
+        # dedup_components and minhash reuse via plan-equality cache hits
         "ngram_jaccard_dedup": q_ngram_jaccard,
         "dedup_components": q_dedup_components,
+        "minhash_lsh_dedup": q_minhash_lsh,
+        "simhash_dedup": q_simhash,
         "knn_bruteforce": q_knn_bruteforce,
         "ivf_knn": q_ivf_knn,
         "embedding_near_dup": q_embedding_near_dup,
         "text_profile": q_text_profile,
         "media_features": q_media_features,
+        "vector_functions": q_vector_functions,
+        "feature_encoding": q_feature_encoding,
     }
 
 
@@ -2387,4 +2474,6 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _EMB_NEAR_DUP_SQL,
         "media_features": _MEDIA_FEATURES_SQL,
         "text_profile": _TEXT_PROFILE_SQL,
+        "vector_functions": _VECTOR_FUNCTIONS_SQL,
+        "feature_encoding": _FEATURE_ENCODING_SQL,
     }

@@ -64,10 +64,10 @@ def kolmogorov_smirnov_test(df: DataFrame, data: str, index: str,
              .where(idx.isin([v0, v1]) & vcol.isNotNull()))
     # size by scan parallelism (see mann_whitney) — a small input skips the
     # 32-way range exchange and its boundary-sampling job entirely
-    in_parts = sub.rdd.getNumPartitions()
-    p = num_partitions or max(1, min(
-        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")),
-        in_parts))
+    n_files = len(sub.inputFiles())
+    shuffle_p = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    p = num_partitions or (min(shuffle_p, n_files) if n_files else shuffle_p)
     if p == 1:
         rp = sub.coalesce(1).cache()
     else:

@@ -102,34 +102,60 @@ def mann_whitney_utest(df: DataFrame, data: str, index: str,
     sub = (df.select((idx == F.lit(v1)).cast("int").alias("g"), vcol.alias("v"))
              .where(idx.isin([v0, v1]) & vcol.isNotNull()))
     # Size the rank pass by the scan parallelism, not the session shuffle
-    # default: a small input (few file splits) doesn't pay a 32-way range
-    # shuffle + its boundary-sampling job, while a 1000-split scan still
-    # fans out.  Single partition → the pandas groupby sorts locally, so the
-    # range exchange (and its sampling pass) is skipped entirely.
-    in_parts = sub.rdd.getNumPartitions()
-    p = num_partitions or max(1, min(
-        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")),
-        in_parts))
+    # default: a small input (few files) doesn't pay a 32-way range
+    # shuffle + its boundary-sampling job, while a 1000-file scan still
+    # fans out.  inputFiles() is a driver-side listing (converting to RDD
+    # to count partitions costs a plan compile); non-file sources fall
+    # back to the shuffle default.  Single partition → the pandas groupby
+    # sorts locally, so the range exchange (and its sampling pass) is
+    # skipped entirely.
+    n_files = len(sub.inputFiles())
+    shuffle_p = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    p = num_partitions or (min(shuffle_p, n_files) if n_files else shuffle_p)
     if p == 1:
-        rp = sub.coalesce(1)
+        # small input: fully relational rank stats — groupBy(v) reduces to
+        # the distinct-value relation (map-side combined), one window
+        # cumsum over it, zero Python workers in the path.  The window's
+        # single partition is bounded by the (already small) input.
+        from pyspark.sql import Window
+
+        d = sub.groupBy("v").agg(F.count(F.lit(1)).cast("double").alias("t"),
+                                 F.sum("g").cast("double").alias("g1"))
+        wspec = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+        d = d.withColumn("before",
+                         F.coalesce(F.sum("t").over(wspec), F.lit(0.0)))
+        row = d.agg(
+            F.sum("t").alias("n"), F.sum("g1").alias("n1"),
+            F.sum(F.col("g1") * (F.col("before")
+                                 + (F.col("t") + 1.0) / 2.0)).alias("r1"),
+            F.sum(F.col("t") * F.col("t") * F.col("t")
+                  - F.col("t")).alias("ties")).collect()[0]
+        n = float(row["n"] or 0.0)
+        n1 = float(row["n1"] or 0.0)
+        n0 = n - n1
+        if n0 == 0 or n1 == 0:
+            raise ValueError("both groups must be non-empty")
+        r1 = float(row["r1"])
+        tie_sum = float(row["ties"])
     else:
         rp = sub.repartitionByRange(p, "v").sortWithinPartitions("v")
-    ensure_udf_serializable()
-    parts = rp.mapInPandas(_partition_rank_stats, _SCHEMA).collect()
-    parts.sort(key=lambda r: r["pid"])
+        ensure_udf_serializable()
+        parts = rp.mapInPandas(_partition_rank_stats, _SCHEMA).collect()
+        parts.sort(key=lambda r: r["pid"])
 
-    n = sum(r["n"] for r in parts)
-    n1 = sum(r["n1"] for r in parts)
-    n0 = n - n1
-    if n0 == 0 or n1 == 0:
-        raise ValueError("both groups must be non-empty")
-    r1 = 0.0
-    offset = 0.0
-    tie_sum = 0.0
-    for r in parts:
-        r1 += r["r1_local"] + offset * r["n1"]
-        offset += r["n"]
-        tie_sum += r["ties"]
+        n = sum(r["n"] for r in parts)
+        n1 = sum(r["n1"] for r in parts)
+        n0 = n - n1
+        if n0 == 0 or n1 == 0:
+            raise ValueError("both groups must be non-empty")
+        r1 = 0.0
+        offset = 0.0
+        tie_sum = 0.0
+        for r in parts:
+            r1 += r["r1_local"] + offset * r["n1"]
+            offset += r["n"]
+            tie_sum += r["ties"]
 
     u1 = r1 - n1 * (n1 + 1.0) / 2.0
     u0 = n0 * n1 - u1
