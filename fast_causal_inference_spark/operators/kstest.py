@@ -69,9 +69,43 @@ def kolmogorov_smirnov_test(df: DataFrame, data: str, index: str,
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     p = num_partitions or (min(shuffle_p, n_files) if n_files else shuffle_p)
     if p == 1:
-        rp = sub.coalesce(1).cache()
-    else:
-        rp = sub.repartitionByRange(p, "v").sortWithinPartitions("v").cache()
+        # small input: fully relational ECDF gap — groupBy(v) reduces to
+        # the distinct-value relation, window cumsums give both ECDFs, no
+        # Python workers and no cache (see mann_whitney)
+        from pyspark.sql import Window
+
+        d = sub.groupBy("v").agg(F.count(F.lit(1)).cast("double").alias("t"),
+                                 F.sum("g").cast("double").alias("g1"))
+        wspec = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        tots = Window.rowsBetween(Window.unboundedPreceding,
+                                  Window.unboundedFollowing)
+        d = (d.withColumn("c1", F.sum("g1").over(wspec))
+              .withColumn("c0", F.sum(F.col("t") - F.col("g1")).over(wspec))
+              .withColumn("tn1", F.sum("g1").over(tots))
+              .withColumn("tn0", F.sum(F.col("t") - F.col("g1")).over(tots)))
+        row = d.agg(
+            F.max(F.abs(F.col("c0") / F.nullif(F.col("tn0"), F.lit(0.0))
+                        - F.col("c1") / F.nullif(F.col("tn1"), F.lit(0.0))))
+            .alias("d"),
+            F.first("tn0").alias("n0"),
+            F.first("tn1").alias("n1")).collect()[0]
+        n0 = float(row["n0"] or 0.0)
+        n1 = float(row["n1"] or 0.0)
+        if n0 == 0 or n1 == 0:
+            raise ValueError("both groups must be non-empty")
+        d_stat = float(row["d"])
+        use_exact = (mode == "exact"
+                     or (mode == "auto" and n0 * n1 <= 4_000_000))
+        if use_exact:
+            p_val = _exact_ks_pvalue(d_stat, int(n0), int(n1))
+        else:
+            en = math.sqrt(n0 * n1 / (n0 + n1))
+            lam = (en + 0.12 + 0.11 / en) * d_stat
+            p_val = float(dist.kolmogorov_sf(lam))
+        return pd.DataFrame([{
+            "d_statistic": d_stat, "p_value": p_val, "n0": n0, "n1": n1,
+        }])
+    rp = sub.repartitionByRange(p, "v").sortWithinPartitions("v").cache()
 
     # pass 1: per-partition per-group counts → prefix offsets
     counts = rp.selectExpr("spark_partition_id() AS pid", "g") \
