@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import hashlib
 import io
+import math
 import struct
 import wave
 from collections.abc import Iterator
@@ -183,9 +184,11 @@ def _fake_image_features(payload: bytes, n_features: int) -> np.ndarray:
 
 def _pool_embedding(img: np.ndarray, n_features: int) -> np.ndarray:
     """Real image embedding: grayscale mean-pool to a fixed grid, scaled to
-    [0, 1] (the classic perceptual-hash feature map)."""
+    [0, 1] (the classic perceptual-hash feature map).  Always returns
+    EXACTLY ``n_features`` values (the ceil-sqrt grid is truncated) so
+    real-decode rows and codec-fallback rows share one vector width."""
     g = np.asarray(img, dtype=np.float64).mean(axis=2)
-    side = max(int(round(n_features ** 0.5)), 1)
+    side = max(int(math.ceil(n_features ** 0.5)), 1)
     h, w = g.shape
     ys = np.arange(side + 1) * h // side
     xs = np.arange(side + 1) * w // side
@@ -197,7 +200,7 @@ def _pool_embedding(img: np.ndarray, n_features: int) -> np.ndarray:
             x0 = min(int(xs[j]), w - 1)
             x1 = max(int(xs[j + 1]), x0 + 1)
             out[i * side + j] = g[y0:y1, x0:x1].mean() / 255.0
-    return out
+    return out[:n_features]
 
 
 def image_features(df: DataFrame, payload_col: str = "payload",

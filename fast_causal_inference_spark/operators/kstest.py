@@ -47,6 +47,17 @@ def _exact_ks_pvalue(d: float, n0: int, n1: int) -> float:
     return float(min(max(1.0 - prev[n1], 0.0), 1.0))
 
 
+def _gate_exact(mode: str, n0: float, n1: float, no_ties: bool) -> bool:
+    """'exact' demands tie-free data (the lattice-path null distribution
+    assumes no ties — same contract as the exact Mann-Whitney); 'auto'
+    falls back to the tie-robust asymptotic when ties exist."""
+    if mode == "exact":
+        if not no_ties:
+            raise ValueError("exact KS requires tie-free data")
+        return True
+    return mode == "auto" and no_ties and n0 * n1 <= 4_000_000
+
+
 def kolmogorov_smirnov_test(df: DataFrame, data: str, index: str,
                             treatment_values: tuple = (0, 1),
                             num_partitions: int | None = None,
@@ -64,10 +75,14 @@ def kolmogorov_smirnov_test(df: DataFrame, data: str, index: str,
              .where(idx.isin([v0, v1]) & vcol.isNotNull()))
     # size by scan parallelism (see mann_whitney) — a small input skips the
     # 32-way range exchange and its boundary-sampling job entirely
-    n_files = len(sub.inputFiles())
+    from fast_causal_inference_spark.operators.mann_whitney import (
+        estimate_scan_splits,
+    )
+
+    est = estimate_scan_splits(sub)
     shuffle_p = int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    p = num_partitions or (min(shuffle_p, n_files) if n_files else shuffle_p)
+    p = num_partitions or (min(shuffle_p, est) if est else shuffle_p)
     if p == 1:
         # small input: fully relational ECDF gap — groupBy(v) reduces to
         # the distinct-value relation, window cumsums give both ECDFs, no
@@ -88,14 +103,15 @@ def kolmogorov_smirnov_test(df: DataFrame, data: str, index: str,
                         - F.col("c1") / F.nullif(F.col("tn1"), F.lit(0.0))))
             .alias("d"),
             F.first("tn0").alias("n0"),
-            F.first("tn1").alias("n1")).collect()[0]
+            F.first("tn1").alias("n1"),
+            F.max("t").alias("tmax")).collect()[0]
         n0 = float(row["n0"] or 0.0)
         n1 = float(row["n1"] or 0.0)
         if n0 == 0 or n1 == 0:
             raise ValueError("both groups must be non-empty")
         d_stat = float(row["d"])
-        use_exact = (mode == "exact"
-                     or (mode == "auto" and n0 * n1 <= 4_000_000))
+        no_ties = float(row["tmax"] or 0.0) <= 1.0
+        use_exact = _gate_exact(mode, n0, n1, no_ties)
         if use_exact:
             p_val = _exact_ks_pvalue(d_stat, int(n0), int(n1))
         else:
@@ -143,10 +159,14 @@ def kolmogorov_smirnov_test(df: DataFrame, data: str, index: str,
 
     ensure_udf_serializable()
     d_stat = max(r["d"] for r in rp.mapInPandas(gap, "d double").collect())
-    rp.unpersist()
 
-    use_exact = (mode == "exact"
-                 or (mode == "auto" and n0 * n1 <= 4_000_000))
+    if mode == "exact" or (mode == "auto" and n0 * n1 <= 4_000_000):
+        nd = rp.agg(F.countDistinct("v").alias("nd")).collect()[0]["nd"]
+        no_ties = float(nd) == n0 + n1
+    else:
+        no_ties = False
+    rp.unpersist()
+    use_exact = _gate_exact(mode, n0, n1, no_ties)
     if use_exact:
         p_val = _exact_ks_pvalue(d_stat, int(n0), int(n1))
     else:
@@ -202,7 +222,8 @@ def kolmogorov_smirnov_test_grouped(df: DataFrame, data: str, index: str,
         cum1 = grp["g1"].cumsum().to_numpy(dtype=float)
         cum0 = grp["t"].cumsum().to_numpy(dtype=float) - cum1
         d = float(np.abs(cum0 / n0 - cum1 / n1).max())
-        if mode == "exact" or (mode == "auto" and n0 * n1 <= 4_000_000):
+        no_ties = float(grp["t"].max()) <= 1.0
+        if _gate_exact(mode, n0, n1, no_ties):
             p = _exact_ks_pvalue(d, int(n0), int(n1))
         else:
             en = math.sqrt(n0 * n1 / (n0 + n1))

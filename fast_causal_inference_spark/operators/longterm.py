@@ -64,13 +64,16 @@ def long_term_effect(df: DataFrame, surrogates: list[str], outcome: str,
     return pd.DataFrame(rows)
 
 
-def _lt_agg_columns(surrogates: list[list[str]], treatment: str,
-                    key_metric: int, train_periods: int, w, arm_w0, arm_w1):
+def _lt_agg_columns(surrogates: list[list[str]], key_metric: int,
+                    train_periods: int, w, arm_w0, arm_w1,
+                    include_observed: bool = True):
     """Conditional-sum aggregate columns for one long_term pass.
 
     g_{a}_{b} / h_{a}_{c}: pooled transition Gramian of [1, S_t] against
     itself / against S_{t+1} over training transitions; n/s per arm at the
-    roll start period; per-period key-metric moments per arm.
+    roll start period; per-period key-metric moments per arm
+    (``include_observed`` — only the full-sample pass needs those, the
+    replica pass never reads them).
     """
     k = len(surrogates[0])
     start = train_periods - 1
@@ -95,19 +98,28 @@ def _lt_agg_columns(surrogates: list[list[str]], treatment: str,
         aggs.append(F.sum(aw).alias(f"n{arm}"))
         for c in range(k):
             aggs.append(F.sum(aw * xcols[start][c + 1]).alias(f"s{arm}_{c}"))
-    for t in range(len(surrogates)):
-        y = F.expr(surrogates[t][key_metric]).cast("double")
-        for arm, aw in ((0, arm_w0), (1, arm_w1)):
-            aggs.append(F.sum(aw * y).alias(f"y{arm}_{t}"))
-            aggs.append(F.sum(aw * y * y).alias(f"yy{arm}_{t}"))
+    if include_observed:
+        for t in range(len(surrogates)):
+            y = F.expr(surrogates[t][key_metric]).cast("double")
+            for arm, aw in ((0, arm_w0), (1, arm_w1)):
+                aggs.append(F.sum(aw * y).alias(f"y{arm}_{t}"))
+                aggs.append(F.sum(aw * y * y).alias(f"yy{arm}_{t}"))
     return aggs
 
 
 def _lt_solve_and_roll(row, k: int, key_metric: int, horizons: int,
-                       prefix: str = "") -> list[float]:
+                       prefix: str = "") -> list[float] | None:
     """Solve the pooled transition model from one aggregated row and roll
     both arms' start means through ``horizons`` steps; returns the per-step
-    key-metric effect (arm1 − arm0)."""
+    key-metric effect (arm1 − arm0), or None for a degenerate replica."""
+    v = {}
+    for arm in (0, 1):
+        n = row[f"{prefix}n{arm}"]
+        n = float(n) if n is not None else 0.0
+        if n <= 0.0:
+            return None          # degenerate replica (one arm weightless)
+        v[arm] = np.array([float(row[f"{prefix}s{arm}_{c}"]) / n
+                           for c in range(k)])
     p = k + 1
     G = np.empty((p, p))
     for a in range(p):
@@ -121,11 +133,6 @@ def _lt_solve_and_roll(row, k: int, key_metric: int, horizons: int,
         B = np.linalg.solve(G, H)
     except np.linalg.LinAlgError:
         B = np.linalg.lstsq(G, H, rcond=None)[0]
-    v = {}
-    for arm in (0, 1):
-        n = float(row[f"{prefix}n{arm}"])
-        v[arm] = np.array([float(row[f"{prefix}s{arm}_{c}"]) / n
-                           for c in range(k)])
     effects = []
     for _ in range(horizons):
         for arm in (0, 1):
@@ -181,14 +188,19 @@ def long_term(df: DataFrame, surrogates: list[list[str]], treatment: str,
     base = df.where(guard & idx.isin([0, 1]))
 
     one = F.lit(1.0)
-    full = base.agg(*_lt_agg_columns(surrogates, treatment, key_metric,
+    full = base.agg(*_lt_agg_columns(surrogates, key_metric,
                                      train_periods, one, arm0, arm1)) \
                .collect()[0]
+    n0 = float(full["n0"] or 0.0)
+    n1 = float(full["n1"] or 0.0)
+    if n0 <= 1 or n1 <= 1:
+        raise ValueError(
+            f"long_term needs >1 non-null row in each treatment arm at the "
+            f"roll start period; got n0={n0:g}, n1={n1:g}")
 
     # observed per-period effects (reference per-period z-test, ±1.96)
     rows = []
     for t in range(T):
-        n0, n1 = float(full["n0"]), float(full["n1"])
         m0 = float(full[f"y0_{t}"]) / n0
         m1 = float(full[f"y1_{t}"]) / n1
         v0 = (float(full[f"yy0_{t}"]) - n0 * m0 * m0) / (n0 - 1.0)
@@ -207,11 +219,18 @@ def long_term(df: DataFrame, surrogates: list[list[str]], treatment: str,
     w = poisson_weight_column(resample_frac, F.rand(seed)).cast("double")
     exploded = base.select("*", rep).withColumn("__w", w)
     reps = exploded.groupBy("replica_id").agg(
-        *_lt_agg_columns(surrogates, treatment, key_metric, train_periods,
+        *_lt_agg_columns(surrogates, key_metric, train_periods,
                          F.col("__w"), F.col("__w") * arm0,
-                         F.col("__w") * arm1)).collect()
-    eff = np.array([_lt_solve_and_roll(r, k, key_metric, horizons)
-                    for r in reps])                      # (B, horizons)
+                         F.col("__w") * arm1,
+                         include_observed=False)).collect()
+    rolled = [_lt_solve_and_roll(r, k, key_metric, horizons) for r in reps]
+    rolled = [e for e in rolled if e is not None]        # degenerate arms
+    if len(rolled) < 2:
+        raise ValueError(
+            f"only {len(rolled)} of {bs_num} bootstrap replicas had weight "
+            "in both arms; increase bs_num/resample_frac or supply more "
+            "rows")
+    eff = np.array(rolled)                               # (B_eff, horizons)
     for j in range(horizons):
         t = train_periods + 1 + j                        # 1-based period
         if t - 1 < len(rows):

@@ -27,6 +27,33 @@ from fast_causal_inference_spark.serialization import ensure_udf_serializable
 
 _SCHEMA = "pid long, n double, n1 double, r1_local double, ties double"
 
+_SPLIT_BYTES = 128 * 1024 * 1024       # spark.sql.files.maxPartitionBytes
+
+
+def estimate_scan_splits(df) -> int:
+    """Estimated scan parallelism from the input file listing, 0 when
+    unknown.  A single FILE is not a single SPLIT — a 5 GB parquet file
+    scans as ~40 row-group splits — so local file sizes are checked
+    against the 128 MB default split size; non-file or remote sources
+    return 0 (callers fall back to the session shuffle parallelism)."""
+    import math as _math
+    import os as _os
+    from urllib.parse import unquote, urlparse
+
+    files = df.inputFiles()
+    if not files:
+        return 0
+    total = 0
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("file", ""):
+            return 0
+        try:
+            total += _os.path.getsize(unquote(u.path))
+        except OSError:
+            return 0
+    return max(len(files), _math.ceil(total / _SPLIT_BYTES))
+
 
 def _partition_rank_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from pyspark import TaskContext
@@ -102,17 +129,16 @@ def mann_whitney_utest(df: DataFrame, data: str, index: str,
     sub = (df.select((idx == F.lit(v1)).cast("int").alias("g"), vcol.alias("v"))
              .where(idx.isin([v0, v1]) & vcol.isNotNull()))
     # Size the rank pass by the scan parallelism, not the session shuffle
-    # default: a small input (few files) doesn't pay a 32-way range
-    # shuffle + its boundary-sampling job, while a 1000-file scan still
-    # fans out.  inputFiles() is a driver-side listing (converting to RDD
-    # to count partitions costs a plan compile); non-file sources fall
-    # back to the shuffle default.  Single partition → the pandas groupby
-    # sorts locally, so the range exchange (and its sampling pass) is
-    # skipped entirely.
-    n_files = len(sub.inputFiles())
+    # default: a small input (few splits) doesn't pay a 32-way range
+    # shuffle + its boundary-sampling job, while a big scan still fans
+    # out.  The probe is a driver-side file listing + size check
+    # (converting to RDD to count partitions costs a plan compile);
+    # unknown sources fall back to the shuffle default.  Single split →
+    # the fully-relational local path below.
+    est = estimate_scan_splits(sub)
     shuffle_p = int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    p = num_partitions or (min(shuffle_p, n_files) if n_files else shuffle_p)
+    p = num_partitions or (min(shuffle_p, est) if est else shuffle_p)
     if p == 1:
         # small input: fully relational rank stats — groupBy(v) reduces to
         # the distinct-value relation (map-side combined), one window

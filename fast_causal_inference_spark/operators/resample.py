@@ -336,8 +336,13 @@ def permutation(df: DataFrame, expr: str, index: str,
     if len(valid) == 0:
         raise ValueError("every permutation replica was degenerate "
                          "(metric denominator summed to zero)")
-    shifted = abs(observed) - abs(mde)
-    p_val = float((np.abs(valid) >= shifted).mean())
+    if not math.isfinite(observed):
+        # undefined observed metric (e.g. zero-denominator arm) must not
+        # read as p=0: |replica| >= NaN is vacuously False for every replica
+        p_val = float("nan")
+    else:
+        shifted = abs(observed) - abs(mde)
+        p_val = float((np.abs(valid) >= shifted).mean())
     return pd.DataFrame([{
         "observed_diff": observed, "p_value": p_val,
         "n_permutations": len(valid),

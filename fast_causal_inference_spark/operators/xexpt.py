@@ -109,10 +109,6 @@ def xexpt_ttest_2samp(df: DataFrame, numerator: str, denominator: str,
         # stage 2: sufficient stats over the (tiny) bucket relation; the
         # denominator observation becomes the arm's traffic share
         den_i = base.index(denominator.strip()) if denominator.strip() in base else 1
-        repl = [F.col(f"b{i}") if i != den_i else
-                F.lit(float(group_buckets[0])).alias("r")  # placeholder
-                for i in range(k)]
-        _ = repl
         # NB: bare "1.0/128" parses as DECIMAL in Spark SQL and rounds to
         # 0.007813 — route through repr() + string cast for an exact double
         r0, r1 = (float(group_buckets[0]) / N_BUCKETS,
@@ -126,9 +122,7 @@ def xexpt_ttest_2samp(df: DataFrame, numerator: str, denominator: str,
             else:
                 exprs.append(f"b{i}")
         aggs = (suffstat_agg_columns(exprs, "g0_", F.col("arm") == 0)
-                + suffstat_agg_columns(exprs, "g1_", F.col("arm") == 1)
-                + [F.sum(F.when(F.col("arm") == 0, F.col(f"b{den_i}"))).alias("den0__"),
-                   F.sum(F.when(F.col("arm") == 1, F.col(f"b{den_i}"))).alias("den1__")])
+                + suffstat_agg_columns(exprs, "g1_", F.col("arm") == 1))
         row = b.agg(*aggs).collect()[0]
         s0 = row_to_stats(row, k, "g0_")
         s1 = row_to_stats(row, k, "g1_")
@@ -294,11 +288,24 @@ def _xexpt_grouped(df: DataFrame, group_cols: list[str], numerator: str,
     rows = []
     for key, cell in per_arm.groupby(group_cols, dropna=False, sort=False):
         key = key if isinstance(key, tuple) else (key,)
-        s0 = _arm_stats(cell, 0)
-        s1 = _arm_stats(cell, 1)
-        rep = _report_from_stats(
-            s0, s1, ynode, xnodes or None, base, numerator, denominator,
-            metric_type, group_buckets, alpha, mde, power, v0, v1)
+        arms_present = set(cell["arm"])
+        if arms_present == {0, 1}:
+            rep = _report_from_stats(
+                _arm_stats(cell, 0), _arm_stats(cell, 1), ynode,
+                xnodes or None, base, numerator, denominator, metric_type,
+                group_buckets, alpha, mde, power, v0, v1)
+        else:
+            # single-arm cell: a fabricated zero-variance zero-mean arm
+            # would report a confidently 'significant' artifact (the
+            # ungrouped path raises here) — emit a NaN row instead
+            nan = float("nan")
+            rep = {"groupname0": v0, "groupname1": v1,
+                   **{c: nan for c in
+                      ("numerator0", "numerator1", "ratio0", "ratio1",
+                       "mean0", "mean1", "std_samp0", "std_samp1", "diff",
+                       "diff_relative", "lower", "upper", "lower_relative",
+                       "upper_relative", "p_value", "t_stat", "power",
+                       "recommend_samples", "mde")}}
         rows.append({**dict(zip(group_cols, key)), **rep})
     return pd.DataFrame(rows)
 

@@ -198,3 +198,76 @@ def test_review_fixes_macros_and_grouped(spark):
                             F.col("embedding").alias("query_vec"))
     out = ivf_knn(emb, q, k=3, n_lists=4, n_probe=4, sample_per_list=20)
     assert out.count() == 6
+
+
+def test_xexpt_grouped_sum_single_arm_cell_is_nan(spark, ab_df):
+    """A drill-down cell with traffic in only one arm must report NaN, not
+    a fabricated zero-mean arm with zero variance (round-3 review)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from fast_causal_inference_spark.operators.xexpt import xexpt_ttest_2samp
+
+    # seg 1 only has control rows
+    df = ab_df.withColumn("seg", (F.col("x3") > 1).cast("int")) \
+              .withColumn("uin", F.monotonically_increasing_id()) \
+              .where((F.col("seg") == 0) | (F.col("treatment") == 0))
+    rep = xexpt_ttest_2samp(df, "numerator", "denominator", "treatment",
+                            "uin", metric_type="sum", group_buckets=(1, 1),
+                            group_cols=["seg"], treatment_values=(0, 1))
+    row = rep[rep.seg == 1].iloc[0]
+    assert np.isnan(row["diff"]) and np.isnan(row["t_stat"])
+    ok = rep[rep.seg == 0].iloc[0]
+    assert np.isfinite(ok["diff"])
+
+
+def test_permutation_nan_observed_gives_nan_p(spark, ab_df):
+    """Observed ratio metric undefined (zero denominator in one observed
+    arm) must yield p_value NaN, not p=0 (round-3 review)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from fast_causal_inference_spark.operators.resample import permutation
+
+    # den == treatment: the observed control arm sums to zero (NaN metric),
+    # while permuted replicas mix rows so their arms have nonzero sums
+    df = ab_df.withColumn("den", F.col("treatment").cast("double") + 0.0)
+    out = permutation(df, "avg(numerator)/avg(den)", "treatment",
+                      permutation_num=10, seed=3)
+    assert np.isnan(out.observed_diff[0])
+    assert np.isnan(out.p_value[0])
+    assert out.n_permutations[0] > 0
+
+
+def test_image_features_exact_length_mixed_formats(spark):
+    """Real-decode and codec-fallback rows must share one vector width."""
+    import numpy as np
+
+    from fast_causal_inference_spark.datapipe.multimodal import (
+        encode_bmp,
+        image_features,
+    )
+
+    bmp = encode_bmp(np.full((4, 6, 3), 9, np.uint8))
+    d = spark.createDataFrame(
+        [(1, bytearray(bmp)), (2, bytearray(b"\x89PNG fake"))],
+        "doc_id int, payload binary")
+    out = image_features(d, n_features=32, strict=False).toPandas()
+    assert all(len(v) == 32 for v in out.features)
+
+
+def test_ks_exact_requires_tie_free(spark):
+    import pandas as pd
+
+    from fast_causal_inference_spark.operators.kstest import (
+        kolmogorov_smirnov_test,
+    )
+
+    tied = spark.createDataFrame(
+        pd.DataFrame({"v": [1.0, 1.0, 2.0, 2.0, 3.0, 3.0] * 5,
+                      "g": [0, 1] * 15}))
+    with pytest.raises(ValueError, match="tie-free"):
+        kolmogorov_smirnov_test(tied, "v", "g", mode="exact")
+    # auto on tied data falls back to asymptotic instead of lattice exact
+    res = kolmogorov_smirnov_test(tied, "v", "g", mode="auto")
+    assert 0.0 <= res.p_value[0] <= 1.0
