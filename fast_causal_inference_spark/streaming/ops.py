@@ -245,3 +245,48 @@ def streaming_sequential_ttest(stream: DataFrame, Y: str, index: str,
     return prepared.groupBy("g").applyInPandasWithState(
         update, out_schema, state_schema, "append",
         GroupStateTimeout.NoTimeout)
+
+
+def sessionize(df: DataFrame, user_col: str, ts_col: str,
+               gap: str = "30 minutes",
+               value_col: str | None = None) -> DataFrame:
+    """Gap-based sessionization — the classic stateful event-pipeline
+    operator, expressed with Spark's NATIVE ``session_window`` so Catalyst
+    owns the state machine (works identically on static frames and on
+    streams; for a stream, call :func:`streaming_sessionize` which adds
+    the watermark so expired session state is dropped).
+
+    Returns one row per (user, session): ``session_start``/``session_end``
+    (event-time bounds + gap per Spark's session-window semantics),
+    ``n_events``, ``duration_sec``, and ``value_sum`` when ``value_col``
+    is given.  Scale: one shuffle on (user, session window) with
+    merge-able partial state — no per-user driver work, no Python.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("first_event"),
+            F.max(ts_col).alias("last_event")]
+    if value_col is not None:
+        aggs.append(F.sum(F.col(value_col).cast("double")).alias("value_sum"))
+    out = (df.groupBy(F.col(user_col),
+                      F.session_window(F.col(ts_col), gap).alias("sw"))
+           .agg(*aggs)
+           .select(F.col(user_col),
+                   F.col("sw.start").alias("session_start"),
+                   F.col("sw.end").alias("session_end"),
+                   "n_events",
+                   (F.unix_timestamp("last_event")
+                    - F.unix_timestamp("first_event"))
+                   .cast("double").alias("duration_sec"),
+                   *([F.col("value_sum")] if value_col is not None else [])))
+    return out
+
+
+def streaming_sessionize(stream: DataFrame, user_col: str, ts_col: str,
+                         gap: str = "30 minutes",
+                         value_col: str | None = None,
+                         watermark: str = "1 hour") -> DataFrame:
+    """Streaming gap sessionization: watermark + native session windows.
+    A session row is emitted once the watermark passes its close (append
+    mode); state per open session is O(1) and dropped on emission."""
+    return sessionize(stream.withWatermark(ts_col, watermark),
+                      user_col, ts_col, gap, value_col)

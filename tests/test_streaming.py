@@ -102,3 +102,66 @@ def test_streaming_sequential_ttest_state(spark, stream_dir):
     lam = np.sqrt(V / (V + 0.25)) * np.exp(
         final.estimate ** 2 * 0.25 / (2 * V * (V + 0.25)))
     assert final.lambda_ == pytest.approx(lam, rel=1e-9)
+
+
+def test_sessionize_batch_matches_pandas(spark, stream_dir):
+    """Native session_window sessionization vs a hand-rolled pandas
+    gap-walk on the same events."""
+    import pandas as pd
+
+    from fast_causal_inference_spark.streaming.ops import sessionize
+
+    ev = spark.read.parquet(stream_dir)
+    got = sessionize(ev, "user_id", "ts", gap="2 hours",
+                     value_col="value").toPandas()
+    pdf = ev.select("user_id", "ts", "value").toPandas() \
+        .sort_values(["user_id", "ts"]).reset_index(drop=True)
+    gap = pd.Timedelta("2 hours")
+    sessions = []
+    for uid, grp in pdf.groupby("user_id"):
+        start = prev = None
+        n = 0
+        vsum = 0.0
+        for r in grp.itertuples():
+            if prev is None or (r.ts - prev) > gap:
+                if prev is not None:
+                    sessions.append((uid, start, prev, n, vsum))
+                start, n, vsum = r.ts, 0, 0.0
+            prev = r.ts
+            n += 1
+            vsum += r.value
+        sessions.append((uid, start, prev, n, vsum))
+    want = pd.DataFrame(sessions, columns=["user_id", "first", "last",
+                                           "n_events", "value_sum"])
+    assert len(got) == len(want)
+    g = got.sort_values(["user_id", "session_start"]).reset_index(drop=True)
+    w = want.sort_values(["user_id", "first"]).reset_index(drop=True)
+    assert (g.user_id.to_numpy() == w.user_id.to_numpy()).all()
+    assert (g.n_events.to_numpy() == w.n_events.to_numpy()).all()
+    assert abs(g.value_sum.to_numpy() - w.value_sum.to_numpy()).max() < 1e-6
+    # session_start equals the first event time
+    assert (g.session_start.to_numpy() == w["first"].to_numpy()).all()
+
+
+def test_streaming_sessionize_matches_batch(spark, stream_dir):
+    from fast_causal_inference_spark.streaming.ops import (
+        run_to_memory,
+        sessionize,
+        streaming_sessionize,
+    )
+
+    s = _read_stream(spark, stream_dir)
+    out = streaming_sessionize(s, "user_id", "ts", gap="2 hours",
+                               value_col="value", watermark="0 seconds")
+    run_to_memory(out, "sess_stream")
+    got = spark.table("sess_stream").toPandas()
+    want = sessionize(spark.read.parquet(stream_dir), "user_id", "ts",
+                      gap="2 hours", value_col="value").toPandas()
+    # append mode emits sessions closed by the final watermark; with
+    # watermark 0s and availableNow, all but the very last open sessions
+    # arrive — compare on the emitted subset
+    assert len(got) > 0
+    merged = got.merge(want, on=["user_id", "session_start"],
+                       suffixes=("_s", "_b"))
+    assert len(merged) == len(got)
+    assert (merged.n_events_s == merged.n_events_b).all()
