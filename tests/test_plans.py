@@ -106,3 +106,68 @@ def test_exact_dedup_window_group_limit(spark, docs):
     plan = _plan(exact_dedup(docs))
     # rank computed with partial WindowGroupLimit before the exchange
     assert "WindowGroupLimit" in plan
+
+
+def test_sessionize_uses_native_session_window(spark):
+    from fast_causal_inference_spark.sources.tables import load_table
+    from fast_causal_inference_spark.streaming.ops import sessionize
+
+    ev = load_table(spark, SF_DIR, "events")
+    out = sessionize(ev.withColumn("u", F.col("user_id")), "u", "ts",
+                     gap="1 hour")
+    plan = _optimized(out)
+    # Catalyst session-window node, not a Python state machine
+    assert "session_window" in plan or "SessionWindow" in plan
+    phys = _plan(out)
+    assert "pythonUDF" not in phys and "ArrowEvalPython" not in phys
+
+
+def test_grouped_xexpt_single_aggregation_plan(spark, events):
+    """The avg drill-down is ONE groupBy over the cells — exactly one
+    shuffle exchange, conditional suff-stats, no per-cell operators."""
+    from fast_causal_inference_spark.formula import parse_formulas
+
+    from fast_causal_inference_spark.operators.suffstats import (
+        suffstat_agg_columns,
+    )
+
+    ev = events.withColumn("treatment", (F.col("user_id") % 2).cast("int"))
+    idx = F.col("treatment")
+    nodes, base = parse_formulas(["avg(value)/avg(1 + event_id % 7)"])
+    aggs = (suffstat_agg_columns(base, "g0_", idx == F.lit(0))
+            + suffstat_agg_columns(base, "g1_", idx == F.lit(1)))
+    agged = ev.groupBy("event_type").agg(*aggs)
+    plan = _plan(agged)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("HashAggregate") >= 2      # partial + final
+
+
+def test_longterm_replica_agg_is_single_exchange(spark, events):
+    """The bootstrap pass is explode + ONE groupBy(replica) with map-side
+    combine — the shuffle carries B stat rows, not data."""
+    from fast_causal_inference_spark.operators.longterm import (
+        _lt_agg_columns,
+    )
+    from fast_causal_inference_spark.operators.resample import (
+        poisson_weight_column,
+    )
+
+    wide = (events.groupBy("user_id")
+            .agg(F.sum("value").alias("y_t0"),
+                 F.count(F.lit(1)).cast("double").alias("m_t0"),
+                 F.avg("value").alias("y_t1"),
+                 F.max("value").alias("m_t1"))
+            .withColumn("treatment", F.pmod(F.col("user_id"), F.lit(2))))
+    surr = [["y_t0", "m_t0"], ["y_t1", "m_t1"]]
+    arm0 = (F.col("treatment") == 0).cast("double")
+    arm1 = (F.col("treatment") == 1).cast("double")
+    rep = F.explode(F.sequence(F.lit(0), F.lit(19))).alias("replica_id")
+    w = poisson_weight_column(1.0, F.rand(1)).cast("double")
+    exploded = wide.select("*", rep).withColumn("__w", w)
+    agged = exploded.groupBy("replica_id").agg(
+        *_lt_agg_columns(surr, 0, 2, F.col("__w"), F.col("__w") * arm0,
+                         F.col("__w") * arm1, include_observed=False))
+    plan = _plan(agged)
+    # one exchange for the pivot + one for the replica agg, both combined
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning(replica_id" in plan
