@@ -892,18 +892,37 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full text-analysis profile — every column value-checked against a
-    DuckDB re-derivation: whitespace + BPE-ish token counts, stopword/CJK
-    language ID (including the argmax tie rule), the 5-signal Gopher-style
-    quality score, and the whitespace-normalized md5 fingerprint (the
-    xxhash64 fingerprint variant stays the scale path in the library)."""
+    """Full text-analysis + data-quality profile — every column value-checked
+    against a DuckDB re-derivation: whitespace + BPE-ish token counts,
+    stopword/CJK language ID (including the argmax tie rule), the 5-signal
+    Gopher-style quality score, the whitespace-normalized md5 fingerprint
+    (the xxhash64 variant stays the scale path in the library), PII
+    email/IPv4 match counts, the Gopher duplicate-line fraction, and the
+    GPT-3-style benchmark-decontamination flag (5-gram overlap vs the
+    ``doc_id % 7 == 0`` slice standing in for an eval benchmark; the oracle
+    re-joins on gram STRINGS where the engine joins 64-bit gram hashes —
+    agreement also certifies the hashed join path)."""
+    from fast_causal_inference_spark.datapipe.quality import (
+        decontaminate,
+        dup_line_frac,
+        pii_count,
+    )
     from fast_causal_inference_spark.datapipe.text import text_profile
 
     d = _load(spark, sf_dir, "documents")
     out = text_profile(d)
+    out = (out
+           .withColumn("pii_email_cnt", pii_count(F.col("text"), "email"))
+           .withColumn("pii_ipv4_cnt", pii_count(F.col("text"), "ipv4"))
+           .withColumn("dup_line_frac",
+                       F.round(dup_line_frac(F.col("text")), 6)))
+    bench = d.where(F.col("doc_id") % 7 == 0)
+    out = decontaminate(out, bench, n=5, mode="flag")
     return out.select("doc_id", "n_tokens", "n_tokens_bpe", "lang_pred",
                       F.round("quality", 6).alias("quality"),
-                      "fingerprint_md5")
+                      "fingerprint_md5", "pii_email_cnt", "pii_ipv4_cnt",
+                      "dup_line_frac",
+                      F.col("contaminated").cast("long").alias("contaminated"))
 
 
 _TEXT_PROFILE_SQL = r"""
@@ -937,8 +956,24 @@ WITH t AS (
   SELECT *, greatest(h_en, h_es, h_de, h_fr) AS mx,
          h_en + h_es + h_de + h_fr AS sw_any
   FROM base
+), lines AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    x -> trim(x)),
+                     x -> length(x) > 0) AS ls
+  FROM t
+), grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - 4, 1) + 1),
+           i -> array_to_string(list_slice(toks, i, i + 4), ' ')))) AS g
+  FROM tok
+), bench_grams AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 7 = 0
+), contam AS (
+  SELECT DISTINCT gr.doc_id FROM grams gr JOIN bench_grams b ON gr.g = b.g
 )
-SELECT doc_id, n_tokens, n_tokens_bpe,
+SELECT lang.doc_id, n_tokens, n_tokens_bpe,
        CASE WHEN cjk * 3 > n_chars THEN 'zh'
             WHEN mx > 0 THEN (CASE WHEN h_fr = mx THEN 'fr'
                                    WHEN h_es = mx THEN 'es'
@@ -955,8 +990,18 @@ SELECT doc_id, n_tokens, n_tokens_bpe,
          + (CASE WHEN (sz - dist_toks) * 1.0 / greatest(sz, 1) < 0.3
                  THEN 0.2 ELSE 0.0 END)
          END, 6) AS quality,
-       md5(array_to_string(toks, ' ')) AS fingerprint_md5
+       md5(array_to_string(toks, ' ')) AS fingerprint_md5,
+       len(regexp_extract_all(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS pii_email_cnt,
+       len(regexp_extract_all(text,
+         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS pii_ipv4_cnt,
+       round(CASE WHEN len(ls) = 0 THEN 0.0
+             ELSE (len(ls) - len(list_distinct(ls))) * 1.0 / len(ls)
+             END, 6) AS dup_line_frac,
+       CAST(contam.doc_id IS NOT NULL AS BIGINT) AS contaminated
 FROM lang
+JOIN lines ON lang.doc_id = lines.doc_id
+LEFT JOIN contam ON lang.doc_id = contam.doc_id
 """
 
 

@@ -1,0 +1,225 @@
+"""Training-data quality operators: benchmark decontamination, PII
+detection/redaction, and repetition/boilerplate profiling.
+
+The reference engine stops at causal analytics; these operators implement the
+published data-pipeline rules a 100 TB pretraining corpus needs on top of the
+dedup family in :mod:`.dedup` — n-gram benchmark-overlap decontamination
+(GPT-3 appendix C / PaLM-style 13-gram rule), regex PII scanning, and the
+Gopher / RefinedWeb repetition signals (duplicate-line and top-n-gram
+character fractions).
+
+Everything row-wise is a pure Column expression (whole-stage codegen, no
+Python in the row path); the two relational operators shuffle only compressed
+relations (distinct benchmark n-gram hashes; per-document top n-grams).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import shingle_hashes
+from .text import tokens
+
+# Patterns are kept in the common subset of Java regex (Spark) and RE2
+# (DuckDB/ClickHouse): no lookaround, no backreferences — so the same
+# pattern string is portable to an oracle or another engine.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "credit_card": r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b",
+    "phone": r"\+?\b\d{1,2}[-. ]\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+# redaction order matters: most-specific first so e.g. a credit-card run is
+# not half-eaten by the phone pattern
+_REDACT_ORDER = ["email", "credit_card", "ssn", "phone", "ipv4"]
+
+
+def pii_count(text: Column | str, kind: str) -> Column:
+    """Number of matches of one PII pattern (see :data:`PII_PATTERNS`)."""
+    c = F.col(text) if isinstance(text, str) else text
+    try:
+        pat = PII_PATTERNS[kind]
+    except KeyError:
+        raise ValueError(
+            f"unknown PII kind {kind!r}; choose from {sorted(PII_PATTERNS)}")
+    return F.regexp_count(c, F.lit(pat))
+
+
+def pii_profile(df: DataFrame, text_col: str = "text",
+                kinds: list[str] | None = None) -> DataFrame:
+    """Attach ``pii_<kind>_cnt`` columns plus ``pii_total`` — a scan-only
+    profile (no shuffle; runs inside whatever aggregation the caller adds)."""
+    kinds = list(kinds or PII_PATTERNS)
+    out = df
+    for k in kinds:
+        out = out.withColumn(f"pii_{k}_cnt", pii_count(F.col(text_col), k))
+    total = None
+    for k in kinds:
+        c = F.col(f"pii_{k}_cnt")
+        total = c if total is None else total + c
+    return out.withColumn("pii_total", total)
+
+
+def pii_redact(text: Column | str, kinds: list[str] | None = None,
+               token: str = "[PII]") -> Column:
+    """Replace every PII match with ``token`` (chained ``regexp_replace``,
+    most-specific pattern first)."""
+    c = F.col(text) if isinstance(text, str) else text
+    chosen = [k for k in _REDACT_ORDER if kinds is None or k in kinds]
+    if kinds is not None:
+        unknown = set(kinds) - set(_REDACT_ORDER)
+        if unknown:
+            raise ValueError(f"unknown PII kinds {sorted(unknown)}")
+    for k in chosen:
+        c = F.regexp_replace(c, PII_PATTERNS[k], token)
+    return c
+
+
+# ---------------------------------------------------------------------------
+# repetition / boilerplate (Gopher §A.1.1 signals)
+# ---------------------------------------------------------------------------
+def doc_lines(text: Column | str) -> Column:
+    """Non-empty trimmed lines of a document."""
+    c = F.col(text) if isinstance(text, str) else text
+    parts = F.transform(F.split(c, r"\n"), lambda l: F.trim(l))
+    return F.filter(parts, lambda l: F.length(l) > 0)
+
+
+def dup_line_frac(text: Column | str) -> Column:
+    """Fraction of lines that are duplicates of an earlier line
+    (0.0 for empty documents)."""
+    ls = doc_lines(text)
+    n = F.size(ls)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        (n - F.size(F.array_distinct(ls))) / n)
+
+
+def dup_line_char_frac(text: Column | str) -> Column:
+    """Fraction of line characters that sit inside duplicated lines.
+
+    Per-row O(distinct_lines × lines) higher-order aggregation — documents
+    have bounded line counts, so this stays a scan-only signal; corpus-wide
+    boilerplate detection (the same line across MANY documents) is the
+    relational :func:`repetition_profile` instead.
+    """
+    ls = doc_lines(text)
+    total = F.aggregate(ls, F.lit(0).cast("long"),
+                        lambda acc, l: acc + F.length(l))
+    dup = F.aggregate(
+        F.array_distinct(ls), F.lit(0).cast("long"),
+        lambda acc, d: acc + F.when(
+            F.size(F.filter(ls, lambda l: l == d)) > 1,
+            F.size(F.filter(ls, lambda l: l == d)) * F.length(d))
+        .otherwise(F.lit(0)))
+    return F.when(total == 0, F.lit(0.0)).otherwise(dup / total)
+
+
+def word_ngrams(text: Column | str, n: int = 2) -> Column:
+    """ALL word n-grams (with multiplicity — frequency analysis needs the
+    duplicates that :func:`.dedup.shingles` deliberately drops)."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+
+
+def repetition_profile(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", ngram_n: int = 2) -> DataFrame:
+    """Per-document top-n-gram repetition stats (Gopher's
+    ``top_ngram_char_frac``): the character fraction covered by the single
+    most frequent word n-gram.
+
+    Relational plan: explode n-grams → one map-side-combined count per
+    (doc, gram) → ``max_by`` per doc (ties break to the lexicographically
+    largest gram, deterministic) → broadcast-safe join back on the id.  The
+    shuffle carries one row per distinct (doc, gram) — compressed, never the
+    corpus text.
+    """
+    grams = (df.select(F.col(id_col),
+                       F.explode(word_ngrams(F.col(text_col), ngram_n))
+                       .alias("gram"))
+             .where(F.length("gram") > 0))
+    top = (grams.groupBy(id_col, "gram")
+           .agg(F.count(F.lit(1)).alias("cnt"))
+           .groupBy(id_col)
+           .agg(F.max(F.struct("cnt", "gram")).alias("m"))
+           .select(id_col, F.col("m.gram").alias("top_ngram"),
+                   F.col("m.cnt").alias("top_ngram_cnt")))
+    base = df.withColumn("__n_chars",
+                         F.length(F.trim(F.lower(F.col(text_col)))))
+    out = (base.join(top, id_col, "left")
+           .withColumn("top_ngram_cnt", F.coalesce("top_ngram_cnt", F.lit(0)))
+           .withColumn(
+               "top_ngram_char_frac",
+               F.when(F.col("__n_chars") == 0, F.lit(0.0)).otherwise(
+                   F.least(F.lit(1.0),
+                           F.col("top_ngram_cnt") * F.length("top_ngram")
+                           / F.col("__n_chars"))))
+           .drop("__n_chars"))
+    return (out.withColumn("dup_line_frac", dup_line_frac(F.col(text_col)))
+            .withColumn("dup_line_char_frac",
+                        dup_line_char_frac(F.col(text_col))))
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (GPT-3 appendix C / PaLM 13-gram rule)
+# ---------------------------------------------------------------------------
+def contamination_overlap(corpus: DataFrame, benchmark: DataFrame,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          n: int = 13,
+                          benchmark_text_col: str | None = None,
+                          broadcast_benchmark: bool = True) -> DataFrame:
+    """Per-corpus-document count of distinct word n-grams shared with ANY
+    benchmark document → ``(id_col, n_overlap_grams)``, only docs with ≥1
+    overlap.
+
+    Both sides shingle with the same 64-bit-hash construction
+    (:func:`.dedup.shingle_hashes`), so the join carries longs, never gram
+    strings.  Documents shorter than ``n`` tokens contribute one short gram
+    (the GPT-3 ``min(13, len)`` rule).  Benchmarks are small (MBs) next to a
+    100 TB corpus — the distinct benchmark-gram relation is broadcast by
+    default, making the whole operator one scan of the corpus with zero
+    corpus-side shuffle; set ``broadcast_benchmark=False`` for a giant
+    blocklist, which falls back to a hash equi-join on the gram hash.
+    """
+    bcol = benchmark_text_col or text_col
+    bench = (benchmark
+             .select(F.explode(shingle_hashes(F.col(bcol), n)).alias("g"))
+             .distinct())
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    grams = corpus.select(
+        F.col(id_col), F.explode(shingle_hashes(F.col(text_col), n))
+        .alias("g"))
+    return (grams.join(bench, "g")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_overlap_grams")))
+
+
+def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 13, threshold: int = 1, mode: str = "drop",
+                  benchmark_text_col: str | None = None,
+                  broadcast_benchmark: bool = True) -> DataFrame:
+    """Remove (or flag) corpus documents sharing ≥ ``threshold`` distinct
+    word n-grams with a benchmark/eval corpus.
+
+    ``mode='drop'`` → corpus minus contaminated docs (left-anti join);
+    ``mode='flag'`` → corpus plus a ``contaminated`` boolean.
+    """
+    overlap = contamination_overlap(
+        corpus, benchmark, text_col=text_col, id_col=id_col, n=n,
+        benchmark_text_col=benchmark_text_col,
+        broadcast_benchmark=broadcast_benchmark)
+    hits = overlap.where(F.col("n_overlap_grams") >= threshold) \
+                  .select(id_col)
+    if mode == "drop":
+        return corpus.join(hits, id_col, "left_anti")
+    if mode == "flag":
+        flagged = hits.withColumn("contaminated", F.lit(True))
+        return (corpus.join(flagged, id_col, "left")
+                .withColumn("contaminated",
+                            F.coalesce("contaminated", F.lit(False))))
+    raise ValueError(f"mode must be 'drop' or 'flag', got {mode!r}")

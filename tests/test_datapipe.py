@@ -424,3 +424,98 @@ def test_strict_raises_for_codec_formats(spark):
                               "doc_id int, payload binary")
     with pytest.raises(Exception, match="codec|NotImplemented"):
         audio_features(a, strict=True).collect()
+
+
+# -- quality: PII / repetition / decontamination ----------------------------
+
+
+def test_pii_profile_and_redact(spark):
+    from fast_causal_inference_spark.datapipe import quality
+
+    rows = [
+        (1, "contact bob@example.com or +1-(555)-123-4567 now"),
+        (2, "ssn 123-45-6789 card 4111-1111-1111-1111 ip 10.0.0.1"),
+        (3, "nothing sensitive here"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r for r in quality.pii_profile(df).collect()}
+    assert got[1]["pii_email_cnt"] == 1
+    assert got[1]["pii_phone_cnt"] == 1
+    assert got[2]["pii_ssn_cnt"] == 1
+    assert got[2]["pii_credit_card_cnt"] == 1
+    assert got[2]["pii_ipv4_cnt"] == 1
+    assert got[3]["pii_total"] == 0
+    assert got[4]["pii_total"] == 0
+
+    red = {r["doc_id"]: r["red"] for r in df.select(
+        "doc_id", quality.pii_redact("text").alias("red")).collect()}
+    assert red[1] == "contact [PII] or [PII] now"
+    assert red[2] == "ssn [PII] card [PII] ip [PII]"
+    assert red[3] == "nothing sensitive here"
+
+    with pytest.raises(ValueError):
+        quality.pii_count("text", "dna")
+
+
+def test_dup_line_stats(spark):
+    from fast_causal_inference_spark.datapipe import quality
+
+    rows = [
+        (1, "a b\nc d\na b\n\n  \ne f"),   # 4 lines, 'a b' twice
+        (2, "x\ny\nz"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        quality.dup_line_frac("text").alias("f"),
+        quality.dup_line_char_frac("text").alias("cf")).collect()}
+    # doc 1: lines [a b, c d, a b, e f] -> 1 dup of 4; dup chars 6 of 12
+    assert got[1]["f"] == pytest.approx(0.25)
+    assert got[1]["cf"] == pytest.approx(6 / 12)
+    assert got[2]["f"] == 0.0 and got[2]["cf"] == 0.0
+    assert got[3]["f"] == 0.0 and got[3]["cf"] == 0.0
+
+
+def test_repetition_profile(spark):
+    from fast_causal_inference_spark.datapipe import quality
+
+    rows = [
+        (1, "spam ham spam ham spam ham eggs"),
+        (2, "all tokens unique here today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r for r in
+           quality.repetition_profile(df, ngram_n=2).collect()}
+    # doc 1 2-grams: spam ham x3, ham spam x2, ham eggs x1
+    assert got[1]["top_ngram"] == "spam ham"
+    assert got[1]["top_ngram_cnt"] == 3
+    assert got[1]["top_ngram_char_frac"] == pytest.approx(
+        3 * len("spam ham") / len("spam ham spam ham spam ham eggs"))
+    assert got[2]["top_ngram_cnt"] == 1
+
+
+def test_decontaminate(spark, docs):
+    from fast_causal_inference_spark.datapipe import quality
+
+    # benchmark = a deterministic slice of the corpus itself -> those docs
+    # (and their near-verbatim overlaps) must be flagged
+    bench = docs.where(F.col("doc_id") % 7 == 0)
+    n_bench = bench.count()
+    assert n_bench > 0
+    flagged = quality.decontaminate(docs, bench, n=5, mode="flag")
+    fl = {r["doc_id"]: r["contaminated"] for r in flagged.collect()}
+    # every benchmark doc with >=5 tokens shares its own grams
+    bench_ids = [r["doc_id"] for r in bench.collect()]
+    assert all(fl[i] for i in bench_ids)
+
+    dropped = quality.decontaminate(docs, bench, n=5, mode="drop")
+    kept = set(r["doc_id"] for r in dropped.select("doc_id").collect())
+    assert kept == {i for i, c in fl.items() if not c}
+
+    ov = quality.contamination_overlap(docs, bench, n=5)
+    assert ov.where(F.col("n_overlap_grams") <= 0).count() == 0
+
+    with pytest.raises(ValueError):
+        quality.decontaminate(docs, bench, mode="bogus")
