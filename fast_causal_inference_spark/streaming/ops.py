@@ -290,3 +290,59 @@ def streaming_sessionize(stream: DataFrame, user_col: str, ts_col: str,
     mode); state per open session is O(1) and dropped on emission."""
     return sessionize(stream.withWatermark(ts_col, watermark),
                       user_col, ts_col, gap, value_col)
+
+
+def ingest_documents(df: DataFrame, text_col: str = "text",
+                     ts_col: str | None = None,
+                     min_quality: float = 0.4,
+                     langs: list[str] | None = None,
+                     redact_pii: bool = True,
+                     dedup: str | None = "exact",
+                     watermark: str = "1 hour") -> DataFrame:
+    """Training-data ingestion pipeline — the document-side counterpart of
+    the experiment readouts above, one declarative chain that runs
+    identically on a static frame and on a stream:
+
+    quality/language annotate+filter → PII redaction → exact dedup on the
+    whitespace-normalized content fingerprint.
+
+    On a stream (``df.isStreaming`` and ``ts_col`` given) the dedup step is
+    ``dropDuplicatesWithinWatermark`` on the fingerprint: state holds one
+    compact key per distinct document inside the watermark horizon and is
+    dropped as event time advances — bounded memory at any corpus rate,
+    where a plain ``dropDuplicates`` on an unbounded stream would grow state
+    forever.  On a static frame the same chain is a hash aggregation.
+
+    Every annotation is a pure Column expression (codegen; the only Python
+    is nothing — redaction is ``regexp_replace``), so the filter runs at
+    scan speed before the one dedup shuffle.  Returns the surviving rows
+    with ``quality``, ``lang_pred`` and ``fingerprint`` attached.
+    """
+    from fast_causal_inference_spark.datapipe.quality import pii_redact
+    from fast_causal_inference_spark.datapipe.text import (
+        fingerprint,
+        language_id,
+        quality_score,
+    )
+
+    c = F.col(text_col)
+    out = (df.withColumn("quality", quality_score(c))
+             .withColumn("lang_pred", language_id(c))
+             .where(F.col("quality") >= min_quality))
+    if langs is not None:
+        out = out.where(F.col("lang_pred").isin(list(langs)))
+    # fingerprint BEFORE redaction: identity of the original content
+    out = out.withColumn("fingerprint", fingerprint(c))
+    if redact_pii:
+        out = out.withColumn(text_col, pii_redact(c))
+    if dedup is None:
+        return out
+    if dedup != "exact":
+        raise ValueError(
+            f"dedup must be 'exact' or None for ingestion, got {dedup!r}; "
+            f"run the batch MinHash/SimHash family on the landed corpus for "
+            f"near-dup passes")
+    if out.isStreaming and ts_col is not None:
+        return (out.withWatermark(ts_col, watermark)
+                .dropDuplicatesWithinWatermark(["fingerprint"]))
+    return out.dropDuplicates(["fingerprint"])

@@ -165,3 +165,66 @@ def test_streaming_sessionize_matches_batch(spark, stream_dir):
                        suffixes=("_s", "_b"))
     assert len(merged) == len(got)
     assert (merged.n_events_s == merged.n_events_b).all()
+
+
+@pytest.fixture(scope="module")
+def docs_stream_dir(spark):
+    """documents + synthetic event-time and injected dups/PII, as parquet."""
+    import tempfile as _tf
+
+    from fast_causal_inference_spark.sources.tables import load_table
+
+    d = _tf.mkdtemp(prefix="fcis_docstream_")
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .withColumn("ts", F.timestamp_seconds(1700000000 + F.col("doc_id"))) \
+        .select("doc_id", "text", "ts")
+    # inject: an exact duplicate (different id, later ts) and a PII doc
+    extra = docs.limit(1).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text",
+        F.timestamp_seconds(F.lit(1700009999)).alias("ts"))
+    pii = spark.createDataFrame(
+        [(999999, "the quick brown fox mails bob@example.com about the "
+          "server at 10.1.2.3 and that is it for today folks",)],
+        "doc_id long, text string") \
+        .withColumn("ts", F.timestamp_seconds(F.lit(1700005000)))
+    docs.unionByName(extra).unionByName(pii) \
+        .write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_ingest_documents_stream_matches_batch(spark, docs_stream_dir):
+    from fast_causal_inference_spark.streaming.ops import ingest_documents
+
+    batch_df = spark.read.parquet(docs_stream_dir)
+    batch = ingest_documents(batch_df, ts_col="ts", min_quality=0.2)
+    bfp = sorted(r["fingerprint"] for r in batch.select("fingerprint").collect())
+    # exact dup collapsed
+    assert len(bfp) == len(set(bfp))
+    # PII redacted but doc retained (quality signals survive redaction)
+    red = batch.where(F.col("doc_id") == 999999).collect()
+    assert len(red) == 1
+    assert "bob@example.com" not in red[0]["text"]
+    assert "[PII]" in red[0]["text"]
+    assert "10.1.2.3" not in red[0]["text"]
+
+    s = _read_stream(spark, docs_stream_dir)
+    out = ingest_documents(s, ts_col="ts", min_quality=0.2)
+    run_to_memory(out, "ingest_docs", output_mode="append")
+    got = spark.table("ingest_docs")
+    sfp = sorted(r["fingerprint"] for r in got.select("fingerprint").collect())
+    assert len(sfp) == len(set(sfp))
+    assert sfp == bfp
+
+
+def test_ingest_documents_filters(spark):
+    from fast_causal_inference_spark.streaming.ops import ingest_documents
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat and that is all there is to it today"),
+         (2, "zzz")],
+        "doc_id int, text string")
+    out = ingest_documents(df, min_quality=0.5, langs=["en"])
+    ids = [r["doc_id"] for r in out.collect()]
+    assert ids == [1]
+    with pytest.raises(ValueError):
+        ingest_documents(df, dedup="minhash")
