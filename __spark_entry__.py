@@ -994,7 +994,7 @@ SELECT lang.doc_id, n_tokens, n_tokens_bpe,
        len(regexp_extract_all(text,
          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS pii_email_cnt,
        len(regexp_extract_all(text,
-         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS pii_ipv4_cnt,
+         '\b(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\b')) AS pii_ipv4_cnt,
        round(CASE WHEN len(ls) = 0 THEN 0.0
              ELSE (len(ls) - len(list_distinct(ls))) * 1.0 / len(ls)
              END, 6) AS dup_line_frac,

@@ -21,7 +21,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from fast_causal_inference_spark.datapipe.text import content_md5, tokens
+from fast_causal_inference_spark.datapipe.text import (
+    content_md5,
+    tokens,
+    word_ngrams,
+)
 
 # ---------------------------------------------------------------------------
 # exact
@@ -54,10 +58,7 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text",
 
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Word n-gram shingle array (distinct) of normalized text."""
-    toks = tokens(text)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    return F.array_distinct(F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))))
+    return F.array_distinct(word_ngrams(text, n))
 
 
 def shingle_hashes(text: Column | str, n: int = 3) -> Column:
@@ -72,10 +73,8 @@ def shingle_hashes(text: Column | str, n: int = 3) -> Column:
     (``xxhash64(get(toks,i),…)``), because per-element array access inside
     an interpreted HOF lambda dominates the string bytes hashed.
     """
-    toks = tokens(text)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    return F.array_distinct(F.transform(
-        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n)))))
+    return F.array_distinct(
+        F.transform(word_ngrams(text, n), lambda g: F.xxhash64(g)))
 
 
 def _minhash_from_hashes(gh: Column, num_hashes: int) -> Column:

@@ -19,17 +19,33 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import shingle_hashes
-from .text import tokens
+from .text import word_ngrams
+
+__all__ = [
+    "PII_PATTERNS", "pii_count", "pii_profile", "pii_redact",
+    "doc_lines", "dup_line_frac", "dup_line_char_frac", "word_ngrams",
+    "repetition_profile", "contamination_overlap", "decontaminate",
+]
 
 # Patterns are kept in the common subset of Java regex (Spark) and RE2
 # (DuckDB/ClickHouse): no lookaround, no backreferences — so the same
 # pattern string is portable to an oracle or another engine.
+#
+# Scope decisions (false-positive budget): phone requires separators or
+# parentheses — a bare 10-digit run is far more often an id/timestamp than
+# a phone number; credit_card accepts separated 4×4, unseparated 16-digit,
+# and 15-digit Amex PANs; ipv4 range-checks each octet (0–255) but, like
+# any context-free IPv4 regex, still matches version-like dotted quads.
+_IPV4_OCTET = r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
 PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
-    "credit_card": r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b",
-    "phone": r"\+?\b\d{1,2}[-. ]\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b",
-    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "credit_card": (r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b"
+                    r"|\b3[47]\d{13}\b|\b\d{16}\b"),
+    "phone": (r"\+?\b\d{1,2}[-. ]\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b"
+              r"|\(\d{3}\)[-. ]?\d{3}[-. ]\d{4}\b"
+              r"|\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"),
+    "ipv4": rf"\b{_IPV4_OCTET}\.{_IPV4_OCTET}\.{_IPV4_OCTET}\.{_IPV4_OCTET}\b",
 }
 
 # redaction order matters: most-specific first so e.g. a credit-card run is
@@ -52,14 +68,13 @@ def pii_profile(df: DataFrame, text_col: str = "text",
                 kinds: list[str] | None = None) -> DataFrame:
     """Attach ``pii_<kind>_cnt`` columns plus ``pii_total`` — a scan-only
     profile (no shuffle; runs inside whatever aggregation the caller adds)."""
-    kinds = list(kinds or PII_PATTERNS)
+    kinds = list(kinds) if kinds is not None else list(PII_PATTERNS)
     out = df
     for k in kinds:
         out = out.withColumn(f"pii_{k}_cnt", pii_count(F.col(text_col), k))
-    total = None
+    total: Column = F.lit(0)
     for k in kinds:
-        c = F.col(f"pii_{k}_cnt")
-        total = c if total is None else total + c
+        total = total + F.col(f"pii_{k}_cnt")
     return out.withColumn("pii_total", total)
 
 
@@ -108,21 +123,15 @@ def dup_line_char_frac(text: Column | str) -> Column:
     ls = doc_lines(text)
     total = F.aggregate(ls, F.lit(0).cast("long"),
                         lambda acc, l: acc + F.length(l))
+    # every occurrence of a duplicated line contributes its chars once —
+    # one occurrence-count filter per element (HOF lambdas are interpreted,
+    # no CSE, so the count must not be written twice)
     dup = F.aggregate(
-        F.array_distinct(ls), F.lit(0).cast("long"),
-        lambda acc, d: acc + F.when(
-            F.size(F.filter(ls, lambda l: l == d)) > 1,
-            F.size(F.filter(ls, lambda l: l == d)) * F.length(d))
+        ls, F.lit(0).cast("long"),
+        lambda acc, l: acc + F.when(
+            F.size(F.filter(ls, lambda x: x == l)) > 1, F.length(l))
         .otherwise(F.lit(0)))
     return F.when(total == 0, F.lit(0.0)).otherwise(dup / total)
-
-
-def word_ngrams(text: Column | str, n: int = 2) -> Column:
-    """ALL word n-grams (with multiplicity — frequency analysis needs the
-    duplicates that :func:`.dedup.shingles` deliberately drops)."""
-    toks = tokens(text)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
 
 
 def repetition_profile(df: DataFrame, text_col: str = "text",

@@ -26,6 +26,18 @@ def tokens(text: Column | str) -> Column:
     return F.split(F.trim(F.lower(c)), r"\s+")
 
 
+def word_ngrams(text: Column | str, n: int = 2) -> Column:
+    """ALL word n-grams of normalized text, with multiplicity — the single
+    n-gram window construction shared by dedup shingling (which wraps it in
+    ``array_distinct``) and repetition/decontamination analysis (which needs
+    the duplicate windows).  Documents shorter than ``n`` tokens yield one
+    short gram (the GPT-3 ``min(n, len)`` rule)."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.transform(idx,
+                       lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+
+
 def token_count(text: Column | str) -> Column:
     """Whitespace token count (0 for empty/blank text)."""
     c = F.col(text) if isinstance(text, str) else text

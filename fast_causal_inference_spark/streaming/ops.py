@@ -317,6 +317,11 @@ def ingest_documents(df: DataFrame, text_col: str = "text",
     is nothing — redaction is ``regexp_replace``), so the filter runs at
     scan speed before the one dedup shuffle.  Returns the surviving rows
     with ``quality``, ``lang_pred`` and ``fingerprint`` attached.
+
+    The dedup key is the 128-bit md5 content fingerprint, not the 64-bit
+    xxhash64 variant: dropping a row on key collision is silent data loss,
+    and at 10¹⁰⁺ documents 64-bit birthday collisions are expected while
+    128-bit ones are not (same reasoning as batch ``exact_dedup``).
     """
     from fast_causal_inference_spark.datapipe.quality import pii_redact
     from fast_causal_inference_spark.datapipe.text import (
@@ -332,7 +337,7 @@ def ingest_documents(df: DataFrame, text_col: str = "text",
     if langs is not None:
         out = out.where(F.col("lang_pred").isin(list(langs)))
     # fingerprint BEFORE redaction: identity of the original content
-    out = out.withColumn("fingerprint", fingerprint(c))
+    out = out.withColumn("fingerprint", fingerprint(c, method="md5"))
     if redact_pii:
         out = out.withColumn(text_col, pii_redact(c))
     if dedup is None:
@@ -342,7 +347,13 @@ def ingest_documents(df: DataFrame, text_col: str = "text",
             f"dedup must be 'exact' or None for ingestion, got {dedup!r}; "
             f"run the batch MinHash/SimHash family on the landed corpus for "
             f"near-dup passes")
-    if out.isStreaming and ts_col is not None:
+    if out.isStreaming:
+        if ts_col is None:
+            raise ValueError(
+                "streaming ingestion with dedup needs ts_col: without a "
+                "watermark, dropDuplicates state grows one key per distinct "
+                "document forever; pass ts_col (event-time column) or "
+                "dedup=None")
         return (out.withWatermark(ts_col, watermark)
                 .dropDuplicatesWithinWatermark(["fingerprint"]))
     return out.dropDuplicates(["fingerprint"])

@@ -437,6 +437,9 @@ def test_pii_profile_and_redact(spark):
         (2, "ssn 123-45-6789 card 4111-1111-1111-1111 ip 10.0.0.1"),
         (3, "nothing sensitive here"),
         (4, ""),
+        (5, "call (555) 123-4567 or 555-123-4567 or 555.123.4567"),
+        (6, "pan 4111111111111111 amex 378282246310005"),
+        (7, "version 999.999.999.999 date 2026-08-13 id 123-456"),
     ]
     df = spark.createDataFrame(rows, "doc_id int, text string")
     got = {r["doc_id"]: r for r in quality.pii_profile(df).collect()}
@@ -447,12 +450,21 @@ def test_pii_profile_and_redact(spark):
     assert got[2]["pii_ipv4_cnt"] == 1
     assert got[3]["pii_total"] == 0
     assert got[4]["pii_total"] == 0
+    assert got[5]["pii_phone_cnt"] == 3          # common US formats
+    assert got[6]["pii_credit_card_cnt"] == 2    # bare 16-digit + Amex 15
+    assert got[7]["pii_total"] == 0              # out-of-range octets, dates
 
     red = {r["doc_id"]: r["red"] for r in df.select(
         "doc_id", quality.pii_redact("text").alias("red")).collect()}
     assert red[1] == "contact [PII] or [PII] now"
     assert red[2] == "ssn [PII] card [PII] ip [PII]"
     assert red[3] == "nothing sensitive here"
+    assert red[5] == "call [PII] or [PII] or [PII]"
+    assert red[6] == "pan [PII] amex [PII]"
+
+    # kinds=[] means NO kinds, not all kinds
+    none_scanned = quality.pii_profile(df, kinds=[]).collect()
+    assert all(r["pii_total"] == 0 for r in none_scanned)
 
     with pytest.raises(ValueError):
         quality.pii_count("text", "dna")

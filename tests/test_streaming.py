@@ -228,3 +228,14 @@ def test_ingest_documents_filters(spark):
     assert ids == [1]
     with pytest.raises(ValueError):
         ingest_documents(df, dedup="minhash")
+
+
+def test_ingest_stream_requires_ts_for_dedup(spark, docs_stream_dir):
+    from fast_causal_inference_spark.streaming.ops import ingest_documents
+
+    s = _read_stream(spark, docs_stream_dir)
+    with pytest.raises(ValueError, match="ts_col"):
+        ingest_documents(s)               # unbounded dedup state refused
+    # but explicit dedup=None on a stream is fine (stateless chain)
+    out = ingest_documents(s, dedup=None)
+    assert out.isStreaming
