@@ -227,11 +227,16 @@ def image_features(df: DataFrame, payload_col: str = "payload",
                     feats.append(
                         _pool_embedding(decode_image(payload),
                                         n_features).tolist())
-                except (NotImplementedError, ValueError, struct.error):
+                except (NotImplementedError, ValueError, struct.error) as e:
                     if strict:
-                        raise NotImplementedError(
-                            "non-BMP/PPM image decode requires PIL/cv2 — "
-                            "not present in this container")
+                        # only UNSUPPORTED-codec errors get the PIL/cv2
+                        # message; corrupt BMP/PPM payloads re-raise as-is
+                        # (same contract as image_stats)
+                        if isinstance(e, NotImplementedError):
+                            raise NotImplementedError(
+                                "non-BMP/PPM image decode requires PIL/cv2 "
+                                "— not present in this container") from e
+                        raise
                     feats.append(_fake_image_features(
                         payload, n_features).tolist())
             pdf = pdf.copy()
@@ -297,10 +302,13 @@ def image_resize(df: DataFrame, payload_col: str = "payload",
                     yi = (np.arange(height) * h // height).clip(0, h - 1)
                     xi = (np.arange(width) * w // width).clip(0, w - 1)
                     out.append(encode_bmp(img[yi][:, xi]))
-                except (NotImplementedError, ValueError, struct.error):
+                except (NotImplementedError, ValueError, struct.error) as e:
                     if strict:
-                        raise NotImplementedError(
-                            "non-BMP/PPM image resize requires PIL/cv2")
+                        if isinstance(e, NotImplementedError):
+                            raise NotImplementedError(
+                                "non-BMP/PPM image resize requires "
+                                "PIL/cv2") from e
+                        raise
                     out.append(hashlib.sha256(
                         payload + f"{width}x{height}".encode()).digest())
             pdf = pdf.copy()
@@ -506,11 +514,15 @@ def audio_features(df: DataFrame, payload_col: str = "payload",
                 try:
                     x, rate = decode_wav(payload)
                     feats.append(_mfcc(x, rate, n_mfcc).tolist())
-                except (NotImplementedError, ValueError, wave.Error, EOFError):
+                except (NotImplementedError, ValueError, wave.Error,
+                        EOFError) as e:
                     if strict:
-                        raise NotImplementedError(
-                            "non-WAV audio decode requires codec libraries "
-                            "not present in this container")
+                        if isinstance(e, NotImplementedError):
+                            raise NotImplementedError(
+                                "non-WAV audio decode requires codec "
+                                "libraries not present in this "
+                                "container") from e
+                        raise
                     seed = int.from_bytes(
                         hashlib.sha256(payload).digest()[:8], "big")
                     rng = np.random.default_rng(seed)

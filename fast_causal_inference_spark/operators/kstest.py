@@ -48,12 +48,19 @@ def _exact_ks_pvalue(d: float, n0: int, n1: int) -> float:
 
 
 def _gate_exact(mode: str, n0: float, n1: float, no_ties: bool) -> bool:
-    """'exact' demands tie-free data (the lattice-path null distribution
-    assumes no ties — same contract as the exact Mann-Whitney); 'auto'
-    falls back to the tie-robust asymptotic when ties exist."""
+    """The lattice-path null distribution assumes no ties, so tied data
+    demotes 'exact' to the tie-robust asymptotic with a ``RuntimeWarning``
+    (scipy-style graceful degradation rather than an error); 'auto' falls
+    back silently."""
     if mode == "exact":
         if not no_ties:
-            raise ValueError("exact KS requires tie-free data")
+            import warnings
+
+            warnings.warn(
+                "exact KS p-value assumes tie-free data; ties detected — "
+                "falling back to the asymptotic distribution",
+                RuntimeWarning, stacklevel=3)
+            return False
         return True
     return mode == "auto" and no_ties and n0 * n1 <= 4_000_000
 
@@ -66,7 +73,9 @@ def kolmogorov_smirnov_test(df: DataFrame, data: str, index: str,
 
     ``mode``: 'asymp' (Kolmogorov limit with Stephens' adjustment), 'exact'
     (lattice-path null distribution — reference SR exposes the same modes),
-    or 'auto' (exact when n0·n1 ≤ 4e6).
+    or 'auto' (exact when n0·n1 ≤ 4e6).  The exact null distribution
+    assumes tie-free data; with ties, 'exact' degrades to the asymptotic
+    p-value with a ``RuntimeWarning`` and 'auto' degrades silently.
     """
     idx = F.col(index) if index.isidentifier() else F.expr(index)
     v0, v1 = treatment_values

@@ -28,6 +28,7 @@ from fast_causal_inference_spark.serialization import ensure_udf_serializable
 _SCHEMA = "pid long, n double, n1 double, r1_local double, ties double"
 
 _SPLIT_BYTES = 128 * 1024 * 1024       # spark.sql.files.maxPartitionBytes
+_SPLIT_ROWS = 1_000_000                # rows a "one split ⇒ p=1" path may hold
 
 
 def estimate_scan_splits(df) -> int:
@@ -35,7 +36,15 @@ def estimate_scan_splits(df) -> int:
     unknown.  A single FILE is not a single SPLIT — a 5 GB parquet file
     scans as ~40 row-group splits — so local file sizes are checked
     against the 128 MB default split size; non-file or remote sources
-    return 0 (callers fall back to the session shuffle parallelism)."""
+    return 0 (callers fall back to the session shuffle parallelism).
+
+    Bytes alone are not a safe "small input" signal: one ≤128 MB
+    *compressed* parquet split can hold millions of rows of a numeric
+    column, and callers use ``est == 1`` to take a single-partition
+    window path.  For parquet sources the exact pre-filter row count is
+    free in the file footers, so the estimate is also floored at
+    ``ceil(rows / 1e6)`` — a million-row single file reports >1 split
+    and callers keep the partitioned rank pass."""
     import math as _math
     import os as _os
     from urllib.parse import unquote, urlparse
@@ -44,15 +53,28 @@ def estimate_scan_splits(df) -> int:
     if not files:
         return 0
     total = 0
+    rows = 0
     for f in files:
         u = urlparse(f)
         if u.scheme not in ("file", ""):
             return 0
+        path = unquote(u.path)
         try:
-            total += _os.path.getsize(unquote(u.path))
+            total += _os.path.getsize(path)
         except OSError:
             return 0
-    return max(len(files), _math.ceil(total / _SPLIT_BYTES))
+        if rows is not None and path.endswith(".parquet"):
+            try:
+                import pyarrow.parquet as _pq
+                rows += _pq.ParquetFile(path).metadata.num_rows
+            except Exception:
+                rows = None                   # unknown → bytes-only estimate
+        else:
+            rows = None
+    est = max(len(files), _math.ceil(total / _SPLIT_BYTES))
+    if rows:
+        est = max(est, _math.ceil(rows / _SPLIT_ROWS))
+    return est
 
 
 def _partition_rank_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -43,7 +43,8 @@ def xexpt_ttest_2samp(df: DataFrame, numerator: str, denominator: str,
                       group_buckets: tuple = (1, 1), alpha: float = 0.05,
                       mde: float = 0.005, power: float = 0.8,
                       X: str = "", treatment_values: tuple | None = None,
-                      group_cols: list[str] | None = None):
+                      group_cols: list[str] | None = None,
+                      max_cells: int = 10_000):
     """Returns a pandas DataFrame with the full experiment report —
     one row per report cell (``group_cols``, reference
     ``df.groupBy('ds').xexpt_ttest_2samp(...)``) or a single row."""
@@ -73,7 +74,7 @@ def xexpt_ttest_2samp(df: DataFrame, numerator: str, denominator: str,
         return _xexpt_grouped(
             df, list(group_cols), numerator, denominator, idx, uin,
             metric_type, group_buckets, alpha, mde, power,
-            ynode, xnodes, base, k, v0, v1)
+            ynode, xnodes, base, k, v0, v1, max_cells)
 
     if metric_type == "avg":
         aggs = (suffstat_agg_columns(base, "g0_", idx == F.lit(v0))
@@ -214,7 +215,7 @@ def _xexpt_grouped(df: DataFrame, group_cols: list[str], numerator: str,
                    denominator: str, idx, uin: str, metric_type: str,
                    group_buckets: tuple, alpha: float, mde: float,
                    power: float, ynode, xnodes, base: list[str], k: int,
-                   v0, v1):
+                   v0, v1, max_cells: int = 10_000):
     """Drill-down report — ONE aggregation pass for ALL cells.
 
     avg: ``groupBy(*group_cols)`` with both arms' conditional sufficient
@@ -230,10 +231,22 @@ def _xexpt_grouped(df: DataFrame, group_cols: list[str], numerator: str,
 
     from fast_causal_inference_spark.operators.suffstats import NumStats
 
+    # O(k²)-wide stat rows come to the driver — one per (cell[, arm]).  A
+    # high-cardinality group key (a user-level column passed by mistake)
+    # must raise, not silently materialize millions of rows; LIMIT n+1
+    # bounds the fetch itself, so the guard costs nothing extra.
+    def _bounded(agg_df, cap: int, per_cell: int) -> pd.DataFrame:
+        out = agg_df.limit(cap * per_cell + 1).toPandas()
+        if len(out) > cap * per_cell:
+            raise ValueError(
+                f"group_cols {group_cols} produce more than {cap} report "
+                f"cells; pass a coarser drill-down key or raise max_cells")
+        return out
+
     if metric_type == "avg":
         aggs = (suffstat_agg_columns(base, "g0_", idx == F.lit(v0))
                 + suffstat_agg_columns(base, "g1_", idx == F.lit(v1)))
-        pdf = df.groupBy(*group_cols).agg(*aggs).toPandas()
+        pdf = _bounded(df.groupBy(*group_cols).agg(*aggs), max_cells, 1)
         rows = []
         for _, r in pdf.iterrows():
             s0 = row_to_stats(r, k, "g0_")
@@ -262,7 +275,8 @@ def _xexpt_grouped(df: DataFrame, group_cols: list[str], numerator: str,
         for j in others[ai:]:
             aggs2.append(F.sum(F.col(f"b{i}") * F.col(f"b{j}"))
                          .alias(f"c{i}_{j}"))
-    per_arm = b.groupBy(*group_cols, "arm").agg(*aggs2).toPandas()
+    per_arm = _bounded(b.groupBy(*group_cols, "arm").agg(*aggs2),
+                       max_cells, 2)
 
     ratios = (float(group_buckets[0]) / N_BUCKETS,
               float(group_buckets[1]) / N_BUCKETS)

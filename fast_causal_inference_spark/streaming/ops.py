@@ -26,6 +26,20 @@ from fast_causal_inference_spark.operators.suffstats import (
 )
 
 
+def _with_event_time(stream: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks demand TIMESTAMP (with local timezone); parquet written
+    with ``timestamp_ntz`` types fails ``withWatermark`` with
+    EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE.  Cast NTZ event-time columns in
+    place (wall-clock instants are preserved — session-timezone semantics
+    only matter for window boundary formatting)."""
+    from pyspark.sql import types as T
+
+    for f in stream.schema.fields:
+        if f.name == ts_col and isinstance(f.dataType, T.TimestampNTZType):
+            return stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return stream
+
+
 def _norm_sf_col(z: Column) -> Column:
     """P(Z > z) as a Column (Arrow UDF over math.erfc — projection only)."""
     from fast_causal_inference_spark.serialization import (
@@ -53,7 +67,8 @@ def streaming_metric(stream: DataFrame, Y: str, ts_col: str,
     nodes, base = parse_formulas([Y])
     node = nodes[0]
     win = F.window(F.col(ts_col), window_duration, slide or window_duration)
-    agged = (stream.withWatermark(ts_col, watermark)
+    agged = (_with_event_time(stream, ts_col)
+             .withWatermark(ts_col, watermark)
              .groupBy(win.alias("window"))
              .agg(*suffstat_agg_columns(base)))
     view = StatView(len(base))
@@ -81,7 +96,8 @@ def streaming_ttest_2samp(stream: DataFrame, Y: str, index: str, ts_col: str,
     win = F.window(F.col(ts_col), window_duration, slide or window_duration)
     aggs = (suffstat_agg_columns(base, "g0_", idx == F.lit(v0))
             + suffstat_agg_columns(base, "g1_", idx == F.lit(v1)))
-    agged = (stream.withWatermark(ts_col, watermark)
+    agged = (_with_event_time(stream, ts_col)
+             .withWatermark(ts_col, watermark)
              .groupBy(win.alias("window")).agg(*aggs))
     v0v = StatView(len(base), "g0_")
     v1v = StatView(len(base), "g1_")
@@ -109,7 +125,8 @@ def streaming_srm(stream: DataFrame, index: str, ts_col: str,
     v0, v1 = treatment_values
     r0, r1 = float(ratio[0]), float(ratio[1])
     win = F.window(F.col(ts_col), window_duration)
-    agged = (stream.withWatermark(ts_col, watermark)
+    agged = (_with_event_time(stream, ts_col)
+             .withWatermark(ts_col, watermark)
              .groupBy(win.alias("window"))
              .agg(F.count(F.when(idx == F.lit(v0), 1)).alias("n0"),
                   F.count(F.when(idx == F.lit(v1), 1)).alias("n1")))
@@ -172,7 +189,8 @@ def streaming_sequential_ttest(stream: DataFrame, Y: str, index: str,
     v0, v1 = treatment_values
     gcol = group_col or "__expt"
     base = stream if group_col else stream.withColumn(gcol, F.lit("all"))
-    prepared = (base.withWatermark(ts_col, watermark)
+    prepared = (_with_event_time(base, ts_col)
+                .withWatermark(ts_col, watermark)
                 .select(F.col(gcol).cast("string").alias("g"),
                         F.expr(Y).cast("double").alias("y"),
                         F.when(idx == F.lit(v0), 0)
@@ -274,9 +292,9 @@ def sessionize(df: DataFrame, user_col: str, ts_col: str,
                    F.col("sw.start").alias("session_start"),
                    F.col("sw.end").alias("session_end"),
                    "n_events",
-                   (F.unix_timestamp("last_event")
-                    - F.unix_timestamp("first_event"))
-                   .cast("double").alias("duration_sec"),
+                   (F.expr("timestampdiff(MICROSECOND, first_event, "
+                           "last_event)") / 1e6)
+                   .alias("duration_sec"),
                    *([F.col("value_sum")] if value_col is not None else [])))
     return out
 
@@ -288,7 +306,8 @@ def streaming_sessionize(stream: DataFrame, user_col: str, ts_col: str,
     """Streaming gap sessionization: watermark + native session windows.
     A session row is emitted once the watermark passes its close (append
     mode); state per open session is O(1) and dropped on emission."""
-    return sessionize(stream.withWatermark(ts_col, watermark),
+    return sessionize(_with_event_time(stream, ts_col)
+             .withWatermark(ts_col, watermark),
                       user_col, ts_col, gap, value_col)
 
 
@@ -354,6 +373,7 @@ def ingest_documents(df: DataFrame, text_col: str = "text",
                 "watermark, dropDuplicates state grows one key per distinct "
                 "document forever; pass ts_col (event-time column) or "
                 "dedup=None")
-        return (out.withWatermark(ts_col, watermark)
+        return (_with_event_time(out, ts_col)
+                .withWatermark(ts_col, watermark)
                 .dropDuplicatesWithinWatermark(["fingerprint"]))
     return out.dropDuplicates(["fingerprint"])

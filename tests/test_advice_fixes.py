@@ -266,8 +266,12 @@ def test_ks_exact_requires_tie_free(spark):
     tied = spark.createDataFrame(
         pd.DataFrame({"v": [1.0, 1.0, 2.0, 2.0, 3.0, 3.0] * 5,
                       "g": [0, 1] * 15}))
-    with pytest.raises(ValueError, match="tie-free"):
-        kolmogorov_smirnov_test(tied, "v", "g", mode="exact")
+    # round-4 ADVICE: exact on tied data degrades to asymptotic with a
+    # RuntimeWarning (scipy-style) instead of raising after the D pass
+    with pytest.warns(RuntimeWarning, match="tie"):
+        exact = kolmogorov_smirnov_test(tied, "v", "g", mode="exact")
+    asymp = kolmogorov_smirnov_test(tied, "v", "g", mode="asymp")
+    assert exact.p_value[0] == pytest.approx(asymp.p_value[0])
     # auto on tied data falls back to asymptotic instead of lattice exact
     res = kolmogorov_smirnov_test(tied, "v", "g", mode="auto")
     assert 0.0 <= res.p_value[0] <= 1.0
