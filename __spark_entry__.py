@@ -1595,10 +1595,16 @@ def q_describe_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("stack(5, 'cnt', cnt, 'avg', avg, 'std', std, "
                "'min', min, 'max', max) AS (stat, value)"))
     li = _load(spark, sf_dir, "lineitem")
+    # ONE exact-percentile aggregate with an array of levels — three
+    # scalar percentile() aggs would each hold their own value buffer of
+    # the whole column per group; the array form sorts once
+    qs = fn.quantiles("l_extendedprice", 0.5, 0.9, 0.99, exact=True)
     q = (li.groupBy("l_returnflag")
-         .agg(fn.quantile("l_extendedprice", 0.5, exact=True).alias("p50"),
-              fn.quantile("l_extendedprice", 0.9, exact=True).alias("p90"),
-              fn.quantile("l_extendedprice", 0.99, exact=True).alias("p99")))
+         .agg(qs.alias("pq"))
+         .select("l_returnflag",
+                 F.col("pq")[0].alias("p50"),
+                 F.col("pq")[1].alias("p90"),
+                 F.col("pq")[2].alias("p99")))
     q_long = q.select(
         F.lit("quantile").alias("variant"),
         F.col("l_returnflag").alias("grp"),

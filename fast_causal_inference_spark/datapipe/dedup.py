@@ -22,7 +22,9 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from fast_causal_inference_spark.datapipe.text import (
+    bind_once,
     content_md5,
+    ngram_transform,
     tokens,
     word_ngrams,
 )
@@ -58,7 +60,8 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text",
 
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Word n-gram shingle array (distinct) of normalized text."""
-    return F.array_distinct(word_ngrams(text, n))
+    return bind_once(tokens(text),
+                     lambda tk: F.array_distinct(ngram_transform(tk, n)))
 
 
 def shingle_hashes(text: Column | str, n: int = 3) -> Column:
@@ -71,19 +74,24 @@ def shingle_hashes(text: Column | str, n: int = 3) -> Column:
     NB the window is materialized with slice+concat_ws and hashed ONCE —
     measured ~2.5× faster than hashing the n token elements directly
     (``xxhash64(get(toks,i),…)``), because per-element array access inside
-    an interpreted HOF lambda dominates the string bytes hashed.
+    an interpreted HOF lambda dominates the string bytes hashed.  The
+    n-gram array is let-bound (:func:`~...text.bind_once`) so consumers —
+    including ``explode`` for the inverted index — evaluate the
+    tokenize+window pipeline exactly once per document.
     """
-    return F.array_distinct(
-        F.transform(word_ngrams(text, n), lambda g: F.xxhash64(g)))
+    return bind_once(tokens(text), lambda tk: F.array_distinct(
+        F.transform(ngram_transform(tk, n), lambda g: F.xxhash64(g))))
 
 
 def _minhash_from_hashes(gh: Column, num_hashes: int) -> Column:
     """Signature from a shingle-hash array: the per-seed values are
     xxhash64 over the 8-byte shingle hash — no string ever re-hashed."""
     seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    return F.transform(
+    # gh is let-bound: a closure reference would re-evaluate the whole
+    # shingle pipeline once per seed (64×)
+    return bind_once(gh, lambda g: F.transform(
         seeds,
-        lambda s: F.array_min(F.transform(gh, lambda h: F.xxhash64(h, s))))
+        lambda s: F.array_min(F.transform(g, lambda h: F.xxhash64(h, s)))))
 
 
 def minhash_signature(text: Column | str, num_hashes: int = 64,
@@ -99,6 +107,67 @@ def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard similarity of two (distinct-element) arrays."""
     inter = F.size(F.array_intersect(a, b))
     return inter / (F.size(a) + F.size(b) - inter)
+
+
+def _shingle_inv(df: DataFrame, text_col: str, id_col: str,
+                 n: int) -> DataFrame:
+    """Inverted shingle index ``(id, gh)`` — the ONE shared, cached
+    relation behind every shingle-based dedup family.
+
+    Why exactly this shape:
+
+    * two primitive long columns — the in-memory columnar cache writes
+      them fast (caching the array-typed shingle relation measured
+      seconds for a few thousand rows: the array ColumnType writer is
+      orders of magnitude slower than primitive columns);
+    * NOTHING computed above the explode — a projection over a Generate
+      is re-evaluated per OUTPUT row, so carrying ``size(shingles)``
+      alongside the explode re-ran the whole tokenize+n-gram pipeline
+      once per shingle (measured 24 s vs 0.7 s on a 5k-doc corpus);
+      per-doc shingle counts are recovered relationally downstream
+      (window count in the prefix ranker, groupBy in the verifier);
+    * at corpus scale an exploded long relation shuffles and spills
+      cleanly where an array-of-all-shingles column does not.
+
+    ngram and MinHash calls with the same (df, text_col, id_col, n)
+    produce plan-equal frames, so the cache is built once per corpus and
+    shared across the whole dedup suite."""
+    # the repartition (a) parallelizes the cache build across the cluster
+    # instead of one task per input split, and (b) leaves the cached
+    # relation hash-partitioned by id, which the prefix ranker's window
+    # and the verifier's per-doc aggregations reuse without re-exchange
+    return (df.select(F.col(id_col).alias("id"),
+                      F.explode(shingle_hashes(F.col(text_col), n))
+                      .alias("gh"))
+            .repartition("id").cache())
+
+
+def _verify_jaccard(cand: DataFrame, inv: DataFrame,
+                    threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs, fully relational:
+    join the candidates through the inverted index on shared shingles and
+    count intersections — no array columns cross a shuffle, everything
+    stays in whole-stage codegen.  J = |∩| / (na + nb − |∩|); pairs with
+    an empty intersection drop out (J = 0 < threshold).  Candidates that
+    already carry per-doc shingle counts (``na``/``nb``, as the ngram
+    prefix join does) skip the two size joins."""
+    if not {"na", "nb"}.issubset(cand.columns):
+        sizes = inv.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+        cand = (cand
+                .join(sizes.select(F.col("id").alias("id_a"),
+                                   F.col("n_sh").alias("na")), "id_a")
+                .join(sizes.select(F.col("id").alias("id_b"),
+                                   F.col("n_sh").alias("nb")), "id_b"))
+    a = inv.select(F.col("id").alias("id_a"), "gh")
+    b = inv.select(F.col("id").alias("id_b"), "gh")
+    return (cand.join(a, "id_a").join(b, ["id_b", "gh"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter"),
+                 F.first("na").alias("na"), F.first("nb").alias("nb"))
+            .withColumn("jaccard", F.col("inter")
+                        / (F.col("na") + F.col("nb") - F.col("inter")))
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
@@ -125,19 +194,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     (:func:`minhash_signature`), kept for signature-level parity.
     """
     rows = num_hashes // bands
-    # same relation shape as ngram_jaccard_pairs so a suite running both
-    # reuses one cached shingle materialization (plan-equality cache hit)
-    sig = (df.select(F.col(id_col).alias("id"),
-                     shingle_hashes(F.col(text_col), shingle_size)
-                     .alias("sh"))
-             .withColumn("n_sh", F.size("sh")))
-    sig = sig.cache()
+    inv = _shingle_inv(df, text_col, id_col, shingle_size)
     if scheme == "oph":
-        inv = sig.select("id", F.explode("sh").alias("h"))
         binned = (inv.withColumn("bin",
-                                 F.pmod(F.col("h"), F.lit(num_hashes))
+                                 F.pmod(F.col("gh"), F.lit(num_hashes))
                                  .cast("int"))
-                  .groupBy("id", "bin").agg(F.min("h").alias("mh")))
+                  .groupBy("id", "bin").agg(F.min("gh").alias("mh")))
         banded = (binned
                   .withColumn("band", (F.col("bin") / rows).cast("int"))
                   .groupBy("id", "band")
@@ -145,8 +207,11 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       F.sort_array(F.collect_list(F.struct("bin", "mh"))),
                       lambda s: s["mh"].cast("string")))).alias("bucket")))
     else:
-        with_sig = sig.withColumn(
-            "sig", _minhash_from_hashes(F.col("sh"), num_hashes))
+        with_sig = df.select(
+            F.col(id_col).alias("id"),
+            _minhash_from_hashes(
+                shingle_hashes(F.col(text_col), shingle_size),
+                num_hashes).alias("sig"))
         banded = with_sig.select(
             "id",
             F.explode(F.transform(
@@ -166,16 +231,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                               F.col("l.id") < F.col("r.id")])
             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"]))
-    shs = sig.select("id", "sh")
-    verified = (cand
-                .join(shs.select(F.col("id").alias("id_a"),
-                                 F.col("sh").alias("sh_a")), "id_a")
-                .join(shs.select(F.col("id").alias("id_b"),
-                                 F.col("sh").alias("sh_b")), "id_b")
-                .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
-                .where(F.col("jaccard") >= threshold)
-                .select("id_a", "id_b", "jaccard"))
-    return verified
+    return _verify_jaccard(cand, inv, threshold)
 
 
 def minhash_dedup(df: DataFrame, text_col: str = "text",
@@ -239,8 +295,11 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
     HOF vote and the shape that scales (shuffle payload: 65 longs per doc).
     """
     masks = _bit_masks(bits)
+    # bind_once keeps the tokenizing split out of the per-output-row
+    # re-evaluation Generate does for non-codegen generator inputs
     toks = (df.select(F.col(id_col).alias("id"),
-                      F.explode(tokens(F.col(text_col))).alias("t"))
+                      F.explode(bind_once(tokens(F.col(text_col)),
+                                          lambda x: x)).alias("t"))
             .withColumn("h", F.xxhash64("t")))
     votes = toks.groupBy("id").agg(
         F.count(F.lit(1)).alias("n"),
@@ -297,44 +356,55 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     (frequency, hash); if J(a,b) ≥ t then a and b must share a shingle within
     each document's first ⌊(1−t)·|sh|⌋+1 shingles of that order. Indexing only
     those prefixes shrinks the candidate join by orders of magnitude on dense
-    corpora while staying exact — candidates are then verified with the true
-    Jaccard via the full shingle arrays.
+    corpora while staying exact — candidates are then verified with the
+    true Jaccard by counting shared shingles through the inverted index
+    (:func:`_verify_jaccard`; no array columns anywhere past the explode).
     """
-    sh = (df.select(F.col(id_col).alias("id"),
-                    shingle_hashes(F.col(text_col), n).alias("sh"))
-            .withColumn("n_sh", F.size("sh"))).cache()
-    inv = sh.select("id", "n_sh", F.explode("sh").alias("gh"))
+    inv = _shingle_inv(df, text_col, id_col, n)
+    # per-doc shingle count, recovered over the same partition-by-id
+    # exchange the prefix ranker needs anyway (inv deliberately carries no
+    # size column — see _shingle_inv)
+    w_id = Window.partitionBy("id")
     if prefix_filter:
         freq = inv.groupBy("gh").count()
         # doc-frequency pruning: a df==1 shingle can never produce a
         # candidate — drop AFTER rank assignment (prefix positions stay
         # exact) to shed the singleton mass from the join
         ranked = (inv.join(freq, "gh")
+                  .withColumn("n_sh", F.count(F.lit(1)).over(w_id))
                   .withColumn("rk", F.row_number().over(
                       Window.partitionBy("id").orderBy("count", "gh")))
                   .where(F.col("rk") <=
                          F.floor((1.0 - threshold) * F.col("n_sh")) + 1)
                   .where(F.col("count") >= 2)
-                  .select("id", "n_sh", "gh"))
+                  .select("id", "n_sh", "gh", "rk"))
     else:
-        ranked = inv.select("id", "n_sh", "gh")
+        ranked = (inv.withColumn("n_sh", F.count(F.lit(1)).over(w_id))
+                  .withColumn("rk", F.row_number().over(
+                      Window.partitionBy("id").orderBy("gh")))
+                  .select("id", "n_sh", "gh", "rk"))
     l, r = ranked.alias("l"), ranked.alias("r")
     # length filter: J(a,b) ≥ t ⇒ t·|a| ≤ |b| ≤ |a|/t — prunes candidates
-    # before the (expensive) exact verification, exactly
+    # before the (expensive) exact verification, exactly.  The positional
+    # filter (PPJoin, Xiao et al. 2008) is exact too: a shared shingle at
+    # prefix positions (rk_l, rk_r) caps the achievable overlap at
+    # 1 + min(na − rk_l, nb − rk_r), and J ≥ t needs overlap ≥
+    # t/(1+t)·(na+nb); a pair survives if ANY shared prefix shingle
+    # passes, so pruning loses no true pair while shedding most of the
+    # boilerplate-driven candidate mass before the verification join.
+    overlap_cap = 1 + F.least(F.col("l.n_sh") - F.col("l.rk"),
+                              F.col("r.n_sh") - F.col("r.rk"))
+    overlap_req = F.ceil(F.lit(threshold / (1.0 + threshold))
+                         * (F.col("l.n_sh") + F.col("r.n_sh")))
     cand = (l.join(r, [F.col("l.gh") == F.col("r.gh"),
                        F.col("l.id") < F.col("r.id"),
                        F.col("r.n_sh") >= threshold * F.col("l.n_sh"),
-                       F.col("l.n_sh") >= threshold * F.col("r.n_sh")])
-            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+                       F.col("l.n_sh") >= threshold * F.col("r.n_sh"),
+                       overlap_cap >= overlap_req])
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                    F.col("l.n_sh").alias("na"), F.col("r.n_sh").alias("nb"))
             .dropDuplicates(["id_a", "id_b"]))
-    verified = (cand
-                .join(sh.select(F.col("id").alias("id_a"),
-                                F.col("sh").alias("sh_a")), "id_a")
-                .join(sh.select(F.col("id").alias("id_b"),
-                                F.col("sh").alias("sh_b")), "id_b")
-                .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
-                .where(F.col("jaccard") >= threshold)
-                .select("id_a", "id_b", "jaccard"))
+    verified = _verify_jaccard(cand, inv, threshold)
     # the pair relation is the COMPRESSED output (output-proportional, tiny
     # vs corpus) — cache it so downstream consumers (dedup drop, transitive
     # closure) and repeated identical calls reuse one computation

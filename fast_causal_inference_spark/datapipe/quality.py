@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import shingle_hashes
-from .text import word_ngrams
+from .text import bind_once, word_ngrams
 
 __all__ = [
     "PII_PATTERNS", "pii_count", "pii_profile", "pii_redact",
@@ -120,18 +120,22 @@ def dup_line_char_frac(text: Column | str) -> Column:
     boilerplate detection (the same line across MANY documents) is the
     relational :func:`repetition_profile` instead.
     """
-    ls = doc_lines(text)
-    total = F.aggregate(ls, F.lit(0).cast("long"),
-                        lambda acc, l: acc + F.length(l))
-    # every occurrence of a duplicated line contributes its chars once —
-    # one occurrence-count filter per element (HOF lambdas are interpreted,
-    # no CSE, so the count must not be written twice)
-    dup = F.aggregate(
-        ls, F.lit(0).cast("long"),
-        lambda acc, l: acc + F.when(
-            F.size(F.filter(ls, lambda x: x == l)) > 1, F.length(l))
-        .otherwise(F.lit(0)))
-    return F.when(total == 0, F.lit(0.0)).otherwise(dup / total)
+    def frac(ls: Column) -> Column:
+        total = F.aggregate(ls, F.lit(0).cast("long"),
+                            lambda acc, l: acc + F.length(l))
+        # every occurrence of a duplicated line contributes its chars once —
+        # one occurrence-count filter per element (HOF lambdas are
+        # interpreted, no CSE, so the count must not be written twice)
+        dup = F.aggregate(
+            ls, F.lit(0).cast("long"),
+            lambda acc, l: acc + F.when(
+                F.size(F.filter(ls, lambda x: x == l)) > 1, F.length(l))
+            .otherwise(F.lit(0)))
+        return F.when(total == 0, F.lit(0.0)).otherwise(dup / total)
+
+    # let-bound: the closure reference inside the aggregate/filter lambdas
+    # would otherwise re-split the document into lines per element
+    return bind_once(doc_lines(text), frac)
 
 
 def repetition_profile(df: DataFrame, text_col: str = "text",

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from fast_causal_inference_spark.functions import bind_once
+
 # compact stopword lists for the n-gram/stopword language-ID heuristic
 _STOPWORDS = {
     "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
@@ -26,16 +28,24 @@ def tokens(text: Column | str) -> Column:
     return F.split(F.trim(F.lower(c)), r"\s+")
 
 
+def ngram_transform(tk: Column, n: int) -> Column:
+    """The n-gram window construction over an ALREADY-BOUND token array
+    (a lambda variable from :func:`bind_once`).  Kept separate so every
+    public n-gram column wraps exactly ONE bind_once — nesting two
+    wrappers measurably re-introduces the per-element re-evaluation on
+    the explode path (3.3 s vs 0.7 s on the 5k-doc corpus)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(tk) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(tk, i + 1, n)))
+
+
 def word_ngrams(text: Column | str, n: int = 2) -> Column:
     """ALL word n-grams of normalized text, with multiplicity — the single
     n-gram window construction shared by dedup shingling (which wraps it in
     ``array_distinct``) and repetition/decontamination analysis (which needs
     the duplicate windows).  Documents shorter than ``n`` tokens yield one
     short gram (the GPT-3 ``min(n, len)`` rule)."""
-    toks = tokens(text)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    return F.transform(idx,
-                       lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return bind_once(tokens(text), lambda tk: ngram_transform(tk, n))
 
 
 def token_count(text: Column | str) -> Column:
