@@ -1,0 +1,142 @@
+"""Temporal operators: asof_join (vs pandas.merge_asof), range_join,
+time_bucket_rollup."""
+
+import datetime
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from fast_causal_inference_spark.operators.temporal import (
+    asof_join,
+    range_join,
+    time_bucket_rollup,
+)
+
+T0 = datetime.datetime(2026, 1, 1)
+
+
+def _ts(sec):
+    return T0 + datetime.timedelta(seconds=float(sec))
+
+
+@pytest.fixture(scope="module")
+def quotes_trades(spark):
+    rng = np.random.default_rng(11)
+    n_q, n_t = 4000, 1500
+    quotes = pd.DataFrame({
+        "sym": rng.choice(["A", "B", "C"], n_q),
+        "ts": [_ts(s) for s in np.sort(rng.uniform(0, 86400, n_q))],
+        "bid": np.round(rng.uniform(90, 110, n_q), 2),
+    })
+    trades = pd.DataFrame({
+        "sym": rng.choice(["A", "B", "C"], n_t),
+        "ts": [_ts(s) for s in np.sort(rng.uniform(0, 86400, n_t))],
+        "qty": rng.integers(1, 100, n_t),
+    })
+    return (spark.createDataFrame(quotes).repartition(4),
+            spark.createDataFrame(trades).repartition(3),
+            quotes, trades)
+
+
+def test_asof_backward_matches_pandas(quotes_trades):
+    q_df, t_df, quotes, trades = quotes_trades
+    got = (asof_join(t_df, q_df, on="sym", left_ts="ts",
+                     right_cols=["bid"])
+           .orderBy("sym", "ts").toPandas())
+    want = pd.merge_asof(trades.sort_values("ts"), quotes.sort_values("ts"),
+                         on="ts", by="sym", direction="backward",
+                         suffixes=("", "_right")) \
+        .sort_values(["sym", "ts"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    pd.testing.assert_series_equal(
+        got["bid_right"].rename("bid"), want["bid"],
+        check_exact=False, rtol=1e-9)
+
+
+def test_asof_forward_and_tolerance(quotes_trades):
+    q_df, t_df, quotes, trades = quotes_trades
+    got = (asof_join(t_df, q_df, on="sym", left_ts="ts",
+                     direction="forward", tolerance=60.0,
+                     right_cols=["bid"])
+           .orderBy("sym", "ts").toPandas())
+    want = pd.merge_asof(trades.sort_values("ts"), quotes.sort_values("ts"),
+                         on="ts", by="sym", direction="forward",
+                         tolerance=pd.Timedelta(seconds=60),
+                         suffixes=("", "_right")) \
+        .sort_values(["sym", "ts"]).reset_index(drop=True)
+    assert got["bid_right"].isna().sum() == want["bid"].isna().sum()
+    pd.testing.assert_series_equal(
+        got["bid_right"].rename("bid"), want["bid"],
+        check_exact=False, rtol=1e-9)
+
+
+def test_asof_preserves_left_rows(quotes_trades):
+    q_df, t_df, _, trades = quotes_trades
+    out = asof_join(t_df, q_df, on="sym", left_ts="ts", right_cols=["bid"])
+    assert out.count() == len(trades)
+    assert set(out.columns) == {"sym", "ts", "qty", "ts_right", "bid_right"}
+
+
+def test_range_join_exact(spark):
+    points = spark.createDataFrame(pd.DataFrame({
+        "u": ["a"] * 6,
+        "ts": [_ts(s) for s in (10, 100, 3600, 5000, 7150, 7200)],
+        "v": [1, 2, 3, 4, 5, 6],
+    }))
+    intervals = spark.createDataFrame(pd.DataFrame({
+        "u": ["a", "a"],
+        "start": [_ts(0), _ts(7100)],
+        "end": [_ts(3600), _ts(7200)],
+        "label": ["first", "second"],
+    }))
+    got = (range_join(points, intervals, on="u", point_ts="ts",
+                      start_ts="start", end_ts="end", bucket_width=1000)
+           .orderBy("v").toPandas())
+    # half-open [start, end): ts=3600 not in 'first'; 7200 not in 'second'
+    assert list(got.v) == [1, 2, 5]
+    assert list(got.label) == ["first", "first", "second"]
+    left = (range_join(points, intervals, on="u", point_ts="ts",
+                       start_ts="start", end_ts="end", bucket_width=1000,
+                       how="left"))
+    assert left.count() == 6
+
+
+def test_range_join_matches_nested_loop(spark):
+    rng = np.random.default_rng(5)
+    pts = pd.DataFrame({
+        "k": rng.choice(["x", "y"], 500),
+        "ts": [_ts(s) for s in rng.uniform(0, 10000, 500)],
+        "pid": np.arange(500),
+    })
+    s = rng.uniform(0, 10000, 60)
+    iv = pd.DataFrame({
+        "k": rng.choice(["x", "y"], 60),
+        "start": [_ts(v) for v in s],
+        "end": [_ts(v) for v in s + rng.uniform(10, 2000, 60)],
+        "iid": np.arange(60),
+    })
+    p_df, i_df = spark.createDataFrame(pts), spark.createDataFrame(iv)
+    got = (range_join(p_df, i_df, on="k", point_ts="ts",
+                      start_ts="start", end_ts="end", bucket_width=500)
+           .select("pid", "iid").toPandas())
+    # oracle: plain pandas nested loop
+    merged = pts.merge(iv, on="k")
+    mask = (merged.ts >= merged.start) & (merged.ts < merged.end)
+    want = merged[mask][["pid", "iid"]]
+    assert (set(map(tuple, got.to_numpy()))
+            == set(map(tuple, want.to_numpy())))
+
+
+def test_time_bucket_rollup(spark, events):
+    out = time_bucket_rollup(
+        events, "ts", ["6 hours", "1 day"],
+        [F.count(F.lit(1)).alias("n"), F.avg("value").alias("avg_value")],
+        group_cols=["event_type"])
+    pdf = out.toPandas()
+    assert set(pdf.resolution) == {"6 hours", "1 day"}
+    # per resolution, counts sum to the total row count
+    total = events.count()
+    for res, grp in pdf.groupby("resolution"):
+        assert grp.n.sum() == total, res
