@@ -53,6 +53,11 @@ from fast_causal_inference_spark.result import TestResult, test_result
 from fast_causal_inference_spark.operators.logistic import logistic_regression, auc
 from fast_causal_inference_spark.operators.dml import linear_dml, non_param_dml
 from fast_causal_inference_spark.operators.estimators import ate_estimator, ipw_estimator
+from fast_causal_inference_spark.operators.temporal import (
+    asof_join,
+    range_join,
+    time_bucket_rollup,
+)
 
 __version__ = "0.1.0"
 
@@ -100,4 +105,7 @@ __all__ = [
     "non_param_dml",
     "ate_estimator",
     "ipw_estimator",
+    "asof_join",
+    "range_join",
+    "time_bucket_rollup",
 ]

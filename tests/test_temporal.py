@@ -55,6 +55,28 @@ def test_asof_backward_matches_pandas(quotes_trades):
         check_exact=False, rtol=1e-9)
 
 
+def test_asof_matches_duckdb_asof_join(quotes_trades):
+    """Cross-engine oracle: DuckDB's native ASOF JOIN on the same frames."""
+    import duckdb
+
+    q_df, t_df, quotes, trades = quotes_trades
+    got = (asof_join(t_df, q_df, on="sym", left_ts="ts",
+                     right_cols=["bid"])
+           .orderBy("sym", "ts").toPandas())
+    con = duckdb.connect()
+    con.register("trades", trades)
+    con.register("quotes", quotes)
+    want = con.execute(
+        "SELECT t.sym, t.ts, t.qty, q.bid "
+        "FROM trades t ASOF LEFT JOIN quotes q "
+        "ON t.sym = q.sym AND t.ts >= q.ts "
+        "ORDER BY t.sym, t.ts").df()
+    assert len(got) == len(want)
+    pd.testing.assert_series_equal(
+        got["bid_right"].rename("bid"), want["bid"],
+        check_exact=False, rtol=1e-9)
+
+
 def test_asof_forward_and_tolerance(quotes_trades):
     q_df, t_df, quotes, trades = quotes_trades
     got = (asof_join(t_df, q_df, on="sym", left_ts="ts",
