@@ -99,3 +99,43 @@ def test_sessionize_subsecond_duration(spark):
     out = sessionize(d, "user", "ts", gap="1 minute").toPandas()
     assert len(out) == 1
     assert out.duration_sec[0] == pytest.approx(0.9)
+
+
+def test_bind_once_equivalence_random_text(spark):
+    """The let-bound n-gram/shingle constructions must equal the naive
+    closure formulation VALUE-FOR-VALUE on adversarial text (empty,
+    whitespace runs, unicode, 1-token docs)."""
+    from pyspark.sql import functions as F
+
+    from fast_causal_inference_spark.datapipe.text import tokens, word_ngrams
+    from fast_causal_inference_spark.datapipe.dedup import shingle_hashes
+
+    texts = ["", "   ", "one", "a b", "a b c", "a  b\t c \n d",
+             "héllo wörld héllo wörld", "x " * 50,
+             "the quick brown fox jumps over the lazy dog"]
+    d = spark.createDataFrame(pd.DataFrame({"text": texts}))
+    n = 3
+    toks = tokens(F.col("text"))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    naive_grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    naive_hashes = F.array_distinct(
+        F.transform(naive_grams, lambda g: F.xxhash64(g)))
+    out = d.select(
+        (word_ngrams(F.col("text"), n) == naive_grams).alias("g_eq"),
+        (shingle_hashes(F.col("text"), n) == naive_hashes).alias("h_eq"),
+    ).toPandas()
+    assert out.g_eq.all(), out
+    assert out.h_eq.all(), out
+
+
+def test_normalize_letbound_values(spark):
+    import fast_causal_inference_spark.functions as fn
+    from pyspark.sql import functions as F
+
+    d = spark.createDataFrame(
+        pd.DataFrame({"v": [[3.0, 4.0], [1.0, 0.0], [0.5, 0.5, 0.5]]}))
+    out = d.select(fn.L2Normalize("v").alias("n"),
+                   fn.L1Normalize("v").alias("l1")).toPandas()
+    assert out.n[0] == pytest.approx([0.6, 0.8])
+    assert sum(out.l1[2]) == pytest.approx(1.0)
