@@ -1,0 +1,92 @@
+"""End-to-end LLM training-data pipeline demo over the documents table.
+
+Ingest → quality/PII → decontaminate → dedup (exact + MinHash + transitive
+closure) → domain mixture → deterministic epoch shuffle → sequence packing
+→ shard writing.  Every stage is the scale-path operator (no collect, no
+arrays through shuffles); this script narrates row counts per stage.
+
+Run: python examples/training_pipeline.py [sf_dir] (default sf0.01).
+"""
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pyspark.sql import functions as F                            # noqa: E402
+
+import fast_causal_inference_spark as fcis                        # noqa: E402
+from fast_causal_inference_spark.sources.tables import load_table  # noqa: E402
+from fast_causal_inference_spark.datapipe import dedup, quality    # noqa: E402
+from fast_causal_inference_spark.datapipe.text import (            # noqa: E402
+    language_id,
+    quality_score,
+    token_count,
+)
+from fast_causal_inference_spark.datapipe.training import (        # noqa: E402
+    domain_mixture_sample,
+    global_shuffle,
+    pack_sequences,
+    write_training_shards,
+)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = fcis.get_session("fcis-training-demo")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = load_table(spark, sf_dir, "documents") \
+        .withColumn("domain", F.element_at(
+            F.array(F.lit("web"), F.lit("code"), F.lit("books")),
+            (F.col("doc_id") % 3 + 1).cast("int")))
+    print(f"ingested: {docs.count()} docs")
+
+    # 1. quality filter + PII redaction (pure Column expressions)
+    scored = docs.withColumn("lang", language_id(F.col("text"))) \
+                 .withColumn("q", quality_score(F.col("text"))) \
+                 .withColumn("n_tokens", token_count(F.col("text")))
+    kept = scored.where((F.col("q") >= 0.3) & (F.col("n_tokens") >= 5)) \
+                 .withColumn("text", quality.pii_redact("text"))
+    print(f"after quality/PII: {kept.count()}")
+
+    # 2. benchmark decontamination (13-gram rule, broadcast benchmark)
+    bench = docs.limit(5).select(F.col("text").alias("bench_text"))
+    decon = quality.decontaminate(kept, bench, text_col="text", n=8,
+                                  benchmark_text_col="bench_text")
+    print(f"after decontamination: {decon.count()}")
+
+    # 3. dedup: exact, then MinHash-LSH near-dup clusters → keep minima
+    exact = dedup.exact_dedup(decon)
+    pairs = dedup.minhash_lsh_pairs(exact, threshold=0.7)
+    comp = dedup.connected_components(pairs)
+    keep = comp.groupBy("component").agg(F.min("id").alias("doc_id"))
+    deduped = exact.join(
+        comp.select(F.col("id").alias("doc_id")), "doc_id", "left_anti") \
+        .unionByName(exact.join(keep, "doc_id", "left_semi"))
+    print(f"after dedup: {deduped.count()}")
+
+    # 4. domain mixture (temperature-smoothed) + epoch shuffle
+    mixed = domain_mixture_sample(deduped, "domain", temperature=0.7,
+                                  id_cols=["doc_id"])
+    shuffled = global_shuffle(mixed, seed=0,
+                              key_cols=["doc_id", "__replica"])
+    print("mixture:", {r["domain"]: r["n"] for r in
+                       mixed.groupBy("domain")
+                       .agg(F.count(F.lit(1)).alias("n")).collect()})
+
+    # 5. pack into 2048-token windows and land 8 shards
+    packed = pack_sequences(shuffled, "n_tokens", max_tokens=2048)
+    n_packs = packed.select(F.countDistinct("pack_id")).collect()[0][0]
+    print(f"packed into {n_packs} context windows")
+    out_dir = tempfile.mkdtemp(prefix="fcis_shards_")
+    write_training_shards(packed, out_dir, num_shards=8,
+                          key_cols=["doc_id", "__replica"])
+    print(f"shards at {out_dir}: "
+          f"{spark.read.parquet(out_dir).count()} rows")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
