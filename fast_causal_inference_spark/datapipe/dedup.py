@@ -305,11 +305,17 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
         F.count(F.lit(1)).alias("n"),
         *[F.sum((F.col("h").bitwiseAND(F.lit(m).cast("long")) != 0)
                 .cast("int")).alias(f"b{i}") for i, m in enumerate(masks)])
-    packed: Column = F.lit(0).cast("long")
-    for i, m in enumerate(masks):
-        packed = packed.bitwiseOR(
-            F.when(F.col(f"b{i}") * 2 > F.col("n"),
-                   F.lit(m).cast("long")).otherwise(F.lit(0).cast("long")))
+    # shallow aggregate-over-zip instead of a 64-deep bitwiseOR chain —
+    # identical values (ties → 0), but the nested chain made Janino
+    # compile a 64-level expression tree (seconds of cold-start per plan)
+    masks_arr = F.array(*[F.lit(m).cast("long") for m in masks])
+    bvals = F.array(*[F.col(f"b{i}").cast("long")
+                      for i in range(len(masks))])
+    packed = F.aggregate(
+        F.zip_with(bvals, masks_arr,
+                   lambda v, m: F.when(v * 2 > F.col("n"), m)
+                   .otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x))
     return votes.select("id", packed.alias("sig"))
 
 
@@ -319,7 +325,9 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     """Near-dup pairs by SimHash: pigeonhole on ``chunks`` 16-bit chunks
     (hamming ≤ chunks−1 guarantees ≥1 equal chunk), verify with bit_count."""
     width = 64 // chunks
-    sigs = simhash_signatures(df, text_col, id_col)
+    # two primitive longs per doc; cached so the l/r sides of the chunk
+    # join and the verify projection share one token-vote aggregation
+    sigs = simhash_signatures(df, text_col, id_col).cache()
     chunked = sigs.select(
         "id", "sig",
         F.explode(F.array(*[
