@@ -171,3 +171,67 @@ def test_longterm_replica_agg_is_single_exchange(spark, events):
     # one exchange for the pivot + one for the replica agg, both combined
     assert plan.count("HashAggregate") >= 2
     assert "Exchange hashpartitioning(replica_id" in plan
+
+
+def test_asof_join_single_exchange(spark, events):
+    """The as-of union trick needs exactly ONE hash exchange (the window
+    partitionBy) — a second exchange would mean the union or projection
+    re-shuffled."""
+    from fast_causal_inference_spark.operators.temporal import asof_join
+
+    views = events.select("user_id", "ts", "value").limit(1000)
+    out = asof_join(events, views, on="user_id", left_ts="ts",
+                    right_cols=["value"])
+    plan = _plan(out)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" in plan
+
+
+def test_range_join_is_hash_join(spark, events):
+    """Bucketized range join must plan as a hash/sort-merge equi-join,
+    never BroadcastNestedLoopJoin."""
+    from fast_causal_inference_spark.operators.temporal import range_join
+
+    iv = events.groupBy("user_id").agg(
+        F.min("ts").alias("start"), F.max("ts").alias("end"))
+    out = range_join(events, iv, on="user_id", point_ts="ts",
+                     start_ts="start", end_ts="end", bucket_width=86400)
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Cartesian" not in plan
+
+
+def test_ngram_inverted_index_no_arrays_in_shuffle(spark, docs):
+    """The dedup shuffles carry primitive longs only — no array column
+    may appear in any exchange of the pair plan."""
+    from fast_causal_inference_spark.datapipe.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    plan = _plan(pairs)
+    for ln in plan.split("\n"):
+        if "Exchange hashpartitioning" in ln:
+            assert "ArrayType" not in ln and "array<" not in ln, ln
+
+
+def test_time_bucket_rollup_partial_agg(spark, events):
+    from fast_causal_inference_spark.operators.temporal import (
+        time_bucket_rollup,
+    )
+
+    out = time_bucket_rollup(events, "ts", ["1 day"],
+                             [F.count(F.lit(1)).alias("n")],
+                             ["event_type"])
+    plan = _plan(out)
+    assert plan.count("HashAggregate") >= 2       # map-side combine
+    scan = [ln for ln in plan.split("\n") if "ReadSchema" in ln]
+    assert scan and "value" not in scan[0]        # column pruning holds
+
+
+def test_global_shuffle_one_exchange(spark, docs):
+    from fast_causal_inference_spark.datapipe.training import global_shuffle
+
+    out = global_shuffle(docs, seed=1, key_cols=["doc_id"])
+    plan = _plan(out)
+    assert plan.count("Exchange") == 1, plan
