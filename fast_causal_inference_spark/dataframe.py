@@ -303,6 +303,51 @@ class CausalDataFrame:
 
         return uplift_report(self._df, ite, y, t, **kwargs)
 
+    # -- temporal / pipeline verbs (round 4) ---------------------------
+    def asof_join(self, right, on, left_ts: str = "ts", **kwargs):
+        """Nearest-event join (distributed merge_asof); right may be a
+        CausalDataFrame or a Spark DataFrame."""
+        from fast_causal_inference_spark.operators.temporal import asof_join
+
+        r = right._df if isinstance(right, CausalDataFrame) else right
+        return CausalDataFrame(asof_join(self._df, r, on, left_ts,
+                                         **kwargs))
+
+    def range_join(self, intervals, on, point_ts: str, start_ts: str,
+                   end_ts: str, **kwargs):
+        from fast_causal_inference_spark.operators.temporal import (
+            range_join,
+        )
+
+        iv = intervals._df if isinstance(intervals, CausalDataFrame) \
+            else intervals
+        return CausalDataFrame(range_join(self._df, iv, on, point_ts,
+                                          start_ts, end_ts, **kwargs))
+
+    def time_bucket_rollup(self, ts_col: str, resolutions, aggs,
+                           group_cols=None):
+        from fast_causal_inference_spark.operators.temporal import (
+            time_bucket_rollup,
+        )
+
+        return CausalDataFrame(time_bucket_rollup(
+            self._df, ts_col, list(resolutions), list(aggs), group_cols))
+
+    def sessionize(self, user_col: str, ts_col: str,
+                   gap: str = "30 minutes", value_col: str | None = None):
+        from fast_causal_inference_spark.streaming.ops import sessionize
+
+        return CausalDataFrame(sessionize(self._df, user_col, ts_col,
+                                          gap, value_col))
+
+    def top_k_per_key(self, keys, order_col: str, k: int, **kwargs):
+        from fast_causal_inference_spark.operators.skew import (
+            top_k_per_key,
+        )
+
+        return CausalDataFrame(top_k_per_key(self._df, keys, order_col,
+                                             k, **kwargs))
+
     def split(self, test_size: float = 0.5, seed: int | None = None):
         """Train/test split (reference dataframe.py:857-874)."""
         return [CausalDataFrame(d) for d in

@@ -156,3 +156,22 @@ def test_facade_aggregate_shorthands(spark, ab_df):
     assert cdf.anyMin("y") == pytest.approx(pdf.y.min())
     assert cdf.anyMax("y") == pytest.approx(pdf.y.max())
     assert "rows=4000" in cdf.brief()
+
+
+def test_facade_temporal_verbs(spark, events):
+    import fast_causal_inference_spark as fcis
+    from pyspark.sql import functions as F
+
+    cdf = fcis.readSparkDf(events)
+    views = events.select("user_id", "ts", "value").limit(500)
+    aj = cdf.asof_join(views, on="user_id", left_ts="ts",
+                       right_cols=["value"])
+    assert aj.df.count() == events.count()
+    ru = cdf.time_bucket_rollup(
+        "ts", ["1 day"], [F.count(F.lit(1)).alias("n")], ["event_type"])
+    assert ru.df.count() > 0
+    ses = cdf.sessionize("user_id", "ts", gap="30 minutes")
+    assert "duration_sec" in ses.df.columns
+    tk = cdf.top_k_per_key("user_id", "value", k=2)
+    assert tk.df.groupBy("user_id").count().agg(
+        F.max("count")).collect()[0][0] <= 2
