@@ -531,3 +531,39 @@ def test_decontaminate(spark, docs):
 
     with pytest.raises(ValueError):
         quality.decontaminate(docs, bench, mode="bogus")
+
+
+def test_ngram_prefix_ppjoin_filter_is_exact(spark, docs_with_dups):
+    """Prefix + PPJoin positional pruning must lose NO true pair: the
+    filtered pipeline equals the unfiltered (prefix_filter=False) one at
+    several thresholds."""
+    for thr in (0.4, 0.6, 0.8):
+        fast = dedup.ngram_jaccard_pairs(docs_with_dups, threshold=thr) \
+            .select("id_a", "id_b", F.round("jaccard", 9).alias("j")) \
+            .toPandas()
+        slow = dedup.ngram_jaccard_pairs(docs_with_dups, threshold=thr,
+                                         prefix_filter=False) \
+            .select("id_a", "id_b", F.round("jaccard", 9).alias("j")) \
+            .toPandas()
+        a = set(map(tuple, fast.to_numpy()))
+        b = set(map(tuple, slow.to_numpy()))
+        assert a == b, (thr, a ^ b)
+
+
+def test_relational_verify_matches_array_jaccard(spark, docs_with_dups):
+    """The intersection-count verification must equal the array
+    array_intersect/array_union Jaccard on every emitted pair."""
+    pairs = dedup.ngram_jaccard_pairs(docs_with_dups, threshold=0.5)
+    sh = docs_with_dups.select(
+        F.col("doc_id").alias("id"),
+        dedup.shingle_hashes(F.col("text")).alias("sh"))
+    joined = (pairs
+              .join(sh.select(F.col("id").alias("id_a"),
+                              F.col("sh").alias("sh_a")), "id_a")
+              .join(sh.select(F.col("id").alias("id_b"),
+                              F.col("sh").alias("sh_b")), "id_b")
+              .withColumn("j2", dedup.jaccard(F.col("sh_a"),
+                                              F.col("sh_b"))))
+    bad = joined.where(
+        F.abs(F.col("jaccard") - F.col("j2")) > 1e-9).count()
+    assert bad == 0
