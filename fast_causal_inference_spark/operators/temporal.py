@@ -50,7 +50,10 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
     ``tolerance`` (seconds) nulls the match when the time gap exceeds it.
     Matched right columns (default: all non-key, non-ts) are appended
     with ``suffix``; ``<right_ts><suffix>`` carries the matched
-    timestamp.  Ties (equal timestamps) match, like merge_asof.
+    timestamp.  Ties (equal timestamps) match, like merge_asof; among
+    DUPLICATE right timestamps the winner is chosen by payload hash —
+    deterministic and retry-stable, where pandas uses input position
+    (meaningless for a distributed relation).
 
     Plan shape: union of the two tagged inputs, one window over
     ``partitionBy(keys) orderBy(ts, side)`` with running
@@ -76,6 +79,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
     l_tagged = left.select(
         *[F.col(c).alias(f"__k{i}") for i, c in enumerate(keys)],
         lt.alias("__ts"), F.lit(1).alias("__side"),
+        F.lit(0).cast("long").alias("__tb"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
         F.lit(None).cast("double").alias("__rts"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
@@ -83,14 +87,22 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
     r_tagged = right.select(
         *[F.col(c).alias(f"__k{i}") for i, c in enumerate(keys)],
         rt.alias("__ts"), F.lit(0).alias("__side"),
+        # duplicate right timestamps: break the tie on the payload hash so
+        # the matched row is a pure function of the DATA, not of shuffle
+        # arrival order (pandas resolves this positionally — a notion a
+        # distributed relation does not have)
+        F.xxhash64(*[F.col(c) for c in payload],
+                   F.lit(0)).alias("__tb"),
         F.lit(None).cast(l_tagged.schema["__lrow"].dataType).alias("__lrow"),
         rt.alias("__rts"),
         *[F.col(c).alias(f"__r_{c}") for c in payload])
 
     u = l_tagged.unionByName(r_tagged)
-    order = [F.col("__ts").asc(), F.col("__side").asc()] \
+    order = [F.col("__ts").asc(), F.col("__side").asc(),
+             F.col("__tb").asc()] \
         if direction == "backward" \
-        else [F.col("__ts").desc(), F.col("__side").asc()]
+        else [F.col("__ts").desc(), F.col("__side").asc(),
+              F.col("__tb").asc()]
     w = (Window.partitionBy(*[f"__k{i}" for i in range(len(keys))])
          .orderBy(*order)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
