@@ -84,3 +84,43 @@ def bucketize(df: DataFrame, col: str, splits: list[float] | None = None,
     b = Bucketizer(splits=splits, inputCol=col, outputCol=output_col,
                    handleInvalid="keep")
     return b.transform(df)
+
+
+def winsorize(df: DataFrame, cols: list[str] | str,
+              lower: float = 0.01, upper: float = 0.99,
+              relative_error: float = 1e-4,
+              suffix: str = "") -> DataFrame:
+    """Quantile-clip metric columns (the standard experiment-metric
+    capping that keeps one whale user from owning the variance).
+
+    Bounds come from ONE multi-column ``approxQuantile`` sketch pass (no
+    sort at any scale); clipping itself is a pure projection.  With
+    ``suffix=''`` columns are replaced in place; otherwise the clipped
+    copy is added as ``<col><suffix>``."""
+    col_list = [cols] if isinstance(cols, str) else list(cols)
+    if not 0.0 <= lower < upper <= 1.0:
+        raise ValueError("need 0 <= lower < upper <= 1")
+    bounds = df.approxQuantile(col_list, [lower, upper], relative_error)
+    out = df
+    for c, (lo, hi) in zip(col_list, bounds):
+        clipped = F.least(F.greatest(F.col(c).cast("double"),
+                                     F.lit(lo)), F.lit(hi))
+        out = out.withColumn(c + suffix, clipped)
+    return out
+
+
+def trim_outliers(df: DataFrame, cols: list[str] | str,
+                  lower: float = 0.01, upper: float = 0.99,
+                  relative_error: float = 1e-4) -> DataFrame:
+    """Drop rows outside the [lower, upper] quantile band of EVERY given
+    metric column (trimmed-sample analysis; winsorize keeps the rows and
+    caps the values instead)."""
+    col_list = [cols] if isinstance(cols, str) else list(cols)
+    if not 0.0 <= lower < upper <= 1.0:
+        raise ValueError("need 0 <= lower < upper <= 1")
+    bounds = df.approxQuantile(col_list, [lower, upper], relative_error)
+    out = df
+    for c, (lo, hi) in zip(col_list, bounds):
+        cc = F.col(c).cast("double")
+        out = out.where((cc >= F.lit(lo)) & (cc <= F.lit(hi)))
+    return out

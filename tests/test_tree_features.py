@@ -193,3 +193,28 @@ def test_long_term_reference_semantics(spark):
     assert np.allclose(point, out.mean_pred.to_numpy()[2:], atol=0.2)
     assert (out.std_pred.to_numpy()[2:] > 0).all()
     assert np.isnan(out.mean_pred.to_numpy()[:2]).all()
+
+
+def test_winsorize_and_trim(spark, ab_df):
+    from fast_causal_inference_spark.functions.features import (
+        trim_outliers,
+        winsorize,
+    )
+    import pyspark.sql.functions as F
+
+    w = winsorize(ab_df, "numerator", 0.05, 0.95)
+    lo, hi = ab_df.approxQuantile("numerator", [0.05, 0.95], 1e-4)
+    mm = w.agg(F.min("numerator"), F.max("numerator")).collect()[0]
+    assert mm[0] >= lo - 1e-9 and mm[1] <= hi + 1e-9
+    assert w.count() == ab_df.count()
+
+    w2 = winsorize(ab_df, ["numerator"], 0.05, 0.95, suffix="_w")
+    assert "numerator_w" in w2.columns
+
+    t = trim_outliers(ab_df, "numerator", 0.05, 0.95)
+    assert t.count() < ab_df.count()
+    mm = t.agg(F.min("numerator"), F.max("numerator")).collect()[0]
+    assert mm[0] >= lo - 1e-9 and mm[1] <= hi + 1e-9
+
+    with pytest.raises(ValueError):
+        winsorize(ab_df, "numerator", 0.9, 0.1)
