@@ -58,6 +58,10 @@ from fast_causal_inference_spark.operators.temporal import (
     range_join,
     time_bucket_rollup,
 )
+from fast_causal_inference_spark.operators.contingency import (
+    chi_square_independence,
+    fisher_exact_2x2,
+)
 
 __version__ = "0.1.0"
 
@@ -108,4 +112,6 @@ __all__ = [
     "asof_join",
     "range_join",
     "time_bucket_rollup",
+    "chi_square_independence",
+    "fisher_exact_2x2",
 ]

@@ -340,6 +340,20 @@ class CausalDataFrame:
         return CausalDataFrame(sessionize(self._df, user_col, ts_col,
                                           gap, value_col))
 
+    def chi_square_independence(self, x: str, y: str, **kwargs):
+        from fast_causal_inference_spark.operators.contingency import (
+            chi_square_independence,
+        )
+
+        return chi_square_independence(self._df, x, y, **kwargs)
+
+    def fisher_exact_2x2(self, x: str, y: str, **kwargs):
+        from fast_causal_inference_spark.operators.contingency import (
+            fisher_exact_2x2,
+        )
+
+        return fisher_exact_2x2(self._df, x, y, **kwargs)
+
     def top_k_per_key(self, keys, order_col: str, k: int, **kwargs):
         from fast_causal_inference_spark.operators.skew import (
             top_k_per_key,
