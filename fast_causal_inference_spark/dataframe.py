@@ -501,6 +501,17 @@ def readTable(name: str, spark: SparkSession | None = None) -> CausalDataFrame:
     return CausalDataFrame(spark.table(name))
 
 
+def readJson(path: str, spark: SparkSession | None = None,
+             **options) -> CausalDataFrame:
+    spark = spark or SparkSession.getActiveSession()
+    return CausalDataFrame(spark.read.options(**options).json(path))
+
+
+def readOrc(path: str, spark: SparkSession | None = None) -> CausalDataFrame:
+    spark = spark or SparkSession.getActiveSession()
+    return CausalDataFrame(spark.read.orc(path))
+
+
 def readSparkDf(df: DataFrame, na_fill: float | None = None) -> CausalDataFrame:
     """Wrap a Spark DataFrame; ``na_fill`` fills numeric NULLs first
     (the reference's ingest preprocessing — lib/tools.py:578 fills NA so

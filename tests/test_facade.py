@@ -175,3 +175,18 @@ def test_facade_temporal_verbs(spark, events):
     tk = cdf.top_k_per_key("user_id", "value", k=2)
     assert tk.df.groupBy("user_id").count().agg(
         F.max("count")).collect()[0][0] <= 2
+
+
+def test_read_json_orc_roundtrip(spark, events, tmp_path):
+    import fast_causal_inference_spark.dataframe as fdf
+    from pyspark.sql import functions as F
+
+    jp, op = str(tmp_path / "ev_json"), str(tmp_path / "ev_orc")
+    small = events.select("event_id", "user_id", "value").limit(100)
+    small.write.mode("overwrite").json(jp)
+    small.write.mode("overwrite").orc(op)
+    assert fdf.readJson(jp, spark).df.count() == 100
+    back = fdf.readOrc(op, spark)
+    assert back.df.count() == 100
+    # facade verbs work straight off the reader
+    assert back.varSamp("value").collect()[0][0] is not None
