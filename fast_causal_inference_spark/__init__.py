@@ -62,6 +62,10 @@ from fast_causal_inference_spark.operators.contingency import (
     chi_square_independence,
     fisher_exact_2x2,
 )
+from fast_causal_inference_spark.operators.anova import (
+    anova_oneway,
+    bartlett_test,
+)
 
 __version__ = "0.1.0"
 
@@ -114,4 +118,6 @@ __all__ = [
     "time_bucket_rollup",
     "chi_square_independence",
     "fisher_exact_2x2",
+    "anova_oneway",
+    "bartlett_test",
 ]

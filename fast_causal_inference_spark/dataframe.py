@@ -340,6 +340,18 @@ class CausalDataFrame:
         return CausalDataFrame(sessionize(self._df, user_col, ts_col,
                                           gap, value_col))
 
+    def anova_oneway(self, y: str, index: str, **kwargs):
+        from fast_causal_inference_spark.operators.anova import anova_oneway
+
+        return anova_oneway(self._df, y, index, **kwargs)
+
+    def bartlett_test(self, y: str, index: str):
+        from fast_causal_inference_spark.operators.anova import (
+            bartlett_test,
+        )
+
+        return bartlett_test(self._df, y, index)
+
     def chi_square_independence(self, x: str, y: str, **kwargs):
         from fast_causal_inference_spark.operators.contingency import (
             chi_square_independence,
