@@ -65,6 +65,7 @@ from fast_causal_inference_spark.operators.contingency import (
 from fast_causal_inference_spark.operators.anova import (
     anova_oneway,
     bartlett_test,
+    kruskal_wallis_test,
 )
 
 __version__ = "0.1.0"
@@ -120,4 +121,5 @@ __all__ = [
     "fisher_exact_2x2",
     "anova_oneway",
     "bartlett_test",
+    "kruskal_wallis_test",
 ]

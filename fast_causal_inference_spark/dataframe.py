@@ -352,6 +352,13 @@ class CausalDataFrame:
 
         return bartlett_test(self._df, y, index)
 
+    def kruskal_wallis_test(self, y: str, index: str, **kwargs):
+        from fast_causal_inference_spark.operators.anova import (
+            kruskal_wallis_test,
+        )
+
+        return kruskal_wallis_test(self._df, y, index, **kwargs)
+
     def chi_square_independence(self, x: str, y: str, **kwargs):
         from fast_causal_inference_spark.operators.contingency import (
             chi_square_independence,

@@ -103,3 +103,119 @@ def bartlett_test(df: DataFrame, y: str, index: str) -> pd.DataFrame:
         "statistic": stat, "df": float(k - 1), "p_value": p,
         "n": n, "k": float(k),
     }])
+
+
+_KW_SCHEMA = "pid long, arm string, n double, r_local double, ties double"
+
+
+def _kw_partition_stats(batches):
+    """Per range-partition: per-arm (count, local rank-sum) + tie term.
+    Rows arrive sorted by v with equal values co-located (range
+    partitioner), mirroring the Mann-Whitney pass."""
+    from pyspark import TaskContext
+
+    chunks = list(batches)
+    pdf = pd.concat(chunks) if chunks else None
+    pid = TaskContext.get().partitionId()
+    if pdf is None or len(pdf) == 0:
+        yield pd.DataFrame([{"pid": pid, "arm": None, "n": 0.0,
+                             "r_local": 0.0, "ties": 0.0}])
+        return
+    runs = pdf.groupby("v", sort=True).size()
+    t = runs.to_numpy(dtype=float)
+    start = t.cumsum() - t
+    avg_rank = pd.Series(start + (t + 1.0) / 2.0, index=runs.index)
+    pdf = pdf.assign(__r=pdf["v"].map(avg_rank))
+    per_arm = pdf.groupby("arm").agg(n=("__r", "size"),
+                                     r_local=("__r", "sum")).reset_index()
+    per_arm["pid"] = pid
+    per_arm["ties"] = 0.0
+    total = pd.DataFrame([{"pid": pid, "arm": None,
+                           "n": float(len(pdf)), "r_local": 0.0,
+                           "ties": float((t ** 3 - t).sum())}])
+    yield pd.concat([per_arm[["pid", "arm", "n", "r_local", "ties"]],
+                     total])
+
+
+def kruskal_wallis_test(df: DataFrame, y: str, index: str,
+                        num_partitions: int | None = None) -> pd.DataFrame:
+    """Kruskal-Wallis rank test across k arms — the nonparametric
+    one-way ANOVA (k-arm Mann-Whitney), tie-corrected, chi-square null.
+
+    Scale shape mirrors ``mann_whitney_utest``: a single-split input runs
+    the fully relational distinct-value path (groupBy + one window
+    cumsum); larger inputs run ONE ``repartitionByRange`` rank pass where
+    every partition emits k+1 scalars and the driver merges with prefix
+    offsets.  Returns statistic, df, p_value, n, k."""
+    from fast_causal_inference_spark.operators.mann_whitney import (
+        estimate_scan_splits,
+    )
+    from fast_causal_inference_spark.serialization import (
+        ensure_udf_serializable,
+    )
+
+    idx = F.col(index) if index.isidentifier() else F.expr(index)
+    ycol = F.expr(y).cast("double")
+    sub = (df.select(idx.cast("string").alias("arm"), ycol.alias("v"))
+             .where(F.col("arm").isNotNull() & F.col("v").isNotNull()))
+    est = estimate_scan_splits(sub)
+    shuffle_p = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    p = num_partitions or (min(shuffle_p, est) if est else shuffle_p)
+
+    if p == 1:
+        from pyspark.sql import Window
+
+        d = sub.groupBy("v", "arm").agg(
+            F.count(F.lit(1)).cast("double").alias("c"))
+        tv = d.groupBy("v").agg(F.sum("c").alias("t"))
+        wspec = Window.orderBy("v").rowsBetween(Window.unboundedPreceding,
+                                                -1)
+        tv = tv.withColumn("before",
+                           F.coalesce(F.sum("t").over(wspec), F.lit(0.0)))
+        joined = d.join(tv, "v")
+        arm_rows = (joined.groupBy("arm")
+                    .agg(F.sum("c").alias("n_a"),
+                         F.sum(F.col("c") * (F.col("before")
+                                             + (F.col("t") + 1.0) / 2.0))
+                         .alias("R")).collect())
+        stats = {r["arm"]: (float(r["n_a"]), float(r["R"]))
+                 for r in arm_rows}
+        tie_sum = float(tv.agg(F.sum(
+            F.col("t") ** 3 - F.col("t"))).collect()[0][0] or 0.0)
+    else:
+        rp = sub.repartitionByRange(p, "v").sortWithinPartitions("v")
+        ensure_udf_serializable()
+        parts = rp.mapInPandas(_kw_partition_stats, _KW_SCHEMA).collect()
+        totals = sorted((r for r in parts if r["arm"] is None),
+                        key=lambda r: r["pid"])
+        offsets = {}
+        run = 0.0
+        for r in totals:
+            offsets[r["pid"]] = run
+            run += r["n"]
+        stats = {}
+        for r in parts:
+            if r["arm"] is None:
+                continue
+            n_a, R = stats.get(r["arm"], (0.0, 0.0))
+            stats[r["arm"]] = (n_a + r["n"],
+                               R + r["r_local"] + offsets[r["pid"]] * r["n"])
+        tie_sum = sum(r["ties"] for r in totals)
+
+    k = len(stats)
+    if k < 2:
+        raise ValueError("need at least 2 arms")
+    n = sum(v[0] for v in stats.values())
+    h = 12.0 / (n * (n + 1.0)) * sum(R * R / n_a
+                                     for n_a, R in stats.values()) \
+        - 3.0 * (n + 1.0)
+    denom = 1.0 - tie_sum / (n ** 3 - n) if n > 1 else 1.0
+    if denom <= 0:
+        raise ValueError("all values tied — statistic undefined")
+    h /= denom
+    p_val = float(dist.chi2_sf(h, k - 1))
+    return pd.DataFrame([{
+        "statistic": float(h), "df": float(k - 1), "p_value": p_val,
+        "n": float(n), "k": float(k),
+    }])

@@ -91,3 +91,71 @@ def test_anova_validates(spark):
         {"arm": ["a"] * 5, "y": [1.0, 2, 3, 4, 5]}))
     with pytest.raises(ValueError, match="2 arms"):
         anova_oneway(one, "y", "arm")
+
+
+def _kw_hand(groups):
+    """Hand Kruskal-Wallis with average ranks + tie correction."""
+    all_v = np.concatenate([np.asarray(v, dtype=float) for v in groups])
+    order = pd.Series(all_v).rank(method="average").to_numpy()
+    n = len(all_v)
+    h = 0.0
+    i = 0
+    for v in groups:
+        r = order[i:i + len(v)]
+        h += r.sum() ** 2 / len(v)
+        i += len(v)
+    h = 12.0 / (n * (n + 1)) * h - 3 * (n + 1)
+    _, t = np.unique(all_v, return_counts=True)
+    h /= 1.0 - (t ** 3 - t).sum() / (n ** 3 - n)
+    return h
+
+
+def test_kruskal_matches_hand_with_ties(spark):
+    from fast_causal_inference_spark.operators.anova import (
+        kruskal_wallis_test,
+    )
+
+    groups = [[1.0, 2, 2, 3, 7], [2.0, 4, 4, 5], [5.0, 6, 6, 7, 8, 8]]
+    rows = [{"arm": f"g{i}", "y": float(v)}
+            for i, vs in enumerate(groups) for v in vs]
+    d = spark.createDataFrame(pd.DataFrame(rows)).repartition(3)
+    out = kruskal_wallis_test(d, "y", "arm")
+    assert out.statistic[0] == pytest.approx(_kw_hand(groups), rel=1e-9)
+    assert out.k[0] == 3
+    # distributed path must agree with the relational one
+    out2 = kruskal_wallis_test(d, "y", "arm", num_partitions=4)
+    assert out2.statistic[0] == pytest.approx(out.statistic[0], rel=1e-9)
+
+
+def test_kruskal_two_arms_equals_mw_z_squared(spark, ab_df):
+    """k=2: H equals the tie-corrected Mann-Whitney z² (no continuity
+    correction), and the chi2(1) p equals the two-sided normal p."""
+    from fast_causal_inference_spark.operators.anova import (
+        kruskal_wallis_test,
+    )
+    from fast_causal_inference_spark.operators.mann_whitney import (
+        mann_whitney_utest,
+    )
+
+    kw = kruskal_wallis_test(ab_df, "y", "treatment")
+    mw = mann_whitney_utest(ab_df, "y", "treatment",
+                            continuity_correction=False,
+                            method="asymptotic")
+    assert kw.statistic[0] == pytest.approx(float(mw.z[0]) ** 2, rel=1e-9)
+    assert kw.p_value[0] == pytest.approx(float(mw.p_value[0]), rel=1e-6)
+
+
+def test_kruskal_distributed_matches_relational_big(spark):
+    from fast_causal_inference_spark.operators.anova import (
+        kruskal_wallis_test,
+    )
+
+    rng = np.random.default_rng(9)
+    pdf = pd.DataFrame({
+        "arm": rng.choice(["a", "b", "c", "d"], 5000),
+        "y": np.round(rng.normal(size=5000), 2),   # rounded → heavy ties
+    })
+    d = spark.createDataFrame(pdf).repartition(6)
+    a = kruskal_wallis_test(d, "y", "arm", num_partitions=1)
+    b = kruskal_wallis_test(d, "y", "arm", num_partitions=8)
+    assert a.statistic[0] == pytest.approx(b.statistic[0], rel=1e-9)
