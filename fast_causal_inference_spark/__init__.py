@@ -67,6 +67,10 @@ from fast_causal_inference_spark.operators.anova import (
     bartlett_test,
     kruskal_wallis_test,
 )
+from fast_causal_inference_spark.operators.proportion import (
+    proportion_ztest,
+    proportion_ztest_1samp,
+)
 
 __version__ = "0.1.0"
 
@@ -122,4 +126,6 @@ __all__ = [
     "anova_oneway",
     "bartlett_test",
     "kruskal_wallis_test",
+    "proportion_ztest",
+    "proportion_ztest_1samp",
 ]

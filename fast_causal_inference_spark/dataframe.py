@@ -359,6 +359,13 @@ class CausalDataFrame:
 
         return kruskal_wallis_test(self._df, y, index, **kwargs)
 
+    def proportion_ztest(self, success: str, index: str, **kwargs):
+        from fast_causal_inference_spark.operators.proportion import (
+            proportion_ztest,
+        )
+
+        return proportion_ztest(self._df, success, index, **kwargs)
+
     def chi_square_independence(self, x: str, y: str, **kwargs):
         from fast_causal_inference_spark.operators.contingency import (
             chi_square_independence,
