@@ -71,6 +71,9 @@ from fast_causal_inference_spark.operators.proportion import (
     proportion_ztest,
     proportion_ztest_1samp,
 )
+from fast_causal_inference_spark.operators.multiple_testing import (
+    adjust_pvalues,
+)
 
 __version__ = "0.1.0"
 
@@ -128,4 +131,5 @@ __all__ = [
     "kruskal_wallis_test",
     "proportion_ztest",
     "proportion_ztest_1samp",
+    "adjust_pvalues",
 ]
