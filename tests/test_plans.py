@@ -235,3 +235,35 @@ def test_global_shuffle_one_exchange(spark, docs):
     out = global_shuffle(docs, seed=1, key_cols=["doc_id"])
     plan = _plan(out)
     assert plan.count("Exchange") == 1, plan
+
+
+def test_bucketed_join_eliminates_exchange(spark, tmp_path_factory, events):
+    """Two tables bucketed on the same key join with ZERO exchanges —
+    the write-once-shuffle-never pattern for repeated fact-fact joins."""
+    from fast_causal_inference_spark.sources.bucketed import (
+        is_bucketed,
+        write_bucketed,
+    )
+
+    a = events.select("user_id", "value")
+    b = events.select("user_id", "event_type")
+    write_bucketed(a, "bk_a", "user_id", num_buckets=8)
+    write_bucketed(b, "bk_b", "user_id", num_buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        assert is_bucketed(spark, "bk_a")["num_buckets"] == 8
+        # small fixtures would broadcast (which also skips the shuffle but
+        # proves nothing about bucketing) — force the sort-merge path
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bk_a").join(spark.table("bk_b"), "user_id")
+        plan = _plan(joined)
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert joined.count() > 0
+        # a groupBy on the bucket key also skips its exchange
+        agged = spark.table("bk_a").groupBy("user_id").count()
+        assert "Exchange hashpartitioning" not in _plan(agged)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")
