@@ -60,6 +60,7 @@ from fast_causal_inference_spark.operators.temporal import (
 )
 from fast_causal_inference_spark.operators.contingency import (
     chi_square_independence,
+    cmh_test,
     fisher_exact_2x2,
 )
 from fast_causal_inference_spark.operators.anova import (
@@ -125,6 +126,7 @@ __all__ = [
     "range_join",
     "time_bucket_rollup",
     "chi_square_independence",
+    "cmh_test",
     "fisher_exact_2x2",
     "anova_oneway",
     "bartlett_test",

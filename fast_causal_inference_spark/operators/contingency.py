@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from fast_causal_inference_spark import stats_distributions as dist
 
-__all__ = ["chi_square_independence", "fisher_exact_2x2"]
+__all__ = ["chi_square_independence", "cmh_test", "fisher_exact_2x2"]
 
 _MAX_CELLS = 100_000
 
@@ -108,4 +108,60 @@ def fisher_exact_2x2(df: DataFrame, x: str, y: str,
     return pd.DataFrame([{
         "odds_ratio": odds, "p_value": float(min(p, 1.0)),
         "n": float(n),
+    }])
+
+
+def cmh_test(df: DataFrame, x: str, y: str, stratum: str) -> pd.DataFrame:
+    """Cochran–Mantel–Haenszel test + MH common odds ratio over
+    stratified 2×2 tables — the Simpson's-paradox-proof association test
+    (condition on the stratum, pool evidence across strata).
+
+    Sufficient statistic: one ``groupBy(stratum, x, y).count()`` pass;
+    per-stratum 2×2 cells come to the driver (O(#strata) rows).  Uses the
+    continuity-corrected CMH chi-square (the R ``mantelhaen.test``
+    default) and the MH odds-ratio estimator."""
+    xcol = F.col(x) if x.isidentifier() else F.expr(x)
+    ycol = F.col(y) if y.isidentifier() else F.expr(y)
+    scol = F.col(stratum) if stratum.isidentifier() else F.expr(stratum)
+    pdf = (df.select(scol.cast("string").alias("s"),
+                     xcol.cast("string").alias("x"),
+                     ycol.cast("string").alias("y"))
+           .where(F.col("s").isNotNull() & F.col("x").isNotNull()
+                  & F.col("y").isNotNull())
+           .groupBy("s", "x", "y").agg(F.count(F.lit(1)).alias("n"))
+           .limit(_MAX_CELLS + 1).toPandas())
+    if len(pdf) > _MAX_CELLS:
+        raise ValueError(f"more than {_MAX_CELLS} stratum cells")
+    xlv = sorted(pdf.x.unique())
+    ylv = sorted(pdf.y.unique())
+    if len(xlv) != 2 or len(ylv) != 2:
+        raise ValueError(f"cmh_test needs binary x and y, got "
+                         f"{len(xlv)}×{len(ylv)} levels")
+    num = den = 0.0           # CMH statistic pieces
+    or_num = or_den = 0.0     # MH odds ratio pieces
+    n_strata = 0
+    for _, grp in pdf.groupby("s"):
+        cell = {(r.x, r.y): float(r.n) for r in grp.itertuples()}
+        a = cell.get((xlv[0], ylv[0]), 0.0)
+        b = cell.get((xlv[0], ylv[1]), 0.0)
+        c = cell.get((xlv[1], ylv[0]), 0.0)
+        d = cell.get((xlv[1], ylv[1]), 0.0)
+        t = a + b + c + d
+        if t == 0:
+            continue
+        n_strata += 1
+        r1, c1 = a + b, a + c
+        num += a - r1 * c1 / t
+        den += (r1 * (t - r1) * c1 * (t - c1)) / (t * t * (t - 1)) \
+            if t > 1 else 0.0
+        or_num += a * d / t
+        or_den += b * c / t
+    if den <= 0:
+        raise ValueError("degenerate strata (no within-stratum variance)")
+    stat = (abs(num) - 0.5) ** 2 / den       # continuity-corrected
+    p = float(dist.chi2_sf(stat, 1))
+    mh_or = or_num / or_den if or_den > 0 else float("inf")
+    return pd.DataFrame([{
+        "statistic": float(stat), "df": 1.0, "p_value": p,
+        "mh_odds_ratio": float(mh_or), "n_strata": float(n_strata),
     }])

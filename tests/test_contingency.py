@@ -83,3 +83,44 @@ def test_fisher_requires_2x2(spark):
     d = _df_from_table(spark, tab)
     with pytest.raises(ValueError, match="2×2"):
         fisher_exact_2x2(d, "x", "y")
+
+
+def test_cmh_matches_hand_classic(spark):
+    """R's mantelhaen.test admissions-style fixture: two strata with
+    reversed marginal association (Simpson's paradox guard)."""
+    strata = {
+        "s1": [[10, 20], [30, 40]],
+        "s2": [[40, 30], [20, 10]],
+    }
+    rows = []
+    for s, tab in strata.items():
+        for i, row in enumerate(tab):
+            for j, n in enumerate(row):
+                rows += [{"s": s, "x": f"x{i}", "y": f"y{j}"}] * n
+    d = spark.createDataFrame(pd.DataFrame(rows)).repartition(4)
+    from fast_causal_inference_spark.operators.contingency import cmh_test
+
+    out = cmh_test(d, "x", "y", "s")
+    # hand CMH with continuity correction
+    num = den = orn = ord_ = 0.0
+    for tab in strata.values():
+        (a, b), (c, dd) = tab
+        t = a + b + c + dd
+        num += a - (a + b) * (a + c) / t
+        den += ((a + b) * (c + dd) * (a + c) * (b + dd)) / (t * t * (t - 1))
+        orn += a * dd / t
+        ord_ += b * c / t
+    stat = (abs(num) - 0.5) ** 2 / den
+    assert out.statistic[0] == pytest.approx(stat, rel=1e-12)
+    assert out.mh_odds_ratio[0] == pytest.approx(orn / ord_, rel=1e-12)
+    assert out.n_strata[0] == 2
+
+
+def test_cmh_validates_binary(spark):
+    rows = [{"s": "a", "x": f"x{i}", "y": f"y{j}"}
+            for i in range(3) for j in range(2)]
+    d = spark.createDataFrame(pd.DataFrame(rows))
+    from fast_causal_inference_spark.operators.contingency import cmh_test
+
+    with pytest.raises(ValueError, match="binary"):
+        cmh_test(d, "x", "y", "s")
