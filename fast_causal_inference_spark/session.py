@@ -28,6 +28,12 @@ _DEFAULTS = {
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.driver.maxResultSize": "4g",
+    # local-mode driver IS the executor: Spark's 1g default heap with 32
+    # concurrent tasks OOMs the first real sort/agg spill (measured on a
+    # 4× dedup probe). Only effective when the builder launches the JVM
+    # (i.e., not attaching to a running session); cluster deployments set
+    # executor memory in spark-defaults.conf as usual.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
 
 
