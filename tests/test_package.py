@@ -27,3 +27,14 @@ def test_operator_modules_import():
     ]
     for m in mods:
         importlib.import_module(f"fast_causal_inference_spark.{m}")
+
+
+def test_all_exports_resolve():
+    """Every name in __all__ exists and is callable/usable — guards the
+    export wiring as the surface grows."""
+    import fast_causal_inference_spark as f
+
+    for name in f.__all__:
+        assert hasattr(f, name), name
+        obj = getattr(f, name)
+        assert callable(obj) or isinstance(obj, type), name
