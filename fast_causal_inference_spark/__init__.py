@@ -75,6 +75,12 @@ from fast_causal_inference_spark.operators.proportion import (
 from fast_causal_inference_spark.operators.multiple_testing import (
     adjust_pvalues,
 )
+from fast_causal_inference_spark.operators.power import (
+    effect_size,
+    mde_ttest,
+    power_ttest,
+    sample_size_ttest,
+)
 
 __version__ = "0.1.0"
 
@@ -134,4 +140,8 @@ __all__ = [
     "proportion_ztest",
     "proportion_ztest_1samp",
     "adjust_pvalues",
+    "effect_size",
+    "mde_ttest",
+    "power_ttest",
+    "sample_size_ttest",
 ]

@@ -1,0 +1,53 @@
+"""Power/MDE/sample-size/effect-size vs closed-form identities."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from fast_causal_inference_spark.operators.power import (
+    effect_size,
+    mde_ttest,
+    power_ttest,
+    sample_size_ttest,
+)
+
+
+def test_power_sample_size_roundtrip():
+    # the n recommended for (effect, power) must achieve >= that power
+    n = sample_size_ttest(effect=0.2, std=1.0, power=0.8)
+    p = power_ttest(0.2, 1.0, n, n)
+    assert p >= 0.8
+    assert power_ttest(0.2, 1.0, n * 0.8, n * 0.8) < p
+    # classic closed form: n ≈ 2·(z_{.975}+z_{.8})²/d² ≈ 392.4 for d=0.2
+    assert n == pytest.approx(393, abs=1)
+
+
+def test_mde_power_consistency():
+    mde = mde_ttest(std=1.0, n0=500, n1=500, power=0.8)
+    assert power_ttest(mde, 1.0, 500, 500) == pytest.approx(0.8, abs=0.02)
+    assert power_ttest(mde / 2, 1.0, 500, 500) < 0.5
+
+
+def test_effect_size_matches_numpy(spark):
+    rng = np.random.default_rng(4)
+    n = 2000
+    t = rng.integers(0, 2, n)
+    y = 1.0 + 0.3 * t + rng.normal(0, 1.0, n)
+    d = spark.createDataFrame(pd.DataFrame({"t": t, "y": y})).repartition(4)
+    out = effect_size(d, "y", "t")
+    y0, y1 = y[t == 0], y[t == 1]
+    sp = math.sqrt(((len(y0) - 1) * y0.var(ddof=1)
+                    + (len(y1) - 1) * y1.var(ddof=1))
+                   / (len(y0) + len(y1) - 2))
+    want_d = (y1.mean() - y0.mean()) / sp
+    assert out.cohens_d[0] == pytest.approx(want_d, rel=1e-9)
+    assert abs(out.hedges_g[0]) < abs(out.cohens_d[0])
+    assert 0.0 < out.achieved_power[0] <= 1.0
+
+
+def test_power_validations():
+    with pytest.raises(ValueError):
+        power_ttest(0.1, -1.0, 10, 10)
+    assert sample_size_ttest(0.0, 1.0) == float("inf")
