@@ -380,6 +380,31 @@ class CausalDataFrame:
 
         return fisher_exact_2x2(self._df, x, y, **kwargs)
 
+    def near_dup_pairs(self, method: str = "minhash",
+                       text_col: str = "text", id_col: str = "doc_id",
+                       **kwargs):
+        """Near-duplicate pair relation over a document frame:
+        ``method`` ∈ {'minhash', 'simhash', 'ngram'} (datapipe.dedup)."""
+        from fast_causal_inference_spark.datapipe import dedup
+
+        fns = {"minhash": dedup.minhash_lsh_pairs,
+               "simhash": dedup.simhash_pairs,
+               "ngram": dedup.ngram_jaccard_pairs}
+        if method not in fns:
+            raise ValueError(f"method must be one of {sorted(fns)}")
+        return CausalDataFrame(fns[method](self._df, text_col=text_col,
+                                           id_col=id_col, **kwargs))
+
+    def exact_dedup(self, text_col: str = "text", id_col: str = "doc_id"):
+        from fast_causal_inference_spark.datapipe.dedup import exact_dedup
+
+        return CausalDataFrame(exact_dedup(self._df, text_col, id_col))
+
+    def effect_size(self, y: str, index: str, **kwargs):
+        from fast_causal_inference_spark.operators.power import effect_size
+
+        return effect_size(self._df, y, index, **kwargs)
+
     def top_k_per_key(self, keys, order_col: str, k: int, **kwargs):
         from fast_causal_inference_spark.operators.skew import (
             top_k_per_key,

@@ -10,6 +10,14 @@ from fast_causal_inference_spark.dataframe import (
     readSparkDf,
 )
 
+@pytest.fixture(scope="module")
+def docs_for_facade(spark):
+    from fast_causal_inference_spark.sources.tables import load_table
+
+    return load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id", "text")
+
+
 
 def test_relational_chaining(spark, ab_df):
     cdf = readSparkDf(ab_df)
@@ -190,3 +198,18 @@ def test_read_json_orc_roundtrip(spark, events, tmp_path):
     assert back.df.count() == 100
     # facade verbs work straight off the reader (scalar aggregate)
     assert back.varSamp("value") is not None
+
+
+def test_facade_datapipe_verbs(spark, docs_for_facade):
+    import fast_causal_inference_spark as fcis
+    import pytest as _pytest
+
+    cdf = fcis.readSparkDf(docs_for_facade)
+    assert cdf.exact_dedup().df.count() <= docs_for_facade.count()
+    pairs = cdf.near_dup_pairs(method="ngram", threshold=0.6)
+    assert set(pairs.df.columns) == {"id_a", "id_b", "jaccard"}
+    es = cdf.withColumn("arm", (cdf.df.doc_id % 2).cast("int")) \
+        .withColumn("y", cdf.df.doc_id * 1.0)
+    # wrong method name raises
+    with _pytest.raises(ValueError, match="method"):
+        cdf.near_dup_pairs(method="nope")
