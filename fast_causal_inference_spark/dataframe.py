@@ -264,6 +264,14 @@ class CausalDataFrame:
 
         return did(self._df, Y, treatment, time, *covariates)
 
+    def cluster_robust_ols(self, formula: str, cluster: str,
+                           use_bias: bool = True):
+        from fast_causal_inference_spark.operators.ols import (
+            cluster_robust_ols,
+        )
+
+        return cluster_robust_ols(self._df, formula, cluster, use_bias)
+
     def iv_regression(self, formula: str):
         from fast_causal_inference_spark.operators.ols import iv_regression
 

@@ -55,6 +55,8 @@ class OlsModel:
     f_pvalue: float
     weight_expr: str | None = None
     names: list[str] = field(default_factory=list)
+    # inference-df override (cluster-robust SEs test against G−1)
+    df_override: float | None = None
 
     def __post_init__(self):
         if not self.names:
@@ -68,6 +70,8 @@ class OlsModel:
 
     @property
     def df_resid(self) -> float:
+        if self.df_override is not None:
+            return self.df_override
         return self.n - self.p
 
     @property
@@ -468,3 +472,48 @@ def _split_top_level(s: str) -> list[str]:
             cur.append(ch)
     out.append("".join(cur))
     return [p.strip() for p in out if p.strip()]
+
+
+def cluster_robust_ols(df: DataFrame, formula: str, cluster: str,
+                       use_bias: bool = True) -> OlsModel:
+    """OLS with cluster-robust (CR1 / Liang-Zeger) standard errors — the
+    correct inference when randomization or sampling is by cluster
+    (geo, store, classroom) and errors correlate within clusters.
+
+    Sandwich: V = (XᵀX)⁻¹ [Σ_c (Xᵀe)_c (Xᵀe)_cᵀ] (XᵀX)⁻¹ · G/(G−1) ·
+    (n−1)/(n−p).  Fully relational: after the one-pass Gramian fit, a
+    single ``groupBy(cluster)`` aggregates the per-cluster score vector
+    s_c = Σ_{i∈c} x_i e_i (p sums, residuals as Column expressions from
+    the broadcast β), then ONE global aggregation of the p(p+1)/2 score
+    products forms the meat — the cluster relation never reaches the
+    driver, so millions of clusters are fine."""
+    model = ols(df, formula, use_bias=use_bias)
+    ccol = F.col(cluster) if cluster.isidentifier() else F.expr(cluster)
+    resid = F.expr(model.y_expr).cast("double") - model.predict_column()
+    xs = ([F.lit(1.0)] if use_bias else []) + model._x_columns()
+    p = len(xs)
+    s_aggs = [F.sum(x * resid).alias(f"s{i}") for i, x in enumerate(xs)]
+    per_c = df.groupBy(ccol.alias("__c")).agg(
+        *s_aggs, F.count(F.lit(1)).alias("__nc"))
+    prod_aggs = [F.count(F.lit(1)).alias("G")]
+    for i in range(p):
+        for j in range(i, p):
+            prod_aggs.append(F.sum(F.col(f"s{i}") * F.col(f"s{j}"))
+                             .alias(f"m_{i}_{j}"))
+    row = per_c.agg(*prod_aggs).collect()[0]
+    G = float(row["G"])
+    if G < 2:
+        raise ValueError("need at least 2 clusters")
+    meat = np.zeros((p, p))
+    for i in range(p):
+        for j in range(i, p):
+            meat[i, j] = meat[j, i] = float(row[f"m_{i}_{j}"] or 0.0)
+    n = model.n
+    correction = (G / (G - 1.0)) * ((n - 1.0) / (n - p))
+    bread = model.xtx_inv
+    V = correction * bread @ meat @ bread
+    se = np.sqrt(np.clip(np.diag(V), 0.0, None))
+    import dataclasses
+
+    # t-inference against G−1 df (the standard CR1 convention)
+    return dataclasses.replace(model, stderr=se, df_override=G - 1.0)

@@ -157,3 +157,47 @@ def test_summary_format(spark, ab_df):
     s = ols(ab_df, "y ~ x1 + x2").summary()
     assert "Coefficients:" in s and "R-squared" in s and "F-statistic" in s
     assert "(Intercept)" in s
+
+
+def test_cluster_robust_ols_matches_numpy(spark):
+    """CR1 sandwich vs a direct numpy computation (cluster-correlated
+    errors: plain OLS SEs understate, CR1 matches the hand sandwich)."""
+    import numpy as np
+    import pandas as pd
+
+    from fast_causal_inference_spark.operators.ols import (
+        cluster_robust_ols,
+        ols,
+    )
+
+    rng = np.random.default_rng(12)
+    G, m = 40, 25                       # 40 clusters × 25 rows
+    n = G * m
+    cl = np.repeat(np.arange(G), m)
+    u_c = rng.normal(0, 1.0, G)[cl]     # cluster random effect
+    x = rng.normal(0, 1, n) + 0.5 * rng.normal(0, 1, G)[cl]
+    y = 1.0 + 2.0 * x + u_c + rng.normal(0, 0.5, n)
+    d = spark.createDataFrame(
+        pd.DataFrame({"y": y, "x": x, "c": cl})).repartition(6)
+
+    model = cluster_robust_ols(d, "y ~ x", "c")
+    plain = ols(d, "y ~ x")
+    assert model.beta == pytest.approx(plain.beta, rel=1e-9)
+
+    # numpy oracle
+    X = np.column_stack([np.ones(n), x])
+    beta = np.linalg.solve(X.T @ X, X.T @ y)
+    e = y - X @ beta
+    meat = np.zeros((2, 2))
+    for g in range(G):
+        sg = X[cl == g].T @ e[cl == g]
+        meat += np.outer(sg, sg)
+    bread = np.linalg.inv(X.T @ X)
+    corr = (G / (G - 1)) * ((n - 1) / (n - 2))
+    V = corr * bread @ meat @ bread
+    want_se = np.sqrt(np.diag(V))
+    assert model.stderr == pytest.approx(want_se, rel=1e-6)
+    # with cluster-correlated errors CR1 > classic SEs
+    assert (model.stderr > plain.stderr).all()
+    assert model.df_resid == G - 1
+    assert (model.p_values <= 1.0).all()
