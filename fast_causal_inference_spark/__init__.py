@@ -26,7 +26,7 @@ from fast_causal_inference_spark.operators.ttest import (
     mean_z_test,
 )
 from fast_causal_inference_spark.operators.srm import srm
-from fast_causal_inference_spark.operators.ols import ols, wls, OlsModel, did, iv_regression, cluster_robust_ols
+from fast_causal_inference_spark.operators.ols import ols, wls, OlsModel, did, iv_regression, cluster_robust_ols, robust_ols
 from fast_causal_inference_spark.operators.matrix import matrix_multiplication
 from fast_causal_inference_spark.operators.mann_whitney import mann_whitney_utest
 from fast_causal_inference_spark.operators.kstest import kolmogorov_smirnov_test
@@ -102,6 +102,7 @@ __all__ = [
     "did",
     "iv_regression",
     "cluster_robust_ols",
+    "robust_ols",
     "matrix_multiplication",
     "mann_whitney_utest",
     "kolmogorov_smirnov_test",

@@ -517,3 +517,38 @@ def cluster_robust_ols(df: DataFrame, formula: str, cluster: str,
 
     # t-inference against G−1 df (the standard CR1 convention)
     return dataclasses.replace(model, stderr=se, df_override=G - 1.0)
+
+
+def robust_ols(df: DataFrame, formula: str, use_bias: bool = True,
+               hc: str = "HC1") -> OlsModel:
+    """OLS with heteroskedasticity-robust (White sandwich) standard
+    errors — HC0 or the df-corrected HC1 (the Stata ``robust`` default).
+
+    Meat = Σ xᵢxᵢᵀ eᵢ²: ONE aggregation of the p(p+1)/2 products with
+    residuals as Column expressions from the broadcast β — same one-scan
+    shape as the Gramian itself."""
+    if hc not in ("HC0", "HC1"):
+        raise ValueError("hc must be 'HC0' or 'HC1'")
+    model = ols(df, formula, use_bias=use_bias)
+    resid = F.expr(model.y_expr).cast("double") - model.predict_column()
+    xs = ([F.lit(1.0)] if use_bias else []) + model._x_columns()
+    p = len(xs)
+    e2 = resid * resid
+    aggs = []
+    for i in range(p):
+        for j in range(i, p):
+            aggs.append(F.sum(xs[i] * xs[j] * e2).alias(f"m_{i}_{j}"))
+    row = df.agg(*aggs).collect()[0]
+    meat = np.zeros((p, p))
+    for i in range(p):
+        for j in range(i, p):
+            meat[i, j] = meat[j, i] = float(row[f"m_{i}_{j}"] or 0.0)
+    n = model.n
+    if hc == "HC1":
+        meat *= n / (n - p)
+    bread = model.xtx_inv
+    V = bread @ meat @ bread
+    se = np.sqrt(np.clip(np.diag(V), 0.0, None))
+    import dataclasses
+
+    return dataclasses.replace(model, stderr=se)

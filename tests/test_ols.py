@@ -201,3 +201,33 @@ def test_cluster_robust_ols_matches_numpy(spark):
     assert (model.stderr > plain.stderr).all()
     assert model.df_resid == G - 1
     assert (model.p_values <= 1.0).all()
+
+
+def test_hc_robust_ols_matches_numpy(spark):
+    import numpy as np
+    import pandas as pd
+
+    from fast_causal_inference_spark.operators.ols import ols, robust_ols
+
+    rng = np.random.default_rng(3)
+    n = 3000
+    x = rng.normal(0, 1, n)
+    # heteroskedastic: error sd grows with |x|
+    y = 1.0 + 2.0 * x + rng.normal(0, 0.5 + np.abs(x), n)
+    d = spark.createDataFrame(pd.DataFrame({"y": y, "x": x})).repartition(5)
+    m = robust_ols(d, "y ~ x", hc="HC1")
+    plain = ols(d, "y ~ x")
+    assert m.beta == pytest.approx(plain.beta, rel=1e-9)
+
+    X = np.column_stack([np.ones(n), x])
+    beta = np.linalg.solve(X.T @ X, X.T @ y)
+    e = y - X @ beta
+    meat = (X * (e ** 2)[:, None]).T @ X * (n / (n - 2))
+    bread = np.linalg.inv(X.T @ X)
+    want = np.sqrt(np.diag(bread @ meat @ bread))
+    assert m.stderr == pytest.approx(want, rel=1e-6)
+    # the slope SE must grow when error variance rises with |x| (the
+    # intercept SE can legitimately shrink under the same pattern)
+    assert m.stderr[1] > plain.stderr[1]
+    with pytest.raises(ValueError, match="hc"):
+        robust_ols(d, "y ~ x", hc="HC9")
