@@ -9,6 +9,8 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from pyspark.sql import functions as F                           # noqa: E402
+
 import fast_causal_inference_spark as fcis                       # noqa: E402
 from fast_causal_inference_spark.testing import make_test_data_small  # noqa: E402
 
@@ -44,6 +46,26 @@ def main():
 
     scored = TLearner(["x1", "x2"], "y", "treatment").fit(df).predict(df)
     print(fcis.readSparkDf(scored).get_lift_gain("ite", "y", "treatment", k=5))
+
+    print("== multi-arm / categorical family (round 4) ==")
+    cdf3 = fcis.readSparkDf(
+        df.withColumn("arm3", (F.col("x3") > 1).cast("int")
+                      + F.col("treatment")))
+    print(cdf3.anova_oneway("y", "arm3"))
+    print(cdf3.kruskal_wallis_test("y", "arm3"))
+    print(fcis.readSparkDf(df).chi_square_independence(
+        "treatment", "x3 > 1"))
+    print(fcis.readSparkDf(df).proportion_ztest("y > 2", "treatment"))
+
+    print("== robust OLS inference (round 4) ==")
+    print(fcis.robust_ols(df, "y ~ x1 + x2").coef_table())
+    print(fcis.cluster_robust_ols(
+        df.withColumn("cl", (F.col("x3") * 3).cast("int")),
+        "y ~ x1", "cl").coef_table())
+
+    print("== power / effect size (round 4) ==")
+    print(fcis.effect_size(df, "y", "treatment"))
+    print("n per arm for d=0.1:", fcis.sample_size_ttest(0.1, 1.0))
 
     print("== All-in-SQL ==")
     from fast_causal_inference_spark.plans.sql_macros import sql
