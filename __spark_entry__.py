@@ -1903,6 +1903,833 @@ def q_boot_strap_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_all(out, ["variant", "item", "stat"], ["value"], 6)
 
 
+# ---------------------------------------------------------------------------
+# Round-4 consolidated + new family gates.  The round driver records at most
+# 50 correctness rows, so closely-related operators ride ONE family key in
+# long format (variant, item, stat, value); every new round-3/4 operator
+# (ANOVA family, contingency tests, robust OLS, temporal joins, multiple
+# testing, corpus assembly, power/effect size) gets a first-class gate here.
+# ---------------------------------------------------------------------------
+
+_LONG_SCHEMA = "variant string, item string, stat string, value double"
+
+
+def _long_rows(spark: SparkSession, rows: list[dict]) -> DataFrame:
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["variant", "item", "stat", "value"])
+    pdf["value"] = pdf["value"].astype(float).round(6)
+    return spark.createDataFrame(pdf, schema=_LONG_SCHEMA)
+
+
+def q_ols_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS / two-regressor OLS / WLS coefficients+inference, long format
+    (absorbs the former ols / ols_multi / wls gate keys)."""
+    from fast_causal_inference_spark.operators.ols import ols_coef_df, wls
+
+    li = _load(spark, sf_dir, "lineitem")
+    rows = []
+    simple = ols_coef_df(li, "l_discount ~ l_tax").toPandas()
+    for r in simple.itertuples():
+        for stat in ("estimate", "stderr", "t_value"):
+            rows.append({"variant": "simple", "item": r.name, "stat": stat,
+                         "value": round(float(getattr(r, stat)), 6)})
+    multi = ols_coef_df(li, "l_extendedprice ~ l_quantity + l_discount") \
+        .toPandas()
+    for r in multi.itertuples():
+        rows.append({"variant": "multi", "item": r.name, "stat": "estimate",
+                     "value": round(float(r.estimate), 4)})
+    model = wls(li, "l_discount ~ l_tax", weight="l_quantity")
+    for name, b in zip(model.names, model.beta):
+        rows.append({"variant": "wls", "item": name, "stat": "estimate",
+                     "value": round(float(b), 6)})
+    return _long_rows(spark, rows)
+
+
+_OLS_FAMILY_SQL = f"""
+WITH sf AS ({_OLS_SIMPLE_SQL}), mu AS ({_OLS_MULTI_SQL}), wf AS ({_WLS_SQL})
+SELECT 'simple' AS variant, name AS item, 'estimate' AS stat,
+       estimate AS value FROM sf
+UNION ALL SELECT 'simple', name, 'stderr', stderr FROM sf
+UNION ALL SELECT 'simple', name, 't_value', t_value FROM sf
+UNION ALL SELECT 'multi', name, 'estimate', estimate FROM mu
+UNION ALL SELECT 'wls', name, 'estimate', estimate FROM wf
+"""
+
+
+def q_matrix_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gram matrix + grouped Pearson r/t as one family (absorbs the former
+    matrix_multiplication / pearsonr gate keys)."""
+    rows = []
+    gram = q_matrix_multiplication(spark, sf_dir).toPandas()
+    for r in gram.itertuples():
+        rows.append({"variant": "gram", "item": str(int(r.i)),
+                     "stat": str(int(r.j)), "value": float(r.value)})
+    pr = q_pearsonr(spark, sf_dir).toPandas()
+    for r in pr.itertuples():
+        for stat in ("r", "n", "t_stat"):
+            rows.append({"variant": "pearsonr", "item": str(r.l_returnflag),
+                         "stat": stat, "value": float(getattr(r, stat))})
+    return _long_rows(spark, rows)
+
+
+_MATRIX_OPS_SQL = f"""
+WITH g AS ({_MATRIX_SQL}), p AS ({_PEARSONR_SQL})
+SELECT 'gram' AS variant, CAST(i AS VARCHAR) AS item, CAST(j AS VARCHAR) AS stat,
+       round(value, 6) AS value FROM g
+UNION ALL SELECT 'pearsonr', l_returnflag, 'r', round(r, 6) FROM p
+UNION ALL SELECT 'pearsonr', l_returnflag, 'n', CAST(n AS DOUBLE) FROM p
+UNION ALL SELECT 'pearsonr', l_returnflag, 't_stat', round(t_stat, 6) FROM p
+"""
+
+
+def g_survival_cox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox-PH rows of the survival family in long format (golden-snapshot
+    sub-oracle: iterative Newton solve, not SQL-expressible)."""
+    pdf = q_cox_ph(spark, sf_dir).toPandas()
+    rows = []
+    for r in pdf.itertuples():
+        for stat in ("coef", "hazard_ratio", "stderr", "z", "p_value"):
+            rows.append({"variant": "cox", "item": str(r.name),
+                         "stat": stat,
+                         "value": round(float(getattr(r, stat)), 6)})
+    return _long_rows(spark, rows)
+
+
+def q_survival_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier curve + Cox PH as one survival family (absorbs the
+    former survival_km / cox_ph gate keys)."""
+    km = q_survival_km(spark, sf_dir).toPandas()
+    rows = []
+    for r in km.itertuples():
+        for stat in ("n_risk", "n_event", "survival"):
+            rows.append({"variant": "km", "item": str(int(r.time)),
+                         "stat": stat, "value": float(getattr(r, stat))})
+    cox = g_survival_cox(spark, sf_dir)
+    return _long_rows(spark, rows).unionByName(cox)
+
+
+_KM_LONG_SQL = f"""
+WITH km AS ({_KM_SQL})
+SELECT 'km' AS variant, CAST(CAST(time AS BIGINT) AS VARCHAR) AS item,
+       'n_risk' AS stat, n_risk AS value FROM km
+UNION ALL SELECT 'km', CAST(CAST(time AS BIGINT) AS VARCHAR), 'n_event',
+       n_event FROM km
+UNION ALL SELECT 'km', CAST(CAST(time AS BIGINT) AS VARCHAR), 'survival',
+       survival FROM km
+"""
+
+
+def q_matching_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact matching quotas + caliper cell accounting + SMD balance as
+    one matching family (absorbs exact_matching / caliper_matching / smd)."""
+    rows = []
+    ex = q_exact_matching(spark, sf_dir).toPandas()
+    for r in ex.itertuples():
+        rows.append({"variant": "exact", "item": str(r.o_orderpriority),
+                     "stat": "n_matched", "value": float(r.n_matched)})
+        rows.append({"variant": "exact", "item": str(r.o_orderpriority),
+                     "stat": "n_treated", "value": float(r.n_treated)})
+    cal = q_caliper_matching(spark, sf_dir).toPandas()
+    for r in cal.itertuples():
+        rows.append({"variant": "caliper", "item": str(int(r.bucket)),
+                     "stat": "n_matched", "value": float(r.n_matched)})
+        rows.append({"variant": "caliper", "item": str(int(r.bucket)),
+                     "stat": "n_treated", "value": float(r.n_treated)})
+    sm = q_smd(spark, sf_dir).toPandas()
+    for r in sm.itertuples():
+        for stat in ("mean0", "mean1", "smd"):
+            rows.append({"variant": "smd", "item": str(r.covariate),
+                         "stat": stat, "value": float(getattr(r, stat))})
+    return _long_rows(spark, rows)
+
+
+_MATCHING_FAMILY_SQL = f"""
+WITH ex AS ({_EXACT_MATCHING_SQL}), cal AS ({_CALIPER_SQL}),
+     sm AS ({_SMD_SQL})
+SELECT 'exact' AS variant, o_orderpriority AS item, 'n_matched' AS stat,
+       CAST(n_matched AS DOUBLE) AS value FROM ex
+UNION ALL SELECT 'exact', o_orderpriority, 'n_treated',
+       CAST(n_treated AS DOUBLE) FROM ex
+UNION ALL SELECT 'caliper', CAST(bucket AS VARCHAR), 'n_matched',
+       CAST(n_matched AS DOUBLE) FROM cal
+UNION ALL SELECT 'caliper', CAST(bucket AS VARCHAR), 'n_treated',
+       CAST(n_treated AS DOUBLE) FROM cal
+UNION ALL SELECT 'smd', covariate, 'mean0', mean0 FROM sm
+UNION ALL SELECT 'smd', covariate, 'mean1', mean1 FROM sm
+UNION ALL SELECT 'smd', covariate, 'smd', smd FROM sm
+"""
+
+
+def g_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF rows of the knn family (golden-snapshot sub-oracle: the coarse
+    quantizer is a seeded iterative k-means)."""
+    return q_ivf_knn(spark, sf_dir).select(
+        F.lit("ivf").alias("variant"), "query_id", "vec_id", "rank", "score")
+
+
+def q_knn_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force + IVF approximate cosine top-k as one family
+    (absorbs the former knn_bruteforce / ivf_knn gate keys)."""
+    exact = q_knn_bruteforce(spark, sf_dir).select(
+        F.lit("exact").alias("variant"), "query_id", "vec_id", "rank",
+        "score")
+    return exact.unionByName(g_knn_ivf(spark, sf_dir))
+
+
+def q_multi_arm_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-arm test family: classic one-way ANOVA, Welch ANOVA, Bartlett
+    variance homogeneity, Kruskal-Wallis rank test — one suff-stats pass
+    each over a 3-arm split of events (p-values are deterministic
+    functions of (stat, df), pytest-checked; the gate pins stat+df)."""
+    from fast_causal_inference_spark.operators.anova import (
+        anova_oneway,
+        bartlett_test,
+        kruskal_wallis_test,
+    )
+
+    ev = _load(spark, sf_dir, "events") \
+        .withColumn("arm", (F.col("user_id") % 3).cast("int"))
+    rows = []
+    a = anova_oneway(ev, "value", "arm").iloc[0]
+    for stat in ("f_stat", "df_between", "df_within", "eta_squared",
+                 "n", "k"):
+        rows.append({"variant": "anova_classic", "item": "value",
+                     "stat": stat, "value": float(a[stat])})
+    w = anova_oneway(ev, "value", "arm", equal_var=False).iloc[0]
+    for stat in ("f_stat", "df_between", "df_within"):
+        rows.append({"variant": "anova_welch", "item": "value",
+                     "stat": stat, "value": float(w[stat])})
+    b = bartlett_test(ev, "value", "arm").iloc[0]
+    for stat in ("statistic", "df"):
+        rows.append({"variant": "bartlett", "item": "value", "stat": stat,
+                     "value": float(b[stat])})
+    kw = kruskal_wallis_test(ev, "value", "arm").iloc[0]
+    for stat in ("statistic", "df", "n", "k"):
+        rows.append({"variant": "kruskal_wallis", "item": "value",
+                     "stat": stat, "value": float(kw[stat])})
+    return _long_rows(spark, rows)
+
+
+_MULTI_ARM_SQL = """
+WITH arms AS (
+  SELECT CAST(user_id % 3 AS INT) AS arm,
+         CAST(count(*) AS DOUBLE) AS n, avg(value) AS m,
+         var_samp(value) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+), tot AS (
+  SELECT sum(n) AS n, count(*) AS k, sum(n*m)/sum(n) AS grand FROM arms
+), classic AS (
+  SELECT (SELECT n FROM tot) AS n, (SELECT k FROM tot) AS k,
+         sum(n*(m - (SELECT grand FROM tot))*(m - (SELECT grand FROM tot)))
+           AS ssb,
+         sum((n-1)*v) AS ssw
+  FROM arms
+), welch_w AS (
+  SELECT arm, n, m, v, n/v AS w FROM arms
+), welch_g AS (
+  SELECT sum(w) AS sw, sum(w*m)/sum(w) AS grand,
+         (SELECT k FROM tot) AS k
+  FROM welch_w
+), welch AS (
+  SELECT g.k,
+         sum(w.w*(w.m - g.grand)*(w.m - g.grand)) / (g.k - 1) AS num,
+         sum((1 - w.w/g.sw)*(1 - w.w/g.sw)/(w.n - 1)) AS lam
+  FROM welch_w w, welch_g g GROUP BY g.k, g.sw
+), bart AS (
+  SELECT (SELECT n FROM tot) AS n, (SELECT k FROM tot) AS k,
+         sum((n-1)*ln(v)) AS slnv,
+         sum(1.0/(n-1)) AS sinv,
+         sum((n-1)*v) AS ssw
+  FROM arms
+), vals AS (
+  SELECT value AS val, CAST(user_id % 3 AS INT) AS arm FROM events
+  WHERE value IS NOT NULL
+), dv AS (
+  SELECT val, arm, CAST(count(*) AS DOUBLE) AS c FROM vals GROUP BY 1, 2
+), tv AS (
+  SELECT val, sum(c) AS t,
+         coalesce(sum(sum(c)) OVER (ORDER BY val
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS before
+  FROM dv GROUP BY val
+), kw_arm AS (
+  SELECT d.arm, sum(d.c) AS n_a,
+         sum(d.c * (t.before + (t.t + 1.0)/2.0)) AS r_a
+  FROM dv d JOIN tv t ON d.val = t.val GROUP BY d.arm
+), kw AS (
+  SELECT (SELECT sum(n_a) FROM kw_arm) AS n,
+         (SELECT count(*) FROM kw_arm) AS k,
+         (SELECT sum(r_a*r_a/n_a) FROM kw_arm) AS s,
+         (SELECT sum(t*t*t - t) FROM tv) AS ties
+)
+SELECT 'anova_classic' AS variant, 'value' AS item, 'f_stat' AS stat,
+       round((ssb/(k-1)) / (ssw/(n-k)), 6) AS value FROM classic
+UNION ALL SELECT 'anova_classic', 'value', 'df_between',
+       CAST(k - 1 AS DOUBLE) FROM classic
+UNION ALL SELECT 'anova_classic', 'value', 'df_within', n - k FROM classic
+UNION ALL SELECT 'anova_classic', 'value', 'eta_squared',
+       round(ssb/(ssb + ssw), 6) FROM classic
+UNION ALL SELECT 'anova_classic', 'value', 'n', n FROM classic
+UNION ALL SELECT 'anova_classic', 'value', 'k', CAST(k AS DOUBLE) FROM classic
+UNION ALL SELECT 'anova_welch', 'value', 'f_stat',
+       round(num / (1.0 + 2.0*(k-2)/(k*k - 1.0)*lam), 6) FROM welch
+UNION ALL SELECT 'anova_welch', 'value', 'df_between',
+       CAST(k - 1 AS DOUBLE) FROM welch
+UNION ALL SELECT 'anova_welch', 'value', 'df_within',
+       round((k*k - 1.0)/(3.0*lam), 6) FROM welch
+UNION ALL SELECT 'bartlett', 'value', 'statistic',
+       round(((n-k)*ln(ssw/(n-k)) - slnv)
+             / (1.0 + (sinv - 1.0/(n-k))/(3.0*(k-1))), 6) FROM bart
+UNION ALL SELECT 'bartlett', 'value', 'df', CAST(k - 1 AS DOUBLE) FROM bart
+UNION ALL SELECT 'kruskal_wallis', 'value', 'statistic',
+       round((12.0/(n*(n+1.0))*s - 3.0*(n+1.0))
+             / (1.0 - ties/(n*n*n - n)), 6) FROM kw
+UNION ALL SELECT 'kruskal_wallis', 'value', 'df',
+       CAST(k - 1 AS DOUBLE) FROM kw
+UNION ALL SELECT 'kruskal_wallis', 'value', 'n', n FROM kw
+UNION ALL SELECT 'kruskal_wallis', 'value', 'k', CAST(k AS DOUBLE) FROM kw
+"""
+
+
+def q_contingency_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical-association family: chi-square independence (+Cramér's
+    V), Fisher exact 2×2 (exact hypergeometric p — DuckDB re-derives it
+    with lgamma + generate_series), CMH stratified test + MH common odds
+    ratio, and the two-sample proportion z-test."""
+    from fast_causal_inference_spark.operators.contingency import (
+        chi_square_independence,
+        cmh_test,
+        fisher_exact_2x2,
+    )
+    from fast_causal_inference_spark.operators.proportion import (
+        proportion_ztest,
+    )
+
+    o = _load(spark, sf_dir, "orders") \
+        .withColumn("arm", (F.col("o_orderkey") % 2).cast("int")) \
+        .withColumn("big", (F.col("o_totalprice") > 150000).cast("int"))
+    rows = []
+    chi = chi_square_independence(o, "o_orderpriority", "o_orderstatus") \
+        .iloc[0]
+    for stat in ("chi2", "df", "n", "cramers_v"):
+        rows.append({"variant": "chi_square", "item": "priority_x_status",
+                     "stat": stat, "value": float(chi[stat])})
+    fe = fisher_exact_2x2(o, "arm", "big").iloc[0]
+    for stat in ("odds_ratio", "p_value", "n"):
+        rows.append({"variant": "fisher_exact", "item": "arm_x_big",
+                     "stat": stat, "value": float(fe[stat])})
+    cmh = cmh_test(o, "arm", "big", "o_orderpriority").iloc[0]
+    for stat in ("statistic", "df", "mh_odds_ratio", "n_strata"):
+        rows.append({"variant": "cmh", "item": "arm_x_big|priority",
+                     "stat": stat, "value": float(cmh[stat])})
+    pz = proportion_ztest(o, "big", "arm").iloc[0]
+    for stat in ("proportion0", "proportion1", "diff", "z", "n0", "n1"):
+        rows.append({"variant": "proportion_z", "item": "big~arm",
+                     "stat": stat, "value": float(pz[stat])})
+    return _long_rows(spark, rows)
+
+
+_CONTINGENCY_SQL = """
+WITH tab AS (
+  SELECT o_orderpriority AS x, o_orderstatus AS y,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM orders GROUP BY 1, 2
+), margins AS (
+  SELECT t.x, t.y, t.n,
+         sum(t.n) OVER (PARTITION BY t.x) AS rx,
+         sum(t.n) OVER (PARTITION BY t.y) AS cy,
+         sum(t.n) OVER () AS tot
+  FROM tab t
+), chi AS (
+  SELECT sum((n - rx*cy/tot)*(n - rx*cy/tot)/(rx*cy/tot)) AS chi2,
+         (count(DISTINCT x) - 1) * (count(DISTINCT y) - 1) AS dof,
+         any_value(tot) AS n,
+         least(count(DISTINCT x), count(DISTINCT y)) - 1 AS mink
+  FROM margins
+), f2 AS (
+  SELECT CAST(sum(CASE WHEN o_orderkey % 2 = 0 AND o_totalprice <= 150000
+                  THEN 1 ELSE 0 END) AS DOUBLE) AS a,
+         CAST(sum(CASE WHEN o_orderkey % 2 = 0 AND o_totalprice > 150000
+                  THEN 1 ELSE 0 END) AS DOUBLE) AS b,
+         CAST(sum(CASE WHEN o_orderkey % 2 = 1 AND o_totalprice <= 150000
+                  THEN 1 ELSE 0 END) AS DOUBLE) AS c,
+         CAST(sum(CASE WHEN o_orderkey % 2 = 1 AND o_totalprice > 150000
+                  THEN 1 ELSE 0 END) AS DOUBLE) AS d
+  FROM orders
+), fm AS (
+  SELECT a, b, c, d, a + b AS r1, c + d AS r2, a + c AS c1,
+         a + b + c + d AS n
+  FROM f2
+), fpmf AS (
+  SELECT fm.a AS a_obs, gs.g AS aa,
+         exp( (lgamma(fm.r1+1) - lgamma(gs.g+1) - lgamma(fm.r1-gs.g+1))
+            + (lgamma(fm.r2+1) - lgamma(fm.c1-gs.g+1)
+               - lgamma(fm.r2-(fm.c1-gs.g)+1))
+            - (lgamma(fm.n+1) - lgamma(fm.c1+1) - lgamma(fm.n-fm.c1+1)) )
+           AS p
+  FROM fm, (SELECT unnest(generate_series(
+                CAST(greatest(0, (SELECT c1 - r2 FROM fm)) AS BIGINT),
+                CAST(least((SELECT r1 FROM fm), (SELECT c1 FROM fm))
+                     AS BIGINT))) AS g) gs
+), fisher AS (
+  SELECT (SELECT (a*d)/(b*c) FROM fm) AS odds_ratio,
+         least(sum(CASE WHEN p <= (SELECT p FROM fpmf
+                                   WHERE aa = a_obs) * (1 + 1e-9)
+                   THEN p ELSE 0 END), 1.0) AS p_value,
+         (SELECT n FROM fm) AS n
+  FROM fpmf
+), strata AS (
+  SELECT o_orderpriority AS s,
+         CAST(sum(CASE WHEN o_orderkey % 2 = 0 AND o_totalprice <= 150000
+                  THEN 1 ELSE 0 END) AS DOUBLE) AS a,
+         CAST(sum(CASE WHEN o_orderkey % 2 = 0 AND o_totalprice > 150000
+                  THEN 1 ELSE 0 END) AS DOUBLE) AS b,
+         CAST(sum(CASE WHEN o_orderkey % 2 = 1 AND o_totalprice <= 150000
+                  THEN 1 ELSE 0 END) AS DOUBLE) AS c,
+         CAST(sum(CASE WHEN o_orderkey % 2 = 1 AND o_totalprice > 150000
+                  THEN 1 ELSE 0 END) AS DOUBLE) AS d
+  FROM orders GROUP BY 1
+), cmh AS (
+  SELECT sum(a - (a+b)*(a+c)/(a+b+c+d)) AS num,
+         sum((a+b)*(c+d)*(a+c)*(b+d)
+             / ((a+b+c+d)*(a+b+c+d)*(a+b+c+d-1))) AS den,
+         sum(a*d/(a+b+c+d)) AS or_num,
+         sum(b*c/(a+b+c+d)) AS or_den,
+         count(*) AS n_strata
+  FROM strata WHERE a + b + c + d > 0
+), pz AS (
+  SELECT CAST(count(*) FILTER (o_orderkey % 2 = 0) AS DOUBLE) AS n0,
+         CAST(count(*) FILTER (o_orderkey % 2 = 1) AS DOUBLE) AS n1,
+         CAST(sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END)
+              FILTER (o_orderkey % 2 = 0) AS DOUBLE) AS x0,
+         CAST(sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END)
+              FILTER (o_orderkey % 2 = 1) AS DOUBLE) AS x1
+  FROM orders
+)
+SELECT 'chi_square' AS variant, 'priority_x_status' AS item, 'chi2' AS stat,
+       round(chi2, 6) AS value FROM chi
+UNION ALL SELECT 'chi_square', 'priority_x_status', 'df',
+       CAST(dof AS DOUBLE) FROM chi
+UNION ALL SELECT 'chi_square', 'priority_x_status', 'n', n FROM chi
+UNION ALL SELECT 'chi_square', 'priority_x_status', 'cramers_v',
+       round(sqrt(chi2/(n*mink)), 6) FROM chi
+UNION ALL SELECT 'fisher_exact', 'arm_x_big', 'odds_ratio',
+       round(odds_ratio, 6) FROM fisher
+UNION ALL SELECT 'fisher_exact', 'arm_x_big', 'p_value',
+       round(p_value, 6) FROM fisher
+UNION ALL SELECT 'fisher_exact', 'arm_x_big', 'n', n FROM fisher
+UNION ALL SELECT 'cmh', 'arm_x_big|priority', 'statistic',
+       round((abs(num) - 0.5)*(abs(num) - 0.5)/den, 6) FROM cmh
+UNION ALL SELECT 'cmh', 'arm_x_big|priority', 'df', 1.0 FROM cmh
+UNION ALL SELECT 'cmh', 'arm_x_big|priority', 'mh_odds_ratio',
+       round(or_num/or_den, 6) FROM cmh
+UNION ALL SELECT 'cmh', 'arm_x_big|priority', 'n_strata',
+       CAST(n_strata AS DOUBLE) FROM cmh
+UNION ALL SELECT 'proportion_z', 'big~arm', 'proportion0',
+       round(x0/n0, 6) FROM pz
+UNION ALL SELECT 'proportion_z', 'big~arm', 'proportion1',
+       round(x1/n1, 6) FROM pz
+UNION ALL SELECT 'proportion_z', 'big~arm', 'diff',
+       round(x1/n1 - x0/n0, 6) FROM pz
+UNION ALL SELECT 'proportion_z', 'big~arm', 'z',
+       round((x1/n1 - x0/n0)
+             / sqrt(((x0+x1)/(n0+n1))*(1-(x0+x1)/(n0+n1))*(1/n0 + 1/n1)),
+             6) FROM pz
+UNION ALL SELECT 'proportion_z', 'big~arm', 'n0', n0 FROM pz
+UNION ALL SELECT 'proportion_z', 'big~arm', 'n1', n1 FROM pz
+"""
+
+
+def q_robust_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sandwich-covariance OLS family: White HC1 heteroskedasticity-robust
+    and CR1 cluster-robust (cluster = l_suppkey) standard errors on the
+    single-regressor model l_discount ~ l_tax — closed-form enough that
+    DuckDB re-derives both sandwiches exactly."""
+    from fast_causal_inference_spark.operators.ols import (
+        cluster_robust_ols,
+        robust_ols,
+    )
+
+    li = _load(spark, sf_dir, "lineitem")
+    rows = []
+    hc = robust_ols(li, "l_discount ~ l_tax", hc="HC1")
+    for name, b, se in zip(hc.names, hc.beta, hc.stderr):
+        rows.append({"variant": "hc1", "item": name, "stat": "estimate",
+                     "value": round(float(b), 6)})
+        rows.append({"variant": "hc1", "item": name, "stat": "stderr",
+                     "value": round(float(se), 6)})
+    cr = cluster_robust_ols(li, "l_discount ~ l_tax", cluster="l_suppkey")
+    for name, b, se in zip(cr.names, cr.beta, cr.stderr):
+        rows.append({"variant": "cr1", "item": name, "stat": "estimate",
+                     "value": round(float(b), 6)})
+        rows.append({"variant": "cr1", "item": name, "stat": "stderr",
+                     "value": round(float(se), 6)})
+    return _long_rows(spark, rows)
+
+
+_ROBUST_OLS_SQL = """
+WITH base AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(l_tax) AS sx,
+         sum(l_tax*l_tax) AS sxx, sum(l_discount) AS sy,
+         sum(l_tax*l_discount) AS sxy
+  FROM lineitem
+), beta AS (
+  SELECT n, sx, sxx, n*sxx - sx*sx AS det,
+         (n*sxy - sx*sy)/(n*sxx - sx*sx) AS b1,
+         (sy*sxx - sx*sxy)/(n*sxx - sx*sx) AS b0
+  FROM base
+), hc_meat AS (
+  SELECT sum((l_discount - b.b0 - b.b1*l_tax)
+             *(l_discount - b.b0 - b.b1*l_tax)) AS m11,
+         sum(l_tax*(l_discount - b.b0 - b.b1*l_tax)
+             *(l_discount - b.b0 - b.b1*l_tax)) AS m12,
+         sum(l_tax*l_tax*(l_discount - b.b0 - b.b1*l_tax)
+             *(l_discount - b.b0 - b.b1*l_tax)) AS m22
+  FROM lineitem, beta b
+), hc AS (
+  SELECT b.b0, b.b1,
+         sqrt((b.n/(b.n-2))
+              * (b.sxx*b.sxx*m.m11 - 2*b.sxx*b.sx*m.m12 + b.sx*b.sx*m.m22)
+              / (b.det*b.det)) AS se0,
+         sqrt((b.n/(b.n-2))
+              * (b.sx*b.sx*m.m11 - 2*b.n*b.sx*m.m12 + b.n*b.n*m.m22)
+              / (b.det*b.det)) AS se1
+  FROM beta b, hc_meat m
+), cl AS (
+  SELECT l_suppkey,
+         sum(l_discount - b.b0 - b.b1*l_tax) AS s1,
+         sum(l_tax*(l_discount - b.b0 - b.b1*l_tax)) AS s2
+  FROM lineitem, beta b GROUP BY l_suppkey, b.b0, b.b1
+), cr_meat AS (
+  SELECT sum(s1*s1) AS m11, sum(s1*s2) AS m12, sum(s2*s2) AS m22,
+         CAST(count(*) AS DOUBLE) AS g
+  FROM cl
+), cr AS (
+  SELECT b.b0, b.b1,
+         sqrt((m.g/(m.g-1))*((b.n-1)/(b.n-2))
+              * (b.sxx*b.sxx*m.m11 - 2*b.sxx*b.sx*m.m12 + b.sx*b.sx*m.m22)
+              / (b.det*b.det)) AS se0,
+         sqrt((m.g/(m.g-1))*((b.n-1)/(b.n-2))
+              * (b.sx*b.sx*m.m11 - 2*b.n*b.sx*m.m12 + b.n*b.n*m.m22)
+              / (b.det*b.det)) AS se1
+  FROM beta b, cr_meat m
+)
+SELECT 'hc1' AS variant, '(Intercept)' AS item, 'estimate' AS stat,
+       round(b0, 6) AS value FROM hc
+UNION ALL SELECT 'hc1', '(Intercept)', 'stderr', round(se0, 6) FROM hc
+UNION ALL SELECT 'hc1', 'l_tax', 'estimate', round(b1, 6) FROM hc
+UNION ALL SELECT 'hc1', 'l_tax', 'stderr', round(se1, 6) FROM hc
+UNION ALL SELECT 'cr1', '(Intercept)', 'estimate', round(b0, 6) FROM cr
+UNION ALL SELECT 'cr1', '(Intercept)', 'stderr', round(se0, 6) FROM cr
+UNION ALL SELECT 'cr1', 'l_tax', 'estimate', round(b1, 6) FROM cr
+UNION ALL SELECT 'cr1', 'l_tax', 'stderr', round(se1, 6) FROM cr
+"""
+
+
+def q_temporal_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-join family, gated on aggregate checksums: as-of join
+    (DuckDB re-derives with its native ASOF JOIN), bucketized range join
+    (plain BETWEEN join in DuckDB), and multi-resolution time rollup."""
+    from fast_causal_inference_spark.operators.temporal import (
+        asof_join,
+        range_join,
+        time_bucket_rollup,
+    )
+
+    ev = _load(spark, sf_dir, "events")
+    points = ev.where(F.col("event_id") % 5 == 0) \
+        .select("user_id", "ts", "value")
+    # collapse duplicate right timestamps so the as-of winner is unique —
+    # both engines then agree without relying on tie-break order
+    quotes = ev.where(F.col("event_id") % 5 != 0) \
+        .groupBy("user_id", "ts").agg(F.max("value").alias("qvalue"))
+    aj = asof_join(points, quotes, on="user_id", left_ts="ts")
+    a = aj.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("qvalue_right").alias("n_matched"),
+        F.round(F.sum("qvalue_right"), 4).alias("qvalue_sum"),
+        F.round(F.sum(
+            (F.unix_micros(F.col("ts").cast("timestamp"))
+             - F.unix_micros(F.col("ts_right").cast("timestamp")))
+            / 1e6), 2).alias("gap_sum"),
+    ).collect()[0]
+    rows = [{"variant": "asof", "item": "events", "stat": s,
+             "value": float(a[s] or 0.0)}
+            for s in ("n_rows", "n_matched", "qvalue_sum", "gap_sum")]
+
+    pts = _load(spark, sf_dir, "lineitem") \
+        .select(F.col("l_extendedprice").alias("pt"),
+                F.col("l_orderkey").alias("okey"))
+    iv = _load(spark, sf_dir, "part").where(F.col("p_partkey") < 100) \
+        .select(F.col("p_partkey").alias("ikey"),
+                (F.col("p_retailprice") - 20.0).alias("lo"),
+                (F.col("p_retailprice") + 20.0).alias("hi"))
+    rj = range_join(pts, iv, on=None, point_ts="pt", start_ts="lo",
+                    end_ts="hi", bucket_width=40.0)
+    r = rj.agg(F.count(F.lit(1)).alias("n_pairs"),
+               F.round(F.sum("pt"), 2).alias("pt_sum"),
+               F.sum("ikey").alias("ikey_sum")).collect()[0]
+    rows += [{"variant": "range", "item": "price_bands", "stat": s,
+              "value": float(r[s] or 0.0)}
+             for s in ("n_pairs", "pt_sum", "ikey_sum")]
+
+    ru = time_bucket_rollup(
+        ev, "ts", ["1 day", "1 hour"],
+        [F.count(F.lit(1)).alias("n"), F.sum("value").alias("vsum")])
+    for rr in (ru.groupBy("resolution")
+               .agg(F.count(F.lit(1)).alias("n_buckets"),
+                    F.sum("n").alias("rows_total"),
+                    F.round(F.sum("vsum"), 2).alias("value_total"))
+               .collect()):
+        res = rr["resolution"].replace(" ", "_")
+        for s in ("n_buckets", "rows_total", "value_total"):
+            rows.append({"variant": "rollup", "item": res, "stat": s,
+                         "value": float(rr[s])})
+    return _long_rows(spark, rows)
+
+
+_TEMPORAL_SQL = """
+WITH points AS (
+  SELECT user_id, ts, value FROM events WHERE event_id % 5 = 0
+), quotes AS (
+  SELECT user_id, ts, max(value) AS qvalue
+  FROM events WHERE event_id % 5 != 0 GROUP BY 1, 2
+), aj AS (
+  SELECT p.ts, q.ts AS ts_right, q.qvalue
+  FROM points p ASOF LEFT JOIN quotes q
+    ON p.user_id = q.user_id AND p.ts >= q.ts
+), a AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_rows,
+         CAST(count(qvalue) AS DOUBLE) AS n_matched,
+         round(sum(qvalue), 4) AS qvalue_sum,
+         round(sum(epoch(ts) - epoch(ts_right)), 2) AS gap_sum
+  FROM aj
+), rj AS (
+  SELECT l.l_extendedprice AS pt, p.p_partkey AS ikey
+  FROM lineitem l JOIN part p
+    ON p.p_partkey < 100
+   AND l.l_extendedprice >= p.p_retailprice - 20.0
+   AND l.l_extendedprice < p.p_retailprice + 20.0
+), r AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_pairs,
+         round(sum(pt), 2) AS pt_sum,
+         CAST(sum(ikey) AS DOUBLE) AS ikey_sum
+  FROM rj
+), ru_day AS (
+  SELECT date_trunc('day', ts) AS b, count(*) AS n, sum(value) AS vsum
+  FROM events GROUP BY 1
+), ru_hour AS (
+  SELECT date_trunc('hour', ts) AS b, count(*) AS n, sum(value) AS vsum
+  FROM events GROUP BY 1
+)
+SELECT 'asof' AS variant, 'events' AS item, 'n_rows' AS stat,
+       n_rows AS value FROM a
+UNION ALL SELECT 'asof', 'events', 'n_matched', n_matched FROM a
+UNION ALL SELECT 'asof', 'events', 'qvalue_sum', qvalue_sum FROM a
+UNION ALL SELECT 'asof', 'events', 'gap_sum', gap_sum FROM a
+UNION ALL SELECT 'range', 'price_bands', 'n_pairs', n_pairs FROM r
+UNION ALL SELECT 'range', 'price_bands', 'pt_sum', pt_sum FROM r
+UNION ALL SELECT 'range', 'price_bands', 'ikey_sum', ikey_sum FROM r
+UNION ALL SELECT 'rollup', '1_day', 'n_buckets',
+       CAST(count(*) AS DOUBLE) FROM ru_day
+UNION ALL SELECT 'rollup', '1_day', 'rows_total',
+       CAST(sum(n) AS DOUBLE) FROM ru_day
+UNION ALL SELECT 'rollup', '1_day', 'value_total',
+       round(sum(vsum), 2) FROM ru_day
+UNION ALL SELECT 'rollup', '1_hour', 'n_buckets',
+       CAST(count(*) AS DOUBLE) FROM ru_hour
+UNION ALL SELECT 'rollup', '1_hour', 'rows_total',
+       CAST(sum(n) AS DOUBLE) FROM ru_hour
+UNION ALL SELECT 'rollup', '1_hour', 'value_total',
+       round(sum(vsum), 2) FROM ru_hour
+"""
+
+
+def q_multiple_testing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bonferroni / Holm / BH adjustment over a deterministic result
+    relation (pseudo p-values = fractional part of per-cell avg price, so
+    DuckDB re-derives the full step-up/step-down paths with windows)."""
+    from fast_causal_inference_spark.operators.multiple_testing import (
+        adjust_pvalues,
+    )
+
+    o = _load(spark, sf_dir, "orders")
+    res = (o.groupBy("o_orderpriority", "o_orderstatus")
+           .agg((F.avg("o_totalprice")
+                 - F.floor(F.avg("o_totalprice"))).alias("p_value")))
+    rows = []
+    for method in ("bonferroni", "holm", "bh"):
+        adj = adjust_pvalues(res, method=method,
+                             out_col="p_adj").toPandas()
+        for r in adj.itertuples():
+            rows.append({
+                "variant": method,
+                "item": f"{r.o_orderpriority}/{r.o_orderstatus}",
+                "stat": "p_adj", "value": round(float(r.p_adj), 6)})
+    return _long_rows(spark, rows)
+
+
+_MULTIPLE_TESTING_SQL = """
+WITH res AS (
+  SELECT o_orderpriority || '/' || o_orderstatus AS item,
+         avg(o_totalprice) - floor(avg(o_totalprice)) AS p
+  FROM orders GROUP BY o_orderpriority, o_orderstatus
+), m AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM res),
+ranked AS (
+  SELECT item, p, row_number() OVER (ORDER BY p, item) AS rk FROM res
+), holm AS (
+  SELECT item, least(max(p * ((SELECT m FROM m) - rk + 1))
+                     OVER (ORDER BY rk
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW), 1.0) AS adj
+  FROM ranked
+), bh AS (
+  SELECT item, least(min(p * (SELECT m FROM m) / rk)
+                     OVER (ORDER BY rk
+                           ROWS BETWEEN CURRENT ROW
+                           AND UNBOUNDED FOLLOWING), 1.0) AS adj
+  FROM ranked
+)
+SELECT 'bonferroni' AS variant, item, 'p_adj' AS stat,
+       round(least(p * (SELECT m FROM m), 1.0), 6) AS value FROM res
+UNION ALL SELECT 'holm', item, 'p_adj', round(adj, 6) FROM holm
+UNION ALL SELECT 'bh', item, 'p_adj', round(adj, 6) FROM bh
+"""
+
+
+def q_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus assembly family (golden snapshot: every draw is a
+    pure xxhash64 function of ids+seed, layout-independent — proven by
+    gen_goldens' two-process determinism probe): domain mixture
+    resampling, deterministic epoch shuffle, sequence packing,
+    quality-weighted sampling."""
+    from fast_causal_inference_spark.datapipe.training import (
+        domain_mixture_sample,
+        global_shuffle,
+        pack_sequences,
+        quality_weighted_sample,
+    )
+
+    d = _load(spark, sf_dir, "documents")
+    rows = []
+    mix = domain_mixture_sample(
+        d, "lang", target_weights={"en": 0.4, "de": 0.2, "zh": 0.2,
+                                   "fr": 0.1, "es": 0.1},
+        seed=7, id_cols=["doc_id"])
+    for r in mix.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").alias("id_sum")).collect():
+        rows.append({"variant": "mixture", "item": str(r["lang"]),
+                     "stat": "n", "value": float(r["n"])})
+        rows.append({"variant": "mixture", "item": str(r["lang"]),
+                     "stat": "id_sum", "value": float(r["id_sum"])})
+    sh = global_shuffle(d.select("doc_id"), seed=5, key_cols=["doc_id"],
+                        num_partitions=8)
+    head = sh.toPandas().head(10)
+    for i, doc_id in enumerate(head["doc_id"]):
+        rows.append({"variant": "shuffle", "item": f"pos_{i:02d}",
+                     "stat": "doc_id", "value": float(doc_id)})
+    pk = pack_sequences(
+        d.select("doc_id", "n_chars").coalesce(1), "n_chars",
+        max_tokens=4096)
+    p = pk.agg(
+        F.countDistinct("pack_id").alias("n_packs"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("oversize").cast("int")).alias("n_oversize"),
+        F.max("pack_fill").alias("max_fill")).collect()[0]
+    for s in ("n_packs", "n_docs", "n_oversize", "max_fill"):
+        rows.append({"variant": "pack", "item": "n_chars@4096", "stat": s,
+                     "value": float(p[s])})
+    qw = quality_weighted_sample(
+        d.withColumn("q", 1.0 / (1.0 + F.col("doc_id") % 7)), "q",
+        fraction=0.3, seed=11, id_cols=["doc_id"])
+    w = qw.agg(F.count(F.lit(1)).alias("n"),
+               F.sum("doc_id").alias("id_sum")).collect()[0]
+    rows.append({"variant": "quality_sample", "item": "q", "stat": "n",
+                 "value": float(w["n"])})
+    rows.append({"variant": "quality_sample", "item": "q", "stat": "id_sum",
+                 "value": float(w["id_sum"])})
+    return _long_rows(spark, rows)
+
+
+def g_power_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-analysis rows of the power_effect_size family (golden
+    snapshot: closed-form normal/t math, nothing for SQL to scan)."""
+    from fast_causal_inference_spark.operators.power import (
+        effect_size,
+        mde_ttest,
+        power_ttest,
+        sample_size_ttest,
+    )
+
+    ev = _load(spark, sf_dir, "events") \
+        .withColumn("arm", (F.col("user_id") % 2).cast("int"))
+    achieved = float(effect_size(ev, "value", "arm")
+                     .iloc[0]["achieved_power"])
+    rows = [
+        {"variant": "power", "item": "achieved", "stat": "power",
+         "value": round(achieved, 6)},
+        {"variant": "power", "item": "d=0.2,n=400x400", "stat": "power",
+         "value": round(float(power_ttest(0.2, 1.0, 400, 400)), 6)},
+        {"variant": "power", "item": "d=0.2,80%", "stat": "n_per_arm",
+         "value": float(sample_size_ttest(0.2, 1.0))},
+        {"variant": "power", "item": "n=500x500", "stat": "mde",
+         "value": round(float(mde_ttest(1.0, 500, 500)), 6)},
+    ]
+    return _long_rows(spark, rows)
+
+
+def q_power_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effect-size + power family: Cohen's d / Hedges' g (SQL-derivable)
+    plus closed-form power/MDE/sample-size rows (golden sub-oracle)."""
+    from fast_causal_inference_spark.operators.power import effect_size
+
+    ev = _load(spark, sf_dir, "events") \
+        .withColumn("arm", (F.col("user_id") % 2).cast("int"))
+    es = effect_size(ev, "value", "arm").iloc[0]
+    rows = [{"variant": "effect", "item": "value~arm", "stat": s,
+             "value": round(float(es[s]), 6)}
+            for s in ("cohens_d", "hedges_g", "diff", "pooled_sd",
+                      "n0", "n1")]
+    return _long_rows(spark, rows) \
+        .unionByName(g_power_closed_form(spark, sf_dir))
+
+
+_EFFECT_SIZE_SQL = """
+WITH arms AS (
+  SELECT CAST(count(*) FILTER (user_id % 2 = 0) AS DOUBLE) AS n0,
+         CAST(count(*) FILTER (user_id % 2 = 1) AS DOUBLE) AS n1,
+         avg(value) FILTER (user_id % 2 = 0) AS m0,
+         avg(value) FILTER (user_id % 2 = 1) AS m1,
+         var_samp(value) FILTER (user_id % 2 = 0) AS v0,
+         var_samp(value) FILTER (user_id % 2 = 1) AS v1
+  FROM events WHERE value IS NOT NULL
+), es AS (
+  SELECT n0, n1, m1 - m0 AS diff,
+         sqrt(((n0-1)*v0 + (n1-1)*v1)/(n0+n1-2)) AS sp
+  FROM arms
+)
+SELECT 'effect' AS variant, 'value~arm' AS item, 'cohens_d' AS stat,
+       round(diff/sp, 6) AS value FROM es
+UNION ALL SELECT 'effect', 'value~arm', 'hedges_g',
+       round(diff/sp * (1.0 - 3.0/(4.0*(n0+n1) - 9.0)), 6) FROM es
+UNION ALL SELECT 'effect', 'value~arm', 'diff', round(diff, 6) FROM es
+UNION ALL SELECT 'effect', 'value~arm', 'pooled_sd', round(sp, 6) FROM es
+UNION ALL SELECT 'effect', 'value~arm', 'n0', n0 FROM es
+UNION ALL SELECT 'effect', 'value~arm', 'n1', n1 FROM es
+"""
+
+
+def _golden_fragment(key: str) -> str:
+    """Wrap a golden VALUES oracle so it can ride UNION ALL by name."""
+    frag = _golden_oracles().get(key)
+    if frag is None:
+        return ("SELECT NULL AS variant, NULL AS item, NULL AS stat, "
+                "NULL AS value WHERE FALSE")
+    return f"SELECT variant, item, stat, value FROM ({frag}) __g_{key}"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q_q1_pricing_summary,
@@ -1919,11 +2746,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kolmogorov_smirnov_test": q_kstest,
         "quantile_test_bucket": q_quantile_test_bucket,
         "describe_quantiles": q_describe_quantiles,
-        "pearsonr": q_pearsonr,
-        "matrix_multiplication": q_matrix_multiplication,
-        "ols": q_ols_simple,
-        "ols_multi": q_ols_multi,
-        "wls": q_wls,
+        "matrix_ops": q_matrix_ops,
+        "ols": q_ols_family,
+        "robust_ols": q_robust_ols,
         "did": q_did,
         "iv_regression": q_iv_regression,
         "linear_dml": q_linear_dml,
@@ -1931,13 +2756,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stochastic_sgd": q_stochastic_sgd,
         "boot_strap": q_boot_strap_family,
         "permutation": q_permutation,
-        "survival_km": q_survival_km,
-        "cox_ph": q_cox_ph,
+        "survival": q_survival_family,
         "t_learner": q_t_learner,
         "ate": q_ate,
-        "exact_matching": q_exact_matching,
-        "caliper_matching": q_caliper_matching,
-        "smd": q_smd,
+        "matching": q_matching_family,
+        "multi_arm_tests": q_multi_arm_tests,
+        "contingency_tests": q_contingency_tests,
+        "multiple_testing": q_multiple_testing,
+        "temporal_ops": q_temporal_ops,
+        "power_effect_size": q_power_effect_size,
+        "corpus_assembly": q_corpus_assembly,
         "group_set": q_group_set,
         "lift_gain": q_lift_gain,
         "causal_tree": q_causal_tree,
@@ -1950,8 +2778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "minhash_lsh_dedup": q_minhash_lsh,
         "simhash_dedup": q_simhash,
-        "knn_bruteforce": q_knn_bruteforce,
-        "ivf_knn": q_ivf_knn,
+        "knn": q_knn_family,
         "embedding_near_dup": q_embedding_near_dup,
         "text_profile": q_text_profile,
         "media_features": q_media_features,
@@ -1977,8 +2804,11 @@ def _golden_oracles() -> dict[str, str]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # pseudo-keys ("family__part") are hybrid-oracle fragments composed
+    # below, never standalone gates
+    goldens = {k: v for k, v in _golden_oracles().items() if "__" not in k}
     return {
-        **_golden_oracles(),
+        **goldens,
         "q1_pricing_summary": _Q1_SQL,
         "q3_shipping_priority": _Q3_SQL,
         "q5_region_revenue": _Q5_SQL,
@@ -1993,21 +2823,24 @@ def oracle_sql() -> dict[str, str]:
         "kolmogorov_smirnov_test": _KS_SQL,
         "quantile_test_bucket": _QTB_SQL,
         "describe_quantiles": _DESCRIBE_QUANTILES_SQL,
-        "pearsonr": _PEARSONR_SQL,
-        "matrix_multiplication": _MATRIX_SQL,
-        "ols": _OLS_SIMPLE_SQL,
-        "ols_multi": _OLS_MULTI_SQL,
-        "wls": _WLS_SQL,
+        "matrix_ops": _MATRIX_OPS_SQL,
+        "ols": _OLS_FAMILY_SQL,
+        "robust_ols": _ROBUST_OLS_SQL,
         "did": _DID_SQL,
         "iv_regression": _IV_SQL,
         "linear_dml": _LINEAR_DML_SQL,
         "auc": _AUC_SQL,
-        "survival_km": _KM_SQL,
+        "survival": (_KM_LONG_SQL + " UNION ALL "
+                     + _golden_fragment("survival__cox")),
         "t_learner": _T_LEARNER_SQL,
         "ate": _ATE_SQL,
-        "exact_matching": _EXACT_MATCHING_SQL,
-        "caliper_matching": _CALIPER_SQL,
-        "smd": _SMD_SQL,
+        "matching": _MATCHING_FAMILY_SQL,
+        "multi_arm_tests": _MULTI_ARM_SQL,
+        "contingency_tests": _CONTINGENCY_SQL,
+        "multiple_testing": _MULTIPLE_TESTING_SQL,
+        "temporal_ops": _TEMPORAL_SQL,
+        "power_effect_size": (_EFFECT_SIZE_SQL + " UNION ALL "
+                              + _golden_fragment("power__closed")),
         "group_set": _GROUP_SET_SQL,
         "lift_gain": _LIFT_GAIN_SQL,
         "exact_dedup": _EXACT_DEDUP_SQL,
@@ -2017,7 +2850,13 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_dedup": _NGRAM_JACCARD_SQL,
         "ngram_jaccard_dedup": _NGRAM_JACCARD_SQL,
         "dedup_components": _DEDUP_COMPONENTS_SQL,
-        "knn_bruteforce": _KNN_SQL,
+        "knn": ("SELECT 'exact' AS variant, query_id, vec_id, rank, score "
+                + "FROM (" + _KNN_SQL + ") __kx UNION ALL "
+                + "SELECT variant, query_id, vec_id, rank, score FROM ("
+                + _golden_oracles().get(
+                    "knn__ivf", "SELECT NULL AS variant, NULL AS query_id, "
+                    "NULL AS vec_id, NULL AS rank, NULL AS score "
+                    "WHERE FALSE") + ") __ki"),
         "embedding_near_dup": _EMB_NEAR_DUP_SQL,
         "media_features": _MEDIA_FEATURES_SQL,
         "text_profile": _TEXT_PROFILE_SQL,

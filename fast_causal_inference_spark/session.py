@@ -26,6 +26,9 @@ _DEFAULTS = {
     # co-locate shuffle sizing with the local test harness; a real cluster
     # would override via spark-defaults.conf
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    # time-bucket rollups and date_trunc-style windows must not depend on
+    # whatever TZ the driver host happens to run in
+    "spark.sql.session.timeZone": "UTC",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.driver.maxResultSize": "4g",
     # local-mode driver IS the executor: Spark's 1g default heap with 32

@@ -31,17 +31,22 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 SF_DIR = "/root/testdata/sf0.01"
-GOLDEN_KEYS = [
-    "stochastic_sgd",
-    "boot_strap",
-    "permutation",
-    "ivf_knn",
-    "cox_ph",
-    "causal_tree",
-    "causal_forest",
-    "simhash_dedup",
-    "longterm",
-]
+# key → queries() entry (top-level golden gate), or key → entry-module
+# function name (pseudo-key "family__part": a hybrid-oracle fragment that
+# __spark_entry__.oracle_sql composes into a computed-SQL UNION)
+GOLDEN_KEYS = {
+    "stochastic_sgd": None,
+    "boot_strap": None,
+    "permutation": None,
+    "causal_tree": None,
+    "causal_forest": None,
+    "simhash_dedup": None,
+    "longterm": None,
+    "corpus_assembly": None,
+    "survival__cox": "g_survival_cox",
+    "knn__ivf": "g_knn_ivf",
+    "power__closed": "g_power_closed_form",
+}
 
 
 def _worker(master: str, shuffle: str, out_path: str) -> None:
@@ -54,8 +59,9 @@ def _worker(master: str, shuffle: str, out_path: str) -> None:
 
     qs = entry.queries()
     out = {}
-    for key in GOLDEN_KEYS:
-        pdf = qs[key](spark, SF_DIR).toPandas()
+    for key, fn_name in GOLDEN_KEYS.items():
+        fn = getattr(entry, fn_name) if fn_name else qs[key]
+        pdf = fn(spark, SF_DIR).toPandas()
         pdf = pdf.reindex(sorted(pdf.columns), axis=1)
         pdf = pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
         out[key] = pdf
