@@ -1346,20 +1346,24 @@ def q_ttest_2samp_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _load(spark, sf_dir, "orders") \
         .withColumn("arm", (F.col("o_orderkey") % 2).cast("int"))
     parts = [
-        ("plain", ttest_2samp(ev, "avg(value)", "treatment")),
-        ("cuped", ttest_2samp(li, "avg(l_extendedprice)", "treatment",
-                              X="avg(l_quantity)")),
-        ("pse", ttest_2samp(li, "avg(l_extendedprice)", "treatment",
-                            pse="l_linestatus")),
-        ("welch", welch_ttest(o, "o_totalprice", "arm")),
-        ("student", student_ttest(ev, "value", "treatment")),
-        ("mean_z", mean_z_test(ev, "value", "treatment", 900.0, 900.0)),
+        ("plain", lambda: ttest_2samp(ev, "avg(value)", "treatment")),
+        ("cuped", lambda: ttest_2samp(li, "avg(l_extendedprice)",
+                                      "treatment", X="avg(l_quantity)")),
+        ("pse", lambda: ttest_2samp(li, "avg(l_extendedprice)", "treatment",
+                                    pse="l_linestatus")),
+        ("welch", lambda: welch_ttest(o, "o_totalprice", "arm")),
+        ("student", lambda: student_ttest(ev, "value", "treatment")),
+        ("mean_z", lambda: mean_z_test(ev, "value", "treatment",
+                                       900.0, 900.0)),
     ]
-    pdfs = []
-    for name, out in parts:
-        pdf = out.select(*_T2_FAMILY_COLS).toPandas()
+
+    def _run(name, build):
+        pdf = build().select(*_T2_FAMILY_COLS).toPandas()
         pdf.insert(0, "variant", name)
-        pdfs.append(pdf)
+        return pdf
+
+    pdfs = _concurrent([
+        lambda n=name, b=build: _run(n, b) for name, build in parts])
     merged = spark.createDataFrame(pd.concat(pdfs, ignore_index=True))
     return _round_all(merged, ["variant"], _T2_FAMILY_COLS, 6)
 
@@ -1466,16 +1470,19 @@ def q_ttest_1samp_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _load(spark, sf_dir, "lineitem")
     cols = ["n", "mean", "estimate", "stderr", "t_stat"]
     parts = [
-        ("plain", ttest_1samp(ev, "avg(value)/avg(1 + event_id % 7)",
-                              mu=10.0)),
-        ("cuped", ttest_1samp(li, "avg(l_extendedprice)", mu=50000.0,
-                              X="avg(l_quantity)")),
+        ("plain", lambda: ttest_1samp(
+            ev, "avg(value)/avg(1 + event_id % 7)", mu=10.0)),
+        ("cuped", lambda: ttest_1samp(li, "avg(l_extendedprice)",
+                                      mu=50000.0, X="avg(l_quantity)")),
     ]
-    pdfs = []
-    for name, out in parts:
-        pdf = out.select(*cols).toPandas()
+
+    def _run(name, build):
+        pdf = build().select(*cols).toPandas()
         pdf.insert(0, "variant", name)
-        pdfs.append(pdf)
+        return pdf
+
+    pdfs = _concurrent([
+        lambda n=name, b=build: _run(n, b) for name, build in parts])
     merged = spark.createDataFrame(pd.concat(pdfs, ignore_index=True))
     return _round_all(merged, ["variant"], cols, 6)
 
@@ -1526,13 +1533,16 @@ def q_delta_method_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fast_causal_inference_spark.operators.deltamethod import delta_method
 
     li = _load(spark, sf_dir, "lineitem")
-    ratio = delta_method(li, "avg(l_extendedprice)/avg(l_quantity)",
-                         std=True, group_cols=["l_returnflag"]) \
-        .select(F.col("l_returnflag").alias("grp"), "std").toPandas()
+    ratio, comp = _concurrent([
+        lambda: delta_method(li, "avg(l_extendedprice)/avg(l_quantity)",
+                             std=True, group_cols=["l_returnflag"])
+        .select(F.col("l_returnflag").alias("grp"), "std").toPandas(),
+        lambda: delta_method(
+            li, "avg(l_quantity)*avg(l_tax) + avg(l_discount)",
+            std=True, group_cols=["l_linestatus"])
+        .select(F.col("l_linestatus").alias("grp"), "std").toPandas(),
+    ])
     ratio.insert(0, "variant", "ratio")
-    comp = delta_method(li, "avg(l_quantity)*avg(l_tax) + avg(l_discount)",
-                        std=True, group_cols=["l_linestatus"]) \
-        .select(F.col("l_linestatus").alias("grp"), "std").toPandas()
     comp.insert(0, "variant", "composite")
     merged = spark.createDataFrame(pd.concat([ratio, comp],
                                              ignore_index=True))
@@ -1888,13 +1898,17 @@ def q_boot_strap_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = _load(spark, sf_dir, "events")
-    reps = boot_strap(ev, "avg(value)", n_resamples=20, seed=7).toPandas()
+    li = _load(spark, sf_dir, "lineitem")
+    reps, ols_pdf = _concurrent([
+        lambda: boot_strap(ev, "avg(value)", n_resamples=20,
+                           seed=7).toPandas(),
+        lambda: boot_strap_ols(
+            li, "l_extendedprice ~ l_quantity + l_discount",
+            n_resamples=20, seed=7),
+    ])
     rows = [{"variant": "metric", "item": str(int(r.replica_id)),
              "stat": "value", "value": float(r.value)}
             for r in reps.itertuples()]
-    li = _load(spark, sf_dir, "lineitem")
-    ols_pdf = boot_strap_ols(li, "l_extendedprice ~ l_quantity + l_discount",
-                             n_resamples=20, seed=7)
     for r in ols_pdf.itertuples():
         for stat in ("estimate", "boot_mean", "boot_se", "lower", "upper"):
             rows.append({"variant": "ols", "item": r.name, "stat": stat,
@@ -1914,6 +1928,21 @@ def q_boot_strap_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LONG_SCHEMA = "variant string, item string, stat string, value double"
 
 
+def _concurrent(fns):
+    """Run independent Spark actions concurrently on the shared session.
+
+    Family gates bundle several operators; their driver-side finalizers
+    serialize a handful of small jobs.  The Spark scheduler interleaves
+    concurrent jobs fine (FIFO within a session), so issuing them from a
+    thread pool overlaps their (fixed-cost-dominated) stages."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(fns) == 1:
+        return [fns[0]()]
+    with ThreadPoolExecutor(max_workers=min(8, len(fns))) as ex:
+        return [f.result() for f in [ex.submit(fn) for fn in fns]]
+
+
 def _long_rows(spark: SparkSession, rows: list[dict]) -> DataFrame:
     import pandas as pd
 
@@ -1929,17 +1958,19 @@ def q_ols_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _load(spark, sf_dir, "lineitem")
     rows = []
-    simple = ols_coef_df(li, "l_discount ~ l_tax").toPandas()
+    simple, multi, model = _concurrent([
+        lambda: ols_coef_df(li, "l_discount ~ l_tax").toPandas(),
+        lambda: ols_coef_df(
+            li, "l_extendedprice ~ l_quantity + l_discount").toPandas(),
+        lambda: wls(li, "l_discount ~ l_tax", weight="l_quantity"),
+    ])
     for r in simple.itertuples():
         for stat in ("estimate", "stderr", "t_value"):
             rows.append({"variant": "simple", "item": r.name, "stat": stat,
                          "value": round(float(getattr(r, stat)), 6)})
-    multi = ols_coef_df(li, "l_extendedprice ~ l_quantity + l_discount") \
-        .toPandas()
     for r in multi.itertuples():
         rows.append({"variant": "multi", "item": r.name, "stat": "estimate",
                      "value": round(float(r.estimate), 4)})
-    model = wls(li, "l_discount ~ l_tax", weight="l_quantity")
     for name, b in zip(model.names, model.beta):
         rows.append({"variant": "wls", "item": name, "stat": "estimate",
                      "value": round(float(b), 6)})
@@ -1961,11 +1992,13 @@ def q_matrix_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gram matrix + grouped Pearson r/t as one family (absorbs the former
     matrix_multiplication / pearsonr gate keys)."""
     rows = []
-    gram = q_matrix_multiplication(spark, sf_dir).toPandas()
+    gram, pr = _concurrent([
+        lambda: q_matrix_multiplication(spark, sf_dir).toPandas(),
+        lambda: q_pearsonr(spark, sf_dir).toPandas(),
+    ])
     for r in gram.itertuples():
         rows.append({"variant": "gram", "item": str(int(r.i)),
                      "stat": str(int(r.j)), "value": float(r.value)})
-    pr = q_pearsonr(spark, sf_dir).toPandas()
     for r in pr.itertuples():
         for stat in ("r", "n", "t_stat"):
             rows.append({"variant": "pearsonr", "item": str(r.l_returnflag),
@@ -1999,13 +2032,15 @@ def g_survival_cox(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_survival_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier curve + Cox PH as one survival family (absorbs the
     former survival_km / cox_ph gate keys)."""
-    km = q_survival_km(spark, sf_dir).toPandas()
+    km, cox = _concurrent([
+        lambda: q_survival_km(spark, sf_dir).toPandas(),
+        lambda: g_survival_cox(spark, sf_dir),
+    ])
     rows = []
     for r in km.itertuples():
         for stat in ("n_risk", "n_event", "survival"):
             rows.append({"variant": "km", "item": str(int(r.time)),
                          "stat": stat, "value": float(getattr(r, stat))})
-    cox = g_survival_cox(spark, sf_dir)
     return _long_rows(spark, rows).unionByName(cox)
 
 
@@ -2024,19 +2059,21 @@ def q_matching_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact matching quotas + caliper cell accounting + SMD balance as
     one matching family (absorbs exact_matching / caliper_matching / smd)."""
     rows = []
-    ex = q_exact_matching(spark, sf_dir).toPandas()
+    ex, cal, sm = _concurrent([
+        lambda: q_exact_matching(spark, sf_dir).toPandas(),
+        lambda: q_caliper_matching(spark, sf_dir).toPandas(),
+        lambda: q_smd(spark, sf_dir).toPandas(),
+    ])
     for r in ex.itertuples():
         rows.append({"variant": "exact", "item": str(r.o_orderpriority),
                      "stat": "n_matched", "value": float(r.n_matched)})
         rows.append({"variant": "exact", "item": str(r.o_orderpriority),
                      "stat": "n_treated", "value": float(r.n_treated)})
-    cal = q_caliper_matching(spark, sf_dir).toPandas()
     for r in cal.itertuples():
         rows.append({"variant": "caliper", "item": str(int(r.bucket)),
                      "stat": "n_matched", "value": float(r.n_matched)})
         rows.append({"variant": "caliper", "item": str(int(r.bucket)),
                      "stat": "n_treated", "value": float(r.n_treated)})
-    sm = q_smd(spark, sf_dir).toPandas()
     for r in sm.itertuples():
         for stat in ("mean0", "mean1", "smd"):
             rows.append({"variant": "smd", "item": str(r.covariate),
@@ -2091,20 +2128,22 @@ def q_multi_arm_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _load(spark, sf_dir, "events") \
         .withColumn("arm", (F.col("user_id") % 3).cast("int"))
     rows = []
-    a = anova_oneway(ev, "value", "arm").iloc[0]
+    a, w, b, kw = [pdf.iloc[0] for pdf in _concurrent([
+        lambda: anova_oneway(ev, "value", "arm"),
+        lambda: anova_oneway(ev, "value", "arm", equal_var=False),
+        lambda: bartlett_test(ev, "value", "arm"),
+        lambda: kruskal_wallis_test(ev, "value", "arm"),
+    ])]
     for stat in ("f_stat", "df_between", "df_within", "eta_squared",
                  "n", "k"):
         rows.append({"variant": "anova_classic", "item": "value",
                      "stat": stat, "value": float(a[stat])})
-    w = anova_oneway(ev, "value", "arm", equal_var=False).iloc[0]
     for stat in ("f_stat", "df_between", "df_within"):
         rows.append({"variant": "anova_welch", "item": "value",
                      "stat": stat, "value": float(w[stat])})
-    b = bartlett_test(ev, "value", "arm").iloc[0]
     for stat in ("statistic", "df"):
         rows.append({"variant": "bartlett", "item": "value", "stat": stat,
                      "value": float(b[stat])})
-    kw = kruskal_wallis_test(ev, "value", "arm").iloc[0]
     for stat in ("statistic", "df", "n", "k"):
         rows.append({"variant": "kruskal_wallis", "item": "value",
                      "stat": stat, "value": float(kw[stat])})
@@ -2210,20 +2249,22 @@ def q_contingency_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("arm", (F.col("o_orderkey") % 2).cast("int")) \
         .withColumn("big", (F.col("o_totalprice") > 150000).cast("int"))
     rows = []
-    chi = chi_square_independence(o, "o_orderpriority", "o_orderstatus") \
-        .iloc[0]
+    chi, fe, cmh, pz = [pdf.iloc[0] for pdf in _concurrent([
+        lambda: chi_square_independence(o, "o_orderpriority",
+                                        "o_orderstatus"),
+        lambda: fisher_exact_2x2(o, "arm", "big"),
+        lambda: cmh_test(o, "arm", "big", "o_orderpriority"),
+        lambda: proportion_ztest(o, "big", "arm"),
+    ])]
     for stat in ("chi2", "df", "n", "cramers_v"):
         rows.append({"variant": "chi_square", "item": "priority_x_status",
                      "stat": stat, "value": float(chi[stat])})
-    fe = fisher_exact_2x2(o, "arm", "big").iloc[0]
     for stat in ("odds_ratio", "p_value", "n"):
         rows.append({"variant": "fisher_exact", "item": "arm_x_big",
                      "stat": stat, "value": float(fe[stat])})
-    cmh = cmh_test(o, "arm", "big", "o_orderpriority").iloc[0]
     for stat in ("statistic", "df", "mh_odds_ratio", "n_strata"):
         rows.append({"variant": "cmh", "item": "arm_x_big|priority",
                      "stat": stat, "value": float(cmh[stat])})
-    pz = proportion_ztest(o, "big", "arm").iloc[0]
     for stat in ("proportion0", "proportion1", "diff", "z", "n0", "n1"):
         rows.append({"variant": "proportion_z", "item": "big~arm",
                      "stat": stat, "value": float(pz[stat])})
@@ -2353,13 +2394,16 @@ def q_robust_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _load(spark, sf_dir, "lineitem")
     rows = []
-    hc = robust_ols(li, "l_discount ~ l_tax", hc="HC1")
+    hc, cr = _concurrent([
+        lambda: robust_ols(li, "l_discount ~ l_tax", hc="HC1"),
+        lambda: cluster_robust_ols(li, "l_discount ~ l_tax",
+                                   cluster="l_suppkey"),
+    ])
     for name, b, se in zip(hc.names, hc.beta, hc.stderr):
         rows.append({"variant": "hc1", "item": name, "stat": "estimate",
                      "value": round(float(b), 6)})
         rows.append({"variant": "hc1", "item": name, "stat": "stderr",
                      "value": round(float(se), 6)})
-    cr = cluster_robust_ols(li, "l_discount ~ l_tax", cluster="l_suppkey")
     for name, b, se in zip(cr.names, cr.beta, cr.stderr):
         rows.append({"variant": "cr1", "item": name, "stat": "estimate",
                      "value": round(float(b), 6)})
@@ -2445,18 +2489,6 @@ def q_temporal_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     quotes = ev.where(F.col("event_id") % 5 != 0) \
         .groupBy("user_id", "ts").agg(F.max("value").alias("qvalue"))
     aj = asof_join(points, quotes, on="user_id", left_ts="ts")
-    a = aj.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.count("qvalue_right").alias("n_matched"),
-        F.round(F.sum("qvalue_right"), 4).alias("qvalue_sum"),
-        F.round(F.sum(
-            (F.unix_micros(F.col("ts").cast("timestamp"))
-             - F.unix_micros(F.col("ts_right").cast("timestamp")))
-            / 1e6), 2).alias("gap_sum"),
-    ).collect()[0]
-    rows = [{"variant": "asof", "item": "events", "stat": s,
-             "value": float(a[s] or 0.0)}
-            for s in ("n_rows", "n_matched", "qvalue_sum", "gap_sum")]
 
     pts = _load(spark, sf_dir, "lineitem") \
         .select(F.col("l_extendedprice").alias("pt"),
@@ -2467,21 +2499,37 @@ def q_temporal_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("p_retailprice") + 20.0).alias("hi"))
     rj = range_join(pts, iv, on=None, point_ts="pt", start_ts="lo",
                     end_ts="hi", bucket_width=40.0)
-    r = rj.agg(F.count(F.lit(1)).alias("n_pairs"),
-               F.round(F.sum("pt"), 2).alias("pt_sum"),
-               F.sum("ikey").alias("ikey_sum")).collect()[0]
-    rows += [{"variant": "range", "item": "price_bands", "stat": s,
-              "value": float(r[s] or 0.0)}
-             for s in ("n_pairs", "pt_sum", "ikey_sum")]
-
     ru = time_bucket_rollup(
         ev, "ts", ["1 day", "1 hour"],
         [F.count(F.lit(1)).alias("n"), F.sum("value").alias("vsum")])
-    for rr in (ru.groupBy("resolution")
-               .agg(F.count(F.lit(1)).alias("n_buckets"),
-                    F.sum("n").alias("rows_total"),
-                    F.round(F.sum("vsum"), 2).alias("value_total"))
-               .collect()):
+
+    a_rows, r_rows, ru_rows = _concurrent([
+        lambda: aj.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("qvalue_right").alias("n_matched"),
+            F.round(F.sum("qvalue_right"), 4).alias("qvalue_sum"),
+            F.round(F.sum(
+                (F.unix_micros(F.col("ts").cast("timestamp"))
+                 - F.unix_micros(F.col("ts_right").cast("timestamp")))
+                / 1e6), 2).alias("gap_sum")).collect(),
+        lambda: rj.agg(F.count(F.lit(1)).alias("n_pairs"),
+                       F.round(F.sum("pt"), 2).alias("pt_sum"),
+                       F.sum("ikey").alias("ikey_sum")).collect(),
+        lambda: (ru.groupBy("resolution")
+                 .agg(F.count(F.lit(1)).alias("n_buckets"),
+                      F.sum("n").alias("rows_total"),
+                      F.round(F.sum("vsum"), 2).alias("value_total"))
+                 .collect()),
+    ])
+    a = a_rows[0]
+    rows = [{"variant": "asof", "item": "events", "stat": s,
+             "value": float(a[s] or 0.0)}
+            for s in ("n_rows", "n_matched", "qvalue_sum", "gap_sum")]
+    r = r_rows[0]
+    rows += [{"variant": "range", "item": "price_bands", "stat": s,
+              "value": float(r[s] or 0.0)}
+             for s in ("n_pairs", "pt_sum", "ikey_sum")]
+    for rr in ru_rows:
         res = rr["resolution"].replace(" ", "_")
         for s in ("n_buckets", "rows_total", "value_total"):
             rows.append({"variant": "rollup", "item": res, "stat": s,
@@ -2559,9 +2607,11 @@ def q_multiple_testing(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg((F.avg("o_totalprice")
                  - F.floor(F.avg("o_totalprice"))).alias("p_value")))
     rows = []
-    for method in ("bonferroni", "holm", "bh"):
-        adj = adjust_pvalues(res, method=method,
-                             out_col="p_adj").toPandas()
+    methods = ("bonferroni", "holm", "bh")
+    adjs = _concurrent([
+        lambda m=m: adjust_pvalues(res, method=m, out_col="p_adj")
+        .toPandas() for m in methods])
+    for method, adj in zip(methods, adjs):
         for r in adj.itertuples():
             rows.append({
                 "variant": method,
@@ -2617,35 +2667,40 @@ def q_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "lang", target_weights={"en": 0.4, "de": 0.2, "zh": 0.2,
                                    "fr": 0.1, "es": 0.1},
         seed=7, id_cols=["doc_id"])
-    for r in mix.groupBy("lang").agg(
+    sh = global_shuffle(d.select("doc_id"), seed=5, key_cols=["doc_id"],
+                        num_partitions=8)
+    pk = pack_sequences(
+        d.select("doc_id", "n_chars").coalesce(1), "n_chars",
+        max_tokens=4096)
+    qw = quality_weighted_sample(
+        d.withColumn("q", 1.0 / (1.0 + F.col("doc_id") % 7)), "q",
+        fraction=0.3, seed=11, id_cols=["doc_id"])
+    mix_rows, head_pdf, p_rows, w_rows = _concurrent([
+        lambda: mix.groupBy("lang").agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("doc_id").alias("id_sum")).collect():
+            F.sum("doc_id").alias("id_sum")).collect(),
+        lambda: sh.toPandas(),
+        lambda: pk.agg(
+            F.countDistinct("pack_id").alias("n_packs"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("oversize").cast("int")).alias("n_oversize"),
+            F.max("pack_fill").alias("max_fill")).collect(),
+        lambda: qw.agg(F.count(F.lit(1)).alias("n"),
+                       F.sum("doc_id").alias("id_sum")).collect(),
+    ])
+    for r in mix_rows:
         rows.append({"variant": "mixture", "item": str(r["lang"]),
                      "stat": "n", "value": float(r["n"])})
         rows.append({"variant": "mixture", "item": str(r["lang"]),
                      "stat": "id_sum", "value": float(r["id_sum"])})
-    sh = global_shuffle(d.select("doc_id"), seed=5, key_cols=["doc_id"],
-                        num_partitions=8)
-    head = sh.toPandas().head(10)
-    for i, doc_id in enumerate(head["doc_id"]):
+    for i, doc_id in enumerate(head_pdf.head(10)["doc_id"]):
         rows.append({"variant": "shuffle", "item": f"pos_{i:02d}",
                      "stat": "doc_id", "value": float(doc_id)})
-    pk = pack_sequences(
-        d.select("doc_id", "n_chars").coalesce(1), "n_chars",
-        max_tokens=4096)
-    p = pk.agg(
-        F.countDistinct("pack_id").alias("n_packs"),
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.col("oversize").cast("int")).alias("n_oversize"),
-        F.max("pack_fill").alias("max_fill")).collect()[0]
+    p = p_rows[0]
     for s in ("n_packs", "n_docs", "n_oversize", "max_fill"):
         rows.append({"variant": "pack", "item": "n_chars@4096", "stat": s,
                      "value": float(p[s])})
-    qw = quality_weighted_sample(
-        d.withColumn("q", 1.0 / (1.0 + F.col("doc_id") % 7)), "q",
-        fraction=0.3, seed=11, id_cols=["doc_id"])
-    w = qw.agg(F.count(F.lit(1)).alias("n"),
-               F.sum("doc_id").alias("id_sum")).collect()[0]
+    w = w_rows[0]
     rows.append({"variant": "quality_sample", "item": "q", "stat": "n",
                  "value": float(w["n"])})
     rows.append({"variant": "quality_sample", "item": "q", "stat": "id_sum",
@@ -2687,13 +2742,16 @@ def q_power_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _load(spark, sf_dir, "events") \
         .withColumn("arm", (F.col("user_id") % 2).cast("int"))
-    es = effect_size(ev, "value", "arm").iloc[0]
+    es_pdf, power_df = _concurrent([
+        lambda: effect_size(ev, "value", "arm"),
+        lambda: g_power_closed_form(spark, sf_dir),
+    ])
+    es = es_pdf.iloc[0]
     rows = [{"variant": "effect", "item": "value~arm", "stat": s,
              "value": round(float(es[s]), 6)}
             for s in ("cohens_d", "hedges_g", "diff", "pooled_sd",
                       "n0", "n1")]
-    return _long_rows(spark, rows) \
-        .unionByName(g_power_closed_form(spark, sf_dir))
+    return _long_rows(spark, rows).unionByName(power_df)
 
 
 _EFFECT_SIZE_SQL = """

@@ -132,14 +132,20 @@ def _shingle_inv(df: DataFrame, text_col: str, id_col: str,
     ngram and MinHash calls with the same (df, text_col, id_col, n)
     produce plan-equal frames, so the cache is built once per corpus and
     shared across the whole dedup suite."""
-    # the repartition (a) parallelizes the cache build across the cluster
-    # instead of one task per input split, and (b) leaves the cached
-    # relation hash-partitioned by id, which the prefix ranker's window
-    # and the verifier's per-doc aggregations reuse without re-exchange
-    return (df.select(F.col(id_col).alias("id"),
-                      F.explode(shingle_hashes(F.col(text_col), n))
-                      .alias("gh"))
-            .repartition("id").cache())
+    # repartition BEFORE the explode: the tokenize+n-gram+hash pipeline is
+    # the expensive part, and below the explode it runs inside the SCAN
+    # stage — one task per input split, i.e. single-threaded on a small
+    # corpus file (measured 3.2 s vs 0.7 s at sf0.1).  Hashing the raw
+    # docs by id first (a) fans the HOF work across the cluster and
+    # (b) still leaves the cached relation hash-partitioned by id for the
+    # prefix ranker's window and the verifier's per-doc aggregations.
+    n_parts = int(df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"))
+    return (df.repartition(n_parts, F.col(id_col))
+            .select(F.col(id_col).alias("id"),
+                    F.explode(shingle_hashes(F.col(text_col), n))
+                    .alias("gh"))
+            .cache())
 
 
 def _verify_jaccard(cand: DataFrame, inv: DataFrame,
@@ -224,6 +230,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                                     lambda x: x.cast("string"))))
                     .alias("bucket")))).alias("bb")) \
             .select("id", "bb.band", "bb.bucket")
+    # cache + eager count: the band self-join reads `banded` twice, and a
+    # lazily-cached relation double-computes in one composed query (see
+    # the ranked.count() note in ngram_jaccard_pairs); this also
+    # materializes the shared shingle index as a byproduct
+    banded = banded.cache()
+    banded.count()
     left = banded.alias("l")
     right = banded.alias("r")
     cand = (left.join(right, [F.col("l.band") == F.col("r.band"),
@@ -297,9 +309,14 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
     masks = _bit_masks(bits)
     # bind_once keeps the tokenizing split out of the per-output-row
     # re-evaluation Generate does for non-codegen generator inputs
-    toks = (df.select(F.col(id_col).alias("id"),
-                      F.explode(bind_once(tokens(F.col(text_col)),
-                                          lambda x: x)).alias("t"))
+    # pre-repartition: below the explode the tokenizer runs in the scan
+    # stage (one task per input split) — same fix as _shingle_inv
+    n_parts = int(df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"))
+    toks = (df.repartition(n_parts, F.col(id_col))
+            .select(F.col(id_col).alias("id"),
+                    F.explode(bind_once(tokens(F.col(text_col)),
+                                        lambda x: x)).alias("t"))
             .withColumn("h", F.xxhash64("t")))
     votes = toks.groupBy("id").agg(
         F.count(F.lit(1)).alias("n"),
@@ -328,6 +345,10 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     # two primitive longs per doc; cached so the l/r sides of the chunk
     # join and the verify projection share one token-vote aggregation
     sigs = simhash_signatures(df, text_col, id_col).cache()
+    # eager: both self-join sides would otherwise re-run the vote agg
+    # before the cache populates (see the ranked.count() note in
+    # ngram_jaccard_pairs)
+    sigs.count()
     chunked = sigs.select(
         "id", "sig",
         F.explode(F.array(*[
@@ -385,12 +406,20 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                   .where(F.col("rk") <=
                          F.floor((1.0 - threshold) * F.col("n_sh")) + 1)
                   .where(F.col("count") >= 2)
-                  .select("id", "n_sh", "gh", "rk"))
+                  .select("id", "n_sh", "gh", "rk")
+                  .cache())
     else:
         ranked = (inv.withColumn("n_sh", F.count(F.lit(1)).over(w_id))
                   .withColumn("rk", F.row_number().over(
                       Window.partitionBy("id").orderBy("gh")))
-                  .select("id", "n_sh", "gh", "rk"))
+                  .select("id", "n_sh", "gh", "rk")
+                  .cache())
+    # EAGERLY materialize before the self-join: a lazily-cached relation
+    # referenced on both sides of one composed query gets its (freq join +
+    # two windows) plan evaluated once per side before any block lands in
+    # the cache — measured 12.6 s vs 4.1 s for the whole pair query at
+    # sf0.1.  Four primitive longs per surviving prefix shingle — tiny.
+    ranked.count()
     l, r = ranked.alias("l"), ranked.alias("r")
     # length filter: J(a,b) ≥ t ⇒ t·|a| ≤ |b| ≤ |a|/t — prunes candidates
     # before the (expensive) exact verification, exactly.  The positional

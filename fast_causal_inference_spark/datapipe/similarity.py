@@ -167,6 +167,11 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     b = (df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
            .withColumn("__sigs", sig(F.col("v")))
            .select("id", "v", F.posexplode("__sigs").alias("table", "bucket")))
+    # cache + eager count: the bucket self-join reads `b` twice; lazily
+    # the Pandas-UDF signature pass would run once per side (see the
+    # ranked.count() note in dedup.ngram_jaccard_pairs)
+    b = b.cache()
+    b.count()
     l, r = b.alias("l"), b.alias("r")
     cand = (l.join(r, [F.col("l.table") == F.col("r.table"),
                        F.col("l.bucket") == F.col("r.bucket"),
