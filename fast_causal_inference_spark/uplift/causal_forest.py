@@ -137,7 +137,15 @@ class CausalForest:
                             ([f] if f in df.columns else df.columns)})
         work = df.select(*feat_cols, tcol.alias("__t"), ycol.alias("__y"))
         rowh = F.xxhash64(*[F.col(c) for c in work.columns], F.lit(self.seed))
-        work = work.withColumn("__h", rowh).cache()
+        # repartition BEFORE caching: the per-level melt (explode ×trees +
+        # membership hashes + bin CASEs) runs on the cached layout, and a
+        # small input can scan as 1-3 splits — serializing every level job.
+        # All draws key off __h (row content), so the result is layout-
+        # independent; hashing by __h also balances the melt at scale.
+        n_parts = int(df.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "32"))
+        work = (work.withColumn("__h", rowh)
+                .repartition(n_parts, F.col("__h")).cache())
 
         # ONE fine global quantile grid (8× n_bins, capped at 128): the
         # per-node candidate re-sketch in _best_split re-bins within each
