@@ -847,17 +847,73 @@ FROM ranked WHERE rank <= 5
 """
 
 
+# Okapi BM25 re-derived end-to-end in SQL (Lucene idf; k1=1.2, b=0.75):
+# same tokenization as datapipe.text.tokens, postings/doclen/docfreq
+# relations, per-(query,doc) score sum, top-5 window
+_BM25_SQL = """
+WITH queries(query_id, query) AS
+  (VALUES (0, 'spark query join'), (1, 'merge sort window'),
+          (2, 'customer big data stream')),
+post AS (
+  SELECT doc_id AS id, t.term, count(*) AS tf
+  FROM documents,
+       unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t(term)
+  WHERE t.term <> '' GROUP BY 1, 2
+), doclen AS (SELECT id, sum(tf) AS dl FROM post GROUP BY 1),
+docfreq AS (SELECT term, count(*) AS df_t FROM post GROUP BY 1),
+consts AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM doclen),
+qt AS (
+  SELECT query_id, t.term FROM queries,
+    unnest(list_distinct(string_split_regex(trim(lower(query)), '\\s+')))
+      AS t(term)
+  WHERE t.term <> ''
+), scored AS (
+  SELECT qt.query_id, post.id,
+         sum(ln(1.0 + (consts.n - docfreq.df_t + 0.5)
+                      / (docfreq.df_t + 0.5))
+             * post.tf * 2.2
+             / (post.tf + 1.2 * (1.0 - 0.75
+                                 + 0.75 * doclen.dl / consts.avgdl)))
+           AS score
+  FROM post JOIN qt USING (term) JOIN docfreq USING (term)
+       JOIN doclen USING (id) CROSS JOIN consts
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT query_id, id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, id) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, id AS vec_id, rank,
+       round(CAST(score AS DOUBLE), 4) AS score
+FROM ranked WHERE rank <= 5
+"""
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH cosine near-dup detection: planted exact copies must be found."""
+    """Embedding near-dup family: hyperplane-LSH bucket join and
+    SemDeDup-style k-means-cell join, BOTH checked against the exact
+    all-pairs cosine relation — on this corpus (planted exact copies at
+    threshold 0.999) each method's recall must be 1.0, so the exact
+    relation IS the oracle for both and a recall regression turns the
+    row red."""
     from fast_causal_inference_spark.datapipe.similarity import (
         embedding_near_dup_pairs,
+        semantic_dedup_pairs,
     )
 
     e = _load(spark, sf_dir, "embeddings")
     copies = e.where(F.col("vec_id") < 20).select(
         (F.col("vec_id") + 50000).alias("vec_id"), "embedding", "label")
-    out = embedding_near_dup_pairs(e.unionByName(copies), threshold=0.999)
-    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    allv = e.unionByName(copies)
+    lsh = embedding_near_dup_pairs(allv, threshold=0.999).select(
+        F.lit("lsh").alias("variant"), "id_a", "id_b",
+        F.round("cosine", 4).alias("cosine"))
+    sem = semantic_dedup_pairs(allv, threshold=0.999, n_lists=16,
+                               seed=4).select(
+        F.lit("semantic").alias("variant"), "id_a", "id_b",
+        F.round("cosine", 4).alias("cosine"))
+    return lsh.unionByName(sem)
 
 
 _EMB_NEAR_DUP_SQL = """
@@ -865,11 +921,16 @@ WITH all_vecs AS (
   SELECT vec_id, embedding FROM embeddings
   UNION ALL
   SELECT vec_id + 50000, embedding FROM embeddings WHERE vec_id < 20
+), exact_pairs AS (
+  SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+         round(CAST(list_cosine_similarity(l.embedding, r.embedding)
+                    AS DOUBLE), 4) AS cosine
+  FROM all_vecs l JOIN all_vecs r ON l.vec_id < r.vec_id
+  WHERE list_cosine_similarity(l.embedding, r.embedding) >= 0.999
 )
-SELECT l.vec_id AS id_a, r.vec_id AS id_b,
-       round(CAST(list_cosine_similarity(l.embedding, r.embedding) AS DOUBLE), 4) AS cosine
-FROM all_vecs l JOIN all_vecs r ON l.vec_id < r.vec_id
-WHERE list_cosine_similarity(l.embedding, r.embedding) >= 0.999
+SELECT 'lsh' AS variant, id_a, id_b, cosine FROM exact_pairs
+UNION ALL
+SELECT 'semantic' AS variant, id_a, id_b, cosine FROM exact_pairs
 """
 
 
@@ -2105,13 +2166,32 @@ def g_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ivf").alias("variant"), "query_id", "vec_id", "rank", "score")
 
 
+def g_knn_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 full-text top-5 rows of the retrieval family (fully
+    SQL-derivable: DuckDB re-derives postings, idf, and the Okapi score
+    from the same tokenization)."""
+    from fast_causal_inference_spark.datapipe.retrieval import bm25_search
+
+    d = _load(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(
+        [(0, "spark query join"), (1, "merge sort window"),
+         (2, "customer big data stream")],
+        "query_id bigint, query string")
+    out = bm25_search(d, qdf, k=5)
+    return out.select(F.lit("bm25").alias("variant"), "query_id",
+                      F.col("id").alias("vec_id"), "rank",
+                      F.round("score", 4).alias("score"))
+
+
 def q_knn_family(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact brute-force + IVF approximate cosine top-k as one family
-    (absorbs the former knn_bruteforce / ivf_knn gate keys)."""
+    """Retrieval family: exact brute-force + IVF approximate cosine top-k
+    over embeddings, and BM25 full-text top-k over documents (absorbs the
+    former knn_bruteforce / ivf_knn gate keys)."""
     exact = q_knn_bruteforce(spark, sf_dir).select(
         F.lit("exact").alias("variant"), "query_id", "vec_id", "rank",
         "score")
-    return exact.unionByName(g_knn_ivf(spark, sf_dir))
+    return (exact.unionByName(g_knn_ivf(spark, sf_dir))
+            .unionByName(g_knn_bm25(spark, sf_dir)))
 
 
 def q_multi_arm_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2653,12 +2733,15 @@ def q_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure xxhash64 function of ids+seed, layout-independent — proven by
     gen_goldens' two-process determinism probe): domain mixture
     resampling, deterministic epoch shuffle, sequence packing,
-    quality-weighted sampling."""
+    quality-weighted sampling, stratified sampling (rate + exact-n) and
+    reservoir sampling."""
     from fast_causal_inference_spark.datapipe.training import (
         domain_mixture_sample,
         global_shuffle,
         pack_sequences,
         quality_weighted_sample,
+        reservoir_sample,
+        stratified_sample,
     )
 
     d = _load(spark, sf_dir, "documents")
@@ -2675,7 +2758,13 @@ def q_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     qw = quality_weighted_sample(
         d.withColumn("q", 1.0 / (1.0 + F.col("doc_id") % 7)), "q",
         fraction=0.3, seed=11, id_cols=["doc_id"])
-    mix_rows, head_pdf, p_rows, w_rows = _concurrent([
+    strat = stratified_sample(d, "lang", fractions=0.25, seed=13,
+                              id_cols=["doc_id"])
+    strat_n = stratified_sample(d, "lang", n_per_stratum=5, seed=17,
+                                id_cols=["doc_id"])
+    resv = reservoir_sample(d, 25, seed=19, id_cols=["doc_id"])
+    mix_rows, head_pdf, p_rows, w_rows, s_rows, sn_rows, r_rows = \
+        _concurrent([
         lambda: mix.groupBy("lang").agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("doc_id").alias("id_sum")).collect(),
@@ -2687,6 +2776,14 @@ def q_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("pack_fill").alias("max_fill")).collect(),
         lambda: qw.agg(F.count(F.lit(1)).alias("n"),
                        F.sum("doc_id").alias("id_sum")).collect(),
+        lambda: strat.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").alias("id_sum")).collect(),
+        lambda: strat_n.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").alias("id_sum")).collect(),
+        lambda: resv.agg(F.count(F.lit(1)).alias("n"),
+                         F.sum("doc_id").alias("id_sum")).collect(),
     ])
     for r in mix_rows:
         rows.append({"variant": "mixture", "item": str(r["lang"]),
@@ -2705,6 +2802,18 @@ def q_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "value": float(w["n"])})
     rows.append({"variant": "quality_sample", "item": "q", "stat": "id_sum",
                  "value": float(w["id_sum"])})
+    for variant, rws in [("stratified_rate", s_rows),
+                         ("stratified_exact_n", sn_rows)]:
+        for r in rws:
+            rows.append({"variant": variant, "item": str(r["lang"]),
+                         "stat": "n", "value": float(r["n"])})
+            rows.append({"variant": variant, "item": str(r["lang"]),
+                         "stat": "id_sum", "value": float(r["id_sum"])})
+    rv = r_rows[0]
+    rows.append({"variant": "reservoir", "item": "n=25", "stat": "n",
+                 "value": float(rv["n"])})
+    rows.append({"variant": "reservoir", "item": "n=25", "stat": "id_sum",
+                 "value": float(rv["id_sum"])})
     return _long_rows(spark, rows)
 
 
@@ -2914,7 +3023,9 @@ def oracle_sql() -> dict[str, str]:
                 + _golden_oracles().get(
                     "knn__ivf", "SELECT NULL AS variant, NULL AS query_id, "
                     "NULL AS vec_id, NULL AS rank, NULL AS score "
-                    "WHERE FALSE") + ") __ki"),
+                    "WHERE FALSE") + ") __ki UNION ALL "
+                + "SELECT 'bm25' AS variant, query_id, vec_id, rank, score "
+                + "FROM (" + _BM25_SQL + ") __kb"),
         "embedding_near_dup": _EMB_NEAR_DUP_SQL,
         "media_features": _MEDIA_FEATURES_SQL,
         "text_profile": _TEXT_PROFILE_SQL,

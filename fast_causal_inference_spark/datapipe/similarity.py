@@ -284,3 +284,58 @@ def ivf_knn(df: DataFrame, queries: DataFrame, k: int = 10,
                                                 F.col(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
                   .where(F.col("rank") <= k))
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic deduplication via coarse clustering
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup_pairs(df: DataFrame, threshold: float = 0.95,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding", n_lists: int = 64,
+                         sample_per_list: int = 40, train_iters: int = 8,
+                         seed: int = 42) -> DataFrame:
+    """Semantic near-duplicate pairs, SemDeDup-style (Abbas et al. 2023):
+    k-means the embeddings into ``n_lists`` coarse cells (the IVF
+    quantizer machinery), then compare pairs ONLY within a cell.
+
+    Scale shape: candidate volume is Σᵢ cᵢ² over cluster sizes — with
+    n_lists ∝ √N (the paper's regime) that is O(N^1.5 / n_lists), never
+    the all-pairs N². The cluster pass is one GEMM-batched Arrow UDF over
+    the corpus; the self-join is an equi-join on the cell id with only
+    (id, vector) shuffled. Exact duplicates always share a cell (identical
+    vectors quantize identically), so recall on exact copies is 1.0;
+    near-dups split across a cell boundary are missed — the approximation
+    SemDeDup trades for the N² → within-cell bound.
+    """
+    C = _train_centroids(df, vec_col, n_lists, sample_per_list,
+                         train_iters, seed)
+    assign = _assign_udf(C)
+    b = (df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+           .withColumn("__list", assign(F.col("v"))))
+    # cache + eager count: the self-join reads `b` twice (see
+    # embedding_near_dup_pairs)
+    b = b.cache()
+    b.count()
+    l, r = b.alias("l"), b.alias("r")
+    return (l.join(r, [F.col("l.__list") == F.col("r.__list"),
+                       F.col("l.id") < F.col("r.id")])
+            .select(F.col("l.id").alias("id_a"),
+                    F.col("r.id").alias("id_b"),
+                    cosine(F.col("l.v"), F.col("r.v")).alias("cosine"),
+                    F.col("l.__list").alias("cluster"))
+            .where(F.col("cosine") >= threshold))
+
+
+def semantic_dedup(df: DataFrame, threshold: float = 0.95,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   n_lists: int = 64, sample_per_list: int = 40,
+                   train_iters: int = 8, seed: int = 42) -> DataFrame:
+    """Drop semantic near-duplicates, keeping the lowest id of each pair
+    group (greedy per-pair drop — the transitive-closure variant is
+    ``dedup.connected_components`` over :func:`semantic_dedup_pairs`)."""
+    pairs = semantic_dedup_pairs(df, threshold, id_col, vec_col, n_lists,
+                                 sample_per_list, train_iters, seed)
+    drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drops, id_col, "left_anti")

@@ -31,7 +31,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -42,6 +42,8 @@ __all__ = [
     "global_shuffle",
     "pack_sequences",
     "quality_weighted_sample",
+    "reservoir_sample",
+    "stratified_sample",
     "write_training_shards",
 ]
 
@@ -229,6 +231,61 @@ def quality_weighted_sample(df: DataFrame, weight_col: str,
                 F.lit(fraction) * F.col(weight_col).cast("double") / mean_w)
     u = _unit_draw(*(id_cols or [weight_col]), seed=seed)
     return df.where(u < p)
+
+
+def stratified_sample(df: DataFrame, strata_cols: list[str] | str,
+                      fractions: dict | float | None = None,
+                      n_per_stratum: int | None = None, seed: int = 42,
+                      id_cols: list[str] | None = None) -> DataFrame:
+    """Deterministic stratified sampling — by rate or by exact count.
+
+    Exactly one of ``fractions`` / ``n_per_stratum``:
+
+    * ``fractions`` — a float (same rate everywhere) or, for a single
+      stratum column, a dict mapping stratum value → rate. Pure
+      projection + filter over an xxhash64 draw: NO shuffle, retry- and
+      layout-stable (``df.sampleBy`` is neither).
+    * ``n_per_stratum`` — exactly k rows per stratum, the k lowest hash
+      draws (i.e., a per-stratum seeded reservoir). One shuffle by
+      stratum; Spark's WindowGroupLimit pushes the rank ≤ k bound
+      map-side, so hot strata never materialize a full sort.
+    """
+    strata = [strata_cols] if isinstance(strata_cols, str) else \
+        list(strata_cols)
+    if (fractions is None) == (n_per_stratum is None):
+        raise ValueError("pass exactly one of fractions / n_per_stratum")
+    u = _unit_draw(*(id_cols or df.columns), seed=seed)
+    if fractions is not None:
+        if isinstance(fractions, dict):
+            if len(strata) != 1:
+                raise ValueError("dict fractions require a single "
+                                 "stratum column")
+            expr = None
+            for v, r in fractions.items():
+                cond = F.col(strata[0]) == F.lit(v)
+                expr = F.when(cond, float(r)) if expr is None \
+                    else expr.when(cond, float(r))
+            rate = expr.otherwise(F.lit(0.0))
+        else:
+            rate = F.lit(float(fractions))
+        return df.where(u < rate)
+    w = Window.partitionBy(*strata).orderBy(u.asc())
+    return (df.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= int(n_per_stratum))
+            .drop("__rk"))
+
+
+def reservoir_sample(df: DataFrame, n: int, seed: int = 42,
+                     id_cols: list[str] | None = None) -> DataFrame:
+    """Deterministic uniform sample of exactly ``n`` rows — the n lowest
+    xxhash64 draws, equivalent to a seeded reservoir but reproducible
+    across runs, clusters, and input layouts. ``orderBy(draw).limit(n)``
+    compiles to ``TakeOrderedAndProject``: each partition keeps only its
+    local top-n and the driver merges heaps, so no global sort ever
+    happens and memory is O(n · partitions) worst-case."""
+    u = _unit_draw(*(id_cols or df.columns), seed=seed)
+    return (df.withColumn("__draw", u).orderBy("__draw").limit(int(n))
+            .drop("__draw"))
 
 
 def write_training_shards(df: DataFrame, path: str, num_shards: int,
