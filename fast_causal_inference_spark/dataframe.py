@@ -413,6 +413,48 @@ class CausalDataFrame:
 
         return effect_size(self._df, y, index, **kwargs)
 
+    def bm25_search(self, queries, k: int = 10, **kwargs):
+        """BM25 top-k retrieval against this frame as the corpus;
+        ``queries`` is a small (query_id, query) frame (broadcast)."""
+        from fast_causal_inference_spark.datapipe.retrieval import (
+            bm25_search,
+        )
+
+        q = queries._df if isinstance(queries, CausalDataFrame) else queries
+        return CausalDataFrame(bm25_search(self._df, q, k=k, **kwargs))
+
+    def tfidf_search(self, queries, k: int = 10, **kwargs):
+        from fast_causal_inference_spark.datapipe.retrieval import (
+            tfidf_search,
+        )
+
+        q = queries._df if isinstance(queries, CausalDataFrame) else queries
+        return CausalDataFrame(tfidf_search(self._df, q, k=k, **kwargs))
+
+    def stratified_sample(self, strata_cols, **kwargs):
+        from fast_causal_inference_spark.datapipe.training import (
+            stratified_sample,
+        )
+
+        return CausalDataFrame(stratified_sample(self._df, strata_cols,
+                                                 **kwargs))
+
+    def reservoir_sample(self, n: int, **kwargs):
+        from fast_causal_inference_spark.datapipe.training import (
+            reservoir_sample,
+        )
+
+        return CausalDataFrame(reservoir_sample(self._df, n, **kwargs))
+
+    def semantic_dedup(self, threshold: float = 0.95, **kwargs):
+        """SemDeDup semantic deduplication over an embedding column."""
+        from fast_causal_inference_spark.datapipe.similarity import (
+            semantic_dedup,
+        )
+
+        return CausalDataFrame(semantic_dedup(self._df, threshold,
+                                              **kwargs))
+
     def top_k_per_key(self, keys, order_col: str, k: int, **kwargs):
         from fast_causal_inference_spark.operators.skew import (
             top_k_per_key,

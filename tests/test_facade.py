@@ -213,3 +213,21 @@ def test_facade_datapipe_verbs(spark, docs_for_facade):
     # wrong method name raises
     with _pytest.raises(ValueError, match="method"):
         cdf.near_dup_pairs(method="nope")
+
+
+def test_facade_retrieval_sampling_verbs(spark, docs_for_facade):
+    import fast_causal_inference_spark as fcis
+
+    cdf = fcis.readSparkDf(docs_for_facade)
+    q = spark.createDataFrame([(0, "spark join")],
+                              "query_id bigint, query string")
+    hits = cdf.bm25_search(q, k=3)
+    assert hits.df.count() <= 3
+    assert "score" in hits.df.columns
+    assert cdf.tfidf_search(q, k=3).df.count() <= 3
+    rs = cdf.reservoir_sample(12, id_cols=["doc_id"])
+    assert rs.df.count() == 12
+    emb = fcis.readSparkDf(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"))
+    kept = emb.semantic_dedup(threshold=0.9999, n_lists=8)
+    assert kept.df.count() <= emb.df.count()
