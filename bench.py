@@ -20,9 +20,19 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 def main() -> None:
     import __spark_entry__ as entry
-    from fast_causal_inference_spark.session import get_session
 
-    spark = get_session("fcis-bench", master=f"local[{CPUS}]")
+    from pyspark.sql import SparkSession
+
+    from fast_causal_inference_spark.session import configure_session
+
+    # UI/listener off for benchmarking: the AppStatusListener accumulates
+    # per-task state across the whole 50-query suite and its event-bus
+    # backlog perturbs later queries
+    builder = (SparkSession.builder.appName("fcis-bench")
+               .master(f"local[{CPUS}]")
+               .config("spark.ui.enabled", "false")
+               .config("spark.ui.showConsoleProgress", "false"))
+    spark = configure_session(builder).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     # JVM/codegen warmup (not measured): exercise the execution machinery

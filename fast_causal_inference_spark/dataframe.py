@@ -524,21 +524,30 @@ class CausalDataFrame:
                     if f.dataType.typeName() in
                     ("double", "float", "long", "integer", "short", "decimal")]
         aggs = []
+        levels = [0.25, 0.5, 0.75, 0.9, 0.99]
         for c in cols:
             x = F.col(c).cast("double")
+            # ONE percentile sketch per column (array of levels), not one
+            # per level — five scalar percentile_approx aggs each build
+            # their own KLL sketch over the same values
             aggs += [F.count(x).alias(f"{c}__count"), F.avg(x).alias(f"{c}__avg"),
                      F.stddev_samp(x).alias(f"{c}__std"), F.min(x).alias(f"{c}__min"),
-                     F.percentile_approx(x, 0.25).alias(f"{c}__25%"),
-                     F.percentile_approx(x, 0.5).alias(f"{c}__50%"),
-                     F.percentile_approx(x, 0.75).alias(f"{c}__75%"),
-                     F.percentile_approx(x, 0.9).alias(f"{c}__90%"),
-                     F.percentile_approx(x, 0.99).alias(f"{c}__99%"),
+                     F.percentile_approx(
+                         x, F.array(*[F.lit(p) for p in levels]))
+                     .alias(f"{c}__q"),
                      F.max(x).alias(f"{c}__max")]
         row = df.agg(*aggs).collect()[0]
         import pandas as pd
         stats = ["count", "avg", "std", "min", "25%", "50%", "75%", "90%", "99%", "max"]
-        return pd.DataFrame({c: [row[f"{c}__{s}"] for s in stats] for c in cols},
-                            index=stats)
+
+        def _col_stats(c):
+            qv = row[f"{c}__q"] or [None] * len(levels)
+            base = {s: row[f"{c}__{s}"] for s in
+                    ("count", "avg", "std", "min", "max")}
+            base.update(dict(zip(["25%", "50%", "75%", "90%", "99%"], qv)))
+            return [base[s] for s in stats]
+
+        return pd.DataFrame({c: _col_stats(c) for c in cols}, index=stats)
 
 
 # ---------------------------------------------------------------------------
