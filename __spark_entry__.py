@@ -909,7 +909,9 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = embedding_near_dup_pairs(allv, threshold=0.999).select(
         F.lit("lsh").alias("variant"), "id_a", "id_b",
         F.round("cosine", 4).alias("cosine"))
-    sem = semantic_dedup_pairs(allv, threshold=0.999, n_lists=16,
+    # n_lists ∝ √N (the SemDeDup regime): within-cell verification is
+    # Σcᵢ², so √N cells keep it ~N^1.5/n_lists
+    sem = semantic_dedup_pairs(allv, threshold=0.999, n_lists=45,
                                seed=4).select(
         F.lit("semantic").alias("variant"), "id_a", "id_b",
         F.round("cosine", 4).alias("cosine"))
