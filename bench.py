@@ -70,6 +70,24 @@ def main() -> None:
         .collect()
     spark.createDataFrame(pd.DataFrame({"a": [1.0, 2.0]})).count()
 
+    # compile/JIT the real shingle + near-dup pipeline shapes on a
+    # 64-doc toy corpus (sequence/slice/concat_ws/array_distinct HOF
+    # chain, prefix-rank windows, verification joins) — the suite's
+    # first dedup query otherwise pays this one-time cost
+    from fast_causal_inference_spark.datapipe.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    toy = spark.range(64).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.array(*[
+            F.conv(F.xxhash64("id", F.lit(i)).cast("string"), 10, 36)
+            for i in range(12)])).alias("text"))
+    ngram_jaccard_pairs(toy, threshold=0.5).count()
+    minhash_lsh_pairs(toy, threshold=0.5).count()
+    spark.catalog.clearCache()
+
     qs = entry.queries()
     times: dict[str, float] = {}
     for name, fn in qs.items():
