@@ -1729,11 +1729,15 @@ def q_xexpt_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _load(spark, sf_dir, "events") \
         .withColumn("treatment", (F.col("user_id") % 2).cast("int"))
-    avg_rep = xexpt_ttest_2samp(ev, "value", "1 + event_id % 7", "treatment",
-                                "user_id", treatment_values=(0, 1))
-    sum_rep = xexpt_ttest_2samp(ev, "value", "1 + event_id % 7", "treatment",
-                                "user_id", metric_type="sum",
-                                group_buckets=(1, 1), treatment_values=(0, 1))
+    avg_rep, sum_rep = _concurrent([
+        lambda: xexpt_ttest_2samp(ev, "value", "1 + event_id % 7",
+                                  "treatment", "user_id",
+                                  treatment_values=(0, 1)),
+        lambda: xexpt_ttest_2samp(ev, "value", "1 + event_id % 7",
+                                  "treatment", "user_id", metric_type="sum",
+                                  group_buckets=(1, 1),
+                                  treatment_values=(0, 1)),
+    ])
     rows = []
     for name, rep, d0, d1 in [("avg", avg_rep, "denominator0", "denominator1"),
                               ("sum", sum_rep, "ratio0", "ratio1")]:
