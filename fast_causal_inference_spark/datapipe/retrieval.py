@@ -53,12 +53,18 @@ def postings(df: DataFrame, text_col: str = "text",
 
 def _corpus_stats(post: DataFrame):
     """(N, avgdl) scalars + docfreq/doclen relations from one postings
-    relation. N and avgdl are one tiny collect (two doubles)."""
+    relation. N and avgdl are one tiny collect (two doubles); that same
+    action populates the postings cache, so the 3 downstream subtrees
+    (scoring join, doclen, docfreq) read it instead of re-scanning the
+    corpus. avgdl falls back to 1.0 on an empty/all-blank corpus (the
+    result is empty either way — but float(None) must not raise at
+    plan-construction time)."""
     doclen = post.groupBy("id").agg(F.sum("tf").alias("dl"))
     docfreq = post.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
     n_docs, avgdl = doclen.agg(
         F.count(F.lit(1)), F.avg("dl")).first()
-    return doclen, docfreq, float(n_docs), float(avgdl)
+    return (doclen, docfreq, float(n_docs),
+            float(avgdl) if avgdl is not None else 1.0)
 
 
 def _query_terms(queries: DataFrame, query_text_col: str,
@@ -82,7 +88,10 @@ def bm25_search(corpus: DataFrame, queries: DataFrame, k: int = 10,
     deterministic. ``queries`` is expected to be small (it is broadcast);
     the corpus may be arbitrarily large.
     """
-    post = postings(corpus, text_col, id_col)
+    # cache: the postings relation feeds the scoring join, doclen, and
+    # docfreq — without it each subtree re-runs the corpus explode
+    # (the repo-wide reused-subtree convention, see dedup._shingle_inv)
+    post = postings(corpus, text_col, id_col).cache()
     doclen, docfreq, n_docs, avgdl = _corpus_stats(post)
     qt = _query_terms(queries, query_text_col, query_id_col)
 
@@ -123,7 +132,7 @@ def tfidf_search(corpus: DataFrame, queries: DataFrame, k: int = 10,
     Same scale shape as :func:`bm25_search`; the query-side tf is the
     term's multiplicity in the query string.
     """
-    post = postings(corpus, text_col, id_col)
+    post = postings(corpus, text_col, id_col).cache()
     doclen, docfreq, n_docs, _ = _corpus_stats(post)
 
     idf = F.log(F.lit(1.0)
@@ -140,7 +149,14 @@ def tfidf_search(corpus: DataFrame, queries: DataFrame, k: int = 10,
         .where(F.col("term") != "")
         .groupBy("query_id", "term")
         .agg(F.count(F.lit(1)).alias("qtf")))
-    qw = (docfreq.join(F.broadcast(qpost), "term")
+    # out-of-vocabulary query terms still carry weight in the QUERY norm
+    # (idf with df=0) — an inner join against docfreq would silently drop
+    # them and inflate every cosine for that query; both joins stay
+    # broadcast by shrinking docfreq to the query's terms first
+    qdf = docfreq.join(
+        F.broadcast(qpost.select("term").distinct()), "term")
+    qw = (qpost.join(F.broadcast(qdf), "term", "left")
+          .withColumn("df_t", F.coalesce(F.col("df_t"), F.lit(0)))
           .select("query_id", "term",
                   ((F.lit(1.0) + F.log("qtf")) * idf).alias("qw")))
     qnorm = qw.groupBy("query_id").agg(

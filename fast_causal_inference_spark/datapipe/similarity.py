@@ -312,7 +312,11 @@ def semantic_dedup_pairs(df: DataFrame, threshold: float = 0.95,
     C = _train_centroids(df, vec_col, n_lists, sample_per_list,
                          train_iters, seed)
     assign = _assign_udf(C)
+    # NULL embeddings are dropped to match the training-sample filter —
+    # np.stack inside the assignment UDF would otherwise fail the whole
+    # job on the first NULL batch
     b = (df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+           .where(F.col("v").isNotNull())
            .withColumn("__list", assign(F.col("v"))))
     # cache + eager count: the self-join reads `b` twice (see
     # embedding_near_dup_pairs)

@@ -249,6 +249,10 @@ def stratified_sample(df: DataFrame, strata_cols: list[str] | str,
       draws (i.e., a per-stratum seeded reservoir). One shuffle by
       stratum; Spark's WindowGroupLimit pushes the rank ≤ k bound
       map-side, so hot strata never materialize a full sort.
+
+    Dict ``fractions`` assign rate 0.0 to every stratum value NOT listed
+    (same drop-by-default contract as ``domain_mixture_sample``'s
+    ``target_weights``) — list a stratum explicitly to keep it.
     """
     strata = [strata_cols] if isinstance(strata_cols, str) else \
         list(strata_cols)
@@ -269,7 +273,13 @@ def stratified_sample(df: DataFrame, strata_cols: list[str] | str,
         else:
             rate = F.lit(float(fractions))
         return df.where(u < rate)
-    w = Window.partitionBy(*strata).orderBy(u.asc())
+    # rank by the FULL 64-bit hash (the 1e6-bucket unit draw collides at
+    # the birthday bound), with the key columns as final tie-break so a
+    # genuinely tied draw cannot fall back to physical layout order
+    h = F.xxhash64(*[F.col(c) for c in (id_cols or df.columns)],
+                   F.lit(seed))
+    w = Window.partitionBy(*strata).orderBy(
+        h.asc(), *[F.col(c).asc() for c in (id_cols or df.columns)])
     return (df.withColumn("__rk", F.row_number().over(w))
             .where(F.col("__rk") <= int(n_per_stratum))
             .drop("__rk"))
@@ -282,10 +292,16 @@ def reservoir_sample(df: DataFrame, n: int, seed: int = 42,
     across runs, clusters, and input layouts. ``orderBy(draw).limit(n)``
     compiles to ``TakeOrderedAndProject``: each partition keeps only its
     local top-n and the driver merges heaps, so no global sort ever
-    happens and memory is O(n · partitions) worst-case."""
-    u = _unit_draw(*(id_cols or df.columns), seed=seed)
-    return (df.withColumn("__draw", u).orderBy("__draw").limit(int(n))
-            .drop("__draw"))
+    happens and memory is O(n · partitions) worst-case.
+
+    The ordering key is the full 64-bit hash plus the key columns as
+    tie-break, so rows straddling the limit boundary can never be
+    resolved by physical layout order."""
+    cols = id_cols or df.columns
+    h = F.xxhash64(*[F.col(c) for c in cols], F.lit(seed))
+    return (df.withColumn("__draw", h)
+            .orderBy("__draw", *[F.col(c).asc() for c in cols])
+            .limit(int(n)).drop("__draw"))
 
 
 def write_training_shards(df: DataFrame, path: str, num_shards: int,

@@ -227,7 +227,9 @@ def test_facade_retrieval_sampling_verbs(spark, docs_for_facade):
     assert cdf.tfidf_search(q, k=3).df.count() <= 3
     rs = cdf.reservoir_sample(12, id_cols=["doc_id"])
     assert rs.df.count() == 12
+    from tests.conftest import SF_DIR
+
     emb = fcis.readSparkDf(
-        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"))
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet"))
     kept = emb.semantic_dedup(threshold=0.9999, n_lists=8)
     assert kept.df.count() <= emb.df.count()

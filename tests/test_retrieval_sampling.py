@@ -221,3 +221,34 @@ def test_semantic_dedup_candidate_volume_bounded(emb_with_copies):
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_empty_corpus_returns_empty(spark, queries):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert bm25_search(empty, queries, k=3).count() == 0
+    blank = spark.createDataFrame([(0, "   ")], "doc_id long, text string")
+    assert bm25_search(blank, queries, k=3).count() == 0
+
+
+def test_tfidf_oov_query_term_still_weighs_query_norm(spark):
+    corpus = spark.createDataFrame([(0, "red")], "doc_id long, text string")
+    q = spark.createDataFrame([(0, "red zzz")], "query_id int, query string")
+    got = tfidf_search(corpus, q, k=3).toPandas()
+    # idf(red)=ln(1+1/2), idf(zzz|df=0)=ln(1+1/1); cosine must be < 1
+    # because zzz carries weight in the query norm
+    i_red, i_zzz = np.log(1.5), np.log(2.0)
+    expect = i_red / np.sqrt(i_red ** 2 + i_zzz ** 2)
+    assert np.isclose(got.iloc[0]["score"], expect, rtol=1e-12)
+
+
+def test_semantic_dedup_null_embedding_skipped(spark, emb_with_copies):
+    from pyspark.sql import functions as F2
+    withnull = emb_with_copies.unionByName(
+        spark.createDataFrame([(999999,)], "vec_id long")
+        .withColumn("embedding",
+                    F2.lit(None).cast("array<float>"))
+        .withColumn("label", F2.lit(None).cast("long")))
+    pairs = semantic_dedup_pairs(withnull, threshold=0.999, n_lists=16,
+                                 seed=4)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert {(i, i + 50000) for i in range(10)} <= got
