@@ -25,6 +25,8 @@ __all__ = [
     "PII_PATTERNS", "pii_count", "pii_profile", "pii_redact",
     "doc_lines", "dup_line_frac", "dup_line_char_frac", "word_ngrams",
     "repetition_profile", "contamination_overlap", "decontaminate",
+    "normalize_url", "url_host", "registered_domain", "url_dedup",
+    "domain_filter",
 ]
 
 # Patterns are kept in the common subset of Java regex (Spark) and RE2
@@ -236,3 +238,95 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                 .withColumn("contaminated",
                             F.coalesce("contaminated", F.lit(False))))
     raise ValueError(f"mode must be 'drop' or 'flag', got {mode!r}")
+
+
+# ---------------------------------------------------------------------------
+# URL normalization / domain extraction — web-corpus curation keys
+# ---------------------------------------------------------------------------
+
+# multi-label public suffixes that need THREE labels for a registered
+# domain (bbc.co.uk, not co.uk) — the pragmatic short list; a full
+# public-suffix-list lookup is a broadcast-join against the PSL relation
+_TWO_LEVEL_TLDS = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "or.jp", "ne.jp", "com.cn", "net.cn", "org.cn", "com.br",
+    "co.in", "co.kr", "com.mx", "com.tw", "co.za",
+)
+
+
+def normalize_url(url: Column | str) -> Column:
+    """Canonical URL for dedup keys: lowercase scheme+host, strip
+    ``www.``, default ports, fragments, common tracking params
+    (utm_*/fbclid/gclid/ref), and a trailing slash. Pure Column regex
+    chain — portable (no lookaround), no UDF."""
+    c = F.col(url) if isinstance(url, str) else url
+    u = F.trim(c)
+    # lowercase scheme+authority only (path/query stay case-sensitive)
+    u = F.concat(F.lower(F.regexp_extract(u, r"^([^/?#]*//[^/?#]*)", 1)),
+                 F.regexp_replace(u, r"^[^/?#]*//[^/?#]*", ""))
+    u = F.regexp_replace(u, r"#.*$", "")                      # fragment
+    u = F.regexp_replace(u, r"(//[^/?#:]*):(80|443)(?=[/?]|$)", r"$1")
+    u = F.regexp_replace(u, r"//www\.", "//")
+    # tracking params (any position), then tidy separators
+    u = F.regexp_replace(
+        u, r"[?&](utm_[a-z]+|fbclid|gclid|ref)=[^&#]*", "?")
+    u = F.regexp_replace(u, r"\?+&?", "?")
+    u = F.regexp_replace(u, r"[?&]+$", "")
+    u = F.regexp_replace(u, r"/\?", "?")      # path's trailing slash
+    u = F.regexp_replace(u, r"/$", "")
+    return u
+
+
+def url_host(url: Column | str) -> Column:
+    """Hostname of a URL (lowercased, port stripped, no ``www.``)."""
+    c = F.col(url) if isinstance(url, str) else url
+    h = F.lower(F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)", 1))
+    return F.regexp_replace(h, r"^www\.", "")
+
+
+def registered_domain(url: Column | str) -> Column:
+    """eTLD+1 (bbc.co.uk, example.com) from a URL — the unit web-corpus
+    curation buckets by (per-domain caps, blocklists, mixture weights)."""
+    h = url_host(url)
+    parts = F.split(h, r"\.")
+    n = F.size(parts)
+    two = F.concat_ws(".", F.slice(parts, n - 1, 2))
+    three = F.concat_ws(".", F.slice(parts, n - 2, 3))
+    is_two_level = two.isin(*_TWO_LEVEL_TLDS)
+    return F.when(n <= 2, h).otherwise(
+        F.when(is_two_level, three).otherwise(two))
+
+
+def url_dedup(df: DataFrame, url_col: str = "url",
+              keep: str = "min") -> DataFrame:
+    """Exact dedup on the NORMALIZED URL: one hash shuffle + top-1 window
+    per canonical URL (same plan shape as ``dedup.exact_dedup``)."""
+    from pyspark.sql import Window
+
+    key = normalize_url(F.col(url_col))
+    order = [c for c in df.columns if c != url_col] or [url_col]
+    w = Window.partitionBy(key).orderBy(
+        *[getattr(F.col(c), "asc" if keep == "min" else "desc")()
+          for c in order])
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1).drop("__rn"))
+
+
+def domain_filter(df: DataFrame, url_col: str = "url",
+                  blocklist: DataFrame | list | None = None,
+                  allowlist: DataFrame | list | None = None) -> DataFrame:
+    """Drop (blocklist) or keep-only (allowlist) rows by registered
+    domain.  List inputs become broadcast anti/semi joins — the corpus
+    never shuffles."""
+    if (blocklist is None) == (allowlist is None):
+        raise ValueError("pass exactly one of blocklist / allowlist")
+    sess = df.sparkSession
+    src = blocklist if blocklist is not None else allowlist
+    if isinstance(src, (list, tuple, set)):
+        rel = sess.createDataFrame([(d,) for d in sorted(src)],
+                                   "__dom string")
+    else:
+        rel = src.toDF("__dom")
+    keyed = df.withColumn("__dom", registered_domain(F.col(url_col)))
+    how = "left_anti" if blocklist is not None else "left_semi"
+    return keyed.join(F.broadcast(rel), "__dom", how).drop("__dom")

@@ -150,3 +150,37 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
               .withColumn("quality", quality_score(c))
               .withColumn("fingerprint", fingerprint(c))
               .withColumn("fingerprint_md5", fingerprint(c, method="md5")))
+
+
+def chunk_documents(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", chunk_tokens: int = 256,
+                    overlap: int = 0) -> DataFrame:
+    """Split documents into fixed-token-window chunks (optionally
+    overlapping) — the context-window prep step between cleaning and
+    tokenization in a training pipeline, and the unit of retrieval for
+    RAG-style corpora.
+
+    Pure relational: tokens → chunk-start ``sequence`` → one explode →
+    ``slice``+``concat_ws`` per chunk.  Output carries ``(id_col,
+    chunk_id, chunk_text, n_chunk_tokens)``; chunk ids are 0-based and
+    deterministic.  One narrow shuffle-free scan per corpus (the explode
+    amplifies by ⌈len/stride⌉ only).  Empty/blank documents produce one
+    empty chunk so no document silently disappears.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    c = F.col(text_col)
+    out = df.select(
+        F.col(id_col),
+        F.posexplode(bind_once(tokens(c), lambda tk: F.transform(
+            F.sequence(
+                F.lit(0),
+                F.greatest(
+                    F.ceil((F.size(tk) - F.lit(chunk_tokens))
+                           / F.lit(stride)).cast("int"),
+                    F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", F.slice(tk, i * stride + 1, chunk_tokens)))))
+        .alias("chunk_id", "chunk_text"))
+    return out.withColumn("n_chunk_tokens", token_count("chunk_text"))
