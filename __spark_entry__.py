@@ -964,7 +964,13 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     GPT-3-style benchmark-decontamination flag (5-gram overlap vs the
     ``doc_id % 7 == 0`` slice standing in for an eval benchmark; the oracle
     re-joins on gram STRINGS where the engine joins 64-bit gram hashes —
-    agreement also certifies the hashed join path)."""
+    agreement also certifies the hashed join path), and CCNet-style
+    bigram-LM perplexity under a trusted-slice model (``doc_id % 5 == 0``)
+    — DuckDB re-derives the full add-1-smoothed log-probability."""
+    from fast_causal_inference_spark.datapipe.lm import (
+        score_perplexity,
+        train_bigram_lm,
+    )
     from fast_causal_inference_spark.datapipe.quality import (
         decontaminate,
         dup_line_frac,
@@ -981,11 +987,16 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.round(dup_line_frac(F.col("text")), 6)))
     bench = d.where(F.col("doc_id") % 7 == 0)
     out = decontaminate(out, bench, n=5, mode="flag")
+    lm = train_bigram_lm(d.where(F.col("doc_id") % 5 == 0))
+    ppl = score_perplexity(d, lm, k=1.0).select(
+        "doc_id", F.round("ppl", 6).alias("ppl"))
+    out = out.join(ppl, "doc_id", "left")
     return out.select("doc_id", "n_tokens", "n_tokens_bpe", "lang_pred",
                       F.round("quality", 6).alias("quality"),
                       "fingerprint_md5", "pii_email_cnt", "pii_ipv4_cnt",
                       "dup_line_frac",
-                      F.col("contaminated").cast("long").alias("contaminated"))
+                      F.col("contaminated").cast("long").alias("contaminated"),
+                      "ppl")
 
 
 _TEXT_PROFILE_SQL = r"""
@@ -1035,6 +1046,26 @@ WITH t AS (
   SELECT DISTINCT g FROM grams WHERE doc_id % 7 = 0
 ), contam AS (
   SELECT DISTINCT gr.doc_id FROM grams gr JOIN bench_grams b ON gr.g = b.g
+), tbg AS (
+  SELECT tok.doc_id, toks[i] AS w1, toks[i+1] AS w2
+  FROM tok, unnest(range(1, greatest(len(toks), 1))) AS r(i)
+  WHERE toks[i] <> '' AND toks[i+1] <> ''
+), trusted_bg AS (
+  SELECT w1, w2, count(*) AS c12 FROM tbg WHERE doc_id % 5 = 0
+  GROUP BY 1, 2
+), trusted_uni AS (
+  SELECT u.tk AS w1, count(*) AS c1
+  FROM tok, unnest(tok.toks) AS u(tk)
+  WHERE tok.doc_id % 5 = 0 AND u.tk <> '' GROUP BY 1
+), lmconsts AS (SELECT count(*) AS v FROM trusted_uni),
+ppl AS (
+  SELECT d.doc_id,
+         round(exp(-avg(ln((coalesce(b.c12, 0) + 1.0)
+                           / (coalesce(u.c1, 0) + 1.0 * lmconsts.v)))),
+               6) AS ppl
+  FROM tbg d LEFT JOIN trusted_bg b USING (w1, w2)
+       LEFT JOIN trusted_uni u USING (w1) CROSS JOIN lmconsts
+  GROUP BY 1
 )
 SELECT lang.doc_id, n_tokens, n_tokens_bpe,
        CASE WHEN cjk * 3 > n_chars THEN 'zh'
@@ -1061,10 +1092,12 @@ SELECT lang.doc_id, n_tokens, n_tokens_bpe,
        round(CASE WHEN len(ls) = 0 THEN 0.0
              ELSE (len(ls) - len(list_distinct(ls))) * 1.0 / len(ls)
              END, 6) AS dup_line_frac,
-       CAST(contam.doc_id IS NOT NULL AS BIGINT) AS contaminated
+       CAST(contam.doc_id IS NOT NULL AS BIGINT) AS contaminated,
+       ppl.ppl AS ppl
 FROM lang
 JOIN lines ON lang.doc_id = lines.doc_id
 LEFT JOIN contam ON lang.doc_id = contam.doc_id
+LEFT JOIN ppl ON lang.doc_id = ppl.doc_id
 """
 
 
