@@ -1,8 +1,9 @@
 """End-to-end LLM training-data pipeline demo over the documents table.
 
-Ingest → quality/PII → decontaminate → dedup (exact + MinHash + transitive
-closure) → domain mixture → deterministic epoch shuffle → sequence packing
-→ shard writing.  Every stage is the scale-path operator (no collect, no
+Ingest → quality/PII → decontaminate → LM-perplexity filter → dedup
+(exact + MinHash + transitive closure) → domain mixture → deterministic
+epoch shuffle → context-window chunking → sequence packing → shard
+writing → BM25 retrieval over the landed corpus.  Every stage is the scale-path operator (no collect, no
 arrays through shuffles); this script narrates row counts per stage.
 
 Run: python examples/training_pipeline.py [sf_dir] (default sf0.01).
@@ -19,7 +20,13 @@ from pyspark.sql import functions as F                            # noqa: E402
 import fast_causal_inference_spark as fcis                        # noqa: E402
 from fast_causal_inference_spark.sources.tables import load_table  # noqa: E402
 from fast_causal_inference_spark.datapipe import dedup, quality    # noqa: E402
+from fast_causal_inference_spark.datapipe.lm import (              # noqa: E402
+    perplexity_filter,
+    train_bigram_lm,
+)
+from fast_causal_inference_spark.datapipe.retrieval import bm25_search  # noqa: E402
 from fast_causal_inference_spark.datapipe.text import (            # noqa: E402
+    chunk_documents,
     language_id,
     quality_score,
     token_count,
@@ -57,6 +64,14 @@ def main():
                                   benchmark_text_col="bench_text")
     print(f"after decontamination: {decon.count()}")
 
+    # 2.5 CCNet-style quality cut: keep the head+middle (lowest 70%) of
+    # the perplexity distribution under a trusted-slice LM
+    from fast_causal_inference_spark.datapipe.lm import score_perplexity
+    lm = train_bigram_lm(docs.where(F.col("doc_id") % 5 == 0))
+    p70 = score_perplexity(decon, lm).approxQuantile("ppl", [0.7], 0.01)[0]
+    decon = perplexity_filter(decon, lm, max_ppl=p70)
+    print(f"after perplexity filter (ppl <= {p70:.1f}): {decon.count()}")
+
     # 3. dedup: exact, then MinHash-LSH near-dup clusters → keep minima
     exact = dedup.exact_dedup(decon)
     pairs = dedup.minhash_lsh_pairs(exact, threshold=0.7)
@@ -76,8 +91,12 @@ def main():
                        mixed.groupBy("domain")
                        .agg(F.count(F.lit(1)).alias("n")).collect()})
 
-    # 5. pack into 2048-token windows and land 8 shards
-    packed = pack_sequences(shuffled, "n_tokens", max_tokens=2048)
+    # 5. chunk long docs to 512-token context windows, pack to 2048
+    chunks = chunk_documents(shuffled, chunk_tokens=512, overlap=32) \
+        .withColumnRenamed("n_chunk_tokens", "n_tokens") \
+        .withColumn("__replica", F.lit(0))
+    print(f"chunked into {chunks.count()} context windows")
+    packed = pack_sequences(chunks, "n_tokens", max_tokens=2048)
     n_packs = packed.select(F.countDistinct("pack_id")).collect()[0][0]
     print(f"packed into {n_packs} context windows")
     out_dir = tempfile.mkdtemp(prefix="fcis_shards_")
@@ -85,6 +104,14 @@ def main():
                           key_cols=["doc_id", "__replica"])
     print(f"shards at {out_dir}: "
           f"{spark.read.parquet(out_dir).count()} rows")
+
+    # 6. BM25 retrieval over the curated corpus (eval-set sourcing)
+    qdf = spark.createDataFrame(
+        [(0, "spark query join"), (1, "merge sort window")],
+        "query_id bigint, query string")
+    hits = bm25_search(deduped, qdf, k=3)
+    print("bm25 top hits:")
+    hits.orderBy("query_id", "rank").show(6, truncate=60)
     spark.stop()
 
 
