@@ -92,16 +92,17 @@ def main():
                        .agg(F.count(F.lit(1)).alias("n")).collect()})
 
     # 5. chunk long docs to 512-token context windows, pack to 2048
+    # (chunk_documents passes __replica through, so upsampled copies
+    # stay distinguishable; chunk_id joins the shuffle/shard key)
     chunks = chunk_documents(shuffled, chunk_tokens=512, overlap=32) \
-        .withColumnRenamed("n_chunk_tokens", "n_tokens") \
-        .withColumn("__replica", F.lit(0))
+        .drop("n_tokens").withColumnRenamed("n_chunk_tokens", "n_tokens")
     print(f"chunked into {chunks.count()} context windows")
     packed = pack_sequences(chunks, "n_tokens", max_tokens=2048)
     n_packs = packed.select(F.countDistinct("pack_id")).collect()[0][0]
     print(f"packed into {n_packs} context windows")
     out_dir = tempfile.mkdtemp(prefix="fcis_shards_")
     write_training_shards(packed, out_dir, num_shards=8,
-                          key_cols=["doc_id", "__replica"])
+                          key_cols=["doc_id", "__replica", "chunk_id"])
     print(f"shards at {out_dir}: "
           f"{spark.read.parquet(out_dir).count()} rows")
 

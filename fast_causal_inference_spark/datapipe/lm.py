@@ -57,12 +57,17 @@ def train_bigram_lm(df: DataFrame, text_col: str = "text") -> dict:
             .select(F.explode(_bigrams(F.col(text_col))).alias("bg"))
             .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
             .where((F.col("w1") != "") & (F.col("w2") != "")))
+    # cache both count relations: training already pays a mandatory
+    # action (the vocab count), and every scoring/filter pass re-reads
+    # them — without the cache each downstream action re-aggregates the
+    # trusted corpus (the repo-wide reused-subtree convention)
     bigrams = toks.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).alias("c12"))
+        F.count(F.lit(1)).alias("c12")).cache()
     unis = (df.select(F.explode(tokens(F.col(text_col))).alias("w1"))
             .where(F.col("w1") != "")
-            .groupBy("w1").agg(F.count(F.lit(1)).alias("c1")))
+            .groupBy("w1").agg(F.count(F.lit(1)).alias("c1")).cache())
     vocab_size = unis.count()
+    bigrams.count()
     return {"bigrams": bigrams, "unigrams": unis,
             "vocab_size": int(vocab_size)}
 

@@ -254,23 +254,37 @@ _TWO_LEVEL_TLDS = (
 )
 
 
+_TRACKING_PARAMS = r"(?:utm_[a-z]+|fbclid|gclid)"
+
+
 def normalize_url(url: Column | str) -> Column:
-    """Canonical URL for dedup keys: lowercase scheme+host, strip
-    ``www.``, default ports, fragments, common tracking params
-    (utm_*/fbclid/gclid/ref), and a trailing slash. Pure Column regex
-    chain — portable (no lookaround), no UDF."""
+    """Canonical URL for dedup keys: lowercase scheme+host, strip a
+    leading ``www.``, scheme-matched default ports (http:80 / https:443
+    only), fragments, pure tracking params (utm_*/fbclid/gclid — NOT
+    ``ref``, which is a content selector on many sites), and trailing
+    slashes. Pure Column regex chain, no UDF (Java regex; uses one
+    lookahead, so not RE2-portable as-is).
+
+    Contract: expects absolute URLs (``scheme://…`` or protocol-relative
+    ``//…``); schemeless bare strings pass through with only
+    fragment/param/slash cleanup."""
     c = F.col(url) if isinstance(url, str) else url
     u = F.trim(c)
     # lowercase scheme+authority only (path/query stay case-sensitive)
     u = F.concat(F.lower(F.regexp_extract(u, r"^([^/?#]*//[^/?#]*)", 1)),
                  F.regexp_replace(u, r"^[^/?#]*//[^/?#]*", ""))
     u = F.regexp_replace(u, r"#.*$", "")                      # fragment
-    u = F.regexp_replace(u, r"(//[^/?#:]*):(80|443)(?=[/?]|$)", r"$1")
-    u = F.regexp_replace(u, r"//www\.", "//")
-    # tracking params (any position), then tidy separators
-    u = F.regexp_replace(
-        u, r"[?&](utm_[a-z]+|fbclid|gclid|ref)=[^&#]*", "?")
-    u = F.regexp_replace(u, r"\?+&?", "?")
+    # scheme-matched default ports only: http on :443 is a DIFFERENT
+    # origin and must not collapse
+    u = F.regexp_replace(u, r"^(http://[^/?#:]*):80(?=[/?]|$)", r"$1")
+    u = F.regexp_replace(u, r"^(https://[^/?#:]*):443(?=[/?]|$)", r"$1")
+    # leading www. of the AUTHORITY only (anchored — never path/query)
+    u = F.regexp_replace(u, r"^((?:[a-z][a-z0-9+.-]*:)?//)www\.", r"$1")
+    # tracking params: mid/end ('&p=v' drops), then leading with a
+    # successor ('?p=v&' -> '?'), then a lone leading one
+    u = F.regexp_replace(u, r"&" + _TRACKING_PARAMS + r"=[^&#]*", "")
+    u = F.regexp_replace(u, r"\?" + _TRACKING_PARAMS + r"=[^&#]*&", "?")
+    u = F.regexp_replace(u, r"\?" + _TRACKING_PARAMS + r"=[^&#]*$", "")
     u = F.regexp_replace(u, r"[?&]+$", "")
     u = F.regexp_replace(u, r"/\?", "?")      # path's trailing slash
     u = F.regexp_replace(u, r"/$", "")
@@ -278,9 +292,11 @@ def normalize_url(url: Column | str) -> Column:
 
 
 def url_host(url: Column | str) -> Column:
-    """Hostname of a URL (lowercased, port stripped, no ``www.``)."""
+    """Hostname of an absolute or protocol-relative URL (lowercased,
+    port stripped, no ``www.``); '' when there is no ``//`` authority."""
     c = F.col(url) if isinstance(url, str) else url
-    h = F.lower(F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)", 1))
+    h = F.lower(F.regexp_extract(
+        c, r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//([^/?#:]+)", 1))
     return F.regexp_replace(h, r"^www\.", "")
 
 

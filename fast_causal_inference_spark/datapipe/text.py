@@ -153,27 +153,36 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def chunk_documents(df: DataFrame, text_col: str = "text",
-                    id_col: str = "doc_id", chunk_tokens: int = 256,
+                    chunk_tokens: int = 256,
                     overlap: int = 0) -> DataFrame:
     """Split documents into fixed-token-window chunks (optionally
     overlapping) — the context-window prep step between cleaning and
     tokenization in a training pipeline, and the unit of retrieval for
     RAG-style corpora.
 
-    Pure relational: tokens → chunk-start ``sequence`` → one explode →
-    ``slice``+``concat_ws`` per chunk.  Output carries ``(id_col,
-    chunk_id, chunk_text, n_chunk_tokens)``; chunk ids are 0-based and
-    deterministic.  One narrow shuffle-free scan per corpus (the explode
-    amplifies by ⌈len/stride⌉ only).  Empty/blank documents produce one
-    empty chunk so no document silently disappears.
+    Pure relational: whitespace split → chunk-start ``sequence`` → one
+    explode → ``slice``+``concat_ws`` per chunk.  Every input column
+    except ``text_col`` passes through; the output adds ``(chunk_id,
+    chunk_text, n_chunk_tokens)`` with 0-based deterministic chunk ids.
+    One narrow shuffle-free scan per corpus (the explode amplifies by
+    ⌈len/stride⌉ only).
+
+    Text is split on runs of whitespace and chunks are re-joined with
+    single spaces, so intra-document whitespace (newlines, runs) is
+    normalized — but CASE IS PRESERVED (this is training text, not a
+    dedup key).  Empty/blank/NULL documents produce one empty chunk so
+    no document silently disappears.
     """
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
     stride = chunk_tokens - overlap
-    c = F.col(text_col)
+    # case-preserving token split; NULL text behaves like ''
+    tk_expr = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))),
+                      r"\s+")
+    keep = [c for c in df.columns if c != text_col]
     out = df.select(
-        F.col(id_col),
-        F.posexplode(bind_once(tokens(c), lambda tk: F.transform(
+        *keep,
+        F.posexplode(bind_once(tk_expr, lambda tk: F.transform(
             F.sequence(
                 F.lit(0),
                 F.greatest(

@@ -35,6 +35,43 @@ def test_normalize_url(spark, urls):
     assert got[3] == "http://sub.deep.example.com/a"
 
 
+def test_normalize_url_edge_cases(spark):
+    rows = [
+        # tracking param mid-query must leave a VALID query string
+        (0, "https://ex.com/p?a=1&utm_x=5&c=3"),
+        (1, "https://ex.com/p?a=1&c=3"),
+        # leading tracker with successor
+        (2, "https://ex.com/p?utm_a=1&utm_b=2&c=3"),
+        # scheme-mismatched ports must NOT collapse (different origins)
+        (3, "http://ex.com:443/a"),
+        (4, "https://ex.com:80/a"),
+        # www inside the query must not be touched
+        (5, "https://cdn.com/r?next=https://www.example.com/x"),
+        # 'ref' is a content selector, not a tracker — keep it
+        (6, "https://github.com/org/repo/tree/x?ref=main"),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = {r["id"]: r["n"] for r in
+           df.select("id", normalize_url("url").alias("n")).collect()}
+    assert got[0] == "https://ex.com/p?a=1&c=3"
+    assert got[0] == got[1]
+    assert got[2] == "https://ex.com/p?c=3"
+    assert got[3] == "http://ex.com:443/a"
+    assert got[4] == "https://ex.com:80/a"
+    assert got[5] == "https://cdn.com/r?next=https://www.example.com/x"
+    assert got[6] == "https://github.com/org/repo/tree/x?ref=main"
+
+
+def test_url_host_protocol_relative(spark):
+    df = spark.createDataFrame(
+        [(0, "//www.Bad-Site.org/x"), (1, "mailto:a@b.com")],
+        "id long, url string")
+    got = {r["id"]: r["h"] for r in
+           df.select("id", url_host("url").alias("h")).collect()}
+    assert got[0] == "bad-site.org"
+    assert got[1] == ""
+
+
 def test_url_host_and_registered_domain(spark, urls):
     got = {r["id"]: (r["h"], r["d"]) for r in urls.select(
         "id", url_host("url").alias("h"),
@@ -73,12 +110,25 @@ def test_chunk_documents(spark):
     d0 = [r for r in out if r["doc_id"] == 0]
     assert [r["chunk_text"] for r in d0] == [
         "t0 t1 t2 t3", "t4 t5 t6 t7", "t8 t9"]
+    assert "text" not in out[0].asDict()  # text replaced by chunk_text
     assert [r["n_chunk_tokens"] for r in d0] == [4, 4, 2]
     d1 = [r for r in out if r["doc_id"] == 1]
     assert len(d1) == 1 and d1[0]["chunk_text"] == "short doc"
     # blank doc -> one empty chunk, not a dropped row
     d2 = [r for r in out if r["doc_id"] == 2]
     assert len(d2) == 1 and d2[0]["n_chunk_tokens"] == 0
+
+
+def test_chunk_preserves_case_metadata_and_null(spark):
+    df = spark.createDataFrame(
+        [(0, 'The CEO said\n\n"NO"', "en", 1), (1, None, "de", 2)],
+        "doc_id long, text string, lang string, rep long")
+    out = chunk_documents(df, chunk_tokens=8).collect()
+    d0 = [r for r in out if r["doc_id"] == 0][0]
+    assert d0["chunk_text"] == 'The CEO said "NO"'  # case kept
+    assert d0["lang"] == "en" and d0["rep"] == 1    # metadata kept
+    d1 = [r for r in out if r["doc_id"] == 1]       # NULL text survives
+    assert len(d1) == 1 and d1[0]["n_chunk_tokens"] == 0
 
 
 def test_chunk_documents_overlap(spark):
@@ -101,7 +151,7 @@ def test_chunk_reconstruction_no_overlap(spark, docs_sf):
                    ).getField("chunk_text")).alias("joined")))
     orig = docs_sf.select("doc_id",
                           F.concat_ws(" ", F.split(
-                              F.trim(F.lower("text")), r"\s+"))
+                              F.trim("text"), r"\s+"))
                           .alias("norm"))
     bad = rebuilt.join(orig, "doc_id") \
         .where(F.col("joined") != F.col("norm")).count()
