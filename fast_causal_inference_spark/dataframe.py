@@ -455,6 +455,31 @@ class CausalDataFrame:
         return CausalDataFrame(semantic_dedup(self._df, threshold,
                                               **kwargs))
 
+    def chunk_documents(self, chunk_tokens: int = 256, overlap: int = 0,
+                        **kwargs):
+        """Fixed-token-window chunking (context-window prep)."""
+        from fast_causal_inference_spark.datapipe.text import (
+            chunk_documents,
+        )
+
+        return CausalDataFrame(chunk_documents(
+            self._df, chunk_tokens=chunk_tokens, overlap=overlap,
+            **kwargs))
+
+    def perplexity_filter(self, lm: dict, max_ppl: float, **kwargs):
+        """CCNet-style perplexity cut under a `train_bigram_lm` model."""
+        from fast_causal_inference_spark.datapipe.lm import (
+            perplexity_filter,
+        )
+
+        return CausalDataFrame(perplexity_filter(self._df, lm, max_ppl,
+                                                 **kwargs))
+
+    def url_dedup(self, url_col: str = "url", **kwargs):
+        from fast_causal_inference_spark.datapipe.quality import url_dedup
+
+        return CausalDataFrame(url_dedup(self._df, url_col, **kwargs))
+
     def top_k_per_key(self, keys, order_col: str, k: int, **kwargs):
         from fast_causal_inference_spark.operators.skew import (
             top_k_per_key,

@@ -233,3 +233,12 @@ def test_facade_retrieval_sampling_verbs(spark, docs_for_facade):
         spark.read.parquet(f"{SF_DIR}/embeddings.parquet"))
     kept = emb.semantic_dedup(threshold=0.9999, n_lists=8)
     assert kept.df.count() <= emb.df.count()
+    chunks = cdf.chunk_documents(chunk_tokens=32)
+    assert chunks.df.count() >= cdf.df.count()
+    from fast_causal_inference_spark.datapipe.lm import train_bigram_lm
+    lm = train_bigram_lm(cdf.df.limit(100))
+    assert cdf.perplexity_filter(lm, max_ppl=1e9).df.count() > 0
+    udf_ = spark.createDataFrame(
+        [(0, "https://a.com/x"), (1, "https://www.a.com/x/")],
+        "id long, url string")
+    assert fcis.readSparkDf(udf_).url_dedup().df.count() == 1
