@@ -2237,22 +2237,44 @@ def q_multi_arm_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-arm test family: classic one-way ANOVA, Welch ANOVA, Bartlett
     variance homogeneity, Kruskal-Wallis rank test — one suff-stats pass
     each over a 3-arm split of events (p-values are deterministic
-    functions of (stat, df), pytest-checked; the gate pins stat+df)."""
+    functions of (stat, df), pytest-checked; the gate pins stat+df) —
+    plus the Bayesian A/B readout on a 2-arm split (posterior params are
+    exact suff-stat functions, fully SQL-derivable; P(win)/expected loss
+    need erf and stay pytest-gated)."""
     from fast_causal_inference_spark.operators.anova import (
         anova_oneway,
         bartlett_test,
         kruskal_wallis_test,
     )
+    from fast_causal_inference_spark.operators.bayes import (
+        bayes_ab_binary,
+        bayes_ab_continuous,
+    )
 
     ev = _load(spark, sf_dir, "events") \
         .withColumn("arm", (F.col("user_id") % 3).cast("int"))
+    ev2 = ev.withColumn("arm2", (F.col("user_id") % 2).cast("int")) \
+        .withColumn("converted", (F.col("value") > 25).cast("int"))
     rows = []
-    a, w, b, kw = [pdf.iloc[0] for pdf in _concurrent([
+    a, w, b, kw, bb, bc = [pdf.iloc[0] if pdf.index.size == 1 else pdf
+                           for pdf in _concurrent([
         lambda: anova_oneway(ev, "value", "arm"),
         lambda: anova_oneway(ev, "value", "arm", equal_var=False),
         lambda: bartlett_test(ev, "value", "arm"),
         lambda: kruskal_wallis_test(ev, "value", "arm"),
+        lambda: bayes_ab_binary(ev2, "converted", "arm2"),
+        lambda: bayes_ab_continuous(ev2, "value", "arm2"),
     ])]
+    for _, r in bb.iterrows():
+        for stat in ("n", "successes", "alpha", "beta", "posterior_mean"):
+            rows.append({"variant": "bayes_binary",
+                         "item": f"arm{int(r['arm'])}", "stat": stat,
+                         "value": round(float(r[stat]), 6)})
+    for _, r in bc.iterrows():
+        for stat in ("n", "posterior_mean", "posterior_sd"):
+            rows.append({"variant": "bayes_continuous",
+                         "item": f"arm{int(r['arm'])}", "stat": stat,
+                         "value": round(float(r[stat]), 6)})
     for stat in ("f_stat", "df_between", "df_within", "eta_squared",
                  "n", "k"):
         rows.append({"variant": "anova_classic", "item": "value",
@@ -2347,6 +2369,28 @@ UNION ALL SELECT 'kruskal_wallis', 'value', 'df',
        CAST(k - 1 AS DOUBLE) FROM kw
 UNION ALL SELECT 'kruskal_wallis', 'value', 'n', n FROM kw
 UNION ALL SELECT 'kruskal_wallis', 'value', 'k', CAST(k AS DOUBLE) FROM kw
+UNION ALL SELECT 'bayes_binary', 'arm' || CAST(arm2 AS VARCHAR), stat, value
+FROM (
+  SELECT CAST(user_id % 2 AS INT) AS arm2,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CASE WHEN value > 25 THEN 1 ELSE 0 END) AS DOUBLE) AS s
+  FROM events GROUP BY 1
+) bb, LATERAL (VALUES
+  ('n', bb.n), ('successes', bb.s),
+  ('alpha', round(1.0 + bb.s, 6)), ('beta', round(1.0 + bb.n - bb.s, 6)),
+  ('posterior_mean', round((1.0 + bb.s)/(2.0 + bb.n), 6))
+) AS v(stat, value)
+UNION ALL SELECT 'bayes_continuous', 'arm' || CAST(arm2 AS VARCHAR), stat,
+       value
+FROM (
+  SELECT CAST(user_id % 2 AS INT) AS arm2,
+         CAST(count(value) AS DOUBLE) AS n, avg(value) AS m,
+         var_samp(value) AS var
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+) bc, LATERAL (VALUES
+  ('n', bc.n), ('posterior_mean', round(bc.m, 6)),
+  ('posterior_sd', round(sqrt(bc.var / bc.n), 6))
+) AS v(stat, value)
 """
 
 

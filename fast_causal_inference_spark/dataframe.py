@@ -480,6 +480,22 @@ class CausalDataFrame:
 
         return CausalDataFrame(url_dedup(self._df, url_col, **kwargs))
 
+    def bayes_ab_binary(self, success: str, index: str, **kwargs):
+        """Beta-Bernoulli Bayesian A/B readout (P(win), expected loss)."""
+        from fast_causal_inference_spark.operators.bayes import (
+            bayes_ab_binary,
+        )
+
+        return bayes_ab_binary(self._df, success, index, **kwargs)
+
+    def bayes_ab_continuous(self, y: str, index: str, **kwargs):
+        """Normal-posterior Bayesian A/B readout for continuous metrics."""
+        from fast_causal_inference_spark.operators.bayes import (
+            bayes_ab_continuous,
+        )
+
+        return bayes_ab_continuous(self._df, y, index, **kwargs)
+
     def top_k_per_key(self, keys, order_col: str, k: int, **kwargs):
         from fast_causal_inference_spark.operators.skew import (
             top_k_per_key,
