@@ -239,3 +239,36 @@ def test_ingest_stream_requires_ts_for_dedup(spark, docs_stream_dir):
     # but explicit dedup=None on a stream is fine (stateless chain)
     out = ingest_documents(s, dedup=None)
     assert out.isStreaming
+
+
+def test_streaming_perplexity_matches_batch(spark, docs_stream_dir):
+    from fast_causal_inference_spark.datapipe.lm import (
+        score_perplexity,
+        train_bigram_lm,
+    )
+    from fast_causal_inference_spark.streaming.ops import (
+        streaming_perplexity,
+    )
+
+    batch_df = spark.read.parquet(docs_stream_dir)
+    lm = train_bigram_lm(batch_df.where("doc_id % 5 = 0"))
+    want = {r["doc_id"]: (r["n_bigrams"], r["logprob"]) for r in
+            score_perplexity(batch_df, lm).collect()}
+
+    s = _read_stream(spark, docs_stream_dir)
+    out = streaming_perplexity(s, lm, ts_col="ts")
+    # update mode for the one-shot file source: append emits a group only
+    # once the watermark PASSES its event time, and an availableNow batch
+    # ends before that; a live stream uses append (each doc's group is
+    # complete within its arrival batch, so update emits final values
+    # here)
+    run_to_memory(out, "ppl_stream", output_mode="update")
+    got = {r["doc_id"]: (r["n_bigrams"], r["logprob"]) for r in
+           spark.table("ppl_stream").collect()}
+    # batch includes 0-bigram docs (left join); the stream emits only
+    # docs with bigram evidence — compare on those
+    want_nz = {k: v for k, v in want.items() if v[0] > 0}
+    assert set(got) == set(want_nz)
+    for k, (n, lp) in got.items():
+        assert n == want_nz[k][0]
+        assert abs(lp - want_nz[k][1]) < 1e-9
