@@ -2906,7 +2906,9 @@ def g_power_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fast_causal_inference_spark.operators.power import (
         effect_size,
         mde_ttest,
+        power_proportion,
         power_ttest,
+        sample_size_proportion,
         sample_size_ttest,
     )
 
@@ -2923,6 +2925,13 @@ def g_power_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
          "value": float(sample_size_ttest(0.2, 1.0))},
         {"variant": "power", "item": "n=500x500", "stat": "mde",
          "value": round(float(mde_ttest(1.0, 500, 500)), 6)},
+        {"variant": "power_prop", "item": "p=.10->.12,n=3841x3841",
+         "stat": "power",
+         "value": round(float(power_proportion(0.10, 0.12, 3841, 3841)),
+                        6)},
+        {"variant": "power_prop", "item": "p=.10->.12,80%",
+         "stat": "n_per_arm",
+         "value": float(sample_size_proportion(0.10, 0.12))},
     ]
     return _long_rows(spark, rows)
 

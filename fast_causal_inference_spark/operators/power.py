@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from fast_causal_inference_spark import stats_distributions as dist
 
 __all__ = ["effect_size", "power_ttest", "sample_size_ttest",
-           "mde_ttest"]
+           "mde_ttest", "power_proportion", "sample_size_proportion"]
 
 
 def power_ttest(effect: float, std: float, n0: float, n1: float,
@@ -53,6 +53,40 @@ def mde_ttest(std: float, n0: float, n1: float, alpha: float = 0.05,
     se = std * math.sqrt(1.0 / n0 + 1.0 / n1)
     return float((dist.norm_ppf(1 - alpha / 2)
                   + dist.norm_ppf(power)) * se)
+
+
+def power_proportion(p0: float, p1: float, n0: float, n1: float,
+                     alpha: float = 0.05) -> float:
+    """Power of the two-sample proportion z-test (pooled-variance null,
+    unpooled alternative — the standard conversion-rate design formula)."""
+    for p in (p0, p1):
+        if not 0.0 < p < 1.0:
+            raise ValueError("proportions must be in (0, 1)")
+    if n0 <= 0 or n1 <= 0:
+        raise ValueError("arm sizes must be positive")
+    pbar = (n0 * p0 + n1 * p1) / (n0 + n1)
+    se0 = math.sqrt(pbar * (1 - pbar) * (1.0 / n0 + 1.0 / n1))
+    se1 = math.sqrt(p0 * (1 - p0) / n0 + p1 * (1 - p1) / n1)
+    z_a = float(dist.norm_ppf(1 - alpha / 2))
+    d = abs(p1 - p0)
+    return float(1 - dist.norm_cdf((z_a * se0 - d) / se1)
+                 + dist.norm_cdf((-z_a * se0 - d) / se1))
+
+
+def sample_size_proportion(p0: float, p1: float, alpha: float = 0.05,
+                           power: float = 0.8,
+                           ratio: float = 1.0) -> float:
+    """Per-control-arm size for the conversion-rate test (treatment arm
+    = ratio·n): the Fleiss-style normal-approximation inversion."""
+    if p0 == p1:
+        return float("inf")
+    pbar = (p0 + ratio * p1) / (1.0 + ratio)
+    z_a = float(dist.norm_ppf(1 - alpha / 2))
+    z_b = float(dist.norm_ppf(power))
+    num = (z_a * math.sqrt((1.0 + 1.0 / ratio) * pbar * (1 - pbar))
+           + z_b * math.sqrt(p0 * (1 - p0)
+                             + p1 * (1 - p1) / ratio)) ** 2
+    return float(math.ceil(num / (p1 - p0) ** 2))
 
 
 def effect_size(df: DataFrame, y: str, index: str,

@@ -51,3 +51,22 @@ def test_power_validations():
     with pytest.raises(ValueError):
         power_ttest(0.1, -1.0, 10, 10)
     assert sample_size_ttest(0.0, 1.0) == float("inf")
+
+
+def test_proportion_power_textbook_values():
+    from fast_causal_inference_spark.operators.power import (
+        power_proportion,
+        sample_size_proportion,
+    )
+
+    # classic conversion-rate designs (Fleiss normal approximation)
+    assert abs(power_proportion(0.10, 0.12, 3841, 3841) - 0.8) < 0.005
+    assert abs(sample_size_proportion(0.10, 0.12) - 3841) <= 2
+    assert abs(sample_size_proportion(0.5, 0.6) - 388) <= 2
+    # round trip: the recommended n achieves the requested power
+    n = sample_size_proportion(0.2, 0.25, power=0.9)
+    assert power_proportion(0.2, 0.25, n, n) >= 0.899
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        power_proportion(0.0, 0.5, 100, 100)
+    assert sample_size_proportion(0.3, 0.3) == float("inf")
