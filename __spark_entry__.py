@@ -2933,6 +2933,18 @@ def g_power_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
          "stat": "n_per_arm",
          "value": float(sample_size_proportion(0.10, 0.12))},
     ]
+    from fast_causal_inference_spark.operators.sequential import (
+        group_sequential_ttest,
+    )
+
+    gs = group_sequential_ttest(
+        ev.withColumn("week", (F.col("event_id") % 4 + 1).cast("int")),
+        "value", "arm", "week")
+    for _, r in gs.iterrows():
+        for stat in ("z", "boundary", "info_fraction", "n0", "n1"):
+            rows.append({"variant": "group_sequential",
+                         "item": f"look{int(r['look'])}", "stat": stat,
+                         "value": round(float(r[stat]), 6)})
     return _long_rows(spark, rows)
 
 

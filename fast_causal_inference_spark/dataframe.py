@@ -496,6 +496,15 @@ class CausalDataFrame:
 
         return bayes_ab_continuous(self._df, y, index, **kwargs)
 
+    def group_sequential_ttest(self, y: str, index: str, look: str,
+                               **kwargs):
+        """Scheduled-looks monitor with Lan-DeMets spending boundaries."""
+        from fast_causal_inference_spark.operators.sequential import (
+            group_sequential_ttest,
+        )
+
+        return group_sequential_ttest(self._df, y, index, look, **kwargs)
+
     def top_k_per_key(self, keys, order_col: str, k: int, **kwargs):
         from fast_causal_inference_spark.operators.skew import (
             top_k_per_key,
