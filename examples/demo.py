@@ -67,6 +67,20 @@ def main():
     print(fcis.effect_size(df, "y", "treatment"))
     print("n per arm for d=0.1:", fcis.sample_size_ttest(0.1, 1.0))
 
+    print("== Bayesian A/B readout (round 4) ==")
+    bdf = cdf.withColumn("converted", (df.numerator > df.denominator * 2)
+                         .cast("int"))
+    print(bdf.bayes_ab_binary("converted", "treatment")[
+        ["arm", "posterior_mean", "p_beats_other", "expected_loss"]])
+
+    print("== group-sequential monitor (round 4) ==")
+    from pyspark.sql import functions as _F
+    wk = cdf.withColumn("week", (_F.abs(_F.xxhash64("id")) % 4 + 1)
+                        .cast("int"))
+    print(wk.group_sequential_ttest(
+        "numerator", "treatment", "week")[
+        ["look", "z", "boundary", "crossed", "alpha_spent"]])
+
     print("== All-in-SQL ==")
     from fast_causal_inference_spark.plans.sql_macros import sql
     from fast_causal_inference_spark.session import register_sql_functions
