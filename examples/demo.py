@@ -74,8 +74,7 @@ def main():
         ["arm", "posterior_mean", "p_beats_other", "expected_loss"]])
 
     print("== group-sequential monitor (round 4) ==")
-    from pyspark.sql import functions as _F
-    wk = cdf.withColumn("week", (_F.abs(_F.xxhash64("id")) % 4 + 1)
+    wk = cdf.withColumn("week", (F.abs(F.xxhash64("id")) % 4 + 1)
                         .cast("int"))
     print(wk.group_sequential_ttest(
         "numerator", "treatment", "week")[

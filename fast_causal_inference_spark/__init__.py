@@ -78,8 +78,18 @@ from fast_causal_inference_spark.operators.multiple_testing import (
 from fast_causal_inference_spark.operators.power import (
     effect_size,
     mde_ttest,
+    power_proportion,
     power_ttest,
+    sample_size_proportion,
     sample_size_ttest,
+)
+from fast_causal_inference_spark.operators.bayes import (
+    bayes_ab_binary,
+    bayes_ab_continuous,
+)
+from fast_causal_inference_spark.operators.sequential import (
+    group_sequential_boundaries,
+    group_sequential_ttest,
 )
 
 __version__ = "0.1.0"
@@ -143,6 +153,12 @@ __all__ = [
     "proportion_ztest_1samp",
     "adjust_pvalues",
     "effect_size",
+    "power_proportion",
+    "sample_size_proportion",
+    "bayes_ab_binary",
+    "bayes_ab_continuous",
+    "group_sequential_boundaries",
+    "group_sequential_ttest",
     "mde_ttest",
     "power_ttest",
     "sample_size_ttest",

@@ -72,6 +72,35 @@ def train_bigram_lm(df: DataFrame, text_col: str = "text") -> dict:
             "vocab_size": int(vocab_size)}
 
 
+def scored_bigram_logprobs(df: DataFrame, lm: dict, text_col: str,
+                           key_cols: list, k: float,
+                           broadcast_lm: bool | None) -> DataFrame:
+    """Shared scoring core for the batch and streaming perplexity
+    operators: explode the corpus' bigrams, LEFT-join the LM count
+    relations, and aggregate mean add-k log-probability per key tuple.
+    Keeping ONE implementation pins the streaming scorer to the batch
+    semantics the stream-vs-batch agreement test checks."""
+    V = lm["vocab_size"]
+    bg_rel, uni_rel = lm["bigrams"], lm["unigrams"]
+    if broadcast_lm:
+        bg_rel, uni_rel = F.broadcast(bg_rel), F.broadcast(uni_rel)
+    doc_bg = (df.select(*[F.col(c) for c in key_cols],
+                        F.explode(_bigrams(F.col(text_col))).alias("bg"))
+              .select(*key_cols, F.col("bg.w1").alias("w1"),
+                      F.col("bg.w2").alias("w2"))
+              .where((F.col("w1") != "") & (F.col("w2") != "")))
+    joined = (doc_bg.join(bg_rel, ["w1", "w2"], "left")
+              .join(uni_rel, "w1", "left")
+              .withColumn("c12", F.coalesce("c12", F.lit(0)))
+              .withColumn("c1", F.coalesce("c1", F.lit(0))))
+    logp = F.log((F.col("c12") + F.lit(float(k)))
+                 / (F.col("c1") + F.lit(float(k) * V)))
+    return (joined.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.avg(logp).alias("logprob"))
+            .withColumn("ppl", F.exp(-F.col("logprob"))))
+
+
 def score_perplexity(df: DataFrame, lm: dict, text_col: str = "text",
                      id_col: str = "doc_id", k: float = 1.0,
                      broadcast_lm: bool | None = None) -> DataFrame:
@@ -83,25 +112,8 @@ def score_perplexity(df: DataFrame, lm: dict, text_col: str = "text",
     the count relations (right for a bounded trusted vocabulary);
     ``None`` lets Catalyst/AQE decide from sizes.
     """
-    V = lm["vocab_size"]
-    bg_rel, uni_rel = lm["bigrams"], lm["unigrams"]
-    if broadcast_lm:
-        bg_rel, uni_rel = F.broadcast(bg_rel), F.broadcast(uni_rel)
-    doc_bg = (df.select(F.col(id_col),
-                        F.explode(_bigrams(F.col(text_col))).alias("bg"))
-              .select(id_col, F.col("bg.w1").alias("w1"),
-                      F.col("bg.w2").alias("w2"))
-              .where((F.col("w1") != "") & (F.col("w2") != "")))
-    joined = (doc_bg.join(bg_rel, ["w1", "w2"], "left")
-              .join(uni_rel, "w1", "left")
-              .withColumn("c12", F.coalesce("c12", F.lit(0)))
-              .withColumn("c1", F.coalesce("c1", F.lit(0))))
-    logp = F.log((F.col("c12") + F.lit(float(k)))
-                 / (F.col("c1") + F.lit(float(k) * V)))
-    scored = (joined.groupBy(id_col)
-              .agg(F.count(F.lit(1)).alias("n_bigrams"),
-                   F.avg(logp).alias("logprob"))
-              .withColumn("ppl", F.exp(-F.col("logprob"))))
+    scored = scored_bigram_logprobs(df, lm, text_col, [id_col], k,
+                                    broadcast_lm)
     return (df.select(id_col).distinct()
             .join(scored, id_col, "left")
             .withColumn("n_bigrams",

@@ -57,7 +57,7 @@ def _p_beta_greater(a1: float, b1: float, a2: float, b2: float) -> float:
     inner = x[1:-1]
     pdf1 = np.zeros_like(x)
     pdf1[1:-1] = np.exp(_beta_logpdf(inner, a1, b1))
-    cdf2 = np.array([betainc(a2, b2, v) for v in x])
+    cdf2 = betainc(a2, b2, x)   # vectorized (stats_distributions)
     y = pdf1 * cdf2
     # endpoint densities can be infinite for a<1/b<1 priors; the
     # integrand is still integrable — clamp the (measure-zero) endpoints
@@ -154,8 +154,11 @@ def bayes_ab_continuous(df: DataFrame, y: str, arm: str,
     post = {v: (m, math.sqrt(var / n)) for v, (n, m, var) in stats.items()}
     (mc, sc), (mt, st) = post[c_val], post[t_val]
     sd = math.sqrt(sc * sc + st * st)
-    d = (mt - mc) / sd if sd > 0 else 0.0
-    p_t_wins = float(norm_cdf(d))
+    if sd > 0:
+        p_t_wins = float(norm_cdf((mt - mc) / sd))
+    else:
+        # degenerate posteriors: the higher mean wins with certainty
+        p_t_wins = 0.5 if mt == mc else float(mt > mc)
 
     def _eloss(mu_diff):
         # E[max(D, 0)] for D ~ N(mu_diff, sd²)

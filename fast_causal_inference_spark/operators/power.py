@@ -78,6 +78,9 @@ def sample_size_proportion(p0: float, p1: float, alpha: float = 0.05,
                            ratio: float = 1.0) -> float:
     """Per-control-arm size for the conversion-rate test (treatment arm
     = ratio·n): the Fleiss-style normal-approximation inversion."""
+    for p in (p0, p1):
+        if not 0.0 < p < 1.0:
+            raise ValueError("proportions must be in (0, 1)")
     if p0 == p1:
         return float("inf")
     pbar = (p0 + ratio * p1) / (1.0 + ratio)

@@ -37,7 +37,6 @@ __all__ = ["alpha_spending", "group_sequential_boundaries",
            "group_sequential_ttest"]
 
 _GRID = 2001          # sub-density grid points per look
-_RANGE = 6.0          # grid half-width in conditional SDs
 
 
 def alpha_spending(t: float, alpha: float = 0.05,
@@ -119,19 +118,30 @@ def group_sequential_ttest(df: DataFrame, y: str, index: str,
                            look: str, alpha: float = 0.05,
                            style: str = "obf",
                            treatment_values: tuple = (0, 1),
-                           max_looks: int = 50) -> pd.DataFrame:
+                           max_looks: int = 50,
+                           total_info: float | None = None) -> pd.DataFrame:
     """Scheduled-looks two-sample monitor: one suff-stats pass grouped by
     the ``look`` column (an increasing period label — day, week, batch);
     per look the CUMULATIVE z statistic, the spending boundary at the
     realized information fraction, the crossing decision, and cumulative
     alpha spent.
 
-    Information fraction = cumulative 1/(1/n0+1/n1) relative to the
-    final look (the standard equal-variance information metric)."""
+    Information = cumulative ``1/(1/n0 + 1/n1)`` (the standard
+    equal-variance metric; ≈ n/2 per arm at 50/50 split).
+
+    **For INTERIM monitoring pass ``total_info``** — the information the
+    experiment is PLANNED to reach at its final look (e.g.
+    ``1/(1/N0 + 1/N1)`` from the designed per-arm sizes). The spending
+    boundaries are then computed at the true fractions and the type-I
+    guarantee holds across repeated interim calls. With
+    ``total_info=None`` the latest look in the data is treated as final
+    (fraction 1.0, full alpha spent) — correct ONLY for a one-shot
+    retrospective analysis after the experiment ended; calling it that
+    way every week reproduces naive repeated testing."""
     c_val, t_val = treatment_values
     yc = F.expr(y).cast("double")
     rows = (df.where(F.expr(index).isin(list(treatment_values))
-                     & yc.isNotNull())
+                     & yc.isNotNull() & F.expr(look).isNotNull())
             .groupBy(F.expr(look).alias("__look"),
                      F.expr(index).alias("__arm"))
             .agg(F.count(F.lit(1)).alias("n"), F.sum(yc).alias("s"),
@@ -168,9 +178,17 @@ def group_sequential_ttest(df: DataFrame, y: str, index: str,
     infos = [p[4] for p in per_look if not np.isnan(p[4])]
     if not infos:
         raise ValueError("no look has >= 2 rows per arm")
-    total_info = infos[-1]
-    fracs = [i / total_info for i in infos]
-    fracs[-1] = 1.0
+    if total_info is None:
+        denom = infos[-1]
+        fracs = [i / denom for i in infos]
+        fracs[-1] = 1.0
+    else:
+        if total_info < infos[-1]:
+            raise ValueError(
+                f"total_info={total_info} is below the information "
+                f"already accrued ({infos[-1]:.1f}); pass the PLANNED "
+                f"final information")
+        fracs = [min(i / float(total_info), 1.0) for i in infos]
     bounds = group_sequential_boundaries(fracs, alpha, style)
     out, bi = [], 0
     for lk, n0, n1, z, info in per_look:

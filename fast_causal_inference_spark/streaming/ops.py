@@ -383,7 +383,8 @@ def streaming_perplexity(stream: DataFrame, lm: dict,
                          text_col: str = "text",
                          id_col: str = "doc_id",
                          ts_col: str = "ts", k: float = 1.0,
-                         watermark: str = "1 hour") -> DataFrame:
+                         watermark: str = "1 hour",
+                         broadcast_lm: bool | None = True) -> DataFrame:
     """Per-document bigram perplexity of STREAMING documents under a
     batch-trained LM (``datapipe.lm.train_bigram_lm``) — CCNet quality
     scoring at ingestion time instead of as a later batch pass.
@@ -398,27 +399,19 @@ def streaming_perplexity(stream: DataFrame, lm: dict,
     own timestamp, so the group completes immediately).
 
     Works identically on a static frame (the watermark is a no-op) —
-    tested by the stream-vs-batch agreement suite.
+    tested by the stream-vs-batch agreement suite.  ``broadcast_lm``
+    defaults True (the bounded-trusted-vocabulary case); pass
+    False/None for a web-scale LM whose count relations exceed the
+    broadcast limit — the join then degrades to a (stream-static) hash
+    join.
     """
-    from fast_causal_inference_spark.datapipe.lm import _bigrams
+    from fast_causal_inference_spark.datapipe.lm import (
+        scored_bigram_logprobs,
+    )
 
-    V = lm["vocab_size"]
     src = stream
     if src.isStreaming:
         src = _with_event_time(src, ts_col).withWatermark(
             ts_col, watermark)
-    doc_bg = (src.select(F.col(id_col), F.col(ts_col),
-                         F.explode(_bigrams(F.col(text_col))).alias("bg"))
-              .select(id_col, ts_col, F.col("bg.w1").alias("w1"),
-                      F.col("bg.w2").alias("w2"))
-              .where((F.col("w1") != "") & (F.col("w2") != "")))
-    joined = (doc_bg.join(F.broadcast(lm["bigrams"]), ["w1", "w2"], "left")
-              .join(F.broadcast(lm["unigrams"]), "w1", "left")
-              .withColumn("c12", F.coalesce("c12", F.lit(0)))
-              .withColumn("c1", F.coalesce("c1", F.lit(0))))
-    logp = F.log((F.col("c12") + F.lit(float(k)))
-                 / (F.col("c1") + F.lit(float(k) * V)))
-    return (joined.groupBy(id_col, ts_col)
-            .agg(F.count(F.lit(1)).alias("n_bigrams"),
-                 F.avg(logp).alias("logprob"))
-            .withColumn("ppl", F.exp(-F.col("logprob"))))
+    return scored_bigram_logprobs(src, lm, text_col, [id_col, ts_col],
+                                  k, broadcast_lm)

@@ -87,3 +87,22 @@ def test_group_sequential_ttest(looks_df):
     assert bool(out["crossed"].any())
     # alpha spent is the spending function at the realized fractions
     assert np.isclose(out["alpha_spent"].iloc[-1], 0.05)
+
+
+def test_interim_monitoring_with_planned_info(looks_df):
+    # at look 2 of 4 with the PLANNED final information, the boundary
+    # must be the interim OBF one, not the fixed-test 1.96
+    interim = looks_df.where("week <= 2")
+    full = group_sequential_ttest(looks_df, "y", "arm", "week")
+    total = (1.0 / (1.0 / full["n0"].iloc[-1]
+                    + 1.0 / full["n1"].iloc[-1]))
+    out = group_sequential_ttest(interim, "y", "arm", "week",
+                                 total_info=total)
+    assert out["info_fraction"].iloc[-1] == pytest.approx(0.5, abs=0.01)
+    # spending gives ~2.77 at t=0.5 (alpha(0.5)=0.0083), far above the
+    # 1.96 the naive treat-now-as-final default would use
+    assert out["boundary"].iloc[-1] > 2.5
+    import pytest as _pt
+    with _pt.raises(ValueError, match="below the information"):
+        group_sequential_ttest(looks_df, "y", "arm", "week",
+                               total_info=total / 10)
