@@ -33,8 +33,8 @@ from pyspark.sql import functions as F
 
 from .. import stats_distributions as dist
 
-__all__ = ["alpha_spending", "group_sequential_boundaries",
-           "group_sequential_ttest"]
+__all__ = ["alpha_spending", "conditional_power",
+           "group_sequential_boundaries", "group_sequential_ttest"]
 
 _GRID = 2001          # sub-density grid points per look
 
@@ -205,3 +205,33 @@ def group_sequential_ttest(df: DataFrame, y: str, index: str,
                     "alpha_spent": alpha_spending(t_k, alpha, style)})
         bi += 1
     return pd.DataFrame(out)
+
+
+def conditional_power(z: float, info_fraction: float,
+                      alpha: float = 0.05, z_final: float | None = None,
+                      drift: float | None = None) -> float:
+    """Probability of ending with |Z| past the final critical value,
+    given the interim state — the standard futility monitor (stop for
+    futility when CP under the current trend falls below ~0.1).
+
+    The sequential score process is Brownian in information time:
+    ``S_1 | S_t ~ N(S_t + θ(1−t), 1−t)`` with ``S_t = z·√t``.
+    ``drift=None`` uses the CURRENT-TREND estimate ``θ̂ = S_t/t`` (the
+    usual convention); pass ``drift=0.0`` for conditional power under
+    H0 (the type-I view) or a design drift for the planning view.
+    ``z_final`` defaults to the fixed-test z_{α/2}; pass the last
+    spending boundary when monitoring against a group-sequential design.
+    Crossing is evaluated in the trend's direction (the opposite tail is
+    negligible in any non-degenerate case)."""
+    t = float(info_fraction)
+    if not 0.0 < t < 1.0:
+        raise ValueError("info_fraction must be in (0, 1) at an interim")
+    zc = float(z_final) if z_final is not None \
+        else float(dist.norm_ppf(1 - alpha / 2))
+    s_t = z * math.sqrt(t)
+    theta = (s_t / t) if drift is None else float(drift)
+    sd = math.sqrt(1.0 - t)
+    mean_final = s_t + theta * (1.0 - t)
+    if z >= 0:
+        return float(dist.norm_sf((zc - mean_final) / sd))
+    return float(dist.norm_cdf((-zc - mean_final) / sd))

@@ -106,3 +106,27 @@ def test_interim_monitoring_with_planned_info(looks_df):
     with _pt.raises(ValueError, match="below the information"):
         group_sequential_ttest(looks_df, "y", "arm", "week",
                                total_info=total / 10)
+
+
+def test_conditional_power_vs_simulation():
+    from fast_causal_inference_spark.operators.sequential import (
+        conditional_power,
+    )
+
+    rng = np.random.default_rng(13)
+    for z_k, t in [(1.2, 0.4), (2.2, 0.6), (-0.5, 0.3)]:
+        s_t = z_k * np.sqrt(t)
+        theta = s_t / t            # current trend
+        n = 400_000
+        s1 = s_t + theta * (1 - t) + rng.normal(0, np.sqrt(1 - t), n)
+        zc = 1.959963984540054
+        mc = (s1 >= zc).mean() if z_k >= 0 else (s1 <= -zc).mean()
+        got = conditional_power(z_k, t)
+        assert abs(got - mc) < 3e-3, (z_k, t, got, mc)
+    # limits: overwhelming interim z -> CP ~ 1; H0 drift deflates CP
+    assert conditional_power(5.0, 0.9) > 0.999
+    assert conditional_power(1.2, 0.4, drift=0.0) < \
+        conditional_power(1.2, 0.4)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        conditional_power(1.0, 1.0)
