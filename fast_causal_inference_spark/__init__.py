@@ -88,6 +88,7 @@ from fast_causal_inference_spark.operators.bayes import (
     bayes_ab_continuous,
 )
 from fast_causal_inference_spark.operators.sequential import (
+    conditional_power,
     group_sequential_boundaries,
     group_sequential_ttest,
 )
@@ -157,6 +158,7 @@ __all__ = [
     "sample_size_proportion",
     "bayes_ab_binary",
     "bayes_ab_continuous",
+    "conditional_power",
     "group_sequential_boundaries",
     "group_sequential_ttest",
     "mde_ttest",
