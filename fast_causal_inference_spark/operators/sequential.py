@@ -195,14 +195,20 @@ def group_sequential_ttest(df: DataFrame, y: str, index: str,
         if np.isnan(z):
             out.append({"look": lk, "n0": n0, "n1": n1, "z": np.nan,
                         "info_fraction": np.nan, "boundary": np.nan,
-                        "crossed": False, "alpha_spent": 0.0})
+                        "crossed": False, "alpha_spent": 0.0,
+                        "conditional_power": np.nan})
             continue
         t_k = fracs[bi]
+        # current-trend futility signal at a true interim (t < 1); the
+        # final critical value is the last spending boundary
+        cp = conditional_power(z, t_k, alpha,
+                               z_final=float(bounds[-1]))             if t_k < 1.0 else np.nan
         out.append({"look": lk, "n0": n0, "n1": n1, "z": z,
                     "info_fraction": t_k,
                     "boundary": float(bounds[bi]),
                     "crossed": bool(abs(z) >= bounds[bi]),
-                    "alpha_spent": alpha_spending(t_k, alpha, style)})
+                    "alpha_spent": alpha_spending(t_k, alpha, style),
+                    "conditional_power": cp})
         bi += 1
     return pd.DataFrame(out)
 
