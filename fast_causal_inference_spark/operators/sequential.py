@@ -38,6 +38,17 @@ __all__ = ["alpha_spending", "conditional_power",
 
 _GRID = 2001          # sub-density grid points per look
 
+# C-speed exact normal tails for the boundary recursion: the library
+# erf routes through an iterative incomplete-gamma continued fraction
+# (fine for scalars, ~3 s for the grid sweeps here); math.erfc is a
+# double-precision libm call
+_erfc_vec = np.frompyfunc(math.erfc, 1, 1)
+
+
+def _nsf(x: np.ndarray) -> np.ndarray:
+    """Vectorized exact norm_sf via libm erfc."""
+    return 0.5 * _erfc_vec(np.asarray(x) / math.sqrt(2.0)).astype(float)
+
 
 def alpha_spending(t: float, alpha: float = 0.05,
                    style: str = "obf") -> float:
@@ -78,14 +89,14 @@ def group_sequential_boundaries(info_fractions, alpha: float = 0.05,
 
         if density is None:
             def tail(c):
-                return 2.0 * float(dist.norm_sf(c / sd))
+                return 2.0 * float(_nsf(np.array([c / sd]))[0])
         else:
             g, f = grid, density
             dx = g[1] - g[0]
 
             def tail(c):
-                up = dist.norm_sf((c - g) / sd)
-                dn = dist.norm_cdf((-c - g) / sd)
+                up = _nsf((c - g) / sd)
+                dn = _nsf((c + g) / sd)   # Φ(−c−g) = sf(c+g)
                 return float(np.trapz(f * (up + dn), dx=dx))
 
         lo, hi = 0.0, 12.0
