@@ -87,6 +87,9 @@ from fast_causal_inference_spark.operators.bayes import (
     bayes_ab_binary,
     bayes_ab_continuous,
 )
+from fast_causal_inference_spark.operators.scorecard import (
+    experiment_scorecard,
+)
 from fast_causal_inference_spark.operators.sequential import (
     conditional_power,
     group_sequential_boundaries,
@@ -158,6 +161,7 @@ __all__ = [
     "sample_size_proportion",
     "bayes_ab_binary",
     "bayes_ab_continuous",
+    "experiment_scorecard",
     "conditional_power",
     "group_sequential_boundaries",
     "group_sequential_ttest",

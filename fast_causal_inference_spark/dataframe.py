@@ -496,6 +496,14 @@ class CausalDataFrame:
 
         return bayes_ab_continuous(self._df, y, index, **kwargs)
 
+    def experiment_scorecard(self, metrics: dict, index: str, **kwargs):
+        """N-metric two-sample scorecard in one scan (+BH adjustment)."""
+        from fast_causal_inference_spark.operators.scorecard import (
+            experiment_scorecard,
+        )
+
+        return experiment_scorecard(self._df, metrics, index, **kwargs)
+
     def group_sequential_ttest(self, y: str, index: str, look: str,
                                **kwargs):
         """Scheduled-looks monitor with Lan-DeMets spending boundaries."""
