@@ -95,6 +95,17 @@ from fast_causal_inference_spark.operators.sequential import (
     group_sequential_boundaries,
     group_sequential_ttest,
 )
+from fast_causal_inference_spark.utility import (
+    data_split,
+    feature_process,
+    find_correlation_matrix,
+    get_num_cat_feat,
+    get_num_smd,
+    preprocess_na,
+    regression_string,
+    roc_curve,
+    simulate_randomized_trial,
+)
 
 __version__ = "0.1.0"
 
@@ -168,4 +179,13 @@ __all__ = [
     "mde_ttest",
     "power_ttest",
     "sample_size_ttest",
+    "data_split",
+    "feature_process",
+    "find_correlation_matrix",
+    "get_num_cat_feat",
+    "get_num_smd",
+    "preprocess_na",
+    "regression_string",
+    "roc_curve",
+    "simulate_randomized_trial",
 ]
