@@ -1217,6 +1217,243 @@ FROM c
 """
 
 
+def _roi_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared uplift-economics frame: deterministic ntile(4) score buckets
+    (higher bucket = higher score; event_id tiebreak so Spark and DuckDB
+    agree exactly).  The global ntile window is gate-only — the production
+    path is assign_score_buckets' sketch bucketing."""
+    from pyspark.sql import Window
+
+    ev = _load(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).cast("int").alias("treatment"),
+        F.col("value").alias("outcome"),
+        F.abs(F.col("value")).alias("revenue"),
+        (F.abs(F.col("value")) * 0.2 + 0.01).alias("cost"),
+        ((F.col("event_id") % 100) / 100.0).alias("score"),
+        F.col("event_id"))
+    w = Window.orderBy(F.desc("score"), F.col("event_id"))
+    return ev.withColumn(
+        "bucket", (F.lit(5) - F.ntile(4).over(w)).cast("double"))
+
+
+def q_lift_gain_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift-economics family: lift/gain curve plus the ROI evaluation
+    suite (population ATE/ROI/iROI, per-bucket CATE, cumulative CATE lift,
+    Qini curve with AUUC / Qini coefficient) in long format."""
+    from fast_causal_inference_spark.uplift.roi import (
+        compute_auuc,
+        compute_qini_coefficient,
+        estimate_ate,
+        estimate_cate_lift,
+        estimate_cate_per_bucket,
+        estimate_iroi,
+        estimate_qini,
+        estimate_roi,
+    )
+
+    b = _roi_frame(spark, sf_dir)
+    b.persist()
+    try:
+        (lift, ate, roi, iroi, cate, cum, qini) = _concurrent([
+            lambda: q_lift_gain(spark, sf_dir).toPandas(),
+            lambda: estimate_ate(b),
+            lambda: estimate_roi(b),
+            lambda: estimate_iroi(b),
+            lambda: estimate_cate_per_bucket(b.drop("threshold", "score"),
+                                             "bucket"),
+            lambda: estimate_cate_lift(b, bucket_colname="bucket"),
+            lambda: estimate_qini(b.drop("score"), bucket_colname="bucket"),
+        ])
+    finally:
+        b.unpersist()
+    rows = []
+    for r in lift.itertuples():
+        for stat in ("ratio", "ite_avg", "lift", "gain", "ate_baseline",
+                     "random_gain"):
+            rows.append({"variant": "lift_gain", "item": str(int(r.bucket)),
+                         "stat": stat, "value": float(getattr(r, stat))})
+    for stat in ("ate", "target_rate_treated", "target_rate_control"):
+        rows.append({"variant": "ate", "item": "all", "stat": stat,
+                     "value": float(ate[stat].iloc[0])})
+    for stat in ("tot_benefit", "tot_cost", "roi"):
+        rows.append({"variant": "roi", "item": "all", "stat": stat,
+                     "value": float(roi[stat].iloc[0])})
+    for stat in ("treatment_count", "control_count", "incremental_benefit",
+                 "incremental_cost", "iroi"):
+        rows.append({"variant": "iroi", "item": "all", "stat": stat,
+                     "value": float(iroi[stat].iloc[0])})
+    for r in cate.itertuples():
+        for stat in ("ate", "fraction"):
+            rows.append({"variant": "cate_bucket", "item": str(int(r.bucket)),
+                         "stat": stat, "value": float(getattr(r, stat))})
+    for r in cum.itertuples():
+        for stat in ("cum_cate", "fraction"):
+            rows.append({"variant": "cum_cate", "item": str(int(r.bucket)),
+                         "stat": stat, "value": float(getattr(r, stat))})
+    for r in qini.itertuples():
+        if not (r.bucket == r.bucket):          # skip the (0,0) anchor row
+            continue
+        rows.append({"variant": "qini", "item": str(int(r.bucket)),
+                     "stat": "qini", "value": float(r.ate)})
+    rows.append({"variant": "qini_scores", "item": "all", "stat": "auuc",
+                 "value": compute_auuc(qini)})
+    rows.append({"variant": "qini_scores", "item": "all",
+                 "stat": "qini_coefficient",
+                 "value": compute_qini_coefficient(qini)})
+    return _long_rows(spark, rows)
+
+
+# shared DuckDB scaffolding for the uplift-economics family: identical
+# ntile(4) buckets (bucket 4 = top score quartile), per-bucket sufficient
+# sums, cumulative (descending-bucket) sums
+_ROI_BASE_SQL = """
+base AS (
+  SELECT CAST(user_id % 2 AS INT) AS t, value AS y,
+         abs(value) AS rev, abs(value)*0.2 + 0.01 AS cost,
+         (event_id % 100)/100.0 AS score, event_id
+  FROM events
+), rb AS (
+  SELECT *, 5 - ntile(4) OVER (ORDER BY score DESC, event_id) AS bucket
+  FROM base
+), ra AS (
+  SELECT bucket, CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(t) AS DOUBLE) AS n1, CAST(sum(1 - t) AS DOUBLE) AS n0,
+         sum(CASE WHEN t = 1 THEN y ELSE 0 END) AS y1,
+         sum(CASE WHEN t = 0 THEN y ELSE 0 END) AS y0,
+         sum(CASE WHEN t = 1 THEN rev ELSE 0 END) AS rev1,
+         sum(CASE WHEN t = 0 THEN rev ELSE 0 END) AS rev0,
+         sum(CASE WHEN t = 1 THEN cost ELSE 0 END) AS cost1,
+         sum(CASE WHEN t = 0 THEN cost ELSE 0 END) AS cost0
+  FROM rb GROUP BY bucket
+), rtot AS (SELECT sum(n) AS tn FROM ra),
+rc AS (
+  SELECT bucket,
+         sum(n) OVER w AS cn, sum(n1) OVER w AS cn1, sum(n0) OVER w AS cn0,
+         sum(y1) OVER w AS cy1, sum(y0) OVER w AS cy0
+  FROM ra WINDOW w AS (ORDER BY bucket DESC)
+),
+qpts AS (
+  SELECT bucket, cn/(SELECT tn FROM rtot) AS frac,
+         (cy1/cn1 - cy0/cn0) * cn/(SELECT tn FROM rtot) AS qini
+  FROM rc
+),
+qcurve AS (
+  SELECT * FROM qpts
+  UNION ALL SELECT NULL, 0.0, 0.0
+),
+qarea AS (
+  SELECT sum((frac - pf)*(qini + pq)/2.0) AS auuc,
+         max(CASE WHEN frac = 1 THEN qini END) AS last_q
+  FROM (SELECT frac, qini,
+               lag(frac, 1) OVER (ORDER BY frac) AS pf,
+               lag(qini, 1) OVER (ORDER BY frac) AS pq
+        FROM qcurve) WHERE pf IS NOT NULL
+)
+"""
+
+_LIFT_FAMILY_SQL = f"""
+WITH lg AS ({_LIFT_GAIN_SQL}), {_ROI_BASE_SQL}
+SELECT 'lift_gain' AS variant, CAST(bucket AS VARCHAR) AS item, stat,
+       value FROM (
+  SELECT bucket, 'ratio' AS stat, ratio AS value FROM lg
+  UNION ALL SELECT bucket, 'ite_avg', ite_avg FROM lg
+  UNION ALL SELECT bucket, 'lift', lift FROM lg
+  UNION ALL SELECT bucket, 'gain', gain FROM lg
+  UNION ALL SELECT bucket, 'ate_baseline', ate_baseline FROM lg
+  UNION ALL SELECT bucket, 'random_gain', random_gain FROM lg
+)
+UNION ALL
+SELECT 'ate', 'all', s.stat, round(s.value, 6) FROM (
+  SELECT 'ate' AS stat, sum(y1)/sum(n1) - sum(y0)/sum(n0) AS value FROM ra
+  UNION ALL SELECT 'target_rate_treated', sum(y1)/sum(n1) FROM ra
+  UNION ALL SELECT 'target_rate_control', sum(y0)/sum(n0) FROM ra
+) s
+UNION ALL
+SELECT 'roi', 'all', s.stat, round(s.value, 6) FROM (
+  SELECT 'tot_benefit' AS stat, sum(rev1) + sum(rev0) AS value FROM ra
+  UNION ALL SELECT 'tot_cost', sum(cost1) + sum(cost0) FROM ra
+  UNION ALL SELECT 'roi', (sum(rev1)+sum(rev0))/(sum(cost1)+sum(cost0)) FROM ra
+) s
+UNION ALL
+SELECT 'iroi', 'all', s.stat, round(s.value, 6) FROM (
+  SELECT 'treatment_count' AS stat, sum(n1) AS value FROM ra
+  UNION ALL SELECT 'control_count', sum(n0) FROM ra
+  UNION ALL SELECT 'incremental_benefit',
+    sum(rev1) - sum(rev0)*sum(n1)/sum(n0) FROM ra
+  UNION ALL SELECT 'incremental_cost',
+    sum(cost1) - sum(cost0)*sum(n1)/sum(n0) FROM ra
+  UNION ALL SELECT 'iroi',
+    (sum(rev1) - sum(rev0)*sum(n1)/sum(n0))
+    / (sum(cost1) - sum(cost0)*sum(n1)/sum(n0)) FROM ra
+) s
+UNION ALL
+SELECT 'cate_bucket', CAST(bucket AS VARCHAR), s.stat, round(s.value, 6)
+FROM ra, LATERAL (
+  SELECT 'ate' AS stat, y1/n1 - y0/n0 AS value
+  UNION ALL SELECT 'fraction', n/(SELECT tn FROM rtot)
+) s
+UNION ALL
+SELECT 'cum_cate', CAST(bucket AS VARCHAR), s.stat, round(s.value, 6)
+FROM rc, LATERAL (
+  SELECT 'cum_cate' AS stat, cy1/cn1 - cy0/cn0 AS value
+  UNION ALL SELECT 'fraction', cn/(SELECT tn FROM rtot)
+) s
+UNION ALL
+SELECT 'qini', CAST(bucket AS VARCHAR), 'qini', round(qini, 6) FROM qpts
+UNION ALL
+SELECT 'qini_scores', 'all', 'auuc', round(auuc, 6) FROM qarea
+UNION ALL
+SELECT 'qini_scores', 'all', 'qini_coefficient',
+       round(auuc - last_q/2.0, 6) FROM qarea
+"""
+
+
+def q_auc_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC family: rank-formula AUC + binned ROC curve at pinned
+    thresholds, long format."""
+    from fast_causal_inference_spark.operators.logistic import auc
+    from fast_causal_inference_spark.utility import roc_curve
+
+    ev = _load(spark, sf_dir, "events") \
+        .withColumn("label", (F.col("user_id") % 2).cast("int"))
+    thresholds = [20.0, 40.0, 60.0, 80.0, 100.0]
+    val, roc = _concurrent([
+        lambda: auc(ev, "value", "label"),
+        lambda: roc_curve(ev, "label", "value", thresholds=thresholds),
+    ])
+    rows = [{"variant": "auc", "item": "all", "stat": "auc",
+             "value": float(val)}]
+    for r in roc.itertuples():
+        for stat in ("tpr", "fpr", "tp", "fp"):
+            rows.append({"variant": "roc",
+                         "item": f"{r.threshold:.1f}", "stat": stat,
+                         "value": float(getattr(r, stat))})
+    return _long_rows(spark, rows)
+
+
+_AUC_FAMILY_SQL = f"""
+WITH a AS ({_AUC_SQL}),
+thr AS (SELECT unnest([20.0, 40.0, 60.0, 80.0, 100.0]) AS threshold),
+cnt AS (
+  SELECT t.threshold,
+         CAST(sum(CASE WHEN user_id % 2 = 1 AND value >= t.threshold
+                       THEN 1 ELSE 0 END) AS DOUBLE) AS tp,
+         CAST(sum(CASE WHEN user_id % 2 = 0 AND value >= t.threshold
+                       THEN 1 ELSE 0 END) AS DOUBLE) AS fp,
+         CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS p,
+         CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS nn
+  FROM events, thr t GROUP BY t.threshold
+)
+SELECT 'auc' AS variant, 'all' AS item, 'auc' AS stat, auc AS value FROM a
+UNION ALL SELECT 'roc', printf('%.1f', threshold), 'tpr',
+                 round(tp/p, 6) FROM cnt
+UNION ALL SELECT 'roc', printf('%.1f', threshold), 'fpr',
+                 round(fp/nn, 6) FROM cnt
+UNION ALL SELECT 'roc', printf('%.1f', threshold), 'tp', tp FROM cnt
+UNION ALL SELECT 'roc', printf('%.1f', threshold), 'fp', fp FROM cnt
+"""
+
+
 def q_smd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Standardized-mean-difference balance table on lineitem covariates."""
     from fast_causal_inference_spark.operators.matching import smd
@@ -3023,7 +3260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "did": q_did,
         "iv_regression": q_iv_regression,
         "linear_dml": q_linear_dml,
-        "auc": q_auc,
+        "auc": q_auc_family,
         "stochastic_sgd": q_stochastic_sgd,
         "boot_strap": q_boot_strap_family,
         "permutation": q_permutation,
@@ -3038,7 +3275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "power_effect_size": q_power_effect_size,
         "corpus_assembly": q_corpus_assembly,
         "group_set": q_group_set,
-        "lift_gain": q_lift_gain,
+        "lift_gain": q_lift_gain_family,
         "causal_tree": q_causal_tree,
         "causal_forest": q_causal_forest,
         "longterm": q_longterm,
@@ -3100,7 +3337,7 @@ def oracle_sql() -> dict[str, str]:
         "did": _DID_SQL,
         "iv_regression": _IV_SQL,
         "linear_dml": _LINEAR_DML_SQL,
-        "auc": _AUC_SQL,
+        "auc": _AUC_FAMILY_SQL,
         "survival": (_KM_LONG_SQL + " UNION ALL "
                      + _golden_fragment("survival__cox")),
         "t_learner": _T_LEARNER_SQL,
@@ -3113,7 +3350,7 @@ def oracle_sql() -> dict[str, str]:
         "power_effect_size": (_EFFECT_SIZE_SQL + " UNION ALL "
                               + _golden_fragment("power__closed")),
         "group_set": _GROUP_SET_SQL,
-        "lift_gain": _LIFT_GAIN_SQL,
+        "lift_gain": _LIFT_FAMILY_SQL,
         "exact_dedup": _EXACT_DEDUP_SQL,
         # the LSH gate's banding params give recall 1.0 on this corpus at
         # threshold 0.5, so the exact all-pairs Jaccard relation IS the

@@ -423,12 +423,22 @@ def estimate_cate_lift(df: DataFrame, n_buckets: int = 30,
                        treatment_value=1, control_value=0,
                        bootstrap: bool = False, n_bootstraps: int = 100,
                        ci_quantiles: Sequence[float] | None = None,
-                       seed: int = 42) -> pd.DataFrame:
+                       seed: int = 42,
+                       bucket_colname: str | None = None) -> pd.DataFrame:
     """Cumulative CATE over descending score buckets ('if we target the top
     x% by model score, what uplift do we realize?').  Columns: bucket,
-    count, fraction, cum_cate[(_lower/_upper/_std_error)]."""
-    b = assign_score_buckets(df, n_buckets, score_colname, "bucket") \
-        .drop("threshold")
+    count, fraction, cum_cate[(_lower/_upper/_std_error)].
+
+    ``bucket_colname`` — use an existing bucket column (higher id = higher
+    score) instead of quantile-assigning from ``score_colname``."""
+    if bucket_colname is not None:
+        b = df.withColumnRenamed(bucket_colname, "bucket") \
+            if bucket_colname != "bucket" else df
+        if "threshold" in b.columns:
+            b = b.drop("threshold")
+    else:
+        b = assign_score_buckets(df, n_buckets, score_colname, "bucket") \
+            .drop("threshold")
     pdf = estimate_metrics(b, "ate", target_colname=target_colname,
                            treatment_colname=treatment_colname,
                            treatment_value=treatment_value,
@@ -451,10 +461,20 @@ def estimate_qini(df: DataFrame, n_buckets: int = 30,
                   treatment_value=1, control_value=0,
                   bootstrap: bool = False, n_bootstraps: int = 100,
                   ci_quantiles: Sequence[float] | None = None,
-                  seed: int = 42) -> pd.DataFrame:
+                  seed: int = 42,
+                  bucket_colname: str | None = None) -> pd.DataFrame:
     """Qini curve points (cumulative CATE × cumulative fraction per
-    descending score bucket), with the (0, 0) anchor row prepended."""
-    b = assign_score_buckets(df, n_buckets, score_colname, "bucket")
+    descending score bucket), with the (0, 0) anchor row prepended.
+
+    ``bucket_colname`` — use an existing bucket column (higher id = higher
+    score) instead of quantile-assigning from ``score_colname``."""
+    if bucket_colname is not None:
+        b = df.withColumnRenamed(bucket_colname, "bucket") \
+            if bucket_colname != "bucket" else df
+        if "threshold" not in b.columns:
+            b = b.withColumn("threshold", F.lit(float("nan")))
+    else:
+        b = assign_score_buckets(df, n_buckets, score_colname, "bucket")
     pdf = _aggregate(b, "ate", target_colname, "", "", treatment_colname,
                      treatment_value, control_value, "bucket",
                      bootstrap, n_bootstraps, seed)
@@ -482,9 +502,19 @@ def estimate_cum_iroi(df: DataFrame, n_buckets: int = 30,
                       treatment_value=1, control_value=0,
                       bootstrap: bool = False, n_bootstraps: int = 100,
                       ci_quantiles: Sequence[float] | None = None,
-                      seed: int = 42) -> pd.DataFrame:
-    """Cumulative iROI over descending score buckets."""
-    b = assign_score_buckets(df, n_buckets, score_colname, "bucket")
+                      seed: int = 42,
+                      bucket_colname: str | None = None) -> pd.DataFrame:
+    """Cumulative iROI over descending score buckets.
+
+    ``bucket_colname`` — use an existing bucket column (higher id = higher
+    score) instead of quantile-assigning from ``score_colname``."""
+    if bucket_colname is not None:
+        b = df.withColumnRenamed(bucket_colname, "bucket") \
+            if bucket_colname != "bucket" else df
+        if "threshold" not in b.columns:
+            b = b.withColumn("threshold", F.lit(float("nan")))
+    else:
+        b = assign_score_buckets(df, n_buckets, score_colname, "bucket")
     pdf = estimate_metrics(b, "iroi", benefit_colname=benefit_colname,
                            cost_colname=cost_colname,
                            treatment_colname=treatment_colname,

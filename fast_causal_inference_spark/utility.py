@@ -269,7 +269,8 @@ def regression_string(Y: str, X: Sequence[str]) -> str:
 
 
 def roc_curve(df: DataFrame, label: str, score: str,
-              n_thresholds: int = 1000) -> pd.DataFrame:
+              n_thresholds: int = 1000,
+              thresholds: Sequence[float] | None = None) -> pd.DataFrame:
     """ROC curve points (threshold, fpr, tpr) — reference
     ``lib/ml_spark.ROC_curve`` semantics (TPR/FPR at score-quantile
     thresholds, prediction positive when score ≥ threshold).
@@ -278,9 +279,12 @@ def roc_curve(df: DataFrame, label: str, score: str,
     its threshold bucket in codegen; ONE groupBy over ≤ n_thresholds cells;
     cumulative TP/FP via suffix sums on the driver-sized aggregate — the
     data is scanned once (the reference explodes every row × 1000
-    thresholds)."""
-    probs = [i / n_thresholds for i in range(n_thresholds + 1)]
-    thresholds = sorted(set(df.approxQuantile(score, probs, 1e-4)))
+    thresholds).  Pass ``thresholds`` explicitly to pin the operating
+    points (otherwise they come from the quantile sketch)."""
+    if thresholds is None:
+        probs = [i / n_thresholds for i in range(n_thresholds + 1)]
+        thresholds = df.approxQuantile(score, probs, 1e-4)
+    thresholds = sorted(set(float(t) for t in thresholds))
     # bucket b = number of thresholds <= score  (same WHEN-chain trick as
     # assign_score_buckets; bucket 0 = below every threshold)
     bucket = None
