@@ -47,7 +47,15 @@ from fast_causal_inference_spark.operators.matching import (
     smd,
 )
 from fast_causal_inference_spark.operators.groupset import group_set
-from fast_causal_inference_spark.dataframe import CausalDataFrame, readCsv, readSparkDf, readTable
+from fast_causal_inference_spark.dataframe import (
+    CausalDataFrame,
+    readClickHouse,
+    readCsv,
+    readOlap,
+    readSparkDf,
+    readStarRocks,
+    readTable,
+)
 from fast_causal_inference_spark.plans.sql_macros import sql
 from fast_causal_inference_spark.result import TestResult, test_result
 from fast_causal_inference_spark.operators.logistic import logistic_regression, auc
@@ -144,6 +152,9 @@ __all__ = [
     "group_set",
     "CausalDataFrame",
     "readCsv",
+    "readOlap",
+    "readClickHouse",
+    "readStarRocks",
     "readSparkDf",
     "readTable",
     "sql",

@@ -680,6 +680,26 @@ def readOrc(path: str, spark: SparkSession | None = None) -> CausalDataFrame:
     return CausalDataFrame(spark.read.orc(path))
 
 
+def readOlap(name_or_url: str, table: str | None = None,
+             spark: SparkSession | None = None, **options) -> CausalDataFrame:
+    """Entry-point parity with the reference's ``readOlap`` /
+    ``readClickHouse`` / ``readStarRocks`` (``dataframe.py:1985-2013``):
+    with one argument it wraps a catalog table (lakehouse deployment); with
+    a JDBC url + table it reads straight from the OLAP engine."""
+    spark = spark or SparkSession.getActiveSession()
+    if table is None:
+        return readTable(name_or_url, spark)
+    reader = spark.read.format("jdbc") \
+        .option("url", name_or_url).option("dbtable", table)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return CausalDataFrame(reader.load())
+
+
+readClickHouse = readOlap
+readStarRocks = readOlap
+
+
 def readSparkDf(df: DataFrame, na_fill: float | None = None) -> CausalDataFrame:
     """Wrap a Spark DataFrame; ``na_fill`` fills numeric NULLs first
     (the reference's ingest preprocessing — lib/tools.py:578 fills NA so
