@@ -124,3 +124,11 @@ def trim_outliers(df: DataFrame, cols: list[str] | str,
         cc = F.col(c).cast("double")
         out = out.where((cc >= F.lit(lo)) & (cc <= F.lit(hi)))
     return out
+
+
+def polynomial_features(x: str, k: int) -> list[str]:
+    """Power-expansion expressions ``pow(x, 1..k)`` for flexible-form DML /
+    OLS formulas (reference ``lib/linear_dml.py:7-16`` — its two extra
+    placeholder lists are gateway-template internals with no Spark
+    counterpart)."""
+    return [f"pow({x},{i})" for i in range(1, k + 1)]

@@ -8,7 +8,10 @@ from fast_causal_inference_spark.uplift.evaluation import (  # noqa: F401
     auuc,
     cate_by_bucket,
     get_lift_gain,
+    hte_plot,
+    load_model,
     qini_curve,
+    save_model,
     qini_score,
     uplift_report,
 )

@@ -202,3 +202,58 @@ def uplift_report(df: DataFrame, ite: str, y: str, t: str, k: int = 10,
             {"bucket": pdf["__bucket"], "n": pdf.n,
              "ite_pred": pdf.ite_avg, "cate_actual": cate}),
     }
+
+
+def hte_plot(results, labels=None, plot: bool = False):
+    """Uplift + gain curves for several models side by side (reference
+    ``uplift.py:196-263``).  ``results`` — list of :func:`get_lift_gain`
+    outputs.  Returns plot-ready data: a list of dicts with the model
+    label, AUUC (mean gain — the reference's summary number), and the
+    (ratio, lift, gain) curve; draws the two-panel figure only when
+    matplotlib is importable and ``plot=True`` (this container ships
+    without it)."""
+    labels = list(labels or [])
+    while len(labels) < len(results):
+        labels.append(f"model_{len(labels) + 1}")
+    data = []
+    for pdf, label in zip(results, labels):
+        data.append({
+            "label": label,
+            "auuc": round(float(pdf["gain"].sum() / len(pdf)), 2),
+            "curve": pdf[["ratio", "lift", "gain", "ate_baseline",
+                          "random_gain"]].reset_index(drop=True),
+        })
+    if plot:
+        try:
+            import matplotlib.pyplot as plt
+        except ImportError:
+            return data
+        fig, (ax1, ax2) = plt.subplots(1, 2, sharex=True, figsize=(12, 4.8))
+        for d in data:
+            c = d["curve"]
+            ax1.plot(c.ratio, c.lift, label=d["label"])
+            ax2.plot([0] + list(c.ratio), [0] + list(c.gain),
+                     label=f"{d['label']}(auuc:{d['auuc']})")
+        c0 = data[0]["curve"]
+        ax1.axhline(c0.ate_baseline.iloc[0], ls="--", color="gray")
+        ax2.plot([0] + list(c0.ratio), [0] + list(c0.random_gain),
+                 ls="--", color="gray", label="random")
+        ax1.legend(); ax2.legend()
+    return data
+
+
+def save_model(model, file: str) -> None:
+    """Pickle any fitted model object (CausalTree/CausalForest/OlsModel/
+    meta-learner) to a local file — reference ``uplift.py:1864-1870``."""
+    import pickle
+
+    with open(file, "wb") as f:
+        pickle.dump(model, f)
+
+
+def load_model(file: str):
+    """Inverse of :func:`save_model` — reference ``uplift.py:1872-1877``."""
+    import pickle
+
+    with open(file, "rb") as f:
+        return pickle.load(f)

@@ -140,3 +140,24 @@ def test_target_rate_per_quantile(trial):
     exp = bp.groupby("bucket").outcome.mean()
     assert np.allclose(out.sort_values("bucket").target_rate.to_numpy(),
                        exp.sort_index().to_numpy())
+
+
+def test_hte_plot_and_model_io(trial, tmp_path):
+    import fast_causal_inference_spark.uplift as up
+
+    pdf, df = trial
+    lg = up.get_lift_gain(df, "score", "outcome", "treatment", k=5)
+    data = up.hte_plot([lg, lg], labels=["a"])
+    assert [d["label"] for d in data] == ["a", "model_2"]
+    assert data[0]["auuc"] == round(float(lg.gain.sum() / len(lg)), 2)
+    f = tmp_path / "m.pkl"
+    up.save_model({"model": [1, 2, 3]}, str(f))
+    assert up.load_model(str(f)) == {"model": [1, 2, 3]}
+
+
+def test_polynomial_features():
+    from fast_causal_inference_spark.functions.features import (
+        polynomial_features,
+    )
+
+    assert polynomial_features("x", 2) == ["pow(x,1)", "pow(x,2)"]
