@@ -38,6 +38,7 @@ mean predictions and Ŵ the within-group tree variance.
 from __future__ import annotations
 
 import math
+import threading
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -138,39 +139,43 @@ class CausalForest:
         work = df.select(*feat_cols, tcol.alias("__t"), ycol.alias("__y"))
         rowh = F.xxhash64(*[F.col(c) for c in work.columns], F.lit(self.seed))
 
+        # repartition BEFORE caching: the per-level melt (explode ×trees +
+        # membership hashes) runs on the cached layout, and a small input
+        # can scan as 1-3 splits — serializing every level job.  All draws
+        # key off __h (row content only, so results are independent of the
+        # physical layout); hashing by __h also balances the melt at scale.
+        self._bin_col_names = {feat: f"__finebin{i}"
+                               for i, feat in enumerate(self.features)}
+        n_parts = int(df.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "32"))
+        work = work.withColumn("__h", rowh).repartition(n_parts, F.col("__h")) \
+                   .cache()
+
         # ONE fine global quantile grid (8× n_bins, capped at 128): the
         # per-node candidate re-sketch in _best_split re-bins within each
         # node's own range on this grid, so deep narrow nodes keep
-        # candidate resolution without a per-node sketch job.  Sketched
-        # BEFORE the working set is built so the fine-bin ids can be
-        # PRECOMPUTED into the cache: the ~n_fine-branch binning CASE then
-        # compiles and evaluates once (cache build), not once per level.
+        # candidate resolution without a per-node sketch job.  The sketch
+        # reads the RAW input (deterministic scan order — sketching the
+        # shuffled cache would make the GK summaries order-dependent) and
+        # runs CONCURRENTLY with the cache materialization, so fit startup
+        # costs max(sketch, cache build) instead of their sum.  Fine-bin
+        # ids are then derived per level from the cached feature values
+        # with a balanced log₂(n_fine)-deep WHEN tree — measured at the
+        # same cost as carrying precomputed bin columns in the cache.
         n_fine = min(128, max(self.n_bins, 2) * 8)
         probs = [i / n_fine for i in range(1, n_fine)]
         fcols = [f"__feat{i}" for i in range(len(self.features))]
         fwork = df.select(*[F.expr(f).cast("double").alias(c)
                             for f, c in zip(self.features, fcols)])
+        warm = threading.Thread(target=work.count)
+        warm.start()
         # candidate thresholds need no sub-0.1% precision (grf SAMPLES its
         # candidates); 0.005 halves the sketch-job cost on wide inputs
         all_edges = fwork.approxQuantile(fcols, probs, 0.005)
+        warm.join()
         self.fine_edges_ = {}
         for feat, edges in zip(self.features, all_edges):
             self.fine_edges_[feat] = sorted(set(edges))
-
-        # repartition BEFORE caching: the per-level melt (explode ×trees +
-        # membership hashes) runs on the cached layout, and a small input
-        # can scan as 1-3 splits — serializing every level job.  All draws
-        # key off __h (row content, computed before the bin columns so
-        # results are identical to the unbinned layout); hashing by __h
-        # also balances the melt at scale.
-        self._bin_col_names = {feat: f"__finebin{i}"
-                               for i, feat in enumerate(self.features)}
-        n_parts = int(df.sparkSession.conf.get(
-            "spark.sql.shuffle.partitions", "32"))
-        work = work.withColumn("__h", rowh)
-        for feat, bname in self._bin_col_names.items():
-            work = work.withColumn(bname, self._bin_col(feat))
-        work = work.repartition(n_parts, F.col("__h")).cache()
 
         frontier = [[0] for _ in range(self.num_trees)]
         next_ids = [1] * self.num_trees
@@ -279,11 +284,14 @@ class CausalForest:
                 columns=["tree", "node", "feature", "bin", "__t", "cnt", "s"])
         ff = sess.createDataFrame(rel, "tree int, node int, feature string")
         feat_union = sorted({r[2] for r in rel})
-        # carry the PRECOMPUTED fine-bin ids, not the raw features — the
-        # per-level job then selects an int column per row instead of
-        # recompiling and re-evaluating the binning CASE every level
+        # fine-bin ids derived on the fly from the cached feature values
+        # (balanced WHEN tree, log₂(n_fine) comparisons/row — measured at
+        # parity with precomputed bin columns, and it lets the sketch and
+        # the cache build overlap at fit start)
         keep = [self._bin_col_names[feat] for feat in feat_union]
-        melted = self._melt(work, split_half, keep)
+        binned = work.withColumns(
+            {self._bin_col_names[f]: self._bin_col(f) for f in feat_union})
+        melted = self._melt(binned, split_half, keep)
         joined = melted.join(F.broadcast(ff), ["tree", "node"])
         bin_expr = None
         for feat in feat_union:
