@@ -906,15 +906,19 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies = e.where(F.col("vec_id") < 20).select(
         (F.col("vec_id") + 50000).alias("vec_id"), "embedding", "label")
     allv = e.unionByName(copies)
-    lsh = embedding_near_dup_pairs(allv, threshold=0.999).select(
-        F.lit("lsh").alias("variant"), "id_a", "id_b",
-        F.round("cosine", 4).alias("cosine"))
-    # n_lists ∝ √N (the SemDeDup regime): within-cell verification is
-    # Σcᵢ², so √N cells keep it ~N^1.5/n_lists
-    sem = semantic_dedup_pairs(allv, threshold=0.999, n_lists=45,
-                               seed=4).select(
-        F.lit("semantic").alias("variant"), "id_a", "id_b",
-        F.round("cosine", 4).alias("cosine"))
+    # semantic_dedup_pairs trains its k-means quantizer eagerly at
+    # construction — build both members concurrently
+    # (n_lists ∝ √N, the SemDeDup regime: within-cell verification is
+    # Σcᵢ², so √N cells keep it ~N^1.5/n_lists)
+    lsh, sem = _concurrent([
+        lambda: embedding_near_dup_pairs(allv, threshold=0.999).select(
+            F.lit("lsh").alias("variant"), "id_a", "id_b",
+            F.round("cosine", 4).alias("cosine")),
+        lambda: semantic_dedup_pairs(allv, threshold=0.999, n_lists=45,
+                                     seed=4).select(
+            F.lit("semantic").alias("variant"), "id_a", "id_b",
+            F.round("cosine", 4).alias("cosine")),
+    ])
     return lsh.unionByName(sem)
 
 
@@ -2463,11 +2467,16 @@ def q_knn_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval family: exact brute-force + IVF approximate cosine top-k
     over embeddings, and BM25 full-text top-k over documents (absorbs the
     former knn_bruteforce / ivf_knn gate keys)."""
-    exact = q_knn_bruteforce(spark, sf_dir).select(
-        F.lit("exact").alias("variant"), "query_id", "vec_id", "rank",
-        "score")
-    return (exact.unionByName(g_knn_ivf(spark, sf_dir))
-            .unionByName(g_knn_bm25(spark, sf_dir)))
+    # the IVF and BM25 members do eager driver-side model/index builds at
+    # construction — build all three concurrently, then union
+    exact_df, ivf_df, bm25_df = _concurrent([
+        lambda: q_knn_bruteforce(spark, sf_dir).select(
+            F.lit("exact").alias("variant"), "query_id", "vec_id", "rank",
+            "score"),
+        lambda: g_knn_ivf(spark, sf_dir),
+        lambda: g_knn_bm25(spark, sf_dir),
+    ])
+    return exact_df.unionByName(ivf_df).unionByName(bm25_df)
 
 
 def q_multi_arm_tests(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -196,9 +196,11 @@ def _train_centroids(df: DataFrame, vec_col: str, n_lists: int,
     training recipe — centroids are a tiny model, training data a bounded
     sample; the full corpus is only ever scanned for assignment)."""
     n_sample = n_lists * sample_per_list
+    # xxhash64 hashes the array natively (element-wise) — a deterministic
+    # layout-independent draw without the ~5× slower cast-to-string detour
     rows = (df.select(F.col(vec_col).alias("v"))
             .where(F.col("v").isNotNull())
-            .orderBy(F.xxhash64(F.col("v").cast("string"), F.lit(seed)))
+            .orderBy(F.xxhash64(F.col("v"), F.lit(seed)))
             .limit(n_sample).collect())
     X = np.array([r["v"] for r in rows], dtype=float)
     if len(X) < n_lists:
