@@ -66,10 +66,17 @@ def train_bigram_lm(df: DataFrame, text_col: str = "text") -> dict:
     unis = (df.select(F.explode(tokens(F.col(text_col))).alias("w1"))
             .where(F.col("w1") != "")
             .groupBy("w1").agg(F.count(F.lit(1)).alias("c1")).cache())
-    vocab_size = unis.count()
+    # materialize both count relations concurrently — they are independent
+    # aggregations of the same trusted corpus
+    import threading
+
+    res: dict = {}
+    th = threading.Thread(target=lambda: res.update(v=unis.count()))
+    th.start()
     bigrams.count()
+    th.join()
     return {"bigrams": bigrams, "unigrams": unis,
-            "vocab_size": int(vocab_size)}
+            "vocab_size": int(res["v"])}
 
 
 def scored_bigram_logprobs(df: DataFrame, lm: dict, text_col: str,
