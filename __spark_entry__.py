@@ -3062,8 +3062,14 @@ def q_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure xxhash64 function of ids+seed, layout-independent — proven by
     gen_goldens' two-process determinism probe): domain mixture
     resampling, deterministic epoch shuffle, sequence packing,
-    quality-weighted sampling, stratified sampling (rate + exact-n) and
-    reservoir sampling."""
+    quality-weighted sampling, stratified sampling (rate + exact-n),
+    reservoir sampling, and BPE tokenizer training + corpus token
+    accounting (merges are a pure function of the word-count relation;
+    count-desc/lexicographic tie-break)."""
+    from fast_causal_inference_spark.datapipe.tokenizer import (
+        bpe_token_count,
+        train_bpe,
+    )
     from fast_causal_inference_spark.datapipe.training import (
         domain_mixture_sample,
         global_shuffle,
@@ -3075,6 +3081,8 @@ def q_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _load(spark, sf_dir, "documents")
     rows = []
+    bpe = train_bpe(d.where(F.col("doc_id") % 5 == 0), vocab_size=300,
+                    max_words=20000)
     mix = domain_mixture_sample(
         d, "lang", target_weights={"en": 0.4, "de": 0.2, "zh": 0.2,
                                    "fr": 0.1, "es": 0.1},
@@ -3092,7 +3100,7 @@ def q_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     strat_n = stratified_sample(d, "lang", n_per_stratum=5, seed=17,
                                 id_cols=["doc_id"])
     resv = reservoir_sample(d, 25, seed=19, id_cols=["doc_id"])
-    mix_rows, head_pdf, p_rows, w_rows, s_rows, sn_rows, r_rows = \
+    mix_rows, head_pdf, p_rows, w_rows, s_rows, sn_rows, r_rows, bpe_rows = \
         _concurrent([
         lambda: mix.groupBy("lang").agg(
             F.count(F.lit(1)).alias("n"),
@@ -3113,6 +3121,10 @@ def q_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").alias("id_sum")).collect(),
         lambda: resv.agg(F.count(F.lit(1)).alias("n"),
                          F.sum("doc_id").alias("id_sum")).collect(),
+        lambda: bpe_token_count(d, bpe).agg(
+            F.sum("n_tokens_bpe").alias("tok_total"),
+            F.sum(F.col("n_tokens_bpe") *
+                  (F.col("doc_id") % 97)).alias("tok_weighted")).collect(),
     ])
     for r in mix_rows:
         rows.append({"variant": "mixture", "item": str(r["lang"]),
@@ -3143,6 +3155,16 @@ def q_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "value": float(rv["n"])})
     rows.append({"variant": "reservoir", "item": "n=25", "stat": "id_sum",
                  "value": float(rv["id_sum"])})
+    for i, (a, b) in enumerate(bpe["merges"][:10]):
+        rows.append({"variant": "bpe", "item": f"merge_{i:02d}",
+                     "stat": a + "⊕" + b, "value": float(i)})
+    rows.append({"variant": "bpe", "item": "vocab", "stat": "size",
+                 "value": float(len(bpe["vocab"]))})
+    bp = bpe_rows[0]
+    rows.append({"variant": "bpe", "item": "corpus", "stat": "tok_total",
+                 "value": float(bp["tok_total"])})
+    rows.append({"variant": "bpe", "item": "corpus", "stat": "tok_weighted",
+                 "value": float(bp["tok_weighted"])})
     return _long_rows(spark, rows)
 
 
