@@ -970,7 +970,10 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-joins on gram STRINGS where the engine joins 64-bit gram hashes —
     agreement also certifies the hashed join path), and CCNet-style
     bigram-LM perplexity under a trusted-slice model (``doc_id % 5 == 0``)
-    — DuckDB re-derives the full add-1-smoothed log-probability."""
+    — DuckDB re-derives the full add-1-smoothed log-probability — and the
+    trainable Naive-Bayes quality classifier (trusted slice = good,
+    ``doc_id % 5 == 1`` slice = bad; DuckDB re-derives every per-token
+    log-ratio from the same count relations)."""
     from fast_causal_inference_spark.datapipe.lm import (
         score_perplexity,
         train_bigram_lm,
@@ -979,6 +982,8 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         decontaminate,
         dup_line_frac,
         pii_count,
+        quality_classifier_score,
+        train_quality_classifier,
     )
     from fast_causal_inference_spark.datapipe.text import text_profile
 
@@ -991,16 +996,25 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.round(dup_line_frac(F.col("text")), 6)))
     bench = d.where(F.col("doc_id") % 7 == 0)
     out = decontaminate(out, bench, n=5, mode="flag")
-    lm = train_bigram_lm(d.where(F.col("doc_id") % 5 == 0))
+    labeled = d.where(F.col("doc_id") % 5 <= 1).withColumn(
+        "label", (F.col("doc_id") % 5 == 0).cast("int"))
+    # both model trainings are eager count-relation builds — overlap them
+    lm, nb = _concurrent([
+        lambda: train_bigram_lm(d.where(F.col("doc_id") % 5 == 0)),
+        lambda: train_quality_classifier(labeled, "label"),
+    ])
     ppl = score_perplexity(d, lm, k=1.0).select(
         "doc_id", F.round("ppl", 6).alias("ppl"))
     out = out.join(ppl, "doc_id", "left")
+    nbs = quality_classifier_score(d.select("doc_id", "text"), nb).select(
+        "doc_id", F.round("quality_logodds", 6).alias("nb_logodds"))
+    out = out.join(nbs, "doc_id", "left")
     return out.select("doc_id", "n_tokens", "n_tokens_bpe", "lang_pred",
                       F.round("quality", 6).alias("quality"),
                       "fingerprint_md5", "pii_email_cnt", "pii_ipv4_cnt",
                       "dup_line_frac",
                       F.col("contaminated").cast("long").alias("contaminated"),
-                      "ppl")
+                      "ppl", "nb_logodds")
 
 
 _TEXT_PROFILE_SQL = r"""
@@ -1070,6 +1084,29 @@ ppl AS (
   FROM tbg d LEFT JOIN trusted_bg b USING (w1, w2)
        LEFT JOIN trusted_uni u USING (w1) CROSS JOIN lmconsts
   GROUP BY 1
+), nbtok AS (
+  SELECT tok.doc_id, CAST(tok.doc_id % 5 = 0 AS INT) AS y, u.tk AS w
+  FROM tok, unnest(tok.toks) AS u(tk)
+  WHERE tok.doc_id % 5 <= 1 AND u.tk <> ''
+), nbcnt AS (
+  SELECT w, sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS c_pos,
+         sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS c_neg
+  FROM nbtok GROUP BY w
+), nbconst AS (
+  SELECT sum(c_pos) AS np, sum(c_neg) AS nn, count(*) AS v FROM nbcnt
+), nbprior AS (
+  SELECT ln(count(*) FILTER (WHERE doc_id % 5 = 0))
+         - ln(count(*) FILTER (WHERE doc_id % 5 = 1)) AS pri
+  FROM documents WHERE doc_id % 5 <= 1
+), nbdoctok AS (
+  SELECT tok.doc_id, u.tk AS w
+  FROM tok, unnest(tok.toks) AS u(tk) WHERE u.tk <> ''
+), nbscore AS (
+  SELECT d.doc_id,
+         sum(ln(coalesce(c.c_pos, 0) + 1.0) - ln(np + 1.0 * v)
+             - ln(coalesce(c.c_neg, 0) + 1.0) + ln(nn + 1.0 * v)) AS s
+  FROM nbdoctok d LEFT JOIN nbcnt c USING (w) CROSS JOIN nbconst
+  GROUP BY 1
 )
 SELECT lang.doc_id, n_tokens, n_tokens_bpe,
        CASE WHEN cjk * 3 > n_chars THEN 'zh'
@@ -1097,11 +1134,14 @@ SELECT lang.doc_id, n_tokens, n_tokens_bpe,
              ELSE (len(ls) - len(list_distinct(ls))) * 1.0 / len(ls)
              END, 6) AS dup_line_frac,
        CAST(contam.doc_id IS NOT NULL AS BIGINT) AS contaminated,
-       ppl.ppl AS ppl
+       ppl.ppl AS ppl,
+       round(coalesce(nbscore.s, 0.0) + (SELECT pri FROM nbprior), 6)
+         AS nb_logodds
 FROM lang
 JOIN lines ON lang.doc_id = lines.doc_id
 LEFT JOIN contam ON lang.doc_id = contam.doc_id
 LEFT JOIN ppl ON lang.doc_id = ppl.doc_id
+LEFT JOIN nbscore ON lang.doc_id = nbscore.doc_id
 """
 
 

@@ -346,3 +346,92 @@ def domain_filter(df: DataFrame, url_col: str = "url",
     keyed = df.withColumn("__dom", registered_domain(F.col(url_col)))
     how = "left_anti" if blocklist is not None else "left_semi"
     return keyed.join(F.broadcast(rel), "__dom", how).drop("__dom")
+
+
+# ---------------------------------------------------------------------------
+# Naive-Bayes quality classifier (trainable, fully relational)
+# ---------------------------------------------------------------------------
+
+
+def train_quality_classifier(df: DataFrame, label_col: str,
+                             text_col: str = "text",
+                             k: float = 1.0) -> dict:
+    """Train a multinomial Naive-Bayes quality classifier from labeled
+    documents (label 1 = high quality, 0 = low) — the classic trainable
+    quality filter between heuristic signals and an external model, and a
+    sibling of the CCNet perplexity scorer (same count-relation shape).
+
+    Fully relational: ONE explode + groupBy builds the per-class token
+    count relation; the model is count DataFrames + scalars, so the
+    labeled corpus can be arbitrarily large.  Every downstream score is a
+    closed-form function of the counts (DuckDB-re-derivable — gated)."""
+    from fast_causal_inference_spark.datapipe.text import tokens
+
+    lab = F.col(label_col).cast("int")
+    toks = (df.select(lab.alias("__y"),
+                      F.explode(tokens(F.col(text_col))).alias("w"))
+            .where(F.col("w") != ""))
+    counts = (toks.groupBy("w")
+              .agg(F.sum(F.when(F.col("__y") == 1, 1).otherwise(0))
+                   .alias("c_pos"),
+                   F.sum(F.when(F.col("__y") == 0, 1).otherwise(0))
+                   .alias("c_neg"))
+              .cache())
+    tot = counts.agg(F.sum("c_pos").alias("n_pos"),
+                     F.sum("c_neg").alias("n_neg"),
+                     F.count(F.lit(1)).alias("v")).collect()[0]
+    docs = df.agg(
+        F.sum(F.when(lab == 1, 1).otherwise(0)).alias("d_pos"),
+        F.sum(F.when(lab == 0, 1).otherwise(0)).alias("d_neg")).collect()[0]
+    return {"counts": counts, "n_pos": int(tot["n_pos"]),
+            "n_neg": int(tot["n_neg"]), "vocab_size": int(tot["v"]),
+            "d_pos": int(docs["d_pos"]), "d_neg": int(docs["d_neg"]),
+            "k": float(k)}
+
+
+def quality_classifier_score(df: DataFrame, model: dict,
+                             text_col: str = "text",
+                             id_cols: list | None = None,
+                             output_col: str = "quality_logodds") -> DataFrame:
+    """Per-document log-odds log P(good|doc) − log P(bad|doc) under the
+    trained NB model (add-k smoothing; out-of-vocabulary tokens fall back
+    to the smoothing mass).
+
+    Scale shape: explode corpus tokens once, ONE equi-join against the
+    token-count relation (broadcast when small), map-side-combined
+    groupBy(doc) of per-token log ratios, then a join back to re-attach
+    untokenizable/empty docs with the prior-only score."""
+    import math
+
+    from fast_causal_inference_spark.datapipe.text import tokens
+
+    id_cols = list(id_cols or ["doc_id"])
+    k, V = model["k"], model["vocab_size"]
+    lp_den = math.log(model["n_pos"] + k * V)
+    ln_den = math.log(model["n_neg"] + k * V)
+    prior = (math.log(max(model["d_pos"], 1))
+             - math.log(max(model["d_neg"], 1)))
+    toks = (df.select(*id_cols,
+                      F.explode(tokens(F.col(text_col))).alias("w"))
+            .where(F.col("w") != ""))
+    joined = toks.join(model["counts"], "w", "left")
+    contrib = (F.log(F.coalesce(F.col("c_pos"), F.lit(0)) + F.lit(k))
+               - F.lit(lp_den)
+               - F.log(F.coalesce(F.col("c_neg"), F.lit(0)) + F.lit(k))
+               + F.lit(ln_den))
+    scores = (joined.groupBy(*id_cols)
+              .agg(F.sum(contrib).alias("__s")))
+    out = df.join(scores, id_cols, "left")
+    return out.withColumn(
+        output_col, F.coalesce(F.col("__s"), F.lit(0.0)) + F.lit(prior)) \
+        .drop("__s")
+
+
+def quality_classifier_filter(df: DataFrame, model: dict,
+                              text_col: str = "text",
+                              id_cols: list | None = None,
+                              threshold: float = 0.0) -> DataFrame:
+    """Keep documents the classifier scores above ``threshold`` log-odds."""
+    scored = quality_classifier_score(df, model, text_col, id_cols)
+    return scored.where(F.col("quality_logodds") > threshold) \
+                 .drop("quality_logodds")

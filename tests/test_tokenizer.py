@@ -99,3 +99,45 @@ def documents(spark):
     import tests.conftest as c
 
     return spark.read.parquet(f"{c.SF_DIR}/documents.parquet")
+
+
+def test_quality_classifier(spark):
+    import math
+
+    import pandas as pd
+
+    from fast_causal_inference_spark.datapipe.quality import (
+        quality_classifier_filter,
+        quality_classifier_score,
+        train_quality_classifier,
+    )
+
+    train = pd.DataFrame({
+        "doc_id": range(6),
+        "text": ["good clean prose here", "well written text prose",
+                 "clean good text", "spam spam buy now",
+                 "buy cheap spam now", "now spam buy"],
+        "label": [1, 1, 1, 0, 0, 0]})
+    m = train_quality_classifier(spark.createDataFrame(train), "label")
+    assert m["vocab_size"] == 11 and m["n_pos"] == m["n_neg"] == 11
+    test = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [10, 11, 12],
+        "text": ["clean prose", "buy spam now", ""]}))
+    s = (quality_classifier_score(test, m).toPandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    # manual NB oracle
+    cnt = {r["w"]: (r["c_pos"], r["c_neg"]) for r in m["counts"].collect()}
+
+    def nb(text):
+        lp = math.log(m["d_pos"]) - math.log(m["d_neg"])
+        for w in text.lower().split():
+            cp, cn = cnt.get(w, (0, 0))
+            lp += (math.log((cp + 1) / (m["n_pos"] + m["vocab_size"]))
+                   - math.log((cn + 1) / (m["n_neg"] + m["vocab_size"])))
+        return lp
+
+    for i, t in enumerate(["clean prose", "buy spam now", ""]):
+        assert s.quality_logodds.iloc[i] == pytest.approx(nb(t), abs=1e-9)
+    assert s.quality_logodds.iloc[0] > 0 > s.quality_logodds.iloc[1]
+    kept = quality_classifier_filter(test, m).toPandas()
+    assert kept.doc_id.tolist() == [10]
