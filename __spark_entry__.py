@@ -680,17 +680,59 @@ def q_stochastic_sgd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup over documents ∪ copies (ids+100000): surviving ids."""
-    from fast_causal_inference_spark.datapipe.dedup import exact_dedup
+    """Exact-dedup family: whole-document dedup survivors (documents ∪
+    copies at ids+100000) plus exact repeated-SUBSTRING spans (Lee et al.
+    suffix-array criterion, realized as diagonal n-gram runs) on a corpus
+    with planted splices (doc i ‖ doc i+1 at ids+200000) — the oracle
+    re-derives every span from gram STRINGS where the engine joins 64-bit
+    gram hashes."""
+    from fast_causal_inference_spark.datapipe.dedup import (
+        exact_dedup,
+        repeated_substring_spans,
+    )
 
     d = _load(spark, sf_dir, "documents").select("doc_id", "text")
     copies = d.where(F.col("doc_id") < 50) \
         .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
     out = exact_dedup(d.unionByName(copies))
-    return out.select("doc_id")
+    surv = out.select("doc_id")
+
+    a, b = d.alias("a"), d.alias("b")
+    spliced = (a.join(b, F.col("a.doc_id") + 1 == F.col("b.doc_id"))
+               .where(F.col("a.doc_id") < 5)
+               .select((F.col("a.doc_id") + 200000).alias("doc_id"),
+                       F.concat(F.col("a.text"), F.lit(" "),
+                                F.col("b.text")).alias("text")))
+    spans = repeated_substring_spans(
+        d.where(F.col("doc_id") < 10).unionByName(spliced),
+        n=10, min_run_tokens=30)
+
+    rows_doc = surv.select(
+        F.lit("doc").alias("variant"), F.lit("survivors").alias("item"),
+        F.lit("n").alias("stat"),
+        F.count(F.lit(1)).cast("double").alias("value")).unionByName(
+        surv.select(F.lit("doc").alias("variant"),
+                    F.lit("survivors").alias("item"),
+                    F.lit("id_sum").alias("stat"),
+                    F.sum("doc_id").cast("double").alias("value"))
+    ).unionByName(
+        surv.select(F.lit("doc").alias("variant"),
+                    F.lit("survivors").alias("item"),
+                    F.lit("id_sq_sum").alias("stat"),
+                    F.sum(F.col("doc_id") * F.col("doc_id"))
+                    .cast("double").alias("value")))
+    rows_span = spans.select(
+        F.lit("substring").alias("variant"),
+        F.concat_ws("-", F.col("id_a").cast("string"),
+                    F.col("id_b").cast("string"),
+                    F.col("start_a").cast("string")).alias("item"),
+        F.lit("run").alias("stat"),
+        (F.col("run_tokens") * 1000000 + F.col("start_b"))
+        .cast("double").alias("value"))
+    return rows_doc.unionByName(rows_span)
 
 
-_EXACT_DEDUP_SQL = """
+_EXACT_DEDUP_SQL = r"""
 WITH all_docs AS (
   SELECT doc_id, text FROM documents
   UNION ALL
@@ -699,8 +741,54 @@ WITH all_docs AS (
   SELECT doc_id, md5(text) AS h,
          row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
   FROM all_docs
+), surv AS (
+  SELECT doc_id FROM keyed WHERE rn = 1
+), sub_corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 10
+  UNION ALL
+  SELECT a.doc_id + 200000, a.text || ' ' || b.text
+  FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id
+  WHERE a.doc_id < 5
+), sub_tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+  FROM sub_corpus
+), sub_grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(toks, i, i + 9), ' ') AS g
+  FROM sub_tok, unnest(range(1, greatest(len(toks) - 9, 0) + 1)) AS r(i)
+), gdf AS (
+  SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df FROM sub_grams
+                 GROUP BY g)
+  WHERE df BETWEEN 2 AND 50
+), pruned AS (
+  SELECT sub_grams.* FROM sub_grams JOIN gdf USING (g)
+), matched AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, l.pos AS pos_a, r.pos AS pos_b,
+         l.pos - r.pos AS diag
+  FROM pruned l JOIN pruned r ON l.g = r.g AND l.doc_id < r.doc_id
+), runs AS (
+  SELECT id_a, id_b, diag,
+         pos_a - row_number() OVER (PARTITION BY id_a, id_b, diag
+                                    ORDER BY pos_a) AS grp,
+         pos_a, pos_b
+  FROM matched
+), spans AS (
+  SELECT id_a, id_b, min(pos_a) AS start_a, min(pos_b) AS start_b,
+         count(*) + 9 AS run_tokens
+  FROM runs GROUP BY id_a, id_b, diag, grp
+  HAVING count(*) + 9 >= 30
 )
-SELECT doc_id FROM keyed WHERE rn = 1
+SELECT 'doc' AS variant, 'survivors' AS item, 'n' AS stat,
+       CAST(count(*) AS DOUBLE) AS value FROM surv
+UNION ALL SELECT 'doc', 'survivors', 'id_sum', CAST(sum(doc_id) AS DOUBLE)
+FROM surv
+UNION ALL SELECT 'doc', 'survivors', 'id_sq_sum',
+       CAST(sum(doc_id * doc_id) AS DOUBLE) FROM surv
+UNION ALL SELECT 'substring',
+       CAST(id_a AS VARCHAR) || '-' || CAST(id_b AS VARCHAR) || '-'
+         || CAST(start_a AS VARCHAR),
+       'run', CAST(run_tokens * 1000000 + start_b AS DOUBLE)
+FROM spans
 """
 
 

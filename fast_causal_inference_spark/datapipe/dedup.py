@@ -555,3 +555,81 @@ def dedup_clusters(df: DataFrame, pairs: DataFrame,
     losers = comp.where(F.col("id") != F.col("component")) \
                  .select(F.col("id").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Exact repeated-substring spans (Lee et al. 2021 "Deduplicating Training
+# Data Makes Language Models Better" — the EXACT-substring criterion, as
+# opposed to the whole-document Jaccard family above)
+# ---------------------------------------------------------------------------
+
+
+def repeated_substring_spans(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id", n: int = 10,
+                             min_run_tokens: int = 30,
+                             max_gram_df: int = 50) -> DataFrame:
+    """Cross-document EXACT repeated token spans of ≥ ``min_run_tokens``.
+
+    Relational restatement of the suffix-array criterion: a shared span of
+    L tokens is exactly a DIAGONAL run of L−n+1 matching positional
+    n-grams (pos_a − pos_b constant, positions consecutive).  Shape:
+
+    1. explode positional n-gram hashes — ONE pass, (id, pos, gram64);
+    2. drop grams appearing in only one document (cannot witness a
+       cross-doc span) and grams with document frequency > ``max_gram_df``
+       (boilerplate n-grams — their pair join is df², the quadratic
+       blow-up; the paper's suffix-array also caps bucket depth.  Dropping
+       a gram can only SPLIT a reported span, never invent one);
+    3. self-join on gram64 (id_a < id_b) — candidate volume is
+       Σ df²_bounded, output-proportional for near-dup corpora;
+    4. per (id_a, id_b, pos_a − pos_b) diagonal: a run is a maximal
+       consecutive pos_a chain — grouped with the classic
+       row_number-difference trick (one window over the matched relation,
+       partitioned by pair+diagonal, never the corpus).
+
+    Returns (id_a, id_b, start_a, start_b, run_tokens) with
+    run_tokens = matched-gram chain length + n − 1 ≥ ``min_run_tokens``.
+    """
+    from fast_causal_inference_spark.datapipe.text import tokens
+
+    from pyspark.sql import Window
+
+    tk = tokens(F.col(text_col))
+    grams = (df.select(F.col(id_col).alias("id"),
+                       F.posexplode(ngram_transform_hashed(tk, n))
+                       .alias("pos", "g")))
+    # document frequency per gram — map-side-combined count over distinct
+    # (gram, id); bounded grams keep the pair join output-proportional
+    gdf = (grams.select("g", "id").distinct()
+           .groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+           .where((F.col("df") >= 2) & (F.col("df") <= max_gram_df)))
+    pruned = grams.join(gdf, "g")
+    l, r = pruned.alias("l"), pruned.alias("r")
+    matched = (l.join(r, [F.col("l.g") == F.col("r.g"),
+                          F.col("l.id") < F.col("r.id")])
+               .select(F.col("l.id").alias("id_a"),
+                       F.col("r.id").alias("id_b"),
+                       F.col("l.pos").alias("pos_a"),
+                       F.col("r.pos").alias("pos_b"))
+               .withColumn("diag", F.col("pos_a") - F.col("pos_b")))
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    runs = (matched
+            .withColumn("rn", F.row_number().over(w))
+            .withColumn("grp", F.col("pos_a") - F.col("rn"))
+            .groupBy("id_a", "id_b", "diag", "grp")
+            .agg(F.min("pos_a").alias("start_a"),
+                 F.min("pos_b").alias("start_b"),
+                 (F.count(F.lit(1)) + n - 1).alias("run_tokens")))
+    return (runs.where(F.col("run_tokens") >= min_run_tokens)
+            .select("id_a", "id_b", "start_a", "start_b", "run_tokens"))
+
+
+def ngram_transform_hashed(tk, n: int):
+    """Positional n-gram 64-bit hashes of a bound token array (xxhash64 of
+    the joined window — one hash per position, shared by
+    :func:`repeated_substring_spans`)."""
+    from fast_causal_inference_spark.datapipe.text import ngram_transform
+    from fast_causal_inference_spark.functions import bind_once
+
+    return bind_once(tk, lambda t: F.transform(
+        ngram_transform(t, n), lambda s: F.xxhash64(s)))

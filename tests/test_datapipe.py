@@ -567,3 +567,28 @@ def test_relational_verify_matches_array_jaccard(spark, docs_with_dups):
     bad = joined.where(
         F.abs(F.col("jaccard") - F.col("j2")) > 1e-9).count()
     assert bad == 0
+
+
+def test_repeated_substring_spans(spark):
+    import pandas as pd
+
+    from fast_causal_inference_spark.datapipe.dedup import (
+        repeated_substring_spans,
+    )
+
+    shared = " ".join(f"w{i}" for i in range(40))
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["alpha beta " + shared + " gamma",
+                 "other prefix words here " + shared + " tail",
+                 "completely different text with no overlap present"]})
+    out = repeated_substring_spans(spark.createDataFrame(docs),
+                                   n=10, min_run_tokens=30).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert r.run_tokens == 40 and r.start_a == 2 and r.start_b == 4
+    # below the threshold -> no span
+    none = repeated_substring_spans(spark.createDataFrame(docs),
+                                    n=10, min_run_tokens=41).toPandas()
+    assert none.empty
