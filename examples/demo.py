@@ -80,6 +80,34 @@ def main():
         "numerator", "treatment", "week")[
         ["look", "z", "boundary", "crossed", "alpha_spent"]])
 
+    print("== uplift economics: ROI / iROI / Qini (round 5) ==")
+    from fast_causal_inference_spark.uplift import (
+        compute_auuc,
+        compute_qini_coefficient,
+        estimate_iroi,
+        estimate_qini,
+    )
+
+    econ = (df.withColumn("revenue", F.abs(F.col("y")))
+              .withColumn("cost", F.abs(F.col("y")) * 0.25 + 0.01)
+              .withColumn("outcome", F.col("y")))
+    print(estimate_iroi(econ)[
+        ["incremental_benefit", "incremental_cost", "iroi"]])
+    qini = estimate_qini(scored.withColumnRenamed("ite", "cate_outcome")
+                         .withColumnRenamed("y", "outcome"), n_buckets=5)
+    print(f"auuc={compute_auuc(qini):.4f} "
+          f"qini_coeff={compute_qini_coefficient(qini):.4f}")
+
+    print("== trial simulation + diagnostics (round 5) ==")
+    trial = fcis.simulate_randomized_trial(spark, n=20000, p=5,
+                                           add_cost_benefit=True)
+    print(fcis.get_num_smd(trial, "treatment",
+                           ["feature_1", "feature_2"]))
+    roc = fcis.roc_curve(
+        trial.withColumn("lbl", (F.col("outcome") > 0).cast("int")),
+        "lbl", "expected_outcome", n_thresholds=50)
+    print(f"ROC points: {len(roc)}  (tpr@mid {roc.tpr.iloc[len(roc)//2]:.3f})")
+
     print("== All-in-SQL ==")
     from fast_causal_inference_spark.plans.sql_macros import sql
     from fast_causal_inference_spark.session import register_sql_functions

@@ -106,6 +106,37 @@ def main():
     print(f"shards at {out_dir}: "
           f"{spark.read.parquet(out_dir).count()} rows")
 
+    # 5.5 learned tokenizer: train BPE on the curated corpus, account
+    # tokens with it (the number packing/mixture budgeting should use)
+    from fast_causal_inference_spark.datapipe.tokenizer import (
+        bpe_token_count,
+        train_bpe,
+    )
+    bpe = train_bpe(deduped, vocab_size=300)
+    tok_total = bpe_token_count(deduped, bpe).agg(
+        F.sum("n_tokens_bpe")).collect()[0][0]
+    print(f"BPE vocab {len(bpe['vocab'])}, corpus tokens {tok_total}")
+
+    # 5.6 trainable NB quality classifier (trusted slice = positive)
+    from fast_causal_inference_spark.datapipe.quality import (
+        quality_classifier_score,
+        train_quality_classifier,
+    )
+    labeled = docs.where(F.col("doc_id") % 5 <= 1).withColumn(
+        "label", (F.col("doc_id") % 5 == 0).cast("int"))
+    nb = train_quality_classifier(labeled, "label")
+    n_pos = quality_classifier_score(deduped, nb) \
+        .where(F.col("quality_logodds") > 0).count()
+    print(f"NB classifier scores {n_pos} docs above the prior")
+
+    # 5.7 exact repeated-substring audit (Lee et al. criterion)
+    from fast_causal_inference_spark.datapipe.dedup import (
+        repeated_substring_spans,
+    )
+    spans = repeated_substring_spans(deduped.limit(500), n=10,
+                                     min_run_tokens=30)
+    print(f"exact shared spans >=30 tokens: {spans.count()}")
+
     # 6. BM25 retrieval over the curated corpus (eval-set sourcing)
     qdf = spark.createDataFrame(
         [(0, "spark query join"), (1, "merge sort window")],
