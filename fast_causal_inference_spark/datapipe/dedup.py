@@ -595,9 +595,13 @@ def repeated_substring_spans(df: DataFrame, text_col: str = "text",
     from pyspark.sql import Window
 
     tk = tokens(F.col(text_col))
-    grams = (df.select(F.col(id_col).alias("id"),
-                       F.posexplode(ngram_transform_hashed(tk, n))
-                       .alias("pos", "g")))
+    # docs shorter than n tokens cannot contain a full n-gram — without
+    # this filter ngram_transform's single truncated gram would fabricate
+    # an n-token "span" from any sub-n exact match
+    grams = (df.where(F.size(tk) >= n)
+             .select(F.col(id_col).alias("id"),
+                     F.posexplode(ngram_transform_hashed(tk, n))
+                     .alias("pos", "g")))
     # document frequency per gram — map-side-combined count over distinct
     # (gram, id); bounded grams keep the pair join output-proportional
     gdf = (grams.select("g", "id").distinct()

@@ -67,14 +67,24 @@ def train_bigram_lm(df: DataFrame, text_col: str = "text") -> dict:
             .where(F.col("w1") != "")
             .groupBy("w1").agg(F.count(F.lit(1)).alias("c1")).cache())
     # materialize both count relations concurrently — they are independent
-    # aggregations of the same trusted corpus
+    # aggregations of the same trusted corpus; the thread's exception (if
+    # any) is re-raised on the caller so a Spark failure isn't masked
     import threading
 
     res: dict = {}
-    th = threading.Thread(target=lambda: res.update(v=unis.count()))
+
+    def _count_unis():
+        try:
+            res["v"] = unis.count()
+        except BaseException as exc:          # noqa: BLE001 — re-raised below
+            res["err"] = exc
+
+    th = threading.Thread(target=_count_unis)
     th.start()
     bigrams.count()
     th.join()
+    if "err" in res:
+        raise res["err"]
     return {"bigrams": bigrams, "unigrams": unis,
             "vocab_size": int(res["v"])}
 

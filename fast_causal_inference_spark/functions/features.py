@@ -132,3 +132,28 @@ def polynomial_features(x: str, k: int) -> list[str]:
     placeholder lists are gateway-template internals with no Spark
     counterpart)."""
     return [f"pow({x},{i})" for i in range(1, k + 1)]
+
+
+def bucket_by_edges(col: Column | str, edges: list[float]) -> Column:
+    """Bucket id = number of ``edges`` ≤ value, as a BALANCED nested-WHEN
+    tree — ⌈log₂ n⌉ comparisons per row instead of a linear n-branch CASE
+    chain (which for large n both costs O(n)/row and can blow Janino's
+    method-size limit, dropping the stage out of codegen).  Shared by
+    score-quantile bucketing and ROC-threshold binning; the same shape as
+    CausalForest's fine-grid binning."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    edges = sorted(edges)
+    if not edges:
+        return F.lit(0)
+
+    def build(lo: int, hi: int) -> Column:
+        # bucket index restricted to edges[lo:hi]
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return F.when(c >= edges[mid], build(mid + 1, hi)) \
+                .otherwise(build(lo, mid))
+
+    return build(0, len(edges))

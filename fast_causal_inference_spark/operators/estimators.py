@@ -24,8 +24,11 @@ def _bootstrap_ci(df: DataFrame, value_fn, B: int, seed: int,
     """
     aggs, finalize = value_fn
     rep = F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("__rep")
-    w = poisson_weight_column(1.0, F.rand(seed)).cast("double")
-    exploded = df.select("*", rep).withColumn("__w", w)
+    exploded = (df.select("*", rep)
+                .withColumn("__u", F.rand(seed))
+                .withColumn("__w", poisson_weight_column(
+                    1.0, F.col("__u")).cast("double"))
+                .drop("__u"))
     agged = exploded.groupBy("__rep").agg(
         *[c.alias(n) for n, c in aggs(F.col("__w")).items()])
     vals = np.array([finalize(r) for r in agged.collect()], dtype=float)

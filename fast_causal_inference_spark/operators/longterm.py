@@ -216,8 +216,11 @@ def long_term(df: DataFrame, surrogates: list[list[str]], treatment: str,
     # bootstrap replicas of fit-and-roll (one exploded pass)
     rep = F.explode(F.sequence(F.lit(0), F.lit(bs_num - 1))) \
         .alias("replica_id")
-    w = poisson_weight_column(resample_frac, F.rand(seed)).cast("double")
-    exploded = base.select("*", rep).withColumn("__w", w)
+    exploded = (base.select("*", rep)
+                .withColumn("__u", F.rand(seed))
+                .withColumn("__w", poisson_weight_column(
+                    resample_frac, F.col("__u")).cast("double"))
+                .drop("__u"))
     reps = exploded.groupBy("replica_id").agg(
         *_lt_agg_columns(surrogates, key_metric, train_periods,
                          F.col("__w"), F.col("__w") * arm0,

@@ -36,6 +36,13 @@ def poisson_weight_column(lam: float, rand_col: Column,
 
     Exact CDF thresholds are precomputed on the driver; the per-row work is a
     handful of branch comparisons inside whole-stage codegen.
+
+    ``rand_col`` MUST be a materialized column reference (e.g.
+    ``.withColumn("__u", F.rand(seed))`` then ``F.col("__u")``), NOT an
+    inline ``F.rand(...)``: non-deterministic expressions are not
+    common-subexpression-eliminated, so an inline rand re-draws at every
+    WHEN comparison and the result is not Poisson (measured
+    P(w=1)=0.465 vs 0.368).
     """
     if max_k is None:
         max_k = max(10, int(lam + 8 * math.sqrt(max(lam, 1.0))))
@@ -67,10 +74,12 @@ def boot_strap(df: DataFrame, expr: str, n_resamples: int = 100,
     group_cols = list(group_cols or [])
     node, base = parse_formula(expr)
     rep = F.explode(F.sequence(F.lit(0), F.lit(n_resamples - 1))).alias("replica_id")
-    w = poisson_weight_column(resample_frac, F.rand(seed)).cast("double")
     exploded = df.select(*group_cols, *[F.expr(e).cast("double").alias(f"__b{i}")
                                         for i, e in enumerate(base)], rep) \
-                 .withColumn("__w", w)
+                 .withColumn("__u", F.rand(seed)) \
+                 .withColumn("__w", poisson_weight_column(
+                     resample_frac, F.col("__u")).cast("double")) \
+                 .drop("__u")
     view = StatView(len(base))
     aggs = suffstat_agg_columns([f"__b{i}" for i in range(len(base))],
                                 weight=F.col("__w"))
@@ -190,11 +199,13 @@ def boot_strap_multi(df: DataFrame, exprs: list[str], n_resamples: int = 100,
     nodes, base = parse_formulas(exprs)
     rep = F.explode(F.sequence(F.lit(0), F.lit(n_resamples - 1))) \
         .alias("replica_id")
-    w = poisson_weight_column(resample_frac, F.rand(seed)).cast("double")
     exploded = df.select(*group_cols,
                          *[F.expr(e).cast("double").alias(f"__b{i}")
                            for i, e in enumerate(base)], rep) \
-                 .withColumn("__w", w)
+                 .withColumn("__u", F.rand(seed)) \
+                 .withColumn("__w", poisson_weight_column(
+                     resample_frac, F.col("__u")).cast("double")) \
+                 .drop("__u")
     view = StatView(len(base))
     aggs = suffstat_agg_columns([f"__b{i}" for i in range(len(base))],
                                 weight=F.col("__w"))
@@ -231,10 +242,12 @@ def boot_strap_ols(df: DataFrame, formula: str, n_resamples: int = 100,
 
     rep = F.explode(F.sequence(F.lit(0), F.lit(n_resamples - 1))) \
         .alias("replica_id")
-    w = poisson_weight_column(resample_frac, F.rand(seed)).cast("double")
     exploded = df.select(*[F.expr(e).cast("double").alias(f"__b{i}")
                            for i, e in enumerate(base)], rep) \
-                 .withColumn("__w", w)
+                 .withColumn("__u", F.rand(seed)) \
+                 .withColumn("__w", poisson_weight_column(
+                     resample_frac, F.col("__u")).cast("double")) \
+                 .drop("__u")
     bcols = [f"__b{i}" for i in range(len(base))]
     aggs = suffstat_agg_columns(bcols, weight=F.col("__w"))
     rows = exploded.groupBy("replica_id").agg(*aggs).collect()

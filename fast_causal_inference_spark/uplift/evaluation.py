@@ -223,7 +223,7 @@ def hte_plot(results, labels=None, plot: bool = False):
             "curve": pdf[["ratio", "lift", "gain", "ate_baseline",
                           "random_gain"]].reset_index(drop=True),
         })
-    if plot:
+    if plot and data:
         try:
             import matplotlib.pyplot as plt
         except ImportError:

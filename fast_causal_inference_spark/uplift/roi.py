@@ -74,17 +74,18 @@ def assign_score_buckets(df: DataFrame, n_buckets: int = 30,
     no MLlib fit, no extra pass beyond the sketch."""
     clean = df.filter(F.col(score_colname).isNotNull() &
                       ~F.isnan(F.col(score_colname).cast("double")))
+    from fast_causal_inference_spark.functions.features import (
+        bucket_by_edges,
+    )
+
     probs = [i / n_buckets for i in range(1, n_buckets)]
     splits = clean.approxQuantile(score_colname, probs, relative_error)
     edges = sorted(set(splits))
-    # bucket = number of interior edges strictly below the score
-    bucket = None
-    for i, e in enumerate(reversed(edges)):          # highest edge first
-        b_id = len(edges) - i
-        cond = F.col(score_colname) >= F.lit(e)
-        bucket = F.when(cond, b_id) if bucket is None else bucket.when(cond, b_id)
-    bucket = bucket.otherwise(0) if bucket is not None else F.lit(0)
-    out = clean.withColumn(bucket_colname, bucket.cast("double"))
+    # bucket = number of interior edges at or below the score — a
+    # balanced WHEN tree (log₂ comparisons per row)
+    out = clean.withColumn(
+        bucket_colname,
+        bucket_by_edges(F.col(score_colname), edges).cast("double"))
     lo = [float("-inf")] + edges
     thr_map = F.map_from_arrays(
         F.array(*[F.lit(float(i)) for i in range(len(lo))]),
@@ -104,25 +105,32 @@ def _aggregate(df: DataFrame, metric_type: str, target_colname: str,
                benefit_colname: str, cost_colname: str,
                treatment_colname: str, treatment_value, control_value,
                bucket_colname: str | None, bootstrap: bool,
-               n_bootstraps: int, seed: int) -> pd.DataFrame:
+               n_bootstraps: int, seed: int,
+               carry_threshold: bool = False) -> pd.DataFrame:
     """ONE Spark aggregation producing every sufficient sum the requested
-    metric needs, per (bucket × replica) cell; replica 0 unweighted."""
+    metric needs, per (bucket × replica) cell; replica 0 unweighted.
+    ``carry_threshold`` rides the assign_score_buckets threshold column
+    through the groupBy — only set by the per-quantile wrappers (a
+    user-supplied frame may coincidentally carry a row-level column named
+    'threshold'; silently grouping on it would fracture the buckets)."""
     group_cols: list[str] = []
     if bucket_colname is not None:
         group_cols.append(bucket_colname)
-        if "threshold" in df.columns:
+        if carry_threshold and "threshold" in df.columns:
             group_cols.append("threshold")
 
     if bootstrap:
         rep = F.explode(
             F.sequence(F.lit(0), F.lit(n_bootstraps))).alias("bootstrap")
-        df = df.select("*", rep)
+        df = df.select("*", rep).withColumn("__u", F.rand(seed))
         w = F.when(F.col("bootstrap") == 0, F.lit(1)).otherwise(
-            poisson_weight_column(1.0, F.rand(seed))).cast("double")
+            poisson_weight_column(1.0, F.col("__u"))).cast("double")
         group_cols.append("bootstrap")
     else:
         w = F.lit(1.0)
     df = df.withColumn("__w", w)
+    if bootstrap:
+        df = df.drop("__u")
 
     is_t = F.col(treatment_colname) == F.lit(treatment_value)
     is_c = F.col(treatment_colname) == F.lit(control_value)
@@ -257,7 +265,8 @@ def estimate_metrics(df: DataFrame, metric_type: str = "ate",
                      cumulative: bool = False,
                      bootstrap: bool = False, n_bootstraps: int = 100,
                      ci_quantiles: Sequence[float] | None = None,
-                     seed: int = 42) -> pd.DataFrame:
+                     seed: int = 42,
+                     carry_threshold: bool = False) -> pd.DataFrame:
     """General engine behind every estimator in this module (the reference's
     ``_estimate_metrics`` + ``_compute_ci``, fused into one Spark job)."""
     relevant = {"ate": ["ate"], "roi": ["roi"], "iroi": ["iroi"],
@@ -265,7 +274,7 @@ def estimate_metrics(df: DataFrame, metric_type: str = "ate",
     pdf = _aggregate(df, metric_type, target_colname, benefit_colname,
                      cost_colname, treatment_colname, treatment_value,
                      control_value, bucket_colname, bootstrap,
-                     n_bootstraps, seed)
+                     n_bootstraps, seed, carry_threshold)
     pdf = _finalize(pdf, metric_type, bucket_colname, cumulative)
     if bootstrap:
         pdf = _basic_bootstrap_ci(pdf, relevant, bucket_colname,
@@ -326,12 +335,14 @@ def estimate_target_rate_per_bucket(df: DataFrame,
                                     bootstrap: bool = False,
                                     n_bootstraps: int = 100,
                                     ci_quantiles: Sequence[float] | None = None,
-                                    seed: int = 42) -> pd.DataFrame:
+                                    seed: int = 42,
+                                    carry_threshold: bool = False) -> pd.DataFrame:
     """Per-bucket mean outcome (target rate) over an existing bucket column."""
     return estimate_metrics(df, "target_rate", target_colname=target_colname,
                             bucket_colname=bucket_colname,
                             bootstrap=bootstrap, n_bootstraps=n_bootstraps,
-                            ci_quantiles=ci_quantiles, seed=seed)
+                            ci_quantiles=ci_quantiles, seed=seed,
+                            carry_threshold=carry_threshold)
 
 
 def estimate_target_rate_per_quantile(df: DataFrame, n_buckets: int = 30,
@@ -345,7 +356,7 @@ def estimate_target_rate_per_quantile(df: DataFrame, n_buckets: int = 30,
     b = assign_score_buckets(df, n_buckets, score_colname, "bucket")
     return estimate_target_rate_per_bucket(
         b, "bucket", target_colname, bootstrap, n_bootstraps,
-        ci_quantiles, seed)
+        ci_quantiles, seed, carry_threshold=True)
 
 
 def estimate_cate_per_bucket(df: DataFrame, bucket_colname: str = "bucket",
@@ -354,7 +365,8 @@ def estimate_cate_per_bucket(df: DataFrame, bucket_colname: str = "bucket",
                              treatment_value=1, control_value=0,
                              bootstrap: bool = False, n_bootstraps: int = 100,
                              ci_quantiles: Sequence[float] | None = None,
-                             seed: int = 42) -> pd.DataFrame:
+                             seed: int = 42,
+                             carry_threshold: bool = False) -> pd.DataFrame:
     """Per-bucket diff-in-means CATE over an existing bucket column."""
     return estimate_metrics(df, "ate", target_colname=target_colname,
                             treatment_colname=treatment_colname,
@@ -362,7 +374,8 @@ def estimate_cate_per_bucket(df: DataFrame, bucket_colname: str = "bucket",
                             control_value=control_value,
                             bucket_colname=bucket_colname,
                             bootstrap=bootstrap, n_bootstraps=n_bootstraps,
-                            ci_quantiles=ci_quantiles, seed=seed)
+                            ci_quantiles=ci_quantiles, seed=seed,
+                            carry_threshold=carry_threshold)
 
 
 def estimate_cate_per_quantile(df: DataFrame, n_buckets: int = 30,
@@ -377,7 +390,8 @@ def estimate_cate_per_quantile(df: DataFrame, n_buckets: int = 30,
     b = assign_score_buckets(df, n_buckets, score_colname, "bucket")
     return estimate_cate_per_bucket(
         b, "bucket", target_colname, treatment_colname, treatment_value,
-        control_value, bootstrap, n_bootstraps, ci_quantiles, seed)
+        control_value, bootstrap, n_bootstraps, ci_quantiles, seed,
+        carry_threshold=True)
 
 
 def estimate_iroi_per_bucket(df: DataFrame, bucket_colname: str = "bucket",
@@ -387,7 +401,8 @@ def estimate_iroi_per_bucket(df: DataFrame, bucket_colname: str = "bucket",
                              treatment_value=1, control_value=0,
                              bootstrap: bool = False, n_bootstraps: int = 100,
                              ci_quantiles: Sequence[float] | None = None,
-                             seed: int = 42) -> pd.DataFrame:
+                             seed: int = 42,
+                             carry_threshold: bool = False) -> pd.DataFrame:
     """Per-bucket incremental ROI over an existing bucket column."""
     return estimate_metrics(df, "iroi", benefit_colname=benefit_colname,
                             cost_colname=cost_colname,
@@ -396,7 +411,8 @@ def estimate_iroi_per_bucket(df: DataFrame, bucket_colname: str = "bucket",
                             control_value=control_value,
                             bucket_colname=bucket_colname,
                             bootstrap=bootstrap, n_bootstraps=n_bootstraps,
-                            ci_quantiles=ci_quantiles, seed=seed)
+                            ci_quantiles=ci_quantiles, seed=seed,
+                            carry_threshold=carry_threshold)
 
 
 def estimate_iroi_per_quantile(df: DataFrame, n_buckets: int = 30,
@@ -413,7 +429,7 @@ def estimate_iroi_per_quantile(df: DataFrame, n_buckets: int = 30,
     return estimate_iroi_per_bucket(
         b, "bucket", benefit_colname, cost_colname, treatment_colname,
         treatment_value, control_value, bootstrap, n_bootstraps,
-        ci_quantiles, seed)
+        ci_quantiles, seed, carry_threshold=True)
 
 
 def estimate_cate_lift(df: DataFrame, n_buckets: int = 30,
@@ -477,7 +493,7 @@ def estimate_qini(df: DataFrame, n_buckets: int = 30,
         b = assign_score_buckets(df, n_buckets, score_colname, "bucket")
     pdf = _aggregate(b, "ate", target_colname, "", "", treatment_colname,
                      treatment_value, control_value, "bucket",
-                     bootstrap, n_bootstraps, seed)
+                     bootstrap, n_bootstraps, seed, carry_threshold=True)
     pdf = _finalize(pdf, "ate", "bucket", cumulative=True)
     pdf["ate"] = pdf["ate"] * pdf["fraction"]
     if bootstrap:
@@ -522,7 +538,8 @@ def estimate_cum_iroi(df: DataFrame, n_buckets: int = 30,
                            control_value=control_value,
                            bucket_colname="bucket", cumulative=True,
                            bootstrap=bootstrap, n_bootstraps=n_bootstraps,
-                           ci_quantiles=ci_quantiles, seed=seed)
+                           ci_quantiles=ci_quantiles, seed=seed,
+                           carry_threshold=True)
     keep = ["bucket", "count", "fraction", "threshold"] + \
         [c for c in pdf.columns if c.startswith("iroi")]
     return (pdf[keep].sort_values("bucket", ascending=False)

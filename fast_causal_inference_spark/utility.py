@@ -81,7 +81,12 @@ def simulate_randomized_trial(spark: SparkSession, n: int = 1000, p: int = 5,
             .withColumn("treatment", w))
     eps1 = F.randn(seed + p + 1) * sigma
     if binary_outcome:
-        # potential outcomes through a logistic link, observed per arm
+        # potential outcomes through a logistic link, observed per arm.
+        # NB reference parity: actual_cate here is sig(y1)−sig(y0) on the
+        # NOISE-REALIZED latents (the reference's definition) — an
+        # individual treatment effect, not the noise-integrated CATE the
+        # continuous branch's tau column carries.  Evaluate calibration
+        # against bucket means, not per-row values.
         eps0 = F.randn(seed + p + 2) * sigma
         y1 = b + 0.5 * tau + eps1
         y0 = b - 0.5 * tau + eps0
@@ -284,15 +289,15 @@ def roc_curve(df: DataFrame, label: str, score: str,
     if thresholds is None:
         probs = [i / n_thresholds for i in range(n_thresholds + 1)]
         thresholds = df.approxQuantile(score, probs, 1e-4)
+    from fast_causal_inference_spark.functions.features import (
+        bucket_by_edges,
+    )
+
     thresholds = sorted(set(float(t) for t in thresholds))
-    # bucket b = number of thresholds <= score  (same WHEN-chain trick as
-    # assign_score_buckets; bucket 0 = below every threshold)
-    bucket = None
-    for i, e in enumerate(reversed(thresholds)):
-        b_id = len(thresholds) - i
-        cond = F.col(score) >= F.lit(e)
-        bucket = F.when(cond, b_id) if bucket is None else bucket.when(cond, b_id)
-    bucket = bucket.otherwise(0) if bucket is not None else F.lit(0)
+    # bucket b = number of thresholds <= score, as a balanced WHEN tree
+    # (bucket 0 = below every threshold; ~10 comparisons/row at the
+    # default 1000 thresholds instead of a 1000-branch linear CASE)
+    bucket = bucket_by_edges(F.col(score), thresholds)
     lab = F.col(label).cast("double")
     agg = (df.withColumn("__b", bucket)
            .groupBy("__b")

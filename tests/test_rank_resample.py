@@ -432,3 +432,41 @@ def test_xexpt_grouped_is_one_pass(spark, ab_df):
     sc.setJobGroup("default", "")
     assert n_avg <= 4, f"grouped avg xexpt ran {n_avg} jobs"
     assert n_sum <= 5, f"grouped sum xexpt ran {n_sum} jobs"
+
+
+def test_poisson_weights_are_poisson(spark):
+    """Regression: an inline F.rand inside the WHEN chain used to re-draw
+    at every branch comparison (P(w=1) inflated to ~0.47, mean ~0.81).
+    All callers must materialize the uniform first."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from fast_causal_inference_spark.operators.resample import (
+        poisson_weight_column,
+    )
+
+    n = 200_000
+    pdf = (spark.range(n).withColumn("__u", F.rand(1))
+           .select(poisson_weight_column(1.0, F.col("__u")).alias("w"))
+           .groupBy("w").count().toPandas().set_index("w")["count"] / n)
+    for k in range(4):
+        expect = math.exp(-1) / math.factorial(k)
+        assert abs(pdf.get(k, 0.0) - expect) < 0.01, (k, pdf.get(k), expect)
+    # mean weight == 1 (each replica carries the full data mass)
+    mean_w = sum(k * v for k, v in pdf.items())
+    assert abs(mean_w - 1.0) < 0.02
+
+
+def test_boot_strap_weight_mass(spark, events):
+    """boot_strap replicas must average to the full-sample estimate —
+    with the re-draw bug each replica carried only ~81% of the mass (bias
+    showed up in count-like metrics)."""
+    from pyspark.sql import functions as F
+
+    from fast_causal_inference_spark.operators.resample import boot_strap
+
+    reps = boot_strap(events.limit(20000), "avg(value)", n_resamples=50,
+                      seed=3).toPandas()
+    full = events.limit(20000).agg(F.avg("value")).collect()[0][0]
+    assert abs(reps.value.mean() - full) < 0.5
