@@ -1007,7 +1007,34 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("semantic").alias("variant"), "id_a", "id_b",
             F.round("cosine", 4).alias("cosine")),
     ])
-    return lsh.unionByName(sem)
+    return lsh.unionByName(sem).unionByName(g_emb_pca(spark, sf_dir))
+
+
+def g_emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA rows of the embedding family (golden-snapshot sub-oracle:
+    eigendecomposition is not SQL-expressible).  Encoded in the family's
+    (variant, id_a, id_b, cosine) schema: id_a = component index, id_b =
+    stat code (0 eigenvalue, 1 explained-variance ratio, 2 mean projected
+    L2 norm over the corpus), cosine = value."""
+    from fast_causal_inference_spark.datapipe.similarity import (
+        embedding_pca,
+        l2_norm,
+        project_embeddings,
+    )
+
+    e = _load(spark, sf_dir, "embeddings")
+    m = embedding_pca(e, k=4)
+    rows = []
+    for i in range(4):
+        rows.append(("pca", i, 0,
+                     round(float(m["explained_variance"][i]), 6)))
+        rows.append(("pca", i, 1,
+                     round(float(m["explained_variance_ratio"][i]), 6)))
+    mean_norm = (project_embeddings(e, m, output_col="p")
+                 .agg(F.avg(l2_norm(F.col("p")))).collect()[0][0])
+    rows.append(("pca", -1, 2, round(float(mean_norm), 6)))
+    return spark.createDataFrame(
+        rows, "variant string, id_a long, id_b long, cosine double")
 
 
 _EMB_NEAR_DUP_SQL = """
@@ -3526,7 +3553,13 @@ def oracle_sql() -> dict[str, str]:
                     "WHERE FALSE") + ") __ki UNION ALL "
                 + "SELECT 'bm25' AS variant, query_id, vec_id, rank, score "
                 + "FROM (" + _BM25_SQL + ") __kb"),
-        "embedding_near_dup": _EMB_NEAR_DUP_SQL,
+        "embedding_near_dup": (
+            _EMB_NEAR_DUP_SQL + " UNION ALL "
+            + "SELECT variant, id_a, id_b, cosine FROM ("
+            + _golden_oracles().get(
+                "embedding_near_dup__pca",
+                "SELECT NULL AS variant, NULL AS id_a, NULL AS id_b, "
+                "NULL AS cosine WHERE FALSE") + ") __gp"),
         "media_features": _MEDIA_FEATURES_SQL,
         "text_profile": _TEXT_PROFILE_SQL,
         "vector_functions": _VECTOR_FUNCTIONS_SQL,

@@ -345,3 +345,106 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.95,
                                  sample_per_list, train_iters, seed)
     drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drops, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Embedding PCA (the SemDeDup paper reduces embeddings before clustering;
+# also the standard pre-step for IVF/whitening)
+# ---------------------------------------------------------------------------
+
+
+def embedding_pca(df: DataFrame, vec_col: str = "embedding",
+                  k: int = 16) -> dict:
+    """Fit PCA over an embedding column.
+
+    Scale shape: ONE ``mapInPandas`` pass emits per-batch partial moments
+    (n, Σx, flattened XᵀX — each batch a single numpy GEMM); the driver
+    sums ≤ (partitions × batches) partial rows and runs ``eigh`` on the
+    d×d covariance.  No row ever leaves the cluster; the model is
+    O(k·d) — the classic tree-aggregate PCA.
+
+    Returns ``{"mean": (d,), "components": (k, d) rows = top components,
+    "explained_variance": (k,), "explained_variance_ratio": (k,),
+    "dim": d}``.  Component SIGNS are fixed by making each component's
+    largest-|coordinate| entry positive (eigh's sign is arbitrary).
+    """
+    from fast_causal_inference_spark.serialization import (
+        ensure_udf_serializable,
+    )
+
+    def _partials(batches):
+        for pdf in batches:
+            vecs = pdf[vec_col].dropna()
+            if not len(vecs):
+                continue
+            X = np.stack(vecs.to_numpy()).astype(float)
+            yield pd.DataFrame({
+                "n": [float(len(X))],
+                "s": [X.sum(axis=0).tolist()],
+                "ss": [(X.T @ X).ravel().tolist()],
+            })
+
+    ensure_udf_serializable()
+    rows = df.select(vec_col).mapInPandas(
+        _partials, "n double, s array<double>, ss array<double>").collect()
+    if not rows:
+        raise ValueError("no embeddings to fit PCA on")
+    n = sum(r["n"] for r in rows)
+    s = np.sum([r["s"] for r in rows], axis=0)
+    d = len(s)
+    ss = np.sum([r["ss"] for r in rows], axis=0).reshape(d, d)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    cov = (cov + cov.T) / 2.0
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T                      # (k, d)
+    # deterministic sign: largest-|coordinate| entry positive
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    ev = np.maximum(evals[order], 0.0)
+    total = max(float(evals.clip(min=0).sum()), 1e-300)
+    return {"mean": mean, "components": comps,
+            "explained_variance": ev,
+            "explained_variance_ratio": ev / total, "dim": d}
+
+
+def project_embeddings(df: DataFrame, model: dict,
+                       vec_col: str = "embedding",
+                       output_col: str = "pca",
+                       whiten: bool = False) -> DataFrame:
+    """Project embeddings onto the fitted components → ``array<double>``
+    of length k.  One Arrow-batched GEMM per batch; the (k×d) component
+    matrix rides the closure.  ``whiten`` scales each coordinate to unit
+    variance (useful before cosine-metric clustering)."""
+    from fast_causal_inference_spark.serialization import (
+        ensure_udf_serializable,
+    )
+
+    comps = np.asarray(model["components"], dtype=float)
+    mean = np.asarray(model["mean"], dtype=float)
+    scale = (1.0 / np.sqrt(np.maximum(model["explained_variance"], 1e-12))
+             if whiten else None)
+
+    @F.pandas_udf("array<double>")
+    def _proj(vecs: pd.Series) -> pd.Series:
+        def one_block(block):
+            X = np.stack(block).astype(float) - mean[None, :]
+            P = X @ comps.T
+            if scale is not None:
+                P = P * scale[None, :]
+            return [row.tolist() for row in P]
+
+        mask = vecs.notna().to_numpy()
+        out = pd.Series([None] * len(vecs), dtype=object)
+        if mask.any():
+            vals = one_block(vecs.to_numpy()[mask])
+            boxed = np.empty(len(vals), dtype=object)
+            boxed[:] = vals
+            out.iloc[np.flatnonzero(mask)] = boxed
+        return out
+
+    ensure_udf_serializable()
+    return df.withColumn(output_col, _proj(F.col(vec_col)))

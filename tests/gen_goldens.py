@@ -45,6 +45,7 @@ GOLDEN_KEYS = {
     "corpus_assembly": None,
     "survival__cox": "g_survival_cox",
     "knn__ivf": "g_knn_ivf",
+    "embedding_near_dup__pca": "g_emb_pca",
     "power__closed": "g_power_closed_form",
 }
 

@@ -592,3 +592,38 @@ def test_repeated_substring_spans(spark):
     none = repeated_substring_spans(spark.createDataFrame(docs),
                                     n=10, min_run_tokens=41).toPandas()
     assert none.empty
+
+
+def test_embedding_pca_matches_numpy(spark):
+    import numpy as np
+    import pandas as pd
+
+    from fast_causal_inference_spark.datapipe.similarity import (
+        embedding_pca,
+        project_embeddings,
+    )
+
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((6, 6))
+    X = rng.standard_normal((2000, 6)) @ np.diag([5, 3, 1, .5, .2, .1]) @ A
+    pdf = pd.DataFrame({"vec_id": range(2000),
+                        "embedding": [r.tolist() for r in X]})
+    pdf.loc[5, "embedding"] = None
+    df = spark.createDataFrame(pdf)
+    m = embedding_pca(df, k=3)
+    Xc = np.delete(X, 5, axis=0)
+    C = np.cov(Xc.T, bias=True)
+    ev, evec = np.linalg.eigh(C)
+    order = np.argsort(ev)[::-1][:3]
+    assert np.allclose(m["explained_variance"], ev[order], rtol=1e-8)
+    assert np.allclose(m["mean"], Xc.mean(axis=0), atol=1e-10)
+    for i in range(3):
+        assert abs(np.dot(m["components"][i], evec[:, order[i]])) > 0.9999
+    proj = project_embeddings(df, m).toPandas().sort_values("vec_id")
+    assert proj.pca.iloc[5] is None
+    P = np.stack(proj[proj.vec_id != 5].pca.to_numpy())
+    assert np.allclose(P, (Xc - Xc.mean(axis=0)) @ m["components"].T,
+                       atol=1e-8)
+    w = project_embeddings(df, m, whiten=True).toPandas()
+    PW = np.stack(w[w.vec_id != 5].pca.to_numpy())
+    assert np.allclose(PW.var(axis=0), 1.0, atol=0.02)
