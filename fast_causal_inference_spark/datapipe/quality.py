@@ -401,30 +401,46 @@ def quality_classifier_score(df: DataFrame, model: dict,
     token-count relation (broadcast when small), map-side-combined
     groupBy(doc) of per-token log ratios, then a join back to re-attach
     untokenizable/empty docs with the prior-only score."""
-    import math
-
-    from fast_causal_inference_spark.datapipe.text import tokens
-
     id_cols = list(id_cols or ["doc_id"])
-    k, V = model["k"], model["vocab_size"]
-    lp_den = math.log(model["n_pos"] + k * V)
-    ln_den = math.log(model["n_neg"] + k * V)
-    prior = (math.log(max(model["d_pos"], 1))
-             - math.log(max(model["d_neg"], 1)))
-    toks = (df.select(*id_cols,
-                      F.explode(tokens(F.col(text_col))).alias("w"))
-            .where(F.col("w") != ""))
-    joined = toks.join(model["counts"], "w", "left")
-    contrib = (F.log(F.coalesce(F.col("c_pos"), F.lit(0)) + F.lit(k))
-               - F.lit(lp_den)
-               - F.log(F.coalesce(F.col("c_neg"), F.lit(0)) + F.lit(k))
-               + F.lit(ln_den))
-    scores = (joined.groupBy(*id_cols)
-              .agg(F.sum(contrib).alias("__s")))
+    prior = nb_prior(model)
+    scores = nb_logodds_rel(df, model, text_col, id_cols)
     out = df.join(scores, id_cols, "left")
     return out.withColumn(
         output_col, F.coalesce(F.col("__s"), F.lit(0.0)) + F.lit(prior)) \
         .drop("__s")
+
+
+def nb_prior(model: dict) -> float:
+    """log P(good) − log P(bad) from the training document counts."""
+    import math
+
+    return (math.log(max(model["d_pos"], 1))
+            - math.log(max(model["d_neg"], 1)))
+
+
+def nb_logodds_rel(df: DataFrame, model: dict, text_col: str,
+                   key_cols: list) -> DataFrame:
+    """Shared scoring core (batch + streaming): explode tokens, join the
+    count relation, per-key sum of add-k log-ratios → (key_cols…, __s).
+    Keeping ONE implementation pins the streaming scorer to the batch
+    semantics (the same convention as the bigram-LM scorer)."""
+    import math
+
+    from fast_causal_inference_spark.datapipe.text import tokens
+
+    k, V = model["k"], model["vocab_size"]
+    lp_den = math.log(model["n_pos"] + k * V)
+    ln_den = math.log(model["n_neg"] + k * V)
+    toks = (df.select(*key_cols,
+                      F.explode(tokens(F.col(text_col))).alias("w"))
+            .where(F.col("w") != ""))
+    joined = toks.join(F.broadcast(model["counts"]), "w", "left")
+    contrib = (F.log(F.coalesce(F.col("c_pos"), F.lit(0)) + F.lit(k))
+               - F.lit(lp_den)
+               - F.log(F.coalesce(F.col("c_neg"), F.lit(0)) + F.lit(k))
+               + F.lit(ln_den))
+    return (joined.groupBy(*key_cols)
+            .agg(F.sum(contrib).alias("__s")))
 
 
 def quality_classifier_filter(df: DataFrame, model: dict,

@@ -415,3 +415,32 @@ def streaming_perplexity(stream: DataFrame, lm: dict,
             ts_col, watermark)
     return scored_bigram_logprobs(src, lm, text_col, [id_col, ts_col],
                                   k, broadcast_lm)
+
+
+def streaming_quality_score(stream: DataFrame, model: dict,
+                            text_col: str = "text",
+                            id_col: str = "doc_id",
+                            ts_col: str = "ts",
+                            watermark: str = "1 hour") -> DataFrame:
+    """Naive-Bayes quality log-odds of STREAMING documents under a
+    batch-trained classifier (``datapipe.quality.train_quality_classifier``)
+    — trainable quality filtering at ingestion time.
+
+    Same shape as :func:`streaming_perplexity`: a stateless stream-static
+    broadcast join of the token-count relation, then a per-(doc, event
+    time) aggregation under the watermark; the shared scoring core pins
+    the streaming semantics to the batch scorer.  Emits
+    (id, ts, quality_logodds); token-free documents produce no row (they
+    would score the bare prior)."""
+    from fast_causal_inference_spark.datapipe.quality import (
+        nb_logodds_rel,
+        nb_prior,
+    )
+
+    src = stream
+    if src.isStreaming:
+        src = _with_event_time(src, ts_col).withWatermark(ts_col, watermark)
+    rel = nb_logodds_rel(src, model, text_col, [id_col, ts_col])
+    return rel.withColumn(
+        "quality_logodds", F.col("__s") + F.lit(nb_prior(model))) \
+        .drop("__s")

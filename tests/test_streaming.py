@@ -272,3 +272,33 @@ def test_streaming_perplexity_matches_batch(spark, docs_stream_dir):
     for k, (n, lp) in got.items():
         assert n == want_nz[k][0]
         assert abs(lp - want_nz[k][1]) < 1e-9
+
+
+def test_streaming_quality_score_matches_batch(spark, docs_stream_dir):
+    from pyspark.sql import functions as F
+
+    from fast_causal_inference_spark.datapipe.quality import (
+        quality_classifier_score,
+        train_quality_classifier,
+    )
+    from fast_causal_inference_spark.streaming.ops import (
+        streaming_quality_score,
+    )
+
+    batch_df = spark.read.parquet(docs_stream_dir)
+    labeled = batch_df.where("doc_id % 5 <= 1").withColumn(
+        "label", (F.col("doc_id") % 5 == 0).cast("int"))
+    model = train_quality_classifier(labeled, "label")
+    want = {r["doc_id"]: r["quality_logodds"] for r in
+            quality_classifier_score(batch_df, model).collect()}
+
+    s = _read_stream(spark, docs_stream_dir)
+    out = streaming_quality_score(s, model, ts_col="ts")
+    assert out.isStreaming
+    run_to_memory(out, "nb_stream", output_mode="update")
+    got = {r["doc_id"]: r["quality_logodds"] for r in
+           spark.table("nb_stream").collect()}
+    # stream emits only docs with token evidence
+    assert got and set(got) <= set(want)
+    for k, v in got.items():
+        assert abs(v - want[k]) < 1e-9
