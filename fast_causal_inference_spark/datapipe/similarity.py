@@ -226,10 +226,15 @@ def _assign_udf(C: np.ndarray):
     def _assign(vecs: pd.Series) -> pd.Series:
         import numpy as _np
 
-        X = _np.stack(vecs.to_numpy()).astype(float)   # (B, dim)
-        # argmin ||x-c||² = argmax (x·c − ||c||²/2): one GEMM per batch
-        scores = X @ C.T - 0.5 * (C * C).sum(axis=1)[None, :]
-        return pd.Series(scores.argmax(axis=1).astype("int32"))
+        mask = vecs.notna().to_numpy()
+        out = pd.Series([None] * len(vecs), dtype="Int32")
+        if mask.any():
+            X = _np.stack(vecs.to_numpy()[mask]).astype(float)  # (B, dim)
+            # argmin ||x-c||² = argmax (x·c − ||c||²/2): one GEMM per batch
+            scores = X @ C.T - 0.5 * (C * C).sum(axis=1)[None, :]
+            out.iloc[_np.flatnonzero(mask)] = scores.argmax(axis=1) \
+                .astype("int32")
+        return out
 
     ensure_udf_serializable()
     return _assign
@@ -448,3 +453,27 @@ def project_embeddings(df: DataFrame, model: dict,
 
     ensure_udf_serializable()
     return df.withColumn(output_col, _proj(F.col(vec_col)))
+
+
+def embedding_kmeans(df: DataFrame, n_clusters: int = 64,
+                     vec_col: str = "embedding",
+                     output_col: str = "cluster",
+                     sample_per_cluster: int = 40, train_iters: int = 8,
+                     seed: int = 42) -> tuple[DataFrame, np.ndarray]:
+    """Cluster an embedding column: seeded Lloyd k-means on a bounded
+    driver-side sample (the IVF coarse-quantizer recipe — the corpus is
+    only ever scanned for the GEMM-batched assignment pass).  Returns
+    (df + cluster column, (k × d) centroid matrix); NULL embeddings get a
+    NULL cluster.
+
+    The public face of the quantizer behind :func:`ivf_knn` and
+    :func:`semantic_dedup_pairs` — use it directly for corpus
+    organization, per-cluster sampling, or SemDeDup-style pipelines over
+    :func:`embedding_pca` projections."""
+    C = _train_centroids(df, vec_col, n_clusters, sample_per_cluster,
+                         train_iters, seed)
+    assign = _assign_udf(C)
+    out = df.withColumn(
+        output_col,
+        F.when(F.col(vec_col).isNotNull(), assign(F.col(vec_col))))
+    return out, C

@@ -627,3 +627,29 @@ def test_embedding_pca_matches_numpy(spark):
     w = project_embeddings(df, m, whiten=True).toPandas()
     PW = np.stack(w[w.vec_id != 5].pca.to_numpy())
     assert np.allclose(PW.var(axis=0), 1.0, atol=0.02)
+
+
+def test_embedding_kmeans_blobs(spark):
+    import numpy as np
+    import pandas as pd
+
+    from fast_causal_inference_spark.datapipe.similarity import (
+        embedding_kmeans,
+    )
+
+    rng = np.random.default_rng(0)
+    X = np.vstack([rng.normal(c, 0.1, (300, 4)) for c in (0.0, 5.0, -5.0)])
+    pdf = pd.DataFrame({"vec_id": range(900),
+                        "embedding": [r.tolist() for r in X]})
+    pdf.loc[3, "embedding"] = None
+    out, C = embedding_kmeans(spark.createDataFrame(pdf), n_clusters=3,
+                              seed=1)
+    assert C.shape == (3, 4)
+    p = out.toPandas()
+    assert p[p.vec_id == 3].cluster.isna().all()
+    valid = p[p.vec_id != 3].copy()
+    valid["blob"] = valid.vec_id.astype(int).apply(
+        lambda i: 0 if i < 300 else (1 if i < 600 else 2))
+    # each planted blob maps to exactly one learned cluster
+    assert (valid.groupby("blob").cluster.nunique() == 1).all()
+    assert valid.cluster.nunique() == 3
