@@ -639,19 +639,62 @@ FROM q WHERE quota > 0 ORDER BY o_orderpriority
 
 
 def q_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ATE point estimate (difference in arm means)."""
-    from fast_causal_inference_spark.operators.estimators import ate_estimator
+    """ATE family: difference-in-means point estimate plus the AIPW
+    doubly-robust estimator with a linear-probability propensity and one
+    covariate — the oracle re-derives BOTH per-arm simple regressions,
+    the LPM, the clamped ψ influence column, and its mean/sd in
+    closed-form SQL."""
+    from fast_causal_inference_spark.operators.estimators import (
+        aipw_estimator,
+        ate_estimator,
+    )
 
     ev = _load(spark, sf_dir, "events") \
-        .withColumn("arm", (F.col("user_id") % 2).cast("int"))
-    pdf = ate_estimator(ev, "value", "arm", B=10, seed=3)
-    return spark.createDataFrame(pdf[["ATE"]].round(6))
+        .withColumn("arm", (F.col("user_id") % 2).cast("int")) \
+        .withColumn("x", ((F.col("event_id") % 97) / 97.0))
+    dm, aipw = _concurrent([
+        lambda: ate_estimator(ev, "value", "arm", B=10, seed=3),
+        lambda: aipw_estimator(ev, "value", "arm", ["x"],
+                               propensity="linear"),
+    ])
+    rows = [("diff_means", "ATE", round(float(dm.ATE.iloc[0]), 6)),
+            ("aipw_linear", "ATE", round(float(aipw.ATE.iloc[0]), 6)),
+            ("aipw_linear", "stderr", round(float(aipw.stderr.iloc[0]), 6))]
+    return spark.createDataFrame(rows, "variant string, stat string, value double")
 
 
 _ATE_SQL = """
-SELECT round(avg(value) FILTER (user_id % 2 = 1)
-             - avg(value) FILTER (user_id % 2 = 0), 6) AS ATE
-FROM events
+WITH base AS (
+  SELECT value AS y, CAST(user_id % 2 AS DOUBLE) AS t,
+         (event_id % 97)/97.0 AS x
+  FROM events
+), m1 AS (   -- per-arm simple OLS y ~ x on t = 1
+  SELECT covar_samp(x, y)/var_samp(x) AS b,
+         avg(y) - covar_samp(x, y)/var_samp(x)*avg(x) AS a
+  FROM base WHERE t = 1
+), m0 AS (
+  SELECT covar_samp(x, y)/var_samp(x) AS b,
+         avg(y) - covar_samp(x, y)/var_samp(x)*avg(x) AS a
+  FROM base WHERE t = 0
+), pm AS (   -- linear-probability propensity t ~ x
+  SELECT covar_samp(x, t)/var_samp(x) AS b,
+         avg(t) - covar_samp(x, t)/var_samp(x)*avg(x) AS a
+  FROM base
+), psi AS (
+  SELECT b.t, b.y,
+         (m1.a + m1.b*b.x) AS mu1, (m0.a + m0.b*b.x) AS mu0,
+         greatest(0.01, least(0.99, pm.a + pm.b*b.x)) AS e
+  FROM base b, m1, m0, pm
+), scored AS (
+  SELECT mu1 - mu0 + t*(y - mu1)/e - (1 - t)*(y - mu0)/(1 - e) AS p
+  FROM psi
+)
+SELECT 'diff_means' AS variant, 'ATE' AS stat,
+       round(avg(y) FILTER (t = 1) - avg(y) FILTER (t = 0), 6) AS value
+FROM base
+UNION ALL SELECT 'aipw_linear', 'ATE', round(avg(p), 6) FROM scored
+UNION ALL SELECT 'aipw_linear', 'stderr',
+       round(stddev_samp(p)/sqrt(count(*)), 6) FROM scored
 """
 
 

@@ -60,7 +60,7 @@ from fast_causal_inference_spark.plans.sql_macros import sql
 from fast_causal_inference_spark.result import TestResult, test_result
 from fast_causal_inference_spark.operators.logistic import logistic_regression, auc
 from fast_causal_inference_spark.operators.dml import linear_dml, non_param_dml
-from fast_causal_inference_spark.operators.estimators import ate_estimator, ipw_estimator
+from fast_causal_inference_spark.operators.estimators import aipw_estimator, ate_estimator, ipw_estimator
 from fast_causal_inference_spark.operators.temporal import (
     asof_join,
     range_join,
@@ -165,6 +165,7 @@ __all__ = [
     "linear_dml",
     "non_param_dml",
     "ate_estimator",
+    "aipw_estimator",
     "ipw_estimator",
     "asof_join",
     "range_join",

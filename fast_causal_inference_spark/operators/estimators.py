@@ -79,3 +79,60 @@ def ipw_estimator(df: DataFrame, Y: str, T: str, P: str, B: int = 100,
     std, lo, hi = _bootstrap_ci(df, (aggs, finalize), B, seed)
     return pd.DataFrame([{"ATE": point, "stddev": std,
                           "lower": lo, "upper": hi, "n_resamples": B}])
+
+
+def aipw_estimator(df: DataFrame, Y: str, T: str, X: list[str],
+                   propensity: str = "logistic", eps: float = 0.01,
+                   alpha: float = 0.05) -> pd.DataFrame:
+    """Doubly-robust AIPW (augmented IPW) ATE.
+
+    ψᵢ = μ₁(xᵢ) − μ₀(xᵢ) + tᵢ(yᵢ−μ₁(xᵢ))/ê(xᵢ)
+         − (1−tᵢ)(yᵢ−μ₀(xᵢ))/(1−ê(xᵢ));
+    ATE = mean ψ, SE = sd(ψ)/√n (the influence-function variance — ψ IS
+    the efficient influence function, so no bootstrap pass is needed),
+    normal CI.  Consistent if EITHER the per-arm outcome regressions OR
+    the propensity model is correct (double robustness).
+
+    Composition of existing suff-stats kernels: two closed-form per-arm
+    OLS fits + one propensity fit (``'logistic'`` IRLS, or ``'linear'``
+    probability model — one more closed-form OLS), then ONE aggregation
+    of the ψ column (all three models score as pure Column expressions;
+    ê is clamped to [eps, 1−eps]).  Goes beyond the reference's
+    IPW/ATE estimators (``statistics.py:1054-1217``) with the standard
+    efficient estimator.
+    """
+    from fast_causal_inference_spark.operators.logistic import (
+        logistic_regression,
+    )
+    from fast_causal_inference_spark.operators.ols import ols
+    from fast_causal_inference_spark import stats_distributions as dist
+
+    t = F.expr(T).cast("double")
+    y = F.expr(Y).cast("double")
+    rhs = "+".join(X)
+    work = df.withColumn("__t", t).withColumn("__y", y)
+    mu1 = ols(work.where(F.col("__t") == 1), f"__y ~ {rhs}")
+    mu0 = ols(work.where(F.col("__t") == 0), f"__y ~ {rhs}")
+    if propensity == "logistic":
+        e_col = logistic_regression(work, f"__t ~ {rhs}") \
+            .predict_proba_column()
+    elif propensity == "linear":
+        e_col = ols(work, f"__t ~ {rhs}").predict_column()
+    else:
+        raise ValueError("propensity must be 'logistic' or 'linear'")
+    e = F.greatest(F.lit(float(eps)),
+                   F.least(F.lit(1.0 - eps), e_col))
+    m1 = mu1.predict_column()
+    m0 = mu0.predict_column()
+    psi = (m1 - m0
+           + F.col("__t") * (F.col("__y") - m1) / e
+           - (1 - F.col("__t")) * (F.col("__y") - m0) / (1 - e))
+    row = work.agg(F.count(F.lit(1)).alias("n"),
+                   F.avg(psi).alias("ate"),
+                   F.stddev_samp(psi).alias("sd")).collect()[0]
+    n, ate, sd = float(row["n"]), float(row["ate"]), float(row["sd"])
+    se = sd / np.sqrt(n)
+    z = float(dist.norm_ppf(1 - alpha / 2))
+    return pd.DataFrame([{"ATE": ate, "stderr": se,
+                          "lower": ate - z * se, "upper": ate + z * se,
+                          "n": n, "propensity": propensity}])

@@ -100,3 +100,29 @@ def test_matching_plot_densities(spark, ab_df):
     assert (out.density_treatment * w).sum() == pytest.approx(1.0, abs=1e-6)
     # randomized assignment: the two densities overlap heavily
     assert np.abs(out.density_control - out.density_treatment).mean() < 0.15
+
+
+def test_aipw_debiases_confounding(spark):
+    import numpy as np
+    import pandas as pd
+
+    from fast_causal_inference_spark.operators.estimators import (
+        aipw_estimator,
+    )
+
+    rng = np.random.default_rng(0)
+    n = 20000
+    x1, x2 = rng.normal(0, 1, n), rng.normal(0, 1, n)
+    e = 1 / (1 + np.exp(-0.8 * x1))          # confounded assignment
+    t = rng.binomial(1, e)
+    y = 1.0 + 2.0 * t + 1.5 * x1 + 0.5 * x2 + rng.normal(0, 1, n)
+    df = spark.createDataFrame(
+        pd.DataFrame({"t": t, "y": y, "x1": x1, "x2": x2}))
+    naive = float(df.toPandas().groupby("t").y.mean().diff().iloc[-1])
+    assert naive > 2.5                         # confounding bias is real
+    for pm in ("logistic", "linear"):
+        out = aipw_estimator(df, "y", "t", ["x1", "x2"], propensity=pm)
+        assert out.ATE.iloc[0] == pytest.approx(2.0, abs=0.1)
+        assert out.lower.iloc[0] < 2.0 < out.upper.iloc[0]
+    with pytest.raises(ValueError, match="propensity"):
+        aipw_estimator(df, "y", "t", ["x1"], propensity="forest")
