@@ -302,7 +302,8 @@ def semantic_dedup_pairs(df: DataFrame, threshold: float = 0.95,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding", n_lists: int = 64,
                          sample_per_list: int = 40, train_iters: int = 8,
-                         seed: int = 42) -> DataFrame:
+                         seed: int = 42,
+                         with_centroid_sim: bool = False) -> DataFrame:
     """Semantic near-duplicate pairs, SemDeDup-style (Abbas et al. 2023):
     k-means the embeddings into ``n_lists`` coarse cells (the IVF
     quantizer machinery), then compare pairs ONLY within a cell.
@@ -330,25 +331,56 @@ def semantic_dedup_pairs(df: DataFrame, threshold: float = 0.95,
     b = b.cache()
     b.count()
     l, r = b.alias("l"), b.alias("r")
-    return (l.join(r, [F.col("l.__list") == F.col("r.__list"),
-                       F.col("l.id") < F.col("r.id")])
-            .select(F.col("l.id").alias("id_a"),
-                    F.col("r.id").alias("id_b"),
-                    cosine(F.col("l.v"), F.col("r.v")).alias("cosine"),
-                    F.col("l.__list").alias("cluster"))
-            .where(F.col("cosine") >= threshold))
+    pairs = (l.join(r, [F.col("l.__list") == F.col("r.__list"),
+                        F.col("l.id") < F.col("r.id")])
+             .select(F.col("l.id").alias("id_a"),
+                     F.col("r.id").alias("id_b"),
+                     cosine(F.col("l.v"), F.col("r.v")).alias("cosine"),
+                     F.col("l.__list").alias("cluster"),
+                     F.col("l.v").alias("__va"), F.col("r.v").alias("__vb"))
+             .where(F.col("cosine") >= threshold))
+    if with_centroid_sim:
+        sess = df.sparkSession
+        cent = sess.createDataFrame(
+            [(int(i), [float(x) for x in row]) for i, row in enumerate(C)],
+            "cluster int, __cent array<double>")
+        pairs = (pairs.join(F.broadcast(cent), "cluster")
+                 .withColumn("centroid_sim_a",
+                             cosine(F.col("__va"), F.col("__cent")))
+                 .withColumn("centroid_sim_b",
+                             cosine(F.col("__vb"), F.col("__cent")))
+                 .drop("__cent"))
+    return pairs.drop("__va", "__vb")
 
 
 def semantic_dedup(df: DataFrame, threshold: float = 0.95,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    n_lists: int = 64, sample_per_list: int = 40,
-                   train_iters: int = 8, seed: int = 42) -> DataFrame:
-    """Drop semantic near-duplicates, keeping the lowest id of each pair
-    group (greedy per-pair drop — the transitive-closure variant is
-    ``dedup.connected_components`` over :func:`semantic_dedup_pairs`)."""
+                   train_iters: int = 8, seed: int = 42,
+                   keep: str = "low_id") -> DataFrame:
+    """Drop semantic near-duplicates (greedy per-pair drop — the
+    transitive-closure variant is ``dedup.connected_components`` over
+    :func:`semantic_dedup_pairs`).
+
+    ``keep``: ``'low_id'`` keeps each pair's lowest id;
+    ``'centroid_far'`` keeps the member FARTHEST from its cluster
+    centroid — the SemDeDup paper's policy (Abbas et al. 2023 §2: the
+    most typical member of a duplicate ball is the most redundant with
+    the rest of the cluster).  Ties break to keeping the lower id."""
+    if keep not in ("low_id", "centroid_far"):
+        raise ValueError("keep must be 'low_id' or 'centroid_far'")
     pairs = semantic_dedup_pairs(df, threshold, id_col, vec_col, n_lists,
-                                 sample_per_list, train_iters, seed)
-    drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+                                 sample_per_list, train_iters, seed,
+                                 with_centroid_sim=(keep == "centroid_far"))
+    if keep == "low_id":
+        drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    else:
+        drop_id = F.when(
+            F.col("centroid_sim_a") > F.col("centroid_sim_b"),
+            F.col("id_a")).when(
+            F.col("centroid_sim_a") < F.col("centroid_sim_b"),
+            F.col("id_b")).otherwise(F.col("id_b"))
+        drops = pairs.select(drop_id.alias(id_col)).distinct()
     return df.join(drops, id_col, "left_anti")
 
 

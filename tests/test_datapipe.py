@@ -653,3 +653,42 @@ def test_embedding_kmeans_blobs(spark):
     # each planted blob maps to exactly one learned cluster
     assert (valid.groupby("blob").cluster.nunique() == 1).all()
     assert valid.cluster.nunique() == 3
+
+
+def test_semantic_dedup_keep_policies(spark):
+    import numpy as np
+    import pandas as pd
+
+    from fast_causal_inference_spark.datapipe.similarity import (
+        semantic_dedup,
+        semantic_dedup_pairs,
+    )
+
+    rng = np.random.default_rng(0)
+    base = rng.normal(0, 1, 8)
+    base /= np.linalg.norm(base)
+    vecs = [base.tolist(),
+            (base + rng.normal(0, 0.001, 8)).tolist(),   # near-dup of base
+            (base + rng.normal(0, 0.3, 8)).tolist(),     # same cluster
+            (-base).tolist()]                            # other cluster
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [0, 1, 2, 3], "embedding": vecs}))
+    pairs = semantic_dedup_pairs(df, threshold=0.999, n_lists=2,
+                                 sample_per_list=2, seed=3,
+                                 with_centroid_sim=True).toPandas()
+    assert len(pairs) == 1 and {"centroid_sim_a",
+                                "centroid_sim_b"} <= set(pairs.columns)
+    low = semantic_dedup(df, threshold=0.999, n_lists=2,
+                         sample_per_list=2, seed=3).toPandas()
+    assert sorted(low.vec_id) == [0, 2, 3]
+    far = semantic_dedup(df, threshold=0.999, n_lists=2, sample_per_list=2,
+                         seed=3, keep="centroid_far").toPandas()
+    # exactly one of the dup pair survives; keeper is the centroid-farther
+    kept = set(far.vec_id) & {0, 1}
+    assert len(kept) == 1
+    r = pairs.iloc[0]
+    expect_keep = int(r.id_a if r.centroid_sim_a <= r.centroid_sim_b
+                      else r.id_b)
+    assert kept == {expect_keep}
+    with pytest.raises(ValueError, match="keep"):
+        semantic_dedup(df, keep="median")
