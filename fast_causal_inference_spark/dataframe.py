@@ -303,6 +303,54 @@ class CausalDataFrame:
 
         return get_lift_gain(self._df, ite, y, t, **kwargs)
 
+    def estimate_ate(self, **kwargs):
+        """Population diff-in-means ATE (+Poisson-bootstrap CI)."""
+        from fast_causal_inference_spark.uplift.roi import estimate_ate
+
+        return estimate_ate(self._df, **kwargs)
+
+    def estimate_roi(self, **kwargs):
+        from fast_causal_inference_spark.uplift.roi import estimate_roi
+
+        return estimate_roi(self._df, **kwargs)
+
+    def estimate_iroi(self, **kwargs):
+        from fast_causal_inference_spark.uplift.roi import estimate_iroi
+
+        return estimate_iroi(self._df, **kwargs)
+
+    def estimate_qini(self, **kwargs):
+        from fast_causal_inference_spark.uplift.roi import estimate_qini
+
+        return estimate_qini(self._df, **kwargs)
+
+    def estimate_cate_lift(self, **kwargs):
+        from fast_causal_inference_spark.uplift.roi import (
+            estimate_cate_lift,
+        )
+
+        return estimate_cate_lift(self._df, **kwargs)
+
+    def estimate_cum_iroi(self, **kwargs):
+        from fast_causal_inference_spark.uplift.roi import (
+            estimate_cum_iroi,
+        )
+
+        return estimate_cum_iroi(self._df, **kwargs)
+
+    def aipw_estimator(self, Y: str, T: str, X, **kwargs):
+        """Doubly-robust AIPW ATE (outcome OLS + propensity model)."""
+        from fast_causal_inference_spark.operators.estimators import (
+            aipw_estimator,
+        )
+
+        return aipw_estimator(self._df, Y, T, list(X), **kwargs)
+
+    def roc_curve(self, label: str, score: str, **kwargs):
+        from fast_causal_inference_spark.utility import roc_curve
+
+        return roc_curve(self._df, label, score, **kwargs)
+
     def uplift_report(self, ite: str, y: str, t: str, **kwargs):
         """lift/gain + Qini + AUUC + calibration from ONE scan."""
         from fast_causal_inference_spark.uplift.evaluation import (
@@ -454,6 +502,30 @@ class CausalDataFrame:
 
         return CausalDataFrame(semantic_dedup(self._df, threshold,
                                               **kwargs))
+
+    def bpe_encode(self, model: dict, **kwargs):
+        """Tokenize with a `train_bpe` model -> array<string> column."""
+        from fast_causal_inference_spark.datapipe.tokenizer import bpe_encode
+
+        return CausalDataFrame(bpe_encode(self._df, model, **kwargs))
+
+    def quality_classifier_score(self, model: dict, **kwargs):
+        """NB quality log-odds under a `train_quality_classifier` model."""
+        from fast_causal_inference_spark.datapipe.quality import (
+            quality_classifier_score,
+        )
+
+        return CausalDataFrame(
+            quality_classifier_score(self._df, model, **kwargs))
+
+    def repeated_substring_spans(self, **kwargs):
+        """Exact cross-document repeated token spans (Lee et al.)."""
+        from fast_causal_inference_spark.datapipe.dedup import (
+            repeated_substring_spans,
+        )
+
+        return CausalDataFrame(
+            repeated_substring_spans(self._df, **kwargs))
 
     def chunk_documents(self, chunk_tokens: int = 256, overlap: int = 0,
                         **kwargs):

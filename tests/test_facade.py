@@ -242,3 +242,24 @@ def test_facade_retrieval_sampling_verbs(spark, docs_for_facade):
         [(0, "https://a.com/x"), (1, "https://www.a.com/x/")],
         "id long, url string")
     assert fcis.readSparkDf(udf_).url_dedup().df.count() == 1
+
+
+def test_round5_facade_verbs(spark, events):
+    from pyspark.sql import functions as F
+
+    import fast_causal_inference_spark as fcis
+
+    cdf = fcis.readSparkDf(
+        events.limit(5000)
+        .withColumn("treatment", (F.col("user_id") % 2).cast("int"))
+        .withColumn("outcome", F.col("value"))
+        .withColumn("revenue", F.abs(F.col("value")))
+        .withColumn("cost", F.abs(F.col("value")) * 0.2 + 0.01)
+        .withColumn("x", (F.col("event_id") % 7).cast("double")))
+    assert "ate" in cdf.estimate_ate().columns
+    assert float(cdf.estimate_roi().roi.iloc[0]) > 0
+    aipw = cdf.aipw_estimator("outcome", "treatment", ["x"],
+                              propensity="linear")
+    assert {"ATE", "stderr"} <= set(aipw.columns)
+    roc = cdf.roc_curve("treatment", "value", n_thresholds=20)
+    assert {"fpr", "tpr"} <= set(roc.columns)
