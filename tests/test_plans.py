@@ -267,3 +267,51 @@ def test_bucketed_join_eliminates_exchange(spark, tmp_path_factory, events):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bk_a")
         spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
+def test_roc_curve_single_binned_aggregation(spark, ab_df):
+    """roc_curve: one groupBy over bucket cells, no crossJoin against the
+    threshold list (the reference ARRAY JOINs rows x thresholds)."""
+    from fast_causal_inference_spark.functions.features import (
+        bucket_by_edges,
+    )
+
+    edges = [float(x) for x in range(100)]
+    agged = (ab_df.withColumn("__b", bucket_by_edges("numerator", edges))
+             .groupBy("__b").agg(F.count(F.lit(1)).alias("n")))
+    plan = _plan(agged)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert plan.count("HashAggregate") >= 2        # map-side combined
+    # the balanced tree stays a CASE WHEN expression (no UDF / python eval)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_nb_scoring_single_exchange_per_stage(spark, docs):
+    """NB classifier scoring: broadcast count-relation join (no shuffle of
+    the corpus for the join) + one aggregation exchange."""
+    from fast_causal_inference_spark.datapipe.quality import (
+        quality_classifier_score,
+        train_quality_classifier,
+    )
+
+    labeled = docs.where("doc_id % 5 <= 1").withColumn(
+        "label", (F.col("doc_id") % 5 == 0).cast("int"))
+    model = train_quality_classifier(labeled, "label")
+    scored = quality_classifier_score(docs.select("doc_id", "text"), model)
+    plan = _plan(scored)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_substring_spans_prunes_gram_df(spark, docs):
+    """Span detection joins only df-bounded grams; the join is an
+    equi-join on the gram hash, not a cartesian."""
+    from fast_causal_inference_spark.datapipe.dedup import (
+        repeated_substring_spans,
+    )
+
+    spans = repeated_substring_spans(docs.limit(200), n=10,
+                                     min_run_tokens=30)
+    plan = _optimized(spans)
+    assert "Join Inner" in plan
+    assert "CartesianProduct" not in _plan(spans)
