@@ -103,6 +103,11 @@ from fast_causal_inference_spark.operators.sequential import (
     group_sequential_boundaries,
     group_sequential_ttest,
 )
+from fast_causal_inference_spark.datapipe.similarity import (
+    embedding_kmeans,
+    embedding_pca,
+    project_embeddings,
+)
 from fast_causal_inference_spark.utility import (
     data_split,
     feature_process,
@@ -200,4 +205,7 @@ __all__ = [
     "regression_string",
     "roc_curve",
     "simulate_randomized_trial",
+    "embedding_kmeans",
+    "embedding_pca",
+    "project_embeddings",
 ]

@@ -294,7 +294,9 @@ class CausalDataFrame:
     def cox_ph(self, time: str, event: str, covariates, **kwargs):
         from fast_causal_inference_spark.operators.survival import cox_ph
 
-        return cox_ph(self._df, time, event, list(covariates), **kwargs)
+        covariates = ([covariates] if isinstance(covariates, str)
+                      else list(covariates))
+        return cox_ph(self._df, time, event, covariates, **kwargs)
 
     def get_lift_gain(self, ite: str, y: str, t: str, **kwargs):
         from fast_causal_inference_spark.uplift.evaluation import (
@@ -344,7 +346,8 @@ class CausalDataFrame:
             aipw_estimator,
         )
 
-        return aipw_estimator(self._df, Y, T, list(X), **kwargs)
+        X = [X] if isinstance(X, str) else list(X)
+        return aipw_estimator(self._df, Y, T, X, **kwargs)
 
     def roc_curve(self, label: str, score: str, **kwargs):
         from fast_causal_inference_spark.utility import roc_curve

@@ -392,7 +392,8 @@ def train_quality_classifier(df: DataFrame, label_col: str,
 def quality_classifier_score(df: DataFrame, model: dict,
                              text_col: str = "text",
                              id_cols: list | None = None,
-                             output_col: str = "quality_logodds") -> DataFrame:
+                             output_col: str = "quality_logodds",
+                             broadcast_counts: bool | None = True) -> DataFrame:
     """Per-document log-odds log P(good|doc) − log P(bad|doc) under the
     trained NB model (add-k smoothing; out-of-vocabulary tokens fall back
     to the smoothing mass).
@@ -403,7 +404,7 @@ def quality_classifier_score(df: DataFrame, model: dict,
     untokenizable/empty docs with the prior-only score."""
     id_cols = list(id_cols or ["doc_id"])
     prior = nb_prior(model)
-    scores = nb_logodds_rel(df, model, text_col, id_cols)
+    scores = nb_logodds_rel(df, model, text_col, id_cols, broadcast_counts)
     out = df.join(scores, id_cols, "left")
     return out.withColumn(
         output_col, F.coalesce(F.col("__s"), F.lit(0.0)) + F.lit(prior)) \
@@ -419,11 +420,17 @@ def nb_prior(model: dict) -> float:
 
 
 def nb_logodds_rel(df: DataFrame, model: dict, text_col: str,
-                   key_cols: list) -> DataFrame:
+                   key_cols: list,
+                   broadcast_counts: bool | None = True) -> DataFrame:
     """Shared scoring core (batch + streaming): explode tokens, join the
     count relation, per-key sum of add-k log-ratios → (key_cols…, __s).
     Keeping ONE implementation pins the streaming scorer to the batch
-    semantics (the same convention as the bigram-LM scorer)."""
+    semantics (the same convention as the bigram-LM scorer).
+
+    ``broadcast_counts`` defaults True (a curated-label vocabulary is
+    bounded); pass False/None for a web-scale vocabulary whose count
+    relation exceeds the broadcast limit — the optimizer then picks the
+    join strategy by size."""
     import math
 
     from fast_causal_inference_spark.datapipe.text import tokens
@@ -434,7 +441,10 @@ def nb_logodds_rel(df: DataFrame, model: dict, text_col: str,
     toks = (df.select(*key_cols,
                       F.explode(tokens(F.col(text_col))).alias("w"))
             .where(F.col("w") != ""))
-    joined = toks.join(F.broadcast(model["counts"]), "w", "left")
+    counts = model["counts"]
+    if broadcast_counts:
+        counts = F.broadcast(counts)
+    joined = toks.join(counts, "w", "left")
     contrib = (F.log(F.coalesce(F.col("c_pos"), F.lit(0)) + F.lit(k))
                - F.lit(lp_den)
                - F.log(F.coalesce(F.col("c_neg"), F.lit(0)) + F.lit(k))

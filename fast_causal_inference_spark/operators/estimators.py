@@ -107,19 +107,47 @@ def aipw_estimator(df: DataFrame, Y: str, T: str, X: list[str],
     from fast_causal_inference_spark.operators.ols import ols
     from fast_causal_inference_spark import stats_distributions as dist
 
+    if propensity not in ("logistic", "linear"):
+        raise ValueError("propensity must be 'logistic' or 'linear'")
     t = F.expr(T).cast("double")
     y = F.expr(Y).cast("double")
     rhs = "+".join(X)
-    work = df.withColumn("__t", t).withColumn("__y", y)
-    mu1 = ols(work.where(F.col("__t") == 1), f"__y ~ {rhs}")
-    mu0 = ols(work.where(F.col("__t") == 0), f"__y ~ {rhs}")
-    if propensity == "logistic":
-        e_col = logistic_regression(work, f"__t ~ {rhs}") \
-            .predict_proba_column()
-    elif propensity == "linear":
-        e_col = ols(work, f"__t ~ {rhs}").predict_column()
-    else:
-        raise ValueError("propensity must be 'logistic' or 'linear'")
+    # binary contrast only: rows from other arms of a multi-valued
+    # treatment would otherwise silently pollute the psi average
+    work = df.withColumn("__t", t).withColumn("__y", y) \
+             .where(F.col("__t").isin(0.0, 1.0))
+    # the three model fits are independent full-corpus jobs — overlap them
+    import threading
+
+    res: dict = {}
+
+    def _run(key, fn):
+        def go():
+            try:
+                res[key] = fn()
+            except BaseException as exc:      # noqa: BLE001 — re-raised
+                res[key] = exc
+        th = threading.Thread(target=go)
+        th.start()
+        return th
+
+    threads = [
+        _run("mu1", lambda: ols(work.where(F.col("__t") == 1),
+                                f"__y ~ {rhs}")),
+        _run("mu0", lambda: ols(work.where(F.col("__t") == 0),
+                                f"__y ~ {rhs}")),
+        _run("e", (lambda: logistic_regression(work, f"__t ~ {rhs}"))
+             if propensity == "logistic"
+             else (lambda: ols(work, f"__t ~ {rhs}"))),
+    ]
+    for th in threads:
+        th.join()
+    for v in res.values():
+        if isinstance(v, BaseException):
+            raise v
+    mu1, mu0 = res["mu1"], res["mu0"]
+    e_col = (res["e"].predict_proba_column()
+             if propensity == "logistic" else res["e"].predict_column())
     e = F.greatest(F.lit(float(eps)),
                    F.least(F.lit(1.0 - eps), e_col))
     m1 = mu1.predict_column()
@@ -127,7 +155,9 @@ def aipw_estimator(df: DataFrame, Y: str, T: str, X: list[str],
     psi = (m1 - m0
            + F.col("__t") * (F.col("__y") - m1) / e
            - (1 - F.col("__t")) * (F.col("__y") - m0) / (1 - e))
-    row = work.agg(F.count(F.lit(1)).alias("n"),
+    # n counts rows with a defined psi (null Y/X rows would otherwise
+    # deflate the influence-function SE)
+    row = work.agg(F.count(psi).alias("n"),
                    F.avg(psi).alias("ate"),
                    F.stddev_samp(psi).alias("sd")).collect()[0]
     n, ate, sd = float(row["n"]), float(row["ate"]), float(row["sd"])

@@ -273,6 +273,26 @@ def regression_string(Y: str, X: Sequence[str]) -> str:
     return Y + "~" + "+".join(X)
 
 
+def _roc_binned_counts(df: DataFrame, label: str, score: str,
+                       thresholds: list[float]) -> DataFrame:
+    """The single binned aggregation behind :func:`roc_curve` — factored
+    so plan tests assert the REAL query shape (balanced WHEN-tree bucket,
+    one map-side-combined groupBy, no threshold cross join)."""
+    from fast_causal_inference_spark.functions.features import (
+        bucket_by_edges,
+    )
+
+    # bucket b = number of thresholds <= score, as a balanced WHEN tree
+    # (bucket 0 = below every threshold; ~10 comparisons/row at the
+    # default 1000 thresholds instead of a 1000-branch linear CASE)
+    bucket = bucket_by_edges(F.col(score), thresholds)
+    lab = F.col(label).cast("double")
+    return (df.withColumn("__b", bucket)
+            .groupBy("__b")
+            .agg(F.sum(F.when(lab == 1, 1).otherwise(0)).alias("pos"),
+                 F.sum(F.when(lab == 0, 1).otherwise(0)).alias("neg")))
+
+
 def roc_curve(df: DataFrame, label: str, score: str,
               n_thresholds: int = 1000,
               thresholds: Sequence[float] | None = None) -> pd.DataFrame:
@@ -289,20 +309,8 @@ def roc_curve(df: DataFrame, label: str, score: str,
     if thresholds is None:
         probs = [i / n_thresholds for i in range(n_thresholds + 1)]
         thresholds = df.approxQuantile(score, probs, 1e-4)
-    from fast_causal_inference_spark.functions.features import (
-        bucket_by_edges,
-    )
-
     thresholds = sorted(set(float(t) for t in thresholds))
-    # bucket b = number of thresholds <= score, as a balanced WHEN tree
-    # (bucket 0 = below every threshold; ~10 comparisons/row at the
-    # default 1000 thresholds instead of a 1000-branch linear CASE)
-    bucket = bucket_by_edges(F.col(score), thresholds)
-    lab = F.col(label).cast("double")
-    agg = (df.withColumn("__b", bucket)
-           .groupBy("__b")
-           .agg(F.sum(F.when(lab == 1, 1).otherwise(0)).alias("pos"),
-                F.sum(F.when(lab == 0, 1).otherwise(0)).alias("neg"))
+    agg = (_roc_binned_counts(df, label, score, thresholds)
            .toPandas().set_index("__b").sort_index())
     full = agg.reindex(range(len(thresholds) + 1), fill_value=0)
     p_tot, n_tot = full.pos.sum(), full.neg.sum()

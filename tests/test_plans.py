@@ -270,15 +270,15 @@ def test_bucketed_join_eliminates_exchange(spark, tmp_path_factory, events):
 
 
 def test_roc_curve_single_binned_aggregation(spark, ab_df):
-    """roc_curve: one groupBy over bucket cells, no crossJoin against the
-    threshold list (the reference ARRAY JOINs rows x thresholds)."""
-    from fast_causal_inference_spark.functions.features import (
-        bucket_by_edges,
-    )
+    """roc_curve's actual aggregation: one groupBy over bucket cells, no
+    crossJoin against the threshold list (the reference ARRAY JOINs
+    rows x thresholds)."""
+    from fast_causal_inference_spark.utility import _roc_binned_counts
 
     edges = [float(x) for x in range(100)]
-    agged = (ab_df.withColumn("__b", bucket_by_edges("numerator", edges))
-             .groupBy("__b").agg(F.count(F.lit(1)).alias("n")))
+    agged = _roc_binned_counts(
+        ab_df.withColumn("lbl", (F.col("numerator") > 2).cast("int")),
+        "lbl", "numerator", edges)
     plan = _plan(agged)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert plan.count("HashAggregate") >= 2        # map-side combined
