@@ -77,3 +77,53 @@ def test_exact_mw_distribution_sums_to_one(xs):
         less = _exact_u_pvalue(float(u), n0, n1, "less")
         greater = _exact_u_pvalue(float(u + 1), n0, n1, "greater")
         assert np.isclose(less + greater, 1.0, atol=1e-12)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.text(alphabet="abcd", min_size=1, max_size=7),
+                min_size=2, max_size=40),
+       st.integers(0, 40))
+def test_bpe_encode_word_always_reconstructs(words, n_merges):
+    """Any learned merge table encodes any word losslessly (driver-side
+    property — no Spark)."""
+    from fast_causal_inference_spark.datapipe.tokenizer import (
+        _learn_merges,
+        bpe_encode_word,
+    )
+
+    counts = {}
+    for w in words:
+        counts[w] = counts.get(w, 0) + 1
+    merges = _learn_merges(sorted(counts.items()), n_merges)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in set(words) | {"unseen", "zzz"}:
+        toks = bpe_encode_word(w, ranks)
+        assert "".join(toks).replace("</w>", "") == w
+        assert toks[-1].endswith("</w>")
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.floats(-50, 50, allow_nan=False), min_size=4,
+                max_size=80, unique=True),
+       st.integers(1, 10))
+def test_bucket_by_edges_is_count_of_edges_leq(values, n_edges):
+    """The balanced WHEN tree computes exactly #edges <= v (driver-side
+    check of the expression builder via a numpy reimplementation of its
+    recursion)."""
+    import numpy as np
+
+    edges = sorted(values[:n_edges])
+    probe = values[n_edges:] + edges          # include exact-edge hits
+
+    def ref(v):
+        return sum(1 for e in edges if v >= e)
+
+    # evaluate the recursion contract without Spark: simulate build()
+    def tree(lo, hi, v):
+        if lo == hi:
+            return lo
+        mid = (lo + hi) // 2
+        return tree(mid + 1, hi, v) if v >= edges[mid] else tree(lo, mid, v)
+
+    for v in probe:
+        assert tree(0, len(edges), v) == ref(v)
