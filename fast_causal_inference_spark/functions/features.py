@@ -134,19 +134,49 @@ def polynomial_features(x: str, k: int) -> list[str]:
     return [f"pow({x},{i})" for i in range(1, k + 1)]
 
 
+_BUCKET_TREE_MAX_EDGES = 128
+
+
 def bucket_by_edges(col: Column | str, edges: list[float]) -> Column:
-    """Bucket id = number of ``edges`` ≤ value, as a BALANCED nested-WHEN
-    tree — ⌈log₂ n⌉ comparisons per row instead of a linear n-branch CASE
-    chain (which for large n both costs O(n)/row and can blow Janino's
-    method-size limit, dropping the stage out of codegen).  Shared by
-    score-quantile bucketing and ROC-threshold binning; the same shape as
-    CausalForest's fine-grid binning."""
+    """Bucket id = number of ``edges`` ≤ value.
+
+    Up to ``_BUCKET_TREE_MAX_EDGES`` edges: a BALANCED nested-WHEN tree —
+    ⌈log₂ n⌉ comparisons per row instead of a linear n-branch CASE chain,
+    fully inside whole-stage codegen.  Beyond that the generated
+    expression's NODE count (not its depth) blows Janino's method-size
+    limit and Spark silently falls back to interpreted evaluation — so
+    large edge lists switch to an Arrow-batched ``np.searchsorted``
+    (one vectorized binary search per batch).  Shared by score-quantile
+    bucketing and ROC-threshold binning."""
     from pyspark.sql import functions as F
 
     c = F.col(col) if isinstance(col, str) else col
     edges = sorted(edges)
     if not edges:
         return F.lit(0)
+
+    if len(edges) > _BUCKET_TREE_MAX_EDGES:
+        import numpy as np
+        import pandas as pd
+
+        from fast_causal_inference_spark.serialization import (
+            ensure_udf_serializable,
+        )
+
+        arr = np.asarray(edges, dtype=float)
+
+        # no type hints: `from __future__ import annotations` stringifies
+        # them, which pandas_udf's signature inference rejects when pandas
+        # is not imported at module scope
+        def _bucket(vals):
+            v = vals.to_numpy(dtype=float)
+            out = np.searchsorted(arr, v, side="right").astype("int32")
+            res = pd.Series(out, dtype="Int32")
+            res[vals.isna()] = None
+            return res
+
+        ensure_udf_serializable()
+        return F.pandas_udf(_bucket, "int")(c.cast("double"))
 
     def build(lo: int, hi: int) -> Column:
         # bucket index restricted to edges[lo:hi]
