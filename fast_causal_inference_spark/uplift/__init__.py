@@ -24,6 +24,7 @@ from fast_causal_inference_spark.uplift.roi import (  # noqa: F401
     estimate_cate_per_bucket,
     estimate_cate_per_quantile,
     estimate_cum_iroi,
+    estimate_economics,
     estimate_iroi,
     estimate_iroi_per_bucket,
     estimate_iroi_per_quantile,

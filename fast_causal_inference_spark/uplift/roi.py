@@ -53,11 +53,12 @@ __all__ = [
     "estimate_cate_lift",
     "estimate_qini",
     "estimate_cum_iroi",
+    "estimate_economics",
     "compute_auuc",
     "compute_qini_coefficient",
 ]
 
-_METRIC_TYPES = ("ate", "roi", "iroi", "target_rate")
+_METRIC_TYPES = ("ate", "roi", "iroi", "target_rate", "all")
 
 
 def assign_score_buckets(df: DataFrame, n_buckets: int = 30,
@@ -137,7 +138,21 @@ def _aggregate(df: DataFrame, metric_type: str, target_colname: str,
     wsum = lambda cond, c: F.sum(
         F.when(cond, F.col(c).cast("double") * F.col("__w")).otherwise(0.0))
     aggs = [F.sum("__w").alias("count")]
-    if metric_type == "ate":
+    if metric_type == "all":
+        # every sufficient sum for ate + roi + iroi + target_rate in ONE
+        # aggregation — the one-scan economics report
+        aggs += [F.sum(F.when(is_t, F.col("__w")).otherwise(0.0)).alias("treatment_count"),
+                 F.sum(F.when(is_c, F.col("__w")).otherwise(0.0)).alias("control_count"),
+                 wsum(is_t, target_colname).alias("treatment_target"),
+                 wsum(is_c, target_colname).alias("control_target"),
+                 F.sum(F.col(benefit_colname).cast("double") * F.col("__w")).alias("tot_benefit"),
+                 F.sum(F.col(cost_colname).cast("double") * F.col("__w")).alias("tot_cost"),
+                 wsum(is_t, benefit_colname).alias("treatment_benefit"),
+                 wsum(is_c, benefit_colname).alias("control_benefit"),
+                 wsum(is_t, cost_colname).alias("treatment_cost"),
+                 wsum(is_c, cost_colname).alias("control_cost"),
+                 F.sum(F.col(target_colname).cast("double") * F.col("__w")).alias("tot_target")]
+    elif metric_type == "ate":
         aggs += [F.sum(F.when(is_t, F.col("__w")).otherwise(0.0)).alias("treatment_count"),
                  F.sum(F.when(is_c, F.col("__w")).otherwise(0.0)).alias("control_count"),
                  wsum(is_t, target_colname).alias("treatment_target"),
@@ -187,7 +202,17 @@ def _finalize(pdf: pd.DataFrame, metric_type: str, bucket_colname: str | None,
             pdf[metric_cols] = pdf[metric_cols].cumsum()
 
     with np.errstate(divide="ignore", invalid="ignore"):
-        if metric_type == "ate":
+        if metric_type == "all":
+            pdf["target_rate_treated"] = pdf.treatment_target / pdf.treatment_count
+            pdf["target_rate_control"] = pdf.control_target / pdf.control_count
+            pdf["ate"] = pdf.target_rate_treated - pdf.target_rate_control
+            pdf["roi"] = pdf.tot_benefit / pdf.tot_cost
+            sf = pdf.treatment_count / pdf.control_count
+            pdf["incremental_benefit"] = pdf.treatment_benefit - pdf.control_benefit * sf
+            pdf["incremental_cost"] = pdf.treatment_cost - pdf.control_cost * sf
+            pdf["iroi"] = pdf.incremental_benefit / pdf.incremental_cost
+            pdf["target_rate"] = pdf.tot_target / pdf["count"]
+        elif metric_type == "ate":
             pdf["target_rate_treated"] = pdf.treatment_target / pdf.treatment_count
             pdf["target_rate_control"] = pdf.control_target / pdf.control_count
             pdf["ate"] = pdf.target_rate_treated - pdf.target_rate_control
@@ -270,7 +295,8 @@ def estimate_metrics(df: DataFrame, metric_type: str = "ate",
     """General engine behind every estimator in this module (the reference's
     ``_estimate_metrics`` + ``_compute_ci``, fused into one Spark job)."""
     relevant = {"ate": ["ate"], "roi": ["roi"], "iroi": ["iroi"],
-                "target_rate": ["target_rate"]}[metric_type]
+                "target_rate": ["target_rate"],
+                "all": ["ate", "roi", "iroi", "target_rate"]}[metric_type]
     pdf = _aggregate(df, metric_type, target_colname, benefit_colname,
                      cost_colname, treatment_colname, treatment_value,
                      control_value, bucket_colname, bootstrap,
@@ -564,3 +590,32 @@ def compute_qini_coefficient(df_qini: pd.DataFrame) -> float:
     y = np.nan_to_num(df_qini["ate"].to_numpy(dtype=float)[order])
     random_auc = float(np.trapz([y[0], y[-1]], [x[0], x[-1]]))
     return auuc - random_auc
+
+
+def estimate_economics(df: DataFrame, target_colname: str = "outcome",
+                       benefit_colname: str = "revenue",
+                       cost_colname: str = "cost",
+                       treatment_colname: str = "treatment",
+                       treatment_value=1, control_value=0,
+                       bucket_colname: str | None = None,
+                       cumulative: bool = False,
+                       bootstrap: bool = False, n_bootstraps: int = 100,
+                       ci_quantiles: Sequence[float] | None = None,
+                       seed: int = 42,
+                       carry_threshold: bool = False) -> pd.DataFrame:
+    """The combined experiment-economics report: ATE, ROI, iROI and
+    target rate (with all their component sums) from ONE aggregation —
+    where calling the four estimators separately would scan the data four
+    times.  Same bucket/cumulative/bootstrap semantics as
+    :func:`estimate_metrics`."""
+    return estimate_metrics(df, "all", target_colname=target_colname,
+                            benefit_colname=benefit_colname,
+                            cost_colname=cost_colname,
+                            treatment_colname=treatment_colname,
+                            treatment_value=treatment_value,
+                            control_value=control_value,
+                            bucket_colname=bucket_colname,
+                            cumulative=cumulative, bootstrap=bootstrap,
+                            n_bootstraps=n_bootstraps,
+                            ci_quantiles=ci_quantiles, seed=seed,
+                            carry_threshold=carry_threshold)

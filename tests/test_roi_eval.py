@@ -161,3 +161,19 @@ def test_polynomial_features():
     )
 
     assert polynomial_features("x", 2) == ["pow(x,1)", "pow(x,2)"]
+
+
+def test_estimate_economics_one_scan_matches_parts(trial):
+    pdf, df = trial
+    alle = R.estimate_economics(df)
+    assert alle.ate.iloc[0] == pytest.approx(
+        R.estimate_ate(df).ate.iloc[0], abs=1e-12)
+    assert alle.roi.iloc[0] == pytest.approx(
+        R.estimate_roi(df).roi.iloc[0], abs=1e-12)
+    assert alle.iroi.iloc[0] == pytest.approx(
+        R.estimate_iroi(df).iroi.iloc[0], abs=1e-12)
+    assert alle.target_rate.iloc[0] == pytest.approx(
+        pdf.outcome.mean(), abs=1e-12)
+    boot = R.estimate_economics(df, bootstrap=True, n_bootstraps=20)
+    for m in ("ate", "roi", "iroi", "target_rate"):
+        assert f"{m}_std_error" in boot.columns
