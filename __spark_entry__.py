@@ -1445,22 +1445,18 @@ def q_lift_gain_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fast_causal_inference_spark.uplift.roi import (
         compute_auuc,
         compute_qini_coefficient,
-        estimate_ate,
         estimate_cate_lift,
         estimate_cate_per_bucket,
-        estimate_iroi,
+        estimate_economics,
         estimate_qini,
-        estimate_roi,
     )
 
     b = _roi_frame(spark, sf_dir)
     b.persist()
     try:
-        (lift, ate, roi, iroi, cate, cum, qini) = _concurrent([
+        (lift, econ, cate, cum, qini) = _concurrent([
             lambda: q_lift_gain(spark, sf_dir).toPandas(),
-            lambda: estimate_ate(b),
-            lambda: estimate_roi(b),
-            lambda: estimate_iroi(b),
+            lambda: estimate_economics(b),      # ate+roi+iroi in ONE scan
             lambda: estimate_cate_per_bucket(b.drop("threshold", "score"),
                                              "bucket"),
             lambda: estimate_cate_lift(b, bucket_colname="bucket"),
@@ -1468,6 +1464,7 @@ def q_lift_gain_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         ])
     finally:
         b.unpersist()
+    ate = roi = iroi = econ
     rows = []
     for r in lift.itertuples():
         for stat in ("ratio", "ite_avg", "lift", "gain", "ate_baseline",
