@@ -461,3 +461,51 @@ def quality_classifier_filter(df: DataFrame, model: dict,
     scored = quality_classifier_score(df, model, text_col, id_cols)
     return scored.where(F.col("quality_logodds") > threshold) \
                  .drop("quality_logodds")
+
+
+def quality_classifier_udf(model: dict, max_vocab: int = 5_000_000):
+    """In-process NB scorer: the count relation is collected once (bounded
+    by ``max_vocab``) and shipped in an Arrow-UDF closure, so scoring is a
+    STATELESS per-row map — usable anywhere a relational aggregation is
+    not (e.g. as a filter stage before a streaming stateful operator, the
+    way production fasttext-style scorers run in-process).
+
+    Exact same log-odds as :func:`quality_classifier_score` (verified by
+    test); prefer the relational scorer for batch pipelines — the UDF
+    trades the broadcast join's codegen path for per-row Python."""
+    import math
+
+    from fast_causal_inference_spark.serialization import (
+        ensure_udf_serializable,
+    )
+
+    n_counts = model["counts"].count()
+    if n_counts > max_vocab:
+        raise ValueError(
+            f"vocabulary has {n_counts} entries > max_vocab={max_vocab}; "
+            f"collecting it to the driver is not bounded — use the "
+            f"relational quality_classifier_score instead")
+    counts = {r["w"]: (int(r["c_pos"]), int(r["c_neg"]))
+              for r in model["counts"].collect()}
+    k, V = model["k"], model["vocab_size"]
+    lp_den = math.log(model["n_pos"] + k * V)
+    ln_den = math.log(model["n_neg"] + k * V)
+    prior = nb_prior(model)
+
+    def _score(texts):
+        import pandas as _pd
+
+        def one(t):
+            if t is None:
+                return None
+            s = prior
+            for w in t.lower().split():
+                cp, cn = counts.get(w, (0, 0))
+                s += (math.log(cp + k) - lp_den
+                      - math.log(cn + k) + ln_den)
+            return s
+
+        return texts.map(one)
+
+    ensure_udf_serializable()
+    return F.pandas_udf(_score, "double")

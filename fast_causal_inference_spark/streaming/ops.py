@@ -317,13 +317,16 @@ def ingest_documents(df: DataFrame, text_col: str = "text",
                      langs: list[str] | None = None,
                      redact_pii: bool = True,
                      dedup: str | None = "exact",
-                     watermark: str = "1 hour") -> DataFrame:
+                     watermark: str = "1 hour",
+                     nb_model: dict | None = None,
+                     min_nb_logodds: float = 0.0) -> DataFrame:
     """Training-data ingestion pipeline — the document-side counterpart of
     the experiment readouts above, one declarative chain that runs
     identically on a static frame and on a stream:
 
-    quality/language annotate+filter → PII redaction → exact dedup on the
-    whitespace-normalized content fingerprint.
+    quality/language annotate+filter → optional trained-NB-classifier
+    filter (in-process scorer, stateless) → PII redaction → exact dedup
+    on the whitespace-normalized content fingerprint.
 
     On a stream (``df.isStreaming`` and ``ts_col`` given) the dedup step is
     ``dropDuplicatesWithinWatermark`` on the fingerprint: state holds one
@@ -353,6 +356,17 @@ def ingest_documents(df: DataFrame, text_col: str = "text",
     out = (df.withColumn("quality", quality_score(c))
              .withColumn("lang_pred", language_id(c))
              .where(F.col("quality") >= min_quality))
+    if nb_model is not None:
+        # trained NB classifier as a STATELESS in-process filter stage —
+        # the UDF form keeps the chain free of extra stateful operators
+        # ahead of the watermarked dedup
+        from fast_causal_inference_spark.datapipe.quality import (
+            quality_classifier_udf,
+        )
+
+        scorer = quality_classifier_udf(nb_model)
+        out = (out.withColumn("nb_logodds", scorer(c))
+               .where(F.col("nb_logodds") > min_nb_logodds))
     if langs is not None:
         out = out.where(F.col("lang_pred").isin(list(langs)))
     # fingerprint BEFORE redaction: identity of the original content

@@ -302,3 +302,58 @@ def test_streaming_quality_score_matches_batch(spark, docs_stream_dir):
     assert got and set(got) <= set(want)
     for k, v in got.items():
         assert abs(v - want[k]) < 1e-9
+
+
+def test_quality_classifier_udf_matches_relational(spark, docs_stream_dir):
+    from pyspark.sql import functions as F
+
+    from fast_causal_inference_spark.datapipe.quality import (
+        quality_classifier_score,
+        quality_classifier_udf,
+        train_quality_classifier,
+    )
+
+    batch_df = spark.read.parquet(docs_stream_dir)
+    labeled = batch_df.where("doc_id % 5 <= 1").withColumn(
+        "label", (F.col("doc_id") % 5 == 0).cast("int"))
+    model = train_quality_classifier(labeled, "label")
+    rel = {r["doc_id"]: r["quality_logodds"] for r in
+           quality_classifier_score(batch_df, model).collect()}
+    scorer = quality_classifier_udf(model)
+    udf = {r["doc_id"]: r["s"] for r in
+           batch_df.select("doc_id", scorer(F.col("text")).alias("s"))
+           .collect()}
+    assert set(rel) == set(udf)
+    for k in rel:
+        assert abs(rel[k] - udf[k]) < 1e-9
+    with pytest.raises(ValueError, match="max_vocab"):
+        quality_classifier_udf(model, max_vocab=2)
+
+
+def test_ingest_with_nb_filter_stream(spark, docs_stream_dir):
+    from pyspark.sql import functions as F
+
+    from fast_causal_inference_spark.datapipe.quality import (
+        train_quality_classifier,
+    )
+    from fast_causal_inference_spark.streaming.ops import ingest_documents
+
+    batch_df = spark.read.parquet(docs_stream_dir)
+    labeled = batch_df.where("doc_id % 5 <= 1").withColumn(
+        "label", (F.col("doc_id") % 5 == 0).cast("int"))
+    model = train_quality_classifier(labeled, "label")
+    # static path: NB filter composes with the chain
+    static = ingest_documents(batch_df, min_quality=0.0, nb_model=model,
+                              min_nb_logodds=-1e9)
+    assert "nb_logodds" in static.columns
+    n_all = static.count()
+    tighter = ingest_documents(batch_df, min_quality=0.0, nb_model=model,
+                               min_nb_logodds=0.0).count()
+    assert 0 < tighter <= n_all
+    # streaming path: still a valid single-watermark stateful query
+    s = _read_stream(spark, docs_stream_dir)
+    out = ingest_documents(s, ts_col="ts", min_quality=0.0,
+                           nb_model=model, min_nb_logodds=-1e9)
+    assert out.isStreaming
+    run_to_memory(out, "nb_ingest", output_mode="append")
+    assert spark.table("nb_ingest").count() > 0
