@@ -30,7 +30,8 @@ from pyspark.sql import functions as F
 
 from .text import bind_once, tokens
 
-__all__ = ["train_bigram_lm", "score_perplexity", "perplexity_filter"]
+__all__ = ["train_bigram_lm", "score_perplexity", "perplexity_filter",
+           "train_trigram_lm", "score_trigram_perplexity"]
 
 
 def _bigrams(text_col):
@@ -146,3 +147,128 @@ def perplexity_filter(df: DataFrame, lm: dict, max_ppl: float,
     scored = score_perplexity(df, lm, text_col, id_col, k)
     keep = scored.where(F.col("ppl") <= max_ppl).select(id_col)
     return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Interpolated trigram model (closer to CCNet's higher-order KenLM than
+# the add-k bigram above, still fully relational)
+# ---------------------------------------------------------------------------
+
+
+def _trigrams(text_col):
+    """(w1, w2, w3) adjacent-token triples of normalized text."""
+    return bind_once(tokens(text_col), lambda tk: F.when(
+        F.size(tk) >= 3,
+        F.transform(F.sequence(F.lit(1), F.size(tk) - 2),
+                    lambda i: F.struct(
+                        F.element_at(tk, i).alias("w1"),
+                        F.element_at(tk, i + 1).alias("w2"),
+                        F.element_at(tk, i + 2).alias("w3"))))
+        .otherwise(F.array()))
+
+
+def train_trigram_lm(df: DataFrame, text_col: str = "text") -> dict:
+    """Jelinek-Mercer interpolated trigram LM over a trusted corpus:
+    count RELATIONS for orders 1-3 (one row per distinct gram), all three
+    materialized concurrently.  Model = {"trigrams", "bigrams",
+    "unigrams" DataFrames, "n_tokens", "vocab_size"}."""
+    import threading
+
+    n_parts = int(df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"))
+    src = df.repartition(n_parts)
+    tg = (src.select(F.explode(_trigrams(F.col(text_col))).alias("g"))
+          .select("g.w1", "g.w2", "g.w3")
+          .where((F.col("w1") != "") & (F.col("w2") != "")
+                 & (F.col("w3") != ""))
+          .groupBy("w1", "w2", "w3")
+          .agg(F.count(F.lit(1)).alias("c123")).cache())
+    bg = (src.select(F.explode(_bigrams(F.col(text_col))).alias("g"))
+          .select("g.w1", "g.w2")
+          .where((F.col("w1") != "") & (F.col("w2") != ""))
+          .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).cache())
+    uni = (src.select(F.explode(tokens(F.col(text_col))).alias("w"))
+           .where(F.col("w") != "")
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c1")).cache())
+    res: dict = {}
+
+    def _run(key, fn):
+        def go():
+            try:
+                res[key] = fn()
+            except BaseException as exc:      # noqa: BLE001 — re-raised
+                res[key] = exc
+        th = threading.Thread(target=go)
+        th.start()
+        return th
+
+    threads = [_run("tg", tg.count), _run("bg", bg.count),
+               _run("uni", lambda: uni.agg(
+                   F.count(F.lit(1)).alias("v"),
+                   F.sum("c1").alias("n")).collect()[0])]
+    for th in threads:
+        th.join()
+    for v in res.values():
+        if isinstance(v, BaseException):
+            raise v
+    return {"trigrams": tg, "bigrams": bg, "unigrams": uni,
+            "vocab_size": int(res["uni"]["v"]),
+            "n_tokens": int(res["uni"]["n"])}
+
+
+def score_trigram_perplexity(df: DataFrame, lm: dict,
+                             text_col: str = "text",
+                             id_cols: list | None = None,
+                             lambdas: tuple = (0.7, 0.2, 0.1),
+                             broadcast_lm: bool | None = True) -> DataFrame:
+    """Per-document perplexity under the interpolated trigram model:
+    p(w3|w1w2) = λ₃·c123/c12 + λ₂·c23/c2 + λ₁·c3/N, with each term
+    dropping out when its context is unseen and a 1/(N+V) floor so
+    fully-unseen words stay finite (standard Jelinek-Mercer with a
+    uniform-smoothing floor).
+
+    Plan shape: explode the document trigrams once; FOUR left equi-joins
+    against the (broadcastable) count relations — (w1,w2,w3), context
+    (w1,w2), the (w2,w3) bigram, and the w2/w3 unigrams — then one
+    map-side-combined groupBy(doc).  Documents with < 3 tokens score
+    NULL."""
+    l3, l2, l1 = (float(x) for x in lambdas)
+    if abs(l3 + l2 + l1 - 1.0) > 1e-9:
+        raise ValueError("lambdas must sum to 1")
+    id_cols = list(id_cols or ["doc_id"])
+    N, V = lm["n_tokens"], lm["vocab_size"]
+    tg_rel, bg_rel, uni_rel = lm["trigrams"], lm["bigrams"], lm["unigrams"]
+    if broadcast_lm:
+        tg_rel, bg_rel, uni_rel = (F.broadcast(tg_rel), F.broadcast(bg_rel),
+                                   F.broadcast(uni_rel))
+    doc = (df.select(*id_cols,
+                     F.explode(_trigrams(F.col(text_col))).alias("g"))
+           .select(*id_cols, "g.w1", "g.w2", "g.w3")
+           .where((F.col("w1") != "") & (F.col("w2") != "")
+                  & (F.col("w3") != "")))
+    ctx = bg_rel.select(F.col("w1"), F.col("w2"),
+                        F.col("c12").alias("c_ctx"))
+    b23 = bg_rel.select(F.col("w1").alias("w2"), F.col("w2").alias("w3"),
+                        F.col("c12").alias("c23"))
+    u2 = uni_rel.select(F.col("w").alias("w2"), F.col("c1").alias("c2"))
+    u3 = uni_rel.select(F.col("w").alias("w3"), F.col("c1").alias("c3"))
+    j = (doc.join(tg_rel, ["w1", "w2", "w3"], "left")
+         .join(ctx, ["w1", "w2"], "left")
+         .join(b23, ["w2", "w3"], "left")
+         .join(u2, ["w2"], "left")
+         .join(u3, ["w3"], "left"))
+    term3 = F.when(F.coalesce(F.col("c_ctx"), F.lit(0)) > 0,
+                   F.lit(l3) * F.coalesce(F.col("c123"), F.lit(0))
+                   / F.col("c_ctx")).otherwise(0.0)
+    term2 = F.when(F.coalesce(F.col("c2"), F.lit(0)) > 0,
+                   F.lit(l2) * F.coalesce(F.col("c23"), F.lit(0))
+                   / F.col("c2")).otherwise(0.0)
+    term1 = F.lit(l1) * F.coalesce(F.col("c3"), F.lit(0)) / F.lit(float(N))
+    p = F.greatest(term3 + term2 + term1, F.lit(1.0 / (N + V)))
+    agg = (j.groupBy(*id_cols)
+           .agg(F.count(F.lit(1)).alias("n_trigrams"),
+                F.avg(F.log(p)).alias("logprob")))
+    out = df.join(agg, id_cols, "left")
+    return (out.withColumn("n_trigrams",
+                           F.coalesce("n_trigrams", F.lit(0)))
+            .withColumn("ppl", F.exp(-F.col("logprob"))))

@@ -105,3 +105,36 @@ def test_score_plan_no_cartesian(spark):
         .queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_trigram_lm_hand_oracle(spark):
+    import math
+
+    import pandas as pd
+
+    from fast_causal_inference_spark.datapipe.lm import (
+        score_trigram_perplexity,
+        train_trigram_lm,
+    )
+
+    trusted = pd.DataFrame({"doc_id": [0, 1],
+                            "text": ["the cat sat on the mat",
+                                     "the cat ran on the hill"]})
+    lm = train_trigram_lm(spark.createDataFrame(trusted))
+    assert lm["n_tokens"] == 12 and lm["vocab_size"] == 7
+    test = pd.DataFrame({"doc_id": [10, 11, 12],
+                         "text": ["the cat sat", "zebra quark flux", "hi"]})
+    out = (score_trigram_perplexity(spark.createDataFrame(test), lm)
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    # (the cat sat): l3*c123/ctx + l2*c23/c2 + l1*c3/N
+    p = 0.7 * 1 / 2 + 0.2 * 1 / 2 + 0.1 * 1 / 12
+    assert out.logprob.iloc[0] == pytest.approx(math.log(p), abs=1e-12)
+    # fully unseen trigram floors at 1/(N+V)
+    assert out.logprob.iloc[1] == pytest.approx(
+        math.log(1.0 / (12 + 7)), abs=1e-12)
+    # <3 tokens: no evidence
+    assert out.n_trigrams.iloc[2] == 0 and pd.isna(out.ppl.iloc[2])
+    assert out.ppl.iloc[0] < out.ppl.iloc[1]
+    with pytest.raises(ValueError, match="lambdas"):
+        score_trigram_perplexity(spark.createDataFrame(test), lm,
+                                 lambdas=(0.5, 0.2, 0.2))
