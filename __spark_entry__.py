@@ -1464,7 +1464,6 @@ def q_lift_gain_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         ])
     finally:
         b.unpersist()
-    ate = roi = iroi = econ
     rows = []
     for r in lift.itertuples():
         for stat in ("ratio", "ite_avg", "lift", "gain", "ate_baseline",
@@ -1473,14 +1472,14 @@ def q_lift_gain_family(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "stat": stat, "value": float(getattr(r, stat))})
     for stat in ("ate", "target_rate_treated", "target_rate_control"):
         rows.append({"variant": "ate", "item": "all", "stat": stat,
-                     "value": float(ate[stat].iloc[0])})
+                     "value": float(econ[stat].iloc[0])})
     for stat in ("tot_benefit", "tot_cost", "roi"):
         rows.append({"variant": "roi", "item": "all", "stat": stat,
-                     "value": float(roi[stat].iloc[0])})
+                     "value": float(econ[stat].iloc[0])})
     for stat in ("treatment_count", "control_count", "incremental_benefit",
                  "incremental_cost", "iroi"):
         rows.append({"variant": "iroi", "item": "all", "stat": stat,
-                     "value": float(iroi[stat].iloc[0])})
+                     "value": float(econ[stat].iloc[0])})
     for r in cate.itertuples():
         for stat in ("ate", "fraction"):
             rows.append({"variant": "cate_bucket", "item": str(int(r.bucket)),

@@ -174,16 +174,21 @@ def train_trigram_lm(df: DataFrame, text_col: str = "text") -> dict:
     "unigrams" DataFrames, "n_tokens", "vocab_size"}."""
     import threading
 
+    # repartition per explode branch (a shared repartitioned frame would
+    # re-execute its shuffle once per concurrent action — exchanges are
+    # not reused across jobs); the unigram branch reads df directly
     n_parts = int(df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32"))
-    src = df.repartition(n_parts)
-    tg = (src.select(F.explode(_trigrams(F.col(text_col))).alias("g"))
+    src = df
+    tg = (src.repartition(n_parts)
+          .select(F.explode(_trigrams(F.col(text_col))).alias("g"))
           .select("g.w1", "g.w2", "g.w3")
           .where((F.col("w1") != "") & (F.col("w2") != "")
                  & (F.col("w3") != ""))
           .groupBy("w1", "w2", "w3")
           .agg(F.count(F.lit(1)).alias("c123")).cache())
-    bg = (src.select(F.explode(_bigrams(F.col(text_col))).alias("g"))
+    bg = (src.repartition(n_parts)
+          .select(F.explode(_bigrams(F.col(text_col))).alias("g"))
           .select("g.w1", "g.w2")
           .where((F.col("w1") != "") & (F.col("w2") != ""))
           .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).cache())
@@ -220,7 +225,7 @@ def score_trigram_perplexity(df: DataFrame, lm: dict,
                              text_col: str = "text",
                              id_cols: list | None = None,
                              lambdas: tuple = (0.7, 0.2, 0.1),
-                             broadcast_lm: bool | None = True) -> DataFrame:
+                             broadcast_lm: bool | None = None) -> DataFrame:
     """Per-document perplexity under the interpolated trigram model:
     p(w3|w1w2) = λ₃·c123/c12 + λ₂·c23/c2 + λ₁·c3/N, with each term
     dropping out when its context is unseen and a 1/(N+V) floor so
@@ -228,7 +233,9 @@ def score_trigram_perplexity(df: DataFrame, lm: dict,
     uniform-smoothing floor).
 
     Plan shape: explode the document trigrams once; FOUR left equi-joins
-    against the (broadcastable) count relations — (w1,w2,w3), context
+    against the count relations (``broadcast_lm=True`` forces broadcast —
+    right for a bounded trusted vocabulary; the default lets Catalyst
+    choose by size, since the trigram relation is the module's largest) — (w1,w2,w3), context
     (w1,w2), the (w2,w3) bigram, and the w2/w3 unigrams — then one
     map-side-combined groupBy(doc).  Documents with < 3 tokens score
     NULL."""

@@ -492,14 +492,21 @@ def quality_classifier_udf(model: dict, max_vocab: int = 5_000_000):
     ln_den = math.log(model["n_neg"] + k * V)
     prior = nb_prior(model)
 
-    def _score(texts):
-        import pandas as _pd
+    import re
 
+    # Java \s (the relational tokens() regex) is ASCII-only — Python's
+    # str.split() would split on Unicode whitespace and diverge
+    _ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def _score(texts):
         def one(t):
             if t is None:
-                return None
+                # relational path: NULL text yields no tokens → bare prior
+                return prior
             s = prior
-            for w in t.lower().split():
+            for w in _ws.split(t.strip().lower()):
+                if not w:
+                    continue
                 cp, cn = counts.get(w, (0, 0))
                 s += (math.log(cp + k) - lp_den
                       - math.log(cn + k) + ln_den)

@@ -138,7 +138,8 @@ _BUCKET_TREE_MAX_EDGES = 128
 
 
 def bucket_by_edges(col: Column | str, edges: list[float]) -> Column:
-    """Bucket id = number of ``edges`` ≤ value.
+    """Bucket id = number of ``edges`` ≤ value; NULL/NaN values bucket to
+    NULL on both execution paths.
 
     Up to ``_BUCKET_TREE_MAX_EDGES`` edges: a BALANCED nested-WHEN tree —
     ⌈log₂ n⌉ comparisons per row instead of a linear n-branch CASE chain,
@@ -154,6 +155,7 @@ def bucket_by_edges(col: Column | str, edges: list[float]) -> Column:
     edges = sorted(edges)
     if not edges:
         return F.lit(0)
+    invalid = c.isNull() | F.isnan(c.cast("double"))
 
     if len(edges) > _BUCKET_TREE_MAX_EDGES:
         import numpy as np
@@ -186,4 +188,7 @@ def bucket_by_edges(col: Column | str, edges: list[float]) -> Column:
         return F.when(c >= edges[mid], build(mid + 1, hi)) \
                 .otherwise(build(lo, mid))
 
-    return build(0, len(edges))
+    # NULL/NaN → NULL on BOTH paths (the bare tree would send NULL to
+    # bucket 0 and NaN to the top bucket — a silent semantics change at
+    # the path-switch threshold)
+    return F.when(~invalid, build(0, len(edges)))

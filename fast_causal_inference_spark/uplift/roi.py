@@ -211,6 +211,11 @@ def _finalize(pdf: pd.DataFrame, metric_type: str, bucket_colname: str | None,
             pdf["incremental_benefit"] = pdf.treatment_benefit - pdf.control_benefit * sf
             pdf["incremental_cost"] = pdf.treatment_cost - pdf.control_cost * sf
             pdf["iroi"] = pdf.incremental_benefit / pdf.incremental_cost
+            n_neg = int((pdf.incremental_cost < 0).sum())
+            if n_neg:
+                warnings.warn(
+                    f"{n_neg} cells had negative incremental cost; "
+                    "iROI is unreliable there.", stacklevel=3)
             pdf["target_rate"] = pdf.tot_target / pdf["count"]
         elif metric_type == "ate":
             pdf["target_rate_treated"] = pdf.treatment_target / pdf.treatment_count

@@ -276,15 +276,18 @@ def regression_string(Y: str, X: Sequence[str]) -> str:
 def _roc_binned_counts(df: DataFrame, label: str, score: str,
                        thresholds: list[float]) -> DataFrame:
     """The single binned aggregation behind :func:`roc_curve` — factored
-    so plan tests assert the REAL query shape (balanced WHEN-tree bucket,
-    one map-side-combined groupBy, no threshold cross join)."""
+    so plan tests assert the REAL query shape (one map-side-combined
+    groupBy, no threshold cross join).  Rows with NULL/NaN scores get a
+    NULL bucket and are excluded from the curve (they cannot be
+    ranked)."""
     from fast_causal_inference_spark.functions.features import (
         bucket_by_edges,
     )
 
-    # bucket b = number of thresholds <= score, as a balanced WHEN tree
-    # (bucket 0 = below every threshold; ~10 comparisons/row at the
-    # default 1000 thresholds instead of a 1000-branch linear CASE)
+    # bucket b = number of thresholds <= score: a balanced WHEN tree up
+    # to 128 thresholds, an Arrow-batched searchsorted above (the
+    # default 1000 takes the UDF path — a 1000-node CASE blows Janino's
+    # method-size limit)
     bucket = bucket_by_edges(F.col(score), thresholds)
     lab = F.col(label).cast("double")
     return (df.withColumn("__b", bucket)

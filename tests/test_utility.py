@@ -139,3 +139,35 @@ def test_murmur_hash3_64_column(spark):
     assert out.h.iloc[0] == exp
     assert pd.isna(out.h.iloc[2])
     assert out.h.nunique(dropna=True) == 3
+
+
+def test_bucket_by_edges_paths_agree(spark):
+    """The ≤128-edge WHEN tree and the >128-edge searchsorted UDF must
+    implement the same function — including NULL/NaN → NULL."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from fast_causal_inference_spark.functions.features import (
+        bucket_by_edges,
+    )
+
+    rng = np.random.default_rng(3)
+    vals = rng.uniform(-10, 10, 500).tolist() + [None, float("nan")]
+    df = spark.createDataFrame(pd.DataFrame({"v": vals}))
+    small_edges = sorted(rng.uniform(-10, 10, 100).tolist())
+    big_edges = sorted(small_edges + rng.uniform(20, 30, 50).tolist())
+    out = df.select(
+        bucket_by_edges("v", small_edges).alias("tree"),
+        bucket_by_edges("v", big_edges).alias("udf"),
+        F.col("v")).toPandas()
+    # no probe value reaches the extra (20,30) edges, so both columns
+    # must be the same count-of-edges-<=v — computed by different paths
+    valid = out[out.v.notna()]
+    assert (valid.tree.to_numpy() == valid.udf.to_numpy()).all()
+    exp = [sum(1 for e in small_edges if x >= e) for x in valid.v]
+    assert (valid.tree.to_numpy() == np.array(exp)).all()
+    # NULL and NaN bucket to NULL on BOTH paths
+    invalid = out[out.v.isna()]
+    assert invalid.tree.isna().all() and invalid.udf.isna().all()
+    assert len(invalid) == 2
