@@ -18,6 +18,7 @@ from fast_causal_inference_spark.session import get_session, configure_session
 from fast_causal_inference_spark.formula import parse_formula
 from fast_causal_inference_spark.operators.deltamethod import delta_method
 from fast_causal_inference_spark.operators.ttest import (
+    cupac_ttest_2samp,
     ttest_1samp,
     ttest_2samp,
     ttests_2samp,
@@ -129,6 +130,7 @@ __all__ = [
     "delta_method",
     "ttest_1samp",
     "ttest_2samp",
+    "cupac_ttest_2samp",
     "ttests_2samp",
     "student_ttest",
     "welch_ttest",

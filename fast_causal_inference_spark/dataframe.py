@@ -298,6 +298,16 @@ class CausalDataFrame:
                       else list(covariates))
         return cox_ph(self._df, time, event, covariates, **kwargs)
 
+    def cupac_ttest_2samp(self, Y: str, index: str, features, **kwargs):
+        """CUPED with a cross-fitted ML covariate (CUPAC)."""
+        from fast_causal_inference_spark.operators.ttest import (
+            cupac_ttest_2samp,
+        )
+
+        features = ([features] if isinstance(features, str)
+                    else list(features))
+        return cupac_ttest_2samp(self._df, Y, index, features, **kwargs)
+
     def get_lift_gain(self, ite: str, y: str, t: str, **kwargs):
         from fast_causal_inference_spark.uplift.evaluation import (
             get_lift_gain,

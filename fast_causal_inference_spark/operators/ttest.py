@@ -374,3 +374,72 @@ def mean_z_test(df: DataFrame, value: str, index: str,
     """Two-sample z-test with known population variances."""
     return _moment_test(df, value, index, "meanz", alternative,
                         treatment_values, group_cols, var_x=var_x, var_y=var_y)
+
+
+def cupac_ttest_2samp(df: DataFrame, Y: str, index: str,
+                      features: list[str], cv: int = 3,
+                      fold_expr: str | None = None,
+                      alternative: str = "two-sided", alpha: float = 0.05,
+                      treatment_values: tuple = (0, 1),
+                      group_cols: list[str] | None = None) -> DataFrame:
+    """CUPAC: CUPED with a machine-learned covariate (Control Using
+    Predictions As Covariates — the standard upgrade when no pre-period
+    metric exists or covariates are nonlinear).
+
+    A cross-fitted OLS outcome model predicts Y from ``features`` on
+    CONTROL rows of the OTHER folds (fitting on control only keeps the
+    predictor treatment-free; cross-fitting keeps each row's own outcome
+    out of its covariate — the same fold discipline as DML), then the
+    prediction column is the CUPED covariate of a standard
+    :func:`ttest_2samp`.
+
+    Spark shape: ``cv`` closed-form per-fold OLS fits (suff-stats
+    aggregations, run CONCURRENTLY — they are independent jobs over
+    disjoint fold complements), then predictions are a fold-dispatched
+    pure Column expression, then ONE t-test aggregation.  ``Y`` must be a
+    simple column/expression (a per-row outcome, not a ratio formula —
+    the predictor needs a row-level target).
+    """
+    import threading
+
+    from fast_causal_inference_spark.operators.ols import ols
+
+    ctl, trt = treatment_values
+    rhs = "+".join(features)
+    fold = (F.pmod(F.expr(fold_expr), F.lit(cv)).cast("int")
+            if fold_expr is not None
+            else F.pmod(F.xxhash64(*[F.expr(f) for f in features],
+                                   F.lit(977)), F.lit(cv)).cast("int"))
+    work = df.withColumn("__fold", fold) \
+             .withColumn("__yraw", F.expr(Y).cast("double"))
+
+    models: dict = {}
+
+    def _fit(k):
+        def go():
+            try:
+                sub = work.where((F.col("__fold") != k)
+                                 & (F.col(index) == F.lit(ctl)))
+                models[k] = ols(sub, f"__yraw ~ {rhs}")
+            except BaseException as exc:      # noqa: BLE001 — re-raised
+                models[k] = exc
+        th = threading.Thread(target=go)
+        th.start()
+        return th
+
+    for th in [_fit(k) for k in range(cv)]:
+        th.join()
+    for v in models.values():
+        if isinstance(v, BaseException):
+            raise v
+
+    pred = None
+    for k in range(cv):
+        c = models[k].predict_column()
+        pred = F.when(F.col("__fold") == k, c) if pred is None \
+            else pred.when(F.col("__fold") == k, c)
+    scored = work.withColumn("__cupac", pred)
+    return ttest_2samp(scored, Y, index, alternative=alternative,
+                       X="avg(__cupac)", alpha=alpha,
+                       treatment_values=treatment_values,
+                       group_cols=group_cols)

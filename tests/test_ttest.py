@@ -178,3 +178,32 @@ def test_ttest_2samp_pse_grouped(spark, ab_df):
     assert len(rows) == 2
     for r in rows:
         assert np.isfinite(r["estimate"]) and r["stderr"] > 0
+
+
+def test_cupac_reduces_variance_unbiased(spark):
+    import numpy as np
+    import pandas as pd
+
+    from fast_causal_inference_spark.operators.ttest import (
+        cupac_ttest_2samp,
+        ttest_2samp,
+    )
+
+    rng = np.random.default_rng(0)
+    n = 30000
+    x1, x2 = rng.normal(0, 1, n), rng.normal(0, 1, n)
+    t = rng.integers(0, 2, n)
+    y = 2.0 + 0.1 * t + 1.5 * x1 - 0.8 * x2 ** 2 + rng.normal(0, 0.5, n)
+    df = spark.createDataFrame(pd.DataFrame(
+        {"t": t, "y": y, "x1": x1, "x2": x2, "uid": range(n)}))
+    plain = ttest_2samp(df, "avg(y)", "t").toPandas()
+    cupac = cupac_ttest_2samp(df, "y", "t", ["x1", "x2", "pow(x2,2)"],
+                              fold_expr="uid").toPandas()
+    # ML covariate removes most of the x-driven variance
+    assert float(cupac.stderr.iloc[0]) < 0.5 * float(plain.stderr.iloc[0])
+    # and stays unbiased for the true effect 0.1
+    assert float(cupac.estimate.iloc[0]) == pytest.approx(0.1, abs=0.025)
+    # deterministic folds without fold_expr too (hash of features)
+    again = cupac_ttest_2samp(df, "y", "t", ["x1", "x2", "pow(x2,2)"])
+    assert float(again.toPandas().estimate.iloc[0]) == pytest.approx(
+        0.1, abs=0.025)
