@@ -1859,11 +1859,15 @@ _T2_FAMILY_COLS = ["n0", "n1", "mean0", "mean1", "estimate", "stderr",
 
 
 def q_ttest_2samp_family(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All six two-sample test variants as one family: delta-method t-test,
-    CUPED, post-stratified, Welch, pooled Student, known-variance z."""
+    """All seven two-sample test variants as one family: delta-method
+    t-test, CUPED, cross-fitted CUPAC, post-stratified, Welch, pooled
+    Student, known-variance z — the oracle re-derives CUPAC's three
+    per-fold control-only regressions, the fold-dispatched predictions,
+    and the CUPED adjustment end-to-end in SQL."""
     import pandas as pd
 
     from fast_causal_inference_spark.operators.ttest import (
+        cupac_ttest_2samp,
         mean_z_test,
         student_ttest,
         ttest_2samp,
@@ -1880,6 +1884,9 @@ def q_ttest_2samp_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("plain", lambda: ttest_2samp(ev, "avg(value)", "treatment")),
         ("cuped", lambda: ttest_2samp(li, "avg(l_extendedprice)",
                                       "treatment", X="avg(l_quantity)")),
+        ("cupac", lambda: cupac_ttest_2samp(li, "l_extendedprice",
+                                            "treatment", ["l_quantity"],
+                                            cv=3, fold_expr="l_orderkey")),
         ("pse", lambda: ttest_2samp(li, "avg(l_extendedprice)", "treatment",
                                     pse="l_linestatus")),
         ("welch", lambda: welch_ttest(o, "o_totalprice", "arm")),
@@ -1924,6 +1931,34 @@ WITH ev_arms AS (
          (vy + (SELECT theta FROM cuped_pool)*(SELECT theta FROM cuped_pool)*vx
              - 2*(SELECT theta FROM cuped_pool)*cxy) / n AS var_adj
   FROM cuped_arms
+), cupac_base AS (
+  SELECT l_extendedprice AS y, l_quantity AS x,
+         l_orderkey % 3 AS fold, l_orderkey % 2 AS arm
+  FROM lineitem
+), cupac_fits AS (
+  SELECT f.k,
+         covar_samp(y, x)/var_samp(x) AS b,
+         avg(y) - covar_samp(y, x)/var_samp(x)*avg(x) AS a
+  FROM cupac_base, (SELECT unnest([0, 1, 2]) AS k) f
+  WHERE fold != f.k AND arm = 0
+  GROUP BY f.k
+), cupac_pred AS (
+  SELECT l.arm, l.y, ff.a + ff.b*l.x AS p
+  FROM cupac_base l JOIN cupac_fits ff ON l.fold = ff.k
+), cupac_pool AS (
+  SELECT covar_samp(y, p)/var_samp(p) AS theta, avg(p) AS p_pool
+  FROM cupac_pred
+), cupac_arms AS (
+  SELECT arm, CAST(count(*) AS DOUBLE) AS n, avg(y) AS my, avg(p) AS mp,
+         var_samp(y) AS vy, var_samp(p) AS vp, covar_samp(y, p) AS cyp
+  FROM cupac_pred GROUP BY 1
+), cupac_adj AS (
+  SELECT arm, n,
+         my - (SELECT theta FROM cupac_pool)
+              * (mp - (SELECT p_pool FROM cupac_pool)) AS mean_adj,
+         (vy + (SELECT theta FROM cupac_pool)*(SELECT theta FROM cupac_pool)*vp
+             - 2*(SELECT theta FROM cupac_pool)*cyp) / n AS var_adj
+  FROM cupac_arms
 ), pse_cells AS (
   SELECT l_linestatus AS s, l_orderkey % 2 AS arm,
          CAST(count(*) AS DOUBLE) AS n, avg(l_extendedprice) AS m,
@@ -1967,6 +2002,14 @@ SELECT 'cuped', round(a0.n, 6), round(a1.n, 6),
        round((a1.mean_adj - a0.mean_adj)/sqrt(a0.var_adj + a1.var_adj), 6)
 FROM (SELECT * FROM cuped_adj WHERE arm = 0) a0,
      (SELECT * FROM cuped_adj WHERE arm = 1) a1
+UNION ALL
+SELECT 'cupac', round(a0.n, 6), round(a1.n, 6),
+       round(a0.mean_adj, 6), round(a1.mean_adj, 6),
+       round(a1.mean_adj - a0.mean_adj, 6),
+       round(sqrt(a0.var_adj + a1.var_adj), 6),
+       round((a1.mean_adj - a0.mean_adj)/sqrt(a0.var_adj + a1.var_adj), 6)
+FROM (SELECT * FROM cupac_adj WHERE arm = 0) a0,
+     (SELECT * FROM cupac_adj WHERE arm = 1) a1
 UNION ALL
 SELECT 'pse', round(n0, 6), round(n1, 6), round(mean0, 6), round(mean1, 6),
        round(mean1 - mean0, 6), round(sqrt(var0 + var1), 6),
