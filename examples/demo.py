@@ -80,6 +80,11 @@ def main():
         "numerator", "treatment", "week")[
         ["look", "z", "boundary", "crossed", "alpha_spent"]])
 
+    print("== CUPAC: ML-adjusted variance reduction (round 5) ==")
+    cdf.cupac_ttest_2samp("numerator", "treatment",
+                          ["x1", "x2", "pow(x2,2)"]) \
+        .select("estimate", "stderr", "p_value").show()
+
     print("== uplift economics: ROI / iROI / Qini (round 5) ==")
     from fast_causal_inference_spark.uplift import (
         compute_auuc,
