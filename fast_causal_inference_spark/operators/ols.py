@@ -31,7 +31,8 @@ def parse_r_formula(formula: str) -> tuple[str, list[str]]:
     if "~" not in formula:
         raise ValueError(f"formula needs '~': {formula!r}")
     lhs, rhs = formula.split("~", 1)
-    feats = [t.strip() for t in rhs.split("+") if t.strip()]
+    # paren-aware split: 'y ~ pow(x1+x2,2) + x3' keeps the first term whole
+    feats = [t.strip() for t in _split_top_level(rhs) if t.strip()]
     if not feats:
         raise ValueError(f"no regressors in {formula!r}")
     return lhs.strip(), feats

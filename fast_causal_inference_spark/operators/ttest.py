@@ -386,52 +386,72 @@ def cupac_ttest_2samp(df: DataFrame, Y: str, index: str,
     Predictions As Covariates — the standard upgrade when no pre-period
     metric exists or covariates are nonlinear).
 
-    A cross-fitted OLS outcome model predicts Y from ``features`` on
+    Cross-fitted OLS outcome models predict Y from ``features`` on
     CONTROL rows of the OTHER folds (fitting on control only keeps the
     predictor treatment-free; cross-fitting keeps each row's own outcome
     out of its covariate — the same fold discipline as DML), then the
     prediction column is the CUPED covariate of a standard
     :func:`ttest_2samp`.
 
-    Spark shape: ``cv`` closed-form per-fold OLS fits (suff-stats
-    aggregations, run CONCURRENTLY — they are independent jobs over
-    disjoint fold complements), then predictions are a fold-dispatched
-    pure Column expression, then ONE t-test aggregation.  ``Y`` must be a
-    simple column/expression (a per-row outcome, not a ratio formula —
-    the predictor needs a row-level target).
+    Spark shape: ONE suff-stats aggregation grouped by fold over the
+    control arm yields every fold's Gramian; the k-th model is solved on
+    the driver from the SUM of the other folds' rows (Gramians are
+    additive), so all ``cv`` fits cost one scan — then predictions are a
+    fold-dispatched pure Column expression into ONE t-test aggregation.
+
+    ``fold_expr`` (e.g. a user/row id) defines the folds; the default
+    hashes the WHOLE row, which is fine for continuous features but a
+    row id is the safe choice.  ``Y`` must be a per-row outcome column/
+    expression (not a ratio formula — the predictor needs a row-level
+    target).  Rows with a NULL fold key or NULL features get a NULL
+    covariate and drop out of the test exactly like any NULL CUPED
+    covariate — prefer a non-NULL ``fold_expr``.
     """
-    import threading
+    from fast_causal_inference_spark.operators.ols import (
+        OlsModel,
+        _fit_from_row,
+    )
+    from fast_causal_inference_spark.operators.suffstats import (
+        suffstat_agg_columns,
+    )
 
-    from fast_causal_inference_spark.operators.ols import ols
-
+    if cv < 2:
+        raise ValueError(
+            f"cv must be >= 2 (got {cv}): with one fold there is no "
+            f"held-out data to fit the predictor on")
     ctl, trt = treatment_values
-    rhs = "+".join(features)
+    idx = F.col(index) if index.isidentifier() else F.expr(index)
     fold = (F.pmod(F.expr(fold_expr), F.lit(cv)).cast("int")
             if fold_expr is not None
-            else F.pmod(F.xxhash64(*[F.expr(f) for f in features],
+            else F.pmod(F.xxhash64(*[F.col(c) for c in df.columns],
                                    F.lit(977)), F.lit(cv)).cast("int"))
     work = df.withColumn("__fold", fold) \
              .withColumn("__yraw", F.expr(Y).cast("double"))
 
-    models: dict = {}
-
-    def _fit(k):
-        def go():
-            try:
-                sub = work.where((F.col("__fold") != k)
-                                 & (F.col(index) == F.lit(ctl)))
-                models[k] = ols(sub, f"__yraw ~ {rhs}")
-            except BaseException as exc:      # noqa: BLE001 — re-raised
-                models[k] = exc
-        th = threading.Thread(target=go)
-        th.start()
-        return th
-
-    for th in [_fit(k) for k in range(cv)]:
-        th.join()
-    for v in models.values():
-        if isinstance(v, BaseException):
-            raise v
+    # ONE pass: per-fold control-arm Gramians; complement = sum of others
+    base = list(features) + ["__yraw"]
+    aggs = suffstat_agg_columns(base)
+    aggs.append(F.count(F.lit(1)).alias("n_rows__"))
+    rows = (work.where(idx == F.lit(ctl))
+            .groupBy("__fold").agg(*aggs).collect())
+    by_fold = {int(r["__fold"]): r.asDict() for r in rows
+               if r["__fold"] is not None}
+    stat_keys = [k for k in (rows[0].asDict() if rows else {})
+                 if k != "__fold"]
+    models: dict[int, OlsModel] = {}
+    for k in range(cv):
+        summed = {key: sum(float(by_fold[f][key] or 0.0)
+                           for f in by_fold if f != k)
+                  for key in stat_keys}
+        if summed.get("n_rows__", 0.0) < len(features) + 2:
+            raise ValueError(
+                f"fold {k}: only {int(summed.get('n_rows__', 0))} control "
+                f"rows outside the fold — not enough to fit "
+                f"{len(features)} features; check cv/fold_expr (discrete "
+                f"features with the default hash folds can empty a "
+                f"complement — pass fold_expr with a row id)")
+        models[k] = _fit_from_row(summed, list(features), "__yraw", True,
+                                  summed["n_rows__"], None)
 
     pred = None
     for k in range(cv):

@@ -207,3 +207,39 @@ def test_cupac_reduces_variance_unbiased(spark):
     again = cupac_ttest_2samp(df, "y", "t", ["x1", "x2", "pow(x2,2)"])
     assert float(again.toPandas().estimate.iloc[0]) == pytest.approx(
         0.1, abs=0.025)
+
+
+def test_cupac_edge_contracts(spark):
+    import numpy as np
+    import pandas as pd
+
+    from fast_causal_inference_spark.operators.ttest import (
+        cupac_ttest_2samp,
+    )
+
+    rng = np.random.default_rng(1)
+    n = 4000
+    pdf = pd.DataFrame({"t": rng.integers(0, 2, n),
+                        "y": rng.normal(0, 1, n),
+                        "x1": rng.normal(0, 1, n),
+                        "x2": rng.normal(0, 1, n),
+                        "uid": range(n)})
+    df = spark.createDataFrame(pdf)
+    # expression index (accepted by every sibling test in this module)
+    out = cupac_ttest_2samp(df, "y", "uid % 2", ["x1"],
+                            fold_expr="uid").toPandas()
+    assert np.isfinite(out.estimate.iloc[0])
+    # parenthesized '+' inside a feature expression survives the formula
+    out2 = cupac_ttest_2samp(df, "y", "t", ["pow(x1+x2,2)"],
+                             fold_expr="uid").toPandas()
+    assert np.isfinite(out2.estimate.iloc[0])
+    # cv=1 is rejected up front
+    with pytest.raises(ValueError, match="cv must be >= 2"):
+        cupac_ttest_2samp(df, "y", "t", ["x1"], cv=1)
+    # degenerate folds raise an informative error, not a deep TypeError
+    from pyspark.sql import functions as sf
+
+    const = df.withColumn("c0", sf.lit(1.0))
+    with pytest.raises(ValueError, match="fold"):
+        cupac_ttest_2samp(const.drop("uid", "x1", "x2", "y")
+                          .withColumn("y", sf.lit(1.0)), "y", "t", ["c0"])
