@@ -5,11 +5,14 @@ Parity targets: reference ``uplift.py:2163-2360`` (LinearDML — folds via
 ỹ on t̃ [+ t̃·X interactions]) and ``NonParamDMLParser.java:29-131`` (weighted
 final stage: ỹ/t̃ on X with weight t̃²).
 
-Spark-first: folds come from a deterministic row hash; every nuisance fit is
-a Gramian aggregation (one per fold per nuisance — 2·cv tiny shuffles);
-out-of-fold residual columns are pure ``CASE WHEN`` expressions, so the final
-stage is again a single aggregation over codegen'd columns. No row ever moves
-to the driver.
+Spark-first: folds come from a deterministic row hash; ALL ``2·cv`` nuisance
+fits are solved from ONE ``groupBy(fold)`` Gramian scan (the joint Gramian
+over ``covariates+[Y,T]`` holds every cross-product both targets need, and a
+fold's complement is the sum of the other folds' rows — Gramians are
+additive); out-of-fold residual columns are pure ``CASE WHEN`` expressions,
+so the final stage is one more aggregation over codegen'd columns. Two
+passes over the data total, regardless of ``cv``. No row ever moves to the
+driver.
 """
 
 from __future__ import annotations
@@ -74,21 +77,75 @@ class DMLResult:
         })
 
 
-def _residual_columns(df: DataFrame, target: str, covariates: list[str],
-                      cv: int, fold_col: str, alias: str) -> DataFrame:
-    """Out-of-fold OLS residuals of ``target ~ covariates`` as one column."""
-    preds = []
+def _subrow(full: dict, idx: list[int]) -> dict:
+    """Project a joint sufficient-statistics row (over ``m`` base exprs)
+    down to the sub-model whose base positions are ``idx`` (y last),
+    renamed to the ``n``/``s{i}``/``c{i}_{j}`` keys ``_fit_from_row``
+    expects.  Gramians are additive and permutation-stable, so slicing
+    loses nothing."""
+    out = {"n": full["n"]}
+    for a, i in enumerate(idx):
+        out[f"s{a}"] = full[f"s{i}"]
+        for b in range(a, len(idx)):
+            j = idx[b]
+            lo, hi = (i, j) if i <= j else (j, i)
+            out[f"c{a}_{b}"] = full[f"c{lo}_{hi}"]
+    return out
+
+
+def _dml_residuals(df: DataFrame, Y: str, T: str, covariates: list[str],
+                   cv: int, fold_col: str) -> DataFrame:
+    """Out-of-fold OLS residual columns ``__res_y``/``__res_t`` for BOTH
+    nuisances from ONE grouped scan.
+
+    The joint Gramian over ``covariates + [Y, T]`` grouped by fold contains
+    every cross-product both nuisance fits need; each fold's complement
+    Gramian is the sum of the other folds' rows (Gramians are additive — the
+    CUPAC pattern, ``operators/ttest.py:431``), so all ``2·cv`` fits cost one
+    aggregation instead of ``2·cv`` full scans.  Rows where any of
+    ``covariates + [Y, T]`` is NULL drop out of BOTH fits (DML needs complete
+    cases anyway; the final-stage residual is NULL for them and the final
+    OLS skips them).
+    """
+    from fast_causal_inference_spark.operators.ols import _fit_from_row
+    from fast_causal_inference_spark.operators.suffstats import (
+        suffstat_agg_columns,
+    )
+
+    base = list(covariates) + [Y, T]
+    aggs = suffstat_agg_columns(base)
+    aggs.append(F.count(F.lit(1)).alias("n_rows__"))
+    rows = df.groupBy(fold_col).agg(*aggs).collect()
+    by_fold = {int(r[fold_col]): r.asDict() for r in rows
+               if r[fold_col] is not None}
+    stat_keys = [k for k in (rows[0].asDict() if rows else {})
+                 if k != fold_col]
+    k = len(covariates)
+    idx_y = list(range(k)) + [k]        # covariates + Y
+    idx_t = list(range(k)) + [k + 1]    # covariates + T
+
+    pred_y = pred_t = None
     for f in range(cv):
-        model = ols(df.where(F.col(fold_col) != f),
-                    f"{target} ~ {' + '.join(covariates)}")
-        preds.append((f, model.predict_column()))
-    pred: Column = F.lit(None).cast("double")
-    expr = None
-    for f, p in preds:
-        expr = F.when(F.col(fold_col) == f, p) if expr is None \
-            else expr.when(F.col(fold_col) == f, p)
-    pred = expr
-    return df.withColumn(alias, F.expr(target).cast("double") - pred)
+        summed = {key: sum(float(by_fold[g][key] or 0.0)
+                           for g in by_fold if g != f)
+                  for key in stat_keys}
+        if summed.get("n_rows__", 0.0) < k + 2:
+            raise ValueError(
+                f"fold {f}: only {int(summed.get('n_rows__', 0))} rows "
+                f"outside the fold — not enough to fit {k} covariates; "
+                f"check cv/fold_expr")
+        n_c = summed["n_rows__"]
+        my = _fit_from_row(_subrow(summed, idx_y), list(covariates), Y,
+                           True, n_c, None)
+        mt = _fit_from_row(_subrow(summed, idx_t), list(covariates), T,
+                           True, n_c, None)
+        cy, ct = my.predict_column(), mt.predict_column()
+        pred_y = F.when(F.col(fold_col) == f, cy) if pred_y is None \
+            else pred_y.when(F.col(fold_col) == f, cy)
+        pred_t = F.when(F.col(fold_col) == f, ct) if pred_t is None \
+            else pred_t.when(F.col(fold_col) == f, ct)
+    return (df.withColumn("__res_y", F.expr(Y).cast("double") - pred_y)
+              .withColumn("__res_t", F.expr(T).cast("double") - pred_t))
 
 
 def linear_dml(df: DataFrame, Y: str, T: str, X: list[str],
@@ -106,8 +163,7 @@ def linear_dml(df: DataFrame, Y: str, T: str, X: list[str],
         raise ValueError("DML needs at least one control covariate")
     hetero = list(heterogeneity or [])
     work = _fold_column(df, cv, "__fold", seed, fold_expr)
-    work = _residual_columns(work, Y, controls, cv, "__fold", "__res_y")
-    work = _residual_columns(work, T, controls, cv, "__fold", "__res_t")
+    work = _dml_residuals(work, Y, T, controls, cv, "__fold")
 
     terms = ["__res_t"] + [f"__res_t*({e})" for e in hetero]
     final = ols(work, f"__res_y ~ {' + '.join(terms)}", use_bias=True)
@@ -127,8 +183,7 @@ def non_param_dml(df: DataFrame, Y: str, T: str, X: list[str],
     controls = list(X) + list(W or [])
     hetero = list(heterogeneity or [])
     work = _fold_column(df, cv, "__fold", seed)
-    work = _residual_columns(work, Y, controls, cv, "__fold", "__res_y")
-    work = _residual_columns(work, T, controls, cv, "__fold", "__res_t")
+    work = _dml_residuals(work, Y, T, controls, cv, "__fold")
     work = (work.withColumn("__ratio", F.col("__res_y") / F.col("__res_t"))
                 .withColumn("__w", F.col("__res_t") * F.col("__res_t"))
                 .where(F.abs(F.col("__res_t")) > 1e-12))
