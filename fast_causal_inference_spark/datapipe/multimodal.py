@@ -7,15 +7,19 @@ instead of materializing whole partitions.
 
 Decode support is two-tier:
 
-* **Uncompressed formats decode for real, in pure Python/numpy** — BMP
-  (24-bit BITMAPINFOHEADER), PPM (binary P6), and PCM WAV (stdlib
-  ``wave``).  Image/audio stats, resize, embeddings, and MFCC-style
-  features below run on actual pixel/sample arrays for these formats.
-* **Codec formats (jpeg/png/mp3/mp4/…) need external libraries** this
+* **Self-contained formats decode for real, in pure Python/numpy** — BMP
+  (24-bit BITMAPINFOHEADER), PPM (binary P6), baseline PNG (stdlib
+  ``zlib`` inflate + scanline unfilter, all five filters and color
+  types at depth 8), and PCM WAV (stdlib ``wave``).  Image/audio stats,
+  resize, embeddings, and MFCC-style features below run on actual
+  pixel/sample arrays for these formats.
+* **Codec formats (jpeg/mp3/mp4/webp/…) need external libraries** this
   container does not have (no PIL/cv2/ffmpeg): those payloads raise
   ``NotImplementedError`` under ``strict=True`` or fall back to a
   deterministic content-seeded fake under ``strict=False`` so the
-  Spark-side plumbing stays exercisable end-to-end.
+  Spark-side plumbing stays exercisable end-to-end.  Fallback rows are
+  marked ``decoded = false`` wherever features are emitted, so a
+  downstream pipeline can filter honestly.
 """
 
 from __future__ import annotations
@@ -116,14 +120,141 @@ def decode_ppm(payload: bytes) -> np.ndarray:
                          offset=pos).reshape(h, w, 3).copy()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an 8-bit truecolor PNG
+    (filter 0 scanlines, one zlib IDAT)."""
+    import zlib
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError("encode_png expects (h, w, 3) uint8")
+    h, w, _ = a.shape
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo the five PNG scanline filters → (h, stride) uint8.
+
+    Up (2) and Sub (1) vectorize (Sub is a per-channel cumsum mod 256);
+    Average/Paeth fall back to a per-byte loop — correct first, and codec
+    work is per-row Arrow-batched anyway."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw, np.uint8, stride, pos).astype(np.int64)
+        pos += stride
+        prev = out[y - 1].astype(np.int64) if y else np.zeros(stride, np.int64)
+        if ft == 0:
+            cur = line
+        elif ft == 2:                                  # Up
+            cur = line + prev
+        elif ft == 1:                                  # Sub = cumsum per lane
+            lanes = line.reshape(-1, bpp)
+            cur = np.cumsum(lanes, axis=0).reshape(-1)
+        elif ft in (3, 4):                             # Average / Paeth
+            cur = np.empty(stride, np.int64)
+            for x in range(stride):
+                a = int(cur[x - bpp]) & 0xFF if x >= bpp else 0
+                b = int(prev[x])
+                if ft == 3:
+                    cur[x] = line[x] + ((a + b) >> 1)
+                else:
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[x] = line[x] + pr
+        else:
+            raise ValueError(f"invalid PNG filter type {ft}")
+        out[y] = (cur & 0xFF).astype(np.uint8)
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode a baseline PNG into an (h, w, 3) uint8 RGB array — pure
+    stdlib ``zlib`` + numpy, no PIL.
+
+    Supports bit depth 8 in all five color types (gray, RGB, palette,
+    gray+alpha, RGBA — alpha is dropped, palette mapped through PLTE) and
+    all five scanline filters.  Adam7 interlace and 1/2/4/16-bit depths
+    raise ``NotImplementedError``.
+    """
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    idat = bytearray()
+    ihdr = None
+    plte = None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length                             # skip CRC
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth} not supported")
+    if interlace:
+        raise NotImplementedError("Adam7 interlaced PNG not supported")
+    if comp != 0 or filt != 0:
+        raise ValueError("invalid PNG compression/filter method")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"invalid PNG color type {ctype}")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT size mismatch")
+    px = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
+    if ctype == 2:
+        return px.copy()
+    if ctype == 6:
+        return px[:, :, :3].copy()
+    if ctype == 0:
+        return np.repeat(px, 3, axis=2)
+    if ctype == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    if plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    return plte[px[:, :, 0]]
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Decode BMP or PPM payloads for real; raise for codec formats."""
+    """Decode BMP, PPM, or baseline PNG payloads for real; raise for
+    formats that need external codec libraries (jpeg/webp/...)."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     raise NotImplementedError(
-        "only uncompressed BMP/PPM decode in-container; jpeg/png need PIL/cv2")
+        "only BMP/PPM/baseline-PNG decode in-container; jpeg needs PIL/cv2")
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
@@ -215,18 +346,20 @@ def image_features(df: DataFrame, payload_col: str = "payload",
     ensure_udf_serializable()
     out_schema = T.StructType(df.schema.fields
                               + [T.StructField("features",
-                                               T.ArrayType(T.FloatType()))])
+                                               T.ArrayType(T.FloatType())),
+                                 T.StructField("decoded", T.BooleanType())])
     cols = [f.name for f in df.schema.fields]
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
+            feats, dec = [], []
             for p in pdf[payload_col]:
                 payload = bytes(p) if p is not None else b""
                 try:
                     feats.append(
                         _pool_embedding(decode_image(payload),
                                         n_features).tolist())
+                    dec.append(True)
                 except (NotImplementedError, ValueError, struct.error) as e:
                     if strict:
                         # only UNSUPPORTED-codec errors get the PIL/cv2
@@ -234,14 +367,17 @@ def image_features(df: DataFrame, payload_col: str = "payload",
                         # (same contract as image_stats)
                         if isinstance(e, NotImplementedError):
                             raise NotImplementedError(
-                                "non-BMP/PPM image decode requires PIL/cv2 "
-                                "— not present in this container") from e
+                                "non-BMP/PPM/PNG image decode requires "
+                                "PIL/cv2 — not present in this "
+                                "container") from e
                         raise
                     feats.append(_fake_image_features(
                         payload, n_features).tolist())
+                    dec.append(False)
             pdf = pdf.copy()
             pdf["features"] = feats
-            yield pdf[cols + ["features"]]
+            pdf["decoded"] = dec
+            yield pdf[cols + ["features", "decoded"]]
 
     return df.mapInPandas(extract, out_schema)
 
@@ -361,15 +497,20 @@ def synthesize_media_column(df: DataFrame, from_col: str,
 
 
 def synthesize_image_column(df: DataFrame, from_col: str,
-                            payload_col: str = "payload") -> DataFrame:
-    """Synthesize a REAL 24-bit BMP payload per row, with dimensions and a
-    constant fill color derived from sha256 hex substrings of ``from_col``
-    — the same derivation an external SQL oracle can compute:
+                            payload_col: str = "payload",
+                            fmt: str = "bmp") -> DataFrame:
+    """Synthesize a REAL image payload per row (``fmt``: ``bmp`` or
+    ``png``), with dimensions and a constant fill color derived from
+    sha256 hex substrings of ``from_col`` — the same derivation an
+    external SQL oracle can compute:
     w = hex[0:4] % 16 + 1, h = hex[4:8] % 16 + 1, color = hex[8:10]."""
+    if fmt not in ("bmp", "png"):
+        raise ValueError("fmt must be 'bmp' or 'png'")
     ensure_udf_serializable()
     out_schema = T.StructType(df.schema.fields
                               + [T.StructField(payload_col, T.BinaryType())])
     cols = [f.name for f in df.schema.fields]
+    enc = encode_bmp if fmt == "bmp" else encode_png
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -379,7 +520,7 @@ def synthesize_image_column(df: DataFrame, from_col: str,
                 w = int(hx[0:4], 16) % 16 + 1
                 h = int(hx[4:8], 16) % 16 + 1
                 c = int(hx[8:10], 16)
-                payloads.append(encode_bmp(np.full((h, w, 3), c, np.uint8)))
+                payloads.append(enc(np.full((h, w, 3), c, np.uint8)))
             pdf = pdf.copy()
             pdf[payload_col] = payloads
             yield pdf[cols + [payload_col]]

@@ -170,8 +170,14 @@ def bpe_encode(df: DataFrame, model: dict, text_col: str = "text",
     One Arrow-batched UDF pass; the merge-rank table rides the closure
     (broadcast once per executor) and a per-batch memo encodes each
     DISTINCT word once."""
+    import re
+
     ranks = {pair: i for i, pair in enumerate(model["merges"])}
     lowercase = bool(model.get("lowercase", True))
+    # ASCII whitespace only, matching train_bpe's Java \s+ split (and
+    # quality_classifier_udf): str.split() would also break on NBSP etc.,
+    # producing words the training pass never saw.
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
     @F.pandas_udf("array<string>")
     def _enc(texts: pd.Series) -> pd.Series:
@@ -183,7 +189,9 @@ def bpe_encode(df: DataFrame, model: dict, text_col: str = "text",
             if lowercase:
                 t = t.lower()
             out: list[str] = []
-            for w in t.split():
+            for w in ws.split(t):
+                if not w:
+                    continue
                 toks = memo.get(w)
                 if toks is None:
                     toks = bpe_encode_word(w, ranks)

@@ -27,14 +27,19 @@ from fast_causal_inference_spark.operators.ols import OlsModel, ols
 
 
 def _fold_column(df: DataFrame, cv: int, fold_col: str, seed: int,
-                 fold_expr: str | None = None) -> DataFrame:
+                 fold_expr: str | None = None,
+                 hash_cols: list[str] | None = None) -> DataFrame:
     """Deterministic fold id ∈ [0, cv) from a row hash (reference uses
     rowNumberInAllBlocks %% cv; a hash is order-stable under repartitioning).
-    ``fold_expr`` overrides with a user expression (e.g. ``id % 3``)."""
+    ``fold_expr`` overrides with a user expression (e.g. ``id % 3``).
+    ``hash_cols`` restricts the default hash to pre-treatment columns —
+    hashing the whole row would make fold membership a function of Y/T and
+    weaken the cross-fitting independence argument."""
     if fold_expr is not None:
         return df.withColumn(fold_col,
                              F.pmod(F.expr(fold_expr), F.lit(cv)).cast("int"))
-    h = F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed))
+    cols = hash_cols if hash_cols else df.columns
+    h = F.xxhash64(*[F.expr(c) for c in cols], F.lit(seed))
     return df.withColumn(fold_col, F.pmod(h, F.lit(cv)).cast("int"))
 
 
@@ -162,7 +167,7 @@ def linear_dml(df: DataFrame, Y: str, T: str, X: list[str],
     if not controls:
         raise ValueError("DML needs at least one control covariate")
     hetero = list(heterogeneity or [])
-    work = _fold_column(df, cv, "__fold", seed, fold_expr)
+    work = _fold_column(df, cv, "__fold", seed, fold_expr, hash_cols=controls)
     work = _dml_residuals(work, Y, T, controls, cv, "__fold")
 
     terms = ["__res_t"] + [f"__res_t*({e})" for e in hetero]
@@ -182,7 +187,7 @@ def non_param_dml(df: DataFrame, Y: str, T: str, X: list[str],
     weight t̃² (reference NonParamDMLParser.java:29-131)."""
     controls = list(X) + list(W or [])
     hetero = list(heterogeneity or [])
-    work = _fold_column(df, cv, "__fold", seed)
+    work = _fold_column(df, cv, "__fold", seed, hash_cols=controls)
     work = _dml_residuals(work, Y, T, controls, cv, "__fold")
     work = (work.withColumn("__ratio", F.col("__res_y") / F.col("__res_t"))
                 .withColumn("__w", F.col("__res_t") * F.col("__res_t"))

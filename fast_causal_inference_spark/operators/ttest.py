@@ -400,8 +400,9 @@ def cupac_ttest_2samp(df: DataFrame, Y: str, index: str,
     fold-dispatched pure Column expression into ONE t-test aggregation.
 
     ``fold_expr`` (e.g. a user/row id) defines the folds; the default
-    hashes the WHOLE row, which is fine for continuous features but a
-    row id is the safe choice.  ``Y`` must be a per-row outcome column/
+    hashes the FEATURE columns only (never Y or the treatment index, so
+    fold membership stays independent of post-treatment data), which is
+    fine for continuous features but a row id is the safe choice.  ``Y`` must be a per-row outcome column/
     expression (not a ratio formula — the predictor needs a row-level
     target).  Rows with a NULL fold key or NULL features get a NULL
     covariate and drop out of the test exactly like any NULL CUPED
@@ -421,9 +422,12 @@ def cupac_ttest_2samp(df: DataFrame, Y: str, index: str,
             f"held-out data to fit the predictor on")
     ctl, trt = treatment_values
     idx = F.col(index) if index.isidentifier() else F.expr(index)
+    # Default fold key hashes ONLY the feature columns (+ salt): hashing the
+    # whole row would make fold assignment a function of the outcome and the
+    # treatment index, breaking the cross-fitting independence argument.
     fold = (F.pmod(F.expr(fold_expr), F.lit(cv)).cast("int")
             if fold_expr is not None
-            else F.pmod(F.xxhash64(*[F.col(c) for c in df.columns],
+            else F.pmod(F.xxhash64(*[F.expr(c) for c in features],
                                    F.lit(977)), F.lit(cv)).cast("int"))
     work = df.withColumn("__fold", fold) \
              .withColumn("__yraw", F.expr(Y).cast("double"))

@@ -38,6 +38,31 @@ from fast_causal_inference_spark.operators.suffstats import (
 N_BUCKETS = 128
 
 
+def _probe_treatment_values(df: DataFrame, idx) -> tuple:
+    """One distinct scan to discover the two arm values (only the grouped
+    drill-down path needs this; the ungrouped paths fold arm discovery into
+    their statistics scan). Pass ``treatment_values`` to skip it."""
+    vals = [r[0] for r in df.select(idx.alias("i")).distinct()
+            .orderBy("i").limit(3).collect()]
+    if len(vals) != 2:
+        raise ValueError(f"index must have exactly 2 values, got {vals}")
+    return tuple(vals)
+
+
+def _stats_from_matrix(X: np.ndarray):
+    """NumStats of a small driver-side data matrix (rows × k features),
+    with exactly the ``row_to_stats`` count/sum/cross-sum finalization."""
+    from fast_causal_inference_spark.operators.suffstats import NumStats
+
+    n = float(X.shape[0])
+    s = X.sum(axis=0)
+    c = X.T @ X
+    means = s / n if n > 0 else np.full(X.shape[1], np.nan)
+    cov = ((c - np.outer(s, s) / n) / (n - 1.0) if n > 1
+           else np.full((X.shape[1], X.shape[1]), np.nan))
+    return NumStats(n=n, means=means, cov=cov)
+
+
 def xexpt_ttest_2samp(df: DataFrame, numerator: str, denominator: str,
                       index: str, uin: str, metric_type: str = "avg",
                       group_buckets: tuple = (1, 1), alpha: float = 0.05,
@@ -52,13 +77,6 @@ def xexpt_ttest_2samp(df: DataFrame, numerator: str, denominator: str,
         raise ValueError("metric_type must be 'avg' or 'sum'")
 
     idx = F.col(index) if index.isidentifier() else F.expr(index)
-    if treatment_values is None:
-        vals = [r[0] for r in df.select(idx.alias("i")).distinct()
-                .orderBy("i").limit(3).collect()]
-        if len(vals) != 2:
-            raise ValueError(f"index must have exactly 2 values, got {vals}")
-        treatment_values = tuple(vals)
-    v0, v1 = treatment_values
 
     x_parts = [p for p in X.replace("X=", "").split("+") if p.strip()] if X else []
     y_formula = f"avg({numerator})/avg({denominator})"
@@ -67,6 +85,9 @@ def xexpt_ttest_2samp(df: DataFrame, numerator: str, denominator: str,
     k = len(base)
 
     if group_cols:
+        if treatment_values is None:
+            treatment_values = _probe_treatment_values(df, idx)
+        v0, v1 = treatment_values
         # drill-down: ONE grouped suff-stats aggregation over all report
         # cells (reference ``groupBy('ds').xexpt_ttest_2samp`` is a single
         # grouped pass, statistics.py:479-480); the tiny per-cell stat rows
@@ -77,56 +98,71 @@ def xexpt_ttest_2samp(df: DataFrame, numerator: str, denominator: str,
             ynode, xnodes, base, k, v0, v1, max_cells)
 
     if metric_type == "avg":
-        aggs = (suffstat_agg_columns(base, "g0_", idx == F.lit(v0))
-                + suffstat_agg_columns(base, "g1_", idx == F.lit(v1)))
-        row = df.agg(*aggs).collect()[0]
-        s0 = row_to_stats(row, k, "g0_")
-        s1 = row_to_stats(row, k, "g1_")
-        den_sums = None
+        if treatment_values is None:
+            # arm values come out of the SAME scan that computes the
+            # statistics: group the suff-stats by the index value instead
+            # of probing distinct values first (saves one full pass)
+            grows = (df.groupBy(idx.alias("__i"))
+                       .agg(*suffstat_agg_columns(base))
+                       .orderBy("__i").limit(3).collect())
+            if len(grows) != 2:
+                vals = [r["__i"] for r in grows]
+                raise ValueError(
+                    f"index must have exactly 2 values, got {vals}")
+            v0, v1 = grows[0]["__i"], grows[1]["__i"]
+            s0 = row_to_stats(grows[0], k)
+            s1 = row_to_stats(grows[1], k)
+        else:
+            v0, v1 = treatment_values
+            aggs = (suffstat_agg_columns(base, "g0_", idx == F.lit(v0))
+                    + suffstat_agg_columns(base, "g1_", idx == F.lit(v1)))
+            row = df.agg(*aggs).collect()[0]
+            s0 = row_to_stats(row, k, "g0_")
+            s1 = row_to_stats(row, k, "g1_")
     else:
-        # stage 1: arm × hash-bucket sums of every base column (native agg)
+        # stage 1: index-value × hash-bucket sums of every base column
+        # (native agg). The tiny bucket relation (≤ values × 128 rows) is
+        # collected ONCE — arm discovery, the both-arms guard, and stage 2
+        # all read the collected rows, so the data is scanned exactly once
+        # (previously the arm probe and the stage-2 agg each recomputed it).
         ucol = F.col(uin) if uin.isidentifier() else F.expr(uin)
         bucket = F.pmod(F.xxhash64(ucol), F.lit(N_BUCKETS))
-        arm = F.when(idx == F.lit(v0), 0).when(idx == F.lit(v1), 1)
         sums = [F.sum(F.expr(e).cast("double")).alias(f"b{i}")
                 for i, e in enumerate(base)]
-        b = (df.where(arm.isNotNull())
-               .groupBy(arm.alias("arm"), bucket.alias("bucket"))
-               .agg(*sums))
-        present = {r["arm"] for r in b.select("arm").distinct().collect()}
-        if present != {0, 1}:
+        pre = df if treatment_values is None else \
+            df.where(idx.isin(list(treatment_values)))
+        brows = (pre.groupBy(idx.alias("__i"), bucket.alias("bucket"))
+                 .agg(*sums).collect())
+        vals = sorted({r["__i"] for r in brows if r["__i"] is not None})
+        if treatment_values is None:
+            if len(vals) != 2:
+                raise ValueError(
+                    f"index must have exactly 2 values, got {vals}")
+            treatment_values = tuple(vals)
+        v0, v1 = treatment_values
+        present = {r["__i"] for r in brows} & {v0, v1}
+        if present != {v0, v1}:
             raise ValueError(
                 f"sum-metric xexpt needs rows in both arms; "
-                f"present arms: {sorted(present)}")
+                f"present arms: {sorted(present, key=str)}")
         # the reference's bucket semantics are FIXED 128 buckets per arm:
-        # sparse arms must contribute zero observations for empty buckets,
-        # else mean = avg(bucket sums)/(ratio/128) inflates. Right-join the
-        # (tiny) bucket relation against the full 0..127 × {0,1} grid.
-        sess = df.sparkSession
-        grid = (sess.range(N_BUCKETS).select(F.col("id").alias("bucket"))
-                .crossJoin(sess.range(2).select(F.col("id").cast("int").alias("arm"))))
-        b = (grid.join(b, ["arm", "bucket"], "left")
-                 .na.fill({f"b{i}": 0.0 for i in range(k)}))
-        # stage 2: sufficient stats over the (tiny) bucket relation; the
-        # denominator observation becomes the arm's traffic share
+        # sparse arms contribute zero observations for empty buckets, else
+        # mean = avg(bucket sums)/(ratio/128) inflates — the zero-filled
+        # 128-row matrix per arm IS the grid fill.
         den_i = base.index(denominator.strip()) if denominator.strip() in base else 1
-        # NB: bare "1.0/128" parses as DECIMAL in Spark SQL and rounds to
-        # 0.007813 — route through repr() + string cast for an exact double
-        r0, r1 = (float(group_buckets[0]) / N_BUCKETS,
-                  float(group_buckets[1]) / N_BUCKETS)
-        exprs = []
-        for i in range(k):
-            if i == den_i:
-                exprs.append(
-                    f"CASE WHEN arm = 0 THEN CAST('{r0!r}' AS DOUBLE) "
-                    f"ELSE CAST('{r1!r}' AS DOUBLE) END")
-            else:
-                exprs.append(f"b{i}")
-        aggs = (suffstat_agg_columns(exprs, "g0_", F.col("arm") == 0)
-                + suffstat_agg_columns(exprs, "g1_", F.col("arm") == 1))
-        row = b.agg(*aggs).collect()[0]
-        s0 = row_to_stats(row, k, "g0_")
-        s1 = row_to_stats(row, k, "g1_")
+        r_arm = {v0: float(group_buckets[0]) / N_BUCKETS,
+                 v1: float(group_buckets[1]) / N_BUCKETS}
+        mats = {v: np.zeros((N_BUCKETS, k)) for v in (v0, v1)}
+        for r in brows:
+            m = mats.get(r["__i"])
+            if m is None:
+                continue
+            for i in range(k):
+                m[int(r["bucket"]), i] = float(r[f"b{i}"] or 0.0)
+        for v, m in mats.items():
+            m[:, den_i] = r_arm[v]
+        s0 = _stats_from_matrix(mats[v0])
+        s1 = _stats_from_matrix(mats[v1])
 
     import pandas as pd
 

@@ -114,6 +114,29 @@ def _aggregate(df: DataFrame, metric_type: str, target_colname: str,
     through the groupBy — only set by the per-quantile wrappers (a
     user-supplied frame may coincidentally carry a row-level column named
     'threshold'; silently grouping on it would fracture the buckets)."""
+    # Internal replica/weight names and the output aliases 'count'/'fraction'
+    # are reserved: a user frame already carrying them would make the
+    # grouping ambiguous (same guard idea as carry_threshold for
+    # 'threshold'). Role columns may not use reserved names; mere bystander
+    # columns with those names are dropped (they don't feed any sum).
+    reserved = {"bootstrap", "__u", "__w"}
+    roles = {x for x in (bucket_colname, target_colname, benefit_colname,
+                         cost_colname, treatment_colname) if x is not None}
+    if carry_threshold and "threshold" in df.columns:
+        roles.add("threshold")
+    bad = reserved & roles
+    if bad:
+        raise ValueError(
+            f"column name(s) {sorted(bad)} are reserved for internal "
+            f"bootstrap state; rename the input column(s)")
+    if bucket_colname in ("count", "fraction"):
+        raise ValueError(
+            f"bucket column may not be named {bucket_colname!r}: it would "
+            f"collide with the aggregate output of the same name")
+    clash = [c for c in df.columns if c in reserved]
+    if clash:
+        df = df.drop(*clash)
+
     group_cols: list[str] = []
     if bucket_colname is not None:
         group_cols.append(bucket_colname)

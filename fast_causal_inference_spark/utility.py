@@ -163,6 +163,12 @@ def get_num_smd(matched_df: DataFrame, treatment: str,
                  F.round(F.variance(c), 4).alias(f"__v_{c}")]
     pdf = (matched_df.groupBy(F.col(treatment).cast("double").alias("__t"))
            .agg(*aggs).toPandas().set_index("__t"))
+    missing = {1.0, 0.0} - set(pdf.index)
+    if missing:
+        raise ValueError(
+            f"get_num_smd: treatment column {treatment!r} has no rows for "
+            f"arm(s) {sorted(missing)}; arms present: "
+            f"{sorted(pdf.index.tolist())} (expected 0/1 coding)")
     rows = []
     for c in num_fea_list:
         m1, m0 = pdf.loc[1.0, f"__m_{c}"], pdf.loc[0.0, f"__m_{c}"]

@@ -1,0 +1,315 @@
+"""Round-5 ADVICE/VERDICT fixes.
+
+1. CUPAC/DML default fold hash uses only pre-treatment columns.
+2. bpe_encode splits on ASCII whitespace, matching train_bpe's Java \\s+.
+3. ROI _aggregate guards reserved internal column names.
+4. get_num_smd raises a descriptive error when an arm is missing.
+5. xexpt_ttest_2samp infers treatment values without an extra scan and
+   matches the explicit-values path.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_cupac_folds_ignore_outcome(spark):
+    """Fold assignment must not change when Y or the index changes —
+    otherwise fold membership depends on post-treatment data."""
+    from fast_causal_inference_spark.operators.ttest import cupac_ttest_2samp
+
+    rng = np.random.default_rng(7)
+    n = 2000
+    pdf = pd.DataFrame({
+        "x1": rng.normal(0, 1, n), "x2": rng.normal(0, 1, n),
+        "t": rng.integers(0, 2, n),
+    })
+    pdf["y"] = 1.0 + 2.0 * pdf.x1 + 0.1 * pdf.t + rng.normal(0, 0.5, n)
+    df1 = spark.createDataFrame(pdf)
+    # same features, shifted outcome: identical folds => the control-arm
+    # predictor coefficients fit on y+10 are the y-fit + 10 on the
+    # intercept, so the CUPED stderr is IDENTICAL (covariate shifted by a
+    # constant). If folds depended on y, the fold partition would change
+    # and the stderrs would drift.
+    df2 = df1.withColumn("y", F.col("y") + F.lit(10.0))
+    r1 = cupac_ttest_2samp(df1, "y", "t", ["x1", "x2"]).toPandas()
+    r2 = cupac_ttest_2samp(df2, "y", "t", ["x1", "x2"]).toPandas()
+    assert float(r1.stderr.iloc[0]) == pytest.approx(
+        float(r2.stderr.iloc[0]), rel=1e-12)
+    assert float(r1.estimate.iloc[0]) == pytest.approx(
+        float(r2.estimate.iloc[0]), abs=1e-9)
+
+
+def test_dml_folds_ignore_outcome(spark):
+    from fast_causal_inference_spark.operators.dml import linear_dml
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    pdf = pd.DataFrame({"x": rng.normal(0, 1, n)})
+    pdf["t"] = pdf.x * 0.5 + rng.normal(0, 1, n)
+    pdf["y"] = pdf.x + 1.5 * pdf.t + rng.normal(0, 1, n)
+    df = spark.createDataFrame(pdf)
+    a = linear_dml(df, "y", "t", ["x"], cv=3)
+    b = linear_dml(df.withColumn("y", F.col("y") * 2), "y", "t", ["x"], cv=3)
+    # doubling y doubles theta EXACTLY only if the folds are unchanged
+    assert b.ate == pytest.approx(2.0 * a.ate, rel=1e-10)
+
+
+def test_bpe_encode_unicode_whitespace_parity(spark):
+    """NBSP must NOT split words at encode time (train_bpe's \\s+ is
+    ASCII-only, so 'a\\u00a0b' is ONE training word)."""
+    from fast_causal_inference_spark.datapipe.tokenizer import (
+        bpe_encode,
+        train_bpe,
+    )
+
+    rows = [("a b c",)] * 30 + [("plain text here",)] * 5
+    df = spark.createDataFrame(rows, "text string")
+    model = train_bpe(df, text_col="text", vocab_size=40)
+    out = bpe_encode(df, model, "text").select("bpe_tokens").collect()
+    toks = ["".join(r[0]) for r in out]
+    # the NBSP survives inside the reconstructed word stream (ASCII split
+    # removes only ASCII whitespace)
+    assert any("a b" in t for t in toks)
+
+
+def test_roi_reserved_column_guards(spark):
+    from fast_causal_inference_spark.uplift.roi import estimate_metrics
+
+    pdf = pd.DataFrame({
+        "t": np.tile([0, 1], 100),
+        "tgt": np.arange(200, dtype=float),
+        "ben": np.arange(200, dtype=float) * 0.5,
+        "cost": np.ones(200),
+        "bootstrap": np.zeros(200),     # bystander with a reserved name
+        "count": np.ones(200),          # bystander matching an output alias
+    })
+    df = spark.createDataFrame(pdf)
+    # bystander reserved columns are dropped, not fatal
+    out = estimate_metrics(df, "ate", target_colname="tgt",
+                           treatment_colname="t", treatment_value=1,
+                           control_value=0, bootstrap=True, n_bootstraps=5)
+    assert "ate" in out.columns and len(out) >= 1
+    # a ROLE column with a reserved name is an explicit error
+    with pytest.raises(ValueError, match="reserved"):
+        estimate_metrics(df.withColumnRenamed("tgt", "__w"), "ate",
+                         target_colname="__w", treatment_colname="t",
+                         treatment_value=1, control_value=0)
+
+
+def test_get_num_smd_missing_arm(spark):
+    from fast_causal_inference_spark.utility import get_num_smd
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"t": np.ones(50), "x": np.arange(50.0)}))
+    with pytest.raises(ValueError, match="no rows for arm"):
+        get_num_smd(df, "t", ["x"])
+    ok = spark.createDataFrame(
+        pd.DataFrame({"t": np.tile([0.0, 1.0], 25), "x": np.arange(50.0)}))
+    res = get_num_smd(ok, "t", ["x"])
+    assert res.shape == (1, 2)
+
+
+@pytest.fixture(scope="module")
+def xexpt_df(spark):
+    rng = np.random.default_rng(3)
+    n = 4000
+    pdf = pd.DataFrame({
+        "uid": np.arange(n),
+        "g": rng.integers(0, 2, n),
+        "num": rng.normal(10, 2, n),
+        "den": np.ones(n),
+    })
+    return spark.createDataFrame(pdf).cache()
+
+
+def test_xexpt_inferred_values_match_explicit(spark, xexpt_df):
+    from fast_causal_inference_spark.operators.xexpt import xexpt_ttest_2samp
+
+    for mt in ("avg", "sum"):
+        auto = xexpt_ttest_2samp(xexpt_df, "num", "den", "g", "uid",
+                                 metric_type=mt)
+        expl = xexpt_ttest_2samp(xexpt_df, "num", "den", "g", "uid",
+                                 metric_type=mt, treatment_values=(0, 1))
+        for c in ("mean0", "mean1", "diff", "t_stat", "p_value"):
+            a, e = float(auto[c].iloc[0]), float(expl[c].iloc[0])
+            assert a == pytest.approx(e, rel=1e-9, abs=1e-12), (mt, c)
+
+
+def test_xexpt_avg_single_scan(spark, xexpt_df):
+    """Arm inference must NOT cost an extra pass: exactly one
+    collect-backed scan for the ungrouped avg path."""
+    from fast_causal_inference_spark.operators.xexpt import xexpt_ttest_2samp
+
+    cls = type(xexpt_df)
+    calls = []
+    orig = cls.collect
+
+    def counting(self):
+        calls.append(1)
+        return orig(self)
+
+    try:
+        cls.collect = counting
+        xexpt_ttest_2samp(xexpt_df, "num", "den", "g", "uid",
+                          metric_type="avg")
+    finally:
+        cls.collect = orig
+    assert len(calls) == 1, f"expected 1 scan, saw {len(calls)}"
+
+
+# ---------------------------------------------------------------------------
+# PNG decode (stdlib zlib)
+# ---------------------------------------------------------------------------
+
+
+def _png_with_filters(arr, filter_types):
+    """Encode (h,w,3) uint8 with a CHOSEN filter type per scanline — drives
+    decode_png through Sub/Up/Average/Paeth, which encode_png (filter 0)
+    never emits."""
+    import struct
+    import zlib
+
+    a = np.asarray(arr, dtype=np.uint8).astype(np.int32)
+    h, w, _ = a.shape
+    bpp = 3
+    raw = bytearray()
+    prev = np.zeros((w, 3), np.int32)
+    for y in range(h):
+        line = a[y]
+        ft = filter_types[y % len(filter_types)]
+        flat = line.reshape(-1)
+        pflat = prev.reshape(-1)
+        left = np.concatenate([np.zeros(bpp, np.int32), flat[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.int32), pflat[:-bpp]])
+        if ft == 0:
+            enc = flat
+        elif ft == 1:
+            enc = flat - left
+        elif ft == 2:
+            enc = flat - pflat
+        elif ft == 3:
+            enc = flat - ((left + pflat) >> 1)
+        else:
+            p = left + pflat - upleft
+            pa, pb, pc = (np.abs(p - left), np.abs(p - pflat),
+                          np.abs(p - upleft))
+            pr = np.where((pa <= pb) & (pa <= pc), left,
+                          np.where(pb <= pc, pflat, upleft))
+            enc = flat - pr
+        raw.append(ft)
+        raw.extend((enc & 0xFF).astype(np.uint8).tobytes())
+        prev = line
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def test_png_roundtrip_filter0():
+    from fast_causal_inference_spark.datapipe.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (13, 7, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(img)), img)
+
+
+@pytest.mark.parametrize("fts", [[1], [2], [3], [4], [0, 1, 2, 3, 4]])
+def test_png_all_scanline_filters(fts):
+    from fast_causal_inference_spark.datapipe.multimodal import decode_png
+
+    rng = np.random.default_rng(sum(fts) + 17)
+    img = rng.integers(0, 256, (11, 9, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(_png_with_filters(img, fts)), img)
+
+
+def test_png_color_types():
+    """Gray (0), RGBA (6), gray+alpha (4), palette (3) all land as RGB."""
+    import struct
+    import zlib
+
+    from fast_causal_inference_spark.datapipe.multimodal import decode_png
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    def build(w, h, ctype, raw, plte=b""):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        if plte:
+            out += chunk(b"PLTE", plte)
+        return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+    # gray 2x2: values 10,20 / 30,40
+    g = build(2, 2, 0, b"\x00\x0a\x14\x00\x1e\x28")
+    got = decode_png(g)
+    assert got[0, 0].tolist() == [10, 10, 10]
+    assert got[1, 1].tolist() == [40, 40, 40]
+    # RGBA 1x1: (1,2,3,alpha 9) -> alpha dropped
+    ra = build(1, 1, 6, b"\x00\x01\x02\x03\x09")
+    assert decode_png(ra)[0, 0].tolist() == [1, 2, 3]
+    # gray+alpha 1x1
+    ga = build(1, 1, 4, b"\x00\x07\xff")
+    assert decode_png(ga)[0, 0].tolist() == [7, 7, 7]
+    # palette 1x2 -> entries 1 then 0
+    pl = build(2, 1, 3, b"\x00\x01\x00",
+               plte=bytes([5, 6, 7, 8, 9, 10]))
+    assert decode_png(pl)[0, 0].tolist() == [8, 9, 10]
+    assert decode_png(pl)[0, 1].tolist() == [5, 6, 7]
+
+
+def test_png_unsupported_variants_raise():
+    import struct
+    import zlib
+
+    from fast_causal_inference_spark.datapipe.multimodal import decode_png
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    deep = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0))
+    with pytest.raises(NotImplementedError, match="bit depth"):
+        decode_png(deep)
+    inter = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1))
+    with pytest.raises(NotImplementedError, match="interlace"):
+        decode_png(inter)
+
+
+def test_image_pipeline_png_end_to_end(spark):
+    """synthesize png -> image_stats + image_features through Spark, with
+    the decoded flag true for real decodes and false for codec fallbacks."""
+    from fast_causal_inference_spark.datapipe.multimodal import (
+        image_features,
+        image_stats,
+        synthesize_image_column,
+    )
+
+    d = spark.createDataFrame([(i, f"doc {i}") for i in range(20)],
+                              "doc_id int, text string")
+    png = synthesize_image_column(d, "text", fmt="png")
+    stats = image_stats(png).toPandas()
+    import hashlib as hl
+    for _, r in stats.iterrows():
+        hx = hl.sha256(f"doc {int(r.doc_id)}".encode()).hexdigest()
+        assert int(r.width) == int(hx[0:4], 16) % 16 + 1
+        assert int(r.height) == int(hx[4:8], 16) % 16 + 1
+        assert float(r.mean_pixel) == float(int(hx[8:10], 16))
+    feats = image_features(png, n_features=16).toPandas()
+    assert feats.decoded.all()
+    # a non-decodable payload under strict=False is flagged decoded=False
+    bad = spark.createDataFrame([(1, bytearray(b"\xff\xd8\xff\xe0JFIF"))],
+                                "doc_id int, payload binary")
+    fb = image_features(bad, n_features=16, strict=False).toPandas()
+    assert not fb.decoded.any()

@@ -307,8 +307,8 @@ def test_dml_one_scan_matches_per_fold_fits(spark, hte_df, hte_pdf):
     # numpy replication with the same hash folds (pull folds + data in one
     # collect so row alignment survives the fixture's repartition)
     pdf = (hte_df.withColumn(
-        "f", F.pmod(F.xxhash64(*[F.col(c) for c in hte_df.columns],
-                               F.lit(42)), F.lit(3)).cast("int"))
+        "f", F.pmod(F.xxhash64(F.expr("x1"), F.expr("x2"), F.lit(42)),
+                    F.lit(3)).cast("int"))
         .select("x1", "x2", "t", "y", "f").toPandas())
     folds = pdf["f"].to_numpy()
     X = np.column_stack([np.ones(len(pdf)), pdf["x1"], pdf["x2"]])
