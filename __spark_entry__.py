@@ -576,18 +576,75 @@ FROM b ORDER BY time
 """
 
 
-def q_t_learner(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T-learner (single covariate ⇒ per-arm simple OLS, regr_*-oracle-able):
-    average predicted ITE by return flag."""
-    from fast_causal_inference_spark.uplift.metalearners import TLearner
+def _tl_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_load(spark, sf_dir, "lineitem")
+            .withColumn("arm", (F.col("l_orderkey") % 2).cast("int"))
+            .withColumn("disc_hi", (F.col("l_discount") > 0.05).cast("int")))
 
-    li = _load(spark, sf_dir, "lineitem") \
-        .withColumn("arm", (F.col("l_orderkey") % 2).cast("int"))
-    tl = TLearner(["l_quantity"], "l_extendedprice", "arm").fit(li)
-    return (tl.predict(li, "ite")
-            .groupBy("l_returnflag")
-            .agg(F.round(F.avg("ite"), 6).alias("avg_ite"))
-            .orderBy("l_returnflag"))
+
+def _avg_ite_rows(learner, li: DataFrame, variant: str, nd: int = 6):
+    pdf = (learner.predict(li, "ite")
+           .groupBy("l_returnflag")
+           .agg(F.avg("ite").alias("avg_ite"))
+           .orderBy("l_returnflag").collect())
+    return [(variant, str(r["l_returnflag"]), round(float(r["avg_ite"]), nd))
+            for r in pdf]
+
+
+def g_t_learner_cvt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CVT rows of the meta-learner family (golden sub-oracle: logistic
+    IRLS is a deterministic iterative solve, not SQL-expressible)."""
+    from fast_causal_inference_spark.uplift.metalearners import CVT
+
+    li = _tl_base(spark, sf_dir)
+    cvt = CVT(["l_quantity"], "disc_hi", "arm").fit(li)
+    return spark.createDataFrame(_avg_ite_rows(cvt, li, "cvt"),
+                                 "variant string, l_returnflag string, "
+                                 "avg_ite double")
+
+
+def g_t_learner_x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-learner rows (golden sub-oracle: logistic propensity blend)."""
+    from fast_causal_inference_spark.uplift.metalearners import XLearner
+
+    li = _tl_base(spark, sf_dir)
+    xl = XLearner(["l_quantity"], "l_extendedprice", "arm").fit(li)
+    return spark.createDataFrame(_avg_ite_rows(xl, li, "x", nd=4),
+                                 "variant string, l_returnflag string, "
+                                 "avg_ite double")
+
+
+def q_t_learner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-learner family: T / S / transformed-outcome (SQL-re-derived)
+    + CVT / X (golden, logistic stages): average predicted ITE by return
+    flag.  The S-learner with a full t·x interaction is mathematically
+    the two per-arm fits, so DuckDB's regr_* re-derivation covers it; the
+    joint 4×4 solve vs two 2×2 solves differ only in fp round-off, hence
+    its 4-decimal rounding."""
+    from fast_causal_inference_spark.uplift.metalearners import (
+        SLearner,
+        TLearner,
+        TransformedOutcome,
+    )
+
+    li = _tl_base(spark, sf_dir)
+    t_rows, s_rows, to_rows, cvt_df, x_df = _concurrent([
+        lambda: _avg_ite_rows(
+            TLearner(["l_quantity"], "l_extendedprice", "arm").fit(li),
+            li, "t"),
+        lambda: _avg_ite_rows(
+            SLearner(["l_quantity"], "l_extendedprice", "arm").fit(li),
+            li, "s", nd=4),
+        lambda: _avg_ite_rows(
+            TransformedOutcome(["l_quantity"], "l_extendedprice", "arm",
+                               propensity=0.5).fit(li), li, "to", nd=4),
+        lambda: g_t_learner_cvt(spark, sf_dir),
+        lambda: g_t_learner_x(spark, sf_dir),
+    ])
+    sql_df = spark.createDataFrame(
+        t_rows + s_rows + to_rows,
+        "variant string, l_returnflag string, avg_ite double")
+    return sql_df.unionByName(cvt_df).unionByName(x_df)
 
 
 _T_LEARNER_SQL = """
@@ -602,11 +659,25 @@ WITH m AS (
     regr_slope(l_extendedprice, l_quantity)
       FILTER (l_orderkey % 2 = 1) AS s1
   FROM lineitem
+), tom AS (
+  SELECT
+    regr_intercept(4 * l_extendedprice * ((l_orderkey % 2) - 0.5),
+                   l_quantity) AS i,
+    regr_slope(4 * l_extendedprice * ((l_orderkey % 2) - 0.5),
+               l_quantity) AS s
+  FROM lineitem
 )
-SELECT l_returnflag,
+SELECT 't' AS variant, l_returnflag,
        round(avg((i1 + s1 * l_quantity) - (i0 + s0 * l_quantity)), 6)
          AS avg_ite
-FROM lineitem, m GROUP BY l_returnflag ORDER BY l_returnflag
+FROM lineitem, m GROUP BY l_returnflag
+UNION ALL
+SELECT 's', l_returnflag,
+       round(avg((i1 + s1 * l_quantity) - (i0 + s0 * l_quantity)), 4)
+FROM lineitem, m GROUP BY l_returnflag
+UNION ALL
+SELECT 'to', l_returnflag, round(avg(i + s * l_quantity), 4)
+FROM lineitem, tom GROUP BY l_returnflag
 """
 
 
@@ -1309,14 +1380,26 @@ LEFT JOIN nbscore ON lang.doc_id = nbscore.doc_id
 
 
 def q_linear_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Constant-effect LinearDML with deterministic folds (l_orderkey % 3)."""
-    from fast_causal_inference_spark.operators.dml import linear_dml
+    """DML family with deterministic folds (l_orderkey % 3): constant-effect
+    LinearDML plus intercept-only NonParamDML (the weighted moment
+    Σ(t̃·ỹ)/Σt̃² over |t̃|>1e-12 rows) — both re-derived by DuckDB from the
+    same out-of-fold regr_* residualization."""
+    from fast_causal_inference_spark.operators.dml import (
+        linear_dml,
+        non_param_dml,
+    )
 
     li = _load(spark, sf_dir, "lineitem")
-    res = linear_dml(li, "l_extendedprice", "l_quantity", ["l_discount"],
-                     cv=3, fold_expr="l_orderkey")
+    lin, npm = _concurrent([
+        lambda: linear_dml(li, "l_extendedprice", "l_quantity",
+                           ["l_discount"], cv=3, fold_expr="l_orderkey"),
+        lambda: non_param_dml(li, "l_extendedprice", "l_quantity",
+                              ["l_discount"], cv=3, fold_expr="l_orderkey"),
+    ])
     return spark.createDataFrame(
-        [(round(float(res.theta[0]), 6),)], "theta double")
+        [("linear", round(float(lin.theta[0]), 6)),
+         ("nonparam", round(float(npm.theta[0]), 6))],
+        "variant string, theta double")
 
 
 _LINEAR_DML_SQL = """
@@ -1339,7 +1422,12 @@ fy AS (
   SELECT b.y - (fy.i + fy.s * b.x) AS ry, b.t - (ft.i + ft.s * b.x) AS rt
   FROM base b JOIN fy ON b.fold = fy.fold JOIN ft ON b.fold = ft.fold
 )
-SELECT round(covar_samp(ry, rt) / var_samp(rt), 6) AS theta FROM resid
+SELECT 'linear' AS variant,
+       round(covar_samp(ry, rt) / var_samp(rt), 6) AS theta FROM resid
+UNION ALL
+SELECT 'nonparam',
+       round(sum(rt * ry) / sum(rt * rt), 6)
+FROM resid WHERE abs(rt) > 1e-12
 """
 
 
@@ -2549,17 +2637,38 @@ def _long_rows(spark: SparkSession, rows: list[dict]) -> DataFrame:
 
 
 def q_ols_family(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OLS / two-regressor OLS / WLS coefficients+inference, long format
-    (absorbs the former ols / ols_multi / wls gate keys)."""
-    from fast_causal_inference_spark.operators.ols import ols_coef_df, wls
+    """OLS / two-regressor OLS / WLS coefficients+inference, plus the
+    ols_train → save → load → predict/eval round-trip (reference
+    ``ols_train``/``evalMLMethod``, regression.py:285-302; T/test_ols
+    exercises train-then-score), long format (absorbs the former ols /
+    ols_multi / wls gate keys)."""
+    from fast_causal_inference_spark.operators.ols import (
+        OlsModel,
+        ols,
+        ols_coef_df,
+        wls,
+    )
 
     li = _load(spark, sf_dir, "lineitem")
+
+    def _predict_eval():
+        # train, round-trip through JSON model state, score, evaluate —
+        # the full evalMLMethod life-cycle as ONE downstream aggregation
+        trained = ols(li, "l_extendedprice ~ l_quantity + l_discount")
+        scored = OlsModel.from_json(trained.to_json()).predict(li, "pred")
+        return (scored.groupBy("l_returnflag")
+                .agg(F.avg("pred").alias("avg_pred"),
+                     F.sqrt(F.avg(F.pow(F.col("l_extendedprice")
+                                        - F.col("pred"), 2))).alias("rmse"))
+                .collect())
+
     rows = []
-    simple, multi, model = _concurrent([
+    simple, multi, model, pe = _concurrent([
         lambda: ols_coef_df(li, "l_discount ~ l_tax").toPandas(),
         lambda: ols_coef_df(
             li, "l_extendedprice ~ l_quantity + l_discount").toPandas(),
         lambda: wls(li, "l_discount ~ l_tax", weight="l_quantity"),
+        _predict_eval,
     ])
     for r in simple.itertuples():
         for stat in ("estimate", "stderr", "t_value"):
@@ -2571,17 +2680,56 @@ def q_ols_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name, b in zip(model.names, model.beta):
         rows.append({"variant": "wls", "item": name, "stat": "estimate",
                      "value": round(float(b), 6)})
+    for r in pe:
+        for stat in ("avg_pred", "rmse"):
+            rows.append({"variant": "predict_eval",
+                         "item": str(r["l_returnflag"]), "stat": stat,
+                         "value": round(float(r[stat]), 2)})
     return _long_rows(spark, rows)
 
 
 _OLS_FAMILY_SQL = f"""
-WITH sf AS ({_OLS_SIMPLE_SQL}), mu AS ({_OLS_MULTI_SQL}), wf AS ({_WLS_SQL})
+WITH sf AS ({_OLS_SIMPLE_SQL}), mu AS ({_OLS_MULTI_SQL}), wf AS ({_WLS_SQL}),
+pe_a AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         sum(l_quantity) AS s1, sum(l_discount) AS s2,
+         sum(l_extendedprice) AS sy,
+         sum(l_quantity*l_quantity) AS c11,
+         sum(l_quantity*l_discount) AS c12,
+         sum(l_discount*l_discount) AS c22,
+         sum(l_quantity*l_extendedprice) AS c1y,
+         sum(l_discount*l_extendedprice) AS c2y
+  FROM lineitem
+), pe_d AS (
+  SELECT
+    (sy*(c11*c22 - c12*c12) - s1*(c1y*c22 - c12*c2y)
+       + s2*(c1y*c12 - c11*c2y))
+    / (n*(c11*c22 - c12*c12) - s1*(s1*c22 - c12*s2)
+       + s2*(s1*c12 - c11*s2)) AS b0,
+    (n*(c1y*c22 - c2y*c12) - sy*(s1*c22 - c12*s2) + s2*(s1*c2y - c1y*s2))
+    / (n*(c11*c22 - c12*c12) - s1*(s1*c22 - c12*s2)
+       + s2*(s1*c12 - c11*s2)) AS b1,
+    (n*(c11*c2y - c12*c1y) - s1*(s1*c2y - c1y*s2) + sy*(s1*c12 - c11*s2))
+    / (n*(c11*c22 - c12*c12) - s1*(s1*c22 - c12*s2)
+       + s2*(s1*c12 - c11*s2)) AS b2
+  FROM pe_a
+), pe AS (
+  SELECT l_returnflag,
+         avg(b0 + b1*l_quantity + b2*l_discount) AS avg_pred,
+         sqrt(avg(pow(l_extendedprice
+                      - (b0 + b1*l_quantity + b2*l_discount), 2))) AS rmse
+  FROM lineitem, pe_d GROUP BY l_returnflag
+)
 SELECT 'simple' AS variant, name AS item, 'estimate' AS stat,
        estimate AS value FROM sf
 UNION ALL SELECT 'simple', name, 'stderr', stderr FROM sf
 UNION ALL SELECT 'simple', name, 't_value', t_value FROM sf
 UNION ALL SELECT 'multi', name, 'estimate', estimate FROM mu
 UNION ALL SELECT 'wls', name, 'estimate', estimate FROM wf
+UNION ALL SELECT 'predict_eval', l_returnflag, 'avg_pred',
+       round(avg_pred, 2) FROM pe
+UNION ALL SELECT 'predict_eval', l_returnflag, 'rmse',
+       round(rmse, 2) FROM pe
 """
 
 
@@ -2702,6 +2850,21 @@ def g_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ivf").alias("variant"), "query_id", "vec_id", "rank", "score")
 
 
+def g_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN rows of the knn family (golden-snapshot
+    sub-oracle: seeded random hyperplane tables; candidates reranked
+    exactly, so the rows are deterministic given the seed)."""
+    from fast_causal_inference_spark.datapipe.similarity import lsh_knn
+
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    out = lsh_knn(emb, q, k=5, dim=64, n_tables=8, n_planes=10, seed=7)
+    return out.select(F.lit("lsh").alias("variant"), "query_id", "vec_id",
+                      "rank", F.round("score", 4).alias("score"))
+
+
 def g_knn_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 full-text top-5 rows of the retrieval family (fully
     SQL-derivable: DuckDB re-derives postings, idf, and the Okapi score
@@ -2725,14 +2888,16 @@ def q_knn_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     former knn_bruteforce / ivf_knn gate keys)."""
     # the IVF and BM25 members do eager driver-side model/index builds at
     # construction — build all three concurrently, then union
-    exact_df, ivf_df, bm25_df = _concurrent([
+    exact_df, ivf_df, lsh_df, bm25_df = _concurrent([
         lambda: q_knn_bruteforce(spark, sf_dir).select(
             F.lit("exact").alias("variant"), "query_id", "vec_id", "rank",
             "score"),
         lambda: g_knn_ivf(spark, sf_dir),
+        lambda: g_knn_lsh(spark, sf_dir),
         lambda: g_knn_bm25(spark, sf_dir),
     ])
-    return exact_df.unionByName(ivf_df).unionByName(bm25_df)
+    return (exact_df.unionByName(ivf_df).unionByName(lsh_df)
+            .unionByName(bm25_df))
 
 
 def q_multi_arm_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3337,6 +3502,47 @@ def q_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _load(spark, sf_dir, "documents")
     rows = []
+
+    def _streaming_ingest():
+        # REAL Structured Streaming execution inside the gate: file-source
+        # micro-batches → quality/lang annotate+filter → PII redact →
+        # dropDuplicatesWithinWatermark → parquet sink (availableNow), then
+        # aggregate the landed rows.  n_docs/avg_quality are representative-
+        # independent (duplicates share text, hence quality and lang), so
+        # the values are layout-stable — proven by gen_goldens' two-process
+        # probe like every other variant in this family.
+        import shutil
+        import tempfile
+
+        from fast_causal_inference_spark.streaming.ops import (
+            ingest_documents,
+        )
+
+        sch = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+        tmp = tempfile.mkdtemp(prefix="ingest_gate_")
+        try:
+            # the file stream source needs a DIRECTORY; symlink the table in
+            import os
+            os.mkdir(tmp + "/in")
+            os.symlink(f"{sf_dir}/documents.parquet",
+                       tmp + "/in/documents.parquet")
+            stream = (spark.readStream.schema(sch).parquet(tmp + "/in")
+                      .withColumn("ts", F.timestamp_micros(F.col("doc_id"))))
+            out = ingest_documents(stream, ts_col="ts", min_quality=0.4,
+                                   watermark="1 hour")
+            q = (out.writeStream.format("parquet")
+                 .option("path", tmp + "/data")
+                 .option("checkpointLocation", tmp + "/ckpt")
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(180)
+            landed = spark.read.parquet(tmp + "/data")
+            return (landed.groupBy("lang_pred")
+                    .agg(F.count(F.lit(1)).alias("n_docs"),
+                         F.round(F.avg("quality"), 6).alias("avg_quality"))
+                    .collect())
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
     bpe = train_bpe(d.where(F.col("doc_id") % 5 == 0), vocab_size=300,
                     max_words=20000)
     mix = domain_mixture_sample(
@@ -3356,8 +3562,8 @@ def q_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     strat_n = stratified_sample(d, "lang", n_per_stratum=5, seed=17,
                                 id_cols=["doc_id"])
     resv = reservoir_sample(d, 25, seed=19, id_cols=["doc_id"])
-    mix_rows, head_pdf, p_rows, w_rows, s_rows, sn_rows, r_rows, bpe_rows = \
-        _concurrent([
+    (mix_rows, head_pdf, p_rows, w_rows, s_rows, sn_rows, r_rows, bpe_rows,
+     si_rows) = _concurrent([
         lambda: mix.groupBy("lang").agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("doc_id").alias("id_sum")).collect(),
@@ -3381,6 +3587,7 @@ def q_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens_bpe").alias("tok_total"),
             F.sum(F.col("n_tokens_bpe") *
                   (F.col("doc_id") % 97)).alias("tok_weighted")).collect(),
+        _streaming_ingest,
     ])
     for r in mix_rows:
         rows.append({"variant": "mixture", "item": str(r["lang"]),
@@ -3421,6 +3628,13 @@ def q_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "value": float(bp["tok_total"])})
     rows.append({"variant": "bpe", "item": "corpus", "stat": "tok_weighted",
                  "value": float(bp["tok_weighted"])})
+    for r in si_rows:
+        rows.append({"variant": "streaming_ingest",
+                     "item": str(r["lang_pred"]), "stat": "n_docs",
+                     "value": float(r["n_docs"])})
+        rows.append({"variant": "streaming_ingest",
+                     "item": str(r["lang_pred"]), "stat": "avg_quality",
+                     "value": float(r["avg_quality"])})
     return _long_rows(spark, rows)
 
 
@@ -3627,7 +3841,16 @@ def oracle_sql() -> dict[str, str]:
         "auc": _AUC_FAMILY_SQL,
         "survival": (_KM_LONG_SQL + " UNION ALL "
                      + _golden_fragment("survival__cox")),
-        "t_learner": _T_LEARNER_SQL,
+        "t_learner": (
+            _T_LEARNER_SQL + " UNION ALL "
+            + "SELECT variant, l_returnflag, avg_ite FROM ("
+            + _golden_oracles().get(
+                "t_learner__cvt", "SELECT NULL AS variant, NULL AS "
+                "l_returnflag, NULL AS avg_ite WHERE FALSE") + ") __tc "
+            + "UNION ALL SELECT variant, l_returnflag, avg_ite FROM ("
+            + _golden_oracles().get(
+                "t_learner__x", "SELECT NULL AS variant, NULL AS "
+                "l_returnflag, NULL AS avg_ite WHERE FALSE") + ") __tx"),
         "ate": _ATE_SQL,
         "matching": _MATCHING_FAMILY_SQL,
         "multi_arm_tests": _MULTI_ARM_SQL,
@@ -3652,6 +3875,11 @@ def oracle_sql() -> dict[str, str]:
                     "knn__ivf", "SELECT NULL AS variant, NULL AS query_id, "
                     "NULL AS vec_id, NULL AS rank, NULL AS score "
                     "WHERE FALSE") + ") __ki UNION ALL "
+                + "SELECT variant, query_id, vec_id, rank, score FROM ("
+                + _golden_oracles().get(
+                    "knn__lsh", "SELECT NULL AS variant, NULL AS query_id, "
+                    "NULL AS vec_id, NULL AS rank, NULL AS score "
+                    "WHERE FALSE") + ") __kl UNION ALL "
                 + "SELECT 'bm25' AS variant, query_id, vec_id, rank, score "
                 + "FROM (" + _BM25_SQL + ") __kb"),
         "embedding_near_dup": (

@@ -182,12 +182,13 @@ def linear_dml(df: DataFrame, Y: str, T: str, X: list[str],
 
 def non_param_dml(df: DataFrame, Y: str, T: str, X: list[str],
                   W: list[str] | None = None, cv: int = 3, seed: int = 42,
-                  heterogeneity: list[str] | None = None) -> DMLResult:
+                  heterogeneity: list[str] | None = None,
+                  fold_expr: str | None = None) -> DMLResult:
     """NonParamDML: final stage regresses ỹ/t̃ on [1, heterogeneity…] with
     weight t̃² (reference NonParamDMLParser.java:29-131)."""
     controls = list(X) + list(W or [])
     hetero = list(heterogeneity or [])
-    work = _fold_column(df, cv, "__fold", seed, hash_cols=controls)
+    work = _fold_column(df, cv, "__fold", seed, fold_expr, hash_cols=controls)
     work = _dml_residuals(work, Y, T, controls, cv, "__fold")
     work = (work.withColumn("__ratio", F.col("__res_y") / F.col("__res_t"))
                 .withColumn("__w", F.col("__res_t") * F.col("__res_t"))

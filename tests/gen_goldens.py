@@ -45,6 +45,9 @@ GOLDEN_KEYS = {
     "corpus_assembly": None,
     "survival__cox": "g_survival_cox",
     "knn__ivf": "g_knn_ivf",
+    "knn__lsh": "g_knn_lsh",
+    "t_learner__cvt": "g_t_learner_cvt",
+    "t_learner__x": "g_t_learner_x",
     "embedding_near_dup__pca": "g_emb_pca",
     "power__closed": "g_power_closed_form",
 }
