@@ -18,6 +18,69 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
+# headline families measured at the sf1 point — one per physical plan
+# class (suff-stats, two-stage buckets, sketch, Gramian, resample explode,
+# level-wise forest, hash dedup, banded LSH, brute-force GEMM, text profile)
+_SF1_FAMILIES = [
+    "q1_pricing_summary", "ttest_2samp", "xexpt_ttest_2samp",
+    "describe_quantiles", "ols", "boot_strap", "causal_forest",
+    "exact_dedup", "minhash_lsh_dedup", "knn",
+]
+
+
+def _ensure_sf1(spark, sf_dir: str) -> str:
+    """Synthesize a ×10 replica of the sf0.1 tables under the repo
+    (one-time, cached on disk).  Ids shift per replica so keys stay
+    unique; document tokens get a replica suffix so the duplicate-pair
+    structure scales linearly (×10 clusters) instead of quadratically
+    (every doc near-dup with its 9 clones)."""
+    from pyspark.sql import functions as F
+
+    out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "benchdata", "sf1")
+    marker = os.path.join(out_dir, "_DONE")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    rep = F.explode(F.array(*[F.lit(i) for i in range(10)])).alias("__rep")
+    specs = {
+        # table -> (id columns to shift, text column or None)
+        "lineitem": (["l_orderkey"], None),
+        "orders": (["o_orderkey"], None),
+        "customer": (["c_custkey"], None),
+        "supplier": ([], None), "part": ([], None),
+        "nation": ([], None), "region": ([], None),
+        "events": (["event_id", "user_id"], None),
+        "documents": (["doc_id"], "text"),
+        "embeddings": (["vec_id"], None),
+    }
+    for table, (id_cols, text_col) in specs.items():
+        src = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        if not id_cols and text_col is None:
+            # dimension tables stay ×1 (as TPC-H scaling does)
+            src.write.mode("overwrite").parquet(f"{out_dir}/{table}.parquet")
+            continue
+        shifts = {c: int(src.agg(F.max(c)).collect()[0][0] or 0) + 1
+                  for c in id_cols}
+        rep_df = src.select("*", rep)
+        for c in id_cols:
+            rep_df = rep_df.withColumn(
+                c, F.col(c) + F.col("__rep").cast("long") * shifts[c])
+        if text_col is not None:
+            rep_df = rep_df.withColumn(
+                text_col,
+                F.when(F.col("__rep") == 0, F.col(text_col)).otherwise(
+                    F.regexp_replace(
+                        F.col(text_col), r"(\S+)",
+                        F.concat(F.lit("$1x"),
+                                 F.col("__rep").cast("string")))))
+        rep_df.drop("__rep").write.mode("overwrite") \
+            .parquet(f"{out_dir}/{table}.parquet")
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return out_dir
+
+
 def main() -> None:
     import __spark_entry__ as entry
 
@@ -124,6 +187,24 @@ def main() -> None:
         "queries": times,
         "sf": sf_val,
     }
+
+    # sf1 point: ×10 the sf0.1 volume (repo-local synthesized replicas) for
+    # the headline families — validates that the measured sf0.1 numbers are
+    # overhead-bound, not data-bound (SCALE.md ×1→×4 probe, extended ×10)
+    if os.environ.get("SPARK_GRAFT_SF1", "1") == "1" and sf_val == 0.1:
+        try:
+            sf1_dir = _ensure_sf1(spark, SF_DIR)
+            spark.catalog.clearCache()
+            sf1_times: dict[str, float] = {}
+            for name in _SF1_FAMILIES:
+                t0 = time.perf_counter()
+                qs[name](spark, sf1_dir).count()
+                sf1_times[name] = round(time.perf_counter() - t0, 4)
+            out["sf1_queries"] = sf1_times
+            out["sf1_value"] = round(sum(sf1_times.values()), 4)
+        except Exception as exc:         # never fail the headline bench
+            out["sf1_error"] = f"{type(exc).__name__}: {exc}"
+
     print(json.dumps(out))
     spark.stop()
 
