@@ -1,0 +1,531 @@
+"""Baseline JPEG codec in pure Python/numpy — no PIL/cv2/libjpeg.
+
+Scope (the interchange-format baseline process of ITU-T T.81):
+
+* **decode**: baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr
+  with any sampling factors expressible in the MCU grid (4:4:4, 4:2:0,
+  4:2:2, …), multiple DQT/DHT segments, byte stuffing, DRI/RSTn restart
+  intervals.  Progressive (SOF2), arithmetic coding, and 12-bit inputs
+  raise ``NotImplementedError``.
+* **encode**: baseline 4:4:4 (or grayscale) with the Annex-K example
+  quantization tables (scaled by ``quality``) and the Annex-K typical
+  Huffman tables — enough to produce real, spec-conformant files for the
+  decoder and any external viewer.
+
+Per-pixel work is numpy (the 8×8 IDCT/FDCT are single GEMMs against the
+DCT-II basis); only the entropy coding walks blocks in Python, which is
+the right trade at gate-image sizes and is Arrow-batch-parallel across
+rows when driven from ``multimodal.image_*`` (one Python worker decodes
+many small images per batch).
+
+Reference behavior target: the reference engine has no media codecs at
+all (its ``src/`` is OLAP UDAFs); this module exists for the
+training-data multimodal pipeline, where JPEG dominates any real web
+corpus (SURVEY.md §2 LLM-pipeline addendum).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# constants (ITU-T T.81 Annex K)
+# ---------------------------------------------------------------------------
+
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int32)
+
+# Annex K.1 luminance / K.2 chrominance example quantization tables
+QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int32)
+QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int32)
+
+# Annex K.3 typical Huffman tables: (bits[1..16], huffval)
+HT_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+              list(range(12)))
+HT_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                list(range(12)))
+HT_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+     0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+     0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+     0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+     0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+     0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+     0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+     0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+     0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+HT_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+     0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+     0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+     0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+     0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+     0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+     0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+     0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+     0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+     0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+# DCT-II basis: IDCT is  block = C.T @ coef @ C  with this C
+_C = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _C[_k, _n] = (np.sqrt((1 if _k == 0 else 2) / 8.0)
+                      * np.cos((2 * _n + 1) * _k * np.pi / 16.0))
+
+
+def _idct2(coef: np.ndarray) -> np.ndarray:
+    return _C.T @ coef @ _C
+
+
+def _fdct2(block: np.ndarray) -> np.ndarray:
+    return _C @ block @ _C.T
+
+
+# ---------------------------------------------------------------------------
+# Huffman machinery
+# ---------------------------------------------------------------------------
+
+
+def _build_decode_table(bits: list[int], huffval: list[int]) -> dict:
+    """(length, code) → symbol, from the BITS/HUFFVAL spec encoding."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = huffval[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _build_encode_table(bits: list[int], huffval: list[int]) -> dict:
+    return {sym: (length, code)
+            for (length, code), sym in _build_decode_table(bits, huffval).items()}
+
+
+class _BitReader:
+    """MSB-first reader over the entropy-coded segment with 0xFF00
+    unstuffing; stops at any non-RST marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.buf = 0
+        self.nbits = 0
+        self.marker: int | None = None
+
+    def _fill(self):
+        while self.nbits <= 24:
+            if self.pos >= len(self.data):
+                self.buf = (self.buf << 8) | 0
+                self.nbits += 8
+                continue
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    # restart marker: caller resyncs via read_restart()
+                    self.marker = nxt
+                    self.buf = (self.buf << 8) | 0
+                    self.nbits += 8
+                    continue
+                else:
+                    self.marker = nxt
+                    self.buf = (self.buf << 8) | 0
+                    self.nbits += 8
+                    continue
+            else:
+                self.pos += 1
+            self.buf = (self.buf << 8) | b
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.buf >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_symbol(self, table: dict) -> int:
+        length = 0
+        code = 0
+        while length < 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+    def restart(self):
+        """Resync at a RSTn marker: drop partial bits, skip the marker."""
+        self.buf = 0
+        self.nbits = 0
+        self.marker = None
+        # scan forward to the RSTn (we may have buffered past it)
+        while self.pos + 1 < len(self.data):
+            if (self.data[self.pos] == 0xFF
+                    and 0xD0 <= self.data[self.pos + 1] <= 0xD7):
+                self.pos += 2
+                return
+            self.pos += 1
+        raise ValueError("expected JPEG restart marker")
+
+
+def _extend(v: int, t: int) -> int:
+    """EXTEND (F.2.2.1): map t-bit magnitude to signed value."""
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode a baseline-sequential JPEG into an (h, w, 3) uint8 RGB array
+    (grayscale replicated to 3 channels)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+            continue
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        seg = payload[pos + 2:pos + seglen]
+        body_start = pos + 2
+        pos += seglen
+        if marker == 0xDB:                       # DQT
+            off = 0
+            while off < len(seg):
+                pq, tq = seg[off] >> 4, seg[off] & 0x0F
+                off += 1
+                if pq != 0:
+                    raise NotImplementedError("16-bit JPEG quant tables")
+                qt[tq] = np.frombuffer(seg, np.uint8, 64, off).astype(np.int32)
+                off += 64
+        elif marker == 0xC4:                     # DHT
+            off = 0
+            while off < len(seg):
+                tc, th = seg[off] >> 4, seg[off] & 0x0F
+                off += 1
+                bits = list(seg[off:off + 16])
+                off += 16
+                cnt = sum(bits)
+                vals = list(seg[off:off + cnt])
+                off += cnt
+                tab = _build_decode_table(bits, vals)
+                (huff_dc if tc == 0 else huff_ac)[th] = tab
+        elif marker == 0xC0 or marker == 0xC1:   # SOF0/1 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise NotImplementedError(f"JPEG precision {prec}")
+            comps = []
+            for i in range(nc):
+                cid, samp, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
+                comps.append({"id": cid, "h": samp >> 4, "v": samp & 0x0F,
+                              "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline sequential JPEG (SOF0/SOF1) supported")
+        elif marker == 0xDD:                     # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:                     # SOS → entropy data follows
+            ns = seg[0]
+            scomp = []
+            for i in range(ns):
+                cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                scomp.append({"cs": cs, "td": tt >> 4, "ta": tt & 0x0F})
+            data_start = body_start + seglen - 2
+            return _decode_scan(payload, data_start, frame, scomp, qt,
+                                huff_dc, huff_ac, restart_interval)
+    raise ValueError("JPEG missing SOS segment")
+
+
+def _decode_scan(payload, pos, frame, scomp, qt, huff_dc, huff_ac,
+                 restart_interval):
+    if frame is None:
+        raise ValueError("JPEG SOS before SOF")
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    by_id = {c["id"]: c for c in comps}
+    order = [by_id[s["cs"]] for s in scomp]
+    for c, s in zip(order, scomp):
+        c["td"], c["ta"] = s["td"], s["ta"]
+        c["plane"] = np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8),
+                              dtype=np.float64)
+        c["dq"] = qt[c["tq"]]        # zigzag order, same as the zz vector
+        c["pred"] = 0
+
+    rdr = _BitReader(payload, pos)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                rdr.restart()
+                for c in order:
+                    c["pred"] = 0
+            mcu_count += 1
+            for c in order:
+                for v in range(c["v"]):
+                    for hh in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int32)
+                        t = rdr.decode_symbol(huff_dc[c["td"]])
+                        diff = _extend(rdr.read_bits(t), t) if t else 0
+                        c["pred"] += diff
+                        zz[0] = c["pred"]
+                        k = 1
+                        while k < 64:
+                            rs = rdr.decode_symbol(huff_ac[c["ta"]])
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break                     # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            zz[k] = _extend(rdr.read_bits(s), s)
+                            k += 1
+                        coef = np.zeros(64, dtype=np.float64)
+                        coef[ZIGZAG] = zz * c["dq"]
+                        block = _idct2(coef.reshape(8, 8)) + 128.0
+                        y0 = (my * c["v"] + v) * 8
+                        x0 = (mx * c["h"] + hh) * 8
+                        c["plane"][y0:y0 + 8, x0:x0 + 8] = block
+
+    planes = []
+    for c in order:
+        p = c["plane"]
+        # upsample to full MCU-grid resolution then crop to (h, w)
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
+                      hmax // c["h"], axis=1)
+        planes.append(p[:h, :w])
+    if len(planes) == 1:
+        g = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# encoder (baseline, 4:4:4 YCbCr or grayscale, Annex-K tables)
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.nbits = 0
+
+    def write(self, length: int, code: int):
+        for i in range(length - 1, -1, -1):
+            self.buf = (self.buf << 1) | ((code >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.buf)
+                if self.buf == 0xFF:
+                    self.out.append(0x00)        # byte stuffing
+                self.buf = 0
+                self.nbits = 0
+
+    def flush(self):
+        if self.nbits:
+            self.buf <<= (8 - self.nbits)
+            self.buf |= (1 << (8 - self.nbits)) - 1   # pad with 1s
+            self.out.append(self.buf)
+            if self.buf == 0xFF:
+                self.out.append(0x00)
+            self.buf = 0
+            self.nbits = 0
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category t, t-bit code) for a signed coefficient value."""
+    t = int(v).bit_length() if v > 0 else int(-v).bit_length()
+    if v < 0:
+        v = v + (1 << t) - 1
+    return t, v
+
+
+def _scaled_qt(base: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(max(int(quality), 1), 100)
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (base * s + 50) // 100
+    return np.clip(q, 1, 255).astype(np.int32)
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array (or (h, w) grayscale) as a
+    baseline 4:4:4 JPEG with Annex-K tables."""
+    a = np.asarray(arr, dtype=np.uint8)
+    gray = a.ndim == 2
+    if not gray and (a.ndim != 3 or a.shape[2] != 3):
+        raise ValueError("encode_jpeg expects (h, w, 3) RGB or (h, w) gray")
+    h, w = a.shape[:2]
+
+    if gray:
+        planes = [a.astype(np.float64)]
+    else:
+        rf = a[:, :, 0].astype(np.float64)
+        gf = a[:, :, 1].astype(np.float64)
+        bf = a[:, :, 2].astype(np.float64)
+        y = 0.299 * rf + 0.587 * gf + 0.114 * bf
+        cb = -0.168736 * rf - 0.331264 * gf + 0.5 * bf + 128.0
+        cr = 0.5 * rf - 0.418688 * gf - 0.081312 * bf + 128.0
+        planes = [y, cb, cr]
+
+    qts = [_scaled_qt(QT_LUMA, quality)]
+    if not gray:
+        qts.append(_scaled_qt(QT_CHROMA, quality))
+    dq = []
+    for q in qts:
+        m = np.zeros(64, dtype=np.int32)
+        m[ZIGZAG] = q
+        dq.append(m.reshape(8, 8))
+
+    enc_dc = [_build_encode_table(*HT_DC_LUMA)]
+    enc_ac = [_build_encode_table(*HT_AC_LUMA)]
+    if not gray:
+        enc_dc.append(_build_encode_table(*HT_DC_CHROMA))
+        enc_ac.append(_build_encode_table(*HT_AC_CHROMA))
+
+    bw = _BitWriter()
+    preds = [0] * len(planes)
+    by = -(-h // 8)
+    bx = -(-w // 8)
+    padded = []
+    for p in planes:
+        pp = np.empty((by * 8, bx * 8))
+        pp[:h, :w] = p
+        pp[h:, :w] = p[h - 1:h, :]               # edge replicate
+        pp[:, w:] = pp[:, w - 1:w]
+        padded.append(pp)
+    for yb in range(by):
+        for xb in range(bx):
+            for ci, p in enumerate(padded):
+                ti = min(ci, len(dq) - 1)
+                block = p[yb * 8:(yb + 1) * 8, xb * 8:(xb + 1) * 8] - 128.0
+                coef = _fdct2(block)
+                q = np.round(coef / dq[ti]).astype(np.int32)
+                zz = q.reshape(-1)[ZIGZAG]
+                diff = int(zz[0]) - preds[ci]
+                preds[ci] = int(zz[0])
+                t, code = _magnitude(diff) if diff else (0, 0)
+                bw.write(*enc_dc[ti][t])
+                if t:
+                    bw.write(t, code)
+                run = 0
+                last = 63
+                while last > 0 and zz[last] == 0:
+                    last -= 1
+                for k in range(1, last + 1):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        bw.write(*enc_ac[ti][0xF0])
+                        run -= 16
+                    t, code = _magnitude(v)
+                    bw.write(*enc_ac[ti][(run << 4) | t])
+                    bw.write(t, code)
+                    run = 0
+                if last < 63:
+                    bw.write(*enc_ac[ti][0x00])   # EOB
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    for tq, q in enumerate(qts):
+        out += seg(0xDB, bytes([tq]) + bytes(int(v) for v in q))
+    nc = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i in range(nc):
+        ti = min(i, len(qts) - 1)
+        sof += bytes([i + 1, 0x11, ti])           # 4:4:4, quant table ti
+    out += seg(0xC0, sof)
+    tabs = [(0x00, HT_DC_LUMA), (0x10, HT_AC_LUMA)]
+    if not gray:
+        tabs += [(0x01, HT_DC_CHROMA), (0x11, HT_AC_CHROMA)]
+    for tid, (bits, vals) in tabs:
+        out += seg(0xC4, bytes([tid]) + bytes(bits) + bytes(vals))
+    sos = bytes([nc])
+    for i in range(nc):
+        ti = min(i, 1)
+        sos += bytes([i + 1, (ti << 4) | ti])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
