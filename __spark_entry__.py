@@ -2493,11 +2493,14 @@ def q_longterm(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal family, long format (doc_id, modality, feature, value):
     video frame-sampling (synthetic payloads), REAL BMP decode stats, REAL
-    baseline-PNG decode stats (stdlib zlib inflate + unfilter), and REAL
+    baseline-PNG decode stats (stdlib zlib inflate + unfilter), REAL
+    baseline-JPEG decode stats (own Huffman + IDCT, datapipe/jpeg.py;
+    q=100 constant-color payloads roundtrip bit-exactly), and REAL
     PCM-WAV decode stats.  The synthesized payloads derive dims/color/
     length/amplitude from sha256 hex substrings of the text, so DuckDB can
     recompute every value — the decode kernels are genuinely end-to-end
-    value-checked (pure-Python BMP/PNG/WAV codecs; jpeg/mp3 still raise)."""
+    value-checked (pure-Python BMP/PNG/JPEG/WAV codecs; mp3/mp4 still
+    raise)."""
     from fast_causal_inference_spark.datapipe.multimodal import (
         audio_stats,
         image_stats,
@@ -2528,13 +2531,22 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("stack(3, 'width', CAST(width AS DOUBLE), "
                "'height', CAST(height AS DOUBLE), "
                "'mean_pixel', mean_pixel) AS (feature, value)"))
+    # and through the own-Huffman-and-IDCT baseline JPEG decoder
+    # (datapipe/jpeg.py): q=100 constant-color payloads roundtrip
+    # bit-exactly, so the hash-derived oracle holds for JPEG too
+    jpg = image_stats(synthesize_image_column(d, "text", fmt="jpeg"))
+    jpg_long = jpg.select(
+        "doc_id", F.lit("image_jpeg").alias("modality"),
+        F.expr("stack(3, 'width', CAST(width AS DOUBLE), "
+               "'height', CAST(height AS DOUBLE), "
+               "'mean_pixel', mean_pixel) AS (feature, value)"))
     aud = audio_stats(synthesize_audio_column(d, "text"))
     aud_long = aud.select(
         "doc_id", F.lit("audio").alias("modality"),
         F.expr("stack(2, 'n_samples', CAST(n_samples AS DOUBLE), "
                "'rms', rms) AS (feature, value)"))
     out = (vid.unionByName(img_long).unionByName(png_long)
-           .unionByName(aud_long))
+           .unionByName(jpg_long).unionByName(aud_long))
     return out.select("doc_id", "modality", "feature",
                       F.round("value", 6).alias("value"))
 
@@ -2562,6 +2574,15 @@ SELECT doc_id, 'image_png', 'height',
        CAST(('0x' || substr(hx, 5, 4))::BIGINT % 16 + 1 AS DOUBLE) FROM h
 UNION ALL
 SELECT doc_id, 'image_png', 'mean_pixel',
+       CAST(('0x' || substr(hx, 9, 2))::BIGINT AS DOUBLE) FROM h
+UNION ALL
+SELECT doc_id, 'image_jpeg', 'width',
+       CAST(('0x' || substr(hx, 1, 4))::BIGINT % 16 + 1 AS DOUBLE) FROM h
+UNION ALL
+SELECT doc_id, 'image_jpeg', 'height',
+       CAST(('0x' || substr(hx, 5, 4))::BIGINT % 16 + 1 AS DOUBLE) FROM h
+UNION ALL
+SELECT doc_id, 'image_jpeg', 'mean_pixel',
        CAST(('0x' || substr(hx, 9, 2))::BIGINT AS DOUBLE) FROM h
 UNION ALL
 SELECT doc_id, 'audio', 'n_samples',

@@ -423,14 +423,64 @@ def _scaled_qt(base: np.ndarray, quality: int) -> np.ndarray:
     return np.clip(q, 1, 255).astype(np.int32)
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
+def _pad_to(p: np.ndarray, H: int, W: int) -> np.ndarray:
+    """Edge-replicate pad a plane to (H, W)."""
+    h, w = p.shape
+    pp = np.empty((H, W))
+    pp[:h, :w] = p
+    if H > h:
+        pp[h:, :w] = p[h - 1:h, :]
+    if W > w:
+        pp[:, w:] = pp[:, w - 1:w]
+    return pp
+
+
+def _encode_block(bw: _BitWriter, block: np.ndarray, dq: np.ndarray,
+                  pred: int, enc_dc: dict, enc_ac: dict) -> int:
+    coef = _fdct2(block - 128.0)
+    q = np.round(coef / dq).astype(np.int32)
+    zz = q.reshape(-1)[ZIGZAG]
+    diff = int(zz[0]) - pred
+    t, code = _magnitude(diff) if diff else (0, 0)
+    bw.write(*enc_dc[t])
+    if t:
+        bw.write(t, code)
+    run = 0
+    last = 63
+    while last > 0 and zz[last] == 0:
+        last -= 1
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            bw.write(*enc_ac[0xF0])
+            run -= 16
+        t, code = _magnitude(v)
+        bw.write(*enc_ac[(run << 4) | t])
+        bw.write(t, code)
+        run = 0
+    if last < 63:
+        bw.write(*enc_ac[0x00])                   # EOB
+    return int(zz[0])
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 90,
+                subsampling: str = "444",
+                restart_interval: int = 0) -> bytes:
     """Encode an (h, w, 3) uint8 RGB array (or (h, w) grayscale) as a
-    baseline 4:4:4 JPEG with Annex-K tables."""
+    baseline JPEG with Annex-K tables.  ``subsampling``: '444' or '420'
+    (2×2-mean chroma downsample); ``restart_interval`` > 0 emits DRI +
+    RSTn markers every that many MCUs."""
     a = np.asarray(arr, dtype=np.uint8)
     gray = a.ndim == 2
     if not gray and (a.ndim != 3 or a.shape[2] != 3):
         raise ValueError("encode_jpeg expects (h, w, 3) RGB or (h, w) gray")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
     h, w = a.shape[:2]
+    sub = 2 if (subsampling == "420" and not gray) else 1
 
     if gray:
         planes = [a.astype(np.float64)]
@@ -441,6 +491,12 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
         y = 0.299 * rf + 0.587 * gf + 0.114 * bf
         cb = -0.168736 * rf - 0.331264 * gf + 0.5 * bf + 128.0
         cr = 0.5 * rf - 0.418688 * gf - 0.081312 * bf + 128.0
+        if sub == 2:
+            H2, W2 = -(-h // 2) * 2, -(-w // 2) * 2
+            cb = _pad_to(cb, H2, W2).reshape(H2 // 2, 2, W2 // 2, 2) \
+                                    .mean(axis=(1, 3))
+            cr = _pad_to(cr, H2, W2).reshape(H2 // 2, 2, W2 // 2, 2) \
+                                    .mean(axis=(1, 3))
         planes = [y, cb, cr]
 
     qts = [_scaled_qt(QT_LUMA, quality)]
@@ -458,49 +514,42 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
         enc_dc.append(_build_encode_table(*HT_DC_CHROMA))
         enc_ac.append(_build_encode_table(*HT_AC_CHROMA))
 
+    # component spec: (plane, h_samp, v_samp, table idx)
+    if gray:
+        comps = [(planes[0], 1, 1, 0)]
+    elif sub == 2:
+        comps = [(planes[0], 2, 2, 0), (planes[1], 1, 1, 1),
+                 (planes[2], 1, 1, 1)]
+    else:
+        comps = [(planes[0], 1, 1, 0), (planes[1], 1, 1, 1),
+                 (planes[2], 1, 1, 1)]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    padded = [(_pad_to(p, mcuy * v * 8, mcux * hh * 8), hh, v, ti)
+              for p, hh, v, ti in comps]
+
     bw = _BitWriter()
-    preds = [0] * len(planes)
-    by = -(-h // 8)
-    bx = -(-w // 8)
-    padded = []
-    for p in planes:
-        pp = np.empty((by * 8, bx * 8))
-        pp[:h, :w] = p
-        pp[h:, :w] = p[h - 1:h, :]               # edge replicate
-        pp[:, w:] = pp[:, w - 1:w]
-        padded.append(pp)
-    for yb in range(by):
-        for xb in range(bx):
-            for ci, p in enumerate(padded):
-                ti = min(ci, len(dq) - 1)
-                block = p[yb * 8:(yb + 1) * 8, xb * 8:(xb + 1) * 8] - 128.0
-                coef = _fdct2(block)
-                q = np.round(coef / dq[ti]).astype(np.int32)
-                zz = q.reshape(-1)[ZIGZAG]
-                diff = int(zz[0]) - preds[ci]
-                preds[ci] = int(zz[0])
-                t, code = _magnitude(diff) if diff else (0, 0)
-                bw.write(*enc_dc[ti][t])
-                if t:
-                    bw.write(t, code)
-                run = 0
-                last = 63
-                while last > 0 and zz[last] == 0:
-                    last -= 1
-                for k in range(1, last + 1):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        bw.write(*enc_ac[ti][0xF0])
-                        run -= 16
-                    t, code = _magnitude(v)
-                    bw.write(*enc_ac[ti][(run << 4) | t])
-                    bw.write(t, code)
-                    run = 0
-                if last < 63:
-                    bw.write(*enc_ac[ti][0x00])   # EOB
+    preds = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                bw.flush()
+                rst = (mcu_count // restart_interval - 1) % 8
+                bw.out += bytes([0xFF, 0xD0 + rst])
+                preds = [0] * len(comps)
+            mcu_count += 1
+            for ci, (p, hh, v, ti) in enumerate(padded):
+                for vy in range(v):
+                    for vx in range(hh):
+                        y0 = (my * v + vy) * 8
+                        x0 = (mx * hh + vx) * 8
+                        preds[ci] = _encode_block(
+                            bw, p[y0:y0 + 8, x0:x0 + 8], dq[ti], preds[ci],
+                            enc_dc[ti], enc_ac[ti])
     bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -509,17 +558,18 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
     out = bytearray(b"\xff\xd8")
     for tq, q in enumerate(qts):
         out += seg(0xDB, bytes([tq]) + bytes(int(v) for v in q))
-    nc = 1 if gray else 3
+    nc = len(comps)
     sof = struct.pack(">BHHB", 8, h, w, nc)
-    for i in range(nc):
-        ti = min(i, len(qts) - 1)
-        sof += bytes([i + 1, 0x11, ti])           # 4:4:4, quant table ti
+    for i, (_, hh, v, ti) in enumerate(comps):
+        sof += bytes([i + 1, (hh << 4) | v, ti])
     out += seg(0xC0, sof)
     tabs = [(0x00, HT_DC_LUMA), (0x10, HT_AC_LUMA)]
     if not gray:
         tabs += [(0x01, HT_DC_CHROMA), (0x11, HT_AC_CHROMA)]
     for tid, (bits, vals) in tabs:
         out += seg(0xC4, bytes([tid]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([nc])
     for i in range(nc):
         ti = min(i, 1)

@@ -10,10 +10,12 @@ Decode support is two-tier:
 * **Self-contained formats decode for real, in pure Python/numpy** — BMP
   (24-bit BITMAPINFOHEADER), PPM (binary P6), baseline PNG (stdlib
   ``zlib`` inflate + scanline unfilter, all five filters and color
-  types at depth 8), and PCM WAV (stdlib ``wave``).  Image/audio stats,
-  resize, embeddings, and MFCC-style features below run on actual
-  pixel/sample arrays for these formats.
-* **Codec formats (jpeg/mp3/mp4/webp/…) need external libraries** this
+  types at depth 8), baseline-sequential JPEG (own Huffman + IDCT
+  implementation in ``datapipe/jpeg.py``, 4:4:4/4:2:0/grayscale, DRI
+  restarts), and PCM WAV (stdlib ``wave``).  Image/audio stats, resize,
+  embeddings, and MFCC-style features below run on actual pixel/sample
+  arrays for these formats.
+* **Codec formats (mp3/mp4/webp/progressive-jpeg/…) need external libraries** this
   container does not have (no PIL/cv2/ffmpeg): those payloads raise
   ``NotImplementedError`` under ``strict=True`` or fall back to a
   deterministic content-seeded fake under ``strict=False`` so the
@@ -37,6 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from fast_causal_inference_spark.datapipe.jpeg import decode_jpeg, encode_jpeg
 from fast_causal_inference_spark.serialization import ensure_udf_serializable
 
 
@@ -245,16 +248,20 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Decode BMP, PPM, or baseline PNG payloads for real; raise for
-    formats that need external codec libraries (jpeg/webp/...)."""
+    """Decode BMP, PPM, baseline PNG, or baseline-sequential JPEG payloads
+    for real (pure Python/numpy codecs); raise for formats that need
+    external libraries (webp/progressive-jpeg/...)."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "only BMP/PPM/baseline-PNG decode in-container; jpeg needs PIL/cv2")
+        "only BMP/PPM/baseline-PNG/baseline-JPEG decode in-container; "
+        "other formats need PIL/cv2")
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
@@ -499,18 +506,22 @@ def synthesize_media_column(df: DataFrame, from_col: str,
 def synthesize_image_column(df: DataFrame, from_col: str,
                             payload_col: str = "payload",
                             fmt: str = "bmp") -> DataFrame:
-    """Synthesize a REAL image payload per row (``fmt``: ``bmp`` or
-    ``png``), with dimensions and a constant fill color derived from
+    """Synthesize a REAL image payload per row (``fmt``: ``bmp``, ``png``
+    or ``jpeg``), with dimensions and a constant fill color derived from
     sha256 hex substrings of ``from_col`` — the same derivation an
     external SQL oracle can compute:
-    w = hex[0:4] % 16 + 1, h = hex[4:8] % 16 + 1, color = hex[8:10]."""
-    if fmt not in ("bmp", "png"):
-        raise ValueError("fmt must be 'bmp' or 'png'")
+    w = hex[0:4] % 16 + 1, h = hex[4:8] % 16 + 1, color = hex[8:10].
+    JPEG payloads use quality=100, where constant-color images roundtrip
+    bit-exactly (DC-only blocks, unit quantizer) so the oracle still
+    holds."""
+    if fmt not in ("bmp", "png", "jpeg"):
+        raise ValueError("fmt must be 'bmp', 'png' or 'jpeg'")
     ensure_udf_serializable()
     out_schema = T.StructType(df.schema.fields
                               + [T.StructField(payload_col, T.BinaryType())])
     cols = [f.name for f in df.schema.fields]
-    enc = encode_bmp if fmt == "bmp" else encode_png
+    enc = {"bmp": encode_bmp, "png": encode_png,
+           "jpeg": lambda a: encode_jpeg(a, quality=100)}[fmt]
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

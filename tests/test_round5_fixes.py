@@ -313,3 +313,105 @@ def test_image_pipeline_png_end_to_end(spark):
                                 "doc_id int, payload binary")
     fb = image_features(bad, n_features=16, strict=False).toPandas()
     assert not fb.decoded.any()
+
+
+# ---------------------------------------------------------------------------
+# JPEG codec (own Huffman + IDCT, datapipe/jpeg.py)
+# ---------------------------------------------------------------------------
+
+
+def _natural_image(h=29, w=37):
+    x, y = np.meshgrid(np.arange(w), np.arange(h))
+    return np.stack([
+        (127 + 80 * np.sin(x / 5) + 40 * np.cos(y / 7)).clip(0, 255),
+        (127 + 60 * np.cos(x / 4)).clip(0, 255),
+        (127 + 50 * np.sin((x + y) / 6)).clip(0, 255)], axis=2) \
+        .astype(np.uint8)
+
+
+def test_jpeg_roundtrip_quality_monotone():
+    from fast_causal_inference_spark.datapipe.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    img = _natural_image()
+    errs = []
+    for q in (50, 75, 90, 99):
+        out = decode_jpeg(encode_jpeg(img, q))
+        assert out.shape == img.shape
+        errs.append(np.abs(out.astype(int) - img.astype(int)).mean())
+    # error decreases with quality and is small at the top end
+    assert errs[0] > errs[-1]
+    assert errs[-1] < 1.0
+    assert errs[0] < 10.0
+
+
+def test_jpeg_constant_exact_at_q100():
+    from fast_causal_inference_spark.datapipe.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    for c in (0, 17, 128, 200, 255):
+        for (h, w) in ((1, 1), (3, 5), (16, 9)):
+            img = np.full((h, w, 3), c, np.uint8)
+            assert np.array_equal(decode_jpeg(encode_jpeg(img, 100)), img), \
+                (c, h, w)
+
+
+def test_jpeg_420_and_restart_markers():
+    from fast_causal_inference_spark.datapipe.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    img = _natural_image()
+    for sub in ("444", "420"):
+        for dri in (0, 2, 3):
+            out = decode_jpeg(encode_jpeg(img, 90, subsampling=sub,
+                                          restart_interval=dri))
+            err = np.abs(out.astype(int) - img.astype(int)).mean()
+            assert out.shape == img.shape
+            assert err < (6.0 if sub == "420" else 3.0), (sub, dri, err)
+
+
+def test_jpeg_grayscale_and_errors():
+    from fast_causal_inference_spark.datapipe.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    g = np.tile(np.linspace(0, 255, 17).astype(np.uint8), (9, 1))
+    out = decode_jpeg(encode_jpeg(g, 95))
+    assert out.shape == (9, 17, 3)
+    assert np.abs(out[:, :, 0].astype(int) - g.astype(int)).max() <= 3
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"BM123456")
+    # progressive SOF2 raises NotImplementedError
+    prog = bytearray(encode_jpeg(g, 95))
+    idx = prog.find(b"\xff\xc0")
+    prog[idx + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(bytes(prog))
+
+
+def test_jpeg_spark_pipeline(spark):
+    """synthesize jpeg -> image_stats through Spark matches the hash
+    derivation (the media_features gate oracle for image_jpeg)."""
+    import hashlib as hl
+
+    from fast_causal_inference_spark.datapipe.multimodal import (
+        image_stats,
+        synthesize_image_column,
+    )
+
+    d = spark.createDataFrame([(i, f"jdoc {i}") for i in range(12)],
+                              "doc_id int, text string")
+    stats = image_stats(synthesize_image_column(d, "text", fmt="jpeg")) \
+        .toPandas()
+    for _, r in stats.iterrows():
+        hx = hl.sha256(f"jdoc {int(r.doc_id)}".encode()).hexdigest()
+        assert int(r.width) == int(hx[0:4], 16) % 16 + 1
+        assert int(r.height) == int(hx[4:8], 16) % 16 + 1
+        assert float(r.mean_pixel) == float(int(hx[8:10], 16))
