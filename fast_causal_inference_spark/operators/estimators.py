@@ -116,8 +116,12 @@ def aipw_estimator(df: DataFrame, Y: str, T: str, X: list[str],
     # treatment would otherwise silently pollute the psi average
     work = df.withColumn("__t", t).withColumn("__y", y) \
              .where(F.col("__t").isin(0.0, 1.0))
-    # the three model fits are independent full-corpus jobs — overlap them
+    # BOTH per-arm outcome models come from ONE groupBy(arm) Gramian scan
+    # (additive Gramians, same kernel as the T-learner); the propensity
+    # fit is an independent full-corpus job and overlaps it
     import threading
+
+    from fast_causal_inference_spark.operators.ols import ols_grouped
 
     res: dict = {}
 
@@ -132,10 +136,7 @@ def aipw_estimator(df: DataFrame, Y: str, T: str, X: list[str],
         return th
 
     threads = [
-        _run("mu1", lambda: ols(work.where(F.col("__t") == 1),
-                                f"__y ~ {rhs}")),
-        _run("mu0", lambda: ols(work.where(F.col("__t") == 0),
-                                f"__y ~ {rhs}")),
+        _run("mu", lambda: ols_grouped(work, f"__y ~ {rhs}", "__t")),
         _run("e", (lambda: logistic_regression(work, f"__t ~ {rhs}"))
              if propensity == "logistic"
              else (lambda: ols(work, f"__t ~ {rhs}"))),
@@ -145,7 +146,7 @@ def aipw_estimator(df: DataFrame, Y: str, T: str, X: list[str],
     for v in res.values():
         if isinstance(v, BaseException):
             raise v
-    mu1, mu0 = res["mu1"], res["mu0"]
+    mu1, mu0 = res["mu"][1.0], res["mu"][0.0]
     e_col = (res["e"].predict_proba_column()
              if propensity == "logistic" else res["e"].predict_column())
     e = F.greatest(F.lit(float(eps)),

@@ -281,6 +281,31 @@ def wls(df: DataFrame, formula: str, weight: str,
     return ols(df, formula, use_bias=use_bias, weight=weight)
 
 
+def ols_grouped(df: DataFrame, formula: str, group_expr: str,
+                use_bias: bool = True,
+                weight: str | None = None) -> dict:
+    """One model per group value from ONE ``groupBy`` Gramian scan.
+
+    The per-arm fits of the T/X meta-learners (and any
+    fit-a-model-per-segment workload) are the same Gramian aggregation
+    conditioned on disjoint row sets — grouping computes them all in a
+    single pass instead of one filtered scan per group.  Groups with
+    fewer rows than parameters get a pinv solve (same degenerate
+    behavior as :func:`ols` on a tiny frame).  Returns
+    ``{group_value: OlsModel}``.
+    """
+    y_expr, feats = parse_r_formula(formula)
+    base = feats + [y_expr]
+    wcol = F.expr(weight).cast("double") if weight else None
+    aggs = suffstat_agg_columns(base, weight=wcol)
+    aggs.append(F.count(F.lit(1)).alias("n_rows__"))
+    g = F.expr(group_expr).alias("__g")
+    rows = df.groupBy(g).agg(*aggs).collect()
+    return {r["__g"]: _fit_from_row(r, feats, y_expr, use_bias,
+                                    float(r["n_rows__"]), weight)
+            for r in rows}
+
+
 def ols_coef_df(df: DataFrame, formula: str, use_bias: bool = True,
                 weight: str | None = None) -> DataFrame:
     """Coefficient table as a Spark DataFrame (for the correctness gate)."""

@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from fast_causal_inference_spark.operators.logistic import logistic_regression
-from fast_causal_inference_spark.operators.ols import ols
+from fast_causal_inference_spark.operators.ols import ols, ols_grouped
 
 
 def _formula(y: str, feats: list[str]) -> str:
@@ -72,10 +72,15 @@ class TLearner:
     model1_: object = field(default=None, repr=False)
 
     def fit(self, df: DataFrame) -> "TLearner":
-        t = F.expr(self.treatment)
         f = _formula(self.outcome, self.features)
-        self.model0_ = ols(df.where(t == 0), f)
-        self.model1_ = ols(df.where(t == 1), f)
+        # BOTH arm models from ONE groupBy(arm) Gramian scan
+        models = ols_grouped(df, f, self.treatment)
+        try:
+            self.model0_, self.model1_ = models[0], models[1]
+        except KeyError:
+            raise ValueError(
+                f"TLearner needs both arms 0 and 1 in {self.treatment!r}; "
+                f"arms present: {sorted(models, key=str)}") from None
         return self
 
     def ite_column(self) -> Column:
@@ -102,17 +107,24 @@ class XLearner:
     def fit(self, df: DataFrame) -> "XLearner":
         t = F.expr(self.treatment)
         f = _formula(self.outcome, self.features)
-        self.model0_ = ols(df.where(t == 0), f)
-        self.model1_ = ols(df.where(t == 1), f)
-        # imputed individual effects
-        d1 = df.where(t == 1).withColumn(
-            "__d", F.expr(self.outcome).cast("double")
-            - self.model0_.predict_column())
-        d0 = df.where(t == 0).withColumn(
-            "__d", self.model1_.predict_column()
-            - F.expr(self.outcome).cast("double"))
-        self.tau1_ = ols(d1, _formula("__d", self.features))
-        self.tau0_ = ols(d0, _formula("__d", self.features))
+        # stage 1: BOTH arm outcome models from ONE groupBy(arm) scan
+        models = ols_grouped(df, f, self.treatment)
+        try:
+            self.model0_, self.model1_ = models[0], models[1]
+        except KeyError:
+            raise ValueError(
+                f"XLearner needs both arms 0 and 1 in {self.treatment!r}; "
+                f"arms present: {sorted(models, key=str)}") from None
+        # stage 2: imputed effects per arm — the target is a CASE column
+        # (treated: y − f₀(x); control: f₁(x) − y), so BOTH tau models
+        # again come from ONE grouped scan
+        y = F.expr(self.outcome).cast("double")
+        imp = df.withColumn(
+            "__d", F.when(t == 1, y - self.model0_.predict_column())
+                    .otherwise(self.model1_.predict_column() - y))
+        taus = ols_grouped(imp, _formula("__d", self.features),
+                           self.treatment)
+        self.tau0_, self.tau1_ = taus[0], taus[1]
         self.prop_ = logistic_regression(df, _formula(self.treatment,
                                                       self.features))
         return self

@@ -325,3 +325,30 @@ def test_dml_one_scan_matches_per_fold_fits(spark, hte_df, hte_pdf):
     Xf = np.column_stack([np.ones(len(ry)), rt])
     bf, *_ = np.linalg.lstsq(Xf, ry, rcond=None)
     assert res.ate == pytest.approx(bf[1], rel=1e-9, abs=1e-9)
+
+
+def test_tlearner_single_scan(spark, hte_df):
+    """Both arm models must come from ONE groupBy(arm) Gramian scan."""
+    cls = type(hte_df)
+    calls = []
+    orig = cls.collect
+
+    def counting(self):
+        calls.append(1)
+        return orig(self)
+
+    try:
+        cls.collect = counting
+        TLearner(["x1", "x2"], "y", "t").fit(hte_df)
+    finally:
+        cls.collect = orig
+    assert len(calls) == 1, f"expected 1 scan, saw {len(calls)}"
+
+
+def test_tlearner_grouped_matches_per_arm(spark, hte_df, hte_pdf):
+    tl = TLearner(["x1", "x2"], "y", "t").fit(hte_df)
+    for arm, model in ((0, tl.model0_), (1, tl.model1_)):
+        sub = hte_pdf[hte_pdf.t == arm]
+        X = np.column_stack([np.ones(len(sub)), sub.x1, sub.x2])
+        beta, *_ = np.linalg.lstsq(X, sub.y.to_numpy(), rcond=None)
+        assert np.allclose(model.beta, beta, rtol=1e-8, atol=1e-8)
