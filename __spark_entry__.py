@@ -2821,14 +2821,46 @@ UNION ALL SELECT 'km', CAST(CAST(time AS BIGINT) AS VARCHAR), 'survival',
 """
 
 
+def g_matching_prognostic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prognostic-score matching rows (golden sub-oracle: the score is a
+    control-arm OLS prediction, and floor-bucketing an fp score makes a
+    cross-engine SQL re-derivation boundary-fragile; the per-cell quota
+    accounting is deterministic within Spark — proven by gen_goldens'
+    two-process probe)."""
+    from fast_causal_inference_spark.operators.matching import (
+        prognostic_score_matching,
+    )
+
+    li = _load(spark, sf_dir, "lineitem") \
+        .withColumn("arm", (F.col("l_orderkey") % 2).cast("int"))
+    m = prognostic_score_matching(li, "l_extendedprice", "arm",
+                                  ["l_quantity"], caliper=2000.0)
+    out = (m.where(F.col("match_index").isNotNull())
+           .groupBy(F.floor(F.col("__prognostic") / 2000.0).alias("cell"))
+           .agg(F.count(F.lit(1)).alias("n_matched"),
+                F.sum("arm").alias("n_treated")))
+    return out.select(F.lit("prognostic").alias("variant"),
+                      F.col("cell").cast("string").alias("item"),
+                      F.lit("n_matched").alias("stat"),
+                      F.col("n_matched").cast("double").alias("value")) \
+        .unionByName(out.select(
+            F.lit("prognostic").alias("variant"),
+            F.col("cell").cast("string").alias("item"),
+            F.lit("n_treated").alias("stat"),
+            F.col("n_treated").cast("double").alias("value")))
+
+
 def q_matching_family(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact matching quotas + caliper cell accounting + SMD balance as
-    one matching family (absorbs exact_matching / caliper_matching / smd)."""
+    """Exact matching quotas + caliper cell accounting + SMD balance +
+    prognostic-score matching as one matching family (absorbs
+    exact_matching / caliper_matching / smd; prognostic rides a golden
+    sub-oracle)."""
     rows = []
-    ex, cal, sm = _concurrent([
+    ex, cal, sm, prog = _concurrent([
         lambda: q_exact_matching(spark, sf_dir).toPandas(),
         lambda: q_caliper_matching(spark, sf_dir).toPandas(),
         lambda: q_smd(spark, sf_dir).toPandas(),
+        lambda: g_matching_prognostic(spark, sf_dir),
     ])
     for r in ex.itertuples():
         rows.append({"variant": "exact", "item": str(r.o_orderpriority),
@@ -2844,7 +2876,7 @@ def q_matching_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         for stat in ("mean0", "mean1", "smd"):
             rows.append({"variant": "smd", "item": str(r.covariate),
                          "stat": stat, "value": float(getattr(r, stat))})
-    return _long_rows(spark, rows)
+    return _long_rows(spark, rows).unionByName(prog)
 
 
 _MATCHING_FAMILY_SQL = f"""
@@ -3873,7 +3905,12 @@ def oracle_sql() -> dict[str, str]:
                 "t_learner__x", "SELECT NULL AS variant, NULL AS "
                 "l_returnflag, NULL AS avg_ite WHERE FALSE") + ") __tx"),
         "ate": _ATE_SQL,
-        "matching": _MATCHING_FAMILY_SQL,
+        "matching": (
+            _MATCHING_FAMILY_SQL + " UNION ALL "
+            + "SELECT variant, item, stat, value FROM ("
+            + _golden_oracles().get(
+                "matching__prognostic", "SELECT NULL AS variant, NULL AS "
+                "item, NULL AS stat, NULL AS value WHERE FALSE") + ") __mp"),
         "multi_arm_tests": _MULTI_ARM_SQL,
         "contingency_tests": _CONTINGENCY_SQL,
         "multiple_testing": _MULTIPLE_TESTING_SQL,

@@ -359,6 +359,33 @@ class CausalDataFrame:
         X = [X] if isinstance(X, str) else list(X)
         return aipw_estimator(self._df, Y, T, X, **kwargs)
 
+    def linear_dml(self, Y: str, T: str, X, **kwargs):
+        """LinearDML (reference ``uplift.py:2163`` class API as a method):
+        cross-fitted residualization + final OLS; returns a DMLResult."""
+        from fast_causal_inference_spark.operators.dml import linear_dml
+
+        X = [X] if isinstance(X, str) else list(X)
+        return linear_dml(self._df, Y, T, X, **kwargs)
+
+    def non_param_dml(self, Y: str, T: str, X, **kwargs):
+        """NonParamDML (reference NonParamDMLParser.java semantics)."""
+        from fast_causal_inference_spark.operators.dml import non_param_dml
+
+        X = [X] if isinstance(X, str) else list(X)
+        return non_param_dml(self._df, Y, T, X, **kwargs)
+
+    def prognostic_score_matching(self, outcome: str, index: str,
+                                  covariates, **kwargs):
+        """PSM on a control-fit prognostic score (reference match.py:299)."""
+        from fast_causal_inference_spark.operators.matching import (
+            prognostic_score_matching,
+        )
+
+        covariates = ([covariates] if isinstance(covariates, str)
+                      else list(covariates))
+        return CausalDataFrame(prognostic_score_matching(
+            self._df, outcome, index, covariates, **kwargs))
+
     def roc_curve(self, label: str, score: str, **kwargs):
         from fast_causal_inference_spark.utility import roc_curve
 

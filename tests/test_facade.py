@@ -263,3 +263,24 @@ def test_round5_facade_verbs(spark, events):
     assert {"ATE", "stderr"} <= set(aipw.columns)
     roc = cdf.roc_curve("treatment", "value", n_thresholds=20)
     assert {"fpr", "tpr"} <= set(roc.columns)
+
+
+def test_facade_dml_and_prognostic(spark):
+    import numpy as np
+    import pandas as pd
+
+    import fast_causal_inference_spark as fcis
+
+    rng = np.random.default_rng(21)
+    n = 2000
+    pdf = pd.DataFrame({"x": rng.normal(0, 1, n)})
+    pdf["t"] = pdf.x * 0.5 + rng.normal(0, 1, n)
+    pdf["y"] = pdf.x + 1.5 * pdf.t + rng.normal(0, 1, n)
+    cdf = fcis.readSparkDf(spark.createDataFrame(pdf))
+    res = cdf.linear_dml("y", "t", "x", cv=2)
+    assert abs(res.ate - 1.5) < 0.2
+    npres = cdf.non_param_dml("y", "t", ["x"], cv=2)
+    assert abs(npres.ate - 1.5) < 0.3
+    arm = cdf.withColumn("arm", (F.col("t") > 0).cast("int"))
+    m = arm.prognostic_score_matching("y", "arm", "x", caliper=1.0)
+    assert "match_index" in m.toSparkDf().columns

@@ -55,7 +55,7 @@ def test_image_strict_corrupt_bmp_not_masked(spark):
     good = encode_bmp(
         np.arange(192, dtype=np.uint8).reshape(8, 8, 3))
     corrupt = good[:20]                    # truncated BMP: a DATA error
-    codec = b"\xff\xd8\xff\xe0" + b"\x00" * 64    # unsupported codec (JPEG)
+    codec = b"RIFF\x00\x00\x00\x00WEBPVP8 " + b"\x00" * 64  # unsupported
 
     d_corrupt = spark.createDataFrame(pd.DataFrame({"payload": [corrupt]}))
     d_codec = spark.createDataFrame(pd.DataFrame({"payload": [codec]}))
