@@ -315,3 +315,21 @@ def test_substring_spans_prunes_gram_df(spark, docs):
     plan = _optimized(spans)
     assert "Join Inner" in plan
     assert "CartesianProduct" not in _plan(spans)
+
+
+def test_grouped_gramian_single_exchange(spark, lineitem):
+    """ols_grouped's physical shape: partial HashAggregate -> ONE hash
+    exchange keyed on the group -> final HashAggregate, with column
+    pruning at the scan (the one-scan-per-arm kernel of TLearner/XLearner/
+    AIPW/DML)."""
+    from fast_causal_inference_spark.operators.ols import parse_r_formula
+
+    y_expr, feats = parse_r_formula("l_extendedprice ~ l_quantity")
+    agged = (lineitem.groupBy(F.expr("l_orderkey % 2").alias("__g"))
+             .agg(*suffstat_agg_columns(feats + [y_expr])))
+    plan = _plan(agged)
+    assert plan.count("HashAggregate") >= 2          # partial + final
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    scan = [ln for ln in plan.split("\n") if "ReadSchema" in ln]
+    assert scan and "l_discount" not in scan[0]      # pruned
+    assert "l_quantity" in scan[0]
