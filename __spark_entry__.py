@@ -2282,9 +2282,26 @@ def q_describe_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").alias("grp"),
         F.expr("stack(3, 'p50', p50, 'p90', p90, 'p99', p99)"
                " AS (stat, value)"))
+    # quantile treatment effects: exact per-arm interpolated quantiles in
+    # ONE groupBy(arm) percentile aggregation (beyond the reference)
+    from fast_causal_inference_spark.operators.quantile_test import (
+        quantile_treatment_effect,
+    )
+
+    qte = quantile_treatment_effect(
+        li.withColumn("arm", (F.col("l_orderkey") % 2).cast("int")),
+        "l_extendedprice", "arm", (0.25, 0.5, 0.9))
+    qte_rows = []
+    for r in qte.itertuples():
+        for stat in ("q0", "q1", "qte"):
+            qte_rows.append(("qte", f"p{int(r.quantile * 100)}", stat,
+                             round(float(getattr(r, stat)), 6)))
+    qte_long = spark.createDataFrame(
+        qte_rows, "variant string, grp string, stat string, value double")
     out = desc_long.unionByName(q_long)
     return out.select("variant", "grp", "stat",
-                      F.round("value", 6).alias("value"))
+                      F.round("value", 6).alias("value")) \
+        .unionByName(qte_long)
 
 
 _DESCRIBE_QUANTILES_SQL = """
@@ -2313,6 +2330,22 @@ SELECT 'quantile', grp, stat, round(value, 6) FROM (
   SELECT grp, 'p50' AS stat, p50 AS value FROM q
   UNION ALL SELECT grp, 'p90', p90 FROM q
   UNION ALL SELECT grp, 'p99', p99 FROM q
+)
+UNION ALL
+SELECT 'qte', 'p' || CAST(CAST(lvl * 100 AS INT) AS VARCHAR), stat,
+       round(value, 6)
+FROM (
+  WITH qa AS (
+    SELECT unnest([0.25, 0.5, 0.9]) AS lvl,
+           unnest(quantile_cont(l_extendedprice, [0.25, 0.5, 0.9])
+                  FILTER (l_orderkey % 2 = 0)) AS q0,
+           unnest(quantile_cont(l_extendedprice, [0.25, 0.5, 0.9])
+                  FILTER (l_orderkey % 2 = 1)) AS q1
+    FROM lineitem
+  )
+  SELECT lvl, 'q0' AS stat, q0 AS value FROM qa
+  UNION ALL SELECT lvl, 'q1', q1 FROM qa
+  UNION ALL SELECT lvl, 'qte', q1 - q0 FROM qa
 )
 """
 

@@ -25,6 +25,8 @@ _SF1_FAMILIES = [
     "q1_pricing_summary", "ttest_2samp", "xexpt_ttest_2samp",
     "describe_quantiles", "ols", "boot_strap", "causal_forest",
     "exact_dedup", "minhash_lsh_dedup", "knn",
+    # the round-5 one-scan rewrites, measured where data cost is visible
+    "linear_dml", "t_learner",
 ]
 
 

@@ -359,6 +359,15 @@ class CausalDataFrame:
         X = [X] if isinstance(X, str) else list(X)
         return aipw_estimator(self._df, Y, T, X, **kwargs)
 
+    def quantile_treatment_effect(self, Y: str, index: str, **kwargs):
+        """QTE at each quantile level (exact per-arm quantiles, one scan;
+        optional bucket-bootstrap SEs via uin=/n_bootstrap=)."""
+        from fast_causal_inference_spark.operators.quantile_test import (
+            quantile_treatment_effect,
+        )
+
+        return quantile_treatment_effect(self._df, Y, index, **kwargs)
+
     def linear_dml(self, Y: str, T: str, X, **kwargs):
         """LinearDML (reference ``uplift.py:2163`` class API as a method):
         cross-fitted residualization + final OLS; returns a DMLResult."""

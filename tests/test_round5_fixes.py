@@ -415,3 +415,39 @@ def test_jpeg_spark_pipeline(spark):
         assert int(r.width) == int(hx[0:4], 16) % 16 + 1
         assert int(r.height) == int(hx[4:8], 16) % 16 + 1
         assert float(r.mean_pixel) == float(int(hx[8:10], 16))
+
+
+# ---------------------------------------------------------------------------
+# quantile treatment effects
+# ---------------------------------------------------------------------------
+
+
+def test_qte_matches_numpy(spark):
+    from fast_causal_inference_spark.operators.quantile_test import (
+        quantile_treatment_effect,
+    )
+
+    rng = np.random.default_rng(13)
+    n = 6000
+    t = np.tile([0, 1], n // 2)
+    # treatment shifts the distribution more in the upper tail
+    y = rng.normal(10, 2, n) + t * (1.0 + rng.gamma(2.0, 1.0, n) * 0.5)
+    pdf = pd.DataFrame({"t": t, "y": y, "uid": np.arange(n)})
+    df = spark.createDataFrame(pdf)
+    out = quantile_treatment_effect(df, "y", "t", (0.1, 0.5, 0.9))
+    for _, r in out.iterrows():
+        q0 = np.quantile(pdf[pdf.t == 0].y, r["quantile"])
+        q1 = np.quantile(pdf[pdf.t == 1].y, r["quantile"])
+        assert r.q0 == pytest.approx(q0, rel=1e-9)
+        assert r.q1 == pytest.approx(q1, rel=1e-9)
+        assert r.qte == pytest.approx(q1 - q0, rel=1e-9)
+    # bootstrap SEs: CI covers the point estimate and the true upper-tail
+    # effect is larger than the median effect
+    bs = quantile_treatment_effect(df, "y", "t", (0.5, 0.9),
+                                   n_bootstrap=200, uin="uid")
+    assert (bs.lower < bs.qte).all() and (bs.qte < bs.upper).all()
+    assert (bs.stderr > 0).all()
+    assert bs.qte.iloc[1] > bs.qte.iloc[0]
+    # missing arm is a descriptive error
+    with pytest.raises(ValueError, match="both arms"):
+        quantile_treatment_effect(df.where("t = 1"), "y", "t")
