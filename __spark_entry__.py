@@ -157,28 +157,101 @@ ORDER BY revenue DESC
 
 
 def q_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRM observed/expected/chi-square across event_type arms."""
+    """SRM family: batch observed/expected/chi-square across event_type
+    arms PLUS a REAL Structured Streaming windowed two-sample t-test —
+    the stream runs file-source micro-batches through
+    ``streaming_ttest_2samp`` (event-time day windows, watermark,
+    complete-mode memory sink) and every window's statistics are
+    re-derived by the DuckDB oracle from the same events table."""
     from fast_causal_inference_spark.operators.srm import srm_spark
 
     ev = _load(spark, sf_dir, "events")
     out = srm_spark(ev, "value", "event_type")
-    return _round_all(out, ["groupname"],
-                      ["observed", "expected", "chisquare"], 6)
+    srm_rows = _round_all(out, ["groupname"],
+                          ["observed", "expected", "chisquare"], 6) \
+        .collect()
+    rows = [("srm", str(r["groupname"]), stat, float(r[stat]))
+            for r in srm_rows
+            for stat in ("observed", "expected", "chisquare")]
+
+    # streaming windowed t-test, executed for real
+    import os
+    import shutil
+    import tempfile
+
+    from fast_causal_inference_spark.streaming.ops import (
+        streaming_ttest_2samp,
+    )
+
+    sch = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    tmp = tempfile.mkdtemp(prefix="srm_stream_")
+    try:
+        os.mkdir(tmp + "/in")
+        os.symlink(f"{sf_dir}/events.parquet", tmp + "/in/events.parquet")
+        stream = spark.readStream.schema(sch).parquet(tmp + "/in")
+        if dict(stream.dtypes)["ts"] in ("bigint", "long"):
+            # TIMESTAMP(NANOS) parquet read as long under nanosAsLong
+            stream = stream.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        stream = stream.withColumn("arm",
+                                   (F.col("user_id") % 2).cast("int"))
+        st = streaming_ttest_2samp(stream, "avg(value)", "arm", "ts",
+                                   window_duration="1 day",
+                                   watermark="1 day", with_p_value=False)
+        q = (st.writeStream.format("memory").queryName("srm_stream_gate")
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        landed = spark.table("srm_stream_gate").collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    for r in landed:
+        day = r["window"]["start"].strftime("%Y-%m-%d")
+        for stat in ("n0", "n1", "mean0", "mean1", "estimate", "stderr",
+                     "t_stat"):
+            rows.append(("streaming_ttest", day, stat,
+                         round(float(r[stat]), 6)))
+    return spark.createDataFrame(
+        rows, "variant string, item string, stat string, value double")
 
 
 _SRM_SQL = """
 WITH obs AS (
   SELECT event_type AS groupname, sum(value) AS observed
   FROM events GROUP BY event_type
-), tot AS (SELECT sum(observed) AS t, count(*) AS k FROM obs)
-SELECT groupname,
-       round(observed, 6) AS observed,
-       round((SELECT t FROM tot)/(SELECT k FROM tot), 6) AS expected,
+), tot AS (SELECT sum(observed) AS t, count(*) AS k FROM obs),
+win AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(count(*) FILTER (user_id % 2 = 0) AS DOUBLE) AS n0,
+         CAST(count(*) FILTER (user_id % 2 = 1) AS DOUBLE) AS n1,
+         avg(value) FILTER (user_id % 2 = 0) AS mean0,
+         avg(value) FILTER (user_id % 2 = 1) AS mean1,
+         var_samp(value) FILTER (user_id % 2 = 0) AS v0,
+         var_samp(value) FILTER (user_id % 2 = 1) AS v1
+  FROM events GROUP BY 1
+)
+SELECT 'srm' AS variant, groupname AS item, 'observed' AS stat,
+       round(observed, 6) AS value FROM obs
+UNION ALL
+SELECT 'srm', groupname, 'expected',
+       round((SELECT t FROM tot)/(SELECT k FROM tot), 6) FROM obs
+UNION ALL
+SELECT 'srm', groupname, 'chisquare',
        round((SELECT sum((o2.observed - (SELECT t FROM tot)/(SELECT k FROM tot))
                     * (o2.observed - (SELECT t FROM tot)/(SELECT k FROM tot))
-                    / ((SELECT t FROM tot)/(SELECT k FROM tot))) FROM obs o2), 6) AS chisquare
+                    / ((SELECT t FROM tot)/(SELECT k FROM tot))) FROM obs o2), 6)
 FROM obs
-ORDER BY groupname
+UNION ALL
+SELECT 'streaming_ttest', strftime(day, '%Y-%m-%d'), stat, round(value, 6)
+FROM (
+  SELECT day, 'n0' AS stat, n0 AS value FROM win
+  UNION ALL SELECT day, 'n1', n1 FROM win
+  UNION ALL SELECT day, 'mean0', mean0 FROM win
+  UNION ALL SELECT day, 'mean1', mean1 FROM win
+  UNION ALL SELECT day, 'estimate', mean1 - mean0 FROM win
+  UNION ALL SELECT day, 'stderr', sqrt(v0/n0 + v1/n1) FROM win
+  UNION ALL SELECT day, 't_stat',
+    (mean1 - mean0) / sqrt(v0/n0 + v1/n1) FROM win
+)
 """
 
 
