@@ -113,6 +113,25 @@ def main():
         "lbl", "expected_outcome", n_thresholds=50)
     print(f"ROC points: {len(roc)}  (tpr@mid {roc.tpr.iloc[len(roc)//2]:.3f})")
 
+    print("== quantile treatment effects (round 5) ==")
+    print(cdf.quantile_treatment_effect(
+        "numerator", "treatment", quantiles=(0.25, 0.5, 0.9)))
+
+    print("== DML: cross-fitted debiased effect in 2 scans (round 5) ==")
+    print(cdf.linear_dml("numerator", "x1", ["x2", "x3"], cv=3).summary())
+
+    print("== pure-numpy JPEG codec on a synthesized column (round 5) ==")
+    from fast_causal_inference_spark.datapipe.multimodal import (
+        image_stats,
+        synthesize_image_column,
+    )
+
+    docs = spark.range(6).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("example doc "), F.col("id")).alias("text"))
+    image_stats(synthesize_image_column(docs, "text", fmt="jpeg")).select(
+        "doc_id", "width", "height", "mean_pixel").show()
+
     print("== All-in-SQL ==")
     from fast_causal_inference_spark.plans.sql_macros import sql
     from fast_causal_inference_spark.session import register_sql_functions

@@ -655,17 +655,19 @@ def audio_features(df: DataFrame, payload_col: str = "payload",
     ensure_udf_serializable()
     out_schema = T.StructType(df.schema.fields
                               + [T.StructField("audio_features",
-                                               T.ArrayType(T.FloatType()))])
+                                               T.ArrayType(T.FloatType())),
+                                 T.StructField("decoded", T.BooleanType())])
     cols = [f.name for f in df.schema.fields]
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
+            feats, dec = [], []
             for p in pdf[payload_col]:
                 payload = bytes(p) if p is not None else b""
                 try:
                     x, rate = decode_wav(payload)
                     feats.append(_mfcc(x, rate, n_mfcc).tolist())
+                    dec.append(True)
                 except (NotImplementedError, ValueError, wave.Error,
                         EOFError) as e:
                     if strict:
@@ -680,8 +682,10 @@ def audio_features(df: DataFrame, payload_col: str = "payload",
                     rng = np.random.default_rng(seed)
                     feats.append(rng.standard_normal(n_mfcc)
                                  .astype(np.float32).tolist())
+                    dec.append(False)
             pdf = pdf.copy()
             pdf["audio_features"] = feats
-            yield pdf[cols + ["audio_features"]]
+            pdf["decoded"] = dec
+            yield pdf[cols + ["audio_features", "decoded"]]
 
     return df.mapInPandas(extract, out_schema)

@@ -131,13 +131,19 @@ def xexpt_ttest_2samp(df: DataFrame, numerator: str, denominator: str,
                 for i, e in enumerate(base)]
         pre = df if treatment_values is None else \
             df.where(idx.isin(list(treatment_values)))
+        # limit bounds the collect if the index is accidentally
+        # high-cardinality (16 arms' worth of buckets + 1): a 2-arm index
+        # always fits, and anything that hits the cap fails the 2-value
+        # check below instead of OOMing the driver
+        cap = 16 * N_BUCKETS + 1
         brows = (pre.groupBy(idx.alias("__i"), bucket.alias("bucket"))
-                 .agg(*sums).collect())
+                 .agg(*sums).limit(cap).collect())
         vals = sorted({r["__i"] for r in brows if r["__i"] is not None})
         if treatment_values is None:
             if len(vals) != 2:
                 raise ValueError(
-                    f"index must have exactly 2 values, got {vals}")
+                    f"index must have exactly 2 values, got "
+                    f"{vals if len(vals) < 8 else f'{len(vals)}+ values'}")
             treatment_values = tuple(vals)
         v0, v1 = treatment_values
         present = {r["__i"] for r in brows} & {v0, v1}
