@@ -1462,17 +1462,23 @@ def q_linear_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         non_param_dml,
     )
 
+    from fast_causal_inference_spark.operators.dml import linear_dml_grouped
+
     li = _load(spark, sf_dir, "lineitem")
-    lin, npm = _concurrent([
+    lin, npm, grp = _concurrent([
         lambda: linear_dml(li, "l_extendedprice", "l_quantity",
                            ["l_discount"], cv=3, fold_expr="l_orderkey"),
         lambda: non_param_dml(li, "l_extendedprice", "l_quantity",
                               ["l_discount"], cv=3, fold_expr="l_orderkey"),
+        lambda: linear_dml_grouped(li, "l_extendedprice", "l_quantity",
+                                   ["l_discount"], ["l_returnflag"], cv=3,
+                                   fold_expr="l_orderkey"),
     ])
-    return spark.createDataFrame(
-        [("linear", round(float(lin.theta[0]), 6)),
-         ("nonparam", round(float(npm.theta[0]), 6))],
-        "variant string, theta double")
+    rows = [("linear", round(float(lin.theta[0]), 6)),
+            ("nonparam", round(float(npm.theta[0]), 6))]
+    rows += [(f"grouped_{r.l_returnflag}", round(float(r.theta), 6))
+             for r in grp.itertuples()]
+    return spark.createDataFrame(rows, "variant string, theta double")
 
 
 _LINEAR_DML_SQL = """
@@ -1501,6 +1507,36 @@ UNION ALL
 SELECT 'nonparam',
        round(sum(rt * ry) / sum(rt * rt), 6)
 FROM resid WHERE abs(rt) > 1e-12
+UNION ALL
+SELECT 'grouped_' || seg, round(theta, 6) FROM (
+  WITH gbase AS (
+    SELECT l_returnflag AS seg, l_orderkey % 3 AS fold,
+           l_extendedprice AS y, l_quantity AS t, l_discount AS x
+    FROM lineitem
+  ), gcells AS (SELECT DISTINCT seg, fold FROM gbase),
+  gfy AS (
+    SELECT c.seg, c.fold,
+           (SELECT regr_slope(y, x) FROM gbase b
+            WHERE b.seg = c.seg AND b.fold <> c.fold) AS s,
+           (SELECT regr_intercept(y, x) FROM gbase b
+            WHERE b.seg = c.seg AND b.fold <> c.fold) AS i
+    FROM gcells c
+  ), gft AS (
+    SELECT c.seg, c.fold,
+           (SELECT regr_slope(t, x) FROM gbase b
+            WHERE b.seg = c.seg AND b.fold <> c.fold) AS s,
+           (SELECT regr_intercept(t, x) FROM gbase b
+            WHERE b.seg = c.seg AND b.fold <> c.fold) AS i
+    FROM gcells c
+  ), gresid AS (
+    SELECT b.seg, b.y - (gfy.i + gfy.s * b.x) AS ry,
+           b.t - (gft.i + gft.s * b.x) AS rt
+    FROM gbase b
+    JOIN gfy ON b.seg = gfy.seg AND b.fold = gfy.fold
+    JOIN gft ON b.seg = gft.seg AND b.fold = gft.fold
+  )
+  SELECT seg, regr_slope(ry, rt) AS theta FROM gresid GROUP BY seg
+)
 """
 
 

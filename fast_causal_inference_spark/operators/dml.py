@@ -180,6 +180,137 @@ def linear_dml(df: DataFrame, Y: str, T: str, X: list[str],
                      final_model=final, hetero_exprs=hetero)
 
 
+def linear_dml_grouped(df: DataFrame, Y: str, T: str, X: list[str],
+                       group_cols: list[str], W: list[str] | None = None,
+                       cv: int = 3, seed: int = 42,
+                       fold_expr: str | None = None,
+                       max_cells: int = 10_000):
+    """Per-segment constant-effect LinearDML — the xexpt-drill-down
+    pattern applied to DML.
+
+    ONE ``groupBy(*group_cols, fold)`` joint-Gramian scan yields every
+    (segment × fold) sufficient-statistics row; each segment's ``2·cv``
+    nuisance fits solve on the driver from its complement sums, and a
+    SECOND scan aggregates every segment's final-stage residual moments
+    (fold-dispatched CASE columns, grouped once).  Two passes total for
+    ANY number of segments — never a per-segment Spark job.
+
+    Returns a pandas DataFrame (group_cols…, theta, stderr, n).
+    """
+    import pandas as pd
+
+    from fast_causal_inference_spark.operators.ols import _fit_from_row
+    from fast_causal_inference_spark.operators.suffstats import (
+        suffstat_agg_columns,
+    )
+
+    controls = list(X) + list(W or [])
+    if not controls:
+        raise ValueError("DML needs at least one control covariate")
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty (use linear_dml)")
+    work = _fold_column(df, cv, "__fold", seed, fold_expr,
+                        hash_cols=controls)
+
+    base = list(controls) + [Y, T]
+    aggs = suffstat_agg_columns(base)
+    aggs.append(F.count(F.lit(1)).alias("n_rows__"))
+    rows = (work.groupBy(*group_cols, "__fold").agg(*aggs)
+            .limit(max_cells * cv + 1).collect())
+    if len(rows) > max_cells * cv:
+        raise ValueError(
+            f"more than max_cells={max_cells} segments; coarsen "
+            f"group_cols or raise max_cells")
+    k = len(controls)
+    idx_y = list(range(k)) + [k]
+    idx_t = list(range(k)) + [k + 1]
+    stat_keys = [c for c in (rows[0].asDict() if rows else {})
+                 if c not in set(group_cols) | {"__fold"}]
+    by_seg: dict = {}
+    for r in rows:
+        key = tuple(r[c] for c in group_cols)
+        if r["__fold"] is not None:
+            by_seg.setdefault(key, {})[int(r["__fold"])] = r.asDict()
+
+    # fold-dispatched residual predictions per segment -> one grouped
+    # final aggregation; segments whose complements can't support a fit
+    # are dropped (reported as NaN rows)
+    seg_models: dict = {}
+    bad: list = []
+    for key, folds in by_seg.items():
+        preds = {}
+        ok = True
+        for f in range(cv):
+            summed = {sk: sum(float(folds[g][sk] or 0.0)
+                              for g in folds if g != f)
+                      for sk in stat_keys}
+            if summed.get("n_rows__", 0.0) < k + 2:
+                ok = False
+                break
+            my = _fit_from_row(_subrow(summed, idx_y), controls, Y,
+                               True, summed["n_rows__"], None)
+            mt = _fit_from_row(_subrow(summed, idx_t), controls, T,
+                               True, summed["n_rows__"], None)
+            preds[f] = (my, mt)
+        if ok:
+            seg_models[key] = preds
+        else:
+            bad.append(key)
+
+    if not seg_models:
+        return pd.DataFrame(columns=[*group_cols, "theta", "stderr", "n"])
+
+    # second scan: Σr_t·r_y, Σr_t², Σr_y², n per segment, where the
+    # residual columns dispatch on (segment, fold)
+    seg_col = F.concat_ws("\x1f", *[F.col(c).cast("string")
+                                    for c in group_cols])
+    key_of = {key: "\x1f".join("" if v is None else str(v) for v in key)
+              for key in seg_models}
+    py = pt = None
+    for key, preds in seg_models.items():
+        kstr = key_of[key]
+        for f, (my, mt) in preds.items():
+            cond = (seg_col == F.lit(kstr)) & (F.col("__fold") == f)
+            py = F.when(cond, my.predict_column()) if py is None \
+                else py.when(cond, my.predict_column())
+            pt = F.when(cond, mt.predict_column()) if pt is None \
+                else pt.when(cond, mt.predict_column())
+    ry = F.expr(Y).cast("double") - py
+    rt = F.expr(T).cast("double") - pt
+    out_rows = (work.withColumn("__ry", ry).withColumn("__rt", rt)
+                .where(F.col("__ry").isNotNull())
+                .groupBy(*group_cols)
+                .agg(F.sum(F.col("__rt") * F.col("__ry")).alias("sty"),
+                     F.sum(F.col("__rt") * F.col("__rt")).alias("stt"),
+                     F.sum(F.col("__ry") * F.col("__ry")).alias("syy"),
+                     F.sum("__rt").alias("srt"), F.sum("__ry").alias("sry"),
+                     F.count(F.lit(1)).alias("n")).collect())
+    recs = []
+    for r in out_rows:
+        key = tuple(r[c] for c in group_cols)
+        if key not in seg_models:
+            continue
+        stt, sty, syy = (float(r["stt"]), float(r["sty"]), float(r["syy"]))
+        srt, sry, n = float(r["srt"]), float(r["sry"]), float(r["n"])
+        # intercept-included simple OLS of ỹ on t̃ — the exact final stage
+        # linear_dml runs, so per-segment values match a filtered call
+        sxx = stt - srt * srt / n
+        sxy = sty - srt * sry / n
+        syy_c = syy - sry * sry / n
+        theta = sxy / sxx if sxx > 0 else float("nan")
+        ssr = max(syy_c - theta * sxy, 0.0)
+        sigma2 = ssr / (n - 2) if n > 2 else float("nan")
+        se = float(np.sqrt(sigma2 / sxx)) if sxx > 0 else float("nan")
+        recs.append({**{c: r[c] for c in group_cols},
+                     "theta": theta, "stderr": se, "n": n})
+    for key in bad:
+        recs.append({**dict(zip(group_cols, key)),
+                     "theta": float("nan"), "stderr": float("nan"),
+                     "n": float("nan")})
+    return pd.DataFrame(recs).sort_values(group_cols) \
+        .reset_index(drop=True)
+
+
 def non_param_dml(df: DataFrame, Y: str, T: str, X: list[str],
                   W: list[str] | None = None, cv: int = 3, seed: int = 42,
                   heterogeneity: list[str] | None = None,

@@ -352,3 +352,40 @@ def test_tlearner_grouped_matches_per_arm(spark, hte_df, hte_pdf):
         X = np.column_stack([np.ones(len(sub)), sub.x1, sub.x2])
         beta, *_ = np.linalg.lstsq(X, sub.y.to_numpy(), rcond=None)
         assert np.allclose(model.beta, beta, rtol=1e-8, atol=1e-8)
+
+
+def test_linear_dml_grouped_matches_per_segment(spark, hte_df):
+    """Segmented DML (2 scans for ALL segments) must agree with calling
+    linear_dml on each segment's filtered frame."""
+    from fast_causal_inference_spark.operators.dml import linear_dml_grouped
+
+    seg = hte_df.withColumn("seg", (F.col("x2") > 0).cast("int"))
+    out = linear_dml_grouped(seg, "y", "t", ["x1", "x2"], ["seg"], cv=3)
+    assert list(out.seg) == [0, 1]
+    for s in (0, 1):
+        ref = linear_dml(seg.where(F.col("seg") == s), "y", "t",
+                         ["x1", "x2"], cv=3)
+        got = out[out.seg == s].iloc[0]
+        assert got.theta == pytest.approx(ref.ate, rel=1e-9, abs=1e-9)
+        assert got.stderr == pytest.approx(float(ref.stderr[0]),
+                                           rel=1e-6)
+
+
+def test_linear_dml_grouped_two_scans(spark, hte_df):
+    from fast_causal_inference_spark.operators.dml import linear_dml_grouped
+
+    seg = hte_df.withColumn("seg", (F.col("x2") > 0).cast("int"))
+    cls = type(hte_df)
+    calls = []
+    orig = cls.collect
+
+    def counting(self):
+        calls.append(1)
+        return orig(self)
+
+    try:
+        cls.collect = counting
+        linear_dml_grouped(seg, "y", "t", ["x1", "x2"], ["seg"], cv=4)
+    finally:
+        cls.collect = orig
+    assert len(calls) == 2, f"expected 2 scans, saw {len(calls)}"
