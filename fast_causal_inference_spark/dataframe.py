@@ -376,6 +376,17 @@ class CausalDataFrame:
         X = [X] if isinstance(X, str) else list(X)
         return linear_dml(self._df, Y, T, X, **kwargs)
 
+    def linear_dml_grouped(self, Y: str, T: str, X, group_cols, **kwargs):
+        """Per-segment LinearDML drill-down — 2 scans for ALL segments."""
+        from fast_causal_inference_spark.operators.dml import (
+            linear_dml_grouped,
+        )
+
+        X = [X] if isinstance(X, str) else list(X)
+        group_cols = ([group_cols] if isinstance(group_cols, str)
+                      else list(group_cols))
+        return linear_dml_grouped(self._df, Y, T, X, group_cols, **kwargs)
+
     def non_param_dml(self, Y: str, T: str, X, **kwargs):
         """NonParamDML (reference NonParamDMLParser.java semantics)."""
         from fast_causal_inference_spark.operators.dml import non_param_dml
