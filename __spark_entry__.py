@@ -200,7 +200,11 @@ def q_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    watermark="1 day", with_p_value=False)
         q = (st.writeStream.format("memory").queryName("srm_stream_gate")
              .outputMode("complete").trigger(availableNow=True).start())
-        q.awaitTermination(180)
+        if not q.awaitTermination(180):
+            q.stop()
+            raise TimeoutError(
+                "srm streaming t-test did not finish in 180s — failing "
+                "loudly instead of reading a partial window set")
         landed = spark.table("srm_stream_gate").collect()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -3729,7 +3733,11 @@ def q_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .option("path", tmp + "/data")
                  .option("checkpointLocation", tmp + "/ckpt")
                  .trigger(availableNow=True).start())
-            q.awaitTermination(180)
+            if not q.awaitTermination(180):
+                q.stop()
+                raise TimeoutError(
+                    "streaming ingest did not finish in 180s — failing "
+                    "loudly instead of reading a partial landing")
             landed = spark.read.parquet(tmp + "/data")
             return (landed.groupBy("lang_pred")
                     .agg(F.count(F.lit(1)).alias("n_docs"),

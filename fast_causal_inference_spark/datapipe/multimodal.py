@@ -42,6 +42,18 @@ from pyspark.sql import types as T
 from fast_causal_inference_spark.datapipe.jpeg import decode_jpeg, encode_jpeg
 from fast_causal_inference_spark.serialization import ensure_udf_serializable
 
+# every exception a corrupt/truncated payload can raise out of the pure-
+# Python codecs: struct/ValueError from header parsing, zlib.error from a
+# bad IDAT, KeyError from a JPEG scan referencing a missing DQT/DHT table,
+# IndexError from truncated entropy data, EOFError/wave.Error from WAV.
+# NotImplementedError stays first-class: it means "format needs an external
+# library", which strict mode reports differently from corrupt data.
+import zlib as _zlib
+
+DECODE_ERRORS = (NotImplementedError, ValueError, struct.error, KeyError,
+                 IndexError, EOFError, OverflowError, _zlib.error,
+                 wave.Error)
+
 
 # ---------------------------------------------------------------------------
 # pure-Python codecs for uncompressed formats
@@ -367,7 +379,7 @@ def image_features(df: DataFrame, payload_col: str = "payload",
                         _pool_embedding(decode_image(payload),
                                         n_features).tolist())
                     dec.append(True)
-                except (NotImplementedError, ValueError, struct.error) as e:
+                except DECODE_ERRORS as e:
                     if strict:
                         # only UNSUPPORTED-codec errors get the PIL/cv2
                         # message; corrupt BMP/PPM payloads re-raise as-is
@@ -410,7 +422,7 @@ def image_stats(df: DataFrame, payload_col: str = "payload",
                     hs.append(int(img.shape[0]))
                     ws.append(int(img.shape[1]))
                     ms.append(float(img.astype(np.float64).mean()))
-                except (NotImplementedError, ValueError, struct.error):
+                except DECODE_ERRORS:
                     if strict:
                         raise
                     ws.append(None)
@@ -445,7 +457,7 @@ def image_resize(df: DataFrame, payload_col: str = "payload",
                     yi = (np.arange(height) * h // height).clip(0, h - 1)
                     xi = (np.arange(width) * w // width).clip(0, w - 1)
                     out.append(encode_bmp(img[yi][:, xi]))
-                except (NotImplementedError, ValueError, struct.error) as e:
+                except DECODE_ERRORS as e:
                     if strict:
                         if isinstance(e, NotImplementedError):
                             raise NotImplementedError(
@@ -589,7 +601,7 @@ def audio_stats(df: DataFrame, payload_col: str = "payload",
                     rates.append(rate)
                     rms.append(float(np.sqrt(np.mean(
                         x.astype(np.float64) ** 2))) if len(x) else 0.0)
-                except (NotImplementedError, ValueError, wave.Error, EOFError):
+                except DECODE_ERRORS:
                     if strict:
                         raise
                     ns.append(None)
@@ -668,8 +680,7 @@ def audio_features(df: DataFrame, payload_col: str = "payload",
                     x, rate = decode_wav(payload)
                     feats.append(_mfcc(x, rate, n_mfcc).tolist())
                     dec.append(True)
-                except (NotImplementedError, ValueError, wave.Error,
-                        EOFError) as e:
+                except DECODE_ERRORS as e:
                     if strict:
                         if isinstance(e, NotImplementedError):
                             raise NotImplementedError(

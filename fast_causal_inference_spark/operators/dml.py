@@ -82,6 +82,21 @@ class DMLResult:
         })
 
 
+def _check_conditioned(model, fold: int, which: str,
+                       threshold: float = 1e10) -> None:
+    """Reject a nuisance fit whose normal equations are effectively
+    singular — e.g. a binary control whose fold hash put each value in
+    its own fold, leaving complements with zero covariate variance.
+    cond(XᵀX) == cond((XᵀX)⁻¹), so the stored inverse suffices."""
+    c = float(np.linalg.cond(model.xtx_inv))
+    if not np.isfinite(c) or c > threshold:
+        raise ValueError(
+            f"fold {fold}: the {which} nuisance fit is rank-deficient "
+            f"(cond≈{c:.2e}) — the fold partition is degenerate in the "
+            f"covariates (low-cardinality controls hash into aligned "
+            f"folds); pass fold_expr with a row id")
+
+
 def _subrow(full: dict, idx: list[int]) -> dict:
     """Project a joint sufficient-statistics row (over ``m`` base exprs)
     down to the sub-model whose base positions are ``idx`` (y last),
@@ -129,14 +144,22 @@ def _dml_residuals(df: DataFrame, Y: str, T: str, covariates: list[str],
     idx_y = list(range(k)) + [k]        # covariates + Y
     idx_t = list(range(k)) + [k + 1]    # covariates + T
 
+    if len(by_fold) < cv:
+        raise ValueError(
+            f"only {len(by_fold)} of {cv} folds are populated — the "
+            f"default fold hash of the covariates cannot spread "
+            f"low-cardinality controls; pass fold_expr with a row id")
     pred_y = pred_t = None
     for f in range(cv):
         summed = {key: sum(float(by_fold[g][key] or 0.0)
                            for g in by_fold if g != f)
                   for key in stat_keys}
-        if summed.get("n_rows__", 0.0) < k + 2:
+        # guard on COMPLETE CASES (the Gramian's n), not the raw row
+        # count: NULL-heavy complements would otherwise pass and fit
+        # silent pinv garbage
+        if summed.get("n", 0.0) < k + 2:
             raise ValueError(
-                f"fold {f}: only {int(summed.get('n_rows__', 0))} rows "
+                f"fold {f}: only {int(summed.get('n', 0))} complete rows "
                 f"outside the fold — not enough to fit {k} covariates; "
                 f"check cv/fold_expr")
         n_c = summed["n_rows__"]
@@ -144,6 +167,8 @@ def _dml_residuals(df: DataFrame, Y: str, T: str, covariates: list[str],
                            True, n_c, None)
         mt = _fit_from_row(_subrow(summed, idx_t), list(covariates), T,
                            True, n_c, None)
+        _check_conditioned(my, f, "outcome")
+        _check_conditioned(mt, f, "treatment")
         cy, ct = my.predict_column(), mt.predict_column()
         pred_y = F.when(F.col(fold_col) == f, cy) if pred_y is None \
             else pred_y.when(F.col(fold_col) == f, cy)
@@ -192,8 +217,10 @@ def linear_dml_grouped(df: DataFrame, Y: str, T: str, X: list[str],
     (segment × fold) sufficient-statistics row; each segment's ``2·cv``
     nuisance fits solve on the driver from its complement sums, and a
     SECOND scan aggregates every segment's final-stage residual moments
-    (fold-dispatched CASE columns, grouped once).  Two passes total for
-    ANY number of segments — never a per-segment Spark job.
+    (a broadcast join against the tiny per-(segment, fold) coefficient
+    relation — plan size linear in segments, null-safe on the group
+    values).  Two passes total for ANY number of segments — never a
+    per-segment Spark job.
 
     Returns a pandas DataFrame (group_cols…, theta, stderr, n).
     """
@@ -232,9 +259,10 @@ def linear_dml_grouped(df: DataFrame, Y: str, T: str, X: list[str],
         if r["__fold"] is not None:
             by_seg.setdefault(key, {})[int(r["__fold"])] = r.asDict()
 
-    # fold-dispatched residual predictions per segment -> one grouped
-    # final aggregation; segments whose complements can't support a fit
-    # are dropped (reported as NaN rows)
+    # per-(segment, fold) nuisance coefficients -> a TINY broadcast
+    # relation joined back on the actual group VALUES (null-safe equality,
+    # so NULL segment keys and non-canonical stringifications are exact —
+    # and the plan stays linear in segments, unlike a CASE WHEN chain)
     seg_models: dict = {}
     bad: list = []
     for key, folds in by_seg.items():
@@ -244,7 +272,7 @@ def linear_dml_grouped(df: DataFrame, Y: str, T: str, X: list[str],
             summed = {sk: sum(float(folds[g][sk] or 0.0)
                               for g in folds if g != f)
                       for sk in stat_keys}
-            if summed.get("n_rows__", 0.0) < k + 2:
+            if summed.get("n", 0.0) < k + 2:
                 ok = False
                 break
             my = _fit_from_row(_subrow(summed, idx_y), controls, Y,
@@ -260,25 +288,37 @@ def linear_dml_grouped(df: DataFrame, Y: str, T: str, X: list[str],
     if not seg_models:
         return pd.DataFrame(columns=[*group_cols, "theta", "stderr", "n"])
 
-    # second scan: Σr_t·r_y, Σr_t², Σr_y², n per segment, where the
-    # residual columns dispatch on (segment, fold)
-    seg_col = F.concat_ws("\x1f", *[F.col(c).cast("string")
-                                    for c in group_cols])
-    key_of = {key: "\x1f".join("" if v is None else str(v) for v in key)
-              for key in seg_models}
-    py = pt = None
+    coef_rows = []
     for key, preds in seg_models.items():
-        kstr = key_of[key]
         for f, (my, mt) in preds.items():
-            cond = (seg_col == F.lit(kstr)) & (F.col("__fold") == f)
-            py = F.when(cond, my.predict_column()) if py is None \
-                else py.when(cond, my.predict_column())
-            pt = F.when(cond, mt.predict_column()) if pt is None \
-                else pt.when(cond, mt.predict_column())
-    ry = F.expr(Y).cast("double") - py
-    rt = F.expr(T).cast("double") - pt
-    out_rows = (work.withColumn("__ry", ry).withColumn("__rt", rt)
-                .where(F.col("__ry").isNotNull())
+            coef_rows.append((*key, f,
+                              [float(b) for b in my.beta],
+                              [float(b) for b in mt.beta]))
+    gtypes = dict(work.select(*group_cols).dtypes)
+    coef_schema = (", ".join(f"`{c}` {gtypes[c]}" for c in group_cols)
+                   + ", __fold int, __by array<double>, __bt array<double>")
+    coefs = work.sparkSession.createDataFrame(coef_rows, coef_schema)
+    left = work.alias("w")
+    right = F.broadcast(coefs.alias("c"))
+    join_cond = F.col("w.__fold") == F.col("c.__fold")
+    for c in group_cols:
+        join_cond = join_cond & \
+            F.col(f"w.`{c}`").eqNullSafe(F.col(f"c.`{c}`"))
+    joined = left.join(right, join_cond, "inner").drop(F.col("c.__fold"))
+    for c in group_cols:
+        joined = joined.drop(F.col(f"c.`{c}`"))
+    xdot = [F.expr(e).cast("double") for e in controls]
+
+    def _pred(arr: str) -> Column:
+        out: Column = F.col(arr)[0]
+        for i, x in enumerate(xdot):
+            out = out + F.col(arr)[i + 1] * x
+        return out
+
+    ry = F.expr(Y).cast("double") - _pred("__by")
+    rt = F.expr(T).cast("double") - _pred("__bt")
+    out_rows = (joined.withColumn("__ry", ry).withColumn("__rt", rt)
+                .where(F.col("__ry").isNotNull() & F.col("__rt").isNotNull())
                 .groupBy(*group_cols)
                 .agg(F.sum(F.col("__rt") * F.col("__ry")).alias("sty"),
                      F.sum(F.col("__rt") * F.col("__rt")).alias("stt"),

@@ -271,8 +271,13 @@ def ols(df: DataFrame, formula: str, use_bias: bool = True,
     aggs = suffstat_agg_columns(base, weight=wcol)
     aggs.append(F.count(F.lit(1)).alias("n_rows__"))
     row = df.agg(*aggs).collect()[0]
-    return _fit_from_row(row, feats, y_expr, use_bias,
-                         float(row["n_rows__"]), weight)
+    # df_resid counts COMPLETE CASES (the Gramian's n): rows with a NULL
+    # y/feature contribute nothing to the fit and must not inflate the
+    # residual degrees of freedom.  (Weighted fits keep the row count —
+    # there n is Σw, not a case count.)
+    n_rows = float(row["n"] or 0.0) if weight is None \
+        else float(row["n_rows__"])
+    return _fit_from_row(row, feats, y_expr, use_bias, n_rows, weight)
 
 
 def wls(df: DataFrame, formula: str, weight: str,
@@ -301,9 +306,10 @@ def ols_grouped(df: DataFrame, formula: str, group_expr: str,
     aggs.append(F.count(F.lit(1)).alias("n_rows__"))
     g = F.expr(group_expr).alias("__g")
     rows = df.groupBy(g).agg(*aggs).collect()
-    return {r["__g"]: _fit_from_row(r, feats, y_expr, use_bias,
-                                    float(r["n_rows__"]), weight)
-            for r in rows}
+    return {r["__g"]: _fit_from_row(
+        r, feats, y_expr, use_bias,
+        float(r["n"] or 0.0) if weight is None else float(r["n_rows__"]),
+        weight) for r in rows}
 
 
 def ols_coef_df(df: DataFrame, formula: str, use_bias: bool = True,

@@ -447,10 +447,10 @@ def cupac_ttest_2samp(df: DataFrame, Y: str, index: str,
         summed = {key: sum(float(by_fold[f][key] or 0.0)
                            for f in by_fold if f != k)
                   for key in stat_keys}
-        if summed.get("n_rows__", 0.0) < len(features) + 2:
+        if summed.get("n", 0.0) < len(features) + 2:
             raise ValueError(
-                f"fold {k}: only {int(summed.get('n_rows__', 0))} control "
-                f"rows outside the fold — not enough to fit "
+                f"fold {k}: only {int(summed.get('n', 0))} complete "
+                f"control rows outside the fold — not enough to fit "
                 f"{len(features)} features; check cv/fold_expr (discrete "
                 f"features with the default hash folds can empty a "
                 f"complement — pass fold_expr with a row id)")

@@ -73,10 +73,13 @@ class TLearner:
 
     def fit(self, df: DataFrame) -> "TLearner":
         f = _formula(self.outcome, self.features)
-        # BOTH arm models from ONE groupBy(arm) Gramian scan
-        models = ols_grouped(df, f, self.treatment)
+        # BOTH arm models from ONE groupBy(arm) Gramian scan; the group
+        # key casts to double so string-coded '0'/'1' arms keep working
+        # (the old per-arm filter t == 0 relied on Spark's implicit cast)
+        models = ols_grouped(df, f,
+                             f"CAST(({self.treatment}) AS DOUBLE)")
         try:
-            self.model0_, self.model1_ = models[0], models[1]
+            self.model0_, self.model1_ = models[0.0], models[1.0]
         except KeyError:
             raise ValueError(
                 f"TLearner needs both arms 0 and 1 in {self.treatment!r}; "
@@ -108,9 +111,11 @@ class XLearner:
         t = F.expr(self.treatment)
         f = _formula(self.outcome, self.features)
         # stage 1: BOTH arm outcome models from ONE groupBy(arm) scan
-        models = ols_grouped(df, f, self.treatment)
+        # (double-cast group key: string-coded arms keep working)
+        models = ols_grouped(df, f,
+                             f"CAST(({self.treatment}) AS DOUBLE)")
         try:
-            self.model0_, self.model1_ = models[0], models[1]
+            self.model0_, self.model1_ = models[0.0], models[1.0]
         except KeyError:
             raise ValueError(
                 f"XLearner needs both arms 0 and 1 in {self.treatment!r}; "
@@ -123,8 +128,8 @@ class XLearner:
             "__d", F.when(t == 1, y - self.model0_.predict_column())
                     .otherwise(self.model1_.predict_column() - y))
         taus = ols_grouped(imp, _formula("__d", self.features),
-                           self.treatment)
-        self.tau0_, self.tau1_ = taus[0], taus[1]
+                           f"CAST(({self.treatment}) AS DOUBLE)")
+        self.tau0_, self.tau1_ = taus[0.0], taus[1.0]
         self.prop_ = logistic_regression(df, _formula(self.treatment,
                                                       self.features))
         return self

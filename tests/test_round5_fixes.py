@@ -451,3 +451,111 @@ def test_qte_matches_numpy(spark):
     # missing arm is a descriptive error
     with pytest.raises(ValueError, match="both arms"):
         quantile_treatment_effect(df.where("t = 1"), "y", "t")
+
+
+# ---------------------------------------------------------------------------
+# review-pass regressions (round 5 second half)
+# ---------------------------------------------------------------------------
+
+
+def test_corrupt_png_jpeg_fall_back_not_crash(spark):
+    """strict=False must absorb zlib.error / KeyError / IndexError from
+    corrupt codec payloads, not crash the job."""
+    import struct
+    import zlib
+
+    from fast_causal_inference_spark.datapipe.multimodal import (
+        encode_png,
+        image_features,
+    )
+    from fast_causal_inference_spark.datapipe.jpeg import encode_jpeg
+
+    good_png = bytearray(encode_png(np.full((4, 4, 3), 9, np.uint8)))
+    idat = good_png.find(b"IDAT")
+    good_png[idat + 8] ^= 0xFF              # corrupt the deflate stream
+    jpg = bytearray(encode_jpeg(np.full((4, 4, 3), 9, np.uint8)))
+    jpg = jpg[:40]                           # truncated mid-header
+    rows = [(1, bytes(good_png)), (2, bytes(jpg)),
+            (3, b"\x89PNG\r\n\x1a\n" + b"\x00" * 10)]
+    df = spark.createDataFrame(rows, "doc_id int, payload binary")
+    out = image_features(df, n_features=8, strict=False).toPandas()
+    assert len(out) == 3
+    assert not out.decoded.any()
+    # and strict=True reports them as data errors (raises, any type)
+    with pytest.raises(Exception):
+        image_features(df, n_features=8, strict=True).collect()
+
+
+def test_dml_grouped_null_segment_key(spark):
+    """NULL group values must get their own segment (null-safe join), not
+    silently vanish."""
+    from fast_causal_inference_spark.operators.dml import (
+        linear_dml,
+        linear_dml_grouped,
+    )
+
+    rng = np.random.default_rng(31)
+    n = 4000
+    pdf = pd.DataFrame({"x": rng.normal(0, 1, n)})
+    pdf["t"] = pdf.x * 0.5 + rng.normal(0, 1, n)
+    pdf["y"] = pdf.x + 2.0 * pdf.t + rng.normal(0, 1, n)
+    pdf["seg"] = np.where(np.arange(n) % 3 == 0, None, "a")
+    df = spark.createDataFrame(pdf)
+    out = linear_dml_grouped(df, "y", "t", ["x"], ["seg"], cv=2)
+    assert len(out) == 2
+    got_null = out[out.seg.isna()].iloc[0]
+    ref = linear_dml(df.where(F.col("seg").isNull()), "y", "t", ["x"],
+                     cv=2)
+    assert got_null.theta == pytest.approx(ref.ate, rel=1e-9)
+
+
+def test_dml_grouped_null_treatment_rows_excluded(spark):
+    """Rows with NULL T (but non-null Y/x) must not skew n/moments."""
+    from fast_causal_inference_spark.operators.dml import (
+        linear_dml,
+        linear_dml_grouped,
+    )
+
+    rng = np.random.default_rng(37)
+    n = 3000
+    pdf = pd.DataFrame({"x": rng.normal(0, 1, n)})
+    pdf["t"] = pdf.x * 0.5 + rng.normal(0, 1, n)
+    pdf["y"] = pdf.x + 2.0 * pdf.t + rng.normal(0, 1, n)
+    pdf["seg"] = "s"
+    pdf.loc[: n // 10, "t"] = np.nan
+    df = spark.createDataFrame(pdf)
+    out = linear_dml_grouped(df, "y", "t", ["x"], ["seg"], cv=2)
+    ref = linear_dml(df, "y", "t", ["x"], cv=2)
+    got = out.iloc[0]
+    assert got.theta == pytest.approx(ref.ate, rel=1e-6)
+    assert got.stderr == pytest.approx(float(ref.stderr[0]), rel=1e-4)
+
+
+def test_tlearner_string_coded_arms(spark):
+    from fast_causal_inference_spark.uplift.metalearners import TLearner
+
+    rng = np.random.default_rng(41)
+    n = 1000
+    pdf = pd.DataFrame({"x": rng.normal(0, 1, n),
+                        "arm": np.tile(["0", "1"], n // 2)})
+    pdf["y"] = pdf.x + (pdf.arm == "1") * 2.0 + rng.normal(0, 0.5, n)
+    tl = TLearner(["x"], "y", "arm").fit(spark.createDataFrame(pdf))
+    ite = float(np.mean([r["ite"] for r in
+                         tl.predict(spark.createDataFrame(pdf))
+                         .select("ite").collect()]))
+    assert ite == pytest.approx(2.0, abs=0.2)
+
+
+def test_dml_degenerate_binary_control_raises(spark):
+    """A binary control whose hash folds align with its values must raise
+    a descriptive error, not silently fit rank-deficient nuisances."""
+    from fast_causal_inference_spark.operators.dml import linear_dml
+
+    rng = np.random.default_rng(43)
+    n = 2000
+    pdf = pd.DataFrame({"x": np.tile([0.0, 1.0], n // 2)})
+    pdf["t"] = pdf.x * 0.5 + rng.normal(0, 1, n)
+    pdf["y"] = pdf.x + pdf.t + rng.normal(0, 1, n)
+    with pytest.raises(ValueError,
+                       match="fold|rank-deficient|populated"):
+        linear_dml(spark.createDataFrame(pdf), "y", "t", ["x"], cv=3)
