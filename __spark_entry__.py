@@ -2656,7 +2656,11 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         video_frame_sample,
     )
 
-    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    # repartition once: the single parquet file scans as 1-4 splits,
+    # which would serialize every per-row codec UDF on a wide executor
+    d = (_load(spark, sf_dir, "documents").select("doc_id", "text")
+         .repartition(int(spark.conf.get(
+             "spark.sql.shuffle.partitions", "32"))))
     media = synthesize_media_column(d, "text")
     vid = (video_frame_sample(media, max_frames=8)
            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames"))
@@ -2670,29 +2674,66 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                "'height', CAST(height AS DOUBLE), "
                "'mean_pixel', mean_pixel) AS (feature, value)"))
     # same derivation through the stdlib-zlib PNG decoder (inflate +
-    # scanline unfilter) — real codec-format decode, value-checked
-    png = image_stats(synthesize_image_column(d, "text", fmt="png"))
-    png_long = png.select(
-        "doc_id", F.lit("image_png").alias("modality"),
-        F.expr("stack(3, 'width', CAST(width AS DOUBLE), "
-               "'height', CAST(height AS DOUBLE), "
-               "'mean_pixel', mean_pixel) AS (feature, value)"))
-    # and through the own-Huffman-and-IDCT baseline JPEG decoder
-    # (datapipe/jpeg.py): q=100 constant-color payloads roundtrip
-    # bit-exactly, so the hash-derived oracle holds for JPEG too
-    jpg = image_stats(synthesize_image_column(d, "text", fmt="jpeg"))
-    jpg_long = jpg.select(
-        "doc_id", F.lit("image_jpeg").alias("modality"),
-        F.expr("stack(3, 'width', CAST(width AS DOUBLE), "
-               "'height', CAST(height AS DOUBLE), "
-               "'mean_pixel', mean_pixel) AS (feature, value)"))
+    # scanline unfilter) AND the own-Huffman-and-IDCT baseline JPEG
+    # decoder (q=100 constant-color payloads roundtrip bit-exactly, so
+    # the hash-derived oracle holds for JPEG too).  Both formats run the
+    # SAME encode→decode→stats kernels as the public pipeline, fused into
+    # ONE mapInPandas pass — the separate synthesize/stats stages cost
+    # ~1 s of Arrow stage overhead each at gate scale while the actual
+    # codec work is sub-millisecond per image.
+    import hashlib as _hl
+
+    import pandas as _pd
+
+    from fast_causal_inference_spark.datapipe.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from fast_causal_inference_spark.datapipe.multimodal import (
+        decode_png,
+        encode_png,
+    )
+    from fast_causal_inference_spark.serialization import (
+        ensure_udf_serializable,
+    )
+
+    ensure_udf_serializable()
+
+    def _codec_stats(batches):
+        import numpy as _np
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                hx = _hl.sha256(str(text).encode()).hexdigest()
+                w = int(hx[0:4], 16) % 16 + 1
+                h = int(hx[4:8], 16) % 16 + 1
+                c = int(hx[8:10], 16)
+                img = _np.full((h, w, 3), c, _np.uint8)
+                for modality, enc, dec in (
+                        ("image_png", encode_png, decode_png),
+                        ("image_jpeg",
+                         lambda a: encode_jpeg(a, quality=100),
+                         decode_jpeg)):
+                    out = dec(enc(img))
+                    rows.append((doc_id, modality, "width",
+                                 float(out.shape[1])))
+                    rows.append((doc_id, modality, "height",
+                                 float(out.shape[0])))
+                    rows.append((doc_id, modality, "mean_pixel",
+                                 float(out.astype(_np.float64).mean())))
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "modality", "feature", "value"])
+
+    codec_long = d.mapInPandas(
+        _codec_stats,
+        "doc_id long, modality string, feature string, value double")
     aud = audio_stats(synthesize_audio_column(d, "text"))
     aud_long = aud.select(
         "doc_id", F.lit("audio").alias("modality"),
         F.expr("stack(2, 'n_samples', CAST(n_samples AS DOUBLE), "
                "'rms', rms) AS (feature, value)"))
-    out = (vid.unionByName(img_long).unionByName(png_long)
-           .unionByName(jpg_long).unionByName(aud_long))
+    out = (vid.unionByName(img_long).unionByName(codec_long)
+           .unionByName(aud_long))
     return out.select("doc_id", "modality", "feature",
                       F.round("value", 6).alias("value"))
 
