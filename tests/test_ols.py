@@ -231,3 +231,34 @@ def test_hc_robust_ols_matches_numpy(spark):
     assert m.stderr[1] > plain.stderr[1]
     with pytest.raises(ValueError, match="hc"):
         robust_ols(d, "y ~ x", hc="HC9")
+
+
+def test_ols_grouped_weighted_and_nulls(spark):
+    """ols_grouped: weighted fits keep Σw df semantics; NULL rows drop
+    from the complete-case df_resid in unweighted fits."""
+    import numpy as np
+    import pandas as pd
+
+    from fast_causal_inference_spark.operators.ols import ols, ols_grouped, wls
+
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    n = 2000
+    pdf = pd.DataFrame({
+        "g": np.tile([0, 1], n // 2),
+        "x": rng.normal(0, 1, n),
+        "w": rng.uniform(0.5, 2.0, n),
+    })
+    pdf["y"] = 1.0 + 2.0 * pdf.x + rng.normal(0, 1, n)
+    pdf.loc[:50, "y"] = np.nan
+    df = spark.createDataFrame(pdf)
+    models = ols_grouped(df, "y ~ x", "g")
+    for gv in (0, 1):
+        ref = ols(df.where(F.col("g") == gv), "y ~ x")
+        assert models[gv].beta == pytest.approx(ref.beta, rel=1e-9)
+        assert models[gv].stderr == pytest.approx(ref.stderr, rel=1e-9)
+    wm = ols_grouped(df, "y ~ x", "g", weight="w")
+    for gv in (0, 1):
+        ref = wls(df.where(F.col("g") == gv), "y ~ x", weight="w")
+        assert wm[gv].beta == pytest.approx(ref.beta, rel=1e-9)
