@@ -136,20 +136,25 @@ def quantile_treatment_effect(df: DataFrame, Y: str, index: str,
                               quantiles: tuple = (0.25, 0.5, 0.75),
                               treatment_values: tuple = (0, 1),
                               n_bootstrap: int = 0, uin: str | None = None,
-                              alpha: float = 0.05,
+                              alpha: float = 0.05, exact: bool = True,
+                              relative_error: float = 1e-4,
                               seed: int = 42) -> pd.DataFrame:
     """Quantile treatment effects: QTE(τ) = Q_τ(Y|treated) − Q_τ(Y|control)
     at each requested quantile level (beyond the reference — its quantile
     test reports relative differences of the same arm quantiles; this is
     the standard distributional-effect readout alongside the mean ATE).
 
-    ONE ``groupBy(arm)`` aggregation computes every level's EXACT
-    interpolated quantile per arm (native ``percentile`` with an array of
-    levels — sorts each arm's values once).  With ``n_bootstrap > 0`` and
-    a ``uin`` column, standard errors come from the quantileTestBucket
-    machinery: users hash into 128 buckets, per-bucket quantiles are
-    Poisson-resampled in numpy on the driver (a second bounded-state
-    aggregation — still one scan, no explode).
+    ONE ``groupBy(arm)`` aggregation computes every level's quantile per
+    arm (an array of levels — one pass).  ``exact=True`` uses native
+    ``percentile`` (exact interpolated, but its aggregation buffer holds
+    the arm's VALUES — right for oracle checks and up to ~10⁸ rows/arm);
+    ``exact=False`` switches to the Greenwald-Khanna sketch
+    (``approx_percentile`` at ``relative_error``), whose state is bounded
+    regardless of data size — the only shape that survives 100 TB arms.
+    With ``n_bootstrap > 0`` and a ``uin`` column, standard errors come
+    from the quantileTestBucket machinery: users hash into 128 buckets,
+    per-bucket quantiles are Poisson-resampled in numpy on the driver (a
+    second bounded-state aggregation — still one scan, no explode).
 
     Returns one row per level: quantile, q0, q1, qte [, stderr, lower,
     upper, z, p_value].
@@ -161,9 +166,13 @@ def quantile_treatment_effect(df: DataFrame, Y: str, index: str,
     arm = F.when(idx == F.lit(v0), 0).when(idx == F.lit(v1), 1)
     work = df.where(arm.isNotNull()).select(arm.alias("__arm"),
                                             y.alias("__y"))
-    rows = (work.groupBy("__arm")
-            .agg(F.percentile("__y", F.array(*[F.lit(q) for q in lv]))
-                 .alias("qs")).collect())
+    if exact:
+        qagg = F.percentile("__y", F.array(*[F.lit(q) for q in lv]))
+    else:
+        acc = max(int(1.0 / relative_error), 100)
+        qagg = F.percentile_approx(
+            "__y", F.array(*[F.lit(q) for q in lv]), F.lit(acc))
+    rows = work.groupBy("__arm").agg(qagg.alias("qs")).collect()
     by_arm = {int(r["__arm"]): list(r["qs"]) for r in rows}
     if set(by_arm) != {0, 1}:
         raise ValueError(

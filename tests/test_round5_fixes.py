@@ -559,3 +559,23 @@ def test_dml_degenerate_binary_control_raises(spark):
     with pytest.raises(ValueError,
                        match="fold|rank-deficient|populated"):
         linear_dml(spark.createDataFrame(pdf), "y", "t", ["x"], cv=3)
+
+
+def test_qte_sketch_path(spark):
+    """exact=False uses the bounded-state GK sketch and lands within its
+    relative-error band of the exact quantiles."""
+    from fast_causal_inference_spark.operators.quantile_test import (
+        quantile_treatment_effect,
+    )
+
+    rng = np.random.default_rng(51)
+    n = 20000
+    pdf = pd.DataFrame({"t": np.tile([0, 1], n // 2),
+                        "y": rng.normal(100, 15, n)})
+    pdf["y"] += pdf.t * 5
+    df = spark.createDataFrame(pdf)
+    ex = quantile_treatment_effect(df, "y", "t", (0.5, 0.9))
+    ap = quantile_treatment_effect(df, "y", "t", (0.5, 0.9), exact=False,
+                                   relative_error=1e-3)
+    for c in ("q0", "q1"):
+        assert np.allclose(ap[c], ex[c], rtol=0.01)
