@@ -2068,6 +2068,7 @@ def q_ttest_2samp_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from fast_causal_inference_spark.operators.ttest import (
+        cluster_ttest_2samp,
         cupac_ttest_2samp,
         mean_z_test,
         student_ttest,
@@ -2094,6 +2095,12 @@ def q_ttest_2samp_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("student", lambda: student_ttest(ev, "value", "treatment")),
         ("mean_z", lambda: mean_z_test(ev, "value", "treatment",
                                        900.0, 900.0)),
+        # cluster-randomized: clusters user_id%101, arm constant per
+        # cluster — the variance unit is the cluster total
+        ("cluster", lambda: cluster_ttest_2samp(
+            ev.withColumn("cl", F.col("user_id") % 101)
+              .withColumn("carm", (F.col("cl") % 2).cast("int")),
+            "avg(value)", "carm", "cl")),
     ]
 
     def _run(name, build):
@@ -2188,7 +2195,20 @@ pse_f AS (
          avg(o_totalprice) FILTER (WHERE o_orderkey % 2 = 1) AS m1,
          var_samp(o_totalprice) FILTER (WHERE o_orderkey % 2 = 0) AS v0,
          var_samp(o_totalprice) FILTER (WHERE o_orderkey % 2 = 1) AS v1
-  FROM orders)
+  FROM orders
+), cl_totals AS (
+  SELECT user_id % 101 AS cl, CAST((user_id % 101) % 2 AS INT) AS arm,
+         sum(value) AS s, CAST(count(*) AS DOUBLE) AS m
+  FROM events GROUP BY 1, 2
+), cl_arms AS (
+  SELECT arm, CAST(count(*) AS DOUBLE) AS n, avg(s) AS ms, avg(m) AS mm,
+         var_samp(s) AS vs, var_samp(m) AS vm, covar_samp(s, m) AS c
+  FROM cl_totals GROUP BY arm
+), cl_stats AS (
+  SELECT arm, n, ms/mm AS r,
+         (vs - 2*(ms/mm)*c + (ms/mm)*(ms/mm)*vm)/(mm*mm)/n AS v
+  FROM cl_arms
+)
 SELECT 'plain' AS variant, round(n0, 6) AS n0, round(n1, 6) AS n1,
        round(m0, 6) AS mean0, round(m1, 6) AS mean1,
        round(m1 - m0, 6) AS estimate,
@@ -2232,6 +2252,13 @@ SELECT 'mean_z', round(n0, 6), round(n1, 6), round(m0, 6), round(m1, 6),
        round(m1 - m0, 6), round(sqrt(900.0/n0 + 900.0/n1), 6),
        round((m1 - m0)/sqrt(900.0/n0 + 900.0/n1), 6)
 FROM ev_arms
+UNION ALL
+SELECT 'cluster', round(c0.n, 6), round(c1.n, 6),
+       round(c0.r, 6), round(c1.r, 6), round(c1.r - c0.r, 6),
+       round(sqrt(c0.v + c1.v), 6),
+       round((c1.r - c0.r)/sqrt(c0.v + c1.v), 6)
+FROM (SELECT * FROM cl_stats WHERE arm = 0) c0,
+     (SELECT * FROM cl_stats WHERE arm = 1) c1
 """
 
 

@@ -359,6 +359,16 @@ class CausalDataFrame:
         X = [X] if isinstance(X, str) else list(X)
         return aipw_estimator(self._df, Y, T, X, **kwargs)
 
+    def cluster_ttest_2samp(self, Y: str, index: str, cluster: str,
+                            **kwargs):
+        """Two-sample t-test for cluster-randomized experiments (variance
+        unit = cluster; delta method over cluster totals)."""
+        from fast_causal_inference_spark.operators.ttest import (
+            cluster_ttest_2samp,
+        )
+
+        return cluster_ttest_2samp(self._df, Y, index, cluster, **kwargs)
+
     def quantile_treatment_effect(self, Y: str, index: str, **kwargs):
         """QTE at each quantile level (exact per-arm quantiles, one scan;
         optional bucket-bootstrap SEs via uin=/n_bootstrap=)."""

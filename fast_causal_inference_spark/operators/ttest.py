@@ -376,6 +376,76 @@ def mean_z_test(df: DataFrame, value: str, index: str,
                         treatment_values, group_cols, var_x=var_x, var_y=var_y)
 
 
+def _rewrite_avgs(Y: str, base: list[str], repl) -> str:
+    """Replace every ``avg(<base_i>)`` occurrence in the formula text with
+    ``repl(i)`` (balanced-paren scan, so nested calls like
+    ``avg(pow(x,2))`` work)."""
+    norm = {b.replace(" ", ""): i for i, b in enumerate(base)}
+    out = []
+    i = 0
+    n = len(Y)
+    while i < n:
+        j = Y.find("avg(", i)
+        if j < 0:
+            out.append(Y[i:])
+            break
+        out.append(Y[i:j])
+        depth = 0
+        k = j + 3
+        while k < n:
+            if Y[k] == "(":
+                depth += 1
+            elif Y[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        inner = Y[j + 4:k].replace(" ", "")
+        if inner not in norm:
+            raise ValueError(
+                f"cannot rewrite avg({Y[j + 4:k]}): not a parsed base "
+                f"expression of {base}")
+        out.append(repl(norm[inner]))
+        i = k + 1
+    return "".join(out)
+
+
+def cluster_ttest_2samp(df: DataFrame, Y: str, index: str, cluster: str,
+                        alternative: str = "two-sided",
+                        alpha: float = 0.05,
+                        treatment_values: tuple = (0, 1),
+                        group_cols: list[str] | None = None) -> DataFrame:
+    """Two-sample t-test for CLUSTER-randomized experiments: the variance
+    unit is the cluster, not the row (Deng/Lu/Litz-style delta method
+    over cluster totals — row-level variance understates SE whenever
+    outcomes correlate within clusters).
+
+    Identity that makes this a two-stage composition of existing
+    kernels: any formula of row-level means satisfies
+    ``avg(e) = Σ_c S_e,c / Σ_c m_c = avg_c(S_e)/avg_c(m)``, so stage 1
+    aggregates per-(cluster, arm) totals (ONE shuffle keyed on clusters)
+    and stage 2 is the ordinary delta-method :func:`ttest_2samp` on the
+    cluster relation with each ``avg(e)`` rewritten to
+    ``avg(S_e)/avg(m)``.  Cluster counts become n0/n1.  The treatment
+    must be constant within a cluster (cluster-randomized assignment);
+    rows from mixed clusters land in both arms' totals and the result is
+    not a valid clustered test.
+    """
+    from fast_causal_inference_spark.formula import parse_formulas
+
+    idx = F.col(index) if index.isidentifier() else F.expr(index)
+    _, base = parse_formulas([Y])
+    sums = [F.sum(F.expr(e).cast("double")).alias(f"__s{i}")
+            for i, e in enumerate(base)]
+    keys = [F.expr(cluster).alias("__cl"), idx.alias("__idx"),
+            *[F.col(c) for c in (group_cols or [])]]
+    cl = df.groupBy(*keys).agg(*sums, F.count(F.lit(1)).alias("__m"))
+    y2 = _rewrite_avgs(Y, base, lambda i: f"(avg(__s{i})/avg(__m))")
+    return ttest_2samp(cl, y2, "__idx", alternative=alternative,
+                       alpha=alpha, treatment_values=treatment_values,
+                       group_cols=group_cols)
+
+
 def cupac_ttest_2samp(df: DataFrame, Y: str, index: str,
                       features: list[str], cv: int = 3,
                       fold_expr: str | None = None,

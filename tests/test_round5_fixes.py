@@ -579,3 +579,66 @@ def test_qte_sketch_path(spark):
                                    relative_error=1e-3)
     for c in ("q0", "q1"):
         assert np.allclose(ap[c], ex[c], rtol=0.01)
+
+
+def test_cluster_ttest_matches_numpy_delta(spark):
+    """Clustered SE from cluster totals vs a numpy delta-method oracle;
+    row-level ttest understates the SE under within-cluster correlation."""
+    from fast_causal_inference_spark.operators.ttest import (
+        cluster_ttest_2samp,
+        ttest_2samp,
+    )
+
+    rng = np.random.default_rng(61)
+    C, m = 120, 50
+    cl = np.repeat(np.arange(C), m)
+    arm = cl % 2
+    cluster_effect = rng.normal(0, 2.0, C)[cl]    # strong ICC
+    y = 10 + arm * 0.5 + cluster_effect + rng.normal(0, 1, C * m)
+    pdf = pd.DataFrame({"cl": cl, "arm": arm, "y": y})
+    df = spark.createDataFrame(pdf)
+    out = cluster_ttest_2samp(df, "avg(y)", "arm", "cl").toPandas()
+    row = out.iloc[0]
+
+    # numpy oracle: per-arm cluster totals, delta method on avg(S)/avg(m)
+    def arm_stats(a):
+        g = pdf[pdf.arm == a].groupby("cl").y.agg(["sum", "count"])
+        S, M = g["sum"].to_numpy(), g["count"].to_numpy().astype(float)
+        n = len(g)
+        r = S.mean() / M.mean()
+        cov = np.cov(np.vstack([S, M]), ddof=1)
+        var = (cov[0, 0] - 2 * r * cov[0, 1] + r * r * cov[1, 1]) \
+            / (M.mean() ** 2) / n
+        return n, r, var
+
+    n0, r0, v0 = arm_stats(0)
+    n1, r1, v1 = arm_stats(1)
+    assert float(row.n0) == n0 and float(row.n1) == n1
+    assert float(row.estimate) == pytest.approx(r1 - r0, rel=1e-9)
+    assert float(row.stderr) == pytest.approx(np.sqrt(v0 + v1), rel=1e-9)
+    # the clustered SE must exceed the (invalid) row-level SE here
+    naive = ttest_2samp(df, "avg(y)", "arm").toPandas().iloc[0]
+    assert float(row.stderr) > 2.0 * float(naive.stderr)
+
+
+def test_cluster_ttest_ratio_metric(spark):
+    from fast_causal_inference_spark.operators.ttest import (
+        cluster_ttest_2samp,
+    )
+
+    rng = np.random.default_rng(67)
+    C, m = 80, 30
+    cl = np.repeat(np.arange(C), m)
+    pdf = pd.DataFrame({
+        "cl": cl, "arm": cl % 2,
+        "num": rng.gamma(2, 5, C * m), "den": rng.uniform(1, 3, C * m),
+    })
+    df = spark.createDataFrame(pdf)
+    out = cluster_ttest_2samp(df, "avg(num)/avg(den)", "arm", "cl") \
+        .toPandas().iloc[0]
+    # point estimate identity: formula of overall sums per arm
+    for a, col in ((0, "mean0"), (1, "mean1")):
+        sub = pdf[pdf.arm == a]
+        assert float(out[col]) == pytest.approx(
+            sub.num.sum() / sub.den.sum(), rel=1e-9)
+    assert np.isfinite(out.stderr) and out.stderr > 0
