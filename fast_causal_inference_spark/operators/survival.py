@@ -78,16 +78,22 @@ def logrank_test(df: DataFrame, time: str, event: str,
 
 
 def cox_ph(df: DataFrame, time: str, event: str, covariates: list[str],
-           max_iter: int = 25, tol: float = 1e-9) -> pd.DataFrame:
-    """Cox proportional-hazards regression (Breslow tie handling).
+           max_iter: int = 25, tol: float = 1e-9,
+           ties: str = "breslow") -> pd.DataFrame:
+    """Cox proportional-hazards regression (``ties``: ``'breslow'`` or
+    ``'efron'`` — Efron is the more accurate approximation under heavy
+    ties and the default of R's ``coxph``/lifelines; Breslow matches the
+    simpler classical formula).
 
     Beyond the reference (its ``lib/survival.py`` ships only KM): the
     partial-likelihood score/Hessian decompose into per-event-time sums of
     (w, w·x, w·xxᵀ) with w = exp(xβ) plus SUFFIX sums over later times, so
     each Newton iteration is ONE ``groupBy(time)`` aggregation (shuffle:
     #distinct-times × k² doubles) and the suffix accumulation + Newton step
-    run on the driver over the (bounded) time-grid relation.  No per-row
-    sort, no window — scale-safe whenever the time grid is bounded, which
+    run on the driver over the (bounded) time-grid relation.  Efron
+    additionally carries the EVENT-ONLY (w, w·x, w·xxᵀ) sums per time and
+    loops over the d tied events in the driver term.  No per-row sort, no
+    window — scale-safe whenever the time grid is bounded, which
     event-time data always is after bucketing.
 
     Returns a per-covariate pandas frame: name, coef, exp(coef) hazard
@@ -97,6 +103,8 @@ def cox_ph(df: DataFrame, time: str, event: str, covariates: list[str],
 
     from fast_causal_inference_spark import stats_distributions as dist
 
+    if ties not in ("breslow", "efron"):
+        raise ValueError("ties must be 'breslow' or 'efron'")
     k = len(covariates)
     if k == 0:
         raise ValueError("cox_ph needs at least one covariate")
@@ -113,16 +121,21 @@ def cox_ph(df: DataFrame, time: str, event: str, covariates: list[str],
             term = float(beta[i]) * F.col(f"__x{i}")
             xb = term if xb is None else xb + term
         w = F.exp(xb)
+        e = F.col("__e")
         aggs = [F.sum(w).alias("sw"),
-                F.sum(F.col("__e")).alias("d"),
-                F.sum(F.col("__e") * xb).alias("sxb_e")]
+                F.sum(e).alias("d"),
+                F.sum(e * xb).alias("sxb_e"),
+                F.sum(e * w).alias("swe")]
         for i in range(k):
             aggs.append(F.sum(w * F.col(f"__x{i}")).alias(f"swx{i}"))
-            aggs.append(F.sum(F.col("__e") * F.col(f"__x{i}"))
-                        .alias(f"sx{i}_e"))
+            aggs.append(F.sum(e * F.col(f"__x{i}")).alias(f"sx{i}_e"))
+            aggs.append(F.sum(e * w * F.col(f"__x{i}")).alias(f"swxe{i}"))
             for j in range(i, k):
                 aggs.append(F.sum(w * F.col(f"__x{i}") * F.col(f"__x{j}"))
                             .alias(f"swxx{i}_{j}"))
+                aggs.append(
+                    F.sum(e * w * F.col(f"__x{i}") * F.col(f"__x{j}"))
+                    .alias(f"swxxe{i}_{j}"))
         rows = sub.groupBy("__t").agg(*aggs).orderBy(F.desc("__t")).collect()
 
         # suffix (risk-set) accumulation over descending time on the driver
@@ -142,12 +155,36 @@ def cox_ph(df: DataFrame, time: str, event: str, covariates: list[str],
                     if i != j:
                         S2[j, i] += v
             d = float(r["d"])
-            if d > 0:
+            if d <= 0:
+                continue
+            if ties == "breslow":
                 loglik += float(r["sxb_e"]) - d * np.log(S0)
                 xbar = S1 / S0
                 for i in range(k):
                     U[i] += float(r[f"sx{i}_e"]) - d * xbar[i]
                 H += d * (S2 / S0 - np.outer(xbar, xbar))
+            else:
+                # Efron: the l-th of d tied events sees the risk set minus
+                # an l/d fraction of the tied-event group's own sums
+                E0 = float(r["swe"])
+                E1 = np.array([float(r[f"swxe{i}"]) for i in range(k)])
+                E2 = np.zeros((k, k))
+                for i in range(k):
+                    for j in range(i, k):
+                        v = float(r[f"swxxe{i}_{j}"])
+                        E2[i, j] = E2[j, i] = v
+                loglik += float(r["sxb_e"])
+                di = int(round(d))
+                for ell in range(di):
+                    frac = ell / d
+                    a0 = S0 - frac * E0
+                    a1 = S1 - frac * E1
+                    a2 = S2 - frac * E2
+                    loglik -= np.log(a0)
+                    xbar = a1 / a0
+                    U += (np.array([float(r[f"sx{i}_e"])
+                                    for i in range(k)]) / d) - xbar
+                    H += a2 / a0 - np.outer(xbar, xbar)
         try:
             step = np.linalg.solve(H, U)
         except np.linalg.LinAlgError:

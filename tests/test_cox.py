@@ -61,3 +61,58 @@ def test_cox_matches_numpy(spark, surv_pdf):
     assert got.coef.iloc[0] == pytest.approx(0.7, abs=0.1)
     assert got.coef.iloc[1] == pytest.approx(-0.4, abs=0.15)
     assert (got.p_value < 0.001).all()
+
+
+def test_cox_efron_matches_numpy(spark):
+    """Efron ties vs a direct numpy partial-likelihood Newton solve."""
+    import numpy as np
+    import pandas as pd
+
+    from fast_causal_inference_spark.operators.survival import cox_ph
+
+    rng = np.random.default_rng(73)
+    n = 600
+    x = rng.normal(0, 1, n)
+    # heavy ties: integer event times
+    t = np.ceil(rng.exponential(5.0, n) * np.exp(-0.7 * x)).clip(1, 15)
+    e = (rng.uniform(0, 1, n) < 0.8).astype(float)
+    pdf = pd.DataFrame({"t": t, "e": e, "x": x})
+    got = cox_ph(spark.createDataFrame(pdf), "t", "e", ["x"],
+                 ties="efron").iloc[0]
+
+    # numpy oracle: Efron partial likelihood, Newton
+    beta = 0.0
+    for _ in range(50):
+        w = np.exp(beta * x)
+        U = 0.0
+        H = 0.0
+        for tt in np.unique(t[e == 1]):
+            risk = t >= tt
+            dead = (t == tt) & (e == 1)
+            d = dead.sum()
+            S0, S1, S2 = (w[risk].sum(), (w * x)[risk].sum(),
+                          (w * x * x)[risk].sum())
+            E0, E1, E2 = (w[dead].sum(), (w * x)[dead].sum(),
+                          (w * x * x)[dead].sum())
+            sx = x[dead].sum()
+            for ell in range(int(d)):
+                f = ell / d
+                a0 = S0 - f * E0
+                a1 = S1 - f * E1
+                a2 = S2 - f * E2
+                U += sx / d - a1 / a0
+                H += a2 / a0 - (a1 / a0) ** 2
+        step = U / H
+        beta += step
+        if abs(step) < 1e-12:
+            break
+    se = 1.0 / np.sqrt(H)
+    assert float(got.coef) == pytest.approx(beta, rel=1e-6)
+    assert float(got.stderr) == pytest.approx(se, rel=1e-6)
+    # the hazard here is proportional to exp(+0.7x) (the exponential
+    # SCALE carries exp(-0.7x), and hazard = 1/scale); heavy ties shrink
+    # both approximations toward zero, Efron less so than Breslow
+    br = cox_ph(spark.createDataFrame(pdf), "t", "e", ["x"],
+                ties="breslow").iloc[0]
+    assert float(got.coef) > float(br.coef) > 0
+    assert abs(float(got.coef) - 0.7) < abs(float(br.coef) - 0.7)
