@@ -2997,15 +2997,23 @@ UNION ALL SELECT 'pearsonr', l_returnflag, 't_stat', round(t_stat, 6) FROM p
 
 
 def g_survival_cox(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cox-PH rows of the survival family in long format (golden-snapshot
-    sub-oracle: iterative Newton solve, not SQL-expressible)."""
-    pdf = q_cox_ph(spark, sf_dir).toPandas()
+    """Cox-PH rows of the survival family in long format — BOTH tie
+    approximations (golden-snapshot sub-oracle: iterative Newton solve,
+    not SQL-expressible)."""
+    from fast_causal_inference_spark.operators.survival import cox_ph
+
+    ev = _load(spark, sf_dir, "events") \
+        .withColumn("t_", F.round(F.col("value"), 0)) \
+        .withColumn("e_", (F.col("event_id") % 4 != 0).cast("int")) \
+        .withColumn("x_", (F.col("user_id") % 5).cast("double"))
     rows = []
-    for r in pdf.itertuples():
-        for stat in ("coef", "hazard_ratio", "stderr", "z", "p_value"):
-            rows.append({"variant": "cox", "item": str(r.name),
-                         "stat": stat,
-                         "value": round(float(getattr(r, stat)), 6)})
+    for variant, tie in (("cox", "breslow"), ("cox_efron", "efron")):
+        pdf = cox_ph(ev, "t_", "e_", ["x_"], ties=tie)
+        for r in pdf.itertuples():
+            for stat in ("coef", "hazard_ratio", "stderr", "z", "p_value"):
+                rows.append({"variant": variant, "item": str(r.name),
+                             "stat": stat,
+                             "value": round(float(getattr(r, stat)), 6)})
     return _long_rows(spark, rows)
 
 
