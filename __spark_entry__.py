@@ -3968,19 +3968,27 @@ def g_power_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_power_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Effect-size + power family: Cohen's d / Hedges' g (SQL-derivable)
     plus closed-form power/MDE/sample-size rows (golden sub-oracle)."""
-    from fast_causal_inference_spark.operators.power import effect_size
+    from fast_causal_inference_spark.operators.power import (
+        effect_size,
+        icc_oneway,
+    )
 
     ev = _load(spark, sf_dir, "events") \
         .withColumn("arm", (F.col("user_id") % 2).cast("int"))
-    es_pdf, power_df = _concurrent([
+    es_pdf, power_df, icc = _concurrent([
         lambda: effect_size(ev, "value", "arm"),
         lambda: g_power_closed_form(spark, sf_dir),
+        lambda: icc_oneway(
+            ev.withColumn("cl", F.col("user_id") % 101), "value", "cl"),
     ])
     es = es_pdf.iloc[0]
     rows = [{"variant": "effect", "item": "value~arm", "stat": s,
              "value": round(float(es[s]), 6)}
             for s in ("cohens_d", "hedges_g", "diff", "pooled_sd",
                       "n0", "n1")]
+    rows += [{"variant": "icc", "item": "value~cl101", "stat": s,
+              "value": round(float(icc[s]), 6)}
+             for s in ("icc", "msb", "msw", "n_clusters", "n", "m_bar")]
     return _long_rows(spark, rows).unionByName(power_df)
 
 
@@ -4006,6 +4014,31 @@ UNION ALL SELECT 'effect', 'value~arm', 'diff', round(diff, 6) FROM es
 UNION ALL SELECT 'effect', 'value~arm', 'pooled_sd', round(sp, 6) FROM es
 UNION ALL SELECT 'effect', 'value~arm', 'n0', n0 FROM es
 UNION ALL SELECT 'effect', 'value~arm', 'n1', n1 FROM es
+UNION ALL
+SELECT 'icc', 'value~cl101', stat, round(value, 6) FROM (
+  WITH icc_cl AS (
+    SELECT user_id % 101 AS cl, CAST(count(*) AS DOUBLE) AS m,
+           sum(value) AS s, sum(value*value) AS ss
+    FROM events WHERE value IS NOT NULL GROUP BY 1
+  ), icc_agg AS (
+    SELECT CAST(count(*) AS DOUBLE) AS C, sum(m) AS N, sum(s) AS S,
+           sum(ss) AS SS, sum(s*s/m) AS sb, sum(m*m) AS m2
+    FROM icc_cl
+  ), icc_f AS (
+    SELECT C, N,
+           (sb - S*S/N)/(C - 1) AS msb,
+           (SS - sb)/(N - C) AS msw,
+           (N - m2/N)/(C - 1) AS nbar
+    FROM icc_agg
+  )
+  SELECT 'icc' AS stat,
+         (msb - msw)/(msb + (nbar - 1)*msw) AS value FROM icc_f
+  UNION ALL SELECT 'msb', msb FROM icc_f
+  UNION ALL SELECT 'msw', msw FROM icc_f
+  UNION ALL SELECT 'n_clusters', C FROM icc_f
+  UNION ALL SELECT 'n', N FROM icc_f
+  UNION ALL SELECT 'm_bar', nbar FROM icc_f
+)
 """
 
 

@@ -124,3 +124,62 @@ def effect_size(df: DataFrame, y: str, index: str,
         "pooled_sd": sp, "n0": n0, "n1": n1,
         "achieved_power": power_ttest(m1 - m0, sp, n0, n1),
     }])
+
+
+def icc_oneway(df, Y: str, cluster: str) -> dict:
+    """ICC(1) from the one-way random-effects ANOVA decomposition:
+    (MSB − MSW) / (MSB + (m̄ − 1)·MSW), with m̄ the mean-square-weighted
+    average cluster size (Searle's n0 = (N − Σm²/N)/(C − 1)).
+
+    ONE ``groupBy(cluster)`` sufficient-sums pass; everything else is
+    driver math over the (bounded) cluster relation.  Returns a dict with
+    icc, msb, msw, n_clusters, n, m_bar — the design input for
+    :func:`design_effect` / :func:`sample_size_cluster_ttest`.
+    """
+    from pyspark.sql import functions as F
+
+    y = F.expr(Y).cast("double")
+    rows = (df.where(y.isNotNull())
+            .groupBy(F.expr(cluster).alias("__cl"))
+            .agg(F.count(F.lit(1)).cast("double").alias("m"),
+                 F.sum(y).alias("s"),
+                 F.sum(y * y).alias("ss")).collect())
+    C = len(rows)
+    if C < 2:
+        raise ValueError("icc_oneway needs at least 2 clusters")
+    N = sum(float(r["m"]) for r in rows)
+    S = sum(float(r["s"]) for r in rows)
+    SS = sum(float(r["ss"]) for r in rows)
+    ssb = sum(float(r["s"]) ** 2 / float(r["m"]) for r in rows) - S * S / N
+    ssw = SS - sum(float(r["s"]) ** 2 / float(r["m"]) for r in rows)
+    msb = ssb / (C - 1)
+    msw = ssw / (N - C)
+    n0 = (N - sum(float(r["m"]) ** 2 for r in rows) / N) / (C - 1)
+    icc = (msb - msw) / (msb + (n0 - 1.0) * msw) if msb + (n0 - 1) * msw \
+        else float("nan")
+    return {"icc": float(icc), "msb": float(msb), "msw": float(msw),
+            "n_clusters": C, "n": float(N), "m_bar": float(n0)}
+
+
+def design_effect(m: float, icc: float) -> float:
+    """Kish design effect for cluster sampling: 1 + (m − 1)·ICC — the
+    factor by which within-cluster correlation inflates the variance of
+    a mean over N = C·m individuals."""
+    return float(1.0 + (m - 1.0) * max(icc, 0.0))
+
+
+def sample_size_cluster_ttest(effect: float, std: float, m: float,
+                              icc: float, alpha: float = 0.05,
+                              power: float = 0.8,
+                              ratio: float = 1.0) -> dict:
+    """Cluster-randomized design: individuals per control arm is the
+    individual-randomized requirement × the design effect; clusters per
+    arm = that divided by the cluster size ``m``."""
+    n_ind = sample_size_ttest(effect, std, alpha=alpha, power=power,
+                              ratio=ratio)
+    deff = design_effect(m, icc)
+    n_clustered = math.ceil(n_ind * deff)
+    return {"n_per_arm": float(n_clustered),
+            "clusters_per_arm": float(math.ceil(n_clustered / m)),
+            "design_effect": deff,
+            "n_individual_randomized": float(n_ind)}

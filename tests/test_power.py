@@ -70,3 +70,35 @@ def test_proportion_power_textbook_values():
     with _pt.raises(ValueError):
         power_proportion(0.0, 0.5, 100, 100)
     assert sample_size_proportion(0.3, 0.3) == float("inf")
+
+
+def test_icc_and_cluster_design(spark):
+    import numpy as np
+    import pandas as pd
+
+    from fast_causal_inference_spark.operators.power import (
+        design_effect,
+        icc_oneway,
+        sample_size_cluster_ttest,
+        sample_size_ttest,
+    )
+
+    rng = np.random.default_rng(83)
+    C, m = 100, 40
+    cl = np.repeat(np.arange(C), m)
+    sigma_b, sigma_w = 2.0, 3.0
+    y = rng.normal(0, sigma_b, C)[cl] + rng.normal(0, sigma_w, C * m)
+    df = spark.createDataFrame(pd.DataFrame({"cl": cl, "y": y}))
+    res = icc_oneway(df, "y", "cl")
+    true_icc = sigma_b ** 2 / (sigma_b ** 2 + sigma_w ** 2)
+    assert res["icc"] == pytest.approx(true_icc, abs=0.06)
+    assert res["n_clusters"] == C and res["n"] == C * m
+    # balanced design: m_bar == m
+    assert res["m_bar"] == pytest.approx(m, rel=1e-9)
+    # design effect inflates the individual-randomized requirement
+    d = sample_size_cluster_ttest(0.2, 1.0, m=m, icc=res["icc"])
+    assert d["design_effect"] == pytest.approx(
+        design_effect(m, res["icc"]), rel=1e-12)
+    assert d["n_per_arm"] >= sample_size_ttest(0.2, 1.0)
+    assert d["clusters_per_arm"] == pytest.approx(
+        np.ceil(d["n_per_arm"] / m), rel=1e-12)
