@@ -77,6 +77,62 @@ def logrank_test(df: DataFrame, time: str, event: str,
                           "observed1": d1.sum(), "expected1": exp1.sum()}])
 
 
+def stratified_logrank_test(df: DataFrame, time: str, event: str,
+                            group: str, strata: list[str],
+                            group_values: tuple = (0, 1)) -> pd.DataFrame:
+    """Stratified log-rank test: the O−E and hypergeometric-variance
+    contributions accumulate WITHIN each stratum (risk sets never cross
+    strata), then sum — the standard adjustment when survival differs by
+    a confounder (site, cohort, device).
+
+    ONE ``groupBy(strata, time, arm)`` aggregation; the per-stratum
+    suffix accumulation is driver math over the bounded
+    (strata × time-grid) relation.  Returns chi2 (df=1), p_value,
+    observed1, expected1, n_strata.
+    """
+    g = F.expr(group)
+    v0, v1 = group_values
+    t = F.expr(time).cast("double")
+    e = F.expr(event).cast("double")
+    agg = (df.where(g.isin([v0, v1]))
+           .groupBy(*strata, t.alias("time"),
+                    (g == F.lit(v1)).cast("int").alias("g"))
+           .agg(F.sum(e).alias("d"), F.count(F.lit(1)).alias("n"))
+           .toPandas())
+    o_minus_e = 0.0
+    v = 0.0
+    obs1 = 0.0
+    exp1_total = 0.0
+    groups = agg.groupby(strata) if strata else [((), agg)]
+    n_strata = 0
+    for _, sub in groups:
+        n_strata += 1
+        pv = sub.pivot_table(index="time", columns="g",
+                             values=["d", "n"], fill_value=0.0) \
+            .sort_index()
+        d0 = pv.get(("d", 0), pd.Series(0.0, index=pv.index))
+        d1 = pv.get(("d", 1), pd.Series(0.0, index=pv.index))
+        n0 = pv.get(("n", 0), pd.Series(0.0, index=pv.index))
+        n1 = pv.get(("n", 1), pd.Series(0.0, index=pv.index))
+        tot0 = n0.sum() - n0.cumsum().shift(fill_value=0)
+        tot1 = n1.sum() - n1.cumsum().shift(fill_value=0)
+        ntot = tot0 + tot1
+        dtot = d0 + d1
+        exp1 = dtot * tot1 / ntot
+        with np.errstate(divide="ignore", invalid="ignore"):
+            var1 = (dtot * (tot1 / ntot) * (tot0 / ntot)
+                    * (ntot - dtot) / (ntot - 1)).fillna(0.0)
+        o_minus_e += float((d1 - exp1).sum())
+        v += float(var1.sum())
+        obs1 += float(d1.sum())
+        exp1_total += float(exp1.sum())
+    chi2 = o_minus_e ** 2 / v if v > 0 else float("nan")
+    p = float(dist.chi2_sf(chi2, 1))
+    return pd.DataFrame([{"chi2": chi2, "p_value": p, "observed1": obs1,
+                          "expected1": exp1_total,
+                          "n_strata": n_strata}])
+
+
 def cox_ph(df: DataFrame, time: str, event: str, covariates: list[str],
            max_iter: int = 25, tol: float = 1e-9,
            ties: str = "breslow") -> pd.DataFrame:

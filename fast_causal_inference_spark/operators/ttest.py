@@ -376,6 +376,32 @@ def mean_z_test(df: DataFrame, value: str, index: str,
                         treatment_values, group_cols, var_x=var_x, var_y=var_y)
 
 
+def winsorized_ttest_2samp(df: DataFrame, Y: str, index: str,
+                           lower: float = 0.01, upper: float = 0.99,
+                           alternative: str = "two-sided",
+                           alpha: float = 0.05,
+                           treatment_values: tuple = (0, 1),
+                           group_cols: list[str] | None = None,
+                           relative_error: float = 1e-4) -> DataFrame:
+    """Two-sample t-test on the quantile-capped metric: winsorize ``Y``
+    at [lower, upper] (ONE pooled approxQuantile sketch — capping is
+    pooled, not per-arm, so the transformation is identical for both
+    arms and the contrast stays interpretable), then the ordinary
+    delta-method :func:`ttest_2samp` on the capped column.  The standard
+    whale-resistant experiment readout.  ``Y`` is a COLUMN here (the
+    capping applies to one metric), not a ratio formula.
+    """
+    from fast_causal_inference_spark.functions.features import winsorize
+
+    capped = winsorize(df.withColumn("__wy", F.expr(Y).cast("double")),
+                       "__wy", lower=lower, upper=upper,
+                       relative_error=relative_error)
+    return ttest_2samp(capped, "avg(__wy)", index,
+                       alternative=alternative, alpha=alpha,
+                       treatment_values=treatment_values,
+                       group_cols=group_cols)
+
+
 def _rewrite_avgs(Y: str, base: list[str], repl) -> str:
     """Replace every ``avg(<base_i>)`` occurrence in the formula text with
     ``repl(i)`` (balanced-paren scan, so nested calls like

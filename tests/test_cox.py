@@ -116,3 +116,50 @@ def test_cox_efron_matches_numpy(spark):
                 ties="breslow").iloc[0]
     assert float(got.coef) > float(br.coef) > 0
     assert abs(float(got.coef) - 0.7) < abs(float(br.coef) - 0.7)
+
+
+def test_stratified_logrank(spark):
+    """Stratified log-rank: per-stratum O-E sums vs a numpy oracle, and
+    equivalence to the plain test with a single stratum."""
+    import numpy as np
+    import pandas as pd
+
+    from fast_causal_inference_spark.operators.survival import (
+        logrank_test,
+        stratified_logrank_test,
+    )
+
+    rng = np.random.default_rng(89)
+    n = 2000
+    strat = rng.integers(0, 3, n)
+    arm = rng.integers(0, 2, n)
+    # stratum shifts the baseline hazard; arm has a modest effect
+    t = np.ceil(rng.exponential(4.0 + 2.0 * strat, n)
+                * np.exp(-0.3 * arm)).clip(1, 20)
+    e = (rng.uniform(0, 1, n) < 0.85).astype(float)
+    pdf = pd.DataFrame({"t": t, "e": e, "arm": arm, "s": strat})
+    df = spark.createDataFrame(pdf)
+
+    res = stratified_logrank_test(df, "t", "e", "arm", ["s"]).iloc[0]
+    assert res.n_strata == 3
+
+    # numpy oracle
+    om, vv = 0.0, 0.0
+    for sv in (0, 1, 2):
+        sub = pdf[pdf.s == sv]
+        for tt in np.sort(sub[sub.e == 1].t.unique()):
+            at = sub[sub.t >= tt]
+            d1 = ((sub.t == tt) & (sub.e == 1) & (sub.arm == 1)).sum()
+            dt = ((sub.t == tt) & (sub.e == 1)).sum()
+            n1, nt = (at.arm == 1).sum(), len(at)
+            om += d1 - dt * n1 / nt
+            if nt > 1:
+                vv += dt * (n1 / nt) * (1 - n1 / nt) * (nt - dt) / (nt - 1)
+    assert float(res.chi2) == pytest.approx(om * om / vv, rel=1e-9)
+
+    # single stratum == plain log-rank
+    pdf1 = pdf.assign(s=0)
+    a = stratified_logrank_test(spark.createDataFrame(pdf1), "t", "e",
+                                "arm", ["s"]).iloc[0]
+    b = logrank_test(spark.createDataFrame(pdf1), "t", "e", "arm").iloc[0]
+    assert float(a.chi2) == pytest.approx(float(b.chi2), rel=1e-9)

@@ -642,3 +642,31 @@ def test_cluster_ttest_ratio_metric(spark):
         assert float(out[col]) == pytest.approx(
             sub.num.sum() / sub.den.sum(), rel=1e-9)
     assert np.isfinite(out.stderr) and out.stderr > 0
+
+
+def test_winsorized_ttest(spark):
+    """Capping kills the whale-driven variance; matches a numpy oracle
+    with exact pooled quantile clipping."""
+    from fast_causal_inference_spark.operators.ttest import (
+        ttest_2samp,
+        winsorized_ttest_2samp,
+    )
+
+    rng = np.random.default_rng(97)
+    n = 4000
+    arm = np.tile([0, 1], n // 2)
+    y = rng.normal(10, 1, n) + arm * 0.3
+    y[rng.choice(n, 20, replace=False)] += rng.exponential(500.0, 20)
+    pdf = pd.DataFrame({"arm": arm, "y": y})
+    df = spark.createDataFrame(pdf)
+    w = winsorized_ttest_2samp(df, "y", "arm", 0.01, 0.99,
+                               relative_error=1e-6).toPandas().iloc[0]
+    plain = ttest_2samp(df, "avg(y)", "arm").toPandas().iloc[0]
+    assert float(w.stderr) < 0.5 * float(plain.stderr)
+    lo, hi = np.quantile(y, [0.01, 0.99])
+    yc = np.clip(y, lo, hi)
+    m0, m1 = yc[arm == 0].mean(), yc[arm == 1].mean()
+    # approxQuantile returns an exact order statistic near the rank while
+    # numpy interpolates (type 7) — bounds differ by at most one gap
+    # between adjacent order stats, which moves the capped means a hair
+    assert float(w.estimate) == pytest.approx(m1 - m0, rel=1e-3)
