@@ -359,13 +359,16 @@ class CausalDataFrame:
         X = [X] if isinstance(X, str) else list(X)
         return aipw_estimator(self._df, Y, T, X, **kwargs)
 
-    def winsorized_ttest_2samp(self, Y: str, index: str, **kwargs):
+    def winsorized_ttest_2samp(self, Y: str, index: str,
+                               lower: float = 0.01, upper: float = 0.99,
+                               **kwargs):
         """t-test on the quantile-capped metric (whale-resistant)."""
         from fast_causal_inference_spark.operators.ttest import (
             winsorized_ttest_2samp,
         )
 
-        return winsorized_ttest_2samp(self._df, Y, index, **kwargs)
+        return winsorized_ttest_2samp(self._df, Y, index, lower, upper,
+                                      **kwargs)
 
     def cluster_ttest_2samp(self, Y: str, index: str, cluster: str,
                             **kwargs):
