@@ -3018,17 +3018,34 @@ def g_survival_cox(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_survival_family(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kaplan-Meier curve + Cox PH as one survival family (absorbs the
-    former survival_km / cox_ph gate keys)."""
-    km, cox = _concurrent([
+    """Kaplan-Meier curve + Cox PH (Breslow + Efron) + stratified
+    log-rank as one survival family (absorbs the former survival_km /
+    cox_ph gate keys)."""
+    from fast_causal_inference_spark.operators.survival import (
+        stratified_logrank_test,
+    )
+
+    def _slr():
+        li = _load(spark, sf_dir, "lineitem") \
+            .withColumn("t_", (F.col("l_quantity") % 10 + 1)) \
+            .withColumn("e_", (F.col("l_orderkey") % 3 > 0).cast("int")) \
+            .withColumn("arm", (F.col("l_orderkey") % 2).cast("int"))
+        return stratified_logrank_test(li, "t_", "e_", "arm",
+                                       ["l_returnflag"]).iloc[0]
+
+    km, cox, slr = _concurrent([
         lambda: q_survival_km(spark, sf_dir).toPandas(),
         lambda: g_survival_cox(spark, sf_dir),
+        _slr,
     ])
     rows = []
     for r in km.itertuples():
         for stat in ("n_risk", "n_event", "survival"):
             rows.append({"variant": "km", "item": str(int(r.time)),
                          "stat": stat, "value": float(getattr(r, stat))})
+    for stat in ("chi2", "observed1", "expected1", "n_strata"):
+        rows.append({"variant": "logrank_strat", "item": "lineitem",
+                     "stat": stat, "value": round(float(slr[stat]), 6)})
     return _long_rows(spark, rows).unionByName(cox)
 
 
@@ -3040,6 +3057,45 @@ UNION ALL SELECT 'km', CAST(CAST(time AS BIGINT) AS VARCHAR), 'n_event',
        n_event FROM km
 UNION ALL SELECT 'km', CAST(CAST(time AS BIGINT) AS VARCHAR), 'survival',
        survival FROM km
+UNION ALL
+SELECT 'logrank_strat', 'lineitem', stat, round(value, 6) FROM (
+  WITH slr_cells AS (
+    SELECT l_returnflag AS s, l_quantity % 10 + 1 AS tm,
+           CAST(count(*) FILTER (l_orderkey % 2 = 0) AS DOUBLE) AS n0,
+           CAST(count(*) FILTER (l_orderkey % 2 = 1) AS DOUBLE) AS n1,
+           CAST(count(*) FILTER (l_orderkey % 2 = 0
+                                 AND l_orderkey % 3 > 0) AS DOUBLE) AS d0,
+           CAST(count(*) FILTER (l_orderkey % 2 = 1
+                                 AND l_orderkey % 3 > 0) AS DOUBLE) AS d1
+    FROM lineitem GROUP BY 1, 2
+  ), slr_risk AS (
+    SELECT s, tm, d0, d1,
+           sum(n0) OVER (PARTITION BY s ORDER BY tm DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS r0,
+           sum(n1) OVER (PARTITION BY s ORDER BY tm DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS r1
+    FROM slr_cells
+  ), slr_terms AS (
+    SELECT d1 - (d0 + d1) * r1 / (r0 + r1) AS ome,
+           CASE WHEN r0 + r1 > 1 THEN
+             (d0 + d1) * (r1/(r0+r1)) * (r0/(r0+r1))
+             * (r0 + r1 - d0 - d1) / (r0 + r1 - 1)
+           ELSE 0 END AS v,
+           d1, (d0 + d1) * r1 / (r0 + r1) AS e1
+    FROM slr_risk
+  ), slr_f AS (
+    SELECT sum(ome) AS ome, sum(v) AS v, sum(d1) AS obs1,
+           sum(e1) AS exp1,
+           (SELECT CAST(count(DISTINCT s) AS DOUBLE) FROM slr_cells) AS ns
+    FROM slr_terms
+  )
+  SELECT 'chi2' AS stat, ome*ome/v AS value FROM slr_f
+  UNION ALL SELECT 'observed1', obs1 FROM slr_f
+  UNION ALL SELECT 'expected1', exp1 FROM slr_f
+  UNION ALL SELECT 'n_strata', ns FROM slr_f
+)
 """
 
 
