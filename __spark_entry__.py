@@ -1018,20 +1018,6 @@ WHERE CAST(inter AS DOUBLE)/(na + nb - inter) >= 0.5
 """
 
 
-def q_cox_ph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cox proportional hazards (rows-only: iterative Newton solve)."""
-    from fast_causal_inference_spark.operators.survival import cox_ph
-
-    ev = _load(spark, sf_dir, "events") \
-        .withColumn("t_", F.round(F.col("value"), 0)) \
-        .withColumn("e_", (F.col("event_id") % 4 != 0).cast("int")) \
-        .withColumn("x_", (F.col("user_id") % 5).cast("double"))
-    pdf = cox_ph(ev, "t_", "e_", ["x_"])
-    for c in ["coef", "hazard_ratio", "stderr", "z", "p_value"]:
-        pdf[c] = pdf[c].round(6)
-    return spark.createDataFrame(pdf)
-
-
 def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-k (rows-only: approximate index, seeded k-means)."""
     from fast_causal_inference_spark.datapipe.similarity import ivf_knn
@@ -2708,17 +2694,11 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE mapInPandas pass — the separate synthesize/stats stages cost
     # ~1 s of Arrow stage overhead each at gate scale while the actual
     # codec work is sub-millisecond per image.
-    import hashlib as _hl
-
     import pandas as _pd
 
-    from fast_causal_inference_spark.datapipe.jpeg import (
-        decode_jpeg,
-        encode_jpeg,
-    )
     from fast_causal_inference_spark.datapipe.multimodal import (
-        decode_png,
-        encode_png,
+        decode_image,
+        image_payload_for_text,
     )
     from fast_causal_inference_spark.serialization import (
         ensure_udf_serializable,
@@ -2731,17 +2711,12 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                hx = _hl.sha256(str(text).encode()).hexdigest()
-                w = int(hx[0:4], 16) % 16 + 1
-                h = int(hx[4:8], 16) % 16 + 1
-                c = int(hx[8:10], 16)
-                img = _np.full((h, w, 3), c, _np.uint8)
-                for modality, enc, dec in (
-                        ("image_png", encode_png, decode_png),
-                        ("image_jpeg",
-                         lambda a: encode_jpeg(a, quality=100),
-                         decode_jpeg)):
-                    out = dec(enc(img))
+                for modality, fmt in (("image_png", "png"),
+                                      ("image_jpeg", "jpeg")):
+                    # the SAME public derivation + dispatcher the
+                    # synthesize/image_stats pipeline uses — fused here
+                    # only to share one Arrow stage
+                    out = decode_image(image_payload_for_text(text, fmt))
                     rows.append((doc_id, modality, "width",
                                  float(out.shape[1])))
                     rows.append((doc_id, modality, "height",

@@ -18,12 +18,14 @@ from fast_causal_inference_spark.session import get_session, configure_session
 from fast_causal_inference_spark.formula import parse_formula
 from fast_causal_inference_spark.operators.deltamethod import delta_method
 from fast_causal_inference_spark.operators.ttest import (
+    cluster_ttest_2samp,
     cupac_ttest_2samp,
     ttest_1samp,
     ttest_2samp,
     ttests_2samp,
     student_ttest,
     welch_ttest,
+    winsorized_ttest_2samp,
     mean_z_test,
 )
 from fast_causal_inference_spark.operators.srm import srm
@@ -60,7 +62,14 @@ from fast_causal_inference_spark.dataframe import (
 from fast_causal_inference_spark.plans.sql_macros import sql
 from fast_causal_inference_spark.result import TestResult, test_result
 from fast_causal_inference_spark.operators.logistic import logistic_regression, auc
-from fast_causal_inference_spark.operators.dml import linear_dml, non_param_dml
+from fast_causal_inference_spark.operators.dml import (
+    linear_dml,
+    linear_dml_grouped,
+    non_param_dml,
+)
+from fast_causal_inference_spark.operators.quantile_test import (
+    quantile_treatment_effect,
+)
 from fast_causal_inference_spark.operators.estimators import aipw_estimator, ate_estimator, ipw_estimator
 from fast_causal_inference_spark.operators.temporal import (
     asof_join,
@@ -85,10 +94,13 @@ from fast_causal_inference_spark.operators.multiple_testing import (
     adjust_pvalues,
 )
 from fast_causal_inference_spark.operators.power import (
+    design_effect,
     effect_size,
+    icc_oneway,
     mde_ttest,
     power_proportion,
     power_ttest,
+    sample_size_cluster_ttest,
     sample_size_proportion,
     sample_size_ttest,
 )
@@ -170,6 +182,10 @@ __all__ = [
     "logistic_regression",
     "auc",
     "linear_dml",
+    "linear_dml_grouped",
+    "quantile_treatment_effect",
+    "cluster_ttest_2samp",
+    "winsorized_ttest_2samp",
     "non_param_dml",
     "ate_estimator",
     "aipw_estimator",
@@ -189,6 +205,9 @@ __all__ = [
     "effect_size",
     "power_proportion",
     "sample_size_proportion",
+    "sample_size_cluster_ttest",
+    "icc_oneway",
+    "design_effect",
     "bayes_ab_binary",
     "bayes_ab_continuous",
     "experiment_scorecard",

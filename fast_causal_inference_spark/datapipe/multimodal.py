@@ -515,6 +515,22 @@ def synthesize_media_column(df: DataFrame, from_col: str,
         payload_col, F.sha2(F.col(from_col).cast("string"), 256).cast("binary"))
 
 
+def image_payload_for_text(text, fmt: str = "bmp") -> bytes:
+    """The hash → (w, h, color) → encoded-payload derivation shared by
+    :func:`synthesize_image_column` and the media gate: w = hex[0:4]%16+1,
+    h = hex[4:8]%16+1, color = hex[8:10] of sha256(text); JPEG encodes at
+    quality=100 so constant-color payloads roundtrip bit-exactly."""
+    if fmt not in ("bmp", "png", "jpeg"):
+        raise ValueError("fmt must be 'bmp', 'png' or 'jpeg'")
+    hx = hashlib.sha256(str(text).encode()).hexdigest()
+    w = int(hx[0:4], 16) % 16 + 1
+    h = int(hx[4:8], 16) % 16 + 1
+    c = int(hx[8:10], 16)
+    enc = {"bmp": encode_bmp, "png": encode_png,
+           "jpeg": lambda a: encode_jpeg(a, quality=100)}[fmt]
+    return enc(np.full((h, w, 3), c, np.uint8))
+
+
 def synthesize_image_column(df: DataFrame, from_col: str,
                             payload_col: str = "payload",
                             fmt: str = "bmp") -> DataFrame:
@@ -532,18 +548,11 @@ def synthesize_image_column(df: DataFrame, from_col: str,
     out_schema = T.StructType(df.schema.fields
                               + [T.StructField(payload_col, T.BinaryType())])
     cols = [f.name for f in df.schema.fields]
-    enc = {"bmp": encode_bmp, "png": encode_png,
-           "jpeg": lambda a: encode_jpeg(a, quality=100)}[fmt]
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = []
-            for v in pdf[from_col]:
-                hx = hashlib.sha256(str(v).encode()).hexdigest()
-                w = int(hx[0:4], 16) % 16 + 1
-                h = int(hx[4:8], 16) % 16 + 1
-                c = int(hx[8:10], 16)
-                payloads.append(enc(np.full((h, w, 3), c, np.uint8)))
+            payloads = [image_payload_for_text(v, fmt)
+                        for v in pdf[from_col]]
             pdf = pdf.copy()
             pdf[payload_col] = payloads
             yield pdf[cols + [payload_col]]

@@ -103,8 +103,11 @@ def winsorize(df: DataFrame, cols: list[str] | str,
     bounds = df.approxQuantile(col_list, [lower, upper], relative_error)
     out = df
     for c, (lo, hi) in zip(col_list, bounds):
-        clipped = F.least(F.greatest(F.col(c).cast("double"),
-                                     F.lit(lo)), F.lit(hi))
+        v = F.col(c).cast("double")
+        # greatest/least skip NULL args, which would silently turn a NULL
+        # metric into the lower bound — preserve NULL explicitly
+        clipped = F.when(v.isNotNull(),
+                         F.least(F.greatest(v, F.lit(lo)), F.lit(hi)))
         out = out.withColumn(c + suffix, clipped)
     return out
 

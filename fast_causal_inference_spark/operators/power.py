@@ -18,7 +18,8 @@ from pyspark.sql import functions as F
 from fast_causal_inference_spark import stats_distributions as dist
 
 __all__ = ["effect_size", "power_ttest", "sample_size_ttest",
-           "mde_ttest", "power_proportion", "sample_size_proportion"]
+           "mde_ttest", "power_proportion", "sample_size_proportion",
+           "icc_oneway", "design_effect", "sample_size_cluster_ttest"]
 
 
 def power_ttest(effect: float, std: float, n0: float, n1: float,
@@ -178,6 +179,11 @@ def sample_size_cluster_ttest(effect: float, std: float, m: float,
     n_ind = sample_size_ttest(effect, std, alpha=alpha, power=power,
                               ratio=ratio)
     deff = design_effect(m, icc)
+    if not math.isfinite(n_ind):
+        return {"n_per_arm": float("inf"),
+                "clusters_per_arm": float("inf"),
+                "design_effect": deff,
+                "n_individual_randomized": float("inf")}
     n_clustered = math.ceil(n_ind * deff)
     return {"n_per_arm": float(n_clustered),
             "clusters_per_arm": float(math.ceil(n_clustered / m)),

@@ -189,10 +189,17 @@ def quantile_treatment_effect(df: DataFrame, Y: str, index: str,
         raise ValueError("bootstrap SEs need uin (user/bucket hash column)")
     ucol = F.col(uin) if uin.isidentifier() else F.expr(uin)
     bucket = F.pmod(F.xxhash64(ucol), F.lit(N_BUCKETS))
+    if exact:
+        bq = F.percentile(y, F.array(*[F.lit(q) for q in lv]))
+    else:
+        # the bounded-state promise must hold per bucket too: an exact
+        # percentile here would buffer 1/128 of the arm's values
+        acc = max(int(1.0 / relative_error), 100)
+        bq = F.percentile_approx(y, F.array(*[F.lit(q) for q in lv]),
+                                 F.lit(acc))
     b = (df.where(arm.isNotNull())
          .groupBy(arm.alias("__arm"), bucket.alias("__b"))
-         .agg(F.percentile(y, F.array(*[F.lit(q) for q in lv]))
-              .alias("qs")).collect())
+         .agg(bq.alias("qs")).collect())
     per_arm: dict[int, np.ndarray] = {}
     for a in (0, 1):
         m = np.array([r["qs"] for r in b if r["__arm"] == a])

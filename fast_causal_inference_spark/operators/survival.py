@@ -103,7 +103,10 @@ def stratified_logrank_test(df: DataFrame, time: str, event: str,
     v = 0.0
     obs1 = 0.0
     exp1_total = 0.0
-    groups = agg.groupby(strata) if strata else [((), agg)]
+    # dropna=False: a NULL stratum value is its own stratum (same as SQL
+    # GROUP BY), not silently-discarded subjects
+    groups = (agg.groupby(strata, dropna=False) if strata
+              else [((), agg)])
     n_strata = 0
     for _, sub in groups:
         n_strata += 1
@@ -178,20 +181,25 @@ def cox_ph(df: DataFrame, time: str, event: str, covariates: list[str],
             xb = term if xb is None else xb + term
         w = F.exp(xb)
         e = F.col("__e")
+        efron = ties == "efron"
         aggs = [F.sum(w).alias("sw"),
                 F.sum(e).alias("d"),
-                F.sum(e * xb).alias("sxb_e"),
-                F.sum(e * w).alias("swe")]
+                F.sum(e * xb).alias("sxb_e")]
+        if efron:
+            aggs.append(F.sum(e * w).alias("swe"))
         for i in range(k):
             aggs.append(F.sum(w * F.col(f"__x{i}")).alias(f"swx{i}"))
             aggs.append(F.sum(e * F.col(f"__x{i}")).alias(f"sx{i}_e"))
-            aggs.append(F.sum(e * w * F.col(f"__x{i}")).alias(f"swxe{i}"))
+            if efron:
+                aggs.append(F.sum(e * w * F.col(f"__x{i}"))
+                            .alias(f"swxe{i}"))
             for j in range(i, k):
                 aggs.append(F.sum(w * F.col(f"__x{i}") * F.col(f"__x{j}"))
                             .alias(f"swxx{i}_{j}"))
-                aggs.append(
-                    F.sum(e * w * F.col(f"__x{i}") * F.col(f"__x{j}"))
-                    .alias(f"swxxe{i}_{j}"))
+                if efron:
+                    aggs.append(
+                        F.sum(e * w * F.col(f"__x{i}") * F.col(f"__x{j}"))
+                        .alias(f"swxxe{i}_{j}"))
         rows = sub.groupBy("__t").agg(*aggs).orderBy(F.desc("__t")).collect()
 
         # suffix (risk-set) accumulation over descending time on the driver

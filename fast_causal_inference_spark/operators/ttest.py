@@ -402,38 +402,26 @@ def winsorized_ttest_2samp(df: DataFrame, Y: str, index: str,
                        group_cols=group_cols)
 
 
-def _rewrite_avgs(Y: str, base: list[str], repl) -> str:
-    """Replace every ``avg(<base_i>)`` occurrence in the formula text with
-    ``repl(i)`` (balanced-paren scan, so nested calls like
-    ``avg(pow(x,2))`` work)."""
-    norm = {b.replace(" ", ""): i for i, b in enumerate(base)}
-    out = []
-    i = 0
-    n = len(Y)
-    while i < n:
-        j = Y.find("avg(", i)
-        if j < 0:
-            out.append(Y[i:])
-            break
-        out.append(Y[i:j])
-        depth = 0
-        k = j + 3
-        while k < n:
-            if Y[k] == "(":
-                depth += 1
-            elif Y[k] == ")":
-                depth -= 1
-                if depth == 0:
-                    break
-            k += 1
-        inner = Y[j + 4:k].replace(" ", "")
-        if inner not in norm:
-            raise ValueError(
-                f"cannot rewrite avg({Y[j + 4:k]}): not a parsed base "
-                f"expression of {base}")
-        out.append(repl(norm[inner]))
-        i = k + 1
-    return "".join(out)
+def _render_with_slots(node, repl) -> str:
+    """Render a parsed formula node back to text with every mean-slot
+    ``Sym(i)`` replaced by ``repl(i)`` — robust to every sugar the parser
+    accepts (``avg``/``mean``/bare identifiers/raw calls), unlike a
+    textual scan."""
+    from fast_causal_inference_spark.formula import BinOp, Const, Neg, Sym
+
+    if isinstance(node, Const):
+        return repr(float(node.v))
+    if isinstance(node, Sym):
+        return repl(node.i)
+    if isinstance(node, Neg):
+        return f"(- {_render_with_slots(node.a, repl)})"
+    if isinstance(node, BinOp):
+        a = _render_with_slots(node.a, repl)
+        b = _render_with_slots(node.b, repl)
+        if node.op == "^":
+            return f"pow({a}, {b})"
+        return f"({a} {node.op} {b})"
+    raise TypeError(f"unknown formula node {type(node).__name__}")
 
 
 def cluster_ttest_2samp(df: DataFrame, Y: str, index: str, cluster: str,
@@ -448,25 +436,34 @@ def cluster_ttest_2samp(df: DataFrame, Y: str, index: str, cluster: str,
 
     Identity that makes this a two-stage composition of existing
     kernels: any formula of row-level means satisfies
-    ``avg(e) = Σ_c S_e,c / Σ_c m_c = avg_c(S_e)/avg_c(m)``, so stage 1
+    ``avg(e) = Σ_c S_e,c / Σ_c m_e,c = avg_c(S_e)/avg_c(m_e)`` with
+    ``m_e`` the per-cluster count of NON-NULL ``e`` rows, so stage 1
     aggregates per-(cluster, arm) totals (ONE shuffle keyed on clusters)
     and stage 2 is the ordinary delta-method :func:`ttest_2samp` on the
-    cluster relation with each ``avg(e)`` rewritten to
-    ``avg(S_e)/avg(m)``.  Cluster counts become n0/n1.  The treatment
-    must be constant within a cluster (cluster-randomized assignment);
-    rows from mixed clusters land in both arms' totals and the result is
-    not a valid clustered test.
+    cluster relation with each mean slot rewritten to
+    ``avg(S_e)/avg(m_e)`` (rendered from the parsed node tree, so every
+    formula sugar — ``mean``, bare identifiers, raw calls — works).
+    Cluster counts become n0/n1.  The treatment must be constant within
+    a cluster (cluster-randomized assignment); rows from mixed clusters
+    land in both arms' totals and the result is not a valid clustered
+    test.
     """
     from fast_causal_inference_spark.formula import parse_formulas
 
     idx = F.col(index) if index.isidentifier() else F.expr(index)
-    _, base = parse_formulas([Y])
-    sums = [F.sum(F.expr(e).cast("double")).alias(f"__s{i}")
-            for i, e in enumerate(base)]
+    nodes, base = parse_formulas([Y])
+    aggs = []
+    for i, e in enumerate(base):
+        c = F.expr(e).cast("double")
+        aggs.append(F.sum(c).alias(f"__s{i}"))
+        # per-expression non-null count: NULL metric rows must not count
+        # toward the denominator of that expression's mean
+        aggs.append(F.count(c).cast("double").alias(f"__m{i}"))
     keys = [F.expr(cluster).alias("__cl"), idx.alias("__idx"),
             *[F.col(c) for c in (group_cols or [])]]
-    cl = df.groupBy(*keys).agg(*sums, F.count(F.lit(1)).alias("__m"))
-    y2 = _rewrite_avgs(Y, base, lambda i: f"(avg(__s{i})/avg(__m))")
+    cl = df.groupBy(*keys).agg(*aggs)
+    y2 = _render_with_slots(nodes[0],
+                            lambda i: f"(avg(__s{i})/avg(__m{i}))")
     return ttest_2samp(cl, y2, "__idx", alternative=alternative,
                        alpha=alpha, treatment_values=treatment_values,
                        group_cols=group_cols)

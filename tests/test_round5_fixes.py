@@ -670,3 +670,58 @@ def test_winsorized_ttest(spark):
     # numpy interpolates (type 7) — bounds differ by at most one gap
     # between adjacent order stats, which moves the capped means a hair
     assert float(w.estimate) == pytest.approx(m1 - m0, rel=1e-3)
+
+
+def test_cluster_ttest_null_metric_and_sugar(spark):
+    """NULL metric rows must not deflate cluster means, and every formula
+    sugar the parser accepts must work."""
+    from fast_causal_inference_spark.operators.ttest import (
+        cluster_ttest_2samp,
+        ttest_2samp,
+    )
+
+    rng = np.random.default_rng(101)
+    n = 2000
+    cl = np.repeat(np.arange(40), 50)
+    pdf = pd.DataFrame({"cl": cl, "arm": cl % 2,
+                        "y": rng.normal(5, 1, n)})
+    pdf.loc[rng.choice(n, 500, replace=False), "y"] = np.nan
+    df = spark.createDataFrame(pdf)
+    out = cluster_ttest_2samp(df, "avg(y)", "arm", "cl").toPandas().iloc[0]
+    naive = ttest_2samp(df, "avg(y)", "arm").toPandas().iloc[0]
+    # point estimates agree (clustering changes the SE, not the means)
+    assert float(out.mean0) == pytest.approx(float(naive.mean0), rel=1e-9)
+    assert float(out.mean1) == pytest.approx(float(naive.mean1), rel=1e-9)
+    # bare-identifier and mean() sugar both resolve
+    for sugar in ("y", "mean(y)", "avg(y)/1"):
+        s = cluster_ttest_2samp(df, sugar, "arm", "cl").toPandas().iloc[0]
+        assert float(s.estimate) == pytest.approx(float(out.estimate),
+                                                  rel=1e-9), sugar
+
+
+def test_winsorize_preserves_nulls(spark):
+    from fast_causal_inference_spark.functions.features import winsorize
+
+    pdf = pd.DataFrame({"y": [1.0, 2.0, None, 1000.0, 3.0]})
+    out = winsorize(spark.createDataFrame(pdf), "y", 0.1, 0.9).toPandas()
+    assert out.y.isna().sum() == 1
+
+
+def test_stratified_logrank_null_stratum_counts(spark):
+    from fast_causal_inference_spark.operators.survival import (
+        stratified_logrank_test,
+    )
+
+    rng = np.random.default_rng(103)
+    n = 600
+    pdf = pd.DataFrame({
+        "t": rng.integers(1, 8, n).astype(float),
+        "e": (rng.uniform(0, 1, n) < 0.8).astype(float),
+        "arm": rng.integers(0, 2, n),
+        "s": np.where(np.arange(n) % 4 == 0, None, "a"),
+    })
+    res = stratified_logrank_test(spark.createDataFrame(pdf), "t", "e",
+                                  "arm", ["s"]).iloc[0]
+    assert res.n_strata == 2          # NULL is its own stratum
+    assert float(res.observed1) == float(
+        pdf[(pdf.arm == 1) & (pdf.e == 1)].shape[0])
