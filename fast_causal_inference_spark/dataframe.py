@@ -415,6 +415,34 @@ class CausalDataFrame:
         X = [X] if isinstance(X, str) else list(X)
         return non_param_dml(self._df, Y, T, X, **kwargs)
 
+    def caliper_matching(self, score: str, index: str, **kwargs):
+        """1:k caliper matching on a score; adds ``match_index``."""
+        from fast_causal_inference_spark.operators.matching import (
+            caliper_matching,
+        )
+
+        return CausalDataFrame(caliper_matching(self._df, score, index,
+                                                **kwargs))
+
+    def exact_matching(self, index: str, exacts, **kwargs):
+        """Exact matching on key columns; adds ``match_index``."""
+        from fast_causal_inference_spark.operators.matching import (
+            exact_matching,
+        )
+
+        exacts = [exacts] if isinstance(exacts, str) else list(exacts)
+        return CausalDataFrame(exact_matching(self._df, index, exacts,
+                                              **kwargs))
+
+    def matched_pairs_ttest(self, Y: str, index: str,
+                            match_col: str = "match_index", **kwargs):
+        """Paired t-test on a matched sample (post-matching ATT)."""
+        from fast_causal_inference_spark.operators.matching import (
+            matched_pairs_ttest,
+        )
+
+        return matched_pairs_ttest(self._df, Y, index, match_col, **kwargs)
+
     def prognostic_score_matching(self, outcome: str, index: str,
                                   covariates, **kwargs):
         """PSM on a control-fit prognostic score (reference match.py:299)."""

@@ -169,3 +169,40 @@ def matching_plot(df: DataFrame, T: str, col: str, bins: int = 50,
         plt.ylabel("density")
         plt.legend()
     return out
+
+
+def matched_pairs_ttest(df: DataFrame, Y: str, index: str,
+                        match_col: str = "match_index",
+                        alternative: str = "two-sided",
+                        alpha: float = 0.05,
+                        treatment_values: tuple = (0, 1)) -> DataFrame:
+    """Paired t-test on the matched sample: per pair, the treated outcome
+    minus the MEAN of its k matched controls, then a one-sample t-test of
+    the differences against 0 — the standard post-matching ATT readout
+    (pairing absorbs the between-pair variance the two-sample test would
+    pay for).
+
+    ONE ``groupBy(match_index)`` pass builds the pair differences
+    (treated sum minus control mean as conditional aggregates), and the
+    one-sample test is a second aggregation over the (bounded) pair
+    relation.  Unmatched rows (NULL ``match_col``) drop out.
+    """
+    from fast_causal_inference_spark.operators.ttest import ttest_1samp
+
+    idx = F.col(index) if index.isidentifier() else F.expr(index)
+    v0, v1 = treatment_values
+    y = F.expr(Y).cast("double")
+    t1 = idx == F.lit(v1)
+    t0 = idx == F.lit(v0)
+    pairs = (df.where(F.col(match_col).isNotNull())
+             .groupBy(match_col)
+             .agg(F.sum(F.when(t1, y)).alias("__yt"),
+                  F.avg(F.when(t0, y)).alias("__yc"),
+                  F.count(F.when(t1, 1)).alias("__nt"),
+                  F.count(F.when(t0, 1)).alias("__nc")))
+    # a well-formed pair has exactly one treated row and >=1 controls;
+    # anything else (collision, half-pair) is excluded, not averaged in
+    diffs = (pairs.where((F.col("__nt") == 1) & (F.col("__nc") >= 1))
+             .withColumn("__d", F.col("__yt") - F.col("__yc")))
+    return ttest_1samp(diffs, "avg(__d)", alternative=alternative, mu=0.0,
+                       alpha=alpha)

@@ -126,3 +126,37 @@ def test_aipw_debiases_confounding(spark):
         assert out.lower.iloc[0] < 2.0 < out.upper.iloc[0]
     with pytest.raises(ValueError, match="propensity"):
         aipw_estimator(df, "y", "t", ["x1"], propensity="forest")
+
+
+def test_matched_pairs_ttest(spark):
+    """Pairing absorbs the confounder-driven variance: the paired test on
+    caliper-matched pairs matches a numpy paired-diff oracle."""
+    import numpy as np
+    import pandas as pd
+
+    from fast_causal_inference_spark.operators.matching import (
+        caliper_matching,
+        matched_pairs_ttest,
+    )
+
+    rng = np.random.default_rng(107)
+    n = 3000
+    score = rng.uniform(0, 1, n)
+    arm = rng.integers(0, 2, n)
+    y = 5 * score + arm * 0.4 + rng.normal(0, 0.3, n)
+    pdf = pd.DataFrame({"s": score, "arm": arm, "y": y})
+    df = spark.createDataFrame(pdf)
+    m = caliper_matching(df, "s", "arm", caliper=0.05)
+    out = matched_pairs_ttest(m, "y", "arm").toPandas().iloc[0]
+
+    mp = m.where("match_index is not null") \
+        .select("match_index", "arm", "y").toPandas()
+    g = mp.pivot_table(index="match_index", columns="arm", values="y",
+                       aggfunc="mean")
+    d = (g[1] - g[0]).dropna().to_numpy()
+    assert float(out.estimate) == pytest.approx(d.mean(), rel=1e-9)
+    assert float(out.stderr) == pytest.approx(
+        d.std(ddof=1) / np.sqrt(len(d)), rel=1e-9)
+    # detects the +0.4 effect
+    assert float(out.estimate) == pytest.approx(0.4, abs=0.1)
+    assert float(out.p_value) < 1e-6
