@@ -229,7 +229,9 @@ def cox_ph(df: DataFrame, time: str, event: str, covariates: list[str],
                 H += d * (S2 / S0 - np.outer(xbar, xbar))
             else:
                 # Efron: the l-th of d tied events sees the risk set minus
-                # an l/d fraction of the tied-event group's own sums
+                # an l/d fraction of the tied-event group's own sums —
+                # vectorized over the d events (heavy-tie data would
+                # otherwise pay a Python iteration per event)
                 E0 = float(r["swe"])
                 E1 = np.array([float(r[f"swxe{i}"]) for i in range(k)])
                 E2 = np.zeros((k, k))
@@ -239,16 +241,17 @@ def cox_ph(df: DataFrame, time: str, event: str, covariates: list[str],
                         E2[i, j] = E2[j, i] = v
                 loglik += float(r["sxb_e"])
                 di = int(round(d))
-                for ell in range(di):
-                    frac = ell / d
-                    a0 = S0 - frac * E0
-                    a1 = S1 - frac * E1
-                    a2 = S2 - frac * E2
-                    loglik -= np.log(a0)
-                    xbar = a1 / a0
-                    U += (np.array([float(r[f"sx{i}_e"])
-                                    for i in range(k)]) / d) - xbar
-                    H += a2 / a0 - np.outer(xbar, xbar)
+                fr = np.arange(di) / d                      # (d,)
+                a0 = S0 - fr * E0                           # (d,)
+                a1 = S1[None, :] - fr[:, None] * E1[None, :]
+                a2 = (S2[None, :, :]
+                      - fr[:, None, None] * E2[None, :, :])
+                loglik -= float(np.log(a0).sum())
+                xbar = a1 / a0[:, None]                     # (d, k)
+                U += np.array([float(r[f"sx{i}_e"])
+                               for i in range(k)]) - xbar.sum(axis=0)
+                H += ((a2 / a0[:, None, None]).sum(axis=0)
+                      - np.einsum("li,lj->ij", xbar, xbar))
         try:
             step = np.linalg.solve(H, U)
         except np.linalg.LinAlgError:
