@@ -113,6 +113,16 @@ def main():
         "lbl", "expected_outcome", n_thresholds=50)
     print(f"ROC points: {len(roc)}  (tpr@mid {roc.tpr.iloc[len(roc)//2]:.3f})")
 
+    print("== cluster-randomized analysis (round 5) ==")
+    cdf_cl = cdf.withColumn("cl", F.abs(F.xxhash64("id")) % 40) \
+                .withColumn("carm", (F.col("cl") % 2).cast("int"))
+    cdf_cl.cluster_ttest_2samp("avg(numerator)", "carm", "cl") \
+        .select("n0", "n1", "estimate", "stderr", "p_value") \
+        .show(truncate=False)
+    icc = fcis.icc_oneway(cdf_cl.toSparkDf(), "numerator", "cl")
+    print(f"ICC={icc['icc']:.4f}; 20-per-cluster design: "
+          f"{fcis.sample_size_cluster_ttest(0.1, 1.0, m=20, icc=max(icc['icc'], 0.0))}")
+
     print("== quantile treatment effects (round 5) ==")
     print(cdf.quantile_treatment_effect(
         "numerator", "treatment", quantiles=(0.25, 0.5, 0.9)))
