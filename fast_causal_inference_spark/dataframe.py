@@ -436,7 +436,10 @@ class CausalDataFrame:
 
     def matched_pairs_ttest(self, Y: str, index: str,
                             match_col: str = "match_index", **kwargs):
-        """Paired t-test on a matched sample (post-matching ATT)."""
+        """Paired t-test on a matched sample (post-matching ATT).
+
+        Unlike the other t-test methods, ``Y`` is a ROW-LEVEL outcome
+        column — the pairing defines the aggregation."""
         from fast_causal_inference_spark.operators.matching import (
             matched_pairs_ttest,
         )

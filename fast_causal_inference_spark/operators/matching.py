@@ -186,9 +186,23 @@ def matched_pairs_ttest(df: DataFrame, Y: str, index: str,
     (treated sum minus control mean as conditional aggregates), and the
     one-sample test is a second aggregation over the (bounded) pair
     relation.  Unmatched rows (NULL ``match_col``) drop out.
+
+    NULL policy (counts are of NON-NULL outcomes, so the filters agree
+    with the sums they validate): a pair whose treated outcome is NULL is
+    excluded; a 1:k pair with some NULL control outcomes stays, with the
+    control side averaged over its non-NULL members.  ``Y`` is a
+    ROW-LEVEL column expression (the outcome of one subject), not an
+    aggregate metric formula.
     """
+    import re
+
     from fast_causal_inference_spark.operators.ttest import ttest_1samp
 
+    if re.search(r"\b(avg|mean|sum)\s*\(", Y):
+        raise ValueError(
+            f"matched_pairs_ttest takes a ROW-LEVEL outcome expression, "
+            f"not an aggregate formula; got {Y!r} — pass the bare column "
+            f"(the pairing defines the aggregation)")
     idx = F.col(index) if index.isidentifier() else F.expr(index)
     v0, v1 = treatment_values
     y = F.expr(Y).cast("double")
@@ -198,8 +212,8 @@ def matched_pairs_ttest(df: DataFrame, Y: str, index: str,
              .groupBy(match_col)
              .agg(F.sum(F.when(t1, y)).alias("__yt"),
                   F.avg(F.when(t0, y)).alias("__yc"),
-                  F.count(F.when(t1, 1)).alias("__nt"),
-                  F.count(F.when(t0, 1)).alias("__nc")))
+                  F.count(F.when(t1, y)).alias("__nt"),
+                  F.count(F.when(t0, y)).alias("__nc")))
     # a well-formed pair has exactly one treated row and >=1 controls;
     # anything else (collision, half-pair) is excluded, not averaged in
     diffs = (pairs.where((F.col("__nt") == 1) & (F.col("__nc") >= 1))

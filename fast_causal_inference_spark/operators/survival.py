@@ -239,19 +239,28 @@ def cox_ph(df: DataFrame, time: str, event: str, covariates: list[str],
                     for j in range(i, k):
                         v = float(r[f"swxxe{i}_{j}"])
                         E2[i, j] = E2[j, i] = v
+                if abs(d - round(d)) > 1e-9:
+                    raise ValueError(
+                        f"Efron ties need 0/1 event indicators (integer "
+                        f"tie counts); got d={d} at one event time — use "
+                        f"ties='breslow' for fractional event weights")
                 loglik += float(r["sxb_e"])
                 di = int(round(d))
-                fr = np.arange(di) / d                      # (d,)
-                a0 = S0 - fr * E0                           # (d,)
-                a1 = S1[None, :] - fr[:, None] * E1[None, :]
-                a2 = (S2[None, :, :]
-                      - fr[:, None, None] * E2[None, :, :])
-                loglik -= float(np.log(a0).sum())
-                xbar = a1 / a0[:, None]                     # (d, k)
-                U += np.array([float(r[f"sx{i}_e"])
-                               for i in range(k)]) - xbar.sum(axis=0)
-                H += ((a2 / a0[:, None, None]).sum(axis=0)
-                      - np.einsum("li,lj->ij", xbar, xbar))
+                sx_e = np.array([float(r[f"sx{i}_e"]) for i in range(k)])
+                # chunk the d tied events: the vectorized term is
+                # O(chunk·k²) memory, not O(d·k²), so coarse time
+                # bucketing with huge tie groups cannot OOM the driver
+                for lo in range(0, di, 8192):
+                    fr = np.arange(lo, min(lo + 8192, di)) / d
+                    a0 = S0 - fr * E0
+                    a1 = S1[None, :] - fr[:, None] * E1[None, :]
+                    a2 = (S2[None, :, :]
+                          - fr[:, None, None] * E2[None, :, :])
+                    loglik -= float(np.log(a0).sum())
+                    xbar = a1 / a0[:, None]
+                    U += sx_e * (len(fr) / d) - xbar.sum(axis=0)
+                    H += ((a2 / a0[:, None, None]).sum(axis=0)
+                          - np.einsum("li,lj->ij", xbar, xbar))
         try:
             step = np.linalg.solve(H, U)
         except np.linalg.LinAlgError:

@@ -163,3 +163,20 @@ def test_stratified_logrank(spark):
                                 "arm", ["s"]).iloc[0]
     b = logrank_test(spark.createDataFrame(pdf1), "t", "e", "arm").iloc[0]
     assert float(a.chi2) == pytest.approx(float(b.chi2), rel=1e-9)
+
+
+def test_cox_efron_fractional_events_rejected(spark):
+    import numpy as np
+    import pandas as pd
+
+    from fast_causal_inference_spark.operators.survival import cox_ph
+
+    pdf = pd.DataFrame({"t": [1.0, 1.0, 2.0, 3.0],
+                        "e": [0.4, 1.0, 1.0, 0.0],
+                        "x": [0.1, -0.2, 0.5, 0.3]})
+    with pytest.raises(ValueError, match="integer tie counts"):
+        cox_ph(spark.createDataFrame(pdf), "t", "e", ["x"], ties="efron")
+    # breslow accepts fractional event weights
+    out = cox_ph(spark.createDataFrame(pdf), "t", "e", ["x"],
+                 ties="breslow")
+    assert np.isfinite(out.coef.iloc[0])

@@ -160,3 +160,26 @@ def test_matched_pairs_ttest(spark):
     # detects the +0.4 effect
     assert float(out.estimate) == pytest.approx(0.4, abs=0.1)
     assert float(out.p_value) < 1e-6
+
+
+def test_matched_pairs_null_policy_and_contract(spark):
+    import numpy as np
+    import pandas as pd
+
+    from fast_causal_inference_spark.operators.matching import (
+        matched_pairs_ttest,
+    )
+
+    pdf = pd.DataFrame({
+        "match_index": [1, 1, 2, 2, 3, 3, None],
+        "arm":         [1, 0, 1, 0, 1, 0, 1],
+        "y":           [5.0, 3.0, None, 4.0, 7.0, None, 9.0],
+    })
+    df = spark.createDataFrame(pdf)
+    out = matched_pairs_ttest(df, "y", "arm").toPandas().iloc[0]
+    # pair 2 (treated Y NULL) and pair 3 (no non-null control) drop;
+    # only pair 1's diff = 2.0 remains
+    assert float(out.n) == 1
+    assert float(out.estimate) == pytest.approx(2.0)
+    with pytest.raises(ValueError, match="ROW-LEVEL"):
+        matched_pairs_ttest(df, "avg(y)", "arm")
