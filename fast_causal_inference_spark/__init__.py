@@ -20,6 +20,7 @@ from fast_causal_inference_spark.operators.deltamethod import delta_method
 from fast_causal_inference_spark.operators.ttest import (
     cluster_ttest_2samp,
     cupac_ttest_2samp,
+    equivalence_ttest_2samp,
     ttest_1samp,
     ttest_2samp,
     ttests_2samp,
@@ -185,6 +186,7 @@ __all__ = [
     "linear_dml_grouped",
     "quantile_treatment_effect",
     "cluster_ttest_2samp",
+    "equivalence_ttest_2samp",
     "winsorized_ttest_2samp",
     "non_param_dml",
     "ate_estimator",

@@ -359,6 +359,17 @@ class CausalDataFrame:
         X = [X] if isinstance(X, str) else list(X)
         return aipw_estimator(self._df, Y, T, X, **kwargs)
 
+    def equivalence_ttest_2samp(self, Y: str, index: str, margin: float,
+                                **kwargs):
+        """TOST equivalence / non-inferiority test (margin in metric
+        units); same formula/CUPED/grouping surface as ttest_2samp."""
+        from fast_causal_inference_spark.operators.ttest import (
+            equivalence_ttest_2samp,
+        )
+
+        return equivalence_ttest_2samp(self._df, Y, index, margin,
+                                       **kwargs)
+
     def winsorized_ttest_2samp(self, Y: str, index: str,
                                lower: float = 0.01, upper: float = 0.99,
                                **kwargs):

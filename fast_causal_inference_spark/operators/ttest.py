@@ -376,6 +376,64 @@ def mean_z_test(df: DataFrame, value: str, index: str,
                         treatment_values, group_cols, var_x=var_x, var_y=var_y)
 
 
+def _norm_sf_col(z):
+    """Normal survival function as a Column (Arrow-vectorized; built
+    lazily — a module-level pandas_udf would demand a live SparkContext
+    at import time)."""
+    @F.pandas_udf("double")
+    def sf(s: pd.Series) -> pd.Series:
+        return pd.Series(np.asarray(dist.norm_sf(s.to_numpy(dtype=float))))
+
+    return sf(z.cast("double"))
+
+
+def equivalence_ttest_2samp(df: DataFrame, Y: str, index: str,
+                            margin: float, alternative: str = "equivalence",
+                            X: str | None = None, alpha: float = 0.05,
+                            treatment_values: tuple = (0, 1),
+                            group_cols: list[str] | None = None) -> DataFrame:
+    """TOST equivalence / non-inferiority test of a metric formula.
+
+    ``alternative='equivalence'``: two one-sided tests of
+    H0: |Δ| ≥ margin vs H1: |Δ| < margin — p = max(P(Δ ≤ −m rejected),
+    P(Δ ≥ +m rejected)); significant at α when the (1−2α) CI sits inside
+    (−m, +m).  ``alternative='noninferiority'``: one-sided H0: Δ ≤ −m vs
+    H1: Δ > −m (treatment no worse than control by more than the margin).
+
+    Pure post-processing of the delta-method :func:`ttest_2samp` columns
+    (same single suff-stats scan, CUPED and grouping included): adds
+    z_lower = (Δ+m)/se, z_upper = (Δ−m)/se, p_equiv, and the boolean
+    decision at ``alpha``.
+    """
+    if margin <= 0:
+        raise ValueError("margin must be > 0")
+    if alternative not in ("equivalence", "noninferiority"):
+        raise ValueError(
+            "alternative must be 'equivalence' or 'noninferiority'")
+    ensure_udf_serializable()
+    base = ttest_2samp(df, Y, index, alternative="two-sided", X=X,
+                       alpha=2 * alpha, treatment_values=treatment_values,
+                       group_cols=group_cols)
+    est, se = F.col("estimate"), F.col("stderr")
+    zl = (est + F.lit(float(margin))) / se
+    zu = (est - F.lit(float(margin))) / se
+    p_low = _norm_sf_col(zl)              # P(reject Δ ≤ −m) complement
+    p_high = _norm_sf_col(-zu)
+    if alternative == "equivalence":
+        p = F.greatest(p_low, p_high)
+        crit = float(dist.norm_ppf(1 - alpha))
+        decision = (zl > crit) & (zu < -crit)
+    else:
+        p = p_low
+        crit = float(dist.norm_ppf(1 - alpha))
+        decision = zl > crit
+    return (base.withColumn("margin", F.lit(float(margin)))
+            .withColumn("z_lower", zl).withColumn("z_upper", zu)
+            .withColumn("p_equiv", p)
+            .withColumn("equivalent" if alternative == "equivalence"
+                        else "noninferior", decision))
+
+
 def winsorized_ttest_2samp(df: DataFrame, Y: str, index: str,
                            lower: float = 0.01, upper: float = 0.99,
                            alternative: str = "two-sided",

@@ -725,3 +725,36 @@ def test_stratified_logrank_null_stratum_counts(spark):
     assert res.n_strata == 2          # NULL is its own stratum
     assert float(res.observed1) == float(
         pdf[(pdf.arm == 1) & (pdf.e == 1)].shape[0])
+
+
+def test_equivalence_tost(spark):
+    """TOST vs a numpy oracle; truly-equivalent arms pass, shifted arms
+    fail; non-inferiority one-sided behavior."""
+    from fast_causal_inference_spark import stats_distributions as dist
+    from fast_causal_inference_spark.operators.ttest import (
+        equivalence_ttest_2samp,
+        ttest_2samp,
+    )
+
+    rng = np.random.default_rng(109)
+    n = 20000
+    arm = np.tile([0, 1], n // 2)
+    y_eq = rng.normal(10, 1, n) + arm * 0.01        # within margin 0.1
+    y_ne = rng.normal(10, 1, n) + arm * 0.5         # outside margin
+    for y, expect in ((y_eq, True), (y_ne, False)):
+        df = spark.createDataFrame(pd.DataFrame({"arm": arm, "y": y}))
+        out = equivalence_ttest_2samp(df, "avg(y)", "arm", margin=0.1) \
+            .toPandas().iloc[0]
+        assert bool(out.equivalent) is expect
+        base = ttest_2samp(df, "avg(y)", "arm").toPandas().iloc[0]
+        est, se = float(base.estimate), float(base.stderr)
+        zl, zu = (est + 0.1) / se, (est - 0.1) / se
+        p = max(float(dist.norm_sf(zl)), float(dist.norm_sf(-zu)))
+        assert float(out.p_equiv) == pytest.approx(p, rel=1e-9)
+        assert float(out.z_lower) == pytest.approx(zl, rel=1e-9)
+    # non-inferiority: a positive effect is trivially non-inferior
+    df = spark.createDataFrame(pd.DataFrame({"arm": arm, "y": y_ne}))
+    ni = equivalence_ttest_2samp(df, "avg(y)", "arm", margin=0.1,
+                                 alternative="noninferiority") \
+        .toPandas().iloc[0]
+    assert bool(ni.noninferior)
