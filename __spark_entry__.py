@@ -3217,6 +3217,7 @@ def q_multi_arm_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fast_causal_inference_spark.operators.anova import (
         anova_oneway,
         bartlett_test,
+        dunnett_test,
         kruskal_wallis_test,
     )
     from fast_causal_inference_spark.operators.bayes import (
@@ -3229,15 +3230,20 @@ def q_multi_arm_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev2 = ev.withColumn("arm2", (F.col("user_id") % 2).cast("int")) \
         .withColumn("converted", (F.col("value") > 25).cast("int"))
     rows = []
-    a, w, b, kw, bb, bc = [pdf.iloc[0] if pdf.index.size == 1 else pdf
-                           for pdf in _concurrent([
+    a, w, b, kw, bb, bc, dn = [pdf.iloc[0] if pdf.index.size == 1 else pdf
+                               for pdf in _concurrent([
         lambda: anova_oneway(ev, "value", "arm"),
         lambda: anova_oneway(ev, "value", "arm", equal_var=False),
         lambda: bartlett_test(ev, "value", "arm"),
         lambda: kruskal_wallis_test(ev, "value", "arm"),
         lambda: bayes_ab_binary(ev2, "converted", "arm2"),
         lambda: bayes_ab_continuous(ev2, "value", "arm2"),
+        lambda: dunnett_test(ev, "value", "arm", control=0),
     ])]
+    for _, r in dn.iterrows():
+        for stat in ("estimate", "stderr", "z"):
+            rows.append({"variant": "dunnett", "item": f"arm{r['arm']}",
+                         "stat": stat, "value": round(float(r[stat]), 6)})
     for _, r in bb.iterrows():
         for stat in ("n", "successes", "alpha", "beta", "posterior_mean"):
             rows.append({"variant": "bayes_binary",
@@ -3342,6 +3348,17 @@ UNION ALL SELECT 'kruskal_wallis', 'value', 'df',
        CAST(k - 1 AS DOUBLE) FROM kw
 UNION ALL SELECT 'kruskal_wallis', 'value', 'n', n FROM kw
 UNION ALL SELECT 'kruskal_wallis', 'value', 'k', CAST(k AS DOUBLE) FROM kw
+UNION ALL
+SELECT 'dunnett', 'arm' || CAST(t.arm AS VARCHAR), stat, round(value, 6)
+FROM (
+  SELECT t.arm,
+         t.m - c.m AS estimate,
+         sqrt(t.v/t.n + c.v/c.n) AS stderr,
+         (t.m - c.m) / sqrt(t.v/t.n + c.v/c.n) AS z
+  FROM (SELECT * FROM arms WHERE arm <> 0) t,
+       (SELECT * FROM arms WHERE arm = 0) c
+) t, LATERAL (VALUES ('estimate', t.estimate), ('stderr', t.stderr),
+              ('z', t.z)) AS s(stat, value)
 UNION ALL SELECT 'bayes_binary', 'arm' || CAST(arm2 AS VARCHAR), stat, value
 FROM (
   SELECT CAST(user_id % 2 AS INT) AS arm2,

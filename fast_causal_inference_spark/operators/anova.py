@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from fast_causal_inference_spark import stats_distributions as dist
 
-__all__ = ["anova_oneway", "bartlett_test"]
+__all__ = ["anova_oneway", "bartlett_test", "dunnett_test"]
 
 
 def _arm_stats(df: DataFrame, y: str, index: str) -> pd.DataFrame:
@@ -219,3 +219,66 @@ def kruskal_wallis_test(df: DataFrame, y: str, index: str,
         "statistic": float(h), "df": float(k - 1), "p_value": p_val,
         "n": float(n), "k": float(k),
     }])
+
+
+def dunnett_test(df: DataFrame, y: str, index: str, control,
+                 alpha: float = 0.05, n_mc: int = 200_000,
+                 seed: int = 42) -> pd.DataFrame:
+    """Dunnett many-to-one comparisons: every treatment arm vs ONE shared
+    control, with familywise error control that exploits the comparisons'
+    correlation through the common control (sharper than Bonferroni).
+
+    ONE ``groupBy(arm)`` sufficient-statistics pass gives each contrast's
+    z = (m_i − m_0)/√(v_i/n_i + v_0/n_0); the joint null distribution of
+    the |z| maximum is an equicorrelated-by-the-control multivariate
+    normal, evaluated by a SEEDED Monte-Carlo on the driver (z_i = λ_i·Z₀
+    + √(1−λ_i²)·Z_i with λ_i = √(w₀/(w₀+w_i)), w = var/n — exact in the
+    large-sample limit the reference's z-style tests already live in).
+
+    Returns one row per treatment arm: arm, estimate, stderr, z,
+    p_adjusted (familywise), critical value, significant, plus the naive
+    per-comparison p for reference.
+    """
+    import numpy as np
+
+    from fast_causal_inference_spark import stats_distributions as dist
+
+    stats = _arm_stats(df, y, index)
+    ctl = str(control)
+    if ctl not in set(stats.arm):
+        raise ValueError(f"control arm {control!r} not present; arms: "
+                         f"{sorted(stats.arm)}")
+    c = stats[stats.arm == ctl].iloc[0]
+    trt = stats[stats.arm != ctl].reset_index(drop=True)
+    if len(trt) == 0:
+        raise ValueError("need at least one treatment arm")
+    w0 = float(c["var"] / c["n"])
+    wi = (trt["var"] / trt["n"]).to_numpy(dtype=float)
+    est = (trt["mean"] - float(c["mean"])).to_numpy(dtype=float)
+    se = np.sqrt(wi + w0)
+    z = est / se
+    lam = np.sqrt(w0 / (w0 + wi))
+
+    rng = np.random.default_rng(seed)
+    z0 = rng.standard_normal(n_mc)
+    zi = rng.standard_normal((n_mc, len(trt)))
+    sims = np.abs(lam[None, :] * z0[:, None]
+                  + np.sqrt(1.0 - lam ** 2)[None, :] * zi)
+    maxes = sims.max(axis=1)
+    # familywise p per contrast: P(max |Z| >= |z_i|); critical value at
+    # alpha from the same draw
+    maxes_sorted = np.sort(maxes)
+    p_adj = 1.0 - np.searchsorted(maxes_sorted, np.abs(z),
+                                  side="left") / n_mc
+    crit = float(np.quantile(maxes, 1.0 - alpha))
+    p_raw = 2.0 * np.asarray(dist.norm_sf(np.abs(z)))
+    # the familywise p can never sit below the per-comparison p; the MC
+    # estimate floors at 1/n_mc, so clamp with the analytic bound
+    p_adj = np.maximum(p_adj, p_raw)
+    return pd.DataFrame({
+        "arm": trt["arm"], "n": trt["n"],
+        "estimate": est, "stderr": se, "z": z,
+        "p_raw": p_raw,
+        "p_adjusted": p_adj, "critical": crit,
+        "significant": np.abs(z) > crit,
+    })

