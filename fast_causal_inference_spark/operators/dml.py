@@ -162,7 +162,9 @@ def _dml_residuals(df: DataFrame, Y: str, T: str, covariates: list[str],
                 f"fold {f}: only {int(summed.get('n', 0))} complete rows "
                 f"outside the fold — not enough to fit {k} covariates; "
                 f"check cv/fold_expr")
-        n_c = summed["n_rows__"]
+        # complete-case n (the Gramian's), matching ols()'s unweighted
+        # df_resid contract — n_rows__ is the raw count incl. NULL rows
+        n_c = summed["n"]
         my = _fit_from_row(_subrow(summed, idx_y), list(covariates), Y,
                            True, n_c, None)
         mt = _fit_from_row(_subrow(summed, idx_t), list(covariates), T,
@@ -276,9 +278,9 @@ def linear_dml_grouped(df: DataFrame, Y: str, T: str, X: list[str],
                 ok = False
                 break
             my = _fit_from_row(_subrow(summed, idx_y), controls, Y,
-                               True, summed["n_rows__"], None)
+                               True, summed["n"], None)
             mt = _fit_from_row(_subrow(summed, idx_t), controls, T,
-                               True, summed["n_rows__"], None)
+                               True, summed["n"], None)
             preds[f] = (my, mt)
         if ok:
             seg_models[key] = preds

@@ -173,6 +173,12 @@ def quantile_treatment_effect(df: DataFrame, Y: str, index: str,
         qagg = F.percentile_approx(
             "__y", F.array(*[F.lit(q) for q in lv]), F.lit(acc))
     rows = work.groupBy("__arm").agg(qagg.alias("qs")).collect()
+    for r in rows:
+        if r["qs"] is None:
+            arm_val = treatment_values[int(r["__arm"])]
+            raise ValueError(
+                f"quantile_treatment_effect: arm {arm_val!r} has no "
+                f"non-NULL {Y!r} values — its percentile array is NULL")
     by_arm = {int(r["__arm"]): list(r["qs"]) for r in rows}
     if set(by_arm) != {0, 1}:
         raise ValueError(

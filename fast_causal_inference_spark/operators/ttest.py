@@ -404,9 +404,20 @@ def equivalence_ttest_2samp(df: DataFrame, Y: str, index: str,
     (same single suff-stats scan, CUPED and grouping included): adds
     z_lower = (Δ+m)/se, z_upper = (Δ−m)/se, p_equiv, and the boolean
     decision at ``alpha``.
+
+    NOTE: by the TOST convention the BASE test runs at ``2*alpha``, so
+    the inherited alpha-dependent columns (``lower``/``upper``/
+    ``p_value`` thresholds) describe the (1−2α) confidence interval —
+    e.g. a 90% CI at the default ``alpha=0.05`` — not the usual (1−α)
+    one.  The equivalence decision is exactly "(1−2α) CI inside
+    (−margin, +margin)".
     """
     if margin <= 0:
         raise ValueError("margin must be > 0")
+    if not 0 < alpha < 0.5:
+        raise ValueError(
+            f"alpha must be in (0, 0.5) for TOST (got {alpha}): the base "
+            f"test runs at the 1-2*alpha CI level, which needs 2*alpha < 1")
     if alternative not in ("equivalence", "noninferiority"):
         raise ValueError(
             "alternative must be 'equivalence' or 'noninferiority'")
@@ -447,11 +458,16 @@ def winsorized_ttest_2samp(df: DataFrame, Y: str, index: str,
     arms and the contrast stays interpretable), then the ordinary
     delta-method :func:`ttest_2samp` on the capped column.  The standard
     whale-resistant experiment readout.  ``Y`` is a COLUMN here (the
-    capping applies to one metric), not a ratio formula.
+    capping applies to one metric), not a ratio formula.  The capping
+    sketch sees only rows of the two ``treatment_values`` arms — rows
+    from other arms of a multi-arm table must not shift the caps of the
+    analyzed sample.
     """
     from fast_causal_inference_spark.functions.features import winsorize
 
-    capped = winsorize(df.withColumn("__wy", F.expr(Y).cast("double")),
+    idx = F.col(index) if index.isidentifier() else F.expr(index)
+    arms = df.where(idx.isin(list(treatment_values)))
+    capped = winsorize(arms.withColumn("__wy", F.expr(Y).cast("double")),
                        "__wy", lower=lower, upper=upper,
                        relative_error=relative_error)
     return ttest_2samp(capped, "avg(__wy)", index,
@@ -501,25 +517,58 @@ def cluster_ttest_2samp(df: DataFrame, Y: str, index: str, cluster: str,
     cluster relation with each mean slot rewritten to
     ``avg(S_e)/avg(m_e)`` (rendered from the parsed node tree, so every
     formula sugar — ``mean``, bare identifiers, raw calls — works).
-    Cluster counts become n0/n1.  The treatment must be constant within
-    a cluster (cluster-randomized assignment); rows from mixed clusters
-    land in both arms' totals and the result is not a valid clustered
-    test.
+    Cluster counts become n0/n1.  The treatment MUST be constant within
+    a cluster (cluster-randomized assignment) and this is ENFORCED: the
+    stage-1 aggregation also counts distinct arms per cluster, and any
+    cluster seen in both arms raises at execution time (``raise_error``
+    wired into the consumed ``__idx`` column — no extra scan or job).
     """
     from fast_causal_inference_spark.formula import parse_formulas
 
     idx = F.col(index) if index.isidentifier() else F.expr(index)
     nodes, base = parse_formulas([Y])
+    ctl, trt = treatment_values
+    m = len(base)
     aggs = []
-    for i, e in enumerate(base):
-        c = F.expr(e).cast("double")
-        aggs.append(F.sum(c).alias(f"__s{i}"))
-        # per-expression non-null count: NULL metric rows must not count
-        # toward the denominator of that expression's mean
-        aggs.append(F.count(c).cast("double").alias(f"__m{i}"))
-    keys = [F.expr(cluster).alias("__cl"), idx.alias("__idx"),
+    for j, a in enumerate((ctl, trt)):
+        in_arm = idx == F.lit(a)
+        for i, e in enumerate(base):
+            c = F.expr(e).cast("double")
+            aggs.append(F.sum(F.when(in_arm, c)).alias(f"__s{j}_{i}"))
+            # per-expression non-null count: NULL metric rows must not
+            # count toward the denominator of that expression's mean
+            aggs.append(F.count(F.when(in_arm, c)).cast("double")
+                        .alias(f"__m{j}_{i}"))
+        aggs.append(F.count(F.when(in_arm, F.lit(1))).alias(f"__cnt{j}"))
+    aggs.append(F.countDistinct(
+        F.when(idx.isin([ctl, trt]), idx)).alias("__arms"))
+    keys = [F.expr(cluster).alias("__cl"),
             *[F.col(c) for c in (group_cols or [])]]
-    cl = df.groupBy(*keys).agg(*aggs)
+    agg = df.groupBy(*keys).agg(*aggs)
+    # unpivot the two arm slots back to one row per (cluster, arm); the
+    # arm value itself carries the mixed-cluster assertion, so Catalyst
+    # cannot prune it away (__idx is always consumed downstream)
+    arm_structs = F.array(*[
+        F.struct(F.lit(j).alias("j"), F.col(f"__cnt{j}").alias("cnt"),
+                 *[F.col(f"__s{j}_{i}").alias(f"s{i}") for i in range(m)],
+                 *[F.col(f"__m{j}_{i}").alias(f"m{i}") for i in range(m)])
+        for j in (0, 1)])
+    arm_lit = F.when(F.col("__a.j") == 0, F.lit(ctl)).otherwise(F.lit(trt))
+    guarded_idx = F.when(F.col("__arms") <= 1, arm_lit).otherwise(
+        F.raise_error(F.concat(
+            F.lit("cluster_ttest_2samp: cluster "),
+            F.col("__cl").cast("string"),
+            F.lit(" contains rows from both treatment arms — treatment "
+                  "must be constant within a cluster "
+                  "(cluster-randomized assignment)"))))
+    gcols = [F.col(c) for c in (group_cols or [])]
+    cl = (agg.select(*gcols, "__cl", "__arms",
+                     F.explode(arm_structs).alias("__a"))
+          .where(F.col("__a.cnt") > 0)
+          .select(*gcols, guarded_idx.alias("__idx"),
+                  *[F.col(f"__a.s{i}").alias(f"__s{i}") for i in range(m)],
+                  *[F.col(f"__a.m{i}").alias(f"__m{i}")
+                    for i in range(m)]))
     y2 = _render_with_slots(nodes[0],
                             lambda i: f"(avg(__s{i})/avg(__m{i}))")
     return ttest_2samp(cl, y2, "__idx", alternative=alternative,
