@@ -206,6 +206,9 @@ def q_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "srm streaming t-test did not finish in 180s — failing "
                 "loudly instead of reading a partial window set")
         landed = spark.table("srm_stream_gate").collect()
+        # the memory sink registers a temp view holding the sink rows —
+        # drop it so repeated bench runs don't stack retained sinks
+        spark.catalog.dropTempView("srm_stream_gate")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     for r in landed:
@@ -691,10 +694,39 @@ def g_t_learner_x(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  "avg_ite double")
 
 
+def g_t_learner_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Propensity-model rows (golden sub-oracle: logistic IRLS): average
+    fitted g(x) = P(T=1|x) by return flag — the IPW/matching building
+    block scored over the whole table."""
+    from fast_causal_inference_spark.uplift.metalearners import (
+        PropensityModel,
+    )
+
+    li = _tl_base(spark, sf_dir)
+    pm = PropensityModel(["l_quantity"], "arm").fit(li)
+    return spark.createDataFrame(_avg_ite_rows(pm, li, "prop"),
+                                 "variant string, l_returnflag string, "
+                                 "avg_ite double")
+
+
+def g_t_learner_retro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrospective-learner rows (golden sub-oracle: logistic IRLS on
+    converters): average P(T=1 | Y=1, x) uplift score by return flag."""
+    from fast_causal_inference_spark.uplift.metalearners import (
+        RetrospectiveLearner,
+    )
+
+    li = _tl_base(spark, sf_dir)
+    rl = RetrospectiveLearner(["l_quantity"], "disc_hi", "arm").fit(li)
+    return spark.createDataFrame(_avg_ite_rows(rl, li, "retro"),
+                                 "variant string, l_returnflag string, "
+                                 "avg_ite double")
+
+
 def q_t_learner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Meta-learner family: T / S / transformed-outcome (SQL-re-derived)
-    + CVT / X (golden, logistic stages): average predicted ITE by return
-    flag.  The S-learner with a full t·x interaction is mathematically
+    + CVT / X / propensity / retrospective (golden, logistic stages):
+    average predicted ITE (or score) by return flag.  The S-learner with a full t·x interaction is mathematically
     the two per-arm fits, so DuckDB's regr_* re-derivation covers it; the
     joint 4×4 solve vs two 2×2 solves differ only in fp round-off, hence
     its 4-decimal rounding."""
@@ -705,7 +737,7 @@ def q_t_learner(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = _tl_base(spark, sf_dir)
-    t_rows, s_rows, to_rows, cvt_df, x_df = _concurrent([
+    t_rows, s_rows, to_rows, cvt_df, x_df, prop_df, retro_df = _concurrent([
         lambda: _avg_ite_rows(
             TLearner(["l_quantity"], "l_extendedprice", "arm").fit(li),
             li, "t"),
@@ -717,11 +749,14 @@ def q_t_learner(spark: SparkSession, sf_dir: str) -> DataFrame:
                                propensity=0.5).fit(li), li, "to", nd=4),
         lambda: g_t_learner_cvt(spark, sf_dir),
         lambda: g_t_learner_x(spark, sf_dir),
+        lambda: g_t_learner_prop(spark, sf_dir),
+        lambda: g_t_learner_retro(spark, sf_dir),
     ])
     sql_df = spark.createDataFrame(
         t_rows + s_rows + to_rows,
         "variant string, l_returnflag string, avg_ite double")
-    return sql_df.unionByName(cvt_df).unionByName(x_df)
+    return (sql_df.unionByName(cvt_df).unionByName(x_df)
+            .unionByName(prop_df).unionByName(retro_df))
 
 
 _T_LEARNER_SQL = """
@@ -2056,10 +2091,12 @@ def q_ttest_2samp_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fast_causal_inference_spark.operators.ttest import (
         cluster_ttest_2samp,
         cupac_ttest_2samp,
+        equivalence_ttest_2samp,
         mean_z_test,
         student_ttest,
         ttest_2samp,
         welch_ttest,
+        winsorized_ttest_2samp,
     )
 
     ev = _load(spark, sf_dir, "events") \
@@ -2087,6 +2124,19 @@ def q_ttest_2samp_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             ev.withColumn("cl", F.col("user_id") % 101)
               .withColumn("carm", (F.col("cl") % 2).cast("int")),
             "avg(value)", "carm", "cl")),
+        # winsorized: pooled [5%, 95%] caps over the two arms, then the
+        # plain delta-method test on the capped metric — the oracle
+        # re-derives the caps with quantile_disc (approxQuantile at
+        # rel_err 1e-6 returns the same order statistic)
+        ("winsorized", lambda: winsorized_ttest_2samp(
+            ev, "value", "treatment", 0.05, 0.95, relative_error=1e-6)),
+        # TOST equivalence at margin 5: the family's t_stat column holds
+        # the TOST statistic min(z_lower, -z_upper) (the z whose one-sided
+        # p is the max — the reported p_equiv's inverse image)
+        ("tost", lambda: equivalence_ttest_2samp(
+            ev, "avg(value)", "treatment", margin=5.0)
+            .withColumn("t_stat",
+                        F.least(F.col("z_lower"), -F.col("z_upper")))),
     ]
 
     def _run(name, build):
@@ -2194,6 +2244,19 @@ pse_f AS (
   SELECT arm, n, ms/mm AS r,
          (vs - 2*(ms/mm)*c + (ms/mm)*(ms/mm)*vm)/(mm*mm)/n AS v
   FROM cl_arms
+), win_caps AS (
+  SELECT quantile_disc(value, 0.05) AS lo, quantile_disc(value, 0.95) AS hi
+  FROM events
+), win_clip AS (
+  SELECT user_id % 2 AS arm, least(greatest(value, lo), hi) AS v
+  FROM events, win_caps WHERE value IS NOT NULL
+), win_arms AS (
+  SELECT CAST(count(*) FILTER (arm = 0) AS DOUBLE) AS n0,
+         CAST(count(*) FILTER (arm = 1) AS DOUBLE) AS n1,
+         avg(v) FILTER (arm = 0) AS m0, avg(v) FILTER (arm = 1) AS m1,
+         var_samp(v) FILTER (arm = 0) AS v0,
+         var_samp(v) FILTER (arm = 1) AS v1
+  FROM win_clip
 )
 SELECT 'plain' AS variant, round(n0, 6) AS n0, round(n1, 6) AS n1,
        round(m0, 6) AS mean0, round(m1, 6) AS mean1,
@@ -2245,6 +2308,17 @@ SELECT 'cluster', round(c0.n, 6), round(c1.n, 6),
        round((c1.r - c0.r)/sqrt(c0.v + c1.v), 6)
 FROM (SELECT * FROM cl_stats WHERE arm = 0) c0,
      (SELECT * FROM cl_stats WHERE arm = 1) c1
+UNION ALL
+SELECT 'winsorized', round(n0, 6), round(n1, 6), round(m0, 6), round(m1, 6),
+       round(m1 - m0, 6), round(sqrt(v0/n0 + v1/n1), 6),
+       round((m1 - m0)/sqrt(v0/n0 + v1/n1), 6)
+FROM win_arms
+UNION ALL
+SELECT 'tost', round(n0, 6), round(n1, 6), round(m0, 6), round(m1, 6),
+       round(m1 - m0, 6), round(sqrt(v0/n0 + v1/n1), 6),
+       round(least((m1 - m0 + 5.0)/sqrt(v0/n0 + v1/n1),
+                   -((m1 - m0 - 5.0)/sqrt(v0/n0 + v1/n1))), 6)
+FROM ev_arms
 """
 
 
@@ -3103,16 +3177,34 @@ def g_matching_prognostic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_treated").cast("double").alias("value")))
 
 
+def q_paired_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matched-pairs t-test on a DETERMINISTIC 1:2 pairing (pair =
+    event_id div 3, treated = the id divisible by 3): pairing is an
+    INPUT to ``matched_pairs_ttest`` — the operator's job (per-pair
+    conditional aggregation, the 1-treated/k-controls filter, NULL
+    policy, the one-sample test on diffs) is exactly what DuckDB
+    re-derives, with no dependence on a stochastic assignment."""
+    from fast_causal_inference_spark.operators.matching import (
+        matched_pairs_ttest,
+    )
+
+    ev = _load(spark, sf_dir, "events")
+    pe = (ev.withColumn("pair", F.floor(F.col("event_id") / 3))
+            .withColumn("parm", (F.col("event_id") % 3 == 0).cast("int")))
+    return matched_pairs_ttest(pe, "value", "parm", "pair")
+
+
 def q_matching_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact matching quotas + caliper cell accounting + SMD balance +
-    prognostic-score matching as one matching family (absorbs
-    exact_matching / caliper_matching / smd; prognostic rides a golden
-    sub-oracle)."""
+    matched-pairs t-test + prognostic-score matching as one matching
+    family (absorbs exact_matching / caliper_matching / smd; prognostic
+    rides a golden sub-oracle)."""
     rows = []
-    ex, cal, sm, prog = _concurrent([
+    ex, cal, sm, pr, prog = _concurrent([
         lambda: q_exact_matching(spark, sf_dir).toPandas(),
         lambda: q_caliper_matching(spark, sf_dir).toPandas(),
         lambda: q_smd(spark, sf_dir).toPandas(),
+        lambda: q_paired_ttest(spark, sf_dir).toPandas(),
         lambda: g_matching_prognostic(spark, sf_dir),
     ])
     for r in ex.itertuples():
@@ -3129,12 +3221,27 @@ def q_matching_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         for stat in ("mean0", "mean1", "smd"):
             rows.append({"variant": "smd", "item": str(r.covariate),
                          "stat": stat, "value": float(getattr(r, stat))})
+    for stat in ("n", "estimate", "stderr", "t_stat"):
+        rows.append({"variant": "paired", "item": "all", "stat": stat,
+                     "value": round(float(pr.iloc[0][stat]), 6)})
     return _long_rows(spark, rows).unionByName(prog)
 
 
 _MATCHING_FAMILY_SQL = f"""
 WITH ex AS ({_EXACT_MATCHING_SQL}), cal AS ({_CALIPER_SQL}),
-     sm AS ({_SMD_SQL})
+     sm AS ({_SMD_SQL}),
+pr_cells AS (
+  SELECT floor(event_id / 3) AS pair,
+         sum(value) FILTER (event_id % 3 = 0) AS yt,
+         avg(value) FILTER (event_id % 3 <> 0) AS yc,
+         count(value) FILTER (event_id % 3 = 0) AS nt,
+         count(value) FILTER (event_id % 3 <> 0) AS nc
+  FROM events GROUP BY 1
+), pr_d AS (SELECT yt - yc AS d FROM pr_cells WHERE nt = 1 AND nc >= 1),
+pr_stats AS (
+  SELECT CAST(count(d) AS DOUBLE) AS n, avg(d) AS m, var_samp(d) AS v
+  FROM pr_d
+)
 SELECT 'exact' AS variant, o_orderpriority AS item, 'n_matched' AS stat,
        CAST(n_matched AS DOUBLE) AS value FROM ex
 UNION ALL SELECT 'exact', o_orderpriority, 'n_treated',
@@ -3146,6 +3253,12 @@ UNION ALL SELECT 'caliper', CAST(bucket AS VARCHAR), 'n_treated',
 UNION ALL SELECT 'smd', covariate, 'mean0', mean0 FROM sm
 UNION ALL SELECT 'smd', covariate, 'mean1', mean1 FROM sm
 UNION ALL SELECT 'smd', covariate, 'smd', smd FROM sm
+UNION ALL SELECT 'paired', 'all', 'n', round(n, 6) FROM pr_stats
+UNION ALL SELECT 'paired', 'all', 'estimate', round(m, 6) FROM pr_stats
+UNION ALL SELECT 'paired', 'all', 'stderr', round(sqrt(v/n), 6)
+FROM pr_stats
+UNION ALL SELECT 'paired', 'all', 't_stat', round(m/sqrt(v/n), 6)
+FROM pr_stats
 """
 
 
@@ -4210,7 +4323,15 @@ def oracle_sql() -> dict[str, str]:
             + "UNION ALL SELECT variant, l_returnflag, avg_ite FROM ("
             + _golden_oracles().get(
                 "t_learner__x", "SELECT NULL AS variant, NULL AS "
-                "l_returnflag, NULL AS avg_ite WHERE FALSE") + ") __tx"),
+                "l_returnflag, NULL AS avg_ite WHERE FALSE") + ") __tx "
+            + "UNION ALL SELECT variant, l_returnflag, avg_ite FROM ("
+            + _golden_oracles().get(
+                "t_learner__prop", "SELECT NULL AS variant, NULL AS "
+                "l_returnflag, NULL AS avg_ite WHERE FALSE") + ") __tp "
+            + "UNION ALL SELECT variant, l_returnflag, avg_ite FROM ("
+            + _golden_oracles().get(
+                "t_learner__retro", "SELECT NULL AS variant, NULL AS "
+                "l_returnflag, NULL AS avg_ite WHERE FALSE") + ") __tr"),
         "ate": _ATE_SQL,
         "matching": (
             _MATCHING_FAMILY_SQL + " UNION ALL "

@@ -48,6 +48,8 @@ GOLDEN_KEYS = {
     "knn__lsh": "g_knn_lsh",
     "t_learner__cvt": "g_t_learner_cvt",
     "t_learner__x": "g_t_learner_x",
+    "t_learner__prop": "g_t_learner_prop",
+    "t_learner__retro": "g_t_learner_retro",
     "matching__prognostic": "g_matching_prognostic",
     "embedding_near_dup__pca": "g_emb_pca",
     "power__closed": "g_power_closed_form",
