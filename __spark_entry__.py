@@ -2749,7 +2749,10 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
          .repartition(int(spark.conf.get(
              "spark.sql.shuffle.partitions", "32"))))
     media = synthesize_media_column(d, "text")
-    vid = (video_frame_sample(media, max_frames=8)
+    # strict=False is the explicit opt-in: video decode is a documented
+    # scope cut (no ffmpeg in-container), so this row exercises the
+    # frame-explode PLUMBING on content-seeded fakes, value-gated as such
+    vid = (video_frame_sample(media, max_frames=8, strict=False)
            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames"))
            .select("doc_id", F.lit("video").alias("modality"),
                    F.lit("n_frames").alias("feature"),

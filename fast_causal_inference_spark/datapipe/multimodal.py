@@ -15,13 +15,21 @@ Decode support is two-tier:
   restarts), and PCM WAV (stdlib ``wave``).  Image/audio stats, resize,
   embeddings, and MFCC-style features below run on actual pixel/sample
   arrays for these formats.
-* **Codec formats (mp3/mp4/webp/progressive-jpeg/…) need external libraries** this
-  container does not have (no PIL/cv2/ffmpeg): those payloads raise
-  ``NotImplementedError`` under ``strict=True`` or fall back to a
-  deterministic content-seeded fake under ``strict=False`` so the
-  Spark-side plumbing stays exercisable end-to-end.  Fallback rows are
-  marked ``decoded = false`` wherever features are emitted, so a
-  downstream pipeline can filter honestly.
+* **Compressed audio/video (MP3/MP4/Ogg/WebP/progressive-JPEG/…) is
+  explicitly OUT OF SCOPE for in-container decode** — a deliberate
+  round-6 decision, not an implicit promise: these formats need codec
+  libraries (PIL/cv2/ffmpeg) this container does not ship, and a
+  hand-written entropy decoder (e.g. MP3 Layer-III Huffman tables)
+  cannot be validated here without reference vectors, so shipping one
+  would risk silently-wrong samples.  Every decode-path function
+  therefore defaults to ``strict=True``: an unsupported codec payload
+  raises ``NotImplementedError`` naming the missing library.  Passing
+  ``strict=False`` is an explicit opt-in to a deterministic
+  content-seeded fake (for exercising the Spark-side plumbing — schema,
+  partitioning, batch shape — end-to-end); fallback rows are marked
+  ``decoded = false`` wherever features are emitted, so a downstream
+  pipeline can filter honestly.  On a real cluster, plug a codec
+  library into the same ``mapInPandas`` bodies.
 """
 
 from __future__ import annotations
@@ -355,7 +363,7 @@ def _pool_embedding(img: np.ndarray, n_features: int) -> np.ndarray:
 
 def image_features(df: DataFrame, payload_col: str = "payload",
                    n_features: int = 64, batch_size_hint: int = 256,
-                   strict: bool = False) -> DataFrame:
+                   strict: bool = True) -> DataFrame:
     """Decode + feature-extract an image column → ``features array<float>``.
 
     BMP/PPM payloads decode for real (grayscale mean-pool embedding over
@@ -437,7 +445,7 @@ def image_stats(df: DataFrame, payload_col: str = "payload",
 
 def image_resize(df: DataFrame, payload_col: str = "payload",
                  width: int = 224, height: int = 224,
-                 strict: bool = False) -> DataFrame:
+                 strict: bool = True) -> DataFrame:
     """Resize an image column — REAL nearest-neighbor resample for BMP/PPM
     payloads (re-encoded as BMP); codec formats raise under ``strict`` or
     fall back to a content-hash stub."""
@@ -475,7 +483,7 @@ def image_resize(df: DataFrame, payload_col: str = "payload",
 
 def video_frame_sample(df: DataFrame, payload_col: str = "payload",
                        every_ms: int = 1000, max_frames: int = 8,
-                       strict: bool = False) -> DataFrame:
+                       strict: bool = True) -> DataFrame:
     """Explode a video column into sampled frames (frame_idx, frame bytes).
 
     STUB decode; the row-multiplying plumbing (one output row per frame,
@@ -668,7 +676,7 @@ def _mfcc(x: np.ndarray, rate: int, n_mfcc: int, n_fft: int = 512,
 
 
 def audio_features(df: DataFrame, payload_col: str = "payload",
-                   n_mfcc: int = 13, strict: bool = False) -> DataFrame:
+                   n_mfcc: int = 13, strict: bool = True) -> DataFrame:
     """Decode + MFCC feature-extract an audio column
     → ``audio_features array<float>``.  PCM WAV payloads run a REAL numpy
     MFCC (framed rfft → mel filterbank → log → DCT-II); codec formats

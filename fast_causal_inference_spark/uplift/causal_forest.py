@@ -139,17 +139,17 @@ class CausalForest:
         work = df.select(*feat_cols, tcol.alias("__t"), ycol.alias("__y"))
         rowh = F.xxhash64(*[F.col(c) for c in work.columns], F.lit(self.seed))
 
-        # repartition BEFORE caching: the per-level melt (explode ×trees +
-        # membership hashes) runs on the cached layout, and a small input
-        # can scan as 1-3 splits — serializing every level job.  All draws
-        # key off __h (row content only, so results are independent of the
-        # physical layout); hashing by __h also balances the melt at scale.
+        # repartition BEFORE caching: the per-level melt (explode ×trees)
+        # runs on the cached layout, and a small input can scan as 1-3
+        # splits — serializing every level job.  All draws key off __h
+        # (row content only, so results are independent of the physical
+        # layout); hashing by __h also balances the melt at scale.
         self._bin_col_names = {feat: f"__finebin{i}"
                                for i, feat in enumerate(self.features)}
         n_parts = int(df.sparkSession.conf.get(
             "spark.sql.shuffle.partitions", "32"))
-        work = work.withColumn("__h", rowh).repartition(n_parts, F.col("__h")) \
-                   .cache()
+        base = work.withColumn("__h", rowh) \
+                   .repartition(n_parts, F.col("__h")).cache()
 
         # ONE fine global quantile grid (8× n_bins, capped at 128): the
         # per-node candidate re-sketch in _best_split re-bins within each
@@ -158,16 +158,13 @@ class CausalForest:
         # reads the RAW input (deterministic scan order — sketching the
         # shuffled cache would make the GK summaries order-dependent) and
         # runs CONCURRENTLY with the cache materialization, so fit startup
-        # costs max(sketch, cache build) instead of their sum.  Fine-bin
-        # ids are then derived per level from the cached feature values
-        # with a balanced log₂(n_fine)-deep WHEN tree — measured at the
-        # same cost as carrying precomputed bin columns in the cache.
+        # costs max(sketch, cache build) instead of their sum.
         n_fine = min(128, max(self.n_bins, 2) * 8)
         probs = [i / n_fine for i in range(1, n_fine)]
         fcols = [f"__feat{i}" for i in range(len(self.features))]
         fwork = df.select(*[F.expr(f).cast("double").alias(c)
                             for f, c in zip(self.features, fcols)])
-        warm = threading.Thread(target=work.count)
+        warm = threading.Thread(target=base.count)
         warm.start()
         # candidate thresholds need no sub-0.1% precision (grf SAMPLES its
         # candidates); 0.005 halves the sketch-job cost on wide inputs
@@ -176,6 +173,24 @@ class CausalForest:
         self.fine_edges_ = {}
         for feat, edges in zip(self.features, all_edges):
             self.fine_edges_[feat] = sorted(set(edges))
+
+        # enrich the cache ONCE with fine-bin ids and per-tree
+        # (membership, half) bits: every level job and the honest leaf
+        # job then scan small precomputed ints instead of re-evaluating
+        # the balanced bin WHEN trees and two hash draws per tree per
+        # row — that repeated work (and the whole-stage codegen compile
+        # of its large generated class, paid once per level job) was
+        # most of the fixed per-level cost at small SF and a large slice
+        # of the scan cost at sf1 (measured: ~2.4 s of 4.6 s at sf0.1).
+        # One cheap extra pass over the cached base materializes it.
+        enrich = {self._bin_col_names[f]: self._bin_col(f)
+                  for f in self.features}
+        for t in range(self.num_trees):
+            enrich[f"__m{t}"] = self._membership(t)
+            enrich[f"__sh{t}"] = self._half(t)
+        work = base.withColumns(enrich).cache()
+        work.count()
+        base.unpersist()
 
         frontier = [[0] for _ in range(self.num_trees)]
         next_ids = [1] * self.num_trees
@@ -229,11 +244,14 @@ class CausalForest:
 
     def _melt(self, work: DataFrame, split_half: bool,
               keep: list[str]) -> DataFrame:
+        """Explode rows over trees using the PRECOMPUTED per-tree
+        (membership, half) columns of the enriched cache — only the
+        node descent (a ≤max_depth WHEN chain) is evaluated per level."""
         per_tree = F.array(*[
             F.struct(F.lit(t).alias("tree"),
                      self._node_col(t).alias("node"),
-                     (self._membership(t)
-                      & (self._half(t) == (1 if split_half else 0)))
+                     (F.col(f"__m{t}")
+                      & (F.col(f"__sh{t}") == (1 if split_half else 0)))
                      .alias("inc"))
             for t in range(self.num_trees)
         ])
@@ -284,14 +302,9 @@ class CausalForest:
                 columns=["tree", "node", "feature", "bin", "__t", "cnt", "s"])
         ff = sess.createDataFrame(rel, "tree int, node int, feature string")
         feat_union = sorted({r[2] for r in rel})
-        # fine-bin ids derived on the fly from the cached feature values
-        # (balanced WHEN tree, log₂(n_fine) comparisons/row — measured at
-        # parity with precomputed bin columns, and it lets the sketch and
-        # the cache build overlap at fit start)
+        # fine-bin ids are PRECOMPUTED columns of the enriched cache
         keep = [self._bin_col_names[feat] for feat in feat_union]
-        binned = work.withColumns(
-            {self._bin_col_names[f]: self._bin_col(f) for f in feat_union})
-        melted = self._melt(binned, split_half, keep)
+        melted = self._melt(work, split_half, keep)
         joined = melted.join(F.broadcast(ff), ["tree", "node"])
         bin_expr = None
         for feat in feat_union:
