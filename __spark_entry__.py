@@ -3986,6 +3986,43 @@ def q_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
+    def _facade_smoke():
+        # sources/sinks facade round-trip with DETERMINISTIC counts:
+        # readSparkDf(na_fill) → toCsv → readCsv → sample/split, all on
+        # ONE partition — native sample is per-partition seeded, so a
+        # single partition makes the draw layout-free (randomSplit
+        # additionally sorts within partitions), and the CSV file order
+        # follows the coalesced source order.
+        import shutil
+        import tempfile
+
+        import fast_causal_inference_spark as fcis
+
+        tmp = tempfile.mkdtemp(prefix="facade_gate_")
+        try:
+            src = (d.select("doc_id", "lang", "n_chars")
+                   .withColumn("x", F.when(F.col("doc_id") % 7 == 0,
+                                           F.lit(None).cast("double"))
+                               .otherwise(F.col("n_chars").cast("double")))
+                   .coalesce(1))
+            filled = fcis.readSparkDf(src, na_fill=-1.0)
+            filled.toCsv(tmp + "/docs_csv")
+            back = fcis.readCsv(tmp + "/docs_csv", spark=spark) \
+                .df.coalesce(1)
+            out = [("csv_roundtrip", "n_rows", float(back.count())),
+                   ("csv_roundtrip", "id_sum",
+                    float(back.agg(F.sum("doc_id")).collect()[0][0])),
+                   ("na_fill", "n_filled",
+                    float(back.where(F.col("x") == -1.0).count())),
+                   ("sample", "n",
+                    float(back.sample(fraction=0.3, seed=7).count()))]
+            tr, te = fcis.readSparkDf(back).split(test_size=0.4, seed=11)
+            out.append(("split", "n_train", float(tr.df.count())))
+            out.append(("split", "n_test", float(te.df.count())))
+            return out
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
     bpe = train_bpe(d.where(F.col("doc_id") % 5 == 0), vocab_size=300,
                     max_words=20000)
     mix = domain_mixture_sample(
@@ -4006,7 +4043,7 @@ def q_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 id_cols=["doc_id"])
     resv = reservoir_sample(d, 25, seed=19, id_cols=["doc_id"])
     (mix_rows, head_pdf, p_rows, w_rows, s_rows, sn_rows, r_rows, bpe_rows,
-     si_rows) = _concurrent([
+     si_rows, fac_rows) = _concurrent([
         lambda: mix.groupBy("lang").agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("doc_id").alias("id_sum")).collect(),
@@ -4031,6 +4068,7 @@ def q_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("n_tokens_bpe") *
                   (F.col("doc_id") % 97)).alias("tok_weighted")).collect(),
         _streaming_ingest,
+        _facade_smoke,
     ])
     for r in mix_rows:
         rows.append({"variant": "mixture", "item": str(r["lang"]),
@@ -4078,6 +4116,9 @@ def q_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append({"variant": "streaming_ingest",
                      "item": str(r["lang_pred"]), "stat": "avg_quality",
                      "value": float(r["avg_quality"])})
+    for item, stat, value in fac_rows:
+        rows.append({"variant": "facade", "item": item, "stat": stat,
+                     "value": value})
     return _long_rows(spark, rows)
 
 
