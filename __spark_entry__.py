@@ -35,6 +35,21 @@ def _round_all(df: DataFrame, keep: list[str], cols: list[str], nd: int = 6) -> 
     return df.select(*keep, *[F.round(F.col(c), nd).alias(c) for c in cols])
 
 
+def _symlink_parquet(src: str, dst_dir: str) -> None:
+    """Symlink a parquet table into a file-stream source directory.
+
+    The testdata tables are single FILES; Spark-written replicas (the
+    sf1 bench data) are DIRECTORIES of part files — and the streaming
+    file source does not list through a directory symlink, so link the
+    actual part files individually in that case."""
+    if os.path.isdir(src):
+        for f in sorted(os.listdir(src)):
+            if f.endswith(".parquet"):
+                os.symlink(os.path.join(src, f), os.path.join(dst_dir, f))
+    else:
+        os.symlink(src, os.path.join(dst_dir, os.path.basename(src)))
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -187,7 +202,7 @@ def q_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="srm_stream_")
     try:
         os.mkdir(tmp + "/in")
-        os.symlink(f"{sf_dir}/events.parquet", tmp + "/in/events.parquet")
+        _symlink_parquet(f"{sf_dir}/events.parquet", tmp + "/in")
         stream = spark.readStream.schema(sch).parquet(tmp + "/in")
         if dict(stream.dtypes)["ts"] in ("bigint", "long"):
             # TIMESTAMP(NANOS) parquet read as long under nanosAsLong
@@ -209,6 +224,10 @@ def q_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the memory sink registers a temp view holding the sink rows —
         # drop it so repeated bench runs don't stack retained sinks
         spark.catalog.dropTempView("srm_stream_gate")
+        if not landed:
+            raise RuntimeError(
+                "srm streaming gate landed zero windows — the file-stream "
+                "source saw no input (check the parquet symlinks)")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     for r in landed:
@@ -583,19 +602,38 @@ UNION ALL SELECT 'l_quantity', round(czy/czt, 6) FROM s
 
 
 def q_did(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Difference-in-differences coefficients (saturated 2x2 — the OLS
-    solution equals the closed-form cell-mean contrasts the oracle uses)."""
+    """Quasi-experimental designs family: difference-in-differences
+    coefficients (saturated 2x2 — the OLS solution equals the
+    closed-form cell-mean contrasts the oracle uses) plus sharp
+    regression-discontinuity rows (triangular-kernel local-linear fits
+    are closed forms of six weighted moments per side, fully
+    SQL-re-derivable)."""
+    import pandas as pd
+
     from fast_causal_inference_spark.operators.ols import did
+    from fast_causal_inference_spark.operators.rdd import (
+        regression_discontinuity,
+    )
 
     ev = _load(spark, sf_dir, "events") \
         .withColumn("arm", (F.col("user_id") % 2).cast("int")) \
         .withColumn("post", (F.col("event_id") % 2).cast("int"))
-    m = did(ev, "value", "arm", "post")
-    import pandas as pd
-
-    return spark.createDataFrame(pd.DataFrame({
-        "name": ["intercept", "treatment", "time", "interaction"],
-        "beta": [round(float(b), 6) for b in m.beta]}))
+    m, rdd = _concurrent([
+        lambda: did(ev, "value", "arm", "post"),
+        # running variable: value around cutoff 50, bandwidth 30
+        lambda: regression_discontinuity(
+            ev.withColumn("y2", F.col("value") * (1 + F.col("event_id") % 3)),
+            "y2", "value", cutoff=50.0, bandwidth=30.0).iloc[0],
+    ])
+    names = ["intercept", "treatment", "time", "interaction"]
+    betas = [round(float(b), 6) for b in m.beta]
+    for stat in ("estimate", "stderr", "t_stat", "n_left", "n_right",
+                 "intercept_left", "intercept_right", "slope_left",
+                 "slope_right"):
+        names.append(f"rdd_{stat}")
+        betas.append(round(float(rdd[stat]), 6))
+    return spark.createDataFrame(pd.DataFrame({"name": names,
+                                               "beta": betas}))
 
 
 _DID_SQL = """
@@ -611,11 +649,42 @@ WITH cells AS (
     max(CASE WHEN arm = 0 AND post = 1 THEN m END) AS m01,
     max(CASE WHEN arm = 1 AND post = 1 THEN m END) AS m11
   FROM cells
-)
+), rdd_base AS (
+  SELECT value - 50.0 AS x, value * (1 + event_id % 3) AS y,
+         greatest(0, 1 - abs(value - 50.0) / 30.0) AS w
+  FROM events WHERE value IS NOT NULL
+), rdd_m AS (
+  SELECT CASE WHEN x < 0 THEN 'l' ELSE 'r' END AS side,
+         CAST(count(*) AS DOUBLE) AS n, sum(w) AS sw, sum(w*x) AS swx,
+         sum(w*x*x) AS swxx, sum(w*y) AS swy, sum(w*x*y) AS swxy,
+         sum(w*y*y) AS swyy
+  FROM rdd_base WHERE w > 0 AND y IS NOT NULL GROUP BY 1
+), rdd_f AS (
+  SELECT side, n, sw, swx, swxx, swy, swxy, swyy,
+         (swxx*swy - swx*swxy) / (sw*swxx - swx*swx) AS a,
+         (sw*swxy - swx*swy) / (sw*swxx - swx*swx) AS b
+  FROM rdd_m
+), rdd_v AS (
+  SELECT side, n, a, b,
+         ((swyy - a*swy - b*swxy) / (n - 2)) * swxx
+           / (sw*swxx - swx*swx) AS va
+  FROM rdd_f
+), rl AS (SELECT * FROM rdd_v WHERE side = 'l'),
+rr AS (SELECT * FROM rdd_v WHERE side = 'r')
 SELECT 'intercept' AS name, round(m00, 6) AS beta FROM w
 UNION ALL SELECT 'treatment', round(m10 - m00, 6) FROM w
 UNION ALL SELECT 'time', round(m01 - m00, 6) FROM w
 UNION ALL SELECT 'interaction', round((m11 - m10) - (m01 - m00), 6) FROM w
+UNION ALL SELECT 'rdd_estimate', round(rr.a - rl.a, 6) FROM rl, rr
+UNION ALL SELECT 'rdd_stderr', round(sqrt(rr.va + rl.va), 6) FROM rl, rr
+UNION ALL SELECT 'rdd_t_stat',
+       round((rr.a - rl.a) / sqrt(rr.va + rl.va), 6) FROM rl, rr
+UNION ALL SELECT 'rdd_n_left', round(n, 6) FROM rl
+UNION ALL SELECT 'rdd_n_right', round(n, 6) FROM rr
+UNION ALL SELECT 'rdd_intercept_left', round(a, 6) FROM rl
+UNION ALL SELECT 'rdd_intercept_right', round(a, 6) FROM rr
+UNION ALL SELECT 'rdd_slope_left', round(b, 6) FROM rl
+UNION ALL SELECT 'rdd_slope_right', round(b, 6) FROM rr
 """
 
 
@@ -3963,8 +4032,7 @@ def q_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
             # the file stream source needs a DIRECTORY; symlink the table in
             import os
             os.mkdir(tmp + "/in")
-            os.symlink(f"{sf_dir}/documents.parquet",
-                       tmp + "/in/documents.parquet")
+            _symlink_parquet(f"{sf_dir}/documents.parquet", tmp + "/in")
             stream = (spark.readStream.schema(sch).parquet(tmp + "/in")
                       .withColumn("ts", F.timestamp_micros(F.col("doc_id"))))
             out = ingest_documents(stream, ts_col="ts", min_quality=0.4,

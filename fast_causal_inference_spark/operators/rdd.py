@@ -1,0 +1,192 @@
+"""Regression discontinuity designs (sharp and fuzzy).
+
+Beyond the reference (its quasi-experimental toolbox stops at DiD and IV —
+``dataframe/regression.py`` in the reference Python client): RDD is the
+third standard observational design an experimentation platform gets asked
+for, and it is exactly suff-stats shaped, so it fits this engine's ONE-scan
+pattern.
+
+Estimator: local-linear regression with a kernel weight inside a bandwidth
+on each side of the cutoff (the modern default after Imbens-Lemieux 2008 /
+Calonico-Cattaneo-Titiunik 2014 — a global polynomial is known-bad).  With
+x = running − cutoff and weights w = K(x/h):
+
+* each side fits WLS of Y on [1, x] — closed form from SIX weighted
+  moments per side (Σw, Σwx, Σwx², Σwy, Σwxy, Σwy²),
+* the sharp effect is the intercept jump τ = α_R − α_L,
+* Var(α) uses the classical WLS convention σ̂² (X'WX)⁻¹ with
+  σ̂² = Σw·e² / (n − 2) and n the side's in-bandwidth row count,
+* the fuzzy effect divides the outcome jump by the treatment-probability
+  jump (a local Wald/IV ratio) with a full delta-method SE including the
+  within-side covariance of the two intercepts (the outcome and treatment
+  fits share the same weights, so Cov(α_Y, α_T) comes from the joint
+  moment Σw·y·t — no extra scan).
+
+Spark shape: ONE ``agg`` over conditional weighted sums (pure Columns, no
+UDF, partial-aggregated map-side — identical physique to the t-test
+suff-stats scan, so it holds at any scale); the 2×2 solves run on the
+driver.  The bandwidth is a required explicit parameter: data-driven
+selectors (IK/CCT) are a separate concern and any choice can be passed in.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fast_causal_inference_spark import stats_distributions as dist
+
+_KERNELS = ("triangular", "rectangular", "epanechnikov")
+
+
+def _kernel_weight(u: Column, kernel: str) -> Column:
+    """K(u) on |u| ≤ 1, else 0 (u = x/h)."""
+    a = F.abs(u)
+    if kernel == "triangular":
+        w = 1.0 - a
+    elif kernel == "rectangular":
+        w = F.lit(1.0)
+    else:                                   # epanechnikov
+        w = 1.0 - a * a
+    return F.when(a <= 1.0, w).otherwise(F.lit(0.0))
+
+
+def _side_moments(prefix: str, cond: Column, w: Column, x: Column,
+                  y: Column, t: Column | None) -> list[Column]:
+    """Conditional weighted moments for one side (NULL-safe: a row with a
+    NULL outcome contributes to neither sums nor the row count)."""
+    inarm = cond & w.isNotNull() & (w > 0) & y.isNotNull()
+    wm = F.when(inarm, w)
+    aggs = [
+        F.count(wm).cast("double").alias(f"{prefix}_n"),
+        F.sum(wm).alias(f"{prefix}_sw"),
+        F.sum(wm * x).alias(f"{prefix}_swx"),
+        F.sum(wm * x * x).alias(f"{prefix}_swxx"),
+        F.sum(wm * y).alias(f"{prefix}_swy"),
+        F.sum(wm * x * y).alias(f"{prefix}_swxy"),
+        F.sum(wm * y * y).alias(f"{prefix}_swyy"),
+    ]
+    if t is not None:
+        aggs += [
+            F.sum(wm * t).alias(f"{prefix}_swt"),
+            F.sum(wm * x * t).alias(f"{prefix}_swxt"),
+            F.sum(wm * t * t).alias(f"{prefix}_swtt"),
+            F.sum(wm * y * t).alias(f"{prefix}_swyt"),
+        ]
+    return aggs
+
+
+def _wls_line(r: dict, p: str, yk: str = "y") -> dict:
+    """Closed-form WLS of <yk> on [1, x] from one side's moments.
+
+    Returns intercept a, slope b, D = Σw·Σwx²−(Σwx)², and the weighted
+    residual sum Σw·e² (via the normal equations:
+    Σwe² = Σwy² − aΣwy − bΣwxy)."""
+    sw, swx, swxx = (float(r[f"{p}_sw"]), float(r[f"{p}_swx"]),
+                     float(r[f"{p}_swxx"]))
+    swy = float(r[f"{p}_sw{yk}"])
+    swxy = float(r[f"{p}_swx{yk}"])
+    swyy = float(r[f"{p}_sw{yk}{yk}"])
+    d = sw * swxx - swx * swx
+    if d <= 0:
+        raise ValueError(
+            f"degenerate design on the {'left' if p == 'l' else 'right'} "
+            f"side: the running variable has (near-)zero weighted "
+            f"variance inside the bandwidth — widen the bandwidth")
+    a = (swxx * swy - swx * swxy) / d
+    b = (sw * swxy - swx * swy) / d
+    ssr = swyy - a * swy - b * swxy
+    return {"a": a, "b": b, "d": d, "ssr": max(ssr, 0.0),
+            "sw": sw, "swx": swx, "swxx": swxx}
+
+
+def regression_discontinuity(df: DataFrame, Y: str, running: str,
+                             cutoff: float, bandwidth: float,
+                             treatment: str | None = None,
+                             kernel: str = "triangular",
+                             alpha: float = 0.05) -> pd.DataFrame:
+    """Sharp (or, with ``treatment``, fuzzy) RDD at ``cutoff``.
+
+    Sharp: τ = lim_{x↓c} E[Y|x] − lim_{x↑c} E[Y|x], estimated as the
+    intercept jump of two kernel-weighted local-linear fits.  Fuzzy:
+    τ = jump(Y) / jump(T) — the local Wald ratio — with a delta-method
+    SE using the within-side covariance of the two intercept estimates.
+
+    Returns one pandas row: estimate, stderr, t_stat, p_value, lower,
+    upper, n_left, n_right, intercept_left, intercept_right,
+    slope_left, slope_right [, jump_t for fuzzy].  The cutoff row itself
+    (x == cutoff) belongs to the RIGHT (treated) side, the usual sharp
+    convention.
+    """
+    if bandwidth <= 0:
+        raise ValueError("bandwidth must be > 0")
+    if kernel not in _KERNELS:
+        raise ValueError(f"kernel must be one of {_KERNELS}")
+    x = (F.expr(running).cast("double") - F.lit(float(cutoff)))
+    y = F.expr(Y).cast("double")
+    t = F.expr(treatment).cast("double") if treatment is not None else None
+    w = _kernel_weight(x / F.lit(float(bandwidth)), kernel)
+    aggs = (_side_moments("l", x < 0, w, x, y, t)
+            + _side_moments("r", x >= 0, w, x, y, t))
+    r = df.agg(*aggs).collect()[0].asDict()
+
+    out: dict = {}
+    sides = {}
+    for p, nk in (("l", "n_left"), ("r", "n_right")):
+        n = float(r[f"{p}_n"] or 0.0)
+        if n < 3:
+            raise ValueError(
+                f"only {int(n)} rows with non-NULL outcome inside the "
+                f"bandwidth on the {'left' if p == 'l' else 'right'} "
+                f"side — local-linear RDD needs at least 3; widen the "
+                f"bandwidth")
+        fy = _wls_line(r, p)
+        sigma2 = fy["ssr"] / (n - 2)
+        fy["var_a"] = sigma2 * fy["swxx"] / fy["d"]
+        fy["n"] = n
+        sides[p] = fy
+        out[nk] = n
+    tau = sides["r"]["a"] - sides["l"]["a"]
+    var = sides["r"]["var_a"] + sides["l"]["var_a"]
+    out["intercept_left"] = sides["l"]["a"]
+    out["intercept_right"] = sides["r"]["a"]
+    out["slope_left"] = sides["l"]["b"]
+    out["slope_right"] = sides["r"]["b"]
+
+    if t is not None:
+        jt = 0.0
+        var_t = 0.0
+        cov = 0.0
+        for p, sgn in (("r", 1.0), ("l", -1.0)):
+            ft = _wls_line(r, p, yk="t")
+            n = sides[p]["n"]
+            # joint second moments: Σw·e_y·e_t = Σwyt − a_yΣwt − b_yΣwxt
+            # (normal equations again), so the intercept covariance is
+            # σ̂_yt · Σwx²/D with σ̂_yt the weighted residual cross-moment
+            s_yt = (float(r[f"{p}_swyt"])
+                    - sides[p]["a"] * float(r[f"{p}_swt"])
+                    - sides[p]["b"] * float(r[f"{p}_swxt"]))
+            sigma_yt = s_yt / (n - 2)
+            ft["var_a"] = (ft["ssr"] / (n - 2)) * ft["swxx"] / ft["d"]
+            jt += sgn * ft["a"]
+            var_t += ft["var_a"]
+            cov += sigma_yt * ft["swxx"] / ft["d"]
+        if abs(jt) < 1e-12:
+            raise ValueError(
+                "fuzzy RDD: the treatment-probability jump at the cutoff "
+                "is ~0 — no first stage, the Wald ratio is undefined")
+        est = tau / jt
+        # delta method on g(a, b) = a/b
+        var = (var / (jt * jt) + (tau * tau) * var_t / (jt ** 4)
+               - 2.0 * tau * cov / (jt ** 3))
+        out["jump_t"] = jt
+        tau = est
+    se = float(np.sqrt(max(var, 0.0)))
+    z = tau / se if se > 0 else float("nan")
+    zq = float(dist.norm_ppf(1 - alpha / 2))
+    res = {"estimate": tau, "stderr": se, "t_stat": z,
+           "p_value": float(2 * dist.norm_sf(abs(z))),
+           "lower": tau - zq * se, "upper": tau + zq * se, **out}
+    return pd.DataFrame([res])

@@ -1,0 +1,125 @@
+"""Regression discontinuity: sharp + fuzzy vs a numpy WLS oracle."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _wls(x, y, w):
+    """Numpy WLS of y on [1, x]: (a, b, var_a, resid-cross helper)."""
+    X = np.column_stack([np.ones_like(x), x])
+    XtW = X.T * w
+    G = XtW @ X
+    beta = np.linalg.solve(G, XtW @ y)
+    e = y - X @ beta
+    n = len(x)
+    sigma2 = float(np.sum(w * e * e)) / (n - 2)
+    cov = sigma2 * np.linalg.inv(G)
+    return beta[0], beta[1], cov[0, 0], e
+
+
+def _oracle_sharp(pdf, cutoff, h):
+    x = pdf.run.to_numpy() - cutoff
+    y = pdf.y.to_numpy()
+    w = np.clip(1 - np.abs(x / h), 0, None)
+    res = {}
+    for side, m in (("l", (x < 0) & (w > 0)), ("r", (x >= 0) & (w > 0))):
+        a, b, va, _ = _wls(x[m], y[m], w[m])
+        res[side] = (a, b, va, m.sum())
+    tau = res["r"][0] - res["l"][0]
+    se = np.sqrt(res["r"][2] + res["l"][2])
+    return tau, se, res
+
+
+def test_rdd_sharp_matches_numpy(spark):
+    from fast_causal_inference_spark.operators.rdd import (
+        regression_discontinuity,
+    )
+
+    rng = np.random.default_rng(23)
+    n = 20000
+    run = rng.uniform(-2, 2, n)
+    jump = 1.5
+    y = 3 + 0.8 * run + jump * (run >= 0) + rng.normal(0, 1, n)
+    pdf = pd.DataFrame({"run": run, "y": y})
+    out = regression_discontinuity(
+        spark.createDataFrame(pdf), "y", "run", cutoff=0.0,
+        bandwidth=0.75).iloc[0]
+    tau, se, res = _oracle_sharp(pdf, 0.0, 0.75)
+    assert float(out.estimate) == pytest.approx(tau, rel=1e-9)
+    assert float(out.stderr) == pytest.approx(se, rel=1e-9)
+    assert float(out.n_left) == res["l"][3]
+    assert float(out.n_right) == res["r"][3]
+    assert float(out.slope_left) == pytest.approx(res["l"][1], rel=1e-9)
+    # the design recovers the planted jump
+    assert abs(float(out.estimate) - jump) < 4 * float(out.stderr)
+    assert float(out.p_value) < 1e-6
+
+
+def test_rdd_nonzero_cutoff_and_kernels(spark):
+    from fast_causal_inference_spark.operators.rdd import (
+        regression_discontinuity,
+    )
+
+    rng = np.random.default_rng(29)
+    n = 8000
+    run = rng.uniform(10, 30, n)
+    y = run * 0.5 + 2.0 * (run >= 20) + rng.normal(0, 1, n)
+    df = spark.createDataFrame(pd.DataFrame({"run": run, "y": y}))
+    for kernel in ("triangular", "rectangular", "epanechnikov"):
+        out = regression_discontinuity(df, "y", "run", cutoff=20.0,
+                                       bandwidth=5.0, kernel=kernel).iloc[0]
+        assert abs(float(out.estimate) - 2.0) < 5 * float(out.stderr), kernel
+
+
+def test_rdd_fuzzy_local_wald(spark):
+    """Fuzzy RDD: treatment jumps 0.2 -> 0.8 at the cutoff; ITT jump of
+    0.6*tau scales back up to tau via the local Wald ratio."""
+    from fast_causal_inference_spark.operators.rdd import (
+        regression_discontinuity,
+    )
+
+    rng = np.random.default_rng(31)
+    n = 40000
+    run = rng.uniform(-1, 1, n)
+    p = np.where(run >= 0, 0.8, 0.2)
+    t = (rng.uniform(0, 1, n) < p).astype(float)
+    tau = 2.0
+    y = 1 + 0.5 * run + tau * t + rng.normal(0, 1, n)
+    df = spark.createDataFrame(pd.DataFrame({"run": run, "y": y, "t": t}))
+    out = regression_discontinuity(df, "y", "run", cutoff=0.0,
+                                   bandwidth=0.5, treatment="t").iloc[0]
+    assert float(out.jump_t) == pytest.approx(0.6, abs=0.05)
+    assert abs(float(out.estimate) - tau) < 4 * float(out.stderr)
+    sharp = regression_discontinuity(df, "y", "run", cutoff=0.0,
+                                     bandwidth=0.5).iloc[0]
+    # ITT (sharp on Y) ~ 0.6 * tau; the Wald ratio rescales it
+    assert float(out.estimate) == pytest.approx(
+        float(sharp.estimate) / float(out.jump_t), rel=1e-9)
+
+
+def test_rdd_guards(spark):
+    from fast_causal_inference_spark.operators.rdd import (
+        regression_discontinuity,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"run": np.linspace(-1, 1, 100),
+                      "y": np.ones(100)}))
+    with pytest.raises(ValueError, match="bandwidth"):
+        regression_discontinuity(df, "y", "run", 0.0, -1.0)
+    with pytest.raises(ValueError, match="kernel"):
+        regression_discontinuity(df, "y", "run", 0.0, 0.5, kernel="gauss")
+    with pytest.raises(ValueError, match="at least 3"):
+        regression_discontinuity(df, "y", "run", 0.0, 0.005)
+    # NULL outcomes drop from both sums and counts
+    pdf = pd.DataFrame({"run": np.linspace(-1, 1, 2001),
+                        "y": np.linspace(-1, 1, 2001) * 2.0})
+    pdf.loc[pdf.index % 5 == 0, "y"] = np.nan
+    out = regression_discontinuity(
+        spark.createDataFrame(pdf), "y", "run", 0.0, 0.8).iloc[0]
+    kept = pdf[pdf.y.notna()]
+    x = kept.run.to_numpy()
+    w = np.clip(1 - np.abs(x / 0.8), 0, None)
+    assert float(out.n_left) == ((x < 0) & (w > 0)).sum()
+    assert float(out.n_right) == ((x >= 0) & (w > 0)).sum()
