@@ -264,6 +264,24 @@ class CausalDataFrame:
 
         return did(self._df, Y, treatment, time, *covariates)
 
+    def regression_discontinuity(self, Y: str, running: str, cutoff: float,
+                                 bandwidth: float, **kwargs):
+        from fast_causal_inference_spark.operators.rdd import (
+            regression_discontinuity,
+        )
+
+        return regression_discontinuity(self._df, Y, running, cutoff,
+                                        bandwidth, **kwargs)
+
+    def mccrary_density_test(self, running: str, cutoff: float,
+                             bin_width: float, bandwidth: float, **kwargs):
+        from fast_causal_inference_spark.operators.rdd import (
+            mccrary_density_test,
+        )
+
+        return mccrary_density_test(self._df, running, cutoff, bin_width,
+                                    bandwidth, **kwargs)
+
     def cluster_robust_ols(self, formula: str, cluster: str,
                            use_bias: bool = True):
         from fast_causal_inference_spark.operators.ols import (

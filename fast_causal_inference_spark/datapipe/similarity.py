@@ -160,8 +160,18 @@ def lsh_knn(df: DataFrame, queries: DataFrame, k: int = 10,
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                              id_col: str = "vec_id", vec_col: str = "embedding",
                              dim: int = 64, n_tables: int = 8,
-                             n_planes: int = 14, seed: int = 42) -> DataFrame:
-    """Pairs with cosine ≥ threshold via LSH bucket self-join + exact verify."""
+                             n_planes: int = 14, seed: int = 42,
+                             max_bucket_size: int | None = None) -> DataFrame:
+    """Pairs with cosine ≥ threshold via LSH bucket self-join + exact verify.
+
+    ``max_bucket_size`` — optional guard for ultra-dense corpora: the
+    self-join volume is Σ cᵢ² over bucket sizes, so ONE degenerate bucket
+    (a million identical vectors, an all-zeros embedding column) turns
+    the job quadratic.  When set, over-full buckets are skipped with a
+    WARNING stating how many (never a silent cap); members of a skipped
+    bucket can still pair through their other ``n_tables − 1`` tables.
+    Default ``None`` = exact LSH semantics, no skips.
+    """
     tables = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
     sig = bucket_signatures_udf(tables)
     b = (df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
@@ -172,6 +182,22 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     # ranked.count() note in dedup.ngram_jaccard_pairs)
     b = b.cache()
     b.count()
+    if max_bucket_size is not None:
+        import warnings
+
+        big = (b.groupBy("table", "bucket")
+               .agg(F.count(F.lit(1)).alias("__n"))
+               .where(F.col("__n") > max_bucket_size)
+               .select("table", "bucket"))
+        n_big = big.count()
+        if n_big:
+            warnings.warn(
+                f"embedding_near_dup_pairs: skipping {n_big} LSH buckets "
+                f"with more than {max_bucket_size} members — pairs only "
+                f"reachable through a skipped bucket are lost; raise "
+                f"max_bucket_size or use semantic_dedup_pairs for dense "
+                f"duplicate balls")
+            b = b.join(F.broadcast(big), ["table", "bucket"], "left_anti")
     l, r = b.alias("l"), b.alias("r")
     cand = (l.join(r, [F.col("l.table") == F.col("r.table"),
                        F.col("l.bucket") == F.col("r.bucket"),

@@ -123,3 +123,44 @@ def test_rdd_guards(spark):
     w = np.clip(1 - np.abs(x / 0.8), 0, None)
     assert float(out.n_left) == ((x < 0) & (w > 0)).sum()
     assert float(out.n_right) == ((x >= 0) & (w > 0)).sum()
+
+
+def test_mccrary_density_smooth_vs_manipulated(spark):
+    """Continuous density -> no jump detected; sorting across the cutoff
+    (mass pushed from just-left to just-right) -> strong positive jump."""
+    from fast_causal_inference_spark.operators.rdd import (
+        mccrary_density_test,
+    )
+
+    rng = np.random.default_rng(37)
+    n = 60000
+    smooth = rng.uniform(-1, 1, n)
+    out = mccrary_density_test(
+        spark.createDataFrame(pd.DataFrame({"run": smooth})), "run",
+        cutoff=0.0, bin_width=0.02, bandwidth=0.4).iloc[0]
+    assert abs(float(out.theta)) < 3.5 * float(out.stderr)
+    # uniform density = 0.5 on [-1, 1]
+    assert float(out.f_left) == pytest.approx(0.5, rel=0.1)
+    assert float(out.f_right) == pytest.approx(0.5, rel=0.1)
+
+    manip = smooth.copy()
+    push = (manip > -0.05) & (manip < 0)   # sorters jump the threshold
+    manip[push] = -manip[push]
+    out2 = mccrary_density_test(
+        spark.createDataFrame(pd.DataFrame({"run": manip})), "run",
+        cutoff=0.0, bin_width=0.02, bandwidth=0.4).iloc[0]
+    assert float(out2.theta) > 0
+    assert float(out2.p_value) < 1e-4
+
+
+def test_mccrary_guards(spark):
+    from fast_causal_inference_spark.operators.rdd import (
+        mccrary_density_test,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"run": np.linspace(-1, 1, 200)}))
+    with pytest.raises(ValueError, match="bin_width"):
+        mccrary_density_test(df, "run", 0.0, -0.1, 0.5)
+    with pytest.raises(ValueError, match="histogram bins"):
+        mccrary_density_test(df, "run", 0.0, 0.5, 0.5)

@@ -187,3 +187,28 @@ def test_codec_scope_cut_strict_by_default(spark):
     # explicit opt-in still exercises the plumbing, flagged honestly
     out = audio_features(df, strict=False).toPandas()
     assert not out.decoded.any()
+
+
+def test_lsh_max_bucket_size_guard(spark):
+    """Degenerate duplicate balls: with max_bucket_size set, over-full
+    buckets are skipped WITH a warning; default semantics unchanged."""
+    import warnings as w
+
+    from fast_causal_inference_spark.datapipe.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(41)
+    base = rng.standard_normal((30, 8)).astype("float32")
+    rows = [(i, [float(x) for x in base[i % 30]]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = embedding_near_dup_pairs(df, threshold=0.999, dim=8,
+                                     n_planes=6).count()
+    assert exact == 300 // 30 * (300 // 30 - 1) // 2 * 30  # 45 per ball
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        capped = embedding_near_dup_pairs(df, threshold=0.999, dim=8,
+                                          n_planes=6, max_bucket_size=5)
+        n_capped = capped.count()
+    assert any("skipping" in str(c.message) for c in caught)
+    assert n_capped < exact
