@@ -1276,15 +1276,19 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 50000).alias("vec_id"), "embedding", "label")
     allv = e.unionByName(copies)
     # semantic_dedup_pairs trains its k-means quantizer eagerly at
-    # construction — build both members concurrently
-    # (n_lists ∝ √N, the SemDeDup regime: within-cell verification is
-    # Σcᵢ², so √N cells keep it ~N^1.5/n_lists)
+    # construction — build both members concurrently.
+    # n_lists ∝ √N, the SemDeDup regime: within-cell verification is
+    # Σcᵢ² ≈ N²/L, so L = √N keeps it N^1.5.  At the sf0.01 correctness
+    # point √(2000+20) rounds to exactly the historical 45, so the gated
+    # values are unchanged; at the sf1 bench point a FIXED 45 was the
+    # measured quadratic straggler (45 join keys × 1.1k-row cells).
+    n_lists = max(45, int(round(allv.count() ** 0.5)))
     lsh, sem = _concurrent([
         lambda: embedding_near_dup_pairs(allv, threshold=0.999).select(
             F.lit("lsh").alias("variant"), "id_a", "id_b",
             F.round("cosine", 4).alias("cosine")),
-        lambda: semantic_dedup_pairs(allv, threshold=0.999, n_lists=45,
-                                     seed=4).select(
+        lambda: semantic_dedup_pairs(allv, threshold=0.999,
+                                     n_lists=n_lists, seed=4).select(
             F.lit("semantic").alias("variant"), "id_a", "id_b",
             F.round("cosine", 4).alias("cosine")),
     ])

@@ -38,16 +38,15 @@ def _ensure_sf1(spark, sf_dir: str) -> str:
     """Synthesize a ×10 replica of the sf0.1 tables under the repo
     (one-time, cached on disk).  Ids shift per replica so keys stay
     unique; document tokens get a replica suffix AND replica embeddings
-    get a deterministic ±30% per-dimension perturbation, so the
-    duplicate/near-dup pair structure scales linearly (×10 clusters)
-    instead of quadratically (every doc/vector near-dup with its 9
-    clones — the un-perturbed embeddings made the sf1 near-dup family's
-    TRUE output ~100× the sf0.1 one, 273 s of honest-but-artifact work)."""
+    get a per-replica dimension rotation, so the duplicate/near-dup pair
+    structure scales linearly (×10 independent clusters) instead of
+    quadratically (every doc/vector near-dup — or LSH-bucket-colliding —
+    with its 9 clones; see the embeddings branch below)."""
     from pyspark.sql import functions as F
 
     out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "benchdata", "sf1")
-    marker = os.path.join(out_dir, "_DONE_v2")
+    marker = os.path.join(out_dir, "_DONE_v3")
     if os.path.exists(marker):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
@@ -84,19 +83,26 @@ def _ensure_sf1(spark, sf_dir: str) -> str:
                         F.concat(F.lit("$1x"),
                                  F.col("__rep").cast("string")))))
         if table == "embeddings":
-            # ±30% per-dim multiplicative pattern keyed on (dim, replica):
-            # cos(original, replica) ≈ 1/sqrt(1.09) ≈ 0.957 < the 0.99
-            # near-dup threshold, and distinct replicas get distinct
-            # patterns — clone balls stop being degenerate duplicate sets
+            # each replica gets a per-replica DIMENSION ROTATION (shift
+            # 7·rep, 7 coprime to the width so all shifts are distinct):
+            # cosines WITHIN a replica are rotation-invariant, so every
+            # replica is an independent copy of the original cluster
+            # structure, while cross-replica cosines — and, crucially,
+            # hyperplane-LSH signatures — decorrelate.  A value-only
+            # perturbation is NOT enough: ±30% noise drops the clone
+            # cosine below threshold but preserves most sign(v·h) bits,
+            # so the candidate volume stayed quadratic in clone-ball
+            # size (measured 172 s; rotation makes it linear).
+            width = F.size(F.col("embedding"))
             rep_df = rep_df.withColumn(
                 "embedding",
                 F.when(F.col("__rep") == 0, F.col("embedding")).otherwise(
                     F.transform(
                         F.col("embedding"),
-                        lambda v, i: (v * (1 + 0.3 * (F.pmod(
-                            F.xxhash64(i.cast("long"), F.col("__rep")),
-                            F.lit(2)).cast("double") * 2 - 1)))
-                        .cast("float"))))
+                        lambda v, i: F.element_at(
+                            F.col("embedding"),
+                            (F.pmod(i + 7 * F.col("__rep"), width) + 1)
+                            .cast("int")))))
         rep_df.drop("__rep").write.mode("overwrite") \
             .parquet(f"{out_dir}/{table}.parquet")
     with open(marker, "w") as f:

@@ -233,8 +233,12 @@ def _train_centroids(df: DataFrame, vec_col: str, n_lists: int,
         raise ValueError(f"need ≥{n_lists} vectors to train {n_lists} lists")
     rng = np.random.default_rng(seed)
     C = X[rng.choice(len(X), n_lists, replace=False)]
+    # GEMM form of the assignment step: argmin ||x−c||² = argmin
+    # (||c||² − 2 x·c) — the naive (X[:,None]−C[None])² broadcast builds
+    # an (n·k·d) temp (≈1 GB/iter at k=224, d=64) and was 30+ s of pure
+    # driver time at the ×10 bench point; the GEMM is milliseconds
     for _ in range(iters):
-        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        d2 = (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
         assign = d2.argmin(axis=1)
         for j in range(n_lists):
             m = assign == j
@@ -329,7 +333,8 @@ def semantic_dedup_pairs(df: DataFrame, threshold: float = 0.95,
                          vec_col: str = "embedding", n_lists: int = 64,
                          sample_per_list: int = 40, train_iters: int = 8,
                          seed: int = 42,
-                         with_centroid_sim: bool = False) -> DataFrame:
+                         with_centroid_sim: bool = False,
+                         block_rows: int = 4096) -> DataFrame:
     """Semantic near-duplicate pairs, SemDeDup-style (Abbas et al. 2023):
     k-means the embeddings into ``n_lists`` coarse cells (the IVF
     quantizer machinery), then compare pairs ONLY within a cell.
@@ -342,7 +347,20 @@ def semantic_dedup_pairs(df: DataFrame, threshold: float = 0.95,
     vectors quantize identically), so recall on exact copies is 1.0;
     near-dups split across a cell boundary are missed — the approximation
     SemDeDup trades for the N² → within-cell bound.
+
+    Skew: a popular cell's c² pairs would otherwise land in ONE shuffle
+    task (measured as a lone straggler at the ×10 bench point), so cells
+    larger than ``block_rows`` are 2-D block-decomposed — each row hashes
+    to a block, the left side explodes to its upper-triangle target
+    blocks, and the join key becomes (cell, block): the same pair set,
+    spread over ~(c/block_rows)²/2 tasks per big cell.
     """
+    from pyspark.sql import types as T
+
+    from fast_causal_inference_spark.serialization import (
+        ensure_udf_serializable,
+    )
+
     C = _train_centroids(df, vec_col, n_lists, sample_per_list,
                          train_iters, seed)
     assign = _assign_udf(C)
@@ -352,31 +370,105 @@ def semantic_dedup_pairs(df: DataFrame, threshold: float = 0.95,
     b = (df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
            .where(F.col("v").isNotNull())
            .withColumn("__list", assign(F.col("v"))))
-    # cache + eager count: the self-join reads `b` twice (see
-    # embedding_near_dup_pairs)
     b = b.cache()
     b.count()
-    l, r = b.alias("l"), b.alias("r")
-    pairs = (l.join(r, [F.col("l.__list") == F.col("r.__list"),
-                        F.col("l.id") < F.col("r.id")])
-             .select(F.col("l.id").alias("id_a"),
-                     F.col("r.id").alias("id_b"),
-                     cosine(F.col("l.v"), F.col("r.v")).alias("cosine"),
-                     F.col("l.__list").alias("cluster"),
-                     F.col("l.v").alias("__va"), F.col("r.v").alias("__vb"))
-             .where(F.col("cosine") >= threshold))
+    # 2-D block decomposition: every row hashes to a block within its
+    # cell (nb = ceil(c / block_rows) blocks for a c-row cell) and is
+    # sent to each block-pair group (min(blk, j), max(blk, j)) — a
+    # popular cell's c² pairs spread over ~nb²/2 tasks instead of one
+    # straggler; for cells under block_rows this is a single group.
+    sizes = b.groupBy("__list").agg(F.count(F.lit(1)).alias("__c"))
+    nb = F.greatest(F.lit(1), F.ceil(F.col("__c") / F.lit(block_rows))) \
+        .cast("int")
+    grouped = (b.join(F.broadcast(sizes.select("__list",
+                                               nb.alias("__nb"))),
+                      "__list")
+               .withColumn("__blk", F.pmod(F.xxhash64(F.col("id")),
+                                           F.col("__nb")).cast("int"))
+               .withColumn("__j", F.explode(
+                   F.sequence(F.lit(0), F.col("__nb") - 1)))
+               .select("id", "v", "__list", "__blk",
+                       F.least("__blk", "__j").alias("__gi"),
+                       F.greatest("__blk", "__j").alias("__gj")))
+    id_type = df.schema[id_col].dataType
+    fields = [T.StructField("id_a", id_type),
+              T.StructField("id_b", id_type),
+              T.StructField("cosine", T.DoubleType()),
+              T.StructField("cluster", T.IntegerType())]
     if with_centroid_sim:
-        sess = df.sparkSession
-        cent = sess.createDataFrame(
-            [(int(i), [float(x) for x in row]) for i, row in enumerate(C)],
-            "cluster int, __cent array<double>")
-        pairs = (pairs.join(F.broadcast(cent), "cluster")
-                 .withColumn("centroid_sim_a",
-                             cosine(F.col("__va"), F.col("__cent")))
-                 .withColumn("centroid_sim_b",
-                             cosine(F.col("__vb"), F.col("__cent")))
-                 .drop("__cent"))
-    return pairs.drop("__va", "__vb")
+        fields += [T.StructField("centroid_sim_a", T.DoubleType()),
+                   T.StructField("centroid_sim_b", T.DoubleType())]
+    out_schema = T.StructType(fields)
+    thr = float(threshold)
+    want_cent = bool(with_centroid_sim)
+    cols = ["id_a", "id_b", "cosine", "cluster"] \
+        + (["centroid_sim_a", "centroid_sim_b"] if want_cent else [])
+
+    # per-group verification is ONE numpy GEMM (cosine matrix of the
+    # cell/block pair), not a per-pair higher-order-function column —
+    # measured 27 s → ~3 s on the 11M-candidate ×10 bench point
+    # no type hints: `from __future__ import annotations` stringifies
+    # them and applyInPandas' eval-type inference warns on every call
+    def _cell_pairs(key, pdf):
+        import numpy as _np
+        import pandas as _pd
+
+        lst, gi, gj = int(key[0]), int(key[1]), int(key[2])
+        empty = _pd.DataFrame({c: [] for c in cols})
+        if gi == gj:
+            ids = pdf["id"].to_numpy()
+            if len(ids) < 2:
+                return empty
+            X = _np.stack(pdf["v"].to_numpy()).astype(float)
+            na = _np.linalg.norm(X, axis=1)
+            S = (X @ X.T) / _np.outer(na, na)
+            iu, ju = _np.triu_indices(len(ids), k=1)
+            ca = S[iu, ju]
+            ia, ib = ids[iu], ids[ju]
+            cs_i = cs_j = None
+            if want_cent:
+                cs = (X @ C[lst]) / (na * _np.linalg.norm(C[lst]))
+                cs_i, cs_j = cs[iu], cs[ju]
+        else:
+            A = pdf[pdf["__blk"] == gi]
+            B = pdf[pdf["__blk"] == gj]
+            if not len(A) or not len(B):
+                return empty
+            XA = _np.stack(A["v"].to_numpy()).astype(float)
+            XB = _np.stack(B["v"].to_numpy()).astype(float)
+            na = _np.linalg.norm(XA, axis=1)
+            nbn = _np.linalg.norm(XB, axis=1)
+            S = (XA @ XB.T) / _np.outer(na, nbn)
+            ii, jj = _np.meshgrid(_np.arange(len(A)), _np.arange(len(B)),
+                                  indexing="ij")
+            ca = S.ravel()
+            ia = A["id"].to_numpy()[ii.ravel()]
+            ib = B["id"].to_numpy()[jj.ravel()]
+            cs_i = cs_j = None
+            if want_cent:
+                cn = _np.linalg.norm(C[lst])
+                cs_i = ((XA @ C[lst]) / (na * cn))[ii.ravel()]
+                cs_j = ((XB @ C[lst]) / (nbn * cn))[jj.ravel()]
+        keep = ca >= thr
+        if not keep.any():
+            return empty
+        ia, ib, ca = ia[keep], ib[keep], ca[keep]
+        # canonical id order (cosine is symmetric; centroid sims follow
+        # their ids — the centroid_far keep policy reads positionally)
+        swap = ia > ib
+        out_a = _np.where(swap, ib, ia)
+        out_b = _np.where(swap, ia, ib)
+        rec = {"id_a": out_a, "id_b": out_b, "cosine": ca,
+               "cluster": _np.full(len(ca), lst, dtype="int32")}
+        if want_cent:
+            cs_i, cs_j = cs_i[keep], cs_j[keep]
+            rec["centroid_sim_a"] = _np.where(swap, cs_j, cs_i)
+            rec["centroid_sim_b"] = _np.where(swap, cs_i, cs_j)
+        return _pd.DataFrame(rec)
+
+    ensure_udf_serializable()
+    return (grouped.groupBy("__list", "__gi", "__gj")
+            .applyInPandas(_cell_pairs, out_schema))
 
 
 def semantic_dedup(df: DataFrame, threshold: float = 0.95,
