@@ -415,6 +415,10 @@ def semantic_dedup_pairs(df: DataFrame, threshold: float = 0.95,
 
         lst, gi, gj = int(key[0]), int(key[1]), int(key[2])
         empty = _pd.DataFrame({c: [] for c in cols})
+        # indices are materialized ONLY for pairs that pass the
+        # threshold (np.nonzero on the boolean matrix) — a full meshgrid
+        # would build len(A)×len(B) int64 temps (~270 MB/task at 4096²)
+        # for candidate sets where only a handful of pairs survive
         if gi == gj:
             ids = pdf["id"].to_numpy()
             if len(ids) < 2:
@@ -422,7 +426,10 @@ def semantic_dedup_pairs(df: DataFrame, threshold: float = 0.95,
             X = _np.stack(pdf["v"].to_numpy()).astype(float)
             na = _np.linalg.norm(X, axis=1)
             S = (X @ X.T) / _np.outer(na, na)
-            iu, ju = _np.triu_indices(len(ids), k=1)
+            keep2d = _np.triu(S >= thr, k=1)
+            iu, ju = _np.nonzero(keep2d)
+            if not len(iu):
+                return empty
             ca = S[iu, ju]
             ia, ib = ids[iu], ids[ju]
             cs_i = cs_j = None
@@ -439,20 +446,17 @@ def semantic_dedup_pairs(df: DataFrame, threshold: float = 0.95,
             na = _np.linalg.norm(XA, axis=1)
             nbn = _np.linalg.norm(XB, axis=1)
             S = (XA @ XB.T) / _np.outer(na, nbn)
-            ii, jj = _np.meshgrid(_np.arange(len(A)), _np.arange(len(B)),
-                                  indexing="ij")
-            ca = S.ravel()
-            ia = A["id"].to_numpy()[ii.ravel()]
-            ib = B["id"].to_numpy()[jj.ravel()]
+            iu, ju = _np.nonzero(S >= thr)
+            if not len(iu):
+                return empty
+            ca = S[iu, ju]
+            ia = A["id"].to_numpy()[iu]
+            ib = B["id"].to_numpy()[ju]
             cs_i = cs_j = None
             if want_cent:
                 cn = _np.linalg.norm(C[lst])
-                cs_i = ((XA @ C[lst]) / (na * cn))[ii.ravel()]
-                cs_j = ((XB @ C[lst]) / (nbn * cn))[jj.ravel()]
-        keep = ca >= thr
-        if not keep.any():
-            return empty
-        ia, ib, ca = ia[keep], ib[keep], ca[keep]
+                cs_i = ((XA @ C[lst]) / (na * cn))[iu]
+                cs_j = ((XB @ C[lst]) / (nbn * cn))[ju]
         # canonical id order (cosine is symmetric; centroid sims follow
         # their ids — the centroid_far keep policy reads positionally)
         swap = ia > ib
@@ -461,7 +465,6 @@ def semantic_dedup_pairs(df: DataFrame, threshold: float = 0.95,
         rec = {"id_a": out_a, "id_b": out_b, "cosine": ca,
                "cluster": _np.full(len(ca), lst, dtype="int32")}
         if want_cent:
-            cs_i, cs_j = cs_i[keep], cs_j[keep]
             rec["centroid_sim_a"] = _np.where(swap, cs_j, cs_i)
             rec["centroid_sim_b"] = _np.where(swap, cs_i, cs_j)
         return _pd.DataFrame(rec)

@@ -134,7 +134,6 @@ def _dml_residuals(df: DataFrame, Y: str, T: str, covariates: list[str],
 
     base = list(covariates) + [Y, T]
     aggs = suffstat_agg_columns(base)
-    aggs.append(F.count(F.lit(1)).alias("n_rows__"))
     rows = df.groupBy(fold_col).agg(*aggs).collect()
     by_fold = {int(r[fold_col]): r.asDict() for r in rows
                if r[fold_col] is not None}
@@ -163,7 +162,7 @@ def _dml_residuals(df: DataFrame, Y: str, T: str, covariates: list[str],
                 f"outside the fold — not enough to fit {k} covariates; "
                 f"check cv/fold_expr")
         # complete-case n (the Gramian's), matching ols()'s unweighted
-        # df_resid contract — n_rows__ is the raw count incl. NULL rows
+        # df_resid contract
         n_c = summed["n"]
         my = _fit_from_row(_subrow(summed, idx_y), list(covariates), Y,
                            True, n_c, None)
@@ -243,7 +242,6 @@ def linear_dml_grouped(df: DataFrame, Y: str, T: str, X: list[str],
 
     base = list(controls) + [Y, T]
     aggs = suffstat_agg_columns(base)
-    aggs.append(F.count(F.lit(1)).alias("n_rows__"))
     rows = (work.groupBy(*group_cols, "__fold").agg(*aggs)
             .limit(max_cells * cv + 1).collect())
     if len(rows) > max_cells * cv:

@@ -56,8 +56,13 @@ def _kernel_weight(u: Column, kernel: str) -> Column:
 def _side_moments(prefix: str, cond: Column, w: Column, x: Column,
                   y: Column, t: Column | None) -> list[Column]:
     """Conditional weighted moments for one side (NULL-safe: a row with a
-    NULL outcome contributes to neither sums nor the row count)."""
+    NULL outcome — or, in the fuzzy design, a NULL treatment — drops out
+    of ALL moments, so the outcome and treatment fits share one row set;
+    excluding NULL t only from the t-moments would solve inconsistent
+    normal equations, silently imputing t=0)."""
     inarm = cond & w.isNotNull() & (w > 0) & y.isNotNull()
+    if t is not None:
+        inarm = inarm & t.isNotNull()
     wm = F.when(inarm, w)
     aggs = [
         F.count(wm).cast("double").alias(f"{prefix}_n"),
@@ -219,16 +224,32 @@ def mccrary_density_test(df: DataFrame, running: str, cutoff: float,
     if kernel not in _KERNELS:
         raise ValueError(f"kernel must be one of {_KERNELS}")
     x = F.expr(running).cast("double") - F.lit(float(cutoff))
-    b = F.floor(x / F.lit(float(bin_width)))
+    # out-of-bandwidth rows collapse into ONE overflow row (NULL bin): the
+    # driver only ever holds the in-bandwidth bin relation plus one row,
+    # not the histogram of the variable's whole (possibly huge) domain;
+    # the overflow row still feeds the total-n normalizer
+    reach = float(bandwidth) + float(bin_width)
+    b = F.when(F.abs(x) <= reach,
+               F.floor(x / F.lit(float(bin_width))))
     hist = (df.where(x.isNotNull()).groupBy(b.alias("bin"))
             .agg(F.count(F.lit(1)).alias("cnt")).collect())
     if not hist:
         raise ValueError("no non-NULL running-variable rows")
     n = float(sum(r["cnt"] for r in hist))
+    counts = {int(r["bin"]): float(r["cnt"]) for r in hist
+              if r["bin"] is not None}
+    # the FULL equally-spaced grid inside the reach, empty bins at
+    # density 0 — fitting only occupied bin centers overestimates the
+    # boundary density of discrete/sparse running variables (a 1-in-5
+    # occupancy would read 5× high)
+    import math as _math
+
+    b_lo = int(_math.floor(-reach / bin_width))
+    b_hi = int(_math.ceil(reach / bin_width))
     rows = []
-    for r in hist:
-        center = (float(r["bin"]) + 0.5) * bin_width   # bin midpoint
-        dens = float(r["cnt"]) / (n * bin_width)
+    for bi in range(b_lo, b_hi + 1):
+        center = (bi + 0.5) * bin_width                # bin midpoint
+        dens = counts.get(bi, 0.0) / (n * bin_width)
         rows.append((center, dens))
 
     def _side(mask_right: bool) -> dict:

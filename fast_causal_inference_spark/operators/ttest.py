@@ -635,7 +635,6 @@ def cupac_ttest_2samp(df: DataFrame, Y: str, index: str,
     # ONE pass: per-fold control-arm Gramians; complement = sum of others
     base = list(features) + ["__yraw"]
     aggs = suffstat_agg_columns(base)
-    aggs.append(F.count(F.lit(1)).alias("n_rows__"))
     rows = (work.where(idx == F.lit(ctl))
             .groupBy("__fold").agg(*aggs).collect())
     by_fold = {int(r["__fold"]): r.asDict() for r in rows
@@ -654,8 +653,10 @@ def cupac_ttest_2samp(df: DataFrame, Y: str, index: str,
                 f"{len(features)} features; check cv/fold_expr (discrete "
                 f"features with the default hash folds can empty a "
                 f"complement — pass fold_expr with a row id)")
+        # complete-case n, matching ols()'s unweighted df_resid contract
+        # (only predictions are consumed downstream)
         models[k] = _fit_from_row(summed, list(features), "__yraw", True,
-                                  summed["n_rows__"], None)
+                                  summed["n"], None)
 
     pred = None
     for k in range(cv):

@@ -164,3 +164,50 @@ def test_mccrary_guards(spark):
         mccrary_density_test(df, "run", 0.0, -0.1, 0.5)
     with pytest.raises(ValueError, match="histogram bins"):
         mccrary_density_test(df, "run", 0.0, 0.5, 0.5)
+
+
+def test_rdd_fuzzy_null_treatment_dropped(spark):
+    """Rows with NULL treatment must drop from ALL fuzzy moments (shared
+    row set), not just the t-moments — else the treatment fit solves
+    inconsistent normal equations (silently imputing t=0)."""
+    from fast_causal_inference_spark.operators.rdd import (
+        regression_discontinuity,
+    )
+
+    rng = np.random.default_rng(47)
+    n = 20000
+    run = rng.uniform(-1, 1, n)
+    t = (run >= 0).astype(float)
+    y = 1 + 0.5 * run + 2.0 * t + rng.normal(0, 1, n)
+    pdf = pd.DataFrame({"run": run, "y": y, "t": t})
+    nullmask = rng.uniform(0, 1, n) < 0.3
+    with_nulls = pdf.copy()
+    with_nulls.loc[nullmask, "t"] = np.nan
+    out = regression_discontinuity(
+        spark.createDataFrame(with_nulls), "y", "run", 0.0, 0.5,
+        treatment="t").iloc[0]
+    # complete-case oracle: exactly the rows with observed t
+    want = regression_discontinuity(
+        spark.createDataFrame(pdf[~nullmask]), "y", "run", 0.0, 0.5,
+        treatment="t").iloc[0]
+    for c in ("estimate", "stderr", "jump_t", "n_left", "n_right"):
+        assert float(out[c]) == pytest.approx(float(want[c]), rel=1e-12), c
+    assert float(out.jump_t) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_mccrary_discrete_running_variable(spark):
+    """Empty grid bins count as density 0: an integer-valued running
+    variable at bin_width 0.2 must NOT read ~5x the true density."""
+    from fast_causal_inference_spark.operators.rdd import (
+        mccrary_density_test,
+    )
+
+    rng = np.random.default_rng(53)
+    run = rng.integers(-10, 11, 50000).astype(float)   # uniform on 21 ints
+    out = mccrary_density_test(
+        spark.createDataFrame(pd.DataFrame({"run": run})), "run",
+        cutoff=0.5, bin_width=0.2, bandwidth=4.0).iloc[0]
+    # true density of a discrete uniform smoothed over its grid ~ 1/21
+    assert float(out.f_left) == pytest.approx(1 / 21, rel=0.2)
+    assert float(out.f_right) == pytest.approx(1 / 21, rel=0.2)
+    assert abs(float(out.theta)) < 4 * float(out.stderr)
