@@ -601,13 +601,40 @@ UNION ALL SELECT 'l_quantity', round(czy/czt, 6) FROM s
 """
 
 
+def g_did_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic-control rows of the quasi-experimental family (golden
+    sub-oracle: the simplex-constrained FISTA solve is iterative, not
+    SQL-expressible).  Panel: unit = user_id%8, period = event_id%12,
+    y = avg(value); unit 0 'treated' from period 8."""
+    import pandas as pd
+
+    from fast_causal_inference_spark.operators.synth import (
+        synthetic_control,
+    )
+
+    ev = _load(spark, sf_dir, "events")
+    panel = ev.select((F.col("user_id") % 8).alias("u"),
+                      (F.col("event_id") % 12).alias("t"), "value")
+    out = synthetic_control(panel, "u", "t", "value", 0, 8)
+    names = ["synth_att", "synth_pre_rmspe", "synth_post_rmspe",
+             "synth_p_value"]
+    betas = [out["att"], out["pre_rmspe"], out["post_rmspe"],
+             out["p_value"]]
+    for r in out["weights"].itertuples():
+        names.append(f"synth_w_{int(r.unit)}")
+        betas.append(float(r.weight))
+    return spark.createDataFrame(pd.DataFrame({
+        "name": names, "beta": [round(float(b), 6) for b in betas]}))
+
+
 def q_did(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quasi-experimental designs family: difference-in-differences
     coefficients (saturated 2x2 — the OLS solution equals the
-    closed-form cell-mean contrasts the oracle uses) plus sharp
+    closed-form cell-mean contrasts the oracle uses), sharp
     regression-discontinuity rows (triangular-kernel local-linear fits
     are closed forms of six weighted moments per side, fully
-    SQL-re-derivable)."""
+    SQL-re-derivable), and synthetic-control rows (golden sub-oracle —
+    iterative simplex solve)."""
     import pandas as pd
 
     from fast_causal_inference_spark.operators.ols import did
@@ -618,12 +645,13 @@ def q_did(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _load(spark, sf_dir, "events") \
         .withColumn("arm", (F.col("user_id") % 2).cast("int")) \
         .withColumn("post", (F.col("event_id") % 2).cast("int"))
-    m, rdd = _concurrent([
+    m, rdd, synth_df = _concurrent([
         lambda: did(ev, "value", "arm", "post"),
         # running variable: value around cutoff 50, bandwidth 30
         lambda: regression_discontinuity(
             ev.withColumn("y2", F.col("value") * (1 + F.col("event_id") % 3)),
             "y2", "value", cutoff=50.0, bandwidth=30.0).iloc[0],
+        lambda: g_did_synth(spark, sf_dir),
     ])
     names = ["intercept", "treatment", "time", "interaction"]
     betas = [round(float(b), 6) for b in m.beta]
@@ -633,7 +661,8 @@ def q_did(spark: SparkSession, sf_dir: str) -> DataFrame:
         names.append(f"rdd_{stat}")
         betas.append(round(float(rdd[stat]), 6))
     return spark.createDataFrame(pd.DataFrame({"name": names,
-                                               "beta": betas}))
+                                               "beta": betas})) \
+        .unionByName(synth_df)
 
 
 _DID_SQL = """
@@ -4424,7 +4453,10 @@ def oracle_sql() -> dict[str, str]:
         "matrix_ops": _MATRIX_OPS_SQL,
         "ols": _OLS_FAMILY_SQL,
         "robust_ols": _ROBUST_OLS_SQL,
-        "did": _DID_SQL,
+        "did": (_DID_SQL + " UNION ALL SELECT name, beta FROM ("
+                + _golden_oracles().get(
+                    "did__synth", "SELECT NULL AS name, NULL AS beta "
+                    "WHERE FALSE") + ") __ds"),
         "iv_regression": _IV_SQL,
         "linear_dml": _LINEAR_DML_SQL,
         "auc": _AUC_FAMILY_SQL,

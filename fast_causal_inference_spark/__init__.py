@@ -52,6 +52,7 @@ from fast_causal_inference_spark.operators.matching import (
 )
 from fast_causal_inference_spark.operators.groupset import group_set
 from fast_causal_inference_spark.operators.rdd import regression_discontinuity
+from fast_causal_inference_spark.operators.synth import synthetic_control
 from fast_causal_inference_spark.dataframe import (
     CausalDataFrame,
     readClickHouse,

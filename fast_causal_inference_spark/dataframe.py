@@ -282,6 +282,15 @@ class CausalDataFrame:
         return mccrary_density_test(self._df, running, cutoff, bin_width,
                                     bandwidth, **kwargs)
 
+    def synthetic_control(self, unit: str, time: str, Y: str,
+                          treated_unit, treatment_time, **kwargs):
+        from fast_causal_inference_spark.operators.synth import (
+            synthetic_control,
+        )
+
+        return synthetic_control(self._df, unit, time, Y, treated_unit,
+                                 treatment_time, **kwargs)
+
     def cluster_robust_ols(self, formula: str, cluster: str,
                            use_bias: bool = True):
         from fast_causal_inference_spark.operators.ols import (
