@@ -221,15 +221,13 @@ def main() -> None:
         spark.catalog.clearCache()
         print(f"run {ri + 1}/{RUNS} done t="
               f"{time.perf_counter() - _T_START:.0f}s", file=sys.stderr)
-    def _median(ts: list[float]) -> float:
-        # true median: the upper-middle element would record the SLOWER
-        # central run for even N (at N=2, the max — typically the cold
-        # run 1 the methodology exists to exclude)
-        s = sorted(ts)
-        mid = len(s) // 2
-        return s[mid] if len(s) % 2 else round((s[mid - 1] + s[mid]) / 2, 4)
+    # true median (stdlib): the upper-middle element would record the
+    # SLOWER central run for even N (at N=2, the max — typically the
+    # cold run 1 the methodology exists to exclude)
+    import statistics
 
-    times = {name: _median(ts) for name, ts in runs.items()}
+    times = {name: round(statistics.median(ts), 4)
+             for name, ts in runs.items()}
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:

@@ -142,6 +142,8 @@ __all__ = [
     "get_session",
     "configure_session",
     "parse_formula",
+    "regression_discontinuity",
+    "synthetic_control",
     "delta_method",
     "ttest_1samp",
     "ttest_2samp",

@@ -40,19 +40,16 @@ def _simplex_lsq(A: np.ndarray, b: np.ndarray, iters: int = 5000,
     """min_w ||A w − b||² over the probability simplex — FISTA with the
     Duchi projection (Frank-Wolfe's O(1/k) zig-zag is too slow for
     interior optima; accelerated projected gradient reaches ~1e-8 in a
-    few hundred steps at these sizes).  Deterministic: uniform start,
-    Lipschitz step from a fixed-iteration power method."""
+    few hundred steps at these sizes).  Deterministic: uniform start;
+    the step uses L = tr(G) — a PROVABLE upper bound on λ_max for PSD G
+    (a power-iteration estimate can under-shoot when the start vector is
+    orthogonal to the top eigenvector, e.g. exactly anticorrelated
+    donors, and FISTA then has no convergence guarantee); the ≤k×
+    over-estimate just costs iterations, which 5000 covers at donor-pool
+    sizes."""
     k = A.shape[1]
     G = A.T @ A
-    # largest eigenvalue via deterministic power iteration
-    v = np.full(k, 1.0 / np.sqrt(k))
-    for _ in range(60):
-        nv = G @ v
-        nrm = float(np.linalg.norm(nv))
-        if nrm <= 0:
-            return np.full(k, 1.0 / k)
-        v = nv / nrm
-    L = float(v @ G @ v) * 1.05 + 1e-12
+    L = float(np.trace(G)) + 1e-12
     Atb = A.T @ b
     w = np.full(k, 1.0 / k)
     z = w.copy()
@@ -95,7 +92,10 @@ def synthetic_control(df: DataFrame, unit: str, time: str, Y: str,
     if agg not in ("avg", "sum"):
         raise ValueError("agg must be 'avg' or 'sum'")
     aggfn = F.avg if agg == "avg" else F.sum
-    cells = (df.groupBy(F.col(unit).alias("__u"), F.col(time).alias("__t"))
+    # NULL unit/time keys drop (the _dml_residuals fold-key convention):
+    # a NULL unit would otherwise pivot into a phantom NaN-labeled donor
+    cells = (df.where(F.col(unit).isNotNull() & F.col(time).isNotNull())
+             .groupBy(F.col(unit).alias("__u"), F.col(time).alias("__t"))
              .agg(aggfn(F.expr(Y).cast("double")).alias("__y"))
              .limit(max_cells + 1).collect())
     if len(cells) > max_cells:
@@ -123,7 +123,13 @@ def synthetic_control(df: DataFrame, unit: str, time: str, Y: str,
         raise ValueError("no donor units")
 
     def _fit(target):
-        pool = [c for c in wide.columns if c != target]
+        # Abadie's in-space placebo: a pseudo-treated donor is fit from
+        # the OTHER DONORS ONLY — the actually-treated unit must never
+        # enter a placebo pool, or its post-period treatment effect
+        # leaks into every placebo's synthetic path and distorts the
+        # permutation p-value
+        pool = [c for c in wide.columns
+                if c != target and c != treated_unit]
         A = wide.loc[pre, pool].to_numpy(dtype=float)
         b = wide.loc[pre, target].to_numpy(dtype=float)
         w = _simplex_lsq(A, b)

@@ -88,3 +88,55 @@ def test_simplex_lsq_exactness():
     w = _simplex_lsq(A, b)
     assert np.allclose(w, w_true, atol=1e-4)
     assert w.min() >= -1e-12 and w.sum() == pytest.approx(1.0, abs=1e-9)
+
+
+def test_placebo_pools_exclude_treated_unit(spark):
+    """Abadie in-space placebos: the treated unit must not enter any
+    placebo pool.  Precise detector: the donors' placebo ATTs must be
+    IDENTICAL across treated-effect sizes — only T's post-period values
+    differ between the panels, so any dependence means T's (treated)
+    outcomes leaked into a placebo's synthetic path."""
+    from fast_causal_inference_spark.operators.synth import (
+        synthetic_control,
+    )
+
+    a = synthetic_control(spark.createDataFrame(_panel(effect=5.0)),
+                          "unit", "time", "y", "T", 20)
+    b = synthetic_control(spark.createDataFrame(_panel(effect=0.0)),
+                          "unit", "time", "y", "T", 20)
+    pa = dict(zip(a["placebo_att"].unit, a["placebo_att"].att))
+    pb = dict(zip(b["placebo_att"].unit, b["placebo_att"].att))
+    assert pa.keys() == pb.keys() and "T" not in pa
+    for u in pa:
+        assert pa[u] == pytest.approx(pb[u], rel=1e-9), u
+    assert a["p_value"] == pytest.approx(1 / 5, abs=1e-9)
+
+
+def test_synth_null_keys_dropped(spark):
+    from fast_causal_inference_spark.operators.synth import (
+        synthetic_control,
+    )
+
+    pdf = _panel()
+    extra = pd.DataFrame({"unit": [None] * 30, "time": range(30),
+                          "y": 999.0})
+    base = synthetic_control(spark.createDataFrame(pdf), "unit", "time",
+                             "y", "T", 20)
+    out = synthetic_control(
+        spark.createDataFrame(pd.concat([pdf, extra])), "unit", "time",
+        "y", "T", 20)
+    assert out["att"] == pytest.approx(base["att"], rel=1e-9)
+    assert set(out["weights"].unit) == set(base["weights"].unit)
+
+
+def test_simplex_lsq_anticorrelated_donors():
+    """Exactly anticorrelated donors: the old power-iteration L estimate
+    degenerated at the uniform start (null vector) and returned uniform
+    weights without using b; the trace bound must still converge."""
+    from fast_causal_inference_spark.operators.synth import _simplex_lsq
+
+    a = np.linspace(1, 2, 40)
+    A = np.column_stack([a, -a])
+    w = _simplex_lsq(A, a.copy())
+    assert w[0] == pytest.approx(1.0, abs=1e-6)
+    assert w[1] == pytest.approx(0.0, abs=1e-6)
