@@ -601,6 +601,36 @@ UNION ALL SELECT 'l_quantity', round(czy/czt, 6) FROM s
 """
 
 
+def g_did_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staggered event-study rows of the quasi-experimental family
+    (golden sub-oracle: the k-feature OLS solve after the two-way within
+    transform is a matrix inversion, not SQL-expressible).  Balanced
+    panel: unit = user_id%12, period = event_id%10, cell outcome =
+    avg(value); units 0-5 adopt at period 4 + unit%3, 6-11 never."""
+    import pandas as pd
+
+    from fast_causal_inference_spark.operators.eventstudy import (
+        event_study,
+    )
+
+    ev = _load(spark, sf_dir, "events")
+    panel = (ev.groupBy((F.col("user_id") % 12).alias("u"),
+                        (F.col("event_id") % 10).alias("t"))
+             .agg(F.avg("value").alias("y")))
+    out = event_study(
+        panel, "y", "u", "t",
+        "CASE WHEN u < 6 THEN 4 + u % 3 END", leads=2, lags=2)
+    names, betas = [], []
+    for r in out.itertuples():
+        rp = int(r.rel_period)
+        names.append(f"event_b_{rp}")
+        betas.append(round(float(r.estimate), 6))
+        names.append(f"event_se_{rp}")
+        betas.append(round(float(r.stderr), 6))
+    return spark.createDataFrame(pd.DataFrame({"name": names,
+                                               "beta": betas}))
+
+
 def g_did_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthetic-control rows of the quasi-experimental family (golden
     sub-oracle: the simplex-constrained FISTA solve is iterative, not
@@ -645,13 +675,14 @@ def q_did(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _load(spark, sf_dir, "events") \
         .withColumn("arm", (F.col("user_id") % 2).cast("int")) \
         .withColumn("post", (F.col("event_id") % 2).cast("int"))
-    m, rdd, synth_df = _concurrent([
+    m, rdd, synth_df, event_df = _concurrent([
         lambda: did(ev, "value", "arm", "post"),
         # running variable: value around cutoff 50, bandwidth 30
         lambda: regression_discontinuity(
             ev.withColumn("y2", F.col("value") * (1 + F.col("event_id") % 3)),
             "y2", "value", cutoff=50.0, bandwidth=30.0).iloc[0],
         lambda: g_did_synth(spark, sf_dir),
+        lambda: g_did_event(spark, sf_dir),
     ])
     names = ["intercept", "treatment", "time", "interaction"]
     betas = [round(float(b), 6) for b in m.beta]
@@ -662,7 +693,7 @@ def q_did(spark: SparkSession, sf_dir: str) -> DataFrame:
         betas.append(round(float(rdd[stat]), 6))
     return spark.createDataFrame(pd.DataFrame({"name": names,
                                                "beta": betas})) \
-        .unionByName(synth_df)
+        .unionByName(synth_df).unionByName(event_df)
 
 
 _DID_SQL = """
@@ -4456,7 +4487,11 @@ def oracle_sql() -> dict[str, str]:
         "did": (_DID_SQL + " UNION ALL SELECT name, beta FROM ("
                 + _golden_oracles().get(
                     "did__synth", "SELECT NULL AS name, NULL AS beta "
-                    "WHERE FALSE") + ") __ds"),
+                    "WHERE FALSE") + ") __ds"
+                + " UNION ALL SELECT name, beta FROM ("
+                + _golden_oracles().get(
+                    "did__event", "SELECT NULL AS name, NULL AS beta "
+                    "WHERE FALSE") + ") __de"),
         "iv_regression": _IV_SQL,
         "linear_dml": _LINEAR_DML_SQL,
         "auc": _AUC_FAMILY_SQL,

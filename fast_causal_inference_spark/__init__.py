@@ -53,6 +53,7 @@ from fast_causal_inference_spark.operators.matching import (
 from fast_causal_inference_spark.operators.groupset import group_set
 from fast_causal_inference_spark.operators.rdd import regression_discontinuity
 from fast_causal_inference_spark.operators.synth import synthetic_control
+from fast_causal_inference_spark.operators.eventstudy import event_study
 from fast_causal_inference_spark.dataframe import (
     CausalDataFrame,
     readClickHouse,
@@ -144,6 +145,7 @@ __all__ = [
     "parse_formula",
     "regression_discontinuity",
     "synthetic_control",
+    "event_study",
     "delta_method",
     "ttest_1samp",
     "ttest_2samp",

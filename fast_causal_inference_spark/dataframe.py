@@ -282,6 +282,14 @@ class CausalDataFrame:
         return mccrary_density_test(self._df, running, cutoff, bin_width,
                                     bandwidth, **kwargs)
 
+    def event_study(self, Y: str, unit: str, time: str, adoption: str,
+                    **kwargs):
+        from fast_causal_inference_spark.operators.eventstudy import (
+            event_study,
+        )
+
+        return event_study(self._df, Y, unit, time, adoption, **kwargs)
+
     def synthetic_control(self, unit: str, time: str, Y: str,
                           treated_unit, treatment_time, **kwargs):
         from fast_causal_inference_spark.operators.synth import (

@@ -52,6 +52,7 @@ GOLDEN_KEYS = {
     "t_learner__retro": "g_t_learner_retro",
     "matching__prognostic": "g_matching_prognostic",
     "did__synth": "g_did_synth",
+    "did__event": "g_did_event",
     "embedding_near_dup__pca": "g_emb_pca",
     "power__closed": "g_power_closed_form",
 }

@@ -1,0 +1,139 @@
+"""Event study: within-transform equivalence vs a full-dummy numpy TWFE."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _staggered_panel(seed=67, U=20, T=12, noise=0.5):
+    """Balanced panel; units 0-9 adopt at 5 + u%4, units 10-19 never.
+    True dynamic path: 0 pre-adoption, [1.0, 1.6, 2.0, 2.0, ...] from
+    r=0 on."""
+    rng = np.random.default_rng(seed)
+    ue = rng.normal(0, 2, U)
+    te = rng.normal(0, 1, T)
+    path = {0: 1.0, 1: 1.6}
+    rows = []
+    for u in range(U):
+        a = 5 + u % 4 if u < 10 else None
+        for t in range(T):
+            r = None if a is None else t - a
+            eff = 0.0
+            if r is not None and r >= 0:
+                eff = path.get(r, 2.0)
+            rows.append((u, t, a, ue[u] + te[t] + eff
+                         + rng.normal(0, noise)))
+    return pd.DataFrame(rows, columns=["u", "t", "a", "y"])
+
+
+def _numpy_twfe(pdf, leads, lags):
+    """Full dummy-variable TWFE oracle: intercept + unit dummies (drop
+    first) + time dummies (drop first) + binned event dummies (ref -1)."""
+    rs = [r for r in range(-leads, lags + 1) if r != -1]
+    units = sorted(pdf.u.unique())
+    times = sorted(pdf.t.unique())
+    n = len(pdf)
+    Xcols = [np.ones(n)]
+    for u in units[1:]:
+        Xcols.append((pdf.u == u).to_numpy(float))
+    for t in times[1:]:
+        Xcols.append((pdf.t == t).to_numpy(float))
+    rel = pdf.t - pdf.a
+    for r in rs:
+        if r == -leads:
+            d = (rel <= r)
+        elif r == lags:
+            d = (rel >= r)
+        else:
+            d = (rel == r)
+        Xcols.append(d.fillna(False).to_numpy(float))
+    X = np.column_stack(Xcols)
+    y = pdf.y.to_numpy(float)
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    e = y - X @ beta
+    dof = n - X.shape[1]
+    sigma2 = float(e @ e) / dof
+    cov = sigma2 * np.linalg.inv(X.T @ X)
+    k = len(rs)
+    return (rs, beta[-k:], np.sqrt(np.diag(cov)[-k:]), dof)
+
+
+def test_event_study_matches_full_dummy_twfe(spark):
+    from fast_causal_inference_spark.operators.eventstudy import (
+        event_study,
+    )
+
+    pdf = _staggered_panel()
+    out = event_study(spark.createDataFrame(pdf), "y", "u", "t", "a",
+                      leads=3, lags=2)
+    rs, beta, se, dof = _numpy_twfe(pdf, 3, 2)
+    got = out[out.rel_period != -1].sort_values("rel_period")
+    assert list(got.rel_period) == rs
+    assert np.allclose(got.estimate.to_numpy(), beta, rtol=1e-9)
+    assert np.allclose(got.stderr.to_numpy(), se, rtol=1e-9)
+    # the dynamic path is recovered: ~0 pre, ~1 / ~1.6 / ~2 post
+    by_r = dict(zip(out.rel_period, out.estimate))
+    assert abs(by_r[-3]) < 0.4 and abs(by_r[-2]) < 0.4
+    assert by_r[0] == pytest.approx(1.0, abs=0.4)
+    assert by_r[1] == pytest.approx(1.6, abs=0.4)
+    assert by_r[2] == pytest.approx(2.0, abs=0.4)   # binned r>=2
+    # reference row present with zeros
+    ref = out[out.rel_period == -1].iloc[0]
+    assert ref.estimate == 0.0 and ref.stderr == 0.0
+
+
+def test_event_study_cluster_se_matches_numpy_cr1(spark):
+    """cluster=True: CR1 sandwich by unit on the demeaned design — exact
+    numpy oracle (same within transform, same G/(G-1)*(n-1)/(n-p))."""
+    from fast_causal_inference_spark.operators.eventstudy import (
+        event_study,
+    )
+
+    leads, lags = 2, 2
+    pdf = _staggered_panel(seed=71)
+    df = spark.createDataFrame(pdf)
+    clus = event_study(df, "y", "u", "t", "a", leads=leads, lags=lags,
+                       cluster=True)
+    # numpy: build dummies, two-way demean, OLS w/o intercept, CR1
+    rs = [r for r in range(-leads, lags + 1) if r != -1]
+    rel = pdf.t - pdf.a
+    M = {}
+    for r in rs:
+        d = (rel <= r) if r == -leads else (
+            (rel >= r) if r == lags else (rel == r))
+        M[r] = d.fillna(False).to_numpy(float)
+    cols = {"y": pdf.y.to_numpy(float), **M}
+
+    def demean(v):
+        s = pd.Series(v)
+        return (v - s.groupby(pdf.u.to_numpy()).transform("mean").to_numpy()
+                - s.groupby(pdf.t.to_numpy()).transform("mean").to_numpy()
+                + v.mean())
+
+    X = np.column_stack([demean(cols[r]) for r in rs])
+    yw = demean(cols["y"])
+    bread = np.linalg.inv(X.T @ X)
+    beta = bread @ (X.T @ yw)
+    e = yw - X @ beta
+    units = pdf.u.to_numpy()
+    meat = np.zeros((len(rs), len(rs)))
+    for g in np.unique(units):
+        sg = X[units == g].T @ e[units == g]
+        meat += np.outer(sg, sg)
+    G, n, p = len(np.unique(units)), len(pdf), len(rs)
+    V = (G / (G - 1)) * ((n - 1) / (n - p)) * bread @ meat @ bread
+    se = np.sqrt(np.diag(V))
+    got = clus[clus.rel_period != -1].sort_values("rel_period")
+    assert np.allclose(got.estimate.to_numpy(), beta, rtol=1e-9)
+    assert np.allclose(got.stderr.to_numpy(), se, rtol=1e-9)
+
+
+def test_event_study_unbalanced_raises(spark):
+    from fast_causal_inference_spark.operators.eventstudy import (
+        event_study,
+    )
+
+    pdf = _staggered_panel()
+    broken = pdf[~((pdf.u == 3) & (pdf.t == 7))]
+    with pytest.raises(ValueError, match="unbalanced"):
+        event_study(spark.createDataFrame(broken), "y", "u", "t", "a")
