@@ -87,26 +87,29 @@ def event_study(df: DataFrame, Y: str, unit: str, time: str,
     work = work.withColumns(dummies)
     cols = ["__y"] + [_dcol(r) for r in rs]
 
-    # balanced-panel check + the three mean relations in two scans:
-    # per-unit means (carries the panel counts) and per-time means
-    umeans = (work.groupBy("__u")
-              .agg(F.count(F.lit(1)).alias("__n_u"),
-                   *[F.avg(c).alias(f"{c}_mu") for c in cols]))
-    tmeans = (work.groupBy("__t")
-              .agg(F.count(F.lit(1)).alias("__n_t"),
-                   *[F.avg(c).alias(f"{c}_mt") for c in cols]))
-    u_stats, t_rows = (
-        umeans.agg(F.count(F.lit(1)).alias("n_units"),
-                   F.countDistinct("__n_u").alias("k_shapes")).collect()[0],
-        tmeans.collect())
-    n_units = int(u_stats["n_units"])
-    n_periods = len(t_rows)
-    if int(u_stats["k_shapes"]) != 1 or \
-            len({int(r["__n_t"]) for r in t_rows}) != 1:
+    # balanced-panel check at CELL grain: equal per-unit and per-time
+    # totals are NOT sufficient (a Latin-square-style panel passes both
+    # while missing cells entirely) — require every (unit, period) cell
+    # present with the same row count
+    cell = (work.groupBy("__u", "__t")
+            .agg(F.count(F.lit(1)).alias("__nc"))
+            .agg(F.count(F.lit(1)).alias("n_cells"),
+                 F.countDistinct("__nc").alias("k_shapes"),
+                 F.countDistinct("__u").alias("n_units"),
+                 F.countDistinct("__t").alias("n_periods")).collect()[0])
+    n_units = int(cell["n_units"])
+    n_periods = int(cell["n_periods"])
+    if int(cell["k_shapes"]) != 1 or \
+            int(cell["n_cells"]) != n_units * n_periods:
         raise ValueError(
             "unbalanced panel: the one-shot two-way within transform is "
             "only exact when every unit is observed in every period "
-            "(equal cell counts); balance the panel first")
+            "with equal cell counts; balance the panel first")
+    umeans = (work.groupBy("__u")
+              .agg(*[F.avg(c).alias(f"{c}_mu") for c in cols]))
+    tmeans = (work.groupBy("__t")
+              .agg(*[F.avg(c).alias(f"{c}_mt") for c in cols]))
+    t_rows = tmeans.collect()
     grand = {c: float(np.mean([r[f"{c}_mt"] for r in t_rows]))
              for c in cols}
 

@@ -137,3 +137,26 @@ def test_event_study_unbalanced_raises(spark):
     broken = pdf[~((pdf.u == 3) & (pdf.t == 7))]
     with pytest.raises(ValueError, match="unbalanced"):
         event_study(spark.createDataFrame(broken), "y", "u", "t", "a")
+
+
+def test_event_study_latin_square_imbalance_caught(spark):
+    """Equal per-unit AND per-time row counts with MISSING cells (a
+    Latin-square pattern) must still be rejected — marginal-count checks
+    alone pass it and the within transform would be silently wrong."""
+    from fast_causal_inference_spark.operators.eventstudy import (
+        event_study,
+    )
+
+    rows = []
+    for u in range(3):
+        for t in range(3):
+            if (u + t) % 3 == 0:      # drop one diagonal of cells
+                continue
+            rows.append((u, t, 3 if u == 0 else None, float(u + t)))
+    pdf = pd.DataFrame(rows, columns=["u", "t", "a", "y"])
+    # marginals are uniform: every unit has 2 rows, every period 2 rows
+    assert pdf.groupby("u").size().nunique() == 1
+    assert pdf.groupby("t").size().nunique() == 1
+    with pytest.raises(ValueError, match="unbalanced"):
+        event_study(spark.createDataFrame(pdf), "y", "u", "t", "a",
+                    leads=1, lags=0)
