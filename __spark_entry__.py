@@ -657,14 +657,52 @@ def g_did_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "name": names, "beta": [round(float(b), 6) for b in betas]}))
 
 
+def _did_cs_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Callaway-Sant'Anna rows of the quasi-experimental family.  NOT a
+    golden: every ATT(g,t) cell, aggregation, and influence-function
+    variance is sum algebra over panel cells, so the DuckDB oracle
+    re-derives all of it from scratch (``_DID_CS_SQL``).  Panel: unit =
+    user_id%12, period = event_id%8, y = avg(value); units 0-5 adopt at
+    3 + u%3 (groups 3,4,5), 6-11 never treated."""
+    import pandas as pd
+
+    from fast_causal_inference_spark.operators.csdid import (
+        callaway_santanna,
+    )
+
+    ev = _load(spark, sf_dir, "events")
+    panel = (ev.groupBy((F.col("user_id") % 12).alias("u"),
+                        (F.col("event_id") % 8).alias("t"))
+             .agg(F.avg("value").alias("y")))
+    res = callaway_santanna(panel, "y", "u", "t",
+                            "CASE WHEN u < 6 THEN 3 + u % 3 END")
+    names, betas = [], []
+    for r in res.att_gt.itertuples():
+        names += [f"cs_att_{r.group}_{r.time}", f"cs_se_{r.group}_{r.time}"]
+        betas += [r.att, r.stderr]
+    for r in res.event_study.itertuples():
+        names += [f"cs_evt_{r.rel_period}", f"cs_evt_{r.rel_period}_se"]
+        betas += [r.estimate, r.stderr]
+    for r in res.group.itertuples():
+        names += [f"cs_grp_{r.group}", f"cs_grp_{r.group}_se"]
+        betas += [r.estimate, r.stderr]
+    names += ["cs_overall", "cs_overall_se"]
+    betas += [res.overall["att"], res.overall["stderr"]]
+    return spark.createDataFrame(pd.DataFrame(
+        {"name": names, "beta": [round(float(b), 6) for b in betas]}))
+
+
 def q_did(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quasi-experimental designs family: difference-in-differences
     coefficients (saturated 2x2 — the OLS solution equals the
     closed-form cell-mean contrasts the oracle uses), sharp
     regression-discontinuity rows (triangular-kernel local-linear fits
     are closed forms of six weighted moments per side, fully
-    SQL-re-derivable), and synthetic-control rows (golden sub-oracle —
-    iterative simplex solve)."""
+    SQL-re-derivable), Callaway-Sant'Anna group-time ATT rows (also
+    fully SQL-re-derivable — cell-mean algebra plus an
+    influence-function variance that is one more GROUP BY), and
+    synthetic-control rows (golden sub-oracle — iterative simplex
+    solve)."""
     import pandas as pd
 
     from fast_causal_inference_spark.operators.ols import did
@@ -675,7 +713,7 @@ def q_did(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _load(spark, sf_dir, "events") \
         .withColumn("arm", (F.col("user_id") % 2).cast("int")) \
         .withColumn("post", (F.col("event_id") % 2).cast("int"))
-    m, rdd, synth_df, event_df = _concurrent([
+    m, rdd, synth_df, event_df, cs_df = _concurrent([
         lambda: did(ev, "value", "arm", "post"),
         # running variable: value around cutoff 50, bandwidth 30
         lambda: regression_discontinuity(
@@ -683,6 +721,7 @@ def q_did(spark: SparkSession, sf_dir: str) -> DataFrame:
             "y2", "value", cutoff=50.0, bandwidth=30.0).iloc[0],
         lambda: g_did_synth(spark, sf_dir),
         lambda: g_did_event(spark, sf_dir),
+        lambda: _did_cs_rows(spark, sf_dir),
     ])
     names = ["intercept", "treatment", "time", "interaction"]
     betas = [round(float(b), 6) for b in m.beta]
@@ -693,7 +732,7 @@ def q_did(spark: SparkSession, sf_dir: str) -> DataFrame:
         betas.append(round(float(rdd[stat]), 6))
     return spark.createDataFrame(pd.DataFrame({"name": names,
                                                "beta": betas})) \
-        .unionByName(synth_df).unionByName(event_df)
+        .unionByName(synth_df).unionByName(event_df).unionByName(cs_df)
 
 
 _DID_SQL = """
@@ -745,6 +784,76 @@ UNION ALL SELECT 'rdd_intercept_left', round(a, 6) FROM rl
 UNION ALL SELECT 'rdd_intercept_right', round(a, 6) FROM rr
 UNION ALL SELECT 'rdd_slope_left', round(b, 6) FROM rl
 UNION ALL SELECT 'rdd_slope_right', round(b, 6) FROM rr
+"""
+
+# Callaway-Sant'Anna from scratch: panel cells -> long differences vs the
+# g-1 base period -> per-(g,t) Welch cells -> weighted aggregations with
+# influence-function variances (sum psi_u^2 over units, psi summed across
+# every cell a unit appears in BEFORE squaring).
+_DID_CS_SQL = """
+WITH cs_panel AS (
+  SELECT CAST(user_id % 12 AS BIGINT) AS u,
+         CAST(event_id % 8 AS BIGINT) AS t,
+         avg(value) AS y
+  FROM events GROUP BY 1, 2
+), cs_units AS (
+  SELECT DISTINCT u, CASE WHEN u < 6 THEN 3 + u % 3 END AS a FROM cs_panel
+), cs_spec AS (
+  SELECT gg.g, tt.t, gg.g - 1 AS b
+  FROM (SELECT DISTINCT a AS g FROM cs_units WHERE a IS NOT NULL) gg
+  CROSS JOIN (SELECT DISTINCT t FROM cs_panel) tt
+  WHERE tt.t != gg.g - 1
+), cs_role AS (
+  SELECT s.g, s.t, p1.u, p1.y - p0.y AS d,
+         CASE WHEN un.a = s.g THEN 1 ELSE 0 END AS role
+  FROM cs_spec s
+  JOIN cs_panel p1 ON p1.t = s.t
+  JOIN cs_panel p0 ON p0.t = s.b AND p0.u = p1.u
+  JOIN cs_units un ON un.u = p1.u
+  WHERE un.a = s.g OR un.a IS NULL
+), cs_att AS (
+  SELECT g, t, n1, n0, s1 / n1 AS m1, s0 / n0 AS m0,
+         s1 / n1 - s0 / n0 AS att,
+         sqrt(greatest(ss1 - s1 * s1 / n1, 0) / (n1 - 1) / n1
+              + greatest(ss0 - s0 * s0 / n0, 0) / (n0 - 1) / n0) AS se
+  FROM (
+    SELECT g, t,
+           sum(CASE WHEN role = 1 THEN 1.0 ELSE 0 END) AS n1,
+           sum(CASE WHEN role = 1 THEN d END) AS s1,
+           sum(CASE WHEN role = 1 THEN d * d END) AS ss1,
+           sum(CASE WHEN role = 0 THEN 1.0 ELSE 0 END) AS n0,
+           sum(CASE WHEN role = 0 THEN d END) AS s0,
+           sum(CASE WHEN role = 0 THEN d * d END) AS ss0
+    FROM cs_role GROUP BY 1, 2
+  ) WHERE n1 >= 2 AND n0 >= 2
+), cs_w AS (
+  SELECT 'evt_' || CAST(t - g AS VARCHAR) AS target, g, t, n1 AS w
+  FROM cs_att
+  UNION ALL
+  SELECT 'grp_' || CAST(g AS VARCHAR), g, t, 1.0 FROM cs_att WHERE t >= g
+  UNION ALL
+  SELECT 'overall', g, t, n1 FROM cs_att WHERE t >= g
+), cs_wn AS (
+  SELECT target, g, t, w / sum(w) OVER (PARTITION BY target) AS w FROM cs_w
+), cs_est AS (
+  SELECT w.target, sum(w.w * a.att) AS est
+  FROM cs_wn w JOIN cs_att a ON a.g = w.g AND a.t = w.t GROUP BY 1
+), cs_psi AS (
+  SELECT w.target, r.u,
+         sum(w.w * CASE WHEN r.role = 1 THEN (r.d - a.m1) / a.n1
+                        ELSE -(r.d - a.m0) / a.n0 END) AS p
+  FROM cs_role r
+  JOIN cs_att a ON a.g = r.g AND a.t = r.t
+  JOIN cs_wn w ON w.g = r.g AND w.t = r.t
+  GROUP BY 1, 2
+), cs_var AS (SELECT target, sum(p * p) AS v FROM cs_psi GROUP BY 1)
+SELECT 'cs_att_' || CAST(g AS VARCHAR) || '_' || CAST(t AS VARCHAR) AS name,
+       round(att, 6) AS beta FROM cs_att
+UNION ALL
+SELECT 'cs_se_' || CAST(g AS VARCHAR) || '_' || CAST(t AS VARCHAR),
+       round(se, 6) FROM cs_att
+UNION ALL SELECT 'cs_' || target, round(est, 6) FROM cs_est
+UNION ALL SELECT 'cs_' || target || '_se', round(sqrt(v), 6) FROM cs_var
 """
 
 
@@ -4491,7 +4600,9 @@ def oracle_sql() -> dict[str, str]:
                 + " UNION ALL SELECT name, beta FROM ("
                 + _golden_oracles().get(
                     "did__event", "SELECT NULL AS name, NULL AS beta "
-                    "WHERE FALSE") + ") __de"),
+                    "WHERE FALSE") + ") __de"
+                + " UNION ALL SELECT name, beta FROM ("
+                + _DID_CS_SQL + ") __cs"),
         "iv_regression": _IV_SQL,
         "linear_dml": _LINEAR_DML_SQL,
         "auc": _AUC_FAMILY_SQL,
