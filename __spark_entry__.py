@@ -961,9 +961,35 @@ def g_t_learner_retro(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  "avg_ite double")
 
 
+def g_t_learner_r(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R-learner rows (golden sub-oracle: logistic propensity nuisance +
+    no-intercept residual-on-residual OLS): average orthogonalized
+    CATE by return flag."""
+    from fast_causal_inference_spark.uplift.metalearners import RLearner
+
+    li = _tl_base(spark, sf_dir)
+    rl = RLearner(["l_quantity"], "l_extendedprice", "arm").fit(li)
+    return spark.createDataFrame(_avg_ite_rows(rl, li, "r", nd=4),
+                                 "variant string, l_returnflag string, "
+                                 "avg_ite double")
+
+
+def g_t_learner_dr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DR-learner rows (golden sub-oracle: logistic propensity inside the
+    AIPW pseudo-outcome): average doubly-robust CATE by return flag."""
+    from fast_causal_inference_spark.uplift.metalearners import DRLearner
+
+    li = _tl_base(spark, sf_dir)
+    dr = DRLearner(["l_quantity"], "l_extendedprice", "arm").fit(li)
+    return spark.createDataFrame(_avg_ite_rows(dr, li, "dr", nd=4),
+                                 "variant string, l_returnflag string, "
+                                 "avg_ite double")
+
+
 def q_t_learner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Meta-learner family: T / S / transformed-outcome (SQL-re-derived)
-    + CVT / X / propensity / retrospective (golden, logistic stages):
+    + CVT / X / propensity / retrospective / R / DR (golden, logistic
+    stages):
     average predicted ITE (or score) by return flag.  The S-learner with a full t·x interaction is mathematically
     the two per-arm fits, so DuckDB's regr_* re-derivation covers it; the
     joint 4×4 solve vs two 2×2 solves differ only in fp round-off, hence
@@ -975,7 +1001,8 @@ def q_t_learner(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = _tl_base(spark, sf_dir)
-    t_rows, s_rows, to_rows, cvt_df, x_df, prop_df, retro_df = _concurrent([
+    (t_rows, s_rows, to_rows, cvt_df, x_df, prop_df, retro_df, r_df,
+     dr_df) = _concurrent([
         lambda: _avg_ite_rows(
             TLearner(["l_quantity"], "l_extendedprice", "arm").fit(li),
             li, "t"),
@@ -989,12 +1016,15 @@ def q_t_learner(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: g_t_learner_x(spark, sf_dir),
         lambda: g_t_learner_prop(spark, sf_dir),
         lambda: g_t_learner_retro(spark, sf_dir),
+        lambda: g_t_learner_r(spark, sf_dir),
+        lambda: g_t_learner_dr(spark, sf_dir),
     ])
     sql_df = spark.createDataFrame(
         t_rows + s_rows + to_rows,
         "variant string, l_returnflag string, avg_ite double")
     return (sql_df.unionByName(cvt_df).unionByName(x_df)
-            .unionByName(prop_df).unionByName(retro_df))
+            .unionByName(prop_df).unionByName(retro_df)
+            .unionByName(r_df).unionByName(dr_df))
 
 
 _T_LEARNER_SQL = """
@@ -4625,7 +4655,15 @@ def oracle_sql() -> dict[str, str]:
             + "UNION ALL SELECT variant, l_returnflag, avg_ite FROM ("
             + _golden_oracles().get(
                 "t_learner__retro", "SELECT NULL AS variant, NULL AS "
-                "l_returnflag, NULL AS avg_ite WHERE FALSE") + ") __tr"),
+                "l_returnflag, NULL AS avg_ite WHERE FALSE") + ") __tr "
+            + "UNION ALL SELECT variant, l_returnflag, avg_ite FROM ("
+            + _golden_oracles().get(
+                "t_learner__r", "SELECT NULL AS variant, NULL AS "
+                "l_returnflag, NULL AS avg_ite WHERE FALSE") + ") __trl "
+            + "UNION ALL SELECT variant, l_returnflag, avg_ite FROM ("
+            + _golden_oracles().get(
+                "t_learner__dr", "SELECT NULL AS variant, NULL AS "
+                "l_returnflag, NULL AS avg_ite WHERE FALSE") + ") __td"),
         "ate": _ATE_SQL,
         "matching": (
             _MATCHING_FAMILY_SQL + " UNION ALL "

@@ -1,5 +1,5 @@
-"""Uplift meta-learners: S / T / X-learner, class-variable transformation,
-transformed outcome, propensity model.
+"""Uplift meta-learners: S / T / X / R / DR-learner, class-variable
+transformation, transformed outcome, propensity model.
 
 The reference ships these as PySpark/MLlib code (``lib/spark_upliftml.py`` —
 treated as a semantic spec; implementation here is fresh and built on this
@@ -217,6 +217,119 @@ class PropensityModel:
 
     def predict(self, df: DataFrame, alias: str = "propensity") -> DataFrame:
         return df.withColumn(alias, self.model_.predict_proba_column())
+
+
+@dataclass
+class RLearner:
+    """R-learner (Nie-Wager 2021): orthogonalized CATE regression.
+
+    Stage 1 fits the nuisances m(x) = E[Y|X] (OLS) and g(x) = P(T=1|X)
+    (logistic IRLS, or a known constant for randomized assignment);
+    stage 2 minimizes the R-loss Σ ((y − m) − τ(x)·(t − g))² for linear
+    τ(x) = β₀ + β'x.  Implemented WITHOUT the unstable (y−m)/(t−g)
+    division: with τ linear the R-loss is exactly a no-intercept OLS of
+    the outcome residual on the treatment residual and its x
+    interactions, so stage 2 is ONE more Gramian scan and the fitted β
+    ARE the CATE parameters.  Like LinearDML this is Neyman-orthogonal —
+    robust to confounded assignment where S/T-learners need the outcome
+    model exactly right — but fits on the full sample without
+    cross-fitting (use ``operators.dml.linear_dml`` when honest folds
+    are wanted)."""
+
+    features: list[str]
+    outcome: str = "y"
+    treatment: str = "treatment"
+    propensity: float | None = None      # None → fit logistic propensity
+    model_: object = field(default=None, repr=False)
+    mean_model_: object = field(default=None, repr=False)
+    prop_: object = field(default=None, repr=False)
+
+    def fit(self, df: DataFrame) -> "RLearner":
+        t = F.expr(self.treatment).cast("double")
+        y = F.expr(self.outcome).cast("double")
+        self.mean_model_ = ols(df, _formula(self.outcome, self.features))
+        if self.propensity is None:
+            self.prop_ = logistic_regression(
+                df, _formula(self.treatment, self.features))
+            g = self.prop_.predict_proba_column()
+        else:
+            g = F.lit(float(self.propensity))
+        work = (df.withColumn("__yr", y - self.mean_model_.predict_column())
+                .withColumn("__tr", t - g))
+        feats = ["__tr"] + [f"(__tr)*({x})" for x in self.features]
+        self.model_ = ols(work, _formula("__yr", feats), use_bias=False)
+        return self
+
+    def ite_column(self) -> Column:
+        out: Column = F.lit(float(self.model_.beta[0]))
+        for b, x in zip(self.model_.beta[1:], self.features):
+            out = out + float(b) * F.expr(x).cast("double")
+        return out
+
+    def predict(self, df: DataFrame, alias: str = "ite") -> DataFrame:
+        return df.withColumn(alias, self.ite_column())
+
+
+@dataclass
+class DRLearner:
+    """DR-learner (Kennedy 2023): regress the doubly-robust AIPW
+    pseudo-outcome on x.
+
+    Stage 1 fits both per-arm outcome models from ONE groupBy(arm)
+    Gramian scan plus the propensity; stage 2 is one OLS of
+
+        φ = f₁(x) − f₀(x) + t·(y − f₁(x))/g − (1−t)·(y − f₀(x))/(1−g)
+
+    on x — consistent if EITHER the outcome models or the propensity is
+    right, and E[φ|x] = τ(x) exactly.  ``trim`` clips g away from {0,1}
+    (standard overlap trimming: the IPW terms otherwise explode on thin
+    support — at corpus scale a handful of extreme-propensity rows can
+    dominate the fit)."""
+
+    features: list[str]
+    outcome: str = "y"
+    treatment: str = "treatment"
+    propensity: float | None = None      # None → fit logistic propensity
+    trim: float = 0.01
+    model_: object = field(default=None, repr=False)
+    model0_: object = field(default=None, repr=False)
+    model1_: object = field(default=None, repr=False)
+    prop_: object = field(default=None, repr=False)
+
+    def fit(self, df: DataFrame) -> "DRLearner":
+        if not 0 <= self.trim < 0.5:
+            raise ValueError("trim must be in [0, 0.5)")
+        t = F.expr(self.treatment).cast("double")
+        y = F.expr(self.outcome).cast("double")
+        models = ols_grouped(df, _formula(self.outcome, self.features),
+                             f"CAST(({self.treatment}) AS DOUBLE)")
+        try:
+            self.model0_, self.model1_ = models[0.0], models[1.0]
+        except KeyError:
+            raise ValueError(
+                f"DRLearner needs both arms 0 and 1 in {self.treatment!r}; "
+                f"arms present: {sorted(models, key=str)}") from None
+        if self.propensity is None:
+            self.prop_ = logistic_regression(
+                df, _formula(self.treatment, self.features))
+            g = self.prop_.predict_proba_column()
+        else:
+            g = F.lit(float(self.propensity))
+        if self.trim > 0:
+            g = F.least(F.greatest(g, F.lit(float(self.trim))),
+                        F.lit(1.0 - float(self.trim)))
+        f0 = self.model0_.predict_column()
+        f1 = self.model1_.predict_column()
+        phi = (f1 - f0 + t * (y - f1) / g - (1 - t) * (y - f0) / (1 - g))
+        work = df.withColumn("__phi", phi)
+        self.model_ = ols(work, _formula("__phi", self.features))
+        return self
+
+    def ite_column(self) -> Column:
+        return self.model_.predict_column()
+
+    def predict(self, df: DataFrame, alias: str = "ite") -> DataFrame:
+        return df.withColumn(alias, self.ite_column())
 
 
 @dataclass

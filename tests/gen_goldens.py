@@ -50,6 +50,8 @@ GOLDEN_KEYS = {
     "t_learner__x": "g_t_learner_x",
     "t_learner__prop": "g_t_learner_prop",
     "t_learner__retro": "g_t_learner_retro",
+    "t_learner__r": "g_t_learner_r",
+    "t_learner__dr": "g_t_learner_dr",
     "matching__prognostic": "g_matching_prognostic",
     "did__synth": "g_did_synth",
     "did__event": "g_did_event",

@@ -389,3 +389,89 @@ def test_linear_dml_grouped_two_scans(spark, hte_df):
     finally:
         cls.collect = orig
     assert len(calls) == 2, f"expected 2 scans, saw {len(calls)}"
+
+
+def test_rlearner_matches_numpy(spark, hte_df, hte_pdf):
+    """RLearner equals the explicit numpy two-stage fit: OLS nuisances +
+    no-intercept OLS of (y−m) on (t−g)·[1, x]."""
+    from fast_causal_inference_spark.uplift.metalearners import RLearner
+
+    fitted = RLearner(["x1", "x2"], "y", "t").fit(hte_df)
+    X = np.column_stack([np.ones(len(hte_pdf)), hte_pdf.x1, hte_pdf.x2])
+    yv = hte_pdf.y.to_numpy()
+    tv = hte_pdf.t.to_numpy()
+    bm = np.linalg.lstsq(X, yv, rcond=None)[0]
+    # logistic IRLS nuisance (same loop the package runs)
+    bg = np.zeros(3)
+    for _ in range(25):
+        eta = X @ bg
+        mu = 1 / (1 + np.exp(-eta))
+        s = mu * (1 - mu) + 1e-10
+        z = eta + (tv - mu) / s
+        new = np.linalg.solve(X.T @ (s[:, None] * X), X.T @ (s * z))
+        if np.max(np.abs(new - bg)) < 1e-8:
+            bg = new
+            break
+        bg = new
+    yr = yv - X @ bm
+    tr = tv - 1 / (1 + np.exp(-(X @ bg)))
+    Z = tr[:, None] * X                      # (t−g)·[1, x1, x2]
+    btau = np.linalg.lstsq(Z, yr, rcond=None)[0]
+    assert fitted.model_.beta == pytest.approx(btau, abs=1e-6)
+    out = fitted.predict(hte_df).select("x1", "x2", "ite").toPandas()
+    want = btau[0] + btau[1] * out.x1 + btau[2] * out.x2
+    assert out.ite.to_numpy() == pytest.approx(want.to_numpy(), abs=1e-9)
+
+
+def test_rlearner_recovers_cate_under_confounding(spark, hte_df):
+    """Confounded assignment: orthogonalization recovers τ(x) = 1 + 2·x1."""
+    from fast_causal_inference_spark.uplift.metalearners import RLearner
+
+    fitted = RLearner(["x1", "x2"], "y", "t").fit(hte_df)
+    b = fitted.model_.beta
+    assert b[0] == pytest.approx(1.0, abs=0.15)      # τ intercept
+    assert b[1] == pytest.approx(2.0, abs=0.15)      # τ slope on x1
+    assert b[2] == pytest.approx(0.0, abs=0.15)      # τ slope on x2
+    # known-propensity variant runs (randomized-assignment fast path)
+    RLearner(["x1", "x2"], "y", "t", propensity=0.5).fit(hte_df)
+
+
+def test_drlearner_matches_numpy_and_recovers(spark, hte_df, hte_pdf):
+    from fast_causal_inference_spark.uplift.metalearners import DRLearner
+
+    fitted = DRLearner(["x1", "x2"], "y", "t", propensity=None,
+                       trim=0.01).fit(hte_df)
+    X = np.column_stack([np.ones(len(hte_pdf)), hte_pdf.x1, hte_pdf.x2])
+    yv = hte_pdf.y.to_numpy()
+    tv = hte_pdf.t.to_numpy()
+    b0 = np.linalg.lstsq(X[tv == 0], yv[tv == 0], rcond=None)[0]
+    b1 = np.linalg.lstsq(X[tv == 1], yv[tv == 1], rcond=None)[0]
+    bg = np.zeros(3)
+    for _ in range(25):
+        eta = X @ bg
+        mu = 1 / (1 + np.exp(-eta))
+        s = mu * (1 - mu) + 1e-10
+        z = eta + (tv - mu) / s
+        new = np.linalg.solve(X.T @ (s[:, None] * X), X.T @ (s * z))
+        if np.max(np.abs(new - bg)) < 1e-8:
+            bg = new
+            break
+        bg = new
+    g = np.clip(1 / (1 + np.exp(-(X @ bg))), 0.01, 0.99)
+    f0, f1 = X @ b0, X @ b1
+    phi = f1 - f0 + tv * (yv - f1) / g - (1 - tv) * (yv - f0) / (1 - g)
+    btau = np.linalg.lstsq(X, phi, rcond=None)[0]
+    assert fitted.model_.beta == pytest.approx(btau, abs=1e-6)
+    # doubly-robust: recovers τ(x) under confounding
+    assert btau[0] == pytest.approx(1.0, abs=0.2)
+    assert btau[1] == pytest.approx(2.0, abs=0.2)
+
+
+def test_drlearner_validation(spark, hte_df):
+    from fast_causal_inference_spark.uplift.metalearners import DRLearner
+
+    with pytest.raises(ValueError, match="trim"):
+        DRLearner(["x1"], "y", "t", trim=0.7).fit(hte_df)
+    one_arm = hte_df.where(F.col("t") == 1)
+    with pytest.raises(ValueError, match="both arms"):
+        DRLearner(["x1"], "y", "t").fit(one_arm)
