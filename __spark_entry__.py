@@ -2100,18 +2100,51 @@ SELECT 'qini_scores', 'all', 'qini_coefficient',
 """
 
 
+def g_glm_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLM rows of the classification/regression-scoring family (golden
+    sub-oracle: IRLS is a deterministic iterative solve).  Poisson with
+    an exposure offset on a count of events per user, plus gamma on the
+    strictly-positive value column."""
+    from fast_causal_inference_spark.operators.glm import glm
+
+    ev = _load(spark, sf_dir, "events")
+    per_user = (ev.groupBy("user_id")
+                .agg(F.count(F.lit(1)).cast("double").alias("n_events"),
+                     F.avg("value").alias("avg_value"),
+                     (F.max("event_id") % 7 + 1.0).alias("expo")))
+    pois = glm(per_user, "n_events ~ avg_value", family="poisson",
+               offset="ln(expo)")
+    gam = glm(ev.where(F.col("value") > 0),
+              "value ~ (user_id % 5)", family="gamma")
+    rows = []
+    for m, variant in ((pois, "glm_poisson"), (gam, "glm_gamma")):
+        for name, b, s in zip(m.names, m.beta, m.stderr):
+            rows.append({"variant": variant, "item": name, "stat": "beta",
+                         "value": round(float(b), 6)})
+            rows.append({"variant": variant, "item": name, "stat": "se",
+                         "value": round(float(s), 6)})
+        rows.append({"variant": variant, "item": "all", "stat": "deviance",
+                     "value": round(float(m.deviance), 4)})
+        rows.append({"variant": variant, "item": "all",
+                     "stat": "dispersion",
+                     "value": round(float(m.dispersion), 6)})
+    return _long_rows(spark, rows)
+
+
 def q_auc_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROC family: rank-formula AUC + binned ROC curve at pinned
-    thresholds, long format."""
+    thresholds (SQL-re-derived), + Poisson/gamma GLM rows (golden,
+    IRLS), long format."""
     from fast_causal_inference_spark.operators.logistic import auc
     from fast_causal_inference_spark.utility import roc_curve
 
     ev = _load(spark, sf_dir, "events") \
         .withColumn("label", (F.col("user_id") % 2).cast("int"))
     thresholds = [20.0, 40.0, 60.0, 80.0, 100.0]
-    val, roc = _concurrent([
+    val, roc, glm_df = _concurrent([
         lambda: auc(ev, "value", "label"),
         lambda: roc_curve(ev, "label", "value", thresholds=thresholds),
+        lambda: g_glm_rows(spark, sf_dir),
     ])
     rows = [{"variant": "auc", "item": "all", "stat": "auc",
              "value": float(val)}]
@@ -2120,7 +2153,7 @@ def q_auc_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows.append({"variant": "roc",
                          "item": f"{r.threshold:.1f}", "stat": stat,
                          "value": float(getattr(r, stat))})
-    return _long_rows(spark, rows)
+    return _long_rows(spark, rows).unionByName(glm_df)
 
 
 _AUC_FAMILY_SQL = f"""
@@ -4635,7 +4668,11 @@ def oracle_sql() -> dict[str, str]:
                 + _DID_CS_SQL + ") __cs"),
         "iv_regression": _IV_SQL,
         "linear_dml": _LINEAR_DML_SQL,
-        "auc": _AUC_FAMILY_SQL,
+        "auc": (_AUC_FAMILY_SQL + " UNION ALL "
+                + "SELECT variant, item, stat, value FROM ("
+                + _golden_oracles().get(
+                    "auc__glm", "SELECT NULL AS variant, NULL AS item, "
+                    "NULL AS stat, NULL AS value WHERE FALSE") + ") __gl"),
         "survival": (_KM_LONG_SQL + " UNION ALL "
                      + _golden_fragment("survival__cox")),
         "t_learner": (

@@ -53,6 +53,7 @@ GOLDEN_KEYS = {
     "t_learner__r": "g_t_learner_r",
     "t_learner__dr": "g_t_learner_dr",
     "matching__prognostic": "g_matching_prognostic",
+    "auc__glm": "g_glm_rows",
     "did__synth": "g_did_synth",
     "did__event": "g_did_event",
     "embedding_near_dup__pca": "g_emb_pca",

@@ -1,0 +1,172 @@
+"""GLM (poisson/quasipoisson/gamma/gaussian) vs explicit numpy IRLS oracles."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def count_pdf():
+    rng = np.random.default_rng(42)
+    n = 6000
+    x1 = rng.normal(0, 1, n)
+    x2 = rng.normal(0, 1, n)
+    expo = rng.uniform(0.5, 3.0, n)
+    mu = expo * np.exp(0.5 + 0.3 * x1 - 0.2 * x2)
+    y = rng.poisson(mu)
+    ygam = rng.gamma(3.0, np.exp(0.2 + 0.4 * x1) / 3.0, n)
+    return pd.DataFrame({"x1": x1, "x2": x2, "expo": expo,
+                         "y": y.astype(float), "ygam": ygam})
+
+
+@pytest.fixture(scope="module")
+def count_df(spark, count_pdf):
+    return spark.createDataFrame(count_pdf).repartition(4).cache()
+
+
+def _np_irls(X, yv, off, family, max_iter=25, tol=1e-8):
+    p = X.shape[1]
+    beta = np.zeros(p)
+    if family != "gaussian":
+        beta[0] = math.log(yv.mean())
+    for it in range(1, max_iter + 1):
+        eta = X @ beta + off
+        if family == "gaussian":
+            mu, s = eta, np.ones(len(yv))
+        else:
+            mu = np.exp(eta)
+            s = mu + 1e-10 if family in ("poisson", "quasipoisson") \
+                else np.ones(len(yv))
+        z = (eta - off) + (yv - mu) / (mu if family != "gaussian" else 1.0)
+        A = X.T @ (s[:, None] * X)
+        b = X.T @ (s * z)
+        new = np.linalg.solve(A, b)
+        if np.max(np.abs(new - beta)) < tol or family == "gaussian":
+            beta = new
+            break
+        beta = new
+    return beta, A
+
+
+def test_poisson_with_offset_matches_numpy(count_df, count_pdf):
+    from fast_causal_inference_spark.operators.glm import glm
+
+    m = glm(count_df, "y ~ x1 + x2", family="poisson",
+            offset="ln(expo)")
+    X = np.column_stack([np.ones(len(count_pdf)), count_pdf.x1,
+                         count_pdf.x2])
+    yv = count_pdf.y.to_numpy()
+    off = np.log(count_pdf.expo.to_numpy())
+    beta, A = _np_irls(X, yv, off, "poisson")
+    assert m.beta == pytest.approx(beta, abs=1e-7)
+    se = np.sqrt(np.diag(np.linalg.inv(A)))
+    assert m.stderr == pytest.approx(se, abs=1e-7)
+    assert m.converged and m.dispersion == 1.0
+    # recovers the DGP
+    assert m.beta == pytest.approx([0.5, 0.3, -0.2], abs=0.06)
+    # deviance formula, directly
+    mu = np.exp(X @ beta + off)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        dev = 2 * np.sum(np.where(yv > 0, yv * np.log(yv / mu), 0.0)
+                         - (yv - mu))
+    assert m.deviance == pytest.approx(dev, rel=1e-9)
+    assert m.null_deviance > m.deviance
+    # predict on the response scale
+    got = m.predict(count_df).agg({"mu": "sum"}).collect()[0][0]
+    assert got == pytest.approx(mu.sum(), rel=1e-9)
+
+
+def test_quasipoisson_scales_ses(count_df, count_pdf):
+    from fast_causal_inference_spark.operators.glm import glm
+
+    m = glm(count_df, "y ~ x1 + x2", family="poisson", offset="ln(expo)")
+    q = glm(count_df, "y ~ x1 + x2", family="quasipoisson",
+            offset="ln(expo)")
+    assert q.beta == pytest.approx(m.beta, abs=1e-9)
+    X = np.column_stack([np.ones(len(count_pdf)), count_pdf.x1,
+                         count_pdf.x2])
+    mu = np.exp(X @ m.beta + np.log(count_pdf.expo.to_numpy()))
+    yv = count_pdf.y.to_numpy()
+    phi = np.sum((yv - mu) ** 2 / mu) / (len(yv) - 3)
+    assert q.dispersion == pytest.approx(phi, rel=1e-9)
+    assert q.stderr == pytest.approx(m.stderr * math.sqrt(phi), rel=1e-9)
+
+
+def test_gamma_log_link(count_df, count_pdf):
+    from fast_causal_inference_spark.operators.glm import glm
+
+    m = glm(count_df, "ygam ~ x1", family="gamma")
+    X = np.column_stack([np.ones(len(count_pdf)), count_pdf.x1])
+    yv = count_pdf.ygam.to_numpy()
+    beta, A = _np_irls(X, yv, np.zeros(len(yv)), "gamma")
+    assert m.beta == pytest.approx(beta, abs=1e-7)
+    assert m.beta == pytest.approx([0.2, 0.4], abs=0.05)
+    mu = np.exp(X @ beta)
+    phi = np.sum((yv - mu) ** 2 / mu ** 2) / (len(yv) - 2)
+    assert m.dispersion == pytest.approx(phi, rel=1e-6)
+    # null deviance: 2Σ[log(ȳ/y)] on the fitted sample
+    nd = 2 * (len(yv) * math.log(yv.mean()) - np.log(yv).sum())
+    assert m.null_deviance == pytest.approx(nd, rel=1e-9)
+
+
+def test_gaussian_equals_ols(count_df):
+    from fast_causal_inference_spark.operators.glm import glm
+    from fast_causal_inference_spark.operators.ols import ols
+
+    g = glm(count_df, "y ~ x1 + x2", family="gaussian")
+    o = ols(count_df, "y ~ x1 + x2")
+    assert g.beta == pytest.approx(o.beta, abs=1e-9)
+    assert g.n_iter == 1
+    # gaussian Pearson-dispersion SEs match OLS classical SEs
+    assert g.stderr == pytest.approx(o.stderr, rel=1e-9)
+
+
+def test_glm_validation(count_df):
+    from fast_causal_inference_spark.operators.glm import glm
+    from pyspark.sql import functions as F
+
+    with pytest.raises(ValueError, match="family"):
+        glm(count_df, "y ~ x1", family="tweedie")
+    neg = count_df.withColumn("y", F.col("y") - 100)
+    with pytest.raises(ValueError, match="non-negative"):
+        glm(neg, "y ~ x1", family="poisson")
+    with pytest.raises(ValueError, match="strictly positive"):
+        glm(count_df.withColumn("ygam", F.col("ygam") - 100),
+            "ygam ~ x1", family="gamma")
+
+
+def test_poisson_rate_ratio_interpretation(count_df):
+    """exp(beta) on a binary regressor equals the exposure-adjusted rate
+    ratio computed by hand — the analyst-facing contract."""
+    from fast_causal_inference_spark.operators.glm import glm
+    from pyspark.sql import functions as F
+
+    df = count_df.withColumn("seg", (F.col("x1") > 0).cast("double"))
+    m = glm(df, "y ~ seg", family="poisson", offset="ln(expo)")
+    agg = (df.groupBy("seg").agg(F.sum("y").alias("s"),
+                                 F.sum("expo").alias("e"))
+           .orderBy("seg").collect())
+    rr = (agg[1]["s"] / agg[1]["e"]) / (agg[0]["s"] / agg[0]["e"])
+    assert math.exp(m.beta[1]) == pytest.approx(rr, rel=1e-6)
+
+
+def test_null_deviance_with_offset_nests(count_df, count_pdf):
+    """With an offset the null model is intercept-only + offset (R's
+    convention), so null_deviance >= deviance, and the closed-form
+    intercept MLE matches numpy."""
+    from fast_causal_inference_spark.operators.glm import glm
+
+    m = glm(count_df, "y ~ x1 + x2", family="poisson", offset="ln(expo)")
+    assert m.null_deviance >= m.deviance
+    yv = count_pdf.y.to_numpy()
+    off = np.log(count_pdf.expo.to_numpy())
+    mu0 = (yv.sum() / np.exp(off).sum()) * np.exp(off)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        nd = 2 * np.sum(np.where(yv > 0, yv * np.log(yv / mu0), 0.0)
+                        - (yv - mu0))
+    assert m.null_deviance == pytest.approx(nd, rel=1e-9)
+    # gamma + offset path as well
+    g = glm(count_df, "ygam ~ x1", family="gamma", offset="0.1 * x2")
+    assert g.null_deviance >= g.deviance - 1e-9
