@@ -3255,12 +3255,13 @@ def q_ols_family(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .collect())
 
     rows = []
-    simple, multi, model, pe = _concurrent([
+    simple, multi, model, pe, med = _concurrent([
         lambda: ols_coef_df(li, "l_discount ~ l_tax").toPandas(),
         lambda: ols_coef_df(
             li, "l_extendedprice ~ l_quantity + l_discount").toPandas(),
         lambda: wls(li, "l_discount ~ l_tax", weight="l_quantity"),
         _predict_eval,
+        lambda: _ols_mediation(li),
     ])
     for r in simple.itertuples():
         for stat in ("estimate", "stderr", "t_value"):
@@ -3277,7 +3278,35 @@ def q_ols_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows.append({"variant": "predict_eval",
                          "item": str(r["l_returnflag"]), "stat": stat,
                          "value": round(float(r[stat]), 2)})
+    rows += med
     return _long_rows(spark, rows)
+
+
+def _ols_mediation(li: DataFrame) -> list:
+    """Mediation rows of the OLS family (fully SQL-re-derivable: the
+    three nested models are bivariate/3x3 closed forms of one joint
+    moment matrix — see the med_* CTEs in ``_OLS_FAMILY_SQL``).
+    Decomposition of l_quantity's effect on l_extendedprice 'through'
+    l_discount (semantics irrelevant for parity)."""
+    from fast_causal_inference_spark.operators.mediation import mediation
+
+    res = mediation(li, "l_extendedprice", "l_quantity", "l_discount")
+    rows = []
+    for item, est, se in (("acme", res.acme, res.acme_stderr),
+                          ("ade", res.ade, res.ade_stderr),
+                          ("total", res.total, res.total_stderr),
+                          ("path_a", res.a, res.a_stderr),
+                          ("path_b", res.b, res.b_stderr)):
+        rows.append({"variant": "mediation", "item": item,
+                     "stat": "estimate", "value": round(float(est), 4)})
+        rows.append({"variant": "mediation", "item": item,
+                     "stat": "stderr", "value": round(float(se), 4)})
+    rows.append({"variant": "mediation", "item": "prop_mediated",
+                 "stat": "estimate",
+                 "value": round(float(res.prop_mediated), 4)})
+    rows.append({"variant": "mediation", "item": "sobel_z",
+                 "stat": "estimate", "value": round(float(res.sobel_z), 4)})
+    return rows
 
 
 _OLS_FAMILY_SQL = f"""
@@ -3311,6 +3340,65 @@ pe_a AS (
          sqrt(avg(pow(l_extendedprice
                       - (b0 + b1*l_quantity + b2*l_discount), 2))) AS rmse
   FROM lineitem, pe_d GROUP BY l_returnflag
+), med_a AS (
+  -- joint moment matrix over (1, q=l_quantity, d=l_discount,
+  -- y=l_extendedprice): every nested mediation model is a submatrix
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         sum(l_quantity) AS sq, sum(l_discount) AS sd,
+         sum(l_extendedprice) AS sy,
+         sum(l_quantity*l_quantity) AS cqq,
+         sum(l_quantity*l_discount) AS cqd,
+         sum(l_discount*l_discount) AS cdd,
+         sum(l_quantity*l_extendedprice) AS cqy,
+         sum(l_discount*l_extendedprice) AS cdy,
+         sum(l_extendedprice*l_extendedprice) AS cyy
+  FROM lineitem
+), med_m AS (
+  -- mediator model d ~ 1 + q
+  SELECT n, (n*cqd - sq*sd) / (n*cqq - sq*sq) AS a,
+         (sd - (n*cqd - sq*sd) / (n*cqq - sq*sq) * sq) / n AS a0,
+         n*cqq - sq*sq AS detm, cdd, sd, cqd
+  FROM med_a
+), med_m2 AS (
+  SELECT a, sqrt((cdd - a0*sd - a*cqd) / (n - 2) * n / detm) AS se_a
+  FROM med_m
+), med_o AS (
+  -- outcome model y ~ 1 + q + d (Cramer on the 3x3 system)
+  SELECT n,
+    n*(cqq*cdd - cqd*cqd) - sq*(sq*cdd - cqd*sd)
+      + sd*(sq*cqd - cqq*sd) AS det3,
+    (sy*(cqq*cdd - cqd*cqd) - sq*(cqy*cdd - cqd*cdy)
+       + sd*(cqy*cqd - cqq*cdy)) AS b0n,
+    (n*(cqy*cdd - cdy*cqd) - sy*(sq*cdd - cqd*sd)
+       + sd*(sq*cdy - cqy*sd)) AS b1n,
+    (n*(cqq*cdy - cqd*cqy) - sq*(sq*cdy - cqy*sd)
+       + sy*(sq*cqd - cqq*sd)) AS b2n,
+    sy, cqy, cdy, cyy, cqq, cdd, sq, sd
+  FROM med_a
+), med_o2 AS (
+  SELECT b0n/det3 AS ob0, b1n/det3 AS ade, b2n/det3 AS b,
+         (cyy - b0n/det3*sy - b1n/det3*cqy - b2n/det3*cdy) / (n - 3)
+           AS sig2,
+         (n*cdd - sd*sd) / det3 AS invqq,
+         (n*cqq - sq*sq) / det3 AS invdd
+  FROM med_o
+), med_o3 AS (
+  SELECT ade, b, sqrt(sig2 * invqq) AS se_ade, sqrt(sig2 * invdd) AS se_b
+  FROM med_o2
+), med_t AS (
+  -- total model y ~ 1 + q
+  SELECT (n*cqy - sq*sy) / (n*cqq - sq*sq) AS c,
+         (sy - (n*cqy - sq*sy) / (n*cqq - sq*sq) * sq) / n AS c0,
+         n*cqq - sq*sq AS dett, n, sy, cqy, cyy
+  FROM med_a
+), med_t2 AS (
+  SELECT c, sqrt((cyy - c0*sy - c*cqy) / (n - 2) * n / dett) AS se_c
+  FROM med_t
+), med_f AS (
+  SELECT m.a, m.se_a, o.ade, o.se_ade, o.b, o.se_b, t.c, t.se_c,
+         m.a * o.b AS acme,
+         sqrt(m.a*m.a*o.se_b*o.se_b + o.b*o.b*m.se_a*m.se_a) AS se_acme
+  FROM med_m2 m, med_o3 o, med_t2 t
 )
 SELECT 'simple' AS variant, name AS item, 'estimate' AS stat,
        estimate AS value FROM sf
@@ -3322,6 +3410,20 @@ UNION ALL SELECT 'predict_eval', l_returnflag, 'avg_pred',
        round(avg_pred, 2) FROM pe
 UNION ALL SELECT 'predict_eval', l_returnflag, 'rmse',
        round(rmse, 2) FROM pe
+UNION ALL SELECT 'mediation', 'acme', 'estimate', round(acme, 4) FROM med_f
+UNION ALL SELECT 'mediation', 'acme', 'stderr', round(se_acme, 4) FROM med_f
+UNION ALL SELECT 'mediation', 'ade', 'estimate', round(ade, 4) FROM med_f
+UNION ALL SELECT 'mediation', 'ade', 'stderr', round(se_ade, 4) FROM med_f
+UNION ALL SELECT 'mediation', 'total', 'estimate', round(c, 4) FROM med_f
+UNION ALL SELECT 'mediation', 'total', 'stderr', round(se_c, 4) FROM med_f
+UNION ALL SELECT 'mediation', 'path_a', 'estimate', round(a, 4) FROM med_f
+UNION ALL SELECT 'mediation', 'path_a', 'stderr', round(se_a, 4) FROM med_f
+UNION ALL SELECT 'mediation', 'path_b', 'estimate', round(b, 4) FROM med_f
+UNION ALL SELECT 'mediation', 'path_b', 'stderr', round(se_b, 4) FROM med_f
+UNION ALL SELECT 'mediation', 'prop_mediated', 'estimate',
+       round(acme / (ade + acme), 4) FROM med_f
+UNION ALL SELECT 'mediation', 'sobel_z', 'estimate',
+       round(acme / se_acme, 4) FROM med_f
 """
 
 
