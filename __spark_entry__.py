@@ -2107,17 +2107,33 @@ def g_glm_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     strictly-positive value column."""
     from fast_causal_inference_spark.operators.glm import glm
 
+    from fast_causal_inference_spark.operators.glm import (
+        negative_binomial_regression,
+    )
+
     ev = _load(spark, sf_dir, "events")
+    # IRLS re-scans its input every iteration — collapse once, cache the
+    # tiny per-user panel (and the filtered gamma input), fit all three
+    # families concurrently
     per_user = (ev.groupBy("user_id")
                 .agg(F.count(F.lit(1)).cast("double").alias("n_events"),
                      F.avg("value").alias("avg_value"),
-                     (F.max("event_id") % 7 + 1.0).alias("expo")))
-    pois = glm(per_user, "n_events ~ avg_value", family="poisson",
-               offset="ln(expo)")
-    gam = glm(ev.where(F.col("value") > 0),
-              "value ~ (user_id % 5)", family="gamma")
+                     (F.max("event_id") % 7 + 1.0).alias("expo"))
+                .coalesce(1).cache())
+    pos = ev.where(F.col("value") > 0) \
+        .select("value", "user_id").cache()
+    pois, gam, nb = _concurrent([
+        lambda: glm(per_user, "n_events ~ avg_value", family="poisson",
+                    offset="ln(expo)"),
+        lambda: glm(pos, "value ~ (user_id % 5)", family="gamma"),
+        lambda: negative_binomial_regression(
+            per_user, "n_events ~ avg_value", offset="ln(expo)"),
+    ])
+    per_user.unpersist()
+    pos.unpersist()
     rows = []
-    for m, variant in ((pois, "glm_poisson"), (gam, "glm_gamma")):
+    for m, variant in ((pois, "glm_poisson"), (gam, "glm_gamma"),
+                       (nb, "glm_negbin")):
         for name, b, s in zip(m.names, m.beta, m.stderr):
             rows.append({"variant": variant, "item": name, "stat": "beta",
                          "value": round(float(b), 6)})

@@ -170,3 +170,82 @@ def test_null_deviance_with_offset_nests(count_df, count_pdf):
     # gamma + offset path as well
     g = glm(count_df, "ygam ~ x1", family="gamma", offset="0.1 * x2")
     assert g.null_deviance >= g.deviance - 1e-9
+
+
+def _np_nb_irls(X, yv, off, a_disp, beta0, max_iter=25, tol=1e-8):
+    beta = beta0.copy()
+    for _ in range(max_iter):
+        eta = X @ beta + off
+        mu = np.exp(eta)
+        w = mu / (1 + a_disp * mu) + 1e-10
+        z = (eta - off) + (yv - mu) / (mu + 1e-10)
+        A = X.T @ (w[:, None] * X)
+        new = np.linalg.solve(A, X.T @ (w * z))
+        if np.max(np.abs(new - beta)) < tol:
+            return new, A
+        beta = new
+    return beta, A
+
+
+def test_negative_binomial_matches_numpy_and_recovers_alpha(spark):
+    from fast_causal_inference_spark.operators.glm import (
+        negative_binomial_regression,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 8000
+    x1 = rng.normal(0, 1, n)
+    true_alpha = 0.5
+    mu = np.exp(1.0 + 0.4 * x1)
+    # NB2 via gamma-poisson mixture: rate = mu * Gamma(1/α, α)
+    lam = mu * rng.gamma(1 / true_alpha, true_alpha, n)
+    yv = rng.poisson(lam).astype(float)
+    pdf = pd.DataFrame({"x1": x1, "y": yv})
+    sdf = spark.createDataFrame(pdf).repartition(4).cache()
+
+    m = negative_binomial_regression(sdf, "y ~ x1", alpha_rounds=2)
+    # replicate the exact two-step algorithm in numpy
+    X = np.column_stack([np.ones(n), x1])
+    off = np.zeros(n)
+    b = np.array([math.log(yv.mean()), 0.0])
+    b, A = _np_nb_irls(X, yv, off, 0.0, b)
+    a = 0.0
+    for _ in range(2):
+        muh = np.exp(X @ b)
+        a_new = max(np.sum((yv - muh) ** 2 - yv) / np.sum(muh ** 2), 0.0)
+        if abs(a_new - a) < 1e-8:
+            a = a_new
+            break
+        a = a_new
+        b, A = _np_nb_irls(X, yv, off, a, b)
+    assert m.dispersion == pytest.approx(a, rel=1e-8)
+    assert m.beta == pytest.approx(b, abs=1e-7)
+    assert m.stderr == pytest.approx(
+        np.sqrt(np.diag(np.linalg.inv(A))), abs=1e-7)
+    # moment estimator lands near the true dispersion and β
+    assert a == pytest.approx(true_alpha, abs=0.12)
+    assert m.beta == pytest.approx([1.0, 0.4], abs=0.06)
+    assert m.null_deviance >= m.deviance
+    # NB SEs widen vs the misspecified Poisson fit
+    from fast_causal_inference_spark.operators.glm import glm
+    pois = glm(sdf, "y ~ x1", family="poisson")
+    assert m.stderr[1] > pois.stderr[1]
+
+
+def test_negative_binomial_fixed_alpha_and_validation(spark, count_df):
+    from fast_causal_inference_spark.operators.glm import (
+        negative_binomial_regression,
+    )
+    from pyspark.sql import functions as F
+
+    m = negative_binomial_regression(count_df, "y ~ x1", alpha=0.0,
+                                     offset="ln(expo)")
+    # α=0 is exactly Poisson
+    from fast_causal_inference_spark.operators.glm import glm
+    pois = glm(count_df, "y ~ x1", family="poisson", offset="ln(expo)")
+    assert m.beta == pytest.approx(pois.beta, abs=1e-7)
+    with pytest.raises(ValueError, match="alpha"):
+        negative_binomial_regression(count_df, "y ~ x1", alpha=-1.0)
+    with pytest.raises(ValueError, match="non-negative"):
+        negative_binomial_regression(
+            count_df.withColumn("y", F.col("y") - 100), "y ~ x1")
