@@ -2122,18 +2122,24 @@ def g_glm_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .coalesce(1).cache())
     pos = ev.where(F.col("value") > 0) \
         .select("value", "user_id").cache()
-    pois, gam, nb = _concurrent([
+    pois, gam, nb, prob = _concurrent([
         lambda: glm(per_user, "n_events ~ avg_value", family="poisson",
                     offset="ln(expo)"),
         lambda: glm(pos, "value ~ (user_id % 5)", family="gamma"),
         lambda: negative_binomial_regression(
             per_user, "n_events ~ avg_value", offset="ln(expo)"),
+        # parity outcome: varies and is non-separable at every SF (any
+        # threshold on n_events saturates as counts grow with the data)
+        lambda: glm(per_user,
+                    "cast(n_events % 2 = 0 as double)"
+                    " ~ avg_value + (expo / 7)",
+                    family="binomial", link="probit"),
     ])
     per_user.unpersist()
     pos.unpersist()
     rows = []
     for m, variant in ((pois, "glm_poisson"), (gam, "glm_gamma"),
-                       (nb, "glm_negbin")):
+                       (nb, "glm_negbin"), (prob, "glm_probit")):
         for name, b, s in zip(m.names, m.beta, m.stderr):
             rows.append({"variant": variant, "item": name, "stat": "beta",
                          "value": round(float(b), 6)})

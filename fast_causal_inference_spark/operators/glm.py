@@ -41,6 +41,7 @@ class GlmModel:
     null_deviance: float
     dispersion: float            # 1.0 for poisson/binomial-style families
     offset: str | None = None
+    link: str | None = None      # non-default link (binomial probit/cloglog)
     names: list[str] = field(default_factory=list)
 
     def __post_init__(self):
@@ -61,7 +62,17 @@ class GlmModel:
     def predict_column(self) -> Column:
         """Response-scale prediction μ = link⁻¹(η)."""
         eta = self.eta_column()
-        return eta if self.family == "gaussian" else F.exp(eta)
+        if self.family == "gaussian":
+            return eta
+        if self.family == "binomial":
+            if self.link == "probit":
+                from fast_causal_inference_spark.functions import erf
+
+                return 0.5 * (1.0 + erf(eta / F.lit(math.sqrt(2.0))))
+            if self.link == "cloglog":
+                return 1.0 - F.exp(-F.exp(eta))
+            return 1.0 / (1.0 + F.exp(-eta))      # logit
+        return F.exp(eta)
 
     def predict(self, df: DataFrame, alias: str = "mu") -> DataFrame:
         return df.withColumn(alias, self.predict_column())
@@ -88,6 +99,8 @@ class GlmModel:
         tag = ""
         if self.family == "negbin":
             tag = f", alpha={self.dispersion:.4g}"
+        elif self.family == "binomial":
+            tag = f", {self.link} link"
         elif self.dispersion != 1.0:
             tag = ", Pearson-dispersion SEs"
         lines = [f"GLM ({self.family}{tag})",
@@ -102,19 +115,23 @@ class GlmModel:
         return "\n".join(lines)
 
 
-_FAMILIES = ("poisson", "quasipoisson", "gamma", "gaussian")
+_FAMILIES = ("poisson", "quasipoisson", "gamma", "gaussian", "binomial")
 
 
 def glm(df: DataFrame, formula: str, family: str = "poisson",
         offset: str | None = None, use_bias: bool = True,
-        max_iter: int = 25, tol: float = 1e-8) -> GlmModel:
+        max_iter: int = 25, tol: float = 1e-8,
+        link: str | None = None) -> GlmModel:
     """Fit ``'y ~ x1 + x2'`` for ``family`` ∈ {poisson, quasipoisson,
-    gamma, gaussian}.
+    gamma, gaussian, binomial}.
 
     Links are canonical-for-practice: log for poisson/quasipoisson/gamma
-    (so coefficients are rate ratios after exp), identity for gaussian.
-    ``offset`` — SQL expression added to the linear predictor with fixed
-    coefficient 1 (pass ``ln(exposure)`` for Poisson rates).
+    (so coefficients are rate ratios after exp), identity for gaussian,
+    and for binomial any of ``link`` ∈ {logit, probit, cloglog} (default
+    logit; probit/cloglog run the same Fisher-scoring Gramian loop with
+    non-canonical weights — Φ comes from the package's exact Arrow
+    ``erf``).  ``offset`` — SQL expression added to the linear predictor
+    with fixed coefficient 1 (pass ``ln(exposure)`` for Poisson rates).
 
     SEs come from the final Fisher-information inverse; for
     ``quasipoisson`` and ``gamma`` they are scaled by the Pearson
@@ -124,6 +141,11 @@ def glm(df: DataFrame, formula: str, family: str = "poisson",
     """
     if family not in _FAMILIES:
         raise ValueError(f"family must be one of {_FAMILIES}")
+    if family == "binomial":
+        return _binomial_glm(df, formula, link or "logit", offset,
+                             use_bias, max_iter, tol)
+    if link is not None:
+        raise ValueError("link is configurable only for family='binomial'")
     from fast_causal_inference_spark.operators.ols import parse_r_formula
 
     y_expr, feats = parse_r_formula(formula)
@@ -278,6 +300,141 @@ def poisson_regression(df: DataFrame, formula: str,
                        offset: str | None = None, **kw) -> GlmModel:
     """Poisson GLM with log link (facade for ``glm(family='poisson')``)."""
     return glm(df, formula, family="poisson", offset=offset, **kw)
+
+
+def probit_regression(df: DataFrame, formula: str, **kw) -> GlmModel:
+    """Binomial GLM with probit link (facade for
+    ``glm(family='binomial', link='probit')``)."""
+    return glm(df, formula, family="binomial", link="probit", **kw)
+
+
+def _binomial_glm(df: DataFrame, formula: str, link: str,
+                  offset: str | None, use_bias: bool, max_iter: int,
+                  tol: float) -> GlmModel:
+    """Binomial GLM by Fisher scoring for logit / probit / cloglog links.
+
+    Non-canonical links change only the per-row weight w = (dμ/dη)²/V(μ)
+    and working response z = η + (y−μ)/(dμ/dη); the distributed shape is
+    identical to :func:`glm` — one O(p²) Gramian aggregation per
+    iteration, solved on the driver.  Probit's Φ uses the package's
+    exact-double Arrow ``erf`` (``functions/__init__.py:256``); all other
+    arithmetic is pure Column.  Accepts binary {0,1} or proportion [0,1]
+    outcomes (proportions get the standard quasi-binomial deviance
+    terms).
+    """
+    if link not in ("logit", "probit", "cloglog"):
+        raise ValueError("link must be one of ('logit','probit','cloglog')")
+    from fast_causal_inference_spark.operators.ols import parse_r_formula
+
+    y_expr, feats = parse_r_formula(formula)
+    p = len(feats) + (1 if use_bias else 0)
+    if p == 0:
+        raise ValueError("empty design: no features and use_bias=False")
+    xs = ([F.lit(1.0)] if use_bias else []) + \
+        [F.expr(e).cast("double") for e in feats]
+    y = F.expr(y_expr).cast("double")
+    off = F.expr(offset).cast("double") if offset is not None else F.lit(0.0)
+    EPS = 1e-10
+
+    m0 = df.agg(F.avg(y).alias("m"), F.min(y).alias("lo"),
+                F.max(y).alias("hi")).collect()[0]
+    if m0["m"] is None:
+        raise ValueError("no non-NULL outcome rows")
+    if float(m0["lo"]) < 0 or float(m0["hi"]) > 1:
+        raise ValueError("binomial family needs y in [0, 1]")
+
+    def _mu_dmu(eta: Column) -> tuple[Column, Column]:
+        if link == "logit":
+            mu = 1.0 / (1.0 + F.exp(-eta))
+            return mu, mu * (1.0 - mu)
+        if link == "probit":
+            from fast_causal_inference_spark.functions import erf
+
+            mu = 0.5 * (1.0 + erf(eta / F.lit(math.sqrt(2.0))))
+            dmu = F.exp(-eta * eta / 2.0) / F.lit(math.sqrt(2.0 * math.pi))
+            return mu, dmu
+        ex = F.exp(eta)                       # cloglog: μ = 1 − e^{−e^η}
+        return 1.0 - F.exp(-ex), ex * F.exp(-ex)
+
+    def _dev_term(mu: Column) -> Column:
+        # 2[y log(y/μ) + (1−y) log((1−y)/(1−μ))], 0·log0 := 0; clamp μ
+        # so saturated probit/cloglog fits don't produce log(0)
+        mu_c = F.greatest(F.least(mu, F.lit(1.0 - 1e-12)), F.lit(1e-12))
+        return 2.0 * (
+            F.when(y > 0, y * F.log(y / mu_c)).otherwise(F.lit(0.0))
+            + F.when(y < 1, (1.0 - y) * F.log((1.0 - y) / (1.0 - mu_c)))
+            .otherwise(F.lit(0.0)))
+
+    def _irls(beta: np.ndarray, cols: list[Column],
+              pp: int) -> tuple[np.ndarray, np.ndarray, float, int, bool]:
+        A = np.eye(pp)
+        n = 0.0
+        it = 0
+        conv = False
+        for it in range(1, max_iter + 1):
+            eta: Column = F.lit(float(beta[0])) * cols[0]
+            for j in range(1, pp):
+                eta = eta + F.lit(float(beta[j])) * cols[j]
+            eta = eta + off
+            mu, dmu = _mu_dmu(eta)
+            dmu = dmu + F.lit(EPS)
+            w = dmu * dmu / (mu * (1.0 - mu) + F.lit(EPS))
+            z = (eta - off) + (y - mu) / dmu
+            aggs = []
+            for i in range(pp):
+                aggs.append(F.sum(w * cols[i] * z).alias(f"b{i}"))
+                for j in range(i, pp):
+                    aggs.append(F.sum(w * cols[i] * cols[j])
+                                .alias(f"a{i}_{j}"))
+            aggs.append(F.count(y).alias("n__"))
+            row = df.agg(*aggs).collect()[0]
+            n = float(row["n__"])
+            A = np.empty((pp, pp))
+            b = np.empty(pp)
+            for i in range(pp):
+                b[i] = row[f"b{i}"]
+                for j in range(i, pp):
+                    A[i, j] = A[j, i] = row[f"a{i}_{j}"]
+            new_beta = np.linalg.solve(A, b)
+            delta = float(np.max(np.abs(new_beta - beta)))
+            beta = new_beta
+            if delta < tol:
+                conv = True
+                break
+        return beta, A, n, it, conv
+
+    beta, A, n, it, converged = _irls(np.zeros(p), xs, p)
+
+    eta = F.lit(float(beta[0])) * xs[0]
+    for j in range(1, p):
+        eta = eta + F.lit(float(beta[j])) * xs[j]
+    mu_fit, _ = _mu_dmu(eta + off)
+    fin = df.agg(F.sum(_dev_term(mu_fit)).alias("dev"),
+                 F.avg(y).alias("ybar")).collect()[0]
+    deviance = float(fin["dev"])
+    ybar = float(fin["ybar"])
+
+    if offset is None:
+        # intercept-only null: μ₀ = ȳ for every binomial link
+        mu0 = F.lit(min(max(ybar, 1e-12), 1.0 - 1e-12))
+        null_dev = float(df.agg(F.sum(_dev_term(mu0)).alias("nd"))
+                         .collect()[0]["nd"])
+    elif use_bias:
+        # intercept-only + fixed offset: no closed form — reuse the
+        # Fisher loop at p=1 (a handful of tiny scans), then one scan
+        b0, _, _, _, _ = _irls(np.zeros(1), [F.lit(1.0)], 1)
+        mu0, _ = _mu_dmu(F.lit(float(b0[0])) + off)
+        null_dev = float(df.agg(F.sum(_dev_term(mu0)).alias("nd"))
+                         .collect()[0]["nd"])
+    else:
+        null_dev = float("nan")
+
+    stderr = np.sqrt(np.maximum(np.diag(np.linalg.inv(A)), 0.0))
+    return GlmModel(family="binomial", feature_exprs=feats,
+                    use_bias=use_bias, beta=beta, stderr=stderr, n=n,
+                    n_iter=it, converged=converged, deviance=deviance,
+                    null_deviance=null_dev, dispersion=1.0, offset=offset,
+                    link=link)
 
 
 def negative_binomial_regression(df: DataFrame, formula: str,

@@ -249,3 +249,124 @@ def test_negative_binomial_fixed_alpha_and_validation(spark, count_df):
     with pytest.raises(ValueError, match="non-negative"):
         negative_binomial_regression(
             count_df.withColumn("y", F.col("y") - 100), "y ~ x1")
+
+
+def _np_binom_irls(X, yv, off, link, max_iter=25, tol=1e-8):
+    """Mirror of operators/glm._binomial_glm in numpy (exact erf)."""
+    verf = np.vectorize(math.erf)
+    p = X.shape[1]
+    beta = np.zeros(p)
+    for _ in range(max_iter):
+        eta = X @ beta + off
+        if link == "logit":
+            mu = 1 / (1 + np.exp(-eta))
+            dmu = mu * (1 - mu)
+        elif link == "probit":
+            mu = 0.5 * (1 + verf(eta / math.sqrt(2)))
+            dmu = np.exp(-eta * eta / 2) / math.sqrt(2 * math.pi)
+        else:
+            ex = np.exp(eta)
+            mu = 1 - np.exp(-ex)
+            dmu = ex * np.exp(-ex)
+        dmu = dmu + 1e-10
+        w = dmu * dmu / (mu * (1 - mu) + 1e-10)
+        z = (eta - off) + (yv - mu) / dmu
+        A = X.T @ (w[:, None] * X)
+        new = np.linalg.solve(A, X.T @ (w * z))
+        if np.max(np.abs(new - beta)) < tol:
+            return new, A
+        beta = new
+    return beta, A
+
+
+@pytest.fixture(scope="module")
+def binom_pdf():
+    rng = np.random.default_rng(11)
+    n = 6000
+    x1 = rng.normal(0, 1, n)
+    x2 = rng.normal(0, 1, n)
+    verf = np.vectorize(math.erf)
+    p_probit = 0.5 * (1 + verf((-0.3 + 0.8 * x1 + 0.4 * x2) / math.sqrt(2)))
+    yb = (rng.uniform(0, 1, n) < p_probit).astype(float)
+    return pd.DataFrame({"x1": x1, "x2": x2, "yb": yb})
+
+
+@pytest.fixture(scope="module")
+def binom_df(spark, binom_pdf):
+    return spark.createDataFrame(binom_pdf).repartition(4).cache()
+
+
+def test_probit_matches_numpy_and_recovers_truth(binom_df, binom_pdf):
+    from fast_causal_inference_spark.operators.glm import probit_regression
+
+    m = probit_regression(binom_df, "yb ~ x1 + x2")
+    X = np.column_stack([np.ones(len(binom_pdf)), binom_pdf.x1,
+                         binom_pdf.x2])
+    b, A = _np_binom_irls(X, binom_pdf.yb.to_numpy(), np.zeros(len(X)),
+                          "probit")
+    assert m.beta == pytest.approx(b, abs=1e-7)
+    assert m.stderr == pytest.approx(
+        np.sqrt(np.diag(np.linalg.inv(A))), abs=1e-7)
+    assert m.beta == pytest.approx([-0.3, 0.8, 0.4], abs=0.08)
+    assert m.converged and m.null_deviance > m.deviance
+    assert m.link == "probit" and "probit" in m.summary()
+
+
+def test_binomial_logit_and_cloglog(binom_df, binom_pdf):
+    from fast_causal_inference_spark.operators.glm import glm
+
+    X = np.column_stack([np.ones(len(binom_pdf)), binom_pdf.x1,
+                         binom_pdf.x2])
+    yv = binom_pdf.yb.to_numpy()
+    for link in ("logit", "cloglog"):
+        m = glm(binom_df, "yb ~ x1 + x2", family="binomial", link=link)
+        b, A = _np_binom_irls(X, yv, np.zeros(len(X)), link)
+        assert m.beta == pytest.approx(b, abs=1e-6), link
+        assert m.stderr == pytest.approx(
+            np.sqrt(np.diag(np.linalg.inv(A))), abs=1e-6), link
+    # default link is logit, and it agrees with the package's dedicated
+    # logistic-IRLS solver
+    from fast_causal_inference_spark.operators.logistic import (
+        logistic_regression,
+    )
+
+    m = glm(binom_df, "yb ~ x1 + x2", family="binomial")
+    lr = logistic_regression(binom_df, "yb ~ x1 + x2")
+    assert m.beta == pytest.approx(np.asarray(lr.beta), abs=1e-5)
+
+
+def test_binomial_offset_null_and_predict(spark, binom_df, binom_pdf):
+    from pyspark.sql import functions as F
+
+    from fast_causal_inference_spark.operators.glm import glm
+
+    m = glm(binom_df, "yb ~ x1", family="binomial", link="probit",
+            offset="0.5 * x2")
+    X = np.column_stack([np.ones(len(binom_pdf)), binom_pdf.x1])
+    off = 0.5 * binom_pdf.x2.to_numpy()
+    b, _ = _np_binom_irls(X, binom_pdf.yb.to_numpy(), off, "probit")
+    assert m.beta == pytest.approx(b, abs=1e-7)
+    assert m.null_deviance >= m.deviance - 1e-9
+    # response-scale predictions are proper probabilities matching Φ
+    verf = np.vectorize(math.erf)
+    want = 0.5 * (1 + verf((X @ m.beta + off) / math.sqrt(2)))
+    got = (m.predict(binom_df, "mu").select("mu").toPandas()
+           .mu.to_numpy())
+    assert np.quantile(got, 0.99) <= 1.0 and np.quantile(got, 0.01) >= 0.0
+    assert sorted(got)[:5] == pytest.approx(sorted(want)[:5], abs=1e-9)
+    assert float(np.sort(got).sum()) == pytest.approx(
+        float(np.sort(want).sum()), abs=1e-6)
+
+
+def test_binomial_validation(binom_df):
+    from pyspark.sql import functions as F
+
+    from fast_causal_inference_spark.operators.glm import glm
+
+    with pytest.raises(ValueError, match="link"):
+        glm(binom_df, "yb ~ x1", family="binomial", link="identity")
+    with pytest.raises(ValueError, match="link"):
+        glm(binom_df, "yb ~ x1", family="poisson", link="probit")
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        glm(binom_df.withColumn("yb", F.col("yb") * 2), "yb ~ x1",
+            family="binomial")
