@@ -3479,9 +3479,12 @@ UNION ALL SELECT 'pearsonr', l_returnflag, 't_stat', round(t_stat, 6) FROM p
 
 def g_survival_cox(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cox-PH rows of the survival family in long format — BOTH tie
-    approximations (golden-snapshot sub-oracle: iterative Newton solve,
-    not SQL-expressible)."""
-    from fast_causal_inference_spark.operators.survival import cox_ph
+    approximations — plus the Weibull-AFT parametric fit (golden-snapshot
+    sub-oracle: iterative Newton solves, not SQL-expressible)."""
+    from fast_causal_inference_spark.operators.survival import (
+        cox_ph,
+        weibull_aft,
+    )
 
     ev = _load(spark, sf_dir, "events") \
         .withColumn("t_", F.round(F.col("value"), 0)) \
@@ -3495,6 +3498,17 @@ def g_survival_cox(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append({"variant": variant, "item": str(r.name),
                              "stat": stat,
                              "value": round(float(getattr(r, stat)), 6)})
+    # AFT needs strictly positive durations — shift the rounded |value|
+    aft = weibull_aft(ev.withColumn("t_", F.round(F.abs("value"), 0) + 1.0),
+                      "t_", "e_", ["x_"])
+    for r in aft.itertuples():
+        for stat in ("coef", "time_ratio", "stderr", "z"):
+            rows.append({"variant": "aft_weibull", "item": str(r.name),
+                         "stat": stat,
+                         "value": round(float(getattr(r, stat)), 6)})
+    for stat in ("loglik", "scale", "n_events"):
+        rows.append({"variant": "aft_weibull", "item": "model",
+                     "stat": stat, "value": round(float(aft.attrs[stat]), 4)})
     return _long_rows(spark, rows)
 
 

@@ -180,3 +180,106 @@ def test_cox_efron_fractional_events_rejected(spark):
     out = cox_ph(spark.createDataFrame(pdf), "t", "e", ["x"],
                  ties="breslow")
     assert np.isfinite(out.coef.iloc[0])
+
+
+def _np_weibull_aft(X, t, d, max_iter=50, tol=1e-9):
+    """Independent full-likelihood Newton MLE (vectorized numpy)."""
+    import numpy.linalg as la
+
+    n, p = X.shape
+    beta = la.lstsq(X, np.log(t), rcond=None)[0]
+    s = 0.0
+
+    def score(beta, s):
+        sig = np.exp(s)
+        z = (np.log(t) - X @ beta) / sig
+        u = np.exp(z)
+        ll = float(np.sum(d * (z - s - np.log(t)) - u))
+        g = np.empty(p + 1)
+        g[:p] = X.T @ (u - d) / sig
+        g[p] = float(np.sum(z * (u - d) - d))
+        H = np.empty((p + 1, p + 1))
+        H[:p, :p] = -(X.T @ (u[:, None] * X)) / sig ** 2
+        c = X.T @ (z * u + (u - d)) / sig
+        H[:p, p] = H[p, :p] = -c
+        H[p, p] = -float(np.sum(z * u * (1 + z) - z * d))
+        return ll, g, H
+
+    ll, g, H = score(beta, s)
+    th = np.concatenate([beta, [s]])
+    for _ in range(max_iter):
+        step = la.solve(H, g)
+        new = th - step
+        ll_n, g_n, H_n = score(new[:p], new[p])
+        halves = 0
+        while ll_n < ll - 1e-12 and halves < 20:
+            step /= 2
+            new = th - step
+            ll_n, g_n, H_n = score(new[:p], new[p])
+            halves += 1
+        done = np.max(np.abs(new - th)) < tol or abs(ll_n - ll) < tol
+        th, ll, g, H = new, ll_n, g_n, H_n
+        if done:
+            break
+    se = np.sqrt(np.diag(np.linalg.pinv(-H)))
+    return th, se, ll
+
+
+@pytest.fixture(scope="module")
+def aft_pdf():
+    rng = np.random.default_rng(3)
+    n = 4000
+    x1 = rng.normal(0, 1, n)
+    x2 = rng.binomial(1, 0.4, n).astype(float)
+    eps = np.log(-np.log(rng.uniform(size=n)))      # Gumbel-min
+    T = np.exp(1.0 + 0.5 * x1 - 0.3 * x2 + 0.7 * eps)
+    C = rng.exponential(8.0, n)
+    return pd.DataFrame({
+        "x1": x1, "x2": x2,
+        "t_obs": np.minimum(T, C), "ev": (T <= C).astype(float)})
+
+
+def test_weibull_aft_matches_independent_mle(spark, aft_pdf):
+    from fast_causal_inference_spark.operators.survival import weibull_aft
+
+    sdf = spark.createDataFrame(aft_pdf).repartition(4)
+    out = weibull_aft(sdf, "t_obs", "ev", ["x1", "x2"])
+    X = np.column_stack([np.ones(len(aft_pdf)), aft_pdf.x1, aft_pdf.x2])
+    th, se, ll = _np_weibull_aft(X, aft_pdf.t_obs.to_numpy(),
+                                 aft_pdf.ev.to_numpy())
+    got = dict(zip(out.name, out.coef))
+    gse = dict(zip(out.name, out.stderr))
+    assert got["(Intercept)"] == pytest.approx(th[0], abs=1e-6)
+    assert got["x1"] == pytest.approx(th[1], abs=1e-6)
+    assert got["x2"] == pytest.approx(th[2], abs=1e-6)
+    assert got["log(scale)"] == pytest.approx(th[3], abs=1e-6)
+    assert gse["x1"] == pytest.approx(se[1], abs=1e-6)
+    assert gse["log(scale)"] == pytest.approx(se[3], abs=1e-6)
+    assert out.attrs["loglik"] == pytest.approx(ll, abs=1e-5)
+    assert out.attrs["converged"]
+    # truth recovery (data-generating values) and attrs sanity
+    assert got["x1"] == pytest.approx(0.5, abs=0.06)
+    assert got["x2"] == pytest.approx(-0.3, abs=0.08)
+    assert out.attrs["scale"] == pytest.approx(0.7, abs=0.05)
+    assert 0 < out.attrs["n_events"] < out.attrs["n"]
+    assert list(out.time_ratio) == pytest.approx(list(np.exp(out.coef)))
+
+
+def test_weibull_aft_validation(spark, aft_pdf):
+    from pyspark.sql import functions as F
+
+    from fast_causal_inference_spark.operators.survival import weibull_aft
+
+    sdf = spark.createDataFrame(aft_pdf.head(200))
+    with pytest.raises(ValueError, match="covariate"):
+        weibull_aft(sdf, "t_obs", "ev", [])
+    with pytest.raises(ValueError, match="positive"):
+        weibull_aft(sdf.withColumn("t_obs", F.col("t_obs") - 100.0),
+                    "t_obs", "ev", ["x1"])
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        weibull_aft(sdf.withColumn("ev", F.col("ev") * 3), "t_obs", "ev",
+                    ["x1"])
+    # no-censoring degenerate direction still fits (all events)
+    out = weibull_aft(sdf.withColumn("ev", F.lit(1.0)), "t_obs", "ev",
+                      ["x1"])
+    assert out.attrs["n_events"] == out.attrs["n"]
