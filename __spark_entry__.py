@@ -3642,17 +3642,38 @@ def q_paired_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_matching_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact matching quotas + caliper cell accounting + SMD balance +
-    matched-pairs t-test + prognostic-score matching as one matching
-    family (absorbs exact_matching / caliper_matching / smd; prognostic
-    rides a golden sub-oracle)."""
+    matched-pairs t-test + prognostic-score matching + Rosenbaum Γ
+    sensitivity bounds as one matching family (absorbs exact_matching /
+    caliper_matching / smd; prognostic rides a golden sub-oracle; the
+    Rosenbaum signed-rank stats are SQL-re-derived)."""
+    from fast_causal_inference_spark.operators.sensitivity import (
+        rosenbaum_bounds,
+    )
+
+    def _ros():
+        ev = _load(spark, sf_dir, "events")
+        return rosenbaum_bounds(ev, "value",
+                                "cast(event_id % 3 = 0 as int)",
+                                "floor(event_id / 3)", gammas=(1.0, 2.0))
+
     rows = []
-    ex, cal, sm, pr, prog = _concurrent([
+    ex, cal, sm, pr, prog, ros = _concurrent([
         lambda: q_exact_matching(spark, sf_dir).toPandas(),
         lambda: q_caliper_matching(spark, sf_dir).toPandas(),
         lambda: q_smd(spark, sf_dir).toPandas(),
         lambda: q_paired_ttest(spark, sf_dir).toPandas(),
         lambda: g_matching_prognostic(spark, sf_dir),
+        _ros,
     ])
+    for r in ros.itertuples():
+        for stat in ("z_upper", "z_lower"):
+            rows.append({"variant": "rosenbaum",
+                         "item": f"gamma_{int(r.gamma)}", "stat": stat,
+                         "value": round(float(getattr(r, stat)), 6)})
+    rows.append({"variant": "rosenbaum", "item": "all", "stat": "n_pairs",
+                 "value": float(ros.iloc[0].n_pairs)})
+    rows.append({"variant": "rosenbaum", "item": "all", "stat": "t_plus",
+                 "value": round(float(ros.iloc[0].t_plus), 4)})
     for r in ex.itertuples():
         rows.append({"variant": "exact", "item": str(r.o_orderpriority),
                      "stat": "n_matched", "value": float(r.n_matched)})
@@ -3687,7 +3708,41 @@ pr_cells AS (
 pr_stats AS (
   SELECT CAST(count(d) AS DOUBLE) AS n, avg(d) AS m, var_samp(d) AS v
   FROM pr_d
+),
+ros_cells AS (
+  SELECT floor(event_id / 3) AS pair,
+         avg(value) FILTER (event_id % 3 = 0) AS yt,
+         avg(value) FILTER (event_id % 3 <> 0) AS yc
+  FROM events GROUP BY 1
+),
+ros_d AS (SELECT yt - yc AS d FROM ros_cells
+          WHERE yt IS NOT NULL AND yc IS NOT NULL AND yt <> yc),
+ros_r AS (
+  SELECT d, rank() OVER (ORDER BY abs(d))
+            + (count(*) OVER (PARTITION BY abs(d)) - 1) / 2.0 AS r
+  FROM ros_d
+),
+ros_s AS (
+  SELECT sum(CASE WHEN d > 0 THEN r ELSE 0 END) AS tplus,
+         sum(r) AS s1, sum(r * r) AS s2,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM ros_r
+),
+ros_z AS (
+  SELECT g.gamma, s.tplus, s.n,
+         (s.tplus - (g.gamma/(1+g.gamma)) * s.s1)
+           / sqrt((g.gamma/(1+g.gamma)) * (1/(1+g.gamma)) * s.s2) AS zu,
+         (s.tplus - (1/(1+g.gamma)) * s.s1)
+           / sqrt((1/(1+g.gamma)) * (g.gamma/(1+g.gamma)) * s.s2) AS zl
+  FROM ros_s s CROSS JOIN (VALUES (1.0), (2.0)) g(gamma)
 )
+SELECT 'rosenbaum' AS variant, 'gamma_' || CAST(CAST(gamma AS INT) AS VARCHAR)
+       AS item, 'z_upper' AS stat, round(zu, 6) AS value FROM ros_z
+UNION ALL SELECT 'rosenbaum', 'gamma_' || CAST(CAST(gamma AS INT) AS VARCHAR),
+       'z_lower', round(zl, 6) FROM ros_z
+UNION ALL SELECT 'rosenbaum', 'all', 'n_pairs', n FROM ros_s
+UNION ALL SELECT 'rosenbaum', 'all', 't_plus', round(tplus, 4) FROM ros_s
+UNION ALL
 SELECT 'exact' AS variant, o_orderpriority AS item, 'n_matched' AS stat,
        CAST(n_matched AS DOUBLE) AS value FROM ex
 UNION ALL SELECT 'exact', o_orderpriority, 'n_treated',
