@@ -3785,6 +3785,22 @@ def g_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "rank", F.round("score", 4).alias("score"))
 
 
+def g_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN rows of the knn family (golden-snapshot sub-oracle:
+    seeded coarse + product-quantizer k-means; candidates are reranked
+    with exact cosine, so rows are deterministic given the seed)."""
+    from fast_causal_inference_spark.datapipe.similarity import ivfpq_knn
+
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    out = ivfpq_knn(emb, q, k=5, n_lists=16, m=8, ks=32, n_probe=6,
+                    refine=4, seed=7)
+    return out.select(F.lit("pq").alias("variant"), "query_id", "vec_id",
+                      "rank", F.round("score", 4).alias("score"))
+
+
 def g_knn_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 full-text top-5 rows of the retrieval family (fully
     SQL-derivable: DuckDB re-derives postings, idf, and the Okapi score
@@ -3808,16 +3824,17 @@ def q_knn_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     former knn_bruteforce / ivf_knn gate keys)."""
     # the IVF and BM25 members do eager driver-side model/index builds at
     # construction — build all three concurrently, then union
-    exact_df, ivf_df, lsh_df, bm25_df = _concurrent([
+    exact_df, ivf_df, lsh_df, pq_df, bm25_df = _concurrent([
         lambda: q_knn_bruteforce(spark, sf_dir).select(
             F.lit("exact").alias("variant"), "query_id", "vec_id", "rank",
             "score"),
         lambda: g_knn_ivf(spark, sf_dir),
         lambda: g_knn_lsh(spark, sf_dir),
+        lambda: g_knn_pq(spark, sf_dir),
         lambda: g_knn_bm25(spark, sf_dir),
     ])
     return (exact_df.unionByName(ivf_df).unionByName(lsh_df)
-            .unionByName(bm25_df))
+            .unionByName(pq_df).unionByName(bm25_df))
 
 
 def q_multi_arm_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4928,6 +4945,11 @@ def oracle_sql() -> dict[str, str]:
                     "knn__lsh", "SELECT NULL AS variant, NULL AS query_id, "
                     "NULL AS vec_id, NULL AS rank, NULL AS score "
                     "WHERE FALSE") + ") __kl UNION ALL "
+                + "SELECT variant, query_id, vec_id, rank, score FROM ("
+                + _golden_oracles().get(
+                    "knn__pq", "SELECT NULL AS variant, NULL AS query_id, "
+                    "NULL AS vec_id, NULL AS rank, NULL AS score "
+                    "WHERE FALSE") + ") __kp UNION ALL "
                 + "SELECT 'bm25' AS variant, query_id, vec_id, rank, score "
                 + "FROM (" + _BM25_SQL + ") __kb"),
         "embedding_near_dup": (

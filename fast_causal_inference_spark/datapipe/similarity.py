@@ -630,3 +630,207 @@ def embedding_kmeans(df: DataFrame, n_clusters: int = 64,
         output_col,
         F.when(F.col(vec_col).isNotNull(), assign(F.col(vec_col))))
     return out, C
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — product-quantized ANN (the 100 TB memory story: dim floats/vector
+# compress to m code bytes, so a billion-vector index fits a small cluster)
+# ---------------------------------------------------------------------------
+
+
+def train_ivfpq(df: DataFrame, vec_col: str = "embedding",
+                n_lists: int = 64, m: int = 8, ks: int = 256,
+                sample_per_list: int = 40, train_iters: int = 8,
+                seed: int = 42) -> dict:
+    """Train an IVF-PQ model (FAISS ``IVFx,PQm`` recipe): a coarse
+    quantizer of ``n_lists`` centroids plus ``m`` per-subspace codebooks
+    of ``ks`` entries each, trained on the RESIDUALS x − C[list] of a
+    bounded, layout-independent (xxhash64-ordered) driver sample.  All
+    k-means steps are GEMM-batched numpy on that sample — the corpus is
+    never scanned during training.
+
+    Returns a plain dict model: ``C`` (n_lists × d), ``codebooks``
+    (m × ks × d/m), plus the config ints — serialize it however you
+    store models.
+    """
+    n_sample = n_lists * sample_per_list
+    rows = (df.select(F.col(vec_col).alias("v"))
+            .where(F.col("v").isNotNull())
+            .orderBy(F.xxhash64(F.col("v"), F.lit(seed)))
+            .limit(n_sample).collect())
+    X = np.array([r["v"] for r in rows], dtype=float)
+    if len(X) < n_lists:
+        raise ValueError(f"need ≥{n_lists} vectors to train {n_lists} lists")
+    dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} must be divisible by m={m} subspaces")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+
+    def _lloyd(data: np.ndarray, k: int) -> np.ndarray:
+        k = min(k, len(data))
+        C = data[rng.choice(len(data), k, replace=False)].copy()
+        for _ in range(train_iters):
+            d2 = (C * C).sum(axis=1)[None, :] - 2.0 * (data @ C.T)
+            a = d2.argmin(axis=1)
+            for j in range(k):
+                sel = a == j
+                if sel.any():
+                    C[j] = data[sel].mean(axis=0)
+        return C
+
+    C = _lloyd(X, n_lists)
+    d2 = (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
+    R = X - C[d2.argmin(axis=1)]                  # residuals
+    books = np.zeros((m, ks, dsub))
+    for j in range(m):
+        bj = _lloyd(R[:, j * dsub:(j + 1) * dsub], ks)
+        books[j, :len(bj)] = bj                   # short sample → zero-pad
+    return {"C": C, "codebooks": books, "n_lists": int(len(C)),
+            "m": int(m), "ks": int(ks), "dim": int(dim)}
+
+
+def ivfpq_encode(df: DataFrame, model: dict, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """One GEMM-batched Arrow pass over the corpus → ``(id, __list,
+    __code)`` where ``__code`` is the m-byte PQ code of the residual.
+    Persist the result once per corpus; every subsequent search scans
+    codes (m bytes/vector), not vectors (4·dim bytes/vector)."""
+    from fast_causal_inference_spark.serialization import (
+        ensure_udf_serializable,
+    )
+
+    C, books = model["C"], model["codebooks"]
+    m, dsub = model["m"], model["dim"] // model["m"]
+    id_type = {f.name: f.dataType.simpleString()
+               for f in df.schema.fields}[id_col]
+    schema = f"{id_col} {id_type}, __list int, __code array<int>"
+
+    def _encode(batches):
+        import numpy as _np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ok = pdf[vec_col].notna().to_numpy()
+            sub = pdf.loc[ok]
+            if len(sub) == 0:
+                continue
+            X = _np.stack(sub[vec_col].to_numpy()).astype(float)
+            lists = (X @ C.T - 0.5 * (C * C).sum(axis=1)[None, :]) \
+                .argmax(axis=1)
+            R = X - C[lists]
+            codes = _np.empty((len(X), m), dtype=_np.int64)
+            for j in range(m):
+                Bj = books[j]
+                d2 = ((Bj * Bj).sum(axis=1)[None, :]
+                      - 2.0 * (R[:, j * dsub:(j + 1) * dsub] @ Bj.T))
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame({id_col: sub[id_col].to_numpy(),
+                                "__list": lists.astype("int32"),
+                                "__code": list(codes)})
+
+    ensure_udf_serializable()
+    return (df.select(id_col, vec_col)
+            .where(F.col(vec_col).isNotNull())
+            .mapInPandas(_encode, schema))
+
+
+def ivfpq_knn(df: DataFrame, queries: DataFrame, k: int = 10,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              query_id_col: str = "query_id",
+              query_vec_col: str = "query_vec",
+              n_lists: int = 64, m: int = 8, ks: int = 256,
+              n_probe: int = 8, refine: int = 4,
+              sample_per_list: int = 40, train_iters: int = 8,
+              seed: int = 42, max_queries: int = 1_000,
+              model: dict | None = None,
+              codes: DataFrame | None = None) -> DataFrame:
+    """IVF-PQ approximate top-k with exact rerank.
+
+    Search shape (asymmetric distance computation): each query probes its
+    ``n_probe`` nearest coarse cells; candidates in those cells are
+    scored from their PQ codes alone — approx q·x = q·C[list] +
+    Σ_j LUT_q[j, code_j] with the per-query (m × ks) lookup table built
+    driver-side — then the top ``k·refine`` per query are reranked with
+    exact cosine against the true vectors and the top ``k`` returned.
+
+    At scale: the codes relation (``codes=`` — persist
+    :func:`ivfpq_encode` output once) is the only thing scanned per
+    search wave, the probe relation is broadcast, and the rerank join
+    touches ``|queries|·k·refine`` rows.  Scoring is Arrow-batched numpy
+    gathers, never per-row Python.
+    """
+    from fast_causal_inference_spark.serialization import (
+        ensure_udf_serializable,
+    )
+
+    if model is None:
+        model = train_ivfpq(df, vec_col, n_lists, m, ks, sample_per_list,
+                            train_iters, seed)
+    C, books = model["C"], model["codebooks"]
+    m, dsub = model["m"], model["dim"] // model["m"]
+    if codes is None:
+        codes = ivfpq_encode(df, model, id_col, vec_col)
+
+    q_rows = (queries.select(query_id_col, query_vec_col)
+              .limit(max_queries + 1).collect())
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"ivfpq_knn holds a (m × ks) float LUT per query in the "
+            f"executors' closure; got more than max_queries={max_queries} "
+            f"queries — batch the query set or raise the cap deliberately")
+    probes = []
+    luts = {}
+    qvecs = []
+    for r in q_rows:
+        qid = r[query_id_col]
+        v = np.asarray(r[query_vec_col], dtype=float)
+        base = v @ C.T                       # q·C[list] per list
+        for lst in np.argsort(-base)[:n_probe]:
+            probes.append((qid, int(lst), float(base[lst])))
+        luts[qid] = np.stack([
+            v[j * dsub:(j + 1) * dsub] @ books[j].T for j in range(m)])
+        qvecs.append((qid, list(map(float, v))))
+    sess = df.sparkSession
+    qid_type = {f.name: f.dataType.simpleString()
+                for f in queries.schema.fields}[query_id_col]
+    probe_df = sess.createDataFrame(
+        probes, f"{query_id_col} {qid_type}, __list int, __base double")
+
+    @F.pandas_udf("double")
+    def _adc(qid_s: pd.Series, base_s: pd.Series,
+             code_s: pd.Series) -> pd.Series:
+        import numpy as _np
+
+        if len(qid_s) == 0:
+            return pd.Series([], dtype=float)
+        codes_arr = _np.stack(code_s.to_numpy()).astype(int)   # (B, m)
+        lut3 = _np.stack([luts[q] for q in qid_s])             # (B, m, ks)
+        gather = _np.take_along_axis(
+            lut3, codes_arr[:, :, None], axis=2)[:, :, 0]
+        return pd.Series(base_s.to_numpy() + gather.sum(axis=1))
+
+    ensure_udf_serializable()
+    cand = codes.join(F.broadcast(probe_df), "__list")
+    scored = cand.select(
+        query_id_col, id_col,
+        _adc(F.col(query_id_col), F.col("__base"),
+             F.col("__code")).alias("__approx"))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("__approx"),
+                                                 F.col(id_col))
+    short = (scored.withColumn("rank", F.row_number().over(w))
+             .where(F.col("rank") <= k * refine)
+             .select(query_id_col, id_col))
+    qvec_df = sess.createDataFrame(
+        qvecs, f"{query_id_col} {qid_type}, {query_vec_col} array<double>")
+    rerank = (df.select(id_col, vec_col)
+              .join(F.broadcast(short), id_col)
+              .join(F.broadcast(qvec_df), query_id_col)
+              .select(query_id_col, id_col,
+                      cosine(F.col(vec_col).cast("array<double>"),
+                             F.col(query_vec_col)).alias("score")))
+    w2 = Window.partitionBy(query_id_col).orderBy(F.desc("score"),
+                                                  F.col(id_col))
+    return (rerank.withColumn("rank", F.row_number().over(w2))
+            .where(F.col("rank") <= k))

@@ -46,6 +46,7 @@ GOLDEN_KEYS = {
     "survival__cox": "g_survival_cox",
     "knn__ivf": "g_knn_ivf",
     "knn__lsh": "g_knn_lsh",
+    "knn__pq": "g_knn_pq",
     "t_learner__cvt": "g_t_learner_cvt",
     "t_learner__x": "g_t_learner_x",
     "t_learner__prop": "g_t_learner_prop",

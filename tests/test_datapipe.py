@@ -692,3 +692,66 @@ def test_semantic_dedup_keep_policies(spark):
     assert kept == {expect_keep}
     with pytest.raises(ValueError, match="keep"):
         semantic_dedup(df, keep="median")
+
+
+def test_ivfpq_knn_recall_and_encode(spark):
+    import numpy as np
+    import pandas as pd
+
+    from fast_causal_inference_spark.datapipe.similarity import (
+        ivfpq_encode,
+        ivfpq_knn,
+        knn_bruteforce,
+        train_ivfpq,
+    )
+    from fast_causal_inference_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    model = train_ivfpq(emb, n_lists=16, m=8, ks=32, seed=3)
+    assert model["C"].shape[1] == 64 and model["codebooks"].shape == (8, 32, 8)
+    codes = ivfpq_encode(emb, model).cache()
+    cpdf = codes.toPandas()
+    assert cpdf.__list.between(0, 15).all()
+    assert all(len(c) == 8 and max(c) < 32 and min(c) >= 0
+               for c in cpdf.__code)
+    assert len(cpdf) == emb.where(F.col("embedding").isNotNull()).count()
+
+    exact = knn_bruteforce(emb, q, k=5).toPandas()
+    approx = ivfpq_knn(emb, q, k=5, n_lists=16, m=8, ks=32, n_probe=6,
+                       refine=4, seed=3, model=model, codes=codes).toPandas()
+    hits = 0
+    for qid in exact.query_id.unique():
+        e = set(exact.loc[exact.query_id == qid, "vec_id"])
+        a = set(approx.loc[approx.query_id == qid, "vec_id"])
+        hits += len(e & a)
+    assert hits / len(exact) > 0.6
+    # the probed query always finds itself, and rerank scores are exact
+    self_rows = approx[approx.query_id == approx.vec_id]
+    assert len(self_rows) == 5
+    assert np.allclose(self_rows.score, 1.0)
+    # deterministic: retrain + re-search reproduces identical rows
+    again = ivfpq_knn(emb, q, k=5, n_lists=16, m=8, ks=32, n_probe=6,
+                      refine=4, seed=3).toPandas()
+    pd.testing.assert_frame_equal(
+        approx.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        again.sort_values(["query_id", "rank"]).reset_index(drop=True))
+    codes.unpersist()
+
+
+def test_ivfpq_validation(spark):
+    from fast_causal_inference_spark.datapipe.similarity import (
+        ivfpq_knn,
+        train_ivfpq,
+    )
+    from fast_causal_inference_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    with pytest.raises(ValueError, match="divisible"):
+        train_ivfpq(emb, n_lists=4, m=7)
+    q = emb.select(F.col("vec_id").alias("query_id"),
+                   F.col("embedding").alias("query_vec"))
+    with pytest.raises(ValueError, match="max_queries"):
+        ivfpq_knn(emb, q, k=3, n_lists=4, m=8, ks=8, max_queries=2)
