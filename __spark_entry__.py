@@ -2118,11 +2118,13 @@ def g_glm_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = (ev.groupBy("user_id")
                 .agg(F.count(F.lit(1)).cast("double").alias("n_events"),
                      F.avg("value").alias("avg_value"),
+                     F.sum(F.greatest(F.col("value"), F.lit(0.0)))
+                     .alias("rev"),
                      (F.max("event_id") % 7 + 1.0).alias("expo"))
                 .coalesce(1).cache())
     pos = ev.where(F.col("value") > 0) \
         .select("value", "user_id").cache()
-    pois, gam, nb, prob = _concurrent([
+    pois, gam, nb, prob, twe = _concurrent([
         lambda: glm(per_user, "n_events ~ avg_value", family="poisson",
                     offset="ln(expo)"),
         lambda: glm(pos, "value ~ (user_id % 5)", family="gamma"),
@@ -2134,12 +2136,15 @@ def g_glm_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "cast(n_events % 2 = 0 as double)"
                     " ~ avg_value + (expo / 7)",
                     family="binomial", link="probit"),
+        lambda: glm(per_user, "rev ~ avg_value", family="tweedie",
+                    var_power=1.5, offset="ln(expo)"),
     ])
     per_user.unpersist()
     pos.unpersist()
     rows = []
     for m, variant in ((pois, "glm_poisson"), (gam, "glm_gamma"),
-                       (nb, "glm_negbin"), (prob, "glm_probit")):
+                       (nb, "glm_negbin"), (prob, "glm_probit"),
+                       (twe, "glm_tweedie")):
         for name, b, s in zip(m.names, m.beta, m.stderr):
             rows.append({"variant": variant, "item": name, "stat": "beta",
                          "value": round(float(b), 6)})

@@ -115,13 +115,14 @@ class GlmModel:
         return "\n".join(lines)
 
 
-_FAMILIES = ("poisson", "quasipoisson", "gamma", "gaussian", "binomial")
+_FAMILIES = ("poisson", "quasipoisson", "gamma", "gaussian", "binomial",
+             "tweedie")
 
 
 def glm(df: DataFrame, formula: str, family: str = "poisson",
         offset: str | None = None, use_bias: bool = True,
         max_iter: int = 25, tol: float = 1e-8,
-        link: str | None = None) -> GlmModel:
+        link: str | None = None, var_power: float = 1.5) -> GlmModel:
     """Fit ``'y ~ x1 + x2'`` for ``family`` ∈ {poisson, quasipoisson,
     gamma, gaussian, binomial}.
 
@@ -133,11 +134,17 @@ def glm(df: DataFrame, formula: str, family: str = "poisson",
     ``erf``).  ``offset`` — SQL expression added to the linear predictor
     with fixed coefficient 1 (pass ``ln(exposure)`` for Poisson rates).
 
+    ``tweedie`` is the compound-Poisson-gamma family for zero-inflated
+    positive outcomes (revenue per user: a point mass at 0 plus a
+    skewed positive part) with V(μ) = μ^``var_power``, log link;
+    ``var_power`` must lie strictly inside (1, 2) — the boundaries ARE
+    the poisson and gamma families.
+
     SEs come from the final Fisher-information inverse; for
-    ``quasipoisson`` and ``gamma`` they are scaled by the Pearson
-    dispersion χ²/(n−p) (gamma's MLE dispersion would need a digamma
-    solve; Pearson is the standard moment estimator, same as R's
-    ``summary.glm`` default).
+    ``quasipoisson``, ``gamma`` and ``tweedie`` they are scaled by the
+    Pearson dispersion χ²/(n−p) (gamma's MLE dispersion would need a
+    digamma solve; Pearson is the standard moment estimator, same as
+    R's ``summary.glm`` default).
     """
     if family not in _FAMILIES:
         raise ValueError(f"family must be one of {_FAMILIES}")
@@ -146,6 +153,9 @@ def glm(df: DataFrame, formula: str, family: str = "poisson",
                              use_bias, max_iter, tol)
     if link is not None:
         raise ValueError("link is configurable only for family='binomial'")
+    if family == "tweedie" and not 1.0 < var_power < 2.0:
+        raise ValueError("tweedie var_power must lie strictly in (1, 2); "
+                         "use family='poisson' (p=1) or 'gamma' (p=2)")
     from fast_causal_inference_spark.operators.ols import parse_r_formula
 
     y_expr, feats = parse_r_formula(formula)
@@ -168,8 +178,9 @@ def glm(df: DataFrame, formula: str, family: str = "poisson",
             raise ValueError("no non-NULL outcome rows")
         if family == "gamma" and float(m0["lo"]) <= 0:
             raise ValueError("gamma family needs strictly positive y")
-        if family in ("poisson", "quasipoisson") and float(m0["lo"]) < 0:
-            raise ValueError("poisson family needs non-negative y")
+        if family in ("poisson", "quasipoisson", "tweedie") \
+                and float(m0["lo"]) < 0:
+            raise ValueError(f"{family} family needs non-negative y")
         if use_bias and float(m0["m"]) > 0:
             beta[0] = math.log(float(m0["m"]))
 
@@ -188,6 +199,8 @@ def glm(df: DataFrame, formula: str, family: str = "poisson",
             mu = F.exp(eta)
             if family in ("poisson", "quasipoisson"):
                 s = mu + F.lit(1e-10)         # w = V(μ)=μ for log link
+            elif family == "tweedie":         # w = μ²/μ^p = μ^(2−p)
+                s = F.pow(mu, F.lit(2.0 - var_power)) + F.lit(1e-10)
             else:                             # gamma log link: w = 1
                 s = F.lit(1.0)
         # working response on the X-only predictor (offset is fixed)
@@ -229,6 +242,16 @@ def glm(df: DataFrame, formula: str, family: str = "poisson",
         dev_term = 2 * (F.when(y > 0, y * F.log(y / mu)).otherwise(F.lit(0.0))
                         - (y - mu))
         pearson = (y - mu) * (y - mu) / mu
+    elif family == "tweedie":
+        mu = F.exp(eta)
+        # unit deviance 2[y^(2−p)/((1−p)(2−p)) − yμ^(1−p)/(1−p)
+        #                + μ^(2−p)/(2−p)]; every term has a finite y=0
+        # limit because 2−p > 0 and the y·μ^(1−p) term vanishes
+        p1, p2 = 1.0 - var_power, 2.0 - var_power
+        dev_term = 2 * (F.pow(y, F.lit(p2)) / F.lit(p1 * p2)
+                        - y * F.pow(mu, F.lit(p1)) / F.lit(p1)
+                        + F.pow(mu, F.lit(p2)) / F.lit(p2))
+        pearson = (y - mu) * (y - mu) / F.pow(mu, F.lit(var_power))
     else:                                     # gamma
         mu = F.exp(eta)
         dev_term = 2 * (-F.log(y / mu) + (y - mu) / mu)
@@ -237,6 +260,8 @@ def glm(df: DataFrame, formula: str, family: str = "poisson",
         aux = y * y                           # → Σy² for TSS
     elif family in ("poisson", "quasipoisson"):
         aux = y * F.when(y > 0, F.log(y)).otherwise(F.lit(0.0))  # Σ y·log y
+    elif family == "tweedie":
+        aux = F.pow(y, F.lit(2.0 - var_power))  # Σ y^(2−p)
     else:
         aux = F.log(y)                        # gamma: Σ log y
     fin = df.agg(F.sum(dev_term).alias("dev"),
@@ -246,6 +271,9 @@ def glm(df: DataFrame, formula: str, family: str = "poisson",
                  F.sum(y).alias("ysum"),
                  F.sum(F.exp(off)).alias("seo"),
                  F.sum(y * F.exp(-off)).alias("syeo"),
+                 F.sum(y * F.exp(F.lit(1.0 - var_power) * off))
+                 .alias("syeo_t"),
+                 F.sum(F.exp(F.lit(2.0 - var_power) * off)).alias("seo_t"),
                  F.sum(y - off).alias("syo"),
                  F.sum((y - off) * (y - off)).alias("syo2")).collect()[0]
     deviance = float(fin["dev"])
@@ -259,6 +287,12 @@ def glm(df: DataFrame, formula: str, family: str = "poisson",
             null_dev = 2 * (float(fin["aux"])
                             - float(fin["ysum"]) * math.log(ybar)) \
                 if ybar > 0 else 0.0
+        elif family == "tweedie":
+            # intercept-only MLE is μ₀ = ȳ (score Σ(y−μ)μ^(1−p) = 0)
+            p1, p2 = 1.0 - var_power, 2.0 - var_power
+            null_dev = 2 * (float(fin["aux"]) / (p1 * p2)
+                            - float(fin["ysum"]) * ybar ** p1 / p1
+                            + n * ybar ** p2 / p2) if ybar > 0 else 0.0
         else:
             # gamma: 2Σ[−log(y/ȳ) + (y−ȳ)/ȳ]; second term sums to 0
             null_dev = 2 * (n * math.log(ybar) - float(fin["aux"]))
@@ -276,6 +310,15 @@ def glm(df: DataFrame, formula: str, family: str = "poisson",
                 mu0 = F.exp(F.lit(b0) + off)
                 nd_term = 2 * (F.when(y > 0, y * F.log(y / mu0))
                                .otherwise(F.lit(0.0)) - (y - mu0))
+            elif family == "tweedie":
+                # score Σ(y−μ₀)μ₀^(1−p) = 0 with μ₀ = e^{b0+off} solves
+                # in closed form: e^{b0} = Σy·e^{(1−p)off} / Σe^{(2−p)off}
+                p1, p2 = 1.0 - var_power, 2.0 - var_power
+                b0 = math.log(float(fin["syeo_t"]) / float(fin["seo_t"]))
+                mu0 = F.exp(F.lit(b0) + off)
+                nd_term = 2 * (F.pow(y, F.lit(p2)) / F.lit(p1 * p2)
+                               - y * F.pow(mu0, F.lit(p1)) / F.lit(p1)
+                               + F.pow(mu0, F.lit(p2)) / F.lit(p2))
             else:                             # gamma
                 b0 = math.log(float(fin["syeo"]) / n)
                 mu0 = F.exp(F.lit(b0) + off)
@@ -285,7 +328,7 @@ def glm(df: DataFrame, formula: str, family: str = "poisson",
 
     dispersion = 1.0
     cov = np.linalg.inv(A)
-    if family in ("quasipoisson", "gamma", "gaussian"):
+    if family in ("quasipoisson", "gamma", "gaussian", "tweedie"):
         dispersion = float(fin["pchi"]) / max(n - p, 1.0)
         cov = cov * dispersion
     stderr = np.sqrt(np.maximum(np.diag(cov), 0.0))

@@ -128,7 +128,7 @@ def test_glm_validation(count_df):
     from pyspark.sql import functions as F
 
     with pytest.raises(ValueError, match="family"):
-        glm(count_df, "y ~ x1", family="tweedie")
+        glm(count_df, "y ~ x1", family="negbinomial2")
     neg = count_df.withColumn("y", F.col("y") - 100)
     with pytest.raises(ValueError, match="non-negative"):
         glm(neg, "y ~ x1", family="poisson")
@@ -370,3 +370,75 @@ def test_binomial_validation(binom_df):
     with pytest.raises(ValueError, match=r"\[0, 1\]"):
         glm(binom_df.withColumn("yb", F.col("yb") * 2), "yb ~ x1",
             family="binomial")
+
+
+@pytest.fixture(scope="module")
+def tweedie_pdf():
+    rng = np.random.default_rng(21)
+    n = 6000
+    x1 = rng.normal(0, 1, n)
+    expo = rng.uniform(0.5, 2.0, n)
+    mu = expo * np.exp(0.3 + 0.5 * x1)
+    # compound Poisson-gamma draw (true Tweedie, p≈1.5-ish)
+    lam = mu ** 0.5
+    ncl = rng.poisson(lam)
+    # claims Gamma(a=2, θ=√m/2) so E[y] = λ·a·θ = m exactly
+    y = np.array([rng.gamma(2.0, m ** 0.5 / 2.0, k).sum() if k > 0 else 0.0
+                  for k, m in zip(ncl, mu)])
+    return pd.DataFrame({"x1": x1, "expo": expo, "y": y})
+
+
+def _np_tweedie_irls(X, yv, off, p_var, max_iter=25, tol=1e-8):
+    beta = np.zeros(X.shape[1])
+    beta[0] = math.log(yv.mean())
+    for _ in range(max_iter):
+        eta = X @ beta + off
+        mu = np.exp(eta)
+        s = mu ** (2.0 - p_var) + 1e-10
+        z = (eta - off) + (yv - mu) / mu
+        A = X.T @ (s[:, None] * X)
+        new = np.linalg.solve(A, X.T @ (s * z))
+        if np.max(np.abs(new - beta)) < tol:
+            return new, A
+        beta = new
+    return beta, A
+
+
+def test_tweedie_matches_numpy_and_zero_mass(spark, tweedie_pdf):
+    from fast_causal_inference_spark.operators.glm import glm
+
+    sdf = spark.createDataFrame(tweedie_pdf).repartition(4).cache()
+    assert (tweedie_pdf.y == 0).sum() > 100          # real point mass at 0
+    m = glm(sdf, "y ~ x1", family="tweedie", var_power=1.5,
+            offset="ln(expo)")
+    X = np.column_stack([np.ones(len(tweedie_pdf)), tweedie_pdf.x1])
+    off = np.log(tweedie_pdf.expo.to_numpy())
+    b, A = _np_tweedie_irls(X, tweedie_pdf.y.to_numpy(), off, 1.5)
+    assert m.beta == pytest.approx(b, abs=1e-7)
+    yv, muh = tweedie_pdf.y.to_numpy(), np.exp(X @ b + off)
+    phi = float(((yv - muh) ** 2 / muh ** 1.5).sum()) / (len(yv) - 2)
+    assert m.dispersion == pytest.approx(phi, rel=1e-6)
+    assert m.stderr == pytest.approx(
+        np.sqrt(np.diag(np.linalg.inv(A)) * phi), abs=1e-7)
+    # truth recovery on the systematic part
+    assert m.beta[1] == pytest.approx(0.5, abs=0.1)
+    assert m.null_deviance >= m.deviance - 1e-9
+    # null deviance agrees with the closed-form offset intercept in numpy
+    p1, p2 = -0.5, 0.5
+    b0 = math.log((yv * np.exp(p1 * off)).sum()
+                  / np.exp(p2 * off).sum())
+    mu0 = np.exp(b0 + off)
+    nd = 2 * (yv ** p2 / (p1 * p2) - yv * mu0 ** p1 / p1
+              + mu0 ** p2 / p2).sum()
+    assert m.null_deviance == pytest.approx(nd, rel=1e-9)
+    # no-offset null is the plain mean
+    m2 = glm(sdf, "y ~ x1", family="tweedie", var_power=1.3)
+    ybar = yv.mean()
+    q1, q2 = 1 - 1.3, 2 - 1.3
+    nd2 = 2 * ((yv ** q2).sum() / (q1 * q2)
+               - yv.sum() * ybar ** q1 / q1 + len(yv) * ybar ** q2 / q2)
+    assert m2.null_deviance == pytest.approx(nd2, rel=1e-9)
+    with pytest.raises(ValueError, match="var_power"):
+        glm(sdf, "y ~ x1", family="tweedie", var_power=2.0)
+    with pytest.raises(ValueError, match="non-negative"):
+        glm(sdf.withColumn("y", sdf.y - 1000), "y ~ x1", family="tweedie")
