@@ -2110,6 +2110,7 @@ def g_glm_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fast_causal_inference_spark.operators.glm import (
         negative_binomial_regression,
     )
+    from fast_causal_inference_spark.operators.ordinal import ordered_logit
 
     ev = _load(spark, sf_dir, "events")
     # IRLS re-scans its input every iteration — collapse once, cache the
@@ -2124,7 +2125,7 @@ def g_glm_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .coalesce(1).cache())
     pos = ev.where(F.col("value") > 0) \
         .select("value", "user_id").cache()
-    pois, gam, nb, prob, twe = _concurrent([
+    pois, gam, nb, prob, twe, olog = _concurrent([
         lambda: glm(per_user, "n_events ~ avg_value", family="poisson",
                     offset="ln(expo)"),
         lambda: glm(pos, "value ~ (user_id % 5)", family="gamma"),
@@ -2138,6 +2139,8 @@ def g_glm_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
                     family="binomial", link="probit"),
         lambda: glm(per_user, "rev ~ avg_value", family="tweedie",
                     var_power=1.5, offset="ln(expo)"),
+        lambda: ordered_logit(per_user,
+                              "cast(1 + n_events % 3 as int) ~ avg_value"),
     ])
     per_user.unpersist()
     pos.unpersist()
@@ -2155,6 +2158,13 @@ def g_glm_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append({"variant": variant, "item": "all",
                      "stat": "dispersion",
                      "value": round(float(m.dispersion), 6)})
+    for r in olog.itertuples():
+        for stat in ("coef", "stderr"):
+            rows.append({"variant": "ordlogit", "item": str(r.name),
+                         "stat": stat,
+                         "value": round(float(getattr(r, stat)), 6)})
+    rows.append({"variant": "ordlogit", "item": "model", "stat": "loglik",
+                 "value": round(float(olog.attrs["loglik"]), 4)})
     return _long_rows(spark, rows)
 
 
