@@ -4302,7 +4302,17 @@ def q_temporal_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "ts", ["1 day", "1 hour"],
         [F.count(F.lit(1)).alias("n"), F.sum("value").alias("vsum")])
 
-    a_rows, r_rows, ru_rows = _concurrent([
+    def _cusum():
+        from fast_causal_inference_spark.operators.changepoint import (
+            cusum_alarms,
+        )
+
+        series = ev.withColumn("g", (F.col("user_id") % 3).cast("int"))
+        return (cusum_alarms(series, "value", "event_id", "g",
+                             target=0.0, sd=50.0, k=0.5, h=4.0)
+                .orderBy("g").collect())
+
+    a_rows, r_rows, ru_rows, cu_rows = _concurrent([
         lambda: aj.agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.count("qvalue_right").alias("n_matched"),
@@ -4319,6 +4329,7 @@ def q_temporal_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.sum("n").alias("rows_total"),
                       F.round(F.sum("vsum"), 2).alias("value_total"))
                  .collect()),
+        _cusum,
     ])
     a = a_rows[0]
     rows = [{"variant": "asof", "item": "events", "stat": s,
@@ -4333,6 +4344,15 @@ def q_temporal_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         for s in ("n_buckets", "rows_total", "value_total"):
             rows.append({"variant": "rollup", "item": res, "stat": s,
                          "value": float(rr[s])})
+    for cr in cu_rows:
+        for s in ("n_points", "n_alarms", "max_cusum_pos",
+                  "max_cusum_neg"):
+            rows.append({"variant": "cusum", "item": str(cr["g"]),
+                         "stat": s, "value": float(cr[s])})
+        fa = cr["first_alarm_event_id"]
+        rows.append({"variant": "cusum", "item": str(cr["g"]),
+                     "stat": "first_alarm",
+                     "value": float(fa) if fa is not None else -1.0})
     return _long_rows(spark, rows)
 
 
@@ -4369,7 +4389,41 @@ WITH points AS (
 ), ru_hour AS (
   SELECT date_trunc('hour', ts) AS b, count(*) AS n, sum(value) AS vsum
   FROM events GROUP BY 1
+), cu_s AS (
+  SELECT CAST(user_id % 3 AS INT) AS g, event_id,
+         sum(value / 50.0 - 0.5) OVER w AS sp,
+         sum(-value / 50.0 - 0.5) OVER w AS sn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id % 3 ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), cu_c AS (
+  SELECT g, event_id,
+         sp - least(0, min(sp) OVER w) AS cp,
+         sn - least(0, min(sn) OVER w) AS cn
+  FROM cu_s
+  WINDOW w AS (PARTITION BY g ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), cu AS (
+  SELECT g, CAST(count(*) AS DOUBLE) AS n_points,
+         CAST(count(*) FILTER (cp > 4.0 OR cn > 4.0) AS DOUBLE)
+           AS n_alarms,
+         round(max(cp), 6) AS max_cusum_pos,
+         round(max(cn), 6) AS max_cusum_neg,
+         coalesce(CAST(min(event_id)
+                       FILTER (cp > 4.0 OR cn > 4.0) AS DOUBLE), -1.0)
+           AS first_alarm
+  FROM cu_c GROUP BY g
 )
+SELECT 'cusum' AS variant, CAST(g AS VARCHAR) AS item, 'n_points' AS stat,
+       n_points AS value FROM cu
+UNION ALL SELECT 'cusum', CAST(g AS VARCHAR), 'n_alarms', n_alarms FROM cu
+UNION ALL SELECT 'cusum', CAST(g AS VARCHAR), 'max_cusum_pos',
+       max_cusum_pos FROM cu
+UNION ALL SELECT 'cusum', CAST(g AS VARCHAR), 'max_cusum_neg',
+       max_cusum_neg FROM cu
+UNION ALL SELECT 'cusum', CAST(g AS VARCHAR), 'first_alarm',
+       first_alarm FROM cu
+UNION ALL
 SELECT 'asof' AS variant, 'events' AS item, 'n_rows' AS stat,
        n_rows AS value FROM a
 UNION ALL SELECT 'asof', 'events', 'n_matched', n_matched FROM a

@@ -458,3 +458,100 @@ def streaming_quality_score(stream: DataFrame, model: dict,
     return rel.withColumn(
         "quality_logodds", F.col("__s") + F.lit(nb_prior(model))) \
         .drop("__s")
+
+
+def streaming_cusum(stream: DataFrame, value: str, ts_col: str,
+                    target: float, sd: float,
+                    group_col: str | None = None,
+                    k: float = 0.5, h: float = 5.0,
+                    watermark: str = "10 minutes") -> DataFrame:
+    """Streaming tabular CUSUM — the live twin of
+    ``operators/changepoint.cusum_detect`` for Phase-II monitoring
+    (``target``/``sd`` are the pinned in-control parameters; estimating
+    them from the monitored stream itself would defeat the chart).
+
+    ``applyInPandasWithState`` keeps (C⁺, C⁻, n, n_alarms, first_alarm_n)
+    per series — O(1) doubles.  Within a micro-batch rows fold in
+    event-time order via the same prefix-sum closed form as the batch
+    operator (T = C₀ + cumsum(z−k); C = T − min(0, running-min T)), so
+    the fold is vectorized numpy, not a Python loop.  Emits one row per
+    series per micro-batch.
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    from fast_causal_inference_spark.serialization import (
+        ensure_udf_serializable,
+    )
+
+    if sd <= 0:
+        raise ValueError("sd must be positive")
+    if h <= 0 or k < 0:
+        raise ValueError("need h > 0 and k >= 0")
+    gcol = group_col or "__series"
+    base = stream if group_col else stream.withColumn(gcol, F.lit("all"))
+    prepared = (_with_event_time(base, ts_col)
+                .withWatermark(ts_col, watermark)
+                .select(F.col(gcol).cast("string").alias("g"),
+                        F.col(ts_col).alias("ts"),
+                        ((F.expr(value).cast("double")
+                          - F.lit(float(target))) / F.lit(float(sd)))
+                        .alias("z"))
+                .where(F.col("z").isNotNull()))
+
+    out_schema = T.StructType([
+        T.StructField("g", T.StringType()),
+        T.StructField("n", T.DoubleType()),
+        T.StructField("cusum_pos", T.DoubleType()),
+        T.StructField("cusum_neg", T.DoubleType()),
+        T.StructField("n_alarms", T.DoubleType()),
+        T.StructField("first_alarm_n", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("cp", T.DoubleType()),
+        T.StructField("cn", T.DoubleType()),
+        T.StructField("n", T.DoubleType()),
+        T.StructField("n_alarms", T.DoubleType()),
+        T.StructField("first_alarm_n", T.DoubleType()),
+    ])
+    kf, hf = float(k), float(h)
+
+    def update(key, pdfs, state: GroupState):
+        import numpy as _np
+        import pandas as _pd
+
+        if state.exists:
+            cp, cn, n, n_al, first = state.get
+        else:
+            cp = cn = n = n_al = 0.0
+            first = float("nan")
+
+        def fold(c0, d):
+            t = c0 + _np.cumsum(d)
+            return t - _np.minimum(0.0, _np.minimum.accumulate(t))
+
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            z = pdf["z"].to_numpy(dtype=float)
+            if len(z) == 0:
+                continue
+            pos = fold(cp, z - kf)
+            neg = fold(cn, -z - kf)
+            al = (pos > hf) | (neg > hf)
+            if al.any() and _np.isnan(first):
+                first = n + float(al.argmax()) + 1.0
+            n_al += float(al.sum())
+            n += float(len(z))
+            cp, cn = float(pos[-1]), float(neg[-1])
+        state.update((cp, cn, n, n_al, first))
+        yield _pd.DataFrame(
+            [(key[0], n, cp, cn, n_al, first)],
+            columns=[f.name for f in out_schema])
+
+    ensure_udf_serializable()
+    return prepared.groupBy("g").applyInPandasWithState(
+        update, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout)
