@@ -692,6 +692,28 @@ def _did_cs_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"name": names, "beta": [round(float(b), 6) for b in betas]}))
 
 
+def g_did_its(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interrupted-time-series rows of the quasi-experimental family
+    (golden sub-oracle: the segmented OLS + Newey-West sandwich is a
+    driver-side matrix solve over the bounded daily grid).  The events
+    table spans 2024-01 at every SF; intervention mid-month."""
+    import pandas as pd
+
+    from fast_causal_inference_spark.operators.its import (
+        interrupted_time_series,
+    )
+
+    ev = _load(spark, sf_dir, "events")
+    out = interrupted_time_series(ev, "value", "ts", "2024-01-16",
+                                  freq="1 day")
+    names, betas = [], []
+    for r in out.itertuples():
+        names += [f"its_{r.name}", f"its_{r.name}_se"]
+        betas += [round(float(r.coef), 6), round(float(r.stderr), 6)]
+    return spark.createDataFrame(pd.DataFrame({"name": names,
+                                               "beta": betas}))
+
+
 def q_did(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quasi-experimental designs family: difference-in-differences
     coefficients (saturated 2x2 — the OLS solution equals the
@@ -713,7 +735,7 @@ def q_did(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _load(spark, sf_dir, "events") \
         .withColumn("arm", (F.col("user_id") % 2).cast("int")) \
         .withColumn("post", (F.col("event_id") % 2).cast("int"))
-    m, rdd, synth_df, event_df, cs_df = _concurrent([
+    m, rdd, synth_df, event_df, cs_df, its_df = _concurrent([
         lambda: did(ev, "value", "arm", "post"),
         # running variable: value around cutoff 50, bandwidth 30
         lambda: regression_discontinuity(
@@ -722,6 +744,7 @@ def q_did(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: g_did_synth(spark, sf_dir),
         lambda: g_did_event(spark, sf_dir),
         lambda: _did_cs_rows(spark, sf_dir),
+        lambda: g_did_its(spark, sf_dir),
     ])
     names = ["intercept", "treatment", "time", "interaction"]
     betas = [round(float(b), 6) for b in m.beta]
@@ -732,7 +755,8 @@ def q_did(spark: SparkSession, sf_dir: str) -> DataFrame:
         betas.append(round(float(rdd[stat]), 6))
     return spark.createDataFrame(pd.DataFrame({"name": names,
                                                "beta": betas})) \
-        .unionByName(synth_df).unionByName(event_df).unionByName(cs_df)
+        .unionByName(synth_df).unionByName(event_df).unionByName(cs_df) \
+        .unionByName(its_df)
 
 
 _DID_SQL = """
@@ -4944,7 +4968,11 @@ def oracle_sql() -> dict[str, str]:
                     "did__event", "SELECT NULL AS name, NULL AS beta "
                     "WHERE FALSE") + ") __de"
                 + " UNION ALL SELECT name, beta FROM ("
-                + _DID_CS_SQL + ") __cs"),
+                + _DID_CS_SQL + ") __cs"
+                + " UNION ALL SELECT name, beta FROM ("
+                + _golden_oracles().get(
+                    "did__its", "SELECT NULL AS name, NULL AS beta "
+                    "WHERE FALSE") + ") __di"),
         "iv_regression": _IV_SQL,
         "linear_dml": _LINEAR_DML_SQL,
         "auc": (_AUC_FAMILY_SQL + " UNION ALL "

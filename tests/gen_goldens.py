@@ -57,6 +57,7 @@ GOLDEN_KEYS = {
     "auc__glm": "g_glm_rows",
     "did__synth": "g_did_synth",
     "did__event": "g_did_event",
+    "did__its": "g_did_its",
     "embedding_near_dup__pca": "g_emb_pca",
     "power__closed": "g_power_closed_form",
 }
