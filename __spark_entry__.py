@@ -3316,13 +3316,14 @@ def q_ols_family(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .collect())
 
     rows = []
-    simple, multi, model, pe, med = _concurrent([
+    simple, multi, model, pe, med, heck = _concurrent([
         lambda: ols_coef_df(li, "l_discount ~ l_tax").toPandas(),
         lambda: ols_coef_df(
             li, "l_extendedprice ~ l_quantity + l_discount").toPandas(),
         lambda: wls(li, "l_discount ~ l_tax", weight="l_quantity"),
         _predict_eval,
         lambda: _ols_mediation(li),
+        lambda: g_ols_heckman(spark, sf_dir),
     ])
     for r in simple.itertuples():
         for stat in ("estimate", "stderr", "t_value"):
@@ -3340,6 +3341,29 @@ def q_ols_family(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "item": str(r["l_returnflag"]), "stat": stat,
                          "value": round(float(r[stat]), 2)})
     rows += med
+    return _long_rows(spark, rows).unionByName(heck)
+
+
+def g_ols_heckman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heckman two-step rows of the OLS family (golden sub-oracle: the
+    probit first stage is iterative Fisher scoring).  Selection =
+    (l_orderkey % 3 = 0) on tax+quantity; outcome = extendedprice on
+    quantity over the selected third (semantics irrelevant for parity)."""
+    from fast_causal_inference_spark.operators.selection import heckman
+
+    li = _load(spark, sf_dir, "lineitem") \
+        .withColumn("sel", (F.col("l_orderkey") % 3 == 0).cast("double"))
+    out = heckman(li, "l_extendedprice ~ l_quantity",
+                  "sel ~ l_tax + l_quantity")
+    rows = []
+    for r in out.itertuples():
+        for stat in ("coef", "stderr"):
+            rows.append({"variant": "heckman", "item": str(r.name),
+                         "stat": stat,
+                         "value": round(float(getattr(r, stat)), 6)})
+    for stat in ("rho", "sigma", "n_selected"):
+        rows.append({"variant": "heckman", "item": "model", "stat": stat,
+                     "value": round(float(out.attrs[stat]), 4)})
     return _long_rows(spark, rows)
 
 
@@ -4957,7 +4981,11 @@ def oracle_sql() -> dict[str, str]:
         "quantile_test_bucket": _QTB_SQL,
         "describe_quantiles": _DESCRIBE_QUANTILES_SQL,
         "matrix_ops": _MATRIX_OPS_SQL,
-        "ols": _OLS_FAMILY_SQL,
+        "ols": (_OLS_FAMILY_SQL + " UNION ALL "
+                + "SELECT variant, item, stat, value FROM ("
+                + _golden_oracles().get(
+                    "ols__heckman", "SELECT NULL AS variant, NULL AS item, "
+                    "NULL AS stat, NULL AS value WHERE FALSE") + ") __oh"),
         "robust_ols": _ROBUST_OLS_SQL,
         "did": (_DID_SQL + " UNION ALL SELECT name, beta FROM ("
                 + _golden_oracles().get(

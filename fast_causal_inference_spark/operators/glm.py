@@ -167,6 +167,13 @@ def glm(df: DataFrame, formula: str, family: str = "poisson",
         [F.expr(e).cast("double") for e in feats]
     y = F.expr(y_expr).cast("double")
     off = F.expr(offset).cast("double") if offset is not None else F.lit(0.0)
+    # complete-case filter: a NULL-y (or NULL-feature) row would otherwise
+    # enter the y-free Gramian sums but not the y-bearing ones, silently
+    # biasing the solve
+    cc = y.isNotNull() & off.isNotNull()
+    for e in feats:
+        cc = cc & F.expr(e).cast("double").isNotNull()
+    df = df.where(cc)
     log_link = family != "gaussian"
 
     beta = np.zeros(p)
@@ -377,6 +384,10 @@ def _binomial_glm(df: DataFrame, formula: str, link: str,
         [F.expr(e).cast("double") for e in feats]
     y = F.expr(y_expr).cast("double")
     off = F.expr(offset).cast("double") if offset is not None else F.lit(0.0)
+    cc = y.isNotNull() & off.isNotNull()
+    for e in feats:
+        cc = cc & F.expr(e).cast("double").isNotNull()
+    df = df.where(cc)
     EPS = 1e-10
 
     m0 = df.agg(F.avg(y).alias("m"), F.min(y).alias("lo"),
@@ -511,6 +522,10 @@ def negative_binomial_regression(df: DataFrame, formula: str,
         [F.expr(e).cast("double") for e in feats]
     y = F.expr(y_expr).cast("double")
     off = F.expr(offset).cast("double") if offset is not None else F.lit(0.0)
+    cc = y.isNotNull() & off.isNotNull()
+    for e in feats:
+        cc = cc & F.expr(e).cast("double").isNotNull()
+    df = df.where(cc)
 
     m0 = df.agg(F.avg(y).alias("m"), F.min(y).alias("lo")).collect()[0]
     if m0["m"] is None:

@@ -442,3 +442,29 @@ def test_tweedie_matches_numpy_and_zero_mass(spark, tweedie_pdf):
         glm(sdf, "y ~ x1", family="tweedie", var_power=2.0)
     with pytest.raises(ValueError, match="non-negative"):
         glm(sdf.withColumn("y", sdf.y - 1000), "y ~ x1", family="tweedie")
+
+
+def test_glm_null_rows_are_complete_case(spark, count_pdf):
+    """A NULL-y (or NULL-feature) row must drop from BOTH sides of the
+    Gramian — before the fix it entered the y-free sums only."""
+    from fast_causal_inference_spark.operators.glm import glm
+
+    pdf = count_pdf.copy()
+    clean = spark.createDataFrame(pdf).coalesce(2)
+    withnull = pdf.copy()
+    withnull.loc[withnull.index[:500], "y"] = np.nan
+    dirty = spark.createDataFrame(withnull).coalesce(2)
+    ref = glm(spark.createDataFrame(pdf.iloc[500:]), "y ~ x1 + x2",
+              family="poisson")
+    got = glm(dirty, "y ~ x1 + x2", family="poisson")
+    assert got.beta == pytest.approx(ref.beta, abs=1e-9)
+    assert got.stderr == pytest.approx(ref.stderr, abs=1e-9)
+    assert got.n == ref.n
+    # NULL feature rows drop too
+    withnullx = pdf.copy()
+    withnullx.loc[withnullx.index[:500], "x1"] = np.nan
+    gotx = glm(spark.createDataFrame(withnullx), "y ~ x1 + x2",
+               family="poisson")
+    refx = glm(spark.createDataFrame(pdf.iloc[500:]), "y ~ x1 + x2",
+               family="poisson")
+    assert gotx.beta == pytest.approx(refx.beta, abs=1e-9)
