@@ -786,8 +786,12 @@ def ivfpq_knn(df: DataFrame, queries: DataFrame, k: int = 10,
     for r in q_rows:
         qid = r[query_id_col]
         v = np.asarray(r[query_vec_col], dtype=float)
-        base = v @ C.T                       # q·C[list] per list
-        for lst in np.argsort(-base)[:n_probe]:
+        base = v @ C.T                       # q·C[list], the ADC IP base
+        # probe by the SAME L2 criterion the encoder assigns with
+        # (argmax x·c − ||c||²/2) — ranking by raw q·C would chase
+        # large-norm centroids and miss the cell holding the neighbors
+        crit = base - 0.5 * (C * C).sum(axis=1)
+        for lst in np.argsort(-crit)[:n_probe]:
             probes.append((qid, int(lst), float(base[lst])))
         luts[qid] = np.stack([
             v[j * dsub:(j + 1) * dsub] @ books[j].T for j in range(m)])

@@ -141,7 +141,13 @@ def ewma_detect(df: DataFrame, value: str, order_by: list[str] | str,
         import numpy as _np
 
         pdf = pdf.sort_values(order).reset_index(drop=True)
-        e = pdf["__z"].ewm(alpha=lam_f, adjust=False).mean()
+        # E₀ = 0 (the in-control target): prepend a zero so pandas'
+        # adjust=False recursion yields E₁ = λz₁, matching the UCL's
+        # variance ramp — raw ewm would set E₁ = z₁ and over-alarm the
+        # first ~1/λ points
+        z0 = pd.concat([pd.Series([0.0]), pdf["__z"]],
+                       ignore_index=True)
+        e = z0.ewm(alpha=lam_f, adjust=False).mean().iloc[1:]
         t = _np.arange(1, len(pdf) + 1, dtype=float)
         ucl = L_f * _np.sqrt(lam_f / (2 - lam_f)
                              * (1 - (1 - lam_f) ** (2 * t)))

@@ -85,7 +85,13 @@ def test_ewma_matches_pandas_and_catches_drift(spark, drift_pdf):
            .orderBy("series", "t").toPandas())
     for g, sub in drift_pdf.groupby("series"):
         z = pd.Series((sub.sort_values("t").v.to_numpy() - 10.0) / 2.0)
-        e = z.ewm(alpha=0.2, adjust=False).mean().to_numpy()
+        # E0 = 0 (the in-control start), so E1 = lam*z1 — matching the
+        # UCL variance ramp rather than pandas' raw E1 = z1
+        e = np.empty(len(z))
+        prev = 0.0
+        for i, zi in enumerate(z.to_numpy()):
+            prev = 0.2 * zi + 0.8 * prev
+            e[i] = prev
         t = np.arange(1, len(z) + 1)
         ucl = 3.0 * np.sqrt(0.2 / 1.8 * (1 - 0.8 ** (2 * t)))
         got = out[out.series == g].sort_values("t")
