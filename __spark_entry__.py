@@ -1010,8 +1010,34 @@ def g_t_learner_dr(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  "avg_ite double")
 
 
+def _conformal_rows(spark: SparkSession, sf_dir: str):
+    """Split-conformal ITE band rows (beyond ref): per-returnflag average
+    band plus the two conformal quantiles.  Fully SQL-re-derived — the
+    fold is `l_suppkey % 2` (pre-treatment id), the per-arm fit-fold
+    models are closed-form simple regressions, and the conformal
+    quantile is the exact ceil((n+1)(1-alpha)) order statistic
+    (approxQuantile rel=1e-6 == the row_number() re-derivation)."""
+    from fast_causal_inference_spark.operators.conformal import conformal_fit
+
+    li = _tl_base(spark, sf_dir)
+    m = conformal_fit(li, "l_extendedprice", "arm", ["l_quantity"],
+                      alpha=0.1, fold_expr="l_suppkey")
+    half = m.q1 + m.q0
+    agg = (m.transform(li).groupBy("l_returnflag")
+           .agg(F.avg("ite").alias("tau")).orderBy("l_returnflag").collect())
+    rows = []
+    for r in agg:
+        rf, tau = str(r["l_returnflag"]), float(r["tau"])
+        rows += [("conf", rf, round(tau, 4)),
+                 ("conf_lo", rf, round(tau - half, 4)),
+                 ("conf_hi", rf, round(tau + half, 4))]
+    rows += [("conf_q", "q0", round(m.q0, 4)), ("conf_q", "q1", round(m.q1, 4))]
+    return rows
+
+
 def q_t_learner(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Meta-learner family: T / S / transformed-outcome (SQL-re-derived)
+    """Meta-learner family: T / S / transformed-outcome / split-conformal
+    ITE bands (SQL-re-derived)
     + CVT / X / propensity / retrospective / R / DR (golden, logistic
     stages):
     average predicted ITE (or score) by return flag.  The S-learner with a full t·x interaction is mathematically
@@ -1025,8 +1051,8 @@ def q_t_learner(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = _tl_base(spark, sf_dir)
-    (t_rows, s_rows, to_rows, cvt_df, x_df, prop_df, retro_df, r_df,
-     dr_df) = _concurrent([
+    (t_rows, s_rows, to_rows, conf_rows, cvt_df, x_df, prop_df, retro_df,
+     r_df, dr_df) = _concurrent([
         lambda: _avg_ite_rows(
             TLearner(["l_quantity"], "l_extendedprice", "arm").fit(li),
             li, "t"),
@@ -1036,6 +1062,7 @@ def q_t_learner(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: _avg_ite_rows(
             TransformedOutcome(["l_quantity"], "l_extendedprice", "arm",
                                propensity=0.5).fit(li), li, "to", nd=4),
+        lambda: _conformal_rows(spark, sf_dir),
         lambda: g_t_learner_cvt(spark, sf_dir),
         lambda: g_t_learner_x(spark, sf_dir),
         lambda: g_t_learner_prop(spark, sf_dir),
@@ -1044,7 +1071,7 @@ def q_t_learner(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: g_t_learner_dr(spark, sf_dir),
     ])
     sql_df = spark.createDataFrame(
-        t_rows + s_rows + to_rows,
+        t_rows + s_rows + to_rows + conf_rows,
         "variant string, l_returnflag string, avg_ite double")
     return (sql_df.unionByName(cvt_df).unionByName(x_df)
             .unionByName(prop_df).unionByName(retro_df)
@@ -1082,6 +1109,37 @@ FROM lineitem, m GROUP BY l_returnflag
 UNION ALL
 SELECT 'to', l_returnflag, round(avg(i + s * l_quantity), 4)
 FROM lineitem, tom GROUP BY l_returnflag
+UNION ALL SELECT variant, l_returnflag, avg_ite FROM (
+  WITH cf AS (
+    SELECT l_quantity AS x, l_extendedprice AS y, l_returnflag AS rf,
+           l_orderkey % 2 AS arm, l_suppkey % 2 AS fold
+    FROM lineitem
+  ), cfit AS (          -- per-arm simple OLS on the fit fold
+    SELECT arm, regr_intercept(y, x) AS a, regr_slope(y, x) AS b
+    FROM cf WHERE fold = 0 GROUP BY arm
+  ), cscore AS (        -- calibration-fold conformity scores
+    SELECT c.arm, abs(c.y - (f.a + f.b * c.x)) AS s
+    FROM cf c JOIN cfit f ON f.arm = c.arm WHERE c.fold = 1
+  ), cq AS (            -- exact ceil((n+1)*0.9) order statistic per arm
+    SELECT arm, s AS q FROM (
+      SELECT arm, s, row_number() OVER (PARTITION BY arm ORDER BY s) AS rn,
+             count(*) OVER (PARTITION BY arm) AS n
+      FROM cscore) WHERE rn = CAST(ceil((n + 1) * 0.9) AS BIGINT)
+  ), chalf AS (
+    SELECT sum(q) AS half FROM cq
+  ), ctau AS (
+    SELECT c.rf, avg((f1.a - f0.a) + (f1.b - f0.b) * c.x) AS tau
+    FROM cf c,
+         (SELECT a, b FROM cfit WHERE arm = 1) f1,
+         (SELECT a, b FROM cfit WHERE arm = 0) f0
+    GROUP BY c.rf
+  )
+  SELECT 'conf' AS variant, rf AS l_returnflag, round(tau, 4) AS avg_ite
+  FROM ctau
+  UNION ALL SELECT 'conf_lo', rf, round(tau - half, 4) FROM ctau, chalf
+  UNION ALL SELECT 'conf_hi', rf, round(tau + half, 4) FROM ctau, chalf
+  UNION ALL SELECT 'conf_q', 'q' || CAST(arm AS VARCHAR), round(q, 4) FROM cq
+) __conf
 """
 
 
@@ -1118,23 +1176,36 @@ def q_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubly-robust estimator with a linear-probability propensity and one
     covariate — the oracle re-derives BOTH per-arm simple regressions,
     the LPM, the clamped ψ influence column, and its mean/sd in
-    closed-form SQL."""
+    closed-form SQL.  Off-policy rows (beyond ref): IPS / SNIPS / DR value
+    of a fixed 70/30 target policy against a deterministic x-dependent
+    logging propensity — weights, per-action q-models, and influence
+    columns all re-derived in the same SQL."""
     from fast_causal_inference_spark.operators.estimators import (
         aipw_estimator,
         ate_estimator,
     )
+    from fast_causal_inference_spark.operators.offpolicy import ope_report
 
     ev = _load(spark, sf_dir, "events") \
         .withColumn("arm", (F.col("user_id") % 2).cast("int")) \
         .withColumn("x", ((F.col("event_id") % 97) / 97.0))
-    dm, aipw = _concurrent([
+    ev_ope = ev.withColumn(
+        "mu", F.when(F.col("arm") == 1, 0.2 + 0.6 * F.col("x"))
+               .otherwise(0.8 - 0.6 * F.col("x")))
+    dm, aipw, ope = _concurrent([
         lambda: ate_estimator(ev, "value", "arm", B=10, seed=3),
         lambda: aipw_estimator(ev, "value", "arm", ["x"],
                                propensity="linear"),
+        lambda: ope_report(ev_ope, "value", "arm", ["x"],
+                           {1: "0.7", 0: "0.3"}, "mu"),
     ])
     rows = [("diff_means", "ATE", round(float(dm.ATE.iloc[0]), 6)),
             ("aipw_linear", "ATE", round(float(aipw.ATE.iloc[0]), 6)),
             ("aipw_linear", "stderr", round(float(aipw.stderr.iloc[0]), 6))]
+    for _, r in ope.iterrows():
+        rows.append((f"ope_{r.estimator}", "value", round(float(r.value), 6)))
+        rows.append((f"ope_{r.estimator}", "stderr",
+                     round(float(r.stderr), 6)))
     return spark.createDataFrame(rows, "variant string, stat string, value double")
 
 
@@ -1170,7 +1241,40 @@ FROM base
 UNION ALL SELECT 'aipw_linear', 'ATE', round(avg(p), 6) FROM scored
 UNION ALL SELECT 'aipw_linear', 'stderr',
        round(stddev_samp(p)/sqrt(count(*)), 6) FROM scored
+UNION ALL SELECT 'ope_ips', 'value', round(avg(w*y), 6) FROM ope
+UNION ALL SELECT 'ope_ips', 'stderr',
+       round(stddev_samp(w*y)/sqrt(count(*)), 6) FROM ope
+UNION ALL SELECT 'ope_snips', 'value',
+       round(sum(w*y)/sum(w), 6) FROM ope
+UNION ALL SELECT 'ope_snips', 'stderr', round(sx, 6) FROM snips_se
+UNION ALL SELECT 'ope_dr', 'value', round(avg(phi), 6) FROM dr_phi
+UNION ALL SELECT 'ope_dr', 'stderr',
+       round(stddev_samp(phi)/sqrt(count(*)), 6) FROM dr_phi
 """
+
+# off-policy CTEs spliced in front of the final SELECT: logging propensity
+# mu = 0.2+0.6x (arm 1) / 0.8-0.6x (arm 0); target policy 70/30; per-action
+# q-models are the same closed-form simple regressions as m1/m0
+_ATE_SQL = _ATE_SQL.replace(
+    ")\nSELECT 'diff_means'",
+    """), ope AS (
+  SELECT y, t, x,
+         (CASE WHEN t = 1 THEN 0.7 ELSE 0.3 END)
+         / (CASE WHEN t = 1 THEN 0.2 + 0.6*x ELSE 0.8 - 0.6*x END) AS w
+  FROM base
+), snips_v AS (
+  SELECT sum(w*y)/sum(w) AS v, avg(w) AS wbar, count(*) AS n FROM ope
+), snips_se AS (
+  SELECT stddev_samp(o.w*(o.y - s.v)/s.wbar)/sqrt(s.n) AS sx
+  FROM ope o, snips_v s
+  GROUP BY s.n
+), dr_phi AS (
+  SELECT 0.7*(m1.a + m1.b*o.x) + 0.3*(m0.a + m0.b*o.x)
+         + o.w*(o.y - CASE WHEN o.t = 1 THEN m1.a + m1.b*o.x
+                           ELSE m0.a + m0.b*o.x END) AS phi
+  FROM ope o, m1, m0
+)
+SELECT 'diff_means'""")
 
 
 def q_stochastic_sgd(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -75,6 +75,16 @@ from fast_causal_inference_spark.operators.quantile_test import (
     quantile_treatment_effect,
 )
 from fast_causal_inference_spark.operators.estimators import aipw_estimator, ate_estimator, ipw_estimator
+from fast_causal_inference_spark.operators.offpolicy import (
+    ope_dr,
+    ope_ips,
+    ope_report,
+    ope_snips,
+)
+from fast_causal_inference_spark.operators.conformal import (
+    conformal_fit,
+    conformal_ite,
+)
 from fast_causal_inference_spark.operators.temporal import (
     asof_join,
     range_join,
@@ -198,6 +208,12 @@ __all__ = [
     "ate_estimator",
     "aipw_estimator",
     "ipw_estimator",
+    "ope_ips",
+    "ope_snips",
+    "ope_dr",
+    "ope_report",
+    "conformal_fit",
+    "conformal_ite",
     "asof_join",
     "range_join",
     "time_bucket_rollup",
