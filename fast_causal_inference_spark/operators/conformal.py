@@ -1,0 +1,155 @@
+"""Split-conformal prediction intervals for outcomes and treatment effects.
+
+Finite-sample marginal coverage bands with NO distributional assumptions
+(Vovk et al.; Lei-G'Sell-Rinaldo-Tibshirani-Wasserman JASA 2018; the ITE
+construction follows Lei-Candès JRSS-B 2021, exchangeable/randomized-arm
+case).  The reference engine reports CATE point estimates only
+(``spark_upliftml`` meta-learners); conformal bands are the honest
+uncertainty companion a decision-maker needs before acting on a CATE.
+
+Method (per arm a ∈ {0, 1}):
+  1. split rows into a fit fold and a calibration fold by a seeded
+     xxhash64 over PRE-TREATMENT feature columns (same discipline as the
+     DML/CUPAC fold hash — hashing Y or T would break exchangeability);
+  2. fit μ̂ₐ on the fit fold — both arms × both folds come from ONE
+     ``groupBy(arm, fold)`` Gramian scan (``ols_grouped``);
+  3. conformity scores sᵢ = |yᵢ − μ̂ₐ(xᵢ)| on the calibration fold; the
+     conformal quantile q̂ₐ is the ⌈(n+1)(1−α)⌉-th smallest score
+     (``approxQuantile`` at rel=1e-6 — exact order statistics);
+  4. the Y(a) band is μ̂ₐ(x) ± q̂ₐ; the ITE band is
+     [τ̂(x) − (q̂₁+q̂₀), τ̂(x) + (q̂₁+q̂₀)] with τ̂ = μ̂₁ − μ̂₀ — a
+     Bonferroni-style combination, so ITE coverage ≥ 1 − 2α
+     marginally (each counterfactual band holds at 1 − α).
+
+Plan shape: one Gramian scan (step 2) + one per-arm score aggregation
+(step 3); scoring is pure Column arithmetic.  Driver state is 2 models
++ 2 scalars — 100 TB safe.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fast_causal_inference_spark.operators.ols import OlsModel, ols_grouped
+
+__all__ = ["conformal_fit", "conformal_ite", "ConformalIte"]
+
+
+@dataclass
+class ConformalIte:
+    """Fitted split-conformal ITE band: per-arm outcome models + conformal
+    quantiles.  ``transform`` appends the band columns to any frame with
+    the feature columns present."""
+
+    mu1: OlsModel
+    mu0: OlsModel
+    q1: float
+    q0: float
+    alpha: float
+    n_cal1: int
+    n_cal0: int
+
+    def ite_column(self) -> Column:
+        return self.mu1.predict_column() - self.mu0.predict_column()
+
+    def transform(self, df: DataFrame, prefix: str = "") -> DataFrame:
+        m1, m0 = self.mu1.predict_column(), self.mu0.predict_column()
+        tau = m1 - m0
+        half = float(self.q1 + self.q0)
+        return (df.withColumn(f"{prefix}mu1", m1)
+                  .withColumn(f"{prefix}mu0", m0)
+                  .withColumn(f"{prefix}ite", tau)
+                  .withColumn(f"{prefix}ite_lo", tau - F.lit(half))
+                  .withColumn(f"{prefix}ite_hi", tau + F.lit(half))
+                  .withColumn(f"{prefix}y1_lo", m1 - F.lit(float(self.q1)))
+                  .withColumn(f"{prefix}y1_hi", m1 + F.lit(float(self.q1)))
+                  .withColumn(f"{prefix}y0_lo", m0 - F.lit(float(self.q0)))
+                  .withColumn(f"{prefix}y0_hi", m0 + F.lit(float(self.q0))))
+
+
+def conformal_fit(df: DataFrame, Y: str, T: str, X: list[str],
+                  alpha: float = 0.1, seed: int = 42,
+                  treatment_value=1, control_value=0,
+                  fold_expr: str | None = None) -> ConformalIte:
+    """Fit the split-conformal ITE band on an exchangeable (e.g.
+    randomized-experiment) frame.  See module docstring for the method.
+
+    ``alpha`` is the per-counterfactual miscoverage: each Y(a) band
+    covers with probability ≥ 1−α; the ITE band covers ≥ 1−2α.
+    ``fold_expr`` overrides the default xxhash64 feature-hash fold with a
+    user SQL expression (taken mod 2), e.g. a pre-treatment id column —
+    useful when the split must be re-derivable outside Spark.
+    """
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    if not X:
+        raise ValueError("conformal_fit needs at least one feature column")
+    t = F.expr(T)
+    work = (df.withColumn("__y", F.expr(Y).cast("double"))
+              .withColumn("__arm",
+                          F.when(t == F.lit(treatment_value), 1)
+                           .when(t == F.lit(control_value), 0))
+              .where(F.col("__arm").isNotNull())
+              .where(F.col("__y").isNotNull()))
+    # fold hash over pre-treatment features only (see dml._fold_column)
+    h = (F.expr(fold_expr) if fold_expr is not None
+         else F.xxhash64(*[F.expr(c) for c in X], F.lit(seed)))
+    work = work.withColumn("__fold", F.pmod(h, F.lit(2)).cast("int"))
+    work = work.persist()
+    try:
+        rhs = "+".join(X)
+        models = ols_grouped(
+            work, f"__y ~ {rhs}",
+            "concat(cast(__arm as string), ':', cast(__fold as string))")
+        try:
+            mu1, mu0 = models["1:0"], models["0:0"]
+        except KeyError as exc:
+            raise ValueError(
+                f"conformal_fit: fit fold for arm {exc} is empty; "
+                "need rows of both arms in both folds") from exc
+        cal = work.where(F.col("__fold") == 1)
+        pred = F.when(F.col("__arm") == 1, mu1.predict_column()) \
+                .otherwise(mu0.predict_column())
+        scored = cal.select("__arm",
+                            F.abs(F.col("__y") - pred).alias("__s"))
+        counts = {r["__arm"]: r["n"] for r in
+                  scored.groupBy("__arm").agg(F.count("__s").alias("n"))
+                        .collect()}
+        n1, n0 = int(counts.get(1, 0)), int(counts.get(0, 0))
+        if n1 == 0 or n0 == 0:
+            raise ValueError("conformal_fit: empty calibration fold "
+                             f"(treated n={n1}, control n={n0})")
+        qs = []
+        for arm, n in ((1, n1), (0, n0)):
+            # the ⌈(n+1)(1−α)⌉-th order statistic as a probability for the
+            # exact discrete quantile sketch; rank > n means +inf band
+            rank = math.ceil((n + 1) * (1 - alpha))
+            if rank > n:
+                raise ValueError(
+                    f"conformal_fit: calibration arm {arm} has n={n} < "
+                    f"ceil((n+1)(1-alpha)) rows; lower alpha or add data")
+            q = scored.where(F.col("__arm") == arm) \
+                .approxQuantile("__s", [rank / n], 1e-6)[0]
+            qs.append(float(q))
+        q1, q0 = qs
+    finally:
+        work.unpersist()
+    return ConformalIte(mu1=mu1, mu0=mu0, q1=q1, q0=q0, alpha=alpha,
+                        n_cal1=n1, n_cal0=n0)
+
+
+def conformal_ite(df: DataFrame, Y: str, T: str, X: list[str],
+                  alpha: float = 0.1, seed: int = 42,
+                  treatment_value=1, control_value=0,
+                  prefix: str = "") -> DataFrame:
+    """One-shot convenience: fit on ``df`` and return ``df`` with the
+    per-row ITE band columns (``ite``, ``ite_lo``, ``ite_hi``,
+    ``y1_lo/hi``, ``y0_lo/hi``) appended."""
+    model = conformal_fit(df, Y, T, X, alpha=alpha, seed=seed,
+                          treatment_value=treatment_value,
+                          control_value=control_value)
+    return model.transform(df, prefix=prefix)

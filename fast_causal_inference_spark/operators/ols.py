@@ -246,7 +246,8 @@ def _fit_from_row(row, feats: list[str], y_expr: str, use_bias: bool,
     stderr = np.sqrt(np.maximum(np.diag(xtx_inv), 0.0) * sigma2)
     r2 = 1.0 - ssr / sst if sst > 0 else float("nan")
     df_model = p - 1 if use_bias else p
-    adj_r2 = 1.0 - (1.0 - r2) * (n_rows - (1 if use_bias else 0)) / df_resid
+    adj_r2 = (1.0 - (1.0 - r2) * (n_rows - (1 if use_bias else 0)) / df_resid
+              if df_resid > 0 else float("nan"))
     if df_model > 0 and sigma2 > 0:
         f_stat = (sst - ssr) / df_model / sigma2
         f_p = float(dist.f_sf(f_stat, df_model, df_resid))
