@@ -3420,7 +3420,7 @@ def q_ols_family(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .collect())
 
     rows = []
-    simple, multi, model, pe, med, heck = _concurrent([
+    simple, multi, model, pe, med, heck, qreg = _concurrent([
         lambda: ols_coef_df(li, "l_discount ~ l_tax").toPandas(),
         lambda: ols_coef_df(
             li, "l_extendedprice ~ l_quantity + l_discount").toPandas(),
@@ -3428,6 +3428,7 @@ def q_ols_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         _predict_eval,
         lambda: _ols_mediation(li),
         lambda: g_ols_heckman(spark, sf_dir),
+        lambda: g_ols_quantreg(spark, sf_dir),
     ])
     for r in simple.itertuples():
         for stat in ("estimate", "stderr", "t_value"):
@@ -3445,7 +3446,28 @@ def q_ols_family(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "item": str(r["l_returnflag"]), "stat": stat,
                          "value": round(float(r[stat]), 2)})
     rows += med
-    return _long_rows(spark, rows).unionByName(heck)
+    return _long_rows(spark, rows).unionByName(heck).unionByName(qreg)
+
+
+def g_ols_quantreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed quantile-regression rows of the OLS family (golden
+    sub-oracle: the damped-Newton solve on the convolution-smoothed
+    pinball loss is iterative, not SQL-expressible).  Median and upper
+    quartile of l_discount on l_tax (semantics irrelevant for parity)."""
+    from fast_causal_inference_spark.operators.quantreg import (
+        quantile_regression,
+    )
+
+    li = _load(spark, sf_dir, "lineitem")
+    rows = []
+    for tau in (0.5, 0.75):
+        m = quantile_regression(li, "l_discount ~ l_tax", tau=tau)
+        for name, b, se in zip(m.names, m.beta, m.stderr):
+            rows.append({"variant": f"quantreg_{tau}", "item": name,
+                         "stat": "coef", "value": round(float(b), 6)})
+            rows.append({"variant": f"quantreg_{tau}", "item": name,
+                         "stat": "stderr", "value": round(float(se), 6)})
+    return _long_rows(spark, rows)
 
 
 def g_ols_heckman(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3681,9 +3703,12 @@ def g_survival_cox(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_survival_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier curve + Cox PH (Breslow + Efron) + stratified
-    log-rank as one survival family (absorbs the former survival_km /
-    cox_ph gate keys)."""
+    log-rank + Aalen-Johansen competing-risks CIF as one survival family
+    (absorbs the former survival_km / cox_ph gate keys).  The AJ rows
+    are fully SQL-re-derived (window cumulative hazard products, same
+    machinery as the KM oracle)."""
     from fast_causal_inference_spark.operators.survival import (
+        aalen_johansen,
         stratified_logrank_test,
     )
 
@@ -3695,10 +3720,18 @@ def q_survival_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         return stratified_logrank_test(li, "t_", "e_", "arm",
                                        ["l_returnflag"]).iloc[0]
 
-    km, cox, slr = _concurrent([
+    def _aj():
+        ev = _load(spark, sf_dir, "events") \
+            .withColumn("t_", F.round(F.col("value") / 10.0)
+                        .cast("double")) \
+            .withColumn("c_", (F.col("event_id") % 3).cast("int"))
+        return aalen_johansen(ev, "t_", "c_")
+
+    km, cox, slr, aj = _concurrent([
         lambda: q_survival_km(spark, sf_dir).toPandas(),
         lambda: g_survival_cox(spark, sf_dir),
         _slr,
+        _aj,
     ])
     rows = []
     for r in km.itertuples():
@@ -3708,6 +3741,13 @@ def q_survival_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     for stat in ("chi2", "observed1", "expected1", "n_strata"):
         rows.append({"variant": "logrank_strat", "item": "lineitem",
                      "stat": stat, "value": round(float(slr[stat]), 6)})
+    for r in aj.itertuples():
+        rows.append({"variant": "aj",
+                     "item": f"{int(r.cause)}:{int(r.time)}",
+                     "stat": "cif", "value": round(float(r.cif), 6)})
+        rows.append({"variant": "aj",
+                     "item": f"{int(r.cause)}:{int(r.time)}",
+                     "stat": "n_event", "value": float(r.n_event)})
     return _long_rows(spark, rows).unionByName(cox)
 
 
@@ -3719,6 +3759,46 @@ UNION ALL SELECT 'km', CAST(CAST(time AS BIGINT) AS VARCHAR), 'n_event',
        n_event FROM km
 UNION ALL SELECT 'km', CAST(CAST(time AS BIGINT) AS VARCHAR), 'survival',
        survival FROM km
+UNION ALL SELECT 'aj', item, stat, value FROM (
+  WITH aj_cells AS (
+    SELECT CAST(round(value/10.0) AS DOUBLE) AS tm,
+           CAST(event_id % 3 AS INT) AS cause, count(*) AS n
+    FROM events GROUP BY 1, 2
+  ), aj_grid AS (
+    SELECT tm, CAST(sum(n) AS DOUBLE) AS n_leave,
+           CAST(sum(CASE WHEN cause <> 0 THEN n ELSE 0 END) AS DOUBLE)
+             AS d_all,
+           CAST(sum(CASE WHEN cause = 1 THEN n ELSE 0 END) AS DOUBLE) AS d1,
+           CAST(sum(CASE WHEN cause = 2 THEN n ELSE 0 END) AS DOUBLE) AS d2
+    FROM aj_cells GROUP BY 1
+  ), aj_risk AS (
+    SELECT tm, d_all, d1, d2,
+           sum(n_leave) OVER (ORDER BY tm DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS n_risk
+    FROM aj_grid
+  ), aj_s AS (
+    SELECT tm, d1, d2, n_risk,
+           coalesce(exp(sum(ln(1 - d_all/n_risk)) OVER (ORDER BY tm
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), 1.0)
+             AS s_prev
+    FROM aj_risk
+  ), aj_cif AS (
+    SELECT tm,
+           sum(s_prev * d1 / n_risk) OVER (ORDER BY tm) AS cif1,
+           sum(s_prev * d2 / n_risk) OVER (ORDER BY tm) AS cif2,
+           d1, d2
+    FROM aj_s
+  )
+  SELECT '1:' || CAST(CAST(tm AS BIGINT) AS VARCHAR) AS item,
+         'cif' AS stat, round(cif1, 6) AS value FROM aj_cif
+  UNION ALL SELECT '1:' || CAST(CAST(tm AS BIGINT) AS VARCHAR), 'n_event',
+         d1 FROM aj_cif
+  UNION ALL SELECT '2:' || CAST(CAST(tm AS BIGINT) AS VARCHAR), 'cif',
+         round(cif2, 6) FROM aj_cif
+  UNION ALL SELECT '2:' || CAST(CAST(tm AS BIGINT) AS VARCHAR), 'n_event',
+         d2 FROM aj_cif
+) __aj
 UNION ALL
 SELECT 'logrank_strat', 'lineitem', stat, round(value, 6) FROM (
   WITH slr_cells AS (
@@ -5089,7 +5169,11 @@ def oracle_sql() -> dict[str, str]:
                 + "SELECT variant, item, stat, value FROM ("
                 + _golden_oracles().get(
                     "ols__heckman", "SELECT NULL AS variant, NULL AS item, "
-                    "NULL AS stat, NULL AS value WHERE FALSE") + ") __oh"),
+                    "NULL AS stat, NULL AS value WHERE FALSE") + ") __oh"
+                + " UNION ALL SELECT variant, item, stat, value FROM ("
+                + _golden_oracles().get(
+                    "ols__quantreg", "SELECT NULL AS variant, NULL AS item, "
+                    "NULL AS stat, NULL AS value WHERE FALSE") + ") __oq"),
         "robust_ols": _ROBUST_OLS_SQL,
         "did": (_DID_SQL + " UNION ALL SELECT name, beta FROM ("
                 + _golden_oracles().get(

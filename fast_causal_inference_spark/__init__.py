@@ -85,6 +85,9 @@ from fast_causal_inference_spark.operators.conformal import (
     conformal_fit,
     conformal_ite,
 )
+from fast_causal_inference_spark.operators.quantreg import (
+    quantile_regression,
+)
 from fast_causal_inference_spark.operators.temporal import (
     asof_join,
     range_join,
@@ -214,6 +217,7 @@ __all__ = [
     "ope_report",
     "conformal_fit",
     "conformal_ite",
+    "quantile_regression",
     "asof_join",
     "range_join",
     "time_bucket_rollup",

@@ -138,6 +138,81 @@ def stratified_logrank_test(df: DataFrame, time: str, event: str,
                           "n_strata": n_strata}])
 
 
+def aalen_johansen(df: DataFrame, time: str, event: str,
+                   group: str | None = None) -> pd.DataFrame:
+    """Aalen-Johansen cumulative incidence under competing risks.
+
+    ``event`` codes the outcome at ``time``: 0 = censored, any other
+    value = a competing cause of failure (cause labels are discovered
+    from the data).  For each cause k,
+
+        CIF_k(t) = Σ_{tᵢ ≤ t}  Ŝ(tᵢ⁻) · d_k(tᵢ)/n(tᵢ),
+
+    with Ŝ the all-cause Kaplan-Meier — naive per-cause KM (treating
+    other causes as censoring) over-estimates incidence; AJ is the
+    standard correction (Aalen-Johansen 1978; Klein-Moeschberger §4.3).
+    SEs use the Marubini-Valsecchi delta-method variance.
+
+    Plan shape: ONE ``groupBy(group?, time, cause)`` count aggregation;
+    everything after runs driver-side over the bounded
+    (group × distinct-time × cause) relation — same discipline as
+    :func:`kaplan_meier`.  Returns long format: (group,) time, cause,
+    n_risk, n_event, cif, se.
+    """
+    keys = [group] if group else []
+    t = F.expr(time).cast("double")
+    e = F.expr(event).cast("int")
+    agg = (df.where(t.isNotNull() & e.isNotNull())
+             .groupBy(*keys, t.alias("time"), e.alias("cause"))
+             .agg(F.count(F.lit(1)).alias("n"))
+             .toPandas())
+    if agg.empty:
+        raise ValueError("aalen_johansen: no rows with non-NULL time/event")
+    causes = sorted(c for c in agg.cause.unique() if c != 0)
+    if not causes:
+        raise ValueError("aalen_johansen: no events (all rows censored)")
+    out = []
+    for g, sub in (agg.groupby(group, dropna=False) if group
+                   else [(None, agg)]):
+        times = np.sort(sub.time.unique())
+        pv = sub.pivot_table(index="time", columns="cause", values="n",
+                             fill_value=0).reindex(times, fill_value=0)
+        n_at = pv.sum(axis=1).to_numpy(dtype=float)       # leaving at t
+        n_risk = n_at.sum() - np.concatenate([[0.0], n_at.cumsum()[:-1]])
+        d_all = pv.drop(columns=[0], errors="ignore") \
+                  .sum(axis=1).to_numpy(dtype=float)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            s_prev = np.concatenate(                      # S(t-) all-cause
+                [[1.0], np.cumprod(1.0 - d_all / n_risk)[:-1]])
+        for k in causes:
+            d_k = (pv[k].to_numpy(dtype=float) if k in pv.columns
+                   else np.zeros(len(times)))
+            inc = s_prev * d_k / n_risk
+            cif = inc.cumsum()
+            # Marubini-Valsecchi variance at each t (vectorized over the
+            # time grid: outer differences against the running CIF)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                a_i = np.where(n_risk > d_all,
+                               d_all / (n_risk * (n_risk - d_all)), 0.0)
+                b_i = s_prev ** 2 * (n_risk - d_k) * d_k / n_risk ** 3
+                c_i = s_prev * d_k / n_risk ** 2
+            var = np.empty(len(times))
+            for idx in range(len(times)):
+                diff = cif[idx] - cif[: idx + 1]
+                var[idx] = (np.sum(diff ** 2 * a_i[: idx + 1])
+                            + np.sum(b_i[: idx + 1])
+                            - 2.0 * np.sum(diff * c_i[: idx + 1]))
+            rec = pd.DataFrame({
+                "time": times, "cause": k, "n_risk": n_risk,
+                "n_event": d_k, "cif": cif,
+                "se": np.sqrt(np.maximum(var, 0.0))})
+            if group:
+                rec.insert(0, group, g)
+            out.append(rec)
+    res = pd.concat(out, ignore_index=True)
+    return res
+
+
 def cox_ph(df: DataFrame, time: str, event: str, covariates: list[str],
            max_iter: int = 25, tol: float = 1e-9,
            ties: str = "breslow") -> pd.DataFrame:

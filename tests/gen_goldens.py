@@ -55,6 +55,7 @@ GOLDEN_KEYS = {
     "t_learner__dr": "g_t_learner_dr",
     "matching__prognostic": "g_matching_prognostic",
     "ols__heckman": "g_ols_heckman",
+    "ols__quantreg": "g_ols_quantreg",
     "auc__glm": "g_glm_rows",
     "did__synth": "g_did_synth",
     "did__event": "g_did_event",
