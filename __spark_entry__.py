@@ -3841,6 +3841,29 @@ SELECT 'logrank_strat', 'lineitem', stat, round(value, 6) FROM (
 """
 
 
+def g_matching_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy-balancing rows of the matching family (golden sub-oracle:
+    the dual logsumexp Newton solve is iterative, not SQL-expressible).
+    Balances quantity+discount of the control arm to the treated arm and
+    reports the dual coefficients, weighted-ATT inference, and the
+    control effective sample size."""
+    from fast_causal_inference_spark.operators.balancing import (
+        entropy_balancing,
+    )
+
+    li = _load(spark, sf_dir, "lineitem") \
+        .withColumn("arm", (F.col("l_orderkey") % 2).cast("int"))
+    eb = entropy_balancing(li, "arm", ["l_quantity", "l_discount"])
+    att = eb.att(li, "l_extendedprice").iloc[0]
+    rows = [{"variant": "entropy", "item": feat, "stat": "lambda",
+             "value": round(float(lj), 6)}
+            for feat, lj in zip(eb.features, eb.lam)]
+    for stat in ("ATT", "stderr", "mu_control_weighted", "ess_control"):
+        rows.append({"variant": "entropy", "item": "att", "stat": stat,
+                     "value": round(float(att[stat]), 4)})
+    return _long_rows(spark, rows)
+
+
 def g_matching_prognostic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prognostic-score matching rows (golden sub-oracle: the score is a
     control-arm OLS prediction, and floor-bucketing an fp score makes a
@@ -3904,13 +3927,14 @@ def q_matching_family(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "floor(event_id / 3)", gammas=(1.0, 2.0))
 
     rows = []
-    ex, cal, sm, pr, prog, ros = _concurrent([
+    ex, cal, sm, pr, prog, ros, ent = _concurrent([
         lambda: q_exact_matching(spark, sf_dir).toPandas(),
         lambda: q_caliper_matching(spark, sf_dir).toPandas(),
         lambda: q_smd(spark, sf_dir).toPandas(),
         lambda: q_paired_ttest(spark, sf_dir).toPandas(),
         lambda: g_matching_prognostic(spark, sf_dir),
         _ros,
+        lambda: g_matching_entropy(spark, sf_dir),
     ])
     for r in ros.itertuples():
         for stat in ("z_upper", "z_lower"):
@@ -3938,7 +3962,7 @@ def q_matching_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     for stat in ("n", "estimate", "stderr", "t_stat"):
         rows.append({"variant": "paired", "item": "all", "stat": stat,
                      "value": round(float(pr.iloc[0][stat]), 6)})
-    return _long_rows(spark, rows).unionByName(prog)
+    return _long_rows(spark, rows).unionByName(prog).unionByName(ent)
 
 
 _MATCHING_FAMILY_SQL = f"""
@@ -5230,7 +5254,11 @@ def oracle_sql() -> dict[str, str]:
             + "SELECT variant, item, stat, value FROM ("
             + _golden_oracles().get(
                 "matching__prognostic", "SELECT NULL AS variant, NULL AS "
-                "item, NULL AS stat, NULL AS value WHERE FALSE") + ") __mp"),
+                "item, NULL AS stat, NULL AS value WHERE FALSE") + ") __mp"
+            + " UNION ALL SELECT variant, item, stat, value FROM ("
+            + _golden_oracles().get(
+                "matching__entropy", "SELECT NULL AS variant, NULL AS "
+                "item, NULL AS stat, NULL AS value WHERE FALSE") + ") __me"),
         "multi_arm_tests": _MULTI_ARM_SQL,
         "contingency_tests": _CONTINGENCY_SQL,
         "multiple_testing": _MULTIPLE_TESTING_SQL,

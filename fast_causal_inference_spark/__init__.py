@@ -88,6 +88,9 @@ from fast_causal_inference_spark.operators.conformal import (
 from fast_causal_inference_spark.operators.quantreg import (
     quantile_regression,
 )
+from fast_causal_inference_spark.operators.balancing import (
+    entropy_balancing,
+)
 from fast_causal_inference_spark.operators.temporal import (
     asof_join,
     range_join,
@@ -218,6 +221,7 @@ __all__ = [
     "conformal_fit",
     "conformal_ite",
     "quantile_regression",
+    "entropy_balancing",
     "asof_join",
     "range_join",
     "time_bucket_rollup",

@@ -54,6 +54,7 @@ GOLDEN_KEYS = {
     "t_learner__r": "g_t_learner_r",
     "t_learner__dr": "g_t_learner_dr",
     "matching__prognostic": "g_matching_prognostic",
+    "matching__entropy": "g_matching_entropy",
     "ols__heckman": "g_ols_heckman",
     "ols__quantreg": "g_ols_quantreg",
     "auc__glm": "g_glm_rows",
