@@ -3419,8 +3419,20 @@ def q_ols_family(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         - F.col("pred"), 2))).alias("rmse"))
                 .collect())
 
+    def _oaxaca():
+        from fast_causal_inference_spark.operators.decompose import (
+            oaxaca_blinder,
+        )
+
+        ob = oaxaca_blinder(
+            li.withColumn("arm", (F.col("l_orderkey") % 2).cast("int")),
+            "l_extendedprice", "arm", ["l_quantity"], reference="pooled")
+        return [{"variant": "oaxaca", "item": str(r.component),
+                 "stat": "value", "value": round(float(r.value), 6)}
+                for r in ob.itertuples()]
+
     rows = []
-    simple, multi, model, pe, med, heck, qreg = _concurrent([
+    simple, multi, model, pe, med, heck, qreg, oax = _concurrent([
         lambda: ols_coef_df(li, "l_discount ~ l_tax").toPandas(),
         lambda: ols_coef_df(
             li, "l_extendedprice ~ l_quantity + l_discount").toPandas(),
@@ -3429,6 +3441,7 @@ def q_ols_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: _ols_mediation(li),
         lambda: g_ols_heckman(spark, sf_dir),
         lambda: g_ols_quantreg(spark, sf_dir),
+        _oaxaca,
     ])
     for r in simple.itertuples():
         for stat in ("estimate", "stderr", "t_value"):
@@ -3446,6 +3459,7 @@ def q_ols_family(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "item": str(r["l_returnflag"]), "stat": stat,
                          "value": round(float(r[stat]), 2)})
     rows += med
+    rows += oax
     return _long_rows(spark, rows).unionByName(heck).unionByName(qreg)
 
 
@@ -3635,6 +3649,26 @@ UNION ALL SELECT 'mediation', 'prop_mediated', 'estimate',
        round(acme / (ade + acme), 4) FROM med_f
 UNION ALL SELECT 'mediation', 'sobel_z', 'estimate',
        round(acme / se_acme, 4) FROM med_f
+UNION ALL SELECT 'oaxaca', item, 'value', value FROM (
+  WITH ob AS (
+    SELECT l_extendedprice AS y, l_quantity AS x,
+           CASE WHEN l_orderkey % 2 = 1 THEN 'A' ELSE 'B' END AS g
+    FROM lineitem
+  ), ob_g AS (
+    SELECT g, avg(y) AS ybar, avg(x) AS xbar FROM ob GROUP BY g
+  ), ob_p AS (
+    SELECT regr_slope(y, x) AS b FROM ob
+  ), ob_f AS (
+    SELECT (a.ybar - b.ybar) AS gap,
+           (a.xbar - b.xbar) * p.b AS explained
+    FROM (SELECT * FROM ob_g WHERE g = 'A') a,
+         (SELECT * FROM ob_g WHERE g = 'B') b, ob_p p
+  )
+  SELECT 'total_gap' AS item, round(gap, 6) AS value FROM ob_f
+  UNION ALL SELECT 'explained', round(explained, 6) FROM ob_f
+  UNION ALL SELECT 'unexplained', round(gap - explained, 6) FROM ob_f
+  UNION ALL SELECT 'explained:l_quantity', round(explained, 6) FROM ob_f
+) __ob
 """
 
 

