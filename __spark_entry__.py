@@ -2232,7 +2232,8 @@ def g_glm_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GLM rows of the classification/regression-scoring family (golden
     sub-oracle: IRLS is a deterministic iterative solve).  Poisson with
     an exposure offset on a count of events per user, plus gamma on the
-    strictly-positive value column."""
+    strictly-positive value column; ame_* rows are the response-scale
+    average marginal effects (one extra aggregation per model)."""
     from fast_causal_inference_spark.operators.glm import glm
 
     from fast_causal_inference_spark.operators.glm import (
@@ -2270,9 +2271,23 @@ def g_glm_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: ordered_logit(per_user,
                               "cast(1 + n_events % 3 as int) ~ avg_value"),
     ])
+    from fast_causal_inference_spark.operators.margins import (
+        average_marginal_effects,
+    )
+
+    ame_po, ame_pr = _concurrent([
+        lambda: average_marginal_effects(pois, per_user),
+        lambda: average_marginal_effects(prob, per_user),
+    ])
     per_user.unpersist()
     pos.unpersist()
     rows = []
+    for ame, variant in ((ame_po, "ame_poisson"), (ame_pr, "ame_probit")):
+        for r in ame.itertuples():
+            rows.append({"variant": variant, "item": str(r.name),
+                         "stat": "ame", "value": round(float(r.ame), 6)})
+            rows.append({"variant": variant, "item": str(r.name),
+                         "stat": "se", "value": round(float(r.stderr), 6)})
     for m, variant in ((pois, "glm_poisson"), (gam, "glm_gamma"),
                        (nb, "glm_negbin"), (prob, "glm_probit"),
                        (twe, "glm_tweedie")):
@@ -3721,6 +3736,18 @@ def g_survival_cox(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append({"variant": variant, "item": str(r.name),
                              "stat": stat,
                              "value": round(float(getattr(r, stat)), 6)})
+    # Grambsch-Therneau PH-assumption test at the Breslow fit (KM
+    # transform, the cox.zph default) — one more grid scan
+    from fast_causal_inference_spark.operators.survival import (
+        proportional_hazards_test,
+    )
+
+    ph = proportional_hazards_test(ev, "t_", "e_", ["x_"], transform="km")
+    for r in ph.itertuples():
+        for stat in ("chi2", "p_value"):
+            rows.append({"variant": "ph_test", "item": str(r.name),
+                         "stat": stat,
+                         "value": round(float(getattr(r, stat)), 6)})
     # AFT needs strictly positive durations — shift the rounded |value|
     aft = weibull_aft(ev.withColumn("t_", F.round(F.abs("value"), 0) + 1.0),
                       "t_", "e_", ["x_"])

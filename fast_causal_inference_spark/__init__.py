@@ -94,6 +94,9 @@ from fast_causal_inference_spark.operators.balancing import (
 from fast_causal_inference_spark.operators.decompose import (
     oaxaca_blinder,
 )
+from fast_causal_inference_spark.operators.margins import (
+    average_marginal_effects,
+)
 from fast_causal_inference_spark.operators.temporal import (
     asof_join,
     range_join,
@@ -226,6 +229,7 @@ __all__ = [
     "quantile_regression",
     "entropy_balancing",
     "oaxaca_blinder",
+    "average_marginal_effects",
     "asof_join",
     "range_join",
     "time_bucket_rollup",

@@ -42,6 +42,7 @@ class GlmModel:
     dispersion: float            # 1.0 for poisson/binomial-style families
     offset: str | None = None
     link: str | None = None      # non-default link (binomial probit/cloglog)
+    var_power: float | None = None   # tweedie V(μ) = μ^p exponent
     names: list[str] = field(default_factory=list)
 
     def __post_init__(self):
@@ -343,7 +344,8 @@ def glm(df: DataFrame, formula: str, family: str = "poisson",
                     beta=beta, stderr=stderr, n=n, n_iter=it,
                     converged=converged, deviance=deviance,
                     null_deviance=null_dev, dispersion=dispersion,
-                    offset=offset)
+                    offset=offset,
+                    var_power=var_power if family == "tweedie" else None)
 
 
 def poisson_regression(df: DataFrame, formula: str,

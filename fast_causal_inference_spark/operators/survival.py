@@ -357,6 +357,136 @@ def cox_ph(df: DataFrame, time: str, event: str, covariates: list[str],
     })
 
 
+def proportional_hazards_test(df: DataFrame, time: str, event: str,
+                              covariates: list[str],
+                              beta: np.ndarray | None = None,
+                              transform: str = "km") -> pd.DataFrame:
+    """Grambsch-Therneau test of the proportional-hazards assumption
+    (R's ``cox.zph``): score test for a time-varying coefficient
+    β(t) = β + θ·g(t) at θ = 0, built on per-event-time Schoenfeld
+    residuals.
+
+    For each distinct event time: sᵗ = Σ_events x − d·x̄(t) with x̄ the
+    hazard-weighted risk-set mean, Vᵗ the risk-set covariance.  The
+    global statistic (χ²_k) is uᵀ(I_θθ − I_θβ H⁻¹ I_βθ)⁻¹u with
+    u = Σ g(t)sᵗ, I_θθ = Σ g² d Vᵗ, I_θβ = Σ g d Vᵗ, H = Σ d Vᵗ — the
+    exact information correction for β̂ being estimated (Grambsch &
+    Therneau 1994, Biometrika).  ``transform``: ``'km'`` (1 − left-
+    continuous all-cause KM, the ``cox.zph`` default), ``'identity'``,
+    or ``'rank'`` (event-time rank).
+
+    Plan shape: ONE ``groupBy(time)`` aggregation at β̂ (the same
+    k²-sum scan as a Cox iteration); suffix accumulation and the k×k
+    solve run on the driver over the bounded time grid.  ``beta=None``
+    fits :func:`cox_ph` (Breslow) first.
+    """
+    if transform not in ("km", "identity", "rank"):
+        raise ValueError("transform must be 'km', 'identity', or 'rank'")
+    k = len(covariates)
+    if k == 0:
+        raise ValueError("proportional_hazards_test needs covariates")
+    if beta is None:
+        beta = cox_ph(df, time, event, covariates).coef.to_numpy()
+    beta = np.asarray(beta, dtype=float)
+    tcol = F.expr(time).cast("double").alias("__t")
+    ecol = F.expr(event).cast("double").alias("__e")
+    xs = [F.expr(c).cast("double").alias(f"__x{i}")
+          for i, c in enumerate(covariates)]
+    sub = df.select(tcol, ecol, *xs).na.drop()
+    xb = None
+    for i in range(k):
+        term = float(beta[i]) * F.col(f"__x{i}")
+        xb = term if xb is None else xb + term
+    w = F.exp(xb)
+    e = F.col("__e")
+    aggs = [F.sum(w).alias("sw"), F.sum(e).alias("d"),
+            F.count(F.lit(1)).alias("n")]
+    for i in range(k):
+        aggs.append(F.sum(w * F.col(f"__x{i}")).alias(f"swx{i}"))
+        aggs.append(F.sum(e * F.col(f"__x{i}")).alias(f"sx{i}_e"))
+        for j in range(i, k):
+            aggs.append(F.sum(w * F.col(f"__x{i}") * F.col(f"__x{j}"))
+                        .alias(f"swxx{i}_{j}"))
+    rows = sub.groupBy("__t").agg(*aggs).orderBy(F.desc("__t")).collect()
+    if not rows:
+        raise ValueError("proportional_hazards_test: no complete rows")
+
+    # suffix accumulation (descending time) → per-event-time pieces
+    S0, S1, S2 = 0.0, np.zeros(k), np.zeros((k, k))
+    recs = []                      # (time, d, n_leave, s_vec, V, )
+    for r in rows:
+        S0 += float(r["sw"])
+        for i in range(k):
+            S1[i] += float(r[f"swx{i}"])
+            for j in range(i, k):
+                v = float(r[f"swxx{i}_{j}"])
+                S2[i, j] += v
+                if i != j:
+                    S2[j, i] += v
+        d = float(r["d"])
+        if d <= 0:
+            continue
+        xbar = S1 / S0
+        V = S2 / S0 - np.outer(xbar, xbar)
+        s = np.array([float(r[f"sx{i}_e"]) for i in range(k)]) - d * xbar
+        recs.append((float(r["__t"]), d, float(r["n"]), s, V.copy()))
+    if not recs:
+        raise ValueError("proportional_hazards_test: no events")
+    recs.sort(key=lambda rec: rec[0])          # ascending time
+    times = np.array([rec[0] for rec in recs])
+    ds = np.array([rec[1] for rec in recs])
+
+    if transform == "identity":
+        g = times.copy()
+    elif transform == "rank":
+        g = np.arange(1, len(times) + 1, dtype=float)
+    else:
+        # left-continuous 1 − KM over ALL leavers (the cox.zph default)
+        n_total = sum(float(r["n"]) for r in rows)
+        km = []
+        surv = 1.0
+        at_risk = n_total
+        # walk the full grid ascending to track S(t−) at event times
+        grid = sorted(((float(r["__t"]), float(r["d"]), float(r["n"]))
+                       for r in rows))
+        ev_idx = 0
+        for tm, d_t, n_t in grid:
+            if ev_idx < len(times) and times[ev_idx] == tm:
+                km.append(1.0 - surv)
+                ev_idx += 1
+            if at_risk > 0:
+                surv *= (at_risk - d_t) / at_risk if d_t <= at_risk else 0.0
+            at_risk -= n_t
+        g = np.array(km)
+    gbar = float((g * ds).sum() / ds.sum())
+    gc = g - gbar
+
+    u = np.zeros(k)
+    H = np.zeros((k, k))
+    Igg = np.zeros((k, k))
+    Igb = np.zeros((k, k))
+    for (tm, d, _n, s, V), gi in zip(recs, gc):
+        u += gi * s
+        H += d * V
+        Igg += gi * gi * d * V
+        Igb += gi * d * V
+    D = Igg - Igb @ np.linalg.pinv(H) @ Igb.T
+    Dinv = np.linalg.pinv(D)
+    chi2_global = float(u @ Dinv @ u)
+    p_global = float(dist.chi2_sf(chi2_global, k))
+    out = []
+    for i, name in enumerate(covariates):
+        chi2_i = u[i] ** 2 / D[i, i] if D[i, i] > 0 else float("nan")
+        out.append({"name": name, "chi2": chi2_i, "df": 1.0,
+                    "p_value": float(dist.chi2_sf(chi2_i, 1))})
+    out.append({"name": "GLOBAL", "chi2": chi2_global, "df": float(k),
+                "p_value": p_global})
+    res = pd.DataFrame(out)
+    res.attrs.update({"transform": transform, "n_event_times": len(recs),
+                      "events": float(ds.sum())})
+    return res
+
+
 def weibull_aft(df: DataFrame, time: str, event: str,
                 covariates: list[str], max_iter: int = 50,
                 tol: float = 1e-9) -> pd.DataFrame:
