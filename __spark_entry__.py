@@ -3788,11 +3788,21 @@ def q_survival_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("c_", (F.col("event_id") % 3).cast("int"))
         return aalen_johansen(ev, "t_", "c_")
 
-    km, cox, slr, aj = _concurrent([
+    def _rmst():
+        from fast_causal_inference_spark.operators.survival import rmst
+
+        ev = _load(spark, sf_dir, "events") \
+            .withColumn("t_", F.round(F.col("value") / 10.0)
+                        .cast("double")) \
+            .withColumn("e_", (F.col("event_id") % 5 != 0).cast("int"))
+        return rmst(ev, "t_", "e_", tau=8.0)
+
+    km, cox, slr, aj, rm = _concurrent([
         lambda: q_survival_km(spark, sf_dir).toPandas(),
         lambda: g_survival_cox(spark, sf_dir),
         _slr,
         _aj,
+        _rmst,
     ])
     rows = []
     for r in km.itertuples():
@@ -3809,6 +3819,9 @@ def q_survival_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append({"variant": "aj",
                      "item": f"{int(r.cause)}:{int(r.time)}",
                      "stat": "n_event", "value": float(r.n_event)})
+    for stat in ("rmst", "stderr", "events"):
+        rows.append({"variant": "rmst", "item": "tau8", "stat": stat,
+                     "value": round(float(rm[stat].iloc[0]), 6)})
     return _long_rows(spark, rows).unionByName(cox)
 
 
@@ -3860,6 +3873,46 @@ UNION ALL SELECT 'aj', item, stat, value FROM (
   UNION ALL SELECT '2:' || CAST(CAST(tm AS BIGINT) AS VARCHAR), 'n_event',
          d2 FROM aj_cif
 ) __aj
+UNION ALL SELECT 'rmst', 'tau8', stat, value FROM (
+  WITH rm_km AS (
+    SELECT CAST(round(value/10.0) AS DOUBLE) AS tm,
+           CAST(sum(CASE WHEN event_id % 5 != 0 THEN 1 ELSE 0 END)
+                AS DOUBLE) AS d,
+           CAST(count(*) AS DOUBLE) AS n_leave
+    FROM events GROUP BY 1
+  ), rm_risk AS (
+    SELECT tm, d,
+           sum(n_leave) OVER (ORDER BY tm DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS n_risk
+    FROM rm_km
+  ), rm_s AS (   -- unrounded KM survival at each grid time
+    SELECT tm, d, n_risk,
+           exp(sum(ln((n_risk - d)/n_risk)) OVER (ORDER BY tm)) AS s
+    FROM rm_risk
+  ), rm_seg AS (
+    SELECT tm, d, n_risk, s,
+           s * greatest(0.0, least(coalesce(lead(tm) OVER (ORDER BY tm),
+                                            1e300), 8.0)
+                             - least(tm, 8.0)) AS area
+    FROM rm_s
+  ), rm_sfx AS (
+    SELECT tm, d, n_risk,
+           sum(area) OVER (ORDER BY tm DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS a_int
+    FROM rm_seg
+  ), rm_f AS (
+    SELECT (SELECT least(min(tm), 8.0) FROM rm_km)
+           + (SELECT sum(area) FROM rm_seg) AS mu,
+           (SELECT sum(a_int * a_int * d / (n_risk * (n_risk - d)))
+            FROM rm_sfx WHERE tm <= 8.0 AND d > 0 AND n_risk > d) AS v,
+           (SELECT sum(d) FROM rm_km WHERE tm <= 8.0) AS ev
+  )
+  SELECT 'rmst' AS stat, round(mu, 6) AS value FROM rm_f
+  UNION ALL SELECT 'stderr', round(sqrt(v), 6) FROM rm_f
+  UNION ALL SELECT 'events', round(ev, 6) FROM rm_f
+) __rm
 UNION ALL
 SELECT 'logrank_strat', 'lineitem', stat, round(value, 6) FROM (
   WITH slr_cells AS (

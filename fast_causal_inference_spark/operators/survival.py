@@ -357,6 +357,86 @@ def cox_ph(df: DataFrame, time: str, event: str, covariates: list[str],
     })
 
 
+def rmst(df: DataFrame, time: str, event: str, tau: float,
+         group: str | None = None, alpha: float = 0.05) -> pd.DataFrame:
+    """Restricted mean survival time μ(τ) = ∫₀^τ Ŝ(t)dt (area under the
+    KM curve up to the horizon τ) — the standard alternative to hazard
+    ratios when proportional hazards fails (Royston-Parmar; Uno et al.
+    JCO 2014), since it is a difference in expected event-free time in
+    τ-units rather than a ratio of hazards.
+
+    SE by the Klein variance:  Var(μ̂) = Σ_{tᵢ≤τ} Aᵢ² dᵢ/(nᵢ(nᵢ−dᵢ)),
+    Aᵢ = ∫_{tᵢ}^τ Ŝ(t)dt.  With ``group`` given, returns one row per
+    group PLUS a ``diff`` row (two-sided z-test for the between-group
+    RMST difference, independent groups).
+
+    Plan shape: the same single ``groupBy((group,) time)`` count scan as
+    :func:`kaplan_meier`; integral/variance math on the bounded grid.
+    """
+    if tau <= 0:
+        raise ValueError(f"tau must be positive, got {tau}")
+    keys = [group] if group else []
+    t = F.expr(time).cast("double")
+    e = F.expr(event).cast("double")
+    agg = (df.where(t.isNotNull() & e.isNotNull())
+             .groupBy(*keys, t.alias("time"))
+             .agg(F.sum(e).alias("d"), F.count(F.lit(1)).alias("n"))
+             .toPandas())
+    if agg.empty:
+        raise ValueError("rmst: no rows with non-NULL time/event")
+    out = []
+    for g, sub in (agg.groupby(group, dropna=False) if group
+                   else [(None, agg)]):
+        sub = sub.sort_values("time").reset_index(drop=True)
+        times = sub.time.to_numpy(dtype=float)
+        d = sub.d.to_numpy(dtype=float)
+        n_leave = sub.n.to_numpy(dtype=float)
+        n_risk = n_leave.sum() - np.concatenate(
+            [[0.0], n_leave.cumsum()[:-1]])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            surv = np.cumprod(np.where(n_risk > 0,
+                                       (n_risk - d) / n_risk, 1.0))
+        # integral of the left-continuous step function on [0, tau]
+        knots = np.concatenate([[0.0], times])
+        s_vals = np.concatenate([[1.0], surv])      # S on [knot_i, knot_i+1)
+        uppers = np.concatenate([times, [tau]])
+        widths = np.clip(np.minimum(uppers, tau) - np.minimum(knots, tau),
+                         0.0, None)
+        mu = float((s_vals * widths).sum())
+        # A_i = integral from t_i to tau of S — suffix sums of the areas
+        seg_areas = s_vals * widths                 # area of [knot_i, ...)
+        suffix = np.concatenate([seg_areas[::-1].cumsum()[::-1], [0.0]])
+        A = suffix[1:len(times) + 1]                # ∫ from each tᵢ to τ
+        inside = times <= tau
+        with np.errstate(divide="ignore", invalid="ignore"):
+            terms = np.where((n_risk > d) & inside & (d > 0),
+                             A ** 2 * d / (n_risk * (n_risk - d)), 0.0)
+        var = float(terms.sum())
+        out.append({"group": g, "rmst": mu, "stderr": float(np.sqrt(var)),
+                    "tau": tau, "n": float(n_leave.sum()),
+                    "events": float((d * inside).sum())})
+    res = pd.DataFrame(out)
+    z = float(dist.norm_ppf(1 - alpha / 2))
+    res["lower"] = res.rmst - z * res.stderr
+    res["upper"] = res.rmst + z * res.stderr
+    if group and len(res) == 2:
+        a, b = res.iloc[0], res.iloc[1]
+        diff = float(a.rmst - b.rmst)
+        se = float(np.sqrt(a.stderr ** 2 + b.stderr ** 2))
+        zstat = diff / se if se > 0 else float("nan")
+        res = pd.concat([res, pd.DataFrame([{
+            "group": f"diff({a.group}-{b.group})", "rmst": diff,
+            "stderr": se, "tau": tau, "n": a.n + b.n,
+            "events": a.events + b.events, "lower": diff - z * se,
+            "upper": diff + z * se}])], ignore_index=True)
+        res.attrs["z"] = zstat
+        res.attrs["p_value"] = float(2.0 * dist.norm_sf(abs(zstat))) \
+            if zstat == zstat else float("nan")
+    if not group:
+        res = res.drop(columns=["group"])
+    return res
+
+
 def proportional_hazards_test(df: DataFrame, time: str, event: str,
                               covariates: list[str],
                               beta: np.ndarray | None = None,
