@@ -5080,9 +5080,11 @@ def g_power_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot: closed-form normal/t math, nothing for SQL to scan)."""
     from fast_causal_inference_spark.operators.power import (
         effect_size,
+        events_logrank,
         mde_ttest,
         power_proportion,
         power_ttest,
+        sample_size_logrank,
         sample_size_proportion,
         sample_size_ttest,
     )
@@ -5107,6 +5109,11 @@ def g_power_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"variant": "power_prop", "item": "p=.10->.12,80%",
          "stat": "n_per_arm",
          "value": float(sample_size_proportion(0.10, 0.12))},
+        {"variant": "power_surv", "item": "hr=0.75,80%",
+         "stat": "events", "value": float(events_logrank(0.75))},
+        {"variant": "power_surv", "item": "hr=0.75,pe=0.6,80%",
+         "stat": "n_total",
+         "value": float(sample_size_logrank(0.75, 0.6)["n_total"])},
     ]
     from fast_causal_inference_spark.operators.sequential import (
         group_sequential_ttest,

@@ -169,6 +169,46 @@ def design_effect(m: float, icc: float) -> float:
     return float(1.0 + (m - 1.0) * max(icc, 0.0))
 
 
+def events_logrank(hazard_ratio: float, alpha: float = 0.05,
+                   power: float = 0.8, ratio: float = 1.0) -> float:
+    """Schoenfeld (1983) required number of EVENTS for a two-arm
+    log-rank / Cox test:
+
+        d = (z_{1−α/2} + z_{power})² · (1 + r)² / (r · (ln HR)²)
+
+    with allocation ratio r = n₁/n₀.  Survival designs are event-driven,
+    not subject-driven — this is the quantity that actually powers the
+    trial."""
+    if hazard_ratio <= 0 or hazard_ratio == 1.0:
+        raise ValueError("hazard_ratio must be positive and != 1")
+    if not 0 < alpha < 1 or not 0 < power < 1:
+        raise ValueError("alpha and power must lie in (0, 1)")
+    za = float(dist.norm_ppf(1 - alpha / 2))
+    zb = float(dist.norm_ppf(power))
+    r = ratio
+    return float(math.ceil((za + zb) ** 2 * (1 + r) ** 2
+                           / (r * math.log(hazard_ratio) ** 2)))
+
+
+def sample_size_logrank(hazard_ratio: float, p_event: float,
+                        alpha: float = 0.05, power: float = 0.8,
+                        ratio: float = 1.0) -> dict:
+    """Subjects for a two-arm survival design: Schoenfeld events divided
+    by the overall event probability ``p_event`` over the study horizon
+    (estimate it from the pooled KM: 1 − S(τ), e.g. via :func:`rmst`'s
+    inputs or a pilot)."""
+    if not 0 < p_event <= 1:
+        raise ValueError("p_event must lie in (0, 1]")
+    d = events_logrank(hazard_ratio, alpha=alpha, power=power, ratio=ratio)
+    n_total = math.ceil(d / p_event)
+    n0 = math.ceil(n_total / (1 + ratio))
+    return {"events_required": float(d),
+            "n_total": float(n_total),
+            "n_control": float(n0),
+            "n_treatment": float(n_total - n0),
+            "p_event": float(p_event)}
+
+
 def sample_size_cluster_ttest(effect: float, std: float, m: float,
                               icc: float, alpha: float = 0.05,
                               power: float = 0.8,

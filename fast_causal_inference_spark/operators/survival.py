@@ -357,6 +357,56 @@ def cox_ph(df: DataFrame, time: str, event: str, covariates: list[str],
     })
 
 
+def cif_difference_test(df: DataFrame, time: str, event: str, cause,
+                        group: str, tau: float,
+                        alpha: float = 0.05) -> pd.DataFrame:
+    """Fixed-horizon comparison of two groups' cumulative incidence for
+    one cause: z = (CIF_A(τ) − CIF_B(τ)) / √(se_A² + se_B²) with the
+    Aalen-Johansen estimates and Marubini-Valsecchi variances from
+    :func:`aalen_johansen` (independent groups).
+
+    This is the landmark/fixed-time contrast (Klein et al. 2007-style),
+    NOT Gray's whole-curve subdistribution test — a curve-wide
+    comparison integrates over time; this answers the sharper clinical
+    question "who has more cause-k failures by τ?".  Same single-scan
+    plan as :func:`aalen_johansen`.
+    """
+    if tau <= 0:
+        raise ValueError(f"tau must be positive, got {tau}")
+    aj = aalen_johansen(df, time, event, group=group)
+    aj = aj[aj.cause == cause]
+    if aj.empty:
+        raise ValueError(f"cif_difference_test: cause {cause!r} never "
+                         "occurs")
+    groups = sorted(aj[group].unique(), key=str)
+    if len(groups) != 2:
+        raise ValueError("cif_difference_test needs exactly 2 groups, "
+                         f"got {groups}")
+    rows = []
+    for g in groups:
+        sub = aj[(aj[group] == g) & (aj.time <= tau)]
+        if sub.empty:                        # no events by tau: CIF = 0
+            rows.append({"group": g, "cif": 0.0, "se": 0.0})
+        else:
+            last = sub.sort_values("time").iloc[-1]
+            rows.append({"group": g, "cif": float(last.cif),
+                         "se": float(last.se)})
+    a, b = rows
+    diff = a["cif"] - b["cif"]
+    se = float(np.sqrt(a["se"] ** 2 + b["se"] ** 2))
+    z = diff / se if se > 0 else float("nan")
+    p = float(2.0 * dist.norm_sf(abs(z))) if z == z else float("nan")
+    zc = float(dist.norm_ppf(1 - alpha / 2))
+    # named cif_diff (not "diff") so pandas attribute access doesn't
+    # collide with Series.diff()
+    return pd.DataFrame([{
+        "cause": cause, "tau": tau,
+        "group_a": a["group"], "cif_a": a["cif"], "se_a": a["se"],
+        "group_b": b["group"], "cif_b": b["cif"], "se_b": b["se"],
+        "cif_diff": diff, "stderr": se, "z": z, "p_value": p,
+        "lower": diff - zc * se, "upper": diff + zc * se}])
+
+
 def rmst(df: DataFrame, time: str, event: str, tau: float,
          group: str | None = None, alpha: float = 0.05) -> pd.DataFrame:
     """Restricted mean survival time μ(τ) = ∫₀^τ Ŝ(t)dt (area under the

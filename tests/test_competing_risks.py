@@ -90,3 +90,43 @@ def test_validation(spark, cr_pdf):
     sdf = spark.createDataFrame(cr_pdf)
     with pytest.raises(ValueError, match="censored"):
         aalen_johansen(sdf.withColumn("e", sdf.e * 0), "t", "e")
+
+
+def test_cif_difference_test(spark):
+    from fast_causal_inference_spark.operators.survival import (
+        cif_difference_test,
+    )
+
+    rng = np.random.default_rng(31)
+    n = 6000
+    g = rng.integers(0, 2, n)
+    # group 1 has double the cause-1 hazard; cause-2 hazard shared
+    t1 = rng.exponential(np.where(g == 1, 5.0, 10.0))
+    t2 = rng.exponential(12.0, n)
+    c = rng.exponential(15.0, n)
+    t = np.minimum(np.minimum(t1, t2), c)
+    e = np.where(t == c, 0, np.where(t == t1, 1, 2))
+    pdf = pd.DataFrame({"t": np.round(t, 1), "e": e, "g": g})
+    sdf = spark.createDataFrame(pdf)
+    out = cif_difference_test(sdf, "t", "e", cause=1, group="g", tau=6.0)
+    r = out.iloc[0]
+    # group 1 accumulates clearly more cause-1 failures by tau
+    assert r.group_b == 0 and r.group_a == 1 or r.group_a == 0
+    hi = r.cif_a if r.group_a == 1 else r.cif_b
+    lo = r.cif_b if r.group_a == 1 else r.cif_a
+    assert hi > lo + 0.05
+    assert r.p_value < 1e-6
+    assert r.lower < r.cif_diff < r.upper
+    # cause-2 hazards are IDENTICAL, yet the CIFs differ — the classic
+    # competing-risks phenomenon: group 1's doubled cause-1 hazard
+    # removes subjects first, so group 1 accumulates FEWER cause-2
+    # failures; assert that direction (and a smaller gap than cause 1)
+    out2 = cif_difference_test(sdf, "t", "e", cause=2, group="g", tau=6.0)
+    r2 = out2.iloc[0]
+    cif2 = {r2.group_a: r2.cif_a, r2.group_b: r2.cif_b}
+    assert cif2[1] < cif2[0]
+    assert abs(r2.cif_diff) < abs(r.cif_diff)
+    with pytest.raises(ValueError, match="cause"):
+        cif_difference_test(sdf, "t", "e", cause=9, group="g", tau=6.0)
+    with pytest.raises(ValueError, match="tau"):
+        cif_difference_test(sdf, "t", "e", cause=1, group="g", tau=-1)

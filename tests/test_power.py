@@ -102,3 +102,28 @@ def test_icc_and_cluster_design(spark):
     assert d["n_per_arm"] >= sample_size_ttest(0.2, 1.0)
     assert d["clusters_per_arm"] == pytest.approx(
         np.ceil(d["n_per_arm"] / m), rel=1e-12)
+
+
+def test_schoenfeld_logrank_events():
+    from fast_causal_inference_spark.operators.power import (
+        events_logrank,
+        sample_size_logrank,
+    )
+
+    # textbook value: HR=0.75, alpha=.05 two-sided, 80% power, 1:1 ->
+    # d = (1.96+0.8416)^2 * 4 / ln(0.75)^2 = 379.5... -> 380
+    assert events_logrank(0.75) == 380
+    # symmetric in HR inversion
+    assert events_logrank(0.75) == events_logrank(1 / 0.75)
+    # stronger effects need fewer events; higher power needs more
+    assert events_logrank(0.5) < events_logrank(0.75)
+    assert events_logrank(0.75, power=0.9) > events_logrank(0.75)
+    # unbalanced allocation is less efficient than 1:1
+    assert events_logrank(0.75, ratio=3.0) > events_logrank(0.75)
+    ss = sample_size_logrank(0.75, p_event=0.5)
+    assert ss["n_total"] == np.ceil(380 / 0.5)
+    assert ss["n_control"] + ss["n_treatment"] == ss["n_total"]
+    with pytest.raises(ValueError, match="hazard_ratio"):
+        events_logrank(1.0)
+    with pytest.raises(ValueError, match="p_event"):
+        sample_size_logrank(0.75, p_event=0.0)
