@@ -19,16 +19,24 @@ from fast_causal_inference_spark import stats_distributions as dist
 
 
 def kaplan_meier(df: DataFrame, time: str, event: str,
-                 group: str | None = None) -> pd.DataFrame:
+                 group: str | None = None,
+                 weight: str | None = None) -> pd.DataFrame:
     """KM survival curve S(t) per optional group.
 
-    Returns (group,) time, n_risk, n_event, survival.
+    ``weight`` (SQL expression) turns this into the adjusted/weighted KM
+    (Xie-Liu 2005): risk sets and event counts become weighted sums —
+    pass inverse-propensity weights (e.g. from
+    ``operators.balancing.entropy_balancing`` or a propensity model) to
+    estimate the survival curve a population would have had under one
+    treatment.  Returns (group,) time, n_risk, n_event, survival.
     """
     keys = ([group] if group else [])
     t = F.expr(time).cast("double")
     e = F.expr(event).cast("double")
+    w = F.expr(weight).cast("double") if weight else F.lit(1.0)
     agg = (df.groupBy(*keys, t.alias("time"))
-             .agg(F.sum(e).alias("n_event"), F.count(F.lit(1)).alias("n_obs"))
+             .agg(F.sum(w * e).alias("n_event"),
+                  F.sum(w).alias("n_obs"))
              .orderBy(*keys, "time")
              .toPandas())
     out = []

@@ -130,3 +130,24 @@ def test_cif_difference_test(spark):
         cif_difference_test(sdf, "t", "e", cause=9, group="g", tau=6.0)
     with pytest.raises(ValueError, match="tau"):
         cif_difference_test(sdf, "t", "e", cause=1, group="g", tau=-1)
+
+
+def test_weighted_km(spark, cr_pdf):
+    from fast_causal_inference_spark.operators.survival import kaplan_meier
+
+    one = cr_pdf.copy()
+    one["e"] = (one.e != 0).astype(int)
+    sdf = spark.createDataFrame(one)
+    # weight 1 == unweighted
+    base = kaplan_meier(sdf, "t", "e")
+    w1 = kaplan_meier(sdf, "t", "e", weight="1.0")
+    assert np.allclose(base.survival, w1.survival)
+    # integer weight k == replicating each row k times
+    k = (np.arange(len(one)) % 3 + 1)
+    rep = one.loc[one.index.repeat(k)].reset_index(drop=True)
+    wdf = spark.createDataFrame(one.assign(w=k.astype(float)))
+    w_km = kaplan_meier(wdf, "t", "e", weight="w")
+    r_km = kaplan_meier(spark.createDataFrame(rep), "t", "e")
+    m = w_km.set_index("time").join(r_km.set_index("time"), rsuffix="_r")
+    assert np.allclose(m.survival, m.survival_r, atol=1e-12)
+    assert np.allclose(m.n_risk, m.n_risk_r, atol=1e-9)
