@@ -130,6 +130,61 @@ def main():
     print("== DML: cross-fitted debiased effect in 2 scans (round 5) ==")
     print(cdf.linear_dml("numerator", "x1", ["x2", "x3"], cv=3).summary())
 
+    print("== off-policy evaluation: value of a 70/30 policy (round 6) ==")
+    sdf_ope = df.withColumn("mu", F.lit(0.5)) \
+        .withColumn("r", F.col("numerator"))
+    print(fcis.ope_report(sdf_ope, "r", "treatment", ["x1"],
+                          {1: "0.7", 0: "0.3"}, "mu").to_string())
+
+    print("== split-conformal ITE bands (round 6) ==")
+    cm = fcis.conformal_fit(df, "numerator", "treatment", ["x1", "x2"],
+                            alpha=0.1)
+    print(f"q1={cm.q1:.3f} q0={cm.q0:.3f} (90% counterfactual bands)")
+    cm.transform(df).select("ite", "ite_lo", "ite_hi").show(3)
+
+    print("== quantile regression at the 90th percentile (round 6) ==")
+    print(fcis.quantile_regression(df, "numerator ~ x1 + x2",
+                                   tau=0.9).coef_table().to_string())
+
+    print("== entropy balancing + weighted ATT (round 6) ==")
+    eb = fcis.entropy_balancing(df, "treatment", ["x1", "x2"])
+    print(eb.att(df, "numerator").to_string())
+
+    print("== Oaxaca-Blinder gap decomposition (round 6) ==")
+    print(fcis.oaxaca_blinder(df, "numerator", "treatment",
+                              ["x1", "x2"]).to_string())
+
+    print("== average marginal effects of a logistic model (round 6) ==")
+    from fast_causal_inference_spark.operators.logistic import (
+        logistic_regression,
+    )
+
+    lm = logistic_regression(
+        df.withColumn("conv", (F.col("numerator") > 0).cast("double")),
+        "conv ~ x1 + x2")
+    print(fcis.average_marginal_effects(
+        lm, df.withColumn("conv", (F.col("numerator") > 0)
+                          .cast("double"))).to_string())
+
+    print("== survival: competing risks, RMST, PH check (round 6) ==")
+    from fast_causal_inference_spark.operators.survival import (
+        aalen_johansen,
+        proportional_hazards_test,
+        rmst,
+    )
+
+    sdf_surv = df.select(
+        F.round(F.abs("numerator") + 0.1, 1).alias("t"),
+        (F.abs(F.xxhash64("id")) % 3).cast("int").alias("cause"),
+        F.col("treatment").alias("g"), F.col("x1"))
+    print(aalen_johansen(sdf_surv, "t", "cause").head(4).to_string())
+    print(rmst(sdf_surv.withColumn("e", (F.col("cause") != 0)
+                                   .cast("int")),
+               "t", "e", tau=2.0, group="g").to_string())
+    print(proportional_hazards_test(
+        sdf_surv.withColumn("e", (F.col("cause") != 0).cast("int")),
+        "t", "e", ["x1"]).to_string())
+
     print("== pure-numpy JPEG codec on a synthesized column (round 5) ==")
     from fast_causal_inference_spark.datapipe.multimodal import (
         image_stats,
