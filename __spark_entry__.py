@@ -3490,7 +3490,13 @@ def g_ols_quantreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _load(spark, sf_dir, "lineitem")
     rows = []
     for tau in (0.5, 0.75):
-        m = quantile_regression(li, "l_discount ~ l_tax", tau=tau)
+        # explicit h: l_discount has 11 atoms at 0.01 spacing, so the
+        # conquer-rule bandwidth (~4e-4 at sf0.1) lands far below the
+        # data's resolution and the Newton solve crawls along atom
+        # edges; h=0.005 (half an atom) keeps the smoothed problem
+        # honest AND convergent in a handful of scans
+        m = quantile_regression(li, "l_discount ~ l_tax", tau=tau,
+                                h=0.005)
         for name, b, se in zip(m.names, m.beta, m.stderr):
             rows.append({"variant": f"quantreg_{tau}", "item": name,
                          "stat": "coef", "value": round(float(b), 6)})
@@ -3724,33 +3730,38 @@ def g_survival_cox(spark: SparkSession, sf_dir: str) -> DataFrame:
         weibull_aft,
     )
 
+    from fast_causal_inference_spark.operators.survival import (
+        proportional_hazards_test,
+    )
+
     ev = _load(spark, sf_dir, "events") \
         .withColumn("t_", F.round(F.col("value"), 0)) \
         .withColumn("e_", (F.col("event_id") % 4 != 0).cast("int")) \
         .withColumn("x_", (F.col("user_id") % 5).cast("double"))
+    # the four solves (2 Cox ties, the Grambsch-Therneau grid scan at
+    # the Breslow fit, Weibull AFT) are independent iterative fits —
+    # overlap their (fixed-cost-dominated) Newton scans
+    cox_b, cox_e, ph, aft = _concurrent([
+        lambda: cox_ph(ev, "t_", "e_", ["x_"], ties="breslow"),
+        lambda: cox_ph(ev, "t_", "e_", ["x_"], ties="efron"),
+        lambda: proportional_hazards_test(ev, "t_", "e_", ["x_"],
+                                          transform="km"),
+        lambda: weibull_aft(
+            ev.withColumn("t_", F.round(F.abs("value"), 0) + 1.0),
+            "t_", "e_", ["x_"]),
+    ])
     rows = []
-    for variant, tie in (("cox", "breslow"), ("cox_efron", "efron")):
-        pdf = cox_ph(ev, "t_", "e_", ["x_"], ties=tie)
+    for variant, pdf in (("cox", cox_b), ("cox_efron", cox_e)):
         for r in pdf.itertuples():
             for stat in ("coef", "hazard_ratio", "stderr", "z", "p_value"):
                 rows.append({"variant": variant, "item": str(r.name),
                              "stat": stat,
                              "value": round(float(getattr(r, stat)), 6)})
-    # Grambsch-Therneau PH-assumption test at the Breslow fit (KM
-    # transform, the cox.zph default) — one more grid scan
-    from fast_causal_inference_spark.operators.survival import (
-        proportional_hazards_test,
-    )
-
-    ph = proportional_hazards_test(ev, "t_", "e_", ["x_"], transform="km")
     for r in ph.itertuples():
         for stat in ("chi2", "p_value"):
             rows.append({"variant": "ph_test", "item": str(r.name),
                          "stat": stat,
                          "value": round(float(getattr(r, stat)), 6)})
-    # AFT needs strictly positive durations — shift the rounded |value|
-    aft = weibull_aft(ev.withColumn("t_", F.round(F.abs("value"), 0) + 1.0),
-                      "t_", "e_", ["x_"])
     for r in aft.itertuples():
         for stat in ("coef", "time_ratio", "stderr", "z"):
             rows.append({"variant": "aft_weibull", "item": str(r.name),

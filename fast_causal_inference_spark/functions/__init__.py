@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -253,28 +254,116 @@ def _pandas_udf_double(fn):
     return F.pandas_udf(fn, "double")
 
 
-def erf(c) -> Column:
-    @F.pandas_udf("double")
-    def _erf(s: pd.Series) -> pd.Series:
-        return s.map(lambda v: math.erf(v) if v == v else float("nan"))
+# erf/erfc as PURE Column expressions — W. J. Cody's rational-Chebyshev
+# approximations (netlib specfun CALERF; the algorithm under glibc's
+# erf), max observed error ≤ 3 ulp vs math.erf over [-8, 8] (validated
+# in tests/test_round6_fixes.py).  These sit inside iterative
+# probit/AME/Φ hot loops where the previous Arrow-UDF version paid a
+# Python-worker roundtrip per scan per iteration; as plain expressions
+# they stay in whole-stage codegen and cost the same as exp().
 
-    ensure_udf_serializable()
-    return _erf(F.col(c) if isinstance(c, str) else c)
+_CODY_A = (3.16112374387056560e0, 1.13864154151050156e2,
+           3.77485237685302021e2, 3.20937758913846947e3,
+           1.85777706184603153e-1)
+_CODY_B = (2.36012909523441209e1, 2.44024637934444173e2,
+           1.28261652607737228e3, 2.84423683343917062e3)
+_CODY_C = (5.64188496988670089e-1, 8.88314979438837594e0,
+           6.61191906371416295e1, 2.98635138197400131e2,
+           8.81952221241769090e2, 1.71204761263407058e3,
+           2.05107837782607147e3, 1.23033935479799725e3,
+           2.15311535474403846e-8)
+_CODY_D = (1.57449261107098347e1, 1.17693950891312499e2,
+           5.37181101862009858e2, 1.62138957456669019e3,
+           3.29079923573345963e3, 4.36261909014324716e3,
+           3.43936767414372164e3, 1.23033935480374942e3)
+_CODY_P = (3.05326634961232344e-1, 3.60344899949804439e-1,
+           1.25781726111229246e-1, 1.60837851487422766e-2,
+           6.58749161529837803e-4, 1.63153871373020978e-2)
+_CODY_Q = (2.56852019228982242e0, 1.87295284992346047e0,
+           5.27905102951428412e-1, 6.05183413124413191e-2,
+           2.33520497626869185e-3)
+_CODY_SQRPI = 5.6418958354775628695e-1
+
+
+def _cody_small(x: Column) -> Column:
+    """erf(x) for |x| <= 0.46875 (rational in x²; odd in x)."""
+    z = x * x
+    xnum = F.lit(_CODY_A[4]) * z
+    xden = z
+    for i in range(3):
+        xnum = (xnum + F.lit(_CODY_A[i])) * z
+        xden = (xden + F.lit(_CODY_B[i])) * z
+    return x * (xnum + F.lit(_CODY_A[3])) / (xden + F.lit(_CODY_B[3]))
+
+
+def _cody_erfc_mid(y: Column) -> Column:
+    """erfc(y) for 0.46875 < y <= 4 (Cody branch 2; y positive)."""
+    xnum = F.lit(_CODY_C[8]) * y
+    xden = y
+    for i in range(7):
+        xnum = (xnum + F.lit(_CODY_C[i])) * y
+        xden = (xden + F.lit(_CODY_D[i])) * y
+    r = (xnum + F.lit(_CODY_C[7])) / (xden + F.lit(_CODY_D[7]))
+    # split exp(-y²) = exp(-ysq²)·exp(-(y-ysq)(y+ysq)) with ysq = y
+    # truncated to 1/16ths — Cody's trick to keep the argument of the
+    # big exp exactly representable (cuts cancellation in y²)
+    ysq = F.floor(y * 16.0) / 16.0
+    return F.exp(-ysq * ysq) * F.exp(-(y - ysq) * (y + ysq)) * r
+
+
+def _cody_erfc_tail(y: Column) -> Column:
+    """erfc(y) for y > 4 (Cody branch 3; asymptotic in 1/y²)."""
+    z = 1.0 / (y * y)
+    xnum = F.lit(_CODY_P[5]) * z
+    xden = z
+    for i in range(4):
+        xnum = (xnum + F.lit(_CODY_P[i])) * z
+        xden = (xden + F.lit(_CODY_Q[i])) * z
+    r = z * (xnum + F.lit(_CODY_P[4])) / (xden + F.lit(_CODY_Q[4]))
+    r = (F.lit(_CODY_SQRPI) - r) / y
+    ysq = F.floor(y * 16.0) / 16.0
+    return F.exp(-ysq * ysq) * F.exp(-(y - ysq) * (y + ysq)) * r
+
+
+def _cody_erfc_pos(y: Column) -> Column:
+    """erfc(y) for y > 0.46875."""
+    return F.when(y <= 4.0, _cody_erfc_mid(y)).otherwise(_cody_erfc_tail(y))
+
+
+def erf(c) -> Column:
+    x = (F.col(c) if isinstance(c, str) else c).cast("double")
+    y = F.abs(x)
+    # NaN first: Spark orders NaN GREATER than every number, so without
+    # the guard NaN would take the y >= 6 clamp branch
+    return (F.when(F.isnan(x), x)
+            .when(y <= 0.46875, _cody_small(x))
+            # erf(6) rounds to 1.0 in double, so clamping at 6 is exact
+            # and keeps ±inf finite (the branch arithmetic would give
+            # inf - inf = NaN)
+            .when(y >= 6.0, F.signum(x))
+            .otherwise(F.signum(x) * (1.0 - _cody_erfc_pos(y))))
 
 
 def erfc(c) -> Column:
-    @F.pandas_udf("double")
-    def _erfc(s: pd.Series) -> pd.Series:
-        return s.map(lambda v: math.erfc(v) if v == v else float("nan"))
-
-    ensure_udf_serializable()
-    return _erfc(F.col(c) if isinstance(c, str) else c)
+    x = (F.col(c) if isinstance(c, str) else c).cast("double")
+    y = F.abs(x)
+    return (F.when(F.isnan(x), x)
+            .when(y <= 0.46875, 1.0 - _cody_small(x))
+            # erfc(28) underflows to 0 and erfc(-6) rounds to 2.0 —
+            # both exact in double, and the clamps keep ±inf finite
+            .when(x >= 28.0, F.lit(0.0))
+            .when(x <= -6.0, F.lit(2.0))
+            .otherwise(F.when(x > 0, _cody_erfc_pos(y))
+                       .otherwise(2.0 - _cody_erfc_pos(y))))
 
 
 def tgamma(c) -> Column:
     @F.pandas_udf("double")
     def _g(s: pd.Series) -> pd.Series:
-        return s.map(lambda v: math.gamma(v) if v == v else float("nan"))
+        vec = np.frompyfunc(math.gamma, 1, 1)
+        return pd.Series(
+            vec(s.to_numpy(dtype="float64")).astype("float64"),
+            index=s.index)
 
     ensure_udf_serializable()
     return _g(F.col(c) if isinstance(c, str) else c)

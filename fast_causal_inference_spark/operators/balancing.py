@@ -138,20 +138,33 @@ def entropy_balancing(df: DataFrame, T: str, features: list[str],
         raise ValueError(f"entropy_balancing: empty arm (treated n={n1:.0f},"
                          f" control n={n0:.0f})")
     center = np.array([float(row[f"m{j}"]) / n1 for j in range(k)])
-    ctl = work.where(t == F.lit(control_value))
-    cs = [x - F.lit(float(c)) for x, c in zip(xs, center)]
+    # persist the centered control design for the dual Newton loop
+    # (design.py pattern): k doubles per control row, re-scanned once
+    # per step + once per halving
+    from pyspark import StorageLevel
+
+    ctl = (work.where(t == F.lit(control_value))
+           .select(*[(x - F.lit(float(c))).alias(f"__c{j}__")
+                     for j, (x, c) in enumerate(zip(xs, center))])
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    cs = [F.col(f"__c{j}__") for j in range(k)]
 
     def _scan(lam: np.ndarray, shift: float):
         z: Column = F.lit(0.0)
         for lj, c in zip(lam, cs):
             z = z + F.lit(float(lj)) * c
         e = F.exp(z - F.lit(float(shift)))
-        aggs = [F.sum(e).alias("s")]
+        # project the exp weight once per row (inlining would expand
+        # the exp(λ·c) chain into every one of the k(k+3)/2 agg
+        # expressions)
+        step = ctl.select(*cs, e.alias("__e__"))
+        ec = F.col("__e__")
+        aggs = [F.sum(ec).alias("s")]
         for i, ci in enumerate(cs):
-            aggs.append(F.sum(e * ci).alias(f"g{i}"))
+            aggs.append(F.sum(ec * ci).alias(f"g{i}"))
             for j in range(i, k):
-                aggs.append(F.sum(e * ci * cs[j]).alias(f"h{i}_{j}"))
-        r = ctl.agg(*aggs).collect()[0]
+                aggs.append(F.sum(ec * ci * cs[j]).alias(f"h{i}_{j}"))
+        r = step.agg(*aggs).collect()[0]
         s = float(r["s"])
         g = np.array([float(r[f"g{i}"]) for i in range(k)])
         H = np.empty((k, k))
@@ -186,6 +199,7 @@ def entropy_balancing(df: DataFrame, T: str, features: list[str],
         halvings = 0
         while not np.isfinite(obj2) or obj2 > obj + 1e-12 * abs(obj):
             if halvings >= 25:
+                ctl.unpersist()
                 raise ValueError(
                     "entropy_balancing did not converge: the treated "
                     "moment target likely lies outside the convex hull "
@@ -204,6 +218,7 @@ def entropy_balancing(df: DataFrame, T: str, features: list[str],
         # moment gap) never reaches zero
         gap = float(np.max(np.abs(g / s)))
         if gap > 1e-6 * max(1.0, float(np.max(np.abs(center)))):
+            ctl.unpersist()
             raise ValueError(
                 "entropy_balancing did not converge after "
                 f"{max_iter} iterations (moment gap {gap:.3g}): the "
@@ -213,6 +228,7 @@ def entropy_balancing(df: DataFrame, T: str, features: list[str],
     # normalize: control weights sum to n_treated —
     # w_i = n1 * exp(lam.c_i) / Σexp(lam.c_j), kept on the log scale
     log_norm = float(np.log(n1) - np.log(s) - shift)
+    ctl.unpersist()
     return EntropyBalance(lam=lam, center=center, features=features, T=T,
                           treatment_value=treatment_value,
                           control_value=control_value, n_treated=n1,

@@ -1,0 +1,59 @@
+"""Persisted design projection for iterative solvers.
+
+Every IRLS / Newton operator in this package scans its input once per
+iteration (one Gramian-shaped aggregation — see ``glm.py``,
+``quantreg.py``, ``logistic.py``).  Re-deriving (y, X) from the source
+relation on every step repeats the parquet scan and the feature
+expression evaluation 5–50 times per fit.  The standard fix — what
+Spark MLlib's ``handlePersistence`` does before L-BFGS/IRLS — is to
+project the complete-case design down to a flat double-typed relation,
+persist it MEMORY_AND_DISK for the duration of the loop, and unpersist
+afterwards.
+
+At 100 TB this is not an optional micro-optimisation: the projected
+design is p+O(1) doubles per row — orders of magnitude narrower than
+the source table — and MEMORY_AND_DISK spills per-executor to local
+disk when it does not fit, so each iteration reads columnar in-memory
+(or local-disk) batches instead of re-scanning remote storage.
+
+Callers follow the repo convention (cf. ``ordinal.py``, ``kstest.py``):
+``unpersist()`` at every normal/raising exit rather than try/finally.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["persist_design"]
+
+
+def persist_design(df: DataFrame, y: Column, feat_cols: list[Column],
+                   off: Column | None = None, use_bias: bool = True,
+                   ) -> tuple[DataFrame, Column, list[Column], Column]:
+    """Project ``(y, features[, offset])`` to flat columns and persist.
+
+    Returns ``(work, y, xs, off)`` rebased onto the cached relation:
+    ``xs`` gets a leading ``lit(1.0)`` bias column when ``use_bias``
+    (never materialized — constants cost storage, not compute), and
+    ``off`` comes back as ``lit(0.0)`` when no offset was given.
+
+    The caller owns the cache: call ``work.unpersist()`` at every exit.
+    """
+    cols = [y.alias("__y__")]
+    cols += [c.alias(f"__x{j}__") for j, c in enumerate(feat_cols)]
+    if off is not None:
+        cols.append(off.alias("__off__"))
+    # NOTE: deliberately NO repartition — the projection keeps the
+    # source's split layout, so per-partition row order (and therefore
+    # every float-sum combine order) is identical to scanning the
+    # source directly: results stay bit-for-bit what the un-persisted
+    # loop produced, which the frozen golden oracles depend on.  A
+    # repartition here once broke gen_goldens' cross-process
+    # determinism check (partition count followed defaultParallelism).
+    work = df.select(*cols).persist(StorageLevel.MEMORY_AND_DISK)
+    xs = ([F.lit(1.0)] if use_bias else []) \
+        + [F.col(f"__x{j}__") for j in range(len(feat_cols))]
+    return (work, F.col("__y__"), xs,
+            F.col("__off__") if off is not None else F.lit(0.0))

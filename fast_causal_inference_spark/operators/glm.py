@@ -176,6 +176,14 @@ def glm(df: DataFrame, formula: str, family: str = "poisson",
         cc = cc & F.expr(e).cast("double").isNotNull()
     df = df.where(cc)
     log_link = family != "gaussian"
+    # persist the projected design for the IRLS loop (design.py) — the
+    # m0 scan below doubles as its materialization
+    from fast_causal_inference_spark.operators.design import persist_design
+
+    df, y, xs, off = persist_design(
+        df, y, xs[1:] if use_bias else xs,
+        off=F.expr(offset).cast("double") if offset is not None else None,
+        use_bias=use_bias)
 
     beta = np.zeros(p)
     if log_link:
@@ -183,11 +191,14 @@ def glm(df: DataFrame, formula: str, family: str = "poisson",
         # exp(0)=1 is a poor start for large counts
         m0 = df.agg(F.avg(y).alias("m"), F.min(y).alias("lo")).collect()[0]
         if m0["m"] is None:
+            df.unpersist()
             raise ValueError("no non-NULL outcome rows")
         if family == "gamma" and float(m0["lo"]) <= 0:
+            df.unpersist()
             raise ValueError("gamma family needs strictly positive y")
         if family in ("poisson", "quasipoisson", "tweedie") \
                 and float(m0["lo"]) < 0:
+            df.unpersist()
             raise ValueError(f"{family} family needs non-negative y")
         if use_bias and float(m0["m"]) > 0:
             beta[0] = math.log(float(m0["m"]))
@@ -213,13 +224,23 @@ def glm(df: DataFrame, formula: str, family: str = "poisson",
                 s = F.lit(1.0)
         # working response on the X-only predictor (offset is fixed)
         z = (eta - off) + (y - mu) / (mu if log_link else F.lit(1.0))
+        # materialize w/z in a Project BEFORE the aggregate: inlining
+        # them would expand the link arithmetic into every one of the
+        # p(p+3)/2 agg expressions (codegen blowup, repeated exp());
+        # projected once per row the sums are bit-identical
+        step = df.select(*[c.alias(f"__p{i}__")
+                           for i, c in enumerate(xs)],
+                         s.alias("__w__"), z.alias("__z__"),
+                         y.alias("__yy__"))
+        ps = [F.col(f"__p{i}__") for i in range(p)]
+        sc, zc = F.col("__w__"), F.col("__z__")
         aggs = []
         for i in range(p):
-            aggs.append(F.sum(s * xs[i] * z).alias(f"b{i}"))
+            aggs.append(F.sum(sc * ps[i] * zc).alias(f"b{i}"))
             for j in range(i, p):
-                aggs.append(F.sum(s * xs[i] * xs[j]).alias(f"a{i}_{j}"))
-        aggs.append(F.count(y).alias("n__"))
-        row = df.agg(*aggs).collect()[0]
+                aggs.append(F.sum(sc * ps[i] * ps[j]).alias(f"a{i}_{j}"))
+        aggs.append(F.count(F.col("__yy__")).alias("n__"))
+        row = step.agg(*aggs).collect()[0]
         n = float(row["n__"])
         A = np.empty((p, p))
         b = np.empty(p)
@@ -334,6 +355,7 @@ def glm(df: DataFrame, formula: str, family: str = "poisson",
             null_dev = float(
                 df.agg(F.sum(nd_term).alias("nd")).collect()[0]["nd"])
 
+    df.unpersist()
     dispersion = 1.0
     cov = np.linalg.inv(A)
     if family in ("quasipoisson", "gamma", "gaussian", "tweedie"):
@@ -391,12 +413,22 @@ def _binomial_glm(df: DataFrame, formula: str, link: str,
         cc = cc & F.expr(e).cast("double").isNotNull()
     df = df.where(cc)
     EPS = 1e-10
+    # persist the projected design for the Fisher-scoring loop
+    # (design.py); the m0 scan below doubles as its materialization
+    from fast_causal_inference_spark.operators.design import persist_design
+
+    df, y, xs, off = persist_design(
+        df, y, xs[1:] if use_bias else xs,
+        off=F.expr(offset).cast("double") if offset is not None else None,
+        use_bias=use_bias)
 
     m0 = df.agg(F.avg(y).alias("m"), F.min(y).alias("lo"),
                 F.max(y).alias("hi")).collect()[0]
     if m0["m"] is None:
+        df.unpersist()
         raise ValueError("no non-NULL outcome rows")
     if float(m0["lo"]) < 0 or float(m0["hi"]) > 1:
+        df.unpersist()
         raise ValueError("binomial family needs y in [0, 1]")
 
     def _mu_dmu(eta: Column) -> tuple[Column, Column]:
@@ -436,14 +468,22 @@ def _binomial_glm(df: DataFrame, formula: str, link: str,
             dmu = dmu + F.lit(EPS)
             w = dmu * dmu / (mu * (1.0 - mu) + F.lit(EPS))
             z = (eta - off) + (y - mu) / dmu
+            # project w/z once per row (see glm(): inlining expands the
+            # erf/link chain into every agg expression)
+            step = df.select(*[c.alias(f"__p{i}__")
+                               for i, c in enumerate(cols)],
+                             w.alias("__w__"), z.alias("__z__"),
+                             y.alias("__yy__"))
+            ps = [F.col(f"__p{i}__") for i in range(pp)]
+            wc, zc = F.col("__w__"), F.col("__z__")
             aggs = []
             for i in range(pp):
-                aggs.append(F.sum(w * cols[i] * z).alias(f"b{i}"))
+                aggs.append(F.sum(wc * ps[i] * zc).alias(f"b{i}"))
                 for j in range(i, pp):
-                    aggs.append(F.sum(w * cols[i] * cols[j])
+                    aggs.append(F.sum(wc * ps[i] * ps[j])
                                 .alias(f"a{i}_{j}"))
-            aggs.append(F.count(y).alias("n__"))
-            row = df.agg(*aggs).collect()[0]
+            aggs.append(F.count(F.col("__yy__")).alias("n__"))
+            row = step.agg(*aggs).collect()[0]
             n = float(row["n__"])
             A = np.empty((pp, pp))
             b = np.empty(pp)
@@ -485,6 +525,7 @@ def _binomial_glm(df: DataFrame, formula: str, link: str,
     else:
         null_dev = float("nan")
 
+    df.unpersist()
     stderr = np.sqrt(np.maximum(np.diag(np.linalg.inv(A)), 0.0))
     return GlmModel(family="binomial", feature_exprs=feats,
                     use_bias=use_bias, beta=beta, stderr=stderr, n=n,
@@ -528,11 +569,21 @@ def negative_binomial_regression(df: DataFrame, formula: str,
     for e in feats:
         cc = cc & F.expr(e).cast("double").isNotNull()
     df = df.where(cc)
+    # persist the projected design for the IRLS + alpha rounds
+    # (design.py); the m0 scan below doubles as its materialization
+    from fast_causal_inference_spark.operators.design import persist_design
+
+    df, y, xs, off = persist_design(
+        df, y, xs[1:] if use_bias else xs,
+        off=F.expr(offset).cast("double") if offset is not None else None,
+        use_bias=use_bias)
 
     m0 = df.agg(F.avg(y).alias("m"), F.min(y).alias("lo")).collect()[0]
     if m0["m"] is None:
+        df.unpersist()
         raise ValueError("no non-NULL outcome rows")
     if float(m0["lo"]) < 0:
+        df.unpersist()
         raise ValueError("negative-binomial family needs non-negative y")
 
     def _eta(beta):
@@ -551,13 +602,21 @@ def negative_binomial_regression(df: DataFrame, formula: str,
             mu = F.exp(_eta(beta))
             w = mu / (1 + F.lit(float(a_disp)) * mu) + F.lit(1e-10)
             z = (_eta(beta) - off) + (y - mu) / (mu + F.lit(1e-10))
+            # project w/z once per row (see glm(): inlining expands the
+            # exp chain into every agg expression)
+            step = df.select(*[c.alias(f"__p{i}__")
+                               for i, c in enumerate(xs)],
+                             w.alias("__w__"), z.alias("__z__"),
+                             y.alias("__yy__"))
+            ps = [F.col(f"__p{i}__") for i in range(p)]
+            wc, zc = F.col("__w__"), F.col("__z__")
             aggs = []
             for i in range(p):
-                aggs.append(F.sum(w * xs[i] * z).alias(f"b{i}"))
+                aggs.append(F.sum(wc * ps[i] * zc).alias(f"b{i}"))
                 for j in range(i, p):
-                    aggs.append(F.sum(w * xs[i] * xs[j]).alias(f"a{i}_{j}"))
-            aggs.append(F.count(y).alias("n__"))
-            row = df.agg(*aggs).collect()[0]
+                    aggs.append(F.sum(wc * ps[i] * ps[j]).alias(f"a{i}_{j}"))
+            aggs.append(F.count(F.col("__yy__")).alias("n__"))
+            row = step.agg(*aggs).collect()[0]
             n = float(row["n__"])
             A = np.empty((p, p))
             b = np.empty(p)
@@ -597,6 +656,7 @@ def negative_binomial_regression(df: DataFrame, formula: str,
             beta, A, n, it, conv = _irls(a_disp, beta)
             total_it += it
     elif alpha < 0:
+        df.unpersist()
         raise ValueError("alpha must be >= 0")
     else:
         beta, A, n, it, conv = _irls(float(alpha), beta)
@@ -647,6 +707,7 @@ def negative_binomial_regression(df: DataFrame, formula: str,
                          .collect()[0]["nd"])
     else:
         null_dev = float("nan")
+    df.unpersist()
     stderr = np.sqrt(np.maximum(np.diag(np.linalg.inv(A)), 0.0))
     return GlmModel(family="negbin", feature_exprs=feats, use_bias=use_bias,
                     beta=beta, stderr=stderr, n=n, n_iter=total_it,

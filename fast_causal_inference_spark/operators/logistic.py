@@ -89,6 +89,11 @@ def logistic_regression(df: DataFrame, formula: str, use_bias: bool = True,
     xs = ([F.lit(1.0)] if use_bias else []) + \
         [F.expr(e).cast("double") for e in feats]
     y = F.expr(y_expr).cast("double")
+    # persist the projected design for the IRLS loop (design.py)
+    from fast_causal_inference_spark.operators.design import persist_design
+
+    df, y, xs, _ = persist_design(df, y, xs[1:] if use_bias else xs,
+                                  use_bias=use_bias)
 
     beta = np.zeros(p)
     n = None
@@ -101,13 +106,19 @@ def logistic_regression(df: DataFrame, formula: str, use_bias: bool = True,
         mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
         s = mu * (1 - mu) + F.lit(1e-10)
         z = eta + (y - mu) / s
+        # project s/z once per row (inlining would expand the logistic
+        # chain into every one of the p(p+3)/2 agg expressions)
+        step = df.select(*[c.alias(f"__p{i}__") for i, c in enumerate(xs)],
+                         s.alias("__w__"), z.alias("__z__"))
+        ps = [F.col(f"__p{i}__") for i in range(p)]
+        sc, zc = F.col("__w__"), F.col("__z__")
         aggs = []
         for i in range(p):
-            aggs.append(F.sum(s * xs[i] * z).alias(f"b{i}"))
+            aggs.append(F.sum(sc * ps[i] * zc).alias(f"b{i}"))
             for j in range(i, p):
-                aggs.append(F.sum(s * xs[i] * xs[j]).alias(f"a{i}_{j}"))
+                aggs.append(F.sum(sc * ps[i] * ps[j]).alias(f"a{i}_{j}"))
         aggs.append(F.count(F.lit(1)).alias("n__"))
-        row = df.agg(*aggs).collect()[0]
+        row = step.agg(*aggs).collect()[0]
         n = float(row["n__"])
         A = np.empty((p, p))
         b = np.empty(p)
@@ -121,6 +132,7 @@ def logistic_regression(df: DataFrame, formula: str, use_bias: bool = True,
         if delta < tol:
             converged = True
             break
+    df.unpersist()
     # SE from inv of final Fisher information (= weighted Gramian A)
     stderr = np.sqrt(np.maximum(np.diag(np.linalg.inv(A)), 0.0))
     return LogisticModel(feature_exprs=feats, use_bias=use_bias, beta=beta,

@@ -113,12 +113,19 @@ def average_marginal_effects(model, df: DataFrame,
     work = df.where(cc) if cc is not None else df
     dmu, d2mu, w = _family_cols(model, eta)
 
-    aggs = [F.count(F.lit(1)).alias("n"), F.sum(dmu).alias("a")]
-    for i, x in enumerate(xs):
-        aggs.append(F.sum(d2mu * x).alias(f"c{i}"))
+    # project the link derivatives once per row (probit dμ/d²μ carry
+    # erf chains; inlined they would re-evaluate per agg expression)
+    step = work.select(*[x.alias(f"__p{i}__") for i, x in enumerate(xs)],
+                       dmu.alias("__dmu__"), d2mu.alias("__d2__"),
+                       w.alias("__w__"))
+    ps = [F.col(f"__p{i}__") for i in range(p)]
+    dmuc, d2c, wc = F.col("__dmu__"), F.col("__d2__"), F.col("__w__")
+    aggs = [F.count(F.lit(1)).alias("n"), F.sum(dmuc).alias("a")]
+    for i, x in enumerate(ps):
+        aggs.append(F.sum(d2c * x).alias(f"c{i}"))
         for j in range(i, p):
-            aggs.append(F.sum(w * x * xs[j]).alias(f"A{i}_{j}"))
-    row = work.agg(*aggs).collect()[0]
+            aggs.append(F.sum(wc * x * ps[j]).alias(f"A{i}_{j}"))
+    row = step.agg(*aggs).collect()[0]
     n = float(row["n"])
     if n == 0:
         raise ValueError("average_marginal_effects: no complete rows")

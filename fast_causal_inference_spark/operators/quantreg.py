@@ -123,14 +123,22 @@ def quantile_regression(df: DataFrame, formula: str, tau: float = 0.5,
     for e in feats:
         cc = cc & F.expr(e).cast("double").isNotNull()
     df = df.where(cc)
+    # persist the projected design for the Newton loop (design.py); the
+    # OLS warm start below doubles as its materialization
+    from fast_causal_inference_spark.operators.design import persist_design
+
+    df, y, xs, _ = persist_design(df, y, xs[1:] if use_bias else xs,
+                                  use_bias=use_bias)
 
     # warm start at OLS; its residual sd sets the bandwidth scale
     from fast_causal_inference_spark.operators.ols import ols
 
-    init = ols(df, formula, use_bias=use_bias)
+    init = ols(df, "__y__ ~ " + " + ".join(f"__x{j}__" for j in range(k)),
+               use_bias=use_bias)
     beta = np.asarray(init.beta, dtype=float).copy()
     n0 = float(init.n)
     if n0 < p + 1:
+        df.unpersist()
         raise ValueError(f"quantile_regression: n={n0:.0f} rows < p+1")
     sigma0 = math.sqrt(max(init.sigma2, 1e-12)) if init.sigma2 == init.sigma2 \
         else 1.0
@@ -139,9 +147,10 @@ def quantile_regression(df: DataFrame, formula: str, tau: float = 0.5,
                 1e-8)
     h = float(h)
     if h <= 0:
+        df.unpersist()
         raise ValueError(f"bandwidth h must be positive, got {h}")
 
-    def _scan(b: np.ndarray):
+    def _scan(b: np.ndarray, h: float):
         eta: Column = F.lit(float(b[0])) * xs[0]
         for j in range(1, p):
             eta = eta + F.lit(float(b[j])) * xs[j]
@@ -149,16 +158,24 @@ def quantile_regression(df: DataFrame, formula: str, tau: float = 0.5,
         sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-r / F.lit(h)))
         w = sig * (F.lit(1.0) - sig) / F.lit(h)          # loss''
         g1 = F.lit(tau) - (F.lit(1.0) - sig)             # loss' in r
+        # project w/g1/loss once per row (inlining would expand the
+        # logistic-kernel chain into every agg expression)
+        step = df.select(*[c.alias(f"__p{i}__") for i, c in enumerate(xs)],
+                         w.alias("__w__"), g1.alias("__g1__"),
+                         _smoothed_loss_col(r, tau, h).alias("__l__"),
+                         y.alias("__yy__"))
+        ps = [F.col(f"__p{i}__") for i in range(p)]
+        wc, g1c = F.col("__w__"), F.col("__g1__")
         aggs = []
         for i in range(p):
             # gradient wrt beta_i is -sum(x_i * loss'(r))
-            aggs.append(F.sum(xs[i] * g1).alias(f"g{i}"))
+            aggs.append(F.sum(ps[i] * g1c).alias(f"g{i}"))
             for j in range(i, p):
-                aggs.append(F.sum(w * xs[i] * xs[j]).alias(f"h{i}_{j}"))
-                aggs.append(F.sum(xs[i] * xs[j]).alias(f"s{i}_{j}"))
-        aggs.append(F.sum(_smoothed_loss_col(r, tau, h)).alias("loss__"))
-        aggs.append(F.count(y).alias("n__"))
-        row = df.agg(*aggs).collect()[0]
+                aggs.append(F.sum(wc * ps[i] * ps[j]).alias(f"h{i}_{j}"))
+                aggs.append(F.sum(ps[i] * ps[j]).alias(f"s{i}_{j}"))
+        aggs.append(F.sum(F.col("__l__")).alias("loss__"))
+        aggs.append(F.count(F.col("__yy__")).alias("n__"))
+        row = step.agg(*aggs).collect()[0]
         g = np.array([float(row[f"g{i}"]) for i in range(p)])
         H = np.empty((p, p))
         S = np.empty((p, p))
@@ -168,33 +185,42 @@ def quantile_regression(df: DataFrame, formula: str, tau: float = 0.5,
                 S[i, j] = S[j, i] = float(row[f"s{i}_{j}"])
         return g, H, S, float(row["loss__"]), float(row["n__"])
 
-    g, H, S, loss, n = _scan(beta)
-    converged = False
-    it = 0
-    for it in range(1, max_iter + 1):
-        # Newton direction on the smoothed loss (grad wrt beta = -g)
-        try:
-            step = np.linalg.solve(H, g)
-        except np.linalg.LinAlgError:
-            step = np.linalg.lstsq(H, g, rcond=None)[0]
-        if float(np.max(np.abs(step))) < tol * max(1.0, sigma0):
-            converged = True
-            break
-        trial = beta + step
-        g2, H2, S2, loss2, n = _scan(trial)
-        halvings = 0
-        while loss2 > loss + 1e-12 * abs(loss) and halvings < 20:
-            step *= 0.5
+    def _newton(beta: np.ndarray, hh: float, iters_budget: int,
+                step_tol: float):
+        """Damped Newton at fixed bandwidth hh from the given start."""
+        g, H, S, loss, n = _scan(beta, hh)
+        converged = False
+        it = 0
+        for it in range(1, iters_budget + 1):
+            # Newton direction on the smoothed loss (grad wrt beta = -g)
+            try:
+                step = np.linalg.solve(H, g)
+            except np.linalg.LinAlgError:
+                step = np.linalg.lstsq(H, g, rcond=None)[0]
+            if float(np.max(np.abs(step))) < step_tol:
+                converged = True
+                break
             trial = beta + step
-            g2, H2, S2, loss2, n = _scan(trial)
-            halvings += 1
-        if halvings >= 20:
-            break
-        beta, g, H, S, loss = trial, g2, H2, S2, loss2
-        if float(np.max(np.abs(step))) < tol * max(1.0, sigma0):
-            converged = True
-            break
+            g2, H2, S2, loss2, n = _scan(trial, hh)
+            halvings = 0
+            while loss2 > loss + 1e-12 * abs(loss) and halvings < 20:
+                step *= 0.5
+                trial = beta + step
+                g2, H2, S2, loss2, n = _scan(trial, hh)
+                halvings += 1
+            if halvings >= 20:
+                break
+            beta, g, H, S, loss = trial, g2, H2, S2, loss2
+            if float(np.max(np.abs(step))) < step_tol:
+                converged = True
+                break
+        return beta, g, H, S, loss, n, it, converged
 
+    step_tol = tol * max(1.0, sigma0)
+    beta, g, H, S, loss, n, it, converged = _newton(beta, h, max_iter,
+                                                    step_tol)
+
+    df.unpersist()
     # sandwich: tau(1-tau) * H^-1 S H^-1 (sums, so the 1/n is implicit)
     Hinv = np.linalg.pinv(H)
     cov = tau * (1 - tau) * Hinv @ S @ Hinv

@@ -76,6 +76,23 @@ def heckman(df: DataFrame, outcome_formula: str, selection_formula: str,
     ws = [F.lit(1.0)] + [F.expr(e).cast("double") for e in x_feats] + [lam]
     zs = [F.lit(1.0)] + [F.expr(e).cast("double") for e in z_feats]
     pw = len(ws)
+    kzz = len(zs)
+    # project the per-row quantities ONCE (the inverse-Mills λ and δ
+    # chains contain erf; inlined into the O(p²) agg expressions below
+    # they would be re-evaluated per term) and persist: scans 1-2 both
+    # read this narrow relation
+    from pyspark import StorageLevel
+
+    selw = (sel.select(
+        *[w.alias(f"__w{i}__") for i, w in enumerate(ws)],
+        *[z.alias(f"__z{j}__") for j, z in enumerate(zs)],
+        delta.alias("__d__"), y.alias("__y__"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    ws = [F.col(f"__w{i}__") for i in range(pw)]
+    zs = [F.col(f"__z{j}__") for j in range(kzz)]
+    delta = F.col("__d__")
+    y = F.col("__y__")
+    sel = selw
 
     # scan 1: step-2 Gramian [W'W | W'y]
     aggs = []
@@ -87,6 +104,7 @@ def heckman(df: DataFrame, outcome_formula: str, selection_formula: str,
     r = sel.agg(*aggs).collect()[0]
     n1 = float(r["n1"])
     if n1 <= pw:
+        selw.unpersist()
         raise ValueError(f"only {int(n1)} selected rows for {pw} step-2 "
                          f"parameters")
     WtW = np.empty((pw, pw))
@@ -119,19 +137,27 @@ def heckman(df: DataFrame, outcome_formula: str, selection_formula: str,
             WdW[i, j] = WdW[j, i] = r2[f"wdw{i}_{j}"]
         for j in range(kz):
             WdZ[i, j] = r2[f"wdz{i}_{j}"]
+    selw.unpersist()
     # probit covariance: glm keeps only stderr, so rebuild the full
     # Fisher inverse with one more tiny scan over the probit's own
-    # complete cases (selection + all Z non-null)
+    # complete cases (selection + all Z non-null); project w0 (erf
+    # chain) and Z once per row before the O(k²) aggregate
     cc = s.isNotNull()
+    zs_raw = [F.lit(1.0)] + [F.expr(e).cast("double") for e in z_feats]
     for e in z_feats:
         cc = cc & F.expr(e).cast("double").isNotNull()
-    ag = []
     mu0 = Phi
     w0 = (phi * phi) / (mu0 * (1.0 - mu0) + F.lit(1e-10))
+    stepf = df.where(cc).select(
+        *[z.alias(f"__z{j}__") for j, z in enumerate(zs_raw)],
+        w0.alias("__w0__"))
+    zf = [F.col(f"__z{j}__") for j in range(kz)]
+    w0c = F.col("__w0__")
+    ag = []
     for i in range(kz):
         for j in range(i, kz):
-            ag.append(F.sum(w0 * zs[i] * zs[j]).alias(f"f{i}_{j}"))
-    rf = df.where(cc).agg(*ag).collect()[0]
+            ag.append(F.sum(w0c * zf[i] * zf[j]).alias(f"f{i}_{j}"))
+    rf = stepf.agg(*ag).collect()[0]
     Fz = np.empty((kz, kz))
     for i in range(kz):
         for j in range(i, kz):

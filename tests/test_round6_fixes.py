@@ -212,3 +212,42 @@ def test_lsh_max_bucket_size_guard(spark):
         n_capped = capped.count()
     assert any("skipping" in str(c.message) for c in caught)
     assert n_capped < exact
+
+
+def test_erf_erfc_pure_column_ulp_accuracy(spark):
+    """erf/erfc are now pure Column expressions (Cody rational
+    approximations) — validate <= 4 ulp vs math.erf/math.erfc over a
+    dense grid spanning all branches, plus exact special values."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from fast_causal_inference_spark.functions import erf, erfc
+
+    xs = list(np.concatenate([
+        np.linspace(-8, 8, 2001),
+        np.linspace(-0.47, 0.47, 301),      # small branch + crossover
+        np.linspace(3.9, 4.1, 101),         # mid/tail crossover
+        [0.0, -0.0, 0.46875, -0.46875, 4.0, -4.0, 6.0, -6.0,
+         27.9, 28.1, 1e-300, -1e-300],
+    ]))
+    pdf = pd.DataFrame({"x": xs})
+    out = (spark.createDataFrame(pdf)
+           .select("x", erf(F.col("x")).alias("e"),
+                   erfc(F.col("x")).alias("ec"))
+           .toPandas())
+    for _, r in out.iterrows():
+        ref_e, ref_ec = math.erf(r.x), math.erfc(r.x)
+        for got, ref in ((r.e, ref_e), (r.ec, ref_ec)):
+            ulp = math.ulp(ref) if ref != 0 else 5e-324
+            assert abs(got - ref) <= 4 * max(ulp, 5e-324), \
+                f"x={r.x}: got {got}, ref {ref}"
+
+    # non-finite handling: NaN propagates, +-inf clamp exactly
+    spec = (spark.createDataFrame(
+        pd.DataFrame({"x": [float("nan"), float("inf"), float("-inf")]}))
+        .select(erf(F.col("x")).alias("e"), erfc(F.col("x")).alias("ec"))
+        .toPandas())
+    assert math.isnan(spec.e[0]) and math.isnan(spec.ec[0])
+    assert spec.e[1] == 1.0 and spec.ec[1] == 0.0
+    assert spec.e[2] == -1.0 and spec.ec[2] == 2.0
