@@ -123,7 +123,8 @@ _FAMILIES = ("poisson", "quasipoisson", "gamma", "gaussian", "binomial",
 def glm(df: DataFrame, formula: str, family: str = "poisson",
         offset: str | None = None, use_bias: bool = True,
         max_iter: int = 25, tol: float = 1e-8,
-        link: str | None = None, var_power: float = 1.5) -> GlmModel:
+        link: str | None = None, var_power: float = 1.5,
+        compute_stats: bool = True) -> GlmModel:
     """Fit ``'y ~ x1 + x2'`` for ``family`` ∈ {poisson, quasipoisson,
     gamma, gaussian, binomial}.
 
@@ -146,12 +147,20 @@ def glm(df: DataFrame, formula: str, family: str = "poisson",
     Pearson dispersion χ²/(n−p) (gamma's MLE dispersion would need a
     digamma solve; Pearson is the standard moment estimator, same as
     R's ``summary.glm`` default).
+
+    ``compute_stats=False`` skips the post-fit deviance / null-deviance
+    scans (they are returned as NaN) for callers that only consume
+    beta / stderr / predictions — e.g. a nuisance stage inside a larger
+    estimator.  Each skipped scan is a full pass over the design, so
+    this matters when the GLM sits inside another iterative operator.
+    Dispersion-scaled families still run one reduced scan because the
+    Pearson χ² enters the standard errors.
     """
     if family not in _FAMILIES:
         raise ValueError(f"family must be one of {_FAMILIES}")
     if family == "binomial":
         return _binomial_glm(df, formula, link or "logit", offset,
-                             use_bias, max_iter, tol)
+                             use_bias, max_iter, tol, compute_stats)
     if link is not None:
         raise ValueError("link is configurable only for family='binomial'")
     if family == "tweedie" and not 1.0 < var_power < 2.0:
@@ -212,10 +221,22 @@ def glm(df: DataFrame, formula: str, family: str = "poisson",
         for j in range(1, p):
             eta = eta + F.lit(float(beta[j])) * xs[j]
         eta = eta + off
+        # two-stage projection: materialize η, then μ = exp(η), then the
+        # per-row w/z.  μ is referenced three times downstream; staged
+        # Projects keep exp() evaluated once per row (CollapseProject
+        # leaves multi-referenced non-cheap aliases in place), and the
+        # per-row arithmetic — hence every float sum — is bit-identical
+        # to the inlined form
+        base = df.select(*[c.alias(f"__p{i}__") for i, c in enumerate(xs)],
+                         y.alias("__yy__"), eta.alias("__eta__"),
+                         off.alias("__o__"))
+        etac, yc, offc = F.col("__eta__"), F.col("__yy__"), F.col("__o__")
         if not log_link:                      # gaussian/identity: one shot
-            mu, s = eta, F.lit(1.0)
+            mu, s = etac, F.lit(1.0)
+            mid = base
         else:
-            mu = F.exp(eta)
+            mid = base.select("*", F.exp(etac).alias("__mu__"))
+            mu = F.col("__mu__")
             if family in ("poisson", "quasipoisson"):
                 s = mu + F.lit(1e-10)         # w = V(μ)=μ for log link
             elif family == "tweedie":         # w = μ²/μ^p = μ^(2−p)
@@ -223,15 +244,10 @@ def glm(df: DataFrame, formula: str, family: str = "poisson",
             else:                             # gamma log link: w = 1
                 s = F.lit(1.0)
         # working response on the X-only predictor (offset is fixed)
-        z = (eta - off) + (y - mu) / (mu if log_link else F.lit(1.0))
-        # materialize w/z in a Project BEFORE the aggregate: inlining
-        # them would expand the link arithmetic into every one of the
-        # p(p+3)/2 agg expressions (codegen blowup, repeated exp());
-        # projected once per row the sums are bit-identical
-        step = df.select(*[c.alias(f"__p{i}__")
-                           for i, c in enumerate(xs)],
-                         s.alias("__w__"), z.alias("__z__"),
-                         y.alias("__yy__"))
+        z = (etac - offc) + (yc - mu) / (mu if log_link else F.lit(1.0))
+        step = mid.select(*[F.col(f"__p{i}__") for i in range(p)],
+                          s.alias("__w__"), z.alias("__z__"),
+                          F.col("__yy__"))
         ps = [F.col(f"__p{i}__") for i in range(p)]
         sc, zc = F.col("__w__"), F.col("__z__")
         aggs = []
@@ -261,6 +277,38 @@ def glm(df: DataFrame, formula: str, family: str = "poisson",
     for j in range(1, p):
         eta = eta + F.lit(float(beta[j])) * xs[j]
     eta = eta + off
+    if not compute_stats:
+        # nuisance-fit fast path: no deviance scans; dispersion-scaled
+        # families still need the Pearson χ² for their SEs (one reduced
+        # aggregation), the rest skip the pass entirely
+        df_p = df
+        dispersion = 1.0
+        cov = np.linalg.inv(A)
+        if family in ("quasipoisson", "gamma", "gaussian", "tweedie"):
+            mu_f = eta if family == "gaussian" else F.exp(eta)
+            if family == "gaussian":
+                pearson_f = (y - mu_f) * (y - mu_f)
+            elif family == "quasipoisson":
+                pearson_f = (y - mu_f) * (y - mu_f) / mu_f
+            elif family == "tweedie":
+                pearson_f = (y - mu_f) * (y - mu_f) \
+                    / F.pow(mu_f, F.lit(var_power))
+            else:
+                pearson_f = (y - mu_f) * (y - mu_f) / (mu_f * mu_f)
+            pchi = float(df_p.agg(F.sum(pearson_f).alias("p"))
+                         .collect()[0]["p"])
+            dispersion = pchi / max(n - p, 1.0)
+            cov = cov * dispersion
+        df.unpersist()
+        stderr = np.sqrt(np.maximum(np.diag(cov), 0.0))
+        return GlmModel(family=family, feature_exprs=feats,
+                        use_bias=use_bias, beta=beta, stderr=stderr, n=n,
+                        n_iter=it, converged=converged,
+                        deviance=float("nan"),
+                        null_deviance=float("nan"), dispersion=dispersion,
+                        offset=offset,
+                        var_power=var_power if family == "tweedie"
+                        else None)
     if family == "gaussian":
         mu = eta
         dev_term = (y - mu) * (y - mu)
@@ -384,7 +432,7 @@ def probit_regression(df: DataFrame, formula: str, **kw) -> GlmModel:
 
 def _binomial_glm(df: DataFrame, formula: str, link: str,
                   offset: str | None, use_bias: bool, max_iter: int,
-                  tol: float) -> GlmModel:
+                  tol: float, compute_stats: bool = True) -> GlmModel:
     """Binomial GLM by Fisher scoring for logit / probit / cloglog links.
 
     Non-canonical links change only the per-row weight w = (dμ/dη)²/V(μ)
@@ -422,15 +470,6 @@ def _binomial_glm(df: DataFrame, formula: str, link: str,
         off=F.expr(offset).cast("double") if offset is not None else None,
         use_bias=use_bias)
 
-    m0 = df.agg(F.avg(y).alias("m"), F.min(y).alias("lo"),
-                F.max(y).alias("hi")).collect()[0]
-    if m0["m"] is None:
-        df.unpersist()
-        raise ValueError("no non-NULL outcome rows")
-    if float(m0["lo"]) < 0 or float(m0["hi"]) > 1:
-        df.unpersist()
-        raise ValueError("binomial family needs y in [0, 1]")
-
     def _mu_dmu(eta: Column) -> tuple[Column, Column]:
         if link == "logit":
             mu = 1.0 / (1.0 + F.exp(-eta))
@@ -453,8 +492,9 @@ def _binomial_glm(df: DataFrame, formula: str, link: str,
             + F.when(y < 1, (1.0 - y) * F.log((1.0 - y) / (1.0 - mu_c)))
             .otherwise(F.lit(0.0)))
 
-    def _irls(beta: np.ndarray, cols: list[Column],
-              pp: int) -> tuple[np.ndarray, np.ndarray, float, int, bool]:
+    def _irls(beta: np.ndarray, cols: list[Column], pp: int,
+              validate: bool = False,
+              ) -> tuple[np.ndarray, np.ndarray, float, int, bool]:
         A = np.eye(pp)
         n = 0.0
         it = 0
@@ -464,16 +504,25 @@ def _binomial_glm(df: DataFrame, formula: str, link: str,
             for j in range(1, pp):
                 eta = eta + F.lit(float(beta[j])) * cols[j]
             eta = eta + off
-            mu, dmu = _mu_dmu(eta)
-            dmu = dmu + F.lit(EPS)
-            w = dmu * dmu / (mu * (1.0 - mu) + F.lit(EPS))
-            z = (eta - off) + (y - mu) / dmu
-            # project w/z once per row (see glm(): inlining expands the
-            # erf/link chain into every agg expression)
-            step = df.select(*[c.alias(f"__p{i}__")
+            # staged Projects: η once, then μ/dμ once (the probit erf
+            # chain is referenced three times by w/z — CollapseProject
+            # keeps multi-referenced non-cheap aliases materialized),
+            # then w/z.  Per-row arithmetic — hence every float sum —
+            # is bit-identical to the inlined form.
+            base = df.select(*[c.alias(f"__p{i}__")
                                for i, c in enumerate(cols)],
-                             w.alias("__w__"), z.alias("__z__"),
-                             y.alias("__yy__"))
+                             y.alias("__yy__"), eta.alias("__eta__"),
+                             off.alias("__o__"))
+            etac, yc = F.col("__eta__"), F.col("__yy__")
+            mu, dmu = _mu_dmu(etac)
+            mid = base.select("*", mu.alias("__mu__"),
+                              (dmu + F.lit(EPS)).alias("__dmu__"))
+            muc, dmuc = F.col("__mu__"), F.col("__dmu__")
+            w = dmuc * dmuc / (muc * (1.0 - muc) + F.lit(EPS))
+            z = (etac - F.col("__o__")) + (yc - muc) / dmuc
+            step = mid.select(*[F.col(f"__p{i}__") for i in range(pp)],
+                              w.alias("__w__"), z.alias("__z__"),
+                              F.col("__yy__"))
             ps = [F.col(f"__p{i}__") for i in range(pp)]
             wc, zc = F.col("__w__"), F.col("__z__")
             aggs = []
@@ -483,7 +532,20 @@ def _binomial_glm(df: DataFrame, formula: str, link: str,
                     aggs.append(F.sum(wc * ps[i] * ps[j])
                                 .alias(f"a{i}_{j}"))
             aggs.append(F.count(F.col("__yy__")).alias("n__"))
+            if validate and it == 1:
+                # fold the input-validation scan into the first
+                # iteration's aggregation (saves a full pass)
+                aggs += [F.avg(F.col("__yy__")).alias("m0__"),
+                         F.min(F.col("__yy__")).alias("lo__"),
+                         F.max(F.col("__yy__")).alias("hi__")]
             row = step.agg(*aggs).collect()[0]
+            if validate and it == 1:
+                if row["m0__"] is None:
+                    df.unpersist()
+                    raise ValueError("no non-NULL outcome rows")
+                if float(row["lo__"]) < 0 or float(row["hi__"]) > 1:
+                    df.unpersist()
+                    raise ValueError("binomial family needs y in [0, 1]")
             n = float(row["n__"])
             A = np.empty((pp, pp))
             b = np.empty(pp)
@@ -499,7 +561,19 @@ def _binomial_glm(df: DataFrame, formula: str, link: str,
                 break
         return beta, A, n, it, conv
 
-    beta, A, n, it, converged = _irls(np.zeros(p), xs, p)
+    beta, A, n, it, converged = _irls(np.zeros(p), xs, p, validate=True)
+
+    if not compute_stats:
+        # nuisance-fit fast path (see glm()): beta/stderr only, no
+        # deviance scans — binomial dispersion is fixed at 1
+        df.unpersist()
+        stderr = np.sqrt(np.maximum(np.diag(np.linalg.inv(A)), 0.0))
+        return GlmModel(family="binomial", feature_exprs=feats,
+                        use_bias=use_bias, beta=beta, stderr=stderr, n=n,
+                        n_iter=it, converged=converged,
+                        deviance=float("nan"),
+                        null_deviance=float("nan"), dispersion=1.0,
+                        offset=offset, link=link)
 
     eta = F.lit(float(beta[0])) * xs[0]
     for j in range(1, p):

@@ -57,8 +57,11 @@ def heckman(df: DataFrame, outcome_formula: str, selection_formula: str,
     y_expr, x_feats = parse_r_formula(outcome_formula)
     s_expr, z_feats = parse_r_formula(selection_formula)
 
+    # nuisance probit: only beta feeds the Mills ratio and only the
+    # Fisher inverse (recomputed exactly at the final beta below) enters
+    # the step-2 covariance — skip its deviance scans
     probit = glm(df, selection_formula, family="binomial", link="probit",
-                 max_iter=max_iter, tol=tol)
+                 max_iter=max_iter, tol=tol, compute_stats=False)
     gamma = probit.beta
     kz = len(z_feats) + 1
 
