@@ -4933,15 +4933,32 @@ def q_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .withColumn("ts", F.timestamp_micros(F.col("doc_id"))))
             out = ingest_documents(stream, ts_col="ts", min_quality=0.4,
                                    watermark="1 hour")
-            q = (out.writeStream.format("parquet")
-                 .option("path", tmp + "/data")
-                 .option("checkpointLocation", tmp + "/ckpt")
-                 .trigger(availableNow=True).start())
-            if not q.awaitTermination(180):
-                q.stop()
-                raise TimeoutError(
-                    "streaming ingest did not finish in 180s — failing "
-                    "loudly instead of reading a partial landing")
+            # the watermark dedup materializes one state store PER
+            # shuffle partition; 8 is plenty for the gate volume and
+            # cuts the per-store setup/maintenance 4x.  The landed
+            # values are layout-independent (gen_goldens' two-process
+            # probe varies shuffle settings), so this is purely a
+            # wall-clock knob.  Scoped set + restore: the conf is read
+            # once at stream planning.
+            prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            try:
+                q = (out.writeStream.format("parquet")
+                     .option("path", tmp + "/data")
+                     .option("checkpointLocation", tmp + "/ckpt")
+                     .trigger(availableNow=True).start())
+                # restore only after the batches are planned (the conf is
+                # read per micro-batch); sibling gate tasks that plan in
+                # this window just get 8 reduce partitions — their values
+                # are layout-independent too
+                if not q.awaitTermination(180):
+                    q.stop()
+                    raise TimeoutError(
+                        "streaming ingest did not finish in 180s — "
+                        "failing loudly instead of reading a partial "
+                        "landing")
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
             landed = spark.read.parquet(tmp + "/data")
             return (landed.groupBy("lang_pred")
                     .agg(F.count(F.lit(1)).alias("n_docs"),
@@ -4987,8 +5004,18 @@ def q_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
-    bpe = train_bpe(d.where(F.col("doc_id") % 5 == 0), vocab_size=300,
-                    max_words=20000)
+    def _bpe_chain():
+        # train + corpus accounting chained in ONE concurrent slot so the
+        # driver-side merge loop overlaps the streaming ingest instead of
+        # serializing ahead of the whole batch
+        bpe = train_bpe(d.where(F.col("doc_id") % 5 == 0), vocab_size=300,
+                        max_words=20000)
+        counts = bpe_token_count(d, bpe).agg(
+            F.sum("n_tokens_bpe").alias("tok_total"),
+            F.sum(F.col("n_tokens_bpe") *
+                  (F.col("doc_id") % 97)).alias("tok_weighted")).collect()
+        return bpe, counts
+
     mix = domain_mixture_sample(
         d, "lang", target_weights={"en": 0.4, "de": 0.2, "zh": 0.2,
                                    "fr": 0.1, "es": 0.1},
@@ -5006,7 +5033,7 @@ def q_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     strat_n = stratified_sample(d, "lang", n_per_stratum=5, seed=17,
                                 id_cols=["doc_id"])
     resv = reservoir_sample(d, 25, seed=19, id_cols=["doc_id"])
-    (mix_rows, head_pdf, p_rows, w_rows, s_rows, sn_rows, r_rows, bpe_rows,
+    (mix_rows, head_pdf, p_rows, w_rows, s_rows, sn_rows, r_rows, bpe_pair,
      si_rows, fac_rows) = _concurrent([
         lambda: mix.groupBy("lang").agg(
             F.count(F.lit(1)).alias("n"),
@@ -5027,13 +5054,11 @@ def q_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").alias("id_sum")).collect(),
         lambda: resv.agg(F.count(F.lit(1)).alias("n"),
                          F.sum("doc_id").alias("id_sum")).collect(),
-        lambda: bpe_token_count(d, bpe).agg(
-            F.sum("n_tokens_bpe").alias("tok_total"),
-            F.sum(F.col("n_tokens_bpe") *
-                  (F.col("doc_id") % 97)).alias("tok_weighted")).collect(),
+        _bpe_chain,
         _streaming_ingest,
         _facade_smoke,
     ])
+    bpe, bpe_rows = bpe_pair
     for r in mix_rows:
         rows.append({"variant": "mixture", "item": str(r["lang"]),
                      "stat": "n", "value": float(r["n"])})

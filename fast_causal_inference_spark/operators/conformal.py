@@ -116,14 +116,15 @@ def conformal_fit(df: DataFrame, Y: str, T: str, X: list[str],
                 .otherwise(mu0.predict_column())
         scored = cal.select("__arm",
                             F.abs(F.col("__y") - pred).alias("__s"))
-        counts = {r["__arm"]: r["n"] for r in
-                  scored.groupBy("__arm").agg(F.count("__s").alias("n"))
-                        .collect()}
-        n1, n0 = int(counts.get(1, 0)), int(counts.get(0, 0))
+        # calibration counts come free from the grouped fit: ols n is the
+        # complete-case count of (y, X), exactly the rows whose conformity
+        # score is non-NULL (a NULL feature nulls the prediction too)
+        n1 = int(models["1:1"].n) if "1:1" in models else 0
+        n0 = int(models["0:1"].n) if "0:1" in models else 0
         if n1 == 0 or n0 == 0:
             raise ValueError("conformal_fit: empty calibration fold "
                              f"(treated n={n1}, control n={n0})")
-        qs = []
+        probes = []
         for arm, n in ((1, n1), (0, n0)):
             # the ⌈(n+1)(1−α)⌉-th order statistic as a probability for the
             # exact discrete quantile sketch; rank > n means +inf band
@@ -132,10 +133,19 @@ def conformal_fit(df: DataFrame, Y: str, T: str, X: list[str],
                 raise ValueError(
                     f"conformal_fit: calibration arm {arm} has n={n} < "
                     f"ceil((n+1)(1-alpha)) rows; lower alpha or add data")
-            q = scored.where(F.col("__arm") == arm) \
-                .approxQuantile("__s", [rank / n], 1e-6)[0]
-            qs.append(float(q))
-        q1, q0 = qs
+            probes.append(rank / n)
+        # BOTH arms' quantiles in ONE aggregation: percentile_approx at
+        # accuracy 10^6 runs the same Greenwald-Khanna summary as
+        # approxQuantile(relativeError=1e-6) — exact order statistics at
+        # any realistic calibration size
+        qrow = scored.agg(
+            F.percentile_approx(F.when(F.col("__arm") == 1, F.col("__s")),
+                                F.lit(probes[0]), F.lit(1_000_000))
+            .alias("q1"),
+            F.percentile_approx(F.when(F.col("__arm") == 0, F.col("__s")),
+                                F.lit(probes[1]), F.lit(1_000_000))
+            .alias("q0")).collect()[0]
+        q1, q0 = float(qrow["q1"]), float(qrow["q0"])
     finally:
         work.unpersist()
     return ConformalIte(mu1=mu1, mu0=mu0, q1=q1, q0=q0, alpha=alpha,

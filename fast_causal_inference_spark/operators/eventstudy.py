@@ -84,7 +84,14 @@ def event_study(df: DataFrame, Y: str, unit: str, time: str,
         # ("m" spells the minus sign: "__d-3" would parse as subtraction
         # in the R-formula grammar downstream)
         dummies[_dcol(r)] = F.coalesce(cond.cast("double"), F.lit(0.0))
-    work = work.withColumns(dummies)
+    # persist the projected panel: the balance check, the time means,
+    # and the within-transform Gramian are three separate actions, and
+    # without the cache each would re-run the caller's full upstream
+    # lineage (often an expensive collapse of the raw event log)
+    from pyspark import StorageLevel
+
+    work = work.withColumns(dummies) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     cols = ["__y"] + [_dcol(r) for r in rs]
 
     # balanced-panel check at CELL grain: equal per-unit and per-time
@@ -101,6 +108,7 @@ def event_study(df: DataFrame, Y: str, unit: str, time: str,
     n_periods = int(cell["n_periods"])
     if int(cell["k_shapes"]) != 1 or \
             int(cell["n_cells"]) != n_units * n_periods:
+        work.unpersist()
         raise ValueError(
             "unbalanced panel: the one-shot two-way within transform is "
             "only exact when every unit is observed in every period "
@@ -147,6 +155,7 @@ def event_study(df: DataFrame, Y: str, unit: str, time: str,
         # rescale the classical SEs from ols()'s (n - k) denominator to
         # the absorbed-FE degrees of freedom
         se = m.stderr * np.sqrt((n - k) / dof)
+    work.unpersist()
     rows = []
     zq = float(dist.t_ppf(1 - alpha / 2, dof))
     for i, r in enumerate(rs):
