@@ -3296,8 +3296,59 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.lit("audio").alias("modality"),
         F.expr("stack(2, 'n_samples', CAST(n_samples AS DOUBLE), "
                "'rms', rms) AS (feature, value)"))
+    # container probes (REAL bitstream parsing, no decode): serialize a
+    # valid MPEG-1 Layer III stream and a valid ISO-BMFF skeleton per
+    # doc with sha256-derived field values, run the public media_probe
+    # pass, and emit what it recovers — frame counts, durations, track
+    # counts.  DuckDB re-derives every value closed-form from the same
+    # hex substrings (duration = n·1152/44100 etc.), so the frame-sync /
+    # Xing-offset / box-walk arithmetic is value-gated end-to-end.
+    from fast_causal_inference_spark.datapipe.mediaprobe import (
+        build_mp3,
+        build_mp4,
+        media_probe,
+    )
+
+    hx = F.sha2(F.col("text"), 256)
+    dm = d.select(
+        "doc_id",
+        (F.conv(F.substring(hx, 19, 3), 16, 10).cast("long") % 40 + 5)
+        .alias("nf"),
+        (F.conv(F.substring(hx, 22, 3), 16, 10).cast("long") % 3000)
+        .alias("dd"))
+
+    # no pd.Series type hints: this module's postponed annotations turn
+    # them into strings pandas_udf cannot resolve (recurring gotcha)
+    def _mk_mp3_fn(nf):
+        return nf.map(lambda n: build_mp3(
+            int(n), xing=int(n) % 2 == 0, mono=int(n) % 3 == 0,
+            id3_size=64 if int(n) % 5 == 0 else 0, seed=int(n)))
+
+    def _mk_mp4_fn(dd):
+        return dd.map(lambda v: build_mp4(
+            int(v) / 10.0, n_video=1 + int(v) % 2, n_audio=int(v) % 3))
+
+    _mk_mp3 = F.pandas_udf(_mk_mp3_fn, "binary")
+    _mk_mp4 = F.pandas_udf(_mk_mp4_fn, "binary")
+
+    ensure_udf_serializable()
+    p3 = media_probe(dm.withColumn("payload", _mk_mp3(F.col("nf"))))
+    p4 = media_probe(dm.withColumn("payload", _mk_mp4(F.col("dd"))))
+    probe_long = (p3.select(
+        "doc_id", F.lit("probe_mp3").alias("modality"),
+        F.expr("stack(3, 'n_frames', CAST(probe.n_frames AS DOUBLE), "
+               "'duration_sec', probe.duration_sec, "
+               "'channels', CAST(probe.channels AS DOUBLE)) "
+               "AS (feature, value)"))
+        .unionByName(p4.select(
+            "doc_id", F.lit("probe_mp4").alias("modality"),
+            F.expr("stack(3, 'duration_sec', probe.duration_sec, "
+                   "'n_video_tracks', CAST(probe.n_video_tracks AS "
+                   "DOUBLE), 'n_audio_tracks', "
+                   "CAST(probe.n_audio_tracks AS DOUBLE)) "
+                   "AS (feature, value)"))))
     out = (vid.unionByName(img_long).unionByName(codec_long)
-           .unionByName(aud_long))
+           .unionByName(aud_long).unionByName(probe_long))
     return out.select("doc_id", "modality", "feature",
                       F.round("value", 6).alias("value"))
 
@@ -3341,6 +3392,26 @@ SELECT doc_id, 'audio', 'n_samples',
 UNION ALL
 SELECT doc_id, 'audio', 'rms',
        CAST(('0x' || substr(hx, 15, 4))::BIGINT % 30000 AS DOUBLE) FROM h
+UNION ALL
+SELECT doc_id, 'probe_mp3', 'n_frames',
+       CAST(('0x' || substr(hx, 19, 3))::BIGINT % 40 + 5 AS DOUBLE) FROM h
+UNION ALL
+SELECT doc_id, 'probe_mp3', 'duration_sec',
+       round((('0x' || substr(hx, 19, 3))::BIGINT % 40 + 5)
+             * 1152.0 / 44100.0, 6) FROM h
+UNION ALL
+SELECT doc_id, 'probe_mp3', 'channels',
+       CAST(CASE WHEN (('0x' || substr(hx, 19, 3))::BIGINT % 40 + 5) % 3
+                      = 0 THEN 1 ELSE 2 END AS DOUBLE) FROM h
+UNION ALL
+SELECT doc_id, 'probe_mp4', 'duration_sec',
+       round((('0x' || substr(hx, 22, 3))::BIGINT % 3000) / 10.0, 6) FROM h
+UNION ALL
+SELECT doc_id, 'probe_mp4', 'n_video_tracks',
+       CAST(1 + ('0x' || substr(hx, 22, 3))::BIGINT % 2 AS DOUBLE) FROM h
+UNION ALL
+SELECT doc_id, 'probe_mp4', 'n_audio_tracks',
+       CAST(('0x' || substr(hx, 22, 3))::BIGINT % 3 AS DOUBLE) FROM h
 """
 
 

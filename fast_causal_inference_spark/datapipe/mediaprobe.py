@@ -1,0 +1,381 @@
+"""Container-level media metadata probes — no decode, no codec tables.
+
+The operations a large media corpus actually needs FIRST at 100 TB are
+not decodes: they are cheap per-object probes — "what is this, how long
+is it, what resolution, what bitrate" — to drive filtering, routing and
+cost estimation before any expensive decode stage.  Container framing
+is pure public arithmetic (ISO/IEC 11172-3 header layout, ISO base
+media file format box structure, PNG/JPEG/BMP/WAV header fields), so
+unlike entropy decode (see ``multimodal.py``'s scope note) it can be
+implemented and validated fully in-container.
+
+Probes implemented:
+
+* **MPEG-1 Layer III (MP3)**: ID3v2 skip (syncsafe size), frame sync,
+  header fields (bitrate index, sample rate, channel mode, padding),
+  frame length ``⌊144000·kbps/rate⌋ + pad``, Xing/Info VBR header
+  (frame count → exact duration), CBR duration estimate from the first
+  frame's rate, frame-sync validation on the next frame boundary.
+  MPEG-2/2.5 and Layer I/II framing is recognized (version/layer bits)
+  but reported as ``codec`` only — their bitrate tables are not
+  replicated here, and a wrong table would silently mis-report
+  duration, so the fields stay NULL (same honesty rule as decode).
+* **MP4 / ISO-BMFF**: box walk (size+fourcc, 64-bit largesize),
+  ``ftyp`` major brand, ``mvhd`` timescale+duration (version 0 and 1),
+  ``hdlr`` handler types per track → ``n_video_tracks`` /
+  ``n_audio_tracks``.
+* **WAV**: fmt chunk (channels, sample rate, bits), data size →
+  duration.
+* **PNG / JPEG / BMP / PPM / GIF**: width × height from the header
+  (JPEG: first SOF0/1/2 marker), no pixel work.
+
+One Arrow-batched ``mapInPandas`` pass over the payload column; output
+is a fixed nullable struct, so a corrupt or foreign payload yields a
+row with ``container='unknown'`` (or the container plus NULL fields)
+instead of an executor error — probe stages must never kill a 100 TB
+scan.  Reference surface parity: the reference ships no media pipeline
+at all; this extends the training-data-pipeline mandate
+(SURVEY.md §2.10 LLM-data ops) the same way the codecs in
+``multimodal.py`` do.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fast_causal_inference_spark.serialization import ensure_udf_serializable
+
+__all__ = ["media_probe", "probe_payload", "build_mp3", "build_mp4"]
+
+# MPEG-1 Layer III bitrate table (kbps), index 1..14; 0 = "free format"
+# (bitstream-defined frame size — reported as NULL), 15 = invalid.
+_MP3_BITRATE_V1_L3 = (None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+                      192, 224, 256, 320)
+_MP3_RATE_V1 = (44100, 48000, 32000, None)
+_MP3_VERSION = {0b11: "mpeg1", 0b10: "mpeg2", 0b00: "mpeg2.5"}
+_MP3_LAYER = {0b01: 3, 0b10: 2, 0b11: 1}
+
+
+def _syncsafe(b: bytes) -> int:
+    """ID3v2 28-bit syncsafe integer (7 bits per byte)."""
+    return (b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3]
+
+
+def _mp3_header(b: bytes, pos: int) -> dict | None:
+    """Parse the 4-byte frame header at ``pos``; None if not a sync."""
+    if pos + 4 > len(b):
+        return None
+    h = struct.unpack(">I", b[pos:pos + 4])[0]
+    if (h >> 21) & 0x7FF != 0x7FF:            # 11 sync bits
+        return None
+    ver_bits = (h >> 19) & 0b11
+    layer_bits = (h >> 17) & 0b11
+    if ver_bits == 0b01 or layer_bits == 0b00:
+        return None                            # reserved values
+    out = {"version": _MP3_VERSION[ver_bits],
+           "layer": _MP3_LAYER[layer_bits],
+           "crc": not bool((h >> 16) & 1),
+           "bitrate_index": (h >> 12) & 0xF,
+           "rate_index": (h >> 10) & 0b11,
+           "padding": (h >> 9) & 1,
+           "channel_mode": ("stereo", "joint_stereo", "dual_channel",
+                            "mono")[(h >> 6) & 0b11]}
+    if out["bitrate_index"] == 0xF or out["rate_index"] == 0b11:
+        return None
+    # full framing arithmetic only for MPEG-1 Layer III (see module doc)
+    if out["version"] == "mpeg1" and out["layer"] == 3:
+        kbps = _MP3_BITRATE_V1_L3[out["bitrate_index"]]
+        rate = _MP3_RATE_V1[out["rate_index"]]
+        out["bit_rate"] = kbps * 1000 if kbps else None
+        out["sample_rate"] = rate
+        out["frame_bytes"] = (144_000 * kbps // rate + out["padding"]
+                              if kbps else None)
+        out["samples_per_frame"] = 1152
+    return out
+
+
+def _probe_mp3(b: bytes) -> dict | None:
+    pos = 0
+    if b[:3] == b"ID3" and len(b) >= 10:
+        pos = 10 + _syncsafe(b[6:10])          # skip the ID3v2 tag
+    # resync: scan forward a bounded window for a valid header whose
+    # projected next frame also syncs (cuts false positives on 0xFF
+    # bytes in junk prefixes)
+    for off in range(pos, min(pos + 4096, max(len(b) - 4, 0))):
+        hdr = _mp3_header(b, off)
+        if hdr is None:
+            continue
+        fb = hdr.get("frame_bytes")
+        if fb and off + fb + 4 <= len(b) and _mp3_header(b, off + fb) \
+                is None:
+            continue                           # next boundary not a sync
+        pos = off
+        break
+    else:
+        return None
+    out = {"container": "mp3", "codec": f"{hdr['version']}_l{hdr['layer']}",
+           "bit_rate": hdr.get("bit_rate"),
+           "sample_rate": hdr.get("sample_rate"),
+           "channels": 1 if hdr["channel_mode"] == "mono" else 2,
+           "vbr": False, "n_frames": None, "duration_sec": None}
+    if hdr.get("frame_bytes") is None:
+        return out                             # recognized, not measured
+    # Xing/Info VBR header sits after the side info of frame 1:
+    # MPEG-1 side info is 32 bytes stereo-family / 17 bytes mono
+    side = 17 if hdr["channel_mode"] == "mono" else 32
+    xing_at = pos + 4 + (2 if hdr["crc"] else 0) + side
+    tag = b[xing_at:xing_at + 4]
+    spf, rate = hdr["samples_per_frame"], hdr["sample_rate"]
+    if tag in (b"Xing", b"Info") and len(b) >= xing_at + 12:
+        flags = struct.unpack(">I", b[xing_at + 4:xing_at + 8])[0]
+        if flags & 0x1:                        # frame count present
+            n = struct.unpack(">I", b[xing_at + 8:xing_at + 12])[0]
+            out["vbr"] = tag == b"Xing"
+            out["n_frames"] = n
+            out["duration_sec"] = n * spf / rate
+            return out
+    # CBR path: count whole frames from the stream length
+    n = max((len(b) - pos) // hdr["frame_bytes"], 0)
+    out["n_frames"] = n
+    out["duration_sec"] = n * spf / rate
+    return out
+
+
+def _walk_boxes(b: bytes, start: int, end: int):
+    """Yield (fourcc, payload_start, payload_end) for ISO-BMFF boxes."""
+    pos = start
+    while pos + 8 <= end:
+        size = struct.unpack(">I", b[pos:pos + 4])[0]
+        typ = b[pos + 4:pos + 8]
+        head = 8
+        if size == 1:                          # 64-bit largesize
+            if pos + 16 > end:
+                return
+            size = struct.unpack(">Q", b[pos + 8:pos + 16])[0]
+            head = 16
+        elif size == 0:                        # box extends to EOF
+            size = end - pos
+        if size < head or pos + size > end:
+            return                             # corrupt — stop cleanly
+        yield typ, pos + head, pos + size
+        pos += size
+
+
+def _probe_mp4(b: bytes) -> dict | None:
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        return None
+    out = {"container": "mp4", "codec": None, "duration_sec": None,
+           "n_video_tracks": 0, "n_audio_tracks": 0}
+    out["codec"] = b[8:12].decode("latin-1").strip()   # major brand
+    for typ, s, e in _walk_boxes(b, 0, len(b)):
+        if typ != b"moov":
+            continue
+        for t2, s2, e2 in _walk_boxes(b, s, e):
+            if t2 == b"mvhd" and e2 - s2 >= 20:
+                ver = b[s2]
+                if ver == 1 and e2 - s2 >= 28:
+                    ts = struct.unpack(">I", b[s2 + 20:s2 + 24])[0]
+                    dur = struct.unpack(">Q", b[s2 + 24:s2 + 32])[0]
+                else:
+                    ts = struct.unpack(">I", b[s2 + 12:s2 + 16])[0]
+                    dur = struct.unpack(">I", b[s2 + 16:s2 + 20])[0]
+                if ts:
+                    out["duration_sec"] = dur / ts
+            elif t2 == b"trak":
+                for t3, s3, e3 in _walk_boxes(b, s2, e2):
+                    if t3 != b"mdia":
+                        continue
+                    for t4, s4, e4 in _walk_boxes(b, s3, e3):
+                        if t4 == b"hdlr" and e4 - s4 >= 12:
+                            handler = b[s4 + 8:s4 + 12]
+                            if handler == b"vide":
+                                out["n_video_tracks"] += 1
+                            elif handler == b"soun":
+                                out["n_audio_tracks"] += 1
+    return out
+
+
+def _probe_wav(b: bytes) -> dict | None:
+    if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    out = {"container": "wav", "codec": "pcm"}
+    pos = 12
+    fmt = data_len = None
+    while pos + 8 <= len(b):
+        cid = b[pos:pos + 4]
+        sz = struct.unpack("<I", b[pos + 4:pos + 8])[0]
+        if cid == b"fmt " and sz >= 16:
+            fmt = struct.unpack("<HHIIHH", b[pos + 8:pos + 24])
+        elif cid == b"data":
+            data_len = sz
+        pos += 8 + sz + (sz & 1)
+    if fmt is None:
+        return out
+    _, channels, rate, _, block, bits = fmt
+    out.update({"channels": channels, "sample_rate": rate,
+                "bit_rate": rate * channels * bits})
+    if data_len is not None and block:
+        out["duration_sec"] = (data_len // block) / rate
+        out["n_frames"] = data_len // block
+    return out
+
+
+def _probe_image(b: bytes) -> dict | None:
+    """Width/height from the header only (no pixel work)."""
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
+        w, h = struct.unpack(">II", b[16:24])
+        return {"container": "png", "width": w, "height": h}
+    if b[:2] == b"BM" and len(b) >= 26:
+        w, h = struct.unpack("<ii", b[18:26])
+        return {"container": "bmp", "width": w, "height": abs(h)}
+    if b[:2] == b"P6":
+        try:
+            toks = b[2:200].split()
+            return {"container": "ppm", "width": int(toks[0]),
+                    "height": int(toks[1])}
+        except (ValueError, IndexError):
+            return {"container": "ppm"}
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        w, h = struct.unpack("<HH", b[6:10])
+        return {"container": "gif", "width": w, "height": h}
+    if b[:2] == b"\xff\xd8":                   # JPEG: scan for SOF
+        pos = 2
+        while pos + 4 <= len(b):
+            if b[pos] != 0xFF:
+                return {"container": "jpeg"}
+            marker = b[pos + 1]
+            if marker in (0xC0, 0xC1, 0xC2):   # baseline/ext/progressive
+                if pos + 9 <= len(b):
+                    h, w = struct.unpack(">HH", b[pos + 5:pos + 9])
+                    return {"container": "jpeg", "width": w, "height": h,
+                            "codec": "progressive" if marker == 0xC2
+                            else "baseline"}
+                return {"container": "jpeg"}
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            seg = struct.unpack(">H", b[pos + 2:pos + 4])[0]
+            pos += 2 + seg
+        return {"container": "jpeg"}
+    return None
+
+
+_PROBE_FIELDS = (("container", "string"), ("codec", "string"),
+                 ("duration_sec", "double"), ("bit_rate", "long"),
+                 ("sample_rate", "long"), ("channels", "int"),
+                 ("n_frames", "long"), ("vbr", "boolean"),
+                 ("width", "int"), ("height", "int"),
+                 ("n_video_tracks", "int"), ("n_audio_tracks", "int"))
+
+PROBE_SCHEMA = T.StructType([
+    T.StructField(n, {"string": T.StringType(), "double": T.DoubleType(),
+                      "long": T.LongType(), "int": T.IntegerType(),
+                      "boolean": T.BooleanType()}[t])
+    for n, t in _PROBE_FIELDS])
+
+
+def probe_payload(b: bytes | None) -> dict:
+    """Probe one payload; always returns the full field dict."""
+    out = dict.fromkeys(n for n, _ in _PROBE_FIELDS)
+    out["container"] = "unknown"
+    if not b or len(b) < 4:
+        return out
+    try:
+        for fn in (_probe_image, _probe_wav, _probe_mp4, _probe_mp3):
+            r = fn(b)
+            if r is not None:
+                out.update(r)
+                return out
+    except (struct.error, ValueError, IndexError, OverflowError):
+        pass                                   # corrupt → unknown row
+    return out
+
+
+def media_probe(df: DataFrame, payload_col: str = "payload",
+                out_col: str = "probe") -> DataFrame:
+    """Append a ``probe`` struct column (see ``PROBE_SCHEMA``) per row.
+
+    One Arrow-batched pass; corrupt payloads yield ``container =
+    'unknown'`` rows, never executor errors.  Narrow map — no shuffle,
+    scales with the scan.
+    """
+    ensure_udf_serializable()
+
+    @F.pandas_udf(PROBE_SCHEMA)
+    def _probe(s: pd.Series) -> pd.DataFrame:
+        rows = [probe_payload(v) for v in s]
+        return pd.DataFrame(rows, columns=[n for n, _ in _PROBE_FIELDS])
+
+    return df.withColumn(out_col, _probe(F.col(payload_col)))
+
+
+# ---------------------------------------------------------------------------
+# deterministic builders (tests + gate fixtures): write valid streams by
+# the same public layout rules, with caller-chosen field values
+# ---------------------------------------------------------------------------
+
+
+def build_mp3(n_frames: int, bitrate_index: int = 9, rate_index: int = 0,
+              mono: bool = False, xing: bool = False,
+              id3_size: int = 0, seed: int = 0) -> bytes:
+    """Serialize a valid MPEG-1 Layer III CBR stream (header-accurate
+    frames, deterministic junk payload)."""
+    kbps = _MP3_BITRATE_V1_L3[bitrate_index]
+    rate = _MP3_RATE_V1[rate_index]
+    rng = np.random.default_rng(seed)
+    chunks = []
+    if id3_size:
+        body = bytes(rng.integers(0, 128, id3_size, dtype=np.uint8))
+        chunks.append(b"ID3\x03\x00\x00"
+                      + bytes([(id3_size >> 21) & 0x7F,
+                               (id3_size >> 14) & 0x7F,
+                               (id3_size >> 7) & 0x7F, id3_size & 0x7F])
+                      + body)
+    mode_bits = 0b11 if mono else 0b00
+    for i in range(n_frames):
+        pad = 0
+        h = (0x7FF << 21) | (0b11 << 19) | (0b01 << 17) | (1 << 16) \
+            | (bitrate_index << 12) | (rate_index << 10) | (pad << 9) \
+            | (mode_bits << 6)
+        frame_bytes = 144_000 * kbps // rate + pad
+        body = bytearray(rng.integers(0, 255, frame_bytes - 4,
+                                      dtype=np.uint8))
+        # keep payload sync-free so the resync scan can't misfire
+        for j in range(len(body)):
+            if body[j] == 0xFF:
+                body[j] = 0xFE
+        if i == 0 and xing:
+            side = 17 if mono else 32
+            at = side                          # relative to body start
+            body[at:at + 4] = b"Xing"
+            body[at + 4:at + 8] = struct.pack(">I", 0x1)
+            body[at + 8:at + 12] = struct.pack(">I", n_frames)
+        chunks.append(struct.pack(">I", h) + bytes(body))
+    return b"".join(chunks)
+
+
+def _box(typ: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+
+def build_mp4(duration_sec: float, timescale: int = 1000,
+              n_video: int = 1, n_audio: int = 1,
+              brand: bytes = b"isom") -> bytes:
+    """Serialize a minimal valid ISO-BMFF skeleton (ftyp + moov)."""
+    mvhd = _box(b"mvhd", b"\x00" + b"\x00" * 11
+                + struct.pack(">II", timescale,
+                              int(round(duration_sec * timescale)))
+                + b"\x00" * 80)
+    traks = []
+    for handler in [b"vide"] * n_video + [b"soun"] * n_audio:
+        hdlr = _box(b"hdlr", b"\x00" * 8 + handler + b"\x00" * 13)
+        traks.append(_box(b"trak", _box(b"mdia", hdlr)))
+    moov = _box(b"moov", mvhd + b"".join(traks))
+    return _box(b"ftyp", brand + struct.pack(">I", 0) + brand) + moov

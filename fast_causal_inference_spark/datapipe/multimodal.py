@@ -30,6 +30,13 @@ Decode support is two-tier:
   ``decoded = false`` wherever features are emitted, so a downstream
   pipeline can filter honestly.  On a real cluster, plug a codec
   library into the same ``mapInPandas`` bodies.
+
+For compressed formats the pipeline-relevant METADATA (duration,
+bitrate, sample rate, track layout, image dimensions) needs no decode
+at all: ``datapipe/mediaprobe.py`` parses MP3 framing (frame sync,
+Xing), ISO-BMFF boxes, WAV chunks and image headers for real — that is
+the operation a 100 TB corpus runs on every object, with decode
+reserved for the filtered survivors.
 """
 
 from __future__ import annotations
