@@ -213,13 +213,24 @@ def q_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
         st = streaming_ttest_2samp(stream, "avg(value)", "arm", "ts",
                                    window_duration="1 day",
                                    watermark="1 day", with_p_value=False)
-        q = (st.writeStream.format("memory").queryName("srm_stream_gate")
-             .outputMode("complete").trigger(availableNow=True).start())
-        if not q.awaitTermination(180):
-            q.stop()
-            raise TimeoutError(
-                "srm streaming t-test did not finish in 180s — failing "
-                "loudly instead of reading a partial window set")
+        # scope the stream's shuffle partitions down (one state store per
+        # partition; a handful of day-windows needs nowhere near 32) —
+        # same knob as the corpus ingest gate, values layout-independent
+        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (st.writeStream.format("memory")
+                 .queryName("srm_stream_gate")
+                 .outputMode("complete").trigger(availableNow=True)
+                 .start())
+            if not q.awaitTermination(180):
+                q.stop()
+                raise TimeoutError(
+                    "srm streaming t-test did not finish in 180s — "
+                    "failing loudly instead of reading a partial window "
+                    "set")
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
         landed = spark.table("srm_stream_gate").collect()
         # the memory sink registers a temp view holding the sink rows —
         # drop it so repeated bench runs don't stack retained sinks
