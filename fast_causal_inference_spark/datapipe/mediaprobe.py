@@ -180,7 +180,9 @@ def _probe_mp4(b: bytes) -> dict | None:
         for t2, s2, e2 in _walk_boxes(b, s, e):
             if t2 == b"mvhd" and e2 - s2 >= 20:
                 ver = b[s2]
-                if ver == 1 and e2 - s2 >= 28:
+                if ver == 1:
+                    if e2 - s2 < 32:       # truncated v1: report the
+                        continue           # container, leave fields NULL
                     ts = struct.unpack(">I", b[s2 + 20:s2 + 24])[0]
                     dur = struct.unpack(">Q", b[s2 + 24:s2 + 32])[0]
                 else:

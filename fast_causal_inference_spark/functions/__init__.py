@@ -246,13 +246,8 @@ def If(cond: Column, x, y) -> Column:
     return F.when(cond, x).otherwise(y)
 
 
-# erf/erfc/tgamma/cdf need real special functions → Arrow UDFs ---------------
-
-
-def _pandas_udf_double(fn):
-    ensure_udf_serializable()
-    return F.pandas_udf(fn, "double")
-
+# tgamma/lgamma/cdf need special functions with no closed Column form →
+# Arrow UDFs; erf/erfc below are pure Column expressions -------------------
 
 # erf/erfc as PURE Column expressions — W. J. Cody's rational-Chebyshev
 # approximations (netlib specfun CALERF; the algorithm under glibc's
@@ -333,9 +328,13 @@ def _cody_erfc_pos(y: Column) -> Column:
 def erf(c) -> Column:
     x = (F.col(c) if isinstance(c, str) else c).cast("double")
     y = F.abs(x)
-    # NaN first: Spark orders NaN GREATER than every number, so without
+    # NULL input yields NaN, matching the Arrow-UDF contract this
+    # replaced (a NULL would otherwise fall through every branch and
+    # silently drop out of downstream sums; NaN poisons them loudly).
+    # NaN next: Spark orders NaN GREATER than every number, so without
     # the guard NaN would take the y >= 6 clamp branch
-    return (F.when(F.isnan(x), x)
+    return (F.when(x.isNull(), F.lit(float("nan")))
+            .when(F.isnan(x), x)
             .when(y <= 0.46875, _cody_small(x))
             # erf(6) rounds to 1.0 in double, so clamping at 6 is exact
             # and keeps ±inf finite (the branch arithmetic would give
@@ -347,7 +346,8 @@ def erf(c) -> Column:
 def erfc(c) -> Column:
     x = (F.col(c) if isinstance(c, str) else c).cast("double")
     y = F.abs(x)
-    return (F.when(F.isnan(x), x)
+    return (F.when(x.isNull(), F.lit(float("nan")))   # see erf()
+            .when(F.isnan(x), x)
             .when(y <= 0.46875, 1.0 - _cody_small(x))
             # erfc(28) underflows to 0 and erfc(-6) rounds to 2.0 —
             # both exact in double, and the clamps keep ±inf finite

@@ -122,32 +122,41 @@ def callaway_santanna(df: DataFrame, Y: str, unit: str, time: str,
              .cache())
     # validity: adoption constant per unit (incl. no NULL/value mixing),
     # plus the small group/period domains — one aggregation each
-    # validity + domain in ONE action (each collect on a fresh plan pays
-    # full job overhead, the dominant cost once cells is cached): the
-    # per-unit adoption-consistency flags roll up alongside the
-    # period/group domains in the same two-stage aggregation
-    chk = (cells.groupBy("__u")
-           .agg(F.countDistinct("__a").alias("kd"),
-                F.max("__ka").alias("ka"),
-                F.sum("__na").alias("na"), F.sum("__nr").alias("nr"),
-                F.collect_set("__t").alias("ts"),
-                F.collect_set("__a").alias("gs"))
-           .agg(F.sum(((F.col("kd") > 1) | (F.col("ka") > 1)
-                       | ((F.col("na") > 0) & (F.col("na") < F.col("nr"))))
-                      .cast("int")).alias("bad"),
-                F.sort_array(F.array_distinct(
-                    F.flatten(F.collect_list("ts")))).alias("times"),
-                F.sort_array(F.array_distinct(
-                    F.flatten(F.collect_list("gs")))).alias("groups"))
-           .collect()[0])
+    # validity + domain as two independent jobs over the CACHED cells,
+    # overlapped on driver threads: one wall-clock step without the
+    # unbounded flatten(collect_list) a single fused aggregation would
+    # need (collect_set dedups map-side, so each job's buffers stay
+    # O(distinct values) — a U×T panel must never funnel U arrays into
+    # one aggregate buffer)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _chk():
+        return (cells.groupBy("__u")
+                .agg(F.countDistinct("__a").alias("kd"),
+                     F.max("__ka").alias("ka"),
+                     F.sum("__na").alias("na"), F.sum("__nr").alias("nr"))
+                .agg(F.sum(((F.col("kd") > 1) | (F.col("ka") > 1)
+                            | ((F.col("na") > 0)
+                               & (F.col("na") < F.col("nr"))))
+                           .cast("int")).alias("bad"))
+                .collect()[0])
+
+    def _dom():
+        return cells.agg(
+            F.sort_array(F.collect_set("__t")).alias("times"),
+            F.sort_array(F.collect_set("__a")).alias("groups")).collect()[0]
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        chk_f, dom_f = pool.submit(_chk), pool.submit(_dom)
+        chk, dom = chk_f.result(), dom_f.result()
     if int(chk["bad"] or 0) > 0:
         cells.unpersist()
         raise ValueError(
             f"adoption expression {adoption!r} is not constant within "
             f"{int(chk['bad'])} unit(s) (or mixes NULL and values); "
             "Callaway-Sant'Anna needs a unit-level adoption period")
-    times = [int(t) for t in chk["times"]]
-    groups = [int(g) for g in chk["groups"]]
+    times = [int(t) for t in dom["times"]]
+    groups = [int(g) for g in dom["groups"]]
     tset = set(times)
     prev = {t: times[i - 1] for i, t in enumerate(times) if i > 0}
 

@@ -264,7 +264,11 @@ def glm(df: DataFrame, formula: str, family: str = "poisson",
             b[i] = row[f"b{i}"]
             for j in range(i, p):
                 A[i, j] = A[j, i] = row[f"a{i}_{j}"]
-        new_beta = np.linalg.solve(A, b)
+        try:
+            new_beta = np.linalg.solve(A, b)
+        except np.linalg.LinAlgError:
+            df.unpersist()  # raising exit releases the design
+            raise
         delta = float(np.max(np.abs(new_beta - beta)))
         beta = new_beta
         if delta < tol or not log_link:
@@ -553,7 +557,11 @@ def _binomial_glm(df: DataFrame, formula: str, link: str,
                 b[i] = row[f"b{i}"]
                 for j in range(i, pp):
                     A[i, j] = A[j, i] = row[f"a{i}_{j}"]
-            new_beta = np.linalg.solve(A, b)
+            try:
+                new_beta = np.linalg.solve(A, b)
+            except np.linalg.LinAlgError:
+                df.unpersist()  # raising exit releases the design
+                raise
             delta = float(np.max(np.abs(new_beta - beta)))
             beta = new_beta
             if delta < tol:
@@ -698,7 +706,11 @@ def negative_binomial_regression(df: DataFrame, formula: str,
                 b[i] = row[f"b{i}"]
                 for j in range(i, p):
                     A[i, j] = A[j, i] = row[f"a{i}_{j}"]
-            new_beta = np.linalg.solve(A, b)
+            try:
+                new_beta = np.linalg.solve(A, b)
+            except np.linalg.LinAlgError:
+                df.unpersist()  # raising exit releases the design
+                raise
             delta = float(np.max(np.abs(new_beta - beta)))
             beta = new_beta
             if delta < tol:

@@ -126,7 +126,11 @@ def logistic_regression(df: DataFrame, formula: str, use_bias: bool = True,
             b[i] = row[f"b{i}"]
             for j in range(i, p):
                 A[i, j] = A[j, i] = row[f"a{min(i,j)}_{max(i,j)}"]
-        new_beta = np.linalg.solve(A, b)
+        try:
+            new_beta = np.linalg.solve(A, b)
+        except np.linalg.LinAlgError:
+            df.unpersist()  # raising exit releases the design
+            raise
         delta = float(np.max(np.abs(new_beta - beta)))
         beta = new_beta
         if delta < tol:

@@ -86,13 +86,16 @@ def heckman(df: DataFrame, outcome_formula: str, selection_formula: str,
     # read this narrow relation
     from pyspark import StorageLevel
 
+    # the leading intercepts of W and Z are constants — keep them as
+    # lit(1.0) rebased expressions instead of materializing 16 wasted
+    # bytes per cached row (persist_design's rule in design.py)
     selw = (sel.select(
-        *[w.alias(f"__w{i}__") for i, w in enumerate(ws)],
-        *[z.alias(f"__z{j}__") for j, z in enumerate(zs)],
+        *[w.alias(f"__w{i}__") for i, w in enumerate(ws[1:], start=1)],
+        *[z.alias(f"__z{j}__") for j, z in enumerate(zs[1:], start=1)],
         delta.alias("__d__"), y.alias("__y__"))
         .persist(StorageLevel.MEMORY_AND_DISK))
-    ws = [F.col(f"__w{i}__") for i in range(pw)]
-    zs = [F.col(f"__z{j}__") for j in range(kzz)]
+    ws = [F.lit(1.0)] + [F.col(f"__w{i}__") for i in range(1, pw)]
+    zs = [F.lit(1.0)] + [F.col(f"__z{j}__") for j in range(1, kzz)]
     delta = F.col("__d__")
     y = F.col("__y__")
     sel = selw
