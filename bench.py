@@ -142,7 +142,18 @@ def main() -> None:
                # stream; a long-lived maintenance pause is a bench-only
                # choice)
                .config("spark.sql.streaming.stateStore.maintenanceInterval",
-                       "3600s"))
+                       "3600s")
+               # size input splits to THIS environment's file shape: the
+               # sf0.1/sf1 tables are single parquet files of 0.6-110 MB,
+               # which the 128 MB default reads as 1-2 splits — every
+               # map-side stage before the first shuffle (shingling,
+               # text hashing, regex profiling) then runs on 1-2 of the
+               # 32 cores.  16 MB splits parallelize those stages
+               # (measured: ngram x10 19.3->15.3 s, exact_dedup
+               # 2.6->1.9 s); a production cluster sizes this to its own
+               # files, which is why it lives in the bench harness, not
+               # the library defaults
+               .config("spark.sql.files.maxPartitionBytes", "16m"))
     spark = configure_session(builder).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
