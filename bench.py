@@ -143,17 +143,14 @@ def main() -> None:
                # choice)
                .config("spark.sql.streaming.stateStore.maintenanceInterval",
                        "3600s")
-               # size input splits to THIS environment's file shape: the
-               # sf0.1/sf1 tables are single parquet files of 0.6-110 MB,
-               # which the 128 MB default reads as 1-2 splits — every
-               # map-side stage before the first shuffle (shingling,
-               # text hashing, regex profiling) then runs on 1-2 of the
-               # 32 cores.  16 MB splits parallelize those stages
-               # (measured: ngram x10 19.3->15.3 s, exact_dedup
-               # 2.6->1.9 s); a production cluster sizes this to its own
-               # files, which is why it lives in the bench harness, not
-               # the library defaults
-               .config("spark.sql.files.maxPartitionBytes", "16m"))
+               )
+    # NOT set: spark.sql.files.maxPartitionBytes=16m was measured both
+    # ways — it parallelizes the map-heavy text families (ngram x10
+    # 19.3->15.3 s) but taxes every repeated-scan iterative family with
+    # 2-7x the task count per scan (sgd x10 +5.8 s, matching +4 s; sf1
+    # block net +27 s).  Map-side parallelism for single-file text scans
+    # is instead handled where it pays, by explicit repartition in the
+    # affected gates (media_features, streaming ingest).
     spark = configure_session(builder).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
