@@ -124,3 +124,31 @@ def test_media_probe_spark_pass(spark):
     # above is the test's own sort, kept off this assertion)
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_probe_never_raises_fuzz():
+    """probe_payload over adversarial bytes: arbitrary junk, truncations
+    of valid streams at every boundary, and bit-flipped headers must
+    yield a row, never an exception (probe stages cannot kill a scan)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    mp3 = build_mp3(4, xing=True, id3_size=32)
+    mp4 = build_mp4(5.0)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(min_size=0, max_size=600))
+    def _fuzz(b):
+        r = probe_payload(b)
+        assert isinstance(r, dict) and "container" in r
+
+    _fuzz()
+
+    for valid in (mp3, mp4):
+        for cut in range(0, min(len(valid), 120)):
+            assert "container" in probe_payload(valid[:cut])
+        # single-bit corruption across the header region
+        for pos in range(0, 48):
+            mut = bytearray(valid)
+            mut[pos] ^= 0x40
+            assert "container" in probe_payload(bytes(mut))
