@@ -76,6 +76,11 @@ class EntropyBalance:
         """Weighted ATT: mean(Y | treated) − Σw·Y/Σw over controls, with
         a weighted linearization SE (one scan)."""
         y = F.expr(Y).cast("double")
+        # complete-case on the outcome: without it a NULL-Y treated row
+        # counts in n1 but not in Σy (deflating mu1), and a NULL-Y
+        # control row counts in Σw but not Σw·y — the silent-bias class
+        # glm's own filter exists to prevent
+        df = df.where(y.isNotNull())
         t = F.expr(self.T)
         w = self.weight_column()
         is_t = (t == F.lit(self.treatment_value)).cast("double")

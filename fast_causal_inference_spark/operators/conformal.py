@@ -133,7 +133,13 @@ def conformal_fit(df: DataFrame, Y: str, T: str, X: list[str],
                 raise ValueError(
                     f"conformal_fit: calibration arm {arm} has n={n} < "
                     f"ceil((n+1)(1-alpha)) rows; lower alpha or add data")
-            probes.append(rank / n)
+            # probe at the BUCKET MIDPOINT (rank-0.5)/n, not rank/n: the
+            # sketch maps a probability back to a rank via ceil(p*count),
+            # and rank/n*n can land at rank+epsilon in floats (e.g.
+            # 509/564*564 = 509.0000000000001 → ceil gives the 510th
+            # order statistic).  The midpoint is 0.5 from either
+            # boundary, so ceil recovers exactly `rank` for every n.
+            probes.append((rank - 0.5) / n)
         # BOTH arms' quantiles in ONE aggregation: percentile_approx at
         # accuracy 10^6 runs the same Greenwald-Khanna summary as
         # approxQuantile(relativeError=1e-6) — exact order statistics at

@@ -70,31 +70,24 @@ def oaxaca_blinder(df: DataFrame, Y: str, group: str, X: list[str],
     mA, mB = models["A"], models["B"]
     k = len(X)
 
-    # group means and covariances of [1, X] — one scan
-    aggs = []
-    exprs = [F.expr(e).cast("double") for e in X]
-    for gi in ("A", "B"):
-        flag = (F.col("__g") == gi).cast("double")
-        aggs.append(F.sum(flag).alias(f"n_{gi}"))
-        aggs.append(F.sum(flag * F.col("__y")).alias(f"sy_{gi}"))
-        for i, xc in enumerate(exprs):
-            aggs.append(F.sum(flag * xc).alias(f"m{i}_{gi}"))
-            for j in range(i, k):
-                aggs.append(F.sum(flag * xc * exprs[j])
-                            .alias(f"c{i}_{j}_{gi}"))
-    row = work.agg(*aggs).collect()[0]
-
+    # group means/covariances and the pooled fit all live inside the
+    # sufficient statistics the grouped Gramian scan already shipped:
+    # with an intercept, XtX = [[n, Σxᵀ], [Σx, ΣxxᵀT]] and
+    # Xty = XtX·β̂, so NO further pass over the data is needed —
+    # oaxaca_blinder is genuinely the one groupBy(group) scan its
+    # docstring claims
     stats = {}
-    for gi in ("A", "B"):
-        n = float(row[f"n_{gi}"])
-        mean = np.array([float(row[f"m{i}_{gi}"]) / n for i in range(k)])
-        cov = np.empty((k, k))
-        for i in range(k):
-            for j in range(i, k):
-                cij = float(row[f"c{i}_{j}_{gi}"]) / n - mean[i] * mean[j]
-                cov[i, j] = cov[j, i] = cij
+    gram = {}
+    for gi, m in (("A", mA), ("B", mB)):
+        XtX = np.linalg.inv(np.asarray(m.xtx_inv, dtype=float))
+        Xty = XtX @ np.asarray(m.beta, dtype=float)
+        n = float(m.n)
+        mean = XtX[0, 1:] / n
+        raw2 = XtX[1:, 1:] / n
+        cov = raw2 - np.outer(mean, mean)
         stats[gi] = {"n": n, "mean": mean, "cov_mean": cov / n,
-                     "ybar": float(row[f"sy_{gi}"]) / n}
+                     "ybar": Xty[0] / n}
+        gram[gi] = (XtX, Xty, m)
     xA, xB = stats["A"]["mean"], stats["B"]["mean"]
     # design-order vectors (intercept first) for coefficient terms
     dA = np.concatenate([[1.0], xA])
@@ -109,13 +102,20 @@ def oaxaca_blinder(df: DataFrame, Y: str, group: str, X: list[str],
     elif reference == "B":
         bstar, cov_star = bB, covB
     else:
-        # pooled fit = solve on the SUMMED group Gramians (Neumark):
-        # ols_grouped already delivered both; refit pooled in closed form
-        from fast_causal_inference_spark.operators.ols import ols
-
-        mp = ols(work, f"__y ~ {rhs}")
-        bstar, cov_star = np.asarray(mp.beta, dtype=float), \
-            mp.sigma2 * mp.xtx_inv
+        # pooled fit = solve on the SUMMED group Gramians (Neumark) —
+        # closed form on the driver, no refit scan: β_p solves
+        # (XtX_A+XtX_B)β = Xty_A+Xty_B, and RSS_p recovers from each
+        # group's RSS via y'y_g = RSS_g + β_g'Xty_g
+        XtX_p = gram["A"][0] + gram["B"][0]
+        Xty_p = gram["A"][1] + gram["B"][1]
+        bstar = np.linalg.solve(XtX_p, Xty_p)
+        yty = sum(m.sigma2 * max(m.n - len(m.beta), 1.0)
+                  + np.asarray(m.beta, float) @ Xty
+                  for (XtX, Xty, m) in (gram["A"], gram["B"]))
+        n_p = stats["A"]["n"] + stats["B"]["n"]
+        rss_p = max(float(yty - bstar @ Xty_p), 0.0)
+        sigma2_p = rss_p / max(n_p - (k + 1), 1.0)
+        cov_star = sigma2_p * np.linalg.inv(XtX_p)
 
     gap = stats["A"]["ybar"] - stats["B"]["ybar"]
     dx = xA - xB                                   # covariate gap

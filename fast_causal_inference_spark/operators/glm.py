@@ -43,6 +43,8 @@ class GlmModel:
     offset: str | None = None
     link: str | None = None      # non-default link (binomial probit/cloglog)
     var_power: float | None = None   # tweedie V(μ) = μ^p exponent
+    y_expr: str | None = None    # outcome expression, for complete-case
+                                 # replication by downstream scans (AME)
     names: list[str] = field(default_factory=list)
 
     def __post_init__(self):
@@ -310,7 +312,7 @@ def glm(df: DataFrame, formula: str, family: str = "poisson",
                         n_iter=it, converged=converged,
                         deviance=float("nan"),
                         null_deviance=float("nan"), dispersion=dispersion,
-                        offset=offset,
+                        offset=offset, y_expr=y_expr,
                         var_power=var_power if family == "tweedie"
                         else None)
     if family == "gaussian":
@@ -418,14 +420,14 @@ def glm(df: DataFrame, formula: str, family: str = "poisson",
                     beta=beta, stderr=stderr, n=n, n_iter=it,
                     converged=converged, deviance=deviance,
                     null_deviance=null_dev, dispersion=dispersion,
-                    offset=offset,
+                    offset=offset, y_expr=y_expr,
                     var_power=var_power if family == "tweedie" else None)
 
 
 def poisson_regression(df: DataFrame, formula: str,
                        offset: str | None = None, **kw) -> GlmModel:
     """Poisson GLM with log link (facade for ``glm(family='poisson')``)."""
-    return glm(df, formula, family="poisson", offset=offset, **kw)
+    return glm(df, formula, family="poisson", offset=offset, y_expr=y_expr, **kw)
 
 
 def probit_regression(df: DataFrame, formula: str, **kw) -> GlmModel:
@@ -581,7 +583,7 @@ def _binomial_glm(df: DataFrame, formula: str, link: str,
                         n_iter=it, converged=converged,
                         deviance=float("nan"),
                         null_deviance=float("nan"), dispersion=1.0,
-                        offset=offset, link=link)
+                        offset=offset, y_expr=y_expr, link=link)
 
     eta = F.lit(float(beta[0])) * xs[0]
     for j in range(1, p):
@@ -612,7 +614,7 @@ def _binomial_glm(df: DataFrame, formula: str, link: str,
     return GlmModel(family="binomial", feature_exprs=feats,
                     use_bias=use_bias, beta=beta, stderr=stderr, n=n,
                     n_iter=it, converged=converged, deviance=deviance,
-                    null_deviance=null_dev, dispersion=1.0, offset=offset,
+                    null_deviance=null_dev, dispersion=1.0, offset=offset, y_expr=y_expr,
                     link=link)
 
 

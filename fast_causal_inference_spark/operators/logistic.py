@@ -31,7 +31,8 @@ class LogisticModel:
     n: float
     n_iter: int
     converged: bool
-    names: list[str] = field(default_factory=list)
+    y_expr: str | None = None    # outcome expression, for complete-case
+    names: list[str] = field(default_factory=list)  # replication downstream
 
     def __post_init__(self):
         if not self.names:
@@ -139,7 +140,7 @@ def logistic_regression(df: DataFrame, formula: str, use_bias: bool = True,
     df.unpersist()
     # SE from inv of final Fisher information (= weighted Gramian A)
     stderr = np.sqrt(np.maximum(np.diag(np.linalg.inv(A)), 0.0))
-    return LogisticModel(feature_exprs=feats, use_bias=use_bias, beta=beta,
+    return LogisticModel(feature_exprs=feats, use_bias=use_bias, beta=beta, y_expr=y_expr,
                          stderr=stderr, n=n, n_iter=it, converged=converged)
 
 
@@ -158,7 +159,7 @@ def _mllib_logistic(df, y_expr, feats, use_bias, max_iter, tol) -> LogisticModel
     m = lr.fit(va.transform(prepared))
     beta = np.array(([m.intercept] if use_bias else []) +
                     list(m.coefficients.toArray()))
-    return LogisticModel(feature_exprs=feats, use_bias=use_bias, beta=beta,
+    return LogisticModel(feature_exprs=feats, use_bias=use_bias, beta=beta, y_expr=y_expr,
                          stderr=np.full(len(beta), np.nan),
                          n=float(prepared.count()),
                          n_iter=m.summary.totalIterations, converged=True)

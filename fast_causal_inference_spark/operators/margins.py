@@ -106,9 +106,37 @@ def average_marginal_effects(model, df: DataFrame,
         eta = model.logit_column()
     xs = ([F.lit(1.0)] if use_bias else []) + \
         [F.expr(e).cast("double") for e in feats]
+    # replicate the FIT's complete-case filter exactly: features AND the
+    # outcome AND any offset.  Filtering features only would let rows the
+    # fit excluded re-enter the Fisher-information rebuild (wrong
+    # Cov(β) → wrong SEs) and, with a NULL offset, silently drop from
+    # the sums while still counting in n (biasing the AME toward 0).
     cc = None
     for e in feats:
         c0 = F.expr(e).cast("double").isNotNull()
+        cc = c0 if cc is None else (cc & c0)
+    y_expr = getattr(model, "y_expr", None)
+    if y_expr is not None:
+        try:                      # .select resolves eagerly — probe it
+            df.select(F.expr(y_expr).cast("double"))
+        except Exception:
+            # scoring frame without the outcome column: legitimate for
+            # the point estimates, but the Fisher rebuild then can only
+            # match feature-complete rows — flag it
+            import warnings
+
+            warnings.warn(
+                f"average_marginal_effects: outcome {y_expr!r} is not "
+                "resolvable on this frame; NULL-outcome rows the fit "
+                "excluded cannot be filtered here, so pass the "
+                "estimation frame for exact standard errors",
+                stacklevel=2)
+        else:
+            c0 = F.expr(y_expr).cast("double").isNotNull()
+            cc = c0 if cc is None else (cc & c0)
+    off_expr = getattr(model, "offset", None)
+    if off_expr is not None:
+        c0 = F.expr(off_expr).cast("double").isNotNull()
         cc = c0 if cc is None else (cc & c0)
     work = df.where(cc) if cc is not None else df
     dmu, d2mu, w = _family_cols(model, eta)

@@ -65,16 +65,25 @@ def ope_ips(df: DataFrame, reward: str, target_prob, logging_prob,
     """
     r = F.expr(reward).cast("double")
     w = _weight(target_prob, logging_prob, clip)
+    # restrict the ESS sums to the rows the estimate uses (defined w·r):
+    # otherwise the overlap diagnostic is computed on a different row
+    # set than n/v/sd
+    w_used = F.when((w * r).isNotNull(), w)
     row = df.agg(F.count(w * r).alias("n"),
                  F.avg(w * r).alias("v"),
                  F.stddev_samp(w * r).alias("sd"),
-                 F.sum(w).alias("sw"),
-                 F.sum(w * w).alias("sw2")).collect()[0]
+                 F.sum(w_used).alias("sw"),
+                 F.sum(w_used * w_used).alias("sw2")).collect()[0]
     n = float(row["n"])
     if n == 0:
         raise ValueError("ope_ips: no rows with defined reward and weight")
+    if not float(row["sw2"] or 0.0) > 0:
+        raise ValueError(
+            "ope_ips: every importance weight is 0 — the target policy "
+            "has no support on the logged actions")
     ess = float(row["sw"]) ** 2 / float(row["sw2"])
-    return _finish(n, float(row["v"]), float(row["sd"]), ess, "ips", alpha)
+    sd = float(row["sd"]) if row["sd"] is not None else float("nan")
+    return _finish(n, float(row["v"]), sd, ess, "ips", alpha)
 
 
 def ope_snips(df: DataFrame, reward: str, target_prob, logging_prob,

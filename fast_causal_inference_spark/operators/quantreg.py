@@ -208,7 +208,9 @@ def quantile_regression(df: DataFrame, formula: str, tau: float = 0.5,
                 trial = beta + step
                 g2, H2, S2, loss2, n = _scan(trial, hh)
                 halvings += 1
-            if halvings >= 20:
+            if loss2 > loss + 1e-12 * abs(loss):
+                # the halving budget ran out WITHOUT finding descent —
+                # abandon; a 20th halving that DID improve is accepted
                 break
             beta, g, H, S, loss = trial, g2, H2, S2, loss2
             if float(np.max(np.abs(step))) < step_tol:

@@ -442,6 +442,15 @@ def rmst(df: DataFrame, time: str, event: str, tau: float,
              .toPandas())
     if agg.empty:
         raise ValueError("rmst: no rows with non-NULL time/event")
+    tmin = float(agg.time.min())
+    if tmin < 0:
+        # the [0, τ] integral is undefined for negative durations — and
+        # silently integrating survival mass over (t_min, 0) would
+        # overstate μ; validated here on the already-collected grid so
+        # the check costs no extra scan
+        raise ValueError(
+            f"rmst: negative event time {tmin:g}; durations must be "
+            ">= 0 (re-anchor the time expression)")
     out = []
     for g, sub in (agg.groupby(group, dropna=False) if group
                    else [(None, agg)]):
