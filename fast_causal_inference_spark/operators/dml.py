@@ -253,9 +253,20 @@ def linear_dml_grouped(df: DataFrame, Y: str, T: str, X: list[str],
     idx_t = list(range(k)) + [k + 1]
     stat_keys = [c for c in (rows[0].asDict() if rows else {})
                  if c not in set(group_cols) | {"__fold"}]
+
+    # one canonical NaN per process: Python hashes each float('nan')
+    # object separately (a NaN-keyed segment would fragment into one
+    # pseudo-segment per row and then miss the second-pass dict lookup),
+    # while Spark's own grouping/eqNullSafe already treat NaN as one key
+    _NAN = float("nan")
+
+    def _norm_key(vals) -> tuple:
+        return tuple(_NAN if isinstance(v, float) and v != v else v
+                     for v in vals)
+
     by_seg: dict = {}
     for r in rows:
-        key = tuple(r[c] for c in group_cols)
+        key = _norm_key(r[c] for c in group_cols)
         if r["__fold"] is not None:
             by_seg.setdefault(key, {})[int(r["__fold"])] = r.asDict()
 
@@ -279,6 +290,15 @@ def linear_dml_grouped(df: DataFrame, Y: str, T: str, X: list[str],
                                True, summed["n"], None)
             mt = _fit_from_row(_subrow(summed, idx_t), controls, T,
                                True, summed["n"], None)
+            # same conditioning guard the ungrouped path applies: a
+            # degenerate segment must surface as a NaN row, not as
+            # confidently-wrong theta/stderr from a near-singular solve
+            try:
+                _check_conditioned(my, f, "outcome")
+                _check_conditioned(mt, f, "treatment")
+            except ValueError:
+                ok = False
+                break
             preds[f] = (my, mt)
         if ok:
             seg_models[key] = preds
@@ -327,7 +347,7 @@ def linear_dml_grouped(df: DataFrame, Y: str, T: str, X: list[str],
                      F.count(F.lit(1)).alias("n")).collect())
     recs = []
     for r in out_rows:
-        key = tuple(r[c] for c in group_cols)
+        key = _norm_key(r[c] for c in group_cols)
         if key not in seg_models:
             continue
         stt, sty, syy = (float(r["stt"]), float(r["sty"]), float(r["syy"]))
@@ -356,32 +376,60 @@ def non_param_dml(df: DataFrame, Y: str, T: str, X: list[str],
                   heterogeneity: list[str] | None = None,
                   fold_expr: str | None = None) -> DMLResult:
     """NonParamDML: final stage regresses ỹ/t̃ on [1, heterogeneity…] with
-    weight t̃² (reference NonParamDMLParser.java:29-131)."""
+    weight t̃² (reference NonParamDMLParser.java:29-131).
+
+    SE conventions differ by path, deliberately: the intercept-only
+    moment estimator carries the double-ML sandwich SE
+    (Chernozhukov et al. 2018 — Var(θ) = Σ(t̃(ỹ−θt̃))²/(Σt̃²)²), while a
+    heterogeneity final stage reports that WLS model's own classical
+    inference, matching the reference's final-model summary."""
     controls = list(X) + list(W or [])
+    if not controls:
+        # _fold_column would otherwise hash ALL columns — including Y
+        # and T — making fold membership outcome-dependent, the exact
+        # hazard cross-fitting exists to avoid (same guard as linear_dml)
+        raise ValueError("DML needs at least one control covariate")
     hetero = list(heterogeneity or [])
     work = _fold_column(df, cv, "__fold", seed, fold_expr, hash_cols=controls)
     work = _dml_residuals(work, Y, T, controls, cv, "__fold")
-    work = (work.withColumn("__ratio", F.col("__res_y") / F.col("__res_t"))
+    # the division is guarded PER ROW (not only by the filter): under
+    # ANSI mode a zero residual would raise DIVIDE_BY_ZERO during any
+    # evaluation that happens before the filter (e.g. local-relation
+    # constant folding), even though the row is about to be dropped
+    safe = F.abs(F.col("__res_t")) > 1e-12
+    work = (work.withColumn(
+                "__ratio",
+                F.when(safe, F.col("__res_y") / F.col("__res_t")))
                 .withColumn("__w", F.col("__res_t") * F.col("__res_t"))
-                .where(F.abs(F.col("__res_t")) > 1e-12))
+                .where(safe))
     if hetero:
         final = ols(work, f"__ratio ~ {' + '.join(hetero)}", use_bias=True,
                     weight="__w")
         theta, stderr = final.beta, final.stderr
     else:
         # intercept-only weighted mean: θ = Σw·r/Σw — which algebraically
-        # equals the classic DML moment Σ(t̃·ỹ)/Σt̃², with a sandwich SE
+        # equals the classic DML moment Σ(t̃·ỹ)/Σt̃², with a sandwich SE.
+        # The sandwich numerator Σ(w(r−θ))² expands into three moments of
+        # the SAME scan (Σw²r², Σw²r, Σw²), so one aggregation suffices
         row = work.agg(
             F.sum(F.col("__w") * F.col("__ratio")).alias("swr"),
             F.sum("__w").alias("sw"),
+            F.sum(F.col("__w") * F.col("__w")
+                  * F.col("__ratio") * F.col("__ratio")).alias("sw2r2"),
+            F.sum(F.col("__w") * F.col("__w")
+                  * F.col("__ratio")).alias("sw2r"),
+            F.sum(F.col("__w") * F.col("__w")).alias("sw2"),
             F.count(F.lit(1)).alias("n")).collect()[0]
-        theta0 = row["swr"] / row["sw"]
-        # sandwich: Var(θ) = Σ(t̃·(ỹ-θt̃))² / (Σt̃²)², and t̃(ỹ-θt̃) = w(r-θ)
-        resid = work.select(
-            (F.col("__w") * F.col("__w")
-             * F.pow(F.col("__ratio") - F.lit(theta0), 2)).alias("e"))
-        r2_ = resid.agg(F.sum("e").alias("se")).collect()[0]
-        se0 = float(np.sqrt(r2_["se"]) / row["sw"])
+        if not row["n"] or row["sw"] is None or float(row["sw"]) <= 0:
+            raise ValueError(
+                "non_param_dml: no usable rows — every treatment "
+                "residual is (near-)zero, i.e. the controls predict T "
+                "perfectly; theta is unidentified")
+        theta0 = float(row["swr"]) / float(row["sw"])
+        # Σ(w(r−θ))² = Σw²r² − 2θΣw²r + θ²Σw²
+        s2 = max(float(row["sw2r2"]) - 2 * theta0 * float(row["sw2r"])
+                 + theta0 * theta0 * float(row["sw2"]), 0.0)
+        se0 = float(np.sqrt(s2) / float(row["sw"]))
         theta, stderr = np.array([theta0]), np.array([se0])
         final = None
     names = (["(Intercept)"] + hetero) if hetero else ["theta"]

@@ -42,10 +42,15 @@ def _probe_treatment_values(df: DataFrame, idx) -> tuple:
     """One distinct scan to discover the two arm values (only the grouped
     drill-down path needs this; the ungrouped paths fold arm discovery into
     their statistics scan). Pass ``treatment_values`` to skip it."""
-    vals = [r[0] for r in df.select(idx.alias("i")).distinct()
+    vals = [r[0] for r in df.where(idx.isNotNull())
+            .select(idx.alias("i")).distinct()
             .orderBy("i").limit(3).collect()]
     if len(vals) != 2:
-        raise ValueError(f"index must have exactly 2 values, got {vals}")
+        # NULL index rows are excluded from arm discovery (and from the
+        # arm-conditioned statistics, which test idx == value) — the
+        # same convention as the sum path's explicit NULL drop
+        raise ValueError(f"index must have exactly 2 non-NULL values, "
+                         f"got {vals}")
     return tuple(vals)
 
 
@@ -78,7 +83,15 @@ def xexpt_ttest_2samp(df: DataFrame, numerator: str, denominator: str,
 
     idx = F.col(index) if index.isidentifier() else F.expr(index)
 
-    x_parts = [p for p in X.replace("X=", "").split("+") if p.strip()] if X else []
+    # strip only a LEADING 'X=' tag (reference CLI syntax), then split on
+    # top-level '+' — a naive str.split would shred covariates like
+    # 'avg(x1+x2)/avg(d)' at the '+' inside the parens
+    from fast_causal_inference_spark.operators.ols import _split_top_level
+
+    x_clean = X.strip()
+    if x_clean.startswith("X="):
+        x_clean = x_clean[2:]
+    x_parts = _split_top_level(x_clean) if x_clean else []
     y_formula = f"avg({numerator})/avg({denominator})"
     nodes, base = parse_formulas([y_formula] + x_parts)
     ynode, xnodes = nodes[0], nodes[1:]
@@ -102,13 +115,15 @@ def xexpt_ttest_2samp(df: DataFrame, numerator: str, denominator: str,
             # arm values come out of the SAME scan that computes the
             # statistics: group the suff-stats by the index value instead
             # of probing distinct values first (saves one full pass)
-            grows = (df.groupBy(idx.alias("__i"))
+            grows = (df.where(idx.isNotNull())
+                       .groupBy(idx.alias("__i"))
                        .agg(*suffstat_agg_columns(base))
                        .orderBy("__i").limit(3).collect())
             if len(grows) != 2:
                 vals = [r["__i"] for r in grows]
                 raise ValueError(
-                    f"index must have exactly 2 values, got {vals}")
+                    f"index must have exactly 2 non-NULL values, "
+                    f"got {vals}")
             v0, v1 = grows[0]["__i"], grows[1]["__i"]
             s0 = row_to_stats(grows[0], k)
             s1 = row_to_stats(grows[1], k)

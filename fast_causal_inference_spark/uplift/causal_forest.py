@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import math
 import threading
+import warnings
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -137,7 +138,14 @@ class CausalForest:
         feat_cols = sorted({c for f in self.features for c in
                             ([f] if f in df.columns else df.columns)})
         work = df.select(*feat_cols, tcol.alias("__t"), ycol.alias("__y"))
-        rowh = F.xxhash64(*[F.col(c) for c in work.columns], F.lit(self.seed))
+        # subsample/honest-half draws hash the FEATURE VALUES only —
+        # never treatment or outcome.  Hashing (x, t, y) would make
+        # tree-sample and honest-half membership a function of the
+        # outcome (duplicated (x,t,y) rows co-assigned everywhere), so
+        # honest leaf moments would be computed on outcome-dependent
+        # subsets; same pre-treatment-only rule as dml._fold_column
+        rowh = F.xxhash64(*[F.expr(f).cast("double")
+                            for f in self.features], F.lit(self.seed))
 
         # repartition BEFORE caching: the per-level melt (explode ×trees)
         # runs on the cached layout, and a small input can scan as 1-3
@@ -189,7 +197,28 @@ class CausalForest:
             enrich[f"__m{t}"] = self._membership(t)
             enrich[f"__sh{t}"] = self._half(t)
         work = base.withColumns(enrich).cache()
-        work.count()
+        # materialize the enriched cache AND validate the treatment
+        # coding in the same job: a non-0/1 coding (1/2, strings casting
+        # to NULL) would otherwise fail every node's n0>0/n1>0 check and
+        # silently grow zero trees (all-NaN predictions)
+        chk = work.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("__t") == 0).cast("long")).alias("n0"),
+            F.sum((F.col("__t") == 1).cast("long")).alias("n1"),
+        ).collect()[0]
+        n0, n1 = int(chk["n0"] or 0), int(chk["n1"] or 0)
+        if n0 == 0 or n1 == 0:
+            work.unpersist()
+            raise ValueError(
+                "causal_forest: treatment must be a 0/1 indicator with "
+                f"both arms present — {self.treatment!r} has n0={n0}, "
+                f"n1={n1} (a 1/2 or string coding leaves one arm empty "
+                "after the int cast, so no node could ever split)")
+        if n0 + n1 < int(chk["n"]):
+            warnings.warn(
+                f"causal_forest: {int(chk['n']) - n0 - n1} rows have "
+                "treatment outside {0, 1} and are ignored by every "
+                "split and leaf", stacklevel=2)
         base.unpersist()
 
         frontier = [[0] for _ in range(self.num_trees)]
