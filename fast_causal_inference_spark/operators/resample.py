@@ -71,21 +71,14 @@ def boot_strap(df: DataFrame, expr: str, n_resamples: int = 100,
     Returns a DataFrame (group_cols…, replica_id, value) — feed into
     :func:`boot_strap_summary` for point estimate / SE / percentile CI.
     """
-    group_cols = list(group_cols or [])
-    node, base = parse_formula(expr)
-    rep = F.explode(F.sequence(F.lit(0), F.lit(n_resamples - 1))).alias("replica_id")
-    exploded = df.select(*group_cols, *[F.expr(e).cast("double").alias(f"__b{i}")
-                                        for i, e in enumerate(base)], rep) \
-                 .withColumn("__u", F.rand(seed)) \
-                 .withColumn("__w", poisson_weight_column(
-                     resample_frac, F.col("__u")).cast("double")) \
-                 .drop("__u")
-    view = StatView(len(base))
-    aggs = suffstat_agg_columns([f"__b{i}" for i in range(len(base))],
-                                weight=F.col("__w"))
-    agged = exploded.groupBy(*group_cols, "replica_id").agg(*aggs)
-    return agged.select(*group_cols, "replica_id",
-                        view.value(node).alias("value"))
+    # single-formula facade over the joint-replica pipeline: ONE
+    # implementation of the explode/Poisson-weight/suffstat plumbing,
+    # so fixes (e.g. the inline-rand pitfall documented above) cannot
+    # silently diverge between the two entry points
+    out = boot_strap_multi(df, [expr], n_resamples=n_resamples,
+                           resample_frac=resample_frac, seed=seed,
+                           group_cols=group_cols)
+    return out.withColumnRenamed("value_0", "value")
 
 
 def boot_strap_summary(df: DataFrame, expr: str, n_resamples: int = 100,
@@ -343,9 +336,12 @@ def permutation(df: DataFrame, expr: str, index: str,
         try:
             diffs[j] = float(node.value(mu1)) - float(node.value(mu0))
         except ZeroDivisionError:
-            # a ratio metric whose denominator sums to zero in a replica arm
+            # a ratio metric whose denominator sums to zero in a replica
+            # arm — NOTE numpy float division never raises (it yields
+            # inf/nan), so the isfinite filter below is the real guard;
+            # this handler covers plain-Python operand paths
             diffs[j] = float("nan")
-    valid = diffs[~np.isnan(diffs)]
+    valid = diffs[np.isfinite(diffs)]
     if len(valid) == 0:
         raise ValueError("every permutation replica was degenerate "
                          "(metric denominator summed to zero)")

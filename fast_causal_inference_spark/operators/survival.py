@@ -34,13 +34,18 @@ def kaplan_meier(df: DataFrame, time: str, event: str,
     t = F.expr(time).cast("double")
     e = F.expr(event).cast("double")
     w = F.expr(weight).cast("double") if weight else F.lit(1.0)
-    agg = (df.groupBy(*keys, t.alias("time"))
+    # complete-case on time/event (a NULL-time row would inflate every
+    # at-risk count), NULL group kept as its own stratum — the same two
+    # conventions as rmst/aalen_johansen/stratified_logrank in this file
+    agg = (df.where(t.isNotNull() & e.isNotNull())
+             .groupBy(*keys, t.alias("time"))
              .agg(F.sum(w * e).alias("n_event"),
                   F.sum(w).alias("n_obs"))
              .orderBy(*keys, "time")
              .toPandas())
     out = []
-    for g, sub in (agg.groupby(group) if group else [(None, agg)]):
+    for g, sub in (agg.groupby(group, dropna=False) if group
+                   else [(None, agg)]):
         sub = sub.sort_values("time").reset_index(drop=True)
         total = sub.n_obs.sum()
         at_risk = total - sub.n_obs.cumsum().shift(fill_value=0)
@@ -243,10 +248,6 @@ def cox_ph(df: DataFrame, time: str, event: str, covariates: list[str],
     Returns a per-covariate pandas frame: name, coef, exp(coef) hazard
     ratio, stderr (inverse-Hessian), z, p_value.
     """
-    import numpy as np
-
-    from fast_causal_inference_spark import stats_distributions as dist
-
     if ties not in ("breslow", "efron"):
         raise ValueError("ties must be 'breslow' or 'efron'")
     k = len(covariates)
@@ -352,17 +353,31 @@ def cox_ph(df: DataFrame, time: str, event: str, covariates: list[str],
             step = np.linalg.pinv(H) @ U
         beta = beta + step
         if abs(loglik - loglik_prev) < tol:
+            converged = True
             break
         loglik_prev = loglik
+    else:
+        converged = False
     sub.unpersist()
-    cov = np.linalg.pinv(H)
-    se = np.sqrt(np.maximum(np.diag(cov), 0.0))
-    z = beta / se
-    return pd.DataFrame({
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"cox_ph did not converge in {max_iter} iterations "
+            "(near-separation or extreme covariate scales?); the "
+            "reported stderr/z/p come from the information matrix of "
+            "the LAST completed step and may not describe the returned "
+            "coefficients", stacklevel=2)
+    out = pd.DataFrame({
         "name": covariates, "coef": beta, "hazard_ratio": np.exp(beta),
-        "stderr": se, "z": z,
-        "p_value": 2.0 * np.asarray(dist.norm_sf(np.abs(z))),
+        "stderr": np.sqrt(np.maximum(np.diag(np.linalg.pinv(H)), 0.0)),
+        "z": np.full(len(covariates), np.nan),
+        "p_value": np.full(len(covariates), np.nan),
     })
+    out["z"] = out.coef / out.stderr
+    out["p_value"] = 2.0 * np.asarray(dist.norm_sf(np.abs(out.z)))
+    out.attrs["converged"] = converged
+    return out
 
 
 def cif_difference_test(df: DataFrame, time: str, event: str, cause,

@@ -107,7 +107,6 @@ def ttest_2samp(df: DataFrame, Y: str, index: str,
                 s1 = row_to_stats(r, k, "g1_")
                 res = core.ttest_2samp_result(s0, s1, ynode, xnodes or None,
                                               alternative, alpha)
-                res["mean0"], res["mean1"] = res["mean0"], res["mean1"]
                 rows.append({**{g: r[g] for g in group_cols}, **res})
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
@@ -311,6 +310,21 @@ def _moment_test(df: DataFrame, value: str, index: str, kind: str,
                 m0, m1 = float(r["m0"]), float(r["m1"])
                 s0, s1 = float(r["v0"]), float(r["v1"])
                 est = m1 - m0
+                need = 1 if kind == "meanz" else 2
+                if n0 < need or n1 < need:
+                    # degenerate arm: degrade to NaN like the delta-method
+                    # path (a grouped call must not crash the whole job on
+                    # one tiny report cell); the known-variance z-test is
+                    # defined from n=1, the variance-estimating tests
+                    # need n>=2 per arm
+                    rows.append({**{g: r[g] for g in group_cols},
+                                 "n0": n0, "n1": n1, "mean0": m0,
+                                 "mean1": m1, "estimate": est,
+                                 "stderr": float("nan"),
+                                 "t_stat": float("nan"),
+                                 "df": float("nan"),
+                                 "p_value": float("nan")})
+                    continue
                 if kind == "student":
                     sp = (((n0 - 1) * s0 + (n1 - 1) * s1) / (n0 + n1 - 2))
                     se = (sp * (1 / n0 + 1 / n1)) ** 0.5

@@ -141,3 +141,75 @@ def test_causal_forest_hash_is_outcome_free(spark):
     # threshold grids coincide
     for t in range(2):
         assert cf1.trees_[t][0].feats == cf2.trees_[t][0].feats
+
+
+def test_kaplan_meier_ignores_null_times_keeps_null_group(spark):
+    from fast_causal_inference_spark.operators.survival import kaplan_meier
+
+    pdf = pd.DataFrame({"t": [1.0, 2.0, None, 3.0, 1.0, 2.0],
+                        "e": [1, 1, 1, 0, 1, 1],
+                        "g": ["a", "a", "a", None, None, None]})
+    km = kaplan_meier(spark.createDataFrame(pdf), "t", "e", group="g")
+    # the NULL-time row is excluded: group 'a' has 2 subjects, both events
+    a = km[km.g == "a"].sort_values("time")
+    assert list(a.n_risk) == [2.0, 1.0]
+    assert a.survival.iloc[-1] == pytest.approx(0.0)
+    # the NULL group is ITS OWN stratum, not dropped
+    assert km.g.isna().any()
+
+
+def test_welch_ttest_degenerate_arm_yields_nan_not_crash(spark):
+    from fast_causal_inference_spark.operators.ttest import welch_ttest
+
+    pdf = pd.DataFrame({"y": [1.0, 2.0, 3.0, 9.0], "t": [0, 0, 0, 1]})
+    out = welch_ttest(spark.createDataFrame(pdf), "y", "t")
+    r = out.toPandas().iloc[0] if hasattr(out, "toPandas") else out.iloc[0]
+    assert r["n1"] == 1 and np.isnan(r["stderr"]) and np.isnan(r["p_value"])
+
+
+def test_permutation_infinite_replicas_filtered(spark):
+    """A ratio metric with a zero-denominator replica arm must not leak
+    inf into the permutation distribution."""
+    from fast_causal_inference_spark.operators.resample import permutation
+
+    # two nonzero denominators over a 2-2 split: permutations that put
+    # both in one arm make the other arm's avg(den)=0 -> inf replica,
+    # the rest are valid — the inf ones must be filtered, not pollute
+    pdf = pd.DataFrame({"num": [1.0, 2.0, 3.0, 4.0],
+                        "den": [1.0, 1.0, 0.0, 0.0],
+                        "t": [0, 0, 1, 1]})
+    out = permutation(spark.createDataFrame(pdf), "avg(num)/avg(den)",
+                      "t", permutation_num=12, seed=3)
+    r = out.iloc[0]
+    # finite replicas exist AND the summary stats are finite — inf
+    # replicas were filtered rather than averaged in
+    assert r["n_permutations"] >= 1
+    assert np.isfinite(r["perm_mean"])
+
+
+def test_cox_ph_converged_attr(spark):
+    from fast_causal_inference_spark.operators.survival import cox_ph
+
+    rng = np.random.default_rng(2)
+    n = 300
+    pdf = pd.DataFrame({"x": rng.normal(0, 1, n)})
+    pdf["t"] = np.round(rng.exponential(np.exp(-0.5 * pdf.x)), 1) + 0.1
+    pdf["e"] = (rng.random(n) < 0.8).astype(int)
+    out = cox_ph(spark.createDataFrame(pdf), "t", "e", ["x"])
+    assert out.attrs.get("converged") is True
+
+
+def test_boot_strap_delegates_value_identical(spark):
+    """boot_strap(expr) must equal boot_strap_multi([expr]).value_0."""
+    from fast_causal_inference_spark.operators.resample import (
+        boot_strap,
+        boot_strap_multi,
+    )
+
+    rng = np.random.default_rng(4)
+    df = spark.createDataFrame(pd.DataFrame({"x": rng.normal(0, 1, 500)}))
+    a = boot_strap(df, "avg(x)", n_resamples=7, seed=9).toPandas() \
+        .sort_values("replica_id").reset_index(drop=True)
+    b = boot_strap_multi(df, ["avg(x)"], n_resamples=7, seed=9).toPandas() \
+        .sort_values("replica_id").reset_index(drop=True)
+    assert np.allclose(a.value.to_numpy(), b.value_0.to_numpy())
