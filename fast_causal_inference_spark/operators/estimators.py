@@ -32,6 +32,9 @@ def _bootstrap_ci(df: DataFrame, value_fn, B: int, seed: int,
     agged = exploded.groupBy("__rep").agg(
         *[c.alias(n) for n, c in aggs(F.col("__w")).items()])
     vals = np.array([finalize(r) for r in agged.collect()], dtype=float)
+    vals = vals[np.isfinite(vals)]           # degenerate replicates drop
+    if len(vals) < 2:
+        return float("nan"), float("nan"), float("nan")
     lo, hi = np.quantile(vals, [alpha / 2, 1 - alpha / 2])
     return float(vals.std(ddof=1)), float(lo), float(hi)
 
@@ -41,13 +44,25 @@ def ate_estimator(df: DataFrame, Y: str, T: str, B: int = 100,
     """Difference-in-means ATE with bootstrap std/CI."""
     y = F.expr(Y).cast("double")
     t = F.expr(T).cast("double")
+    # complete-case: a NULL-outcome row must not count in the arm sizes
+    # while dropping out of the outcome sums (it would attenuate both
+    # means) — same rule aipw_estimator already applies via count(psi)
+    has_y = y.isNotNull().cast("double")
 
     def aggs(w):
-        return {"s1": F.sum(w * y * t), "n1": F.sum(w * t),
-                "s0": F.sum(w * y * (1 - t)), "n0": F.sum(w * (1 - t))}
+        return {"s1": F.sum(w * y * t), "n1": F.sum(w * t * has_y),
+                "s0": F.sum(w * y * (1 - t)),
+                "n0": F.sum(w * (1 - t) * has_y)}
 
     def finalize(r):
-        return r["s1"] / r["n1"] - r["s0"] / r["n0"]
+        # a Poisson replicate can zero out a small arm entirely
+        # (P = e^-n_arm per replicate) — NaN, never ZeroDivisionError;
+        # NaN replicates drop out of the quantiles below
+        n1 = float(r["n1"] or 0.0)
+        n0 = float(r["n0"] or 0.0)
+        if n1 <= 0 or n0 <= 0:
+            return float("nan")
+        return float(r["s1"]) / n1 - float(r["s0"]) / n0
 
     point_row = df.agg(*[c.alias(n) for n, c in aggs(F.lit(1.0)).items()]) \
         .collect()[0]
@@ -65,13 +80,21 @@ def ipw_estimator(df: DataFrame, Y: str, T: str, P: str, B: int = 100,
     t = F.expr(T).cast("double")
     p = F.expr(P).cast("double")
 
+    has = (y.isNotNull() & p.isNotNull()).cast("double")
+
     def aggs(w):
         return {"a": F.sum(w * y * t / (p + eps)),
                 "b": F.sum(w * y * (1 - t) / (1 - p + eps)),
-                "n": F.sum(w)}
+                # Horvitz-Thompson normalizer over the rows that actually
+                # contribute to a/b (NULL y or NULL p rows drop from the
+                # sums; counting them in n would attenuate the estimate)
+                "n": F.sum(w * has)}
 
     def finalize(r):
-        return (r["a"] - r["b"]) / r["n"]
+        n = float(r["n"] or 0.0)
+        if n <= 0:
+            return float("nan")               # degenerate replicate
+        return (float(r["a"] or 0.0) - float(r["b"] or 0.0)) / n
 
     point_row = df.agg(*[c.alias(n) for n, c in aggs(F.lit(1.0)).items()]) \
         .collect()[0]
@@ -119,36 +142,24 @@ def aipw_estimator(df: DataFrame, Y: str, T: str, X: list[str],
     # BOTH per-arm outcome models come from ONE groupBy(arm) Gramian scan
     # (additive Gramians, same kernel as the T-learner); the propensity
     # fit is an independent full-corpus job and overlaps it
-    import threading
+    from concurrent.futures import ThreadPoolExecutor
 
     from fast_causal_inference_spark.operators.ols import ols_grouped
 
-    res: dict = {}
-
-    def _run(key, fn):
-        def go():
-            try:
-                res[key] = fn()
-            except BaseException as exc:      # noqa: BLE001 — re-raised
-                res[key] = exc
-        th = threading.Thread(target=go)
-        th.start()
-        return th
-
-    threads = [
-        _run("mu", lambda: ols_grouped(work, f"__y ~ {rhs}", "__t")),
-        _run("e", (lambda: logistic_regression(work, f"__t ~ {rhs}"))
-             if propensity == "logistic"
-             else (lambda: ols(work, f"__t ~ {rhs}"))),
-    ]
-    for th in threads:
-        th.join()
-    for v in res.values():
-        if isinstance(v, BaseException):
-            raise v
-    mu1, mu0 = res["mu"][1.0], res["mu"][0.0]
-    e_col = (res["e"].predict_proba_column()
-             if propensity == "logistic" else res["e"].predict_column())
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        mu_f = pool.submit(ols_grouped, work, f"__y ~ {rhs}", "__t")
+        e_f = pool.submit(
+            (logistic_regression if propensity == "logistic" else ols),
+            work, f"__t ~ {rhs}")
+        mus, e_model = mu_f.result(), e_f.result()
+    missing = [v for v in (1.0, 0.0) if v not in mus]
+    if missing:
+        raise ValueError(
+            f"aipw_estimator needs rows in both arms 0 and 1; arm(s) "
+            f"{[int(v) for v in missing]} are empty after the 0/1 filter")
+    mu1, mu0 = mus[1.0], mus[0.0]
+    e_col = (e_model.predict_proba_column()
+             if propensity == "logistic" else e_model.predict_column())
     e = F.greatest(F.lit(float(eps)),
                    F.least(F.lit(1.0 - eps), e_col))
     m1 = mu1.predict_column()

@@ -52,8 +52,11 @@ def caliper_matching(df: DataFrame, score: str, index: str,
                   .when((F.col("__t") == 0) & (rn <= quota * k),
                         F.ceil(rn / k).cast("int")))
     # globally-unique, deterministic pair id from the cell key + local rank
+    # NULL-score rows must stay UNMATCHED: a NULL __bucket would
+    # otherwise form its own matching cell, pairing treated and control
+    # rows purely on score-missingness
     pair_id = F.when(
-        pair_local.isNotNull(),
+        pair_local.isNotNull() & F.col("__bucket").isNotNull(),
         F.xxhash64(F.concat_ws("\x1f", F.col("__bucket").cast("string"),
                                *[F.col(c).cast("string") for c in exacts],
                                pair_local.cast("string"))))
@@ -95,7 +98,9 @@ def smd(df: DataFrame, index: str, cols: list[str],
     for c in cols:
         m0, m1 = row[f"{c}__m0"], row[f"{c}__m1"]
         vv0, vv1 = row[f"{c}__v0"], row[f"{c}__v1"]
-        pooled = np.sqrt((vv0 + vv1) / 2.0) if vv0 is not None else float("nan")
+        # EITHER arm with <2 non-null rows leaves its var_samp NULL
+        pooled = (np.sqrt((vv0 + vv1) / 2.0)
+                  if vv0 is not None and vv1 is not None else float("nan"))
         recs.append({"covariate": c, "mean0": m0, "mean1": m1,
                      "smd": (m1 - m0) / pooled if pooled else float("nan")})
     return pd.DataFrame(recs)

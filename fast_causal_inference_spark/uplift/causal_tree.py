@@ -95,7 +95,13 @@ class CausalTree:
                                   for f in _cols_of(df, feat)}),
                          t.alias("__t"), y.alias("__y"))
         if self.honesty:
-            h = F.pmod(F.xxhash64(*[F.col(c) for c in work.columns],
+            # the honesty draw hashes FEATURE VALUES only — never __t or
+            # __y (duplicated (x,t,y) rows would co-assign by outcome,
+            # putting outcome-dependent subsets in each half, the exact
+            # bias honesty exists to remove; same rule as causal_forest
+            # and dml._fold_column)
+            h = F.pmod(F.xxhash64(*[F.expr(f).cast("double")
+                                    for f in self.features],
                                   F.lit(self.seed)), F.lit(1000))
             work = work.withColumn(
                 "__split", (h < int(1000 * self.honesty_fraction)).cast("int"))
@@ -149,6 +155,24 @@ class CausalTree:
         for r in eff:
             per_node.setdefault(r["__node"], {})[r["__t"]] = (
                 float(r["n"]), float(r["s"]), float(r["s2"]))
+        # internal nodes carry the SUM of their leaves' moments (the one
+        # leaf-grain aggregation covers every node in the tree by
+        # additivity), so each node — internal or leaf — gets an honest
+        # effect where its accumulated estimation half supports one
+        def _acc(nid: int) -> dict:
+            node = self.nodes_[nid]
+            if node.left is None:
+                return per_node.get(nid, {})
+            a, b = _acc(node.left), _acc(node.right)
+            merged = {}
+            for arm in set(a) | set(b):
+                x = a.get(arm, (0.0, 0.0, 0.0))
+                z = b.get(arm, (0.0, 0.0, 0.0))
+                merged[arm] = (x[0] + z[0], x[1] + z[1], x[2] + z[2])
+            per_node[nid] = merged
+            return merged
+
+        _acc(0)
         for nid, arms in per_node.items():
             node = self.nodes_[nid]
             if 0 in arms and 1 in arms and arms[0][0] > 1 and arms[1][0] > 1:
@@ -161,6 +185,22 @@ class CausalTree:
                 node.stderr = math.sqrt(v0 / n0 + v1 / n1)
                 node.n = n0 + n1
                 node.n1 = n1
+        # honest-half fallback: min_node_size is enforced on the SPLIT
+        # half, so by hash luck a leaf's estimation half can lack 2 rows
+        # per arm and its tau stays NaN — predict() would then silently
+        # emit NaN for that whole subpopulation.  Fall back to the
+        # nearest ancestor with a defined effect (the standard honest-
+        # tree remedy: a coarser but valid estimate beats no estimate).
+        def _inherit(nid: int, ptau, pse, pn, pn1):
+            node = self.nodes_[nid]
+            if node.tau is None or node.tau != node.tau:
+                node.tau, node.stderr = ptau, pse
+                node.n, node.n1 = pn, pn1
+            for child in (node.left, node.right):
+                if child is not None:
+                    _inherit(child, node.tau, node.stderr,
+                             node.n, node.n1)
+        _inherit(0, float("nan"), float("nan"), 0.0, 0.0)
         work.unpersist()
         return self
 

@@ -152,6 +152,7 @@ class TransformedOutcome:
     outcome: str = "y"
     treatment: str = "treatment"
     propensity: float | None = None      # None → fit logistic propensity
+    trim: float = 0.01                   # fitted-propensity clip (overlap)
     model_: object = field(default=None, repr=False)
     prop_: object = field(default=None, repr=False)
 
@@ -161,7 +162,12 @@ class TransformedOutcome:
         if self.propensity is None:
             self.prop_ = logistic_regression(
                 df, _formula(self.treatment, self.features))
+            # overlap trimming, same rationale as DRLearner: a fitted g
+            # near 0/1 makes y(t−g)/(g(1−g)) explode and a handful of
+            # poor-overlap rows then dominate the stage-2 Gramian
             g = self.prop_.predict_proba_column()
+            g = F.greatest(F.lit(float(self.trim)),
+                           F.least(F.lit(1.0 - float(self.trim)), g))
         else:
             g = F.lit(float(self.propensity))
         ystar = y * (t - g) / (g * (1 - g))
@@ -180,7 +186,10 @@ class TransformedOutcome:
 class CVT:
     """Class-variable transformation (Jaskowski-Jaroszewicz): for binary Y
     with 50/50 assignment, Z = Y·T + (1−Y)(1−T); P(Z=1|x) maps to uplift
-    2·P−1. Propensity-weighted variant when assignment isn't balanced."""
+    2·P−1.  The transform is only valid under (approximately) balanced
+    randomization — for unbalanced assignment use
+    :class:`TransformedOutcome` (propensity-weighted) or
+    :class:`DRLearner` instead."""
 
     features: list[str]
     outcome: str = "y"
