@@ -151,7 +151,8 @@ class OlsModel:
                      f"on {int(self.df_resid)} degrees of freedom")
         lines.append(f"Multiple R-squared: {self.r2:.6f}, "
                      f"Adjusted R-squared: {self.adj_r2:.6f}")
-        lines.append(f"F-statistic: {self.f_stat:.6f} on {self.p - 1} and "
+        df_model = self.p - 1 if self.use_bias else self.p
+        lines.append(f"F-statistic: {self.f_stat:.6f} on {df_model} and "
                      f"{int(self.df_resid)} DF,  p-value: {self.f_pvalue:.6f}")
         return "\n".join(lines)
 
@@ -167,6 +168,7 @@ class OlsModel:
             "xtx_inv": self.xtx_inv.tolist(), "r2": self.r2,
             "adj_r2": self.adj_r2, "f_stat": self.f_stat,
             "f_pvalue": self.f_pvalue, "weight_expr": self.weight_expr,
+            "df_override": self.df_override, "names": self.names,
         })
 
     @classmethod
@@ -177,7 +179,11 @@ class OlsModel:
                    stderr=np.array(d["stderr"]), n=d["n"], sigma2=d["sigma2"],
                    xtx_inv=np.array(d["xtx_inv"]), r2=d["r2"],
                    adj_r2=d["adj_r2"], f_stat=d["f_stat"],
-                   f_pvalue=d["f_pvalue"], weight_expr=d.get("weight_expr"))
+                   f_pvalue=d["f_pvalue"], weight_expr=d.get("weight_expr"),
+                   # cluster-robust df must survive the round-trip or the
+                   # revived model silently tests against n-p
+                   df_override=d.get("df_override"),
+                   names=d.get("names") or [])
 
 
 def _pad(v, length: int = 12, precision: int = 6) -> str:
@@ -260,6 +266,20 @@ def _fit_from_row(row, feats: list[str], y_expr: str, use_bias: bool,
                     f_stat=f_stat, f_pvalue=f_p, weight_expr=weight_expr)
 
 
+def _complete_case_count(base_exprs: list[str],
+                         wcol: Column | None = None) -> Column:
+    """Count of rows entering the Gramian: every base expression (and the
+    weight, when given) non-NULL — the row set suffstat_agg_columns
+    sums over."""
+    cc = None
+    for e in base_exprs:
+        nn = F.expr(e).cast("double").isNotNull()
+        cc = nn if cc is None else (cc & nn)
+    if wcol is not None:
+        cc = cc & wcol.isNotNull()
+    return F.count(F.when(cc, 1))
+
+
 def ols(df: DataFrame, formula: str, use_bias: bool = True,
         weight: str | None = None) -> OlsModel:
     """Closed-form (W)LS fit of an R-style formula ``'y ~ x1 + x2'``.
@@ -270,14 +290,14 @@ def ols(df: DataFrame, formula: str, use_bias: bool = True,
     base = feats + [y_expr]
     wcol = F.expr(weight).cast("double") if weight else None
     aggs = suffstat_agg_columns(base, weight=wcol)
-    aggs.append(F.count(F.lit(1)).alias("n_rows__"))
+    aggs.append(_complete_case_count(base, wcol).alias("n_cc__"))
     row = df.agg(*aggs).collect()[0]
-    # df_resid counts COMPLETE CASES (the Gramian's n): rows with a NULL
-    # y/feature contribute nothing to the fit and must not inflate the
-    # residual degrees of freedom.  (Weighted fits keep the row count —
-    # there n is Σw, not a case count.)
+    # df_resid counts COMPLETE CASES (the rows the Gramian actually
+    # absorbed): a NULL y/feature/weight row contributes nothing to the
+    # fit and must not inflate the residual degrees of freedom — for the
+    # weighted path too (n is Σw there, but the CASE count drives df).
     n_rows = float(row["n"] or 0.0) if weight is None \
-        else float(row["n_rows__"])
+        else float(row["n_cc__"] or 0.0)
     return _fit_from_row(row, feats, y_expr, use_bias, n_rows, weight)
 
 
@@ -304,12 +324,13 @@ def ols_grouped(df: DataFrame, formula: str, group_expr: str,
     base = feats + [y_expr]
     wcol = F.expr(weight).cast("double") if weight else None
     aggs = suffstat_agg_columns(base, weight=wcol)
-    aggs.append(F.count(F.lit(1)).alias("n_rows__"))
+    aggs.append(_complete_case_count(base, wcol).alias("n_cc__"))
     g = F.expr(group_expr).alias("__g")
     rows = df.groupBy(g).agg(*aggs).collect()
     return {r["__g"]: _fit_from_row(
         r, feats, y_expr, use_bias,
-        float(r["n"] or 0.0) if weight is None else float(r["n_rows__"]),
+        float(r["n"] or 0.0) if weight is None
+        else float(r["n_cc__"] or 0.0),
         weight) for r in rows}
 
 
@@ -361,7 +382,7 @@ def iv_regression(df: DataFrame, formula: str) -> OlsModel:
         im = re.match(r"^\((?P<t>[^~]+?)\s*~\s*(?P<z>.+)\)$", part.strip())
         if im:
             endo.append((im.group("t").strip(),
-                         [z.strip() for z in im.group("z").split("+")]))
+                         _split_top_level(im.group("z"))))
         else:
             exog.append(part.strip())
     if not endo:
@@ -374,10 +395,12 @@ def iv_regression(df: DataFrame, formula: str) -> OlsModel:
     idx = {e: i for i, e in enumerate(base)}
 
     aggs = suffstat_agg_columns(base)
-    aggs.append(F.count(F.lit(1)).alias("n_rows__"))
     row = df.agg(*aggs).collect()[0]
     k = len(base)
-    n = float(row["n_rows__"])
+    # complete-case n: the Gramian skipped NULL rows, so the intercept
+    # moment / df_resid / sst must count the same row set (a raw count
+    # silently mixed 2SLS moments over different populations)
+    n = float(row["n"] or 0.0)
     s = np.array([row[f"s{i}"] for i in range(k)], dtype=float)
     cross = np.empty((k, k))
     for i in range(k):
@@ -475,11 +498,14 @@ def iv_regression(df: DataFrame, formula: str) -> OlsModel:
     yty = cross[idx[y_expr], idx[y_expr]]
     ssr = float(yty - 2.0 * beta @ gy + beta @ gr @ beta)
     df_resid = n - p2
-    sigma2 = ssr / df_resid
+    # degrade like _fit_from_row: n <= p2 gives NaN inference, not a
+    # ZeroDivisionError
+    sigma2 = ssr / df_resid if df_resid > 0 else float("nan")
     stderr = np.sqrt(np.maximum(np.diag(xtx_inv), 0.0) * sigma2)
-    sst = float(yty - s[idx[y_expr]] ** 2 / n)
+    sst = float(yty - s[idx[y_expr]] ** 2 / n) if n > 0 else float("nan")
     r2 = 1.0 - ssr / sst if sst > 0 else float("nan")
-    adj_r2 = 1.0 - (1.0 - r2) * (n - 1) / df_resid
+    adj_r2 = (1.0 - (1.0 - r2) * (n - 1) / df_resid
+              if df_resid > 0 else float("nan"))
     df_model = p2 - 1
     f_stat = (sst - ssr) / df_model / sigma2 if sigma2 > 0 else float("nan")
     f_p = float(dist.f_sf(f_stat, df_model, df_resid))

@@ -162,8 +162,10 @@ def _qini_score_from_stats(pdf: pd.DataFrame) -> float:
 
 def auuc(df: DataFrame, ite: str, y: str, t: str, k: int = 100,
          n_rows: int | None = None) -> float:
-    """Area under the uplift (gain) curve, trapezoid over K buckets,
-    normalized to the random-targeting baseline area."""
+    """RAW area under the uplift (gain) curve — trapezoid over K
+    buckets, in the outcome's own units.  NOT baseline-adjusted: use
+    :func:`qini_score` for the area net of the random-targeting line
+    (the scale-comparable coefficient)."""
     return _auuc_from_stats(_bucketed_stats(df, ite, y, t, k, n_rows=n_rows))
 
 
@@ -174,14 +176,19 @@ def qini_score(df: DataFrame, ite: str, y: str, t: str, k: int = 100,
         _bucketed_stats(df, ite, y, t, k, n_rows=n_rows))
 
 
-def cate_by_bucket(df: DataFrame, ite: str, y: str, t: str, k: int = 10,
-                   n_rows: int | None = None) -> pd.DataFrame:
-    """Non-cumulative per-bucket CATE vs predicted ITE (calibration table)."""
-    pdf = _bucketed_stats(df, ite, y, t, k, n_rows=n_rows)
+def _cate_from_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Calibration table from bucketed stats (shared by cate_by_bucket
+    and uplift_report so the two cannot diverge)."""
     with np.errstate(divide="ignore", invalid="ignore"):
         cate = pdf.y1 / pdf.n1 - pdf.y0 / pdf.n0
     return pd.DataFrame({"bucket": pdf["__bucket"], "n": pdf.n,
                          "ite_pred": pdf.ite_avg, "cate_actual": cate})
+
+
+def cate_by_bucket(df: DataFrame, ite: str, y: str, t: str, k: int = 10,
+                   n_rows: int | None = None) -> pd.DataFrame:
+    """Non-cumulative per-bucket CATE vs predicted ITE (calibration table)."""
+    return _cate_from_stats(_bucketed_stats(df, ite, y, t, k, n_rows=n_rows))
 
 
 def uplift_report(df: DataFrame, ite: str, y: str, t: str, k: int = 10,
@@ -191,16 +198,12 @@ def uplift_report(df: DataFrame, ite: str, y: str, t: str, k: int = 10,
     Qini curve, AUUC, Qini coefficient, and the calibration table all share
     a single scan+aggregation instead of one per metric."""
     pdf = _bucketed_stats(df, ite, y, t, k, tiebreak, method, n_rows)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        cate = pdf.y1 / pdf.n1 - pdf.y0 / pdf.n0
     return {
         "lift_gain": _lift_gain_from_stats(pdf),
         "qini": _qini_from_stats(pdf),
         "auuc": _auuc_from_stats(pdf),
         "qini_score": _qini_score_from_stats(pdf),
-        "cate_by_bucket": pd.DataFrame(
-            {"bucket": pdf["__bucket"], "n": pdf.n,
-             "ite_pred": pdf.ite_avg, "cate_actual": cate}),
+        "cate_by_bucket": _cate_from_stats(pdf),
     }
 
 

@@ -144,9 +144,16 @@ def _aggregate(df: DataFrame, metric_type: str, target_colname: str,
             group_cols.append("threshold")
 
     if bootstrap:
+        # project the role columns BEFORE the (B+1)x explode — every
+        # extra input column is replicated into each replica row and fed
+        # through the hash aggregate for nothing
+        keep = [c for c in {bucket_colname, "threshold" if carry_threshold
+                            and "threshold" in df.columns else None,
+                            target_colname, benefit_colname, cost_colname,
+                            treatment_colname} if c and c in df.columns]
         rep = F.explode(
             F.sequence(F.lit(0), F.lit(n_bootstraps))).alias("bootstrap")
-        df = df.select("*", rep).withColumn("__u", F.rand(seed))
+        df = df.select(*keep, rep).withColumn("__u", F.rand(seed))
         w = F.when(F.col("bootstrap") == 0, F.lit(1)).otherwise(
             poisson_weight_column(1.0, F.col("__u"))).cast("double")
         group_cols.append("bootstrap")

@@ -125,3 +125,66 @@ def test_transformed_outcome_trims_fitted_propensity(spark):
     tau = m.predict(spark.createDataFrame(pdf)).agg(
         F.avg("ite")).collect()[0][0]
     assert np.isfinite(tau) and abs(tau) < 1e4   # no exploding ystar
+
+
+def test_wls_df_resid_complete_case(spark):
+    """NULL-y rows must not inflate a weighted fit's residual df (they
+    contribute nothing to the Gramian): stderr with nulls == stderr on
+    the complete-case frame."""
+    from fast_causal_inference_spark.operators.ols import wls
+
+    rng = np.random.default_rng(8)
+    n = 200
+    pdf = pd.DataFrame({"x": rng.normal(0, 1, n),
+                        "w": rng.uniform(0.5, 2.0, n)})
+    pdf["y"] = 1.0 + 2.0 * pdf.x + rng.normal(0, 1, n)
+    pdf2 = pd.concat([pdf, pd.DataFrame({"x": rng.normal(0, 1, n),
+                                         "w": np.ones(n),
+                                         "y": [None] * n})],
+                     ignore_index=True)
+    m_clean = wls(spark.createDataFrame(pdf), "y ~ x", weight="w")
+    m_nulls = wls(spark.createDataFrame(pdf2), "y ~ x", weight="w")
+    assert m_nulls.stderr[1] == pytest.approx(m_clean.stderr[1], rel=1e-12)
+    assert m_nulls.n == m_clean.n
+
+
+def test_iv_complete_case_and_paren_instruments(spark):
+    from fast_causal_inference_spark.operators.ols import iv_regression
+
+    rng = np.random.default_rng(12)
+    n = 400
+    pdf = pd.DataFrame({"z1": rng.normal(0, 1, n),
+                        "z2": rng.normal(0, 1, n)})
+    pdf["t"] = 0.8 * pdf.z1 + 0.3 * pdf.z2 + rng.normal(0, 0.5, n)
+    pdf["y"] = 2.0 * pdf.t + rng.normal(0, 1, n)
+    # instrument expression containing '+' inside a function call
+    m = iv_regression(spark.createDataFrame(pdf),
+                      "y ~ (t ~ pow(z1+z2, 1) + z2)")
+    assert m.beta[m.names.index("t")] == pytest.approx(2.0, abs=0.3)
+    # NULL y rows: coefficients must match the complete-case frame
+    pdf2 = pd.concat([pdf, pd.DataFrame({"z1": [0.0] * 50,
+                                         "z2": [0.0] * 50,
+                                         "t": [0.0] * 50,
+                                         "y": [None] * 50})],
+                     ignore_index=True)
+    m2 = iv_regression(spark.createDataFrame(pdf2), "y ~ (t ~ z1 + z2)")
+    m1 = iv_regression(spark.createDataFrame(pdf), "y ~ (t ~ z1 + z2)")
+    assert m2.beta[1] == pytest.approx(m1.beta[1], rel=1e-12)
+    assert m2.stderr[1] == pytest.approx(m1.stderr[1], rel=1e-12)
+
+
+def test_cluster_robust_df_survives_json(spark):
+    from fast_causal_inference_spark.operators.ols import (
+        OlsModel,
+        cluster_robust_ols,
+    )
+
+    rng = np.random.default_rng(6)
+    n = 300
+    pdf = pd.DataFrame({"g": np.arange(n) % 12,
+                        "x": rng.normal(0, 1, n)})
+    pdf["y"] = 1.0 + pdf.x + rng.normal(0, 1, n)
+    m = cluster_robust_ols(spark.createDataFrame(pdf), "y ~ x", "g")
+    back = OlsModel.from_json(m.to_json())
+    assert back.df_override == m.df_override == 11.0
+    assert np.allclose(back.p_values, m.p_values)
