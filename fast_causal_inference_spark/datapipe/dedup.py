@@ -26,7 +26,6 @@ from fast_causal_inference_spark.datapipe.text import (
     content_md5,
     ngram_transform,
     tokens,
-    word_ngrams,
 )
 
 # ---------------------------------------------------------------------------
@@ -104,9 +103,14 @@ def minhash_signature(text: Column | str, num_hashes: int = 64,
 
 
 def jaccard(a: Column, b: Column) -> Column:
-    """Exact Jaccard similarity of two (distinct-element) arrays."""
+    """Exact Jaccard similarity of two (distinct-element) arrays.
+
+    Two empty arrays compare as identical (J = 1.0) — and the explicit
+    branch keeps the division off the 0/0 case, which Spark 4's default
+    ANSI mode would otherwise raise on."""
     inter = F.size(F.array_intersect(a, b))
-    return inter / (F.size(a) + F.size(b) - inter)
+    union = F.size(a) + F.size(b) - inter
+    return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
 
 
 def _shingle_inv(df: DataFrame, text_col: str, id_col: str,
@@ -199,6 +203,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     ``scheme='classic'`` — per-seed rehash signature
     (:func:`minhash_signature`), kept for signature-level parity.
     """
+    if bands <= 0 or num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} must be a positive multiple of "
+            f"bands={bands}: a non-dividing split silently changes the "
+            "effective banding (and bands > num_hashes would degenerate "
+            "to one all-docs bucket)")
     rows = num_hashes // bands
     inv = _shingle_inv(df, text_col, id_col, shingle_size)
     if scheme == "oph":
@@ -341,6 +351,12 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
                   chunks: int = 4) -> DataFrame:
     """Near-dup pairs by SimHash: pigeonhole on ``chunks`` 16-bit chunks
     (hamming ≤ chunks−1 guarantees ≥1 equal chunk), verify with bit_count."""
+    if max_hamming > chunks - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds chunks-1={chunks - 1}: "
+            "the pigeonhole candidate generation only guarantees recall "
+            f"up to {chunks - 1} differing bits — raise chunks to at "
+            f"least {max_hamming + 1}")
     width = 64 // chunks
     # two primitive longs per doc; cached so the l/r sides of the chunk
     # join and the verify projection share one token-vote aggregation
@@ -590,9 +606,7 @@ def repeated_substring_spans(df: DataFrame, text_col: str = "text",
     Returns (id_a, id_b, start_a, start_b, run_tokens) with
     run_tokens = matched-gram chain length + n − 1 ≥ ``min_run_tokens``.
     """
-    from fast_causal_inference_spark.datapipe.text import tokens
 
-    from pyspark.sql import Window
 
     tk = tokens(F.col(text_col))
     # docs shorter than n tokens cannot contain a full n-gram — without
@@ -632,8 +646,6 @@ def ngram_transform_hashed(tk, n: int):
     """Positional n-gram 64-bit hashes of a bound token array (xxhash64 of
     the joined window — one hash per position, shared by
     :func:`repeated_substring_spans`)."""
-    from fast_causal_inference_spark.datapipe.text import ngram_transform
-    from fast_causal_inference_spark.functions import bind_once
 
     return bind_once(tk, lambda t: F.transform(
         ngram_transform(t, n), lambda s: F.xxhash64(s)))

@@ -33,7 +33,12 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    # nullif guard: an all-zeros embedding (padding row, failed encoder
+    # output) has norm 0, and under Spark 4's default ANSI mode a plain
+    # division would raise DIVIDE_BY_ZERO and kill the whole scan —
+    # cosine with the zero vector is undefined, so NULL is the honest
+    # value (NULL similarities drop out of top-k windows and joins)
+    return dot(a, b) / F.nullif(l2_norm(a) * l2_norm(b), F.lit(0.0))
 
 
 def l2_distance(a: Column, b: Column) -> Column:
@@ -117,13 +122,23 @@ def bucket_signatures_udf(tables: list[np.ndarray]):
     def _sig(vecs: pd.Series) -> pd.Series:
         import numpy as _np
 
-        X = _np.stack(vecs.to_numpy())               # (B, dim)
-        bits = (X @ stacked.T) > 0                   # (B, total_planes)
-        out = []
-        for b in bits:
-            out.append([int(b[offsets[t]:offsets[t + 1]] @ pows[t])
-                        for t in range(len(sizes))])
-        return pd.Series(out)
+        # NULL embeddings get NULL signatures (np.stack over a batch
+        # containing None raises; every sibling vector UDF in this file
+        # masks the same way)
+        mask = _np.array([v is not None for v in vecs])
+        out = pd.Series([None] * len(vecs), dtype=object)
+        if mask.any():
+            X = _np.stack(vecs.to_numpy()[mask])     # (B', dim)
+            bits = (X @ stacked.T) > 0               # (B', total_planes)
+            # pack each table's sign bits with ONE matmul per table over
+            # the whole batch (a per-row Python loop would dominate the
+            # GEMM it was built to exploit)
+            packed = _np.column_stack(
+                [bits[:, offsets[t]:offsets[t + 1]].astype(_np.int64)
+                 @ pows[t] for t in range(len(sizes))])
+            vals = [row.tolist() for row in packed]
+            out[mask] = pd.Series(vals, dtype=object).values
+        return out
 
     ensure_udf_serializable()
     return _sig
@@ -301,6 +316,12 @@ def ivf_knn(df: DataFrame, queries: DataFrame, k: int = 10,
             f"query set.")
     probes = []
     for r in q_rows:
+        if r[query_vec_col] is None:
+            raise ValueError(
+                f"NULL query vector for {query_id_col}="
+                f"{r[query_id_col]!r}; filter NULL queries before the "
+                "probe build (the corpus side masks NULLs, the query "
+                "side cannot search with one)")
         v = np.asarray(r[query_vec_col], dtype=float)
         d = v @ C.T - 0.5 * (C * C).sum(axis=1)
         for lst in np.argsort(-d)[:n_probe]:
@@ -785,6 +806,10 @@ def ivfpq_knn(df: DataFrame, queries: DataFrame, k: int = 10,
     qvecs = []
     for r in q_rows:
         qid = r[query_id_col]
+        if r[query_vec_col] is None:
+            raise ValueError(
+                f"NULL query vector for {query_id_col}={qid!r}; filter "
+                "NULL queries before the probe build")
         v = np.asarray(r[query_vec_col], dtype=float)
         base = v @ C.T                       # q·C[list], the ADC IP base
         # probe by the SAME L2 criterion the encoder assigns with

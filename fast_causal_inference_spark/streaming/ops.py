@@ -133,7 +133,12 @@ def streaming_srm(stream: DataFrame, index: str, ts_col: str,
     tot = F.col("n0") + F.col("n1")
     e0 = tot * r0 / (r0 + r1)
     e1 = tot * r1 / (r0 + r1)
-    chi2 = (F.col("n0") - e0) ** 2 / e0 + (F.col("n1") - e1) ** 2 / e1
+    # nullif guard: a window with zero events in BOTH arms (third-arm or
+    # null index values) has expected counts 0 — under ANSI mode a plain
+    # division would kill the continuous query, and on restart the same
+    # poison window kills it again; NULL chi-square is the honest value
+    chi2 = ((F.col("n0") - e0) ** 2 / F.nullif(e0, F.lit(0.0))
+            + (F.col("n1") - e1) ** 2 / F.nullif(e1, F.lit(0.0)))
     return agged.select("window", "n0", "n1",
                         e0.alias("expected0"), e1.alias("expected1"),
                         chi2.alias("chisquare"))
