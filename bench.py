@@ -30,8 +30,8 @@ RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 _SF1_KNOWN = [
     # within the known block, the structurally interesting scalers first
     # so a tight budget never skips them in favor of cheap suff-stats
-    "causal_forest", "t_learner", "boot_strap", "linear_dml", "knn",
-    "describe_quantiles", "minhash_lsh_dedup", "exact_dedup", "ols",
+    "causal_forest", "t_learner", "boot_strap", "linear_dml", "ols",
+    "knn", "describe_quantiles", "minhash_lsh_dedup", "exact_dedup",
     "ttest_2samp", "xexpt_ttest_2samp", "q1_pricing_summary",
 ]
 
@@ -219,13 +219,20 @@ def main() -> None:
     print(f"warmup done t={time.perf_counter() - _T_START:.0f}s",
           file=sys.stderr)
     runs: dict[str, list[float]] = {name: [] for name in qs}
+    errors: dict[str, str] = {}
     for ri in range(max(RUNS, 1)):
         for name, fn in qs.items():
+            if name in errors:           # broken once — don't re-time it
+                continue
             t0 = time.perf_counter()
-            df = fn(spark, SF_DIR)
-            n = df.count() if df.isStreaming is False else -1
-            runs[name].append(round(time.perf_counter() - t0, 4))
-            _ = n
+            try:                         # one broken family must not zero
+                df = fn(spark, SF_DIR)   # the whole suite record
+                n = df.count() if df.isStreaming is False else -1
+                runs[name].append(round(time.perf_counter() - t0, 4))
+                _ = n
+            except Exception as exc:
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                print(f"ERROR {name}: {errors[name]}", file=sys.stderr)
         spark.catalog.clearCache()
         print(f"run {ri + 1}/{RUNS} done t="
               f"{time.perf_counter() - _T_START:.0f}s", file=sys.stderr)
@@ -235,7 +242,7 @@ def main() -> None:
     import statistics
 
     times = {name: round(statistics.median(ts), 4)
-             for name, ts in runs.items()}
+             for name, ts in runs.items() if ts}
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
@@ -251,6 +258,8 @@ def main() -> None:
         "queries_runs": runs,
         "sf": sf_val,
     }
+    if errors:
+        out["errors"] = errors
 
     # sf1 point: ×10 the sf0.1 volume (repo-local synthesized replicas) for
     # EVERY family — validates that the measured sf0.1 numbers are
