@@ -612,7 +612,8 @@ UNION ALL SELECT 'l_quantity', round(czy/czt, 6) FROM s
 """
 
 
-def g_did_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+def g_did_event(spark: SparkSession, sf_dir: str,
+                ev: DataFrame | None = None) -> DataFrame:
     """Staggered event-study rows of the quasi-experimental family
     (golden sub-oracle: the k-feature OLS solve after the two-way within
     transform is a matrix inversion, not SQL-expressible).  Balanced
@@ -624,7 +625,8 @@ def g_did_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         event_study,
     )
 
-    ev = _load(spark, sf_dir, "events")
+    if ev is None:
+        ev = _load(spark, sf_dir, "events")
     panel = (ev.groupBy((F.col("user_id") % 12).alias("u"),
                         (F.col("event_id") % 10).alias("t"))
              .agg(F.avg("value").alias("y")))
@@ -642,7 +644,8 @@ def g_did_event(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                "beta": betas}))
 
 
-def g_did_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+def g_did_synth(spark: SparkSession, sf_dir: str,
+                ev: DataFrame | None = None) -> DataFrame:
     """Synthetic-control rows of the quasi-experimental family (golden
     sub-oracle: the simplex-constrained FISTA solve is iterative, not
     SQL-expressible).  Panel: unit = user_id%8, period = event_id%12,
@@ -653,7 +656,8 @@ def g_did_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthetic_control,
     )
 
-    ev = _load(spark, sf_dir, "events")
+    if ev is None:
+        ev = _load(spark, sf_dir, "events")
     panel = ev.select((F.col("user_id") % 8).alias("u"),
                       (F.col("event_id") % 12).alias("t"), "value")
     out = synthetic_control(panel, "u", "t", "value", 0, 8)
@@ -668,7 +672,8 @@ def g_did_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "name": names, "beta": [round(float(b), 6) for b in betas]}))
 
 
-def _did_cs_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _did_cs_rows(spark: SparkSession, sf_dir: str,
+                 ev: DataFrame | None = None) -> DataFrame:
     """Callaway-Sant'Anna rows of the quasi-experimental family.  NOT a
     golden: every ATT(g,t) cell, aggregation, and influence-function
     variance is sum algebra over panel cells, so the DuckDB oracle
@@ -681,7 +686,8 @@ def _did_cs_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         callaway_santanna,
     )
 
-    ev = _load(spark, sf_dir, "events")
+    if ev is None:
+        ev = _load(spark, sf_dir, "events")
     panel = (ev.groupBy((F.col("user_id") % 12).alias("u"),
                         (F.col("event_id") % 8).alias("t"))
              .agg(F.avg("value").alias("y")))
@@ -703,7 +709,8 @@ def _did_cs_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"name": names, "beta": [round(float(b), 6) for b in betas]}))
 
 
-def g_did_its(spark: SparkSession, sf_dir: str) -> DataFrame:
+def g_did_its(spark: SparkSession, sf_dir: str,
+              ev: DataFrame | None = None) -> DataFrame:
     """Interrupted-time-series rows of the quasi-experimental family
     (golden sub-oracle: the segmented OLS + Newey-West sandwich is a
     driver-side matrix solve over the bounded daily grid).  The events
@@ -714,7 +721,8 @@ def g_did_its(spark: SparkSession, sf_dir: str) -> DataFrame:
         interrupted_time_series,
     )
 
-    ev = _load(spark, sf_dir, "events")
+    if ev is None:
+        ev = _load(spark, sf_dir, "events")
     out = interrupted_time_series(ev, "value", "ts", "2024-01-16",
                                   freq="1 day")
     names, betas = [], []
@@ -743,20 +751,31 @@ def q_did(spark: SparkSession, sf_dir: str) -> DataFrame:
         regression_discontinuity,
     )
 
-    ev = _load(spark, sf_dir, "events") \
+    # ONE persisted events scan feeds all six sub-oracles (each panel
+    # aggregation is unchanged — cache preserves partition layout, so
+    # every golden stays bit-identical; only the repeated parquet
+    # decode is reclaimed).  Materialize before fan-out so the
+    # concurrent branches hit a populated cache instead of racing.
+    base = _load(spark, sf_dir, "events").persist()
+    base.count()
+    ev = base \
         .withColumn("arm", (F.col("user_id") % 2).cast("int")) \
         .withColumn("post", (F.col("event_id") % 2).cast("int"))
-    m, rdd, synth_df, event_df, cs_df, its_df = _concurrent([
-        lambda: did(ev, "value", "arm", "post"),
-        # running variable: value around cutoff 50, bandwidth 30
-        lambda: regression_discontinuity(
-            ev.withColumn("y2", F.col("value") * (1 + F.col("event_id") % 3)),
-            "y2", "value", cutoff=50.0, bandwidth=30.0).iloc[0],
-        lambda: g_did_synth(spark, sf_dir),
-        lambda: g_did_event(spark, sf_dir),
-        lambda: _did_cs_rows(spark, sf_dir),
-        lambda: g_did_its(spark, sf_dir),
-    ])
+    try:
+        m, rdd, synth_df, event_df, cs_df, its_df = _concurrent([
+            lambda: did(ev, "value", "arm", "post"),
+            # running variable: value around cutoff 50, bandwidth 30
+            lambda: regression_discontinuity(
+                ev.withColumn("y2",
+                              F.col("value") * (1 + F.col("event_id") % 3)),
+                "y2", "value", cutoff=50.0, bandwidth=30.0).iloc[0],
+            lambda: g_did_synth(spark, sf_dir, ev=base),
+            lambda: g_did_event(spark, sf_dir, ev=base),
+            lambda: _did_cs_rows(spark, sf_dir, ev=base),
+            lambda: g_did_its(spark, sf_dir, ev=base),
+        ])
+    finally:
+        base.unpersist()
     names = ["intercept", "treatment", "time", "interaction"]
     betas = [round(float(b), 6) for b in m.beta]
     for stat in ("estimate", "stderr", "t_stat", "n_left", "n_right",
@@ -2288,13 +2307,12 @@ def g_glm_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
                               "cast(1 + n_events % 3 as int) ~ avg_value"),
     ])
     from fast_causal_inference_spark.operators.margins import (
-        average_marginal_effects,
+        average_marginal_effects_joint,
     )
 
-    ame_po, ame_pr = _concurrent([
-        lambda: average_marginal_effects(pois, per_user),
-        lambda: average_marginal_effects(prob, per_user),
-    ])
+    # both models average over the same per_user frame — ONE fused scan
+    # (per-model complete-case masks ride as boolean columns)
+    ame_po, ame_pr = average_marginal_effects_joint([pois, prob], per_user)
     per_user.unpersist()
     pos.unpersist()
     rows = []
@@ -3571,23 +3589,25 @@ def g_ols_quantreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinball loss is iterative, not SQL-expressible).  Median and upper
     quartile of l_discount on l_tax (semantics irrelevant for parity)."""
     from fast_causal_inference_spark.operators.quantreg import (
-        quantile_regression,
+        quantile_regression_multi,
     )
 
     li = _load(spark, sf_dir, "lineitem")
     rows = []
-    for tau in (0.5, 0.75):
-        # explicit h: l_discount has 11 atoms at 0.01 spacing, so the
-        # conquer-rule bandwidth (~4e-4 at sf0.1) lands far below the
-        # data's resolution and the Newton solve crawls along atom
-        # edges; h=0.005 (half an atom) keeps the smoothed problem
-        # honest AND convergent in a handful of scans
-        m = quantile_regression(li, "l_discount ~ l_tax", tau=tau,
-                                h=0.005)
+    # explicit h: l_discount has 11 atoms at 0.01 spacing, so the
+    # conquer-rule bandwidth (~4e-4 at sf0.1) lands far below the
+    # data's resolution and the Newton solve crawls along atom
+    # edges; h=0.005 (half an atom) keeps the smoothed problem
+    # honest AND convergent in a handful of scans.  One shared
+    # persisted design + OLS warm start for both levels; 0.75
+    # warm-starts from the 0.5 optimum (same converged values to
+    # ~1e-9, far inside the 1e-6 golden rounding).
+    for m in quantile_regression_multi(li, "l_discount ~ l_tax",
+                                       taus=[0.5, 0.75], h=0.005):
         for name, b, se in zip(m.names, m.beta, m.stderr):
-            rows.append({"variant": f"quantreg_{tau}", "item": name,
+            rows.append({"variant": f"quantreg_{m.tau}", "item": name,
                          "stat": "coef", "value": round(float(b), 6)})
-            rows.append({"variant": f"quantreg_{tau}", "item": name,
+            rows.append({"variant": f"quantreg_{m.tau}", "item": name,
                          "stat": "stderr", "value": round(float(se), 6)})
     return _long_rows(spark, rows)
 

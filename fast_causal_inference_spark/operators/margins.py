@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from fast_causal_inference_spark import stats_distributions as dist
 
-__all__ = ["average_marginal_effects"]
+__all__ = ["average_marginal_effects", "average_marginal_effects_joint"]
 
 
 def _family_cols(model, eta: Column):
@@ -83,19 +83,11 @@ def _family_cols(model, eta: Column):
     return mu, mu, w
 
 
-def average_marginal_effects(model, df: DataFrame,
-                             alpha: float = 0.05) -> pd.DataFrame:
-    """Response-scale AME per feature with delta-method inference.
-
-    ``model`` is a fitted ``GlmModel`` or ``LogisticModel``; ``df`` the
-    frame to average over (typically the training frame).  Returns one
-    row per feature: ame, stderr, z, p_value, CI.
-    """
-    from fast_causal_inference_spark.operators.glm import GlmModel  # noqa: F401
-    from fast_causal_inference_spark.operators.logistic import (  # noqa: F401
-        LogisticModel,
-    )
-
+def _model_spec(model, df: DataFrame, k: int):
+    """Per-model projection spec for the joint scan: complete-case
+    condition, projected design/derivative columns (tagged ``k`` so N
+    models coexist in one select), and the metadata the driver-side
+    post-processing needs."""
     feats = list(model.feature_exprs)
     use_bias = model.use_bias
     beta = np.asarray(model.beta, dtype=float)
@@ -138,31 +130,34 @@ def average_marginal_effects(model, df: DataFrame,
     if off_expr is not None:
         c0 = F.expr(off_expr).cast("double").isNotNull()
         cc = c0 if cc is None else (cc & c0)
-    work = df.where(cc) if cc is not None else df
     dmu, d2mu, w = _family_cols(model, eta)
-
     # project the link derivatives once per row (probit dμ/d²μ carry
-    # erf chains; inlined they would re-evaluate per agg expression)
-    step = work.select(*[x.alias(f"__p{i}__") for i, x in enumerate(xs)],
-                       dmu.alias("__dmu__"), d2mu.alias("__d2__"),
-                       w.alias("__w__"))
-    ps = [F.col(f"__p{i}__") for i in range(p)]
-    dmuc, d2c, wc = F.col("__dmu__"), F.col("__d2__"), F.col("__w__")
-    aggs = [F.count(F.lit(1)).alias("n"), F.sum(dmuc).alias("a")]
-    for i, x in enumerate(ps):
-        aggs.append(F.sum(d2c * x).alias(f"c{i}"))
-        for j in range(i, p):
-            aggs.append(F.sum(wc * x * ps[j]).alias(f"A{i}_{j}"))
-    row = step.agg(*aggs).collect()[0]
-    n = float(row["n"])
+    # erf chains; inlined they would re-evaluate per agg expression);
+    # the model's complete-case mask rides as a boolean column so N
+    # models with DIFFERENT masks share one scan — each model's sums
+    # are gated on its own mask at the aggregation
+    proj = [x.alias(f"__p{k}_{i}__") for i, x in enumerate(xs)]
+    proj += [dmu.alias(f"__dmu{k}__"), d2mu.alias(f"__d2{k}__"),
+             w.alias(f"__w{k}__"),
+             (cc if cc is not None else F.lit(True)).alias(f"__cc{k}__")]
+    return {"feats": feats, "use_bias": use_bias, "beta": beta, "p": p,
+            "model": model, "proj": proj}
+
+
+def _model_result(spec, row, k: int, alpha: float) -> pd.DataFrame:
+    """Driver-side delta-method post-processing of one model's slice of
+    the joint aggregation row."""
+    model, beta, p = spec["model"], spec["beta"], spec["p"]
+    feats, use_bias = spec["feats"], spec["use_bias"]
+    n = float(row[f"n{k}"])
     if n == 0:
         raise ValueError("average_marginal_effects: no complete rows")
-    abar = float(row["a"]) / n
-    cvec = np.array([float(row[f"c{i}"]) / n for i in range(p)])
+    abar = float(row[f"a{k}"]) / n
+    cvec = np.array([float(row[f"c{k}_{i}"]) / n for i in range(p)])
     A = np.empty((p, p))
     for i in range(p):
         for j in range(i, p):
-            A[i, j] = A[j, i] = float(row[f"A{i}_{j}"])
+            A[i, j] = A[j, i] = float(row[f"A{k}_{i}_{j}"])
     # dispersion scales Cov(β) only for the families where glm() scales
     # it (negbin's `dispersion` is the NB α — already in the weights)
     fam = getattr(model, "family", "binomial")
@@ -189,3 +184,46 @@ def average_marginal_effects(model, df: DataFrame,
         "p_value": [2.0 * float(dist.norm_sf(abs(zi))) if zi == zi
                     else float("nan") for zi in z],
         "lower": ame - zc * se, "upper": ame + zc * se})
+
+
+def average_marginal_effects_joint(models, df: DataFrame,
+                                   alpha: float = 0.05,
+                                   ) -> list[pd.DataFrame]:
+    """AME for N models averaged over the SAME frame in ONE scan.
+
+    Each model keeps its own complete-case semantics (its mask is a
+    projected boolean; its sums are ``sum(if(mask, term))``), so the
+    results are exactly ``[average_marginal_effects(m, df) for m in
+    models]`` at 1/N the scans — the common case being several fits of
+    one training frame read back-to-back (e.g. a model zoo report)."""
+    if not models:
+        return []
+    specs = [_model_spec(m, df, k) for k, m in enumerate(models)]
+    step = df.select(*[c for s in specs for c in s["proj"]])
+    aggs = []
+    for k, s in enumerate(specs):
+        p = s["p"]
+        cc = F.col(f"__cc{k}__")
+        ps = [F.col(f"__p{k}_{i}__") for i in range(p)]
+        dmuc, d2c = F.col(f"__dmu{k}__"), F.col(f"__d2{k}__")
+        wc = F.col(f"__w{k}__")
+        aggs.append(F.count(F.when(cc, F.lit(1))).alias(f"n{k}"))
+        aggs.append(F.sum(F.when(cc, dmuc)).alias(f"a{k}"))
+        for i, x in enumerate(ps):
+            aggs.append(F.sum(F.when(cc, d2c * x)).alias(f"c{k}_{i}"))
+            for j in range(i, p):
+                aggs.append(F.sum(F.when(cc, wc * x * ps[j]))
+                            .alias(f"A{k}_{i}_{j}"))
+    row = step.agg(*aggs).collect()[0]
+    return [_model_result(s, row, k, alpha) for k, s in enumerate(specs)]
+
+
+def average_marginal_effects(model, df: DataFrame,
+                             alpha: float = 0.05) -> pd.DataFrame:
+    """Response-scale AME per feature with delta-method inference.
+
+    ``model`` is a fitted ``GlmModel`` or ``LogisticModel``; ``df`` the
+    frame to average over (typically the training frame).  Returns one
+    row per feature: ame, stderr, z, p_value, CI.
+    """
+    return average_marginal_effects_joint([model], df, alpha)[0]

@@ -41,7 +41,8 @@ from pyspark.sql import functions as F
 from fast_causal_inference_spark import stats_distributions as dist
 from fast_causal_inference_spark.operators.ols import parse_r_formula
 
-__all__ = ["quantile_regression", "QuantRegModel"]
+__all__ = ["quantile_regression", "quantile_regression_multi",
+           "QuantRegModel"]
 
 
 @dataclass
@@ -99,18 +100,28 @@ def _smoothed_loss_col(r: Column, tau: float, h: float) -> Column:
             + F.lit(h) * F.log1p(F.exp(-F.abs(r) / F.lit(h))))
 
 
-def quantile_regression(df: DataFrame, formula: str, tau: float = 0.5,
-                        h: float | None = None, use_bias: bool = True,
-                        max_iter: int = 50, tol: float = 1e-9,
-                        ) -> QuantRegModel:
-    """Fit ``'y ~ x1 + x2'`` at quantile level ``tau`` by smoothed-QR
-    damped Newton.  ``h`` defaults to the conquer rule scaled by the
-    initial residual spread: h = σ̂·((p + log n)/n)^(2/5), floored so the
-    logistic weights never degenerate.  One Gramian scan per Newton
-    step; an extra scan only when a step must be halved.
+def quantile_regression_multi(df: DataFrame, formula: str,
+                              taus: list[float], h: float | None = None,
+                              use_bias: bool = True, max_iter: int = 50,
+                              tol: float = 1e-9,
+                              ) -> list[QuantRegModel]:
+    """Fit ``'y ~ x1 + x2'`` at SEVERAL quantile levels on one shared
+    persisted design: the complete-case projection, its materialization,
+    and the OLS warm start (which also sets the bandwidth scale) are
+    paid once, and each level after the first warm-starts from the
+    previous level's β — for an ordered quantile grid the neighboring
+    optimum is a far better start than OLS, typically halving the Newton
+    scans.  Returns one :class:`QuantRegModel` per level, in input
+    order.  Numerically each solve lands within the step tolerance of
+    the same unique optimum a cold solve finds (the smoothed loss is
+    strictly convex), so results match per-level
+    :func:`quantile_regression` calls to well below reporting precision.
     """
-    if not 0.0 < tau < 1.0:
-        raise ValueError(f"tau must be in (0, 1), got {tau}")
+    for tau in taus:
+        if not 0.0 < tau < 1.0:
+            raise ValueError(f"tau must be in (0, 1), got {tau}")
+    if not taus:
+        return []
     y_expr, feats = parse_r_formula(formula)
     k = len(feats)
     p = k + (1 if use_bias else 0)
@@ -150,7 +161,7 @@ def quantile_regression(df: DataFrame, formula: str, tau: float = 0.5,
         df.unpersist()
         raise ValueError(f"bandwidth h must be positive, got {h}")
 
-    def _scan(b: np.ndarray, h: float):
+    def _scan(b: np.ndarray, h: float, tau: float):
         eta: Column = F.lit(float(b[0])) * xs[0]
         for j in range(1, p):
             eta = eta + F.lit(float(b[j])) * xs[j]
@@ -185,10 +196,10 @@ def quantile_regression(df: DataFrame, formula: str, tau: float = 0.5,
                 S[i, j] = S[j, i] = float(row[f"s{i}_{j}"])
         return g, H, S, float(row["loss__"]), float(row["n__"])
 
-    def _newton(beta: np.ndarray, hh: float, iters_budget: int,
-                step_tol: float):
+    def _newton(beta: np.ndarray, hh: float, tau: float,
+                iters_budget: int, step_tol: float):
         """Damped Newton at fixed bandwidth hh from the given start."""
-        g, H, S, loss, n = _scan(beta, hh)
+        g, H, S, loss, n = _scan(beta, hh, tau)
         converged = False
         it = 0
         for it in range(1, iters_budget + 1):
@@ -201,12 +212,12 @@ def quantile_regression(df: DataFrame, formula: str, tau: float = 0.5,
                 converged = True
                 break
             trial = beta + step
-            g2, H2, S2, loss2, n = _scan(trial, hh)
+            g2, H2, S2, loss2, n = _scan(trial, hh, tau)
             halvings = 0
             while loss2 > loss + 1e-12 * abs(loss) and halvings < 20:
                 step *= 0.5
                 trial = beta + step
-                g2, H2, S2, loss2, n = _scan(trial, hh)
+                g2, H2, S2, loss2, n = _scan(trial, hh, tau)
                 halvings += 1
             if loss2 > loss + 1e-12 * abs(loss):
                 # the halving budget ran out WITHOUT finding descent —
@@ -219,15 +230,41 @@ def quantile_regression(df: DataFrame, formula: str, tau: float = 0.5,
         return beta, g, H, S, loss, n, it, converged
 
     step_tol = tol * max(1.0, sigma0)
-    beta, g, H, S, loss, n, it, converged = _newton(beta, h, max_iter,
-                                                    step_tol)
+    models = []
+    start = beta
+    try:
+        for tau in taus:
+            beta_t, g, H, S, loss, n, it, converged = _newton(
+                start.copy(), h, tau, max_iter, step_tol)
+            # sandwich: tau(1-tau)*H^-1 S H^-1 (sums — 1/n implicit)
+            Hinv = np.linalg.pinv(H)
+            cov = tau * (1 - tau) * Hinv @ S @ Hinv
+            stderr = np.sqrt(np.maximum(np.diag(cov), 0.0))
+            models.append(QuantRegModel(
+                tau=tau, beta=beta_t, stderr=stderr, n=n, h=h,
+                iters=it, converged=converged, feature_exprs=feats,
+                y_expr=y_expr, use_bias=use_bias,
+                loss=loss / max(n, 1.0)))
+            # warm-start the next level from this converged β only if
+            # the solve actually converged — a dead-end start must not
+            # poison the rest of the grid
+            if converged:
+                start = beta_t
+    finally:
+        df.unpersist()
+    return models
 
-    df.unpersist()
-    # sandwich: tau(1-tau) * H^-1 S H^-1 (sums, so the 1/n is implicit)
-    Hinv = np.linalg.pinv(H)
-    cov = tau * (1 - tau) * Hinv @ S @ Hinv
-    stderr = np.sqrt(np.maximum(np.diag(cov), 0.0))
-    return QuantRegModel(tau=tau, beta=beta, stderr=stderr, n=n, h=h,
-                         iters=it, converged=converged,
-                         feature_exprs=feats, y_expr=y_expr,
-                         use_bias=use_bias, loss=loss / max(n, 1.0))
+
+def quantile_regression(df: DataFrame, formula: str, tau: float = 0.5,
+                        h: float | None = None, use_bias: bool = True,
+                        max_iter: int = 50, tol: float = 1e-9,
+                        ) -> QuantRegModel:
+    """Fit ``'y ~ x1 + x2'`` at quantile level ``tau`` by smoothed-QR
+    damped Newton.  ``h`` defaults to the conquer rule scaled by the
+    initial residual spread: h = σ̂·((p + log n)/n)^(2/5), floored so the
+    logistic weights never degenerate.  One Gramian scan per Newton
+    step; an extra scan only when a step must be halved.
+    """
+    return quantile_regression_multi(df, formula, [tau], h=h,
+                                     use_bias=use_bias, max_iter=max_iter,
+                                     tol=tol)[0]
