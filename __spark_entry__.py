@@ -4800,7 +4800,33 @@ def q_temporal_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
                              target=0.0, sd=50.0, k=0.5, h=4.0)
                 .orderBy("g").collect())
 
-    a_rows, r_rows, ru_rows, cu_rows = _concurrent([
+    def _ewma():
+        # batch EWMA control chart on a BOUNDED cell series (200 steps
+        # per group — the scale-correct shape for the per-series
+        # applyInPandas recursion); the oracle re-derives E_t from the
+        # scaled-prefix-sum closed form E_t = λ·(1−λ)^t·Σ z_i(1−λ)^{−i}
+        from fast_causal_inference_spark.operators.changepoint import (
+            ewma_detect,
+        )
+
+        cells = (ev.groupBy((F.col("user_id") % 3).cast("int").alias("g"),
+                            (F.col("event_id") % 200).alias("step"))
+                 .agg(F.avg("value").alias("cellv")))
+        ch = ewma_detect(cells, "cellv", "step", "g", target=50.0,
+                         sd=10.0, lam=0.2, L=3.0)
+        return (ch.groupBy("g")
+                .agg(F.count(F.lit(1)).alias("n_points"),
+                     F.count(F.when(F.col("alarm"), 1)).cast("double")
+                     .alias("n_alarms"),
+                     F.round(F.max(F.abs(F.col("ewma"))), 6)
+                     .alias("max_abs_ewma"),
+                     F.round(F.max_by("ewma", "step"), 6)
+                     .alias("ewma_last"),
+                     F.min(F.when(F.col("alarm"), F.col("step")))
+                     .alias("first_alarm"))
+                .orderBy("g").collect())
+
+    a_rows, r_rows, ru_rows, cu_rows, ew_rows = _concurrent([
         lambda: aj.agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.count("qvalue_right").alias("n_matched"),
@@ -4818,6 +4844,7 @@ def q_temporal_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round(F.sum("vsum"), 2).alias("value_total"))
                  .collect()),
         _cusum,
+        _ewma,
     ])
     a = a_rows[0]
     rows = [{"variant": "asof", "item": "events", "stat": s,
@@ -4839,6 +4866,14 @@ def q_temporal_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "stat": s, "value": float(cr[s])})
         fa = cr["first_alarm_event_id"]
         rows.append({"variant": "cusum", "item": str(cr["g"]),
+                     "stat": "first_alarm",
+                     "value": float(fa) if fa is not None else -1.0})
+    for er in ew_rows:
+        for s_ in ("n_points", "n_alarms", "max_abs_ewma", "ewma_last"):
+            rows.append({"variant": "ewma", "item": str(er["g"]),
+                         "stat": s_, "value": float(er[s_])})
+        fa = er["first_alarm"]
+        rows.append({"variant": "ewma", "item": str(er["g"]),
                      "stat": "first_alarm",
                      "value": float(fa) if fa is not None else -1.0})
     return _long_rows(spark, rows)
@@ -4901,6 +4936,33 @@ WITH points AS (
                        FILTER (cp > 4.0 OR cn > 4.0) AS DOUBLE), -1.0)
            AS first_alarm
   FROM cu_c GROUP BY g
+), ew_cell AS (
+  SELECT CAST(user_id % 3 AS INT) AS g, event_id % 200 AS step,
+         avg(value) AS cellv
+  FROM events GROUP BY 1, 2
+), ew_z AS (
+  SELECT g, step,
+         CAST(row_number() OVER (PARTITION BY g ORDER BY step)
+              AS DOUBLE) AS t,
+         (cellv - 50.0) / 10.0 AS z
+  FROM ew_cell
+), ew_e AS (
+  -- E_t = 0.2*(0.8)^t * sum_{i<=t} z_i*(0.8)^(-i): the scaled prefix
+  -- sum reproduces the E_0=0 EWMA recursion in one window pass
+  SELECT g, step, t,
+         0.2 * power(0.8, t) * sum(z * power(0.8, -t)) OVER
+           (PARTITION BY g ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e,
+         3.0 * sqrt(0.2 / 1.8 * (1 - power(0.8, 2 * t))) AS ucl
+  FROM ew_z
+), ew AS (
+  SELECT g, CAST(count(*) AS DOUBLE) AS n_points,
+         CAST(count(*) FILTER (abs(e) > ucl) AS DOUBLE) AS n_alarms,
+         round(max(abs(e)), 6) AS max_abs_ewma,
+         round(arg_max(e, t), 6) AS ewma_last,
+         coalesce(CAST(min(step) FILTER (abs(e) > ucl) AS DOUBLE), -1.0)
+           AS first_alarm
+  FROM ew_e GROUP BY g
 )
 SELECT 'cusum' AS variant, CAST(g AS VARCHAR) AS item, 'n_points' AS stat,
        n_points AS value FROM cu
@@ -4911,6 +4973,15 @@ UNION ALL SELECT 'cusum', CAST(g AS VARCHAR), 'max_cusum_neg',
        max_cusum_neg FROM cu
 UNION ALL SELECT 'cusum', CAST(g AS VARCHAR), 'first_alarm',
        first_alarm FROM cu
+UNION ALL SELECT 'ewma', CAST(g AS VARCHAR), 'n_points',
+       n_points FROM ew
+UNION ALL SELECT 'ewma', CAST(g AS VARCHAR), 'n_alarms', n_alarms FROM ew
+UNION ALL SELECT 'ewma', CAST(g AS VARCHAR), 'max_abs_ewma',
+       max_abs_ewma FROM ew
+UNION ALL SELECT 'ewma', CAST(g AS VARCHAR), 'ewma_last',
+       ewma_last FROM ew
+UNION ALL SELECT 'ewma', CAST(g AS VARCHAR), 'first_alarm',
+       first_alarm FROM ew
 UNION ALL
 SELECT 'asof' AS variant, 'events' AS item, 'n_rows' AS stat,
        n_rows AS value FROM a
