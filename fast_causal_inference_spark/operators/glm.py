@@ -424,10 +424,309 @@ def glm(df: DataFrame, formula: str, family: str = "poisson",
                     var_power=var_power if family == "tweedie" else None)
 
 
+def glm_grouped(df: DataFrame, formula: str, group_expr: str,
+                family: str = "poisson", offset: str | None = None,
+                use_bias: bool = True, max_iter: int = 25,
+                tol: float = 1e-8, link: str | None = None,
+                var_power: float = 1.5,
+                max_groups: int = 10_000) -> dict:
+    """One GLM per segment from ONE grouped Gramian scan per IRLS step.
+
+    The per-segment analogue of :func:`~.ols.ols_grouped` /
+    ``linear_dml_grouped``: fitting a Poisson / logit / gamma model per
+    country, per cohort, or per experiment cell is the same Fisher-
+    scoring aggregation conditioned on disjoint row sets — so ALL
+    segments iterate together.  Each step broadcast-joins the tiny
+    per-segment coefficient relation back onto the persisted design
+    (plan size linear in segments — never a per-segment Spark job, never
+    a CASE WHEN chain) and one ``groupBy(segment)`` aggregation yields
+    every segment's weighted Gramian; the driver solves each segment's
+    p×p update.  Total scans ≈ (slowest segment's iterations) + 2,
+    independent of the number of segments.
+
+    Families: poisson / quasipoisson / gamma / gaussian / tweedie
+    (log or identity link, as :func:`glm`) plus ``binomial`` with the
+    canonical logit link (probit/cloglog per-segment would need the
+    non-canonical weight chain per step — use :func:`glm` per segment
+    for those).  ``offset`` as in :func:`glm`.
+
+    Returns ``{group_value: GlmModel}``.  Per-segment ``deviance`` and
+    Pearson ``dispersion`` come from one final grouped scan;
+    ``null_deviance`` is NaN (the per-segment null solve would add a
+    scan per family-offset combination for a statistic rarely consumed
+    segment-wise).  Segments whose Gramian is singular (n ≤ p) get a
+    least-squares fallback solve and ``converged=False``.
+    """
+    if family not in _FAMILIES and family != "binomial":
+        raise ValueError(f"family must be one of {_FAMILIES + ('binomial',)}")
+    if family == "binomial":
+        if link not in (None, "logit"):
+            raise ValueError(
+                "glm_grouped supports the canonical logit link only for "
+                "binomial; fit probit/cloglog segments via glm()")
+    elif link is not None:
+        raise ValueError("link is configurable only for family='binomial'")
+    if family == "tweedie" and not 1.0 < var_power < 2.0:
+        raise ValueError("tweedie var_power must lie strictly in (1, 2)")
+    if max_iter < 1:
+        raise ValueError("max_iter must be >= 1")
+    from pyspark import StorageLevel
+
+    from fast_causal_inference_spark.operators.ols import parse_r_formula
+
+    y_expr, feats = parse_r_formula(formula)
+    k = len(feats)
+    p = k + (1 if use_bias else 0)
+    if p == 0:
+        raise ValueError("empty design: no features and use_bias=False")
+    y = F.expr(y_expr).cast("double")
+    off = F.expr(offset).cast("double") if offset is not None else F.lit(0.0)
+    cc = y.isNotNull() & off.isNotNull()
+    for e in feats:
+        cc = cc & F.expr(e).cast("double").isNotNull()
+    # project (group, y, X, offset) once and persist for the loop —
+    # same discipline as persist_design (design.py), plus the group key
+    cols = [F.expr(group_expr).alias("__g__"), y.alias("__y__")]
+    cols += [F.expr(e).cast("double").alias(f"__x{j}__")
+             for j, e in enumerate(feats)]
+    if offset is not None:
+        cols.append(off.alias("__off__"))
+    work = df.where(cc).select(*cols) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    y = F.col("__y__")
+    xs = ([F.lit(1.0)] if use_bias else []) + \
+        [F.col(f"__x{j}__") for j in range(k)]
+    off = F.col("__off__") if offset is not None else F.lit(0.0)
+    log_link = family not in ("gaussian", "binomial")
+
+    # init + validation scan (doubles as the cache materialization):
+    # per-segment mean/min/max of y
+    init_rows = (work.groupBy("__g__")
+                 .agg(F.avg(y).alias("m"), F.min(y).alias("lo"),
+                      F.max(y).alias("hi"), F.count(y).alias("n"))
+                 .limit(max_groups + 1).collect())
+    if len(init_rows) > max_groups:
+        work.unpersist()
+        raise ValueError(f"more than max_groups={max_groups} segments; "
+                         f"coarsen group_expr or raise max_groups")
+    if not init_rows:
+        work.unpersist()
+        raise ValueError("no complete rows")
+    for r in init_rows:
+        if family == "gamma" and float(r["lo"]) <= 0:
+            work.unpersist()
+            raise ValueError(f"gamma family needs strictly positive y "
+                             f"(segment {r['__g__']!r})")
+        if family in ("poisson", "quasipoisson", "tweedie") \
+                and float(r["lo"]) < 0:
+            work.unpersist()
+            raise ValueError(f"{family} family needs non-negative y "
+                             f"(segment {r['__g__']!r})")
+        if family == "binomial" \
+                and (float(r["lo"]) < 0 or float(r["hi"]) > 1):
+            work.unpersist()
+            raise ValueError(f"binomial needs y in [0, 1] "
+                             f"(segment {r['__g__']!r})")
+
+    # one canonical NaN so a NaN segment key round-trips the driver
+    # dicts as ONE segment (Spark grouping already treats NaN as equal)
+    _NAN = float("nan")
+
+    def _norm(v):
+        return _NAN if isinstance(v, float) and v != v else v
+
+    betas: dict = {}
+    for r in init_rows:
+        b = np.zeros(p)
+        if log_link and use_bias and float(r["m"] or 0.0) > 0:
+            b[0] = math.log(float(r["m"]))
+        betas[_norm(r["__g__"])] = b
+    g_field = work.schema["__g__"]
+    spark = df.sparkSession
+
+    def _beta_join(bmap: dict) -> DataFrame:
+        """work ⋈ broadcast(per-segment β) on the group key (null-safe;
+        Spark join equality already matches NaN to NaN)."""
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        schema = StructType(
+            [StructField("__gb__", g_field.dataType, True)]
+            + [StructField(f"__b{j}__", DoubleType(), False)
+               for j in range(p)])
+        data = [tuple([gv] + [float(b[j]) for j in range(p)])
+                for gv, b in bmap.items()]
+        bdf = spark.createDataFrame(data, schema)
+        return work.join(F.broadcast(bdf),
+                         work["__g__"].eqNullSafe(bdf["__gb__"]))
+
+    def _eta() -> Column:
+        eta: Column = F.col("__b0__") * xs[0]
+        for j in range(1, p):
+            eta = eta + F.col(f"__b{j}__") * xs[j]
+        return eta + off
+
+    n_by_g: dict = {}
+    iters_by_g: dict = {g: 0 for g in betas}
+    frozen: set = set()             # segments already at their fixed point
+    converged: dict = {g: not log_link and family != "binomial"
+                       for g in betas}
+    it = 0
+    for it in range(1, max_iter + 1):
+        joined = _beta_join(betas)
+        base = joined.select(
+            "__g__", *[c.alias(f"__p{i}__") for i, c in enumerate(xs)],
+            y.alias("__yy__"), _eta().alias("__eta__"),
+            off.alias("__o__"))
+        etac, yc, offc = F.col("__eta__"), F.col("__yy__"), F.col("__o__")
+        if family == "gaussian":
+            mu, s = etac, F.lit(1.0)
+            mid = base
+        elif family == "binomial":
+            mid = base.select(
+                "*", (F.lit(1.0) / (F.lit(1.0) + F.exp(-etac)))
+                .alias("__mu__"))
+            mu = F.col("__mu__")
+            s = mu * (1.0 - mu) + F.lit(1e-10)
+        else:
+            mid = base.select("*", F.exp(etac).alias("__mu__"))
+            mu = F.col("__mu__")
+            if family in ("poisson", "quasipoisson"):
+                s = mu + F.lit(1e-10)
+            elif family == "tweedie":
+                s = F.pow(mu, F.lit(2.0 - var_power)) + F.lit(1e-10)
+            else:
+                s = F.lit(1.0)
+        # working response divides by dμ/dη (μ for log link, μ(1−μ) for
+        # logit, 1 for identity) — NOT by the IRLS weight, which only
+        # coincides with dμ/dη for the canonical poisson/logit cases
+        if family == "gaussian":
+            dmu: Column = F.lit(1.0)
+        elif family == "binomial":
+            dmu = s                      # μ(1−μ)+ε, canonical logit
+        else:
+            dmu = mu                     # log link: dμ/dη = μ
+        z = (etac - offc) + (yc - mu) / dmu
+        step = mid.select("__g__",
+                          *[F.col(f"__p{i}__") for i in range(p)],
+                          s.alias("__w__"), z.alias("__z__"),
+                          F.col("__yy__"))
+        ps = [F.col(f"__p{i}__") for i in range(p)]
+        sc, zc = F.col("__w__"), F.col("__z__")
+        aggs = []
+        for i in range(p):
+            aggs.append(F.sum(sc * ps[i] * zc).alias(f"b{i}"))
+            for j in range(i, p):
+                aggs.append(F.sum(sc * ps[i] * ps[j]).alias(f"a{i}_{j}"))
+        aggs.append(F.count(F.col("__yy__")).alias("n__"))
+        rows = step.groupBy("__g__").agg(*aggs).collect()
+        delta_max = 0.0
+        A_by_g: dict = {}
+        for r in rows:
+            gv = _norm(r["__g__"])
+            n_by_g[gv] = float(r["n__"])
+            A = np.empty((p, p))
+            b = np.empty(p)
+            for i in range(p):
+                b[i] = r[f"b{i}"]
+                for j in range(i, p):
+                    A[i, j] = A[j, i] = r[f"a{i}_{j}"]
+            A_by_g[gv] = A
+            if gv in frozen:
+                continue
+            try:
+                new_beta = np.linalg.solve(A, b)
+                solvable = True
+            except np.linalg.LinAlgError:
+                new_beta = np.linalg.lstsq(A, b, rcond=None)[0]
+                solvable = False
+            d = float(np.max(np.abs(new_beta - betas[gv])))
+            betas[gv] = new_beta
+            iters_by_g[gv] = it
+            if not solvable:
+                converged[gv] = False
+                frozen.add(gv)      # singular segment: keep the fallback
+            elif d < tol or family == "gaussian":
+                converged[gv] = True
+                frozen.add(gv)      # fixed point reached — stop updating
+            else:
+                delta_max = max(delta_max, d)
+        if delta_max == 0.0 and len(frozen) == len(betas):
+            break
+        if not log_link and family != "binomial":
+            break
+
+    # final grouped scan: per-segment deviance + Pearson χ² at β̂
+    joined = _beta_join(betas)
+    etaf = _eta()
+    if family == "gaussian":
+        muf = etaf
+    elif family == "binomial":
+        muf = F.lit(1.0) / (F.lit(1.0) + F.exp(-etaf))
+    else:
+        muf = F.exp(etaf)
+    fb = joined.select("__g__", y.alias("__yy__"), muf.alias("__mu__"))
+    yc, mu = F.col("__yy__"), F.col("__mu__")
+    if family == "gaussian":
+        dev_term = (yc - mu) * (yc - mu)
+        pearson = dev_term
+    elif family == "binomial":
+        dev_term = 2 * (F.when(yc > 0, yc * F.log(yc / mu))
+                        .otherwise(F.lit(0.0))
+                        + F.when(yc < 1, (1.0 - yc)
+                                 * F.log((1.0 - yc) / (1.0 - mu)))
+                        .otherwise(F.lit(0.0)))
+        pearson = (yc - mu) * (yc - mu) / (mu * (1.0 - mu) + F.lit(1e-10))
+    elif family in ("poisson", "quasipoisson"):
+        dev_term = 2 * (F.when(yc > 0, yc * F.log(yc / mu))
+                        .otherwise(F.lit(0.0)) - (yc - mu))
+        pearson = (yc - mu) * (yc - mu) / mu
+    elif family == "tweedie":
+        p1, p2 = 1.0 - var_power, 2.0 - var_power
+        dev_term = 2 * (F.pow(yc, F.lit(p2)) / F.lit(p1 * p2)
+                        - yc * F.pow(mu, F.lit(p1)) / F.lit(p1)
+                        + F.pow(mu, F.lit(p2)) / F.lit(p2))
+        pearson = (yc - mu) * (yc - mu) / F.pow(mu, F.lit(var_power))
+    else:                                     # gamma
+        dev_term = 2 * (-F.log(yc / mu) + (yc - mu) / mu)
+        pearson = (yc - mu) * (yc - mu) / (mu * mu)
+    fin_rows = (fb.groupBy("__g__")
+                .agg(F.sum(dev_term).alias("dev"),
+                     F.sum(pearson).alias("pchi")).collect())
+    work.unpersist()
+    fin = {_norm(r["__g__"]): r for r in fin_rows}
+
+    out: dict = {}
+    scaled = family in ("quasipoisson", "gamma", "gaussian", "tweedie")
+    for gv, beta in betas.items():
+        n = n_by_g.get(gv, 0.0)
+        A = A_by_g.get(gv)
+        try:
+            cov = np.linalg.inv(A)
+        except np.linalg.LinAlgError:
+            cov = np.linalg.pinv(A)
+        dispersion = 1.0
+        pchi = fin.get(gv)
+        if scaled and pchi is not None:
+            dispersion = float(pchi["pchi"]) / max(n - p, 1.0)
+            cov = cov * dispersion
+        stderr = np.sqrt(np.maximum(np.diag(cov), 0.0))
+        out[gv] = GlmModel(
+            family=family, feature_exprs=feats, use_bias=use_bias,
+            beta=beta, stderr=stderr, n=n, n_iter=iters_by_g[gv],
+            converged=converged.get(gv, False),
+            deviance=float(pchi["dev"]) if pchi is not None
+            else float("nan"),
+            null_deviance=float("nan"), dispersion=dispersion,
+            offset=offset, y_expr=y_expr,
+            link="logit" if family == "binomial" else None,
+            var_power=var_power if family == "tweedie" else None)
+    return out
+
+
 def poisson_regression(df: DataFrame, formula: str,
                        offset: str | None = None, **kw) -> GlmModel:
     """Poisson GLM with log link (facade for ``glm(family='poisson')``)."""
-    return glm(df, formula, family="poisson", offset=offset, y_expr=y_expr, **kw)
+    return glm(df, formula, family="poisson", offset=offset, **kw)
 
 
 def probit_regression(df: DataFrame, formula: str, **kw) -> GlmModel:

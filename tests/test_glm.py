@@ -468,3 +468,93 @@ def test_glm_null_rows_are_complete_case(spark, count_pdf):
     refx = glm(spark.createDataFrame(pdf.iloc[500:]), "y ~ x1 + x2",
                family="poisson")
     assert gotx.beta == pytest.approx(refx.beta, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# glm_grouped: per-segment fits == per-segment glm() on filtered frames
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def seg_df(spark, count_pdf):
+    pdf = count_pdf.copy()
+    pdf["seg"] = (np.arange(len(pdf)) % 3).astype("int64")
+    return spark.createDataFrame(pdf).repartition(4).cache()
+
+
+@pytest.mark.parametrize("family,formula,kw", [
+    ("poisson", "y ~ x1 + x2", {"offset": "ln(expo)"}),
+    ("gamma", "ygam ~ x1", {}),
+    ("gaussian", "y ~ x1 + x2", {}),
+    ("binomial", "cast(y > 1 as double) ~ x1 + x2", {}),
+])
+def test_glm_grouped_matches_per_segment_glm(seg_df, family, formula, kw):
+    from fast_causal_inference_spark.operators.glm import glm, glm_grouped
+
+    out = glm_grouped(seg_df, formula, "seg", family=family, **kw)
+    assert set(out) == {0, 1, 2}
+    for g in (0, 1, 2):
+        solo = glm(seg_df.where(f"seg = {g}"), formula, family=family, **kw)
+        m = out[g]
+        assert m.converged and solo.converged
+        np.testing.assert_allclose(m.beta, solo.beta, rtol=1e-6, atol=1e-9)
+        np.testing.assert_allclose(m.stderr, solo.stderr, rtol=1e-5)
+        assert m.n == solo.n
+        np.testing.assert_allclose(m.deviance, solo.deviance, rtol=1e-6)
+        np.testing.assert_allclose(m.dispersion, solo.dispersion,
+                                   rtol=1e-6)
+
+
+def test_glm_grouped_null_group_key(seg_df):
+    from fast_causal_inference_spark.operators.glm import glm, glm_grouped
+
+    out = glm_grouped(
+        seg_df, "y ~ x1", "CASE WHEN seg = 2 THEN NULL ELSE seg END",
+        family="poisson")
+    assert set(k for k in out if k is not None) == {0, 1}
+    assert None in out
+    solo = glm(seg_df.where("seg = 2"), "y ~ x1", family="poisson")
+    np.testing.assert_allclose(out[None].beta, solo.beta, rtol=1e-6)
+
+
+def test_glm_grouped_validation_and_guards(seg_df):
+    from fast_causal_inference_spark.operators.glm import glm_grouped
+
+    with pytest.raises(ValueError, match="strictly positive"):
+        glm_grouped(seg_df, "(ygam - 100) ~ x1", "seg", family="gamma")
+    with pytest.raises(ValueError, match="max_groups"):
+        glm_grouped(seg_df, "y ~ x1", "x1", family="poisson",
+                    max_groups=10)
+    with pytest.raises(ValueError, match="logit"):
+        glm_grouped(seg_df, "cast(y > 1 as double) ~ x1", "seg",
+                    family="binomial", link="probit")
+
+
+def test_glm_grouped_singular_segment_flagged(spark):
+    from fast_causal_inference_spark.operators.glm import glm_grouped
+
+    pdf = pd.DataFrame({
+        "g": ["a"] * 50 + ["b"] * 3,
+        "x": list(np.linspace(0, 2, 50)) + [1.0, 1.0, 1.0],  # b: constant x
+        "y": list(np.exp(0.3 + 0.5 * np.linspace(0, 2, 50)))
+        + [2.0, 3.0, 4.0]})
+    out = glm_grouped(spark.createDataFrame(pdf), "y ~ x", "g",
+                      family="poisson")
+    assert out["a"].converged
+    np.testing.assert_allclose(out["a"].beta, [0.3, 0.5], atol=1e-6)
+    # collinear segment: same degenerate contract as solo glm() — the
+    # float-rounded pivot solves but the Fisher inverse explodes, so
+    # the stderr flags the unidentified design (or, when LAPACK does
+    # detect exact singularity, converged=False via the lstsq fallback)
+    assert (not out["b"].converged) or float(np.min(out["b"].stderr)) > 1e3
+
+
+def test_poisson_regression_facade(seg_df):
+    from fast_causal_inference_spark.operators.glm import (
+        glm,
+        poisson_regression,
+    )
+
+    m = poisson_regression(seg_df, "y ~ x1", offset="ln(expo)")
+    ref = glm(seg_df, "y ~ x1", family="poisson", offset="ln(expo)")
+    np.testing.assert_allclose(m.beta, ref.beta, rtol=0, atol=0)
