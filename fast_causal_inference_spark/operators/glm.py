@@ -122,6 +122,71 @@ _FAMILIES = ("poisson", "quasipoisson", "gamma", "gaussian", "binomial",
              "tweedie")
 
 
+def _irls_wz(family: str, mu: Column, etac: Column, yc: Column,
+             offc: Column, var_power: float) -> tuple[Column, Column]:
+    """(IRLS weight, working response) Columns for one Fisher step.
+
+    Shared by :func:`glm` and :func:`glm_grouped` (log / identity /
+    canonical-logit links — ``_binomial_glm`` keeps its own chain for
+    the non-canonical probit/cloglog links).  The working response
+    divides by dμ/dη — which only coincides with the weight for the
+    canonical poisson/logit cases."""
+    if family == "gaussian":
+        s: Column = F.lit(1.0)
+        dmu: Column = F.lit(1.0)
+    elif family == "binomial":               # canonical logit
+        s = mu * (1.0 - mu) + F.lit(1e-10)
+        dmu = s
+    elif family in ("poisson", "quasipoisson"):
+        s = mu + F.lit(1e-10)
+        dmu = mu
+    elif family == "tweedie":                # w = μ²/μ^p = μ^(2−p)
+        s = F.pow(mu, F.lit(2.0 - var_power)) + F.lit(1e-10)
+        dmu = mu
+    else:                                    # gamma log link: w = 1
+        s = F.lit(1.0)
+        dmu = mu
+    z = (etac - offc) + (yc - mu) / dmu
+    return s, z
+
+
+def _dev_pearson(family: str, y: Column, mu: Column,
+                 var_power: float) -> tuple[Column, Column]:
+    """(unit deviance, Pearson χ² term) Columns at μ — the single
+    source for :func:`glm`, ``_binomial_glm`` and :func:`glm_grouped`
+    (a third hand-maintained copy once diverged on the binomial μ
+    clamp)."""
+    if family == "gaussian":
+        dev = (y - mu) * (y - mu)
+        return dev, dev
+    if family == "binomial":
+        # 2[y log(y/μ) + (1−y) log((1−y)/(1−μ))], 0·log0 := 0; clamp μ
+        # so saturated fits don't produce log(0) (or an ANSI
+        # divide-by-zero in the Pearson denominator)
+        mu_c = F.greatest(F.least(mu, F.lit(1.0 - 1e-12)), F.lit(1e-12))
+        dev = 2.0 * (
+            F.when(y > 0, y * F.log(y / mu_c)).otherwise(F.lit(0.0))
+            + F.when(y < 1, (1.0 - y) * F.log((1.0 - y) / (1.0 - mu_c)))
+            .otherwise(F.lit(0.0)))
+        return dev, (y - mu) * (y - mu) / (mu_c * (1.0 - mu_c))
+    if family in ("poisson", "quasipoisson"):
+        # y·log(y/μ) with the y=0 limit 0
+        dev = 2 * (F.when(y > 0, y * F.log(y / mu)).otherwise(F.lit(0.0))
+                   - (y - mu))
+        return dev, (y - mu) * (y - mu) / mu
+    if family == "tweedie":
+        # unit deviance 2[y^(2−p)/((1−p)(2−p)) − yμ^(1−p)/(1−p)
+        #                + μ^(2−p)/(2−p)]; every term has a finite y=0
+        # limit because 2−p > 0 and the y·μ^(1−p) term vanishes
+        p1, p2 = 1.0 - var_power, 2.0 - var_power
+        dev = 2 * (F.pow(y, F.lit(p2)) / F.lit(p1 * p2)
+                   - y * F.pow(mu, F.lit(p1)) / F.lit(p1)
+                   + F.pow(mu, F.lit(p2)) / F.lit(p2))
+        return dev, (y - mu) * (y - mu) / F.pow(mu, F.lit(var_power))
+    dev = 2 * (-F.log(y / mu) + (y - mu) / mu)        # gamma
+    return dev, (y - mu) * (y - mu) / (mu * mu)
+
+
 def glm(df: DataFrame, formula: str, family: str = "poisson",
         offset: str | None = None, use_bias: bool = True,
         max_iter: int = 25, tol: float = 1e-8,
@@ -234,19 +299,14 @@ def glm(df: DataFrame, formula: str, family: str = "poisson",
                          off.alias("__o__"))
         etac, yc, offc = F.col("__eta__"), F.col("__yy__"), F.col("__o__")
         if not log_link:                      # gaussian/identity: one shot
-            mu, s = etac, F.lit(1.0)
+            mu = etac
             mid = base
         else:
             mid = base.select("*", F.exp(etac).alias("__mu__"))
             mu = F.col("__mu__")
-            if family in ("poisson", "quasipoisson"):
-                s = mu + F.lit(1e-10)         # w = V(μ)=μ for log link
-            elif family == "tweedie":         # w = μ²/μ^p = μ^(2−p)
-                s = F.pow(mu, F.lit(2.0 - var_power)) + F.lit(1e-10)
-            else:                             # gamma log link: w = 1
-                s = F.lit(1.0)
-        # working response on the X-only predictor (offset is fixed)
-        z = (etac - offc) + (yc - mu) / (mu if log_link else F.lit(1.0))
+        # weight + working response on the X-only predictor (offset is
+        # fixed) — shared per-family algebra (_irls_wz)
+        s, z = _irls_wz(family, mu, etac, yc, offc, var_power)
         step = mid.select(*[F.col(f"__p{i}__") for i in range(p)],
                           s.alias("__w__"), z.alias("__z__"),
                           F.col("__yy__"))
@@ -292,15 +352,7 @@ def glm(df: DataFrame, formula: str, family: str = "poisson",
         cov = np.linalg.inv(A)
         if family in ("quasipoisson", "gamma", "gaussian", "tweedie"):
             mu_f = eta if family == "gaussian" else F.exp(eta)
-            if family == "gaussian":
-                pearson_f = (y - mu_f) * (y - mu_f)
-            elif family == "quasipoisson":
-                pearson_f = (y - mu_f) * (y - mu_f) / mu_f
-            elif family == "tweedie":
-                pearson_f = (y - mu_f) * (y - mu_f) \
-                    / F.pow(mu_f, F.lit(var_power))
-            else:
-                pearson_f = (y - mu_f) * (y - mu_f) / (mu_f * mu_f)
+            pearson_f = _dev_pearson(family, y, mu_f, var_power)[1]
             pchi = float(df_p.agg(F.sum(pearson_f).alias("p"))
                          .collect()[0]["p"])
             dispersion = pchi / max(n - p, 1.0)
@@ -315,30 +367,8 @@ def glm(df: DataFrame, formula: str, family: str = "poisson",
                         offset=offset, y_expr=y_expr,
                         var_power=var_power if family == "tweedie"
                         else None)
-    if family == "gaussian":
-        mu = eta
-        dev_term = (y - mu) * (y - mu)
-        pearson = dev_term
-    elif family in ("poisson", "quasipoisson"):
-        mu = F.exp(eta)
-        # y·log(y/μ) with the y=0 limit 0
-        dev_term = 2 * (F.when(y > 0, y * F.log(y / mu)).otherwise(F.lit(0.0))
-                        - (y - mu))
-        pearson = (y - mu) * (y - mu) / mu
-    elif family == "tweedie":
-        mu = F.exp(eta)
-        # unit deviance 2[y^(2−p)/((1−p)(2−p)) − yμ^(1−p)/(1−p)
-        #                + μ^(2−p)/(2−p)]; every term has a finite y=0
-        # limit because 2−p > 0 and the y·μ^(1−p) term vanishes
-        p1, p2 = 1.0 - var_power, 2.0 - var_power
-        dev_term = 2 * (F.pow(y, F.lit(p2)) / F.lit(p1 * p2)
-                        - y * F.pow(mu, F.lit(p1)) / F.lit(p1)
-                        + F.pow(mu, F.lit(p2)) / F.lit(p2))
-        pearson = (y - mu) * (y - mu) / F.pow(mu, F.lit(var_power))
-    else:                                     # gamma
-        mu = F.exp(eta)
-        dev_term = 2 * (-F.log(y / mu) + (y - mu) / mu)
-        pearson = (y - mu) * (y - mu) / (mu * mu)
+    mu = eta if family == "gaussian" else F.exp(eta)
+    dev_term, pearson = _dev_pearson(family, y, mu, var_power)
     if family == "gaussian":
         aux = y * y                           # → Σy² for TSS
     elif family in ("poisson", "quasipoisson"):
@@ -579,33 +609,17 @@ def glm_grouped(df: DataFrame, formula: str, group_expr: str,
             off.alias("__o__"))
         etac, yc, offc = F.col("__eta__"), F.col("__yy__"), F.col("__o__")
         if family == "gaussian":
-            mu, s = etac, F.lit(1.0)
+            mu = etac
             mid = base
         elif family == "binomial":
             mid = base.select(
                 "*", (F.lit(1.0) / (F.lit(1.0) + F.exp(-etac)))
                 .alias("__mu__"))
             mu = F.col("__mu__")
-            s = mu * (1.0 - mu) + F.lit(1e-10)
         else:
             mid = base.select("*", F.exp(etac).alias("__mu__"))
             mu = F.col("__mu__")
-            if family in ("poisson", "quasipoisson"):
-                s = mu + F.lit(1e-10)
-            elif family == "tweedie":
-                s = F.pow(mu, F.lit(2.0 - var_power)) + F.lit(1e-10)
-            else:
-                s = F.lit(1.0)
-        # working response divides by dμ/dη (μ for log link, μ(1−μ) for
-        # logit, 1 for identity) — NOT by the IRLS weight, which only
-        # coincides with dμ/dη for the canonical poisson/logit cases
-        if family == "gaussian":
-            dmu: Column = F.lit(1.0)
-        elif family == "binomial":
-            dmu = s                      # μ(1−μ)+ε, canonical logit
-        else:
-            dmu = mu                     # log link: dμ/dη = μ
-        z = (etac - offc) + (yc - mu) / dmu
+        s, z = _irls_wz(family, mu, etac, yc, offc, var_power)
         step = mid.select("__g__",
                           *[F.col(f"__p{i}__") for i in range(p)],
                           s.alias("__w__"), z.alias("__z__"),
@@ -666,29 +680,7 @@ def glm_grouped(df: DataFrame, formula: str, group_expr: str,
         muf = F.exp(etaf)
     fb = joined.select("__g__", y.alias("__yy__"), muf.alias("__mu__"))
     yc, mu = F.col("__yy__"), F.col("__mu__")
-    if family == "gaussian":
-        dev_term = (yc - mu) * (yc - mu)
-        pearson = dev_term
-    elif family == "binomial":
-        dev_term = 2 * (F.when(yc > 0, yc * F.log(yc / mu))
-                        .otherwise(F.lit(0.0))
-                        + F.when(yc < 1, (1.0 - yc)
-                                 * F.log((1.0 - yc) / (1.0 - mu)))
-                        .otherwise(F.lit(0.0)))
-        pearson = (yc - mu) * (yc - mu) / (mu * (1.0 - mu) + F.lit(1e-10))
-    elif family in ("poisson", "quasipoisson"):
-        dev_term = 2 * (F.when(yc > 0, yc * F.log(yc / mu))
-                        .otherwise(F.lit(0.0)) - (yc - mu))
-        pearson = (yc - mu) * (yc - mu) / mu
-    elif family == "tweedie":
-        p1, p2 = 1.0 - var_power, 2.0 - var_power
-        dev_term = 2 * (F.pow(yc, F.lit(p2)) / F.lit(p1 * p2)
-                        - yc * F.pow(mu, F.lit(p1)) / F.lit(p1)
-                        + F.pow(mu, F.lit(p2)) / F.lit(p2))
-        pearson = (yc - mu) * (yc - mu) / F.pow(mu, F.lit(var_power))
-    else:                                     # gamma
-        dev_term = 2 * (-F.log(yc / mu) + (yc - mu) / mu)
-        pearson = (yc - mu) * (yc - mu) / (mu * mu)
+    dev_term, pearson = _dev_pearson(family, yc, mu, var_power)
     fin_rows = (fb.groupBy("__g__")
                 .agg(F.sum(dev_term).alias("dev"),
                      F.sum(pearson).alias("pchi")).collect())
@@ -706,16 +698,16 @@ def glm_grouped(df: DataFrame, formula: str, group_expr: str,
             cov = np.linalg.pinv(A)
         dispersion = 1.0
         pchi = fin.get(gv)
-        if scaled and pchi is not None:
+        if scaled and pchi is not None and pchi["pchi"] is not None:
             dispersion = float(pchi["pchi"]) / max(n - p, 1.0)
             cov = cov * dispersion
         stderr = np.sqrt(np.maximum(np.diag(cov), 0.0))
+        dev_v = pchi["dev"] if pchi is not None else None
         out[gv] = GlmModel(
             family=family, feature_exprs=feats, use_bias=use_bias,
             beta=beta, stderr=stderr, n=n, n_iter=iters_by_g[gv],
             converged=converged.get(gv, False),
-            deviance=float(pchi["dev"]) if pchi is not None
-            else float("nan"),
+            deviance=float(dev_v) if dev_v is not None else float("nan"),
             null_deviance=float("nan"), dispersion=dispersion,
             offset=offset, y_expr=y_expr,
             link="logit" if family == "binomial" else None,
@@ -789,13 +781,8 @@ def _binomial_glm(df: DataFrame, formula: str, link: str,
         return 1.0 - F.exp(-ex), ex * F.exp(-ex)
 
     def _dev_term(mu: Column) -> Column:
-        # 2[y log(y/μ) + (1−y) log((1−y)/(1−μ))], 0·log0 := 0; clamp μ
-        # so saturated probit/cloglog fits don't produce log(0)
-        mu_c = F.greatest(F.least(mu, F.lit(1.0 - 1e-12)), F.lit(1e-12))
-        return 2.0 * (
-            F.when(y > 0, y * F.log(y / mu_c)).otherwise(F.lit(0.0))
-            + F.when(y < 1, (1.0 - y) * F.log((1.0 - y) / (1.0 - mu_c)))
-            .otherwise(F.lit(0.0)))
+        # shared clamped binomial unit deviance (_dev_pearson)
+        return _dev_pearson("binomial", y, mu, var_power=1.5)[0]
 
     def _irls(beta: np.ndarray, cols: list[Column], pp: int,
               validate: bool = False,

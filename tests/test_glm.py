@@ -558,3 +558,29 @@ def test_poisson_regression_facade(seg_df):
     m = poisson_regression(seg_df, "y ~ x1", offset="ln(expo)")
     ref = glm(seg_df, "y ~ x1", family="poisson", offset="ln(expo)")
     np.testing.assert_allclose(m.beta, ref.beta, rtol=0, atol=0)
+
+
+def test_glm_grouped_separated_binomial_segment(spark):
+    """A (quasi-)separated segment saturates mu to 0/1; the shared
+    clamped deviance must stay finite (no ANSI divide-by-zero, no NULL
+    sum -> TypeError) and match solo glm()'s clamped value."""
+    from fast_causal_inference_spark.operators.glm import glm, glm_grouped
+
+    rng = np.random.default_rng(7)
+    xa = rng.normal(0, 1, 400)
+    pdf = pd.DataFrame({
+        "g": ["sep"] * 30 + ["ok"] * 400,
+        # sep: y = 1{x > 0} exactly -> perfect separation
+        "x": list(np.linspace(-1, 1, 30)) + list(xa),
+        "y": [float(v > 0) for v in np.linspace(-1, 1, 30)]
+        + [float(v) for v in
+           rng.binomial(1, 1 / (1 + np.exp(-xa)))]})
+    out = glm_grouped(spark.createDataFrame(pdf), "y ~ x", "g",
+                      family="binomial")
+    assert np.isfinite(out["sep"].deviance)
+    assert out["sep"].deviance >= 0
+    solo = glm(spark.createDataFrame(pdf[pdf.g == "ok"]), "y ~ x",
+               family="binomial")
+    np.testing.assert_allclose(out["ok"].beta, solo.beta, rtol=1e-6)
+    np.testing.assert_allclose(out["ok"].deviance, solo.deviance,
+                               rtol=1e-6)

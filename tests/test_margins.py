@@ -121,3 +121,40 @@ def test_tweedie_and_negbin_paths(margins_sdf):
     out_po = average_marginal_effects(po, margins_sdf)
     assert out_nb.ame.to_numpy() == pytest.approx(out_po.ame.to_numpy(),
                                                   rel=0.1)
+
+
+def test_joint_ame_differing_null_masks(spark):
+    """N=2 joint scan where the models' complete-case masks differ on a
+    frame WITH NULLs: each model's slice must equal its solo AME (the
+    mask-gated sums must not leak the other model's excluded rows)."""
+    import numpy as np
+    import pandas as pd
+
+    from fast_causal_inference_spark.operators.glm import glm
+    from fast_causal_inference_spark.operators.margins import (
+        average_marginal_effects,
+        average_marginal_effects_joint,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 2000
+    x1 = rng.normal(0, 1, n)
+    x2 = rng.normal(0, 1, n)
+    y1 = rng.poisson(np.exp(0.4 + 0.3 * x1)).astype(float)
+    y2 = rng.binomial(1, 1 / (1 + np.exp(-(0.2 + 0.5 * x2)))).astype(float)
+    pdf = pd.DataFrame({"x1": x1, "x2": x2, "y1": y1, "y2": y2})
+    # model A loses rows where x1 is NULL; model B where y2 is NULL —
+    # disjoint missingness so the two masks genuinely differ
+    pdf.loc[: n // 10, "x1"] = np.nan
+    pdf.loc[n - n // 10:, "y2"] = np.nan
+    df = spark.createDataFrame(pdf).cache()
+    ma = glm(df, "y1 ~ x1", family="poisson")
+    mb = glm(df, "y2 ~ x2", family="binomial")
+    joint = average_marginal_effects_joint([ma, mb], df)
+    solo = [average_marginal_effects(ma, df),
+            average_marginal_effects(mb, df)]
+    for k in range(2):
+        np.testing.assert_array_equal(
+            joint[k][["ame", "stderr"]].to_numpy(),
+            solo[k][["ame", "stderr"]].to_numpy())
+    df.unpersist()
