@@ -30,7 +30,7 @@ RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 _SF1_KNOWN = [
     # within the known block, the structurally interesting scalers first
     # so a tight budget never skips them in favor of cheap suff-stats
-    "causal_forest", "t_learner", "boot_strap", "linear_dml", "ols",
+    "ols", "causal_forest", "t_learner", "boot_strap", "linear_dml",
     "knn", "describe_quantiles", "minhash_lsh_dedup", "exact_dedup",
     "ttest_2samp", "xexpt_ttest_2samp", "q1_pricing_summary",
 ]
@@ -275,9 +275,12 @@ def main() -> None:
             # the budget is spent, the rest are LISTED as skipped (never a
             # silent cap) — the block is a scaling diagnostic, not the
             # number of record
-            # 280 s fits the measured all-50 block (~220 s) plus the two
-            # variant-heaviest families the old 240 s/10x gate skipped
-            budget = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET", "280"))
+            # 320 s fits the measured all-50 block (~220-275 s depending
+            # on the machine's drift phase) with margin: a slow-phase
+            # process inflates BOTH the sf0.1 medians feeding the
+            # completion predictor and the sf1 walls, which at 280 s
+            # skipped 8 families in one observed run
+            budget = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET", "320"))
             t_block = time.perf_counter()
             order = ([n for n in qs if n not in _SF1_KNOWN]
                      + [n for n in _SF1_KNOWN if n in qs])

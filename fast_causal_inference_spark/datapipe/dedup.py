@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from fast_causal_inference_spark.datapipe.cachereg import register_cache
 from fast_causal_inference_spark.datapipe.text import (
     bind_once,
     content_md5,
@@ -36,6 +37,8 @@ from fast_causal_inference_spark.datapipe.text import (
 def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id", keep: str = "min") -> DataFrame:
     """Keep one row per exact text (lowest/highest id). One hash shuffle."""
+    if keep not in ("min", "max"):
+        raise ValueError(f"keep must be 'min' or 'max', got {keep!r}")
     key = content_md5(F.col(text_col))
     order = F.col(id_col).asc() if keep == "min" else F.col(id_col).desc()
     w = Window.partitionBy(key).orderBy(order)
@@ -145,11 +148,13 @@ def _shingle_inv(df: DataFrame, text_col: str, id_col: str,
     # prefix ranker's window and the verifier's per-doc aggregations.
     n_parts = int(df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32"))
-    return (df.repartition(n_parts, F.col(id_col))
-            .select(F.col(id_col).alias("id"),
-                    F.explode(shingle_hashes(F.col(text_col), n))
-                    .alias("gh"))
-            .cache())
+    out = (df.repartition(n_parts, F.col(id_col))
+           .select(F.col(id_col).alias("id"),
+                   F.explode(shingle_hashes(F.col(text_col), n))
+                   .alias("gh"))
+           .cache())
+    # registered for bulk release (cachereg.release_dedup_caches)
+    return register_cache(out)
 
 
 def _verify_jaccard(cand: DataFrame, inv: DataFrame,
@@ -219,9 +224,16 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
         banded = (binned
                   .withColumn("band", (F.col("bin") / rows).cast("int"))
                   .groupBy("id", "band")
+                  # the key hashes (bin, minimum) PAIRS — value-only keys
+                  # would collide docs whose minima land in different
+                  # bins of the band but form the same value sequence
+                  # (cost-only: verification is exact, but the banding
+                  # is supposed to exclude structurally-unrelated pairs)
                   .agg(F.xxhash64(F.concat_ws(",", F.transform(
                       F.sort_array(F.collect_list(F.struct("bin", "mh"))),
-                      lambda s: s["mh"].cast("string")))).alias("bucket")))
+                      lambda s: F.concat_ws(":", s["bin"].cast("string"),
+                                            s["mh"].cast("string")))))
+                      .alias("bucket")))
     else:
         with_sig = df.select(
             F.col(id_col).alias("id"),
@@ -242,10 +254,15 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
             .select("id", "bb.band", "bb.bucket")
     # cache + eager count: the band self-join reads `banded` twice, and a
     # lazily-cached relation double-computes in one composed query (see
-    # the ranked.count() note in ngram_jaccard_pairs); this also
-    # materializes the shared shingle index as a byproduct
-    banded = banded.cache()
+    # the ranked.count() note in ngram_jaccard_pairs).  For the OPH
+    # scheme this also materializes the shared shingle index as a
+    # byproduct; the classic scheme's banded derives from df directly,
+    # so inv needs its own eager count or _verify_jaccard's three
+    # references each recompute the tokenize+shingle+hash pipeline
+    banded = register_cache(banded.cache())
     banded.count()
+    if scheme != "oph":
+        inv.count()
     left = banded.alias("l")
     right = banded.alias("r")
     cand = (left.join(right, [F.col("l.band") == F.col("r.band"),
@@ -360,7 +377,7 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     width = 64 // chunks
     # two primitive longs per doc; cached so the l/r sides of the chunk
     # join and the verify projection share one token-vote aggregation
-    sigs = simhash_signatures(df, text_col, id_col).cache()
+    sigs = register_cache(simhash_signatures(df, text_col, id_col).cache())
     # eager: both self-join sides would otherwise re-run the vote agg
     # before the cache populates (see the ranked.count() note in
     # ngram_jaccard_pairs)
@@ -424,12 +441,14 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                   .where(F.col("count") >= 2)
                   .select("id", "n_sh", "gh", "rk")
                   .cache())
+        ranked = register_cache(ranked)
     else:
         ranked = (inv.withColumn("n_sh", F.count(F.lit(1)).over(w_id))
                   .withColumn("rk", F.row_number().over(
                       Window.partitionBy("id").orderBy("gh")))
                   .select("id", "n_sh", "gh", "rk")
                   .cache())
+        ranked = register_cache(ranked)
     # EAGERLY materialize before the self-join: a lazily-cached relation
     # referenced on both sides of one composed query gets its (freq join +
     # two windows) plan evaluated once per side before any block lands in
@@ -524,8 +543,12 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
         ids = pd.unique(pd.concat([ep["u"], ep["v"]]))
         out = pd.DataFrame({"id": ids,
                             "component": [find(i) for i in ids]})
+        # explicit schema: pandas inference would return bigint for
+        # integer ids, making the output type depend on WHICH path ran
+        # (empty / driver / distributed) instead of on the input type
         return pairs.sparkSession.createDataFrame(
-            out.sort_values("id"))
+            out.sort_values("id"),
+            f"id {id_type}, component {id_type}")
     # size the iteration shuffles to the pair graph
     parts = int(max(2, min(200, n_edges // 500_000 + 2)))
     edges = edges.repartition(parts, "u").localCheckpoint(eager=True)

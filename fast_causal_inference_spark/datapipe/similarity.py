@@ -74,7 +74,12 @@ def knn_bruteforce(df: DataFrame, queries: DataFrame, k: int = 10,
         s = -l2_distance(F.col(vec_col), F.col(query_vec_col))
     else:
         s = score(F.col(vec_col), F.col(query_vec_col))
-    scored = joined.select(query_id_col, id_col, s.alias("score"))
+    # NULL scores (NULL/zero-norm corpus vectors) must be filtered
+    # BEFORE the top-k window: desc ordering puts NULLs last but
+    # row_number still ranks them, so they would fill ranks after the
+    # valid rows and be returned as garbage neighbors
+    scored = joined.select(query_id_col, id_col, s.alias("score")) \
+        .where(F.col("score").isNotNull())
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.col(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
                   .where(F.col("rank") <= k))
@@ -166,7 +171,8 @@ def lsh_knn(df: DataFrame, queries: DataFrame, k: int = 10,
             .dropDuplicates([query_id_col, id_col]))
     scored = cand.select(query_id_col, id_col,
                          cosine(F.col(vec_col), F.col(query_vec_col))
-                         .alias("score"))
+                         .alias("score")) \
+        .where(F.col("score").isNotNull())   # see knn_bruteforce note
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.col(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
                   .where(F.col("rank") <= k))
@@ -195,7 +201,9 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     # cache + eager count: the bucket self-join reads `b` twice; lazily
     # the Pandas-UDF signature pass would run once per side (see the
     # ranked.count() note in dedup.ngram_jaccard_pairs)
-    b = b.cache()
+    from fast_causal_inference_spark.datapipe.cachereg import register_cache
+
+    b = register_cache(b.cache())
     b.count()
     if max_bucket_size is not None:
         import warnings
@@ -230,15 +238,13 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
 # ---------------------------------------------------------------------------
 
 
-def _train_centroids(df: DataFrame, vec_col: str, n_lists: int,
-                     sample_per_list: int, iters: int,
-                     seed: int) -> np.ndarray:
-    """Seeded Lloyd k-means on a driver-side sample (the standard IVF
-    training recipe — centroids are a tiny model, training data a bounded
-    sample; the full corpus is only ever scanned for assignment)."""
-    n_sample = n_lists * sample_per_list
-    # xxhash64 hashes the array natively (element-wise) — a deterministic
-    # layout-independent draw without the ~5× slower cast-to-string detour
+def _sample_vectors(df: DataFrame, vec_col: str, n_lists: int,
+                    n_sample: int, seed: int) -> np.ndarray:
+    """Deterministic driver-side training sample, shared by the IVF and
+    IVF-PQ trainers (the sampling recipe once lived in both and drifted).
+    xxhash64 hashes the array natively (element-wise) — a deterministic
+    layout-independent draw without the ~5× slower cast-to-string
+    detour."""
     rows = (df.select(F.col(vec_col).alias("v"))
             .where(F.col("v").isNotNull())
             .orderBy(F.xxhash64(F.col("v"), F.lit(seed)))
@@ -246,20 +252,42 @@ def _train_centroids(df: DataFrame, vec_col: str, n_lists: int,
     X = np.array([r["v"] for r in rows], dtype=float)
     if len(X) < n_lists:
         raise ValueError(f"need ≥{n_lists} vectors to train {n_lists} lists")
-    rng = np.random.default_rng(seed)
-    C = X[rng.choice(len(X), n_lists, replace=False)]
-    # GEMM form of the assignment step: argmin ||x−c||² = argmin
-    # (||c||² − 2 x·c) — the naive (X[:,None]−C[None])² broadcast builds
-    # an (n·k·d) temp (≈1 GB/iter at k=224, d=64) and was 30+ s of pure
-    # driver time at the ×10 bench point; the GEMM is milliseconds
+    return X
+
+
+def _lloyd_kmeans(data: np.ndarray, k: int, iters: int, rng,
+                  clamp_k: bool = False) -> np.ndarray:
+    """Seeded Lloyd loop in GEMM form: argmin ||x−c||² = argmin
+    (||c||² − 2 x·c) — the naive (X[:,None]−C[None])² broadcast builds
+    an (n·k·d) temp (≈1 GB/iter at k=224, d=64) and was 30+ s of pure
+    driver time at the ×10 bench point; the GEMM is milliseconds.
+    ``clamp_k`` shrinks k to the sample size (PQ codebooks on short
+    residual samples) instead of the trainers' raise-on-short contract.
+    Consumes exactly one ``rng.choice`` so seeded call sequences are
+    reproducible across callers."""
+    if clamp_k:
+        k = min(k, len(data))
+    C = data[rng.choice(len(data), k, replace=False)].copy()
     for _ in range(iters):
-        d2 = (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
+        d2 = (C * C).sum(axis=1)[None, :] - 2.0 * (data @ C.T)
         assign = d2.argmin(axis=1)
-        for j in range(n_lists):
+        for j in range(k):
             m = assign == j
             if m.any():
-                C[j] = X[m].mean(axis=0)
+                C[j] = data[m].mean(axis=0)
     return C
+
+
+def _train_centroids(df: DataFrame, vec_col: str, n_lists: int,
+                     sample_per_list: int, iters: int,
+                     seed: int) -> np.ndarray:
+    """Seeded Lloyd k-means on a driver-side sample (the standard IVF
+    training recipe — centroids are a tiny model, training data a bounded
+    sample; the full corpus is only ever scanned for assignment)."""
+    X = _sample_vectors(df, vec_col, n_lists, n_lists * sample_per_list,
+                        seed)
+    rng = np.random.default_rng(seed)
+    return _lloyd_kmeans(X, n_lists, iters, rng)
 
 
 def _assign_udf(C: np.ndarray):
@@ -337,7 +365,8 @@ def ivf_knn(df: DataFrame, queries: DataFrame, k: int = 10,
     cand = corpus.join(F.broadcast(probe_df), "__list")
     scored = cand.select(query_id_col, id_col,
                          cosine(F.col(vec_col).cast("array<double>"),
-                                F.col(query_vec_col)).alias("score"))
+                                F.col(query_vec_col)).alias("score")) \
+        .where(F.col("score").isNotNull())   # see knn_bruteforce note
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"),
                                                 F.col(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -391,7 +420,9 @@ def semantic_dedup_pairs(df: DataFrame, threshold: float = 0.95,
     b = (df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
            .where(F.col("v").isNotNull())
            .withColumn("__list", assign(F.col("v"))))
-    b = b.cache()
+    from fast_causal_inference_spark.datapipe.cachereg import register_cache
+
+    b = register_cache(b.cache())
     b.count()
     # 2-D block decomposition: every row hashes to a block within its
     # cell (nb = ceil(c / block_rows) blocks for a c-row cell) and is
@@ -674,38 +705,21 @@ def train_ivfpq(df: DataFrame, vec_col: str = "embedding",
     (m × ks × d/m), plus the config ints — serialize it however you
     store models.
     """
-    n_sample = n_lists * sample_per_list
-    rows = (df.select(F.col(vec_col).alias("v"))
-            .where(F.col("v").isNotNull())
-            .orderBy(F.xxhash64(F.col("v"), F.lit(seed)))
-            .limit(n_sample).collect())
-    X = np.array([r["v"] for r in rows], dtype=float)
-    if len(X) < n_lists:
-        raise ValueError(f"need ≥{n_lists} vectors to train {n_lists} lists")
+    X = _sample_vectors(df, vec_col, n_lists, n_lists * sample_per_list,
+                         seed)
     dim = X.shape[1]
     if dim % m != 0:
         raise ValueError(f"dim={dim} must be divisible by m={m} subspaces")
     dsub = dim // m
     rng = np.random.default_rng(seed)
 
-    def _lloyd(data: np.ndarray, k: int) -> np.ndarray:
-        k = min(k, len(data))
-        C = data[rng.choice(len(data), k, replace=False)].copy()
-        for _ in range(train_iters):
-            d2 = (C * C).sum(axis=1)[None, :] - 2.0 * (data @ C.T)
-            a = d2.argmin(axis=1)
-            for j in range(k):
-                sel = a == j
-                if sel.any():
-                    C[j] = data[sel].mean(axis=0)
-        return C
-
-    C = _lloyd(X, n_lists)
+    C = _lloyd_kmeans(X, n_lists, train_iters, rng, clamp_k=True)
     d2 = (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
     R = X - C[d2.argmin(axis=1)]                  # residuals
     books = np.zeros((m, ks, dsub))
     for j in range(m):
-        bj = _lloyd(R[:, j * dsub:(j + 1) * dsub], ks)
+        bj = _lloyd_kmeans(R[:, j * dsub:(j + 1) * dsub], ks,
+                           train_iters, rng, clamp_k=True)
         books[j, :len(bj)] = bj                   # short sample → zero-pad
     return {"C": C, "codebooks": books, "n_lists": int(len(C)),
             "m": int(m), "ks": int(ks), "dim": int(dim)}
@@ -858,7 +872,8 @@ def ivfpq_knn(df: DataFrame, queries: DataFrame, k: int = 10,
               .join(F.broadcast(qvec_df), query_id_col)
               .select(query_id_col, id_col,
                       cosine(F.col(vec_col).cast("array<double>"),
-                             F.col(query_vec_col)).alias("score")))
+                             F.col(query_vec_col)).alias("score"))
+              .where(F.col("score").isNotNull()))  # see knn_bruteforce
     w2 = Window.partitionBy(query_id_col).orderBy(F.desc("score"),
                                                   F.col(id_col))
     return (rerank.withColumn("rank", F.row_number().over(w2))

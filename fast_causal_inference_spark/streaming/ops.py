@@ -124,6 +124,10 @@ def streaming_srm(stream: DataFrame, index: str, ts_col: str,
     idx = F.col(index) if index.isidentifier() else F.expr(index)
     v0, v1 = treatment_values
     r0, r1 = float(ratio[0]), float(ratio[1])
+    if r0 < 0 or r1 < 0 or r0 + r1 <= 0:
+        raise ValueError(
+            f"ratio must be two non-negative weights with a positive "
+            f"sum, got {ratio!r}")
     win = F.window(F.col(ts_col), window_duration)
     agged = (_with_event_time(stream, ts_col)
              .withWatermark(ts_col, watermark)
@@ -133,12 +137,21 @@ def streaming_srm(stream: DataFrame, index: str, ts_col: str,
     tot = F.col("n0") + F.col("n1")
     e0 = tot * r0 / (r0 + r1)
     e1 = tot * r1 / (r0 + r1)
-    # nullif guard: a window with zero events in BOTH arms (third-arm or
-    # null index values) has expected counts 0 — under ANSI mode a plain
-    # division would kill the continuous query, and on restart the same
-    # poison window kills it again; NULL chi-square is the honest value
-    chi2 = ((F.col("n0") - e0) ** 2 / F.nullif(e0, F.lit(0.0))
-            + (F.col("n1") - e1) ** 2 / F.nullif(e1, F.lit(0.0)))
+
+    # per-arm zero-expected semantics (ANSI-safe, never a raw /0, so a
+    # poison window can never kill the continuous query or its restart):
+    # expected 0 with observed 0 contributes 0; expected 0 with observed
+    # > 0 is a CERTAIN mismatch — chi-square +inf, not NULL (the old
+    # nullif guard silently masked exactly the most extreme SRM, e.g.
+    # ratio=(0,1) with any arm-0 events).  A window with zero events in
+    # both arms stays NULL (no data, nothing to test).
+    def _term(n: Column, e: Column) -> Column:
+        return (F.when(e > 0, (n - e) ** 2 / e)
+                .when(n == 0, F.lit(0.0))
+                .otherwise(F.lit(float("inf"))))
+
+    chi2 = F.when(tot > 0, _term(F.col("n0"), e0)
+                  + _term(F.col("n1"), e1))
     return agged.select("window", "n0", "n1",
                         e0.alias("expected0"), e1.alias("expected1"),
                         chi2.alias("chisquare"))
@@ -194,9 +207,14 @@ def streaming_sequential_ttest(stream: DataFrame, Y: str, index: str,
     v0, v1 = treatment_values
     gcol = group_col or "__expt"
     base = stream if group_col else stream.withColumn(gcol, F.lit("all"))
+    # the event-time column must SURVIVE the projection: dropping it
+    # detaches the watermark and late data older than the horizon would
+    # silently keep mutating the mSPRT state (streaming_cusum keeps its
+    # ts column for the same reason)
     prepared = (_with_event_time(base, ts_col)
                 .withWatermark(ts_col, watermark)
                 .select(F.col(gcol).cast("string").alias("g"),
+                        F.col(ts_col).alias("__ts"),
                         F.expr(Y).cast("double").alias("y"),
                         F.when(idx == F.lit(v0), 0)
                          .when(idx == F.lit(v1), 1).alias("arm"))
@@ -395,7 +413,25 @@ def ingest_documents(df: DataFrame, text_col: str = "text",
         return (_with_event_time(out, ts_col)
                 .withWatermark(ts_col, watermark)
                 .dropDuplicatesWithinWatermark(["fingerprint"]))
-    return out.dropDuplicates(["fingerprint"])
+    # static path: DETERMINISTIC keeper per fingerprint (bare
+    # dropDuplicates keeps whichever row a task saw first, so two runs
+    # over the same corpus could land different doc ids — same reasoning
+    # as batch exact_dedup's min-id row_number)
+    order_cols = (["doc_id"] if "doc_id" in out.columns else
+                  [f.name for f in out.schema.fields
+                   if f.name != "fingerprint"
+                   and f.dataType.typeName() in
+                   ("string", "integer", "long", "short", "byte",
+                    "float", "double", "decimal", "boolean",
+                    "timestamp", "date")])
+    if not order_cols:
+        return out.dropDuplicates(["fingerprint"])
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fingerprint") \
+        .orderBy(*[F.col(c).asc_nulls_first() for c in order_cols])
+    return (out.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1).drop("__rn"))
 
 
 def streaming_perplexity(stream: DataFrame, lm: dict,

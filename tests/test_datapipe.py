@@ -755,3 +755,85 @@ def test_ivfpq_validation(spark):
                    F.col("embedding").alias("query_vec"))
     with pytest.raises(ValueError, match="max_queries"):
         ivfpq_knn(emb, q, k=3, n_lists=4, m=8, ks=8, max_queries=2)
+
+
+def test_release_dedup_caches(spark):
+    """The suite's internal caches (shingle index, prefix ranker) are
+    registered and released in bulk; release is idempotent."""
+    from pyspark.sql import functions as F
+
+    from fast_causal_inference_spark.datapipe.cachereg import (
+        release_dedup_caches,
+    )
+    from fast_causal_inference_spark.datapipe.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    release_dedup_caches()                      # clean slate
+    toy = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.array(*[
+            F.conv(F.xxhash64("id", F.lit(i)).cast("string"), 10, 36)
+            for i in range(8)])).alias("text"))
+    pairs = ngram_jaccard_pairs(toy, threshold=0.5)
+    pairs.count()
+    assert release_dedup_caches() >= 2          # inv + ranked at least
+    assert release_dedup_caches() == 0          # registry cleared
+    pairs.count()                               # output still computable
+
+
+def test_knn_null_vectors_never_rank(spark):
+    """NULL/zero-norm corpus vectors must not appear as neighbors: the
+    top-k window ranks rows AFTER a score-notnull filter (desc ordering
+    alone still row_numbers NULLs into the tail ranks)."""
+    import pandas as pd
+
+    from fast_causal_inference_spark.datapipe.similarity import (
+        knn_bruteforce,
+    )
+
+    pdf = pd.DataFrame({
+        "vec_id": list(range(24)),
+        "embedding": [[1.0, float(i)] for i in range(4)]
+        + [None] * 10 + [[0.0, 0.0]] * 10})
+    q = pd.DataFrame({"qid": [0], "qv": [[1.0, 1.0]]})
+    out = knn_bruteforce(spark.createDataFrame(pdf),
+                         spark.createDataFrame(q), k=10,
+                         id_col="vec_id", vec_col="embedding",
+                         query_id_col="qid", query_vec_col="qv").toPandas()
+    # only the 4 valid vectors qualify; no NULL-score garbage rows
+    assert len(out) == 4
+    assert out["score"].notna().all()
+
+
+def test_exact_dedup_keep_validation(spark):
+    import pandas as pd
+
+    from fast_causal_inference_spark.datapipe.dedup import exact_dedup
+
+    df = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["a", "a"]}))
+    with pytest.raises(ValueError, match="keep"):
+        exact_dedup(df, keep="lowest")
+    assert exact_dedup(df, keep="max").collect()[0]["doc_id"] == 2
+
+
+def test_connected_components_schema_path_independent(spark):
+    """Empty, driver union-find, and (schema-wise) distributed paths all
+    preserve the input id type."""
+    from pyspark.sql.types import IntegerType
+
+    from fast_causal_inference_spark.datapipe.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)],
+        "id_a int, id_b int")
+    out = connected_components(pairs)
+    assert isinstance(out.schema["id"].dataType, IntegerType)
+    assert isinstance(out.schema["component"].dataType, IntegerType)
+    comp = {r["id"]: r["component"] for r in out.collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    empty = connected_components(pairs.where("id_a > 100"))
+    assert isinstance(empty.schema["id"].dataType, IntegerType)

@@ -357,3 +357,61 @@ def test_ingest_with_nb_filter_stream(spark, docs_stream_dir):
     assert out.isStreaming
     run_to_memory(out, "nb_ingest", output_mode="append")
     assert spark.table("nb_ingest").count() > 0
+
+
+def test_streaming_srm_zero_ratio_arm(spark, stream_dir):
+    """ratio=(0,1): arm-0 events are a CERTAIN mismatch — chi-square
+    must be +inf, not NULL (the old nullif guard masked exactly the
+    most extreme SRM)."""
+    import numpy as np
+
+    s = _read_stream(spark, stream_dir)
+    out = streaming_srm(s, "treatment", "ts", window_duration="24 hours",
+                        ratio=(0.0, 1.0))
+    run_to_memory(out, "srm_zero_stream")
+    got = spark.table("srm_zero_stream").toPandas()
+    assert (got.n0 > 0).any()
+    assert np.isinf(got.loc[got.n0 > 0, "chisquare"]).all()
+    with pytest.raises(ValueError, match="ratio"):
+        streaming_srm(s, "treatment", "ts", ratio=(0.0, 0.0))
+    with pytest.raises(ValueError, match="ratio"):
+        streaming_srm(s, "treatment", "ts", ratio=(-1.0, 2.0))
+
+
+def test_streaming_sequential_ttest_keeps_event_time(spark, stream_dir):
+    """The watermark column must survive the pre-state projection —
+    dropping it silently detaches the watermark from the stateful
+    operator (late data would bypass the horizon)."""
+    from fast_causal_inference_spark.streaming.ops import (
+        streaming_sequential_ttest,
+    )
+
+    s = _read_stream(spark, stream_dir)
+    out = streaming_sequential_ttest(s, "value", "treatment", "ts",
+                                     watermark="10 minutes")
+    # the analyzed plan of the state input must carry an event-time
+    # (watermark) attribute; assert via the logical plan string
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "__ts" in plan
+
+
+def test_ingest_documents_static_dedup_deterministic(spark):
+    """Static-path exact dedup keeps the MIN doc_id per fingerprint
+    regardless of partition layout."""
+    import pandas as pd
+
+    from fast_causal_inference_spark.streaming.ops import ingest_documents
+
+    text = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through the quiet green field toward the river")
+    pdf = pd.DataFrame({
+        "doc_id": [5, 1, 9, 3],
+        "text": [text, text + " ", text, "completely different words "
+                 "about analytics engines and spark clusters at scale"]})
+    for parts in (1, 4):
+        out = ingest_documents(
+            spark.createDataFrame(pdf).repartition(parts),
+            min_quality=0.0, redact_pii=False, dedup="exact")
+        kept = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+        # the three whitespace-equivalent docs collapse to min id 1
+        assert kept == [1, 3], (parts, kept)
