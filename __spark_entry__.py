@@ -1402,7 +1402,7 @@ WITH all_docs AS (
   FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id
   WHERE a.doc_id < 5
 ), sub_tok AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+  SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS toks
   FROM sub_corpus
 ), sub_grams AS (
   SELECT doc_id, i - 1 AS pos,
@@ -1455,7 +1455,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NGRAM_JACCARD_SQL = """
 WITH t AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+  SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS toks
   FROM documents
 ), sh AS (
   SELECT doc_id,
@@ -1507,7 +1507,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DEDUP_COMPONENTS_SQL = """
 WITH t AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+  SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS toks
   FROM documents
 ), sh AS (
   SELECT doc_id,
@@ -1583,14 +1583,14 @@ WITH queries(query_id, query) AS
 post AS (
   SELECT doc_id AS id, t.term, count(*) AS tf
   FROM documents,
-       unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t(term)
+       unnest(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) AS t(term)
   WHERE t.term <> '' GROUP BY 1, 2
 ), doclen AS (SELECT id, sum(tf) AS dl FROM post GROUP BY 1),
 docfreq AS (SELECT term, count(*) AS df_t FROM post GROUP BY 1),
 consts AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM doclen),
 qt AS (
   SELECT query_id, t.term FROM queries,
-    unnest(list_distinct(string_split_regex(trim(lower(query)), '\\s+')))
+    unnest(list_distinct(string_split_regex(regexp_replace(lower(query), '^\\s+|\\s+$', '', 'g'), '\\s+')))
       AS t(term)
   WHERE t.term <> ''
 ), scored AS (
@@ -1781,7 +1781,7 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TEXT_PROFILE_SQL = r"""
 WITH t AS (
-  SELECT doc_id, text, trim(lower(text)) AS lt FROM documents
+  SELECT doc_id, text, regexp_replace(lower(text), '^\s+|\s+$', '', 'g') AS lt FROM documents
 ), tok AS (
   SELECT doc_id, text, string_split_regex(lt, '\s+') AS toks,
          length(lt) = 0 AS blank

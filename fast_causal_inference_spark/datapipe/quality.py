@@ -99,9 +99,14 @@ def pii_redact(text: Column | str, kinds: list[str] | None = None,
 # repetition / boilerplate (Gopher §A.1.1 signals)
 # ---------------------------------------------------------------------------
 def doc_lines(text: Column | str) -> Column:
-    """Non-empty trimmed lines of a document."""
+    """Non-empty trimmed lines of a document (CRLF/CR/LF line endings;
+    lines of pure whitespace — including the stray \\r a \\n-only
+    split would leave on every CRLF line — count as empty, so Windows-
+    formatted documents are not falsely flagged by the Gopher
+    repetition signals)."""
     c = F.col(text) if isinstance(text, str) else text
-    parts = F.transform(F.split(c, r"\n"), lambda l: F.trim(l))
+    parts = F.transform(F.split(c, r"\r\n|\r|\n"),
+                        lambda l: F.regexp_replace(l, r"^\s+|\s+$", ""))
     return F.filter(parts, lambda l: F.length(l) > 0)
 
 
@@ -286,7 +291,10 @@ def normalize_url(url: Column | str) -> Column:
     u = F.regexp_replace(u, r"\?" + _TRACKING_PARAMS + r"=[^&#]*&", "?")
     u = F.regexp_replace(u, r"\?" + _TRACKING_PARAMS + r"=[^&#]*$", "")
     u = F.regexp_replace(u, r"[?&]+$", "")
-    u = F.regexp_replace(u, r"/\?", "?")      # path's trailing slash
+    # path's trailing slash: anchored to the FIRST '?' (the query
+    # separator) — a bare /\? would also rewrite '/?' inside query
+    # values, corrupting the canonical key
+    u = F.regexp_replace(u, r"^([^?#]*)/\?", r"$1?")
     u = F.regexp_replace(u, r"/$", "")
     return u
 
@@ -297,6 +305,10 @@ def url_host(url: Column | str) -> Column:
     c = F.col(url) if isinstance(url, str) else url
     h = F.lower(F.regexp_extract(
         c, r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//([^/?#:]+)", 1))
+    # FQDN trailing dot ('example.com.') is the same host — without the
+    # strip, registered_domain would split to ['example','com',''] and
+    # bucket every trailing-dot host of a TLD under the bogus 'com.'
+    h = F.regexp_replace(h, r"\.+$", "")
     return F.regexp_replace(h, r"^www\.", "")
 
 
@@ -319,6 +331,8 @@ def url_dedup(df: DataFrame, url_col: str = "url",
     per canonical URL (same plan shape as ``dedup.exact_dedup``)."""
     from pyspark.sql import Window
 
+    if keep not in ("min", "max"):
+        raise ValueError(f"keep must be 'min' or 'max', got {keep!r}")
     key = normalize_url(F.col(url_col))
     order = [c for c in df.columns if c != url_col] or [url_col]
     w = Window.partitionBy(key).orderBy(
@@ -504,7 +518,10 @@ def quality_classifier_udf(model: dict, max_vocab: int = 5_000_000):
                 # relational path: NULL text yields no tokens → bare prior
                 return prior
             s = prior
-            for w in _ws.split(t.strip().lower()):
+            # ASCII-only edge strip to mirror the relational path
+            # (str.strip() would also strip Unicode whitespace like
+            # NBSP and diverge from the Java \s tokenizer)
+            for w in _ws.split(t.strip(" \t\n\x0b\f\r").lower()):
                 if not w:
                     continue
                 cp, cn = counts.get(w, (0, 0))

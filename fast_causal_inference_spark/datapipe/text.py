@@ -22,10 +22,19 @@ _STOPWORDS = {
 }
 
 
+def _trim_ws(c: Column) -> Column:
+    """Strip ALL leading/trailing whitespace (tabs, newlines, CR) — not
+    just the ASCII spaces ``F.trim`` handles.  Without this a document
+    starting with a tab/newline yields a leading EMPTY token from the
+    \\s+ split, corrupting token counts and the whitespace-normalized
+    fingerprint dedup key."""
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
 def tokens(text: Column | str) -> Column:
     """Whitespace tokenization of lower-cased text."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.split(F.trim(F.lower(c)), r"\s+")
+    return F.split(_trim_ws(F.lower(c)), r"\s+")
 
 
 def ngram_transform(tk: Column, n: int) -> Column:
@@ -177,7 +186,7 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
         raise ValueError("overlap must be smaller than chunk_tokens")
     stride = chunk_tokens - overlap
     # case-preserving token split; NULL text behaves like ''
-    tk_expr = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))),
+    tk_expr = F.split(_trim_ws(F.coalesce(F.col(text_col), F.lit(""))),
                       r"\s+")
     keep = [c for c in df.columns if c != text_col]
     out = df.select(

@@ -115,7 +115,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
     lts = _ts_double(F.col("__lrow").getField(left_ts))
     gap = (lts - F.col("__m_ts")) if direction == "backward" \
         else (F.col("__m_ts") - lts)
-    keep = F.col("__m_ts").isNotNull() & \
+    # a NULL-timestamp left row can never have an as-of match: in the
+    # forward (desc) scan NULLs sort last, so the running last() has
+    # accumulated every right row and would fabricate a match to the
+    # earliest one (backward/asc gets this right only by accident of
+    # nulls-first ordering)
+    keep = lts.isNotNull() & F.col("__m_ts").isNotNull() & \
         ((gap <= F.lit(float(tolerance))) if tolerance is not None
          else F.lit(True))
     cols = [F.col("__lrow").getField(c).alias(c) for c in left.columns]

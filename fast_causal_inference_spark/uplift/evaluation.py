@@ -71,9 +71,23 @@ def _bucketed_stats(df: DataFrame, ite: str, y: str, t: str,
                 F.sum("__t").alias("n1"),
                 F.sum(F.when(F.col("__t") == 1, F.col("__y"))).alias("y1"),
                 F.sum(F.when(F.col("__t") == 0, F.col("__y"))).alias("y0"),
-                F.avg("__ite").alias("ite_avg"))
+                F.avg("__ite").alias("ite_avg"),
+                # NULL / non-0/1 treatments would silently land in the
+                # control denominator (n0 = n - n1) while contributing
+                # nothing to y0 — count them in the SAME aggregation and
+                # refuse rather than bias every lift/gain/Qini number
+                F.count(F.when(F.col("__t").isNull()
+                               | ~F.col("__t").isin(0.0, 1.0), 1))
+                .alias("__bad"))
            .orderBy("__bucket"))
     pdf = agg.toPandas()
+    bad = int(pdf["__bad"].sum())
+    if bad:
+        raise ValueError(
+            f"{bad} rows have treatment outside {{0, 1}} (or NULL): "
+            f"uplift evaluation needs binary 0/1 treatment — recode or "
+            f"filter the frame first")
+    pdf = pdf.drop(columns="__bad")
     pdf["n0"] = pdf["n"] - pdf["n1"]
     pdf[["y1", "y0"]] = pdf[["y1", "y0"]].fillna(0.0)
     return pdf

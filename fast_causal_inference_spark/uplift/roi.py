@@ -550,6 +550,15 @@ def estimate_qini(df: DataFrame, n_buckets: int = 30,
             if bucket_colname != "bucket" else df
         if "threshold" not in b.columns:
             b = b.withColumn("threshold", F.lit(float("nan")))
+        else:
+            # a pre-existing ROW-level threshold column would fracture
+            # the (bucket, threshold) grouping below; collapse it to the
+            # per-bucket minimum (a no-op for assign_score_buckets-style
+            # per-bucket-constant thresholds)
+            from pyspark.sql import Window as _W
+
+            b = b.withColumn(
+                "threshold", F.min("threshold").over(_W.partitionBy("bucket")))
     else:
         b = assign_score_buckets(df, n_buckets, score_colname, "bucket")
     pdf = _aggregate(b, "ate", target_colname, "", "", treatment_colname,
@@ -590,6 +599,12 @@ def estimate_cum_iroi(df: DataFrame, n_buckets: int = 30,
             if bucket_colname != "bucket" else df
         if "threshold" not in b.columns:
             b = b.withColumn("threshold", F.lit(float("nan")))
+        else:
+            # see estimate_qini: defracture row-level thresholds
+            from pyspark.sql import Window as _W
+
+            b = b.withColumn(
+                "threshold", F.min("threshold").over(_W.partitionBy("bucket")))
     else:
         b = assign_score_buckets(df, n_buckets, score_colname, "bucket")
     pdf = estimate_metrics(b, "iroi", benefit_colname=benefit_colname,
