@@ -100,11 +100,20 @@ def domain_mixture_sample(df: DataFrame, domain_col: str,
 
     expr = None
     for d, r in rates.items():
-        cond = F.col(domain_col) == F.lit(d)
+        # null-safe: a NULL domain is a real (counted, weighted) key —
+        # plain == against lit(None) is never true and would silently
+        # drop the whole NULL-domain mass from the output
+        cond = (F.col(domain_col).isNull() if d is None
+                else F.col(domain_col) == F.lit(d))
         expr = F.when(cond, r) if expr is None else expr.when(cond, r)
     rate = expr.otherwise(F.lit(0.0)) if expr is not None else F.lit(0.0)
 
-    draw_cols = id_cols or [domain_col]
+    # default draw keys: EVERY column, not the domain — hashing only the
+    # (low-cardinality) domain gives all rows of a domain the same
+    # U(0,1) draw, keeping or dropping whole domains wholesale instead
+    # of sampling within them (stratified/reservoir already default to
+    # df.columns for the same reason)
+    draw_cols = id_cols or list(df.columns)
     u = _unit_draw(*draw_cols, seed=seed)
     n_copies = (F.floor(rate)
                 + (u < (rate - F.floor(rate))).cast("long")).cast("int")
@@ -229,7 +238,10 @@ def quality_weighted_sample(df: DataFrame, weight_col: str,
         raise ValueError(f"mean({weight_col}) must be positive")
     p = F.least(F.lit(1.0),
                 F.lit(fraction) * F.col(weight_col).cast("double") / mean_w)
-    u = _unit_draw(*(id_cols or [weight_col]), seed=seed)
+    # default draw keys: every column — a discrete weight column alone
+    # would give identical draws per weight tier (see
+    # domain_mixture_sample's draw_cols note)
+    u = _unit_draw(*(id_cols or list(df.columns)), seed=seed)
     return df.where(u < p)
 
 

@@ -218,10 +218,19 @@ def lcm(a, b) -> Column:
     return F.expr(f"lcm({a}, {b})")
 
 
+def _safe_lgamma(v: float) -> float:
+    if v != v:
+        return float("nan")
+    try:
+        return math.lgamma(v)
+    except ValueError:            # poles at 0 and negative integers:
+        return float("inf")       # C99 lgamma returns +inf, not a raise
+
+
 def lgamma(c) -> Column:
     @F.pandas_udf("double")
     def _lg(s: pd.Series) -> pd.Series:
-        return s.map(lambda v: math.lgamma(v) if v == v else float("nan"))
+        return s.map(_safe_lgamma)
 
     ensure_udf_serializable()
     return _lg(F.col(c) if isinstance(c, str) else c)
@@ -357,10 +366,24 @@ def erfc(c) -> Column:
                        .otherwise(2.0 - _cody_erfc_pos(y))))
 
 
+def _safe_gamma(v: float) -> float:
+    """C99 tgamma edge semantics (math.gamma raises instead): +inf at
+    the x=0 pole, NaN at negative integers, +inf on overflow (x >
+    ~171.62) — a single poison value must not kill the whole job."""
+    if v != v:
+        return float("nan")
+    try:
+        return math.gamma(v)
+    except OverflowError:
+        return float("inf")
+    except ValueError:
+        return float("inf") if v == 0.0 else float("nan")
+
+
 def tgamma(c) -> Column:
     @F.pandas_udf("double")
     def _g(s: pd.Series) -> pd.Series:
-        vec = np.frompyfunc(math.gamma, 1, 1)
+        vec = np.frompyfunc(_safe_gamma, 1, 1)
         return pd.Series(
             vec(s.to_numpy(dtype="float64")).astype("float64"),
             index=s.index)

@@ -50,6 +50,8 @@ def cut_bins(col, bins: list[float], labels: list | None = None) -> Column:
     when bins[i] < v <= bins[i+1]; outside → NULL.
     """
     c = F.col(col) if isinstance(col, str) else col
+    if len(bins) < 2:
+        raise ValueError(f"need at least 2 bin edges, got {len(bins)}")
     if labels is None:
         labels = [f"({bins[i]}, {bins[i+1]}]" for i in range(len(bins) - 1)]
     if len(labels) != len(bins) - 1:
@@ -104,10 +106,13 @@ def winsorize(df: DataFrame, cols: list[str] | str,
     out = df
     for c, (lo, hi) in zip(col_list, bounds):
         v = F.col(c).cast("double")
-        # greatest/least skip NULL args, which would silently turn a NULL
-        # metric into the lower bound — preserve NULL explicitly
-        clipped = F.when(v.isNotNull(),
-                         F.least(F.greatest(v, F.lit(lo)), F.lit(hi)))
+        # greatest/least skip NULL args (a NULL metric would silently
+        # become the lower bound) and order NaN GREATER than every
+        # number (a NaN metric would silently become the upper cap) —
+        # preserve both explicitly
+        clipped = F.when(v.isNotNull() & ~F.isnan(v),
+                         F.least(F.greatest(v, F.lit(lo)), F.lit(hi))) \
+            .otherwise(v)
         out = out.withColumn(c + suffix, clipped)
     return out
 

@@ -69,10 +69,16 @@ def _split_args(s: str) -> list[str]:
 
 
 def _lit(arg: str):
-    """Unquote string literals; parse numbers and kwarg forms."""
+    """Unquote string literals; parse numbers/booleans and kwarg forms."""
     a = arg.strip()
     if len(a) >= 2 and a[0] in "'\"" and a[-1] == a[0]:
         return a[1:-1]
+    # SQL boolean literals: bool('false') is True in Python, so kwargs
+    # like use_bias=false / std=false could never be turned off
+    if a.lower() == "true":
+        return True
+    if a.lower() == "false":
+        return False
     try:
         return int(a)
     except ValueError:
@@ -113,7 +119,10 @@ def sql(spark: SparkSession, query: str):
         from pyspark.sql import functions as F
 
         group_cols = []
-        for i, g in enumerate(s.strip() for s in m.group("groupby").split(",")):
+        # paren-aware split: a bare comma split would shred expression
+        # keys like substr(city, 1, 3) into invalid fragments
+        for i, g in enumerate(s.strip()
+                              for s in _split_args(m.group("groupby"))):
             if g.isidentifier():
                 group_cols.append(g)
             else:
@@ -186,12 +195,24 @@ def _dispatch(fn: str, df: DataFrame, pos: list, kw: dict,
         return kstest.kolmogorov_smirnov_test_spark(df, str(pos[0]),
                                                     str(pos[1]))
     if fn in ("ols", "wls"):
-        if len(pos) == 1 and "~" in str(pos[0]):
-            formula = str(pos[0])
+        # wls takes its weight as the LAST positional (or weight=...);
+        # the weight must be peeled off BEFORE the formula is assembled
+        # — otherwise wls('y~x', w) produced the malformed 'y~x ~ w'
+        # and wls(y, x1, w) silently regressed on the weight column
+        weight = kw.get("weight")
+        args = list(pos)
+        if fn == "wls" and weight is None:
+            if len(args) < 2:
+                raise ValueError(
+                    "wls needs a weight: wls('y~x', w) or "
+                    "wls('y~x', weight=w)")
+            weight = args.pop()
+        if len(args) == 1 and "~" in str(args[0]):
+            formula = str(args[0])
         else:
-            formula = f"{pos[0]} ~ {' + '.join(str(p) for p in pos[1:])}"
+            formula = f"{args[0]} ~ {' + '.join(str(p) for p in args[1:])}"
         if fn == "wls":
-            return ols.wls(df, formula, weight=str(kw.get("weight", pos[-1])))
+            return ols.wls(df, formula, weight=str(weight))
         return ols.ols(df, formula, use_bias=bool(kw.get("use_bias", True)))
     if fn == "did":
         return ols.did(df, str(pos[0]), str(pos[1]), str(pos[2]),
@@ -285,7 +306,13 @@ def _dispatch(fn: str, df: DataFrame, pos: list, kw: dict,
         bins = pos[1]
         if isinstance(bins, str):
             bins = _json.loads(bins)
-        return df.withColumn(f"{col}_bin", cut_bins(col, list(bins)))
+        labels = kw.get("labels", pos[2] if len(pos) > 2 else None)
+        if isinstance(labels, str):
+            labels = _json.loads(labels)
+        return df.withColumn(
+            f"{col}_bin",
+            cut_bins(col, list(bins),
+                     labels=list(labels) if labels is not None else None))
     if fn == "group_set":
         return groupset.group_set(df, str(pos[0]), str(pos[1]),
                                   [str(p) for p in pos[2:]])

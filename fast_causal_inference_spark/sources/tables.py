@@ -48,7 +48,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     for c in _nano_ts_columns(path):
-        df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+        # INTEGER division: `/ 1000` casts the ns long (~1.8e18 for 2026
+        # dates) to double whose ulp is 256 ns, so the truncated-µs value
+        # could land 1 µs off the exact ns div 1000 the DuckDB oracle
+        # computes
+        df = df.withColumn(
+            c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 

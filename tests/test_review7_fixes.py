@@ -130,3 +130,141 @@ def test_qini_row_level_threshold_defractured(spark):
     real = out[out.bucket.notna()]
     assert len(real) == 4                      # one row per bucket
     assert real["count"].max() == n            # cumulative count reaches n
+
+
+def test_sampling_draw_defaults_within_group(spark):
+    """Default draw keys must vary per row: hashing only the domain (or
+    weight) column kept/dropped whole groups wholesale."""
+    import pandas as pd
+
+    from fast_causal_inference_spark.datapipe.training import (
+        domain_mixture_sample,
+        quality_weighted_sample,
+    )
+
+    pdf = pd.DataFrame({"domain": ["web"] * 400 + ["book"] * 400,
+                        "doc_id": range(800), "q": [2.0] * 800})
+    df = spark.createDataFrame(pdf)
+    mix = domain_mixture_sample(
+        df, "domain", target_weights={"web": 1.0, "book": 1.0},
+        total_rows=400).groupBy("domain").count().collect()
+    got = {r["domain"]: r["count"] for r in mix}
+    # each domain individually halved (not all-or-nothing)
+    assert 100 < got.get("web", 0) < 300
+    assert 100 < got.get("book", 0) < 300
+    qw = quality_weighted_sample(df, "q", fraction=0.5).count()
+    assert 250 < qw < 550                      # constant weight: ~half
+
+
+def test_domain_mixture_null_domain_kept(spark):
+    import pandas as pd
+
+    from fast_causal_inference_spark.datapipe.training import (
+        domain_mixture_sample,
+    )
+
+    pdf = pd.DataFrame({"domain": ["web"] * 200 + [None] * 200,
+                        "doc_id": range(400)})
+    out = domain_mixture_sample(
+        spark.createDataFrame(pdf), "domain",
+        target_weights={"web": 0.5, None: 0.5}, total_rows=400,
+        id_cols=["doc_id"])
+    got = {r["domain"]: r["count"]
+           for r in out.groupBy("domain").count().collect()}
+    assert got.get(None, 0) > 100              # NULL mass not dropped
+
+
+def test_sql_macro_wls_and_booleans(spark):
+    import pandas as pd
+
+    from fast_causal_inference_spark.operators.ols import wls
+    from fast_causal_inference_spark.plans.sql_macros import sql
+
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame({"y": rng.normal(0, 1, 500),
+                        "x1": rng.normal(0, 1, 500),
+                        "w": rng.uniform(0.5, 2, 500),
+                        "city": [f"c{i % 9}" for i in range(500)]})
+    spark.createDataFrame(pdf).createOrReplaceTempView("mt")
+    df = spark.table("mt")
+    ref = wls(df, "y ~ x1", weight="w")
+    for q in ("SELECT wls('y~x1', w) FROM mt",
+              "SELECT wls(y, x1, w) FROM mt",
+              "SELECT wls('y~x1', weight=w) FROM mt"):
+        m = sql(spark, q)
+        np.testing.assert_allclose(m.beta, ref.beta, rtol=1e-12), q
+    # boolean kwarg: use_bias=false must actually drop the intercept
+    m = sql(spark, "SELECT ols('y~x1', use_bias=false) FROM mt")
+    assert len(m.beta) == 1
+    # paren-aware GROUP BY expression keys
+    out = sql(spark, "SELECT avg_metric('avg(y)') FROM mt "
+                     "GROUP BY substr(city, 1, 2)")
+    assert out.count() == 9
+
+
+def test_sql_macro_cutbins_labels(spark):
+    import pandas as pd
+
+    from fast_causal_inference_spark.plans.sql_macros import sql
+
+    spark.createDataFrame(pd.DataFrame({"x": [5.0, 15.0]})) \
+        .createOrReplaceTempView("cb")
+    out = sql(spark, 'SELECT cutbins(x, \'[0, 10, 20]\', '
+                     '\'["low", "high"]\') FROM cb')
+    assert sorted(r["x_bin"] for r in out.collect()) == ["high", "low"]
+
+
+def test_gamma_udfs_poles_do_not_crash(spark):
+    import pandas as pd
+
+    from fast_causal_inference_spark.functions import lgamma, tgamma
+
+    df = spark.createDataFrame(pd.DataFrame(
+        {"v": [0.0, -1.0, -2.5, 200.0, 3.0, float("nan")]}))
+    got = df.select(lgamma("v").alias("lg"), tgamma("v").alias("tg")) \
+        .collect()
+    lg = [r["lg"] for r in got]
+    tg = [r["tg"] for r in got]
+    assert lg[0] == float("inf") and lg[1] == float("inf")
+    assert tg[0] == float("inf")               # pole at 0
+    # negative integer -> NaN (Arrow maps NaN to NULL on the way back)
+    assert tg[1] is None or tg[1] != tg[1]
+    assert tg[3] == float("inf")               # overflow -> inf
+    assert lg[4] == pytest.approx(np.log(2.0))
+    assert tg[4] == pytest.approx(2.0)
+
+
+def test_winsorize_preserves_nan(spark):
+    import pandas as pd
+
+    from fast_causal_inference_spark.functions.features import (
+        cut_bins,
+        winsorize,
+    )
+
+    pdf = pd.DataFrame({"m": [1.0, 2.0, 3.0, 100.0, float("nan")]})
+    out = winsorize(spark.createDataFrame(pdf), "m",
+                    lower=0.0, upper=0.75).toPandas()
+    assert out["m"].isna().iloc[-1]            # NaN stays NaN, not p75
+    with pytest.raises(ValueError, match="bin edges"):
+        cut_bins("m", [5.0])
+
+
+def test_load_table_ns_exact_div(spark, tmp_path):
+    """Timestamp restore uses integer ns div 1000: the old float /1000
+    path casts the ns long to double (ulp 256 ns at 2^60) and could
+    land 1 microsecond off the exact truncation."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fast_causal_inference_spark.sources.tables import load_table
+
+    ns = 2**60 + 999                           # float(ns)/1000 rounds UP
+    assert int(float(ns) / 1000) != ns // 1000
+    tbl = pa.table({"ts": pa.array([ns, 10**18 + 1], pa.timestamp("ns")),
+                    "v": pa.array([1.0, 2.0])})
+    d = tmp_path / "events.parquet"
+    pq.write_table(tbl, str(d))
+    ev = load_table(spark, str(tmp_path), "events")
+    got = sorted(r[0] for r in ev.select(F.unix_micros("ts")).collect())
+    assert got == sorted([ns // 1000, (10**18 + 1) // 1000])
