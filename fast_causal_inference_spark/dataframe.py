@@ -35,6 +35,11 @@ class CausalDataFrame:
         return self._df.toPandas()
 
     def __getattr__(self, name):
+        # dunder/private probes (pickle's __setstate__, deepcopy's
+        # __deepcopy__, a half-initialized instance's _df) must raise,
+        # not recurse through self._df
+        if name.startswith("_"):
+            raise AttributeError(name)
         attr = getattr(self._df, name)
         if callable(attr):
             def wrapper(*args, **kwargs):
@@ -51,7 +56,17 @@ class CausalDataFrame:
         (statistics.py docstrings) — returns a grouped view whose
         statistical verbs run per group.  Non-statistical names fall
         through to the native ``DataFrame.groupBy``."""
-        return CausalGroupedData(self, [str(c) for c in cols])
+        from pyspark.sql import Column
+
+        names = []
+        for c in cols:
+            if isinstance(c, Column):
+                # Column args (valid in vanilla groupBy) would stringify
+                # to "Column<'g'>" garbage — recover the planned name
+                names.append(self._df.select(c).columns[0])
+            else:
+                names.append(str(c))
+        return CausalGroupedData(self, names)
 
     # -- statistical verbs ---------------------------------------------
     def delta_method(self, expr: str, std: bool = True, group_cols=None):
@@ -786,14 +801,15 @@ class CausalDataFrame:
         return self
 
     def toCsv(self, path: str, **options):
-        self._df.write.options(header=True, **options).mode("overwrite") \
-            .csv(path)
+        opts = {"header": True, **options}    # caller's header wins
+        self._df.write.options(**opts).mode("overwrite").csv(path)
 
     def toOlap(self, table: str, mode: str = "overwrite"):
         self._df.write.mode(mode).saveAsTable(table)
 
-    toClickHouse = toOlap
-    toStarRocks = toOlap
+    # NOTE: toClickHouse/toStarRocks are REAL methods above (JDBC-url
+    # dispatch with a toOlap fallback) — a class-body alias here would
+    # shadow them and kill the documented url= path
 
     def getExecutedSql(self) -> str:
         """Introspection parity (reference getExecutedSql): the optimized
@@ -879,8 +895,16 @@ class CausalGroupedData:
                 return kolmogorov_smirnov_test_grouped(
                     self._cdf.df, data, index, self._cols, **kwargs)
             return ks
-        # everything else: the native grouped API
-        return getattr(self._cdf.df.groupBy(*self._cols), name)
+        # everything else: the native grouped API — re-wrap DataFrame
+        # results so .agg(...) keeps the facade's statistical verbs
+        attr = getattr(self._cdf.df.groupBy(*self._cols), name)
+        if callable(attr):
+            def wrapper(*args, **kwargs):
+                out = attr(*args, **kwargs)
+                return CausalDataFrame(out) if isinstance(out, DataFrame) \
+                    else out
+            return wrapper
+        return attr
 
 
 def readCsv(path: str, spark: SparkSession | None = None, **options) -> CausalDataFrame:
@@ -937,6 +961,7 @@ def readSparkDf(df: DataFrame, na_fill: float | None = None) -> CausalDataFrame:
     if na_fill is not None:
         num_cols = [f.name for f in df.schema.fields
                     if f.dataType.typeName() in
-                    ("double", "float", "long", "integer", "short")]
+                    ("double", "float", "long", "integer", "short",
+                     "byte") or f.dataType.typeName().startswith("decimal")]
         df = df.na.fill(na_fill, subset=num_cols)
     return CausalDataFrame(df)

@@ -34,6 +34,11 @@ class TestResult(Mapping):
 
     # mapping protocol ---------------------------------------------------
     def __getitem__(self, k):
+        # aliases apply only when the literal key is ABSENT: a result
+        # that genuinely stores 'statistic'/'pvalue' (anova, contingency)
+        # must stay readable and iterable under its own keys
+        if k in self._data:
+            return self._data[k]
         return self._data[self._ALIASES.get(k, k)]
 
     def __iter__(self):
@@ -43,9 +48,10 @@ class TestResult(Mapping):
         return len(self._data)
 
     def __getattr__(self, k):
-        key = self._ALIASES.get(k, k)
+        d = object.__getattribute__(self, "_data")
+        key = k if k in d else self._ALIASES.get(k, k)
         try:
-            return self._data[key]
+            return d[key]
         except KeyError as e:
             raise AttributeError(k) from e
 

@@ -98,10 +98,6 @@ def register_sql_functions(spark: SparkSession) -> SparkSession:
                 dtype=float))
         return _f
 
-    import math as _math
-
-    import numpy as _np
-
     spark.udf.register("erf", _u1(_dist.erf))
     spark.udf.register("erfc", _u1(_dist.erfc))
     spark.udf.register("norm_cdf", _u1(_dist.norm_cdf))

@@ -68,18 +68,23 @@ def simulate_randomized_trial(spark: SparkSession, n: int = 1000, p: int = 5,
     if p < 5:
         raise ValueError("p must be >= 5 (effect heterogeneity uses X1..X5)")
     df = spark.range(n)
-    feats = [F.randn(seed + j).alias(f"feature_{j + 1}") for j in range(p)]
+    # WIDE seed spacing: Spark seeds each partition with seed +
+    # partitionIndex, so consecutive seeds make feature_{j+1} in
+    # partition i the SAME value stream as feature_j in partition i+1
+    # (confirmed: randn(43) in partition 0 == randn(42) in partition 1)
+    feats = [F.randn(seed + j * (1 << 20)).alias(f"feature_{j + 1}")
+             for j in range(p)]
     df = df.select("id", *feats)
     x = [F.col(f"feature_{j + 1}") for j in range(p)]
     b = (F.greatest(F.lit(0.0), x[0] + x[1] + x[2])
          + F.greatest(F.lit(0.0), x[3] + x[4]))
     tau = x[0] + F.log1p(F.exp(x[1]))
-    w = (F.rand(seed + p) < 0.5).cast("int")
+    w = (F.rand(seed + p * (1 << 20)) < 0.5).cast("int")
     df = (df.withColumn("expected_outcome", b)
             .withColumn("actual_cate", tau)
             .withColumn("propensity", F.lit(0.5))
             .withColumn("treatment", w))
-    eps1 = F.randn(seed + p + 1) * sigma
+    eps1 = F.randn(seed + (p + 1) * (1 << 20)) * sigma
     if binary_outcome:
         # potential outcomes through a logistic link, observed per arm.
         # NB reference parity: actual_cate here is sig(y1)−sig(y0) on the
@@ -87,7 +92,7 @@ def simulate_randomized_trial(spark: SparkSession, n: int = 1000, p: int = 5,
         # individual treatment effect, not the noise-integrated CATE the
         # continuous branch's tau column carries.  Evaluate calibration
         # against bucket means, not per-row values.
-        eps0 = F.randn(seed + p + 2) * sigma
+        eps0 = F.randn(seed + (p + 2) * (1 << 20)) * sigma
         y1 = b + 0.5 * tau + eps1
         y0 = b - 0.5 * tau + eps0
         sig = lambda c: F.lit(1.0) / (F.lit(1.0) + F.exp(-c))
@@ -103,8 +108,9 @@ def simulate_randomized_trial(spark: SparkSession, n: int = 1000, p: int = 5,
             "outcome", b + (w.cast("double") - 0.5) * tau + eps1)
     if add_cost_benefit:
         # Gamma(3, 1) = sum of three Exp(1) draws — codegen-only, no UDF
-        g = -(F.log(F.rand(seed + p + 3)) + F.log(F.rand(seed + p + 4))
-              + F.log(F.rand(seed + p + 5)))
+        g = -(F.log(F.rand(seed + (p + 3) * (1 << 20)))
+              + F.log(F.rand(seed + (p + 4) * (1 << 20)))
+              + F.log(F.rand(seed + (p + 5) * (1 << 20))))
         df = (df.withColumn("benefit",
                             F.when(F.col("outcome") == 0, 0.0).otherwise(g))
                 .withColumn("cost",
@@ -344,18 +350,28 @@ def hist_data(df: DataFrame, col: str, bins: int = 50,
     """Histogram-ready binned counts (plot-free stand-in for the
     reference's matplotlib ``histplot``): ONE agg for the range (unless
     given), one width_bucket groupBy."""
+    explicit_hi = hi is not None
     if lo is None or hi is None:
         r = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).collect()[0]
         lo = r["lo"] if lo is None else lo
         hi = r["hi"] if hi is None else hi
+    if lo is None or hi is None:            # empty / all-NULL column
+        return pd.DataFrame({"bin": [], "left": [], "right": [],
+                             "count": []})
     if lo == hi:
         hi = lo + 1.0
-    # width_bucket assigns values == hi to bucket bins+1; fold them into the
-    # last bin so the histogram is right-closed like numpy's
-    agg = (df.groupBy(F.least(F.width_bucket(F.col(col), F.lit(float(lo)),
-                                             F.lit(float(hi)), F.lit(bins)),
-                              F.lit(bins))
-                      .alias("bin"))
+    c = F.col(col)
+    # width_bucket assigns values == hi to bucket bins+1; fold ONLY the
+    # boundary value into the last bin (right-closed like numpy).  With
+    # an EXPLICIT hi, values strictly above it are out of range and must
+    # be dropped, not folded into the top bin
+    bucket = F.width_bucket(c, F.lit(float(lo)), F.lit(float(hi)),
+                            F.lit(bins))
+    bucket = F.when(c == F.lit(float(hi)), F.lit(bins)).otherwise(bucket)
+    work = df.where(c.isNotNull() & (c >= F.lit(float(lo))))
+    if explicit_hi:
+        work = work.where(c <= F.lit(float(hi)))
+    agg = (work.groupBy(bucket.alias("bin"))
            .agg(F.count(F.lit(1)).alias("count"))
            .toPandas().set_index("bin").sort_index())
     width = (hi - lo) / bins

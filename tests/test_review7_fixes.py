@@ -268,3 +268,97 @@ def test_load_table_ns_exact_div(spark, tmp_path):
     ev = load_table(spark, str(tmp_path), "events")
     got = sorted(r[0] for r in ev.select(F.unix_micros("ts")).collect())
     assert got == sorted([ns // 1000, (10**18 + 1) // 1000])
+
+
+def test_facade_jdbc_aliases_not_shadowed(spark):
+    """toClickHouse/toStarRocks keep their JDBC-url dispatch (a class-
+    body alias to toOlap had shadowed them)."""
+    import fast_causal_inference_spark as fcis
+
+    cdf = fcis.readSparkDf(spark.range(3))
+    assert cdf.toClickHouse.__func__ is not cdf.toOlap.__func__
+    assert cdf.toStarRocks.__func__ is not cdf.toOlap.__func__
+    import inspect
+
+    assert "url" in inspect.getsource(cdf.toClickHouse.__func__)
+
+
+def test_facade_pickle_deepcopy_no_recursion(spark):
+    import copy
+    import pickle
+
+    import fast_causal_inference_spark as fcis
+
+    cdf = fcis.readSparkDf(spark.range(3))
+    # deepcopy/pickle probe dunders on a fresh instance; __getattr__
+    # must raise AttributeError for them instead of recursing on _df
+    with pytest.raises(Exception) as exc:
+        pickle.dumps(cdf)                      # sessions don't pickle,
+    assert not isinstance(exc.value, RecursionError)   # but no recursion
+    c2 = copy.copy(cdf)
+    assert c2.count() == 3
+
+
+def test_facade_groupby_column_and_rewrap(spark):
+    import pandas as pd
+
+    import fast_causal_inference_spark as fcis
+
+    df = spark.createDataFrame(pd.DataFrame(
+        {"g": [0, 0, 1, 1], "y": [1.0, 2.0, 3.0, 4.0]}))
+    cdf = fcis.readSparkDf(df)
+    out = cdf.groupBy(F.col("g")).agg(F.avg("y").alias("m"))
+    # Column arg resolves to its planned name AND agg re-wraps
+    assert type(out).__name__ == "CausalDataFrame"
+    assert {r["g"]: r["m"] for r in out.toSparkDf().collect()} == \
+        {0: 1.5, 1: 3.5}
+
+
+def test_testresult_literal_keys_win(spark):
+    from fast_causal_inference_spark.result import TestResult
+
+    r = TestResult({"statistic": 3.0, "pvalue": 0.01})
+    assert r["statistic"] == 3.0 and r.statistic == 3.0
+    assert dict(r) == {"statistic": 3.0, "pvalue": 0.01}
+    # aliases still work when the literal key is absent
+    r2 = TestResult({"t_stat": 2.0, "p_value": 0.05})
+    assert r2["statistic"] == 2.0 and r2.pvalue == 0.05
+
+
+def test_simulated_trial_features_independent(spark):
+    """Consecutive randn seeds shared partition-shifted value streams;
+    wide spacing makes adjacent features actually independent."""
+    import fast_causal_inference_spark.utility as U
+
+    pdf = (U.simulate_randomized_trial(spark, n=20000, p=5, seed=42)
+           .select("feature_1", "feature_2").toPandas())
+    corr = pdf.corr().iloc[0, 1]
+    assert abs(corr) < 0.05
+    # no shifted-stream duplication: f2 values are not a permutation
+    # of f1 values (sorted arrays differ)
+    a = np.sort(pdf.feature_1.to_numpy())
+    b = np.sort(pdf.feature_2.to_numpy())
+    assert not np.allclose(a, b)
+
+
+def test_hist_data_explicit_range_and_empty(spark):
+    import pandas as pd
+
+    import fast_causal_inference_spark.utility as U
+
+    df = spark.createDataFrame(pd.DataFrame(
+        {"x": [1.0, 5.0, 9.0, 10.0, 1000.0, None]}))
+    h = U.hist_data(df, "x", bins=10, lo=0.0, hi=10.0)
+    assert h["count"].sum() == 4               # 1000.0 dropped, not top-binned
+    assert h.loc[h.bin == 10, "count"].iloc[0] == 2   # 9.0 and the hi edge
+    empty = U.hist_data(df.where("x > 1e6"), "x", bins=5)
+    assert len(empty) == 0                     # no TypeError on empty
+
+
+def test_tocsv_header_override(spark, tmp_path):
+    import fast_causal_inference_spark as fcis
+
+    cdf = fcis.readSparkDf(spark.range(3))
+    cdf.toCsv(str(tmp_path / "out"), header=False)   # must not TypeError
+    got = spark.read.csv(str(tmp_path / "out")).count()
+    assert got == 3
