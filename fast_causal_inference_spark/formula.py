@@ -109,9 +109,15 @@ class BinOp(Node):
         if self.op == "/":
             if _is_column(x) or _is_column(y):
                 # ANSI mode (Spark 4 default) raises DIVIDE_BY_ZERO on a
-                # bare Column `/`; a zero-denominator group must yield NULL
+                # bare Column `/`; a zero-denominator group must yield NULL.
+                # try_divide accepts only Column/str — wrap the constant
+                # side (e.g. 'avg(x)/2', a Const gradient) in lit()
                 from pyspark.sql import functions as F
 
+                if not _is_column(x):
+                    x = F.lit(float(x))
+                if not _is_column(y):
+                    y = F.lit(float(y))
                 return F.try_divide(x, y)
             return x / y
         if self.op == "^":
@@ -203,6 +209,11 @@ class _Parser:
         self.slots = slots  # inner-expr string -> symbol index (shared across formulas)
 
     def _peek(self):
+        # skip whitespace here so a trailing/stray space is end-of-input
+        # instead of a 'bad token' (formulas pasted from configs/UIs
+        # routinely carry one)
+        while self.pos < len(self.text) and self.text[self.pos].isspace():
+            self.pos += 1
         if self.pos >= len(self.text):
             return None, None
         m = _TOKEN.match(self.text, self.pos)
@@ -273,20 +284,26 @@ class _Parser:
                 return node
 
     def factor(self) -> Node:
-        node = self.unary()
-        m, kind = self._peek()
-        if kind == "op" and m.group("op") == "^":
-            self._next()
-            node = BinOp("^", node, self.unary())
-        return node
+        return self.unary()
 
     def unary(self) -> Node:
+        # unary minus binds LOOSER than '^' (standard precedence):
+        # -x^2 = -(x^2), while 2^-3 still parses (power's right side
+        # re-enters unary)
         m, kind = self._peek()
         if kind == "op" and m.group("op") in "+-":
             self._next()
             inner = self.unary()
             return Neg(inner) if m.group("op") == "-" else inner
-        return self.atom()
+        return self.power()
+
+    def power(self) -> Node:
+        node = self.atom()
+        m, kind = self._peek()
+        if kind == "op" and m.group("op") == "^":
+            self._next()
+            node = BinOp("^", node, self.unary())
+        return node
 
     def atom(self) -> Node:
         m, kind = self._next()

@@ -113,7 +113,7 @@ class StatView:
                 out = term if out is None else out + term
         if out is None:
             return F.lit(0.0)
-        return out / self.n
+        return out / F.nullif(self.n, F.lit(0.0))
 
     def cov_of_formula_means(self, a: Node, b: Node) -> Column:
         """Delta-method Cov[f(x̄), g(x̄)] as a Column expression."""
@@ -127,7 +127,7 @@ class StatView:
                 out = term if out is None else out + term
         if out is None:
             return F.lit(0.0)
-        return out / self.n
+        return out / F.nullif(self.n, F.lit(0.0))
 
     def value(self, node: Node) -> Column:
         return node.value(self.mus())
@@ -185,14 +185,27 @@ def row_to_stats(row, k: int, prefix: str = "") -> NumStats:
     return NumStats(n=n, means=means, cov=cov)
 
 
+def _raw_cross(g: NumStats) -> np.ndarray:
+    """Σ x xᵀ reconstructed from (n, means, cov) — well-defined for ANY
+    n: a single-row group's cross-sum is outer(s, s)/n exactly even
+    though its sample covariance is NaN (routing through `cov*(n-1)`
+    would NaN-poison the merge: NaN * 0 is NaN in IEEE, so one
+    single-row arm wiped the whole pooled covariance)."""
+    s = g.means * g.n
+    if g.n > 1:
+        return g.cov * (g.n - 1.0) + np.outer(s, s) / g.n
+    if g.n > 0:
+        return np.outer(s, s) / g.n
+    return np.zeros_like(np.outer(s, s))
+
+
 def merge_stats(a: NumStats, b: NumStats) -> NumStats:
     """Pool two groups' statistics (exact merge of count/sums/cross-sums)."""
     n = a.n + b.n
     sa, sb = a.means * a.n, b.means * b.n
-    ca = a.cov * (a.n - 1.0) + np.outer(sa, sa) / a.n
-    cb = b.cov * (b.n - 1.0) + np.outer(sb, sb) / b.n
-    s = sa + sb
-    c = ca + cb
-    means = s / n
-    cov = (c - np.outer(s, s) / n) / (n - 1.0)
+    s = np.where(a.n > 0, sa, 0.0) + np.where(b.n > 0, sb, 0.0)
+    c = _raw_cross(a) + _raw_cross(b)
+    means = s / n if n > 0 else np.full_like(s, np.nan)
+    cov = ((c - np.outer(s, s) / n) / (n - 1.0) if n > 1
+           else np.full_like(c, np.nan))
     return NumStats(n=n, means=means, cov=cov)

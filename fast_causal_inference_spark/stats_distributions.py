@@ -78,7 +78,6 @@ def _gser(a, x):
     """Series expansion for lower incomplete gamma P(a,x), x < a+1."""
     a = np.asarray(a, dtype=float)
     x = np.asarray(x, dtype=float)
-    ap = a.copy().astype(float) if a.shape else np.full_like(x, float(a))
     ap = np.broadcast_to(a, x.shape).astype(float).copy()
     summ = 1.0 / ap
     delta = summ.copy()
@@ -212,8 +211,18 @@ def t_ppf(p, df):
     small = ~big
     if small.any():
         ps, dfs = p[small], df[small]
+        # ADAPTIVE bracket: a fixed [-1e3, 1e3] silently clamps extreme
+        # quantiles (t_ppf(1e-6, df=1) is ~-3.2e5) — double the bracket
+        # until the cdf actually straddles every requested p
         lo = np.full_like(ps, -1e3)
         hi = np.full_like(ps, 1e3)
+        for _ in range(60):
+            grow_lo = t_cdf(lo, dfs) > ps
+            grow_hi = t_cdf(hi, dfs) < ps
+            if not (grow_lo.any() or grow_hi.any()):
+                break
+            lo = np.where(grow_lo, lo * 2.0, lo)
+            hi = np.where(grow_hi, hi * 2.0, hi)
         for _ in range(200):
             mid = 0.5 * (lo + hi)
             c = t_cdf(mid, dfs)
@@ -242,9 +251,24 @@ def f_sf(x, dfn, dfd):
 
 
 def kolmogorov_sf(lam):
-    """Asymptotic two-sample KS tail Q(λ) = 2 Σ (-1)^{k-1} exp(-2 k² λ²)."""
+    """Asymptotic two-sample KS tail Q(λ) = 2 Σ (-1)^{k-1} exp(-2 k² λ²).
+
+    For small λ the alternating series needs O(1/λ) terms (a fixed
+    100-term truncation returned Q(0.005) ≈ 0.4 instead of ≈ 1), so
+    λ < 0.4 switches to the Jacobi-theta dual form
+    CDF(λ) = (√(2π)/λ) Σ exp(−(2k−1)²π²/(8λ²)), which converges in a
+    couple of terms exactly where the direct series stalls."""
     lam = np.asarray(lam, dtype=float)
-    out = np.zeros_like(lam)
+    safe = np.where(lam > 0, lam, 1.0)
+    direct = np.zeros_like(safe)
     for k in range(1, 101):
-        out = out + 2.0 * (-1.0) ** (k - 1) * np.exp(-2.0 * k * k * lam * lam)
+        direct = direct + 2.0 * (-1.0) ** (k - 1) \
+            * np.exp(-2.0 * k * k * safe * safe)
+    cdf_dual = np.zeros_like(safe)
+    for k in range(1, 11):
+        cdf_dual = cdf_dual + np.exp(
+            -((2 * k - 1) ** 2) * np.pi ** 2 / (8.0 * safe * safe))
+    cdf_dual = np.sqrt(2.0 * np.pi) / safe * cdf_dual
+    out = np.where(safe < 0.4, 1.0 - cdf_dual, direct)
+    out = np.where(lam <= 0, 1.0, out)
     return np.clip(out, 0.0, 1.0)

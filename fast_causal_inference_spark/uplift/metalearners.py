@@ -157,6 +157,9 @@ class TransformedOutcome:
     prop_: object = field(default=None, repr=False)
 
     def fit(self, df: DataFrame) -> "TransformedOutcome":
+        if not 0 <= self.trim < 0.5:        # same guard as DRLearner —
+            raise ValueError("trim must be in [0, 0.5)")  # trim >= 0.5
+            # would pin g to a constant and silently discard the fit
         t = F.expr(self.treatment).cast("double")
         y = F.expr(self.outcome).cast("double")
         if self.propensity is None:
@@ -169,6 +172,11 @@ class TransformedOutcome:
             g = F.greatest(F.lit(float(self.trim)),
                            F.least(F.lit(1.0 - float(self.trim)), g))
         else:
+            if not 0.0 < float(self.propensity) < 1.0:
+                raise ValueError(
+                    f"propensity must lie strictly in (0, 1), got "
+                    f"{self.propensity} — y(t-g)/(g(1-g)) is undefined "
+                    f"at the boundary")
             g = F.lit(float(self.propensity))
         ystar = y * (t - g) / (g * (1 - g))
         work = df.withColumn("__ystar", ystar)

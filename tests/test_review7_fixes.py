@@ -362,3 +362,75 @@ def test_tocsv_header_override(spark, tmp_path):
     cdf.toCsv(str(tmp_path / "out"), header=False)   # must not TypeError
     got = spark.read.csv(str(tmp_path / "out")).count()
     assert got == 3
+
+
+def test_formula_unary_minus_precedence(spark):
+    import pandas as pd
+
+    from fast_causal_inference_spark.operators.deltamethod import (
+        avg_metric,
+    )
+
+    df = spark.createDataFrame(pd.DataFrame({"x": [3.0, 3.0]}))
+    got = avg_metric(df, "-avg(x)^2 ").collect()[0]["metric"]
+    assert got == -9.0                         # -(x^2), and trailing space ok
+    got2 = avg_metric(df, "avg(x)/2").collect()[0]["metric"]
+    assert got2 == 1.5                         # Const / try_divide path
+
+
+def test_merge_stats_single_row_arm():
+    from fast_causal_inference_spark.operators.suffstats import (
+        NumStats,
+        merge_stats,
+    )
+
+    a = NumStats(n=1.0, means=np.array([2.0, 4.0]),
+                 cov=np.full((2, 2), np.nan))
+    vals = np.array([[1.0, 2.0], [3.0, 6.0], [5.0, 10.0]])
+    b = NumStats(n=3.0, means=vals.mean(0), cov=np.cov(vals.T, ddof=1))
+    m = merge_stats(a, b)
+    all_vals = np.vstack([[[2.0, 4.0]], vals])
+    np.testing.assert_allclose(m.means, all_vals.mean(0))
+    np.testing.assert_allclose(m.cov, np.cov(all_vals.T, ddof=1))
+
+
+def test_kolmogorov_sf_small_lambda():
+    from fast_causal_inference_spark.stats_distributions import (
+        kolmogorov_sf,
+    )
+
+    assert kolmogorov_sf(0.005) == pytest.approx(1.0, abs=1e-9)
+    assert kolmogorov_sf(0.01) == pytest.approx(1.0, abs=1e-9)
+    # continuity across the 0.4 series/dual seam (the two
+    # expansions agree to machine precision at the switch point)
+    assert kolmogorov_sf(0.4 - 1e-9) == pytest.approx(
+        kolmogorov_sf(0.4 + 1e-9), abs=1e-9)
+    assert kolmogorov_sf(1.0) == pytest.approx(0.2699996716, abs=1e-8)
+
+
+def test_t_ppf_extreme_quantiles():
+    from fast_causal_inference_spark.stats_distributions import t_ppf
+
+    # df=1 (Cauchy): ppf(p) = tan(pi*(p - 0.5)) exactly
+    import math
+
+    for p in (1e-6, 1e-4, 0.9999):
+        want = math.tan(math.pi * (p - 0.5))
+        assert t_ppf(p, 1.0) == pytest.approx(want, rel=1e-5), p
+
+
+def test_transformed_outcome_trim_validation(spark):
+    import pandas as pd
+
+    from fast_causal_inference_spark.uplift.metalearners import (
+        TransformedOutcome,
+    )
+
+    df = spark.createDataFrame(pd.DataFrame(
+        {"y": [1.0, 2.0], "t": [0, 1], "x": [0.1, 0.9]}))
+    with pytest.raises(ValueError, match="trim"):
+        TransformedOutcome(outcome="y", treatment="t",
+                           features=["x"], trim=0.7).fit(df)
+    with pytest.raises(ValueError, match="propensity"):
+        TransformedOutcome(outcome="y", treatment="t", features=["x"],
+                           propensity=1.0).fit(df)
