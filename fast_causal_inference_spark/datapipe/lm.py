@@ -45,6 +45,22 @@ def _bigrams(text_col):
         .otherwise(F.array()))
 
 
+def _spawn_action(res: dict, key, fn) -> "threading.Thread":
+    """Run one Spark action on a thread, storing the result (or the
+    exception, re-raised by the caller) under ``key`` — the one shared
+    concurrent-materialization mechanism for both LM trainers."""
+    import threading
+
+    def go():
+        try:
+            res[key] = fn()
+        except BaseException as exc:          # noqa: BLE001 — re-raised
+            res[key] = exc
+    th = threading.Thread(target=go)
+    th.start()
+    return th
+
+
 def train_bigram_lm(df: DataFrame, text_col: str = "text") -> dict:
     """Train an add-k-ready bigram LM on a trusted corpus.
 
@@ -68,24 +84,17 @@ def train_bigram_lm(df: DataFrame, text_col: str = "text") -> dict:
             .where(F.col("w1") != "")
             .groupBy("w1").agg(F.count(F.lit(1)).alias("c1")).cache())
     # materialize both count relations concurrently — they are independent
-    # aggregations of the same trusted corpus; the thread's exception (if
-    # any) is re-raised on the caller so a Spark failure isn't masked
-    import threading
-
+    # aggregations of the same trusted corpus; thread exceptions are
+    # re-raised on the caller so a Spark failure isn't masked (shared
+    # _spawn_action helper — the trigram trainer uses the same one)
     res: dict = {}
-
-    def _count_unis():
-        try:
-            res["v"] = unis.count()
-        except BaseException as exc:          # noqa: BLE001 — re-raised below
-            res["err"] = exc
-
-    th = threading.Thread(target=_count_unis)
-    th.start()
-    bigrams.count()
-    th.join()
-    if "err" in res:
-        raise res["err"]
+    threads = [_spawn_action(res, "v", unis.count),
+               _spawn_action(res, "b", bigrams.count)]
+    for th in threads:
+        th.join()
+    for v in res.values():
+        if isinstance(v, BaseException):
+            raise v
     return {"bigrams": bigrams, "unigrams": unis,
             "vocab_size": int(res["v"])}
 
@@ -144,7 +153,11 @@ def perplexity_filter(df: DataFrame, lm: dict, max_ppl: float,
     """Keep documents whose perplexity under the trusted-corpus LM is at
     most ``max_ppl`` (the CCNet head/middle cut). Documents with no
     bigram evidence are dropped (no basis to keep them)."""
-    scored = score_perplexity(df, lm, text_col, id_col, k)
+    # score directly — score_perplexity's distinct-id scan + left join
+    # exists only to resurface zero-bigram docs as NULL-ppl rows, which
+    # this filter would drop anyway; skipping it saves a full corpus
+    # scan + shuffle per call
+    scored = scored_bigram_logprobs(df, lm, text_col, [id_col], k, None)
     keep = scored.where(F.col("ppl") <= max_ppl).select(id_col)
     return df.join(keep, id_col, "left_semi")
 
@@ -196,19 +209,9 @@ def train_trigram_lm(df: DataFrame, text_col: str = "text") -> dict:
            .where(F.col("w") != "")
            .groupBy("w").agg(F.count(F.lit(1)).alias("c1")).cache())
     res: dict = {}
-
-    def _run(key, fn):
-        def go():
-            try:
-                res[key] = fn()
-            except BaseException as exc:      # noqa: BLE001 — re-raised
-                res[key] = exc
-        th = threading.Thread(target=go)
-        th.start()
-        return th
-
-    threads = [_run("tg", tg.count), _run("bg", bg.count),
-               _run("uni", lambda: uni.agg(
+    threads = [_spawn_action(res, "tg", tg.count),
+               _spawn_action(res, "bg", bg.count),
+               _spawn_action(res, "uni", lambda: uni.agg(
                    F.count(F.lit(1)).alias("v"),
                    F.sum("c1").alias("n")).collect()[0])]
     for th in threads:

@@ -91,7 +91,11 @@ def bm25_search(corpus: DataFrame, queries: DataFrame, k: int = 10,
     # cache: the postings relation feeds the scoring join, doclen, and
     # docfreq — without it each subtree re-runs the corpus explode
     # (the repo-wide reused-subtree convention, see dedup._shingle_inv)
-    post = postings(corpus, text_col, id_col).cache()
+    from fast_causal_inference_spark.datapipe.cachereg import (
+        register_cache,
+    )
+
+    post = register_cache(postings(corpus, text_col, id_col).cache())
     doclen, docfreq, n_docs, avgdl = _corpus_stats(post)
     qt = _query_terms(queries, query_text_col, query_id_col)
 
@@ -132,7 +136,11 @@ def tfidf_search(corpus: DataFrame, queries: DataFrame, k: int = 10,
     Same scale shape as :func:`bm25_search`; the query-side tf is the
     term's multiplicity in the query string.
     """
-    post = postings(corpus, text_col, id_col).cache()
+    from fast_causal_inference_spark.datapipe.cachereg import (
+        register_cache,
+    )
+
+    post = register_cache(postings(corpus, text_col, id_col).cache())
     doclen, docfreq, n_docs, _ = _corpus_stats(post)
 
     idf = F.log(F.lit(1.0)

@@ -107,28 +107,27 @@ def _lt_agg_columns(surrogates: list[list[str]], key_metric: int,
     return aggs
 
 
-def _lt_solve_and_roll(row, k: int, key_metric: int, horizons: int,
-                       prefix: str = "") -> list[float] | None:
+def _lt_solve_and_roll(row, k: int, key_metric: int, horizons: int) -> list[float] | None:
     """Solve the pooled transition model from one aggregated row and roll
     both arms' start means through ``horizons`` steps; returns the per-step
     key-metric effect (arm1 − arm0), or None for a degenerate replica."""
     v = {}
     for arm in (0, 1):
-        n = row[f"{prefix}n{arm}"]
+        n = row[f"n{arm}"]
         n = float(n) if n is not None else 0.0
         if n <= 0.0:
             return None          # degenerate replica (one arm weightless)
-        v[arm] = np.array([float(row[f"{prefix}s{arm}_{c}"]) / n
+        v[arm] = np.array([float(row[f"s{arm}_{c}"]) / n
                            for c in range(k)])
     p = k + 1
     G = np.empty((p, p))
     for a in range(p):
         for b in range(a, p):
-            G[a, b] = G[b, a] = float(row[f"{prefix}g_{a}_{b}"])
+            G[a, b] = G[b, a] = float(row[f"g_{a}_{b}"])
     H = np.empty((p, k))
     for a in range(p):
         for c in range(k):
-            H[a, c] = float(row[f"{prefix}h_{a}_{c}"])
+            H[a, c] = float(row[f"h_{a}_{c}"])
     try:
         B = np.linalg.solve(G, H)
     except np.linalg.LinAlgError:

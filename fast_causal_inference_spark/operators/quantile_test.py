@@ -89,14 +89,23 @@ def quantile_test_bucket(df: DataFrame, Y: str, index: str, uin: str,
         abs_diff = qy - qx
         rela = (qy / qx - 1.0) if qx != 0 else (0.0 if qy == 0
                                                 else float("inf"))
-        se = math.sqrt(sx * sx + sy * sy) * (rela + 1.0)
+        # |ratio| scaling: a signed (rela+1) went NEGATIVE when the two
+        # quantiles had opposite signs (inverted CIs, test_power 1.0)
+        # and inf*0 = NaN when the control quantile was 0
+        se_base = math.sqrt(sx * sx + sy * sy)
+        se = (se_base * abs(qy / qx) if qx != 0
+              else (0.0 if qy == 0 else float("inf")))
         if rela == 0:
             pv = 1.0
+        elif math.isinf(rela):
+            pv = float("nan")                  # relative scale undefined
         elif se == 0:
             pv = 0.0
         else:
             pv = 2.0 * float(dist.norm_sf(abs(rela / se)))
-        abs_w = z_hi * se * qx
+        # == z*se*qx == z*se_base*qy for the ordinary positive case,
+        # but stays finite/ordered for qx == 0 or sign-flipped quantiles
+        abs_w = z_hi * se_base * abs(qy)
         rela_w = z_hi * se
         shift = mde / se if se > 0 else float("inf")
         pw = (1.0 if se == 0 else
@@ -203,20 +212,39 @@ def quantile_treatment_effect(df: DataFrame, Y: str, index: str,
         acc = max(int(1.0 / relative_error), 100)
         bq = F.percentile_approx(y, F.array(*[F.lit(q) for q in lv]),
                                  F.lit(acc))
-    b = (df.where(arm.isNotNull())
+    # NULL-Y rows are excluded like the arm-level pass; a bucket whose
+    # Y values are ALL NULL yields qs = NULL and must be dropped (a None
+    # inside np.array raised an inhomogeneous-shape ValueError)
+    b = (df.where(arm.isNotNull() & y.isNotNull())
          .groupBy(arm.alias("__arm"), bucket.alias("__b"))
          .agg(bq.alias("qs")).collect())
     per_arm: dict[int, np.ndarray] = {}
     for a in (0, 1):
-        m = np.array([r["qs"] for r in b if r["__arm"] == a])
+        m = np.array([list(r["qs"]) for r in b
+                      if r["__arm"] == a and r["qs"] is not None])
+        if m.size == 0:
+            raise ValueError(
+                f"quantile_treatment_effect: arm {treatment_values[a]!r} "
+                f"has no populated buckets for the bootstrap")
         per_arm[a] = m                    # (n_buckets_present, n_levels)
     rng = np.random.default_rng(seed)
     reps = np.empty((n_bootstrap, len(lv)))
+
+    def _weights(nb: int) -> np.ndarray:
+        # all-zero Poisson draws (P = e^-nb, ~5% at 3 buckets) would
+        # make the replica mean a 0-vector — a wild outlier inflating
+        # the bootstrap se; redraw until at least one bucket is kept
+        # (the standard conditional-Poisson convention)
+        for _ in range(100):
+            w = rng.poisson(1.0, nb).astype(float)
+            if w.sum() > 0:
+                return w
+        return np.ones(nb)
     for i in range(n_bootstrap):
-        w0 = rng.poisson(1.0, per_arm[0].shape[0]).astype(float)
-        w1 = rng.poisson(1.0, per_arm[1].shape[0]).astype(float)
-        m0 = (w0 @ per_arm[0]) / max(w0.sum(), 1.0)
-        m1 = (w1 @ per_arm[1]) / max(w1.sum(), 1.0)
+        w0 = _weights(per_arm[0].shape[0])
+        w1 = _weights(per_arm[1].shape[0])
+        m0 = (w0 @ per_arm[0]) / w0.sum()
+        m1 = (w1 @ per_arm[1]) / w1.sum()
         reps[i] = m1 - m0
     se = reps.std(axis=0, ddof=1)
     z = float(dist.norm_ppf(1 - alpha / 2))

@@ -434,3 +434,50 @@ def test_transformed_outcome_trim_validation(spark):
     with pytest.raises(ValueError, match="propensity"):
         TransformedOutcome(outcome="y", treatment="t", features=["x"],
                            propensity=1.0).fit(df)
+
+
+def test_qte_null_y_buckets_and_bootstrap(spark):
+    """NULL-Y rows are excluded from the bootstrap bucket pass; all-NULL
+    buckets no longer crash the numpy step."""
+    import pandas as pd
+
+    from fast_causal_inference_spark.operators.quantile_test import (
+        quantile_treatment_effect,
+    )
+
+    rng = np.random.default_rng(9)
+    n = 2000
+    pdf = pd.DataFrame({
+        "y": np.where(rng.uniform(size=n) < 0.4, np.nan,
+                      rng.normal(10, 2, n)),
+        "t": np.tile([0, 1], n // 2),
+        "uid": np.arange(n)})
+    out = quantile_treatment_effect(
+        spark.createDataFrame(pdf), "y", "t", quantiles=[0.5],
+        n_bootstrap=50, uin="uid")
+    assert np.isfinite(out["stderr"]).all()
+    assert np.isfinite(out["qte"]).all()
+
+
+def test_qtb_sign_flip_and_zero_control(spark):
+    """Opposite-sign quantiles keep ordered CIs; zero control quantile
+    yields NaN relative stats but finite absolute ones."""
+    import pandas as pd
+
+    from fast_causal_inference_spark.operators.quantile_test import (
+        quantile_test_bucket,
+    )
+
+    rng = np.random.default_rng(4)
+    n = 4000
+    pdf = pd.DataFrame({
+        "y": np.where(np.tile([0, 1], n // 2) == 0,
+                      rng.normal(-5, 1, n), rng.normal(5, 1, n)),
+        "t": np.tile([0, 1], n // 2), "uid": np.arange(n)})
+    out = quantile_test_bucket(spark.createDataFrame(pdf), "y", "t",
+                               uin="uid", percentiles=[0.5])
+    row = out[out.treatment == 1].iloc[0]
+    assert row["rela_diff_lower"] <= row["rela_diff_qtb"] \
+        <= row["rela_diff_upper"]
+    assert row["abs_diff_lower"] <= row["abs_diff"] <= row["abs_diff_upper"]
+    assert 0.0 <= row["test_power"] <= 1.0
