@@ -110,6 +110,7 @@ from fast_causal_inference_spark.operators.contingency import (
 from fast_causal_inference_spark.operators.anova import (
     anova_oneway,
     bartlett_test,
+    dunnett_test,
     kruskal_wallis_test,
 )
 from fast_causal_inference_spark.operators.proportion import (
@@ -122,11 +123,13 @@ from fast_causal_inference_spark.operators.multiple_testing import (
 from fast_causal_inference_spark.operators.power import (
     design_effect,
     effect_size,
+    events_logrank,
     icc_oneway,
     mde_ttest,
     power_proportion,
     power_ttest,
     sample_size_cluster_ttest,
+    sample_size_logrank,
     sample_size_proportion,
     sample_size_ttest,
 )
@@ -239,6 +242,9 @@ __all__ = [
     "anova_oneway",
     "bartlett_test",
     "kruskal_wallis_test",
+    "dunnett_test",
+    "events_logrank",
+    "sample_size_logrank",
     "proportion_ztest",
     "proportion_ztest_1samp",
     "adjust_pvalues",

@@ -17,7 +17,8 @@ from pyspark.sql import functions as F
 
 from fast_causal_inference_spark import stats_distributions as dist
 
-__all__ = ["anova_oneway", "bartlett_test", "dunnett_test"]
+__all__ = ["anova_oneway", "bartlett_test", "dunnett_test",
+           "kruskal_wallis_test"]
 
 
 def _arm_stats(df: DataFrame, y: str, index: str) -> pd.DataFrame:
@@ -174,15 +175,21 @@ def kruskal_wallis_test(df: DataFrame, y: str, index: str,
         tv = tv.withColumn("before",
                            F.coalesce(F.sum("t").over(wspec), F.lit(0.0)))
         joined = d.join(tv, "v")
+        # fold the tie term into the SAME aggregation (grouping-sets
+        # style: the per-(v,arm) share c/t of each value's tie term sums
+        # to exactly t^3 - t overall) — a second tv.agg job re-evaluated
+        # the whole uncached groupBy/window chain, doubling the scan
         arm_rows = (joined.groupBy("arm")
                     .agg(F.sum("c").alias("n_a"),
                          F.sum(F.col("c") * (F.col("before")
                                              + (F.col("t") + 1.0) / 2.0))
-                         .alias("R")).collect())
+                         .alias("R"),
+                         F.sum((F.col("t") ** 3 - F.col("t"))
+                               * F.col("c") / F.col("t"))
+                         .alias("ties")).collect())
         stats = {r["arm"]: (float(r["n_a"]), float(r["R"]))
                  for r in arm_rows}
-        tie_sum = float(tv.agg(F.sum(
-            F.col("t") ** 3 - F.col("t"))).collect()[0][0] or 0.0)
+        tie_sum = sum(float(r["ties"] or 0.0) for r in arm_rows)
     else:
         rp = sub.repartitionByRange(p, "v").sortWithinPartitions("v")
         ensure_udf_serializable()
@@ -254,6 +261,11 @@ def dunnett_test(df: DataFrame, y: str, index: str, control,
         raise ValueError("need at least one treatment arm")
     w0 = float(c["var"] / c["n"])
     wi = (trt["var"] / trt["n"]).to_numpy(dtype=float)
+    if w0 + wi.min() <= 0:
+        raise ValueError(
+            "dunnett_test: a contrast has zero pooled variance (both "
+            "arms constant) — the z statistic is undefined; check the "
+            "metric or drop the degenerate arm")
     est = (trt["mean"] - float(c["mean"])).to_numpy(dtype=float)
     se = np.sqrt(wi + w0)
     z = est / se

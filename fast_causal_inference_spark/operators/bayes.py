@@ -89,12 +89,21 @@ def bayes_ab_binary(df: DataFrame, success: str, arm: str,
     (1, 1) is uniform."""
     a0, b0 = float(prior[0]), float(prior[1])
     c_val, t_val = treatment_values
-    s = F.when(F.expr(success).cast("double") > 0, 1.0).otherwise(0.0)
-    rows = (df.where(F.expr(arm).isin(list(treatment_values)))
-            .groupBy(F.expr(arm).alias("__arm"))
+    sv = F.expr(success).cast("double")
+    s = F.when(sv > 0, 1.0).otherwise(0.0)
+    # complete-case: a NULL success is missing data, not a failure —
+    # counting it in n silently deflated the posterior rate; map arms
+    # to 0/1 server-side so string-typed arm columns that match the
+    # isin coercion can't miss the driver-side dict lookup
+    armc = F.expr(arm)
+    arm01 = F.when(armc == F.lit(c_val), 0).when(armc == F.lit(t_val), 1)
+    rows = (df.where(arm01.isNotNull() & sv.isNotNull())
+            .groupBy(arm01.alias("__arm"))
             .agg(F.count(F.lit(1)).alias("n"), F.sum(s).alias("s"))
             .collect())
-    stats = {r["__arm"]: (float(r["n"]), float(r["s"])) for r in rows}
+    by01 = {int(r["__arm"]): (float(r["n"]), float(r["s"])) for r in rows}
+    stats = {v: by01[i] for i, v in enumerate(treatment_values)
+             if i in by01}
     for v in treatment_values:
         if v not in stats:
             raise ValueError(f"arm value {v!r} absent from {arm!r}")
@@ -140,14 +149,17 @@ def bayes_ab_continuous(df: DataFrame, y: str, arm: str,
     loss in closed form (φ/Φ)."""
     c_val, t_val = treatment_values
     yc = F.expr(y).cast("double")
-    rows = (df.where(F.expr(arm).isin(list(treatment_values))
-                     & yc.isNotNull())
-            .groupBy(F.expr(arm).alias("__arm"))
+    armc = F.expr(arm)
+    arm01 = F.when(armc == F.lit(c_val), 0).when(armc == F.lit(t_val), 1)
+    rows = (df.where(arm01.isNotNull() & yc.isNotNull())
+            .groupBy(arm01.alias("__arm"))
             .agg(F.count(F.lit(1)).alias("n"), F.avg(yc).alias("m"),
                  F.var_samp(yc).alias("v"))
             .collect())
-    stats = {r["__arm"]: (float(r["n"]), float(r["m"]), float(r["v"]))
-             for r in rows}
+    by01 = {int(r["__arm"]): (float(r["n"]), float(r["m"]),
+                              float(r["v"])) for r in rows}
+    stats = {v: by01[i] for i, v in enumerate(treatment_values)
+             if i in by01}
     for v in treatment_values:
         if v not in stats or stats[v][0] < 2:
             raise ValueError(f"arm {v!r} needs >= 2 non-null rows")

@@ -66,5 +66,11 @@ def adjust_pvalues(results, p_col: str = "p_value",
             raise ValueError("method must be bonferroni|holm|bh")
     pdf[out_col] = adj
     if is_spark:
-        return results.sparkSession.createDataFrame(pdf)
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        # explicit schema: an EMPTY result would otherwise infer
+        # NullType columns (Arrow) or fail inference (fallback)
+        schema = StructType(list(results.schema.fields)
+                            + [StructField(out_col, DoubleType(), True)])
+        return results.sparkSession.createDataFrame(pdf, schema)
     return pdf

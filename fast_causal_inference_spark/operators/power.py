@@ -19,7 +19,8 @@ from fast_causal_inference_spark import stats_distributions as dist
 
 __all__ = ["effect_size", "power_ttest", "sample_size_ttest",
            "mde_ttest", "power_proportion", "sample_size_proportion",
-           "icc_oneway", "design_effect", "sample_size_cluster_ttest"]
+           "icc_oneway", "design_effect", "sample_size_cluster_ttest",
+           "events_logrank", "sample_size_logrank"]
 
 
 def power_ttest(effect: float, std: float, n0: float, n1: float,
@@ -140,7 +141,7 @@ def icc_oneway(df, Y: str, cluster: str) -> dict:
     from pyspark.sql import functions as F
 
     y = F.expr(Y).cast("double")
-    rows = (df.where(y.isNotNull())
+    rows = (df.where(y.isNotNull() & F.expr(cluster).isNotNull())
             .groupBy(F.expr(cluster).alias("__cl"))
             .agg(F.count(F.lit(1)).cast("double").alias("m"),
                  F.sum(y).alias("s"),
@@ -153,6 +154,11 @@ def icc_oneway(df, Y: str, cluster: str) -> dict:
     SS = sum(float(r["ss"]) for r in rows)
     ssb = sum(float(r["s"]) ** 2 / float(r["m"]) for r in rows) - S * S / N
     ssw = SS - sum(float(r["s"]) ** 2 / float(r["m"]) for r in rows)
+    if N <= C:
+        raise ValueError(
+            "icc_oneway: every cluster has a single row (N == C) — "
+            "within-cluster variance is undefined; is the cluster "
+            "column a unique id?")
     msb = ssb / (C - 1)
     msw = ssw / (N - C)
     n0 = (N - sum(float(r["m"]) ** 2 for r in rows) / N) / (C - 1)

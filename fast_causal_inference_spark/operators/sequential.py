@@ -154,7 +154,11 @@ def group_sequential_ttest(df: DataFrame, y: str, index: str,
     rows = (df.where(F.expr(index).isin(list(treatment_values))
                      & yc.isNotNull() & F.expr(look).isNotNull())
             .groupBy(F.expr(look).alias("__look"),
-                     F.expr(index).alias("__arm"))
+                     # 0/1 server-side: the raw collected value would
+                     # miss the driver dict when the column's type
+                     # differs from treatment_values (string '0' vs 0)
+                     F.when(F.expr(index) == F.lit(treatment_values[0]), 0)
+                     .otherwise(1).alias("__arm"))
             .agg(F.count(F.lit(1)).alias("n"), F.sum(yc).alias("s"),
                  F.sum(yc * yc).alias("ss"))
             .collect())
@@ -165,7 +169,7 @@ def group_sequential_ttest(df: DataFrame, y: str, index: str,
             f"column should be a coarse schedule label, not a timestamp")
     agg: dict = {}
     for r in rows:
-        agg[(r["__look"], r["__arm"])] = (
+        agg[(r["__look"], treatment_values[int(r["__arm"])])] = (
             float(r["n"]), float(r["s"]), float(r["ss"]))
     cum = {v: [0.0, 0.0, 0.0] for v in treatment_values}
     per_look = []
@@ -201,6 +205,17 @@ def group_sequential_ttest(df: DataFrame, y: str, index: str,
                 f"final information")
         fracs = [min(i / float(total_info), 1.0) for i in infos]
     bounds = group_sequential_boundaries(fracs, alpha, style)
+    # the conditional-power reference must be the boundary of the FULL
+    # schedule's final analysis (t = 1), not the latest observed look:
+    # in interim-monitoring mode (total_info given) fracs never reaches
+    # 1, and bounds[-1] is an interim OBF boundary (e.g. 2.96 at t=0.5)
+    # — CP against it is drastically understated and triggers false
+    # futility stops
+    if fracs[-1] >= 1.0:
+        z_final = float(bounds[-1])
+    else:
+        z_final = float(group_sequential_boundaries(
+            fracs + [1.0], alpha, style)[-1])
     out, bi = [], 0
     for lk, n0, n1, z, info in per_look:
         if np.isnan(z):
@@ -213,7 +228,7 @@ def group_sequential_ttest(df: DataFrame, y: str, index: str,
         # current-trend futility signal at a true interim (t < 1); the
         # final critical value is the last spending boundary
         cp = conditional_power(z, t_k, alpha,
-                               z_final=float(bounds[-1]))             if t_k < 1.0 else np.nan
+                               z_final=z_final) if t_k < 1.0 else np.nan
         out.append({"look": lk, "n0": n0, "n1": n1, "z": z,
                     "info_fraction": t_k,
                     "boundary": float(bounds[bi]),
