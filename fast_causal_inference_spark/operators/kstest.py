@@ -52,6 +52,9 @@ def _gate_exact(mode: str, n0: float, n1: float, no_ties: bool) -> bool:
     demotes 'exact' to the tie-robust asymptotic with a ``RuntimeWarning``
     (scipy-style graceful degradation rather than an error); 'auto' falls
     back silently."""
+    if mode not in ("auto", "exact", "asymp"):
+        raise ValueError(f"unknown mode {mode!r}: use 'auto', 'exact' "
+                         f"or 'asymp'")
     if mode == "exact":
         if not no_ties:
             import warnings
@@ -61,6 +64,12 @@ def _gate_exact(mode: str, n0: float, n1: float, no_ties: bool) -> bool:
                 "falling back to the asymptotic distribution",
                 RuntimeWarning, stacklevel=3)
             return False
+        if n0 * n1 > 4_000_000:
+            # the lattice DP is O(n0*n1) pure-Python driver work — an
+            # explicit 'exact' on big data would hang for days, not err
+            raise ValueError(
+                f"exact KS limited to n0*n1 <= 4e6 (got "
+                f"{n0 * n1:.3g}); use mode='asymp'")
         return True
     return mode == "auto" and no_ties and n0 * n1 <= 4_000_000
 
@@ -80,8 +89,12 @@ def kolmogorov_smirnov_test(df: DataFrame, data: str, index: str,
     idx = F.col(index) if index.isidentifier() else F.expr(index)
     v0, v1 = treatment_values
     vcol = F.expr(data).cast("double")
+    # NaN is not NULL: pandas' groupby in the gap pass drops NaN keys
+    # while the pass-1 counts include them — cum0/cum1 would disagree
+    # with n0/n1 and silently corrupt D
     sub = (df.select((idx == F.lit(v1)).cast("int").alias("g"), vcol.alias("v"))
-             .where(idx.isin([v0, v1]) & vcol.isNotNull()))
+             .where(idx.isin([v0, v1]) & vcol.isNotNull()
+                    & ~F.isnan(vcol)))
     # size by scan parallelism (see mann_whitney) — a small input skips the
     # 32-way range exchange and its boundary-sampling job entirely
     from fast_causal_inference_spark.operators.mann_whitney import (
@@ -208,7 +221,8 @@ def kolmogorov_smirnov_test_grouped(df: DataFrame, data: str, index: str,
     sub = (df.select(*group_cols,
                      (idx == F.lit(v1)).cast("int").alias("__g"),
                      vcol.alias("__v"))
-             .where(idx.isin([v0, v1]) & vcol.isNotNull()))
+             .where(idx.isin([v0, v1]) & vcol.isNotNull()
+                    & ~F.isnan(vcol)))   # NaN keys: see ungrouped note
     keep = [f for f in sub.schema.fields if f.name in group_cols]
     schema = T.StructType(keep + [
         T.StructField(n, T.DoubleType())

@@ -145,11 +145,14 @@ def mann_whitney_utest(df: DataFrame, data: str, index: str,
 
     Returns a one-row pandas DataFrame: u0, u1, z, p_value, n0, n1.
     """
+    if method not in ("auto", "exact", "asymptotic"):
+        raise ValueError(f"unknown method {method!r}")
     idx = F.col(index) if index.isidentifier() else F.expr(index)
     v0, v1 = treatment_values
     vcol = F.expr(data).cast("double")
     sub = (df.select((idx == F.lit(v1)).cast("int").alias("g"), vcol.alias("v"))
-             .where(idx.isin([v0, v1]) & vcol.isNotNull()))
+             .where(idx.isin([v0, v1]) & vcol.isNotNull()
+                    & ~F.isnan(vcol)))     # see grouped variant's note
     # Size the rank pass by the scan parallelism, not the session shuffle
     # default: a small input (few splits) doesn't pay a 32-way range
     # shuffle + its boundary-sampling job, while a big scan still fans
@@ -263,13 +266,20 @@ def mann_whitney_utest_grouped(df: DataFrame, data: str, index: str,
         ensure_udf_serializable,
     )
 
+    if alternative not in ("two-sided", "greater", "less"):
+        raise ValueError(f"unknown alternative {alternative!r}")
+    if method not in ("auto", "exact", "asymptotic"):
+        raise ValueError(f"unknown method {method!r}")
     idx = F.col(index) if index.isidentifier() else F.expr(index)
     v0, v1 = treatment_values
     vcol = F.expr(data).cast("double")
+    # NaN is not NULL: pandas' groupby would silently drop NaN keys in
+    # the rank pass while n still counted them — exclude up front
     sub = (df.select(*group_cols,
                      (idx == F.lit(v1)).cast("int").alias("__g"),
                      vcol.alias("__v"))
-             .where(idx.isin([v0, v1]) & vcol.isNotNull()))
+             .where(idx.isin([v0, v1]) & vcol.isNotNull()
+                    & ~F.isnan(vcol)))
     keep = [f for f in sub.schema.fields if f.name in group_cols]
     schema = T.StructType(keep + [
         T.StructField(n, T.DoubleType())
@@ -299,6 +309,12 @@ def mann_whitney_utest_grouped(df: DataFrame, data: str, index: str,
                                  and n <= _EXACT_MAX_N):
             if not no_ties:
                 raise ValueError("exact method requires tie-free data")
+            if n > 2 * _EXACT_MAX_N:
+                # same cap as the non-grouped path: the DP table is
+                # O(n1 * n0*n1) — a large group would OOM the executor
+                raise ValueError(
+                    f"exact method limited to n <= {2 * _EXACT_MAX_N} "
+                    f"per group (group has n={int(n)})")
             p_exact = _exact_u_pvalue(u1, int(n0), int(n1), alternative)
             out.update({"u0": u0, "u1": u1, "z": float("nan"),
                         "p_value": p_exact, "n0": n0, "n1": n1})

@@ -21,6 +21,17 @@ def matrix_multiplication(df: DataFrame, *cols: str, std: bool = False,
     intercept row/col).
     """
     exprs = [F.expr(c).cast("double") for c in cols]
+    # complete-case: per-entry F.sum would PAIRWISE-delete NULLs — each
+    # Gramian entry over a different row subset is not the XtX of any
+    # sample (can be non-PSD; invert=True then returns garbage).  Same
+    # convention as suffstat_agg_columns.
+    cc = None
+    for e in exprs:
+        c0 = e.isNotNull()
+        cc = c0 if cc is None else (cc & c0)
+    if weight:
+        cc = cc & F.expr(weight).cast("double").isNotNull()
+    work = df.where(cc) if cc is not None else df
     if std:
         exprs.append(F.lit(1.0))
     k = len(exprs)
@@ -29,7 +40,11 @@ def matrix_multiplication(df: DataFrame, *cols: str, std: bool = False,
     for i in range(k):
         for j in range(i, k):
             aggs.append(F.sum(w * exprs[i] * exprs[j]).alias(f"m_{i}_{j}"))
-    row = df.agg(*aggs).collect()[0]
+    row = work.agg(*aggs).collect()[0]
+    if row[f"m_0_0"] is None:
+        raise ValueError(
+            "matrix_multiplication: no complete rows (every row has a "
+            "NULL in some requested column)")
     m = np.empty((k, k))
     for i in range(k):
         for j in range(i, k):
@@ -64,10 +79,14 @@ def pearsonr(df, x: str, y: str, group_cols: list[str] | None = None):
     from fast_causal_inference_spark import stats_distributions as dist
 
     group_cols = list(group_cols or [])
+    xc, yc = F.expr(x).cast("double"), F.expr(y).cast("double")
     agged = ((df.groupBy(*group_cols) if group_cols else df.groupBy())
-             .agg(F.corr(F.expr(x).cast("double"),
-                         F.expr(y).cast("double")).alias("r"),
-                  F.count(F.lit(1)).alias("n")))
+             .agg(F.corr(xc, yc).alias("r"),
+                  # n must be the COMPLETE-PAIR count F.corr actually
+                  # used — count(*) inflated the t-transform df when
+                  # either column had NULLs (silently tiny p-values)
+                  F.count(F.when(xc.isNotNull() & yc.isNotNull(), 1))
+                  .alias("n")))
     pdf = agged.toPandas()
     r = pdf["r"].to_numpy(dtype=float)
     n = pdf["n"].to_numpy(dtype=float)

@@ -27,6 +27,14 @@ from pyspark.sql import Window
 __all__ = ["salted_join", "top_k_per_key"]
 
 
+def _check_salt(salt: int) -> None:
+    if salt < 1:
+        raise ValueError(
+            f"salt must be >= 1, got {salt}: pmod(hash, 0) is NULL and "
+            f"sequence(0, -1) counts DOWN, so salt=0 silently matches "
+            f"nothing instead of erroring")
+
+
 def _salt_col(df: DataFrame, salt: int, seed: int) -> Column:
     """Deterministic per-row salt in [0, salt): xxhash64 over the whole
     row — stable under task retries (``rand()`` is not, and a retried
@@ -52,6 +60,7 @@ def salted_join(fact: DataFrame, dim: DataFrame, on: list[str] | str,
         raise ValueError("salted_join supports how='inner'|'left' — other "
                          "join types change row semantics under "
                          "replication")
+    _check_salt(salt)
     keys = [on] if isinstance(on, str) else list(on)
     overlap = (set(fact.columns) & set(dim.columns)) - set(keys)
     if overlap:
@@ -78,6 +87,7 @@ def top_k_per_key(df: DataFrame, keys: list[str] | str, order_col: str,
     subgroup, so nothing true is lost), stage 2 ranks the ≤ salt·k
     survivors per key exactly.  Output carries ``rank`` (1-based).
     Ties break deterministically on the remaining columns' hash."""
+    _check_salt(salt)
     key_list = [keys] if isinstance(keys, str) else list(keys)
     oc = F.col(order_col)
     order = [oc.desc(), F.xxhash64(*[F.col(c) for c in df.columns]).asc()] \

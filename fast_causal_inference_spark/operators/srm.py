@@ -36,6 +36,15 @@ def srm(df: DataFrame, x: str, groupby: str,
     r = np.asarray(ratio, dtype=float)
     if len(r) != kk:
         raise ValueError(f"ratio length {len(r)} != number of groups {kk}")
+    if (r <= 0).any() or r.sum() <= 0:
+        raise ValueError(
+            f"ratio entries must be strictly positive (got {list(r)}): "
+            f"a zero expected count makes the chi-square undefined — "
+            f"drop the arm from the test instead")
+    if np.isnan(f_obs).any():
+        raise ValueError(
+            "srm: a group's observed sum is NULL/NaN (all-NULL metric "
+            "rows?) — chi-square would be silently NaN")
     f_exp = r / r.sum() * f_obs.sum()
     chi2 = float(((f_obs - f_exp) ** 2 / f_exp).sum())
     p = float(dist.chi2_sf(chi2, kk - 1))

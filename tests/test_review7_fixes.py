@@ -481,3 +481,104 @@ def test_qtb_sign_flip_and_zero_control(spark):
         <= row["rela_diff_upper"]
     assert row["abs_diff_lower"] <= row["abs_diff"] <= row["abs_diff_upper"]
     assert 0.0 <= row["test_power"] <= 1.0
+
+
+def test_pearsonr_complete_pair_n(spark):
+    import pandas as pd
+
+    from fast_causal_inference_spark.operators.matrix import pearsonr
+
+    rng = np.random.default_rng(6)
+    n = 1000
+    x = rng.normal(0, 1, n)
+    y = 0.5 * x + rng.normal(0, 1, n)
+    y[100:] = np.nan                          # only 100 complete pairs
+    out = pearsonr(spark.createDataFrame(
+        pd.DataFrame({"x": x, "y": y})), "x", "y")
+    assert out["n"].iloc[0] == 100            # not 1000
+    # t computed on the complete-pair df
+    r = out["r"].iloc[0]
+    want_t = r * np.sqrt((100 - 2) / (1 - r * r))
+    assert out["t_stat"].iloc[0] == pytest.approx(want_t)
+
+
+def test_matrix_multiplication_complete_case(spark):
+    import pandas as pd
+
+    from fast_causal_inference_spark.operators.matrix import (
+        matrix_multiplication,
+    )
+
+    pdf = pd.DataFrame({"x": [1.0, 2.0, 3.0, 4.0],
+                        "y": [1.0, None, 3.0, None]})
+    m = matrix_multiplication(spark.createDataFrame(pdf), "x", "y")
+    # only the two complete rows (1,1) and (3,3) participate EVERYWHERE
+    np.testing.assert_allclose(m, [[10.0, 10.0], [10.0, 10.0]])
+    with pytest.raises(ValueError, match="complete"):
+        matrix_multiplication(
+            spark.createDataFrame(pdf).where("y IS NULL AND x IS NULL"),
+            "x", "y")
+
+
+def test_mann_whitney_guards(spark):
+    import pandas as pd
+
+    from fast_causal_inference_spark.operators.mann_whitney import (
+        mann_whitney_utest,
+        mann_whitney_utest_grouped,
+    )
+
+    pdf = pd.DataFrame({"v": np.arange(300, dtype=float),
+                        "t": np.tile([0, 1], 150), "g": ["a"] * 300})
+    df = spark.createDataFrame(pdf)
+    with pytest.raises(ValueError, match="method"):
+        mann_whitney_utest(df, "v", "t", method="Exact")
+    with pytest.raises(ValueError, match="alternative"):
+        mann_whitney_utest_grouped(df, "v", "t", ["g"],
+                                   alternative="two_sided")
+    with pytest.raises(Exception, match="exact method limited"):
+        mann_whitney_utest_grouped(df, "v", "t", ["g"],
+                                   method="exact").collect()
+
+
+def test_kstest_mode_guards(spark):
+    import pandas as pd
+
+    from fast_causal_inference_spark.operators.kstest import (
+        kolmogorov_smirnov_test,
+    )
+
+    pdf = pd.DataFrame({"v": np.arange(6000, dtype=float),
+                        "t": np.tile([0, 1], 3000)})
+    df = spark.createDataFrame(pdf)
+    with pytest.raises(ValueError, match="mode"):
+        kolmogorov_smirnov_test(df, "v", "t", mode="exat")
+    with pytest.raises(ValueError, match="4e6"):
+        kolmogorov_smirnov_test(df, "v", "t", mode="exact")
+
+
+def test_srm_guards(spark):
+    import pandas as pd
+
+    from fast_causal_inference_spark.operators.srm import srm
+
+    df = spark.createDataFrame(pd.DataFrame(
+        {"x": [1.0] * 10, "g": ["a", "b"] * 5}))
+    with pytest.raises(ValueError, match="positive"):
+        srm(df, "x", "g", ratio=[1.0, 0.0])
+
+
+def test_salted_join_salt_validation(spark):
+    import pandas as pd
+
+    from fast_causal_inference_spark.operators.skew import (
+        salted_join,
+        top_k_per_key,
+    )
+
+    fact = spark.createDataFrame(pd.DataFrame({"k": [1, 1], "a": [1, 2]}))
+    dim = spark.createDataFrame(pd.DataFrame({"k": [1], "b": [9]}))
+    with pytest.raises(ValueError, match="salt"):
+        salted_join(fact, dim, on="k", salt=0)
+    with pytest.raises(ValueError, match="salt"):
+        top_k_per_key(fact, "k", "a", k=1, salt=0)
