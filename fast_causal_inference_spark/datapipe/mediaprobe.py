@@ -108,7 +108,9 @@ def _probe_mp3(b: bytes) -> dict | None:
     # resync: scan forward a bounded window for a valid header whose
     # projected next frame also syncs (cuts false positives on 0xFF
     # bytes in junk prefixes)
-    for off in range(pos, min(pos + 4096, max(len(b) - 4, 0))):
+    # bound len(b) - 3 so the LAST offset where a 4-byte header fits
+    # (len(b) - 4) is still tried — range's exclusive end skipped it
+    for off in range(pos, min(pos + 4096, max(len(b) - 3, 0))):
         hdr = _mp3_header(b, off)
         if hdr is None:
             continue
@@ -239,7 +241,11 @@ def _probe_image(b: bytes) -> dict | None:
         return {"container": "bmp", "width": w, "height": abs(h)}
     if b[:2] == b"P6":
         try:
-            toks = b[2:200].split()
+            # comment-aware (a '#' runs to end of line — legal per the
+            # spec and handled by decode_ppm; the naive split returned
+            # NULL dims for payloads the pipeline decodes fine)
+            toks = [t for ln in b[2:400].split(b"\n")
+                    for t in ln.split(b"#", 1)[0].split()]
             return {"container": "ppm", "width": int(toks[0]),
                     "height": int(toks[1])}
         except (ValueError, IndexError):
@@ -253,7 +259,13 @@ def _probe_image(b: bytes) -> dict | None:
             if b[pos] != 0xFF:
                 return {"container": "jpeg"}
             marker = b[pos + 1]
-            if marker in (0xC0, 0xC1, 0xC2):   # baseline/ext/progressive
+            if marker == 0xFF:                 # fill byte before marker
+                pos += 1
+                continue
+            # every SOFn carries dimensions at the same offsets (C0-CF
+            # minus the non-frame C4/C8/CC: DHT/JPG/DAC)
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8,
+                                                         0xCC):
                 if pos + 9 <= len(b):
                     h, w = struct.unpack(">HH", b[pos + 5:pos + 9])
                     return {"container": "jpeg", "width": w, "height": h,
@@ -283,6 +295,24 @@ PROBE_SCHEMA = T.StructType([
     for n, t in _PROBE_FIELDS])
 
 
+_INT_LIMITS = {"int": (1 << 31) - 1, "long": (1 << 63) - 1}
+_FIELD_TYPES = dict(_PROBE_FIELDS)
+
+
+def _clamp_ints(out: dict) -> dict:
+    """NULL out header-derived ints that overflow their schema type —
+    corrupt headers (e.g. a PNG claiming width 2^32-1, a PPM with a
+    100-digit dimension) would otherwise wrap under Arrow's unsafe cast
+    or raise DURING serialization, where probe_payload's try/except
+    can no longer protect the scan."""
+    for n, t in _FIELD_TYPES.items():
+        lim = _INT_LIMITS.get(t)
+        v = out.get(n)
+        if lim is not None and v is not None                 and not (0 <= int(v) <= lim):
+            out[n] = None
+    return out
+
+
 def probe_payload(b: bytes | None) -> dict:
     """Probe one payload; always returns the full field dict."""
     out = dict.fromkeys(n for n, _ in _PROBE_FIELDS)
@@ -294,7 +324,7 @@ def probe_payload(b: bytes | None) -> dict:
             r = fn(b)
             if r is not None:
                 out.update(r)
-                return out
+                return _clamp_ints(out)
     except (struct.error, ValueError, IndexError, OverflowError):
         pass                                   # corrupt → unknown row
     return out

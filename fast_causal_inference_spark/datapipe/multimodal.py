@@ -313,6 +313,11 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         frames = wv.readframes(wv.getnframes())
         rate = wv.getframerate()
         ch = wv.getnchannels()
+    if rate <= 0:
+        # stdlib wave does not validate the declared framerate; a
+        # corrupt rate-0 header would divide the mel filterbank by zero
+        # downstream and emit garbage MFCCs marked decoded=True
+        raise ValueError(f"corrupt WAV: non-positive sample rate {rate}")
     x = np.frombuffer(frames, dtype="<i2")
     if ch > 1:
         x = x.reshape(-1, ch).mean(axis=1).astype(np.int16)
@@ -712,11 +717,8 @@ def audio_features(df: DataFrame, payload_col: str = "payload",
                                 "libraries not present in this "
                                 "container") from e
                         raise
-                    seed = int.from_bytes(
-                        hashlib.sha256(payload).digest()[:8], "big")
-                    rng = np.random.default_rng(seed)
-                    feats.append(rng.standard_normal(n_mfcc)
-                                 .astype(np.float32).tolist())
+                    feats.append(
+                        _fake_image_features(payload, n_mfcc).tolist())
                     dec.append(False)
             pdf = pdf.copy()
             pdf["audio_features"] = feats

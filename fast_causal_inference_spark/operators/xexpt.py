@@ -134,6 +134,14 @@ def xexpt_ttest_2samp(df: DataFrame, numerator: str, denominator: str,
             row = df.agg(*aggs).collect()[0]
             s0 = row_to_stats(row, k, "g0_")
             s1 = row_to_stats(row, k, "g1_")
+            # fail loudly on a typo'd arm value — an empty arm's NaN
+            # stats would otherwise flow into an all-NaN report row
+            # (the sum path and the discovery path both raise already)
+            if not (s0.n > 0 and s1.n > 0):
+                raise ValueError(
+                    f"xexpt needs rows in both arms; counts: "
+                    f"{v0!r}={s0.n if s0.n == s0.n else 0:.0f}, "
+                    f"{v1!r}={s1.n if s1.n == s1.n else 0:.0f}")
     else:
         # stage 1: index-value × hash-bucket sums of every base column
         # (native agg). The tiny bucket relation (≤ values × 128 rows) is
@@ -219,7 +227,11 @@ def _report_from_stats(s0, s1, ynode, xnodes, base, numerator, denominator,
         den_disp = (float(group_buckets[0]), float(group_buckets[1]))
 
     estimate = mean1 - mean0
-    stderr = math.sqrt(var0 + var1)
+    # rounding-level negative delta-method variances are routine with a
+    # (near-)collinear CUPED covariate — same guard as std_samp below
+    # and _ttest_core (a raw sqrt crashed the whole report)
+    vsum = var0 + var1
+    stderr = math.sqrt(vsum) if vsum >= 0 else float("nan")
     t_stat = estimate / stderr if stderr > 0 else float("nan")
     p_value = core.p_value(t_stat, "two-sided")
     count = s0.n + s1.n
@@ -230,10 +242,14 @@ def _report_from_stats(s0, s1, ynode, xnodes, base, numerator, denominator,
     upper_rel = upper / mean0 if mean0 else float("nan")
 
     # per-arm per-denominator-unit std (reference std_samp)
-    std_samp0 = math.sqrt(max(var0, 0.0) * den_disp[0]) if metric_type == "sum" \
-        else math.sqrt(max(var0 * s0.n, 0.0)) * math.sqrt(den_disp[0]) / math.sqrt(s0.n)
-    std_samp1 = math.sqrt(max(var1, 0.0) * den_disp[1]) if metric_type == "sum" \
-        else math.sqrt(max(var1 * s1.n, 0.0)) * math.sqrt(den_disp[1]) / math.sqrt(s1.n)
+    std_samp0 = math.sqrt(max(var0, 0.0) * max(den_disp[0], 0.0)) \
+        if metric_type == "sum" \
+        else (math.sqrt(max(var0 * s0.n, 0.0))
+              * math.sqrt(max(den_disp[0], 0.0)) / math.sqrt(s0.n))
+    std_samp1 = math.sqrt(max(var1, 0.0) * max(den_disp[1], 0.0)) \
+        if metric_type == "sum" \
+        else (math.sqrt(max(var1 * s1.n, 0.0))
+              * math.sqrt(max(den_disp[1], 0.0)) / math.sqrt(s1.n))
 
     # power / MDE / recommended samples (reference xexpt_ttest_2samp.h:505-522)
     z_a2 = float(dist.norm_ppf(1 - alpha / 2))

@@ -582,3 +582,73 @@ def test_salted_join_salt_validation(spark):
         salted_join(fact, dim, on="k", salt=0)
     with pytest.raises(ValueError, match="salt"):
         top_k_per_key(fact, "k", "a", k=1, salt=0)
+
+
+def test_xexpt_guards(spark):
+    import pandas as pd
+
+    from fast_causal_inference_spark.operators.xexpt import (
+        xexpt_ttest_2samp,
+    )
+
+    rng = np.random.default_rng(12)
+    n = 400
+    x = rng.normal(10, 2, n)
+    pdf = pd.DataFrame({"x": x, "y": 2 * x + 3,     # exactly collinear
+                        "t": np.tile([0, 1], n // 2),
+                        "uid": np.arange(n)})
+    df = spark.createDataFrame(pdf)
+    # CUPED covariate collinear with the metric: variance is a
+    # rounding-level negative — must yield NaN stderr, not crash
+    out = xexpt_ttest_2samp(df, "y", "1", "t", uin="uid", X="avg(x)")
+    assert len(out) == 1                       # one report row, no crash
+    with pytest.raises(ValueError, match="both arms"):
+        xexpt_ttest_2samp(df, "y", "1", "t", uin="uid",
+                          treatment_values=(0, 99))
+
+
+def test_mediaprobe_corrupt_headers(spark):
+    import struct
+
+    from fast_causal_inference_spark.datapipe.mediaprobe import (
+        probe_payload,
+    )
+
+    # PNG claiming width 2^32-1: int32 field NULLed, not wrapped/crashed
+    png = (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
+           + struct.pack(">II", 0xFFFFFFFF, 5) + b"\x08\x02" + b"\x00" * 20)
+    r = probe_payload(png)
+    assert r["container"] == "png" and r["width"] is None and r["height"] == 5
+    # PPM with an absurd dimension literal: clamped to NULL
+    r2 = probe_payload(b"P6\n99999999999999999999999 5\n255\n" + b"\x00" * 32)
+    assert r2["container"] == "ppm" and r2["width"] is None
+    # PPM with a header comment: dims parsed like decode_ppm does
+    r3 = probe_payload(b"P6\n# a comment\n3 2\n255\n" + b"\x00" * 18)
+    assert (r3["width"], r3["height"]) == (3, 2)
+    # JPEG with a fill byte before SOF0 still yields dimensions
+    jpg = (b"\xff\xd8" + b"\xff\xff"            # fill byte then marker
+           + b"\xc0" + struct.pack(">H", 11) + b"\x08"
+           + struct.pack(">HH", 7, 9) + b"\x01" + b"\x00" * 10)
+    # note: after the fill-byte skip, pos points at 0xFF 0xC0
+    r4 = probe_payload(jpg)
+    assert r4["container"] == "jpeg" and (r4["width"], r4["height"]) == (9, 7)
+
+
+def test_decode_wav_zero_rate_rejected():
+    import io
+    import struct
+    import wave
+
+    from fast_causal_inference_spark.datapipe.multimodal import decode_wav
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack("<4h", 1, 2, 3, 4))
+    payload = bytearray(buf.getvalue())
+    # zero the framerate field in the fmt chunk (offset 24, <I)
+    payload[24:28] = struct.pack("<I", 0)
+    with pytest.raises(ValueError, match="sample rate"):
+        decode_wav(bytes(payload))
