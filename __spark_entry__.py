@@ -1710,14 +1710,15 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (rows-only: xxhash64-based signature).
 
-    chunks=9 because pigeonhole recall at hamming<=8 needs chunks >=
-    max_hamming+1 (9 x 7-bit chunks cover bits 0-62; a differing bit in
-    the uncovered top bit only loosens the budget for the covered ones,
-    so the >=1-equal-chunk guarantee still holds)."""
+    max_hamming=8 with the default block-combination candidate scheme
+    (Manku WWW'07): b=12 blocks, join on every C(12,4)=495 combination
+    of 4 concatenated blocks (~21-bit keys) — same exact recall as the
+    old 9x7-bit pigeonhole but near-linear candidates instead of the
+    TH(n^2/128) join a 7-bit key implies."""
     from fast_causal_inference_spark.datapipe.dedup import simhash_pairs
 
     d = _load(spark, sf_dir, "documents")
-    return simhash_pairs(d, max_hamming=8, chunks=9)
+    return simhash_pairs(d, max_hamming=8)
 
 
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -314,7 +314,17 @@ def main() -> None:
         except Exception as exc:         # never fail the headline bench
             out["sf1_error"] = f"{type(exc).__name__}: {exc}"
 
-    print(json.dumps(out))
+    line = json.dumps(out)
+    print(line)
+    # also persist next to the script: the driver captures a tail window of
+    # stdout, which has truncated the (long) single JSON line before
+    # (BENCH_r07.json carried "parsed": null) — the file is the durable record
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_out.json"), "w") as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass                             # read-only checkout: stdout stands
     spark.stop()
 
 

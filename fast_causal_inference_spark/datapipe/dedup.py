@@ -10,8 +10,10 @@ pipelines:
   self-equi-join on (band, band-hash), i.e. a shuffle on small keys instead of
   an O(n²) cross join; candidates are verified with exact shingle Jaccard.
 * **SimHash** — 64-bit signature via bitwise majority vote of token hashes;
-  near-dup candidates via the pigeonhole band trick (k-bit Hamming ⇒ at least
-  one of k+1 chunks equal), verified with ``bit_count(xor)``.
+  near-dup candidates via block-combination keys (Manku et al., WWW'07:
+  k-bit Hamming over b blocks ⇒ some b−k blocks all equal — join on every
+  C(b, b−k) concatenation, keys stay ≥16 selective bits at any radius),
+  verified with ``bit_count(xor)``.
 * **n-gram Jaccard** — inverted-index join on shingle hashes with a hot-key
   cutoff, the classic MapReduce similarity-join.
 """
@@ -365,34 +367,91 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
 
 def simhash_pairs(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", max_hamming: int = 3,
-                  chunks: int = 4) -> DataFrame:
-    """Near-dup pairs by SimHash: pigeonhole on ``chunks`` 16-bit chunks
-    (hamming ≤ chunks−1 guarantees ≥1 equal chunk), verify with bit_count."""
-    if max_hamming > chunks - 1:
+                  chunks: int | None = None) -> DataFrame:
+    """Near-dup pairs by SimHash with **block-combination** candidate keys
+    (Manku, Jain & Das Sarma, WWW'07 §3): split the 64-bit signature into
+    ``b`` blocks; if two signatures differ in at most ``k = max_hamming``
+    bits, the differing bits touch at most ``k`` blocks, so AT LEAST
+    ``m = b − k`` blocks are identical — joining candidates on every
+    ``C(b, m)`` combination of ``m`` concatenated blocks therefore has
+    the SAME exact-recall guarantee as an all-pairs scan, but the join
+    key carries ``m·(64/b)`` selective bits instead of the single narrow
+    chunk the naive pigeonhole uses.  Every candidate is then verified
+    with an exact ``bit_count(xor)``, so precision is exact too.
+
+    ``chunks`` is the block count ``b`` (legacy name kept for API
+    compatibility).  The default picks ``b = 4`` for ``k ≤ 3`` — the
+    classic 4×16-bit pigeonhole, C(4,1)=4 single-block keys of 16 bits —
+    and ``b = k + 4`` otherwise, so the key always concatenates 4 blocks:
+    for ``k = 8`` that is C(12,4) = 495 keys of ~21 bits.  Versus a
+    ``b = k + 1`` single-block scheme (7-bit keys, 128 distinct values →
+    a Θ(n²/128) candidate join) the candidate volume drops from
+    quadratic-with-a-small-constant to near-linear: each combination's
+    expected bucket collision count is n²/2^21 instead of n²/2^7.
+
+    Scale shape: one explode to ``C(b, m)`` (id, sig, key) rows per doc
+    (rows of three longs — ids-only shuffle payload), one equi-join on a
+    single ≥16-bit long key, one dedup on the (bounded, output-sized)
+    candidate set, then the exact verify.  No driver-side state.
+    """
+    k = max_hamming
+    b = chunks if chunks is not None else (4 if k <= 3 else k + 4)
+    if b < k + 1:
         raise ValueError(
-            f"max_hamming={max_hamming} exceeds chunks-1={chunks - 1}: "
-            "the pigeonhole candidate generation only guarantees recall "
-            f"up to {chunks - 1} differing bits — raise chunks to at "
-            f"least {max_hamming + 1}")
-    width = 64 // chunks
-    # two primitive longs per doc; cached so the l/r sides of the chunk
+            f"chunks={b} cannot guarantee recall at max_hamming={k}: "
+            "block-combination candidates need at least max_hamming+1 "
+            f"blocks — raise chunks to at least {k + 1} (or omit it)")
+    if b > 64:
+        raise ValueError(f"chunks={b} exceeds the 64 signature bits")
+    m = b - k
+    import math
+    from itertools import combinations as _combinations
+    n_combos = math.comb(b, m)
+    if n_combos > 5000:  # check BEFORE materializing (C(32,16) is 6e8)
+        raise ValueError(
+            f"chunks={b} with max_hamming={k} yields C({b},{m})="
+            f"{n_combos} combination keys per document — pick a "
+            "smaller block count (b ≈ max_hamming + 4 keeps the "
+            "fan-out bounded while the keys stay selective)")
+    combos = list(_combinations(range(b), m))
+    # distribute the 64 bits over b blocks as evenly as possible
+    widths = [64 // b + (1 if i < 64 % b else 0) for i in range(b)]
+    offs = [sum(widths[:i]) for i in range(b)]
+    # two primitive longs per doc; cached so the l/r sides of the key
     # join and the verify projection share one token-vote aggregation
     sigs = register_cache(simhash_signatures(df, text_col, id_col).cache())
     # eager: both self-join sides would otherwise re-run the vote agg
     # before the cache populates (see the ranked.count() note in
     # ngram_jaccard_pairs)
     sigs.count()
-    chunked = sigs.select(
-        "id", "sig",
-        F.explode(F.array(*[
-            F.struct(F.lit(c).alias("chunk"),
-                     F.shiftright(F.col("sig"), c * width)
-                     .bitwiseAND(F.lit((1 << width) - 1)).alias("key"))
-            for c in range(chunks)
-        ])).alias("ck")).select("id", "sig", "ck.chunk", "ck.key")
-    left, right = chunked.alias("l"), chunked.alias("r")
-    cand = (left.join(right, [F.col("l.chunk") == F.col("r.chunk"),
-                              F.col("l.key") == F.col("r.key"),
+    # per-doc block values, computed once and carried through the explode
+    blk = F.array(*[
+        F.shiftright(F.col("sig"), offs[i])
+        .bitwiseAND(F.lit((1 << widths[i]) - 1).cast("long"))
+        for i in range(b)])
+    # one long per combination: xxhash64(combo_id, selected blocks) — a
+    # single equi-join column covering both "same combination" and "same
+    # key", with no bit-packing width limit (equal blocks hash equal, so
+    # recall is untouched; a 64-bit hash collision can only ADD a
+    # candidate, which the exact verify below drops).
+    # The fan-out to C(b, m) rows per doc goes through a broadcast cross
+    # join against a tiny (cid, i0..i{m-1}) table rather than exploding a
+    # literal array of C(b, m) key expressions — the latter is a single
+    # generated consume function of ~500×m hash terms, which blows
+    # Janino's 64 KB method limit and silently drops the whole stage to
+    # the interpreted path (measured ~10× slower).
+    combo_df = df.sparkSession.createDataFrame(
+        [(cid, *c) for cid, c in enumerate(combos)],
+        ["cid"] + [f"i{j}" for j in range(m)])
+    key = F.xxhash64(
+        F.col("cid"),
+        *[F.element_at(F.col("blk"), (F.col(f"i{j}") + 1).cast("int"))
+          for j in range(m)])
+    keyed = (sigs.withColumn("blk", blk)
+             .join(F.broadcast(combo_df))
+             .select("id", "sig", key.alias("key")))
+    left, right = keyed.alias("l"), keyed.alias("r")
+    cand = (left.join(right, [F.col("l.key") == F.col("r.key"),
                               F.col("l.id") < F.col("r.id")])
             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
                     F.col("l.sig").alias("sig_a"), F.col("r.sig").alias("sig_b"))

@@ -131,6 +131,39 @@ def test_simhash_pairs(spark, docs_with_dups):
     assert (exact.hamming == 0).all()
 
 
+def test_simhash_block_combination_matches_bruteforce(spark, docs_with_dups):
+    # the Manku block-combination candidate scheme (default b = k+4 = 12,
+    # C(12,4)=495 keys) must have EXACT recall at the wide radius: every
+    # pair within hamming 8 of the all-pairs scan, nothing else
+    sigs = dedup.simhash_signatures(docs_with_dups).toPandas()
+    ids = sigs.id.to_numpy()
+    s = sigs.sig.to_numpy().astype(np.uint64)
+    xor = s[:, None] ^ s[None, :]
+    ham = np.zeros_like(xor, dtype=np.int64)
+    for _ in range(64):
+        ham += (xor & np.uint64(1)).astype(np.int64)
+        xor >>= np.uint64(1)
+    iu = np.triu_indices(len(ids), k=1)
+    want = {(int(min(a, b)), int(max(a, b)), int(h))
+            for a, b, h in zip(ids[iu[0]], ids[iu[1]], ham[iu])
+            if h <= 8}
+    got = dedup.simhash_pairs(docs_with_dups, max_hamming=8).toPandas()
+    assert {(int(r.id_a), int(r.id_b), int(r.hamming))
+            for r in got.itertuples()} == want
+
+
+def test_simhash_pairs_validation():
+    import pyspark.sql
+
+    df = None  # validation fires before any DataFrame use
+    with pytest.raises(ValueError, match="at least max_hamming\\+1"):
+        dedup.simhash_pairs(df, max_hamming=8, chunks=8)
+    with pytest.raises(ValueError, match="64 signature bits"):
+        dedup.simhash_pairs(df, max_hamming=70, chunks=80)
+    with pytest.raises(ValueError, match="combination keys per document"):
+        dedup.simhash_pairs(df, max_hamming=16, chunks=32)
+
+
 def test_ngram_jaccard_matches_bruteforce(spark, docs_with_dups):
     got = dedup.ngram_jaccard_pairs(docs_with_dups, threshold=0.6).toPandas()
     pdf = docs_with_dups.toPandas()

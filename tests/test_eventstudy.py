@@ -128,6 +128,49 @@ def test_event_study_cluster_se_matches_numpy_cr1(spark):
     assert np.allclose(got.stderr.to_numpy(), se, rtol=1e-9)
 
 
+def test_event_study_cluster_se_larger_under_serial_corr(spark):
+    """Directional CR1 property: under strong AR(1) within-unit errors the
+    cluster-robust SE must exceed the iid OLS SE for the PERSISTENT event
+    dummy — the binned ``rel >= lags`` post indicator, which stays on for
+    up to 7 periods per treated unit here (the Bertrand-Duflo-Mullainathan
+    serial-correlation point).  The property deliberately does NOT cover
+    the single-period dummies (rel = 0, 1): for a transitory regressor,
+    positive error autocorrelation DEFLATES the cluster SE (measured here:
+    ratios ~0.54-0.81), which is why the round-7 working-tree probe that
+    averaged the ratio across ALL dummies failed and was dropped — the
+    averaged form of the property is statistically wrong, not noisy.
+    A U=200 panel (100 treated) keeps the persistent-dummy ratio stably
+    ~1.3 across seeds."""
+    from fast_causal_inference_spark.operators.eventstudy import (
+        event_study,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    U, T, rho = 200, 12, 0.9
+    for u in range(U):
+        a = 5 + u % 4 if u % 2 == 0 else None
+        e = rng.normal(0, 1.0)
+        for t in range(T):
+            e = rho * e + rng.normal(0, 1.0)
+            eff = 1.0 if (a is not None and t >= a) else 0.0
+            rows.append((u, t, a, eff + e))
+    pdf = pd.DataFrame(rows, columns=["u", "t", "a", "y"])
+    df = spark.createDataFrame(pdf)
+    clus = event_study(df, "y", "u", "t", "a", leads=2, lags=2,
+                       cluster=True)
+    iid = event_study(df, "y", "u", "t", "a", leads=2, lags=2,
+                      cluster=False)
+    c = clus[clus.rel_period != -1].sort_values("rel_period")
+    o = iid[iid.rel_period != -1].sort_values("rel_period")
+    # identical point estimates, inflated SE on the persistent dummy
+    assert np.allclose(c.estimate.to_numpy(), o.estimate.to_numpy(),
+                       rtol=1e-9)
+    ratio = (c[c.rel_period == 2].stderr.iloc[0]
+             / o[o.rel_period == 2].stderr.iloc[0])
+    assert ratio > 1.15
+
+
 def test_event_study_unbalanced_raises(spark):
     from fast_causal_inference_spark.operators.eventstudy import (
         event_study,
