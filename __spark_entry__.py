@@ -963,30 +963,34 @@ def _avg_ite_rows(learner, li: DataFrame, variant: str, nd: int = 6):
             for r in pdf]
 
 
-def g_t_learner_cvt(spark: SparkSession, sf_dir: str) -> DataFrame:
+def g_t_learner_cvt(spark: SparkSession, sf_dir: str,
+                   li: DataFrame | None = None) -> DataFrame:
     """CVT rows of the meta-learner family (golden sub-oracle: logistic
     IRLS is a deterministic iterative solve, not SQL-expressible)."""
     from fast_causal_inference_spark.uplift.metalearners import CVT
 
-    li = _tl_base(spark, sf_dir)
+    li = li if li is not None else _tl_base(spark, sf_dir)
     cvt = CVT(["l_quantity"], "disc_hi", "arm").fit(li)
     return spark.createDataFrame(_avg_ite_rows(cvt, li, "cvt"),
                                  "variant string, l_returnflag string, "
                                  "avg_ite double")
 
 
-def g_t_learner_x(spark: SparkSession, sf_dir: str) -> DataFrame:
+def g_t_learner_x(spark: SparkSession, sf_dir: str,
+                 li: DataFrame | None = None, pm=None) -> DataFrame:
     """X-learner rows (golden sub-oracle: logistic propensity blend)."""
     from fast_causal_inference_spark.uplift.metalearners import XLearner
 
-    li = _tl_base(spark, sf_dir)
-    xl = XLearner(["l_quantity"], "l_extendedprice", "arm").fit(li)
+    li = li if li is not None else _tl_base(spark, sf_dir)
+    xl = XLearner(["l_quantity"], "l_extendedprice", "arm",
+                  propensity_model=pm).fit(li)
     return spark.createDataFrame(_avg_ite_rows(xl, li, "x", nd=4),
                                  "variant string, l_returnflag string, "
                                  "avg_ite double")
 
 
-def g_t_learner_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+def g_t_learner_prop(spark: SparkSession, sf_dir: str,
+                    li: DataFrame | None = None, pm=None) -> DataFrame:
     """Propensity-model rows (golden sub-oracle: logistic IRLS): average
     fitted g(x) = P(T=1|x) by return flag — the IPW/matching building
     block scored over the whole table."""
@@ -994,53 +998,60 @@ def g_t_learner_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         PropensityModel,
     )
 
-    li = _tl_base(spark, sf_dir)
-    pm = PropensityModel(["l_quantity"], "arm").fit(li)
+    li = li if li is not None else _tl_base(spark, sf_dir)
+    if pm is None:
+        pm = PropensityModel(["l_quantity"], "arm").fit(li)
     return spark.createDataFrame(_avg_ite_rows(pm, li, "prop"),
                                  "variant string, l_returnflag string, "
                                  "avg_ite double")
 
 
-def g_t_learner_retro(spark: SparkSession, sf_dir: str) -> DataFrame:
+def g_t_learner_retro(spark: SparkSession, sf_dir: str,
+                     li: DataFrame | None = None) -> DataFrame:
     """Retrospective-learner rows (golden sub-oracle: logistic IRLS on
     converters): average P(T=1 | Y=1, x) uplift score by return flag."""
     from fast_causal_inference_spark.uplift.metalearners import (
         RetrospectiveLearner,
     )
 
-    li = _tl_base(spark, sf_dir)
+    li = li if li is not None else _tl_base(spark, sf_dir)
     rl = RetrospectiveLearner(["l_quantity"], "disc_hi", "arm").fit(li)
     return spark.createDataFrame(_avg_ite_rows(rl, li, "retro"),
                                  "variant string, l_returnflag string, "
                                  "avg_ite double")
 
 
-def g_t_learner_r(spark: SparkSession, sf_dir: str) -> DataFrame:
+def g_t_learner_r(spark: SparkSession, sf_dir: str,
+                 li: DataFrame | None = None, pm=None) -> DataFrame:
     """R-learner rows (golden sub-oracle: logistic propensity nuisance +
     no-intercept residual-on-residual OLS): average orthogonalized
     CATE by return flag."""
     from fast_causal_inference_spark.uplift.metalearners import RLearner
 
-    li = _tl_base(spark, sf_dir)
-    rl = RLearner(["l_quantity"], "l_extendedprice", "arm").fit(li)
+    li = li if li is not None else _tl_base(spark, sf_dir)
+    rl = RLearner(["l_quantity"], "l_extendedprice", "arm",
+                  propensity_model=pm).fit(li)
     return spark.createDataFrame(_avg_ite_rows(rl, li, "r", nd=4),
                                  "variant string, l_returnflag string, "
                                  "avg_ite double")
 
 
-def g_t_learner_dr(spark: SparkSession, sf_dir: str) -> DataFrame:
+def g_t_learner_dr(spark: SparkSession, sf_dir: str,
+                  li: DataFrame | None = None, pm=None) -> DataFrame:
     """DR-learner rows (golden sub-oracle: logistic propensity inside the
     AIPW pseudo-outcome): average doubly-robust CATE by return flag."""
     from fast_causal_inference_spark.uplift.metalearners import DRLearner
 
-    li = _tl_base(spark, sf_dir)
-    dr = DRLearner(["l_quantity"], "l_extendedprice", "arm").fit(li)
+    li = li if li is not None else _tl_base(spark, sf_dir)
+    dr = DRLearner(["l_quantity"], "l_extendedprice", "arm",
+                   propensity_model=pm).fit(li)
     return spark.createDataFrame(_avg_ite_rows(dr, li, "dr", nd=4),
                                  "variant string, l_returnflag string, "
                                  "avg_ite double")
 
 
-def _conformal_rows(spark: SparkSession, sf_dir: str):
+def _conformal_rows(spark: SparkSession, sf_dir: str,
+                    li: DataFrame | None = None):
     """Split-conformal ITE band rows (beyond ref): per-returnflag average
     band plus the two conformal quantiles.  Fully SQL-re-derived — the
     fold is `l_suppkey % 2` (pre-treatment id), the per-arm fit-fold
@@ -1049,7 +1060,7 @@ def _conformal_rows(spark: SparkSession, sf_dir: str):
     (approxQuantile rel=1e-6 == the row_number() re-derivation)."""
     from fast_causal_inference_spark.operators.conformal import conformal_fit
 
-    li = _tl_base(spark, sf_dir)
+    li = li if li is not None else _tl_base(spark, sf_dir)
     m = conformal_fit(li, "l_extendedprice", "arm", ["l_quantity"],
                       alpha=0.1, fold_expr="l_suppkey")
     half = m.q1 + m.q0
@@ -1080,25 +1091,41 @@ def q_t_learner(spark: SparkSession, sf_dir: str) -> DataFrame:
         TransformedOutcome,
     )
 
+    # NOT persisted: an A/B at sf1 measured the persisted shared base
+    # SLOWER than the per-variant pruned parquet re-scans it replaced
+    # (OS page cache makes the decodes nearly free; the serial
+    # materialization barrier is pure added wall — see COVERAGE.md).
+    # The genuine shared work is the logistic propensity NUISANCE: the
+    # prop / X / R / DR variants all solve the identical arm ~ l_quantity
+    # IRLS, so phase 1 fits it ONCE (overlapped with the variants that
+    # don't need it) and phase 2 hands the fitted model to its four
+    # consumers — same coefficients, every golden bit-identical.
+    from fast_causal_inference_spark.uplift.metalearners import (
+        PropensityModel,
+    )
+
     li = _tl_base(spark, sf_dir)
-    (t_rows, s_rows, to_rows, conf_rows, cvt_df, x_df, prop_df, retro_df,
-     r_df, dr_df) = _concurrent([
-        lambda: _avg_ite_rows(
-            TLearner(["l_quantity"], "l_extendedprice", "arm").fit(li),
-            li, "t"),
-        lambda: _avg_ite_rows(
-            SLearner(["l_quantity"], "l_extendedprice", "arm").fit(li),
-            li, "s", nd=4),
-        lambda: _avg_ite_rows(
-            TransformedOutcome(["l_quantity"], "l_extendedprice", "arm",
-                               propensity=0.5).fit(li), li, "to", nd=4),
-        lambda: _conformal_rows(spark, sf_dir),
-        lambda: g_t_learner_cvt(spark, sf_dir),
-        lambda: g_t_learner_x(spark, sf_dir),
-        lambda: g_t_learner_prop(spark, sf_dir),
-        lambda: g_t_learner_retro(spark, sf_dir),
-        lambda: g_t_learner_r(spark, sf_dir),
-        lambda: g_t_learner_dr(spark, sf_dir),
+    (t_rows, s_rows, to_rows, conf_rows, cvt_df, retro_df, pmod) = \
+        _concurrent([
+            lambda: _avg_ite_rows(
+                TLearner(["l_quantity"], "l_extendedprice", "arm").fit(li),
+                li, "t"),
+            lambda: _avg_ite_rows(
+                SLearner(["l_quantity"], "l_extendedprice", "arm").fit(li),
+                li, "s", nd=4),
+            lambda: _avg_ite_rows(
+                TransformedOutcome(["l_quantity"], "l_extendedprice", "arm",
+                                   propensity=0.5).fit(li), li, "to", nd=4),
+            lambda: _conformal_rows(spark, sf_dir, li=li),
+            lambda: g_t_learner_cvt(spark, sf_dir, li=li),
+            lambda: g_t_learner_retro(spark, sf_dir, li=li),
+            lambda: PropensityModel(["l_quantity"], "arm").fit(li),
+        ])
+    x_df, prop_df, r_df, dr_df = _concurrent([
+        lambda: g_t_learner_x(spark, sf_dir, li=li, pm=pmod.model_),
+        lambda: g_t_learner_prop(spark, sf_dir, li=li, pm=pmod),
+        lambda: g_t_learner_r(spark, sf_dir, li=li, pm=pmod.model_),
+        lambda: g_t_learner_dr(spark, sf_dir, li=li, pm=pmod.model_),
     ])
     sql_df = spark.createDataFrame(
         t_rows + s_rows + to_rows + conf_rows,
@@ -1173,12 +1200,14 @@ UNION ALL SELECT variant, l_returnflag, avg_ite FROM (
 """
 
 
-def q_exact_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_exact_matching(spark: SparkSession, sf_dir: str,
+                     o: DataFrame | None = None) -> DataFrame:
     """Exact matching per o_orderpriority: deterministic per-key quotas."""
     from fast_causal_inference_spark.operators.matching import exact_matching
 
-    o = _load(spark, sf_dir, "orders") \
-        .withColumn("arm", (F.col("o_orderkey") % 2).cast("int"))
+    if o is None:
+        o = _load(spark, sf_dir, "orders") \
+            .withColumn("arm", (F.col("o_orderkey") % 2).cast("int"))
     m = exact_matching(o, "arm", ["o_orderpriority"])
     return (m.where(F.col("match_index").isNotNull())
              .groupBy("o_orderpriority")
@@ -2394,12 +2423,14 @@ UNION ALL SELECT 'roc', printf('%.1f', threshold), 'fp', fp FROM cnt
 """
 
 
-def q_smd(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_smd(spark: SparkSession, sf_dir: str,
+          li: DataFrame | None = None) -> DataFrame:
     """Standardized-mean-difference balance table on lineitem covariates."""
     from fast_causal_inference_spark.operators.matching import smd
 
-    li = _load(spark, sf_dir, "lineitem") \
-        .withColumn("arm", (F.col("l_orderkey") % 2).cast("int"))
+    if li is None:
+        li = _load(spark, sf_dir, "lineitem") \
+            .withColumn("arm", (F.col("l_orderkey") % 2).cast("int"))
     pdf = smd(li, "arm", ["l_quantity", "l_discount", "l_tax"])
     for c in ["mean0", "mean1", "smd"]:
         pdf[c] = pdf[c].round(6)
@@ -2465,14 +2496,16 @@ FROM melted GROUP BY 1, 2, 3
 """
 
 
-def q_caliper_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_caliper_matching(spark: SparkSession, sf_dir: str,
+                       o: DataFrame | None = None) -> DataFrame:
     """Caliper matching cell accounting (rows-only: pair ids involve rand(),
     but the per-cell matched quota is deterministic and checked here)."""
     from fast_causal_inference_spark.operators.matching import caliper_matching
 
-    o = _load(spark, sf_dir, "orders") \
-        .withColumn("arm", (F.col("o_orderkey") % 2).cast("int")) \
-        .withColumn("score", F.col("o_totalprice") / 500000.0)
+    if o is None:
+        o = _load(spark, sf_dir, "orders") \
+            .withColumn("arm", (F.col("o_orderkey") % 2).cast("int"))
+    o = o.withColumn("score", F.col("o_totalprice") / 500000.0)
     m = caliper_matching(o, "score", "arm", caliper=0.1)
     return (m.where(F.col("match_index").isNotNull())
              .groupBy(F.floor(F.col("score") / 0.1).alias("bucket"))
@@ -4074,7 +4107,8 @@ SELECT 'logrank_strat', 'lineitem', stat, round(value, 6) FROM (
 """
 
 
-def g_matching_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+def g_matching_entropy(spark: SparkSession, sf_dir: str,
+                       li: DataFrame | None = None) -> DataFrame:
     """Entropy-balancing rows of the matching family (golden sub-oracle:
     the dual logsumexp Newton solve is iterative, not SQL-expressible).
     Balances quantity+discount of the control arm to the treated arm and
@@ -4084,8 +4118,9 @@ def g_matching_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         entropy_balancing,
     )
 
-    li = _load(spark, sf_dir, "lineitem") \
-        .withColumn("arm", (F.col("l_orderkey") % 2).cast("int"))
+    if li is None:
+        li = _load(spark, sf_dir, "lineitem") \
+            .withColumn("arm", (F.col("l_orderkey") % 2).cast("int"))
     eb = entropy_balancing(li, "arm", ["l_quantity", "l_discount"])
     att = eb.att(li, "l_extendedprice").iloc[0]
     rows = [{"variant": "entropy", "item": feat, "stat": "lambda",
@@ -4097,7 +4132,8 @@ def g_matching_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _long_rows(spark, rows)
 
 
-def g_matching_prognostic(spark: SparkSession, sf_dir: str) -> DataFrame:
+def g_matching_prognostic(spark: SparkSession, sf_dir: str,
+                          li: DataFrame | None = None) -> DataFrame:
     """Prognostic-score matching rows (golden sub-oracle: the score is a
     control-arm OLS prediction, and floor-bucketing an fp score makes a
     cross-engine SQL re-derivation boundary-fragile; the per-cell quota
@@ -4107,8 +4143,9 @@ def g_matching_prognostic(spark: SparkSession, sf_dir: str) -> DataFrame:
         prognostic_score_matching,
     )
 
-    li = _load(spark, sf_dir, "lineitem") \
-        .withColumn("arm", (F.col("l_orderkey") % 2).cast("int"))
+    if li is None:
+        li = _load(spark, sf_dir, "lineitem") \
+            .withColumn("arm", (F.col("l_orderkey") % 2).cast("int"))
     m = prognostic_score_matching(li, "l_extendedprice", "arm",
                                   ["l_quantity"], caliper=2000.0)
     out = (m.where(F.col("match_index").isNotNull())
@@ -4126,7 +4163,8 @@ def g_matching_prognostic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_treated").cast("double").alias("value")))
 
 
-def q_paired_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_paired_ttest(spark: SparkSession, sf_dir: str,
+                   ev: DataFrame | None = None) -> DataFrame:
     """Matched-pairs t-test on a DETERMINISTIC 1:2 pairing (pair =
     event_id div 3, treated = the id divisible by 3): pairing is an
     INPUT to ``matched_pairs_ttest`` — the operator's job (per-pair
@@ -4137,7 +4175,8 @@ def q_paired_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         matched_pairs_ttest,
     )
 
-    ev = _load(spark, sf_dir, "events")
+    if ev is None:
+        ev = _load(spark, sf_dir, "events")
     pe = (ev.withColumn("pair", F.floor(F.col("event_id") / 3))
             .withColumn("parm", (F.col("event_id") % 3 == 0).cast("int")))
     return matched_pairs_ttest(pe, "value", "parm", "pair")
@@ -4153,21 +4192,33 @@ def q_matching_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         rosenbaum_bounds,
     )
 
+    # ONE lazy base per source table threads through the sub-oracles
+    # (events: paired t + Rosenbaum; orders: exact + caliper; lineitem:
+    # smd + prognostic + entropy), but deliberately NOT persisted: an
+    # A/B at sf1 measured the persisted variant ~2 s SLOWER than the
+    # per-oracle pruned parquet re-scans it replaced (OS page cache
+    # makes the decodes nearly free; the materialization barrier before
+    # the fan-out is pure added wall — see COVERAGE.md).
+    ev = _load(spark, sf_dir, "events")
+    o = (_load(spark, sf_dir, "orders")
+         .withColumn("arm", (F.col("o_orderkey") % 2).cast("int")))
+    li = (_load(spark, sf_dir, "lineitem")
+          .withColumn("arm", (F.col("l_orderkey") % 2).cast("int")))
+
     def _ros():
-        ev = _load(spark, sf_dir, "events")
         return rosenbaum_bounds(ev, "value",
                                 "cast(event_id % 3 = 0 as int)",
                                 "floor(event_id / 3)", gammas=(1.0, 2.0))
 
     rows = []
     ex, cal, sm, pr, prog, ros, ent = _concurrent([
-        lambda: q_exact_matching(spark, sf_dir).toPandas(),
-        lambda: q_caliper_matching(spark, sf_dir).toPandas(),
-        lambda: q_smd(spark, sf_dir).toPandas(),
-        lambda: q_paired_ttest(spark, sf_dir).toPandas(),
-        lambda: g_matching_prognostic(spark, sf_dir),
+        lambda: q_exact_matching(spark, sf_dir, o=o).toPandas(),
+        lambda: q_caliper_matching(spark, sf_dir, o=o).toPandas(),
+        lambda: q_smd(spark, sf_dir, li=li).toPandas(),
+        lambda: q_paired_ttest(spark, sf_dir, ev=ev).toPandas(),
+        lambda: g_matching_prognostic(spark, sf_dir, li=li),
         _ros,
-        lambda: g_matching_entropy(spark, sf_dir),
+        lambda: g_matching_entropy(spark, sf_dir, li=li),
     ])
     for r in ros.itertuples():
         for stat in ("z_upper", "z_lower"):

@@ -101,6 +101,11 @@ class XLearner:
     features: list[str]
     outcome: str = "y"
     treatment: str = "treatment"
+    # pre-fitted logistic propensity (e.g. PropensityModel(...).fit(df)
+    # .model_): the X/R/DR learners all solve the SAME treatment ~ x
+    # IRLS when given the same data — fitting it once and sharing it
+    # removes the redundant iterative scans without changing any number
+    propensity_model: object = field(default=None, repr=False)
     model0_: object = field(default=None, repr=False)
     model1_: object = field(default=None, repr=False)
     tau0_: object = field(default=None, repr=False)
@@ -130,8 +135,10 @@ class XLearner:
         taus = ols_grouped(imp, _formula("__d", self.features),
                            f"CAST(({self.treatment}) AS DOUBLE)")
         self.tau0_, self.tau1_ = taus[0.0], taus[1.0]
-        self.prop_ = logistic_regression(df, _formula(self.treatment,
-                                                      self.features))
+        self.prop_ = (self.propensity_model
+                      if self.propensity_model is not None
+                      else logistic_regression(df, _formula(self.treatment,
+                                                            self.features)))
         return self
 
     def ite_column(self) -> Column:
@@ -257,6 +264,8 @@ class RLearner:
     outcome: str = "y"
     treatment: str = "treatment"
     propensity: float | None = None      # None → fit logistic propensity
+    # pre-fitted logistic propensity shared across learners (see XLearner)
+    propensity_model: object = field(default=None, repr=False)
     model_: object = field(default=None, repr=False)
     mean_model_: object = field(default=None, repr=False)
     prop_: object = field(default=None, repr=False)
@@ -265,7 +274,10 @@ class RLearner:
         t = F.expr(self.treatment).cast("double")
         y = F.expr(self.outcome).cast("double")
         self.mean_model_ = ols(df, _formula(self.outcome, self.features))
-        if self.propensity is None:
+        if self.propensity_model is not None:
+            self.prop_ = self.propensity_model
+            g = self.prop_.predict_proba_column()
+        elif self.propensity is None:
             self.prop_ = logistic_regression(
                 df, _formula(self.treatment, self.features))
             g = self.prop_.predict_proba_column()
@@ -308,6 +320,8 @@ class DRLearner:
     treatment: str = "treatment"
     propensity: float | None = None      # None → fit logistic propensity
     trim: float = 0.01
+    # pre-fitted logistic propensity shared across learners (see XLearner)
+    propensity_model: object = field(default=None, repr=False)
     model_: object = field(default=None, repr=False)
     model0_: object = field(default=None, repr=False)
     model1_: object = field(default=None, repr=False)
@@ -326,7 +340,10 @@ class DRLearner:
             raise ValueError(
                 f"DRLearner needs both arms 0 and 1 in {self.treatment!r}; "
                 f"arms present: {sorted(models, key=str)}") from None
-        if self.propensity is None:
+        if self.propensity_model is not None:
+            self.prop_ = self.propensity_model
+            g = self.prop_.predict_proba_column()
+        elif self.propensity is None:
             self.prop_ = logistic_regression(
                 df, _formula(self.treatment, self.features))
             g = self.prop_.predict_proba_column()

@@ -475,3 +475,27 @@ def test_drlearner_validation(spark, hte_df):
     one_arm = hte_df.where(F.col("t") == 1)
     with pytest.raises(ValueError, match="both arms"):
         DRLearner(["x1"], "y", "t").fit(one_arm)
+
+
+def test_shared_propensity_model_identical(spark, hte_df):
+    """Passing a pre-fitted logistic propensity (`propensity_model=`) into
+    X / R / DR must reproduce the self-fit results exactly — the shared
+    nuisance is the same IRLS solve, just run once (the t_learner gate
+    family relies on this for golden stability)."""
+    from fast_causal_inference_spark.uplift.metalearners import (
+        DRLearner,
+        PropensityModel,
+        RLearner,
+        XLearner,
+    )
+
+    shared = PropensityModel(["x1", "x2"], "t").fit(hte_df).model_
+    for cls in (XLearner, RLearner, DRLearner):
+        solo = cls(["x1", "x2"], "y", "t").fit(hte_df)
+        with_pm = cls(["x1", "x2"], "y", "t",
+                      propensity_model=shared).fit(hte_df)
+        a = solo.predict(hte_df).select("ite").toPandas().ite.to_numpy()
+        b = with_pm.predict(hte_df).select("ite").toPandas().ite.to_numpy()
+        assert a == pytest.approx(b, abs=1e-12), cls.__name__
+        # and the shared object is used as-is, not refit
+        assert with_pm.prop_ is shared
