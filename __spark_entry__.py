@@ -239,8 +239,44 @@ def q_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise RuntimeError(
                 "srm streaming gate landed zero windows — the file-stream "
                 "source saw no input (check the parquet symlinks)")
+
+        # always-valid mSPRT monitor, ALSO executed as a real stream over
+        # the same file source (applyInPandasWithState).  availableNow
+        # with no maxFilesPerTrigger folds all input into ONE micro-batch,
+        # so the emitted cumulative moments — and therefore Λ and the
+        # always-valid p — are closed forms of the full-table per-arm
+        # (n, Σy, Σy²), which the DuckDB oracle re-derives exactly.  The
+        # final row (largest n0+n1) is the boundary row either way.
+        from fast_causal_inference_spark.streaming.ops import (
+            streaming_sequential_ttest,
+        )
+
+        st2 = streaming_sequential_ttest(stream, "value", "arm", "ts",
+                                         tau=1.0, watermark="1 day")
+        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q2 = (st2.writeStream.format("memory")
+                  .queryName("srm_msprt_gate")
+                  .outputMode("append").trigger(availableNow=True)
+                  .start())
+            if not q2.awaitTermination(180):
+                q2.stop()
+                raise TimeoutError(
+                    "srm mSPRT stream did not finish in 180s — failing "
+                    "loudly instead of reading a partial state")
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        msprt = spark.table("srm_msprt_gate").collect()
+        spark.catalog.dropTempView("srm_msprt_gate")
+        if not msprt:
+            raise RuntimeError("srm mSPRT gate emitted zero rows")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+    final = max(msprt, key=lambda r: r["n0"] + r["n1"])
+    for stat in ("n0", "n1", "estimate", "stderr", "z", "lambda_",
+                 "always_valid_p"):
+        rows.append(("msprt", "final", stat, round(float(final[stat]), 6)))
     for r in landed:
         day = r["window"]["start"].strftime("%Y-%m-%d")
         for stat in ("n0", "n1", "mean0", "mean1", "estimate", "stderr",
@@ -265,6 +301,20 @@ win AS (
          var_samp(value) FILTER (user_id % 2 = 0) AS v0,
          var_samp(value) FILTER (user_id % 2 = 1) AS v1
   FROM events GROUP BY 1
+), ms AS (
+  SELECT CAST(count(*) FILTER (user_id % 2 = 0) AS DOUBLE) AS n0,
+         CAST(count(*) FILTER (user_id % 2 = 1) AS DOUBLE) AS n1,
+         avg(value) FILTER (user_id % 2 = 0) AS m0,
+         avg(value) FILTER (user_id % 2 = 1) AS m1,
+         var_samp(value) FILTER (user_id % 2 = 0) AS v0,
+         var_samp(value) FILTER (user_id % 2 = 1) AS v1
+  FROM events WHERE value IS NOT NULL
+), msf AS (
+  SELECT n0, n1, m1 - m0 AS est, v0/n0 + v1/n1 AS V FROM ms
+), msl AS (
+  SELECT n0, n1, est, V,
+         sqrt(V/(V + 1.0)) * exp(est*est*1.0/(2.0*V*(V + 1.0))) AS lam
+  FROM msf
 )
 SELECT 'srm' AS variant, groupname AS item, 'observed' AS stat,
        round(observed, 6) AS value FROM obs
@@ -288,6 +338,18 @@ FROM (
   UNION ALL SELECT day, 'stderr', sqrt(v0/n0 + v1/n1) FROM win
   UNION ALL SELECT day, 't_stat',
     (mean1 - mean0) / sqrt(v0/n0 + v1/n1) FROM win
+)
+UNION ALL
+SELECT 'msprt', 'final', stat, round(value, 6)
+FROM (
+  SELECT 'n0' AS stat, n0 AS value FROM msl
+  UNION ALL SELECT 'n1', n1 FROM msl
+  UNION ALL SELECT 'estimate', est FROM msl
+  UNION ALL SELECT 'stderr', sqrt(V) FROM msl
+  UNION ALL SELECT 'z', est / sqrt(V) FROM msl
+  UNION ALL SELECT 'lambda_', lam FROM msl
+  UNION ALL SELECT 'always_valid_p', least(1.0, 1.0/greatest(lam, 1.0))
+  FROM msl
 )
 """
 
@@ -1645,6 +1707,59 @@ FROM ranked WHERE rank <= 5
 """
 
 
+# TF-IDF cosine re-derived end-to-end in SQL: same tokenization, ln-scaled
+# tf, smooth idf ln(1 + N/(1+df)), document/query L2 norms (the query norm
+# keeps out-of-vocabulary terms at df=0 weight), sparse-dot cosine, top-5
+_TFIDF_SQL = """
+WITH tq(query_id, query) AS
+  (VALUES (0, 'spark query join'), (1, 'data data stream zzqx')),
+post AS (
+  SELECT doc_id AS id, t.term, CAST(count(*) AS DOUBLE) AS tf
+  FROM documents,
+       unnest(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) AS t(term)
+  WHERE t.term <> '' GROUP BY 1, 2
+), docfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df_t
+               FROM post GROUP BY 1),
+consts AS (SELECT CAST(count(DISTINCT id) AS DOUBLE) AS n FROM post),
+wpost AS (
+  SELECT post.id, post.term,
+         (1.0 + ln(post.tf))
+           * ln(1.0 + consts.n / (1.0 + docfreq.df_t)) AS w
+  FROM post JOIN docfreq USING (term) CROSS JOIN consts
+), norms AS (SELECT id, sqrt(sum(w*w)) AS norm FROM wpost GROUP BY 1),
+qpost AS (
+  SELECT query_id, t.term, CAST(count(*) AS DOUBLE) AS qtf
+  FROM tq,
+       unnest(string_split_regex(regexp_replace(lower(query), '^\\s+|\\s+$', '', 'g'), '\\s+')) AS t(term)
+  WHERE t.term <> '' GROUP BY 1, 2
+), qw AS (
+  SELECT qpost.query_id, qpost.term,
+         (1.0 + ln(qpost.qtf))
+           * ln(1.0 + consts.n / (1.0 + coalesce(docfreq.df_t, 0))) AS qw
+  FROM qpost LEFT JOIN docfreq USING (term) CROSS JOIN consts
+), qnorm AS (SELECT query_id, sqrt(sum(qw*qw)) AS qnorm
+             FROM qw GROUP BY 1),
+dots AS (
+  SELECT qw.query_id, wpost.id, sum(wpost.w * qw.qw) AS dot
+  FROM wpost JOIN qw USING (term) GROUP BY 1, 2
+), scored AS (
+  SELECT dots.query_id, dots.id,
+         CASE WHEN norms.norm * qnorm.qnorm > 0
+              THEN dots.dot / (norms.norm * qnorm.qnorm)
+              ELSE 0.0 END AS score
+  FROM dots JOIN norms USING (id) JOIN qnorm USING (query_id)
+), ranked AS (
+  SELECT query_id, id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, id) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, id AS vec_id, rank,
+       round(CAST(score AS DOUBLE), 4) AS score
+FROM ranked WHERE rank <= 5
+"""
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup family: hyperplane-LSH bucket join and
     SemDeDup-style k-means-cell join, BOTH checked against the exact
@@ -2697,8 +2812,27 @@ def q_ttest_2samp_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf.insert(0, "variant", name)
         return pdf
 
+    def _scorecard():
+        # experiment scorecard: per-metric rows are definitionally the
+        # ttest_2samp result (same suffstats core), so the family gate
+        # value-checks both the shared-base multi-metric parse and the
+        # ratio delta-method path; the BH adjustment column is
+        # pytest-covered (p-values are not oracle-checkable)
+        from fast_causal_inference_spark.operators.scorecard import (
+            experiment_scorecard,
+        )
+
+        pdf = experiment_scorecard(
+            ev, {"v": "avg(value)",
+                 "r": "avg(value)/avg(1 + user_id % 3)"},
+            "treatment", adjust="bh")
+        out = pdf[_T2_FAMILY_COLS].copy()
+        out.insert(0, "variant", "scorecard_" + pdf["metric"])
+        return out
+
     pdfs = _concurrent([
-        lambda n=name, b=build: _run(n, b) for name, build in parts])
+        lambda n=name, b=build: _run(n, b) for name, build in parts]
+        + [_scorecard])
     merged = spark.createDataFrame(pd.concat(pdfs, ignore_index=True))
     return _round_all(merged, ["variant"], _T2_FAMILY_COLS, 6)
 
@@ -2810,6 +2944,17 @@ pse_f AS (
          var_samp(v) FILTER (arm = 0) AS v0,
          var_samp(v) FILTER (arm = 1) AS v1
   FROM win_clip
+), sc_cells AS (
+  SELECT CAST(user_id % 2 AS INT) AS arm, CAST(count(*) AS DOUBLE) AS n,
+         avg(value) AS m1, avg(1 + user_id % 3) AS m2,
+         var_samp(value) AS v11, var_samp(1 + user_id % 3) AS v22,
+         covar_samp(value, 1 + user_id % 3) AS v12
+  FROM events GROUP BY 1
+), sc_stats AS (
+  SELECT arm, n, m1/m2 AS r,
+         ((1/m2)*(1/m2)*v11 + 2*(1/m2)*(-m1/(m2*m2))*v12
+          + (m1/(m2*m2))*(m1/(m2*m2))*v22)/n AS v
+  FROM sc_cells
 )
 SELECT 'plain' AS variant, round(n0, 6) AS n0, round(n1, 6) AS n1,
        round(m0, 6) AS mean0, round(m1, 6) AS mean1,
@@ -2817,6 +2962,19 @@ SELECT 'plain' AS variant, round(n0, 6) AS n0, round(n1, 6) AS n1,
        round(sqrt(v0/n0 + v1/n1), 6) AS stderr,
        round((m1 - m0)/sqrt(v0/n0 + v1/n1), 6) AS t_stat
 FROM ev_arms
+UNION ALL
+SELECT 'scorecard_v', round(n0, 6), round(n1, 6),
+       round(m0, 6), round(m1, 6), round(m1 - m0, 6),
+       round(sqrt(v0/n0 + v1/n1), 6),
+       round((m1 - m0)/sqrt(v0/n0 + v1/n1), 6)
+FROM ev_arms
+UNION ALL
+SELECT 'scorecard_r', round(a0.n, 6), round(a1.n, 6),
+       round(a0.r, 6), round(a1.r, 6), round(a1.r - a0.r, 6),
+       round(sqrt(a0.v + a1.v), 6),
+       round((a1.r - a0.r)/sqrt(a0.v + a1.v), 6)
+FROM (SELECT * FROM sc_stats WHERE arm = 0) a0,
+     (SELECT * FROM sc_stats WHERE arm = 1) a1
 UNION ALL
 SELECT 'cuped', round(a0.n, 6), round(a1.n, 6),
        round(a0.mean_adj, 6), round(a1.mean_adj, 6),
@@ -4373,13 +4531,32 @@ def g_knn_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("score", 4).alias("score"))
 
 
+def g_knn_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF cosine top-5 rows of the retrieval family (fully
+    SQL-derivable: DuckDB re-derives the ln-scaled postings weights, the
+    smooth idf, both norms — including the out-of-vocabulary query-term
+    contribution ('zzqx' never appears in the corpus but must still
+    carry weight in the query norm) — and the sparse-dot cosine).  One
+    query repeats a term so the ln(qtf) multiplicity path is checked."""
+    from fast_causal_inference_spark.datapipe.retrieval import tfidf_search
+
+    d = _load(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(
+        [(0, "spark query join"), (1, "data data stream zzqx")],
+        "query_id bigint, query string")
+    out = tfidf_search(d, qdf, k=5)
+    return out.select(F.lit("tfidf").alias("variant"), "query_id",
+                      F.col("id").alias("vec_id"), "rank",
+                      F.round("score", 4).alias("score"))
+
+
 def q_knn_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval family: exact brute-force + IVF approximate cosine top-k
-    over embeddings, and BM25 full-text top-k over documents (absorbs the
-    former knn_bruteforce / ivf_knn gate keys)."""
+    over embeddings, and BM25 + TF-IDF full-text top-k over documents
+    (absorbs the former knn_bruteforce / ivf_knn gate keys)."""
     # the IVF and BM25 members do eager driver-side model/index builds at
-    # construction — build all three concurrently, then union
-    exact_df, ivf_df, lsh_df, pq_df, bm25_df = _concurrent([
+    # construction — build all members concurrently, then union
+    exact_df, ivf_df, lsh_df, pq_df, bm25_df, tfidf_df = _concurrent([
         lambda: q_knn_bruteforce(spark, sf_dir).select(
             F.lit("exact").alias("variant"), "query_id", "vec_id", "rank",
             "score"),
@@ -4387,9 +4564,11 @@ def q_knn_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: g_knn_lsh(spark, sf_dir),
         lambda: g_knn_pq(spark, sf_dir),
         lambda: g_knn_bm25(spark, sf_dir),
+        lambda: g_knn_tfidf(spark, sf_dir),
     ])
     return (exact_df.unionByName(ivf_df).unionByName(lsh_df)
-            .unionByName(pq_df).unionByName(bm25_df))
+            .unionByName(pq_df).unionByName(bm25_df)
+            .unionByName(tfidf_df))
 
 
 def q_multi_arm_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5686,7 +5865,9 @@ def oracle_sql() -> dict[str, str]:
                     "NULL AS vec_id, NULL AS rank, NULL AS score "
                     "WHERE FALSE") + ") __kp UNION ALL "
                 + "SELECT 'bm25' AS variant, query_id, vec_id, rank, score "
-                + "FROM (" + _BM25_SQL + ") __kb"),
+                + "FROM (" + _BM25_SQL + ") __kb UNION ALL "
+                + "SELECT 'tfidf' AS variant, query_id, vec_id, rank, score "
+                + "FROM (" + _TFIDF_SQL + ") __kt"),
         "embedding_near_dup": (
             _EMB_NEAR_DUP_SQL + " UNION ALL "
             + "SELECT variant, id_a, id_b, cosine FROM ("

@@ -353,7 +353,15 @@ def stochastic_linear_regression(df: DataFrame, formula: str,
     mini-batch SGD with L1 prox / momentum / Nesterov updaters, states
     merge-averaged — here per-partition SGD + weighted model averaging.
     ``standardize=True`` z-scores internally (coefficients returned in the
-    original space) — recommended for unscaled features."""
+    original space) — recommended for unscaled features.
+
+    At-scale guidance: SGD is honestly data-linear PER EPOCH — every
+    epoch is a full-table scan, so on a 100 TB table this is the most
+    expensive way to fit a linear model.  Prefer :func:`ols` /
+    :func:`~fast_causal_inference_spark.operators.glm.glm` (one or a few
+    Gramian/IRLS sufficient-stats scans), or run this operator on a
+    ``stratified_sample`` — it exists for reference parity and for
+    L1/streaming-style updates, not as the scale path."""
     return _sgd_fit(df, formula, "linear", learning_rate, l1, l2,
                     batch_size, method, epochs, seed, standardize)
 
@@ -365,6 +373,9 @@ def stochastic_logistic_regression(df: DataFrame, formula: str,
                                    epochs: int = 1, seed: int = 42,
                                    standardize: bool = False) -> SGDModel:
     """Reference ``stochasticLogisticRegression`` (regression.py:553-668):
-    same updater family through the sigmoid link."""
+    same updater family through the sigmoid link.  At-scale guidance:
+    same as :func:`stochastic_linear_regression` — epochs are full-table
+    scans; prefer :func:`logistic_regression` (IRLS sufficient-stats
+    scans) or fit on a ``stratified_sample`` at cluster scale."""
     return _sgd_fit(df, formula, "logistic", learning_rate, l1, l2,
                     batch_size, method, epochs, seed, standardize)

@@ -61,10 +61,20 @@ def quantile_test_bucket(df: DataFrame, Y: str, index: str, uin: str,
     bucket = F.pmod(F.hash(F.col("uin")), F.lit(N_BUCKETS))
     brows = (sub.groupBy("arm", bucket.alias("bucket"))
              .agg(F.percentile("y", parr).alias("q")).collect())
+    # sort by bucket id: collect order is partition-layout-dependent, and
+    # the bootstrap draws index into this list — sorting makes the SEs
+    # reproducible across layouts (and across the grouped variant)
     bq: dict[int, list[list[float]]] = {0: [], 1: []}
-    for r in brows:
+    for r in sorted(brows, key=lambda r: (r["arm"], r["bucket"])):
         bq[r["arm"]].append(list(r["q"]))
+    return _qtb_finalize(armq, bq, pct, alpha, power, mde,
+                         n_bootstrap, seed)
 
+
+def _qtb_finalize(armq, bq, pct, alpha, power, mde, n_bootstrap,
+                  seed) -> pd.DataFrame:
+    """Driver-side finalizer over the tiny (arm, bucket) relations: the
+    bucket bootstrap, the relative test, power, and the recommended n."""
     # bootstrap std of the bucket-quantile mean (gateway:
     # stddevPop(BootStrap('AVG',128,B)(quantile)))
     rng = np.random.default_rng(seed)
@@ -139,6 +149,74 @@ def quantile_test_bucket(df: DataFrame, Y: str, index: str, uin: str,
 def quantile_test_bucket_spark(df: DataFrame, *args, **kwargs) -> DataFrame:
     pdf = quantile_test_bucket(df, *args, **kwargs)
     return df.sparkSession.createDataFrame(pdf)
+
+
+def quantile_test_bucket_grouped(df: DataFrame, Y: str, index: str,
+                                 uin: str, group_cols: list[str],
+                                 percentiles: tuple = (0.25, 0.5, 0.75),
+                                 alpha: float = 0.05, power: float = 0.8,
+                                 mde: float = 0.005, n_bootstrap: int = 500,
+                                 treatment_values: tuple = (0, 1),
+                                 seed: int = 42,
+                                 max_groups: int = 10000) -> pd.DataFrame:
+    """Per-segment :func:`quantile_test_bucket` drill-down at
+    segment-count-independent scan cost (the glm_grouped shape): ONE
+    ``groupBy(segment, arm)`` quantile scan plus ONE
+    ``groupBy(segment, arm, bucket)`` quantile scan — the per-segment
+    bucket bootstrap then runs on the driver over the bounded
+    (segments × 2 × 128) relation, re-seeded per segment so every
+    segment's report equals the solo operator run on that segment's rows
+    (pytest-equivalence-tested).  Segments missing an arm are skipped
+    with a NaN-free absence (no row) rather than a NaN report."""
+    idx = F.col(index) if index.isidentifier() else F.expr(index)
+    ucol = F.col(uin) if uin.isidentifier() else F.expr(uin)
+    ycol = F.expr(Y).cast("double")
+    v0, v1 = treatment_values
+    arm = F.when(idx == F.lit(v0), 0).when(idx == F.lit(v1), 1)
+    pct = list(float(p) for p in percentiles)
+    parr = F.array(*[F.lit(p) for p in pct])
+
+    sub = (df.where(arm.isNotNull() & ycol.isNotNull())
+             .select(*group_cols, arm.alias("arm"), ycol.alias("y"),
+                     ucol.alias("uin")))
+    arm_rows = (sub.groupBy(*group_cols, "arm")
+                .agg(F.percentile("y", parr).alias("q"),
+                     F.count(F.lit(1)).alias("cnt"))
+                .limit(2 * max_groups + 1).collect())
+    if len(arm_rows) > 2 * max_groups:
+        raise ValueError(
+            f"more than {max_groups} segments — the per-segment reports "
+            "collect to the driver; coarsen the grouping or raise "
+            "max_groups")
+    bucket = F.pmod(F.hash(F.col("uin")), F.lit(N_BUCKETS))
+    brows = (sub.groupBy(*group_cols, "arm", bucket.alias("bucket"))
+             .agg(F.percentile("y", parr).alias("q")).collect())
+
+    def _key(r):
+        return tuple(r[c] for c in group_cols)
+
+    armq_by_seg: dict = {}
+    for r in arm_rows:
+        armq_by_seg.setdefault(_key(r), {})[r["arm"]] = \
+            (list(r["q"]), float(r["cnt"]))
+    bq_by_seg: dict = {}
+    for r in sorted(brows, key=lambda r: (_key(r), r["arm"], r["bucket"])):
+        bq_by_seg.setdefault(_key(r), {0: [], 1: []})[r["arm"]].append(
+            list(r["q"]))
+
+    frames = []
+    for key in sorted(armq_by_seg, key=lambda k: tuple(map(str, k))):
+        armq = armq_by_seg[key]
+        if 0 not in armq or 1 not in armq:
+            continue                         # one-armed segment: no test
+        pdf = _qtb_finalize(armq, bq_by_seg[key], pct, alpha, power,
+                            mde, n_bootstrap, seed)
+        for c, v in zip(group_cols, key):
+            pdf.insert(0, c, v)
+        frames.append(pdf)
+    if not frames:
+        raise ValueError("no segment has both arms present")
+    return pd.concat(frames, ignore_index=True)
 
 
 def quantile_treatment_effect(df: DataFrame, Y: str, index: str,

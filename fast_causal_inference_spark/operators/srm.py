@@ -60,3 +60,59 @@ def srm_spark(df: DataFrame, x: str, groupby: str,
     spark = df.sparkSession
     pdf = srm(df, x, groupby, ratio)
     return spark.createDataFrame(pdf)
+
+
+def srm_grouped(df: DataFrame, x: str, groupby: str,
+                group_cols: list[str],
+                ratio: list[float] | None = None,
+                max_groups: int = 100000) -> pd.DataFrame:
+    """Per-segment SRM drill-down at segment-count-independent scan cost
+    (the glm_grouped shape): ONE ``groupBy(segment, arm)`` sum scan; each
+    segment's chi-square finalizes on the driver over the tiny
+    (segments × arms) relation and equals :func:`srm` run on that
+    segment's rows (pytest-equivalence-tested).
+
+    ``ratio`` aligns to the GLOBAL sorted arm list; a segment missing an
+    arm is tested over the arms it has, with the matching ratio entries
+    renormalized (exactly what the solo call on the segment would see).
+    """
+    xcol = F.expr(x).cast("double")
+    gcol = F.col(groupby) if groupby.isidentifier() else F.expr(groupby)
+    obs = (df.groupBy(*group_cols, gcol.alias("groupname"))
+             .agg(F.sum(xcol).alias("observed"))
+             .limit(max_groups + 1)
+             .toPandas())
+    if len(obs) > max_groups:
+        raise ValueError(
+            f"more than {max_groups} (segment, arm) cells — the "
+            "per-segment reports collect to the driver; coarsen the "
+            "grouping or raise max_groups")
+    # natural order, matching srm()'s orderBy("groupname") ratio alignment
+    arms = sorted(obs["groupname"].unique().tolist())
+    if ratio is not None and len(ratio) != len(arms):
+        raise ValueError(
+            f"ratio length {len(ratio)} != number of distinct arms "
+            f"{len(arms)}")
+    share = dict(zip(arms, [1.0] * len(arms) if ratio is None else ratio))
+    if any(v <= 0 for v in share.values()):
+        raise ValueError(
+            f"ratio entries must be strictly positive (got {ratio}): "
+            "a zero expected count makes the chi-square undefined — "
+            "drop the arm from the test instead")
+    frames = []
+    for key, seg in obs.groupby(group_cols, sort=True):
+        seg = seg.sort_values("groupname").reset_index(drop=True)
+        f_obs = seg["observed"].to_numpy(dtype=float)
+        if np.isnan(f_obs).any():
+            raise ValueError(
+                f"srm_grouped: segment {key!r} has a NULL/NaN observed "
+                "sum (all-NULL metric rows?) — chi-square would be "
+                "silently NaN")
+        r = np.array([share[g] for g in seg["groupname"]], dtype=float)
+        f_exp = r / r.sum() * f_obs.sum()
+        chi2 = float(((f_obs - f_exp) ** 2 / f_exp).sum())
+        seg["expected"] = f_exp
+        seg["chisquare"] = chi2
+        seg["p_value"] = float(dist.chi2_sf(chi2, len(f_obs) - 1))
+        frames.append(seg)
+    return pd.concat(frames, ignore_index=True)
