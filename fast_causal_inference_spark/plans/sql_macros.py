@@ -101,37 +101,310 @@ def _kwargs(args: list[str]) -> tuple[list, dict]:
     return pos, kw
 
 
+def _strip_line_comments(q: str) -> str:
+    """Drop ``-- …`` line comments outside string literals (the reference
+    gateway accepts commented scorecard SQL — SqlForwardTest.java:47-58)."""
+    out, quote, i = [], None, 0
+    while i < len(q):
+        ch = q[i]
+        if quote:
+            out.append(ch)
+            if ch == quote:
+                quote = None
+            i += 1
+            continue
+        if ch in "'\"":
+            quote = ch
+            out.append(ch)
+            i += 1
+            continue
+        if ch == "-" and q[i:i + 2] == "--":
+            j = q.find("\n", i)
+            i = len(q) if j < 0 else j
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+_TOP_WORDS = ("WITH", "SELECT", "FROM", "WHERE", "GROUP", "BY", "HAVING",
+              "ORDER", "LIMIT", "UNION", "JOIN")
+
+
+def _top_keywords(s: str) -> list[tuple[int, str]]:
+    """(position, WORD) for every top-level (depth-0, unquoted) keyword."""
+    res, depth, quote, i, n = [], 0, None, 0, len(s)
+    while i < n:
+        ch = s[i]
+        if quote:
+            if ch == quote:
+                quote = None
+            i += 1
+            continue
+        if ch in "'\"":
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and (ch.isalpha() or ch == "_"):
+            j = i
+            while j < n and (s[j].isalnum() or s[j] == "_"):
+                j += 1
+            w = s[i:j].upper()
+            if w in _TOP_WORDS and (i == 0 or not (s[i - 1].isalnum()
+                                                   or s[i - 1] == "_")):
+                res.append((i, w))
+            i = j
+            continue
+        i += 1
+    return res
+
+
+def _parse_general(q: str) -> dict | None:
+    """Parse ``[WITH …] SELECT items FROM target [WHERE …] [GROUP BY …]``
+    with a depth-aware scan (the FROM target may be a parenthesized
+    subquery; CTE bodies sit at depth > 0 so their clauses don't
+    interfere).  Returns None for shapes outside that grammar."""
+    s = q.strip().rstrip(";").strip()
+    kws = _top_keywords(s)
+    words = [w for _, w in kws]
+    if words.count("SELECT") != 1 or words.count("FROM") != 1:
+        return None
+    if any(w in ("HAVING", "ORDER", "LIMIT", "UNION", "JOIN")
+           for w in words):
+        return None
+    pos = {w: p for p, w in kws}
+    if "WITH" in words and (words[0] != "WITH" or kws[0][0] != 0):
+        return None
+    sel, frm = pos["SELECT"], pos["FROM"]
+    if frm < sel:
+        return None
+    where = pos.get("WHERE")
+    grp = pos.get("GROUP")
+    if grp is not None:
+        nxt = [w for p, w in kws if p > grp]
+        if not nxt or nxt[0] != "BY":
+            return None
+    end = len(s)
+    gb_text = None
+    if grp is not None:
+        by_pos = [p for p, w in kws if w == "BY" and p > grp][0]
+        gb_text = s[by_pos + 2:end].strip()
+        end = grp
+    wh_text = None
+    if where is not None:
+        if grp is not None and where > grp:
+            return None
+        wh_text = s[where + 5:end].strip()
+        end = where
+    return {
+        "ctes": s[4:sel].strip() if "WITH" in words else None,
+        "items": s[sel + 6:frm].strip(),
+        "from": s[frm + 4:end].strip(),
+        "where": wh_text,
+        "groupby": gb_text,
+    }
+
+
+def _find_macro_call(item: str) -> tuple[str, str, int, int] | None:
+    """First known-macro call in an expression: (fn, args, start, end+1)."""
+    depth, quote, i, n = 0, None, 0, len(item)
+    while i < n:
+        ch = item[i]
+        if quote:
+            if ch == quote:
+                quote = None
+            i += 1
+            continue
+        if ch in "'\"":
+            quote = ch
+            i += 1
+            continue
+        if ch == "(":
+            depth += 1
+            i += 1
+            continue
+        if ch == ")":
+            depth -= 1
+            i += 1
+            continue
+        if ch.isalpha() or ch == "_":
+            j = i
+            while j < n and (item[j].isalnum() or item[j] == "_"):
+                j += 1
+            k = j
+            while k < n and item[k].isspace():
+                k += 1
+            if k < n and item[k] == "(" and item[i:j].lower() in MACROS:
+                # balanced-paren extent of the call
+                d, quote2, m = 0, None, k
+                while m < n:
+                    c = item[m]
+                    if quote2:
+                        if c == quote2:
+                            quote2 = None
+                    elif c in "'\"":
+                        quote2 = c
+                    elif c == "(":
+                        d += 1
+                    elif c == ")":
+                        d -= 1
+                        if d == 0:
+                            return (item[i:j].lower(),
+                                    item[k + 1:m], i, m + 1)
+                    m += 1
+                return None
+            i = j
+            continue
+        i += 1
+    return None
+
+
+def _alias_split(item: str) -> tuple[str, str | None]:
+    """Peel a trailing top-level ``AS alias`` off a select item."""
+    m = re.search(r"\s+AS\s+([A-Za-z_][\w]*)\s*$", item, re.IGNORECASE)
+    if m and _find_macro_call(item[m.start():]) is None:
+        return item[:m.start()].strip(), m.group(1)
+    return item.strip(), None
+
+
 def sql(spark: SparkSession, query: str):
     """Run a (possibly macro-bearing) SQL string.
 
     Returns whatever the macro returns (DataFrame or pandas DataFrame for
     report-style operators); plain SQL returns ``spark.sql(query)``.
-    """
-    m = _MACRO_RE.match(query)
-    if not m or m.group("fn").lower() not in MACROS:
-        return spark.sql(query)
-    fn = m.group("fn").lower()
-    df = spark.table(m.group("table"))
-    if m.group("where"):
-        df = df.where(m.group("where"))
-    group_cols = None
-    if m.group("groupby"):
-        from pyspark.sql import functions as F
 
-        group_cols = []
-        # paren-aware split: a bare comma split would shred expression
-        # keys like substr(city, 1, 3) into invalid fragments
-        for i, g in enumerate(s.strip()
-                              for s in _split_args(m.group("groupby"))):
-            if g.isidentifier():
-                group_cols.append(g)
-            else:
-                # expression keys are materialized so operators see plain names
-                name = f"group_{i}"
-                df = df.withColumn(name, F.expr(g))
-                group_cols.append(name)
-    pos, kw = _kwargs(_split_args(m.group("args")))
-    return _dispatch(fn, df, pos, kw, group_cols)
+    Supported macro shapes (mirroring the reference gateway's
+    ``SqlForwardTest.java`` surface):
+
+    * ``SELECT macro(…) FROM tbl [WHERE …] [GROUP BY …]`` — sole item;
+    * ``WITH … SELECT macro(…) FROM cte`` and ``… FROM (subquery)`` —
+      the non-macro part evaluates through ``spark.sql`` untouched;
+    * ``SELECT key1, key2, macro(…) FROM t GROUP BY key1, key2`` —
+      leading bare columns that equal the GROUP BY keys become the
+      operator's ``group_cols`` (the gateway's grouped-report form);
+    * ``SELECT …, deltamethod(…) AS std, deltamethod(…)*expr … GROUP BY
+      g`` — the scalar-aggregate macros (deltamethod / avg_metric) may
+      appear INSIDE composite select lists: each call is computed once
+      per group, broadcast-joined back on the keys, and the rewritten
+      query runs through ``spark.sql`` with the call replaced by
+      ``first(__m_i)``.
+    ``--`` line comments are stripped first, as the gateway does.
+    """
+    q = _strip_line_comments(query)
+    m = _MACRO_RE.match(q)
+    if m and m.group("fn").lower() in MACROS:
+        fn = m.group("fn").lower()
+        df = spark.table(m.group("table"))
+        if m.group("where"):
+            df = df.where(m.group("where"))
+        df, group_cols = _materialize_keys(df, m.group("groupby"))
+        pos, kw = _kwargs(_split_args(m.group("args")))
+        return _dispatch(fn, df, pos, kw, group_cols)
+    p = _parse_general(q)
+    if p is None:
+        return spark.sql(query)
+    items = [_alias_split(it) for it in _split_args(p["items"])]
+    calls = [(_find_macro_call(body), body, alias) for body, alias in items]
+    if not any(c for c, _, _ in calls):
+        return spark.sql(query)
+    base_sql = f"SELECT * FROM {p['from']}"
+    if p["ctes"]:
+        base_sql = f"WITH {p['ctes']} {base_sql}"
+    df = spark.sql(base_sql)
+    if p["where"]:
+        df = df.where(p["where"])
+    df, group_cols = _materialize_keys(df, p["groupby"])
+
+    macro_items = [(c, body, alias) for c, body, alias in calls
+                   if c is not None]
+    plain_bodies = [body for c, body, _ in calls if c is None]
+    # report form: one whole-item macro, optionally preceded by bare key
+    # columns that the GROUP BY lists (the gateway's grouped reports)
+    whole = (len(macro_items) == 1
+             and macro_items[0][0][2] == 0
+             and macro_items[0][0][3] == len(macro_items[0][1]))
+    keys_ok = (not plain_bodies
+               or (all(b.isidentifier() for b in plain_bodies)
+                   and group_cols is not None
+                   and set(plain_bodies) <= set(group_cols)))
+    if whole and keys_ok:
+        fn, args, _, _ = macro_items[0][0]
+        pos, kw = _kwargs(_split_args(args))
+        return _dispatch(fn, df, pos, kw, group_cols)
+    # composite form: scalar-aggregate macros inline among other items
+    scalar = {"deltamethod", "delta_method", "avg_metric"}
+    if not all(c[0] in scalar for c, _, _ in macro_items):
+        raise ValueError(
+            "only the scalar-aggregate macros (deltamethod / avg_metric) "
+            "can appear inside a composite select list; report-style "
+            "macros must be the only select item (plus GROUP BY keys)")
+    from pyspark.sql import functions as F
+
+    from fast_causal_inference_spark.operators import deltamethod
+
+    seen: dict[str, str] = {}
+    joined = df
+    rewritten = []
+    for (c, body, alias) in calls:
+        while c is not None:
+            fn, args, start, stop = c
+            call_text = body[start:stop]
+            if call_text not in seen:
+                name = f"__m{len(seen)}"
+                seen[call_text] = name
+                pos, kw = _kwargs(_split_args(args))
+                if fn == "avg_metric":
+                    mdf = deltamethod.avg_metric(
+                        df, str(pos[0]), group_cols=group_cols, alias=name)
+                else:
+                    std = bool(kw.pop("std",
+                                      pos[1] if len(pos) > 1 else True))
+                    mdf = deltamethod.delta_method(
+                        df, str(pos[0]), std=std, group_cols=group_cols,
+                        alias=name)
+                joined = (joined.join(F.broadcast(mdf), on=group_cols)
+                          if group_cols
+                          else joined.crossJoin(F.broadcast(mdf)))
+            body = (body[:start] + f"first({seen[call_text]})"
+                    + body[stop:])
+            c = _find_macro_call(body)
+        rewritten.append(body + (f" AS {alias}" if alias else ""))
+    view = f"__macro_base_{abs(hash(q)) % 10 ** 8}"
+    joined.createOrReplaceTempView(view)
+    try:
+        final = f"SELECT {', '.join(rewritten)} FROM {view}"
+        if p["groupby"]:
+            # the ORIGINAL key text: a selected expression key must
+            # appear verbatim in GROUP BY for Spark's aggregate check
+            final += f" GROUP BY {p['groupby']}"
+        # spark.sql analyzes eagerly (Dataset.ofRows → assertAnalyzed),
+        # so the resolved plan survives the temp-view drop below
+        return spark.sql(final)
+    finally:
+        spark.catalog.dropTempView(view)
+
+
+def _materialize_keys(df: DataFrame, groupby: str | None):
+    """GROUP BY keys → plain column names (expression keys materialized)."""
+    if not groupby:
+        return df, None
+    from pyspark.sql import functions as F
+
+    group_cols = []
+    # paren-aware split: a bare comma split would shred expression
+    # keys like substr(city, 1, 3) into invalid fragments
+    for i, g in enumerate(s.strip()
+                          for s in _split_args(groupby)):
+        if g.isidentifier():
+            group_cols.append(g)
+        else:
+            # expression keys are materialized so operators see plain names
+            name = f"group_{i}"
+            df = df.withColumn(name, F.expr(g))
+            group_cols.append(name)
+    return df, group_cols
 
 
 def _dispatch(fn: str, df: DataFrame, pos: list, kw: dict,
@@ -173,9 +446,20 @@ def _dispatch(fn: str, df: DataFrame, pos: list, kw: dict,
                                   alternatives=pos[2] if len(pos) > 2
                                   else "two-sided", group_cols=group_cols)
     if fn == "xexpt_ttest_2samp":
+        # gateway positional order after (numerator, denominator, index,
+        # uin): cuped formula, alpha, mde, power — SqlForwardTest
+        # testNestedQuery rewrites them into
+        # Xexpt_Ttest_2samp(0.05,0.005,0.8,'X=x3/x4')(…); they were
+        # silently DROPPED here before
+        extras = {}
+        for val, name in zip(pos[4:], ("X", "alpha", "mde", "power")):
+            extras[name] = str(val) if name == "X" else float(val)
+        if "X" in extras:
+            # gateway spelling: 'X=avg(a)/avg(b)' or the bare formula
+            extras["X"] = re.sub(r"^\s*X\s*=\s*", "", extras["X"])
         return xexpt.xexpt_ttest_2samp_spark(
             df, str(pos[0]), str(pos[1]), str(pos[2]), str(pos[3]),
-            group_cols=group_cols,
+            group_cols=group_cols, **extras,
             **{("mde" if k == "MDE" else k): v for k, v in kw.items()})
     if fn == "srm":
         ratio = kw.pop("ratio", pos[2] if len(pos) > 2 else None)

@@ -162,3 +162,138 @@ def test_xexpt_macro_with_groupby(spark):
     pdf = out.toPandas()
     assert len(pdf) == 2
     assert "group_0" in pdf.columns
+
+
+# -- SqlForwardTest.java parity shapes (reference gateway surface) ----------
+
+
+def test_composite_scorecard_sql(spark, ab_df):
+    """The reference's commented multi-item scorecard
+    (SqlForwardTest.java:46-66): group keys, plain aggregates, a
+    deltamethod item, and a deltamethod-inside-an-expression item, with
+    -- comments and GROUP BY."""
+    from fast_causal_inference_spark.operators.deltamethod import delta_method
+
+    out = sql(spark, """
+        SELECT
+            treatment,
+            count(*) as cnt, -- sample size
+            avg(numerator)/avg(denominator) as mean, -- metric mean
+            deltamethod('avg(numerator)/avg(denominator)') as std,
+            deltamethod('avg(numerator)/avg(denominator)') * SQRT(sum(denominator)) AS sample_std
+        FROM ab
+        GROUP BY treatment
+    """).orderBy("treatment").toPandas()
+    assert list(out.columns) == ["treatment", "cnt", "mean", "std",
+                                 "sample_std"]
+    want = delta_method(ab_df, "avg(numerator)/avg(denominator)",
+                        group_cols=["treatment"]) \
+        .orderBy("treatment").toPandas()
+    assert out["std"].to_numpy() == pytest.approx(
+        want["std"].to_numpy(), rel=1e-12)
+    pdf = ab_df.toPandas()
+    for _, r in out.iterrows():
+        seg = pdf[pdf.treatment == r.treatment]
+        assert r.cnt == len(seg)
+        assert r["mean"] == pytest.approx(
+            seg.numerator.sum() / seg.denominator.sum(), rel=1e-12)
+        assert r.sample_std == pytest.approx(
+            r["std"] * (seg.denominator.sum() ** 0.5), rel=1e-9)
+
+
+def test_composite_without_groupby(spark, ab_df):
+    from fast_causal_inference_spark.operators.deltamethod import delta_method
+
+    out = sql(spark, "SELECT count(*) AS n, deltamethod("
+                     "'avg(numerator)/avg(denominator)') AS std FROM ab") \
+        .collect()[0]
+    want = delta_method(ab_df, "avg(numerator)/avg(denominator)") \
+        .collect()[0][0]
+    assert out["n"] == 4000
+    assert out["std"] == pytest.approx(want, rel=1e-12)
+
+
+def test_with_cte_macro(spark):
+    """WITH-clause front-end (SqlForwardTest testWith): CTEs evaluate
+    through spark.sql, the macro runs on the final relation."""
+    from fast_causal_inference_spark.operators.ols import ols as ols_op
+
+    got = sql(spark, """
+        with t1 as (SELECT y, x1, x2, x3 FROM ab where x3 > 0),
+        t2 as (select *, if(x2 > 0, 1, 0) AS pos from t1)
+        SELECT ols('y ~ x1 + pos') AS res FROM t2
+    """)
+    base = sql(spark, "SELECT * FROM ab WHERE x3 > 0") \
+        .withColumn("pos", __import__("pyspark.sql.functions",
+                                      fromlist=["F"]).expr(
+            "if(x2 > 0, 1, 0)"))
+    want = ols_op(base, "y ~ x1 + pos")
+    assert got.beta == pytest.approx(want.beta, rel=1e-12)
+
+
+def test_subquery_from_macro(spark, ab_df):
+    """FROM (subquery) front-end (SqlForwardTest testNestedQuery shape)."""
+    from fast_causal_inference_spark.operators.ttest import ttest_2samp
+
+    got = sql(spark, "SELECT ttest_2samp('avg(ysum)', treatment) FROM ("
+                     "select treatment, x3 > 1 AS seg, sum(y) AS ysum "
+                     "from ab group by treatment, x3 > 1)")
+    direct = ttest_2samp(
+        ab_df.groupBy("treatment", (ab_df.x3 > 1).alias("seg"))
+             .agg(__import__("pyspark.sql.functions",
+                             fromlist=["F"]).sum("y").alias("ysum")),
+        "avg(ysum)", "treatment")
+    assert got.collect()[0]["estimate"] == pytest.approx(
+        direct.collect()[0]["estimate"], rel=1e-12)
+
+
+def test_grouped_report_leading_keys(spark, ab_df):
+    """Leading bare key columns + macro + GROUP BY keys → group_cols
+    (the gateway's grouped xexpt form, SqlForwardTest testNestedQuery)."""
+    from fast_causal_inference_spark.operators.xexpt import xexpt_ttest_2samp
+
+    uid = "abs(hash(cast(numerator AS string)))"
+    got = sql(spark, "SELECT seg, xexpt_ttest_2samp(numerator, denominator"
+                     f", treatment, {uid}) FROM (SELECT *, x3 > 1 AS seg "
+                     "FROM ab) GROUP BY seg")
+    from pyspark.sql import functions as F
+
+    want = xexpt_ttest_2samp(
+        ab_df.withColumn("seg", F.expr("x3 > 1")),
+        "numerator", "denominator", "treatment", uid, group_cols=["seg"])
+    g = got.orderBy("seg").toPandas()
+    assert len(g) == len(want)
+    assert sorted(g["diff_relative"].astype(float)) == pytest.approx(
+        sorted(want["diff_relative"].astype(float)), rel=1e-9)
+
+
+def test_xexpt_gateway_positionals(spark, ab_df):
+    """Positions 5-8 (cuped formula, alpha, mde, power) follow the
+    gateway order and must not be dropped (they were, silently)."""
+    from fast_causal_inference_spark.operators.xexpt import xexpt_ttest_2samp
+
+    uid = "abs(hash(cast(numerator AS string)))"
+    got = sql(spark, "SELECT xexpt_ttest_2samp(numerator, denominator, "
+                     f"treatment, {uid}, "
+                     "'avg(numerator_pre)/avg(denominator_pre)', "
+                     "0.05, 0.005, 0.8) FROM ab")
+    want_df = xexpt_ttest_2samp(
+        ab_df, "numerator", "denominator", "treatment", uid,
+        X="avg(numerator_pre)/avg(denominator_pre)",
+        alpha=0.05, mde=0.005, power=0.8)
+    got_p = got.toPandas()
+    for c in ("diff_relative", "std_cuped"):
+        if c in want_df.columns:
+            assert got_p[c].astype(float).to_numpy() == pytest.approx(
+                want_df[c].astype(float).to_numpy(), rel=1e-9)
+    # CUPED actually engaged: stderr differs from the no-X run
+    plain = xexpt_ttest_2samp(ab_df, "numerator", "denominator",
+                              "treatment", uid)
+    assert not (want_df.filter(like="std").iloc[0].equals(
+        plain.filter(like="std").iloc[0]))
+
+
+def test_composite_report_macro_rejected(spark):
+    with pytest.raises(ValueError, match="scalar-aggregate"):
+        sql(spark, "SELECT count(*) AS n, ttest_2samp('avg(y)', treatment)"
+                   " FROM ab")
