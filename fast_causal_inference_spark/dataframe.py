@@ -871,6 +871,12 @@ class CausalGroupedData:
         self._cols = cols
 
     def __getattr__(self, name):
+        # same guard as CausalDataFrame.__getattr__: dunder/private
+        # probes (pickle's __setstate__, deepcopy's __deepcopy__, a
+        # half-initialized instance's _cdf) must raise, not recurse
+        # through self._cdf — which itself resolves via __getattr__ here
+        if name.startswith("_"):
+            raise AttributeError(name)
         if name in self._GROUPED_VERBS:
             fn = getattr(self._cdf, name)
 

@@ -200,7 +200,10 @@ def quantile_test_bucket_grouped(df: DataFrame, Y: str, index: str,
         armq_by_seg.setdefault(_key(r), {})[r["arm"]] = \
             (list(r["q"]), float(r["cnt"]))
     bq_by_seg: dict = {}
-    for r in sorted(brows, key=lambda r: (_key(r), r["arm"], r["bucket"])):
+    # stringified sort key: NULL group values (None) don't compare with
+    # strings/numbers; only per-segment (arm, bucket) order must be exact
+    for r in sorted(brows, key=lambda r: (tuple(map(str, _key(r))),
+                                          r["arm"], r["bucket"])):
         bq_by_seg.setdefault(_key(r), {0: [], 1: []})[r["arm"]].append(
             list(r["q"]))
 

@@ -100,7 +100,9 @@ def srm_grouped(df: DataFrame, x: str, groupby: str,
             "a zero expected count makes the chi-square undefined — "
             "drop the arm from the test instead")
     frames = []
-    for key, seg in obs.groupby(group_cols, sort=True):
+    # dropna=False: a NULL segment key is a real report cell (pandas'
+    # default silently drops it, unlike the Spark groupBy that made it)
+    for key, seg in obs.groupby(group_cols, sort=True, dropna=False):
         seg = seg.sort_values("groupname").reset_index(drop=True)
         f_obs = seg["observed"].to_numpy(dtype=float)
         if np.isnan(f_obs).any():

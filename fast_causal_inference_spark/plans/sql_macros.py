@@ -109,6 +109,12 @@ def _strip_line_comments(q: str) -> str:
         ch = q[i]
         if quote:
             out.append(ch)
+            if ch == "\\" and i + 1 < len(q):
+                # backslash-escaped char inside a literal (Spark accepts
+                # 'don\'t'): never treat the escaped quote as the closer
+                out.append(q[i + 1])
+                i += 2
+                continue
             if ch == quote:
                 quote = None
             i += 1
@@ -364,14 +370,30 @@ def sql(spark: SparkSession, query: str):
                     mdf = deltamethod.delta_method(
                         df, str(pos[0]), std=std, group_cols=group_cols,
                         alias=name)
-                joined = (joined.join(F.broadcast(mdf), on=group_cols)
-                          if group_cols
-                          else joined.crossJoin(F.broadcast(mdf)))
+                if group_cols:
+                    # NULL-SAFE key equality: a plain equi-join's
+                    # NULL != NULL would silently drop every NULL-keyed
+                    # group that plain spark.sql (and delta_method's own
+                    # groupBy) keeps
+                    cond = None
+                    for k in group_cols:
+                        c = joined[k].eqNullSafe(mdf[k])
+                        cond = c if cond is None else cond & c
+                    joined = joined.join(F.broadcast(mdf), cond)
+                    for k in group_cols:
+                        joined = joined.drop(mdf[k])
+                else:
+                    joined = joined.crossJoin(F.broadcast(mdf))
             body = (body[:start] + f"first({seen[call_text]})"
                     + body[stop:])
             c = _find_macro_call(body)
         rewritten.append(body + (f" AS {alias}" if alias else ""))
-    view = f"__macro_base_{abs(hash(q)) % 10 ** 8}"
+    import uuid
+
+    # per-call unique name: a query-hash name raced when two sessions'
+    # threads ran the same composite query concurrently (A's finally
+    # dropped the view B was about to analyze)
+    view = f"__macro_base_{uuid.uuid4().hex[:12]}"
     joined.createOrReplaceTempView(view)
     try:
         final = f"SELECT {', '.join(rewritten)} FROM {view}"
@@ -448,15 +470,20 @@ def _dispatch(fn: str, df: DataFrame, pos: list, kw: dict,
     if fn == "xexpt_ttest_2samp":
         # gateway positional order after (numerator, denominator, index,
         # uin): cuped formula, alpha, mde, power — SqlForwardTest
-        # testNestedQuery rewrites them into
-        # Xexpt_Ttest_2samp(0.05,0.005,0.8,'X=x3/x4')(…); they were
-        # silently DROPPED here before
+        # testNestedQuery's INPUT is xexpt_ttest_2samp(num, den, idx, uin,
+        # avg(n_pre)/avg(d_pre), 0.05, 0.005, 0.8); they were silently
+        # DROPPED here before.  Shape-aware binding also accepts the
+        # reference Python-API order's metric_type at position 5
+        # ('avg'/'sum') and an omitted cuped formula (numbers from
+        # position 5 on) — the operator itself strips any leading 'X='.
         extras = {}
-        for val, name in zip(pos[4:], ("X", "alpha", "mde", "power")):
-            extras[name] = str(val) if name == "X" else float(val)
-        if "X" in extras:
-            # gateway spelling: 'X=avg(a)/avg(b)' or the bare formula
-            extras["X"] = re.sub(r"^\s*X\s*=\s*", "", extras["X"])
+        rest = list(pos[4:])
+        if rest and isinstance(rest[0], str) and rest[0] in ("avg", "sum"):
+            extras["metric_type"] = rest.pop(0)
+        if rest and isinstance(rest[0], str):
+            extras["X"] = rest.pop(0)
+        for val, name in zip(rest, ("alpha", "mde", "power")):
+            extras[name] = float(val)
         return xexpt.xexpt_ttest_2samp_spark(
             df, str(pos[0]), str(pos[1]), str(pos[2]), str(pos[3]),
             group_cols=group_cols, **extras,

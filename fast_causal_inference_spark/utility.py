@@ -351,8 +351,15 @@ def hist_data(df: DataFrame, col: str, bins: int = 50,
     reference's matplotlib ``histplot``): ONE agg for the range (unless
     given), one width_bucket groupBy."""
     explicit_hi = hi is not None
+    # NaN is not NULL: Spark sorts NaN ABOVE every value, so an
+    # auto-computed hi on a NaN-bearing column becomes NaN and every bin
+    # edge with it — exclude NaN like NULL (it cannot be binned either)
+    finite = (F.col(col).isNotNull()
+              & ~F.isnan(F.col(col).cast("double")))
     if lo is None or hi is None:
-        r = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).collect()[0]
+        r = (df.where(finite)
+             .agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
+             .collect()[0])
         lo = r["lo"] if lo is None else lo
         hi = r["hi"] if hi is None else hi
     if lo is None or hi is None:            # empty / all-NULL column
@@ -368,7 +375,7 @@ def hist_data(df: DataFrame, col: str, bins: int = 50,
     bucket = F.width_bucket(c, F.lit(float(lo)), F.lit(float(hi)),
                             F.lit(bins))
     bucket = F.when(c == F.lit(float(hi)), F.lit(bins)).otherwise(bucket)
-    work = df.where(c.isNotNull() & (c >= F.lit(float(lo))))
+    work = df.where(finite & (c >= F.lit(float(lo))))
     if explicit_hi:
         work = work.where(c <= F.lit(float(hi)))
     agg = (work.groupBy(bucket.alias("bin"))

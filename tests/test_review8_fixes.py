@@ -1,0 +1,127 @@
+"""Round-8 adversarial review regression tests (utility / dataframe /
+sql_macros edges)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+import fast_causal_inference_spark.utility as U
+
+
+def test_hist_data_nan_excluded(spark):
+    """Genuine NaN values (Spark sorts them ABOVE every number) must not
+    poison the auto-computed range — they are unbinnable, like NULL."""
+    df = spark.sql("SELECT x FROM VALUES (1.0),(2.0),(3.0),"
+                   "(cast('NaN' as double)) t(x)")
+    h = U.hist_data(df, "x", bins=4)
+    assert h["count"].sum() == 3                  # NaN row dropped
+    assert np.isfinite(h.left.to_numpy()).all()
+    assert h.right.iloc[-1] == 3.0
+
+
+def test_grouped_data_no_getattr_recursion(spark, ab_df):
+    """copy.deepcopy / pickle probe dunders on CausalGroupedData; without
+    the private-name guard those probes recursed through self._cdf."""
+    from fast_causal_inference_spark.dataframe import CausalDataFrame
+
+    g = CausalDataFrame(ab_df).groupBy("treatment")
+    # probes must raise AttributeError (pre-fix: RecursionError); the
+    # deepcopy itself still fails on the non-copyable JVM handle, which
+    # is Spark's own contract, not the facade's
+    with pytest.raises(AttributeError):
+        g.__deepcopy__
+    with pytest.raises(AttributeError):
+        object.__getattribute__(g, "__getattr__")("_missing")
+    # grouped verbs still work after the guard
+    out = g.agg(F.count(F.lit(1)).alias("n"))
+    assert out.df.count() == 2
+
+
+def test_composite_macro_null_group_key(spark, ab_df):
+    """NULL group keys must survive the macro join-back (plain equi-join
+    NULL != NULL dropped the whole NULL group silently)."""
+    from fast_causal_inference_spark.plans.sql_macros import sql
+
+    ab_df.withColumn(
+        "seg", F.when(F.col("x3") > 1, F.lit("hi")).otherwise(F.lit(None))
+    ).createOrReplaceTempView("ab_nullseg")
+    out = sql(spark, "SELECT seg, count(*) AS n, deltamethod("
+                     "'avg(numerator)/avg(denominator)') AS std "
+                     "FROM ab_nullseg GROUP BY seg").toPandas()
+    assert len(out) == 2                       # 'hi' AND the NULL segment
+    assert out["n"].sum() == 4000
+    assert out["std"].notna().all()
+
+
+def test_srm_grouped_null_segment(spark, ab_df):
+    from fast_causal_inference_spark.operators.srm import srm, srm_grouped
+
+    df = ab_df.withColumn(
+        "seg", F.when(F.col("x3") > 1, F.lit("hi")).otherwise(F.lit(None)))
+    g = srm_grouped(df, "denominator", "treatment", ["seg"])
+    segs = set(g.seg.unique().tolist())
+    assert "hi" in segs and any(pd.isna(s) for s in segs)
+    null_rows = g[g.seg.isna()].reset_index(drop=True)
+    solo = srm(df.where("seg IS NULL"), "denominator", "treatment")
+    assert null_rows.chisquare.iloc[0] == pytest.approx(
+        solo.chisquare.iloc[0])
+
+
+def test_qtb_grouped_null_segment_key(spark, ab_df):
+    from fast_causal_inference_spark.operators.quantile_test import (
+        quantile_test_bucket,
+        quantile_test_bucket_grouped,
+    )
+
+    df = (ab_df.withColumn(
+        "seg", F.when(F.col("x3") > 1, F.lit("hi")).otherwise(F.lit(None)))
+        .withColumn("uid", F.monotonically_increasing_id()))
+    out = quantile_test_bucket_grouped(
+        df, "y", "treatment", "uid", ["seg"], percentiles=(0.5,),
+        n_bootstrap=50, seed=3)
+    assert set(map(str, out.seg.unique())) == {"hi", "None"}
+    null_part = out[out.seg.isna()].drop(columns="seg") \
+        .reset_index(drop=True)
+    solo = quantile_test_bucket(
+        df.where("seg IS NULL"), "y", "treatment", "uid",
+        percentiles=(0.5,), n_bootstrap=50, seed=3)
+    pd.testing.assert_frame_equal(null_part, solo, check_exact=False,
+                                  rtol=1e-12, atol=1e-12)
+
+
+def test_comment_strip_escaped_quote(spark):
+    from fast_causal_inference_spark.plans.sql_macros import (
+        _strip_line_comments,
+    )
+
+    q = "SELECT x FROM t WHERE note = 'don\\'t -- keep' -- drop this"
+    got = _strip_line_comments(q)
+    assert "don\\'t -- keep" in got
+    assert "drop this" not in got
+
+
+def test_xexpt_macro_arg_shapes(spark, ab_df):
+    """Position 5 may be metric_type ('avg'/'sum', reference Python-API
+    order), the cuped formula (gateway order), or the first numeric
+    (no-CUPED shorthand) — binding is shape-aware."""
+    from fast_causal_inference_spark.operators.xexpt import xexpt_ttest_2samp
+    from fast_causal_inference_spark.plans.sql_macros import sql
+
+    ab_df.createOrReplaceTempView("ab")
+    uid = "abs(hash(cast(numerator AS string)))"
+    no_x = sql(spark, "SELECT xexpt_ttest_2samp(numerator, denominator, "
+                      f"treatment, {uid}, 0.05, 0.005, 0.8) FROM ab")
+    want = xexpt_ttest_2samp(ab_df, "numerator", "denominator",
+                             "treatment", uid, alpha=0.05, mde=0.005,
+                             power=0.8)
+    got = no_x.toPandas()
+    assert got["diff_relative"].astype(float).to_numpy() == pytest.approx(
+        want["diff_relative"].astype(float).to_numpy(), rel=1e-9)
+    mt = sql(spark, "SELECT xexpt_ttest_2samp(numerator, denominator, "
+                    f"treatment, {uid}, 'sum', "
+                    "'avg(numerator_pre)/avg(denominator_pre)') FROM ab")
+    want_mt = xexpt_ttest_2samp(ab_df, "numerator", "denominator",
+                                "treatment", uid, metric_type="sum",
+                                X="avg(numerator_pre)/avg(denominator_pre)")
+    assert len(mt.toPandas()) == len(want_mt)
