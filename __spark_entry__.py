@@ -1039,13 +1039,14 @@ def g_t_learner_cvt(spark: SparkSession, sf_dir: str,
 
 
 def g_t_learner_x(spark: SparkSession, sf_dir: str,
-                 li: DataFrame | None = None, pm=None) -> DataFrame:
+                 li: DataFrame | None = None, pm=None,
+                 om=None) -> DataFrame:
     """X-learner rows (golden sub-oracle: logistic propensity blend)."""
     from fast_causal_inference_spark.uplift.metalearners import XLearner
 
     li = li if li is not None else _tl_base(spark, sf_dir)
     xl = XLearner(["l_quantity"], "l_extendedprice", "arm",
-                  propensity_model=pm).fit(li)
+                  propensity_model=pm, outcome_models=om).fit(li)
     return spark.createDataFrame(_avg_ite_rows(xl, li, "x", nd=4),
                                  "variant string, l_returnflag string, "
                                  "avg_ite double")
@@ -1099,14 +1100,15 @@ def g_t_learner_r(spark: SparkSession, sf_dir: str,
 
 
 def g_t_learner_dr(spark: SparkSession, sf_dir: str,
-                  li: DataFrame | None = None, pm=None) -> DataFrame:
+                  li: DataFrame | None = None, pm=None,
+                  om=None) -> DataFrame:
     """DR-learner rows (golden sub-oracle: logistic propensity inside the
     AIPW pseudo-outcome): average doubly-robust CATE by return flag."""
     from fast_causal_inference_spark.uplift.metalearners import DRLearner
 
     li = li if li is not None else _tl_base(spark, sf_dir)
     dr = DRLearner(["l_quantity"], "l_extendedprice", "arm",
-                   propensity_model=pm).fit(li)
+                   propensity_model=pm, outcome_models=om).fit(li)
     return spark.createDataFrame(_avg_ite_rows(dr, li, "dr", nd=4),
                                  "variant string, l_returnflag string, "
                                  "avg_ite double")
@@ -1166,12 +1168,17 @@ def q_t_learner(spark: SparkSession, sf_dir: str) -> DataFrame:
         PropensityModel,
     )
 
+    from fast_causal_inference_spark.operators.ols import ols_grouped
+
     li = _tl_base(spark, sf_dir)
-    (t_rows, s_rows, to_rows, conf_rows, cvt_df, retro_df, pmod) = \
+    # phase 1 also fits the TWO shared nuisances once: the logistic
+    # propensity (arm ~ l_quantity; consumed by prop/X/R/DR) and the
+    # per-arm grouped outcome OLS (l_extendedprice ~ l_quantity by arm;
+    # consumed by T/X/DR) — identical solves, so every golden stays
+    # bit-identical while three IRLS fits and two grouped Gramian scans
+    # disappear
+    (s_rows, to_rows, conf_rows, cvt_df, retro_df, pmod, om) = \
         _concurrent([
-            lambda: _avg_ite_rows(
-                TLearner(["l_quantity"], "l_extendedprice", "arm").fit(li),
-                li, "t"),
             lambda: _avg_ite_rows(
                 SLearner(["l_quantity"], "l_extendedprice", "arm").fit(li),
                 li, "s", nd=4),
@@ -1182,12 +1189,19 @@ def q_t_learner(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda: g_t_learner_cvt(spark, sf_dir, li=li),
             lambda: g_t_learner_retro(spark, sf_dir, li=li),
             lambda: PropensityModel(["l_quantity"], "arm").fit(li),
+            lambda: ols_grouped(li, "l_extendedprice ~ l_quantity",
+                                "CAST((arm) AS DOUBLE)"),
         ])
-    x_df, prop_df, r_df, dr_df = _concurrent([
-        lambda: g_t_learner_x(spark, sf_dir, li=li, pm=pmod.model_),
+    t_rows, x_df, prop_df, r_df, dr_df = _concurrent([
+        lambda: _avg_ite_rows(
+            TLearner(["l_quantity"], "l_extendedprice", "arm",
+                     outcome_models=om).fit(li), li, "t"),
+        lambda: g_t_learner_x(spark, sf_dir, li=li, pm=pmod.model_,
+                              om=om),
         lambda: g_t_learner_prop(spark, sf_dir, li=li, pm=pmod),
         lambda: g_t_learner_r(spark, sf_dir, li=li, pm=pmod.model_),
-        lambda: g_t_learner_dr(spark, sf_dir, li=li, pm=pmod.model_),
+        lambda: g_t_learner_dr(spark, sf_dir, li=li, pm=pmod.model_,
+                               om=om),
     ])
     sql_df = spark.createDataFrame(
         t_rows + s_rows + to_rows + conf_rows,

@@ -68,6 +68,11 @@ class TLearner:
     features: list[str]
     outcome: str = "y"
     treatment: str = "treatment"
+    # pre-fitted per-arm outcome models {0.0: m0, 1.0: m1} (one
+    # ols_grouped result): T / X-stage-1 / DR-stage-1 all solve the SAME
+    # grouped per-arm OLS when given the same data — fit it once and
+    # share it, like propensity_model (identical coefficients either way)
+    outcome_models: object = field(default=None, repr=False)
     model0_: object = field(default=None, repr=False)
     model1_: object = field(default=None, repr=False)
 
@@ -76,8 +81,9 @@ class TLearner:
         # BOTH arm models from ONE groupBy(arm) Gramian scan; the group
         # key casts to double so string-coded '0'/'1' arms keep working
         # (the old per-arm filter t == 0 relied on Spark's implicit cast)
-        models = ols_grouped(df, f,
-                             f"CAST(({self.treatment}) AS DOUBLE)")
+        models = (self.outcome_models if self.outcome_models is not None
+                  else ols_grouped(df, f,
+                                   f"CAST(({self.treatment}) AS DOUBLE)"))
         try:
             self.model0_, self.model1_ = models[0.0], models[1.0]
         except KeyError:
@@ -106,6 +112,8 @@ class XLearner:
     # IRLS when given the same data — fitting it once and sharing it
     # removes the redundant iterative scans without changing any number
     propensity_model: object = field(default=None, repr=False)
+    # pre-fitted per-arm outcome models (see TLearner.outcome_models)
+    outcome_models: object = field(default=None, repr=False)
     model0_: object = field(default=None, repr=False)
     model1_: object = field(default=None, repr=False)
     tau0_: object = field(default=None, repr=False)
@@ -117,8 +125,9 @@ class XLearner:
         f = _formula(self.outcome, self.features)
         # stage 1: BOTH arm outcome models from ONE groupBy(arm) scan
         # (double-cast group key: string-coded arms keep working)
-        models = ols_grouped(df, f,
-                             f"CAST(({self.treatment}) AS DOUBLE)")
+        models = (self.outcome_models if self.outcome_models is not None
+                  else ols_grouped(df, f,
+                                   f"CAST(({self.treatment}) AS DOUBLE)"))
         try:
             self.model0_, self.model1_ = models[0.0], models[1.0]
         except KeyError:
@@ -322,6 +331,8 @@ class DRLearner:
     trim: float = 0.01
     # pre-fitted logistic propensity shared across learners (see XLearner)
     propensity_model: object = field(default=None, repr=False)
+    # pre-fitted per-arm outcome models (see TLearner.outcome_models)
+    outcome_models: object = field(default=None, repr=False)
     model_: object = field(default=None, repr=False)
     model0_: object = field(default=None, repr=False)
     model1_: object = field(default=None, repr=False)
@@ -332,8 +343,10 @@ class DRLearner:
             raise ValueError("trim must be in [0, 0.5)")
         t = F.expr(self.treatment).cast("double")
         y = F.expr(self.outcome).cast("double")
-        models = ols_grouped(df, _formula(self.outcome, self.features),
-                             f"CAST(({self.treatment}) AS DOUBLE)")
+        models = (self.outcome_models if self.outcome_models is not None
+                  else ols_grouped(df,
+                                   _formula(self.outcome, self.features),
+                                   f"CAST(({self.treatment}) AS DOUBLE)"))
         try:
             self.model0_, self.model1_ = models[0.0], models[1.0]
         except KeyError:

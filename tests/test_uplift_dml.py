@@ -499,3 +499,25 @@ def test_shared_propensity_model_identical(spark, hte_df):
         assert a == pytest.approx(b, abs=1e-12), cls.__name__
         # and the shared object is used as-is, not refit
         assert with_pm.prop_ is shared
+
+
+def test_shared_outcome_models_identical(spark, hte_df):
+    """Passing pre-fitted per-arm outcome models (`outcome_models=`, one
+    ols_grouped result) into T / X / DR must reproduce the self-fit
+    results exactly — same grouped Gramian solve, run once."""
+    from fast_causal_inference_spark.operators.ols import ols_grouped
+    from fast_causal_inference_spark.uplift.metalearners import (
+        DRLearner,
+        TLearner,
+        XLearner,
+    )
+
+    om = ols_grouped(hte_df, "y ~ x1 + x2", "CAST((t) AS DOUBLE)")
+    for cls in (TLearner, XLearner, DRLearner):
+        solo = cls(["x1", "x2"], "y", "t").fit(hte_df)
+        shared = cls(["x1", "x2"], "y", "t",
+                     outcome_models=om).fit(hte_df)
+        a = solo.predict(hte_df).select("ite").toPandas().ite.to_numpy()
+        b = shared.predict(hte_df).select("ite").toPandas().ite.to_numpy()
+        assert a == pytest.approx(b, abs=1e-12), cls.__name__
+        assert shared.model0_ is om[0.0] and shared.model1_ is om[1.0]
