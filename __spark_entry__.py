@@ -1168,17 +1168,32 @@ def q_t_learner(spark: SparkSession, sf_dir: str) -> DataFrame:
         PropensityModel,
     )
 
+    from concurrent.futures import ThreadPoolExecutor
+
     from fast_causal_inference_spark.operators.ols import ols_grouped
 
     li = _tl_base(spark, sf_dir)
-    # phase 1 also fits the TWO shared nuisances once: the logistic
-    # propensity (arm ~ l_quantity; consumed by prop/X/R/DR) and the
-    # per-arm grouped outcome OLS (l_extendedprice ~ l_quantity by arm;
-    # consumed by T/X/DR) — identical solves, so every golden stays
-    # bit-identical while three IRLS fits and two grouped Gramian scans
-    # disappear
-    (s_rows, to_rows, conf_rows, cvt_df, retro_df, pmod, om) = \
-        _concurrent([
+    # the TWO shared nuisances fit ONCE, as futures on their own threads
+    # (not inside the consumer pool, which could fill with blocked
+    # consumers): the logistic propensity (arm ~ l_quantity; consumed by
+    # prop/X/R/DR) and the per-arm grouped outcome OLS (consumed by
+    # T/X/DR) — identical solves, so every golden stays bit-identical
+    # while three IRLS fits and two grouped Gramian scans disappear.
+    # Futures instead of a two-phase barrier: a phase split measured
+    # ~+2 s at sf0.1 because the six variants that need NO nuisance
+    # still waited on phase 1's slowest member.
+    nursery = ThreadPoolExecutor(max_workers=2)
+    try:
+        pm_f = nursery.submit(
+            lambda: PropensityModel(["l_quantity"], "arm").fit(li))
+        om_f = nursery.submit(
+            lambda: ols_grouped(li, "l_extendedprice ~ l_quantity",
+                                "CAST((arm) AS DOUBLE)"))
+        (t_rows, s_rows, to_rows, conf_rows, cvt_df, retro_df, x_df,
+         prop_df, r_df, dr_df) = _concurrent([
+            lambda: _avg_ite_rows(
+                TLearner(["l_quantity"], "l_extendedprice", "arm",
+                         outcome_models=om_f.result()).fit(li), li, "t"),
             lambda: _avg_ite_rows(
                 SLearner(["l_quantity"], "l_extendedprice", "arm").fit(li),
                 li, "s", nd=4),
@@ -1188,21 +1203,19 @@ def q_t_learner(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda: _conformal_rows(spark, sf_dir, li=li),
             lambda: g_t_learner_cvt(spark, sf_dir, li=li),
             lambda: g_t_learner_retro(spark, sf_dir, li=li),
-            lambda: PropensityModel(["l_quantity"], "arm").fit(li),
-            lambda: ols_grouped(li, "l_extendedprice ~ l_quantity",
-                                "CAST((arm) AS DOUBLE)"),
+            lambda: g_t_learner_x(spark, sf_dir, li=li,
+                                  pm=pm_f.result().model_,
+                                  om=om_f.result()),
+            lambda: g_t_learner_prop(spark, sf_dir, li=li,
+                                     pm=pm_f.result()),
+            lambda: g_t_learner_r(spark, sf_dir, li=li,
+                                  pm=pm_f.result().model_),
+            lambda: g_t_learner_dr(spark, sf_dir, li=li,
+                                   pm=pm_f.result().model_,
+                                   om=om_f.result()),
         ])
-    t_rows, x_df, prop_df, r_df, dr_df = _concurrent([
-        lambda: _avg_ite_rows(
-            TLearner(["l_quantity"], "l_extendedprice", "arm",
-                     outcome_models=om).fit(li), li, "t"),
-        lambda: g_t_learner_x(spark, sf_dir, li=li, pm=pmod.model_,
-                              om=om),
-        lambda: g_t_learner_prop(spark, sf_dir, li=li, pm=pmod),
-        lambda: g_t_learner_r(spark, sf_dir, li=li, pm=pmod.model_),
-        lambda: g_t_learner_dr(spark, sf_dir, li=li, pm=pmod.model_,
-                               om=om),
-    ])
+    finally:
+        nursery.shutdown(wait=False)
     sql_df = spark.createDataFrame(
         t_rows + s_rows + to_rows + conf_rows,
         "variant string, l_returnflag string, avg_ite double")
@@ -1869,10 +1882,11 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (rows-only: xxhash64-based signature).
 
     max_hamming=8 with the default block-combination candidate scheme
-    (Manku WWW'07): b=12 blocks, join on every C(12,4)=495 combination
-    of 4 concatenated blocks (~21-bit keys) — same exact recall as the
+    (Manku WWW'07): b=11 blocks, join on every C(11,3)=165 combination
+    of 3 concatenated blocks (~17-bit keys) — same exact recall as the
     old 9x7-bit pigeonhole but near-linear candidates instead of the
-    TH(n^2/128) join a 7-bit key implies."""
+    TH(n^2/128) join a 7-bit key implies (b=k+3 measured fastest at
+    sf1: see the simhash_pairs docstring's block-count trade-off)."""
     from fast_causal_inference_spark.datapipe.dedup import simhash_pairs
 
     d = _load(spark, sf_dir, "documents")

@@ -382,12 +382,19 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     ``chunks`` is the block count ``b`` (legacy name kept for API
     compatibility).  The default picks ``b = 4`` for ``k ≤ 3`` — the
     classic 4×16-bit pigeonhole, C(4,1)=4 single-block keys of 16 bits —
-    and ``b = k + 4`` otherwise, so the key always concatenates 4 blocks:
-    for ``k = 8`` that is C(12,4) = 495 keys of ~21 bits.  Versus a
+    and ``b = k + 3`` otherwise (3 concatenated blocks per key): for
+    ``k = 8`` that is C(11,3) = 165 keys of ~17 bits.  Versus a
     ``b = k + 1`` single-block scheme (7-bit keys, 128 distinct values →
     a Θ(n²/128) candidate join) the candidate volume drops from
-    quadratic-with-a-small-constant to near-linear: each combination's
-    expected bucket collision count is n²/2^21 instead of n²/2^7.
+    quadratic-with-a-small-constant to near-linear.  The block count
+    trades two costs (measured at sf1, 50k docs / 1.05M true pairs):
+    NARROW keys (b = k+2 → ~13 bits) let random bucket collisions blow
+    up, while MANY combinations (b = k+4 → C(12,4)=495) multiply the
+    duplicate-candidate mass — every hamming-0 pair matches all C(b,m)
+    keys and each copy rides the dedup shuffle.  b = k+3 measured
+    fastest at both scales (sf1 14.1 s vs 20.5 s for k+4 and 24.6 s for
+    k+2); raise ``chunks`` toward k+4/k+5 for corpora where random
+    collisions (huge n, few true pairs) dominate the duplicate mass.
 
     Scale shape: one explode to ``C(b, m)`` (id, sig, key) rows per doc
     (rows of three longs — ids-only shuffle payload), one equi-join on a
@@ -395,7 +402,7 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     candidate set, then the exact verify.  No driver-side state.
     """
     k = max_hamming
-    b = chunks if chunks is not None else (4 if k <= 3 else k + 4)
+    b = chunks if chunks is not None else (4 if k <= 3 else k + 3)
     if b < k + 1:
         raise ValueError(
             f"chunks={b} cannot guarantee recall at max_hamming={k}: "
