@@ -275,12 +275,13 @@ def main() -> None:
             # the budget is spent, the rest are LISTED as skipped (never a
             # silent cap) — the block is a scaling diagnostic, not the
             # number of record
-            # 320 s fits the measured all-50 block (~220-275 s depending
+            # 420 s fits the measured all-50 block (~220-310 s depending
             # on the machine's drift phase) with margin: a slow-phase
             # process inflates BOTH the sf0.1 medians feeding the
-            # completion predictor and the sf1 walls, which at 280 s
-            # skipped 8 families in one observed run
-            budget = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET", "320"))
+            # completion predictor and the sf1 walls — 280 s skipped 8
+            # families in one observed run and 320 s skipped 5 in a
+            # round-8 slow-phase run (45 families took 306 s)
+            budget = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET", "420"))
             t_block = time.perf_counter()
             order = ([n for n in qs if n not in _SF1_KNOWN]
                      + [n for n in _SF1_KNOWN if n in qs])

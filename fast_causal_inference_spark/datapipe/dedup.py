@@ -424,14 +424,24 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     # distribute the 64 bits over b blocks as evenly as possible
     widths = [64 // b + (1 if i < 64 % b else 0) for i in range(b)]
     offs = [sum(widths[:i]) for i in range(b)]
-    # two primitive longs per doc; cached so the l/r sides of the key
-    # join and the verify projection share one token-vote aggregation
+    # two primitive longs per doc; cached so the candidate join, the
+    # expansion joins, and the within-group join share one token-vote
+    # aggregation.  Eager: the join sides would otherwise re-run the
+    # vote agg before the cache populates (see the ranked.count() note
+    # in ngram_jaccard_pairs).
     sigs = register_cache(simhash_signatures(df, text_col, id_col).cache())
-    # eager: both self-join sides would otherwise re-run the vote agg
-    # before the cache populates (see the ranked.count() note in
-    # ngram_jaccard_pairs)
     sigs.count()
-    # per-doc block values, computed once and carried through the explode
+    # candidates are generated over DISTINCT signatures, then verified
+    # signature pairs expand back to member pairs.  A dedup corpus is
+    # duplicate-heavy by construction: a cluster of m identical texts
+    # shares one signature, so the naive per-document join emits every
+    # one of its C(m,2) member pairs from EVERY matching combination
+    # (C(b, b-k) copies each through the dedup shuffle), while the
+    # distinct-signature join emits each signature pair once and the
+    # member pairs materialize exactly once in the expansion join.
+    reps = sigs.select("sig").distinct()
+    # per-signature block values, computed once and carried through the
+    # combo fan-out
     blk = F.array(*[
         F.shiftright(F.col("sig"), offs[i])
         .bitwiseAND(F.lit((1 << widths[i]) - 1).cast("long"))
@@ -454,18 +464,37 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
         F.col("cid"),
         *[F.element_at(F.col("blk"), (F.col(f"i{j}") + 1).cast("int"))
           for j in range(m)])
-    keyed = (sigs.withColumn("blk", blk)
+    keyed = (reps.withColumn("blk", blk)
              .join(F.broadcast(combo_df))
-             .select("id", "sig", key.alias("key")))
+             .select("sig", key.alias("key")))
     left, right = keyed.alias("l"), keyed.alias("r")
-    cand = (left.join(right, [F.col("l.key") == F.col("r.key"),
-                              F.col("l.id") < F.col("r.id")])
-            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-                    F.col("l.sig").alias("sig_a"), F.col("r.sig").alias("sig_b"))
-            .dropDuplicates(["id_a", "id_b"]))
-    return (cand.withColumn("hamming", hamming64(F.col("sig_a"), F.col("sig_b")))
-                .where(F.col("hamming") <= max_hamming)
-                .select("id_a", "id_b", "hamming"))
+    sig_pairs = (left.join(right, [F.col("l.key") == F.col("r.key"),
+                                   F.col("l.sig") < F.col("r.sig")])
+                 .select(F.col("l.sig").alias("sig_a"),
+                         F.col("r.sig").alias("sig_b"))
+                 .dropDuplicates(["sig_a", "sig_b"])
+                 .withColumn("hamming",
+                             hamming64(F.col("sig_a"), F.col("sig_b"))
+                             .cast("int"))
+                 .where(F.col("hamming") <= max_hamming))
+    # expansion: every member pair of a verified signature pair, each
+    # exactly once (the signature pair is unique, so no dedup needed);
+    # least/greatest restores the id_a < id_b contract
+    ma = sigs.select(F.col("id").alias("__ia"), F.col("sig").alias("sig_a"))
+    mb = sigs.select(F.col("id").alias("__ib"), F.col("sig").alias("sig_b"))
+    cross = (sig_pairs.join(ma, "sig_a").join(mb, "sig_b")
+             .select(F.least("__ia", "__ib").alias("id_a"),
+                     F.greatest("__ia", "__ib").alias("id_b"),
+                     "hamming"))
+    # identical-signature members pair among themselves at hamming 0
+    within = (sigs.alias("a")
+              .join(sigs.alias("b"),
+                    [F.col("a.sig") == F.col("b.sig"),
+                     F.col("a.id") < F.col("b.id")])
+              .select(F.col("a.id").alias("id_a"),
+                      F.col("b.id").alias("id_b"),
+                      F.lit(0).cast("int").alias("hamming")))
+    return cross.unionByName(within)
 
 
 # ---------------------------------------------------------------------------

@@ -48,6 +48,11 @@ __all__ = [
 ]
 
 
+# above this many distinct domains the mixture rate map becomes a
+# broadcast join instead of a literal WHEN chain (codegen method size)
+_RATE_CHAIN_MAX = 64
+
+
 def _unit_draw(*cols: Column | str, seed: int) -> Column:
     """Deterministic U(0,1) per row from xxhash64 — reproducible under task
     retries and input re-splitting (``F.rand`` is neither)."""
@@ -98,32 +103,51 @@ def domain_mixture_sample(df: DataFrame, domain_col: str,
         want = n_out * target_weights.get(d, 0.0) / tot_w
         rates[d] = min(want / n, max_upsample) if n else 0.0
 
-    expr = None
-    for d, r in rates.items():
-        # null-safe: a NULL domain is a real (counted, weighted) key —
-        # plain == against lit(None) is never true and would silently
-        # drop the whole NULL-domain mass from the output
-        cond = (F.col(domain_col).isNull() if d is None
-                else F.col(domain_col) == F.lit(d))
-        expr = F.when(cond, r) if expr is None else expr.when(cond, r)
-    rate = expr.otherwise(F.lit(0.0)) if expr is not None else F.lit(0.0)
-
     # default draw keys: EVERY column, not the domain — hashing only the
     # (low-cardinality) domain gives all rows of a domain the same
     # U(0,1) draw, keeping or dropping whole domains wholesale instead
     # of sampling within them (stratified/reservoir already default to
     # df.columns for the same reason)
     draw_cols = id_cols or list(df.columns)
+    work = df
+    if len(rates) > _RATE_CHAIN_MAX:
+        # high-cardinality domains: a literal WHEN chain over thousands
+        # of keys blows Janino's 64 KB codegen method limit (interpreted
+        # fallback, ~10× slower) — broadcast-join the rate relation
+        # instead.  eqNullSafe: a NULL domain is a real (counted,
+        # weighted) key.
+        rate_rel = df.sparkSession.createDataFrame(
+            [(d, float(r)) for d, r in rates.items()],
+            T.StructType([
+                T.StructField("__dom", df.schema[domain_col].dataType),
+                T.StructField("__rate", T.DoubleType()),
+            ]))
+        work = (df.join(F.broadcast(rate_rel),
+                        F.col(domain_col).eqNullSafe(F.col("__dom")),
+                        "left")
+                .drop("__dom"))
+        rate = F.coalesce(F.col("__rate"), F.lit(0.0))
+    else:
+        expr = None
+        for d, r in rates.items():
+            # null-safe: a NULL domain is a real (counted, weighted) key
+            # — plain == against lit(None) is never true and would
+            # silently drop the whole NULL-domain mass from the output
+            cond = (F.col(domain_col).isNull() if d is None
+                    else F.col(domain_col) == F.lit(d))
+            expr = F.when(cond, r) if expr is None else expr.when(cond, r)
+        rate = expr.otherwise(F.lit(0.0)) if expr is not None \
+            else F.lit(0.0)
     u = _unit_draw(*draw_cols, seed=seed)
     n_copies = (F.floor(rate)
                 + (u < (rate - F.floor(rate))).cast("long")).cast("int")
-    out = (df.withColumn("__n_copies", n_copies)
+    out = (work.withColumn("__n_copies", n_copies)
            .where(F.col("__n_copies") > 0)
            .withColumn("__replica",
                        F.explode(F.sequence(F.lit(0),
                                             F.col("__n_copies") - 1)))
            .drop("__n_copies"))
-    return out
+    return out.drop("__rate") if len(rates) > _RATE_CHAIN_MAX else out
 
 
 def global_shuffle(df: DataFrame, seed: int = 42,
@@ -234,8 +258,13 @@ def quality_weighted_sample(df: DataFrame, weight_col: str,
     high-quality rows are over-represented.  The draw is xxhash64-based
     (reproducible, retry-stable).  One mean aggregation + one scan."""
     mean_w = df.agg(F.avg(F.col(weight_col).cast("double"))).collect()[0][0]
-    if not mean_w or mean_w <= 0:
-        raise ValueError(f"mean({weight_col}) must be positive")
+    # NaN check matters: avg() propagates a NaN weight, NaN is truthy
+    # and NaN <= 0 is False, so the old guard passed and `u < NaN·…`
+    # silently returned an EMPTY sample
+    if mean_w is None or mean_w != mean_w or mean_w <= 0:
+        raise ValueError(
+            f"mean({weight_col}) must be a positive number, got {mean_w!r}"
+            " — NaN weights poison the acceptance probability")
     p = F.least(F.lit(1.0),
                 F.lit(fraction) * F.col(weight_col).cast("double") / mean_w)
     # default draw keys: every column — a discrete weight column alone

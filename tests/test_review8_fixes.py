@@ -125,3 +125,46 @@ def test_xexpt_macro_arg_shapes(spark, ab_df):
                                 "treatment", uid, metric_type="sum",
                                 X="avg(numerator_pre)/avg(denominator_pre)")
     assert len(mt.toPandas()) == len(want_mt)
+
+
+def test_quality_weighted_sample_nan_raises(spark):
+    from fast_causal_inference_spark.datapipe.training import (
+        quality_weighted_sample,
+    )
+
+    df = spark.sql("SELECT * FROM VALUES (1, 1.0), (2, cast('NaN' as "
+                   "double)), (3, 2.0) t(id, w)")
+    with pytest.raises(ValueError, match="NaN weights"):
+        quality_weighted_sample(df, "w", 0.5)
+
+
+def test_domain_mixture_join_path_matches_chain(spark):
+    """Above _RATE_CHAIN_MAX domains the rate map becomes a broadcast
+    join; outputs must be identical to the WHEN-chain path (same rates,
+    same xxhash64 draws)."""
+    import fast_causal_inference_spark.datapipe.training as tr
+
+    pdf = pd.DataFrame({
+        "doc_id": range(3000),
+        "domain": [f"d{i % 100}" if i % 10 else None for i in range(3000)],
+        "text": [f"doc {i}" for i in range(3000)],
+    })
+    df = spark.createDataFrame(pdf)
+    weights = {f"d{i}": 1.0 + (i % 3) for i in range(100)}
+    weights[None] = 2.0
+    out_join = tr.domain_mixture_sample(df, "domain", weights, seed=5) \
+        .toPandas().sort_values(["doc_id", "__replica"]) \
+        .reset_index(drop=True)
+    assert len(weights) > tr._RATE_CHAIN_MAX     # join path exercised
+    old = tr._RATE_CHAIN_MAX
+    tr._RATE_CHAIN_MAX = 10 ** 9
+    try:
+        out_chain = tr.domain_mixture_sample(df, "domain", weights,
+                                             seed=5) \
+            .toPandas().sort_values(["doc_id", "__replica"]) \
+            .reset_index(drop=True)
+    finally:
+        tr._RATE_CHAIN_MAX = old
+    pd.testing.assert_frame_equal(out_join, out_chain)
+    # NULL-domain rows kept by both paths
+    assert out_join.domain.isna().any()
