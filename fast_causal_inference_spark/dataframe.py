@@ -55,18 +55,34 @@ class CausalDataFrame:
         """Reference drill-down UX: ``df.groupBy('ds').ttest_2samp(...)``
         (statistics.py docstrings) — returns a grouped view whose
         statistical verbs run per group.  Non-statistical names fall
-        through to the native ``DataFrame.groupBy``."""
-        from pyspark.sql import Column
+        through to the native ``DataFrame.groupBy``.
 
-        names = []
-        for c in cols:
+        Expression keys (Column objects or SQL strings like
+        ``"x > 1"``) are materialized as ``group_{i}`` columns first:
+        the statistical verbs address their group columns BY NAME, and
+        a recovered planned name like ``(x > 1)`` is not a resolvable
+        column (same treatment as the SQL macro front-end's GROUP BY)."""
+        from pyspark.sql import Column
+        from pyspark.sql import functions as F
+
+        names, out = [], self._df
+        for i, c in enumerate(cols):
             if isinstance(c, Column):
                 # Column args (valid in vanilla groupBy) would stringify
                 # to "Column<'g'>" garbage — recover the planned name
-                names.append(self._df.select(c).columns[0])
+                planned = self._df.select(c).columns[0]
+                if planned.isidentifier():
+                    names.append(planned)
+                else:
+                    out = out.withColumn(f"group_{i}", c)
+                    names.append(f"group_{i}")
+            elif isinstance(c, str) and not c.isidentifier():
+                out = out.withColumn(f"group_{i}", F.expr(c))
+                names.append(f"group_{i}")
             else:
                 names.append(str(c))
-        return CausalGroupedData(self, names)
+        return CausalGroupedData(
+            self if out is self._df else CausalDataFrame(out), names)
 
     # -- statistical verbs ---------------------------------------------
     def delta_method(self, expr: str, std: bool = True, group_cols=None):

@@ -98,12 +98,19 @@ def ope_snips(df: DataFrame, reward: str, target_prob, logging_prob,
     """
     r = F.expr(reward).cast("double")
     w = _weight(target_prob, logging_prob, clip)
-    row = df.agg(F.count(w * r).alias("n"),
-                 F.sum(w * r).alias("swr"),
-                 F.sum(w).alias("sw"),
-                 F.sum(w * w * r * r).alias("sw2r2"),
-                 F.sum(w * w * r).alias("sw2r"),
-                 F.sum(w * w).alias("sw2")).collect()[0]
+    # EVERY sum restricted to rows with a defined w·r (the rows the
+    # estimate uses): a NULL-reward row with a defined weight would
+    # otherwise enter Σw / Σw² but not Σwr — biasing the normalized
+    # value toward 0 and computing ESS/w̄ on a different row set than n
+    # (ope_ips already gates its ESS sums the same way)
+    m = (w * r).isNotNull()
+    wm = F.when(m, w)
+    row = df.agg(F.count(F.when(m, 1)).alias("n"),
+                 F.sum(wm * r).alias("swr"),
+                 F.sum(wm).alias("sw"),
+                 F.sum(wm * wm * r * r).alias("sw2r2"),
+                 F.sum(wm * wm * r).alias("sw2r"),
+                 F.sum(wm * wm).alias("sw2")).collect()[0]
     n = float(row["n"])
     if n == 0 or float(row["sw"]) == 0:
         raise ValueError("ope_snips: no rows (or all-zero weights)")
@@ -171,11 +178,15 @@ def ope_dr(df: DataFrame, reward: str, action: str, features: list[str],
     pi_logged = pi_logged.otherwise(F.lit(0.0))
     w = _weight(pi_logged, logging_prob, clip)
     phi = dm + w * (F.col("__r") - F.coalesce(q_logged, F.lit(0.0)))
+    # ESS sums gated on defined φ — same row-set rule as ips/snips (a
+    # NULL-feature row has no q̂, drops out of n/v/sd, and must not
+    # inflate the overlap diagnostic either)
+    w_used = F.when(phi.isNotNull(), w)
     row = work.agg(F.count(phi).alias("n"),
                    F.avg(phi).alias("v"),
                    F.stddev_samp(phi).alias("sd"),
-                   F.sum(w).alias("sw"),
-                   F.sum(w * w).alias("sw2")).collect()[0]
+                   F.sum(w_used).alias("sw"),
+                   F.sum(w_used * w_used).alias("sw2")).collect()[0]
     n = float(row["n"])
     if n == 0:
         raise ValueError("ope_dr: no rows with defined reward and features")

@@ -168,3 +168,61 @@ def test_domain_mixture_join_path_matches_chain(spark):
     pd.testing.assert_frame_equal(out_join, out_chain)
     # NULL-domain rows kept by both paths
     assert out_join.domain.isna().any()
+
+
+def test_facade_groupby_expression_keys(spark, ab_df):
+    """groupBy with a Column expression or SQL-string key must work with
+    the statistical verbs (the recovered planned name '(x3 > 1)' is not
+    a resolvable column — keys materialize as group_{i})."""
+    from fast_causal_inference_spark.dataframe import CausalDataFrame
+
+    cdf = CausalDataFrame(ab_df)
+    out_col = cdf.groupBy(F.col("x3") > 1).ttest_2samp("avg(y)",
+                                                       "treatment")
+    out_str = cdf.groupBy("x3 > 1").ttest_2samp("avg(y)", "treatment")
+    assert out_col.count() == 2 and out_str.count() == 2
+    a = {r["group_0"]: r["estimate"] for r in out_col.collect()}
+    b = {r["group_0"]: r["estimate"] for r in out_str.collect()}
+    assert a == b
+    # plain-name keys keep their own name
+    plain = cdf.groupBy("treatment").agg(F.count(F.lit(1)).alias("n"))
+    assert "treatment" in plain.df.columns
+
+
+def test_ope_snips_null_reward_row_set(spark):
+    """A NULL-reward row with a defined weight must not enter the SNIPS
+    normalizer or ESS: the estimate over (r, w, r_null_extra) must equal
+    the estimate over (r, w) exactly."""
+    from fast_causal_inference_spark.operators.offpolicy import (
+        ope_dr,
+        ope_snips,
+    )
+
+    base = pd.DataFrame({
+        "r": [1.0, 2.0, 0.5, 3.0] * 50,
+        "pi": [0.8, 0.2, 0.5, 0.7] * 50,
+        "mu": [0.5, 0.5, 0.5, 0.5] * 50,
+        "a": [0, 1, 0, 1] * 50,
+        "x": [0.1, 0.9, 0.4, 0.6] * 50,
+    })
+    polluted = pd.concat([base, pd.DataFrame({
+        "r": [None] * 20, "pi": [0.9] * 20, "mu": [0.5] * 20,
+        "a": [0] * 20, "x": [0.5] * 20,
+    })], ignore_index=True)
+    clean_df, dirty_df = (spark.createDataFrame(p)
+                          for p in (base, polluted))
+    s_clean = ope_snips(clean_df, "r", "pi", "mu").iloc[0]
+    s_dirty = ope_snips(dirty_df, "r", "pi", "mu").iloc[0]
+    for c in ("value", "stderr", "n", "ess"):
+        assert s_dirty[c] == pytest.approx(s_clean[c], rel=1e-12), c
+    # DR: a NULL-feature row drops from phi and from the ESS sums alike
+    polluted_x = pd.concat([base, pd.DataFrame({
+        "r": [1.0] * 20, "pi": [0.9] * 20, "mu": [0.5] * 20,
+        "a": [0] * 20, "x": [None] * 20,
+    })], ignore_index=True)
+    probs = {0: "pi", 1: "1 - pi"}
+    d_clean = ope_dr(clean_df, "r", "a", ["x"], probs, "mu").iloc[0]
+    d_dirty = ope_dr(spark.createDataFrame(polluted_x), "r", "a", ["x"],
+                     probs, "mu").iloc[0]
+    assert d_dirty["n"] == d_clean["n"]
+    assert d_dirty["ess"] == pytest.approx(d_clean["ess"], rel=1e-12)
