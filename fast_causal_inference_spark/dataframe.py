@@ -57,28 +57,43 @@ class CausalDataFrame:
         statistical verbs run per group.  Non-statistical names fall
         through to the native ``DataFrame.groupBy``.
 
-        Expression keys (Column objects or SQL strings like
-        ``"x > 1"``) are materialized as ``group_{i}`` columns first:
-        the statistical verbs address their group columns BY NAME, and
-        a recovered planned name like ``(x > 1)`` is not a resolvable
-        column (same treatment as the SQL macro front-end's GROUP BY)."""
+        Expression keys are materialized as real columns first: the
+        statistical verbs address their group columns BY NAME, and a
+        recovered planned name like ``(x > 1)`` is not a resolvable
+        column (same treatment as the SQL macro front-end's GROUP BY).
+        A string that IS an existing column name — however odd
+        (``"a-b"``, ``"Order Date"``) — is always taken as that column,
+        never parsed as SQL; an aliased expression Column materializes
+        under its alias.  Corner: an expression aliased to a name the
+        frame already has resolves as that existing column."""
         from pyspark.sql import Column
         from pyspark.sql import functions as F
 
+        existing = set(self._df.columns)
         names, out = [], self._df
+
+        def _fresh(i: int, want: str | None) -> str:
+            # planned alias when usable, else group_{i}; never clobber
+            name = want if want and want.isidentifier() else f"group_{i}"
+            while name in set(out.columns):
+                name = f"_{name}"
+            return name
+
         for i, c in enumerate(cols):
             if isinstance(c, Column):
                 # Column args (valid in vanilla groupBy) would stringify
                 # to "Column<'g'>" garbage — recover the planned name
                 planned = self._df.select(c).columns[0]
-                if planned.isidentifier():
+                if planned in existing:
                     names.append(planned)
                 else:
-                    out = out.withColumn(f"group_{i}", c)
-                    names.append(f"group_{i}")
-            elif isinstance(c, str) and not c.isidentifier():
-                out = out.withColumn(f"group_{i}", F.expr(c))
-                names.append(f"group_{i}")
+                    name = _fresh(i, planned)
+                    out = out.withColumn(name, c)
+                    names.append(name)
+            elif isinstance(c, str) and c not in existing:
+                name = _fresh(i, None)
+                out = out.withColumn(name, F.expr(c))
+                names.append(name)
             else:
                 names.append(str(c))
         return CausalGroupedData(

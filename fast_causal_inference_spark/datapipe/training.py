@@ -110,16 +110,21 @@ def domain_mixture_sample(df: DataFrame, domain_col: str,
     # df.columns for the same reason)
     draw_cols = id_cols or list(df.columns)
     work = df
-    if len(rates) > _RATE_CHAIN_MAX:
+    use_join = len(rates) > _RATE_CHAIN_MAX
+    if use_join:
         # high-cardinality domains: a literal WHEN chain over thousands
         # of keys blows Janino's 64 KB codegen method limit (interpreted
         # fallback, ~10× slower) — broadcast-join the rate relation
         # instead.  eqNullSafe: a NULL domain is a real (counted,
         # weighted) key.
+        # dtype via a resolved projection, NOT df.schema[domain_col]:
+        # the schema lookup raises KeyError for nested field references
+        # ('meta.domain') that F.col resolves fine
+        dom_type = df.select(F.col(domain_col)).schema[0].dataType
         rate_rel = df.sparkSession.createDataFrame(
             [(d, float(r)) for d, r in rates.items()],
             T.StructType([
-                T.StructField("__dom", df.schema[domain_col].dataType),
+                T.StructField("__dom", dom_type),
                 T.StructField("__rate", T.DoubleType()),
             ]))
         work = (df.join(F.broadcast(rate_rel),
@@ -147,7 +152,7 @@ def domain_mixture_sample(df: DataFrame, domain_col: str,
                        F.explode(F.sequence(F.lit(0),
                                             F.col("__n_copies") - 1)))
            .drop("__n_copies"))
-    return out.drop("__rate") if len(rates) > _RATE_CHAIN_MAX else out
+    return out.drop("__rate")        # no-op on the WHEN-chain path
 
 
 def global_shuffle(df: DataFrame, seed: int = 42,

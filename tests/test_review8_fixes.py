@@ -226,3 +226,46 @@ def test_ope_snips_null_reward_row_set(spark):
                      probs, "mu").iloc[0]
     assert d_dirty["n"] == d_clean["n"]
     assert d_dirty["ess"] == pytest.approx(d_clean["ess"], rel=1e-12)
+
+
+def test_facade_groupby_weird_names_and_aliases(spark, ab_df):
+    """Review follow-ups: a string that IS a column name (however odd)
+    must resolve as the column, never parse as SQL; an aliased
+    expression Column must materialize under its alias; materialized
+    keys must not clobber an existing group_0 column."""
+    from fast_causal_inference_spark.dataframe import CausalDataFrame
+
+    df = (ab_df.withColumn("a-b", (F.col("treatment") * 2).cast("int"))
+          .withColumn("a", F.lit(100.0)).withColumn("b", F.lit(1.0)))
+    cdf = CausalDataFrame(df)
+    # 'a-b' is a real column with values {0, 2}; parsing it as a MINUS b
+    # would give the constant 99 (one group)
+    out = cdf.groupBy("a-b").agg(F.count(F.lit(1)).alias("n")).df.collect()
+    assert sorted(r["a-b"] for r in out) == [0, 2]
+    # aliased expression materializes under its alias
+    t = cdf.groupBy((F.col("x3") > 1).alias("flag")) \
+        .ttest_2samp("avg(y)", "treatment").toPandas()
+    assert "flag" in t.columns and len(t) == 2
+    # existing group_0 column is not clobbered by an expression key
+    df2 = ab_df.withColumn("group_0", F.lit(7.0))
+    g = CausalDataFrame(df2).groupBy("x3 > 1") \
+        .agg(F.avg("group_0").alias("m")).df.collect()
+    assert all(r["m"] == 7.0 for r in g)
+
+
+def test_domain_mixture_nested_domain_col(spark):
+    """>64-domain join path with a nested struct field reference (the
+    schema[...] lookup raised KeyError where F.col resolves)."""
+    from fast_causal_inference_spark.datapipe.training import (
+        domain_mixture_sample,
+    )
+
+    df = spark.range(2000).selectExpr(
+        "id AS doc_id",
+        "named_struct('domain', concat('d', cast(id % 80 AS string))) "
+        "AS meta")
+    w = {f"d{i}": 1.0 for i in range(80)}
+    out = domain_mixture_sample(df, "meta.domain", w, seed=3)
+    n = out.count()
+    assert 1500 < n < 2500                      # ~rate-1 resample
+    assert "__rate" not in out.columns
