@@ -83,8 +83,14 @@ class EntropyBalance:
         df = df.where(y.isNotNull())
         t = F.expr(self.T)
         w = self.weight_column()
-        is_t = (t == F.lit(self.treatment_value)).cast("double")
-        is_c = (t == F.lit(self.control_value)).cast("double")
+        # row-set consistency: a NULL-outcome row must leave BOTH the
+        # numerator and the denominator of its arm's mean (sum(is_t*y)
+        # skips it but a bare sum(is_t) would still count it)
+        defined = y.isNotNull()
+        is_t = (defined
+                & (t == F.lit(self.treatment_value))).cast("double")
+        is_c = (defined
+                & (t == F.lit(self.control_value))).cast("double")
         row = df.agg(
             F.sum(is_t * y).alias("sy1"), F.sum(is_t).alias("n1"),
             F.sum(is_c * w * y).alias("swy"), F.sum(is_c * w).alias("sw"),
@@ -92,7 +98,16 @@ class EntropyBalance:
             F.sum(is_c * w * w * y * y).alias("swwyy"),
             F.sum(is_c * w * w * y).alias("swwy"),
             F.sum(is_c * w * w).alias("sww")).collect()[0]
-        n1, sw = float(row["n1"]), float(row["sw"])
+        n1 = float(row["n1"] or 0.0)
+        sw = float(row["sw"] or 0.0)
+        if n1 <= 0 or row["sy1"] is None:
+            raise ValueError(
+                "att: no treated rows with a defined outcome")
+        if sw <= 0 or row["swy"] is None:
+            raise ValueError(
+                "att: the control arm carries zero usable weight — "
+                "all-NULL outcomes or weight features in the scored "
+                "frame?")
         mu1 = float(row["sy1"]) / n1
         mu0 = float(row["swy"]) / sw
         att = mu1 - mu0

@@ -39,8 +39,21 @@ def _zcol(df: DataFrame, value: str, keys: list[str],
              .agg(F.avg(v).alias("__mu"), F.stddev_samp(v).alias("__sd"))
              if keys else
              df.agg(F.avg(v).alias("__mu"), F.stddev_samp(v).alias("__sd")))
-    joined = df.join(F.broadcast(stats), on=keys) if keys \
-        else df.crossJoin(F.broadcast(stats))
+    if keys:
+        # NULL-SAFE key equality: a NULL series key is a real monitored
+        # series (the groupBy above computes its stats), but a plain
+        # equi-join's NULL != NULL would silently drop its rows — that
+        # series would never alarm
+        sr = stats.select(*[F.col(c).alias(f"__sk_{c}") for c in keys],
+                          "__mu", "__sd")
+        cond = None
+        for c in keys:
+            e = F.col(c).eqNullSafe(F.col(f"__sk_{c}"))
+            cond = e if cond is None else cond & e
+        joined = df.join(F.broadcast(sr), cond) \
+            .drop(*[f"__sk_{c}" for c in keys])
+    else:
+        joined = df.crossJoin(F.broadcast(stats))
     z = (v - F.col("__mu")) / F.when(F.col("__sd") > 0, F.col("__sd"))
     return joined, z
 

@@ -57,6 +57,13 @@ class ConformalIte:
         return self.mu1.predict_column() - self.mu0.predict_column()
 
     def transform(self, df: DataFrame, prefix: str = "") -> DataFrame:
+        clash = [c for c in ("mu1", "mu0", "ite", "ite_lo", "ite_hi",
+                             "y1_lo", "y1_hi", "y0_lo", "y0_hi")
+                 if f"{prefix}{c}" in df.columns]
+        if clash:
+            raise ValueError(
+                f"transform would silently overwrite existing column(s) "
+                f"{clash} — pass a prefix= to namespace the band columns")
         m1, m0 = self.mu1.predict_column(), self.mu0.predict_column()
         tau = m1 - m0
         half = float(self.q1 + self.q0)
@@ -101,6 +108,24 @@ def conformal_fit(df: DataFrame, Y: str, T: str, X: list[str],
     work = work.withColumn("__fold", F.pmod(h, F.lit(2)).cast("int"))
     work = work.persist()
     try:
+        if fold_expr is None:
+            # the feature-hash fold is DETERMINISTIC IN X: with
+            # low-cardinality features each covariate cell lands wholly
+            # in one fold, so mu-hat fits on one stratum and calibrates
+            # on the other — the exchangeability argument (and the
+            # coverage guarantee) is void.  Detect and refuse; an id-like
+            # fold_expr restores a proper random split.
+            n_cells = work.agg(
+                F.countDistinct(*[F.expr(c) for c in X])).collect()[0][0]
+            if n_cells < 20:
+                raise ValueError(
+                    f"conformal_fit: the default fold splits by feature "
+                    f"hash, but X has only {n_cells} distinct value "
+                    "cells — each cell falls entirely in one fold, so "
+                    "the fit and calibration folds cover disjoint "
+                    "covariate strata and the conformal coverage "
+                    "guarantee does not hold.  Pass fold_expr= on a "
+                    "pre-treatment id column (e.g. fold_expr='user_id')")
         rhs = "+".join(X)
         models = ols_grouped(
             work, f"__y ~ {rhs}",

@@ -89,7 +89,12 @@ def rosenbaum_bounds(df: DataFrame, y: str, treatment: str, pair: str,
     tcol = F.expr(treatment) if not treatment.isidentifier() \
         else F.col(treatment)
     ycol = F.expr(y).cast("double")
-    diffs = (df.where(tcol.isin([v0, v1]) & ycol.isNotNull())
+    # NULL pair ids are UNMATCHED rows (the matching operators emit NULL
+    # match_index for them): grouping would collapse them all into one
+    # bogus pseudo-pair whose systematically-large diff takes a top rank
+    # and distorts every bound
+    diffs = (df.where(tcol.isin([v0, v1]) & ycol.isNotNull()
+                      & F.expr(pair).isNotNull())
                .groupBy(F.expr(pair).alias("__pair"))
                .agg(F.avg(F.when(tcol == F.lit(v1), ycol)).alias("yt"),
                     F.avg(F.when(tcol == F.lit(v0), ycol)).alias("yc"))
@@ -98,10 +103,13 @@ def rosenbaum_bounds(df: DataFrame, y: str, treatment: str, pair: str,
                .where(F.col("d") != 0)
                .select(F.abs("d").alias("v"),
                        (F.col("d") > 0).cast("int").alias("pos")))
-    est = estimate_scan_splits(df)
-    shuffle_p = int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    p = num_partitions or (min(shuffle_p, est) if est else shuffle_p)
+    if num_partitions:
+        p = int(num_partitions)      # skip the file-listing estimate
+    else:
+        est = estimate_scan_splits(df)
+        shuffle_p = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+        p = min(shuffle_p, est) if est else shuffle_p
     if p == 1:
         from pyspark.sql import Window
 

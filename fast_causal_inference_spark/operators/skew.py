@@ -36,10 +36,18 @@ def _check_salt(salt: int) -> None:
 
 
 def _salt_col(df: DataFrame, salt: int, seed: int) -> Column:
-    """Deterministic per-row salt in [0, salt): xxhash64 over the whole
-    row — stable under task retries (``rand()`` is not, and a retried
-    task with re-rolled salts silently duplicates/loses join matches)."""
+    """Per-row salt in [0, salt): xxhash64 over the whole row PLUS
+    ``monotonically_increasing_id()``.  The row hash alone gave every
+    FULLY-DUPLICATE row of a hot key the same salt — a deduplicated-less
+    event log (the classic skew case) landed right back in one task.
+    The id term disambiguates identical rows; its value can differ
+    across task retries, but both consumers are salt-agnostic — a fact
+    row joins exactly its key's (replicated) dimension rows whatever its
+    salt, and stage-1 partial top-k is exact under ANY row partition —
+    so correctness is unaffected (unlike ``rand()`` feeding a
+    salt-SENSITIVE consumer)."""
     return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns],
+                             F.monotonically_increasing_id(),
                              F.lit(seed)), F.lit(salt)).cast("int")
 
 

@@ -269,3 +269,110 @@ def test_domain_mixture_nested_domain_col(spark):
     n = out.count()
     assert 1500 < n < 2500                      # ~rate-1 resample
     assert "__rate" not in out.columns
+
+
+def test_rosenbaum_null_pairs_excluded(spark):
+    """Unmatched rows (NULL match_index) must not collapse into a bogus
+    pseudo-pair that outranks every real pair."""
+    from fast_causal_inference_spark.operators.sensitivity import (
+        rosenbaum_bounds,
+    )
+
+    pdf = pd.DataFrame({
+        "pair": [0, 0, 1, 1, 2, 2, None, None, None, None],
+        "t":    [1, 0, 1, 0, 1, 0, 1, 1, 0, 0],
+        "y":    [3.0, 1.0, 2.5, 1.5, 4.0, 2.0, 99.0, 98.0, 1.0, 2.0],
+    })
+    out = rosenbaum_bounds(spark.createDataFrame(pdf), "y", "t", "pair",
+                           gammas=(1.0,))
+    assert out.iloc[0]["n_pairs"] == 3          # not 4
+
+
+def test_cusum_null_series_key_monitored(spark):
+    """A NULL group key is a real series: estimated-params mode must keep
+    its rows (the equi-join dropped them; explicit params kept them)."""
+    from fast_causal_inference_spark.operators.changepoint import (
+        cusum_detect,
+    )
+
+    pdf = pd.DataFrame({
+        "g": ["a", "a", "a", None, None, None],
+        "i": [1, 2, 3, 1, 2, 3],
+        "v": [1.0, 2.0, 30.0, 1.0, 2.0, 30.0],
+    })
+    df = spark.createDataFrame(pdf)
+    est = cusum_detect(df, "v", "i", "g")
+    assert est.count() == 6                     # was 3
+    pinned = cusum_detect(df, "v", "i", "g", target=1.5, sd=1.0)
+    assert pinned.count() == 6
+
+
+def test_conformal_low_cardinality_fold_refused(spark):
+    from fast_causal_inference_spark.operators.conformal import (
+        conformal_fit,
+    )
+
+    rng = np.random.default_rng(2)
+    pdf = pd.DataFrame({
+        "x": np.tile([0.0, 1.0], 200),
+        "t": np.repeat([0, 1], 200),
+        "y": rng.normal(0, 0.1, 400),
+        "uid": np.arange(400),
+    })
+    df = spark.createDataFrame(pdf)
+    with pytest.raises(ValueError, match="distinct value"):
+        conformal_fit(df, "y", "t", ["x"])
+    # an id fold restores the split
+    m = conformal_fit(df, "y", "t", ["x"], fold_expr="uid")
+    assert m.q1 > 0
+
+
+def test_conformal_transform_collision_raises(spark, ab_df):
+    from fast_causal_inference_spark.operators.conformal import (
+        conformal_fit,
+    )
+
+    df = ab_df.withColumn("uid", F.monotonically_increasing_id())
+    m = conformal_fit(df, "y", "treatment", ["x1"], fold_expr="uid")
+    with pytest.raises(ValueError, match="overwrite"):
+        m.transform(df.withColumn("ite", F.lit(0.0)))
+    assert "p_ite" in m.transform(df.withColumn("ite", F.lit(0.0)),
+                                  prefix="p_").columns
+
+
+def test_salt_spreads_identical_rows(spark):
+    from fast_causal_inference_spark.operators.skew import _salt_col
+
+    df = spark.range(1000).select(F.lit("hot").alias("k"),
+                                  F.lit(1.0).alias("v"))
+    n = df.withColumn("s", _salt_col(df, 32, 42)) \
+        .select("s").distinct().count()
+    assert n >= 16                              # was exactly 1
+
+
+def test_entropy_att_clear_errors_and_row_set(spark):
+    from fast_causal_inference_spark.operators.balancing import (
+        entropy_balancing,
+    )
+
+    rng = np.random.default_rng(4)
+    pdf = pd.DataFrame({
+        "t": np.repeat([0, 1], 200),
+        "x": rng.normal(0, 1, 400),
+        "y": rng.normal(0, 1, 400),
+    })
+    df = spark.createDataFrame(pdf)
+    eb = entropy_balancing(df, "t", ["x"])
+    # all-NULL treated outcome → clear error, not TypeError
+    with pytest.raises(ValueError, match="treated rows"):
+        eb.att(df.withColumn(
+            "y2", F.when(F.col("t") == 0, F.col("y"))), "y2")
+    # NULL-outcome rows leave numerator AND denominator together
+    clean = eb.att(df, "y").iloc[0]
+    polluted = pd.concat([pdf, pd.DataFrame(
+        {"t": [1] * 30, "x": rng.normal(0, 1, 30), "y": [None] * 30})],
+        ignore_index=True)
+    dirty = eb.att(spark.createDataFrame(polluted), "y").iloc[0]
+    assert dirty["mu_treated"] == pytest.approx(clean["mu_treated"],
+                                                rel=1e-12)
+    assert dirty["n_treated"] == clean["n_treated"]
