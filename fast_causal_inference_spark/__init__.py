@@ -94,6 +94,13 @@ from fast_causal_inference_spark.operators.balancing import (
 from fast_causal_inference_spark.operators.decompose import (
     oaxaca_blinder,
 )
+from fast_causal_inference_spark.operators.csdid import callaway_santanna
+from fast_causal_inference_spark.operators.its import (
+    interrupted_time_series,
+)
+from fast_causal_inference_spark.operators.mediation import mediation
+from fast_causal_inference_spark.operators.ordinal import ordered_logit
+from fast_causal_inference_spark.operators.selection import heckman
 from fast_causal_inference_spark.operators.margins import (
     average_marginal_effects,
 )
@@ -232,6 +239,11 @@ __all__ = [
     "quantile_regression",
     "entropy_balancing",
     "oaxaca_blinder",
+    "callaway_santanna",
+    "interrupted_time_series",
+    "mediation",
+    "ordered_logit",
+    "heckman",
     "average_marginal_effects",
     "asof_join",
     "range_join",

@@ -218,10 +218,15 @@ def callaway_santanna(df: DataFrame, Y: str, unit: str, time: str,
                   F.sum(r0 * F.col("d") * F.col("d")).alias("ss0"))
              .collect())
     zq = _zq(alpha)
-    rows, cs_mean = [], {}
+    rows, cs_mean, thin_cells = [], {}, []
     for r in stats:
         n1, n0 = float(r["n1"]), float(r["n0"])
         if n1 < 2 or n0 < 2:
+            # record it: a silently-vanished cell means the event-study /
+            # group / overall aggregations run over a DIFFERENT cell set
+            # than the user specified (the base-period skips already warn
+            # and return in skipped_groups — same contract here)
+            thin_cells.append((int(r["g"]), int(r["t"])))
             continue
         m1, m0 = r["s1"] / n1, r["s0"] / n0
         v1 = max(r["ss1"] - n1 * m1 * m1, 0.0) / (n1 - 1)
@@ -242,6 +247,13 @@ def callaway_santanna(df: DataFrame, Y: str, unit: str, time: str,
                      "n_treated": int(n1), "n_control": int(n0)})
         cs_mean[int(r["cid"])] = (int(r["g"]), int(r["t"]), float(m1),
                                   float(m0), n1, n0, float(att))
+    if thin_cells:
+        warnings.warn(
+            f"callaway_santanna: {len(thin_cells)} (group, time) cell(s) "
+            f"dropped for having < 2 treated or < 2 control units "
+            f"{sorted(thin_cells)[:10]}{'…' if len(thin_cells) > 10 else ''}"
+            " — the event-study/group/overall aggregations cover the "
+            "remaining cells only", stacklevel=2)
     if not rows:
         ud.unpersist()
         cells.unpersist()

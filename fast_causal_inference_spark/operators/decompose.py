@@ -94,6 +94,15 @@ def oaxaca_blinder(df: DataFrame, Y: str, group: str, X: list[str],
     dB = np.concatenate([[1.0], xB])
     bA = np.asarray(mA.beta, dtype=float)
     bB = np.asarray(mB.beta, dtype=float)
+    # a saturated group fit (n == p) has sigma2 = NaN, which would ride
+    # silently through every stderr/CI while the point estimates look
+    # valid — refuse with the actual problem named
+    for g, m in (("A", mA), ("B", mB)):
+        if m.n - len(m.beta) < 1 or not np.isfinite(m.sigma2):
+            raise ValueError(
+                f"oaxaca_blinder: group {g} has n={int(m.n)} rows for "
+                f"{len(m.beta)} parameters — no residual degrees of "
+                "freedom, its coefficient covariance is undefined")
     covA = mA.sigma2 * mA.xtx_inv
     covB = mB.sigma2 * mB.xtx_inv
 

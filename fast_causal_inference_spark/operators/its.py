@@ -55,7 +55,13 @@ def interrupted_time_series(df: DataFrame, y: str, ts: str,
     fagg = {"avg": F.avg(v), "sum": F.sum(v),
             "count": F.count(v).cast("double")}[agg]
     tcol = F.expr(ts).cast("timestamp")
-    grid = (df.where(tcol.isNotNull())
+    # NULL metric rows are dropped up front: a bucket whose rows are all
+    # NULL would otherwise aggregate to y_t = NULL -> NaN in the design
+    # solve, silently poisoning every coefficient (count(v) already
+    # counts non-NULL only, so the count path is unchanged).  A bucket
+    # with no surviving rows becomes a GRID GAP, which the calendar time
+    # index below handles correctly.
+    grid = (df.where(tcol.isNotNull() & v.isNotNull())
             .groupBy(F.date_trunc(unit, tcol).alias("bucket"))
             .agg(fagg.alias("y_t"))
             .orderBy("bucket"))
@@ -76,8 +82,22 @@ def interrupted_time_series(df: DataFrame, y: str, ts: str,
         raise ValueError(
             f"intervention {intervention!r} leaves no "
             f"{'post' if n_post == 0 else 'pre'} period on the grid")
-    t = np.arange(T, dtype=float)
-    t0 = float(np.argmax(post))               # first post bucket index
+    # CALENDAR time index, not the positional row index: with grid gaps
+    # (weekends, outages, all-NULL buckets) np.arange silently
+    # compresses the time axis, so 'trend' becomes per-observed-bucket
+    # and the post-duration regressor miscounts — on a gapless grid the
+    # two are identical (goldens unchanged)
+    b0 = pd.Timestamp(buckets[0])
+    if unit in ("month", "year"):
+        step = 12 if unit == "year" else 1
+        t = np.array([((pd.Timestamp(b).year - b0.year) * 12
+                       + (pd.Timestamp(b).month - b0.month)) / step
+                      for b in buckets], dtype=float)
+    else:
+        secs = {"hour": 3600.0, "day": 86400.0, "week": 604800.0}[unit]
+        t = np.array([(pd.Timestamp(b) - b0).total_seconds() / secs
+                      for b in buckets], dtype=float)
+    t0 = float(t[int(np.argmax(post))])       # first post bucket's time
     X = np.column_stack([np.ones(T), t, post, (t - t0) * post])
     k = X.shape[1]
 
@@ -86,8 +106,9 @@ def interrupted_time_series(df: DataFrame, y: str, ts: str,
     e = yv - X @ beta
     L = nw_lags if nw_lags is not None \
         else int(math.floor(4.0 * (T / 100.0) ** (2.0 / 9.0)))
-    if L < 0 or L >= T:
-        raise ValueError(f"nw_lags must lie in [0, {T - 1})")
+    if L < 0 or L >= T - 1:
+        raise ValueError(
+            f"nw_lags must lie in [0, {T - 1}) — got {L} with T={T}")
     Xe = X * e[:, None]
     S = Xe.T @ Xe                             # Γ0
     for lag in range(1, L + 1):

@@ -70,7 +70,14 @@ def _solve(G: np.ndarray, n: float, rows: list[int], yi: int):
     matrix G (index 0 is the all-ones column): beta, classical SEs."""
     A = G[np.ix_(rows, rows)]
     v = G[np.ix_(rows, [yi])].ravel()
-    beta = np.linalg.solve(A, v)
+    try:
+        beta = np.linalg.solve(A, v)
+    except np.linalg.LinAlgError:
+        raise ValueError(
+            "mediation: a model design is singular — constant "
+            "treatment, a mediator collinear with the treatment, or a "
+            "duplicated covariate make the mediator/outcome regression "
+            "unidentified") from None
     rss = float(G[yi, yi] - beta @ v)
     dof = n - len(rows)
     sigma2 = max(rss, 0.0) / max(dof, 1.0)

@@ -105,7 +105,14 @@ def ordered_logit(df: DataFrame, formula: str, max_iter: int = 50,
         lAA = fpA / P - lA * lA
         lBB = -fpB / P - lB * lB
         lAB = fA * fB / (P * P)
-        ag = [F.sum(F.log(P)).alias("ll")]
+        # Spark's log(x <= 0) is NULL, and SUM skips NULLs: a Newton
+        # overshoot that inverts two cutpoints makes P < 0 on the rows
+        # between them, whose NULL log-terms would silently DROP from
+        # the sum — an ll over fewer rows compares favorably and the
+        # line search ACCEPTS the bad step.  Map the invalid region to
+        # -inf so the ascent check rejects it and step-halving engages.
+        ag = [F.sum(F.when(P > 0, F.log(P))
+                    .otherwise(F.lit(float("-inf")))).alias("ll")]
         for m in range(J - 1):
             u = (idx == m).cast("double")     # row's upper cut is α_m
             w = (idx == m + 1).cast("double")  # row's lower cut is α_m

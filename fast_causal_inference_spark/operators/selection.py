@@ -70,12 +70,28 @@ def heckman(df: DataFrame, outcome_formula: str, selection_formula: str,
         zg = zg + F.lit(float(g)) * F.expr(e).cast("double")
     phi = F.exp(-zg * zg / 2.0) / F.lit(_SQRT2PI)
     Phi = F.greatest(0.5 * (1.0 + erf(zg / F.lit(_SQRT2))), F.lit(1e-12))
-    lam = phi / Phi
+    # asymptotic tail for strongly negative indices: the 1e-12 floor on
+    # Phi would otherwise COLLAPSE the inverse Mills ratio toward 0
+    # (phi(-8)/1e-12 ~ 0.005 against the true lambda(-8) ~ 8.12) for
+    # exactly the rows where the selection correction matters most.
+    # lambda(z) -> -z / (1 - 1/z^2 + 3/z^4) as z -> -inf (Mills ratio
+    # expansion; agrees with the exact value to ~4 digits at z = -6).
+    lam_tail = -zg / (1.0 - 1.0 / (zg * zg)
+                      + 3.0 / (zg * zg * zg * zg))
+    lam = F.when(zg < -6.0, lam_tail).otherwise(phi / Phi)
     delta = lam * (lam + zg)
 
     s = F.expr(s_expr).cast("double")
     y = F.expr(y_expr).cast("double")
-    sel = df.where((s == 1) & y.isNotNull())
+    # complete-case over BOTH feature sets: each F.sum in the Gramian
+    # scans skips its own NULL rows independently, so a NULL feature
+    # value would put the moment matrix on inconsistent row sets
+    # (glm.py documents and filters the same hazard; lambda depends on
+    # the z features, so NULL z knocks out only the lambda terms)
+    cc = (s == 1) & y.isNotNull()
+    for e in x_feats + z_feats:
+        cc = cc & F.expr(e).cast("double").isNotNull()
+    sel = df.where(cc)
     ws = [F.lit(1.0)] + [F.expr(e).cast("double") for e in x_feats] + [lam]
     zs = [F.lit(1.0)] + [F.expr(e).cast("double") for e in z_feats]
     pw = len(ws)

@@ -376,3 +376,133 @@ def test_entropy_att_clear_errors_and_row_set(spark):
     assert dirty["mu_treated"] == pytest.approx(clean["mu_treated"],
                                                 rel=1e-12)
     assert dirty["n_treated"] == clean["n_treated"]
+
+
+def test_heckman_complete_case_features(spark):
+    """NULL feature values must not put the step-2 Gramian on
+    inconsistent row sets: estimates over (clean + NULL-feature rows)
+    must equal estimates over clean rows alone."""
+    from fast_causal_inference_spark.operators.selection import heckman
+
+    rng = np.random.default_rng(11)
+    n = 2000
+    edu = rng.normal(0, 1, n)
+    kids = rng.integers(0, 3, n).astype(float)
+    works = (0.5 * edu - 0.4 * kids + rng.normal(0, 1, n) > 0).astype(int)
+    wage = np.where(works == 1, 1.0 + 0.8 * edu + rng.normal(0, 1, n),
+                    np.nan)
+    base = pd.DataFrame({"edu": edu, "kids": kids, "works": works,
+                         "wage": wage})
+    polluted = pd.concat([base, pd.DataFrame({
+        "edu": [None] * 50, "kids": [1.0] * 50, "works": [1] * 50,
+        "wage": [5.0] * 50})], ignore_index=True)
+    clean = heckman(spark.createDataFrame(base),
+                    "wage ~ edu", "works ~ edu + kids")
+    dirty = heckman(spark.createDataFrame(polluted),
+                    "wage ~ edu", "works ~ edu + kids")
+    # step-1 probit is complete-case too, so the fits must agree exactly
+    for c in ("coef", "stderr"):
+        assert dirty[c].to_numpy() == pytest.approx(
+            clean[c].to_numpy(), rel=1e-9), c
+
+
+def test_heckman_mills_tail_asymptotic():
+    """lambda(z) for strongly negative z follows the Mills expansion
+    (-z/(1 - 1/z^2 + 3/z^4)) instead of collapsing via the Phi floor."""
+    import math
+
+    z = -8.0
+    want = (math.exp(-z * z / 2) / math.sqrt(2 * math.pi)
+            / (0.5 * math.erfc(-z / math.sqrt(2))))
+    got = -z / (1 - 1 / z ** 2 + 3 / z ** 4)
+    assert got == pytest.approx(want, rel=1e-3)
+    assert abs(got - 8.12) < 0.02               # not ~0.005
+
+
+def test_its_null_bucket_and_calendar_index(spark):
+    """An all-NULL-metric day must not NaN-poison the fit, and the time
+    regressor is calendar time, so the resulting gap does not compress
+    the axis."""
+    import fast_causal_inference_spark.operators.its as its_mod
+
+    rng = np.random.default_rng(5)
+    days = pd.date_range("2024-01-01", periods=30, freq="D")
+    rows = []
+    for i, d in enumerate(days):
+        y = 10.0 + 0.5 * i + (5.0 if i >= 20 else 0.0) \
+            + rng.normal(0, 0.1)
+        rows.append((d, None if i == 5 else y))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["ts", "y"]))
+    out = its_mod.interrupted_time_series(df, "y", "ts", "2024-01-21",
+                                          freq="1 day")
+    est = dict(zip(out.name, out.coef))
+    assert np.isfinite(out.coef.to_numpy()).all()
+    # calendar index: trend is per DAY even with the missing bucket
+    assert est["trend"] == pytest.approx(0.5, abs=0.05)
+    assert est["level_change"] == pytest.approx(5.0, abs=1.0)
+
+
+def test_ordered_logit_overshoot_rejected(spark):
+    """An inverted-cutpoint trial step must evaluate to -inf (Spark's
+    log(P<=0) is NULL and SUM would skip it, inflating ll_new)."""
+    from fast_causal_inference_spark.operators.ordinal import ordered_logit
+
+    rng = np.random.default_rng(9)
+    n = 1500
+    x = rng.normal(0, 1, n)
+    latent = 1.5 * x + rng.normal(0, 1, n)
+    ycat = np.digitize(latent, [-0.8, 0.0, 0.1, 1.2])
+    df = spark.createDataFrame(pd.DataFrame({"x": x, "y": ycat}))
+    m = ordered_logit(df, "y ~ x")          # converges, no raise
+    assert np.isfinite(m["coef"].to_numpy()).all()
+
+
+def test_oaxaca_saturated_group_raises(spark):
+    from fast_causal_inference_spark.operators.decompose import (
+        oaxaca_blinder,
+    )
+
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame({
+        "g": ["A"] * 100 + ["B"] * 2,        # B saturated: 2 rows, 2 params
+        "x": rng.normal(0, 1, 102),
+        "y": rng.normal(0, 1, 102),
+    })
+    with pytest.raises(ValueError, match="degrees of freedom"):
+        oaxaca_blinder(spark.createDataFrame(pdf), "y", "g", ["x"],
+                       group_a="A", group_b="B")
+
+
+def test_csdid_thin_cells_warn(spark):
+    from fast_causal_inference_spark.operators.csdid import (
+        callaway_santanna,
+    )
+
+    rng = np.random.default_rng(6)
+    rows = []
+    for u in range(12):
+        adopt = 3 if u == 0 else (4 if u < 6 else None)  # cohort 3: 1 unit
+        for t in range(1, 7):
+            y = u * 0.1 + t * 0.2 + rng.normal(0, 0.1) \
+                + (1.0 if adopt is not None and t >= adopt else 0.0)
+            rows.append((u, t, adopt, y))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["u", "t", "g", "y"]))
+    with pytest.warns(UserWarning, match="dropped for having"):
+        res = callaway_santanna(df, "y", "u", "t", "g")
+    assert (res.att_gt.group == 4).all()     # cohort 3's cells dropped
+
+
+def test_mediation_singular_raises(spark, ab_df):
+    from fast_causal_inference_spark.operators.mediation import mediation
+
+    with pytest.raises(ValueError, match="singular"):
+        mediation(ab_df.withColumn("m2", F.col("x1") * 2), "y", "x1", "m2")
+
+
+def test_facade_exports_quasi_experimental():
+    import fast_causal_inference_spark as fcis
+
+    for name in ("callaway_santanna", "interrupted_time_series",
+                 "mediation", "ordered_logit", "heckman"):
+        assert callable(getattr(fcis, name)), name
