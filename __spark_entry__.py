@@ -1956,7 +1956,7 @@ _TEXT_PROFILE_SQL = r"""
 WITH t AS (
   SELECT doc_id, text, regexp_replace(lower(text), '^\s+|\s+$', '', 'g') AS lt FROM documents
 ), tok AS (
-  SELECT doc_id, text, string_split_regex(lt, '\s+') AS toks,
+  SELECT doc_id, text, lt, string_split_regex(lt, '\s+') AS toks,
          length(lt) = 0 AS blank
   FROM t
 ), base AS (
@@ -1975,6 +1975,7 @@ WITH t AS (
            ['le','la','de','et','les','un','des','en','du','est'], x))) AS h_fr,
          length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS cjk,
          length(text) AS n_chars,
+         length(regexp_replace(lt, '\s+', ' ', 'g')) AS norm_chars,
          len(toks) AS sz,
          len(list_distinct(toks)) AS dist_toks,
          length(regexp_replace(text, '[A-Za-z0-9\s\x{4e00}-\x{9fff}]', '', 'g')) AS syms
@@ -2052,7 +2053,7 @@ SELECT lang.doc_id, n_tokens, n_tokens_bpe,
             ELSE 'unknown' END AS lang_pred,
        round(CASE WHEN blank THEN 0.0 ELSE
            (CASE WHEN n_chars BETWEEN 30 AND 100000 THEN 0.2 ELSE 0.0 END)
-         + (CASE WHEN (n_chars - sz + 1.0)/sz BETWEEN 2.0 AND 12.0
+         + (CASE WHEN (norm_chars - sz + 1.0)/sz BETWEEN 2.0 AND 12.0
                  THEN 0.2 ELSE 0.0 END)
          + (CASE WHEN sw_any > 0 THEN 0.2 ELSE 0.0 END)
          + (CASE WHEN syms * 1.0 / greatest(n_chars, 1) < 0.2

@@ -95,6 +95,11 @@ def train_bigram_lm(df: DataFrame, text_col: str = "text") -> dict:
     for v in res.values():
         if isinstance(v, BaseException):
             raise v
+    if int(res["v"]) == 0:
+        raise ValueError(
+            "train_bigram_lm: the trusted corpus has no non-empty tokens"
+            " — a vocab_size of 0 would make every add-k denominator 0 "
+            "at scoring time")
     return {"bigrams": bigrams, "unigrams": unis,
             "vocab_size": int(res["v"])}
 
@@ -219,6 +224,10 @@ def train_trigram_lm(df: DataFrame, text_col: str = "text") -> dict:
     for v in res.values():
         if isinstance(v, BaseException):
             raise v
+    if res["uni"]["n"] is None or int(res["uni"]["v"]) == 0:
+        raise ValueError(
+            "train_trigram_lm: the trusted corpus has no non-empty "
+            "tokens (sum of counts is NULL) — nothing to train on")
     return {"trigrams": tg, "bigrams": bg, "unigrams": uni,
             "vocab_size": int(res["uni"]["v"]),
             "n_tokens": int(res["uni"]["n"])}

@@ -173,7 +173,13 @@ def repetition_profile(df: DataFrame, text_col: str = "text",
            .withColumn("top_ngram_cnt", F.coalesce("top_ngram_cnt", F.lit(0)))
            .withColumn(
                "top_ngram_char_frac",
-               F.when(F.col("__n_chars") == 0, F.lit(0.0)).otherwise(
+               # NULL text stays NULL (like dup_line_frac on the same
+               # row): least() SKIPS NULL args, so the otherwise branch
+               # turned least(1.0, NULL) into 1.0 — every NULL-text doc
+               # read as maximally repetitive under a Gopher-style cut
+               F.when(F.col("__n_chars").isNull(),
+                      F.lit(None).cast("double"))
+               .when(F.col("__n_chars") == 0, F.lit(0.0)).otherwise(
                    F.least(F.lit(1.0),
                            F.col("top_ngram_cnt") * F.length("top_ngram")
                            / F.col("__n_chars"))))
@@ -295,7 +301,10 @@ def normalize_url(url: Column | str) -> Column:
     # separator) — a bare /\? would also rewrite '/?' inside query
     # values, corrupting the canonical key
     u = F.regexp_replace(u, r"^([^?#]*)/\?", r"$1?")
-    u = F.regexp_replace(u, r"/$", "")
+    # same anchoring for the no-query case: a bare /$ also stripped a
+    # trailing slash INSIDE the last query value ('?q=a/' vs '?q=a'
+    # collapsed to one dedup key)
+    u = F.regexp_replace(u, r"^([^?#]*)/$", r"$1")
     return u
 
 
@@ -303,8 +312,12 @@ def url_host(url: Column | str) -> Column:
     """Hostname of an absolute or protocol-relative URL (lowercased,
     port stripped, no ``www.``); '' when there is no ``//`` authority."""
     c = F.col(url) if isinstance(url, str) else url
+    # (?:[^/?#]*@)? consumes URL userinfo: without it,
+    # 'https://google.com@evil.com/' extracted 'google.com@evil.com'
+    # (and a password colon truncated the host at the colon) — any URL
+    # could evade a domain blocklist by prepending 'anything@'
     h = F.lower(F.regexp_extract(
-        c, r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//([^/?#:]+)", 1))
+        c, r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//(?:[^/?#]*@)?([^/?#:]+)", 1))
     # FQDN trailing dot ('example.com.') is the same host — without the
     # strip, registered_domain would split to ['example','com',''] and
     # bucket every trailing-dot host of a TLD under the bogus 'com.'
@@ -353,10 +366,13 @@ def domain_filter(df: DataFrame, url_col: str = "url",
     sess = df.sparkSession
     src = blocklist if blocklist is not None else allowlist
     if isinstance(src, (list, tuple, set)):
-        rel = sess.createDataFrame([(d,) for d in sorted(src)],
-                                   "__dom string")
+        # registered_domain output is always lowercased — a mixed-case
+        # list entry ('Example.COM') would silently never match
+        rel = sess.createDataFrame(
+            [(str(d).lower(),) for d in sorted(src)], "__dom string")
     else:
-        rel = src.toDF("__dom")
+        rel = src.toDF("__dom").withColumn("__dom",
+                                           F.lower(F.col("__dom")))
     keyed = df.withColumn("__dom", registered_domain(F.col(url_col)))
     how = "left_anti" if blocklist is not None else "left_semi"
     return keyed.join(F.broadcast(rel), "__dom", how).drop("__dom")

@@ -46,6 +46,31 @@ def l2_distance(a: Column, b: Column) -> Column:
                               F.lit(0.0), lambda acc, v: acc + v))
 
 
+def _validate_queries(queries: DataFrame, query_id_col: str,
+                      query_vec_col: str, cap: int,
+                      check_norm: bool = False) -> int:
+    """Count the (small) query side and REFUSE NULL (and, for cosine,
+    zero-norm) query vectors: they would otherwise yield all-NULL scores
+    that the top-k NULL filter silently drops, so the query vanished
+    from the output with no error — while ivf_knn raised for the same
+    input.  One tiny aggregation over the broadcast-sized query side."""
+    v = F.col(query_vec_col)
+    bad = v.isNull()
+    if check_norm:
+        bad = bad | (F.aggregate(v, F.lit(0.0),
+                                 lambda a, x: a + x * x) == 0)
+    row = queries.limit(cap + 1).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(bad.cast("int")).alias("nbad")).first()
+    if int(row["nbad"] or 0) > 0:
+        raise ValueError(
+            f"{int(row['nbad'])} query vector(s) are NULL"
+            f"{' or zero-norm' if check_norm else ''} — they cannot be "
+            "searched and would silently return no rows; filter them "
+            "from the query side first")
+    return int(row["n"])
+
+
 def knn_bruteforce(df: DataFrame, queries: DataFrame, k: int = 10,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    query_id_col: str = "query_id",
@@ -63,7 +88,8 @@ def knn_bruteforce(df: DataFrame, queries: DataFrame, k: int = 10,
     score = {"cosine": cosine, "dot": dot}.get(metric)
     if score is None and metric != "l2":
         raise ValueError(f"unknown metric {metric!r}")
-    nq = queries.limit(max_queries + 1).count()
+    nq = _validate_queries(queries, query_id_col, query_vec_col,
+                           max_queries, check_norm=metric == "cosine")
     if nq > max_queries:
         raise ValueError(
             f">{max_queries} queries exceeds max_queries; brute force "
@@ -156,6 +182,8 @@ def lsh_knn(df: DataFrame, queries: DataFrame, k: int = 10,
             seed: int = 42) -> DataFrame:
     """Approximate top-k: ``n_tables`` independent hyperplane tables; rows
     colliding with the query in ANY table are candidates, reranked exactly."""
+    _validate_queries(queries, query_id_col, query_vec_col,
+                      cap=2 ** 31 - 2, check_norm=True)
     tables = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
     sig = bucket_signatures_udf(tables)
 

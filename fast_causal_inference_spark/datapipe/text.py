@@ -101,7 +101,7 @@ def quality_score(text: Column | str) -> Column:
     """[0, 1] document-quality heuristic (Gopher-style signals, closed form):
 
     * length in a sane band (30–100k chars)
-    * mean word length in [3, 10]
+    * mean word length in [2, 12]
     * stopword presence
     * bounded symbol/punctuation ratio
     * bounded max-token-repetition ratio
@@ -111,7 +111,14 @@ def quality_score(text: Column | str) -> Column:
     toks = tokens(c)
     n_tok = F.size(toks)
     n_chars = F.length(c)
-    mean_wlen = (n_chars - n_tok + 1) / n_tok
+    # mean word length over WHITESPACE-NORMALIZED text: the raw length
+    # counts every char of a multi-char separator run as word mass
+    # ((n_chars − n_tok + 1)/n_tok assumes exactly one separator between
+    # tokens), so newline-/indent-heavy documents with ordinary words
+    # lost the word-length credit purely for formatting
+    norm_len = F.length(F.regexp_replace(
+        F.regexp_replace(c, r"^\s+|\s+$", ""), r"\s+", " "))
+    mean_wlen = (norm_len - n_tok + 1) / n_tok
     sw_all = F.array(*[F.lit(w) for ws in _STOPWORDS.values() for w in ws])
     sw_ratio = F.size(F.filter(toks, lambda t: F.array_contains(sw_all, t))) / n_tok
     sym_ratio = (F.length(F.regexp_replace(c, r"[A-Za-z0-9\s一-鿿]", ""))
@@ -182,8 +189,11 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
     dedup key).  Empty/blank/NULL documents produce one empty chunk so
     no document silently disappears.
     """
-    if overlap >= chunk_tokens:
-        raise ValueError("overlap must be smaller than chunk_tokens")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap must lie in [0, chunk_tokens), got {overlap}: a "
+            "negative overlap makes the stride exceed the window and "
+            "silently DROPS tokens between consecutive chunks")
     stride = chunk_tokens - overlap
     # case-preserving token split; NULL text behaves like ''
     tk_expr = F.split(_trim_ws(F.coalesce(F.col(text_col), F.lit(""))),

@@ -142,7 +142,15 @@ def train_bpe(df: DataFrame, text_col: str = "text",
     chars = sorted({ch for w, _ in word_counts for ch in w} | {_EOW})
     n_merges = max(vocab_size - len(chars), 0)
     merges = _learn_merges(word_counts, n_merges)
-    vocab = chars + [a + b for a, b in merges]
+    # dedup preserving first occurrence: two merge pairs can concatenate
+    # to the SAME string (('a','bc') and ('ab','c') both yield 'abc'),
+    # and a duplicated vocab entry would both overstate vocab_size and
+    # map one token to two ids in any enumerate-based id assignment
+    vocab, seen = [], set()
+    for tok in chars + [a + b for a, b in merges]:
+        if tok not in seen:
+            seen.add(tok)
+            vocab.append(tok)
     return {"merges": merges, "vocab": vocab, "lowercase": lowercase}
 
 

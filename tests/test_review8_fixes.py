@@ -506,3 +506,109 @@ def test_facade_exports_quasi_experimental():
     for name in ("callaway_santanna", "interrupted_time_series",
                  "mediation", "ordered_logit", "heckman"):
         assert callable(getattr(fcis, name)), name
+
+
+def test_url_host_userinfo_stripped(spark):
+    from fast_causal_inference_spark.datapipe.quality import (
+        normalize_url,
+        registered_domain,
+        url_host,
+    )
+
+    df = spark.createDataFrame(
+        [("https://google.com@evil.com/x",),
+         ("https://user:pw@example.com/page",),
+         ("https://ok.example.org/a",)], ["url"])
+    got = df.select(url_host("url").alias("h"),
+                    registered_domain("url").alias("d")).collect()
+    assert got[0]["h"] == "evil.com" and got[0]["d"] == "evil.com"
+    assert got[1]["h"] == "example.com" and got[1]["d"] == "example.com"
+    assert got[2]["h"] == "ok.example.org"
+    # trailing slash inside a query VALUE is content, not path
+    n = df.sparkSession.createDataFrame(
+        [("https://ex.com/search?q=a/",), ("https://ex.com/search?q=a",),
+         ("https://ex.com/path/",)], ["url"]) \
+        .select(normalize_url(F.col("url")).alias("u")).collect()
+    assert n[0]["u"] != n[1]["u"]
+    assert n[2]["u"] == "https://ex.com/path"
+
+
+def test_repetition_profile_null_text(spark):
+    from fast_causal_inference_spark.datapipe.quality import (
+        repetition_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "the cat sat on the mat and the cat sat again on it"),
+         (1, None)], ["doc_id", "text"])
+    out = repetition_profile(df).toPandas().set_index("doc_id")
+    assert pd.isna(out.loc[1, "top_ngram_char_frac"])    # was 1.0
+    assert out.loc[0, "top_ngram_char_frac"] < 1.0
+
+
+def test_domain_filter_case_insensitive(spark):
+    from fast_causal_inference_spark.datapipe.quality import domain_filter
+
+    df = spark.createDataFrame(
+        [("https://example.com/a",), ("https://other.org/b",)], ["url"])
+    kept = domain_filter(df, blocklist=["Example.COM"]).collect()
+    assert len(kept) == 1 and "other.org" in kept[0]["url"]
+
+
+def test_chunk_documents_negative_overlap_raises(spark, ab_df):
+    from fast_causal_inference_spark.datapipe.text import chunk_documents
+
+    df = ab_df.selectExpr("cast(treatment as long) as doc_id",
+                          "'a b c d e f g h' as text").limit(2)
+    with pytest.raises(ValueError, match="DROPS tokens"):
+        chunk_documents(df, chunk_tokens=4, overlap=-2)
+
+
+def test_quality_score_whitespace_insensitive(spark):
+    from fast_causal_inference_spark.datapipe.text import quality_score
+
+    words = " ".join(["sensible", "words", "with", "normal", "length"] * 4)
+    df = spark.createDataFrame(
+        [(words,), (words.replace(" ", "\n\n\t "),)], ["text"])
+    a, b = [r[0] for r in df.select(quality_score("text")).collect()]
+    assert a == b                              # formatting-only change
+
+
+def test_knn_null_query_raises(spark):
+    from fast_causal_inference_spark.datapipe.similarity import (
+        knn_bruteforce,
+        lsh_knn,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)],
+        "vec_id long, embedding array<double>")
+    bad_q = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, None), (2, [0.0, 0.0])],
+        "query_id long, query_vec array<double>")
+    with pytest.raises(ValueError, match="NULL or zero-norm"):
+        knn_bruteforce(corpus, bad_q, k=3)
+    with pytest.raises(ValueError, match="NULL or zero-norm"):
+        lsh_knn(corpus, bad_q, k=3, dim=2)
+
+
+def test_bigram_lm_empty_corpus_raises(spark):
+    from fast_causal_inference_spark.datapipe.lm import (
+        train_bigram_lm,
+        train_trigram_lm,
+    )
+
+    df = spark.createDataFrame([("   ",), ("",)], ["text"])
+    with pytest.raises(ValueError, match="no non-empty tokens"):
+        train_bigram_lm(df)
+    with pytest.raises(ValueError, match="no non-empty tokens"):
+        train_trigram_lm(df)
+
+
+def test_bpe_vocab_no_duplicates(spark):
+    from fast_causal_inference_spark.datapipe.tokenizer import train_bpe
+
+    df = spark.createDataFrame(
+        [("abc abc abc ab bc a b c",)] * 30, ["text"])
+    model = train_bpe(df, vocab_size=40)
+    assert len(model["vocab"]) == len(set(model["vocab"]))
