@@ -156,8 +156,11 @@ def bayes_ab_continuous(df: DataFrame, y: str, arm: str,
             .agg(F.count(F.lit(1)).alias("n"), F.avg(yc).alias("m"),
                  F.var_samp(yc).alias("v"))
             .collect())
+    # var_samp is NULL for a single-row arm: float(None) would raise a
+    # bare TypeError BEFORE the friendly >=2-rows check below
     by01 = {int(r["__arm"]): (float(r["n"]), float(r["m"]),
-                              float(r["v"])) for r in rows}
+                              float(r["v"]) if r["v"] is not None
+                              else float("nan")) for r in rows}
     stats = {v: by01[i] for i, v in enumerate(treatment_values)
              if i in by01}
     for v in treatment_values:

@@ -602,7 +602,14 @@ def glm_grouped(df: DataFrame, formula: str, group_expr: str,
                        for g in betas}
     it = 0
     for it in range(1, max_iter + 1):
-        joined = _beta_join(betas)
+        # only UNFROZEN segments ride the per-iteration scan: the inner
+        # beta join drops the others' rows, so late iterations aggregate
+        # only the still-moving segments (990 converged / 10 slow out of
+        # 1000 segments previously paid full O(p²)-per-row work for all
+        # 1000 every iteration).  Frozen segments' stderr Gramian comes
+        # from the final scan below, at exactly their final β.
+        joined = _beta_join({g: b for g, b in betas.items()
+                             if g not in frozen} or betas)
         base = joined.select(
             "__g__", *[c.alias(f"__p{i}__") for i, c in enumerate(xs)],
             y.alias("__yy__"), _eta().alias("__eta__"),
@@ -678,20 +685,43 @@ def glm_grouped(df: DataFrame, formula: str, group_expr: str,
         muf = F.lit(1.0) / (F.lit(1.0) + F.exp(-etaf))
     else:
         muf = F.exp(etaf)
-    fb = joined.select("__g__", y.alias("__yy__"), muf.alias("__mu__"))
+    fb = joined.select(
+        "__g__", *[c.alias(f"__p{i}__") for i, c in enumerate(xs)],
+        y.alias("__yy__"), muf.alias("__mu__"),
+        etaf.alias("__eta__"), off.alias("__o__"))
     yc, mu = F.col("__yy__"), F.col("__mu__")
     dev_term, pearson = _dev_pearson(family, yc, mu, var_power)
-    fin_rows = (fb.groupBy("__g__")
-                .agg(F.sum(dev_term).alias("dev"),
-                     F.sum(pearson).alias("pchi")).collect())
+    # the Fisher information at EXACTLY β̂ rides the same final scan —
+    # the per-iteration Gramians only cover the segments that scan
+    # still carries (frozen ones drop out), and the old convention was
+    # quirky anyway (a segment frozen in the LAST iteration kept its
+    # pre-update Gramian)
+    s_fin, _zf = _irls_wz(family, mu, F.col("__eta__"), yc,
+                          F.col("__o__"), var_power)
+    psf = [F.col(f"__p{i}__") for i in range(p)]
+    fin_aggs = [F.sum(dev_term).alias("dev"),
+                F.sum(pearson).alias("pchi"),
+                F.count(F.col("__yy__")).alias("n__")]
+    for i in range(p):
+        for j in range(i, p):
+            fin_aggs.append(F.sum(s_fin * psf[i] * psf[j])
+                            .alias(f"fa{i}_{j}"))
+    fin_rows = fb.groupBy("__g__").agg(*fin_aggs).collect()
     work.unpersist()
     fin = {_norm(r["__g__"]): r for r in fin_rows}
 
     out: dict = {}
     scaled = family in ("quasipoisson", "gamma", "gaussian", "tweedie")
     for gv, beta in betas.items():
-        n = n_by_g.get(gv, 0.0)
-        A = A_by_g.get(gv)
+        fr = fin.get(gv)
+        n = float(fr["n__"]) if fr is not None else n_by_g.get(gv, 0.0)
+        if fr is not None:
+            A = np.empty((p, p))
+            for i in range(p):
+                for j in range(i, p):
+                    A[i, j] = A[j, i] = fr[f"fa{i}_{j}"]
+        else:
+            A = A_by_g.get(gv)
         try:
             cov = np.linalg.inv(A)
         except np.linalg.LinAlgError:
@@ -1083,8 +1113,11 @@ def negative_binomial_regression(df: DataFrame, formula: str,
         null_dev = float("nan")
     df.unpersist()
     stderr = np.sqrt(np.maximum(np.diag(np.linalg.inv(A)), 0.0))
+    # y_expr matters downstream: margins.average_marginal_effects uses it
+    # to keep its rebuilt Fisher/AME sums on the SAME complete-case rows
+    # the fit used — omitting it silently skipped that filter
     return GlmModel(family="negbin", feature_exprs=feats, use_bias=use_bias,
                     beta=beta, stderr=stderr, n=n, n_iter=total_it,
                     converged=conv, deviance=deviance,
                     null_deviance=null_dev, dispersion=float(a_disp),
-                    offset=offset)
+                    offset=offset, y_expr=y_expr)

@@ -40,6 +40,10 @@ def adjust_pvalues(results, p_col: str = "p_value",
                 f"certainly a result-relation mistake")
     else:
         pdf = results.copy()
+    if method not in ("bonferroni", "holm", "bh"):
+        # validate BEFORE the m>0 gate: an empty/all-NaN input would
+        # otherwise silently accept a typo'd method name
+        raise ValueError("method must be bonferroni|holm|bh")
     p = pdf[p_col].to_numpy(dtype=float)
     ok = ~np.isnan(p)
     m = int(ok.sum())
@@ -62,8 +66,6 @@ def adjust_pvalues(results, p_col: str = "p_value",
             out = np.empty(m)
             out[order] = np.minimum(ranked, 1.0)
             adj[ok] = out
-        else:
-            raise ValueError("method must be bonferroni|holm|bh")
     pdf[out_col] = adj
     if is_spark:
         from pyspark.sql.types import DoubleType, StructField, StructType
@@ -72,5 +74,13 @@ def adjust_pvalues(results, p_col: str = "p_value",
         # NullType columns (Arrow) or fail inference (fallback)
         schema = StructType(list(results.schema.fields)
                             + [StructField(out_col, DoubleType(), True)])
+        # toPandas widens nullable integral columns to float64/NaN;
+        # feeding those floats back under the original LongType crashes
+        # — restore pandas nullable integer dtypes first (NaN -> <NA>)
+        for f in results.schema.fields:
+            if (f.dataType.typeName() in ("long", "integer", "short",
+                                          "byte")
+                    and pdf[f.name].dtype.kind == "f"):
+                pdf[f.name] = pdf[f.name].astype("Int64")
         return results.sparkSession.createDataFrame(pdf, schema)
     return pdf

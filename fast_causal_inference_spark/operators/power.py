@@ -108,7 +108,10 @@ def effect_size(df: DataFrame, y: str, index: str,
             .agg(F.count(F.lit(1)).cast("double").alias("n"),
                  F.avg(ycol).alias("m"),
                  F.var_samp(ycol).alias("v")).collect())
-    st = {r["arm"]: (float(r["n"]), float(r["m"]), float(r["v"]))
+    # var_samp is NULL for a 1-row arm — see bayes_ab_continuous
+    st = {r["arm"]: (float(r["n"]), float(r["m"]),
+                     float(r["v"]) if r["v"] is not None
+                     else float("nan"))
           for r in rows}
     if 0 not in st or 1 not in st:
         raise ValueError("both arms must be non-empty")

@@ -184,8 +184,11 @@ def group_sequential_ttest(df: DataFrame, y: str, index: str,
             per_look.append((lk, n0, n1, np.nan, np.nan))
             continue
         m0, m1 = s0 / n0, s1 / n1
-        v0 = (ss0 - n0 * m0 * m0) / (n0 - 1)
-        v1 = (ss1 - n1 * m1 * m1) / (n1 - 1)
+        # clamp: catastrophic cancellation on a constant metric can make
+        # the subtraction go ~-1e-17, and sqrt(negative) killed the
+        # whole monitor with a math-domain error before the se>0 guard
+        v0 = max((ss0 - n0 * m0 * m0) / (n0 - 1), 0.0)
+        v1 = max((ss1 - n1 * m1 * m1) / (n1 - 1), 0.0)
         se = math.sqrt(v0 / n0 + v1 / n1)
         z = (m1 - m0) / se if se > 0 else 0.0
         info = 1.0 / (1.0 / n0 + 1.0 / n1)

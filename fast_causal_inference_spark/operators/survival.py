@@ -65,7 +65,10 @@ def logrank_test(df: DataFrame, time: str, event: str,
     v0, v1 = group_values
     t = F.expr(time).cast("double")
     e = F.expr(event).cast("double")
-    agg = (df.where(g.isin([v0, v1]))
+    # complete-case like kaplan_meier/rmst/aalen_johansen: F.sum(e)
+    # skips a NULL event but F.count would still count the row into the
+    # risk set — a NULL-event subject silently read as censored
+    agg = (df.where(g.isin([v0, v1]) & t.isNotNull() & e.isNotNull())
              .groupBy(t.alias("time"), (g == F.lit(v1)).cast("int").alias("g"))
              .agg(F.sum(e).alias("d"), F.count(F.lit(1)).alias("n"))
              .orderBy("time")
@@ -109,7 +112,8 @@ def stratified_logrank_test(df: DataFrame, time: str, event: str,
     v0, v1 = group_values
     t = F.expr(time).cast("double")
     e = F.expr(event).cast("double")
-    agg = (df.where(g.isin([v0, v1]))
+    # same complete-case rule as logrank_test (see its comment)
+    agg = (df.where(g.isin([v0, v1]) & t.isNotNull() & e.isNotNull())
            .groupBy(*strata, t.alias("time"),
                     (g == F.lit(v1)).cast("int").alias("g"))
            .agg(F.sum(e).alias("d"), F.count(F.lit(1)).alias("n"))
@@ -258,6 +262,14 @@ def cox_ph(df: DataFrame, time: str, event: str, covariates: list[str],
     xs = [F.expr(c).cast("double").alias(f"__x{i}")
           for i, c in enumerate(covariates)]
     sub = df.select(tcol, ecol, *xs).na.drop().cache()
+    # empty after complete-case: the Newton loop would silently
+    # 'converge' at beta = 0 with converged=True and all-NaN inference
+    # (weibull_aft raises for the identical input)
+    if sub.limit(1).count() == 0:
+        sub.unpersist()
+        raise ValueError(
+            "cox_ph: no complete-case rows (every row has a NULL in "
+            "time/event/covariates)")
     beta = np.zeros(k)
     loglik_prev = -np.inf
     for _ in range(max_iter):

@@ -612,3 +612,101 @@ def test_bpe_vocab_no_duplicates(spark):
         [("abc abc abc ab bc a b c",)] * 30, ["text"])
     model = train_bpe(df, vocab_size=40)
     assert len(model["vocab"]) == len(set(model["vocab"]))
+
+
+def test_logrank_null_event_complete_case(spark):
+    """NULL event indicators must leave the risk set (they counted as
+    censored subjects before), matching kaplan_meier's convention."""
+    from fast_causal_inference_spark.operators.survival import (
+        logrank_test,
+        stratified_logrank_test,
+    )
+
+    rng = np.random.default_rng(7)
+    base = pd.DataFrame({
+        "t": rng.exponential(10, 400).round(1) + 0.1,
+        "e": rng.integers(0, 2, 400),
+        "g": np.tile([0, 1], 200),
+        "s": np.repeat([0, 1], 200),
+    })
+    polluted = pd.concat([base, pd.DataFrame({
+        "t": rng.exponential(10, 80).round(1) + 0.1,
+        "e": [None] * 80, "g": [0, 1] * 40, "s": [0, 1] * 40,
+    })], ignore_index=True)
+    clean_df, dirty_df = (spark.createDataFrame(x) for x in
+                          (base, polluted))
+    a = logrank_test(clean_df, "t", "e", "g").iloc[0]
+    b = logrank_test(dirty_df, "t", "e", "g").iloc[0]
+    assert b["chi2"] == pytest.approx(a["chi2"], rel=1e-12)
+    sa = stratified_logrank_test(clean_df, "t", "e", "g", ["s"]).iloc[0]
+    sb = stratified_logrank_test(dirty_df, "t", "e", "g", ["s"]).iloc[0]
+    assert sb["chi2"] == pytest.approx(sa["chi2"], rel=1e-12)
+
+
+def test_sequential_constant_metric_no_domain_error(spark):
+    from fast_causal_inference_spark.operators.sequential import (
+        group_sequential_ttest,
+    )
+
+    pdf = pd.DataFrame({
+        "y": [0.1] * 400,                     # constant metric
+        "t": [0, 1] * 200,
+        "look": np.repeat([1, 2], 200),
+    })
+    out = group_sequential_ttest(spark.createDataFrame(pdf), "y", "t",
+                                 "look")
+    assert len(out) == 2                      # no math-domain crash
+
+
+def test_bayes_power_single_row_arm_clear_error(spark):
+    from fast_causal_inference_spark.operators.bayes import (
+        bayes_ab_continuous,
+    )
+    from fast_causal_inference_spark.operators.power import effect_size
+
+    pdf = pd.DataFrame({"y": [1.0, 2.0, 3.0, 9.9],
+                        "t": [0, 0, 0, 1]})   # arm 1 has ONE row
+    df = spark.createDataFrame(pdf)
+    with pytest.raises(ValueError, match=">= 2 non-null rows"):
+        bayes_ab_continuous(df, "y", "t")
+    with pytest.raises(ValueError, match="at least 2 rows"):
+        effect_size(df, "y", "t")
+
+
+def test_adjust_pvalues_typo_and_long_round_trip(spark):
+    from fast_causal_inference_spark.operators.multiple_testing import (
+        adjust_pvalues,
+    )
+
+    empty = pd.DataFrame({"p_value": pd.Series([], dtype=float)})
+    with pytest.raises(ValueError, match="bonferroni"):
+        adjust_pvalues(empty, method="bonferoni")
+    # Spark relation with a nullable long column survives the round-trip
+    sdf = spark.createDataFrame(
+        [("a", 10, 0.01), ("b", None, 0.04), ("c", 3, 0.20)],
+        "metric string, n long, p_value double")
+    out = adjust_pvalues(sdf, method="bh")
+    got = out.orderBy("metric").collect()
+    assert [r["n"] for r in got] == [10, None, 3]
+    assert got[0]["p_value_bh"] == pytest.approx(0.03)
+
+
+def test_cox_ph_empty_complete_case_raises(spark):
+    from fast_causal_inference_spark.operators.survival import cox_ph
+
+    df = spark.createDataFrame(
+        [(1.0, None, 0.5), (2.0, None, 0.1)], "t double, e int, x double")
+    with pytest.raises(ValueError, match="no complete-case rows"):
+        cox_ph(df, "t", "e", ["x"])
+
+
+def test_negbin_model_carries_y_expr(spark):
+    from fast_causal_inference_spark.operators.glm import (
+        negative_binomial_regression,
+    )
+
+    rng = np.random.default_rng(8)
+    pdf = pd.DataFrame({"x": rng.normal(0, 1, 500)})
+    pdf["y"] = rng.poisson(np.exp(0.3 + 0.5 * pdf.x))
+    m = negative_binomial_regression(spark.createDataFrame(pdf), "y ~ x")
+    assert m.y_expr == "y"       # margins' complete-case filter needs it
