@@ -26,6 +26,18 @@ Probes implemented:
   ``n_audio_tracks``.
 * **WAV**: fmt chunk (channels, sample rate, bits), data size →
   duration.
+* **FLAC**: STREAMINFO (sample rate, channels, bits, total samples →
+  exact duration; average bitrate from the stream length).  Full
+  decode lives in ``datapipe/flac.py`` — the probe reads the header
+  only.
+* **Ogg**: page framing (capture pattern, segment table), codec
+  identification from the first packet (Vorbis identification header →
+  channels / rate / nominal bitrate; OpusHead → channels / pre-skip;
+  Ogg-FLAC; Theora), exact duration from the final page's granule
+  position (Vorbis/FLAC: PCM samples; Opus: 48 kHz ticks minus
+  pre-skip).
+* **WebP**: RIFF framing — VP8 (start code + 14-bit dims), VP8L
+  (5-byte signature + 14-bit packed dims), VP8X (24-bit canvas dims).
 * **PNG / JPEG / BMP / PPM / GIF**: width × height from the header
   (JPEG: first SOF0/1/2 marker), no pixel work.
 
@@ -52,7 +64,8 @@ from pyspark.sql import types as T
 
 from fast_causal_inference_spark.serialization import ensure_udf_serializable
 
-__all__ = ["media_probe", "probe_payload", "build_mp3", "build_mp4"]
+__all__ = ["media_probe", "probe_payload", "build_mp3", "build_mp4",
+           "build_ogg_vorbis", "build_webp"]
 
 # MPEG-1 Layer III bitrate table (kbps), index 1..14; 0 = "free format"
 # (bitstream-defined frame size — reported as NULL), 15 = invalid.
@@ -231,6 +244,99 @@ def _probe_wav(b: bytes) -> dict | None:
     return out
 
 
+def _probe_flac(b: bytes) -> dict | None:
+    """STREAMINFO header fields (RFC 9639 §8.2) — no decode."""
+    if b[:4] != b"fLaC" or len(b) < 8 + 34 or b[4] & 0x7F != 0:
+        return None
+    s = 8                                      # STREAMINFO body offset
+    rate = (b[s + 10] << 12) | (b[s + 11] << 4) | (b[s + 12] >> 4)
+    channels = ((b[s + 12] >> 1) & 0x7) + 1
+    total = ((b[s + 13] & 0x0F) << 32) | struct.unpack(
+        ">I", b[s + 14:s + 18])[0]
+    out = {"container": "flac", "codec": "flac", "channels": channels,
+           "sample_rate": rate or None, "vbr": True,
+           "n_frames": total or None}
+    if rate and total:
+        out["duration_sec"] = total / rate
+        out["bit_rate"] = int(8 * len(b) * rate / total)
+    return out
+
+
+def _probe_ogg(b: bytes) -> dict | None:
+    """Ogg page framing + first-packet codec identification."""
+    if b[:4] != b"OggS" or len(b) < 28 or b[4] != 0:
+        return None
+    nsegs = b[26]
+    pkt = b[27 + nsegs:27 + nsegs + 64]
+    out = {"container": "ogg", "codec": None}
+    rate = None
+    pre_skip = 0
+    if pkt[:7] == b"\x01vorbis" and len(pkt) >= 28:
+        out["codec"] = "vorbis"
+        out["channels"] = pkt[11]
+        rate = struct.unpack("<I", pkt[12:16])[0]
+        out["sample_rate"] = rate or None
+        nominal = struct.unpack("<i", pkt[20:24])[0]
+        if nominal > 0:
+            out["bit_rate"] = nominal
+        out["vbr"] = nominal <= 0 or struct.unpack(
+            "<i", pkt[16:20])[0] != nominal
+    elif pkt[:8] == b"OpusHead" and len(pkt) >= 12:
+        out["codec"] = "opus"
+        out["channels"] = pkt[9]
+        pre_skip = struct.unpack("<H", pkt[10:12])[0]
+        rate = 48_000                          # granule clock, always
+        out["sample_rate"] = rate
+    elif pkt[:5] == b"\x7fFLAC":
+        out["codec"] = "flac"
+        fl = pkt.find(b"fLaC")
+        if fl >= 0 and len(pkt) >= fl + 21:
+            s2 = fl + 8
+            rate = ((pkt[s2 + 10] << 12) | (pkt[s2 + 11] << 4)
+                    | (pkt[s2 + 12] >> 4))
+            out["sample_rate"] = rate or None
+            out["channels"] = ((pkt[s2 + 12] >> 1) & 0x7) + 1
+    elif pkt[:7] == b"\x80theora":
+        out["codec"] = "theora"
+        out["n_video_tracks"] = 1
+    # duration: granule position of the FINAL page (single-stream
+    # files; multiplexed streams would need per-serial tracking)
+    last = b.rfind(b"OggS")
+    if rate and last >= 0 and len(b) >= last + 28 and b[last + 4] == 0:
+        granule = struct.unpack("<q", b[last + 6:last + 14])[0]
+        if granule > 0:
+            out["duration_sec"] = max(granule - pre_skip, 0) / rate
+            if out["codec"] != "opus":
+                out["n_frames"] = granule
+    return out
+
+
+def _probe_webp(b: bytes) -> dict | None:
+    """RIFF/WEBP chunk framing: VP8 / VP8L / VP8X dimensions."""
+    if len(b) < 20 or b[:4] != b"RIFF" or b[8:12] != b"WEBP":
+        return None
+    four = b[12:16]
+    out = {"container": "webp"}
+    if four == b"VP8 " and len(b) >= 30:
+        if b[23:26] != b"\x9d\x01\x2a":        # lossy start code
+            return out
+        out["codec"] = "vp8"
+        out["width"] = struct.unpack("<H", b[26:28])[0] & 0x3FFF
+        out["height"] = struct.unpack("<H", b[28:30])[0] & 0x3FFF
+    elif four == b"VP8L" and len(b) >= 25:
+        if b[20] != 0x2F:                      # lossless signature
+            return out
+        v = struct.unpack("<I", b[21:25])[0]
+        out["codec"] = "vp8l"
+        out["width"] = (v & 0x3FFF) + 1
+        out["height"] = ((v >> 14) & 0x3FFF) + 1
+    elif four == b"VP8X" and len(b) >= 30:
+        out["codec"] = "vp8x"
+        out["width"] = int.from_bytes(b[24:27], "little") + 1
+        out["height"] = int.from_bytes(b[27:30], "little") + 1
+    return out
+
+
 def _probe_image(b: bytes) -> dict | None:
     """Width/height from the header only (no pixel work)."""
     if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
@@ -320,7 +426,8 @@ def probe_payload(b: bytes | None) -> dict:
     if not b or len(b) < 4:
         return out
     try:
-        for fn in (_probe_image, _probe_wav, _probe_mp4, _probe_mp3):
+        for fn in (_probe_image, _probe_webp, _probe_wav, _probe_flac,
+                   _probe_ogg, _probe_mp4, _probe_mp3):
             r = fn(b)
             if r is not None:
                 out.update(r)
@@ -395,6 +502,71 @@ def build_mp3(n_frames: int, bitrate_index: int = 9, rate_index: int = 0,
 
 def _box(typ: bytes, payload: bytes) -> bytes:
     return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+
+def _ogg_crc(data: bytes) -> int:
+    """Ogg page CRC-32: poly 0x04C11DB7, init 0, no reflection."""
+    r = 0
+    for byte in data:
+        r ^= byte << 24
+        for _ in range(8):
+            r = ((r << 1) ^ 0x04C11DB7) & 0xFFFFFFFF if r & 0x80000000 \
+                else (r << 1) & 0xFFFFFFFF
+    return r
+
+
+def _ogg_page(serial: int, seq: int, granule: int, header_type: int,
+              packet: bytes) -> bytes:
+    """Serialize one Ogg page holding one packet (≤255·255 bytes)."""
+    segs = [255] * (len(packet) // 255) + [len(packet) % 255]
+    head = (b"OggS\x00" + bytes([header_type])
+            + struct.pack("<q", granule) + struct.pack("<I", serial)
+            + struct.pack("<I", seq) + b"\x00\x00\x00\x00"
+            + bytes([len(segs)]) + bytes(segs))
+    page = head + packet
+    crc = _ogg_crc(page)
+    return page[:22] + struct.pack("<I", crc) + page[26:]
+
+
+def build_ogg_vorbis(n_samples: int, sample_rate: int = 44_100,
+                     channels: int = 2, bitrate_nominal: int = 128_000,
+                     serial: int = 1, seed: int = 0) -> bytes:
+    """Serialize a minimal valid Ogg-Vorbis skeleton: page 0 carries the
+    identification header (version 0, channels, rate, bitrates,
+    blocksizes, framing bit), the final EOS page carries the granule
+    position = total PCM samples.  Page CRCs are real."""
+    ident = (b"\x01vorbis" + struct.pack("<I", 0) + bytes([channels])
+             + struct.pack("<I", sample_rate)
+             + struct.pack("<iii", 0, bitrate_nominal, 0)
+             + bytes([0xB8])                   # blocksizes 256/2048
+             + b"\x01")                        # framing bit
+    rng = np.random.default_rng(seed)
+    body = bytes(rng.integers(0, 255, 64, dtype=np.uint8))
+    return (_ogg_page(serial, 0, 0, 0x02, ident)           # BOS
+            + _ogg_page(serial, 1, n_samples, 0x04, body))  # EOS
+
+
+def build_webp(width: int, height: int, lossless: bool = False,
+               seed: int = 0) -> bytes:
+    """Serialize a WebP header (VP8 lossy or VP8L lossless) with valid
+    dimension fields and deterministic junk entropy data."""
+    rng = np.random.default_rng(seed)
+    junk = bytes(rng.integers(0, 255, 24, dtype=np.uint8))
+    if lossless:
+        if not (1 <= width <= 0x4000 and 1 <= height <= 0x4000):
+            raise ValueError("VP8L dims must be in [1, 16384]")
+        v = (width - 1) | ((height - 1) << 14)
+        payload = bytes([0x2F]) + struct.pack("<I", v) + junk
+        chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    else:
+        if not (0 <= width < 0x4000 and 0 <= height < 0x4000):
+            raise ValueError("VP8 dims must fit 14 bits")
+        payload = (b"\x00\x00\x00" + b"\x9d\x01\x2a"
+                   + struct.pack("<HH", width, height) + junk)
+        chunk = b"VP8 " + struct.pack("<I", len(payload)) + payload
+    if len(chunk) % 2:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
 
 
 def build_mp4(duration_sec: float, timescale: int = 1000,

@@ -12,16 +12,20 @@ Decode support is two-tier:
   ``zlib`` inflate + scanline unfilter, all five filters and color
   types at depth 8), baseline-sequential JPEG (own Huffman + IDCT
   implementation in ``datapipe/jpeg.py``, 4:4:4/4:2:0/grayscale, DRI
-  restarts), and PCM WAV (stdlib ``wave``).  Image/audio stats, resize,
-  embeddings, and MFCC-style features below run on actual pixel/sample
-  arrays for these formats.
-* **Compressed audio/video (MP3/MP4/Ogg/WebP/progressive-JPEG/…) is
-  explicitly OUT OF SCOPE for in-container decode** — a deliberate
-  round-6 decision, not an implicit promise: these formats need codec
-  libraries (PIL/cv2/ffmpeg) this container does not ship, and a
-  hand-written entropy decoder (e.g. MP3 Layer-III Huffman tables)
-  cannot be validated here without reference vectors, so shipping one
-  would risk silently-wrong samples.  Every decode-path function
+  restarts), PCM WAV (stdlib ``wave``), and **FLAC** (own Rice/LPC
+  decoder in ``datapipe/flac.py`` with CRC-8/16 + MD5 verification —
+  FLAC's entropy layer is mathematically defined rather than
+  table-driven, and losslessness makes round-trip equality a complete
+  validation, so it clears the bar lossy codecs cannot).  Image/audio
+  stats, resize, embeddings, and MFCC-style features below run on
+  actual pixel/sample arrays for these formats.
+* **Lossy-compressed audio/video (MP3/MP4/Ogg-Vorbis/WebP/
+  progressive-JPEG/…) is explicitly OUT OF SCOPE for in-container
+  decode** — a deliberate round-6 decision, not an implicit promise:
+  these formats need codec libraries (PIL/cv2/ffmpeg) this container
+  does not ship, and a hand-written entropy decoder (e.g. MP3
+  Layer-III Huffman tables) cannot be validated here without reference
+  vectors, so shipping one would risk silently-wrong samples.  Every decode-path function
   therefore defaults to ``strict=True``: an unsupported codec payload
   raises ``NotImplementedError`` naming the missing library.  Passing
   ``strict=False`` is an explicit opt-in to a deterministic
@@ -54,6 +58,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from fast_causal_inference_spark.datapipe.flac import (
+    decode_flac,
+    encode_flac,
+)
 from fast_causal_inference_spark.datapipe.jpeg import decode_jpeg, encode_jpeg
 from fast_causal_inference_spark.serialization import ensure_udf_serializable
 
@@ -323,6 +331,23 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         x = x.reshape(-1, ch).mean(axis=1).astype(np.int16)
     return x, rate
 
+
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a PCM WAV **or FLAC** payload into (mono int samples,
+    sample_rate).  FLAC decode is REAL and in-container (pure numpy,
+    Rice/LPC/fixed prediction with CRC+MD5 verification —
+    ``datapipe/flac.py``); multi-channel payloads are mono-mixed the
+    same way ``decode_wav`` mixes stereo WAV.  MP3/Ogg-Vorbis/AAC still
+    need external codec libraries and raise ``NotImplementedError``
+    (see the module docstring's scope note)."""
+    if payload[:4] == b"fLaC":
+        x, rate = decode_flac(payload)
+        if x.ndim > 1:
+            x = x.mean(axis=1).astype(np.int64)
+        return x, rate
+    return decode_wav(payload)
+
+
 MEDIA_META_SCHEMA = T.StructType([
     T.StructField("media_type", T.StringType()),     # image | audio | video
     T.StructField("format", T.StringType()),         # jpeg | wav | mp4 | ...
@@ -582,11 +607,17 @@ def synthesize_image_column(df: DataFrame, from_col: str,
 
 def synthesize_audio_column(df: DataFrame, from_col: str,
                             payload_col: str = "payload",
-                            sample_rate: int = 16_000) -> DataFrame:
-    """Synthesize a REAL PCM WAV payload per row: constant-amplitude signal
-    with length and amplitude derived from sha256 hex substrings of
-    ``from_col`` (n = hex[10:14] % 2000 + 100, amp = hex[14:18] % 30000) —
-    so rms == amp is recomputable by an external SQL oracle."""
+                            sample_rate: int = 16_000,
+                            fmt: str = "wav") -> DataFrame:
+    """Synthesize a REAL audio payload per row (``fmt``: ``wav`` or
+    ``flac``): constant-amplitude signal with length and amplitude
+    derived from sha256 hex substrings of ``from_col``
+    (n = hex[10:14] % 2000 + 100, amp = hex[14:18] % 30000) — so
+    rms == amp is recomputable by an external SQL oracle.  FLAC is
+    lossless, so the identical oracle holds through the compressed
+    encode→decode round trip."""
+    if fmt not in ("wav", "flac"):
+        raise ValueError("fmt must be 'wav' or 'flac'")
     ensure_udf_serializable()
     out_schema = T.StructType(df.schema.fields
                               + [T.StructField(payload_col, T.BinaryType())])
@@ -599,8 +630,10 @@ def synthesize_audio_column(df: DataFrame, from_col: str,
                 hx = hashlib.sha256(str(v).encode()).hexdigest()
                 n = int(hx[10:14], 16) % 2000 + 100
                 amp = int(hx[14:18], 16) % 30000
-                payloads.append(encode_wav(
-                    np.full(n, amp, dtype=np.int16), sample_rate))
+                sig = np.full(n, amp, dtype=np.int16)
+                payloads.append(
+                    encode_wav(sig, sample_rate) if fmt == "wav"
+                    else encode_flac(sig, sample_rate))
             pdf = pdf.copy()
             pdf[payload_col] = payloads
             yield pdf[cols + [payload_col]]
@@ -611,7 +644,8 @@ def synthesize_audio_column(df: DataFrame, from_col: str,
 def audio_stats(df: DataFrame, payload_col: str = "payload",
                 strict: bool = True) -> DataFrame:
     """Real decode statistics per audio payload: ``n_samples``,
-    ``sample_rate``, ``rms`` (PCM WAV via the stdlib wave module)."""
+    ``sample_rate``, ``rms`` (PCM WAV via the stdlib wave module, FLAC
+    via the pure-numpy codec in ``datapipe/flac.py``)."""
     ensure_udf_serializable()
     out_schema = T.StructType(df.schema.fields
                               + [T.StructField("n_samples", T.LongType()),
@@ -625,7 +659,7 @@ def audio_stats(df: DataFrame, payload_col: str = "payload",
             for p in pdf[payload_col]:
                 payload = bytes(p) if p is not None else b""
                 try:
-                    x, rate = decode_wav(payload)
+                    x, rate = decode_audio(payload)
                     ns.append(len(x))
                     rates.append(rate)
                     rms.append(float(np.sqrt(np.mean(
@@ -690,9 +724,10 @@ def _mfcc(x: np.ndarray, rate: int, n_mfcc: int, n_fft: int = 512,
 def audio_features(df: DataFrame, payload_col: str = "payload",
                    n_mfcc: int = 13, strict: bool = True) -> DataFrame:
     """Decode + MFCC feature-extract an audio column
-    → ``audio_features array<float>``.  PCM WAV payloads run a REAL numpy
-    MFCC (framed rfft → mel filterbank → log → DCT-II); codec formats
-    raise under ``strict`` or fall back to a content-seeded fake."""
+    → ``audio_features array<float>``.  PCM WAV and FLAC payloads run a
+    REAL numpy MFCC (framed rfft → mel filterbank → log → DCT-II) over
+    the actual decoded samples; other codec formats raise under
+    ``strict`` or fall back to a content-seeded fake."""
     ensure_udf_serializable()
     out_schema = T.StructType(df.schema.fields
                               + [T.StructField("audio_features",
@@ -706,15 +741,15 @@ def audio_features(df: DataFrame, payload_col: str = "payload",
             for p in pdf[payload_col]:
                 payload = bytes(p) if p is not None else b""
                 try:
-                    x, rate = decode_wav(payload)
+                    x, rate = decode_audio(payload)
                     feats.append(_mfcc(x, rate, n_mfcc).tolist())
                     dec.append(True)
                 except DECODE_ERRORS as e:
                     if strict:
                         if isinstance(e, NotImplementedError):
                             raise NotImplementedError(
-                                "non-WAV audio decode requires codec "
-                                "libraries not present in this "
+                                "non-WAV/FLAC audio decode requires "
+                                "codec libraries not present in this "
                                 "container") from e
                         raise
                     feats.append(

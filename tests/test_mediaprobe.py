@@ -152,3 +152,81 @@ def test_probe_never_raises_fuzz():
             mut = bytearray(valid)
             mut[pos] ^= 0x40
             assert "container" in probe_payload(bytes(mut))
+
+
+def test_probe_flac_streaminfo():
+    import numpy as np
+
+    from fast_causal_inference_spark.datapipe.flac import encode_flac
+
+    r = probe_payload(encode_flac(np.arange(-500, 500), 22050))
+    assert r["container"] == "flac" and r["codec"] == "flac"
+    assert r["sample_rate"] == 22050 and r["channels"] == 1
+    assert r["n_frames"] == 1000
+    assert abs(r["duration_sec"] - 1000 / 22050) < 1e-9
+    st = probe_payload(encode_flac(
+        np.stack([np.arange(300)] * 2, axis=1), 8000))
+    assert st["channels"] == 2 and st["n_frames"] == 300
+
+
+def test_probe_ogg_vorbis_and_opus():
+    import struct
+
+    from fast_causal_inference_spark.datapipe.mediaprobe import (
+        _ogg_page,
+        build_ogg_vorbis,
+    )
+
+    r = probe_payload(build_ogg_vorbis(441_000, 44_100, 2, 192_000))
+    assert (r["container"], r["codec"]) == ("ogg", "vorbis")
+    assert r["sample_rate"] == 44_100 and r["channels"] == 2
+    assert r["bit_rate"] == 192_000 and r["duration_sec"] == 10.0
+    assert r["n_frames"] == 441_000
+    # OpusHead: granule clock is 48 kHz; duration subtracts pre-skip
+    opus = (b"OpusHead" + bytes([1, 2]) + struct.pack("<H", 312)
+            + struct.pack("<I", 48_000) + b"\x00\x00\x00")
+    og = _ogg_page(9, 0, 0, 0x02, opus) + _ogg_page(9, 1, 96_312, 0x04,
+                                                    b"xx")
+    r = probe_payload(og)
+    assert (r["codec"], r["channels"], r["duration_sec"]) == ("opus", 2,
+                                                              2.0)
+
+
+def test_probe_webp_variants():
+    from fast_causal_inference_spark.datapipe.mediaprobe import (
+        build_webp,
+    )
+
+    r = probe_payload(build_webp(640, 480))
+    assert (r["container"], r["codec"], r["width"], r["height"]) == \
+        ("webp", "vp8", 640, 480)
+    r = probe_payload(build_webp(33, 77, lossless=True))
+    assert (r["codec"], r["width"], r["height"]) == ("vp8l", 33, 77)
+    # VP8X canvas dims (hand-assembled: flags + 24-bit w-1/h-1)
+    import struct as _s
+    payload = b"\x00" * 4 + (639).to_bytes(3, "little") \
+        + (479).to_bytes(3, "little")
+    chunk = b"VP8X" + _s.pack("<I", len(payload)) + payload
+    b = b"RIFF" + _s.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    r = probe_payload(b)
+    assert (r["codec"], r["width"], r["height"]) == ("vp8x", 640, 480)
+
+
+def test_probe_new_formats_fuzz_safe():
+    import numpy as np
+
+    from fast_causal_inference_spark.datapipe.flac import encode_flac
+    from fast_causal_inference_spark.datapipe.mediaprobe import (
+        build_ogg_vorbis,
+        build_webp,
+    )
+
+    for valid in (encode_flac(np.arange(100), 8000),
+                  build_ogg_vorbis(1000, 8000, 1),
+                  build_webp(4, 4), build_webp(4, 4, lossless=True)):
+        for cut in range(0, min(len(valid), 120)):
+            assert "container" in probe_payload(valid[:cut])
+        for pos in range(0, min(len(valid), 48)):
+            mut = bytearray(valid)
+            mut[pos] ^= 0x40
+            assert "container" in probe_payload(bytes(mut))
