@@ -3469,13 +3469,17 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline-PNG decode stats (stdlib zlib inflate + unfilter), REAL
     baseline-JPEG decode stats (own Huffman + IDCT, datapipe/jpeg.py;
     q=100 constant-color payloads roundtrip bit-exactly), and REAL
-    PCM-WAV decode stats.  The synthesized payloads derive dims/color/
-    length/amplitude from sha256 hex substrings of the text, so DuckDB can
-    recompute every value — the decode kernels are genuinely end-to-end
-    value-checked (pure-Python BMP/PNG/JPEG/WAV codecs; mp3/mp4 still
-    raise)."""
+    PCM-WAV decode stats, REAL FLAC round-trip decode stats (own
+    Rice/fixed-prediction codec, datapipe/flac.py, over an LCG signal —
+    Σx² is an exact integer DuckDB re-derives via generate_series), and
+    REAL Ogg/WebP container probes.  The synthesized payloads derive
+    dims/color/length/amplitude from sha256 hex substrings of the text,
+    so DuckDB can recompute every value — the decode kernels are
+    genuinely end-to-end value-checked (pure-Python BMP/PNG/JPEG/WAV/
+    FLAC codecs; lossy mp3/mp4 decode still raises)."""
     from fast_causal_inference_spark.datapipe.multimodal import (
         audio_stats,
+        decode_audio,
         image_stats,
         synthesize_audio_column,
         synthesize_image_column,
@@ -3602,8 +3606,68 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "DOUBLE), 'n_audio_tracks', "
                    "CAST(probe.n_audio_tracks AS DOUBLE)) "
                    "AS (feature, value)"))))
+    # FLAC decode + Ogg/WebP probes (round 8): per doc, (1) an LCG
+    # signal x[i] = (a·(i+1)+b) mod 2^16 − 2^15 (a odd → Rice-heavy
+    # residuals, NOT a constant subframe) round-trips through the REAL
+    # encode_flac → decode_audio kernels; n_samples and the exact
+    # integer Σx² are emitted so DuckDB re-derives them closed-form
+    # over generate_series with zero float-rounding risk.  (2) an
+    # Ogg-Vorbis skeleton and a WebP header (hash-derived fields) run
+    # the public media_probe parse.  One fused Arrow pass, same shape
+    # as _codec_stats above.
+    from fast_causal_inference_spark.datapipe.flac import encode_flac
+    from fast_causal_inference_spark.datapipe.mediaprobe import (
+        build_ogg_vorbis,
+        build_webp,
+        probe_payload,
+    )
+
+    def _flac_probe_stats(batches):
+        import hashlib as _hashlib
+
+        import numpy as _np
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                hx = _hashlib.sha256(str(text).encode()).hexdigest()
+                a = int(hx[24:28], 16) * 2 + 1
+                b = int(hx[28:32], 16)
+                n = int(hx[32:35], 16) % 500 + 64
+                sig = (a * _np.arange(1, n + 1, dtype=_np.int64) + b) \
+                    % 65536 - 32768
+                x, _rate = decode_audio(encode_flac(sig, 16000))
+                rows.append((doc_id, "audio_flac", "n_samples",
+                             float(len(x))))
+                rows.append((doc_id, "audio_flac", "sum_sq",
+                             float(int((x.astype(_np.int64) ** 2).sum()))))
+                n_ogg = int(hx[35:39], 16) + 1000
+                ch = 1 + int(hx[39], 16) % 2
+                nominal = (int(hx[40:43], 16) % 256 + 32) * 1000
+                pr = probe_payload(build_ogg_vorbis(n_ogg, 44100, ch,
+                                                    nominal))
+                rows.append((doc_id, "probe_ogg", "duration_sec",
+                             pr["duration_sec"]))
+                rows.append((doc_id, "probe_ogg", "channels",
+                             float(pr["channels"])))
+                rows.append((doc_id, "probe_ogg", "bit_rate",
+                             float(pr["bit_rate"])))
+                w = int(hx[43:46], 16) % 300 + 1
+                h = int(hx[46:49], 16) % 300 + 1
+                pw = probe_payload(build_webp(
+                    w, h, lossless=int(hx[49], 16) % 2 == 1))
+                rows.append((doc_id, "image_webp", "width",
+                             float(pw["width"])))
+                rows.append((doc_id, "image_webp", "height",
+                             float(pw["height"])))
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "modality", "feature", "value"])
+
+    flac_probe_long = d.mapInPandas(
+        _flac_probe_stats,
+        "doc_id long, modality string, feature string, value double")
     out = (vid.unionByName(img_long).unionByName(codec_long)
-           .unionByName(aud_long).unionByName(probe_long))
+           .unionByName(aud_long).unionByName(probe_long)
+           .unionByName(flac_probe_long))
     return out.select("doc_id", "modality", "feature",
                       F.round("value", 6).alias("value"))
 
@@ -3667,6 +3731,39 @@ SELECT doc_id, 'probe_mp4', 'n_video_tracks',
 UNION ALL
 SELECT doc_id, 'probe_mp4', 'n_audio_tracks',
        CAST(('0x' || substr(hx, 22, 3))::BIGINT % 3 AS DOUBLE) FROM h
+UNION ALL
+SELECT doc_id, 'audio_flac', 'n_samples',
+       CAST(('0x' || substr(hx, 33, 3))::BIGINT % 500 + 64 AS DOUBLE) FROM h
+UNION ALL
+-- exact integer sum of squares of the LCG signal the FLAC row
+-- round-trips: x[i] = (a*(i+1)+b) mod 2^16 - 2^15, a odd
+SELECT doc_id, 'audio_flac', 'sum_sq',
+       CAST(SUM(((p.a * (g.i + 1) + p.b) % 65536 - 32768)
+                * ((p.a * (g.i + 1) + p.b) % 65536 - 32768)) AS DOUBLE)
+FROM (SELECT doc_id,
+             ('0x' || substr(hx, 25, 4))::BIGINT * 2 + 1 AS a,
+             ('0x' || substr(hx, 29, 4))::BIGINT AS b,
+             ('0x' || substr(hx, 33, 3))::BIGINT % 500 + 64 AS n
+      FROM h) p
+JOIN generate_series(0, 562) g(i) ON g.i < p.n
+GROUP BY doc_id
+UNION ALL
+SELECT doc_id, 'probe_ogg', 'duration_sec',
+       round((('0x' || substr(hx, 36, 4))::BIGINT + 1000) / 44100.0, 6)
+FROM h
+UNION ALL
+SELECT doc_id, 'probe_ogg', 'channels',
+       CAST(1 + ('0x' || substr(hx, 40, 1))::BIGINT % 2 AS DOUBLE) FROM h
+UNION ALL
+SELECT doc_id, 'probe_ogg', 'bit_rate',
+       CAST((('0x' || substr(hx, 41, 3))::BIGINT % 256 + 32) * 1000
+            AS DOUBLE) FROM h
+UNION ALL
+SELECT doc_id, 'image_webp', 'width',
+       CAST(('0x' || substr(hx, 44, 3))::BIGINT % 300 + 1 AS DOUBLE) FROM h
+UNION ALL
+SELECT doc_id, 'image_webp', 'height',
+       CAST(('0x' || substr(hx, 47, 3))::BIGINT % 300 + 1 AS DOUBLE) FROM h
 """
 
 
