@@ -121,6 +121,23 @@ class BitWriter:
             q -= 32
         self.write(1, q + 1)
 
+    def write_bitarray(self, bits: np.ndarray) -> None:
+        """Append a uint8 0/1 bit array (vectorized bulk path: the
+        encoder assembles whole residual partitions this way instead of
+        looping per sample)."""
+        if self._nbits:
+            acc = np.array([(self._acc >> (self._nbits - 1 - i)) & 1
+                            for i in range(self._nbits)], dtype=np.uint8)
+            bits = np.concatenate([acc, bits])
+            self._acc = 0
+            self._nbits = 0
+        n_whole = len(bits) // 8 * 8
+        if n_whole:
+            self._buf += np.packbits(bits[:n_whole]).tobytes()
+        for b in bits[n_whole:]:
+            self._acc = (self._acc << 1) | int(b)
+            self._nbits += 1
+
     def align(self) -> None:
         if self._nbits:
             self.write(0, 8 - self._nbits)
@@ -282,6 +299,12 @@ def _zigzag(e: np.ndarray) -> np.ndarray:
     return np.where(e >= 0, e << 1, (-e << 1) - 1)
 
 
+def _unsigned_bits(vals: np.ndarray, width: int) -> np.ndarray:
+    """(n,) unsigned int64 → (n, width) MSB-first 0/1 uint8 matrix."""
+    shifts = np.arange(width - 1, -1, -1, dtype=np.int64)
+    return ((vals[:, None] >> shifts) & 1).astype(np.uint8)
+
+
 def _best_rice_param(u: np.ndarray, max_param: int) -> int:
     """Smallest total-bits parameter (exact cost over the candidates)."""
     best_p, best_cost = 0, None
@@ -316,15 +339,26 @@ def _write_residual(w: BitWriter, resid: np.ndarray, block_size: int,
                 width = amax.bit_length() + 1
             w.write(escape, param_bits)
             w.write(width, 5)
-            for v in seg:
-                w.write(int(v) & ((1 << width) - 1) if width else 0, width)
+            if width and len(seg):
+                w.write_bitarray(_unsigned_bits(
+                    seg.astype(np.int64) & ((1 << width) - 1),
+                    width).reshape(-1))
             continue
         u = _zigzag(seg.astype(np.int64))
         p = _best_rice_param(u, max_param) if len(u) else 0
         w.write(p, param_bits)
-        for uv in u:
-            w.write_unary(int(uv) >> p)
-            w.write(int(uv), p)
+        if len(u):
+            # vectorized rice: terminator positions from the cumulative
+            # code lengths, then one scatter for the low-bit fields
+            q = u >> p
+            ends = np.cumsum(q + 1 + p)
+            bits = np.zeros(int(ends[-1]), dtype=np.uint8)
+            stops = ends - (p + 1)
+            bits[stops] = 1
+            if p:
+                posm = stops[:, None] + 1 + np.arange(p, dtype=np.int64)
+                bits[posm] = _unsigned_bits(u & ((1 << p) - 1), p)
+            w.write_bitarray(bits)
 
 
 def _levinson(acf: np.ndarray, order: int) -> np.ndarray:
@@ -359,8 +393,9 @@ def _encode_subframe(w: BitWriter, x: np.ndarray, bps: int,
         return
     if method == "verbatim":
         w.write(0b0_000001_0, 8)
-        for v in x:
-            w.write(int(v) & ((1 << bps) - 1), bps)
+        if len(x):
+            w.write_bitarray(_unsigned_bits(
+                x & ((1 << bps) - 1), bps).reshape(-1))
         return
     if method == "lpc":
         order = min(lpc_order, len(x) - 1)
