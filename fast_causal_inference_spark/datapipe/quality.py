@@ -413,6 +413,13 @@ def train_quality_classifier(df: DataFrame, label_col: str,
     docs = df.agg(
         F.sum(F.when(lab == 1, 1).otherwise(0)).alias("d_pos"),
         F.sum(F.when(lab == 0, 1).otherwise(0)).alias("d_neg")).collect()[0]
+    if tot["n_pos"] is None or int(tot["v"]) == 0:
+        # token-free corpus: the sums come back NULL and a vocab of 0
+        # would put log(0) in every scoring denominator (same guard as
+        # train_bigram_lm)
+        raise ValueError(
+            "train_quality_classifier: the labeled corpus has no "
+            "non-empty tokens — nothing to train on")
     return {"counts": counts, "n_pos": int(tot["n_pos"]),
             "n_neg": int(tot["n_neg"]), "vocab_size": int(tot["v"]),
             "d_pos": int(docs["d_pos"]), "d_neg": int(docs["d_neg"]),

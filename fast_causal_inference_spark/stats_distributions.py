@@ -247,7 +247,11 @@ def f_sf(x, dfn, dfd):
     x, dfn, dfd = np.broadcast_arrays(x, dfn, dfd)
     w = dfd / (dfd + dfn * np.where(x > 0, x, 0.0))
     out = betainc(dfd / 2.0, dfn / 2.0, w)
-    return np.where(x <= 0, 1.0, out)
+    out = np.where(x <= 0, 1.0, out)
+    # NaN x fell into the x>0-False branch (w=1 -> p=1): a degenerate
+    # fit's NaN statistic must surface as NaN, not a silent p=1 (t_sf
+    # and chi2_sf both propagate NaN already)
+    return np.where(np.isnan(x), np.nan, out)
 
 
 def kolmogorov_sf(lam):

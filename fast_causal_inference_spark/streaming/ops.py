@@ -218,7 +218,12 @@ def streaming_sequential_ttest(stream: DataFrame, Y: str, index: str,
                         F.expr(Y).cast("double").alias("y"),
                         F.when(idx == F.lit(v0), 0)
                          .when(idx == F.lit(v1), 1).alias("arm"))
-                .where(F.col("arm").isNotNull() & F.col("y").isNotNull()))
+                # NaN is not NULL: one NaN y folded into the CUMULATIVE
+                # (n, Σy, Σy²) state would poison every later emission of
+                # the group — unlike a windowed agg, this state never
+                # expires, so NaN must be dropped like NULL
+                .where(F.col("arm").isNotNull() & F.col("y").isNotNull()
+                       & ~F.isnan(F.col("y"))))
 
     out_schema = T.StructType([
         T.StructField("g", T.StringType()),
@@ -541,7 +546,10 @@ def streaming_cusum(stream: DataFrame, value: str, ts_col: str,
                         ((F.expr(value).cast("double")
                           - F.lit(float(target))) / F.lit(float(sd)))
                         .alias("z"))
-                .where(F.col("z").isNotNull()))
+                # NaN z would ride the cumsum fold into C⁺/C⁻ and stick
+                # there for the life of the series (cumulative state, not
+                # a window) — drop it like NULL
+                .where(F.col("z").isNotNull() & ~F.isnan(F.col("z"))))
 
     out_schema = T.StructType([
         T.StructField("g", T.StringType()),

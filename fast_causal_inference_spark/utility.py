@@ -176,10 +176,18 @@ def get_num_smd(matched_df: DataFrame, treatment: str,
             f"arm(s) {sorted(missing)}; arms present: "
             f"{sorted(pdf.index.tolist())} (expected 0/1 coding)")
     rows = []
+
+    def _f(v):
+        # a single-row arm has NULL variance, an all-NULL feature a NULL
+        # mean — both arrive as None and would TypeError in the
+        # arithmetic below; smd is honestly undefined there
+        return float("nan") if v is None else float(v)
+
     for c in num_fea_list:
-        m1, m0 = pdf.loc[1.0, f"__m_{c}"], pdf.loc[0.0, f"__m_{c}"]
-        v1, v0 = pdf.loc[1.0, f"__v_{c}"], pdf.loc[0.0, f"__v_{c}"]
-        denom = math.sqrt(0.5 * (v1 + v0))
+        m1, m0 = _f(pdf.loc[1.0, f"__m_{c}"]), _f(pdf.loc[0.0, f"__m_{c}"])
+        v1, v0 = _f(pdf.loc[1.0, f"__v_{c}"]), _f(pdf.loc[0.0, f"__v_{c}"])
+        half = 0.5 * (v1 + v0)
+        denom = math.sqrt(half) if half == half and half >= 0 else float("nan")
         rows.append((c, round((m1 - m0) / denom, 4) if denom else float("nan")))
     return pd.DataFrame(rows, columns=["variable", "smd"])
 
@@ -229,6 +237,8 @@ def feature_process(df: DataFrame, label: str,
                .collect()[0].asDict()
         for c in numerics:
             lo, hi = mm[f"__lo_{c}"], mm[f"__hi_{c}"]
+            if lo is None or hi is None:    # empty frame: nothing to scale
+                continue
             span = (hi - lo) or 1.0
             df = df.withColumn(c, (F.col(c) - F.lit(lo)) / F.lit(span))
     elif scale_method not in ("minmax", None, "none"):
@@ -365,6 +375,11 @@ def hist_data(df: DataFrame, col: str, bins: int = 50,
     if lo is None or hi is None:            # empty / all-NULL column
         return pd.DataFrame({"bin": [], "left": [], "right": [],
                              "count": []})
+    if hi < lo:
+        # an explicit bound on the wrong side of the data: width_bucket
+        # would silently build a DESCENDING bucket range and the edge
+        # arithmetic below a negative-width histogram
+        raise ValueError(f"hist_data: hi ({hi}) < lo ({lo})")
     if lo == hi:
         hi = lo + 1.0
     c = F.col(col)
@@ -399,7 +414,12 @@ def box_stats(df: DataFrame, cols: Sequence[str],
     qs = df.approxQuantile(list(cols), [0.0, 0.25, 0.5, 0.75, 1.0],
                            relative_error)
     rows = []
-    for c, (mn, q1, med, q3, mx) in zip(cols, qs):
+    nan = float("nan")
+    for c, q in zip(cols, qs):
+        if len(q) < 5:                      # all-NULL column: empty sketch
+            rows.append((c, nan, nan, nan, nan, nan, nan, nan))
+            continue
+        mn, q1, med, q3, mx = q
         iqr = q3 - q1
         rows.append((c, mn, q1, med, q3, mx,
                      max(mn, q1 - 1.5 * iqr), min(mx, q3 + 1.5 * iqr)))
