@@ -104,7 +104,11 @@ def winsorize(df: DataFrame, cols: list[str] | str,
         raise ValueError("need 0 <= lower < upper <= 1")
     bounds = df.approxQuantile(col_list, [lower, upper], relative_error)
     out = df
-    for c, (lo, hi) in zip(col_list, bounds):
+    for c, b in zip(col_list, bounds):
+        if len(b) < 2:          # all-NULL column: empty sketch, no bounds
+            out = out.withColumn(c + suffix, F.col(c).cast("double"))
+            continue
+        lo, hi = b
         v = F.col(c).cast("double")
         # greatest/least skip NULL args (a NULL metric would silently
         # become the lower bound) and order NaN GREATER than every
@@ -128,7 +132,10 @@ def trim_outliers(df: DataFrame, cols: list[str] | str,
         raise ValueError("need 0 <= lower < upper <= 1")
     bounds = df.approxQuantile(col_list, [lower, upper], relative_error)
     out = df
-    for c, (lo, hi) in zip(col_list, bounds):
+    for c, b in zip(col_list, bounds):
+        if len(b) < 2:          # all-NULL column: no band to trim by —
+            continue            # (a NULL metric fails any >= filter anyway)
+        lo, hi = b
         cc = F.col(c).cast("double")
         out = out.where((cc >= F.lit(lo)) & (cc <= F.lit(hi)))
     return out

@@ -132,3 +132,17 @@ def test_cusum_state_survives_nan_rows(spark, nan_stream_dir):
          .orderBy("ts").toPandas().iloc[-1])
     assert final.cusum_pos == pytest.approx(b.cusum_pos, rel=1e-9)
     assert final.cusum_neg == pytest.approx(b.cusum_neg, rel=1e-9)
+
+
+def test_winsorize_trim_all_null_column(spark):
+    from fast_causal_inference_spark.functions.features import (
+        trim_outliers,
+        winsorize,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, None), (2.0, None), (3.0, None)], "a double, b double")
+    out = winsorize(df, ["a", "b"], 0.1, 0.9).toPandas()
+    assert out.b.isna().all() and len(out) == 3
+    out = trim_outliers(df, ["a", "b"], 0.0, 1.0)
+    assert out.count() == 3                    # null column trims nothing
