@@ -51,7 +51,13 @@ import struct
 
 import numpy as np
 
-__all__ = ["encode_flac", "decode_flac"]
+from fast_causal_inference_spark.datapipe.mediaprobe import (
+    _ogg_crc,
+    _ogg_page,
+)
+
+__all__ = ["encode_flac", "decode_flac", "encode_flac_parts",
+           "encode_ogg_flac", "decode_ogg_flac", "ogg_packets"]
 
 
 # ---------------------------------------------------------------------------
@@ -467,6 +473,22 @@ def encode_flac(samples: np.ndarray, sample_rate: int = 16_000,
     exist so fixtures can exercise every decoder path with legal
     streams.  Lossless for any in-range input by construction.
     """
+    streaminfo, frames = encode_flac_parts(
+        samples, sample_rate, bps, block_size, stereo_mode, method,
+        lpc_order, partition_order, rice2, escape_raw, variable_blocking)
+    header = b"fLaC" + bytes([0x80]) + struct.pack(">I", 34)[1:]
+    return header + streaminfo + b"".join(frames)
+
+
+def encode_flac_parts(samples: np.ndarray, sample_rate: int = 16_000,
+                      bps: int = 16, block_size: int = 4096,
+                      stereo_mode: str = "auto", method: str = "auto",
+                      lpc_order: int = 8, partition_order: int = 0,
+                      rice2: bool = False, escape_raw: bool = False,
+                      variable_blocking: bool = False
+                      ) -> tuple[bytes, list[bytes]]:
+    """The encoder's building blocks: ``(streaminfo_body, [frame, ...])``
+    — what a container mapping (Ogg encapsulation below) packetizes."""
     x = np.asarray(samples, dtype=np.int64)
     if x.ndim == 1:
         x = x[:, None]
@@ -556,8 +578,7 @@ def encode_flac(samples: np.ndarray, sample_rate: int = 16_000,
     info.write(n, 36)
     streaminfo = info.getvalue() + (md5.digest() if bps % 8 == 0
                                     else b"\x00" * 16)
-    header = b"fLaC" + bytes([0x80]) + struct.pack(">I", 34)[1:]
-    return header + streaminfo + b"".join(frames)
+    return streaminfo, frames
 
 
 # ---------------------------------------------------------------------------
@@ -790,3 +811,118 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
     if streaminfo["channels"] == 1:
         out = out[:, 0]
     return out, streaminfo["rate"]
+
+
+# ---------------------------------------------------------------------------
+# Ogg encapsulation (the FLAC-to-Ogg mapping): the container side is pure
+# page framing — depacketize and hand the payload to the SAME validated
+# FLAC core, so "FLAC inside Ogg" decodes for real while Ogg-Vorbis/Opus
+# (lossy entropy codecs) stay behind the documented scope cut.
+# ---------------------------------------------------------------------------
+
+
+def ogg_packets(payload: bytes, verify_crc: bool = True):
+    """Reassemble logical packets from Ogg pages (RFC 3533 lacing:
+    a packet ends at the first segment shorter than 255; it continues
+    onto the next page otherwise).  Yields packet bytes; corrupt framing
+    or a page-CRC mismatch raises ValueError."""
+    pos = 0
+    buf = bytearray()
+    n = len(payload)
+    while pos + 27 <= n:
+        if payload[pos:pos + 4] != b"OggS":
+            raise ValueError("lost Ogg page sync")
+        if payload[pos + 4] != 0:
+            raise ValueError("unsupported Ogg stream structure version")
+        header_type = payload[pos + 5]
+        nsegs = payload[pos + 26]
+        seg_table = payload[pos + 27:pos + 27 + nsegs]
+        if len(seg_table) < nsegs:
+            raise ValueError("truncated Ogg segment table")
+        body_start = pos + 27 + nsegs
+        body_len = sum(seg_table)
+        if body_start + body_len > n:
+            raise ValueError("truncated Ogg page body")
+        if verify_crc:
+            page = payload[pos:body_start + body_len]
+            zeroed = page[:22] + b"\x00\x00\x00\x00" + page[26:]
+            if _ogg_crc(zeroed) != int.from_bytes(page[22:26], "little"):
+                raise ValueError("Ogg page CRC mismatch")
+        if not (header_type & 0x01) and buf:
+            # a fresh (non-continuation) page while a packet is open:
+            # the stream lost the packet's tail
+            raise ValueError("Ogg packet truncated across pages")
+        at = body_start
+        for seg in seg_table:
+            buf += payload[at:at + seg]
+            at += seg
+            if seg < 255:
+                yield bytes(buf)
+                buf.clear()
+        pos = body_start + body_len
+    if pos != n:
+        raise ValueError("trailing garbage after the last Ogg page")
+    if buf:
+        raise ValueError("Ogg stream ends mid-packet")
+
+
+def encode_ogg_flac(samples: np.ndarray, sample_rate: int = 16_000,
+                    serial: int = 1, **flac_kwargs) -> bytes:
+    """Encode samples as a FLAC-in-Ogg stream (the standard mapping:
+    BOS packet = 0x7F'FLAC' + version + header count + fLaC +
+    STREAMINFO; one Vorbis-comment header packet; one audio frame per
+    packet; granule = cumulative PCM samples; EOS on the final page).
+    Real page CRCs throughout."""
+    streaminfo, frames = encode_flac_parts(samples, sample_rate,
+                                           **flac_kwargs)
+    x = np.asarray(samples)
+    n = x.shape[0]
+    block_size = int(flac_kwargs.get("block_size", 4096))
+    first = (b"\x7fFLAC\x01\x00" + (1).to_bytes(2, "big")
+             + b"fLaC" + bytes([0x00]) + (34).to_bytes(3, "big")
+             + streaminfo)
+    vendor = b"fcis-spark"
+    vc_body = (struct.pack("<I", len(vendor)) + vendor
+               + struct.pack("<I", 0))
+    vc_block = bytes([0x84]) + len(vc_body).to_bytes(3, "big") + vc_body
+    pages = [_ogg_page(serial, 0, 0, 0x02, first),
+             _ogg_page(serial, 1, 0, 0x00, vc_block)]
+    granule = 0
+    for i, frame in enumerate(frames):
+        granule += min(block_size, n - i * block_size)
+        last = i == len(frames) - 1
+        pages.append(_ogg_page(serial, 2 + i, granule,
+                               0x04 if last else 0x00, frame))
+    if not frames:                        # empty stream: EOS page, no audio
+        pages.append(_ogg_page(serial, 2, 0, 0x04, b""))
+    return b"".join(pages)
+
+
+def decode_ogg_flac(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a FLAC-in-Ogg stream: depacketize the pages, rebuild the
+    native FLAC stream (fLaC + STREAMINFO + frames), and decode with the
+    fully-verified native core (CRC-8/16 + MD5 still apply)."""
+    packets = list(ogg_packets(payload))
+    if not packets or packets[0][:5] != b"\x7fFLAC":
+        raise ValueError("not an Ogg-FLAC stream")
+    p0 = packets[0]
+    if len(p0) < 9 + 4 + 4 + 34 or p0[9:13] != b"fLaC":
+        raise ValueError("corrupt Ogg-FLAC mapping header")
+    header_count = int.from_bytes(p0[7:9], "big")
+    streaminfo_body = p0[17:17 + 34]
+    if p0[13] & 0x7F != 0:
+        raise ValueError("Ogg-FLAC first packet must carry STREAMINFO")
+    rest = packets[1:]
+    if header_count:
+        audio = rest[header_count:]
+    else:
+        # header_count 0 = "unknown": headers are metadata blocks
+        # (first byte < 0x80 or the 0x8x last-flag forms — never the
+        # 0xFF frame sync); audio starts at the first sync byte
+        at = 0
+        while at < len(rest) and (not rest[at] or rest[at][0] != 0xFF):
+            at += 1
+        audio = rest[at:]
+    rebuilt = (b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big")
+               + streaminfo_body + b"".join(audio))
+    return decode_flac(rebuilt)

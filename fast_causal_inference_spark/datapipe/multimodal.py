@@ -60,7 +60,9 @@ from pyspark.sql import types as T
 
 from fast_causal_inference_spark.datapipe.flac import (
     decode_flac,
+    decode_ogg_flac,
     encode_flac,
+    ogg_packets,
 )
 from fast_causal_inference_spark.datapipe.jpeg import decode_jpeg, encode_jpeg
 from fast_causal_inference_spark.serialization import ensure_udf_serializable
@@ -333,15 +335,27 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 
 
 def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
-    """Decode a PCM WAV **or FLAC** payload into (mono int samples,
-    sample_rate).  FLAC decode is REAL and in-container (pure numpy,
-    Rice/LPC/fixed prediction with CRC+MD5 verification —
-    ``datapipe/flac.py``); multi-channel payloads are mono-mixed the
-    same way ``decode_wav`` mixes stereo WAV.  MP3/Ogg-Vorbis/AAC still
-    need external codec libraries and raise ``NotImplementedError``
-    (see the module docstring's scope note)."""
+    """Decode a PCM WAV, FLAC, **or Ogg-FLAC** payload into (mono int
+    samples, sample_rate).  FLAC decode is REAL and in-container (pure
+    numpy, Rice/LPC/fixed prediction with CRC+MD5 verification —
+    ``datapipe/flac.py``); Ogg-FLAC depacketizes the Ogg pages
+    (CRC-checked) and feeds the same core.  Multi-channel payloads are
+    mono-mixed the same way ``decode_wav`` mixes stereo WAV.
+    MP3/Ogg-Vorbis/Opus/AAC still need external codec libraries and
+    raise ``NotImplementedError`` (module docstring scope note)."""
+    x = rate = None
     if payload[:4] == b"fLaC":
         x, rate = decode_flac(payload)
+    elif payload[:4] == b"OggS":
+        # identify the first packet's codec before committing: Ogg is a
+        # container — only the FLAC mapping decodes in-container
+        first = next(iter(ogg_packets(payload)), b"")
+        if first[:5] != b"\x7fFLAC":
+            raise NotImplementedError(
+                "only Ogg-FLAC decodes in-container; Ogg-Vorbis/Opus "
+                "need codec libraries")
+        x, rate = decode_ogg_flac(payload)
+    if x is not None:
         if x.ndim > 1:
             x = x.mean(axis=1).astype(np.int64)
         return x, rate

@@ -244,3 +244,76 @@ def test_audio_stats_on_flac_payloads(spark):
                         n_mfcc=5, strict=True).toPandas()
     assert all(len(v) == 5 and np.isfinite(v).all()
                for v in af.audio_features)
+
+
+def test_ogg_flac_roundtrip():
+    from fast_causal_inference_spark.datapipe.flac import (
+        decode_ogg_flac,
+        encode_ogg_flac,
+        ogg_packets,
+    )
+    from fast_causal_inference_spark.datapipe.multimodal import (
+        decode_audio,
+    )
+
+    rng = np.random.default_rng(11)
+    x = rng.integers(-3000, 3000, 2500)
+    og = encode_ogg_flac(x, 22050, block_size=512)
+    out, rate = decode_ogg_flac(og)
+    assert rate == 22050 and np.array_equal(out, x)
+    # the probe agrees on the container identification
+    from fast_causal_inference_spark.datapipe.mediaprobe import (
+        probe_payload,
+    )
+
+    pr = probe_payload(og)
+    assert (pr["container"], pr["codec"]) == ("ogg", "flac")
+    assert pr["sample_rate"] == 22050 and pr["n_frames"] == 2500
+    # the public dispatcher routes Ogg-FLAC to the real decoder
+    y, r = decode_audio(og)
+    assert r == 22050 and np.array_equal(y, x)
+    # packets: mapping header + vorbis comment + ceil(2500/512) frames
+    pkts = list(ogg_packets(og))
+    assert len(pkts) == 2 + 5
+    assert pkts[0][:5] == b"\x7fFLAC" and pkts[1][0] == 0x84
+
+
+def test_ogg_flac_multipage_packets_and_stereo():
+    from fast_causal_inference_spark.datapipe.flac import (
+        decode_ogg_flac,
+        encode_ogg_flac,
+    )
+
+    rng = np.random.default_rng(12)
+    # verbatim stereo frames are large enough to need many 255-byte
+    # lacing segments inside one page
+    st = np.stack([rng.integers(-32768, 32767, 3000)] * 2, axis=1)
+    og = encode_ogg_flac(st, 8000, method="verbatim",
+                         stereo_mode="independent")
+    out, rate = decode_ogg_flac(og)
+    assert np.array_equal(out, st)
+
+
+def test_ogg_flac_corruption_raises():
+    from fast_causal_inference_spark.datapipe.flac import (
+        decode_ogg_flac,
+        encode_ogg_flac,
+    )
+    from fast_causal_inference_spark.datapipe.multimodal import (
+        decode_audio,
+    )
+
+    og = bytearray(encode_ogg_flac(np.arange(500), 8000))
+    bad = og.copy()
+    bad[60] ^= 0xFF                            # page body -> page CRC trips
+    with pytest.raises(ValueError):
+        decode_ogg_flac(bytes(bad))
+    with pytest.raises(ValueError):
+        decode_ogg_flac(bytes(og[: len(og) // 2]))
+    # a non-FLAC Ogg stream is a scope cut, not a crash
+    from fast_causal_inference_spark.datapipe.mediaprobe import (
+        build_ogg_vorbis,
+    )
+
+    with pytest.raises(NotImplementedError, match="Ogg-Vorbis"):
+        decode_audio(build_ogg_vorbis(1000, 8000, 1))
