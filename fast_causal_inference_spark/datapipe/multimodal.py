@@ -64,6 +64,7 @@ from fast_causal_inference_spark.datapipe.flac import (
     encode_flac,
     ogg_packets,
 )
+from fast_causal_inference_spark.datapipe.gif import decode_gif, encode_gif
 from fast_causal_inference_spark.datapipe.jpeg import decode_jpeg, encode_jpeg
 from fast_causal_inference_spark.serialization import ensure_udf_serializable
 
@@ -285,8 +286,9 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Decode BMP, PPM, baseline PNG, or baseline-sequential JPEG payloads
-    for real (pure Python/numpy codecs); raise for formats that need
+    """Decode BMP, PPM, baseline PNG, GIF, or baseline-sequential JPEG
+    payloads for real (pure Python/numpy codecs — GIF via the own-LZW
+    decoder in ``datapipe/gif.py``); raise for formats that need
     external libraries (webp/progressive-jpeg/...)."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
@@ -294,10 +296,12 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_ppm(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
     if payload[:2] == b"\xff\xd8":
         return decode_jpeg(payload)
     raise NotImplementedError(
-        "only BMP/PPM/baseline-PNG/baseline-JPEG decode in-container; "
+        "only BMP/PPM/baseline-PNG/GIF/baseline-JPEG decode in-container; "
         "other formats need PIL/cv2")
 
 
@@ -578,14 +582,15 @@ def image_payload_for_text(text, fmt: str = "bmp") -> bytes:
     """The hash → (w, h, color) → encoded-payload derivation shared by
     :func:`synthesize_image_column` and the media gate: w = hex[0:4]%16+1,
     h = hex[4:8]%16+1, color = hex[8:10] of sha256(text); JPEG encodes at
-    quality=100 so constant-color payloads roundtrip bit-exactly."""
-    if fmt not in ("bmp", "png", "jpeg"):
-        raise ValueError("fmt must be 'bmp', 'png' or 'jpeg'")
+    quality=100 so constant-color payloads roundtrip bit-exactly; GIF is
+    lossless (LZW over palette indices) so the oracle holds exactly."""
+    if fmt not in ("bmp", "png", "jpeg", "gif"):
+        raise ValueError("fmt must be 'bmp', 'png', 'jpeg' or 'gif'")
     hx = hashlib.sha256(str(text).encode()).hexdigest()
     w = int(hx[0:4], 16) % 16 + 1
     h = int(hx[4:8], 16) % 16 + 1
     c = int(hx[8:10], 16)
-    enc = {"bmp": encode_bmp, "png": encode_png,
+    enc = {"bmp": encode_bmp, "png": encode_png, "gif": encode_gif,
            "jpeg": lambda a: encode_jpeg(a, quality=100)}[fmt]
     return enc(np.full((h, w, 3), c, np.uint8))
 
@@ -593,16 +598,16 @@ def image_payload_for_text(text, fmt: str = "bmp") -> bytes:
 def synthesize_image_column(df: DataFrame, from_col: str,
                             payload_col: str = "payload",
                             fmt: str = "bmp") -> DataFrame:
-    """Synthesize a REAL image payload per row (``fmt``: ``bmp``, ``png``
-    or ``jpeg``), with dimensions and a constant fill color derived from
-    sha256 hex substrings of ``from_col`` — the same derivation an
-    external SQL oracle can compute:
+    """Synthesize a REAL image payload per row (``fmt``: ``bmp``, ``png``,
+    ``jpeg`` or ``gif``), with dimensions and a constant fill color
+    derived from sha256 hex substrings of ``from_col`` — the same
+    derivation an external SQL oracle can compute:
     w = hex[0:4] % 16 + 1, h = hex[4:8] % 16 + 1, color = hex[8:10].
     JPEG payloads use quality=100, where constant-color images roundtrip
     bit-exactly (DC-only blocks, unit quantizer) so the oracle still
-    holds."""
-    if fmt not in ("bmp", "png", "jpeg"):
-        raise ValueError("fmt must be 'bmp', 'png' or 'jpeg'")
+    holds; GIF is lossless outright."""
+    if fmt not in ("bmp", "png", "jpeg", "gif"):
+        raise ValueError("fmt must be 'bmp', 'png', 'jpeg' or 'gif'")
     ensure_udf_serializable()
     out_schema = T.StructType(df.schema.fields
                               + [T.StructField(payload_col, T.BinaryType())])
