@@ -3475,8 +3475,8 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     REAL Ogg/WebP container probes.  The synthesized payloads derive
     dims/color/length/amplitude from sha256 hex substrings of the text,
     so DuckDB can recompute every value — the decode kernels are
-    genuinely end-to-end value-checked (pure-Python BMP/PNG/JPEG/WAV/
-    FLAC codecs; lossy mp3/mp4 decode still raises)."""
+    genuinely end-to-end value-checked (pure-Python BMP/PNG/JPEG/GIF/
+    WAV/FLAC codecs; lossy mp3/mp4 decode still raises)."""
     from fast_causal_inference_spark.datapipe.multimodal import (
         audio_stats,
         decode_audio,
@@ -3533,7 +3533,8 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 for modality, fmt in (("image_png", "png"),
-                                      ("image_jpeg", "jpeg")):
+                                      ("image_jpeg", "jpeg"),
+                                      ("image_gif", "gif")):
                     # the SAME public derivation + dispatcher the
                     # synthesize/image_stats pipeline uses — fused here
                     # only to share one Arrow stage
@@ -3704,6 +3705,15 @@ SELECT doc_id, 'image_jpeg', 'height',
        CAST(('0x' || substr(hx, 5, 4))::BIGINT % 16 + 1 AS DOUBLE) FROM h
 UNION ALL
 SELECT doc_id, 'image_jpeg', 'mean_pixel',
+       CAST(('0x' || substr(hx, 9, 2))::BIGINT AS DOUBLE) FROM h
+UNION ALL
+SELECT doc_id, 'image_gif', 'width',
+       CAST(('0x' || substr(hx, 1, 4))::BIGINT % 16 + 1 AS DOUBLE) FROM h
+UNION ALL
+SELECT doc_id, 'image_gif', 'height',
+       CAST(('0x' || substr(hx, 5, 4))::BIGINT % 16 + 1 AS DOUBLE) FROM h
+UNION ALL
+SELECT doc_id, 'image_gif', 'mean_pixel',
        CAST(('0x' || substr(hx, 9, 2))::BIGINT AS DOUBLE) FROM h
 UNION ALL
 SELECT doc_id, 'audio', 'n_samples',
