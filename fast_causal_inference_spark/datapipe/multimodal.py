@@ -8,9 +8,11 @@ instead of materializing whole partitions.
 Decode support is two-tier:
 
 * **Self-contained formats decode for real, in pure Python/numpy** — BMP
-  (24-bit BITMAPINFOHEADER), PPM (binary P6), baseline PNG (stdlib
-  ``zlib`` inflate + scanline unfilter, all five filters and color
-  types at depth 8), baseline-sequential JPEG (own Huffman + IDCT
+  (24-bit BITMAPINFOHEADER), PPM (binary P6), PNG (stdlib ``zlib``
+  inflate + scanline unfilter, all five filters, all five color types,
+  every legal bit depth 1/2/4/8/16, Adam7 interlace), GIF (own
+  variable-width LZW, ``datapipe/gif.py``), baseline-sequential JPEG
+  (own Huffman + IDCT
   implementation in ``datapipe/jpeg.py``, 4:4:4/4:2:0/grayscale, DRI
   restarts), PCM WAV (stdlib ``wave``), and **FLAC** (own Rice/LPC
   decoder in ``datapipe/flac.py`` with CRC-8/16 + MD5 verification —
@@ -164,22 +166,45 @@ def decode_ppm(payload: bytes) -> np.ndarray:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def encode_png(arr: np.ndarray) -> bytes:
-    """Encode an (h, w, 3) uint8 RGB array as an 8-bit truecolor PNG
-    (filter 0 scanlines, one zlib IDAT)."""
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def encode_png(arr: np.ndarray, bit_depth: int = 8,
+               interlace: bool = False) -> bytes:
+    """Encode an (h, w, 3) RGB array as a truecolor PNG (filter 0
+    scanlines, one zlib IDAT).  ``bit_depth``: 8 (uint8 input) or 16
+    (uint16 input, big-endian samples per the spec).  ``interlace``
+    writes the seven Adam7 passes (fixture path for the decoder's
+    interlace support)."""
     import zlib
 
-    a = np.asarray(arr, dtype=np.uint8)
+    if bit_depth not in (8, 16):
+        raise ValueError("bit_depth must be 8 or 16")
+    dt = np.uint8 if bit_depth == 8 else np.uint16
+    a = np.asarray(arr, dtype=dt)
     if a.ndim != 3 or a.shape[2] != 3:
-        raise ValueError("encode_png expects (h, w, 3) uint8")
+        raise ValueError("encode_png expects (h, w, 3)")
     h, w, _ = a.shape
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         return (struct.pack(">I", len(data)) + typ + data
                 + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+    def rows(img: np.ndarray) -> bytes:
+        if bit_depth == 16:
+            img = img.astype(">u2")
+        return b"".join(b"\x00" + img[y].tobytes()
+                        for y in range(img.shape[0]))
+
+    if interlace:
+        raw = b"".join(
+            rows(a[y0::dy, x0::dx]) for x0, y0, dx, dy in _ADAM7
+            if a[y0::dy, x0::dx].size)
+    else:
+        raw = rows(a)
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, 2, 0, 0,
+                       1 if interlace else 0)
     return (_PNG_SIG + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(raw))
             + chunk(b"IEND", b""))
@@ -225,14 +250,43 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
-def decode_png(payload: bytes) -> np.ndarray:
-    """Decode a baseline PNG into an (h, w, 3) uint8 RGB array — pure
-    stdlib ``zlib`` + numpy, no PIL.
+def _png_subimage(raw: bytes, pos: int, w: int, h: int, channels: int,
+                  depth: int) -> tuple[np.ndarray, int]:
+    """Unfilter + unpack one (sub-)image of ``w × h`` pixels starting at
+    byte ``pos`` of the decompressed stream → ((h, w, channels) uint16,
+    next pos).  Filters operate on BYTES with bpp = the byte width of
+    one pixel (minimum 1 for sub-byte depths), per the spec."""
+    bits_pp = channels * depth
+    stride = (w * bits_pp + 7) // 8
+    bpp = max(1, bits_pp // 8)
+    need = h * (stride + 1)
+    if pos + need > len(raw):
+        raise ValueError("PNG IDAT size mismatch")
+    rows = _png_unfilter(raw[pos:pos + need], h, stride, bpp)
+    pos += need
+    if depth == 8:
+        px = rows[:, :w * channels].astype(np.uint16)
+    elif depth == 16:
+        px = ((rows[:, 0::2].astype(np.uint16) << 8)
+              | rows[:, 1::2])[:, :w * channels]
+    else:                                              # 1 / 2 / 4
+        bits = np.unpackbits(rows, axis=1)
+        vals = np.zeros((h, bits.shape[1] // depth), dtype=np.uint16)
+        for k in range(depth):
+            vals = (vals << 1) | bits[:, k::depth]
+        px = vals[:, :w * channels]
+    return px.reshape(h, w, channels), pos
 
-    Supports bit depth 8 in all five color types (gray, RGB, palette,
-    gray+alpha, RGBA — alpha is dropped, palette mapped through PLTE) and
-    all five scanline filters.  Adam7 interlace and 1/2/4/16-bit depths
-    raise ``NotImplementedError``.
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode a PNG into an (h, w, 3) uint8 RGB array — pure stdlib
+    ``zlib`` + numpy, no PIL.
+
+    Supports every legal bit depth (1/2/4/8/16 — 16-bit samples map to
+    8 via the high byte) in all five color types (gray, RGB, palette,
+    gray+alpha, RGBA — alpha is dropped, palette mapped through PLTE),
+    all five scanline filters, and Adam7 interlace (seven independently
+    filtered passes reassembled onto the pixel grid).
     """
     import zlib
 
@@ -258,31 +312,55 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, ctype, comp, filt, interlace = ihdr
-    if depth != 8:
-        raise NotImplementedError(f"PNG bit depth {depth} not supported")
-    if interlace:
-        raise NotImplementedError("Adam7 interlaced PNG not supported")
+    legal = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+             4: (8, 16), 6: (8, 16)}
+    if ctype not in legal:
+        raise ValueError(f"invalid PNG color type {ctype}")
+    if depth not in legal[ctype]:
+        raise ValueError(f"invalid PNG depth {depth} for color type "
+                         f"{ctype}")
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
     if comp != 0 or filt != 0:
         raise ValueError("invalid PNG compression/filter method")
-    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
-    if channels is None:
-        raise ValueError(f"invalid PNG color type {ctype}")
+    if w == 0 or h == 0:
+        raise ValueError("PNG with zero dimensions")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
     raw = zlib.decompress(bytes(idat))
-    stride = w * channels
-    if len(raw) != h * (stride + 1):
+    if interlace:
+        px = np.zeros((h, w, channels), dtype=np.uint16)
+        at = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, at = _png_subimage(raw, at, pw, ph, channels, depth)
+            px[y0::dy, x0::dx] = sub
+    else:
+        px, at = _png_subimage(raw, 0, w, h, channels, depth)
+    if at != len(raw):
         raise ValueError("PNG IDAT size mismatch")
-    px = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
+    if ctype == 3:                                     # palette indices
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        return plte[idx]
+    if depth == 16:
+        px8 = (px >> 8).astype(np.uint8)
+    elif depth == 8:
+        px8 = px.astype(np.uint8)
+    else:                                              # gray 1/2/4
+        px8 = (px * (255 // ((1 << depth) - 1))).astype(np.uint8)
     if ctype == 2:
-        return px.copy()
+        return px8.copy()
     if ctype == 6:
-        return px[:, :, :3].copy()
+        return px8[:, :, :3].copy()
     if ctype == 0:
-        return np.repeat(px, 3, axis=2)
-    if ctype == 4:
-        return np.repeat(px[:, :, :1], 3, axis=2)
-    if plte is None:
-        raise ValueError("palette PNG missing PLTE")
-    return plte[px[:, :, 0]]
+        return np.repeat(px8, 3, axis=2)
+    return np.repeat(px8[:, :, :1], 3, axis=2)         # gray + alpha
 
 
 def decode_image(payload: bytes) -> np.ndarray:

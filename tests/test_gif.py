@@ -142,3 +142,99 @@ def test_image_pipeline_on_gif(spark):
     for c in ("width", "height", "mean_pixel"):
         assert gif.sort_values("doc_id")[c].tolist() == \
             bmp.sort_values("doc_id")[c].tolist()
+
+
+# -- PNG depth/interlace extensions (same round, same validation style) -----
+
+
+def test_png_16bit_and_adam7_roundtrip():
+    import numpy as np
+
+    from fast_causal_inference_spark.datapipe.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(0)
+    v8 = rng.integers(0, 256, (15, 9, 3), dtype=np.uint16)
+    # 16-bit samples v*257 have high byte == v, so the 16->8 map is exact
+    assert np.array_equal(decode_png(encode_png(v8 * 257, bit_depth=16)),
+                          v8.astype(np.uint8))
+    for sh in [(1, 1), (2, 3), (7, 5), (16, 16), (13, 29)]:
+        img = rng.integers(0, 256, (*sh, 3), dtype=np.uint8)
+        assert np.array_equal(
+            decode_png(encode_png(img, interlace=True)), img), sh
+        assert np.array_equal(
+            decode_png(encode_png(img.astype(np.uint16) * 257,
+                                  bit_depth=16, interlace=True)), img), sh
+
+
+def test_png_sub_byte_depths_hand_crafted():
+    """Gray depth-4/1 and palette depth-2 streams assembled longhand
+    from the spec (bit packing MSB-first within each scanline byte)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from fast_causal_inference_spark.datapipe.multimodal import (
+        _PNG_SIG,
+        decode_png,
+    )
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    vals = np.array([[0, 7, 15], [3, 8, 12]], dtype=np.uint8)
+    rows = b""
+    for r in vals:
+        rows += b"\x00" + bytes([(r[0] << 4) | r[1], r[2] << 4])
+    p = (_PNG_SIG
+         + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 4, 0, 0, 0, 0))
+         + chunk(b"IDAT", zlib.compress(rows)) + chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(p),
+                          np.repeat((vals * 17)[:, :, None], 3, axis=2))
+
+    plte = bytes([10, 0, 0, 0, 20, 0, 0, 0, 30, 40, 40, 40])
+    row = b"\x00" + bytes([0b00011011, 0b01000000])
+    p = (_PNG_SIG
+         + chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 1, 2, 3, 0, 0, 0))
+         + chunk(b"PLTE", plte)
+         + chunk(b"IDAT", zlib.compress(row)) + chunk(b"IEND", b""))
+    exp = np.array([[[10, 0, 0], [0, 20, 0], [0, 0, 30],
+                     [40, 40, 40], [0, 20, 0]]], dtype=np.uint8)
+    assert np.array_equal(decode_png(p), exp)
+
+    row = b"\x00" + bytes([0b10110000])
+    p = (_PNG_SIG
+         + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 1, 1, 0, 0, 0, 0))
+         + chunk(b"IDAT", zlib.compress(row)) + chunk(b"IEND", b""))
+    assert decode_png(p)[0, :, 0].tolist() == [255, 0, 255, 255]
+
+
+def test_png_invalid_combinations_raise():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from fast_causal_inference_spark.datapipe.multimodal import (
+        _PNG_SIG,
+        decode_png,
+        encode_png,
+    )
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    # depth 4 is illegal for truecolor
+    p = (_PNG_SIG
+         + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 4, 2, 0, 0, 0))
+         + chunk(b"IDAT", zlib.compress(b"\x00\x00")) + chunk(b"IEND", b""))
+    with _pytest.raises(ValueError, match="depth"):
+        decode_png(p)
+    with _pytest.raises(ValueError):
+        encode_png(np.zeros((2, 2, 3), np.uint8), bit_depth=12)
