@@ -395,25 +395,81 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
-    """Decode a PCM WAV into (int16 mono samples, sample_rate)."""
+    """Decode a WAV into (int16 mono samples, sample_rate).
+
+    Covers the full common WAV surface by parsing the chunks directly
+    (stdlib ``wave`` rejects float and extensible headers): PCM at
+    8 (unsigned), 16, 24 and 32 bits, IEEE float32/float64, and
+    WAVE_FORMAT_EXTENSIBLE wrappers of both.  Samples normalize to the
+    int16 scale (8-bit shifts up, 24/32-bit take the high 16 bits,
+    floats scale by 32767 with clipping) so downstream stats/MFCC see
+    one dynamic range.  Compressed WAV codecs (ADPCM/µ-law/...) raise
+    ``NotImplementedError``.
+    """
     if payload[:4] != b"RIFF":
         raise NotImplementedError(
             "only PCM WAV decode in-container; mp3/ogg need codec libraries")
-    with wave.open(io.BytesIO(payload), "rb") as wv:
-        if wv.getsampwidth() != 2:
-            raise NotImplementedError("only 16-bit PCM WAV supported")
-        frames = wv.readframes(wv.getnframes())
-        rate = wv.getframerate()
-        ch = wv.getnchannels()
+    if len(payload) < 12 or payload[8:12] != b"WAVE":
+        raise ValueError("corrupt WAV: missing WAVE form type")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        sz = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+        body = payload[pos + 8:pos + 8 + sz]
+        if cid == b"fmt " and sz >= 16:
+            fmt = struct.unpack("<HHIIHH", body[:16])
+            # WAVE_FORMAT_EXTENSIBLE: the real format is the first two
+            # bytes of the 16-byte SubFormat GUID in the extension
+            if fmt[0] == 0xFFFE and sz >= 40:
+                fmt = (struct.unpack("<H", body[24:26])[0],) + fmt[1:]
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)
+    if fmt is None or data is None:
+        raise ValueError("corrupt WAV: missing fmt or data chunk")
+    code, ch, rate, _, _, bits = fmt
     if rate <= 0:
-        # stdlib wave does not validate the declared framerate; a
-        # corrupt rate-0 header would divide the mel filterbank by zero
-        # downstream and emit garbage MFCCs marked decoded=True
+        # a corrupt rate-0 header would divide the mel filterbank by
+        # zero downstream and emit garbage MFCCs marked decoded=True
         raise ValueError(f"corrupt WAV: non-positive sample rate {rate}")
-    x = np.frombuffer(frames, dtype="<i2")
+    if ch <= 0:
+        raise ValueError(f"corrupt WAV: non-positive channel count {ch}")
+    if code == 1:                                  # integer PCM
+        if bits == 16:
+            x = np.frombuffer(data, dtype="<i2").astype(np.int64)
+        elif bits == 8:                            # unsigned by spec
+            x = ((np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+                  - 128) << 8)
+        elif bits == 24:
+            b = np.frombuffer(data, dtype=np.uint8)
+            b = b[:len(b) // 3 * 3].reshape(-1, 3).astype(np.int64)
+            v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+            v = np.where(v & 0x800000, v - (1 << 24), v)
+            x = v >> 8
+        elif bits == 32:
+            x = np.frombuffer(data, dtype="<i4").astype(np.int64) >> 16
+        else:
+            raise NotImplementedError(
+                f"{bits}-bit PCM WAV not supported (8/16/24/32 are)")
+    elif code == 3:                                # IEEE float
+        if bits == 32:
+            f = np.frombuffer(data, dtype="<f4").astype(np.float64)
+        elif bits == 64:
+            f = np.frombuffer(data, dtype="<f8")
+        else:
+            raise ValueError(f"invalid float WAV bit width {bits}")
+        x = np.clip(np.nan_to_num(f) * 32767.0, -32768,
+                    32767).astype(np.int64)
+    else:
+        raise NotImplementedError(
+            f"WAV format code {code} needs a codec library "
+            "(only PCM and IEEE float decode in-container)")
+    x = x[:len(x) // ch * ch]
     if ch > 1:
-        x = x.reshape(-1, ch).mean(axis=1).astype(np.int16)
-    return x, rate
+        x = x.reshape(-1, ch).mean(axis=1)
+    return x.astype(np.int16), rate
 
 
 def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
