@@ -858,8 +858,15 @@ class CausalDataFrame:
             cols = [f.name for f in df.schema.fields
                     if f.dataType.typeName() in
                     ("double", "float", "long", "integer", "short", "decimal")]
-        aggs = []
+        import pandas as pd
         levels = [0.25, 0.5, 0.75, 0.9, 0.99]
+        stats_names = ["count", "avg", "std", "min", "25%", "50%", "75%",
+                       "90%", "99%", "max"]
+        if not cols:
+            # a numeric-free frame: df.agg() with zero aggregates raises
+            # an opaque Py4J error — an empty summary is the honest answer
+            return pd.DataFrame(index=stats_names)
+        aggs = []
         for c in cols:
             x = F.col(c).cast("double")
             # ONE percentile sketch per column (array of levels), not one
@@ -932,6 +939,23 @@ class CausalGroupedData:
                 return kolmogorov_smirnov_test_grouped(
                     self._cdf.df, data, index, self._cols, **kwargs)
             return ks
+        if name == "srm":
+            def _srm(x, groupby, ratio=None, **kwargs):
+                from fast_causal_inference_spark.operators.srm import (
+                    srm_grouped,
+                )
+
+                return srm_grouped(self._cdf.df, x, groupby, self._cols,
+                                   ratio, **kwargs)
+            return _srm
+        if name == "quantile_test_bucket":
+            def _qtb(Y, index, uin, **kwargs):
+                from fast_causal_inference_spark.operators.quantile_test \
+                    import quantile_test_bucket_grouped
+
+                return quantile_test_bucket_grouped(
+                    self._cdf.df, Y, index, uin, self._cols, **kwargs)
+            return _qtb
         # everything else: the native grouped API — re-wrap DataFrame
         # results so .agg(...) keeps the facade's statistical verbs
         attr = getattr(self._cdf.df.groupBy(*self._cols), name)

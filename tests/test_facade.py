@@ -284,3 +284,32 @@ def test_facade_dml_and_prognostic(spark):
     arm = cdf.withColumn("arm", (F.col("t") > 0).cast("int"))
     m = arm.prognostic_score_matching("y", "arm", "x", caliper=1.0)
     assert "match_index" in m.toSparkDf().columns
+
+
+def test_groupby_chaining_srm_and_qtb(spark, ab_df):
+    """srm / quantile_test_bucket drill down through the grouped facade
+    and agree with the solo operator on each segment."""
+    import fast_causal_inference_spark as fcis
+    from fast_causal_inference_spark.operators.srm import srm
+    from pyspark.sql import functions as F
+
+    seg_df = ab_df.withColumn("seg", (F.col("x3") > 1).cast("int")) \
+                  .withColumn("uin", F.monotonically_increasing_id())
+    cdf = fcis.readSparkDf(seg_df)
+    g = cdf.groupBy("seg").srm("y", "treatment", ratio=[1.0, 1.0])
+    assert set(g.seg) == {0, 1}
+    solo = srm(seg_df.where("seg = 1"), "y", "treatment", [1.0, 1.0])
+    got = g[g.seg == 1].iloc[0]
+    assert got["chisquare"] == float(solo["chisquare"].iloc[0])
+    q = cdf.groupBy("seg").quantile_test_bucket(
+        "y", "treatment", "uin", percentiles=(0.5,), n_bootstrap=20)
+    assert set(q.seg) == {0, 1} and len(q) == 4   # (segment x arm) rows
+
+
+def test_describe_numeric_free_frame(spark):
+    import fast_causal_inference_spark as fcis
+
+    cdf = fcis.readSparkDf(
+        spark.createDataFrame([("a",), ("b",)], "s string"))
+    out = cdf.describe()
+    assert out.empty and list(out.index)[0] == "count"
