@@ -422,8 +422,12 @@ def _materialize_keys(df: DataFrame, groupby: str | None):
         if g.isidentifier():
             group_cols.append(g)
         else:
-            # expression keys are materialized so operators see plain names
+            # expression keys are materialized so operators see plain
+            # names; never clobber an existing column of the same name
+            # (same guard as the facade's groupBy)
             name = f"group_{i}"
+            while name in df.columns:
+                name = f"_{name}"
             df = df.withColumn(name, F.expr(g))
             group_cols.append(name)
     return df, group_cols

@@ -146,3 +146,18 @@ def test_winsorize_trim_all_null_column(spark):
     assert out.b.isna().all() and len(out) == 3
     out = trim_outliers(df, ["a", "b"], 0.0, 1.0)
     assert out.count() == 3                    # null column trims nothing
+
+
+def test_sql_macro_expression_key_never_clobbers_existing_column(spark):
+    """A frame already carrying group_0 must not have it overwritten by
+    a materialized expression GROUP BY key."""
+    from fast_causal_inference_spark.plans.sql_macros import sql
+
+    spark.createDataFrame(
+        [(1, 10.0, 99), (1, 20.0, 99), (2, 30.0, 99), (2, 44.0, 99)],
+        "seg int, y double, group_0 int",
+    ).createOrReplaceTempView("clobber_t")
+    out = sql(spark, "SELECT avg_metric('avg(y)') FROM clobber_t "
+                     "GROUP BY seg % 2")
+    pdf = out.toPandas() if hasattr(out, "toPandas") else out
+    assert len(pdf) == 2                      # two seg%2 groups, intact
