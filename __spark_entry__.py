@@ -3616,7 +3616,10 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Ogg-Vorbis skeleton and a WebP header (hash-derived fields) run
     # the public media_probe parse.  One fused Arrow pass, same shape
     # as _codec_stats above.
-    from fast_causal_inference_spark.datapipe.flac import encode_flac
+    from fast_causal_inference_spark.datapipe.flac import (
+        encode_flac,
+        encode_ogg_flac,
+    )
     from fast_causal_inference_spark.datapipe.mediaprobe import (
         build_ogg_vorbis,
         build_webp,
@@ -3641,6 +3644,19 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                              float(len(x))))
                 rows.append((doc_id, "audio_flac", "sum_sq",
                              float(int((x.astype(_np.int64) ** 2).sum()))))
+                # Ogg-FLAC: the SAME constant-amp derivation the WAV
+                # 'audio' rows use, through encode_ogg_flac -> the Ogg
+                # depacketizer -> the FLAC core (rms == amp exactly,
+                # losslessness end to end)
+                n_a = int(hx[10:14], 16) % 2000 + 100
+                amp = int(hx[14:18], 16) % 30000
+                xo, _ = decode_audio(encode_ogg_flac(
+                    _np.full(n_a, amp, dtype=_np.int16), 16000))
+                rows.append((doc_id, "audio_ogg_flac", "n_samples",
+                             float(len(xo))))
+                rows.append((doc_id, "audio_ogg_flac", "rms",
+                             float(_np.sqrt(_np.mean(
+                                 xo.astype(_np.float64) ** 2)))))
                 n_ogg = int(hx[35:39], 16) + 1000
                 ch = 1 + int(hx[39], 16) % 2
                 nominal = (int(hx[40:43], 16) % 256 + 32) * 1000
@@ -3757,6 +3773,12 @@ FROM (SELECT doc_id,
       FROM h) p
 JOIN generate_series(0, 562) g(i) ON g.i < p.n
 GROUP BY doc_id
+UNION ALL
+SELECT doc_id, 'audio_ogg_flac', 'n_samples',
+       CAST(('0x' || substr(hx, 11, 4))::BIGINT % 2000 + 100 AS DOUBLE) FROM h
+UNION ALL
+SELECT doc_id, 'audio_ogg_flac', 'rms',
+       CAST(('0x' || substr(hx, 15, 4))::BIGINT % 30000 AS DOUBLE) FROM h
 UNION ALL
 SELECT doc_id, 'probe_ogg', 'duration_sec',
        round((('0x' || substr(hx, 36, 4))::BIGINT + 1000) / 44100.0, 6)
