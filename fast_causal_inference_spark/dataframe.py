@@ -756,6 +756,52 @@ class CausalDataFrame:
 
         return CausalDataFrame(url_dedup(self._df, url_col, **kwargs))
 
+    def media_probe(self, payload_col: str = "payload", **kwargs):
+        """Container-level media metadata probe struct per row
+        (MP3/MP4/WAV/FLAC/Ogg/WebP/image headers — no decode)."""
+        from fast_causal_inference_spark.datapipe.mediaprobe import (
+            media_probe,
+        )
+
+        return CausalDataFrame(media_probe(self._df, payload_col,
+                                           **kwargs))
+
+    def image_stats(self, payload_col: str = "payload", **kwargs):
+        """REAL decode stats (width/height/mean_pixel) for
+        BMP/PPM/PNG/GIF/baseline-JPEG payload columns."""
+        from fast_causal_inference_spark.datapipe.multimodal import (
+            image_stats,
+        )
+
+        return CausalDataFrame(image_stats(self._df, payload_col,
+                                           **kwargs))
+
+    def image_features(self, payload_col: str = "payload", **kwargs):
+        from fast_causal_inference_spark.datapipe.multimodal import (
+            image_features,
+        )
+
+        return CausalDataFrame(image_features(self._df, payload_col,
+                                              **kwargs))
+
+    def audio_stats(self, payload_col: str = "payload", **kwargs):
+        """REAL decode stats (n_samples/sample_rate/rms) for
+        WAV/FLAC/Ogg-FLAC payload columns."""
+        from fast_causal_inference_spark.datapipe.multimodal import (
+            audio_stats,
+        )
+
+        return CausalDataFrame(audio_stats(self._df, payload_col,
+                                           **kwargs))
+
+    def audio_features(self, payload_col: str = "payload", **kwargs):
+        from fast_causal_inference_spark.datapipe.multimodal import (
+            audio_features,
+        )
+
+        return CausalDataFrame(audio_features(self._df, payload_col,
+                                              **kwargs))
+
     def bayes_ab_binary(self, success: str, index: str, **kwargs):
         """Beta-Bernoulli Bayesian A/B readout (P(win), expected loss)."""
         from fast_causal_inference_spark.operators.bayes import (

@@ -313,3 +313,26 @@ def test_describe_numeric_free_frame(spark):
         spark.createDataFrame([("a",), ("b",)], "s string"))
     out = cdf.describe()
     assert out.empty and list(out.index)[0] == "count"
+
+
+def test_facade_media_surface(spark):
+    """media_probe / image_stats / audio_stats chain through the facade
+    on real synthesized payloads (GIF + FLAC paths included)."""
+    import fast_causal_inference_spark as fcis
+    from fast_causal_inference_spark.datapipe.multimodal import (
+        synthesize_audio_column,
+        synthesize_image_column,
+    )
+
+    d = spark.createDataFrame([(i, f"doc {i}") for i in range(8)],
+                              "doc_id int, text string")
+    cdf = fcis.readSparkDf(synthesize_image_column(d, "text", fmt="gif"))
+    st = cdf.image_stats().toPandas()
+    assert (st.width.between(1, 16)).all()
+    pr = cdf.media_probe().select("probe.container").toPandas()
+    assert set(pr["container"]) == {"gif"}
+    adf = fcis.readSparkDf(synthesize_audio_column(d, "text", fmt="flac"))
+    au = adf.audio_stats().toPandas()
+    assert (au.rms == au.rms.round()).all()
+    af = adf.audio_features(n_mfcc=4).toPandas()
+    assert all(len(v) == 4 for v in af.audio_features)
