@@ -91,7 +91,12 @@ class CausalDataFrame:
                     out = out.withColumn(name, c)
                     names.append(name)
             elif isinstance(c, str) and c not in existing:
-                name = _fresh(i, None)
+                # recover the planned name exactly like the Column branch:
+                # a nested-field key ('probe.container') then materializes
+                # under its leaf name ('container'), matching what vanilla
+                # groupBy would call the output column — not group_{i}
+                planned = self._df.select(F.expr(c)).columns[0]
+                name = _fresh(i, planned)
                 out = out.withColumn(name, F.expr(c))
                 names.append(name)
             else:

@@ -336,3 +336,15 @@ def test_facade_media_surface(spark):
     assert (au.rms == au.rms.round()).all()
     af = adf.audio_features(n_mfcc=4).toPandas()
     assert all(len(v) == 4 for v in af.audio_features)
+
+
+def test_groupby_nested_field_keeps_leaf_name(spark):
+    """groupBy('struct.field') materializes under the leaf name
+    ('field'), matching vanilla PySpark's output column naming."""
+    import fast_causal_inference_spark as fcis
+
+    cdf = fcis.readSparkDf(spark.createDataFrame(
+        [((1, "a"),), ((2, "b"),), ((1, "c"),)], "s struct<k:int,v:string>"))
+    out = cdf.groupBy("s.k").count()
+    assert "k" in out.columns
+    assert out.orderBy("k").count() == 2
