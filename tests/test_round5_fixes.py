@@ -269,6 +269,10 @@ def test_png_color_types():
 
 
 def test_png_unsupported_variants_raise():
+    """Round-8 widened decode_png to every legal depth + Adam7 (see
+    tests/test_gif.py): 16-bit and interlaced streams now DECODE; what
+    must still raise is anything outside the spec's legal combinations
+    and corrupt streams (honesty rule unchanged)."""
     import struct
     import zlib
 
@@ -279,11 +283,19 @@ def test_png_unsupported_variants_raise():
                 + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
 
     sig = b"\x89PNG\r\n\x1a\n"
-    deep = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0))
-    with pytest.raises(NotImplementedError, match="bit depth"):
-        decode_png(deep)
-    inter = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1))
-    with pytest.raises(NotImplementedError, match="interlace"):
+    # 16-bit truecolor 1x1 now decodes for real
+    raw = zlib.compress(b"\x00" + b"\xAB\xCD" * 3)
+    deep = (sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 2,
+                                             0, 0, 0))
+            + chunk(b"IDAT", raw) + chunk(b"IEND", b""))
+    assert decode_png(deep).tolist() == [[[0xAB, 0xAB, 0xAB]]]
+    # illegal depth/color-type combination still raises
+    bad = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 4, 2, 0, 0, 0))
+    with pytest.raises(ValueError, match="depth"):
+        decode_png(bad)
+    # reserved interlace method still raises
+    inter = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 7))
+    with pytest.raises(ValueError, match="interlace"):
         decode_png(inter)
 
 
