@@ -35,10 +35,18 @@ def proportion_ztest_1samp(df: DataFrame, success: str, p0: float,
     s = F.expr(success).cast("double")
     row = df.where(s.isNotNull()).agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(s).alias("x")).collect()[0]
+        F.sum(s).alias("x"),
+        F.sum(F.when(~s.isin(0.0, 1.0), 1).otherwise(0)).alias("bad")
+    ).collect()[0]
     n, x = float(row["n"]), float(row["x"] or 0.0)
     if n == 0:
         raise ValueError("no rows")
+    if int(row["bad"] or 0):
+        raise ValueError(
+            f"{int(row['bad'])} rows have success values outside {{0, 1}}"
+            " — a proportion test needs a binary indicator (a count-"
+            "valued column would give p > 1 and a negative Wilson "
+            "variance); recode the expression first")
     if not 0.0 < p0 < 1.0:
         raise ValueError("p0 must be in (0, 1)")
     p = x / n
@@ -73,7 +81,15 @@ def proportion_ztest(df: DataFrame, success: str, index: str,
     rows = (df.where(arm.isNotNull() & s.isNotNull())
             .groupBy(arm.alias("arm"))
             .agg(F.count(F.lit(1)).cast("double").alias("n"),
-                 F.sum(s).alias("x")).collect())
+                 F.sum(s).alias("x"),
+                 F.sum(F.when(~s.isin(0.0, 1.0), 1).otherwise(0))
+                 .alias("bad")).collect())
+    n_bad = sum(int(r["bad"] or 0) for r in rows)
+    if n_bad:
+        raise ValueError(
+            f"{n_bad} rows have success values outside {{0, 1}} — a "
+            "proportion test needs a binary indicator; recode the "
+            "expression first")
     st = {r["arm"]: (float(r["n"]), float(r["x"] or 0.0)) for r in rows}
     if 0 not in st or 1 not in st:
         raise ValueError("both arms must be non-empty")

@@ -161,3 +161,21 @@ def test_sql_macro_expression_key_never_clobbers_existing_column(spark):
                      "GROUP BY seg % 2")
     pdf = out.toPandas() if hasattr(out, "toPandas") else out
     assert len(pdf) == 2                      # two seg%2 groups, intact
+
+
+def test_proportion_ztest_rejects_non_binary_success(spark):
+    from fast_causal_inference_spark.operators.proportion import (
+        proportion_ztest,
+        proportion_ztest_1samp,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 2.0), (0, 1.0), (1, 0.0), (1, 1.0)], "t int, s double")
+    with pytest.raises(ValueError, match="outside"):
+        proportion_ztest(df, "s", "t")
+    with pytest.raises(ValueError, match="outside"):
+        proportion_ztest_1samp(df, "s", 0.5)
+    ok = spark.createDataFrame(
+        [(0, 1.0), (0, 0.0), (1, 1.0), (1, 1.0)], "t int, s double")
+    out = proportion_ztest(ok, "s", "t")
+    assert out.iloc[0]["proportion1"] == 1.0
