@@ -238,3 +238,67 @@ def test_png_invalid_combinations_raise():
         decode_png(p)
     with _pytest.raises(ValueError):
         encode_png(np.zeros((2, 2, 3), np.uint8), bit_depth=12)
+
+
+def test_decoder_fuzz_error_contract():
+    """Corrupt payloads raise cleanly: the round-8 codecs (FLAC,
+    Ogg-FLAC, GIF) raise ONLY ValueError/NotImplementedError; PNG/WAV
+    may additionally surface zlib/struct errors, all members of the
+    documented DECODE_ERRORS contract the pipeline catches.  Nothing
+    hangs, segfaults, or escapes with an arbitrary exception type."""
+    import random
+    import struct
+
+    from fast_causal_inference_spark.datapipe.flac import (
+        decode_flac,
+        decode_ogg_flac,
+        encode_flac,
+        encode_ogg_flac,
+    )
+    from fast_causal_inference_spark.datapipe.multimodal import (
+        DECODE_ERRORS,
+        decode_png,
+        decode_wav,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(0)
+    random.seed(0)
+    flac = encode_flac(rng.integers(-5000, 5000, 400), 16000)
+    ogg = encode_ogg_flac(rng.integers(-500, 500, 300), 16000)
+    gif = encode_gif((rng.integers(0, 4, (20, 20))[..., None]
+                      .repeat(3, 2) * 60).astype(np.uint8))
+    png = encode_png(rng.integers(0, 256, (12, 9, 3), dtype=np.uint8))
+    d16 = rng.integers(-1000, 1000, 64).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    ch = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+          + b"data" + struct.pack("<I", len(d16)) + d16)
+    wav = b"RIFF" + struct.pack("<I", 4 + len(ch)) + b"WAVE" + ch
+
+    strict = (ValueError, NotImplementedError)
+    for name, valid, fn, allowed in [
+            ("flac", flac, decode_flac, strict),
+            ("ogg", ogg, decode_ogg_flac, strict),
+            ("gif", gif, decode_gif, strict),
+            ("png", png, decode_png, DECODE_ERRORS),
+            ("wav", wav, decode_wav, DECODE_ERRORS)]:
+        for cut in range(0, len(valid), max(1, len(valid) // 60)):
+            try:
+                fn(valid[:cut])
+            except allowed:
+                pass
+        for _ in range(150):
+            p = random.randrange(len(valid))
+            m = bytearray(valid)
+            m[p] ^= random.randrange(1, 256)
+            try:
+                fn(bytes(m))
+            except allowed:
+                pass
+        for _ in range(60):
+            junk = bytes(rng.integers(0, 256, random.randrange(0, 300),
+                                      dtype=np.uint8))
+            try:
+                fn(valid[:4] + junk)
+            except allowed:
+                pass
