@@ -127,3 +127,64 @@ def test_bucket_by_edges_is_count_of_edges_leq(values, n_edges):
 
     for v in probe:
         assert tree(0, len(edges), v) == ref(v)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(-32768, 32767), min_size=0, max_size=600),
+       st.sampled_from([64, 192, 256, 4096]),
+       st.sampled_from(["auto", "verbatim", "fixed", "lpc"]))
+def test_flac_roundtrip_property(samples, block_size, method):
+    """FLAC is lossless for EVERY in-range signal, block size and
+    subframe method — hypothesis-driven complement of the fixed-seed
+    parametrized round-trips."""
+    import numpy as np
+
+    from fast_causal_inference_spark.datapipe.flac import (
+        decode_flac,
+        encode_flac,
+    )
+
+    x = np.array(samples, dtype=np.int64)
+    if method == "lpc" and len(x) < 2:
+        return
+    out, rate = decode_flac(encode_flac(x, 8000, block_size=block_size,
+                                        method=method))
+    assert rate == 8000
+    assert np.array_equal(out, x)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 40), st.integers(1, 40), st.integers(1, 16),
+       st.booleans(), st.randoms(use_true_random=False))
+def test_gif_roundtrip_property(h, w, ncol, interlace, rnd):
+    import numpy as np
+
+    from fast_causal_inference_spark.datapipe.gif import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(rnd.randrange(2 ** 31))
+    pal = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, ncol, (h, w))]
+    assert np.array_equal(decode_gif(encode_gif(img, interlace)), img)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(1, 25), st.integers(1, 25), st.booleans(),
+       st.sampled_from([8, 16]), st.randoms(use_true_random=False))
+def test_png_roundtrip_property(h, w, interlace, depth, rnd):
+    import numpy as np
+
+    from fast_causal_inference_spark.datapipe.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(rnd.randrange(2 ** 31))
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint16)
+    if depth == 8:
+        payload = encode_png(img.astype(np.uint8), interlace=interlace)
+    else:
+        payload = encode_png(img * 257, bit_depth=16, interlace=interlace)
+    assert np.array_equal(decode_png(payload), img.astype(np.uint8))
