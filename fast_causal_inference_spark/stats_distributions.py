@@ -58,7 +58,11 @@ def betainc(a, b, x):
     b = np.asarray(b, dtype=float)
     x = np.asarray(x, dtype=float)
     x = np.clip(x, 0.0, 1.0)
-    with np.errstate(divide="ignore", invalid="ignore"):
+    # over='ignore' too: BOTH the direct and the symmetric branch are
+    # computed for every element and the unused one may overflow exp —
+    # its value is discarded by the np.where below, but the
+    # RuntimeWarning would spam every executor log at scale
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
         lbeta = (np.vectorize(math.lgamma, otypes=[float])(a + b)
                  - np.vectorize(math.lgamma, otypes=[float])(a)
                  - np.vectorize(math.lgamma, otypes=[float])(b))
