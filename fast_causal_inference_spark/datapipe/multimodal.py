@@ -394,17 +394,46 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
     return buf.getvalue()
 
 
+def _mulaw_table() -> np.ndarray:
+    """ITU-T G.711 µ-law code → linear int16 expansion (exact closed
+    form: x = sign · ((2·mantissa + 33) << exponent − 33·4 ... rendered
+    as the classic (m << 3 | 0x84) << e − 0x84 formula over the
+    bit-inverted code)."""
+    codes = np.arange(256, dtype=np.int64) ^ 0xFF   # codes transmit inverted
+    sign = np.where(codes & 0x80, -1, 1)
+    exp = (codes >> 4) & 0x07
+    mant = codes & 0x0F
+    mag = (((mant << 3) | 0x84) << exp) - 0x84
+    return (sign * mag).astype(np.int16)
+
+
+def _alaw_table() -> np.ndarray:
+    """ITU-T G.711 A-law code → linear int16 (the classic Sun
+    ``alaw2linear``: even bits inverted, and — unlike µ-law — a SET
+    sign bit means POSITIVE; segment-0/1 magnitudes are already at the
+    16-bit scale, max ±32256)."""
+    codes = np.arange(256, dtype=np.int64) ^ 0x55   # even bits inverted
+    sign = np.where(codes & 0x80, 1, -1)
+    exp = (codes >> 4) & 0x07
+    mant = codes & 0x0F
+    mag = np.where(exp == 0, (mant << 4) + 0x8,
+                   ((mant << 4) + 0x108) << np.maximum(exp - 1, 0))
+    return (sign * mag).astype(np.int16)
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """Decode a WAV into (int16 mono samples, sample_rate).
 
     Covers the full common WAV surface by parsing the chunks directly
     (stdlib ``wave`` rejects float and extensible headers): PCM at
-    8 (unsigned), 16, 24 and 32 bits, IEEE float32/float64, and
-    WAVE_FORMAT_EXTENSIBLE wrappers of both.  Samples normalize to the
-    int16 scale (8-bit shifts up, 24/32-bit take the high 16 bits,
-    floats scale by 32767 with clipping) so downstream stats/MFCC see
-    one dynamic range.  Compressed WAV codecs (ADPCM/µ-law/...) raise
-    ``NotImplementedError``.
+    8 (unsigned), 16, 24 and 32 bits, IEEE float32/float64, G.711
+    µ-law and A-law (format codes 7/6 — the companding expansion is an
+    exact closed-form table from the ITU-T G.711 spec, so telephony
+    WAVs decode for real), and WAVE_FORMAT_EXTENSIBLE wrappers of all
+    of them.  Samples normalize to the int16 scale (8-bit shifts up,
+    24/32-bit take the high 16 bits, floats scale by 32767 with
+    clipping) so downstream stats/MFCC see one dynamic range.
+    Adaptive codecs (ADPCM/...) raise ``NotImplementedError``.
     """
     if payload[:4] != b"RIFF":
         raise NotImplementedError(
@@ -462,6 +491,9 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
             raise ValueError(f"invalid float WAV bit width {bits}")
         x = np.clip(np.nan_to_num(f) * 32767.0, -32768,
                     32767).astype(np.int64)
+    elif code in (6, 7):                           # G.711 A-law / µ-law
+        table = _alaw_table() if code == 6 else _mulaw_table()
+        x = table[np.frombuffer(data, dtype=np.uint8)].astype(np.int64)
     else:
         raise NotImplementedError(
             f"WAV format code {code} needs a codec library "

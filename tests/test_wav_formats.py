@@ -88,3 +88,37 @@ def test_unsupported_codecs_raise():
         decode_wav(_wav(1, 0, 8000, 16, b"\x00\x00"))  # zero channels
     with pytest.raises(ValueError):                   # missing data chunk
         decode_wav(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_g711_mulaw_alaw_decode():
+    """G.711 expansion tables match the independent stdlib audioop
+    reference exactly (all 256 codes, both laws); spot values pinned
+    from the spec in case audioop is absent (removed in Python 3.13)."""
+    from fast_causal_inference_spark.datapipe.multimodal import (
+        _alaw_table,
+        _mulaw_table,
+    )
+
+    mu, al = _mulaw_table(), _alaw_table()
+    # spec-pinned spots: mu-law 0x00 -> -32124, 0xFF -> 0; A-law
+    # 0x55 -> -8 (min negative step), 0xD5 -> 8 (min positive step),
+    # 0xAA -> 32256 (max positive), 0x2A -> -32256 (max negative)
+    assert mu[0x00] == -32124 and mu[0xFF] == 0 and mu[0x7F] == 0
+    assert al[0x55] == -8 and al[0xD5] == 8
+    assert al[0xAA] == 32256 and al[0x2A] == -32256
+    try:
+        import audioop
+    except ImportError:
+        audioop = None
+    if audioop is not None:
+        codes = bytes(range(256))
+        assert np.array_equal(
+            mu, np.frombuffer(audioop.ulaw2lin(codes, 2), dtype="<i2"))
+        assert np.array_equal(
+            al, np.frombuffer(audioop.alaw2lin(codes, 2), dtype="<i2"))
+    # through the WAV container (format codes 7 and 6, 8-bit samples)
+    payload = bytes([0x00, 0xFF, 0x80, 0x7F])
+    y, rate = decode_wav(_wav(7, 1, 8000, 8, payload))
+    assert rate == 8000 and y.tolist() == [-32124, 0, 32124, 0]
+    y, _ = decode_wav(_wav(6, 1, 8000, 8, bytes([0x55, 0xAA, 0xD5, 0x2A])))
+    assert y.tolist() == [-8, 32256, 8, -32256]
