@@ -1,16 +1,22 @@
-"""Baseline JPEG codec in pure Python/numpy — no PIL/cv2/libjpeg.
+"""JPEG codec in pure Python/numpy — no PIL/cv2/libjpeg.
 
-Scope (the interchange-format baseline process of ITU-T T.81):
+Scope (ITU-T T.81 interchange format):
 
-* **decode**: baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr
+* **decode**: baseline sequential DCT (SOF0/SOF1) AND **progressive DCT
+  (SOF2)** — spectral selection plus successive approximation (DC
+  first/refinement, AC first/refinement with EOB runs), interleaved DC
+  scans, non-interleaved AC block rasters — 8-bit, grayscale or YCbCr
   with any sampling factors expressible in the MCU grid (4:4:4, 4:2:0,
   4:2:2, …), multiple DQT/DHT segments, byte stuffing, DRI/RSTn restart
-  intervals.  Progressive (SOF2), arithmetic coding, and 12-bit inputs
-  raise ``NotImplementedError``.
-* **encode**: baseline 4:4:4 (or grayscale) with the Annex-K example
-  quantization tables (scaled by ``quality``) and the Annex-K typical
-  Huffman tables — enough to produce real, spec-conformant files for the
-  decoder and any external viewer.
+  intervals.  Arithmetic coding, hierarchical and 12-bit inputs raise
+  ``NotImplementedError``.
+* **encode**: baseline (or ``progressive=True`` — the four-stage scan
+  script over the SAME quantized coefficients, which is also the
+  decoder's validation identity: both streams must decode to identical
+  pixels), 4:4:4/4:2:0 or grayscale, Annex-K example quantization
+  tables (scaled by ``quality``) and the Annex-K typical Huffman
+  tables — real, spec-conformant files for the decoder and any
+  external viewer.
 
 Per-pixel work is numpy (the 8×8 IDCT/FDCT are single GEMMs against the
 DCT-II basis); only the entropy coding walks blocks in Python, which is
@@ -228,8 +234,12 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline-sequential JPEG into an (h, w, 3) uint8 RGB array
-    (grayscale replicated to 3 channels)."""
+    """Decode a baseline-sequential (SOF0/SOF1) **or progressive (SOF2)**
+    JPEG into an (h, w, 3) uint8 RGB array (grayscale replicated to 3
+    channels).  Progressive decode covers spectral selection AND
+    successive approximation: DC first/refinement, AC first/refinement
+    with EOB runs, interleaved DC scans, non-interleaved AC block
+    rasters, and restart markers within every scan kind."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -238,6 +248,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff_ac: dict[int, dict] = {}
     frame = None
     restart_interval = 0
+    coef_state: dict[int, np.ndarray] | None = None
     n = len(payload)
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
@@ -245,7 +256,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             continue
         marker = payload[pos + 1]
         pos += 2
-        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+        if marker == 0xD9:                       # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
             continue
         (seglen,) = struct.unpack_from(">H", payload, pos)
         seg = payload[pos + 2:pos + seglen]
@@ -272,7 +285,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 off += cnt
                 tab = _build_decode_table(bits, vals)
                 (huff_dc if tc == 0 else huff_ac)[th] = tab
-        elif marker == 0xC0 or marker == 0xC1:   # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):       # SOF0/1 baseline, SOF2 prog
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec}")
@@ -281,23 +294,250 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, samp, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
                 comps.append({"id": cid, "h": samp >> 4, "v": samp & 0x0F,
                               "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+            if marker == 0xC2:
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                coef_state = {}
+                for c in comps:
+                    c["bw"] = mcux * c["h"]      # MCU-padded block grid
+                    c["bh"] = mcuy * c["v"]
+                    # blocks the NON-interleaved scans actually cover
+                    c["nbw"] = -(-(-(-w * c["h"] // hmax)) // 8)
+                    c["nbh"] = -(-(-(-h * c["v"] // vmax)) // 8)
+                    coef_state[c["id"]] = np.zeros(
+                        (c["bh"], c["bw"], 64), dtype=np.int32)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential JPEG (SOF0/SOF1) supported")
+                "only baseline (SOF0/SOF1) and progressive (SOF2) "
+                "JPEG supported")
         elif marker == 0xDD:                     # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:                     # SOS → entropy data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
             scomp = []
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
                 scomp.append({"cs": cs, "td": tt >> 4, "ta": tt & 0x0F})
             data_start = body_start + seglen - 2
-            return _decode_scan(payload, data_start, frame, scomp, qt,
-                                huff_dc, huff_ac, restart_interval)
+            if not frame["progressive"]:
+                return _decode_scan(payload, data_start, frame, scomp, qt,
+                                    huff_dc, huff_ac, restart_interval)
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            pos = _decode_progressive_scan(
+                payload, data_start, frame, scomp, ss, se,
+                ahal >> 4, ahal & 0x0F, huff_dc, huff_ac,
+                restart_interval, coef_state)
+    if frame is not None and frame.get("progressive"):
+        return _assemble_progressive(frame, coef_state, qt)
     raise ValueError("JPEG missing SOS segment")
+
+
+def _next_marker_pos(payload: bytes, pos: int) -> int:
+    """Byte position of the next non-stuffing, non-restart marker at or
+    after ``pos`` (the resume point after a progressive scan's entropy
+    data)."""
+    n = len(payload)
+    while pos + 1 < n:
+        if payload[pos] == 0xFF:
+            nxt = payload[pos + 1]
+            if nxt != 0x00 and not (0xD0 <= nxt <= 0xD7):
+                return pos
+            pos += 2
+            continue
+        pos += 1
+    return n
+
+
+def _decode_progressive_scan(payload, pos, frame, scomp, ss, se, ah, al,
+                             huff_dc, huff_ac, restart_interval,
+                             state):
+    """One progressive scan pass over the coefficient store (T.81 §G.2);
+    returns the payload position of the next marker."""
+    comps = frame["comps"]
+    by_id = {c["id"]: c for c in comps}
+    order = [by_id[s["cs"]] for s in scomp]
+    for c, s in zip(order, scomp):
+        c["td"], c["ta"] = s["td"], s["ta"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    rdr = _BitReader(payload, pos)
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se = 0")
+        # DC scan — interleaved over MCUs when multiple components
+        if ah == 0:
+            for c in order:
+                c["pred"] = 0
+        unit = 0
+        if len(order) > 1 or len(comps) == 1:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart_interval and unit and \
+                            unit % restart_interval == 0:
+                        rdr.restart()
+                        for c in order:
+                            c["pred"] = 0
+                    unit += 1
+                    for c in order:
+                        for v in range(c["v"]):
+                            for hh in range(c["h"]):
+                                zz = state[c["id"]][my * c["v"] + v,
+                                                    mx * c["h"] + hh]
+                                _dc_unit(rdr, c, zz, ah, al, huff_dc)
+        else:
+            c = order[0]
+            for by in range(c["nbh"]):
+                for bx in range(c["nbw"]):
+                    if restart_interval and unit and \
+                            unit % restart_interval == 0:
+                        rdr.restart()
+                        c["pred"] = 0
+                    unit += 1
+                    _dc_unit(rdr, c, state[c["id"]][by, bx], ah, al,
+                             huff_dc)
+    else:
+        if len(order) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        c = order[0]
+        tab = huff_ac[c["ta"]]
+        eobrun = 0
+        unit = 0
+        for by in range(c["nbh"]):
+            for bx in range(c["nbw"]):
+                if restart_interval and unit and \
+                        unit % restart_interval == 0:
+                    rdr.restart()
+                    eobrun = 0
+                unit += 1
+                zz = state[c["id"]][by, bx]
+                if ah == 0:
+                    eobrun = _ac_first(rdr, zz, ss, se, al, tab, eobrun)
+                else:
+                    eobrun = _ac_refine(rdr, zz, ss, se, al, tab, eobrun)
+    return _next_marker_pos(payload, rdr.pos)
+
+
+def _dc_unit(rdr, c, zz, ah, al, huff_dc):
+    if ah == 0:
+        t = rdr.decode_symbol(huff_dc[c["td"]])
+        diff = _extend(rdr.read_bits(t), t) if t else 0
+        c["pred"] += diff
+        zz[0] = c["pred"] << al
+    else:
+        if rdr.read_bit():
+            zz[0] |= (1 << al)
+
+
+def _ac_first(rdr, zz, ss, se, al, tab, eobrun):
+    """AC first pass (Ah = 0): standard RLE with EOB runs (§G.2.2)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = rdr.decode_symbol(tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += rdr.read_bits(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise ValueError("JPEG progressive AC index overflow")
+        zz[k] = _extend(rdr.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(rdr, zz, ss, se, al, tab, eobrun):
+    """AC refinement pass (Ah > 0): correction bits for already-nonzero
+    coefficients plus newly-significant ±1<<Al insertions (§G.2.3;
+    the libjpeg decode_mcu_AC_refine control flow)."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = rdr.decode_symbol(tab)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = (1 << r)
+                    if r:
+                        eobrun += rdr.read_bits(r)
+                    break
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "JPEG AC refinement symbol must insert ±1")
+                newval = p1 if rdr.read_bit() else m1
+            while k <= se:
+                z = int(zz[k])
+                if z != 0:
+                    if rdr.read_bit() and (z & p1) == 0:
+                        zz[k] = z + (p1 if z >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval:
+                if k > se:
+                    raise ValueError("JPEG progressive AC index overflow")
+                zz[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            z = int(zz[k])
+            if z != 0 and rdr.read_bit() and (z & p1) == 0:
+                zz[k] = z + (p1 if z >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _assemble_progressive(frame, state, qt) -> np.ndarray:
+    """Dequantize + IDCT the accumulated coefficient store and assemble
+    planes exactly like the baseline path."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    planes = []
+    for c in comps:
+        dq = qt[c["tq"]]
+        zzs = state[c["id"]]
+        plane = np.zeros((c["bh"] * 8, c["bw"] * 8), dtype=np.float64)
+        for by in range(c["bh"]):
+            for bx in range(c["bw"]):
+                coef = np.zeros(64, dtype=np.float64)
+                coef[ZIGZAG] = zzs[by, bx] * dq
+                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
+                    _idct2(coef.reshape(8, 8)) + 128.0
+        plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0),
+                          hmax // c["h"], axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        g = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
 def _decode_scan(payload, pos, frame, scomp, qt, huff_dc, huff_ac,
@@ -435,11 +675,18 @@ def _pad_to(p: np.ndarray, H: int, W: int) -> np.ndarray:
     return pp
 
 
-def _encode_block(bw: _BitWriter, block: np.ndarray, dq: np.ndarray,
-                  pred: int, enc_dc: dict, enc_ac: dict) -> int:
+def _quantize_block(block: np.ndarray, dq: np.ndarray) -> np.ndarray:
+    """FDCT + quantize one 8×8 spatial block → 64 zigzag coefficients
+    (shared by the baseline and progressive entropy coders so both
+    streams carry identical coefficients)."""
     coef = _fdct2(block - 128.0)
     q = np.round(coef / dq).astype(np.int32)
-    zz = q.reshape(-1)[ZIGZAG]
+    return q.reshape(-1)[ZIGZAG]
+
+
+def _encode_block(bw: _BitWriter, block: np.ndarray, dq: np.ndarray,
+                  pred: int, enc_dc: dict, enc_ac: dict) -> int:
+    zz = _quantize_block(block, dq)
     diff = int(zz[0]) - pred
     t, code = _magnitude(diff) if diff else (0, 0)
     bw.write(*enc_dc[t])
@@ -466,13 +713,158 @@ def _encode_block(bw: _BitWriter, block: np.ndarray, dq: np.ndarray,
     return int(zz[0])
 
 
+def _encode_progressive_scans(zz_blocks: list[np.ndarray],
+                              grids: list[tuple[int, int, int, int]],
+                              enc_dc: list[dict], enc_ac: list[dict],
+                              mcux: int, mcuy: int) -> list[tuple]:
+    """Entropy-code the four-stage progressive scan script over
+    precomputed quantized zigzag blocks: interleaved DC first (Al=1),
+    DC refinement (Al=0), then one full-band AC scan (Al=0) per
+    component.  Returns [(scan_header_fields, entropy_bytes), ...]."""
+    out = []
+    n_comp = len(zz_blocks)
+
+    # scan 1: DC first, Al=1, interleaved over MCUs
+    bw1 = _BitWriter()
+    preds = [0] * n_comp
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(n_comp):
+                _, _, hh, v = grids[ci]
+                ti = min(ci, 1)
+                for vy in range(v):
+                    for vx in range(hh):
+                        dc = int(zz_blocks[ci][my * v + vy,
+                                               mx * hh + vx, 0]) >> 1
+                        diff = dc - preds[ci]
+                        preds[ci] = dc
+                        t, code = _magnitude(diff) if diff else (0, 0)
+                        bw1.write(*enc_dc[ti][t])
+                        if t:
+                            bw1.write(t, code)
+    bw1.flush()
+    comps_all = list(range(n_comp))
+    out.append((comps_all, 0, 0, 0, 1, bytes(bw1.out)))
+
+    # scan 2: DC refinement, Ah=1 -> Al=0 (one raw bit per block)
+    bw2 = _BitWriter()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(n_comp):
+                _, _, hh, v = grids[ci]
+                for vy in range(v):
+                    for vx in range(hh):
+                        bw2.write(1, int(zz_blocks[ci][my * v + vy,
+                                                       mx * hh + vx,
+                                                       0]) & 1)
+    bw2.flush()
+    out.append((comps_all, 0, 0, 1, 0, bytes(bw2.out)))
+
+    # per component: AC first pass at Al=1 (point-transformed toward
+    # zero), then the AC refinement pass restoring bit 0 — both over the
+    # NON-interleaved block raster.  The Annex-K AC tables carry no
+    # EOBn (r>0) symbols, so EOB runs flush as repeated single EOBs —
+    # larger but fully legal; the decoder's EOBn path is exercised by a
+    # custom-table fixture in the tests.
+    for ci in range(n_comp):
+        nbw, nbh, _, _ = grids[ci]
+        ti = min(ci, 1)
+
+        bw = _BitWriter()
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            while eobrun > 0:
+                bw.write(*enc_ac[ti][0x00])
+                eobrun -= 1
+        for by in range(nbh):
+            for bx in range(nbw):
+                zz = zz_blocks[ci][by, bx]
+                # point transform: magnitude shift toward zero (G.1.2.2)
+                t1 = np.sign(zz[1:]) * (np.abs(zz[1:]) >> 1)
+                last = 63
+                while last > 0 and t1[last - 1] == 0:
+                    last -= 1
+                if last == 0:
+                    eobrun += 1
+                    continue
+                flush_eob()
+                run = 0
+                for k in range(1, last + 1):
+                    v = int(t1[k - 1])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        bw.write(*enc_ac[ti][0xF0])
+                        run -= 16
+                    t, code = _magnitude(v)
+                    bw.write(*enc_ac[ti][(run << 4) | t])
+                    bw.write(t, code)
+                    run = 0
+                if last < 63:
+                    eobrun += 1
+        flush_eob()
+        bw.flush()
+        out.append(([ci], 1, 63, 0, 1, bytes(bw.out)))
+
+        # refinement: corrections for already-significant coefficients,
+        # ±1 insertions for the newly significant (libjpeg
+        # encode_mcu_AC_refine control flow, per-block EOB runs)
+        bw = _BitWriter()
+        for by in range(nbh):
+            for bx in range(nbw):
+                zz = zz_blocks[ci][by, bx]
+                absv = np.abs(zz[1:])             # Al = 0
+                eobk = 0
+                for k in range(1, 64):
+                    if absv[k - 1] == 1:
+                        eobk = k
+                r = 0
+                br: list[int] = []
+                for k in range(1, 64):
+                    t = int(absv[k - 1])
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15 and k <= eobk:
+                        bw.write(*enc_ac[ti][0xF0])
+                        for b in br:
+                            bw.write(1, b)
+                        br = []
+                        r -= 16
+                    if t > 1:                     # already significant
+                        br.append(t & 1)
+                        continue
+                    bw.write(*enc_ac[ti][(r << 4) | 1])
+                    bw.write(1, 0 if zz[k] < 0 else 1)
+                    for b in br:
+                        bw.write(1, b)
+                    br = []
+                    r = 0
+                if r > 0 or br:
+                    bw.write(*enc_ac[ti][0x00])
+                    for b in br:
+                        bw.write(1, b)
+        bw.flush()
+        out.append(([ci], 1, 63, 1, 0, bytes(bw.out)))
+    return out
+
+
 def encode_jpeg(arr: np.ndarray, quality: int = 90,
                 subsampling: str = "444",
-                restart_interval: int = 0) -> bytes:
+                restart_interval: int = 0,
+                progressive: bool = False) -> bytes:
     """Encode an (h, w, 3) uint8 RGB array (or (h, w) grayscale) as a
     baseline JPEG with Annex-K tables.  ``subsampling``: '444' or '420'
     (2×2-mean chroma downsample); ``restart_interval`` > 0 emits DRI +
-    RSTn markers every that many MCUs."""
+    RSTn markers every that many MCUs (baseline only).
+    ``progressive=True`` writes a SOF2 stream with the four-stage scan
+    script (interleaved DC at Al=1, DC refinement, one full-band AC
+    scan per component) — the SAME quantized coefficients as the
+    baseline stream, so both decode to identical pixels (the
+    progressive-decoder validation identity)."""
     a = np.asarray(arr, dtype=np.uint8)
     gray = a.ndim == 2
     if not gray and (a.ndim != 3 or a.shape[2] != 3):
@@ -530,6 +922,51 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
     padded = [(_pad_to(p, mcuy * v * 8, mcux * hh * 8), hh, v, ti)
               for p, hh, v, ti in comps]
 
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    for tq, q in enumerate(qts):
+        out += seg(0xDB, bytes([tq]) + bytes(int(v) for v in q))
+    nc = len(comps)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i, (_, hh, v, ti) in enumerate(comps):
+        sof += bytes([i + 1, (hh << 4) | v, ti])
+    out += seg(0xC2 if progressive else 0xC0, sof)
+    tabs = [(0x00, HT_DC_LUMA), (0x10, HT_AC_LUMA)]
+    if not gray:
+        tabs += [(0x01, HT_DC_CHROMA), (0x11, HT_AC_CHROMA)]
+    for tid, (bits, vals) in tabs:
+        out += seg(0xC4, bytes([tid]) + bytes(bits) + bytes(vals))
+
+    if progressive:
+        # quantize every block once; the scan script re-reads the store
+        zz_blocks = []
+        grids = []
+        for ci, (p, hh, v, ti) in enumerate(padded):
+            bh_i, bw_i = p.shape[0] // 8, p.shape[1] // 8
+            zz = np.empty((bh_i, bw_i, 64), dtype=np.int32)
+            for by in range(bh_i):
+                for bx in range(bw_i):
+                    zz[by, bx] = _quantize_block(
+                        p[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8], dq[ti])
+            zz_blocks.append(zz)
+            # non-interleaved AC raster covers ceil(comp_extent/8)
+            cw = -(-(w * hh) // hmax)
+            chh = -(-(h * v) // vmax)
+            grids.append((-(-cw // 8), -(-chh // 8), hh, v))
+        for comp_ids, ss, se, ah, al, data in _encode_progressive_scans(
+                zz_blocks, grids, enc_dc, enc_ac, mcux, mcuy):
+            sos = bytes([len(comp_ids)])
+            for ci in comp_ids:
+                ti = min(ci, 1)
+                sos += bytes([ci + 1, (ti << 4) | ti])
+            sos += bytes([ss, se, (ah << 4) | al])
+            out += seg(0xDA, sos)
+            out += data
+        out += b"\xff\xd9"
+        return bytes(out)
+
     bw = _BitWriter()
     preds = [0] * len(comps)
     mcu_count = 0
@@ -551,23 +988,6 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
                             bw, p[y0:y0 + 8, x0:x0 + 8], dq[ti], preds[ci],
                             enc_dc[ti], enc_ac[ti])
     bw.flush()
-
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
-
-    out = bytearray(b"\xff\xd8")
-    for tq, q in enumerate(qts):
-        out += seg(0xDB, bytes([tq]) + bytes(int(v) for v in q))
-    nc = len(comps)
-    sof = struct.pack(">BHHB", 8, h, w, nc)
-    for i, (_, hh, v, ti) in enumerate(comps):
-        sof += bytes([i + 1, (hh << 4) | v, ti])
-    out += seg(0xC0, sof)
-    tabs = [(0x00, HT_DC_LUMA), (0x10, HT_AC_LUMA)]
-    if not gray:
-        tabs += [(0x01, HT_DC_CHROMA), (0x11, HT_AC_CHROMA)]
-    for tid, (bits, vals) in tabs:
-        out += seg(0xC4, bytes([tid]) + bytes(bits) + bytes(vals))
     if restart_interval:
         out += seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([nc])

@@ -11,8 +11,8 @@ Decode support is two-tier:
   (24-bit BITMAPINFOHEADER), PPM (binary P6), PNG (stdlib ``zlib``
   inflate + scanline unfilter, all five filters, all five color types,
   every legal bit depth 1/2/4/8/16, Adam7 interlace), GIF (own
-  variable-width LZW, ``datapipe/gif.py``), baseline-sequential JPEG
-  (own Huffman + IDCT
+  variable-width LZW, ``datapipe/gif.py``), baseline AND progressive
+  JPEG (own Huffman + IDCT
   implementation in ``datapipe/jpeg.py``, 4:4:4/4:2:0/grayscale, DRI
   restarts), PCM WAV (stdlib ``wave``), and **FLAC** (own Rice/LPC
   decoder in ``datapipe/flac.py`` with CRC-8/16 + MD5 verification —
@@ -21,9 +21,9 @@ Decode support is two-tier:
   validation, so it clears the bar lossy codecs cannot).  Image/audio
   stats, resize, embeddings, and MFCC-style features below run on
   actual pixel/sample arrays for these formats.
-* **Lossy-compressed audio/video (MP3/MP4/Ogg-Vorbis/WebP/
-  progressive-JPEG/…) is explicitly OUT OF SCOPE for in-container
-  decode** — a deliberate round-6 decision, not an implicit promise:
+* **Lossy-compressed audio/video (MP3/MP4/Ogg-Vorbis/WebP pixel
+  data/…) is explicitly OUT OF SCOPE for in-container decode** — a
+  deliberate round-6 decision, not an implicit promise:
   these formats need codec libraries (PIL/cv2/ffmpeg) this container
   does not ship, and a hand-written entropy decoder (e.g. MP3
   Layer-III Huffman tables) cannot be validated here without reference
@@ -364,10 +364,10 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Decode BMP, PPM, baseline PNG, GIF, or baseline-sequential JPEG
+    """Decode BMP, PPM, PNG, GIF, or JPEG (baseline AND progressive)
     payloads for real (pure Python/numpy codecs — GIF via the own-LZW
-    decoder in ``datapipe/gif.py``); raise for formats that need
-    external libraries (webp/progressive-jpeg/...)."""
+    decoder in ``datapipe/gif.py``, JPEG via ``datapipe/jpeg.py``);
+    raise for formats that need external libraries (webp/...)."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":

@@ -400,10 +400,17 @@ def test_jpeg_grayscale_and_errors():
     assert np.abs(out[:, :, 0].astype(int) - g.astype(int)).max() <= 3
     with pytest.raises(ValueError, match="not a JPEG"):
         decode_jpeg(b"BM123456")
-    # progressive SOF2 raises NotImplementedError
+    # SOF2 is SUPPORTED since round 8 (tests/test_jpeg_progressive.py);
+    # a baseline stream merely RELABELED as SOF2 is malformed progressive
+    # (its single scan claims the DC band with Se=63) and must raise a
+    # clean ValueError, while genuinely unsupported SOFs (arithmetic
+    # SOF9) still raise NotImplementedError
     prog = bytearray(encode_jpeg(g, 95))
     idx = prog.find(b"\xff\xc0")
     prog[idx + 1] = 0xC2
+    with pytest.raises(ValueError, match="Se = 0"):
+        decode_jpeg(bytes(prog))
+    prog[idx + 1] = 0xC9
     with pytest.raises(NotImplementedError, match="baseline"):
         decode_jpeg(bytes(prog))
 
