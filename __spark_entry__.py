@@ -3527,18 +3527,38 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_udf_serializable()
 
+    from fast_causal_inference_spark.datapipe.jpeg import encode_jpeg
+
     def _codec_stats(batches):
+        import hashlib as _hashlib
+
         import numpy as _np
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 for modality, fmt in (("image_png", "png"),
                                       ("image_jpeg", "jpeg"),
-                                      ("image_gif", "gif")):
+                                      ("image_gif", "gif"),
+                                      ("image_jpeg_prog", "jpeg_prog")):
                     # the SAME public derivation + dispatcher the
                     # synthesize/image_stats pipeline uses — fused here
-                    # only to share one Arrow stage
-                    out = decode_image(image_payload_for_text(text, fmt))
+                    # only to share one Arrow stage.  jpeg_prog: the
+                    # identical hash-derived constant-color image through
+                    # the PROGRESSIVE encoder (q=100 DC-only blocks
+                    # roundtrip bit-exactly, same as baseline), value-
+                    # gating the SOF2 multi-scan decoder end to end
+                    if fmt == "jpeg_prog":
+                        hx = _hashlib.sha256(
+                            str(text).encode()).hexdigest()
+                        img = _np.full(
+                            (int(hx[4:8], 16) % 16 + 1,
+                             int(hx[0:4], 16) % 16 + 1, 3),
+                            int(hx[8:10], 16), _np.uint8)
+                        payload = encode_jpeg(img, quality=100,
+                                              progressive=True)
+                    else:
+                        payload = image_payload_for_text(text, fmt)
+                    out = decode_image(payload)
                     rows.append((doc_id, modality, "width",
                                  float(out.shape[1])))
                     rows.append((doc_id, modality, "height",
@@ -3730,6 +3750,15 @@ SELECT doc_id, 'image_gif', 'height',
        CAST(('0x' || substr(hx, 5, 4))::BIGINT % 16 + 1 AS DOUBLE) FROM h
 UNION ALL
 SELECT doc_id, 'image_gif', 'mean_pixel',
+       CAST(('0x' || substr(hx, 9, 2))::BIGINT AS DOUBLE) FROM h
+UNION ALL
+SELECT doc_id, 'image_jpeg_prog', 'width',
+       CAST(('0x' || substr(hx, 1, 4))::BIGINT % 16 + 1 AS DOUBLE) FROM h
+UNION ALL
+SELECT doc_id, 'image_jpeg_prog', 'height',
+       CAST(('0x' || substr(hx, 5, 4))::BIGINT % 16 + 1 AS DOUBLE) FROM h
+UNION ALL
+SELECT doc_id, 'image_jpeg_prog', 'mean_pixel',
        CAST(('0x' || substr(hx, 9, 2))::BIGINT AS DOUBLE) FROM h
 UNION ALL
 SELECT doc_id, 'audio', 'n_samples',
