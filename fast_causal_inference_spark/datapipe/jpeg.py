@@ -250,17 +250,24 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     restart_interval = 0
     coef_state: dict[int, np.ndarray] | None = None
     n = len(payload)
-    while pos + 4 <= n:
+    scans_decoded = 0
+    eoi_seen = False
+    while pos + 2 <= n:
         if payload[pos] != 0xFF:
             pos += 1
             continue
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:                       # EOI
+            eoi_seen = True
             break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
             continue
+        if pos + 2 > n:                          # truncated mid-header
+            break
         (seglen,) = struct.unpack_from(">H", payload, pos)
+        if pos + seglen > n:
+            raise ValueError("truncated JPEG: segment exceeds payload")
         seg = payload[pos + 2:pos + seglen]
         body_start = pos + 2
         pos += seglen
@@ -334,7 +341,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 payload, data_start, frame, scomp, ss, se,
                 ahal >> 4, ahal & 0x0F, huff_dc, huff_ac,
                 restart_interval, coef_state)
+            scans_decoded += 1
     if frame is not None and frame.get("progressive"):
+        # Codec contract (same as FLAC/GIF): corrupt payloads raise,
+        # never silently-wrong pixels.  A SOF2 stream with no SOS scan
+        # would assemble to all-gray; one cut before EOI would assemble
+        # partial coefficient state.  Both are corruption, not images.
+        if scans_decoded == 0:
+            raise ValueError("JPEG missing SOS segment")
+        if not eoi_seen:
+            raise ValueError("truncated progressive JPEG: no EOI marker")
         return _assemble_progressive(frame, coef_state, qt)
     raise ValueError("JPEG missing SOS segment")
 
@@ -377,8 +393,13 @@ def _decode_progressive_scan(payload, pos, frame, scomp, ss, se, ah, al,
         if ah == 0:
             for c in order:
                 c["pred"] = 0
+        # T.81 §A.2: a scan with Ns == 1 is ALWAYS non-interleaved (one
+        # data unit per MCU, raster over the component's own ceil(dim/8)
+        # block grid) — even in a single-component frame whose lone
+        # component declares sampling factors > 1.  Only Ns > 1 scans
+        # walk the MCU-padded interleaved grid.
         unit = 0
-        if len(order) > 1 or len(comps) == 1:
+        if len(order) > 1:
             for my in range(mcuy):
                 for mx in range(mcux):
                     if restart_interval and unit and \

@@ -300,14 +300,30 @@ def _probe_ogg(b: bytes) -> dict | None:
         out["codec"] = "theora"
         out["n_video_tracks"] = 1
     # duration: granule position of the FINAL page (single-stream
-    # files; multiplexed streams would need per-serial tracking)
-    last = b.rfind(b"OggS")
-    if rate and last >= 0 and len(b) >= last + 28 and b[last + 4] == 0:
-        granule = struct.unpack("<q", b[last + 6:last + 14])[0]
-        if granule > 0:
-            out["duration_sec"] = max(granule - pre_skip, 0) / rate
-            if out["codec"] != "opus":
-                out["n_frames"] = granule
+    # files; multiplexed streams would need per-serial tracking).
+    # Walk pages forward via the segment tables — rfind(b"OggS") can
+    # false-sync on the capture pattern inside a page BODY (entropy
+    # bytes) and read granule from arbitrary packet data.
+    granule = None
+    pos = 0
+    while pos + 27 <= len(b):
+        if b[pos:pos + 4] != b"OggS" or b[pos + 4] != 0:
+            break                              # lost sync / truncated
+        ns = b[pos + 26]
+        if pos + 27 + ns > len(b):
+            break                              # truncated segment table
+        body = sum(b[pos + 27:pos + 27 + ns])
+        nxt = pos + 27 + ns + body
+        if nxt > len(b):
+            break                              # truncated page body
+        g = struct.unpack("<q", b[pos + 6:pos + 14])[0]
+        if g >= 0:
+            granule = g                        # -1 = no packet finishes
+        pos = nxt
+    if rate and granule is not None and granule > 0:
+        out["duration_sec"] = max(granule - pre_skip, 0) / rate
+        if out["codec"] != "opus":
+            out["n_frames"] = granule
     return out
 
 

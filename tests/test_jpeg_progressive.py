@@ -126,3 +126,52 @@ def test_progressive_in_image_pipeline(spark):
     assert len(st) == 10 and (st.width == 6).all()
     # q=100 constant-color roundtrips bit-exactly, progressive included
     assert (st.mean_pixel == (10 * st.doc_id % 200)).all()
+
+
+def test_progressive_missing_sos_raises():
+    """SOI+SOF2(+tables)+EOI with zero SOS must raise, not return an
+    all-gray image (codec contract: corrupt payloads raise)."""
+    p = encode_jpeg(_natural(16, 16), progressive=True)
+    # strip every SOS segment + its entropy data: keep bytes up to the
+    # first SOS marker, then append EOI
+    sos = p.find(b"\xff\xda")
+    assert sos > 0
+    broken = p[:sos] + b"\xff\xd9"
+    with pytest.raises(ValueError, match="missing SOS"):
+        decode_jpeg(broken)
+
+
+@pytest.mark.parametrize("frac", [0.3, 0.7, 0.9])
+def test_progressive_truncated_raises(frac):
+    """A progressive payload cut before EOI must raise, never assemble
+    partial coefficient state into silently-wrong pixels."""
+    p = encode_jpeg(_natural(32, 48), progressive=True)
+    sos = p.find(b"\xff\xda")
+    cut = sos + int((len(p) - sos) * frac)
+    with pytest.raises(ValueError):
+        decode_jpeg(p[:cut])
+
+
+def test_progressive_grayscale_sampling_gt1_dc_raster():
+    """A single-component SOF2 frame whose lone component declares
+    sampling factors 2x2 (grayscale converted from color) must decode
+    its DC scan over the non-interleaved ceil(w/8) raster, not the
+    MCU-padded interleaved grid (T.81 §A.2, Ns == 1 is always
+    non-interleaved).  Width 24 is not a multiple of 16, so the two
+    rasters genuinely differ."""
+    img = _natural(24, 24)[:, :, 0]          # 2D -> single-component
+    p = encode_jpeg(img, progressive=True)
+    # encoder emits h=v=1 for grayscale; patch SOF2 sampling to 2x2.
+    # SOF2 marker 0xFFC2; component spec byte at offset +11 (len2,prec1,
+    # h2,w2,nc1,cid1 -> sampling byte).
+    i = p.find(b"\xff\xc2")
+    assert i > 0
+    assert p[i + 2 + 2 + 1 + 4] == 1         # truly one component
+    sof_samp = i + 2 + 2 + 1 + 4 + 1 + 1  # marker,len,prec,h,w,nc,cid
+    assert p[sof_samp] == 0x11
+    patched = p[:sof_samp] + b"\x22" + p[sof_samp + 1:]
+    out = decode_jpeg(patched)
+    ref = decode_jpeg(p)
+    # same entropy data, same raster -> identical pixels over the
+    # region both cover (sampling only changes padded-grid geometry)
+    assert np.array_equal(out, ref)

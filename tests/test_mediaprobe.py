@@ -230,3 +230,49 @@ def test_probe_new_formats_fuzz_safe():
             mut = bytearray(valid)
             mut[pos] ^= 0x40
             assert "container" in probe_payload(bytes(mut))
+
+
+def test_probe_ogg_no_false_sync_on_body_capture_pattern():
+    """An 'OggS\\x00' byte run INSIDE a page body (entropy bytes) must
+    not be mistaken for the final page header — duration comes from the
+    structurally last valid page walked via the segment tables."""
+    import struct
+
+    from fast_causal_inference_spark.datapipe.mediaprobe import (
+        _ogg_page,
+        probe_payload,
+    )
+
+    opus = (b"OpusHead" + bytes([1, 2]) + struct.pack("<H", 0)
+            + struct.pack("<I", 48_000) + b"\x00\x00\x00")
+    # body of the last page embeds a fake capture pattern followed by
+    # version 0 and a bogus huge granule at the rfind offset
+    evil_body = (b"\x01" * 5 + b"OggS\x00\x00"
+                 + struct.pack("<q", 48_000 * 9999) + b"\x02" * 20)
+    og = (_ogg_page(9, 0, 0, 0x02, opus)
+          + _ogg_page(9, 1, 96_000, 0x04, evil_body))
+    r = probe_payload(og)
+    assert r["codec"] == "opus"
+    # granule 96_000 at 48 kHz -> 2.0 s, NOT 9999 s from the fake sync
+    assert r["duration_sec"] == 2.0
+
+
+def test_probe_ogg_truncated_last_page_uses_prior_granule():
+    """A stream cut inside the final page body falls back to the last
+    STRUCTURALLY COMPLETE page's granule instead of reading garbage."""
+    import struct
+
+    from fast_causal_inference_spark.datapipe.mediaprobe import (
+        _ogg_page,
+        probe_payload,
+    )
+
+    opus = (b"OpusHead" + bytes([1, 2]) + struct.pack("<H", 0)
+            + struct.pack("<I", 48_000) + b"\x00\x00\x00")
+    full = _ogg_page(9, 0, 0, 0x02, opus) \
+        + _ogg_page(9, 1, 48_000, 0x00, b"a" * 40) \
+        + _ogg_page(9, 2, 96_000, 0x04, b"b" * 40)
+    cut = full[:len(full) - 20]                # truncate final body
+    r = probe_payload(cut)
+    assert r["codec"] == "opus"
+    assert r["duration_sec"] == 1.0            # granule 48_000 page
