@@ -3636,6 +3636,10 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Ogg-Vorbis skeleton and a WebP header (hash-derived fields) run
     # the public media_probe parse.  One fused Arrow pass, same shape
     # as _codec_stats above.
+    from fast_causal_inference_spark.datapipe.adpcm import (
+        encode_wav_ima,
+        encode_wav_ms,
+    )
     from fast_causal_inference_spark.datapipe.flac import (
         encode_flac,
         encode_ogg_flac,
@@ -3696,6 +3700,34 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                              float(pw["width"])))
                 rows.append((doc_id, "image_webp", "height",
                              float(pw["height"])))
+                # ADPCM (round 9): two exact-representable signal
+                # classes make the LOSSY codecs value-checkable —
+                # IMA at step-index 0 encodes constants exactly
+                # (nibble 0 adds step 7 >> 3 == 0), and MSADPCM
+                # predictor 1 (512, -256) extrapolates arithmetic
+                # ramps exactly (pred = 2·s1 − s2).  Full WAV
+                # round trip: encode_wav_* -> decode_audio ->
+                # decode_wav -> datapipe/adpcm.py block decoders.
+                n_i = int(hx[50:53], 16) % 1500 + 100
+                amp_i = int(hx[53:56], 16) % 20000
+                xi, _ = decode_audio(encode_wav_ima(
+                    _np.full(n_i, amp_i, dtype=_np.int16), 16000))
+                rows.append((doc_id, "audio_adpcm_ima", "n_samples",
+                             float(len(xi))))
+                rows.append((doc_id, "audio_adpcm_ima", "rms",
+                             float(_np.sqrt(_np.mean(
+                                 xi.astype(_np.float64) ** 2)))))
+                n_m = int(hx[57:60], 16) % 1500 + 100
+                a_m = int(hx[60:63], 16) % 8000 - 4000
+                d_m = int(hx[63], 16) % 7 - 3
+                xm, _ = decode_audio(encode_wav_ms(
+                    (a_m + d_m * _np.arange(n_m)).astype(_np.int16),
+                    16000))
+                rows.append((doc_id, "audio_adpcm_ms", "n_samples",
+                             float(len(xm))))
+                rows.append((doc_id, "audio_adpcm_ms", "sum_sq",
+                             float(int((xm.astype(_np.int64) ** 2)
+                                       .sum()))))
             yield _pd.DataFrame(
                 rows, columns=["doc_id", "modality", "feature", "value"])
 
@@ -3819,6 +3851,27 @@ UNION ALL
 SELECT doc_id, 'probe_ogg', 'bit_rate',
        CAST((('0x' || substr(hx, 41, 3))::BIGINT % 256 + 32) * 1000
             AS DOUBLE) FROM h
+UNION ALL
+SELECT doc_id, 'audio_adpcm_ima', 'n_samples',
+       CAST(('0x' || substr(hx, 51, 3))::BIGINT % 1500 + 100 AS DOUBLE)
+FROM h
+UNION ALL
+SELECT doc_id, 'audio_adpcm_ima', 'rms',
+       CAST(('0x' || substr(hx, 54, 3))::BIGINT % 20000 AS DOUBLE) FROM h
+UNION ALL
+SELECT doc_id, 'audio_adpcm_ms', 'n_samples',
+       CAST(('0x' || substr(hx, 58, 3))::BIGINT % 1500 + 100 AS DOUBLE)
+FROM h
+UNION ALL
+SELECT doc_id, 'audio_adpcm_ms', 'sum_sq',
+       CAST(SUM((p.a + p.d * g.i) * (p.a + p.d * g.i)) AS DOUBLE)
+FROM (SELECT doc_id,
+             ('0x' || substr(hx, 58, 3))::BIGINT % 1500 + 100 AS n,
+             ('0x' || substr(hx, 61, 3))::BIGINT % 8000 - 4000 AS a,
+             ('0x' || substr(hx, 64, 1))::BIGINT % 7 - 3 AS d
+      FROM h) p
+JOIN generate_series(0, 1598) g(i) ON g.i < p.n
+GROUP BY doc_id
 UNION ALL
 SELECT doc_id, 'image_webp', 'width',
        CAST(('0x' || substr(hx, 44, 3))::BIGINT % 300 + 1 AS DOUBLE) FROM h

@@ -20,10 +20,15 @@ Decode support is two-tier:
   table-driven, and losslessness makes round-trip equality a complete
   validation, so it clears the bar lossy codecs cannot).  Image/audio
   stats, resize, embeddings, and MFCC-style features below run on
-  actual pixel/sample arrays for these formats.
-* **Lossy-compressed audio/video (MP3/MP4/Ogg-Vorbis/WebP pixel
-  data/…) is explicitly OUT OF SCOPE for in-container decode** — a
-  deliberate round-6 decision, not an implicit promise:
+  actual pixel/sample arrays for these formats.  Round 9 adds **IMA
+  and Microsoft ADPCM** (WAV format codes 0x11/0x02 — deterministic
+  integer state machines in ``datapipe/adpcm.py``, validated by
+  hand-computed step-table fixtures, byte-pinned goldens and exact
+  encoder-reconstruction equality), so telephony/game-audio WAVs
+  decode for real too.
+* **Lossy DSP/entropy-coded audio/video (MP3/MP4-AAC/Ogg-Vorbis/Opus
+  and video codecs) is explicitly OUT OF SCOPE for in-container
+  decode** — a deliberate round-6 decision, not an implicit promise:
   these formats need codec libraries (PIL/cv2/ffmpeg) this container
   does not ship, and a hand-written entropy decoder (e.g. MP3
   Layer-III Huffman tables) cannot be validated here without reference
@@ -60,6 +65,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from fast_causal_inference_spark.datapipe.adpcm import (
+    decode_adpcm_wav_data,
+)
 from fast_causal_inference_spark.datapipe.flac import (
     decode_flac,
     decode_ogg_flac,
@@ -433,7 +441,12 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     of them.  Samples normalize to the int16 scale (8-bit shifts up,
     24/32-bit take the high 16 bits, floats scale by 32767 with
     clipping) so downstream stats/MFCC see one dynamic range.
-    Adaptive codecs (ADPCM/...) raise ``NotImplementedError``.
+
+    Adaptive codecs decode for real too (round 9): IMA ADPCM (format
+    code 0x11) and Microsoft ADPCM (0x02) run the pure-numpy
+    block-vectorized state machines in ``datapipe/adpcm.py`` and trim
+    to the ``fact`` chunk sample count.  Remaining unsupported codes
+    raise ``NotImplementedError``.
     """
     if payload[:4] != b"RIFF":
         raise NotImplementedError(
@@ -442,23 +455,28 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("corrupt WAV: missing WAVE form type")
     pos = 12
     fmt = None
+    fmt_body = b""
     data = None
+    fact_samples = None
     while pos + 8 <= len(payload):
         cid = payload[pos:pos + 4]
         sz = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
         body = payload[pos + 8:pos + 8 + sz]
         if cid == b"fmt " and sz >= 16:
             fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt_body = body
             # WAVE_FORMAT_EXTENSIBLE: the real format is the first two
             # bytes of the 16-byte SubFormat GUID in the extension
             if fmt[0] == 0xFFFE and sz >= 40:
                 fmt = (struct.unpack("<H", body[24:26])[0],) + fmt[1:]
         elif cid == b"data":
             data = body
+        elif cid == b"fact" and sz >= 4:
+            fact_samples = struct.unpack("<I", body[:4])[0]
         pos += 8 + sz + (sz & 1)
     if fmt is None or data is None:
         raise ValueError("corrupt WAV: missing fmt or data chunk")
-    code, ch, rate, _, _, bits = fmt
+    code, ch, rate, _, block_align, bits = fmt
     if rate <= 0:
         # a corrupt rate-0 header would divide the mel filterbank by
         # zero downstream and emit garbage MFCCs marked decoded=True
@@ -494,6 +512,12 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     elif code in (6, 7):                           # G.711 A-law / µ-law
         table = _alaw_table() if code == 6 else _mulaw_table()
         x = table[np.frombuffer(data, dtype=np.uint8)].astype(np.int64)
+    elif code in (0x02, 0x11):                     # MS / IMA ADPCM
+        if block_align <= 0:
+            raise ValueError("corrupt ADPCM WAV: zero block align")
+        x = decode_adpcm_wav_data(code, data, fmt_body, ch,
+                                  block_align, fact_samples)
+        x = x.astype(np.int64).reshape(-1)         # already interleaved
     else:
         raise NotImplementedError(
             f"WAV format code {code} needs a codec library "
