@@ -3640,13 +3640,15 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_wav_ima,
         encode_wav_ms,
     )
+    from fast_causal_inference_spark.datapipe.vp8l import (
+        encode_webp_lossless,
+    )
     from fast_causal_inference_spark.datapipe.flac import (
         encode_flac,
         encode_ogg_flac,
     )
     from fast_causal_inference_spark.datapipe.mediaprobe import (
         build_ogg_vorbis,
-        build_webp,
         probe_payload,
     )
 
@@ -3692,14 +3694,25 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                              float(pr["channels"])))
                 rows.append((doc_id, "probe_ogg", "bit_rate",
                              float(pr["bit_rate"])))
-                w = int(hx[43:46], 16) % 300 + 1
-                h = int(hx[46:49], 16) % 300 + 1
-                pw = probe_payload(build_webp(
-                    w, h, lossless=int(hx[49], 16) % 2 == 1))
+                # image_webp went probe-only -> REAL VP8L decode in
+                # round 9: hash-derived constant-color image through
+                # encode_webp_lossless with the subtract-green +
+                # predictor transforms, decoded by the full prefix-
+                # code/LZ77/inverse-transform pipeline in
+                # datapipe/vp8l.py (losslessness makes mean_pixel ==
+                # the constant, which DuckDB re-derives closed form)
+                wv = int(hx[43:46], 16) % 16 + 1
+                hv = int(hx[46:49], 16) % 16 + 1
+                cval = int(hx[49], 16) * 17
+                arr = decode_image(encode_webp_lossless(
+                    _np.full((hv, wv, 3), cval, _np.uint8),
+                    ("subtract_green", "predictor")))
                 rows.append((doc_id, "image_webp", "width",
-                             float(pw["width"])))
+                             float(arr.shape[1])))
                 rows.append((doc_id, "image_webp", "height",
-                             float(pw["height"])))
+                             float(arr.shape[0])))
+                rows.append((doc_id, "image_webp", "mean_pixel",
+                             float(arr.astype(_np.float64).mean())))
                 # ADPCM (round 9): two exact-representable signal
                 # classes make the LOSSY codecs value-checkable —
                 # IMA at step-index 0 encodes constants exactly
@@ -3874,10 +3887,13 @@ JOIN generate_series(0, 1598) g(i) ON g.i < p.n
 GROUP BY doc_id
 UNION ALL
 SELECT doc_id, 'image_webp', 'width',
-       CAST(('0x' || substr(hx, 44, 3))::BIGINT % 300 + 1 AS DOUBLE) FROM h
+       CAST(('0x' || substr(hx, 44, 3))::BIGINT % 16 + 1 AS DOUBLE) FROM h
 UNION ALL
 SELECT doc_id, 'image_webp', 'height',
-       CAST(('0x' || substr(hx, 47, 3))::BIGINT % 300 + 1 AS DOUBLE) FROM h
+       CAST(('0x' || substr(hx, 47, 3))::BIGINT % 16 + 1 AS DOUBLE) FROM h
+UNION ALL
+SELECT doc_id, 'image_webp', 'mean_pixel',
+       CAST(('0x' || substr(hx, 50, 1))::BIGINT * 17 AS DOUBLE) FROM h
 """
 
 

@@ -76,6 +76,10 @@ from fast_causal_inference_spark.datapipe.flac import (
 )
 from fast_causal_inference_spark.datapipe.gif import decode_gif, encode_gif
 from fast_causal_inference_spark.datapipe.jpeg import decode_jpeg, encode_jpeg
+from fast_causal_inference_spark.datapipe.vp8l import (
+    decode_webp,
+    encode_webp_lossless,
+)
 from fast_causal_inference_spark.serialization import ensure_udf_serializable
 
 # every exception a corrupt/truncated payload can raise out of the pure-
@@ -372,10 +376,13 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Decode BMP, PPM, PNG, GIF, or JPEG (baseline AND progressive)
-    payloads for real (pure Python/numpy codecs — GIF via the own-LZW
-    decoder in ``datapipe/gif.py``, JPEG via ``datapipe/jpeg.py``);
-    raise for formats that need external libraries (webp/...)."""
+    """Decode BMP, PPM, PNG, GIF, JPEG (baseline AND progressive), or
+    **lossless WebP (VP8L, round 9)** payloads for real (pure
+    Python/numpy codecs — GIF via the own-LZW decoder in
+    ``datapipe/gif.py``, JPEG via ``datapipe/jpeg.py``, VP8L via
+    ``datapipe/vp8l.py``); raise for formats that need external
+    libraries (lossy VP8/...).  Always returns (h, w, 3) uint8 RGB;
+    WebP alpha composites over black like the PNG path."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
@@ -386,8 +393,13 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_gif(payload)
     if payload[:2] == b"\xff\xd8":
         return decode_jpeg(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        rgba = decode_webp(payload)
+        rgb = rgba[:, :, :3].astype(np.uint16)
+        alpha = rgba[:, :, 3:].astype(np.uint16)
+        return ((rgb * alpha + 127) // 255).astype(np.uint8)
     raise NotImplementedError(
-        "only BMP/PPM/baseline-PNG/GIF/baseline-JPEG decode in-container; "
+        "only BMP/PPM/PNG/GIF/JPEG/VP8L-WebP decode in-container; "
         "other formats need PIL/cv2")
 
 

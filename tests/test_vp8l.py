@@ -1,0 +1,277 @@
+"""VP8L (WebP lossless) codec validation (round 9).
+
+Round-trip equality through the own encoder across every transform
+combination, hand-crafted fixtures for the decode-only paths (color
+cache, 2D distance map, meta prefix groups), byte-pinned golden
+streams, corruption contracts, and dispatch through the public
+``decode_image``."""
+import hashlib
+
+import numpy as np
+import pytest
+
+from fast_causal_inference_spark.datapipe.vp8l import (
+    KDIST_MAP,
+    _LsbWriter,
+    decode_vp8l,
+    decode_webp,
+    encode_vp8l,
+    encode_webp_lossless,
+)
+
+RNG = np.random.default_rng(42)
+
+
+def _rgba(img):
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, 2)
+    if img.shape[2] == 3:
+        img = np.concatenate(
+            [img, np.full((*img.shape[:2], 1), 255, np.uint8)], axis=2)
+    return img
+
+
+TRANSFORM_SETS = [(), ("subtract_green",), ("predictor",), ("color",),
+                  ("subtract_green", "predictor"),
+                  ("color", "subtract_green", "predictor")]
+
+
+@pytest.mark.parametrize("tf", TRANSFORM_SETS,
+                         ids=["+".join(t) or "plain"
+                              for t in TRANSFORM_SETS])
+def test_roundtrip_all_transforms(tf):
+    imgs = [
+        RNG.integers(0, 256, (16, 16, 3), dtype=np.uint8),
+        RNG.integers(0, 256, (13, 7, 4), dtype=np.uint8),
+        (np.add.outer(np.arange(20) * 8, np.arange(31) * 5)
+         % 256).astype(np.uint8),
+        np.full((16, 16, 3), 77, np.uint8),
+        np.array([[[1, 2, 3]]], dtype=np.uint8),
+    ]
+    for img in imgs:
+        out = decode_webp(encode_webp_lossless(img, tf))
+        assert np.array_equal(out, _rgba(img))
+
+
+def test_roundtrip_palette_bundling():
+    for ncol, shape in ((2, (9, 40)), (3, (19, 23)), (15, (8, 17)),
+                        (17, (10, 33)), (200, (25, 25))):
+        img = (RNG.integers(0, ncol, shape) * (255 // max(ncol - 1, 1))
+               ).astype(np.uint8)
+        out = decode_webp(encode_webp_lossless(img, ("palette",)))
+        assert np.array_equal(out, _rgba(img)), (ncol, shape)
+
+
+def test_roundtrip_multiblock_transforms():
+    """Images wider than 2^9 exercise multiple transform blocks."""
+    img = RNG.integers(0, 256, (40, 600, 3), dtype=np.uint8)
+    out = decode_webp(encode_webp_lossless(img, ("color", "predictor")))
+    assert np.array_equal(out, _rgba(img))
+
+
+def test_run_length_lz77_path():
+    """Images with long constant runs hit the backward-reference
+    decode path (length codes + distance-1 plane code)."""
+    img = np.zeros((32, 32, 3), dtype=np.uint8)
+    img[10:20] = 200
+    p = encode_webp_lossless(img)
+    assert np.array_equal(decode_webp(p), _rgba(img))
+    # run encoding must actually compress vs literals
+    assert len(p) < 500
+
+
+def test_distance_map_is_spec_shaped():
+    assert len(KDIST_MAP) == 120
+    assert KDIST_MAP[0] == (0, 1)            # directly above
+    assert KDIST_MAP[1] == (1, 0)            # directly left
+    assert all(dy >= 0 for _, dy in KDIST_MAP)
+    assert len(set(KDIST_MAP)) == 120
+
+
+def _mini_stream(pixels, w, h, cache_bits=0, dist2d=None):
+    """Hand-build a VP8L stream with simple codes to exercise
+    decode-only paths (color cache hits, 2D distance copies)."""
+    wr = _LsbWriter()
+    wr.write_bits(w - 1, 14)
+    wr.write_bits(h - 1, 14)
+    wr.write_bits(0, 1)
+    wr.write_bits(0, 3)
+    wr.write_bits(0, 1)                      # no transforms
+    if cache_bits:
+        wr.write_bits(1, 1)
+        wr.write_bits(cache_bits, 4)
+    else:
+        wr.write_bits(0, 1)
+    wr.write_bits(0, 1)                      # no meta prefix
+    return wr
+
+
+def test_color_cache_decode_path():
+    """Literal g=5 -> cache hit for the same pixel: stream hand-built
+    with 2-symbol simple green tree {5, cache_0}."""
+    # the literal pixel argb = ff070509 lands in cache slot
+    # (0x1e35a7bd * px) >> 28; the second green symbol targets it
+    px_argb = (255 << 24) | (7 << 16) | (5 << 8) | 9
+    slot = (0x1E35A7BD * px_argb & 0xFFFFFFFF) >> 28
+    cache_sym = 280 + slot
+    wr = _mini_stream(None, 2, 1, cache_bits=4)
+    # green tree: symbols 5 (literal) and 280 (cache idx 0)... cache
+    # symbols are >= 256, which simple codes cannot carry -> use the
+    # full form via repeated lengths. Simpler: green symbols {5, 280}
+    # need CL coding; build lengths [5:1, 280:1] by hand:
+    # full form, num_cl such that CL symbols {0, 1, 17, 18} available.
+    # CL lengths: sym0->len? We need lengths array: 5 zeros, 1, 274
+    # zeros, 1.  Use CL code with symbols {1:len1, 17:len2, 18:len2}.
+    # CL lengths: 1->1, 17->2, 18->2.
+    wr.write_bits(0, 1)                      # not simple
+    # kCodeLengthCodeOrder = [17, 18, 0, 1, ...]; write 8 entries:
+    # 17:2, 18:2, 0:0, 1:1, rest 0
+    wr.write_bits(8 - 4, 4)
+    for ln in (2, 2, 0, 1, 0, 0, 0, 0):
+        wr.write_bits(ln, 3)
+    # plan the CL symbol stream: 5 zeros, len-1 at 5, zeros up to
+    # cache_sym, len-1 at cache_sym; stop via max_symbol (no tail pad)
+    plan = [("17", 5), ("lit", 1)]
+    zeros = cache_sym - 6
+    plan.append(("18", 138))
+    rem = zeros - 138                        # 130..145
+    if rem <= 138:
+        plan.append(("18", rem))
+    else:
+        plan.append(("18", 130))
+        plan.append(("17" if rem - 130 <= 10 else "18", rem - 130))
+    plan.append(("lit", 1))
+    wr.write_bits(1, 1)                      # explicit max_symbol
+    wr.write_bits(3, 3)                      # length_nbits = 8
+    wr.write_bits(len(plan) - 2, 8)          # max_symbol = n reads
+    # canonical: 1 -> code 0 (len1); 17 -> 10, 18 -> 11 (len2)
+    for kind, cnt in plan:
+        if kind == "lit":
+            wr.write_code(0b0, 1)            # CL symbol 1
+        elif kind == "17":
+            wr.write_code(0b10, 2)
+            wr.write_bits(cnt - 3, 3)
+        else:
+            wr.write_code(0b11, 2)
+            wr.write_bits(cnt - 11, 7)
+    # red/blue/alpha trees: single-symbol simple codes (0 bits/use)
+    for sym in (7, 9, 255):
+        wr.write_bits(1, 1)                  # simple
+        wr.write_bits(0, 1)                  # 1 symbol
+        wr.write_bits(1, 1)                  # 8-bit
+        wr.write_bits(sym, 8)
+    # distance tree: single symbol 0
+    wr.write_bits(1, 1)
+    wr.write_bits(0, 1)
+    wr.write_bits(0, 1)
+    wr.write_bits(0, 1)
+    # pixels: literal (green code 0 -> sym 5), then cache hit
+    # (green code 1 -> sym 280 = cache idx 0)
+    wr.write_code(0, 1)                      # literal green=5
+    wr.write_code(1, 1)                      # cache idx 0
+    data = bytes([0x2F]) + wr.getvalue()
+    out = decode_vp8l(data)
+    assert out.shape == (1, 2, 4)
+    px = [7, 5, 9, 255]                      # r, g, b, a
+    assert list(out[0, 0]) == px
+    assert list(out[0, 1]) == px             # via cache
+
+
+def test_2d_distance_copy_decode_path():
+    """A backward reference with plane code 1 ((0,1): the pixel
+    directly ABOVE) must copy from the previous row."""
+    wr = _mini_stream(None, 2, 2, cache_bits=0)
+    # green tree: {0 (literal), 1 (literal), 257 (length sym 1 ->
+    # length 2)}: lengths 0:1, 1:2, 257:2 via full CL form
+    wr.write_bits(0, 1)
+    wr.write_bits(8 - 4, 4)
+    # CL lengths for syms [17, 18, 0, 1, 2]: 18:2, 1:1, 2:2
+    for ln in (0, 2, 0, 1, 2, 0, 0, 0):
+        wr.write_bits(ln, 3)
+    wr.write_bits(0, 1)
+    # canonical CL: 1->0(len1); 2->10, 18->11 (len2)
+    wr.write_code(0b0, 1)                    # sym0: length 1
+    wr.write_code(0b10, 2)                   # sym1: length 2
+    wr.write_code(0b11, 2)                   # 18: zero run (max 138)
+    wr.write_bits(138 - 11, 7)               # -> i = 140
+    wr.write_code(0b11, 2)                   # 18: 117 more zeros
+    wr.write_bits(117 - 11, 7)               # -> i = 257
+    wr.write_code(0b10, 2)                   # sym 257: length 2
+    wr.write_code(0b11, 2)                   # 18: pad tail, 22 zeros
+    wr.write_bits(22 - 11, 7)                # -> i = 280
+    # green canonical: 0->0 (len1); 1->10, 257->11 (len2)
+    for sym in (20, 30, 255):                # red, blue, alpha singles
+        wr.write_bits(1, 1)
+        wr.write_bits(0, 1)
+        wr.write_bits(1, 1)
+        wr.write_bits(sym, 8)
+    # distance tree: single symbol 0 -> lz77 value 1 -> plane code 1
+    wr.write_bits(1, 1)
+    wr.write_bits(0, 1)
+    wr.write_bits(0, 1)
+    wr.write_bits(0, 1)
+    # pixels: two literals (row 0), then one length-2 copy with
+    # distance plane code 1 = (0,1) = width -> copies row 0
+    wr.write_code(0b0, 1)                    # literal green=0
+    wr.write_code(0b10, 2)                   # literal green=1
+    wr.write_code(0b11, 2)                   # length sym 257: length 2
+    # distance single-symbol: 0 bits
+    data = bytes([0x2F]) + wr.getvalue()
+    out = decode_vp8l(data)
+    assert out.shape == (2, 2, 4)
+    assert np.array_equal(out[1], out[0])    # copied row
+    assert list(out[0, 0]) == [20, 0, 30, 255]
+    assert list(out[0, 1]) == [20, 1, 30, 255]
+
+
+def test_corruption_contract():
+    img = RNG.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    p = encode_webp_lossless(img)
+    with pytest.raises(ValueError):
+        decode_webp(p[:len(p) // 2])         # truncated
+    with pytest.raises(ValueError):
+        decode_vp8l(b"\x30" + p[13:])        # bad signature
+    with pytest.raises(ValueError):
+        decode_webp(b"RIFF\x00\x00\x00\x00WEBPXXXX\x00\x00\x00\x00")
+    with pytest.raises(NotImplementedError, match="VP8"):
+        # lossy VP8 chunk
+        decode_webp(b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00"
+                    b"\x00\x00\x00\x00")
+
+
+def test_byte_pinned_golden():
+    img = (np.add.outer(np.arange(9) * 31, np.arange(14) * 17)
+           % 256).astype(np.uint8)
+    p = encode_webp_lossless(img, ("subtract_green", "predictor"))
+    assert hashlib.sha256(p).hexdigest() == \
+        "54f0e279cdfdba4bb492b008f55ce097833a2e0b475ff7db3d67527bd667a26b"
+    assert np.array_equal(decode_webp(p), _rgba(img))
+
+
+def test_decode_image_dispatches_webp():
+    from fast_causal_inference_spark.datapipe.multimodal import (
+        decode_image,
+    )
+
+    img = RNG.integers(0, 256, (11, 13, 3), dtype=np.uint8)
+    out = decode_image(encode_webp_lossless(img))
+    assert out.shape == (11, 13, 3)
+    assert np.array_equal(out, img)          # alpha 255 -> identity
+    # alpha composites over black
+    rgba = np.dstack([img, np.full((11, 13), 128, np.uint8)])
+    out2 = decode_image(encode_webp_lossless(rgba))
+    assert out2.shape == (11, 13, 3)
+    assert np.array_equal(
+        out2, ((img.astype(np.uint16) * 128 + 127) // 255
+               ).astype(np.uint8))
+
+
+def test_probe_still_reads_vp8l_header():
+    from fast_causal_inference_spark.datapipe.mediaprobe import (
+        probe_payload,
+    )
+
+    img = RNG.integers(0, 256, (21, 33, 3), dtype=np.uint8)
+    r = probe_payload(encode_webp_lossless(img))
+    assert (r["container"], r["codec"]) == ("webp", "vp8l")
+    assert (r["width"], r["height"]) == (33, 21)
