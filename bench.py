@@ -115,7 +115,38 @@ def _ensure_sf1(spark, sf_dir: str) -> str:
 _T_START = time.perf_counter()
 
 
+def _preflight_load() -> dict:
+    """Machine-state snapshot BEFORE Spark starts: 1/5/15-min loadavg
+    plus a 0.5 s /proc/stat busy-fraction sample taken while this
+    process is idle — a nonzero busy fraction here is OTHER processes
+    (the round-8 contamination pattern: post-pytest page-cache churn and
+    concurrent jobs inflating families with zero code change)."""
+    snap: dict = {}
+    try:
+        snap["loadavg"] = [round(v, 2) for v in os.getloadavg()]
+    except OSError:
+        pass
+    try:
+        def _stat():
+            with open("/proc/stat") as fh:
+                f = fh.readline().split()
+            vals = [int(x) for x in f[1:]]
+            idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+            return sum(vals), idle
+
+        t1, i1 = _stat()
+        time.sleep(0.5)
+        t2, i2 = _stat()
+        dt = t2 - t1
+        snap["busy_frac_while_idle"] = round(
+            1.0 - (i2 - i1) / dt, 4) if dt else None
+    except (OSError, IndexError, ValueError):
+        pass
+    return snap
+
+
 def main() -> None:
+    preflight = _preflight_load()
     import __spark_entry__ as entry
 
     from pyspark.sql import SparkSession
@@ -219,6 +250,7 @@ def main() -> None:
     print(f"warmup done t={time.perf_counter() - _T_START:.0f}s",
           file=sys.stderr)
     runs: dict[str, list[float]] = {name: [] for name in qs}
+    loads: dict[str, float] = {}
     errors: dict[str, str] = {}
     for ri in range(max(RUNS, 1)):
         for name, fn in qs.items():
@@ -229,6 +261,12 @@ def main() -> None:
                 df = fn(spark, SF_DIR)   # the whole suite record
                 n = df.count() if df.isStreaming is False else -1
                 runs[name].append(round(time.perf_counter() - t0, 4))
+                try:                     # per-family load annotation so
+                    loads[name] = max(   # contaminated records are
+                        loads.get(name, 0.0),   # self-identifying
+                        round(os.getloadavg()[0], 2))
+                except OSError:
+                    pass
                 _ = n
             except Exception as exc:
                 errors[name] = f"{type(exc).__name__}: {exc}"[:300]
@@ -257,6 +295,8 @@ def main() -> None:
         "runs": max(RUNS, 1),
         "queries_runs": runs,
         "sf": sf_val,
+        "preflight": preflight,
+        "loadavg_per_family": loads,
     }
     if errors:
         out["errors"] = errors
@@ -320,12 +360,30 @@ def main() -> None:
     # also persist next to the script: the driver captures a tail window of
     # stdout, which has truncated the (long) single JSON line before
     # (BENCH_r07.json carried "parsed": null) — the file is the durable record
+    here = os.path.dirname(os.path.abspath(__file__))
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "bench_out.json"), "w") as fh:
+        with open(os.path.join(here, "bench_out.json"), "w") as fh:
             fh.write(line + "\n")
     except OSError:
         pass                             # read-only checkout: stdout stands
+    # round-stamped durable copy: bench_out.json is clobbered by ANY
+    # later bench run (the judge's r8 re-run overwrote the only complete
+    # official sf0.1 record) — stamp one file per round, derived from
+    # the highest committed BENCH_r{N}.json, and never overwrite a
+    # pre-existing stamp from the same (current) round's official run
+    try:
+        import glob
+        import re as _re
+        rounds = [int(m.group(1)) for f in glob.glob(
+            os.path.join(here, "BENCH_r*.json"))
+            if (m := _re.search(r"BENCH_r0*(\d+)\.json$", f))]
+        stamp = os.path.join(
+            here, f"BENCH_LOCAL_r{max(rounds, default=0) + 1}.json")
+        mode = "a" if os.path.exists(stamp) else "w"
+        with open(stamp, mode) as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass
     spark.stop()
 
 
