@@ -42,6 +42,17 @@ Decode support is two-tier:
   pipeline can filter honestly.  On a real cluster, plug a codec
   library into the same ``mapInPandas`` bodies.
 
+**Native-codec injection seam (round 9):** every featurize stage
+(``image_stats`` / ``image_features`` / ``image_resize`` /
+``audio_stats`` / ``audio_features``) accepts ``decode_fn`` — a
+callable with the same signature as ``decode_image`` /
+``decode_audio`` that replaces the pure-Python decoders inside the
+``mapInPandas`` body.  The in-container implementations are the
+validated REFERENCE tier; at production scale inject
+libjpeg-turbo/libwebp/ffmpeg wrappers through this hook (~10-100x
+per-byte headroom) without forking the pipeline — schema,
+partitioning, batching and error contracts stay identical.
+
 For compressed formats the pipeline-relevant METADATA (duration,
 bitrate, sample rate, track layout, image dimensions) needs no decode
 at all: ``datapipe/mediaprobe.py`` parses MP3 framing (frame sync,
@@ -619,6 +630,7 @@ def _pool_embedding(img: np.ndarray, n_features: int) -> np.ndarray:
 
 
 def image_features(df: DataFrame, payload_col: str = "payload",
+                   decode_fn=None,
                    n_features: int = 64, batch_size_hint: int = 256,
                    strict: bool = True) -> DataFrame:
     """Decode + feature-extract an image column → ``features array<float>``.
@@ -634,6 +646,8 @@ def image_features(df: DataFrame, payload_col: str = "payload",
                                  T.StructField("decoded", T.BooleanType())])
     cols = [f.name for f in df.schema.fields]
 
+    _decode = decode_fn if decode_fn is not None else decode_image
+
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats, dec = [], []
@@ -641,7 +655,7 @@ def image_features(df: DataFrame, payload_col: str = "payload",
                 payload = bytes(p) if p is not None else b""
                 try:
                     feats.append(
-                        _pool_embedding(decode_image(payload),
+                        _pool_embedding(_decode(payload),
                                         n_features).tolist())
                     dec.append(True)
                 except DECODE_ERRORS as e:
@@ -667,7 +681,7 @@ def image_features(df: DataFrame, payload_col: str = "payload",
 
 
 def image_stats(df: DataFrame, payload_col: str = "payload",
-                strict: bool = True) -> DataFrame:
+                strict: bool = True, decode_fn=None) -> DataFrame:
     """Real decode statistics per image: ``width``, ``height``,
     ``mean_pixel`` (BMP/PPM in pure numpy; codec formats raise)."""
     ensure_udf_serializable()
@@ -677,13 +691,15 @@ def image_stats(df: DataFrame, payload_col: str = "payload",
                                  T.StructField("mean_pixel", T.DoubleType())])
     cols = [f.name for f in df.schema.fields]
 
+    _decode = decode_fn if decode_fn is not None else decode_image
+
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ws, hs, ms = [], [], []
             for p in pdf[payload_col]:
                 payload = bytes(p) if p is not None else b""
                 try:
-                    img = decode_image(payload)
+                    img = _decode(payload)
                     hs.append(int(img.shape[0]))
                     ws.append(int(img.shape[1]))
                     ms.append(float(img.astype(np.float64).mean()))
@@ -701,6 +717,7 @@ def image_stats(df: DataFrame, payload_col: str = "payload",
 
 
 def image_resize(df: DataFrame, payload_col: str = "payload",
+                 decode_fn=None,
                  width: int = 224, height: int = 224,
                  strict: bool = True) -> DataFrame:
     """Resize an image column — REAL nearest-neighbor resample for BMP/PPM
@@ -711,13 +728,15 @@ def image_resize(df: DataFrame, payload_col: str = "payload",
                               + [T.StructField("resized", T.BinaryType())])
     cols = [f.name for f in df.schema.fields]
 
+    _decode = decode_fn if decode_fn is not None else decode_image
+
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for p in pdf[payload_col]:
                 payload = bytes(p) if p is not None else b""
                 try:
-                    img = decode_image(payload)
+                    img = _decode(payload)
                     h, w = img.shape[:2]
                     yi = (np.arange(height) * h // height).clip(0, h - 1)
                     xi = (np.arange(width) * w // width).clip(0, w - 1)
@@ -863,6 +882,7 @@ def synthesize_audio_column(df: DataFrame, from_col: str,
 
 
 def audio_stats(df: DataFrame, payload_col: str = "payload",
+                decode_fn=None,
                 strict: bool = True) -> DataFrame:
     """Real decode statistics per audio payload: ``n_samples``,
     ``sample_rate``, ``rms`` (PCM WAV via the stdlib wave module, FLAC
@@ -874,13 +894,15 @@ def audio_stats(df: DataFrame, payload_col: str = "payload",
                                  T.StructField("rms", T.DoubleType())])
     cols = [f.name for f in df.schema.fields]
 
+    _decode = decode_fn if decode_fn is not None else decode_audio
+
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ns, rates, rms = [], [], []
             for p in pdf[payload_col]:
                 payload = bytes(p) if p is not None else b""
                 try:
-                    x, rate = decode_audio(payload)
+                    x, rate = _decode(payload)
                     ns.append(len(x))
                     rates.append(rate)
                     rms.append(float(np.sqrt(np.mean(
@@ -943,6 +965,7 @@ def _mfcc(x: np.ndarray, rate: int, n_mfcc: int, n_fft: int = 512,
 
 
 def audio_features(df: DataFrame, payload_col: str = "payload",
+                   decode_fn=None,
                    n_mfcc: int = 13, strict: bool = True) -> DataFrame:
     """Decode + MFCC feature-extract an audio column
     → ``audio_features array<float>``.  PCM WAV and FLAC payloads run a
@@ -956,13 +979,15 @@ def audio_features(df: DataFrame, payload_col: str = "payload",
                                  T.StructField("decoded", T.BooleanType())])
     cols = [f.name for f in df.schema.fields]
 
+    _decode = decode_fn if decode_fn is not None else decode_audio
+
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats, dec = [], []
             for p in pdf[payload_col]:
                 payload = bytes(p) if p is not None else b""
                 try:
-                    x, rate = decode_audio(payload)
+                    x, rate = _decode(payload)
                     feats.append(_mfcc(x, rate, n_mfcc).tolist())
                     dec.append(True)
                 except DECODE_ERRORS as e:

@@ -870,3 +870,49 @@ def test_connected_components_schema_path_independent(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
     empty = connected_components(pairs.where("id_a > 100"))
     assert isinstance(empty.schema["id"].dataType, IntegerType)
+
+
+def test_decode_fn_injection_seam(spark):
+    """Round 9: featurize stages accept a custom decode_fn that
+    replaces the pure-Python codecs inside the mapInPandas body — the
+    production seam for native codec libraries."""
+    import numpy as np
+    import pandas as pd
+
+    from fast_causal_inference_spark.datapipe.multimodal import (
+        audio_stats,
+        image_stats,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2],
+                      "payload": [b"not-an-image", b"x"]}))
+
+    def fake_image_decode(payload):
+        # a stand-in for e.g. a libjpeg-turbo wrapper
+        return np.full((4, 6, 3), len(payload), dtype=np.uint8)
+
+    rows = {r["doc_id"]: r for r in
+            image_stats(df, decode_fn=fake_image_decode).collect()}
+    assert rows[1]["width"] == 6 and rows[1]["height"] == 4
+    assert rows[1]["mean_pixel"] == 12.0     # len(b"not-an-image")
+    assert rows[2]["mean_pixel"] == 1.0
+
+    def fake_audio_decode(payload):
+        return np.full(100, len(payload), dtype=np.int16), 8000
+
+    arows = {r["doc_id"]: r for r in
+             audio_stats(df, decode_fn=fake_audio_decode).collect()}
+    assert arows[1]["n_samples"] == 100
+    assert arows[1]["sample_rate"] == 8000
+    assert arows[1]["rms"] == 12.0
+
+    # default path still decodes real payloads (seam is opt-in)
+    from fast_causal_inference_spark.datapipe.multimodal import (
+        encode_bmp,
+    )
+    img = np.full((3, 5, 3), 9, dtype=np.uint8)
+    df2 = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "payload": [encode_bmp(img)]}))
+    r = image_stats(df2).collect()[0]
+    assert (r["width"], r["height"], r["mean_pixel"]) == (5, 3, 9.0)
