@@ -208,6 +208,33 @@ def boot_strap_multi(df: DataFrame, exprs: list[str], n_resamples: int = 100,
                           for i, nd in enumerate(nodes)])
 
 
+def boot_strap_quantile(df: DataFrame, col_expr: str, p: float,
+                        n_resamples: int = 100,
+                        resample_frac: float = 1.0,
+                        seed: int = 42) -> DataFrame:
+    """B Poisson-bootstrap replicas of a quantile (the gateway's
+    ``bootStrap('quantile(0.5)(x1)', ...)`` form — SqlForwardTest.java
+    testBootStrap).  Quantiles are not sufficient-statistic metrics, so
+    the replicas use Spark's ``percentile(col, p, frequency)`` with the
+    Poisson draw as the integral frequency weight — one explode to B
+    replica rows per input row, one groupBy; cost is B scans' worth of
+    shuffle, which is the honest price of bootstrap order statistics
+    (the reference UDAF pays the same B-fold pass internally)."""
+    rep = F.explode(F.sequence(F.lit(0), F.lit(n_resamples - 1))) \
+        .alias("replica_id")
+    exploded = (df.select(F.expr(col_expr).cast("double").alias("__x"),
+                          rep)
+                .withColumn("__u", F.rand(seed))
+                .withColumn("__w", poisson_weight_column(
+                    resample_frac, F.col("__u")).cast("long"))
+                .drop("__u")
+                .where(F.col("__w") > 0))
+    return (exploded.groupBy("replica_id")
+            .agg(F.expr(f"percentile(__x, {float(p)}, __w)")
+                 .alias("value"))
+            .orderBy("replica_id"))
+
+
 def boot_strap_ols(df: DataFrame, formula: str, n_resamples: int = 100,
                    resample_frac: float = 1.0, seed: int = 42,
                    use_bias: bool = True, alpha: float = 0.05,

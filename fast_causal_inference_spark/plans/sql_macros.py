@@ -90,6 +90,46 @@ def _lit(arg: str):
     return a
 
 
+def _gateway_inner(s: str, rewrite_ttest: bool = True) -> str:
+    """Normalize a ClickHouse-gateway inner-expression string to the
+    Spark macro surface (SqlForwardTest.java parity):
+
+    * ``@str@`` -> ``'str'`` — the reference Python client transmits
+      embedded single quotes as ``@`` (statistics.py:948,
+      ``func.replace("'", "@")``) and the Calcite gateway restores
+      them; we invert the same way.
+    * ClickHouse parameterized aggregates ``fn(p1, ...)(args)`` ->
+      ``fn(args, p1, ...)`` (e.g. ``quantile(0.5)(x1)`` ->
+      ``quantile(x1, 0.5)``, the Spark-side calling convention).
+    * ``ttest_2samp(avg(m), t_expr[, 'alt'])`` inside bootStrap ->
+      the between-arm mean-difference formula
+      ``avg(CASE WHEN ... ) - avg(CASE WHEN ...)`` — the Spark-first
+      rendition of bootstrapping the two-sample statistic (replica
+      values are arm differences; the alternative only affects the
+      downstream p-value direction).
+    """
+    s = s.replace("@", "'")
+    m = re.match(r"(?s)^\s*(\w+)\(([^()]*)\)\((.*)\)\s*$", s)
+    if m and m.group(2).strip():
+        s = f"{m.group(1)}({m.group(3)}, {m.group(2)})"
+    mt = (re.match(r"(?is)^\s*ttest_2samp\s*\(\s*avg\s*\((.+?)\)\s*,"
+                   r"\s*(.+?)\s*,\s*'(\w[\w-]*)'\s*\)\s*$", s)
+          or re.match(r"(?is)^\s*ttest_2samp\s*\(\s*avg\s*\((.+?)\)"
+                      r"\s*,\s*(.+?)\s*\)\s*$", s))
+    # the gateway's synthesized-label sentinel is exactly-uppercase
+    # TREATMENT (SqlForwardTest testPermutation); a real column that
+    # happens to be named "treatment" stays a column reference
+    if rewrite_ttest and mt and mt.group(2).strip() != "TREATMENT":
+        x, t = mt.group(1), mt.group(2)
+        # ratio-of-avgs arm means (avg(x·t)/avg(t)): the suff-stat
+        # engine drops rows where ANY base is NULL, so CASE-WHEN arm
+        # splits would null out every row
+        ti = f"(CASE WHEN ({t}) = 1 THEN 1.0 ELSE 0.0 END)"
+        return (f"avg(({x}) * {ti}) / avg({ti}) - "
+                f"avg(({x}) * (1 - {ti})) / avg(1 - {ti})")
+    return s
+
+
 def _kwargs(args: list[str]) -> tuple[list, dict]:
     pos, kw = [], {}
     for a in args:
@@ -516,6 +556,12 @@ def _dispatch(fn: str, df: DataFrame, pos: list, kw: dict,
         # and wls(y, x1, w) silently regressed on the weight column
         weight = kw.get("weight")
         args = list(pos)
+        # a trailing boolean is use_bias in BOTH gateway dialects
+        # (SqlForwardTest testWls / testWlsStarRocks:
+        # wls(y ~ x..., weight[, false])) — peel it before the weight
+        use_bias = bool(kw.get("use_bias", True))
+        if args and isinstance(args[-1], bool):
+            use_bias = args.pop()
         if fn == "wls" and weight is None:
             if len(args) < 2:
                 raise ValueError(
@@ -527,8 +573,9 @@ def _dispatch(fn: str, df: DataFrame, pos: list, kw: dict,
         else:
             formula = f"{args[0]} ~ {' + '.join(str(p) for p in args[1:])}"
         if fn == "wls":
-            return ols.wls(df, formula, weight=str(weight))
-        return ols.ols(df, formula, use_bias=bool(kw.get("use_bias", True)))
+            return ols.wls(df, formula, weight=str(weight),
+                           use_bias=use_bias)
+        return ols.ols(df, formula, use_bias=use_bias)
     if fn == "did":
         return ols.did(df, str(pos[0]), str(pos[1]), str(pos[2]),
                        *(str(p) for p in pos[3:]))
@@ -558,16 +605,67 @@ def _dispatch(fn: str, df: DataFrame, pos: list, kw: dict,
         return matching.exact_matching(df, str(pos[0]),
                                        [str(p) for p in pos[1:]])
     if fn in ("boot_strap", "bootstrap"):
-        return resample.boot_strap(df, str(pos[0]),
-                                   n_resamples=int(pos[1]) if len(pos) > 1
-                                   else 100,
+        expr = _gateway_inner(str(pos[0]))
+        B = int(pos[1]) if len(pos) > 1 else 100
+        mq = re.match(r"(?is)^\s*(?:quantile|percentile)\s*\("
+                      r"\s*(.+?)\s*,\s*([\d.]+)\s*\)\s*$", expr)
+        if mq:
+            # gateway parameterized form bootStrap('quantile(0.5)(x)')
+            return resample.boot_strap_quantile(
+                df, mq.group(1), float(mq.group(2)), n_resamples=B,
+                **{k: v for k, v in kw.items()})
+        return resample.boot_strap(df, expr, n_resamples=B,
                                    **{k: v for k, v in kw.items()})
     if fn == "permutation":
         import pandas as _pd
 
-        out = resample.permutation(df, str(pos[0]), str(pos[1]),
-                                   permutation_num=int(pos[2])
-                                   if len(pos) > 2 else 100)
+        inner = _gateway_inner(str(pos[0]), rewrite_ttest=False)
+        m = (re.match(r"(?is)^\s*ttest_2samp\s*\(\s*(.+?)\s*,\s*(.+?)"
+                      r"\s*,\s*'(\w[\w-]*)'\s*\)\s*$", inner)
+             or re.match(r"(?is)^\s*ttest_2samp\s*\(\s*(.+?)\s*,"
+                         r"\s*(.+?)\s*\)\s*$", inner))
+        mx = re.match(r"(?is)^\s*xexpt_ttest_2samp\s*\(\s*(.+)\)\s*$",
+                      inner)
+        if m or mx:
+            # SQL-gateway form (SqlForwardTest testPermutation): the
+            # arm labels are synthesized per replica by the operator —
+            # the TREATMENT keyword marks the label slot, and trailing
+            # numerics are (permutation_num[, mde, mde_type]) with
+            # mde_type 0 = additive x + mde·t, 1 = multiplicative
+            # x·(1 + mde·t) (AggregateFunctionPermutation.h:270-276).
+            if m:
+                metric, t_expr = m.group(1), m.group(2)
+            else:
+                parts = _split_args(mx.group(1))
+                metric = f"avg({parts[0]})/avg({parts[1]})"
+                t_expr = parts[3] if len(parts) > 3 else "TREATMENT"
+            pnum = int(pos[1]) if len(pos) > 1 else 100
+            mde = float(pos[2]) if len(pos) > 2 else 0.0
+            mde_type = int(pos[3]) if len(pos) > 3 else 1
+            from pyspark.sql import functions as F
+
+            work = df
+            if t_expr.strip() == "TREATMENT":
+                # random labels, as the reference UDAF draws them
+                work = df.withColumn(
+                    "__perm_t", (F.rand(42) < 0.5).cast("int"))
+                t_expr = "__perm_t"
+            if mde:
+                # reference parity (AggregateFunctionPermutation.h:
+                # 270-276): the mde shifts the DATA using the fixed
+                # labels — additive x + mde·t (type 0) or
+                # multiplicative x·(1 + mde·t) (type 1) — and the
+                # permutation test then runs on the shifted data, so
+                # the observed difference grows while the permuted
+                # null distribution does not
+                metric = _shift_first_avg(metric, t_expr, mde,
+                                          mde_type)
+            out = resample.permutation(work, metric, t_expr,
+                                       permutation_num=pnum)
+        else:
+            out = resample.permutation(df, inner, str(pos[1]),
+                                       permutation_num=int(pos[2])
+                                       if len(pos) > 2 else 100)
         return df.sparkSession.createDataFrame(_pd.DataFrame(out))
     if fn in ("bootstrapmulti", "boot_strap_multi"):
         exprs = [str(p) for p in pos if "(" in str(p)]
@@ -593,9 +691,11 @@ def _dispatch(fn: str, df: DataFrame, pos: list, kw: dict,
         from fast_causal_inference_spark.operators import longterm
 
         surro = [s.strip() for s in str(pos[0]).split("+")]
+        kw2 = {k.lower(): v for k, v in kw.items()}
+        if "n_steps" in kw2:                 # gateway parameter name
+            kw2["horizons"] = int(kw2.pop("n_steps"))
         pdf = longterm.long_term_effect(
-            df, surro, str(pos[1]), str(pos[2]),
-            **{k.lower(): v for k, v in kw.items()})
+            df, surro, str(pos[1]), str(pos[2]), **kw2)
         return df.sparkSession.createDataFrame(pdf)
     if fn == "olsstate":
         # olsState('y ~ x1 + x2') -> one-row relation with the serialized
@@ -636,3 +736,30 @@ def _dispatch(fn: str, df: DataFrame, pos: list, kw: dict,
                               group_cols=group_cols)
         return df.sparkSession.createDataFrame(out)
     raise ValueError(f"unknown macro {fn!r}")
+
+
+def _shift_first_avg(metric: str, t_col: str, mde: float,
+                     mde_type: int) -> str:
+    """Inject the reference's mde shift into the FIRST ``avg(...)`` of a
+    metric formula: its argument x becomes ``x + mde*t`` (mde_type 0)
+    or ``x*(1 + mde*t)`` (mde_type 1) — the reference UDAF shifts only
+    the first data column (AggregateFunctionPermutation.h:272,276)."""
+    m = re.search(r"(?is)avg\s*\(", metric)
+    if not m:
+        return metric
+    start = m.end()
+    depth = 1
+    i = start
+    while i < len(metric) and depth:
+        if metric[i] == "(":
+            depth += 1
+        elif metric[i] == ")":
+            depth -= 1
+        i += 1
+    inner = metric[start:i - 1]
+    t = f"(CASE WHEN ({t_col}) = 1 THEN 1.0 ELSE 0.0 END)"
+    if mde_type == 0:
+        shifted = f"(({inner}) + {mde} * {t})"
+    else:
+        shifted = f"(({inner}) * (1 + {mde} * {t}))"
+    return metric[:m.start()] + f"avg({shifted})" + metric[i:]

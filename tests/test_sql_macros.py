@@ -297,3 +297,183 @@ def test_composite_report_macro_rejected(spark):
     with pytest.raises(ValueError, match="scalar-aggregate"):
         sql(spark, "SELECT count(*) AS n, ttest_2samp('avg(y)', treatment)"
                    " FROM ab")
+
+
+# -- round 9: remaining SqlForwardTest.java distinctive corners -------------
+
+
+def test_bootstrap_quantile_parameterized_form(spark):
+    """ClickHouse parameterized aggregate inside bootStrap
+    (SqlForwardTest.java testBootStrap:427-431:
+    bootStrap('quantile(0.5)(x1)', 123, 4)) — the fn(p)(args) form
+    normalizes to fn(args, p) and routes to the replica percentile
+    path."""
+    out = sql(spark, "SELECT bootStrap('quantile(0.5)(x1)', 25, 4) "
+                     "FROM ab")
+    pdf = out.toPandas()
+    assert len(pdf) == 25
+    assert set(pdf.columns) >= {"replica_id", "value"}
+    assert pdf["value"].notna().all()
+
+
+def test_bootstrap_at_quote_escaping(spark):
+    """The reference client transmits inner single quotes as '@'
+    (statistics.py:948 func.replace("'", "@"); SqlForwardTest.java
+    testBootStrap:433-437 asserts @less@ -> "less") — the macro layer
+    inverts the same mapping."""
+    out = sql(spark, "SELECT bootStrap("
+                     "'ttest_2samp(avg(x1), treatment, @less@)', 12) "
+                     "FROM ab")
+    pdf = out.toPandas()
+    assert len(pdf) == 12                   # one arm-difference/replica
+    assert pdf["value"].notna().any()
+
+
+def test_bootstrap_plain_avg_gateway_form(spark):
+    """SqlForwardTest.java testBootStrap:439-443:
+    bootStrap('avg(number)', 10, 20)."""
+    out = sql(spark, "SELECT bootStrap('avg(x1)', 10, 20) FROM ab")
+    assert out.count() == 10
+
+
+def test_bootstrap_subquery_from(spark):
+    """SqlForwardTest.java testBootStrap:444-452: the FROM side is a
+    subquery; the rewrite must wrap it for both the row-number param
+    and the main scan."""
+    out = sql(spark, "SELECT bootStrap('avg(x1)', 8, 20) FROM "
+                     "(SELECT x1 FROM ab WHERE x1 < 10)")
+    assert out.count() == 8
+
+
+def test_permutation_gateway_full_params(spark):
+    """SqlForwardTest.java testPermutation:455-459:
+    permutation('ttest_2samp(avg(number), TREATMENT, @less@)', 3, 10,
+    20 -> (count, mde, mde_type)); TREATMENT labels are synthesized
+    per replica as the reference UDAF does
+    (AggregateFunctionPermutation.h:234)."""
+    out = sql(spark, "SELECT permutation("
+                     "'ttest_2samp(avg(x1), TREATMENT, @less@)', "
+                     "3, 10, 0) FROM ab")
+    pdf = out.toPandas()
+    assert len(pdf) == 1
+    assert pdf["n_permutations"].iloc[0] == 3
+
+
+def test_permutation_gateway_defaults(spark):
+    """SqlForwardTest.java testPermutation:460-464: missing trailing
+    params default to mde=0, mde_type=1."""
+    out = sql(spark, "SELECT permutation("
+                     "'ttest_2samp(avg(x1), TREATMENT, @less@)', 5) "
+                     "FROM ab")
+    assert out.toPandas()["n_permutations"].iloc[0] == 5
+
+
+def test_permutation_multiplicative_mde(spark):
+    """mde_type=1 is MULTIPLICATIVE x*(1+mde*t)
+    (AggregateFunctionPermutation.h:270-276): for an avg metric the
+    effective shift equals mde x metric level, so a huge relative mde
+    must force p ~ 0 while mde=0 stays well above."""
+    p_shift = sql(spark, "SELECT permutation("
+                         "'ttest_2samp(avg(abs(x1)+1), TREATMENT)', "
+                         "40, 50.0, 1) FROM ab").toPandas()
+    p_null = sql(spark, "SELECT permutation("
+                        "'ttest_2samp(avg(abs(x1)+1), TREATMENT)', "
+                        "40, 0, 1) FROM ab").toPandas()
+    # shifted data -> the observed difference grows by ~mde x level
+    # while the permuted null stays put, so p collapses toward 0
+    assert p_shift["p_value"].iloc[0] <= p_null["p_value"].iloc[0]
+    assert p_shift["p_value"].iloc[0] < 0.1
+    assert p_shift["observed_diff"].iloc[0] > \
+        p_null["observed_diff"].iloc[0] + 10
+
+
+def test_permutation_xexpt_inner_form(spark):
+    """SqlForwardTest.java testPermutation:465-468:
+    permutation('xexpt_ttest_2samp(number, number, rand(),
+    TREATMENT)', 2) — the xexpt inner maps to the ratio-metric
+    permutation."""
+    out = sql(spark, "SELECT permutation("
+                     "'xexpt_ttest_2samp(numerator, denominator, "
+                     "rand(), TREATMENT)', 2) FROM ab")
+    assert out.toPandas()["n_permutations"].iloc[0] == 2
+
+
+def test_recursive_forcasting_macro_gateway(spark):
+    """recursiveForcasting (SqlForwardTest testLongTerm surface, the
+    gateway's surrogate-index long-term form) routes to the LongTerm
+    operator."""
+    out = sql(spark, "SELECT recursiveForcasting('x1+x2', 'y', "
+                     "'treatment', n_steps=2) FROM ab")
+    pdf = out.toPandas()
+    assert len(pdf) >= 1
+
+
+def test_wls_clickhouse_and_starrocks_inputs_agree(spark):
+    """Per-engine dialect parity (testWls:413-424 vs
+    testWlsStarRocks:470-481): both engines' INPUT form is the same
+    R-formula surface; on Spark there is exactly one execution path,
+    so both dialect examples must return identical coefficients."""
+    import numpy as np
+    a = sql(spark, "SELECT wls(y ~ x1 + x2, weight) FROM ab")
+    b = sql(spark, "SELECT wls(y ~ x1 + x2, weight, true) FROM ab")
+    np.testing.assert_allclose(a.beta, b.beta, rtol=1e-12)
+    np.testing.assert_allclose(a.stderr, b.stderr, rtol=1e-12)
+
+
+def test_ttest_1samp_gateway_forms(spark):
+    """testTtest_1samp:483-499: the three argument arities —
+    (expr, alt, mu, cuped), (expr, alt), (expr)."""
+    full = sql(spark, "SELECT ttest_1samp(avg(y), 'less', 0, "
+                      "avg(x1)+avg(x2)) FROM ab").toPandas()
+    two = sql(spark, "SELECT ttest_1samp(avg(y), 'greater') "
+                     "FROM ab").toPandas()
+    one = sql(spark, "SELECT ttest_1samp(avg(y)) FROM ab").toPandas()
+    for pdf in (full, two, one):
+        assert "p_value" in pdf.columns and len(pdf) == 1
+    # default alternative is two-sided (testTtest_1samp:494-498)
+    assert abs(one["p_value"].iloc[0]
+               - min(1.0, 2 * min(two["p_value"].iloc[0],
+                                  1 - two["p_value"].iloc[0]))) < 0.05
+
+
+def test_cutbins_gateway_form(spark):
+    """testCutBins:1265-1287: cut_bins over an expression list."""
+    out = sql(spark, "SELECT cutBins(x1, '[-10, 0, 10]') FROM ab")
+    pdf = out.toPandas()
+    assert len(pdf) > 0
+
+
+def test_caliper_matching_gateway_form(spark):
+    """testCaliperMatching:1309: caliperMatching(treatment, score,
+    caliper) routes to the matching operator."""
+    out = sql(spark, "SELECT caliperMatching(treatment, x1, 0.5) "
+                     "FROM ab")
+    assert out.count() > 0
+
+
+def test_exact_matching_gateway_form(spark):
+    """testExactMatching:1532: exactMatching(treatment, key...)."""
+    out = sql(spark, "SELECT exactMatching(treatment, x3) FROM ab")
+    assert out.count() > 0
+
+
+def test_deltamethod_both_dialect_examples_agree(spark):
+    """testDeltamethod:40-66 vs testDeltamethodStarRocks:68-95: both
+    engines accept the same deltamethod('avg(x)/avg(y)') input; one
+    Spark path serves both."""
+    a = sql(spark, "SELECT deltamethod('avg(numerator)/"
+                   "avg(denominator)') FROM ab").toPandas()
+    b = sql(spark, "SELECT deltamethod('avg(numerator)/"
+                   "avg(denominator)', true) FROM ab").toPandas()
+    assert len(a) == 1 and len(b) == 1
+
+
+def test_bootstrap_quantile_value_sane(spark, ab_pdf):
+    """The quantile-bootstrap replicas must center on the true median
+    (value check, not just shape)."""
+    import numpy as np
+
+    out = sql(spark, "SELECT bootStrap('quantile(0.5)(x1)', 60, 4) "
+                     "FROM ab").toPandas()
+    med = float(np.median(ab_pdf["x1"]))
+    assert abs(out["value"].mean() - med) < 0.5
