@@ -3721,10 +3721,15 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # ramps exactly (pred = 2·s1 − s2).  Full WAV
                 # round trip: encode_wav_* -> decode_audio ->
                 # decode_wav -> datapipe/adpcm.py block decoders.
+                # block_align=32 (spec-legal): the per-sample state
+                # loop runs samples_per_block iterations over ALL
+                # blocks in parallel, so a small block cuts the padded
+                # loop ~16x while the block axis stays vectorized
                 n_i = int(hx[50:53], 16) % 1500 + 100
                 amp_i = int(hx[53:56], 16) % 20000
                 xi, _ = decode_audio(encode_wav_ima(
-                    _np.full(n_i, amp_i, dtype=_np.int16), 16000))
+                    _np.full(n_i, amp_i, dtype=_np.int16), 16000,
+                    block_align=32))
                 rows.append((doc_id, "audio_adpcm_ima", "n_samples",
                              float(len(xi))))
                 rows.append((doc_id, "audio_adpcm_ima", "rms",
@@ -3735,7 +3740,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 d_m = int(hx[63], 16) % 7 - 3
                 xm, _ = decode_audio(encode_wav_ms(
                     (a_m + d_m * _np.arange(n_m)).astype(_np.int16),
-                    16000))
+                    16000, block_align=32))
                 rows.append((doc_id, "audio_adpcm_ms", "n_samples",
                              float(len(xm))))
                 rows.append((doc_id, "audio_adpcm_ms", "sum_sq",

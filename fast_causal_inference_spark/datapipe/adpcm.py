@@ -284,6 +284,12 @@ def encode_ms_blocks(x: np.ndarray, block_align: int
             best_err = np.where(better, err, best_err)
             chosen = np.where(better, pidx, chosen)
             all_c[pidx] = cand
+        if best_err.max() == 0:
+            # every block already encodes its real samples exactly —
+            # later predictors cannot beat 0 (strict < keeps the
+            # earlier winner on ties), so the search is over.  The
+            # common constant/ramp cases stop after 1-2 of 7 passes.
+            break
     # assemble per-block using each block's winning predictor
     nib_sel = np.empty((nblocks, spb - 2, ch), dtype=np.int64)
     recon_sel = np.empty((nblocks, spb, ch), dtype=np.int64)
