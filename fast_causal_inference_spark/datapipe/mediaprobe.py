@@ -219,25 +219,52 @@ def _probe_mp4(b: bytes) -> dict | None:
     return out
 
 
+_WAV_CODECS = {1: "pcm", 3: "pcm_float", 6: "g711_alaw", 7: "g711_mulaw",
+               0x02: "ms_adpcm", 0x11: "ima_adpcm", 0x55: "mp3"}
+
+
 def _probe_wav(b: bytes) -> dict | None:
     if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         return None
     out = {"container": "wav", "codec": "pcm"}
     pos = 12
-    fmt = data_len = None
+    fmt = data_len = fact = None
+    fmt_body = b""
     while pos + 8 <= len(b):
         cid = b[pos:pos + 4]
         sz = struct.unpack("<I", b[pos + 4:pos + 8])[0]
         if cid == b"fmt " and sz >= 16:
             fmt = struct.unpack("<HHIIHH", b[pos + 8:pos + 24])
+            fmt_body = b[pos + 8:pos + 8 + sz]
         elif cid == b"data":
             data_len = sz
+        elif cid == b"fact" and sz >= 4:
+            fact = struct.unpack("<I", b[pos + 8:pos + 12])[0]
         pos += 8 + sz + (sz & 1)
     if fmt is None:
         return out
-    _, channels, rate, _, block, bits = fmt
+    code, channels, rate, _, block, bits = fmt
+    if code == 0xFFFE and len(fmt_body) >= 26:   # EXTENSIBLE wrapper
+        code = struct.unpack("<H", fmt_body[24:26])[0]
+    out["codec"] = _WAV_CODECS.get(code, f"wav_0x{code:02x}")
     out.update({"channels": channels, "sample_rate": rate,
                 "bit_rate": rate * channels * bits})
+    if code in (0x02, 0x11):
+        # ADPCM frames per block come from the fmt extension (or the
+        # layout-derived count); the fact chunk is the exact total
+        spb = struct.unpack("<H", fmt_body[18:20])[0] \
+            if len(fmt_body) >= 20 else 0
+        if not spb and block and channels:
+            spb = ((block - (4 if code == 0x11 else 7) * channels) * 2
+                   // channels + (1 if code == 0x11 else 2))
+        n = fact
+        if n is None and data_len and block and spb:
+            n = (data_len // block) * spb
+        if n is not None and rate:
+            out["n_frames"] = n
+            out["duration_sec"] = n / rate
+        out["bit_rate"] = int(rate * block * 8 / spb) if spb else None
+        return out
     if data_len is not None and block:
         out["duration_sec"] = (data_len // block) / rate
         out["n_frames"] = data_len // block

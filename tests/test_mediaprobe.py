@@ -276,3 +276,28 @@ def test_probe_ogg_truncated_last_page_uses_prior_granule():
     r = probe_payload(cut)
     assert r["codec"] == "opus"
     assert r["duration_sec"] == 1.0            # granule 48_000 page
+
+
+def test_probe_wav_adpcm_and_g711_codecs():
+    """The WAV probe names the codec from the format code (including
+    through the EXTENSIBLE wrapper) and derives ADPCM duration from
+    samples-per-block / the fact chunk, not the PCM block math."""
+    import numpy as np
+
+    from fast_causal_inference_spark.datapipe.adpcm import (
+        encode_wav_ima,
+        encode_wav_ms,
+    )
+    from fast_causal_inference_spark.datapipe.mediaprobe import (
+        probe_payload,
+    )
+
+    x = (200 * np.sin(np.arange(3200) / 9)).astype(np.int16)
+    r = probe_payload(encode_wav_ima(x, 16_000))
+    assert r["codec"] == "ima_adpcm"
+    assert r["n_frames"] == 3200
+    assert abs(r["duration_sec"] - 0.2) < 1e-9
+    r2 = probe_payload(encode_wav_ms(x, 8_000))
+    assert r2["codec"] == "ms_adpcm"
+    assert r2["n_frames"] == 3200
+    assert abs(r2["duration_sec"] - 0.4) < 1e-9
