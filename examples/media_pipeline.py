@@ -4,7 +4,11 @@ The 100 TB pattern: a cheap header PROBE over every object first
 (container/codec/duration/dims — no decode), then route payloads so the
 expensive decode stage runs only on the formats it can handle, then
 real in-container decode stats and features for the self-contained
-formats (BMP/PPM/PNG/GIF/JPEG images; WAV/FLAC/Ogg-FLAC audio).
+formats (BMP/PPM/PNG/GIF/JPEG/VP8L-WebP images; WAV incl. IMA/MS
+ADPCM and G.711, FLAC, Ogg-FLAC audio).  Round 9 also adds the
+``decode_fn`` injection seam demoed in step 5 — the hook where a
+production cluster plugs libjpeg-turbo/libwebp/ffmpeg into the same
+pipeline.
 
 Run: python examples/media_pipeline.py
 """
@@ -28,8 +32,14 @@ from fast_causal_inference_spark.datapipe.mediaprobe import (    # noqa: E402
     build_mp4,
     build_webp,
 )
+from fast_causal_inference_spark.datapipe.adpcm import (         # noqa: E402
+    encode_wav_ima,
+)
 from fast_causal_inference_spark.datapipe.multimodal import (    # noqa: E402
     encode_wav,
+)
+from fast_causal_inference_spark.datapipe.vp8l import (          # noqa: E402
+    encode_webp_lossless,
 )
 from fast_causal_inference_spark.serialization import (          # noqa: E402
     ensure_udf_serializable,
@@ -40,7 +50,7 @@ def _payload(i: int) -> bytes:
     """A deterministic mixed-media corpus: every builder is a REAL
     encoder/serializer from the package."""
     rng = np.random.default_rng(i)
-    kind = i % 6
+    kind = i % 8
     if kind == 0:
         img = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8) // 32 * 32
         return encode_gif(img)
@@ -53,6 +63,14 @@ def _payload(i: int) -> bytes:
         return encode_ogg_flac(rng.integers(-500, 500, 300), 16000)
     if kind == 4:
         return build_mp3(8, xing=True, seed=i)       # probe-only format
+    if kind == 5:
+        # IMA-ADPCM telephony WAV — decodes for real since round 9
+        return encode_wav_ima(
+            rng.integers(-2000, 2000, 600).astype(np.int16), 8000)
+    if kind == 6:
+        # VP8L lossless WebP — real pixels since round 9
+        img = rng.integers(0, 256, (10, 12, 3), dtype=np.uint8)
+        return encode_webp_lossless(img, ("subtract_green",))
     return build_webp(64 + i % 100, 48, lossless=i % 2 == 0)
 
 
@@ -83,7 +101,11 @@ def main():
               F.min("sample_rate").alias("min_rate")).show()
 
     print("== 3. image decode stats + pooled features ==")
-    images = probed.filter("probe.container = 'gif'").drop("probe")
+    # GIFs and real VP8L WebPs (the header-only build_webp probes have
+    # no bitstream, so route on payload size)
+    images = probed.filter(
+        "probe.container = 'gif' OR (probe.codec = 'vp8l' "
+        "AND length(payload) > 40)").drop("probe")
     images.image_stats().select("doc_id", "width", "height",
                                 "mean_pixel").show(5)
     feats = images.image_features(n_features=16)
@@ -94,6 +116,16 @@ def main():
     af = audio.audio_features(n_mfcc=8)
     print("mfcc width:",
           af.selectExpr("size(audio_features) AS d").distinct().collect())
+
+    print("== 5. native-codec injection seam ==")
+    # swap the pure-Python reference decoders for a custom decode_fn
+    # (in production: a libjpeg-turbo/libwebp/ffmpeg wrapper) — same
+    # schema, batching and error contract
+    def fake_native_decode(payload):
+        return np.full((2, 2, 3), min(len(payload), 255), dtype=np.uint8)
+
+    injected = images.image_stats(decode_fn=fake_native_decode)
+    injected.select("doc_id", "width", "height").show(3)
 
     spark.stop()
 
