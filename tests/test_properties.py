@@ -188,3 +188,83 @@ def test_png_roundtrip_property(h, w, interlace, depth, rnd):
     else:
         payload = encode_png(img * 257, bit_depth=16, interlace=interlace)
     assert np.array_equal(decode_png(payload), img.astype(np.uint8))
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 20), st.integers(1, 20),
+       st.sampled_from([(), ("subtract_green",), ("predictor",),
+                        ("color",), ("subtract_green", "predictor")]),
+       st.randoms(use_true_random=False))
+def test_vp8l_roundtrip_property(h, w, transforms, rnd):
+    """VP8L lossless round trip across random dims x transform sets —
+    hypothesis-driven complement of the fixed-seed suite."""
+    import numpy as np
+
+    from fast_causal_inference_spark.datapipe.vp8l import (
+        decode_webp,
+        encode_webp_lossless,
+    )
+
+    rng = np.random.default_rng(rnd.randrange(2 ** 31))
+    img = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+    out = decode_webp(encode_webp_lossless(img, transforms))
+    assert np.array_equal(out, img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 2000), st.integers(1, 2),
+       st.sampled_from([40, 64, 256]), st.booleans(),
+       st.randoms(use_true_random=False))
+def test_adpcm_decoder_mirrors_encoder_property(n, ch, block_align,
+                                                use_ms, rnd):
+    """decode(encode(x)) equals the encoder's internal reconstruction
+    BIT-EXACTLY for any signal/shape — the lossy-codec analogue of
+    round-trip equality (the encoder simulates the decoder)."""
+    import numpy as np
+
+    from fast_causal_inference_spark.datapipe.adpcm import (
+        decode_ima_blocks,
+        decode_ms_blocks,
+        encode_ima_blocks,
+        encode_ms_blocks,
+    )
+
+    rng = np.random.default_rng(rnd.randrange(2 ** 31))
+    ba = block_align * ch
+    x = rng.integers(-32768, 32768, (n, ch)).astype(np.int16)
+    if use_ms:
+        data, recon = encode_ms_blocks(x, ba)
+        spb = (ba - 7 * ch) * 2 // ch + 2
+        dec = decode_ms_blocks(data, ba, ch, spb)[:n]
+    else:
+        data, recon = encode_ima_blocks(x, ba)
+        spb = (ba - 4 * ch) * 2 // ch + 1
+        dec = decode_ima_blocks(data, ba, ch, spb)[:n]
+    assert np.array_equal(dec, recon)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 1200), st.integers(-4000, 4000),
+       st.integers(-3, 3), st.sampled_from([32, 64, 256]))
+def test_adpcm_exact_signal_classes_property(n, a, d, block_align):
+    """MSADPCM predictor 1 reproduces ANY arithmetic ramp exactly and
+    IMA reproduces ANY constant exactly, at every block size — the
+    identities the oracle gate rows rely on."""
+    import numpy as np
+
+    from fast_causal_inference_spark.datapipe.adpcm import (
+        encode_wav_ima,
+        encode_wav_ms,
+    )
+    from fast_causal_inference_spark.datapipe.multimodal import (
+        decode_wav,
+    )
+
+    ramp = (a + d * np.arange(n)).astype(np.int16)
+    x, _ = decode_wav(encode_wav_ms(ramp, 16_000,
+                                    block_align=block_align))
+    assert np.array_equal(x, ramp)
+    const = np.full(n, a, dtype=np.int16)
+    y, _ = decode_wav(encode_wav_ima(const, 16_000,
+                                     block_align=block_align))
+    assert np.array_equal(y, const)
