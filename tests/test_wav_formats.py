@@ -78,8 +78,10 @@ def test_extensible_wrapper_and_stereo_mix():
 
 
 def test_unsupported_codecs_raise():
-    with pytest.raises(NotImplementedError, match="format code 2"):
-        decode_wav(_wav(2, 1, 8000, 4, b"\x00\x00"))  # MS ADPCM
+    # format codes 0x02/0x11 (MS/IMA ADPCM) decode for real since
+    # round 9 — MP3-in-WAV (0x55) is the remaining lossy-tier raise
+    with pytest.raises(NotImplementedError, match="format code 85"):
+        decode_wav(_wav(0x55, 1, 8000, 4, b"\x00\x00"))
     with pytest.raises(NotImplementedError, match="PCM WAV"):
         decode_wav(_wav(1, 1, 8000, 12, b"\x00\x00"))
     with pytest.raises(ValueError):
