@@ -221,7 +221,8 @@ def decode_ms_blocks(data: bytes, block_align: int, channels: int,
     return out[:, :steps + 2, :].reshape(-1, channels).astype(np.int16)
 
 
-def encode_ms_blocks(x: np.ndarray, block_align: int
+def encode_ms_blocks(x: np.ndarray, block_align: int,
+                     real_counts: np.ndarray | None = None
                      ) -> tuple[bytes, np.ndarray]:
     """Encode (n, channels) int16 as MSADPCM blocks.  Per block, all 7
     standard predictors are evaluated (vectorized across blocks) and
@@ -238,11 +239,19 @@ def encode_ms_blocks(x: np.ndarray, block_align: int
     if pad:
         x = np.vstack([x, np.repeat(x[-1:], pad, axis=0)])
     xs = x.reshape(nblocks, spb, ch)                  # (nb, spb, ch)
-    # real (un-padded) samples per block: only the LAST block is
-    # partial.  Predictor selection must ignore padding — otherwise a
-    # predictor that is exact on the real samples but drifts on the
-    # repeated-constant tail loses to one that is merely close on both.
-    real = np.minimum(np.maximum(n - np.arange(nblocks) * spb, 0), spb)
+    # real (un-padded) samples per block: by default only the LAST
+    # block is partial; the batched API passes explicit counts because
+    # each batched signal's final block sits mid-array.  Predictor
+    # selection must ignore padding — otherwise a predictor that is
+    # exact on the real samples but drifts on the repeated-constant
+    # tail loses to one that is merely close on both.
+    if real_counts is not None:
+        real = np.asarray(real_counts, dtype=np.int64)
+        if len(real) != nblocks:
+            raise ValueError("real_counts length != block count")
+    else:
+        real = np.minimum(np.maximum(n - np.arange(nblocks) * spb, 0),
+                          spb)
     best_err = None
     for pidx in range(len(MS_COEFS)):
         c1 = np.full((nblocks, ch), MS_COEFS[pidx, 0])
@@ -394,4 +403,92 @@ def decode_adpcm_wav_data(code: int, data: bytes, fmt_body: bytes,
         raise ValueError(f"not an ADPCM format code: {code}")
     if n_samples is not None:
         out = out[:n_samples]
+    return out
+
+
+# ------------------------------------------------------- batched APIs
+
+def _pad_blocks(signals, spb: int):
+    """Pad each mono signal to a whole number of blocks (repeating the
+    final sample, as the single-signal encoders do) and stack them into
+    one contiguous sample array.  Returns (stacked (N, 1) int64 array,
+    per-signal block counts, per-signal true lengths)."""
+    xs, counts, lens = [], [], []
+    for s in signals:
+        s = np.asarray(s, dtype=np.int64).reshape(-1)
+        n = len(s)
+        nb = max(1, -(-n // spb))
+        pad = nb * spb - n
+        if pad:
+            tail = s[-1] if n else 0
+            s = np.concatenate([s, np.full(pad, tail, dtype=np.int64)])
+        xs.append(s)
+        counts.append(nb)
+        lens.append(n)
+    return np.concatenate(xs)[:, None], counts, lens
+
+
+def encode_ima_batch(signals, block_align: int = 256) -> list[bytes]:
+    """Encode MANY mono int16 signals in ONE vectorized pass.
+
+    The per-sample state loop costs one set of numpy dispatches per
+    in-block sample REGARDLESS of how many blocks ride the batch axis —
+    so batching a whole Arrow batch of documents through one call
+    amortizes the Python overhead ~|batch|× versus per-document encode
+    (the 100 TB pattern: per-row state machines batch across rows).
+    Returns per-signal ADPCM block bytes; bit-identical to per-signal
+    ``encode_ima_blocks`` (blocks are independent by construction)."""
+    spb = (block_align - 4) * 2 + 1
+    big, counts, _ = _pad_blocks(signals, spb)
+    data, _ = encode_ima_blocks(big, block_align)
+    out = []
+    pos = 0
+    for nb in counts:
+        out.append(data[pos:pos + nb * block_align])
+        pos += nb * block_align
+    return out
+
+
+def decode_ima_batch(datas, block_align: int,
+                     lengths) -> list[np.ndarray]:
+    """Decode many mono IMA block payloads in one vectorized pass,
+    trimming each to its true sample count."""
+    spb = (block_align - 4) * 2 + 1
+    counts = [len(d) // block_align for d in datas]
+    big = decode_ima_blocks(b"".join(datas), block_align, 1, spb)
+    out = []
+    pos = 0
+    for nb, n in zip(counts, lengths):
+        out.append(big[pos:pos + nb * spb, 0][:n])
+        pos += nb * spb
+    return out
+
+
+def encode_ms_batch(signals, block_align: int = 256) -> list[bytes]:
+    """Batched mono MSADPCM encode — see :func:`encode_ima_batch`."""
+    spb = (block_align - 7) * 2 + 2
+    big, counts, lens = _pad_blocks(signals, spb)
+    real = np.concatenate([
+        np.minimum(np.maximum(n - np.arange(nb) * spb, 0), spb)
+        for nb, n in zip(counts, lens)])
+    data, _ = encode_ms_blocks(big, block_align, real_counts=real)
+    out = []
+    pos = 0
+    for nb in counts:
+        out.append(data[pos:pos + nb * block_align])
+        pos += nb * block_align
+    return out
+
+
+def decode_ms_batch(datas, block_align: int,
+                    lengths) -> list[np.ndarray]:
+    """Batched mono MSADPCM decode — see :func:`decode_ima_batch`."""
+    spb = (block_align - 7) * 2 + 2
+    counts = [len(d) // block_align for d in datas]
+    big = decode_ms_blocks(b"".join(datas), block_align, 1, spb)
+    out = []
+    pos = 0
+    for nb, n in zip(counts, lengths):
+        out.append(big[pos:pos + nb * spb, 0][:n])
+        pos += nb * spb
     return out
