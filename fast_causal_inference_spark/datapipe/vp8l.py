@@ -401,6 +401,22 @@ def _inv_predictor(argb: np.ndarray, w: int, h: int, size_bits: int,
                    sub: np.ndarray) -> np.ndarray:
     bw = -(-w // (1 << size_bits))
     modes = ((sub >> 8) & 0xFF).reshape(-1, bw)
+    if (modes == 2) .all():
+        # uniform mode-2 (predict from T, the shape our encoder and
+        # many screenshot-style files use) vectorizes fully: row 0 is
+        # an L-prediction chain = per-channel cumsum mod 256, every
+        # later row adds the reconstructed row above elementwise (the
+        # x == 0 edge rule is T, which IS mode 2)
+        ch = np.stack([(argb >> 24) & 0xFF, (argb >> 16) & 0xFF,
+                       (argb >> 8) & 0xFF, argb & 0xFF],
+                      axis=-1).reshape(h, w, 4).astype(np.int64)
+        ch[0, 0, 0] = (ch[0, 0, 0] + 255) & 0xFF    # (0,0) pred a=255
+        ch[0] = np.cumsum(ch[0], axis=0) % 256      # row 0: L chain
+        for y in range(1, h):
+            ch[y] = (ch[y] + ch[y - 1]) & 0xFF
+        return ((ch[:, :, 0] << 24) | (ch[:, :, 1] << 16)
+                | (ch[:, :, 2] << 8) | ch[:, :, 3]).astype(
+                    np.uint32).reshape(-1)
     out = argb.copy()
     for pos in range(w * h):
         x = pos % w
@@ -887,23 +903,21 @@ def encode_vp8l(rgba: np.ndarray, transforms: tuple = ()) -> bytes:
         mode_px = (0xFF << 24) | (2 << 8)
         _encode_image_stream(
             wr, np.full(bw * bh, mode_px, dtype=np.uint32), bw, bh)
-        res = np.zeros_like(argb)
-        for pos in range(w * h):
-            x = pos % w
-            y = pos // w
-            if x == 0 and y == 0:
-                pred = np.array([255, 0, 0, 0], dtype=np.int32)
-            elif y == 0:
-                pred = _px4(int(argb[pos - 1]))
-            elif x == 0:
-                pred = _px4(int(argb[pos - w]))
-            else:
-                pred = _px4(int(argb[pos - w]))      # mode 2 = T
-            cur = _px4(int(argb[pos]))
-            d = (cur - pred) & 0xFF
-            res[pos] = (int(d[0]) << 24) | (int(d[1]) << 16) \
-                | (int(d[2]) << 8) | int(d[3])
-        argb = res
+        # vectorized mode-2 residuals (the exact inverse of the
+        # uniform-mode-2 fast path in _inv_predictor): rows 1.. are
+        # cur - row_above; row 0 is an L chain (adjacent diffs along x);
+        # (0, 0) subtracts the 0xff000000 black predictor
+        ch = np.stack([(argb >> 24) & 0xFF, (argb >> 16) & 0xFF,
+                       (argb >> 8) & 0xFF, argb & 0xFF],
+                      axis=-1).reshape(h, w, 4).astype(np.int64)
+        res = np.empty_like(ch)
+        res[1:] = (ch[1:] - ch[:-1]) & 0xFF
+        res[0, 1:] = (ch[0, 1:] - ch[0, :-1]) & 0xFF
+        res[0, 0] = ch[0, 0]
+        res[0, 0, 0] = (ch[0, 0, 0] - 255) & 0xFF
+        argb = ((res[:, :, 0] << 24) | (res[:, :, 1] << 16)
+                | (res[:, :, 2] << 8) | res[:, :, 3]).astype(
+                    np.uint32).reshape(-1)
 
     wr.write_bits(0, 1)                     # no more transforms
     _encode_image_stream(wr, argb, coded_w, h, is_level0=True)
