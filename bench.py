@@ -346,6 +346,17 @@ def main() -> None:
                           file=sys.stderr)
                 except Exception as exc:
                     sf1_errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+                # drop pinned caches AFTER the family's timing: at ×10
+                # volume the dedup families' internal caches (shingle
+                # inverted indexes, signature tables) otherwise stay
+                # pinned in executor storage for the REST of the block
+                # — measured as a 2x inflation of late-block families
+                # (media_features 27 s solo vs 54-61 s in-suite).  The
+                # sf1 block has no cross-family cache reuse by
+                # construction (the cache-sharing dedup families are
+                # interleaved with 30+ unrelated ones), so release
+                # costs nothing and isolates each family's measurement.
+                spark.catalog.clearCache()
             out["sf1_queries"] = sf1_times
             out["sf1_value"] = round(sum(sf1_times.values()), 4)
             if sf1_errors:
