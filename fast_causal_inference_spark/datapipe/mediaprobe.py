@@ -67,6 +67,43 @@ from fast_causal_inference_spark.serialization import ensure_udf_serializable
 __all__ = ["media_probe", "probe_payload", "build_mp3", "build_mp4",
            "build_ogg_vorbis", "build_webp"]
 
+import math
+
+_AU_ENCODINGS = {1: "mulaw", 2: "pcm8", 3: "pcm16", 4: "pcm24",
+                 5: "pcm32", 6: "float32", 7: "float64", 27: "alaw"}
+
+
+def _f80_to_float(b: bytes) -> float:
+    """IEEE 754 80-bit extended float (AIFF COMM sample rate): 1 sign,
+    15 exponent (bias 16383), 64-bit mantissa with EXPLICIT integer
+    bit."""
+    if len(b) < 10:
+        raise ValueError("corrupt AIFF: short extended float")
+    se = struct.unpack(">H", b[:2])[0]
+    mant = struct.unpack(">Q", b[2:10])[0]
+    sign = -1.0 if se & 0x8000 else 1.0
+    exp = se & 0x7FFF
+    if exp == 0 and mant == 0:
+        return 0.0
+    if exp == 0x7FFF:
+        raise ValueError("corrupt AIFF: non-finite sample rate")
+    return sign * mant * 2.0 ** (exp - 16383 - 63)
+
+
+def _float_to_f80(v: float) -> bytes:
+    if v == 0:
+        return b"\x00" * 10
+    sign = 0x8000 if v < 0 else 0
+    v = abs(v)
+    exp = math.floor(math.log2(v))
+    mant = int(v / 2.0 ** (exp - 63))
+    if mant >= 1 << 64:                  # log2 edge rounding
+        mant >>= 1
+        exp += 1
+    return struct.pack(">HQ", sign | (exp + 16383), mant)
+
+
+
 # MPEG-1 Layer III bitrate table (kbps), index 1..14; 0 = "free format"
 # (bitstream-defined frame size — reported as NULL), 15 = invalid.
 _MP3_BITRATE_V1_L3 = (None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
@@ -271,6 +308,50 @@ def _probe_wav(b: bytes) -> dict | None:
     return out
 
 
+def _probe_aiff(b: bytes) -> dict | None:
+    """AIFF/AIFC COMM header fields — no decode (round 9)."""
+    if len(b) < 12 or b[:4] != b"FORM" or b[8:12] not in (b"AIFF",
+                                                          b"AIFC"):
+        return None
+    out = {"container": "aiff", "codec": "pcm_be"}
+    pos = 12
+    while pos + 8 <= len(b):
+        cid = b[pos:pos + 4]
+        sz = struct.unpack(">L", b[pos + 4:pos + 8])[0]
+        if cid == b"COMM" and sz >= 18:
+            ch, n, bits = struct.unpack(">hLh", b[pos + 8:pos + 16])
+            rate = int(round(_f80_to_float(b[pos + 16:pos + 26])))
+            out.update({"channels": ch, "sample_rate": rate,
+                        "n_frames": n,
+                        "bit_rate": rate * ch * bits})
+            if sz >= 22:
+                out["codec"] = b[pos + 26:pos + 30].decode(
+                    "ascii", "replace").strip().lower() or "pcm_be"
+            if rate:
+                out["duration_sec"] = n / rate
+            return out
+        pos += 8 + sz + (sz & 1)
+    return out
+
+
+def _probe_au(b: bytes) -> dict | None:
+    """Sun/NeXT AU header fields — no decode (round 9)."""
+    if len(b) < 24 or b[:4] != b".snd":
+        return None
+    off, size, enc, rate, ch = struct.unpack(">LLLLL", b[4:24])
+    out = {"container": "au",
+           "codec": _AU_ENCODINGS.get(enc, f"au_{enc}"),
+           "channels": ch, "sample_rate": rate}
+    widths = {1: 1, 2: 1, 3: 2, 4: 3, 5: 4, 6: 4, 7: 8, 27: 1}
+    w = widths.get(enc)
+    if w and rate and ch and size not in (0, 0xFFFFFFFF):
+        n = size // (w * ch)
+        out["n_frames"] = n
+        out["duration_sec"] = n / rate
+        out["bit_rate"] = rate * ch * w * 8
+    return out
+
+
 def _probe_flac(b: bytes) -> dict | None:
     """STREAMINFO header fields (RFC 9639 §8.2) — no decode."""
     if b[:4] != b"fLaC" or len(b) < 8 + 34 or b[4] & 0x7F != 0:
@@ -470,7 +551,8 @@ def probe_payload(b: bytes | None) -> dict:
         return out
     try:
         for fn in (_probe_image, _probe_webp, _probe_wav, _probe_flac,
-                   _probe_ogg, _probe_mp4, _probe_mp3):
+                   _probe_aiff, _probe_au, _probe_ogg, _probe_mp4,
+                   _probe_mp3):
             r = fn(b)
             if r is not None:
                 out.update(r)

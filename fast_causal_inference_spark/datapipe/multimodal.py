@@ -87,6 +87,11 @@ from fast_causal_inference_spark.datapipe.flac import (
 )
 from fast_causal_inference_spark.datapipe.gif import decode_gif, encode_gif
 from fast_causal_inference_spark.datapipe.jpeg import decode_jpeg, encode_jpeg
+from fast_causal_inference_spark.datapipe.mediaprobe import (
+    _AU_ENCODINGS,
+    _f80_to_float,
+    _float_to_f80,
+)
 from fast_causal_inference_spark.datapipe.vp8l import (
     decode_webp,
     encode_webp_lossless,
@@ -551,9 +556,144 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return x.astype(np.int16), rate
 
 
+def encode_aiff(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """Serialize int16 mono samples as an AIFF (FORM/AIFF, big-endian
+    PCM, 80-bit extended-float sample rate)."""
+    x = np.asarray(samples, dtype=">i2")
+    comm = struct.pack(">hLh", 1, len(x), 16) + _float_to_f80(
+        float(sample_rate))
+    ssnd = struct.pack(">LL", 0, 0) + x.tobytes()
+    body = b"AIFF" \
+        + b"COMM" + struct.pack(">L", len(comm)) + comm \
+        + b"SSND" + struct.pack(">L", len(ssnd)) + ssnd
+    return b"FORM" + struct.pack(">L", len(body)) + body
+
+
+def decode_aiff(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode AIFF (big-endian PCM 8/16/24/32) into (int16 mono
+    samples, rate).  Compressed AIFC codecs raise."""
+    if payload[:4] != b"FORM" or payload[8:12] not in (b"AIFF", b"AIFC"):
+        raise ValueError("not an AIFF payload")
+    is_aifc = payload[8:12] == b"AIFC"
+    pos = 12
+    comm = data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        sz = struct.unpack(">L", payload[pos + 4:pos + 8])[0]
+        body = payload[pos + 8:pos + 8 + sz]
+        if cid == b"COMM":
+            comm = body
+        elif cid == b"SSND" and len(body) >= 8:
+            off = struct.unpack(">L", body[:4])[0]
+            data = body[8 + off:]
+        pos += 8 + sz + (sz & 1)
+    if comm is None or data is None:
+        raise ValueError("corrupt AIFF: missing COMM or SSND")
+    ch, _n, bits = struct.unpack(">hLh", comm[:8])
+    rate = int(round(_f80_to_float(comm[8:18])))
+    if is_aifc and len(comm) >= 22:
+        ctype = comm[18:22]
+        if ctype not in (b"NONE", b"sowt"):
+            raise NotImplementedError(
+                f"AIFC compression {ctype!r} needs a codec library")
+        little = ctype == b"sowt"
+    else:
+        little = False
+    if rate <= 0 or ch <= 0:
+        raise ValueError("corrupt AIFF: bad rate/channels")
+    bo = "<" if little else ">"
+    if bits == 16:
+        x = np.frombuffer(data, dtype=f"{bo}i2").astype(np.int64)
+    elif bits == 8:                       # AIFF 8-bit is SIGNED
+        x = np.frombuffer(data, dtype=np.int8).astype(np.int64) << 8
+    elif bits == 24:
+        b3 = np.frombuffer(data, dtype=np.uint8)
+        b3 = b3[:len(b3) // 3 * 3].reshape(-1, 3).astype(np.int64)
+        if little:
+            v = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
+        else:
+            v = b3[:, 2] | (b3[:, 1] << 8) | (b3[:, 0] << 16)
+        x = np.where(v & 0x800000, v - (1 << 24), v) >> 8
+    elif bits == 32:
+        x = np.frombuffer(data, dtype=f"{bo}i4").astype(np.int64) >> 16
+    else:
+        raise NotImplementedError(f"{bits}-bit AIFF not supported")
+    x = x[:len(x) // ch * ch]
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1)
+    return x.astype(np.int16), rate
+
+
+def encode_au(samples: np.ndarray, sample_rate: int = 16_000,
+              encoding: int = 3) -> bytes:
+    """Serialize int16 mono samples as a Sun/NeXT AU file (big-endian;
+    encoding 3 = linear PCM-16, 1 = G.711 mu-law via the same
+    companding tables ``decode_wav`` uses)."""
+    x = np.asarray(samples, dtype=np.int16)
+    if encoding == 3:
+        data = x.astype(">i2").tobytes()
+    elif encoding == 1:
+        # invert the mu-law expansion table (nearest code by magnitude)
+        table = _mulaw_table().astype(np.int64)
+        order = np.argsort(table)
+        idx = np.searchsorted(table[order], x.astype(np.int64))
+        idx = np.clip(idx, 0, 255)
+        lo = np.clip(idx - 1, 0, 255)
+        pick = np.where(
+            np.abs(table[order[lo]] - x) <= np.abs(table[order[idx]] - x),
+            lo, idx)
+        data = order[pick].astype(np.uint8).tobytes()
+    else:
+        raise NotImplementedError("encode_au supports encodings 1 and 3")
+    hdr = struct.pack(">4sLLLLL", b".snd", 24, len(data), encoding,
+                      sample_rate, 1)
+    return hdr + data
+
+
+def decode_au(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a Sun/NeXT AU payload (mu-law/A-law/PCM 8-32/float)."""
+    if payload[:4] != b".snd" or len(payload) < 24:
+        raise ValueError("not an AU payload")
+    off, size, enc, rate, ch = struct.unpack(">LLLLL", payload[4:24])
+    if rate <= 0 or ch <= 0:
+        raise ValueError("corrupt AU: bad rate/channels")
+    data = payload[off:off + size if size != 0xFFFFFFFF else None]
+    if enc == 1:
+        x = _mulaw_table()[np.frombuffer(data, np.uint8)].astype(np.int64)
+    elif enc == 27:
+        x = _alaw_table()[np.frombuffer(data, np.uint8)].astype(np.int64)
+    elif enc == 2:
+        x = np.frombuffer(data, np.int8).astype(np.int64) << 8
+    elif enc == 3:
+        x = np.frombuffer(data, dtype=">i2").astype(np.int64)
+    elif enc == 4:
+        b3 = np.frombuffer(data, dtype=np.uint8)
+        b3 = b3[:len(b3) // 3 * 3].reshape(-1, 3).astype(np.int64)
+        v = b3[:, 2] | (b3[:, 1] << 8) | (b3[:, 0] << 16)
+        x = np.where(v & 0x800000, v - (1 << 24), v) >> 8
+    elif enc == 5:
+        x = np.frombuffer(data, dtype=">i4").astype(np.int64) >> 16
+    elif enc == 6:
+        f = np.frombuffer(data, dtype=">f4").astype(np.float64)
+        x = np.clip(np.nan_to_num(f) * 32767.0, -32768,
+                    32767).astype(np.int64)
+    elif enc == 7:
+        f = np.frombuffer(data, dtype=">f8")
+        x = np.clip(np.nan_to_num(f) * 32767.0, -32768,
+                    32767).astype(np.int64)
+    else:
+        raise NotImplementedError(
+            f"AU encoding {enc} "
+            f"({_AU_ENCODINGS.get(enc, 'unknown')}) not supported")
+    x = x[:len(x) // ch * ch]
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1)
+    return x.astype(np.int16), rate
+
+
 def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
-    """Decode a PCM WAV, FLAC, **or Ogg-FLAC** payload into (mono int
-    samples, sample_rate).  FLAC decode is REAL and in-container (pure
+    """Decode a PCM WAV, FLAC, Ogg-FLAC, **AIFF/AIFC or Sun AU**
+    payload into (mono int samples, sample_rate).  FLAC decode is REAL and in-container (pure
     numpy, Rice/LPC/fixed prediction with CRC+MD5 verification —
     ``datapipe/flac.py``); Ogg-FLAC depacketizes the Ogg pages
     (CRC-checked) and feeds the same core.  Multi-channel payloads are
@@ -563,6 +703,10 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
     x = rate = None
     if payload[:4] == b"fLaC":
         x, rate = decode_flac(payload)
+    elif payload[:4] == b"FORM" and payload[8:12] in (b"AIFF", b"AIFC"):
+        return decode_aiff(payload)          # round 9: big-endian PCM
+    elif payload[:4] == b".snd":
+        return decode_au(payload)            # round 9: Sun/NeXT AU
     elif payload[:4] == b"OggS":
         # identify the first packet's codec before committing: Ogg is a
         # container — only the FLAC mapping decodes in-container
