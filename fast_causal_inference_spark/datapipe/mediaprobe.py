@@ -483,6 +483,23 @@ def _probe_image(b: bytes) -> dict | None:
     if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
         w, h = struct.unpack("<HH", b[6:10])
         return {"container": "gif", "width": w, "height": h}
+    if b[:4] in (b"II\x2a\x00", b"MM\x00\x2a") and len(b) >= 8:
+        bo = "<" if b[:2] == b"II" else ">"    # TIFF IFD walk (round 9)
+        out = {"container": "tiff"}
+        (ifd_at,) = struct.unpack_from(f"{bo}I", b, 4)
+        if ifd_at + 2 <= len(b):
+            (n,) = struct.unpack_from(f"{bo}H", b, ifd_at)
+            for i in range(min(n, 64)):
+                at = ifd_at + 2 + 12 * i
+                if at + 12 > len(b):
+                    break
+                tag, typ = struct.unpack_from(f"{bo}HH", b, at)
+                if tag in (256, 257) and typ in (3, 4):
+                    v = struct.unpack_from(
+                        f"{bo}H" if typ == 3 else f"{bo}I", b,
+                        at + 8)[0]
+                    out["width" if tag == 256 else "height"] = v
+        return out
     if b[:2] == b"\xff\xd8":                   # JPEG: scan for SOF
         pos = 2
         while pos + 4 <= len(b):

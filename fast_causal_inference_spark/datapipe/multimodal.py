@@ -391,9 +391,192 @@ def decode_png(payload: bytes) -> np.ndarray:
     return np.repeat(px8[:, :, :1], 3, axis=2)         # gray + alpha
 
 
+def _packbits_decode(data: bytes, expect: int) -> bytes:
+    """Apple PackBits RLE (TIFF compression 32773)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n and len(out) < expect:
+        c = data[i]
+        i += 1
+        if c < 128:                        # literal run of c+1 bytes
+            out += data[i:i + c + 1]
+            i += c + 1
+        elif c > 128:                      # repeat next byte 257-c times
+            if i >= n:
+                raise ValueError("TIFF: truncated PackBits run")
+            out += bytes([data[i]]) * (257 - c)
+            i += 1
+        # c == 128: no-op per spec
+    if len(out) < expect:
+        raise ValueError("TIFF: PackBits output short of strip size")
+    return bytes(out[:expect])
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """PackBits encoder (repeat runs >= 3 bytes, literals otherwise)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        j = i
+        while j < n and j - i < 128:
+            r = 1
+            while j + r < n and r < 3 and data[j + r] == data[j]:
+                r += 1
+            if r >= 3:
+                break
+            j += 1
+        out += bytes([j - i - 1]) + data[i:j]
+        i = j
+    return bytes(out)
+
+
+def encode_tiff(arr: np.ndarray, packbits: bool = False) -> bytes:
+    """Encode (h, w, 3) uint8 RGB (or (h, w) grayscale) as a
+    little-endian TIFF — uncompressed or PackBits, one strip."""
+    a = np.asarray(arr, dtype=np.uint8)
+    gray = a.ndim == 2
+    h, w = a.shape[:2]
+    spp = 1 if gray else 3
+    raw = a.tobytes()
+    data = _packbits_encode(raw) if packbits else raw
+    # IFD after the 8-byte header; strip data after the IFD
+    tags = [
+        (256, 3, 1, w), (257, 3, 1, h),
+        (259, 3, 1, 32773 if packbits else 1),
+        (262, 3, 1, 1 if gray else 2),     # BlackIsZero / RGB
+        (277, 3, 1, spp),
+        (278, 3, 1, h),                    # rows per strip
+        (279, 4, 1, len(data)),
+    ]
+    # BitsPerSample: SHORT count=spp — for RGB the 3 shorts don't fit
+    # in the 4-byte value field, so they go out-of-line
+    n_tags = len(tags) + 2                 # + BitsPerSample + offsets
+    ifd_at = 8
+    ifd_size = 2 + 12 * n_tags + 4
+    extra_at = ifd_at + ifd_size
+    extra = b""
+    if gray:
+        bps_entry = (258, 3, 1, 8)
+    else:
+        bps_entry = (258, 3, 3, extra_at)
+        extra = struct.pack("<HHH", 8, 8, 8) + b"\x00" * 2
+    data_at = extra_at + len(extra)
+    tags.append(bps_entry)
+    tags.append((273, 4, 1, data_at))      # strip offset
+    tags.sort()
+    out = struct.pack("<2sHI", b"II", 42, ifd_at)
+    out += struct.pack("<H", n_tags)
+    for tag, typ, cnt, val in tags:
+        out += struct.pack("<HHI", tag, typ, cnt)
+        if typ == 3 and cnt == 1:
+            out += struct.pack("<HH", val, 0)
+        else:
+            out += struct.pack("<I", val)
+    out += struct.pack("<I", 0)            # no next IFD
+    return out + extra + data
+
+
+def decode_tiff(payload: bytes) -> np.ndarray:
+    """Decode a baseline TIFF (both byte orders, uncompressed or
+    PackBits, 8-bit grayscale / RGB / palette, multi-strip) into an
+    (h, w, 3) uint8 RGB array.  LZW/JPEG-in-TIFF and other
+    compressions raise ``NotImplementedError``."""
+    if payload[:4] == b"II\x2a\x00":
+        bo = "<"
+    elif payload[:4] == b"MM\x00\x2a":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    (ifd_at,) = struct.unpack_from(f"{bo}I", payload, 4)
+    if ifd_at + 2 > len(payload):
+        raise ValueError("TIFF: IFD offset out of range")
+    (n_tags,) = struct.unpack_from(f"{bo}H", payload, ifd_at)
+    tags: dict[int, tuple[int, int, int, int]] = {}
+    for i in range(n_tags):
+        at = ifd_at + 2 + 12 * i
+        tag, typ, cnt = struct.unpack_from(f"{bo}HHI", payload, at)
+        (val,) = struct.unpack_from(f"{bo}I", payload, at + 8)
+        tags[tag] = (typ, cnt, val, at + 8)   # inline-value offset
+
+    def values(tag, default=None):
+        if tag not in tags:
+            return default
+        typ, cnt, val, inline_at = tags[tag]
+        width = {1: 1, 3: 2, 4: 4}.get(typ)
+        if width is None:
+            raise NotImplementedError(f"TIFF tag type {typ}")
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        at = inline_at if cnt * width <= 4 else val
+        return list(struct.unpack_from(f"{bo}{cnt}{fmt}", payload, at))
+
+    def one(tag, default=None):
+        v = values(tag)
+        return v[0] if v else default
+
+    w = one(256)
+    h = one(257)
+    if not w or not h:
+        raise ValueError("TIFF: missing dimensions")
+    comp = one(259, 1)
+    photo = one(262, 1)
+    spp = one(277, 1)
+    bps = values(258, [8])
+    if any(b != 8 for b in bps):
+        raise NotImplementedError("only 8-bit TIFF samples supported")
+    if comp not in (1, 32773):
+        raise NotImplementedError(
+            f"TIFF compression {comp} needs a codec library "
+            "(uncompressed and PackBits decode in-container)")
+    offsets = values(273)
+    counts = values(279)
+    rps = one(278, h)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF: missing strip layout")
+    rows_done = 0
+    raw = bytearray()
+    for off, cnt in zip(offsets, counts):
+        rows = min(rps, h - rows_done)
+        expect = rows * w * spp
+        strip = payload[off:off + cnt]
+        if comp == 32773:
+            raw += _packbits_decode(strip, expect)
+        else:
+            if len(strip) < expect:
+                raise ValueError("TIFF: strip short of row data")
+            raw += strip[:expect]
+        rows_done += rows
+    a = np.frombuffer(bytes(raw), np.uint8, h * w * spp)
+    if spp == 3:
+        rgb = a.reshape(h, w, 3)
+        if photo != 2:
+            raise ValueError("TIFF: 3-sample image must be RGB")
+        return rgb.copy()
+    g = a.reshape(h, w)
+    if photo == 3:                         # palette
+        cmap = values(320)
+        if not cmap or len(cmap) < 3 * 256:
+            raise ValueError("TIFF: palette image missing ColorMap")
+        cm = np.asarray(cmap[:3 * 256], np.uint32).reshape(3, 256)
+        cm8 = (cm >> 8).astype(np.uint8)   # 16-bit entries -> 8-bit
+        return np.stack([cm8[0][g], cm8[1][g], cm8[2][g]], axis=-1)
+    if photo == 0:                         # white is zero
+        g = 255 - g
+    return np.repeat(g[:, :, None], 3, axis=2)
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Decode BMP, PPM, PNG, GIF, JPEG (baseline AND progressive), or
-    **lossless WebP (VP8L, round 9)** payloads for real (pure
+    """Decode BMP, PPM, PNG, GIF, JPEG (baseline AND progressive),
+    **lossless WebP (VP8L)**, or **baseline TIFF (uncompressed /
+    PackBits, both byte orders — round 9)** payloads for real (pure
     Python/numpy codecs — GIF via the own-LZW decoder in
     ``datapipe/gif.py``, JPEG via ``datapipe/jpeg.py``, VP8L via
     ``datapipe/vp8l.py``); raise for formats that need external
@@ -409,6 +592,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_gif(payload)
     if payload[:2] == b"\xff\xd8":
         return decode_jpeg(payload)
+    if payload[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+        return decode_tiff(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         rgba = decode_webp(payload)
         rgb = rgba[:, :, :3].astype(np.uint16)

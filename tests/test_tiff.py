@@ -1,0 +1,156 @@
+"""Baseline TIFF codec (round 9): own-encoder round trips
+(uncompressed + PackBits), hand-built fixtures for the decode-only
+paths (big-endian MM, multi-strip, palette, white-is-zero), PackBits
+spec vectors, corruption contracts, dispatch via decode_image."""
+import struct
+
+import numpy as np
+import pytest
+
+from fast_causal_inference_spark.datapipe.multimodal import (
+    _packbits_decode,
+    _packbits_encode,
+    decode_image,
+    decode_tiff,
+    encode_tiff,
+)
+
+RNG = np.random.default_rng(11)
+
+
+def test_roundtrip_rgb_gray_both_compressions():
+    for shape in [(9, 13, 3), (16, 16, 3), (5, 7), (1, 1, 3)]:
+        img = RNG.integers(0, 256, shape, dtype=np.uint8)
+        ref = img if img.ndim == 3 else np.repeat(img[:, :, None], 3, 2)
+        for pb in (False, True):
+            out = decode_image(encode_tiff(img, packbits=pb))
+            assert np.array_equal(out, ref), (shape, pb)
+
+
+def test_packbits_spec_vector():
+    """The canonical Apple PackBits example from the TIFF 6 spec."""
+    src = bytes([0xAA, 0xAA, 0xAA, 0x80, 0x00, 0x2A, 0xAA, 0xAA,
+                 0xAA, 0xAA, 0x80, 0x00, 0x2A, 0x22, 0xAA, 0xAA,
+                 0xAA, 0xAA, 0xAA, 0xAA, 0xAA, 0xAA, 0xAA, 0xAA])
+    packed = bytes([0xFE, 0xAA, 0x02, 0x80, 0x00, 0x2A, 0xFD, 0xAA,
+                    0x03, 0x80, 0x00, 0x2A, 0x22, 0xF7, 0xAA])
+    assert _packbits_decode(packed, len(src)) == src
+    # own encoder round-trips (byte-stream may differ, data must not)
+    assert _packbits_decode(_packbits_encode(src), len(src)) == src
+
+
+def test_packbits_random_roundtrip():
+    for _ in range(20):
+        n = int(RNG.integers(1, 700))
+        data = bytes(RNG.integers(0, 4, n, dtype=np.uint8) * 80)
+        assert _packbits_decode(_packbits_encode(data), n) == data
+
+
+def _ifd(bo, entries, extra=b"", data=b""):
+    """Hand-assemble a single-IFD TIFF."""
+    n = len(entries)
+    ifd_at = 8
+    extra_at = ifd_at + 2 + 12 * n + 4
+    out = struct.pack(f"{bo}2sHI", b"II" if bo == "<" else b"MM", 42,
+                      ifd_at)
+    out += struct.pack(f"{bo}H", n)
+    for tag, typ, cnt, val in entries:
+        out += struct.pack(f"{bo}HHI", tag, typ, cnt)
+        if typ == 3 and cnt == 1:
+            if bo == "<":
+                out += struct.pack("<HH", val, 0)
+            else:
+                out += struct.pack(">HH", val, 0)
+        else:
+            out += struct.pack(f"{bo}I", val)
+    out += struct.pack(f"{bo}I", 0)
+    assert len(out) == extra_at
+    return out + extra + data
+
+
+def test_big_endian_and_multistrip():
+    """MM byte order with two strips of 2 rows each."""
+    img = RNG.integers(0, 256, (4, 5, 3), dtype=np.uint8)
+    strip0 = img[:2].tobytes()
+    strip1 = img[2:].tobytes()
+    bo = ">"
+    n_entries = 9
+    extra_at = 8 + 2 + 12 * n_entries + 4
+    bps_at = extra_at
+    off_at = bps_at + 6
+    cnt_at = off_at + 8
+    data_at = cnt_at + 8
+    extra = struct.pack(">HHH", 8, 8, 8)
+    extra += struct.pack(">II", data_at, data_at + len(strip0))
+    extra += struct.pack(">II", len(strip0), len(strip1))
+    entries = sorted([
+        (256, 3, 1, 5), (257, 3, 1, 4), (258, 3, 3, bps_at),
+        (259, 3, 1, 1), (262, 3, 1, 2), (273, 4, 2, off_at),
+        (277, 3, 1, 3), (278, 3, 1, 2), (279, 4, 2, cnt_at),
+    ])
+    p = _ifd(bo, entries, extra, strip0 + strip1)
+    assert np.array_equal(decode_tiff(p), img)
+
+
+def test_palette_and_white_is_zero():
+    # palette: 2x3 of indices into a 256-entry 16-bit colormap
+    idx = np.array([[0, 1, 2], [2, 1, 0]], dtype=np.uint8)
+    cmap = np.zeros((3, 256), dtype=np.uint16)
+    cmap[0, :3] = [0xFF00, 0x1200, 0x0000]
+    cmap[1, :3] = [0x0000, 0x3400, 0xFF00]
+    cmap[2, :3] = [0x8000, 0x5600, 0x0100]
+    n_entries = 10
+    extra_at = 8 + 2 + 12 * n_entries + 4
+    cmap_at = extra_at
+    data_at = cmap_at + 3 * 256 * 2
+    entries = sorted([
+        (256, 3, 1, 3), (257, 3, 1, 2), (258, 3, 1, 8),
+        (259, 3, 1, 1), (262, 3, 1, 3), (273, 4, 1, data_at),
+        (277, 3, 1, 1), (278, 3, 1, 2), (279, 4, 1, 6),
+        (320, 3, 3 * 256, cmap_at),
+    ])
+    p = _ifd("<", entries, cmap.astype("<u2").tobytes(), idx.tobytes())
+    out = decode_tiff(p)
+    assert list(out[0, 0]) == [0xFF, 0x00, 0x80]
+    assert list(out[0, 1]) == [0x12, 0x34, 0x56]
+    assert list(out[0, 2]) == [0x00, 0xFF, 0x01]
+    # white-is-zero grayscale inverts
+    g = np.array([[0, 255]], dtype=np.uint8)
+    entries = sorted([
+        (256, 3, 1, 2), (257, 3, 1, 1), (258, 3, 1, 8),
+        (259, 3, 1, 1), (262, 3, 1, 0), (273, 4, 1,
+                                         8 + 2 + 12 * 9 + 4),
+        (277, 3, 1, 1), (278, 3, 1, 1), (279, 4, 1, 2),
+    ])
+    p = _ifd("<", entries, b"", g.tobytes())
+    out = decode_tiff(p)
+    assert list(out[0, 0]) == [255, 255, 255]
+    assert list(out[0, 1]) == [0, 0, 0]
+
+
+def test_unsupported_and_corrupt_raise():
+    img = RNG.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+    p = bytearray(encode_tiff(img))
+    # LZW compression code 5 -> NotImplementedError
+    i = p.find(struct.pack("<HH", 259, 3))
+    p2 = bytes(p[:i + 8]) + struct.pack("<HH", 5, 0) + bytes(p[i + 12:])
+    with pytest.raises(NotImplementedError, match="compression 5"):
+        decode_tiff(p2)
+    with pytest.raises(ValueError):
+        decode_tiff(b"II\x2a\x00\xff\xff\xff\xff")    # bad IFD offset
+    with pytest.raises(ValueError):
+        decode_tiff(b"PNG not tiff")
+    # truncated strip
+    with pytest.raises(ValueError, match="strip"):
+        decode_tiff(bytes(p)[:-10])
+
+
+def test_probe_reports_tiff_dims():
+    from fast_causal_inference_spark.datapipe.mediaprobe import (
+        probe_payload,
+    )
+
+    img = RNG.integers(0, 256, (21, 34, 3), dtype=np.uint8)
+    r = probe_payload(encode_tiff(img))
+    assert r["container"] == "tiff"
+    assert (r["width"], r["height"]) == (34, 21)
