@@ -207,6 +207,13 @@ def decode_ms_blocks(data: bytes, block_align: int, channels: int,
     body = blk[:, hdr_bytes:].astype(np.int64)
     nib = np.stack([body >> 4, body & 0x0F],
                    axis=-1).reshape(nb, -1)          # high nibble first
+    # clamp the header-declared count to what the block can physically
+    # hold: a corrupt/malicious wSamplesPerBlock=65535 with a tiny
+    # block_align must not force an allocation thousands of times the
+    # payload size (mirrors the n_out = min(...) guard in
+    # decode_ima_blocks)
+    max_spb = (block_align - hdr_bytes) * 2 // channels + 2
+    samples_per_block = max(2, min(samples_per_block, max_spb))
     n_nib_per_ch = (samples_per_block - 2)
     out = np.empty((nb, samples_per_block, channels), dtype=np.int64)
     out[:, 0, :] = s2                                 # s2 is the OLDER
@@ -379,9 +386,17 @@ def _riff_wrap(fmt_body: bytes, n_samples: int, data: bytes) -> bytes:
 
 def decode_adpcm_wav_data(code: int, data: bytes, fmt_body: bytes,
                           channels: int, block_align: int,
-                          n_samples: int | None) -> np.ndarray:
+                          n_samples: int | None,
+                          extensible: bool = False) -> np.ndarray:
     """Dispatch parsed WAV chunks (from ``decode_wav``) to the right
-    block decoder; trims to the ``fact`` sample count when present."""
+    block decoder; trims to the ``fact`` sample count when present.
+
+    ``extensible`` marks a WAVE_FORMAT_EXTENSIBLE fmt chunk whose
+    SubFormat GUID was unwrapped to ``code``: there the Samples union
+    at bytes 18-19 is still wSamplesPerBlock, but bytes 20+ are
+    dwChannelMask + the GUID — NOT an inline MSADPCM coefficient
+    table — so the coef parse must be skipped (standard MS_COEFS
+    apply) rather than reading channel-mask bytes as coefficients."""
     if code == 0x11:
         spb = (block_align - 4 * channels) * 2 // channels + 1
         if len(fmt_body) >= 20:
@@ -390,8 +405,9 @@ def decode_adpcm_wav_data(code: int, data: bytes, fmt_body: bytes,
     elif code == 0x02:
         spb = (block_align - 7 * channels) * 2 // channels + 2
         coefs = None
-        if len(fmt_body) >= 22:
+        if len(fmt_body) >= 20:
             spb = struct.unpack("<H", fmt_body[18:20])[0] or spb
+        if not extensible and len(fmt_body) >= 22:
             ncoef = struct.unpack("<H", fmt_body[20:22])[0]
             if ncoef and len(fmt_body) >= 22 + 4 * ncoef:
                 coefs = np.array(

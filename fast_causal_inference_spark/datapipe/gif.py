@@ -295,3 +295,125 @@ def decode_gif(payload: bytes) -> np.ndarray:
         out[top:y1, left:x1] = img[:y1 - top, :x1 - left]
         return out
     raise ValueError("GIF stream ended without a trailer or image")
+
+
+# ---------------------------------------------------------------------------
+# TIFF-variant LZW (compression 5) — the same algorithm with MSB-first
+# bit packing and the TIFF 6.0 "early change" width rule (the code
+# width grows one code EARLIER than GIF: at table size 511/1023/2047).
+# Kept here beside the GIF core so the two variants stay in one place.
+# Ref behavior: TIFF 6.0 §13; reference repo has no TIFF path (decode
+# happens engine-side there) — this is a from-scratch implementation.
+# ---------------------------------------------------------------------------
+
+_TIFF_CLEAR = 256
+_TIFF_EOI = 257
+
+
+def _lzw_encode_tiff(data: bytes) -> bytes:
+    """TIFF LZW encoder: 8-bit symbols, ClearCode 256 / EOI 257,
+    MSB-first packing, early-change width bumps, table cleared at
+    entry 4094 (so no 12-bit code ever needs early-change to 13)."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, size: int):
+        nonlocal acc, nbits
+        acc = (acc << size) | code
+        nbits += size
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+            acc &= (1 << nbits) - 1
+
+    code_size = 9
+    table: dict[tuple[int, int], int] = {}
+    next_code = _TIFF_EOI + 1
+    emit(_TIFF_CLEAR, code_size)
+    it = iter(data)
+    try:
+        cur = next(it)
+    except StopIteration:
+        emit(_TIFF_EOI, code_size)
+        if nbits:
+            out.append((acc << (8 - nbits)) & 0xFF)
+        return bytes(out)
+    for k in it:
+        key = (cur, k)
+        if key in table:
+            cur = table[key]
+            continue
+        emit(cur, code_size)
+        table[key] = next_code
+        next_code += 1
+        # early change: the encoder bumps when the NEXT code to add
+        # reaches 2^size (GIF waits one more); clear at 4094
+        if next_code == 4094:
+            emit(_TIFF_CLEAR, code_size)
+            table.clear()
+            code_size = 9
+            next_code = _TIFF_EOI + 1
+        elif next_code == (1 << code_size) and code_size < 12:
+            code_size += 1
+        cur = k
+    emit(cur, code_size)
+    emit(_TIFF_EOI, code_size)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode_tiff(data: bytes, n_bytes: int) -> bytes:
+    """TIFF LZW decoder, mirror of :func:`_lzw_encode_tiff` — the
+    decoder lags the encoder by one table entry, so its early-change
+    threshold is 2^size - 1 (511/1023/2047)."""
+    base = {i: bytes([i]) for i in range(256)}
+    table = dict(base)
+    code_size = 9
+    next_code = _TIFF_EOI + 1
+    out = bytearray()
+    prev: int | None = None
+    acc = 0
+    nbits = 0
+    at = 0
+    n = len(data)
+    while len(out) < n_bytes:
+        while nbits < code_size:
+            if at >= n:
+                raise ValueError("truncated TIFF LZW stream")
+            acc = (acc << 8) | data[at]
+            at += 1
+            nbits += 8
+        code = (acc >> (nbits - code_size)) & ((1 << code_size) - 1)
+        nbits -= code_size
+        acc &= (1 << nbits) - 1
+        if code == _TIFF_CLEAR:
+            table = dict(base)
+            code_size = 9
+            next_code = _TIFF_EOI + 1
+            prev = None
+            continue
+        if code == _TIFF_EOI:
+            break
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                raise ValueError(
+                    "TIFF LZW stream starts with unknown code")
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:              # the KwKwK case
+            entry = table[prev] + table[prev][:1]
+        else:
+            raise ValueError("corrupt TIFF LZW code")
+        out += entry
+        if prev is not None and next_code < 4094:
+            table[next_code] = table[prev] + entry[:1]
+            next_code += 1
+            if next_code == (1 << code_size) - 1 and code_size < 12:
+                code_size += 1
+        prev = code
+    if len(out) < n_bytes:
+        raise ValueError("TIFF LZW data ends before the strip is full")
+    return bytes(out[:n_bytes])

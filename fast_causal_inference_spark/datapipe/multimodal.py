@@ -439,39 +439,89 @@ def _packbits_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def encode_tiff(arr: np.ndarray, packbits: bool = False) -> bytes:
+def _hdiff_encode(raw: bytes, h: int, w: int, spp: int) -> bytes:
+    """TIFF predictor 2 (horizontal differencing), forward direction:
+    each sample minus the previous sample of the SAME channel in the
+    row."""
+    a = np.frombuffer(raw, np.uint8).reshape(h, w, spp).astype(np.int64)
+    d = a.copy()
+    d[:, 1:, :] = (a[:, 1:, :] - a[:, :-1, :]) & 0xFF
+    return d.astype(np.uint8).tobytes()
+
+
+def encode_tiff(arr: np.ndarray, packbits: bool = False,
+                lzw: bool = False, predictor: bool = False,
+                planar: bool = False) -> bytes:
     """Encode (h, w, 3) uint8 RGB (or (h, w) grayscale) as a
-    little-endian TIFF — uncompressed or PackBits, one strip."""
+    little-endian TIFF — uncompressed, PackBits, or LZW
+    (compression 5, optionally with horizontal-differencing
+    predictor 2); ``planar=True`` writes PlanarConfiguration 2
+    (one strip per sample plane)."""
     a = np.asarray(arr, dtype=np.uint8)
     gray = a.ndim == 2
     h, w = a.shape[:2]
     spp = 1 if gray else 3
-    raw = a.tobytes()
-    data = _packbits_encode(raw) if packbits else raw
+    planar = planar and spp > 1
+    if lzw:
+        from .gif import _lzw_encode_tiff
+        comp, compress = 5, _lzw_encode_tiff
+    elif packbits:
+        comp, compress = 32773, _packbits_encode
+    else:
+        comp, compress = 1, bytes
+    if planar:
+        raws = [np.ascontiguousarray(a[:, :, c]).tobytes()
+                for c in range(spp)]
+        strip_spp = 1
+    else:
+        raws = [a.tobytes()]
+        strip_spp = spp
+    if predictor:
+        raws = [_hdiff_encode(r, h, w, strip_spp) for r in raws]
+    strips = [compress(r) for r in raws]
     # IFD after the 8-byte header; strip data after the IFD
     tags = [
         (256, 3, 1, w), (257, 3, 1, h),
-        (259, 3, 1, 32773 if packbits else 1),
+        (259, 3, 1, comp),
         (262, 3, 1, 1 if gray else 2),     # BlackIsZero / RGB
         (277, 3, 1, spp),
         (278, 3, 1, h),                    # rows per strip
-        (279, 4, 1, len(data)),
     ]
-    # BitsPerSample: SHORT count=spp — for RGB the 3 shorts don't fit
-    # in the 4-byte value field, so they go out-of-line
-    n_tags = len(tags) + 2                 # + BitsPerSample + offsets
+    if predictor:
+        tags.append((317, 3, 1, 2))
+    if planar:
+        tags.append((284, 3, 1, 2))
+    # out-of-line value areas: BitsPerSample (RGB), strip offset /
+    # byte-count arrays (planar writes one strip per plane)
+    n_tags = len(tags) + 3                 # + BitsPerSample + 273/279
     ifd_at = 8
     ifd_size = 2 + 12 * n_tags + 4
     extra_at = ifd_at + ifd_size
     extra = b""
     if gray:
-        bps_entry = (258, 3, 1, 8)
+        tags.append((258, 3, 1, 8))
     else:
-        bps_entry = (258, 3, 3, extra_at)
+        tags.append((258, 3, 3, extra_at))
         extra = struct.pack("<HHH", 8, 8, 8) + b"\x00" * 2
-    data_at = extra_at + len(extra)
-    tags.append(bps_entry)
-    tags.append((273, 4, 1, data_at))      # strip offset
+    ns = len(strips)
+    counts = [len(s) for s in strips]
+    if ns == 1:
+        data_at = extra_at + len(extra)
+        tags.append((273, 4, 1, data_at))
+        tags.append((279, 4, 1, counts[0]))
+    else:
+        # two LONG arrays out-of-line, then the strip data
+        arr_at = extra_at + len(extra)
+        data_at = arr_at + 8 * ns
+        offs = []
+        at = data_at
+        for c in counts:
+            offs.append(at)
+            at += c
+        tags.append((273, 4, ns, arr_at))
+        tags.append((279, 4, ns, arr_at + 4 * ns))
+        extra += struct.pack(f"<{ns}I", *offs)
+        extra += struct.pack(f"<{ns}I", *counts)
     tags.sort()
     out = struct.pack("<2sHI", b"II", 42, ifd_at)
     out += struct.pack("<H", n_tags)
@@ -482,14 +532,15 @@ def encode_tiff(arr: np.ndarray, packbits: bool = False) -> bytes:
         else:
             out += struct.pack("<I", val)
     out += struct.pack("<I", 0)            # no next IFD
-    return out + extra + data
+    return out + extra + b"".join(strips)
 
 
 def decode_tiff(payload: bytes) -> np.ndarray:
-    """Decode a baseline TIFF (both byte orders, uncompressed or
-    PackBits, 8-bit grayscale / RGB / palette, multi-strip) into an
-    (h, w, 3) uint8 RGB array.  LZW/JPEG-in-TIFF and other
-    compressions raise ``NotImplementedError``."""
+    """Decode a baseline TIFF (both byte orders; uncompressed,
+    PackBits, or LZW with optional horizontal-differencing
+    predictor 2; 8-bit grayscale / RGB / palette; chunky or planar;
+    multi-strip) into an (h, w, 3) uint8 RGB array.  JPEG-in-TIFF and
+    other compressions raise ``NotImplementedError``."""
     if payload[:4] == b"II\x2a\x00":
         bo = "<"
     elif payload[:4] == b"MM\x00\x2a":
@@ -532,10 +583,20 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     bps = values(258, [8])
     if any(b != 8 for b in bps):
         raise NotImplementedError("only 8-bit TIFF samples supported")
-    if comp not in (1, 32773):
+    if comp not in (1, 5, 32773):
         raise NotImplementedError(
             f"TIFF compression {comp} needs a codec library "
-            "(uncompressed and PackBits decode in-container)")
+            "(uncompressed, LZW and PackBits decode in-container)")
+    pred = one(317, 1)
+    if pred not in (1, 2):
+        raise NotImplementedError(
+            f"TIFF predictor {pred} not supported (1 and 2 are)")
+    planar = one(284, 1)
+    if planar not in (1, 2):
+        raise ValueError(f"TIFF: invalid PlanarConfiguration {planar}")
+    # PlanarConfiguration 2: one set of strips PER SAMPLE PLANE, each
+    # strip holding 1 sample/pixel; reassembled by plane transpose
+    strip_spp = 1 if (planar == 2 and spp > 1) else spp
     offsets = values(273)
     counts = values(279)
     rps = one(278, h)
@@ -545,16 +606,28 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     raw = bytearray()
     for off, cnt in zip(offsets, counts):
         rows = min(rps, h - rows_done)
-        expect = rows * w * spp
+        expect = rows * w * strip_spp
         strip = payload[off:off + cnt]
         if comp == 32773:
             raw += _packbits_decode(strip, expect)
+        elif comp == 5:
+            from .gif import _lzw_decode_tiff
+            raw += _lzw_decode_tiff(strip, expect)
         else:
             if len(strip) < expect:
                 raise ValueError("TIFF: strip short of row data")
             raw += strip[:expect]
         rows_done += rows
+        if rows_done >= h:
+            rows_done = 0                  # next plane (planar == 2)
     a = np.frombuffer(bytes(raw), np.uint8, h * w * spp)
+    if planar == 2 and spp > 1:
+        a = np.ascontiguousarray(
+            a.reshape(spp, h, w).transpose(1, 2, 0)).reshape(-1)
+    if pred == 2:
+        # undo horizontal differencing: per-channel cumsum along x
+        d = a.reshape(h, w, spp).astype(np.int64)
+        a = (np.cumsum(d, axis=1) & 0xFF).astype(np.uint8).reshape(-1)
     if spp == 3:
         rgb = a.reshape(h, w, 3)
         if photo != 2:
@@ -671,6 +744,7 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     fmt_body = b""
     data = None
     fact_samples = None
+    fmt_extensible = False
     while pos + 8 <= len(payload):
         cid = payload[pos:pos + 4]
         sz = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
@@ -682,6 +756,7 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
             # bytes of the 16-byte SubFormat GUID in the extension
             if fmt[0] == 0xFFFE and sz >= 40:
                 fmt = (struct.unpack("<H", body[24:26])[0],) + fmt[1:]
+                fmt_extensible = True
         elif cid == b"data":
             data = body
         elif cid == b"fact" and sz >= 4:
@@ -729,7 +804,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         if block_align <= 0:
             raise ValueError("corrupt ADPCM WAV: zero block align")
         x = decode_adpcm_wav_data(code, data, fmt_body, ch,
-                                  block_align, fact_samples)
+                                  block_align, fact_samples,
+                                  extensible=fmt_extensible)
         x = x.astype(np.int64).reshape(-1)         # already interleaved
     else:
         raise NotImplementedError(

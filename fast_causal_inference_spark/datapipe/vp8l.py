@@ -387,8 +387,13 @@ def _predict(mode: int, L, T, TL, TR):
     if mode == 12:
         return np.clip(L.astype(np.int32) + T - TL, 0, 255)
     if mode == 13:
+        # ClampAddSubtractHalf: libwebp computes a + (a - b) / 2 with C
+        # integer division (truncation toward zero), which differs from
+        # Python floor division for negative odd (ave - TL); e.g.
+        # ave=10, TL=13 -> libwebp 9, floor-division would give 8.
         ave = _avg2(L, T)
-        return np.clip(ave + (ave - TL.astype(np.int32)) // 2, 0, 255)
+        d = ave - TL.astype(np.int32)
+        return np.clip(ave + np.sign(d) * (np.abs(d) // 2), 0, 255)
     raise ValueError(f"VP8L: invalid predictor mode {mode}")
 
 

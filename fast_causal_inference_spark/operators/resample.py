@@ -384,3 +384,117 @@ def permutation(df: DataFrame, expr: str, index: str,
         "n_permutations": len(valid),
         "perm_mean": float(valid.mean()), "perm_std": float(valid.std(ddof=1)),
     }])
+
+
+def permutation_alt(df: DataFrame, expr: str, permutation_num: int = 100,
+                    seed: int = 42, mde: float = 0.0, mde_type: int = 1,
+                    alpha: float = 0.05) -> pd.DataFrame:
+    """Reference-parity ``Permutation`` semantics with an injected effect.
+
+    ``AggregateFunctionPermutation.h:231-276``: EVERY replicate draws a
+    FRESH iid Bernoulli(1/2) treatment column and the mde shift is applied
+    to the data with THAT replicate's labels — additive x + mde·t
+    (mde_type 0) or multiplicative x·(1 + mde·t) (mde_type 1) — so each
+    replicate's between-arm difference is a draw from the ALTERNATIVE
+    (power) distribution, not the permutation null.  This differs from
+    :func:`permutation`, which holds labels fixed and permutes them (the
+    classic sharp-null test).
+
+    Because the same label draws with NO shift are exactly draws from the
+    iid-relabeling null, one pass yields BOTH distributions: the shift is a
+    closed-form adjustment of the treated-arm sufficient statistics
+    (mean₁ += mde for additive, mean₁ ×= (1+mde) for multiplicative, applied
+    to the metric's first base aggregate, which is the column the reference
+    UDAF shifts).
+
+    Scale: one ``mapInPandas`` pass emits B×P tiny stat rows (per-replicate
+    treated counts + Σx); no B-fold row explosion, one data scan total.
+    """
+    from pyspark import TaskContext
+
+    from fast_causal_inference_spark.serialization import (
+        ensure_udf_serializable,
+    )
+
+    node, base = parse_formula(expr)
+    k = len(base)
+    bcols = [f"__b{i}" for i in range(k)]
+    notnull = None
+    for c in bcols:
+        nn = F.col(c).isNotNull()
+        notnull = nn if notnull is None else (notnull & nn)
+    sub = (df.select(*[F.expr(e).cast("double").alias(f"__b{i}")
+                       for i, e in enumerate(base)])
+             .where(notnull).cache())
+    tot_row = sub.agg(F.count(F.lit(1)).alias("n"),
+                      *[F.sum(c).alias(f"t{i}")
+                        for i, c in enumerate(bcols)]).collect()[0]
+    n = int(tot_row["n"] or 0)
+    if n == 0:
+        raise ValueError("permutation_alt: empty input")
+    tot = np.array([float(tot_row[f"t{i}"]) for i in range(k)])
+    B = int(permutation_num)
+    schema = ("replica_id long, n double, "
+              + ", ".join(f"s{i} double" for i in range(k)))
+
+    def _draw(batches):
+        pid = TaskContext.get().partitionId()
+        chunks = [c for c in batches]
+        if not chunks:
+            return
+        X = np.concatenate([c[bcols].to_numpy(dtype=float)
+                            for c in chunks])
+        m = len(X)
+        rng = np.random.default_rng([seed, pid])
+        R = rng.random((m, B)) < 0.5           # fresh labels PER replicate
+        out = {"replica_id": np.arange(B, dtype=np.int64),
+               "n": R.sum(axis=0).astype(float)}
+        S = X.T @ R                             # (k, B) treated sums
+        for i in range(k):
+            out[f"s{i}"] = S[i]
+        yield pd.DataFrame(out)
+
+    ensure_udf_serializable()
+    reps = (sub.mapInPandas(_draw, schema)
+               .groupBy("replica_id")
+               .agg(F.sum("n").alias("n"),
+                    *[F.sum(f"s{i}").alias(f"s{i}") for i in range(k)])
+               .collect())
+    sub.unpersist()
+    null_d = np.full(B, np.nan)
+    alt_d = np.full(B, np.nan)
+    for r in reps:
+        j = int(r["replica_id"])
+        n1 = float(r["n"])
+        n0 = n - n1
+        if n1 <= 0 or n0 <= 0:
+            continue
+        s1 = np.array([float(r[f"s{i}"]) for i in range(k)])
+        mu0 = list((tot - s1) / n0)
+        try:
+            d0 = float(node.value(list(s1 / n1))) - float(node.value(mu0))
+            s1s = s1.copy()
+            if mde_type == 0:
+                s1s[0] += mde * n1              # avg(x+mde·t): mean₁+mde
+            else:
+                s1s[0] *= (1.0 + mde)           # avg(x·(1+mde·t))
+            d1 = float(node.value(list(s1s / n1))) - float(node.value(mu0))
+        except ZeroDivisionError:
+            continue
+        null_d[j], alt_d[j] = d0, d1
+    ok = np.isfinite(null_d) & np.isfinite(alt_d)
+    if not ok.any():
+        raise ValueError("every permutation replicate was degenerate")
+    null_v, alt_v = null_d[ok], alt_d[ok]
+    observed = float(alt_v.mean())
+    crit = float(np.quantile(np.abs(null_v), 1.0 - alpha))
+    return pd.DataFrame([{
+        "observed_diff": observed,
+        "p_value": float((np.abs(null_v) >= abs(observed)).mean()),
+        "n_permutations": int(ok.sum()),
+        "perm_mean": float(null_v.mean()),
+        "perm_std": float(null_v.std(ddof=1)) if ok.sum() > 1 else 0.0,
+        "alt_std": float(alt_v.std(ddof=1)) if ok.sum() > 1 else 0.0,
+        "power": float((np.abs(alt_v) >= crit).mean()),
+        "mde": float(mde), "mde_type": int(mde_type),
+    }])

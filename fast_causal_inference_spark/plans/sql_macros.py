@@ -644,24 +644,26 @@ def _dispatch(fn: str, df: DataFrame, pos: list, kw: dict,
             mde_type = int(pos[3]) if len(pos) > 3 else 1
             from pyspark.sql import functions as F
 
-            work = df
-            if t_expr.strip() == "TREATMENT":
-                # random labels, as the reference UDAF draws them
-                work = df.withColumn(
-                    "__perm_t", (F.rand(42) < 0.5).cast("int"))
-                t_expr = "__perm_t"
             if mde:
-                # reference parity (AggregateFunctionPermutation.h:
-                # 270-276): the mde shifts the DATA using the fixed
-                # labels — additive x + mde·t (type 0) or
-                # multiplicative x·(1 + mde·t) (type 1) — and the
-                # permutation test then runs on the shifted data, so
-                # the observed difference grows while the permuted
-                # null distribution does not
-                metric = _shift_first_avg(metric, t_expr, mde,
-                                          mde_type)
-            out = resample.permutation(work, metric, t_expr,
-                                       permutation_num=pnum)
+                # true reference parity (AggregateFunctionPermutation
+                # .h:231-276): EVERY replicate draws a FRESH
+                # Bernoulli(1/2) treatment column and shifts the data
+                # with THAT replicate's labels — additive x + mde·t
+                # (type 0) or multiplicative x·(1 + mde·t) (type 1) —
+                # so the B replicate differences form the alternative
+                # (power) distribution, not a fixed-label null
+                out = resample.permutation_alt(
+                    df, metric, permutation_num=pnum, mde=mde,
+                    mde_type=mde_type)
+            else:
+                work = df
+                if t_expr.strip() == "TREATMENT":
+                    # random labels, as the reference UDAF draws them
+                    work = df.withColumn(
+                        "__perm_t", (F.rand(42) < 0.5).cast("int"))
+                    t_expr = "__perm_t"
+                out = resample.permutation(work, metric, t_expr,
+                                           permutation_num=pnum)
         else:
             out = resample.permutation(df, inner, str(pos[1]),
                                        permutation_num=int(pos[2])
@@ -736,30 +738,3 @@ def _dispatch(fn: str, df: DataFrame, pos: list, kw: dict,
                               group_cols=group_cols)
         return df.sparkSession.createDataFrame(out)
     raise ValueError(f"unknown macro {fn!r}")
-
-
-def _shift_first_avg(metric: str, t_col: str, mde: float,
-                     mde_type: int) -> str:
-    """Inject the reference's mde shift into the FIRST ``avg(...)`` of a
-    metric formula: its argument x becomes ``x + mde*t`` (mde_type 0)
-    or ``x*(1 + mde*t)`` (mde_type 1) — the reference UDAF shifts only
-    the first data column (AggregateFunctionPermutation.h:272,276)."""
-    m = re.search(r"(?is)avg\s*\(", metric)
-    if not m:
-        return metric
-    start = m.end()
-    depth = 1
-    i = start
-    while i < len(metric) and depth:
-        if metric[i] == "(":
-            depth += 1
-        elif metric[i] == ")":
-            depth -= 1
-        i += 1
-    inner = metric[start:i - 1]
-    t = f"(CASE WHEN ({t_col}) = 1 THEN 1.0 ELSE 0.0 END)"
-    if mde_type == 0:
-        shifted = f"(({inner}) + {mde} * {t})"
-    else:
-        shifted = f"(({inner}) * (1 + {mde} * {t}))"
-    return metric[:m.start()] + f"avg({shifted})" + metric[i:]

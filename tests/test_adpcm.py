@@ -203,3 +203,60 @@ def test_corrupt_adpcm_raises():
     broken = wav[:ba] + b"\x00\x00" + wav[ba + 2:]
     with pytest.raises(ValueError, match="block align"):
         decode_wav(broken)
+
+
+# ------------------------------------------------- round 10 additions
+
+def test_extensible_msadpcm_skips_channelmask_as_coef_table():
+    """A WAVE_FORMAT_EXTENSIBLE MS-ADPCM fmt chunk has
+    dwChannelMask + SubFormat GUID at bytes 20+, NOT an inline
+    coefficient table — the decoder must fall back to the standard
+    MS_COEFS instead of reading mask bytes as coefficients."""
+    import struct
+
+    from fast_causal_inference_spark.datapipe.adpcm import (
+        _riff_wrap,
+        encode_ms_blocks,
+        encode_wav_ms,
+    )
+    from fast_causal_inference_spark.datapipe.multimodal import (
+        decode_wav,
+    )
+
+    x = (np.arange(400, dtype=np.int64) * 7 - 300).astype(np.int16)
+    block_align = 256
+    spb = (block_align - 7) * 2 + 2
+    data, _ = encode_ms_blocks(x[:, None], block_align)
+    # EXTENSIBLE wrapper: cbSize=22, Samples union = wSamplesPerBlock,
+    # dwChannelMask whose low bytes would parse as ncoef=3 garbage,
+    # SubFormat GUID starting with the real code 0x0002
+    ext = struct.pack("<HHI", 22, spb, 0x00000003) \
+        + struct.pack("<H", 0x02) + b"\x00" * 14
+    fmt = struct.pack("<HHIIHH", 0xFFFE, 1, 8000,
+                      8000 * block_align // spb, block_align, 4) + ext
+    wav_ext = _riff_wrap(fmt, len(x), data)
+    y_ext, rate = decode_wav(wav_ext)
+    y_std, _ = decode_wav(encode_wav_ms(x, 8000, block_align))
+    assert rate == 8000
+    assert np.array_equal(y_ext, y_std)
+    # arithmetic ramps round-trip exactly under predictor 1
+    assert np.array_equal(y_std[:len(x)], x.astype(y_std.dtype))
+
+
+def test_ms_decode_clamps_declared_samples_per_block():
+    """A malicious wSamplesPerBlock=65535 with a tiny block_align must
+    not force an allocation thousands of times the payload size."""
+    from fast_causal_inference_spark.datapipe.adpcm import (
+        decode_ms_blocks,
+        encode_ms_blocks,
+    )
+
+    x = (np.arange(100, dtype=np.int64) * 11 - 50).astype(np.int16)
+    block_align = 16                       # capacity (16-7)*2+2 = 20
+    data, _ = encode_ms_blocks(x[:, None], block_align)
+    nb = len(data) // block_align
+    out = decode_ms_blocks(data, block_align, 1, 65535)
+    assert out.shape[0] == nb * 20         # clamped to block capacity
+    # honest header still decodes identically
+    good = decode_ms_blocks(data, block_align, 1, 20)
+    assert np.array_equal(out, good)

@@ -470,3 +470,53 @@ def test_boot_strap_weight_mass(spark, events):
                       seed=3).toPandas()
     full = events.limit(20000).agg(F.avg("value")).collect()[0][0]
     assert abs(reps.value.mean() - full) < 0.5
+
+
+def test_permutation_alt_reference_semantics(spark, ab_df):
+    """Reference parity (AggregateFunctionPermutation.h:231-276):
+    every replicate draws FRESH Bernoulli(1/2) labels and shifts with
+    them.  For an avg metric with additive mde the replicate's
+    alternative diff is EXACTLY its null diff + mde, so
+    observed_diff == perm_mean + mde; the null distribution is
+    centered on 0; a large shift yields power ~ 1 and p ~ 0."""
+    from fast_causal_inference_spark.operators.resample import (
+        permutation_alt,
+    )
+
+    out = permutation_alt(ab_df, "avg(x1)", permutation_num=60,
+                          seed=5, mde=3.0, mde_type=0)
+    r = out.iloc[0]
+    assert r["n_permutations"] == 60
+    assert r["observed_diff"] == pytest.approx(r["perm_mean"] + 3.0)
+    assert abs(r["perm_mean"]) < 0.5          # null centered near 0
+    assert r["p_value"] < 0.1
+    assert r["power"] > 0.9
+    # multiplicative: each replicate scales ITS OWN treated mean
+    outm = permutation_alt(ab_df, "avg(abs(x1) + 10)",
+                           permutation_num=60, seed=5, mde=2.0,
+                           mde_type=1)
+    rm = outm.iloc[0]
+    # avg(abs(x1)+10) is ~10.8 -> shift ~ 2 x 10.8, diff far from null
+    assert rm["observed_diff"] > 15
+    assert rm["power"] > 0.9
+    # mde=0 collapses the two distributions
+    out0 = permutation_alt(ab_df, "avg(x1)", permutation_num=40,
+                           seed=5, mde=0.0)
+    r0 = out0.iloc[0]
+    assert r0["observed_diff"] == pytest.approx(r0["perm_mean"])
+    assert r0["alt_std"] == pytest.approx(r0["perm_std"])
+
+
+def test_permutation_alt_determinism_and_ratio_metric(spark, ab_df):
+    from fast_causal_inference_spark.operators.resample import (
+        permutation_alt,
+    )
+
+    a = permutation_alt(ab_df, "avg(numerator)/avg(denominator)",
+                        permutation_num=25, seed=11, mde=0.5,
+                        mde_type=1)
+    b = permutation_alt(ab_df, "avg(numerator)/avg(denominator)",
+                        permutation_num=25, seed=11, mde=0.5,
+                        mde_type=1)
+    pd.testing.assert_frame_equal(a, b)       # same seed, same draws
+    assert a.iloc[0]["n_permutations"] == 25

@@ -131,11 +131,16 @@ def test_palette_and_white_is_zero():
 def test_unsupported_and_corrupt_raise():
     img = RNG.integers(0, 256, (4, 4, 3), dtype=np.uint8)
     p = bytearray(encode_tiff(img))
-    # LZW compression code 5 -> NotImplementedError
+    # JPEG-in-TIFF compression code 7 -> NotImplementedError (LZW
+    # decodes for real since round 10)
     i = p.find(struct.pack("<HH", 259, 3))
-    p2 = bytes(p[:i + 8]) + struct.pack("<HH", 5, 0) + bytes(p[i + 12:])
-    with pytest.raises(NotImplementedError, match="compression 5"):
+    p2 = bytes(p[:i + 8]) + struct.pack("<HH", 7, 0) + bytes(p[i + 12:])
+    with pytest.raises(NotImplementedError, match="compression 7"):
         decode_tiff(p2)
+    # compression 5 with a non-LZW payload is corrupt, not silent
+    p5 = bytes(p[:i + 8]) + struct.pack("<HH", 5, 0) + bytes(p[i + 12:])
+    with pytest.raises(ValueError):
+        decode_tiff(p5)
     with pytest.raises(ValueError):
         decode_tiff(b"II\x2a\x00\xff\xff\xff\xff")    # bad IFD offset
     with pytest.raises(ValueError):
@@ -154,3 +159,80 @@ def test_probe_reports_tiff_dims():
     r = probe_payload(encode_tiff(img))
     assert r["container"] == "tiff"
     assert (r["width"], r["height"]) == (34, 21)
+
+
+# ------------------------------------------------- round 10 additions
+# LZW (compression 5) with the TIFF early-change rule, predictor 2
+# (horizontal differencing), and PlanarConfiguration 2.
+
+def test_lzw_roundtrip_rgb_gray_predictor():
+    rng = np.random.default_rng(7)
+    imgs = [rng.integers(0, 256, (21, 17, 3), dtype=np.uint8),
+            rng.integers(0, 4, (33, 40), dtype=np.uint8) * 80,
+            (np.add.outer(np.arange(64), np.arange(90)) % 256
+             ).astype(np.uint8)]
+    for img in imgs:
+        for pred in (False, True):
+            p = encode_tiff(img, lzw=True, predictor=pred)
+            out = decode_image(p)
+            exp = img if img.ndim == 3 else np.repeat(
+                img[:, :, None], 3, 2)
+            assert np.array_equal(out, exp), (img.shape, pred)
+    # smooth gradients + predictor must actually compress
+    grad = (np.add.outer(np.arange(100), np.arange(120)) % 256
+            ).astype(np.uint8)
+    assert len(encode_tiff(grad, lzw=True, predictor=True)) \
+        < grad.size // 2
+
+
+def test_lzw_early_change_boundary_fixture():
+    """Hand-packed MSB-first stream crossing the 9->10-bit boundary at
+    table size 511 (the TIFF early-change rule).  A GIF-style late
+    decoder (bump at 512) would misread the 255th literal."""
+    from fast_causal_inference_spark.datapipe.gif import (
+        _lzw_decode_tiff,
+    )
+
+    vals = [(i * 3) % 256 for i in range(255)]
+    acc, nbits, out = 0, 0, bytearray()
+
+    def put(code, width):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+            acc &= (1 << nbits) - 1
+
+    put(256, 9)                              # clear
+    for v in vals[:254]:                     # 9-bit literals; after the
+        put(v, 9)                            # 254th, next_code == 511
+    put(vals[254], 10)                       # -> 10-bit reads
+    put(257, 10)                             # EOI
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    assert list(_lzw_decode_tiff(bytes(out), 255)) == vals
+
+
+def test_planar_configuration_rgb():
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (14, 9, 3), dtype=np.uint8)
+    for kw in ({}, {"packbits": True}, {"lzw": True},
+               {"lzw": True, "predictor": True}):
+        p = encode_tiff(img, planar=True, **kw)
+        assert np.array_equal(decode_image(p), img), kw
+    # the planar flag really is in the container (tag 284 == 2)
+    p = encode_tiff(img, planar=True)
+    assert b"\x1c\x01" in p                  # tag 284 little-endian
+
+
+def test_unsupported_predictor_raises():
+    img = np.zeros((4, 4), dtype=np.uint8)
+    p = bytearray(encode_tiff(img, lzw=True, predictor=True))
+    # patch predictor tag value 2 -> 3 (floating point)
+    at = p.find(struct.pack("<HH", 317, 3))
+    assert at > 0
+    struct.pack_into("<H", p, at + 8, 3)
+    with pytest.raises(NotImplementedError, match="predictor 3"):
+        decode_image(bytes(p))

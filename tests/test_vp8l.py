@@ -275,3 +275,135 @@ def test_probe_still_reads_vp8l_header():
     r = probe_payload(encode_webp_lossless(img))
     assert (r["container"], r["codec"]) == ("webp", "vp8l")
     assert (r["width"], r["height"]) == (33, 21)
+
+
+# ------------------------------------------------ predictor fixtures
+# Round 10 (ADVICE high): mode 13 (ClampAddSubtractHalf) must use C
+# integer division (truncation toward zero) like libwebp, not Python
+# floor division.  These fixtures hand-build constant-mode predictor
+# streams whose residuals are computed by an INDEPENDENT scalar
+# reimplementation of the libwebp predictor semantics, so the decoder
+# is pinned against the spec rather than against itself.
+
+def _ref_predict(mode, L, T, TL, TR):
+    """Scalar libwebp predictor reference (lossless.c semantics)."""
+    def avg2(a, b):
+        return [(x + y) // 2 for x, y in zip(a, b)]
+    if mode == 0:
+        return [255, 0, 0, 0]
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return avg2(avg2(L, TR), T)
+    if mode == 6:
+        return avg2(L, TL)
+    if mode == 7:
+        return avg2(L, T)
+    if mode == 8:
+        return avg2(TL, T)
+    if mode == 9:
+        return avg2(T, TR)
+    if mode == 10:
+        return avg2(avg2(L, TL), avg2(T, TR))
+    if mode == 11:
+        pa = sum(abs(l - tl) for l, tl in zip(L, TL))
+        pb = sum(abs(t - tl) for t, tl in zip(T, TL))
+        return T if pa - pb <= 0 else L
+    if mode == 12:
+        return [min(255, max(0, l + t - tl))
+                for l, t, tl in zip(L, T, TL)]
+    if mode == 13:
+        out = []
+        for l, t, tl in zip(L, T, TL):
+            ave = (l + t) // 2
+            d = ave - tl
+            v = ave + (abs(d) // 2) * (1 if d >= 0 else -1)  # C trunc
+            out.append(min(255, max(0, v)))
+        return out
+    raise AssertionError(mode)
+
+
+def _encode_const_mode_stream(a, mode):
+    """Hand-build a VP8L payload: a predictor transform whose mode
+    sub-image is the constant ``mode``, residuals from _ref_predict."""
+    h, w = a.shape[:2]
+    size_bits = min(9, max(2, (max(w, h) - 1).bit_length()))
+    A = a.astype(np.int64)
+
+    def px(y, x):
+        return [int(A[y, x, 3]), int(A[y, x, 0]),
+                int(A[y, x, 1]), int(A[y, x, 2])]
+
+    res = np.zeros((h, w, 4), dtype=np.int64)
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = [255, 0, 0, 0]
+            elif y == 0:
+                pred = px(0, x - 1)
+            elif x == 0:
+                pred = px(y - 1, 0)
+            else:
+                L, T, TL = px(y, x - 1), px(y - 1, x), px(y - 1, x - 1)
+                TR = px(y, 0) if x == w - 1 else px(y - 1, x + 1)
+                pred = _ref_predict(mode, L, T, TL, TR)
+            res[y, x] = [(c - p) & 0xFF
+                         for c, p in zip(px(y, x), pred)]
+    resid = ((res[:, :, 0] << 24) | (res[:, :, 1] << 16)
+             | (res[:, :, 2] << 8) | res[:, :, 3]
+             ).astype(np.uint32).reshape(-1)
+    from fast_causal_inference_spark.datapipe.vp8l import (
+        _encode_image_stream,
+    )
+    wr = _LsbWriter()
+    wr.write_bits(w - 1, 14)
+    wr.write_bits(h - 1, 14)
+    wr.write_bits(int((a[:, :, 3] != 255).any()), 1)
+    wr.write_bits(0, 3)
+    wr.write_bits(1, 1)                      # transform present
+    wr.write_bits(0, 2)                      # predictor transform
+    wr.write_bits(size_bits - 2, 3)
+    bw, bh = -(-w // (1 << size_bits)), -(-h // (1 << size_bits))
+    _encode_image_stream(
+        wr, np.full(bw * bh, (0xFF << 24) | (mode << 8),
+                    dtype=np.uint32), bw, bh)
+    wr.write_bits(0, 1)                      # no more transforms
+    _encode_image_stream(wr, resid, w, h, is_level0=True)
+    return bytes([0x2F]) + wr.getvalue()
+
+
+@pytest.mark.parametrize("mode", list(range(14)))
+def test_all_predictor_modes_match_libwebp_reference(mode):
+    rng = np.random.default_rng(1000 + mode)
+    img = rng.integers(0, 256, (9, 11, 4), dtype=np.uint8)
+    out = decode_vp8l(_encode_const_mode_stream(img, mode))
+    assert np.array_equal(out, img), f"mode {mode}"
+
+
+def test_mode13_truncates_toward_zero():
+    """ave=10, TL=13 -> libwebp 9 (floor division would give 8)."""
+    from fast_causal_inference_spark.datapipe.vp8l import _predict
+    L = np.array([255, 10, 10, 10], dtype=np.int32)
+    T = np.array([255, 10, 10, 10], dtype=np.int32)
+    TL = np.array([255, 13, 13, 13], dtype=np.int32)
+    TR = np.zeros(4, dtype=np.int32)
+    assert list(_predict(13, L, T, TL, TR)) == [255, 9, 9, 9]
+    # positive d unchanged by the fix: ave=10, TL=7 -> 10 + 1 = 11
+    TLp = np.array([255, 7, 7, 7], dtype=np.int32)
+    assert list(_predict(13, L, T, TLp, TR)) == [255, 11, 11, 11]
+    # end-to-end: a stream hitting the negative-odd-d case decodes
+    # to the exact source pixels
+    img = np.zeros((2, 4, 4), dtype=np.uint8)
+    img[..., 3] = 255
+    img[0, :, :3] = [[13, 13, 13], [10, 10, 10], [20, 20, 20],
+                     [30, 30, 30]]
+    img[1, :, :3] = [[10, 10, 10], [9, 9, 9], [40, 40, 40],
+                     [5, 5, 5]]
+    out = decode_vp8l(_encode_const_mode_stream(img, 13))
+    assert np.array_equal(out, img)
