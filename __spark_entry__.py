@@ -3476,7 +3476,14 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims/color/length/amplitude from sha256 hex substrings of the text,
     so DuckDB can recompute every value — the decode kernels are
     genuinely end-to-end value-checked (pure-Python BMP/PNG/JPEG/GIF/
-    WAV/FLAC codecs; lossy mp3/mp4 decode still raises)."""
+    WAV/FLAC codecs; lossy mp3/mp4 decode still raises).
+
+    Round 10 adds four oracle-gated modalities (19 total, 47 rows/doc):
+    image_tiff (LZW + predictor-2 + planar round trip), audio_aiff and
+    audio_au (exact big-endian PCM-16 round trips), and audio_ima4
+    (Apple QuickTime IMA — constants at multiples of 128 are the exact
+    class; batched packet-vectorized encode/decode with every 16th doc
+    running the full AIFC container path)."""
     from fast_causal_inference_spark.datapipe.multimodal import (
         audio_stats,
         decode_audio,
@@ -3637,12 +3644,20 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the public media_probe parse.  One fused Arrow pass, same shape
     # as _codec_stats above.
     from fast_causal_inference_spark.datapipe.adpcm import (
+        decode_ima4_batch,
         decode_ima_batch,
         decode_ms_batch,
+        encode_ima4_batch,
         encode_ima_batch,
         encode_ms_batch,
         encode_wav_ima,
         encode_wav_ms,
+    )
+    from fast_causal_inference_spark.datapipe.multimodal import (
+        encode_aifc_ima4,
+        encode_aiff,
+        encode_au,
+        encode_tiff,
     )
     from fast_causal_inference_spark.datapipe.vp8l import (
         encode_webp_lossless,
@@ -3718,6 +3733,37 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                              float(arr.shape[0])))
                 rows.append((doc_id, "image_webp", "mean_pixel",
                              float(arr.astype(_np.float64).mean())))
+                # TIFF (round 10): the SAME hash-derived constant-color
+                # image through the new LZW (compression 5, early-
+                # change) + predictor-2 + PlanarConfiguration-2 path —
+                # losslessness makes every value the webp closed form
+                tif = decode_image(encode_tiff(
+                    _np.full((hv, wv, 3), cval, _np.uint8),
+                    lzw=True, predictor=True, planar=True))
+                rows.append((doc_id, "image_tiff", "width",
+                             float(tif.shape[1])))
+                rows.append((doc_id, "image_tiff", "height",
+                             float(tif.shape[0])))
+                rows.append((doc_id, "image_tiff", "mean_pixel",
+                             float(tif.astype(_np.float64).mean())))
+                # AIFF + AU (round 10): exact big-endian PCM-16 round
+                # trips of the SAME constant-amp derivation the WAV
+                # 'audio' rows use (rms == amp, losslessness end to end)
+                xa, _ = decode_audio(encode_aiff(
+                    _np.full(n_a, amp, dtype=_np.int16), 16000))
+                rows.append((doc_id, "audio_aiff", "n_samples",
+                             float(len(xa))))
+                rows.append((doc_id, "audio_aiff", "rms",
+                             float(_np.sqrt(_np.mean(
+                                 xa.astype(_np.float64) ** 2)))))
+                xu, _ = decode_audio(encode_au(
+                    _np.full(n_a, amp, dtype=_np.int16), 16000,
+                    encoding=3))
+                rows.append((doc_id, "audio_au", "n_samples",
+                             float(len(xu))))
+                rows.append((doc_id, "audio_au", "rms",
+                             float(_np.sqrt(_np.mean(
+                                 xu.astype(_np.float64) ** 2)))))
                 # ADPCM (round 9): two exact-representable signal
                 # classes make the LOSSY codecs value-checkable —
                 # IMA at step-index 0 encodes constants exactly
@@ -3738,27 +3784,39 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     int(hx[53:56], 16) % 20000,
                     int(hx[57:60], 16) % 1500 + 100,
                     int(hx[60:63], 16) % 8000 - 4000,
-                    int(hx[63], 16) % 7 - 3))
+                    int(hx[63], 16) % 7 - 3,
+                    # ima4 (round 10): constants at multiples of 128
+                    # are the exact class (step-index-0 holds, and the
+                    # 9-bit packet-header quantization is lossless)
+                    int(hx[50:53], 16) % 700 + 80,
+                    (int(hx[53:56], 16) % 256 - 128) * 128))
             # batched ADPCM pass over the whole Arrow batch
             ima_sigs = [_np.full(ni, ai, dtype=_np.int16)
-                        for _, ni, ai, _, _, _ in adpcm_meta]
+                        for _, ni, ai, *_ in adpcm_meta]
             ms_sigs = [(am + dm * _np.arange(nm)).astype(_np.int16)
-                       for _, _, _, nm, am, dm in adpcm_meta]
+                       for _, _, _, nm, am, dm, _, _ in adpcm_meta]
+            ima4_sigs = [_np.full(n4, a4, dtype=_np.int16)
+                         for *_, n4, a4 in adpcm_meta]
             ima_dec = decode_ima_batch(
                 encode_ima_batch(ima_sigs, 32), 32,
                 [len(s) for s in ima_sigs])
             ms_dec = decode_ms_batch(
                 encode_ms_batch(ms_sigs, 32), 32,
                 [len(s) for s in ms_sigs])
-            for i, (doc_id, ni, ai, nm, am, dm) in \
+            ima4_dec = decode_ima4_batch(
+                encode_ima4_batch(ima4_sigs),
+                [len(s) for s in ima4_sigs])
+            for i, (doc_id, ni, ai, nm, am, dm, n4, a4) in \
                     enumerate(adpcm_meta):
-                if i % 16 == 0:      # full WAV framing round trip
+                if i % 16 == 0:      # full container framing round trip
                     xi, _ = decode_audio(encode_wav_ima(
                         ima_sigs[i], 16000, block_align=32))
                     xm, _ = decode_audio(encode_wav_ms(
                         ms_sigs[i], 16000, block_align=32))
+                    x4, _ = decode_audio(encode_aifc_ima4(
+                        ima4_sigs[i], 16000))
                 else:
-                    xi, xm = ima_dec[i], ms_dec[i]
+                    xi, xm, x4 = ima_dec[i], ms_dec[i], ima4_dec[i]
                 rows.append((doc_id, "audio_adpcm_ima", "n_samples",
                              float(len(xi))))
                 rows.append((doc_id, "audio_adpcm_ima", "rms",
@@ -3769,6 +3827,11 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((doc_id, "audio_adpcm_ms", "sum_sq",
                              float(int((xm.astype(_np.int64) ** 2)
                                        .sum()))))
+                rows.append((doc_id, "audio_ima4", "n_samples",
+                             float(len(x4))))
+                rows.append((doc_id, "audio_ima4", "rms",
+                             float(_np.sqrt(_np.mean(
+                                 x4.astype(_np.float64) ** 2)))))
             yield _pd.DataFrame(
                 rows, columns=["doc_id", "modality", "feature", "value"])
 
@@ -3922,6 +3985,34 @@ SELECT doc_id, 'image_webp', 'height',
 UNION ALL
 SELECT doc_id, 'image_webp', 'mean_pixel',
        CAST(('0x' || substr(hx, 50, 1))::BIGINT * 17 AS DOUBLE) FROM h
+UNION ALL
+SELECT doc_id, 'image_tiff', 'width',
+       CAST(('0x' || substr(hx, 44, 3))::BIGINT % 16 + 1 AS DOUBLE) FROM h
+UNION ALL
+SELECT doc_id, 'image_tiff', 'height',
+       CAST(('0x' || substr(hx, 47, 3))::BIGINT % 16 + 1 AS DOUBLE) FROM h
+UNION ALL
+SELECT doc_id, 'image_tiff', 'mean_pixel',
+       CAST(('0x' || substr(hx, 50, 1))::BIGINT * 17 AS DOUBLE) FROM h
+UNION ALL
+SELECT doc_id, 'audio_aiff', 'n_samples',
+       CAST(('0x' || substr(hx, 11, 4))::BIGINT % 2000 + 100 AS DOUBLE) FROM h
+UNION ALL
+SELECT doc_id, 'audio_aiff', 'rms',
+       CAST(('0x' || substr(hx, 15, 4))::BIGINT % 30000 AS DOUBLE) FROM h
+UNION ALL
+SELECT doc_id, 'audio_au', 'n_samples',
+       CAST(('0x' || substr(hx, 11, 4))::BIGINT % 2000 + 100 AS DOUBLE) FROM h
+UNION ALL
+SELECT doc_id, 'audio_au', 'rms',
+       CAST(('0x' || substr(hx, 15, 4))::BIGINT % 30000 AS DOUBLE) FROM h
+UNION ALL
+SELECT doc_id, 'audio_ima4', 'n_samples',
+       CAST(('0x' || substr(hx, 51, 3))::BIGINT % 700 + 80 AS DOUBLE) FROM h
+UNION ALL
+SELECT doc_id, 'audio_ima4', 'rms',
+       CAST(ABS((('0x' || substr(hx, 54, 3))::BIGINT % 256 - 128) * 128)
+            AS DOUBLE) FROM h
 """
 
 

@@ -271,7 +271,12 @@ def main() -> None:
             except Exception as exc:
                 errors[name] = f"{type(exc).__name__}: {exc}"[:300]
                 print(f"ERROR {name}: {errors[name]}", file=sys.stderr)
-        spark.catalog.clearCache()
+            # round 10: release pinned caches after EVERY family (the
+            # sf1 block already did) so sf1/sf0.1 ratios measure data
+            # scaling, not cache policy — previously dedup_components
+            # rode ngram_jaccard's pinned shingle cache at sf0.1 only,
+            # making its cross-scale ratio read 17.6x instead of ~3x
+            spark.catalog.clearCache()
         print(f"run {ri + 1}/{RUNS} done t="
               f"{time.perf_counter() - _T_START:.0f}s", file=sys.stderr)
     # true median (stdlib): the upper-middle element would record the
@@ -297,6 +302,9 @@ def main() -> None:
         "sf": sf_val,
         "preflight": preflight,
         "loadavg_per_family": loads,
+        # both scales clear Spark caches after every family since
+        # round 10, so cross-scale ratios measure data scaling
+        "cache_policy": "isolated-per-family",
     }
     if errors:
         out["errors"] = errors

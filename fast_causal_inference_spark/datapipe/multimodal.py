@@ -78,6 +78,7 @@ from pyspark.sql import types as T
 
 from fast_causal_inference_spark.datapipe.adpcm import (
     decode_adpcm_wav_data,
+    decode_ima4_packets,
 )
 from fast_causal_inference_spark.datapipe.flac import (
     decode_flac,
@@ -830,9 +831,34 @@ def encode_aiff(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
     return b"FORM" + struct.pack(">L", len(body)) + body
 
 
+def encode_aifc_ima4(samples: np.ndarray,
+                     sample_rate: int = 16_000) -> bytes:
+    """Serialize int16 mono samples as an AIFC container with Apple
+    'ima4' compression (FORM/AIFC + FVER + COMM[ima4] + SSND of
+    34-byte packets)."""
+    from fast_causal_inference_spark.datapipe.adpcm import (
+        encode_ima4_packets,
+    )
+
+    x = np.asarray(samples, dtype=np.int16).reshape(-1)
+    data, _ = encode_ima4_packets(x)
+    name = b"\x07IMA 4:1"                     # pstring, already even
+    comm = struct.pack(">hLh", 1, len(x), 16) \
+        + _float_to_f80(float(sample_rate)) + b"ima4" + name
+    fver = struct.pack(">L", 0xA2805140)      # AIFC version 1
+    ssnd = struct.pack(">LL", 0, 0) + data
+    body = b"AIFC" \
+        + b"FVER" + struct.pack(">L", len(fver)) + fver \
+        + b"COMM" + struct.pack(">L", len(comm)) + comm \
+        + b"SSND" + struct.pack(">L", len(ssnd)) + ssnd \
+        + (b"\x00" if len(ssnd) % 2 else b"")
+    return b"FORM" + struct.pack(">L", len(body)) + body
+
+
 def decode_aiff(payload: bytes) -> tuple[np.ndarray, int]:
-    """Decode AIFF (big-endian PCM 8/16/24/32) into (int16 mono
-    samples, rate).  Compressed AIFC codecs raise."""
+    """Decode AIFF/AIFC — big-endian PCM 8/16/24/32, little-endian
+    'sowt', or Apple 'ima4' ADPCM — into (int16 mono samples, rate).
+    Remaining compressed AIFC codecs raise."""
     if payload[:4] != b"FORM" or payload[8:12] not in (b"AIFF", b"AIFC"):
         raise ValueError("not an AIFF payload")
     is_aifc = payload[8:12] == b"AIFC"
@@ -852,16 +878,24 @@ def decode_aiff(payload: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("corrupt AIFF: missing COMM or SSND")
     ch, _n, bits = struct.unpack(">hLh", comm[:8])
     rate = int(round(_f80_to_float(comm[8:18])))
+    if rate <= 0 or ch <= 0:
+        raise ValueError("corrupt AIFF: bad rate/channels")
     if is_aifc and len(comm) >= 22:
         ctype = comm[18:22]
+        if ctype == b"ima4":
+            # Apple QuickTime IMA — 34-byte packets, same IMA state
+            # machine as WAV DVI4 (adpcm.decode_ima4_packets)
+            x = decode_ima4_packets(data, ch).astype(np.int64)
+            x = x[:_n] if _n else x
+            if ch > 1:
+                x = x.mean(axis=1)
+            return x.reshape(-1).astype(np.int16), rate
         if ctype not in (b"NONE", b"sowt"):
             raise NotImplementedError(
                 f"AIFC compression {ctype!r} needs a codec library")
         little = ctype == b"sowt"
     else:
         little = False
-    if rate <= 0 or ch <= 0:
-        raise ValueError("corrupt AIFF: bad rate/channels")
     bo = "<" if little else ">"
     if bits == 16:
         x = np.frombuffer(data, dtype=f"{bo}i2").astype(np.int64)

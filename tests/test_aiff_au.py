@@ -87,8 +87,9 @@ def test_aifc_sowt_little_endian_and_compressed_raise():
     p = b"FORM" + struct.pack(">L", len(body)) + body
     x, rate = decode_aiff(p)
     assert list(x) == [1000, -1000] and rate == 8000
-    bad = p.replace(b"sowt", b"ima4")
-    with pytest.raises(NotImplementedError, match="ima4"):
+    # 'ima4' decodes for real since round 10; ALAC stays a named raise
+    bad = p.replace(b"sowt", b"alac")
+    with pytest.raises(NotImplementedError, match="alac"):
         decode_aiff(bad)
 
 
@@ -170,3 +171,120 @@ def test_probe_aiff_and_au():
     assert (r2["container"], r2["codec"]) == ("au", "mulaw")
     assert r2["n_frames"] == 1600
     assert abs(r2["duration_sec"] - 0.2) < 1e-9
+
+
+# ------------------------------------------------- round 10: AIFC ima4
+
+def test_aifc_ima4_roundtrip_and_exact_constants():
+    """'ima4' leaves the named-raise list: own-encoder round trip
+    equals the encoder's internal reconstruction bit-for-bit, and
+    constants at multiples of 128 (step index 0) decode EXACTLY."""
+    from fast_causal_inference_spark.datapipe.adpcm import (
+        decode_ima4_packets,
+        encode_ima4_packets,
+    )
+    from fast_causal_inference_spark.datapipe.multimodal import (
+        decode_audio,
+        encode_aifc_ima4,
+    )
+
+    rng = np.random.default_rng(4)
+    for sig in (rng.integers(-8000, 8000, 700).astype(np.int16),
+                (np.sin(np.arange(500) / 9) * 12000).astype(np.int16),
+                np.array([77], np.int16)):
+        data, recon = encode_ima4_packets(sig)
+        assert len(data) % 34 == 0
+        dec = decode_ima4_packets(data, 1)[:, 0][:len(sig)]
+        assert np.array_equal(dec, recon[:len(sig)])
+        # full container path
+        y, rate = decode_audio(encode_aifc_ima4(sig, 22050))
+        assert rate == 22050
+        assert np.array_equal(y[:len(sig)], recon[:len(sig)])
+    const = np.full(320, -40 * 128, np.int16)
+    y, _ = decode_audio(encode_aifc_ima4(const, 8000))
+    assert np.array_equal(y[:320], const)     # exact oracle class
+
+
+def test_aifc_ima4_packet_header_fixture():
+    """Hand-built single packet: header 0x0400 (predictor 1024, step
+    index 0), all-zero nibbles -> 64 samples of 1024 (step 7 >> 3 = 0
+    drift) — pins the 9/7-bit header split and nibble order."""
+    from fast_causal_inference_spark.datapipe.adpcm import (
+        decode_ima4_packets,
+    )
+
+    pkt = bytes([0x04, 0x00]) + b"\x00" * 32
+    out = decode_ima4_packets(pkt, 1)[:, 0]
+    assert out.tolist() == [1024] * 64
+    # low nibble decodes FIRST: nibble 4 (=+step) then nibble 8+4
+    # wait-free check: one byte 0x04 -> first sample moves +7? build
+    # header predictor 0, index 0, first byte 0x84: low nib 4 ->
+    # +step(7); high nib 8 -> -((7)>>3)=0 after index bump to 2 (step 9
+    # -> diff 9>>3=1, sign bit -> -1)
+    pkt2 = bytes([0x00, 0x00, 0x84]) + b"\x00" * 31
+    out2 = decode_ima4_packets(pkt2, 1)[:, 0]
+    assert out2[0] == 7                       # low nibble first, +step
+    assert out2[1] == out2[0] - 1             # high nibble 8: -((9)>>3)
+    # unknown AIFC codec still raises by name
+    from fast_causal_inference_spark.datapipe.multimodal import (
+        decode_aiff,
+        encode_aifc_ima4,
+    )
+
+    p = bytearray(encode_aifc_ima4(np.zeros(10, np.int16)))
+    at = p.find(b"ima4")
+    p[at:at + 4] = b"alac"
+    with pytest.raises(NotImplementedError, match="alac"):
+        decode_aiff(bytes(p))
+
+
+def test_aifc_ima4_stereo_interleave():
+    """Stereo packets alternate per channel inside each 64-frame
+    group; decode_aiff mixes to mono."""
+    from fast_causal_inference_spark.datapipe.adpcm import (
+        decode_ima4_packets,
+    )
+
+    # ch0 constant 1024 (hdr 0x0400), ch1 constant -1024 (hdr 0xFC00)
+    pkt0 = bytes([0x04, 0x00]) + b"\x00" * 32
+    pkt1 = bytes([0xFC, 0x00]) + b"\x00" * 32
+    out = decode_ima4_packets(pkt0 + pkt1, 2)
+    assert out.shape == (64, 2)
+    assert set(out[:, 0].tolist()) == {1024}
+    assert set(out[:, 1].tolist()) == {-1024}
+
+
+def test_ima4_batch_matches_sequential_quality_and_exact_constants():
+    """encode_ima4_batch re-seeds every packet from its own first
+    sample so ALL packets vectorize on one axis; quality matches the
+    sequential encoder (same greedy nibble rule) and the constant
+    oracle class stays exact."""
+    from fast_causal_inference_spark.datapipe.adpcm import (
+        decode_ima4_batch,
+        decode_ima4_packets,
+        encode_ima4_batch,
+        encode_ima4_packets,
+    )
+
+    rng = np.random.default_rng(1)
+    sigs = [np.full(200, -40 * 128, np.int16),
+            np.full(77, 128 * 100, np.int16),
+            (np.sin(np.arange(300) / 15) * 9000).astype(np.int16),
+            rng.integers(-5000, 5000, 130).astype(np.int16)]
+    decs = decode_ima4_batch(encode_ima4_batch(sigs),
+                             [len(s) for s in sigs])
+    assert np.array_equal(decs[0], sigs[0])   # exact constant class
+    assert np.array_equal(decs[1], sigs[1])
+    for d, s in zip(decs, sigs):
+        assert len(d) == len(s)
+        # batch quality is within 1.2x of the sequential encoder's
+        data, _ = encode_ima4_packets(s)
+        seq = decode_ima4_packets(data, 1)[:, 0][:len(s)]
+        eb = np.abs(d.astype(float) - s.astype(float)).mean()
+        es = np.abs(seq.astype(float) - s.astype(float)).mean()
+        assert eb <= max(es, 1.0) * 1.2, (eb, es)
+    # batch payloads are decodable one-by-one (packet independence)
+    one = encode_ima4_batch([sigs[2]])[0]
+    assert len(one) % 34 == 0
+    assert np.array_equal(
+        decode_ima4_packets(one, 1)[:len(sigs[2]), 0], decs[2])
