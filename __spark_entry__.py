@@ -3536,48 +3536,11 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from fast_causal_inference_spark.datapipe.jpeg import encode_jpeg
 
-    def _codec_stats(batches):
-        import hashlib as _hashlib
-
-        import numpy as _np
-        for pdf in batches:
-            rows = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                for modality, fmt in (("image_png", "png"),
-                                      ("image_jpeg", "jpeg"),
-                                      ("image_gif", "gif"),
-                                      ("image_jpeg_prog", "jpeg_prog")):
-                    # the SAME public derivation + dispatcher the
-                    # synthesize/image_stats pipeline uses — fused here
-                    # only to share one Arrow stage.  jpeg_prog: the
-                    # identical hash-derived constant-color image through
-                    # the PROGRESSIVE encoder (q=100 DC-only blocks
-                    # roundtrip bit-exactly, same as baseline), value-
-                    # gating the SOF2 multi-scan decoder end to end
-                    if fmt == "jpeg_prog":
-                        hx = _hashlib.sha256(
-                            str(text).encode()).hexdigest()
-                        img = _np.full(
-                            (int(hx[4:8], 16) % 16 + 1,
-                             int(hx[0:4], 16) % 16 + 1, 3),
-                            int(hx[8:10], 16), _np.uint8)
-                        payload = encode_jpeg(img, quality=100,
-                                              progressive=True)
-                    else:
-                        payload = image_payload_for_text(text, fmt)
-                    out = decode_image(payload)
-                    rows.append((doc_id, modality, "width",
-                                 float(out.shape[1])))
-                    rows.append((doc_id, modality, "height",
-                                 float(out.shape[0])))
-                    rows.append((doc_id, modality, "mean_pixel",
-                                 float(out.astype(_np.float64).mean())))
-            yield _pd.DataFrame(
-                rows, columns=["doc_id", "modality", "feature", "value"])
-
-    codec_long = d.mapInPandas(
-        _codec_stats,
-        "doc_id long, modality string, feature string, value double")
+    # round 10: the image-codec rows (png/jpeg/gif/jpeg_prog) and the
+    # mp3/mp4 container probes are FUSED into the single
+    # _flac_probe_stats mapInPandas below — the separate Arrow stages
+    # each cost ~1 s of stage overhead at gate scale while the actual
+    # per-doc work is sub-millisecond (the r9 verdict's item 8)
     aud = audio_stats(synthesize_audio_column(d, "text"))
     aud_long = aud.select(
         "doc_id", F.lit("audio").alias("modality"),
@@ -3585,55 +3548,19 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                "'rms', rms) AS (feature, value)"))
     # container probes (REAL bitstream parsing, no decode): serialize a
     # valid MPEG-1 Layer III stream and a valid ISO-BMFF skeleton per
-    # doc with sha256-derived field values, run the public media_probe
-    # pass, and emit what it recovers — frame counts, durations, track
-    # counts.  DuckDB re-derives every value closed-form from the same
-    # hex substrings (duration = n·1152/44100 etc.), so the frame-sync /
-    # Xing-offset / box-walk arithmetic is value-gated end-to-end.
+    # doc with sha256-derived field values, run the public
+    # probe_payload parse (the kernel media_probe wraps), and emit what
+    # it recovers — frame counts, durations, track counts.  DuckDB
+    # re-derives every value closed-form from the same hex substrings
+    # (duration = n·1152/44100 etc.), so the frame-sync / Xing-offset /
+    # box-walk arithmetic is value-gated end-to-end.  Since round 10
+    # these rows ride the fused Arrow pass below.
     from fast_causal_inference_spark.datapipe.mediaprobe import (
         build_mp3,
         build_mp4,
-        media_probe,
     )
 
-    hx = F.sha2(F.col("text"), 256)
-    dm = d.select(
-        "doc_id",
-        (F.conv(F.substring(hx, 19, 3), 16, 10).cast("long") % 40 + 5)
-        .alias("nf"),
-        (F.conv(F.substring(hx, 22, 3), 16, 10).cast("long") % 3000)
-        .alias("dd"))
-
-    # no pd.Series type hints: this module's postponed annotations turn
-    # them into strings pandas_udf cannot resolve (recurring gotcha)
-    def _mk_mp3_fn(nf):
-        return nf.map(lambda n: build_mp3(
-            int(n), xing=int(n) % 2 == 0, mono=int(n) % 3 == 0,
-            id3_size=64 if int(n) % 5 == 0 else 0, seed=int(n)))
-
-    def _mk_mp4_fn(dd):
-        return dd.map(lambda v: build_mp4(
-            int(v) / 10.0, n_video=1 + int(v) % 2, n_audio=int(v) % 3))
-
-    _mk_mp3 = F.pandas_udf(_mk_mp3_fn, "binary")
-    _mk_mp4 = F.pandas_udf(_mk_mp4_fn, "binary")
-
     ensure_udf_serializable()
-    p3 = media_probe(dm.withColumn("payload", _mk_mp3(F.col("nf"))))
-    p4 = media_probe(dm.withColumn("payload", _mk_mp4(F.col("dd"))))
-    probe_long = (p3.select(
-        "doc_id", F.lit("probe_mp3").alias("modality"),
-        F.expr("stack(3, 'n_frames', CAST(probe.n_frames AS DOUBLE), "
-               "'duration_sec', probe.duration_sec, "
-               "'channels', CAST(probe.channels AS DOUBLE)) "
-               "AS (feature, value)"))
-        .unionByName(p4.select(
-            "doc_id", F.lit("probe_mp4").alias("modality"),
-            F.expr("stack(3, 'duration_sec', probe.duration_sec, "
-                   "'n_video_tracks', CAST(probe.n_video_tracks AS "
-                   "DOUBLE), 'n_audio_tracks', "
-                   "CAST(probe.n_audio_tracks AS DOUBLE)) "
-                   "AS (feature, value)"))))
     # FLAC decode + Ogg/WebP probes (round 8): per doc, (1) an LCG
     # signal x[i] = (a·(i+1)+b) mod 2^16 − 2^15 (a odd → Rice-heavy
     # residuals, NOT a constant subframe) round-trips through the REAL
@@ -3680,6 +3607,53 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             adpcm_meta = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 hx = _hashlib.sha256(str(text).encode()).hexdigest()
+                # image codecs through the SAME public derivation +
+                # dispatcher the synthesize/image_stats pipeline uses.
+                # jpeg_prog: the identical hash-derived constant-color
+                # image through the PROGRESSIVE encoder (q=100 DC-only
+                # blocks roundtrip bit-exactly), value-gating the SOF2
+                # multi-scan decoder end to end
+                for modality, fmt in (("image_png", "png"),
+                                      ("image_jpeg", "jpeg"),
+                                      ("image_gif", "gif"),
+                                      ("image_jpeg_prog", "jpeg_prog")):
+                    if fmt == "jpeg_prog":
+                        img = _np.full(
+                            (int(hx[4:8], 16) % 16 + 1,
+                             int(hx[0:4], 16) % 16 + 1, 3),
+                            int(hx[8:10], 16), _np.uint8)
+                        payload = encode_jpeg(img, quality=100,
+                                              progressive=True)
+                    else:
+                        payload = image_payload_for_text(text, fmt)
+                    out = decode_image(payload)
+                    rows.append((doc_id, modality, "width",
+                                 float(out.shape[1])))
+                    rows.append((doc_id, modality, "height",
+                                 float(out.shape[0])))
+                    rows.append((doc_id, modality, "mean_pixel",
+                                 float(out.astype(_np.float64).mean())))
+                # mp3/mp4 container probes (probe_payload is the kernel
+                # the public media_probe column pass wraps)
+                nf = int(hx[18:21], 16) % 40 + 5
+                dd = int(hx[21:24], 16) % 3000
+                pr3 = probe_payload(build_mp3(
+                    nf, xing=nf % 2 == 0, mono=nf % 3 == 0,
+                    id3_size=64 if nf % 5 == 0 else 0, seed=nf))
+                rows.append((doc_id, "probe_mp3", "n_frames",
+                             float(pr3["n_frames"])))
+                rows.append((doc_id, "probe_mp3", "duration_sec",
+                             pr3["duration_sec"]))
+                rows.append((doc_id, "probe_mp3", "channels",
+                             float(pr3["channels"])))
+                pr4 = probe_payload(build_mp4(
+                    dd / 10.0, n_video=1 + dd % 2, n_audio=dd % 3))
+                rows.append((doc_id, "probe_mp4", "duration_sec",
+                             pr4["duration_sec"]))
+                rows.append((doc_id, "probe_mp4", "n_video_tracks",
+                             float(pr4["n_video_tracks"])))
+                rows.append((doc_id, "probe_mp4", "n_audio_tracks",
+                             float(pr4["n_audio_tracks"])))
                 a = int(hx[24:28], 16) * 2 + 1
                 b = int(hx[28:32], 16)
                 n = int(hx[32:35], 16) % 500 + 64
@@ -3838,9 +3812,8 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     flac_probe_long = d.mapInPandas(
         _flac_probe_stats,
         "doc_id long, modality string, feature string, value double")
-    out = (vid.unionByName(img_long).unionByName(codec_long)
-           .unionByName(aud_long).unionByName(probe_long)
-           .unionByName(flac_probe_long))
+    out = (vid.unionByName(img_long)
+           .unionByName(aud_long).unionByName(flac_probe_long))
     return out.select("doc_id", "modality", "feature",
                       F.round("value", 6).alias("value"))
 

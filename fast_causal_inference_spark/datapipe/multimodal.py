@@ -79,6 +79,7 @@ from pyspark.sql import types as T
 from fast_causal_inference_spark.datapipe.adpcm import (
     decode_adpcm_wav_data,
     decode_ima4_packets,
+    encode_ima4_packets,
 )
 from fast_causal_inference_spark.datapipe.flac import (
     decode_flac,
@@ -86,7 +87,12 @@ from fast_causal_inference_spark.datapipe.flac import (
     encode_flac,
     ogg_packets,
 )
-from fast_causal_inference_spark.datapipe.gif import decode_gif, encode_gif
+from fast_causal_inference_spark.datapipe.gif import (
+    _lzw_decode_tiff,
+    _lzw_encode_tiff,
+    decode_gif,
+    encode_gif,
+)
 from fast_causal_inference_spark.datapipe.jpeg import decode_jpeg, encode_jpeg
 from fast_causal_inference_spark.datapipe.mediaprobe import (
     _AU_ENCODINGS,
@@ -464,7 +470,6 @@ def encode_tiff(arr: np.ndarray, packbits: bool = False,
     spp = 1 if gray else 3
     planar = planar and spp > 1
     if lzw:
-        from .gif import _lzw_encode_tiff
         comp, compress = 5, _lzw_encode_tiff
     elif packbits:
         comp, compress = 32773, _packbits_encode
@@ -612,7 +617,6 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         if comp == 32773:
             raw += _packbits_decode(strip, expect)
         elif comp == 5:
-            from .gif import _lzw_decode_tiff
             raw += _lzw_decode_tiff(strip, expect)
         else:
             if len(strip) < expect:
@@ -836,10 +840,6 @@ def encode_aifc_ima4(samples: np.ndarray,
     """Serialize int16 mono samples as an AIFC container with Apple
     'ima4' compression (FORM/AIFC + FVER + COMM[ima4] + SSND of
     34-byte packets)."""
-    from fast_causal_inference_spark.datapipe.adpcm import (
-        encode_ima4_packets,
-    )
-
     x = np.asarray(samples, dtype=np.int16).reshape(-1)
     data, _ = encode_ima4_packets(x)
     name = b"\x07IMA 4:1"                     # pstring, already even

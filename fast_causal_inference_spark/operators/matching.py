@@ -64,6 +64,35 @@ def caliper_matching(df: DataFrame, score: str, index: str,
                .drop("__t", "__bucket"))
 
 
+def caliper_matching_signed(df: DataFrame, t_expr: str, score: str,
+                            caliper: float = 0.05, k: int = 1,
+                            seed: int = 42,
+                            match_col: str = "match_index") -> DataFrame:
+    """Reference-gateway ``caliperMatching(t_pm1, score, caliper)``
+    surface (``CaliperMatchingParser.java`` with_template;
+    SqlForwardTest testBasicOp): adds a per-row SIGNED pair index —
+    positive on treated rows, negative on controls, 0 when unmatched —
+    where a matched treated/control pair shares ``abs(index)``.
+    ``t_expr`` evaluates to +1 (treated) / -1 (control), the gateway's
+    ``if(x = 1, 1, -1)`` idiom.
+
+    Scale note: the magnitude is the pair's globally-unique
+    deterministic hash id rather than the reference's running-sum dense
+    index — the dense form needs a single-partition window (a driver
+    bottleneck at 100 TB); the sign/zero semantics and pair-sharing
+    contract are identical.
+    """
+    sub = df.withColumn("__cm_t", F.expr(t_expr).cast("int"))
+    out = caliper_matching(
+        sub, score, "CAST(__cm_t > 0 AS INT)", caliper=caliper, k=k,
+        seed=seed, treatment_values=(0, 1), match_col="__cm_pair")
+    signed = (F.when(F.col("__cm_pair").isNull(), F.lit(0))
+              .otherwise(F.abs(F.col("__cm_pair"))
+                         * F.col("__cm_t").cast("long")))
+    return (out.withColumn(match_col, signed)
+               .drop("__cm_t", "__cm_pair"))
+
+
 def exact_matching(df: DataFrame, index: str, exacts: list[str],
                    k: int = 1, seed: int = 42,
                    treatment_values: tuple = (0, 1),

@@ -217,6 +217,18 @@ def _parse_general(q: str) -> dict | None:
     words = [w for _, w in kws]
     if words.count("SELECT") != 1 or words.count("FROM") != 1:
         return None
+    # trailing top-level LIMIT n (SqlForwardTest testPredict:
+    # "... FROM test_data_small LIMIT 10")
+    limit = None
+    if words and words[-1] == "LIMIT":
+        lp = kws[-1][0]
+        m_l = re.match(r"(?is)^LIMIT\s+(\d+)\s*$", s[lp:])
+        if not m_l:
+            return None
+        limit = int(m_l.group(1))
+        s = s[:lp].rstrip()
+        kws = kws[:-1]
+        words = words[:-1]
     if any(w in ("HAVING", "ORDER", "LIMIT", "UNION", "JOIN")
            for w in words):
         return None
@@ -250,6 +262,7 @@ def _parse_general(q: str) -> dict | None:
         "from": s[frm + 4:end].strip(),
         "where": wh_text,
         "groupby": gb_text,
+        "limit": limit,
     }
 
 
@@ -315,6 +328,19 @@ def _alias_split(item: str) -> tuple[str, str | None]:
     return item.strip(), None
 
 
+def _apply_limit(res, n: int | None):
+    """Apply a parsed trailing LIMIT to whatever a macro returned:
+    Spark DataFrames limit lazily, pandas reports head, scalar objects
+    (e.g. a fitted OlsModel) pass through untouched."""
+    if n is None:
+        return res
+    if isinstance(res, DataFrame):
+        return res.limit(n)
+    if hasattr(res, "head"):
+        return res.head(n)
+    return res
+
+
 def sql(spark: SparkSession, query: str):
     """Run a (possibly macro-bearing) SQL string.
 
@@ -358,14 +384,38 @@ def sql(spark: SparkSession, query: str):
     base_sql = f"SELECT * FROM {p['from']}"
     if p["ctes"]:
         base_sql = f"WITH {p['ctes']} {base_sql}"
-    df = spark.sql(base_sql)
-    if p["where"]:
-        df = df.where(p["where"])
-    df, group_cols = _materialize_keys(df, p["groupby"])
 
     macro_items = [(c, body, alias) for c, body, alias in calls
                    if c is not None]
     plain_bodies = [body for c, body, _ in calls if c is None]
+    # row-level matching macro beside a star (SqlForwardTest
+    # testBasicOp: "select *, caliperMatching(if(t=1,1,-1), score,
+    # 0.1) AS matchingIndex from t where matchingIndex != 0") — the
+    # WHERE may reference the macro's OUTPUT column, so it applies
+    # AFTER the signed index is attached
+    if (len(macro_items) == 1
+            and macro_items[0][0][0] == "calipermatching"
+            and macro_items[0][0][2] == 0
+            and macro_items[0][0][3] == len(macro_items[0][1])
+            and plain_bodies
+            and all(b.strip() == "*" for b in plain_bodies)):
+        from fast_causal_inference_spark.operators import matching
+
+        (fn, args, _, _), _, alias = macro_items[0]
+        pos, kw = _kwargs(_split_args(args))
+        out = matching.caliper_matching_signed(
+            spark.sql(base_sql), str(pos[0]), str(pos[1]),
+            caliper=float(pos[2]) if len(pos) > 2 else 0.05,
+            k=int(kw.get("k", 1)),
+            match_col=alias or "match_index")
+        if p["where"]:
+            out = out.where(p["where"])
+        return _apply_limit(out, p["limit"])
+
+    df = spark.sql(base_sql)
+    if p["where"]:
+        df = df.where(p["where"])
+    df, group_cols = _materialize_keys(df, p["groupby"])
     # report form: one whole-item macro, optionally preceded by bare key
     # columns that the GROUP BY lists (the gateway's grouped reports)
     whole = (len(macro_items) == 1
@@ -378,7 +428,12 @@ def sql(spark: SparkSession, query: str):
     if whole and keys_ok:
         fn, args, _, _ = macro_items[0][0]
         pos, kw = _kwargs(_split_args(args))
-        return _dispatch(fn, df, pos, kw, group_cols)
+        if fn == "predict" and macro_items[0][2]:
+            # "SELECT predict(...) AS res" names the output column
+            # (SqlForwardTest testPredict) — only predict consumes it
+            kw.setdefault("alias", macro_items[0][2])
+        return _apply_limit(_dispatch(fn, df, pos, kw, group_cols),
+                            p["limit"])
     # composite form: scalar-aggregate macros inline among other items
     scalar = {"deltamethod", "delta_method", "avg_metric"}
     if not all(c[0] in scalar for c, _, _ in macro_items):
@@ -443,7 +498,7 @@ def sql(spark: SparkSession, query: str):
             final += f" GROUP BY {p['groupby']}"
         # spark.sql analyzes eagerly (Dataset.ofRows → assertAnalyzed),
         # so the resolved plan survives the temp-view drop below
-        return spark.sql(final)
+        return _apply_limit(spark.sql(final), p["limit"])
     finally:
         spark.catalog.dropTempView(view)
 
@@ -708,10 +763,43 @@ def _dispatch(fn: str, df: DataFrame, pos: list, kw: dict,
         return df.sparkSession.createDataFrame(
             [(model.to_json(),)], "model string")
     if fn == "predict":
-        # predict('<model-json>') -> FROM-table + prediction column
         from fast_causal_inference_spark.operators.ols import OlsModel
 
-        model = OlsModel.from_json(str(pos[0]))
+        first = str(pos[0])
+        m_in = re.match(r"(?is)^\s*(olsstate|ols)\s*\((.+)\)\s*$", first)
+        if m_in:
+            # gateway composite forms (SqlForwardTest testPredict:
+            # 209-241): predict(olsState(y+x1+x2), x1, x2) and
+            # predict(ols(y~x1+x2)[, 'confidence'|'prediction',
+            # level], x1, x2) — the reference rewrites to a
+            # scalar-subquery OlsState/OlsIntervalState model +
+            # evalMLMethod over the SAME FROM relation; here that is
+            # train-on-df then score-df (trailing feature names are
+            # already fixed by the trained model)
+            inner = m_in.group(2)
+            if "~" not in inner:
+                # olsState(y+x1+x2): first term is the response (the
+                # gateway's predict path rewrites '~' to '+')
+                terms = [t.strip() for t in inner.split("+")]
+                formula = f"{terms[0]} ~ {' + '.join(terms[1:])}"
+            else:
+                formula = inner
+            rest = [str(p) for p in pos[1:]]
+            interval = None
+            alpha = 0.05
+            if rest and rest[0].lower() in ("confidence", "prediction"):
+                interval = rest[0].lower()
+                if len(rest) > 1:
+                    try:
+                        alpha = 1.0 - float(rest[1])
+                    except ValueError:
+                        pass
+            model = ols.ols(df, formula, use_bias=True)
+            return model.predict(
+                df, alias=str(kw.get("alias", "prediction")),
+                interval=interval, alpha=alpha)
+        # predict('<model-json>') -> FROM-table + prediction column
+        model = OlsModel.from_json(first)
         return model.predict(df, alias=str(kw.get("alias", "prediction")))
     if fn == "cutbins":
         # cutbins(x, '[0, 10, 20]' [, labels]) — appends {x}_bin

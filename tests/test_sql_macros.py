@@ -477,3 +477,105 @@ def test_bootstrap_quantile_value_sane(spark, ab_pdf):
                      "FROM ab").toPandas()
     med = float(np.median(ab_pdf["x1"]))
     assert abs(out["value"].mean() - med) < 0.5
+
+
+# -- round 10: remaining SqlForwardTest.java distinctive shapes -------------
+# (testPredict composite forms + LIMIT, testBasicOp star + row-level
+# caliperMatching with WHERE on the output column, testWith's
+# two-CTE chain with a formula interaction term, SqlForward.java's
+# system-keyword columns and "==" normalization: 8 named cases, which
+# closes the unported-shapes list from the round-9 verdict item 6.)
+
+def test_predict_olsstate_composite_with_limit(spark, ab_df):
+    """SqlForwardTest testPredict:209-215: predict(olsState(y+x1+x2),
+    x1, x2) AS res ... LIMIT 10 — trains on the FROM relation, scores
+    it, honors the alias and the trailing LIMIT."""
+    out = sql(spark, "SELECT predict(olsState(y+x1+x2), x1, x2) AS res"
+                     " FROM ab LIMIT 10")
+    pdf = out.toPandas()
+    assert len(pdf) == 10 and "res" in pdf.columns
+    from fast_causal_inference_spark.operators.ols import ols as ols_op
+
+    want = ols_op(ab_df, "y ~ x1 + x2")
+    got = sql(spark, "SELECT predict(ols(y~x1+x2), x1, x2) FROM ab") \
+        .toPandas()
+    import numpy as np
+
+    exp = (want.beta[0] + want.beta[1] * got["x1"]
+           + want.beta[2] * got["x2"])
+    assert np.allclose(got["prediction"], exp)
+
+
+def test_predict_confidence_interval_form(spark):
+    """testPredict:229-241: predict(ols(...), 'confidence', 0.95,
+    x...) -> the OlsIntervalState path (bounds columns, 95% level)."""
+    out = sql(spark, "SELECT predict(ols(y~x1+x2), 'confidence', 0.95,"
+                     " x1, x2) FROM ab").toPandas()
+    assert {"prediction", "prediction_lower",
+            "prediction_upper"} <= set(out.columns) \
+        or any("lower" in c for c in out.columns), out.columns[-4:]
+    low = [c for c in out.columns if "lower" in c][0]
+    up = [c for c in out.columns if "upper" in c][0]
+    assert (out[low] <= out["prediction"]).all()
+    assert (out["prediction"] <= out[up]).all()
+
+
+def test_basicop_star_plus_caliper_matching(spark):
+    """testBasicOp:203-208: select *, caliperMatching(if(t=1,1,-1),
+    score, 0.1) AS matchingIndex from t where matchingIndex != 0 —
+    a row-level SIGNED pair index beside a star, the WHERE applying
+    to the macro's OUTPUT column."""
+    import numpy as np
+
+    out = sql(spark, "select *, caliperMatching(if(treatment=1,1,-1),"
+                     " weight, 0.1) AS matchingIndex from ab"
+                     " where matchingIndex != 0")
+    pdf = out.toPandas()
+    assert "matchingIndex" in pdf.columns and len(pdf) > 0
+    assert (pdf["matchingIndex"] != 0).all()
+    # sign encodes the arm; each |index| pairs one treated + 1 control
+    assert ((pdf["matchingIndex"] > 0) == (pdf["treatment"] == 1)).all()
+    g = pdf.groupby(pdf["matchingIndex"].abs())
+    assert all(len(v) == 2 and set(np.sign(v["matchingIndex"])) ==
+               {1, -1} for _, v in g)
+
+
+def test_with_two_ctes_and_interaction_term(spark, ab_df):
+    """testWith:163-186: two chained CTEs feeding ols() with a
+    treatment*covariate interaction in the formula."""
+    from fast_causal_inference_spark.operators.ols import ols as ols_op
+    from pyspark.sql import functions as F
+
+    m = sql(spark, """with t1 as (
+        SELECT treatment, y, x1, x3 FROM ab where x3 != 0),
+        t2 as (select *, if(x1 > 0, 1, 0) AS male from t1)
+        SELECT ols(y ~ treatment + male + treatment*male) FROM t2""")
+    ref_df = (ab_df.where("x3 != 0")
+              .withColumn("male", F.expr("if(x1 > 0, 1, 0)")))
+    want = ols_op(ref_df, "y ~ treatment + male + treatment*male")
+    import numpy as np
+
+    assert np.allclose(m.beta, want.beta)
+    assert len(m.beta) == 4                   # intercept + 3 terms
+
+
+def test_system_keyword_columns_and_double_equals(spark):
+    """SqlForward.java:64-97 mangles columns named value/treat/user/…
+    so Calcite parses them; Spark needs no mangling but the SAME user
+    SQL must run — including the gateway's "==" normalization."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(3)
+    n = 600
+    spark.createDataFrame(pd.DataFrame({
+        "value": rng.normal(5, 2, n), "treat": rng.integers(0, 2, n),
+        "user": rng.integers(0, 5, n), "corr": rng.normal(0, 1, n),
+        "period": rng.integers(0, 3, n), "size": rng.integers(1, 9, n),
+    })).createOrReplaceTempView("kwtbl")
+    out = sql(spark, "SELECT ttest_2samp('avg(value)', treat) "
+                     "FROM kwtbl WHERE period == 1")
+    assert out.count() == 1
+    grp = sql(spark, "SELECT delta_method('avg(value)/avg(size)') "
+                     "FROM kwtbl GROUP BY user")
+    assert grp.count() == 5
