@@ -5764,6 +5764,18 @@ def q_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
             tr, te = fcis.readSparkDf(back).split(test_size=0.4, seed=11)
             out.append(("split", "n_train", float(tr.df.count())))
             out.append(("split", "n_test", float(te.df.count())))
+            # materializedView (round 10): the view must serve the SAME
+            # relation back through spark.table — count/id_sum are the
+            # DuckDB closed forms over documents (500 / 124750 at
+            # sf0.01), not merely a smoke count
+            vname = fcis.readSparkDf(back).materializedView(
+                "fcis_gate_mview")
+            mv = spark.table(vname)
+            out.append(("materialized_view", "n_rows",
+                        float(mv.count())))
+            out.append(("materialized_view", "id_sum",
+                        float(mv.agg(F.sum("doc_id")).collect()[0][0])))
+            spark.catalog.dropTempView(vname)
             return out
         finally:
             shutil.rmtree(tmp, ignore_errors=True)

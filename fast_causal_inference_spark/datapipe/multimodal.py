@@ -141,8 +141,81 @@ def encode_bmp(arr: np.ndarray) -> bytes:
     return header + info + b"".join(rows)
 
 
+def encode_bmp8(idx: np.ndarray, palette: np.ndarray,
+                rle: bool = False) -> bytes:
+    """Encode an (h, w) uint8 index raster + (n, 3) RGB palette as an
+    8-bit BMP — uncompressed (BI_RGB) or run-length (BI_RLE8: per-row
+    encoded runs + end-of-line, final end-of-bitmap)."""
+    a = np.asarray(idx, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    h, w = a.shape
+    nc = len(pal)
+    pal_bytes = b"".join(bytes([int(b), int(g), int(r), 0])
+                         for r, g, b in pal)
+    if rle:
+        body = bytearray()
+        for y in range(h - 1, -1, -1):               # bottom-up
+            row = a[y]
+            x = 0
+            while x < w:
+                run = 1
+                while x + run < w and run < 255 and row[x + run] == row[x]:
+                    run += 1
+                body += bytes([run, int(row[x])])
+                x += run
+            body += b"\x00\x00"                      # end of line
+        body += b"\x00\x01"                          # end of bitmap
+        comp, data = 1, bytes(body)
+    else:
+        row_size = (w + 3) & ~3
+        pad = b"\x00" * (row_size - w)
+        comp = 0
+        data = b"".join(a[y].tobytes() + pad
+                        for y in range(h - 1, -1, -1))
+    off = 54 + len(pal_bytes)
+    header = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, comp, len(data),
+                       2835, 2835, nc, 0)
+    return header + info + pal_bytes + data
+
+
+def _bmp_rle8_decode(data: bytes, w: int, h: int) -> np.ndarray:
+    """BI_RLE8 -> (h, w) bottom-up index raster (row 0 = bottom)."""
+    out = np.zeros((h, w), dtype=np.uint8)
+    x = y = i = 0
+    n = len(data)
+    while i + 1 < n:
+        c, v = data[i], data[i + 1]
+        i += 2
+        if c:                                        # encoded run
+            end = min(x + c, w)
+            if y < h:
+                out[y, x:end] = v
+            x = end
+        elif v == 0:                                 # end of line
+            x, y = 0, y + 1
+        elif v == 1:                                 # end of bitmap
+            break
+        elif v == 2:                                 # delta jump
+            if i + 1 >= n:
+                raise ValueError("BMP: truncated RLE8 delta")
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+        else:                                        # absolute mode
+            if i + v > n:
+                raise ValueError("BMP: truncated RLE8 absolute run")
+            end = min(x + v, w)
+            if y < h:
+                out[y, x:end] = np.frombuffer(data, np.uint8, end - x, i)
+            x += v
+            i += v + (v & 1)                         # word-aligned
+    return out
+
+
 def decode_bmp(payload: bytes) -> np.ndarray:
-    """Decode a 24-bit uncompressed BMP into an (h, w, 3) uint8 RGB array."""
+    """Decode a BMP into an (h, w, 3) uint8 RGB array — 24/32-bit
+    uncompressed or 8-bit palette (uncompressed and BI_RLE8)."""
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     offset = struct.unpack_from("<I", payload, 10)[0]
@@ -152,18 +225,39 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     w, h = struct.unpack_from("<ii", payload, 18)
     planes, bpp = struct.unpack_from("<HH", payload, 26)
     compression = struct.unpack_from("<I", payload, 30)[0]
-    if bpp != 24 or compression != 0:
-        raise NotImplementedError("only 24-bit uncompressed BMP supported")
     flip = h > 0
     h = abs(h)
-    row_size = (3 * w + 3) & ~3
-    out = np.empty((h, w, 3), dtype=np.uint8)
-    for i in range(h):
-        row = np.frombuffer(payload, dtype=np.uint8,
-                            count=3 * w, offset=offset + i * row_size)
-        y = h - 1 - i if flip else i
-        out[y] = row.reshape(w, 3)[:, ::-1]          # BGR -> RGB
-    return out
+    if bpp in (24, 32) and compression == 0:
+        ch = bpp // 8
+        row_size = (ch * w + 3) & ~3
+        out = np.empty((h, w, 3), dtype=np.uint8)
+        for i in range(h):
+            row = np.frombuffer(payload, dtype=np.uint8,
+                                count=ch * w, offset=offset + i * row_size)
+            y = h - 1 - i if flip else i
+            out[y] = row.reshape(w, ch)[:, 2::-1]    # BGR(A) -> RGB
+        return out
+    if bpp == 8 and compression in (0, 1):
+        clr_used = struct.unpack_from("<I", payload, 46)[0] or 256
+        pal_at = 14 + hdr_size
+        pal = np.frombuffer(payload, np.uint8, clr_used * 4,
+                            pal_at).reshape(-1, 4)[:, 2::-1]  # BGRx->RGB
+        if compression == 1:                         # BI_RLE8
+            idx_bu = _bmp_rle8_decode(payload[offset:], w, h)
+            idx = idx_bu[::-1] if flip else idx_bu
+        else:
+            row_size = (w + 3) & ~3
+            idx = np.empty((h, w), dtype=np.uint8)
+            for i in range(h):
+                y = h - 1 - i if flip else i
+                idx[y] = np.frombuffer(payload, np.uint8, w,
+                                       offset + i * row_size)
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("BMP: palette index out of range")
+        return np.ascontiguousarray(pal[idx])
+    raise NotImplementedError(
+        f"BMP bpp={bpp} compression={compression} not supported "
+        "(24/32-bit BI_RGB and 8-bit BI_RGB/BI_RLE8 decode in-container)")
 
 
 def encode_ppm(arr: np.ndarray) -> bytes:
@@ -192,10 +286,19 @@ def decode_ppm(payload: bytes) -> np.ndarray:
         fields.append(int(payload[start:pos]))
     pos += 1                                          # single ws after maxval
     w, h, maxval = fields
-    if maxval != 255:
-        raise NotImplementedError("only maxval=255 PPMs supported")
-    return np.frombuffer(payload, dtype=np.uint8, count=h * w * 3,
-                         offset=pos).reshape(h, w, 3).copy()
+    if maxval == 255:
+        return np.frombuffer(payload, dtype=np.uint8, count=h * w * 3,
+                             offset=pos).reshape(h, w, 3).copy()
+    if not 0 < maxval < 65536:
+        raise ValueError(f"PPM: invalid maxval {maxval}")
+    # spec: maxval < 256 -> 1 byte/sample, else 2 bytes MSB-first;
+    # rescale to 8-bit with round-half-up (round(v*255/maxval))
+    if maxval < 256:
+        v = np.frombuffer(payload, np.uint8, h * w * 3, pos)
+    else:
+        v = np.frombuffer(payload, ">u2", h * w * 3, pos)
+    v = ((v.astype(np.uint32) * 255 + maxval // 2) // maxval)
+    return v.astype(np.uint8).reshape(h, w, 3).copy()
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"

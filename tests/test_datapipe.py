@@ -916,3 +916,115 @@ def test_decode_fn_injection_seam(spark):
         pd.DataFrame({"doc_id": [1], "payload": [encode_bmp(img)]}))
     r = image_stats(df2).collect()[0]
     assert (r["width"], r["height"], r["mean_pixel"]) == (5, 3, 9.0)
+
+
+# ----------------------------------------- round 10: BMP/PPM widening
+
+def test_bmp_32bit_and_8bit_palette_roundtrip():
+    """32-bit BI_RGB and 8-bit palette (BI_RGB + BI_RLE8) leave the
+    only-24-bit raise; hand-built container bytes + own encoder."""
+    import struct
+
+    import numpy as np
+
+    from fast_causal_inference_spark.datapipe.multimodal import (
+        decode_bmp,
+        encode_bmp,
+        encode_bmp8,
+    )
+
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (7, 5, 3), dtype=np.uint8)
+    # 32-bit: hand-build from the 24-bit encoder's layout
+    h, w = img.shape[:2]
+    data = b"".join(
+        np.hstack([img[y, :, ::-1],
+                   np.full((w, 1), 0xAA, np.uint8)]).tobytes()
+        for y in range(h - 1, -1, -1))
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 32, 0, len(data),
+                       2835, 2835, 0, 0)
+    assert np.array_equal(decode_bmp(header + info + data), img)
+    # 8-bit palette, both compressions, incl. long runs for RLE
+    pal = rng.integers(0, 256, (17, 3), dtype=np.uint8)
+    idx = rng.integers(0, 17, (9, 23), dtype=np.uint8)
+    idx[3, :] = 7                              # a full-row run
+    idx[5, 10:] = 2
+    want = pal[idx]
+    for rle in (False, True):
+        got = decode_bmp(encode_bmp8(idx, pal, rle=rle))
+        assert np.array_equal(got, want), rle
+    # RLE must actually compress the runs
+    assert len(encode_bmp8(np.full((16, 64), 3, np.uint8), pal,
+                           rle=True)) < \
+        len(encode_bmp8(np.full((16, 64), 3, np.uint8), pal, rle=False))
+    # 24-bit path unchanged
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+    # named raise for the still-unsupported shapes
+    bad = bytearray(encode_bmp(img))
+    struct.pack_into("<H", bad, 28, 4)        # bpp=4
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError, match="bpp=4"):
+        decode_bmp(bytes(bad))
+
+
+def test_bmp_rle8_absolute_and_delta_modes():
+    """Hand-built RLE8 stream exercising absolute mode (word-aligned)
+    and the delta escape."""
+    import struct
+
+    import numpy as np
+
+    from fast_causal_inference_spark.datapipe.multimodal import (
+        decode_bmp,
+    )
+
+    pal = np.array([[10, 10, 10], [20, 20, 20], [30, 30, 30],
+                    [40, 40, 40]], np.uint8)
+    pal_bytes = b"".join(bytes([b, g, r, 0]) for r, g, b in pal)
+    # 4x3 bottom-up: row0: abs run [1,2,3] then pixel 0; row1: delta
+    # (1,1) then run; row2 after delta: 2 of color 3
+    body = (b"\x00\x03\x01\x02\x03\x00"      # absolute 3 (padded)
+            + b"\x01\x00"                     # run 1 of color 0
+            + b"\x00\x00"                     # EOL
+            + b"\x00\x02\x01\x01"             # delta dx=1 dy=1
+            + b"\x02\x03"                     # 2 of color 3 at (1,2)
+            + b"\x00\x01")                    # EOB
+    off = 54 + len(pal_bytes)
+    header = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, 4, 3, 1, 8, 1, len(body),
+                       2835, 2835, 4, 0)
+    out = decode_bmp(header + info + pal_bytes + body)
+    # bottom row (y=2 after flip): indices 1,2,3,0
+    assert out[2].tolist() == [[20, 20, 20], [30, 30, 30],
+                               [40, 40, 40], [10, 10, 10]]
+    # delta leaves skipped cells at index 0; (1,2),(1,3)... y=0 row top
+    assert out[0, 1].tolist() == [40, 40, 40]
+    assert out[0, 2].tolist() == [40, 40, 40]
+    assert out[0, 0].tolist() == [10, 10, 10]
+
+
+def test_ppm_arbitrary_maxval():
+    import numpy as np
+    import pytest as _pytest
+
+    from fast_causal_inference_spark.datapipe.multimodal import (
+        decode_ppm,
+    )
+
+    # maxval 100, 1 byte/sample: 50 -> round(50*255/100) = 128
+    p = b"P2\n" # placeholder to silence linters
+    p = (b"P6\n3 1\n100\n"
+         + bytes([0, 0, 0, 50, 50, 50, 100, 100, 100]))
+    out = decode_ppm(p)
+    assert out[0].tolist() == [[0, 0, 0], [128, 128, 128],
+                               [255, 255, 255]]
+    # maxval 65535, 2-byte MSB samples
+    import struct
+    vals = [0, 32768, 65535]
+    p16 = (b"P6\n1 3\n65535\n"
+           + b"".join(struct.pack(">HHH", v, v, v) for v in vals))
+    out16 = decode_ppm(p16)
+    assert [r[0][0] for r in out16] == [0, 128, 255]
+    with _pytest.raises(ValueError, match="maxval"):
+        decode_ppm(b"P6\n1 1\n0\n\x00\x00\x00")
