@@ -211,27 +211,109 @@ def boot_strap_multi(df: DataFrame, exprs: list[str], n_resamples: int = 100,
 def boot_strap_quantile(df: DataFrame, col_expr: str, p: float,
                         n_resamples: int = 100,
                         resample_frac: float = 1.0,
-                        seed: int = 42) -> DataFrame:
+                        seed: int = 42, method: str = "exact",
+                        sketch_size: int = 128) -> DataFrame:
     """B Poisson-bootstrap replicas of a quantile (the gateway's
     ``bootStrap('quantile(0.5)(x1)', ...)`` form — SqlForwardTest.java
-    testBootStrap).  Quantiles are not sufficient-statistic metrics, so
-    the replicas use Spark's ``percentile(col, p, frequency)`` with the
-    Poisson draw as the integral frequency weight — one explode to B
-    replica rows per input row, one groupBy; cost is B scans' worth of
-    shuffle, which is the honest price of bootstrap order statistics
-    (the reference UDAF pays the same B-fold pass internally)."""
-    rep = F.explode(F.sequence(F.lit(0), F.lit(n_resamples - 1))) \
-        .alias("replica_id")
-    exploded = (df.select(F.expr(col_expr).cast("double").alias("__x"),
-                          rep)
-                .withColumn("__u", F.rand(seed))
-                .withColumn("__w", poisson_weight_column(
-                    resample_frac, F.col("__u")).cast("long"))
-                .drop("__u")
-                .where(F.col("__w") > 0))
-    return (exploded.groupBy("replica_id")
-            .agg(F.expr(f"percentile(__x, {float(p)}, __w)")
-                 .alias("value"))
+    testBootStrap).  Quantiles are not sufficient-statistic metrics.
+
+    ``method='exact'`` uses Spark's ``percentile(col, p, frequency)``
+    with the Poisson draw as the integral frequency weight — one
+    explode to B replica rows per input row, one groupBy; cost is B
+    scans' worth of shuffle, the honest price of exact bootstrap order
+    statistics (the reference UDAF pays the same B-fold cost
+    engine-side).
+
+    ``method='sketch'`` is the 100 TB path: ONE ``mapInPandas`` scan
+    draws all B Poisson weight columns per partition, sorts the
+    partition once (shared across replicas), and compresses each
+    replica's weighted empirical distribution into ``sketch_size``
+    equi-weight centroids (a mergeable quantile sketch in the t-digest
+    family).  Shuffle payload is B·K·P centroid rows — independent of
+    row count — and the per-replica merge is a weighted quantile over
+    the centroids.  Error is bounded by the within-partition
+    compression (~1/sketch_size quantile-rank error); with a single
+    partition and sketch_size >= rows it is exact.
+    """
+    B = int(n_resamples)
+    if method == "exact":
+        rep = F.explode(F.sequence(F.lit(0), F.lit(B - 1))) \
+            .alias("replica_id")
+        exploded = (df.select(F.expr(col_expr).cast("double")
+                              .alias("__x"), rep)
+                    .withColumn("__u", F.rand(seed))
+                    .withColumn("__w", poisson_weight_column(
+                        resample_frac, F.col("__u")).cast("long"))
+                    .drop("__u")
+                    .where(F.col("__w") > 0))
+        return (exploded.groupBy("replica_id")
+                .agg(F.expr(f"percentile(__x, {float(p)}, __w)")
+                     .alias("value"))
+                .orderBy("replica_id"))
+    if method != "sketch":
+        raise ValueError("method must be 'exact' or 'sketch'")
+
+    from pyspark import TaskContext
+
+    from fast_causal_inference_spark.serialization import (
+        ensure_udf_serializable,
+    )
+
+    K = int(sketch_size)
+    frac = float(resample_frac)
+    pf = float(p)
+    sub = df.select(F.expr(col_expr).cast("double").alias("__x")) \
+            .where(F.col("__x").isNotNull() & ~F.isnan("__x"))
+
+    def _sketch(batches):
+        pid = TaskContext.get().partitionId()
+        chunks = [c for c in batches]
+        if not chunks:
+            return
+        xs = np.concatenate([c["__x"].to_numpy(dtype=float)
+                             for c in chunks])
+        m = len(xs)
+        if m == 0:
+            return
+        rng = np.random.default_rng([seed, pid])
+        W = rng.poisson(frac, (m, B))
+        order = np.argsort(xs, kind="stable")
+        xs_s = xs[order]
+        cum = np.cumsum(W[order], axis=0)            # (m, B)
+        k = min(K, m)
+        lv = (np.arange(k) + 0.5) / k
+        rid, vals, wts = [], [], []
+        for b in range(B):
+            tb = float(cum[-1, b])
+            if tb <= 0:
+                continue
+            idx = np.clip(np.searchsorted(cum[:, b], lv * tb,
+                                          side="left"), 0, m - 1)
+            rid.append(np.full(k, b, dtype=np.int64))
+            vals.append(xs_s[idx])
+            wts.append(np.full(k, tb / k))
+        if not rid:
+            return
+        yield pd.DataFrame({"replica_id": np.concatenate(rid),
+                            "value": np.concatenate(vals),
+                            "weight": np.concatenate(wts)})
+
+    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("value")
+        w = pdf["weight"].to_numpy()
+        cw = np.cumsum(w)
+        target = pf * cw[-1]
+        i = int(np.searchsorted(cw, target, side="left"))
+        i = min(i, len(pdf) - 1)
+        return pd.DataFrame({
+            "replica_id": [int(pdf["replica_id"].iloc[0])],
+            "value": [float(pdf["value"].iloc[i])]})
+
+    ensure_udf_serializable()
+    cent = sub.mapInPandas(
+        _sketch, "replica_id long, value double, weight double")
+    return (cent.groupBy("replica_id")
+            .applyInPandas(_merge, "replica_id long, value double")
             .orderBy("replica_id"))
 
 

@@ -520,3 +520,52 @@ def test_permutation_alt_determinism_and_ratio_metric(spark, ab_df):
                         mde_type=1)
     pd.testing.assert_frame_equal(a, b)       # same seed, same draws
     assert a.iloc[0]["n_permutations"] == 25
+
+
+def test_boot_strap_quantile_sketch_path(spark):
+    """The sketch (100 TB) path: on ONE partition with sketch_size >=
+    rows the centroid compression is lossless, so each replica's value
+    equals a numpy weighted-quantile recompute with the SAME seeded
+    Poisson draws; multi-partition sketches stay within the
+    ~1/sketch_size rank-error bound of the exact path's spread."""
+    import numpy as np
+
+    from fast_causal_inference_spark.operators.resample import (
+        boot_strap_quantile,
+    )
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(50, 10, 400)
+    df1 = spark.createDataFrame(
+        pd.DataFrame({"x": x})).coalesce(1)
+    got = boot_strap_quantile(df1, "x", 0.5, n_resamples=12, seed=9,
+                              method="sketch", sketch_size=400) \
+        .toPandas().set_index("replica_id")["value"]
+    # replicate the per-partition draws (pid 0) and the merge rule
+    r = np.random.default_rng([9, 0])
+    W = r.poisson(1.0, (len(x), 12))
+    order = np.argsort(x, kind="stable")
+    xs = x[order]
+    cum = np.cumsum(W[order], axis=0)
+    for b in range(12):
+        tb = cum[-1, b]
+        if tb == 0:
+            continue
+        lv = (np.arange(len(x)) + 0.5) / len(x)
+        idx = np.clip(np.searchsorted(cum[:, b], lv * tb), 0,
+                      len(x) - 1)
+        cent = xs[idx]
+        cw = np.cumsum(np.full(len(x), tb / len(x)))
+        i = min(int(np.searchsorted(cw, 0.5 * cw[-1])), len(x) - 1)
+        assert got.loc[b] == pytest.approx(np.sort(cent)[i], abs=1e-12)
+    # multi-partition: replica medians concentrate near the true median
+    df8 = spark.createDataFrame(pd.DataFrame({"x": x})).repartition(8)
+    sk = boot_strap_quantile(df8, "x", 0.5, n_resamples=30, seed=9,
+                             method="sketch", sketch_size=64).toPandas()
+    ex = boot_strap_quantile(df1, "x", 0.5, n_resamples=30,
+                             seed=9).toPandas()
+    med = np.median(x)
+    assert abs(sk["value"].mean() - med) < 1.5
+    assert abs(sk["value"].mean() - ex["value"].mean()) < 1.5
+    with pytest.raises(ValueError, match="method"):
+        boot_strap_quantile(df1, "x", 0.5, method="nope")
