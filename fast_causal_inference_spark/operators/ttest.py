@@ -70,7 +70,8 @@ def ttest_2samp(df: DataFrame, Y: str, index: str,
                 alpha: float = 0.05,
                 treatment_values: tuple = (0, 1),
                 group_cols: list[str] | None = None,
-                pse: str | None = None) -> DataFrame:
+                pse: str | None = None,
+                edgeworth: bool = False) -> DataFrame:
     """Two-sample delta-method t-test of a metric formula, optional CUPED.
 
     ``Y`` like ``avg(numerator)/avg(denominator)``; ``index`` a column whose
@@ -79,12 +80,22 @@ def ttest_2samp(df: DataFrame, Y: str, index: str,
     ``pse`` a discrete column for post-stratification (strata combined with
     weights n_s/n — mean: Σw·m_s, variance: Σw²·v_s — matching the reference
     ``ttest_2samp.h:292-358``; single-arm/singleton strata are skipped).
+
+    ``edgeworth=True`` applies the one-term Edgeworth skewness
+    correction to the one-sided p-value (the gateway's trailing
+    ``edgeworthtest`` token — see :func:`_ttest_core.edgeworth_p`);
+    costs one extra aggregation pass for the per-arm third central
+    moments of the delta-method influence values.  Ungrouped only.
     """
     if pse is not None:
+        if edgeworth:
+            raise ValueError("edgeworth is not supported with pse")
         return _ttest_2samp_pse(df, Y, index, alternative, X, alpha,
                                 treatment_values, group_cols, pse)
     if alternative not in core.ALTERNATIVES:
         raise ValueError(f"alternative must be one of {core.ALTERNATIVES}")
+    if edgeworth and group_cols:
+        raise ValueError("edgeworth correction is ungrouped-only")
     group_cols = list(group_cols or [])
     x_parts = _split_cuped(X)
     nodes, base = parse_formulas([Y] + x_parts)
@@ -111,10 +122,78 @@ def ttest_2samp(df: DataFrame, Y: str, index: str,
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     if not group_cols:
+        if edgeworth:
+            r = agged.toPandas().iloc[0]
+            s0 = row_to_stats(r, k, "g0_")
+            s1 = row_to_stats(r, k, "g1_")
+            res = core.ttest_2samp_result(s0, s1, ynode, xnodes or None,
+                                          alternative, alpha)
+            gam = _edgeworth_gamma(df, base, idx, v0, v1, s0, s1,
+                                   ynode, xnodes or None, res["stderr"])
+            res["p_value"] = core.edgeworth_p(res["t_stat"], gam,
+                                              alternative)
+            out = pd.DataFrame([res],
+                               columns=[f.name for f in schema.fields])
+            return df.sparkSession.createDataFrame(out, schema)
         return _finalize_local(df.sparkSession, agged.toPandas(),
                                finalize, schema)
     ensure_udf_serializable()
     return agged.mapInPandas(finalize, schema)
+
+
+def _edgeworth_gamma(df: DataFrame, base: list[str], idx, v0, v1,
+                     s0, s1, ynode, xnodes, stderr: float) -> float:
+    """Effective third standardized cumulant of the two-sample
+    delta-method estimate: (μ3₁/n1² − μ3₀/n0²) / stderr³, with μ3 the
+    third central moment of each arm's INFLUENCE value
+    h = ∇g(μ_arm)·(b − μ_arm) (CUPED: minus θ·∇x), evaluated in ONE
+    extra aggregation pass whose complete-case mask mirrors
+    ``suffstat_agg_columns``.  Returns 0.0 (no correction) on
+    degenerate inputs."""
+    import math
+
+    k = len(base)
+    grads_y = ynode.gradient(k)
+    theta = None
+    if xnodes:
+        pooled = merge_stats(s0, s1)
+        theta = core.cuped_theta(pooled, ynode, xnodes)
+    aggs = []
+    for a, (s, v) in enumerate(((s0, v0), (s1, v1))):
+        m = list(s.means)
+        w = np.array([float(g.value(m)) for g in grads_y])
+        if xnodes and theta is not None:
+            for c, xn in enumerate(xnodes):
+                wx = np.array([float(g.value(m))
+                               for g in xn.gradient(k)])
+                w = w - float(theta[c]) * wx
+        guard = idx == F.lit(v)
+        h = None
+        for j in range(k):
+            bj = F.expr(base[j]).cast("double")
+            guard = guard & bj.isNotNull()
+            term = F.lit(float(w[j])) * (bj - F.lit(float(m[j])))
+            h = term if h is None else h + term
+        hg = F.when(guard, h)
+        aggs += [F.count(hg).alias(f"e_n{a}"),
+                 F.sum(hg).alias(f"e_s1_{a}"),
+                 F.sum(hg * hg).alias(f"e_s2_{a}"),
+                 F.sum(hg * hg * hg).alias(f"e_s3_{a}")]
+    r = df.agg(*aggs).collect()[0]
+    if not stderr or math.isnan(stderr) or stderr <= 0:
+        return 0.0
+    mu3 = []
+    ns = []
+    for a in range(2):
+        n = float(r[f"e_n{a}"] or 0)
+        if n < 2:
+            return 0.0
+        su1, su2, su3 = (float(r[f"e_s{i}_{a}"]) for i in (1, 2, 3))
+        mean = su1 / n
+        mu3.append((su3 - 3.0 * mean * su2 + 2.0 * n * mean ** 3) / n)
+        ns.append(n)
+    return float((mu3[1] / ns[1] ** 2 - mu3[0] / ns[0] ** 2)
+                 / stderr ** 3)
 
 
 def _ttest_2samp_pse(df: DataFrame, Y: str, index: str, alternative: str,

@@ -173,6 +173,43 @@ def _strip_line_comments(q: str) -> str:
     return "".join(out)
 
 
+def _quote_nonascii_identifiers(q: str) -> str:
+    """Backtick-quote bare non-ASCII identifiers (sqlWithChineseTest:
+    the reference gateway's Calcite/ClickHouse dialects accept
+    ``select 分子 from tbl`` unquoted; Spark raises INVALID_IDENTIFIER
+    unless back-quoted).  String literals and already-quoted
+    identifiers pass through untouched — the Spark-dialect analogue of
+    ``SqlForward.java``'s system-keyword mangling."""
+    out, i, n, quote = [], 0, len(q), None
+    while i < n:
+        ch = q[i]
+        if quote:
+            out.append(ch)
+            if ch == quote:
+                quote = None
+            i += 1
+            continue
+        if ch in "'\"`":
+            quote = ch
+            out.append(ch)
+            i += 1
+            continue
+        if ch.isalpha() or ch == "_":
+            j = i
+            while j < n and (q[j].isalnum() or q[j] == "_"):
+                j += 1
+            tok = q[i:j]
+            if any(ord(c) > 127 for c in tok):
+                out.append(f"`{tok}`")
+            else:
+                out.append(tok)
+            i = j
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 _TOP_WORDS = ("WITH", "SELECT", "FROM", "WHERE", "GROUP", "BY", "HAVING",
               "ORDER", "LIMIT", "UNION", "JOIN")
 
@@ -364,7 +401,7 @@ def sql(spark: SparkSession, query: str):
       ``first(__m_i)``.
     ``--`` line comments are stripped first, as the gateway does.
     """
-    q = _strip_line_comments(query)
+    q = _quote_nonascii_identifiers(_strip_line_comments(query))
     m = _MACRO_RE.match(q)
     if m and m.group("fn").lower() in MACROS:
         fn = m.group("fn").lower()
@@ -376,11 +413,11 @@ def sql(spark: SparkSession, query: str):
         return _dispatch(fn, df, pos, kw, group_cols)
     p = _parse_general(q)
     if p is None:
-        return spark.sql(query)
+        return spark.sql(q)
     items = [_alias_split(it) for it in _split_args(p["items"])]
     calls = [(_find_macro_call(body), body, alias) for body, alias in items]
     if not any(c for c, _, _ in calls):
-        return spark.sql(query)
+        return spark.sql(q)
     base_sql = f"SELECT * FROM {p['from']}"
     if p["ctes"]:
         base_sql = f"WITH {p['ctes']} {base_sql}"
@@ -434,6 +471,32 @@ def sql(spark: SparkSession, query: str):
             kw.setdefault("alias", macro_items[0][2])
         return _apply_limit(_dispatch(fn, df, pos, kw, group_cols),
                             p["limit"])
+    # one report macro beside plain AGGREGATE items, ungrouped
+    # (SqlForwardTest mannWhitneyUTestTest: "select count(1) as cnt,
+    # mannWhitneyUTest(numerator, t, 'two-sided') from t"): both sides
+    # reduce to ONE row, cross-joined back together
+    if (len(macro_items) == 1 and group_cols is None
+            and macro_items[0][0][2] == 0
+            and macro_items[0][0][3] == len(macro_items[0][1])
+            and plain_bodies
+            and not all(b.isidentifier() for b in plain_bodies)):
+        from pyspark.sql import functions as F
+
+        try:
+            left = df.agg(*[
+                F.expr(b).alias(a or f"_c{i}")
+                for i, (c, b, a) in enumerate(calls) if c is None])
+        except Exception:
+            left = None                      # not aggregates: fall through
+        if left is not None:
+            fn, args, _, _ = macro_items[0][0]
+            pos, kw = _kwargs(_split_args(args))
+            res = _dispatch(fn, df, pos, kw, None)
+            if not isinstance(res, DataFrame):
+                res = spark.createDataFrame(res)
+            return _apply_limit(left.crossJoin(F.broadcast(res)),
+                                p["limit"])
+
     # composite form: scalar-aggregate macros inline among other items
     scalar = {"deltamethod", "delta_method", "avg_metric"}
     if not all(c[0] in scalar for c, _, _ in macro_items):
@@ -557,11 +620,26 @@ def _dispatch(fn: str, df: DataFrame, pos: list, kw: dict,
                                  **{k.lower(): v for k, v in kw.items()})
     if fn == "ttest_2samp":
         x = kw.pop("X", kw.pop("x", None))
-        extra = [p for p in pos[2:]]
-        alt = extra[0] if extra else kw.pop("alternative", "two-sided")
+        # gateway trailing bare token (Parser.jj <EDGEWORTHTEST>) turns
+        # on the Edgeworth-corrected one-sided p; bare expressions after
+        # the alternative are CUPED covariates (edgeWorthTestClickHouse:
+        # ttest_2samp(avg(y)/avg(1), idx, 'two-sided', avg(rand()),
+        # edgeworthtest) -> Ttest_2samp('x1/x2','two-sided','X=x3',true))
+        edge = False
+        rest = []
+        for p in pos[2:]:
+            if isinstance(p, str) and p.strip().lower() == "edgeworthtest":
+                edge = True
+            else:
+                rest.append(p)
+        alt = rest[0] if rest else kw.pop("alternative", "two-sided")
+        cuped = [str(p) for p in rest[1:] if isinstance(p, str)]
+        if cuped and x is None:
+            x = "+".join(c[2:] if c.startswith("X=") else c
+                         for c in cuped)
         return ttest.ttest_2samp(df, pos[0], str(pos[1]), alternative=alt,
                                  X=x, group_cols=group_cols,
-                                 pse=kw.pop("pse", None))
+                                 pse=kw.pop("pse", None), edgeworth=edge)
     if fn == "ttests_2samp":
         return ttest.ttests_2samp(df, pos[0], str(pos[1]),
                                   alternatives=pos[2] if len(pos) > 2

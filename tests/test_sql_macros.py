@@ -293,10 +293,17 @@ def test_xexpt_gateway_positionals(spark, ab_df):
         plain.filter(like="std").iloc[0]))
 
 
-def test_composite_report_macro_rejected(spark):
+def test_composite_report_macro_beside_aggregate_and_rejection(spark):
+    # round 10: a report macro beside plain AGGREGATES cross-joins
+    # (mannWhitneyUTestTest shape) — previously rejected
+    out = sql(spark, "SELECT count(*) AS n, ttest_2samp('avg(y)', "
+                     "treatment) FROM ab").toPandas()
+    assert len(out) == 1 and out["n"].iloc[0] == 4000
+    assert "p_value" in out.columns
+    # a bare NON-KEY column beside a report macro stays rejected
+    # (ambiguous without GROUP BY)
     with pytest.raises(ValueError, match="scalar-aggregate"):
-        sql(spark, "SELECT count(*) AS n, ttest_2samp('avg(y)', treatment)"
-                   " FROM ab")
+        sql(spark, "SELECT x1, ttest_2samp('avg(y)', treatment) FROM ab")
 
 
 # -- round 9: remaining SqlForwardTest.java distinctive corners -------------
@@ -579,3 +586,49 @@ def test_system_keyword_columns_and_double_equals(spark):
     grp = sql(spark, "SELECT delta_method('avg(value)/avg(size)') "
                      "FROM kwtbl GROUP BY user")
     assert grp.count() == 5
+
+
+def test_mann_whitney_beside_count_composite(spark):
+    """SqlForwardTest mannWhitneyUTestTest:322-335: a report macro
+    BESIDE a plain aggregate — "select count(1) as cnt,
+    mannWhitneyUTest(numerator, if(...), 'two-sided') from t" — both
+    sides reduce to one row and cross-join."""
+    out = sql(spark, "select count(1) as cnt, mann_whitney_utest("
+                     "numerator, if(treatment = 1, 1, 0), 'two-sided')"
+                     " from ab")
+    pdf = out.toPandas()
+    assert len(pdf) == 1
+    assert pdf["cnt"].iloc[0] == 4000
+    assert {"u_statistic", "p_value"} <= set(pdf.columns) \
+        or "p_value" in pdf.columns
+
+
+def test_create_view_passthrough_and_chinese_sql(spark, ab_df):
+    """createViewTest:314-320 (CREATE ... forwards untouched) and
+    sqlWithChineseTest:336-343 (Chinese identifiers/literals flow
+    through the macro front-end)."""
+    import pandas as pd
+
+    sql(spark, "create or replace temporary view v_roundtrip as "
+               "select * from ab")
+    assert sql(spark, "SELECT count(*) AS n FROM v_roundtrip") \
+        .collect()[0]["n"] == 4000
+    zh = pd.DataFrame({"分子": [1.0, 2.0, 3.0, 4.0] * 50,
+                       "分母": [1, 1, 1, 2] * 50,
+                       "名字": ["分1a级开abc子", "世界", "x", "y"] * 50})
+    spark.createDataFrame(zh).createOrReplaceTempView("zh_tbl")
+    # gateway-style BARE expressions (the Calcite dialect accepts
+    # unquoted Chinese identifiers; the front-end backticks them for
+    # Spark)
+    out = sql(spark, "SELECT ttest_1samp(avg(分子), 'two-sided') "
+                     "FROM zh_tbl WHERE 分母 = 1 "
+                     "AND 名字 != '分1a级开abc子'")
+    pdf = out.toPandas()
+    assert len(pdf) == 1 and not pd.isna(pdf["p_value"].iloc[0])
+    grp = sql(spark, "SELECT delta_method(avg(分子)) FROM zh_tbl "
+                     "GROUP BY 分母")
+    assert grp.count() == 2
+    # plain (non-macro) Chinese SQL flows through too
+    n1 = sql(spark, "SELECT count(*) AS n FROM zh_tbl WHERE 分母 = 1") \
+        .collect()[0]["n"]
+    assert n1 == 150
