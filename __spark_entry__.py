@@ -3707,12 +3707,18 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                              float(arr.shape[0])))
                 rows.append((doc_id, "image_webp", "mean_pixel",
                              float(arr.astype(_np.float64).mean())))
-                # TIFF (round 10): the SAME hash-derived constant-color
-                # image through the new LZW (compression 5, early-
-                # change) + predictor-2 + PlanarConfiguration-2 path —
-                # losslessness makes every value the webp closed form
+                # TIFF (round 10): a hash-derived GRADIENT image —
+                # pixel (y, x) = (cval + 3x + 5y) mod 256 in every
+                # channel — through the new LZW (compression 5,
+                # early-change) + predictor-2 + PlanarConfiguration-2
+                # path, so the horizontal differencing and the LZW
+                # entropy stage decode NON-trivial data; losslessness
+                # makes mean_pixel the closed form DuckDB re-derives
+                # over generate_series
+                gx, gy = _np.meshgrid(_np.arange(wv), _np.arange(hv))
+                grad = ((cval + 3 * gx + 5 * gy) % 256).astype(_np.uint8)
                 tif = decode_image(encode_tiff(
-                    _np.full((hv, wv, 3), cval, _np.uint8),
+                    _np.repeat(grad[:, :, None], 3, axis=2),
                     lzw=True, predictor=True, planar=True))
                 rows.append((doc_id, "image_tiff", "width",
                              float(tif.shape[1])))
@@ -3965,8 +3971,17 @@ UNION ALL
 SELECT doc_id, 'image_tiff', 'height',
        CAST(('0x' || substr(hx, 47, 3))::BIGINT % 16 + 1 AS DOUBLE) FROM h
 UNION ALL
+-- gradient TIFF: mean over (cval + 3x + 5y) mod 256 on the w x h grid
 SELECT doc_id, 'image_tiff', 'mean_pixel',
-       CAST(('0x' || substr(hx, 50, 1))::BIGINT * 17 AS DOUBLE) FROM h
+       round(AVG(CAST((p.cv + 3 * (g.i % p.w) + 5 * (g.i // p.w))
+                      % 256 AS DOUBLE)), 6)
+FROM (SELECT doc_id,
+             ('0x' || substr(hx, 44, 3))::BIGINT % 16 + 1 AS w,
+             ('0x' || substr(hx, 47, 3))::BIGINT % 16 + 1 AS h,
+             ('0x' || substr(hx, 50, 1))::BIGINT * 17 AS cv
+      FROM h) p
+JOIN generate_series(0, 255) g(i) ON g.i < p.w * p.h
+GROUP BY doc_id
 UNION ALL
 SELECT doc_id, 'audio_aiff', 'n_samples',
        CAST(('0x' || substr(hx, 11, 4))::BIGINT % 2000 + 100 AS DOUBLE) FROM h
