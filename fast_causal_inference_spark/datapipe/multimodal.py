@@ -561,12 +561,12 @@ def _hdiff_encode(raw: bytes, h: int, w: int, spp: int) -> bytes:
 
 def encode_tiff(arr: np.ndarray, packbits: bool = False,
                 lzw: bool = False, predictor: bool = False,
-                planar: bool = False) -> bytes:
+                planar: bool = False, deflate: bool = False) -> bytes:
     """Encode (h, w, 3) uint8 RGB (or (h, w) grayscale) as a
-    little-endian TIFF — uncompressed, PackBits, or LZW
-    (compression 5, optionally with horizontal-differencing
-    predictor 2); ``planar=True`` writes PlanarConfiguration 2
-    (one strip per sample plane)."""
+    little-endian TIFF — uncompressed, PackBits, LZW (compression 5),
+    or Adobe Deflate (compression 8, stdlib zlib), optionally with
+    horizontal-differencing predictor 2; ``planar=True`` writes
+    PlanarConfiguration 2 (one strip per sample plane)."""
     a = np.asarray(arr, dtype=np.uint8)
     gray = a.ndim == 2
     h, w = a.shape[:2]
@@ -574,6 +574,10 @@ def encode_tiff(arr: np.ndarray, packbits: bool = False,
     planar = planar and spp > 1
     if lzw:
         comp, compress = 5, _lzw_encode_tiff
+    elif deflate:
+        import zlib
+
+        comp, compress = 8, zlib.compress
     elif packbits:
         comp, compress = 32773, _packbits_encode
     else:
@@ -646,10 +650,11 @@ def encode_tiff(arr: np.ndarray, packbits: bool = False,
 
 def decode_tiff(payload: bytes) -> np.ndarray:
     """Decode a baseline TIFF (both byte orders; uncompressed,
-    PackBits, or LZW with optional horizontal-differencing
-    predictor 2; 8-bit grayscale / RGB / palette; chunky or planar;
-    multi-strip) into an (h, w, 3) uint8 RGB array.  JPEG-in-TIFF and
-    other compressions raise ``NotImplementedError``."""
+    PackBits, LZW, or Adobe/legacy Deflate with optional
+    horizontal-differencing predictor 2; 8-bit grayscale / RGB /
+    palette; chunky or planar; multi-strip) into an (h, w, 3) uint8
+    RGB array.  JPEG-in-TIFF and other compressions raise
+    ``NotImplementedError``."""
     if payload[:4] == b"II\x2a\x00":
         bo = "<"
     elif payload[:4] == b"MM\x00\x2a":
@@ -692,10 +697,11 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     bps = values(258, [8])
     if any(b != 8 for b in bps):
         raise NotImplementedError("only 8-bit TIFF samples supported")
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 5, 8, 32946, 32773):
         raise NotImplementedError(
             f"TIFF compression {comp} needs a codec library "
-            "(uncompressed, LZW and PackBits decode in-container)")
+            "(uncompressed, LZW, Deflate and PackBits decode "
+            "in-container)")
     pred = one(317, 1)
     if pred not in (1, 2):
         raise NotImplementedError(
@@ -721,6 +727,13 @@ def decode_tiff(payload: bytes) -> np.ndarray:
             raw += _packbits_decode(strip, expect)
         elif comp == 5:
             raw += _lzw_decode_tiff(strip, expect)
+        elif comp in (8, 32946):             # Adobe / legacy Deflate
+            import zlib
+
+            d = zlib.decompress(strip)
+            if len(d) < expect:
+                raise ValueError("TIFF: deflate strip short of rows")
+            raw += d[:expect]
         else:
             if len(strip) < expect:
                 raise ValueError("TIFF: strip short of row data")

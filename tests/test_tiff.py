@@ -236,3 +236,39 @@ def test_unsupported_predictor_raises():
     struct.pack_into("<H", p, at + 8, 3)
     with pytest.raises(NotImplementedError, match="predictor 3"):
         decode_image(bytes(p))
+
+
+def test_deflate_compression_roundtrip():
+    """Compression 8 (Adobe Deflate, stdlib zlib) — round trips with
+    and without predictor/planar; the legacy code 32946 decodes too;
+    a truncated deflate strip raises rather than returning short
+    rows."""
+    import zlib
+
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, (19, 13, 3), dtype=np.uint8)
+    for kw in ({}, {"predictor": True},
+               {"planar": True, "predictor": True}):
+        p = encode_tiff(img, deflate=True, **kw)
+        assert np.array_equal(decode_image(p), img), kw
+    # legacy code 32946: patch the compression tag
+    p = bytearray(encode_tiff(img, deflate=True))
+    at = p.find(struct.pack("<HH", 259, 3))
+    struct.pack_into("<H", p, at + 8, 32946)
+    assert np.array_equal(decode_tiff(bytes(p)), img)
+    # gradient + predictor must out-compress plain deflate
+    grad = (np.add.outer(np.arange(100), np.arange(120)) % 256
+            ).astype(np.uint8)
+    assert len(encode_tiff(grad, deflate=True, predictor=True)) < \
+        len(encode_tiff(grad, deflate=True))
+    # a deflate strip inflating to fewer bytes than the rows need
+    # raises loudly instead of returning a short raster
+    good = bytearray(encode_tiff(np.zeros((8, 8), np.uint8),
+                                 deflate=True))
+    short = zlib.compress(b"\x00" * 10)       # 10 < 8*8 bytes
+    at = good.find(struct.pack("<HH", 279, 4))
+    old_len = struct.unpack_from("<I", good, at + 8)[0]
+    struct.pack_into("<I", good, at + 8, len(short))
+    bad = bytes(good[:-old_len]) + short
+    with pytest.raises(ValueError, match="deflate strip short"):
+        decode_tiff(bad)
