@@ -208,3 +208,78 @@ def test_lsh_and_ivf_knn_scores_are_genuine(spark, seed):
                 assert exact_top1[qi] in set(
                     rows["vec_id"].astype(int)) or \
                     rows["score"].max() >= S[qi, exact_top1[qi]] - 0.05
+
+
+# ----------------------------------------- round 10: container codecs
+
+@given(data=st.data())
+@settings(max_examples=40, deadline=None)
+def test_tiff_full_option_matrix_roundtrip(data):
+    """decode(encode(img)) == img across the whole TIFF option matrix
+    (compression x predictor x planar x gray/RGB) on random shapes."""
+    import numpy as np
+
+    from fast_causal_inference_spark.datapipe.multimodal import (
+        decode_image,
+        encode_tiff,
+    )
+
+    h = data.draw(st.integers(1, 24))
+    w = data.draw(st.integers(1, 24))
+    gray = data.draw(st.booleans())
+    comp = data.draw(st.sampled_from(["none", "packbits", "lzw",
+                                      "deflate"]))
+    pred = data.draw(st.booleans())
+    planar = data.draw(st.booleans())
+    seed = data.draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    p = encode_tiff(img, packbits=comp == "packbits",
+                    lzw=comp == "lzw", deflate=comp == "deflate",
+                    predictor=pred, planar=planar)
+    out = decode_image(p)
+    exp = img if img.ndim == 3 else np.repeat(img[:, :, None], 3, 2)
+    assert np.array_equal(out, exp)
+
+
+@given(data=st.data())
+@settings(max_examples=30, deadline=None)
+def test_bmp_palette_rle_roundtrip(data):
+    import numpy as np
+
+    from fast_causal_inference_spark.datapipe.multimodal import (
+        decode_bmp,
+        encode_bmp8,
+    )
+
+    h = data.draw(st.integers(1, 24))
+    w = data.draw(st.integers(1, 40))
+    nc = data.draw(st.integers(1, 256))
+    rle = data.draw(st.booleans())
+    seed = data.draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (nc, 3), dtype=np.uint8)
+    idx = rng.integers(0, nc, (h, w), dtype=np.uint8)
+    out = decode_bmp(encode_bmp8(idx, pal, rle=rle))
+    assert np.array_equal(out, pal[idx])
+
+
+@given(data=st.data())
+@settings(max_examples=30, deadline=None)
+def test_tiff_lzw_bytes_roundtrip(data):
+    """The raw TIFF-LZW codec on arbitrary byte strings, including
+    sizes that cross the 9/10/11-bit early-change boundaries."""
+    from fast_causal_inference_spark.datapipe.gif import (
+        _lzw_decode_tiff,
+        _lzw_encode_tiff,
+    )
+
+    n = data.draw(st.integers(0, 4000))
+    alphabet = data.draw(st.integers(1, 256))
+    seed = data.draw(st.integers(0, 2**31 - 1))
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    payload = bytes(rng.integers(0, alphabet, n, dtype=np.uint8))
+    assert _lzw_decode_tiff(_lzw_encode_tiff(payload), n) == payload
