@@ -276,22 +276,27 @@ def boot_strap_quantile(df: DataFrame, col_expr: str, p: float,
         if m == 0:
             return
         rng = np.random.default_rng([seed, pid])
-        W = rng.poisson(frac, (m, B))
         order = np.argsort(xs, kind="stable")
         xs_s = xs[order]
-        cum = np.cumsum(W[order], axis=0)            # (m, B)
         k = min(K, m)
         lv = (np.arange(k) + 0.5) / k
         rid, vals, wts = [], [], []
-        for b in range(B):
-            tb = float(cum[-1, b])
-            if tb <= 0:
-                continue
-            idx = np.clip(np.searchsorted(cum[:, b], lv * tb,
-                                          side="left"), 0, m - 1)
-            rid.append(np.full(k, b, dtype=np.int64))
-            vals.append(xs_s[idx])
-            wts.append(np.full(k, tb / k))
+        # chunk the replicate axis so the (rows x B) Poisson draw never
+        # exceeds ~20M cells per partition (100 TB memory guard)
+        rb = max(1, min(B, 20_000_000 // max(m, 1)))
+        for b0 in range(0, B, rb):
+            W = rng.poisson(frac, (m, min(b0 + rb, B) - b0))
+            cum = np.cumsum(W[order], axis=0)
+            for bi in range(W.shape[1]):
+                b = b0 + bi
+                tb = float(cum[-1, bi])
+                if tb <= 0:
+                    continue
+                idx = np.clip(np.searchsorted(cum[:, bi], lv * tb,
+                                              side="left"), 0, m - 1)
+                rid.append(np.full(k, b, dtype=np.int64))
+                vals.append(xs_s[idx])
+                wts.append(np.full(k, tb / k))
         if not rid:
             return
         yield pd.DataFrame({"replica_id": np.concatenate(rid),
@@ -528,10 +533,19 @@ def permutation_alt(df: DataFrame, expr: str, permutation_num: int = 100,
                             for c in chunks])
         m = len(X)
         rng = np.random.default_rng([seed, pid])
-        R = rng.random((m, B)) < 0.5           # fresh labels PER replicate
+        # fresh labels PER replicate; chunk the replicate axis so the
+        # (rows x B) draw never exceeds ~20M cells per partition — the
+        # 100 TB guard against a 190k-row partition x B=1000 matrix
+        rb = max(1, min(B, 20_000_000 // max(m, 1)))
+        n_out = np.empty(B)
+        S = np.empty((k, B))
+        for b0 in range(0, B, rb):
+            b1 = min(b0 + rb, B)
+            R = rng.random((m, b1 - b0)) < 0.5
+            n_out[b0:b1] = R.sum(axis=0)
+            S[:, b0:b1] = X.T @ R
         out = {"replica_id": np.arange(B, dtype=np.int64),
-               "n": R.sum(axis=0).astype(float)}
-        S = X.T @ R                             # (k, B) treated sums
+               "n": n_out.astype(float)}
         for i in range(k):
             out[f"s{i}"] = S[i]
         yield pd.DataFrame(out)

@@ -185,6 +185,13 @@ def _quote_nonascii_identifiers(q: str) -> str:
         ch = q[i]
         if quote:
             out.append(ch)
+            if ch == "\\" and i + 1 < n:
+                # backslash-escaped char inside a literal ('don\'t'):
+                # the escaped quote must not close the literal, or the
+                # text after it would get identifier-mangled
+                out.append(q[i + 1])
+                i += 2
+                continue
             if ch == quote:
                 quote = None
             i += 1
