@@ -128,8 +128,12 @@ def ttest_2samp(df: DataFrame, Y: str, index: str,
             s1 = row_to_stats(r, k, "g1_")
             res = core.ttest_2samp_result(s0, s1, ynode, xnodes or None,
                                           alternative, alpha)
-            gam = _edgeworth_gamma(df, base, idx, v0, v1, s0, s1,
-                                   ynode, xnodes or None, res["stderr"])
+            # two-sided: the first-order Edgeworth term provably
+            # cancels (edgeworth_p returns the plain p), so skip the
+            # extra full-table third-moment pass entirely
+            gam = 0.0 if alternative == "two-sided" else \
+                _edgeworth_gamma(df, base, idx, v0, v1, s0, s1,
+                                 ynode, xnodes or None, res["stderr"])
             res["p_value"] = core.edgeworth_p(res["t_stat"], gam,
                                               alternative)
             out = pd.DataFrame([res],

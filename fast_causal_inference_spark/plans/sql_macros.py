@@ -21,7 +21,8 @@ _MACRO_RE = re.compile(
     r"^\s*SELECT\s+(?P<fn>[A-Za-z_][A-Za-z_0-9]*)\s*\((?P<args>.*)\)\s*"
     r"FROM\s+(?P<table>[A-Za-z_][\w.]*)"
     r"(?:\s+WHERE\s+(?P<where>.*?))?"
-    r"(?:\s+GROUP\s+BY\s+(?P<groupby>.*?))?\s*;?\s*$",
+    r"(?:\s+GROUP\s+BY\s+(?P<groupby>.*?))?"
+    r"(?:\s+LIMIT\s+(?P<limit>\d+))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -185,10 +186,11 @@ def _quote_nonascii_identifiers(q: str) -> str:
         ch = q[i]
         if quote:
             out.append(ch)
-            if ch == "\\" and i + 1 < n:
-                # backslash-escaped char inside a literal ('don\'t'):
-                # the escaped quote must not close the literal, or the
-                # text after it would get identifier-mangled
+            if ch == "\\" and i + 1 < n and quote in "'\"":
+                # backslash-escaped char inside a STRING literal
+                # ('don\'t') must not close it; backtick identifiers
+                # escape by doubling, not backslash, so a trailing
+                # backslash in `a\` must not desync the scanner
                 out.append(q[i + 1])
                 i += 2
                 continue
@@ -417,7 +419,9 @@ def sql(spark: SparkSession, query: str):
             df = df.where(m.group("where"))
         df, group_cols = _materialize_keys(df, m.group("groupby"))
         pos, kw = _kwargs(_split_args(m.group("args")))
-        return _dispatch(fn, df, pos, kw, group_cols)
+        return _apply_limit(
+            _dispatch(fn, df, pos, kw, group_cols),
+            int(m.group("limit")) if m.group("limit") else None)
     p = _parse_general(q)
     if p is None:
         return spark.sql(q)
@@ -434,9 +438,12 @@ def sql(spark: SparkSession, query: str):
     plain_bodies = [body for c, body, _ in calls if c is None]
     # row-level matching macro beside a star (SqlForwardTest
     # testBasicOp: "select *, caliperMatching(if(t=1,1,-1), score,
-    # 0.1) AS matchingIndex from t where matchingIndex != 0") — the
-    # WHERE may reference the macro's OUTPUT column, so it applies
-    # AFTER the signed index is attached
+    # 0.1) AS matchingIndex from t where matchingIndex != 0").  A
+    # WHERE that references the macro's OUTPUT column must apply AFTER
+    # the signed index is attached (ClickHouse alias-in-WHERE
+    # semantics, which the reference's full-table WITH template also
+    # produces); any other predicate filters BEFORE matching so it
+    # cannot pair kept rows with filtered-out ones
     if (len(macro_items) == 1
             and macro_items[0][0][0] == "calipermatching"
             and macro_items[0][0][2] == 0
@@ -447,13 +454,19 @@ def sql(spark: SparkSession, query: str):
 
         (fn, args, _, _), _, alias = macro_items[0]
         pos, kw = _kwargs(_split_args(args))
+        mcol = alias or "match_index"
+        where_txt = p["where"]
+        defer = bool(where_txt) and re.search(
+            rf"\b{re.escape(mcol)}\b", where_txt) is not None
+        src = spark.sql(base_sql)
+        if where_txt and not defer:
+            src = src.where(where_txt)
         out = matching.caliper_matching_signed(
-            spark.sql(base_sql), str(pos[0]), str(pos[1]),
+            src, f"if(({pos[0]}) = 1, 1, -1)", str(pos[1]),
             caliper=float(pos[2]) if len(pos) > 2 else 0.05,
-            k=int(kw.get("k", 1)),
-            match_col=alias or "match_index")
-        if p["where"]:
-            out = out.where(p["where"])
+            k=int(kw.get("k", 1)), match_col=mcol)
+        if where_txt and defer:
+            out = out.where(where_txt)
         return _apply_limit(out, p["limit"])
 
     df = spark.sql(base_sql)
@@ -493,7 +506,12 @@ def sql(spark: SparkSession, query: str):
             left = df.agg(*[
                 F.expr(b).alias(a or f"_c{i}")
                 for i, (c, b, a) in enumerate(calls) if c is None])
-        except Exception:
+        except Exception as exc:
+            # only a "this isn't an aggregate" shape falls through; a
+            # genuine analysis error (typo'd column) must surface as
+            # itself, not as the misleading scalar-composite ValueError
+            if "UNRESOLVED" in f"{type(exc).__name__}: {exc}".upper():
+                raise
             left = None                      # not aggregates: fall through
         if left is not None:
             fn, args, _, _ = macro_items[0][0]
@@ -639,8 +657,16 @@ def _dispatch(fn: str, df: DataFrame, pos: list, kw: dict,
                 edge = True
             else:
                 rest.append(p)
-        alt = rest[0] if rest else kw.pop("alternative", "two-sided")
-        cuped = [str(p) for p in rest[1:] if isinstance(p, str)]
+        # rest[0] is the alternative ONLY when it is a valid one —
+        # otherwise it is a bare CUPED covariate with the alternative
+        # omitted (ttest_2samp(avg(y)/avg(1), idx, avg(x_pre)))
+        if rest and str(rest[0]) in ("two-sided", "less", "greater"):
+            alt = str(rest[0])
+            cov = rest[1:]
+        else:
+            alt = kw.pop("alternative", "two-sided")
+            cov = rest
+        cuped = [str(p) for p in cov if isinstance(p, str)]
         if cuped and x is None:
             x = "+".join(c[2:] if c.startswith("X=") else c
                          for c in cuped)
@@ -737,8 +763,12 @@ def _dispatch(fn: str, df: DataFrame, pos: list, kw: dict,
                                         str(pos[2]),
                                         k=int(pos[3]) if len(pos) > 3 else 10)
     if fn == "calipermatching":
-        return matching.caliper_matching(
-            df, str(pos[0]), str(pos[1]),
+        # gateway convention (CaliperMatchingParser, testCaliperMatching
+        # :1309): caliperMatching(treatment_expr, score, caliper) — the
+        # reference template normalizes ANY treatment expression via
+        # if(expr = 1, 1, -1) and emits the signed per-row pair index
+        return matching.caliper_matching_signed(
+            df, f"if(({pos[0]}) = 1, 1, -1)", str(pos[1]),
             caliper=float(pos[2]) if len(pos) > 2 else 0.05,
             k=int(kw.get("k", 1)))
     if fn == "exactmatching":

@@ -73,8 +73,11 @@ def test_srm_and_lift_macros(spark):
 
 
 def test_matching_macro(spark):
-    out = sql(spark, "SELECT caliperMatching(weight, treatment, 0.1) FROM ab")
+    # gateway convention: caliperMatching(treatment_expr, score, caliper)
+    out = sql(spark, "SELECT caliperMatching(treatment, weight, 0.1) FROM ab")
     assert "match_index" in out.columns
+    pdf = out.where("match_index != 0").toPandas()
+    assert ((pdf["match_index"] > 0) == (pdf["treatment"] == 1)).all()
 
 
 def test_unknown_function_falls_through(spark):
