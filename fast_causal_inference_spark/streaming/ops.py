@@ -604,3 +604,116 @@ def streaming_cusum(stream: DataFrame, value: str, ts_col: str,
     return prepared.groupBy("g").applyInPandasWithState(
         update, out_schema, state_schema, "append",
         GroupStateTimeout.NoTimeout)
+
+
+def streaming_ewma(stream: DataFrame, value: str, ts_col: str,
+                   target: float, sd: float,
+                   group_col: str | None = None,
+                   lam: float = 0.2, L: float = 3.0,
+                   watermark: str = "10 minutes") -> DataFrame:
+    """Streaming EWMA control chart — the live twin of
+    ``operators/changepoint.ewma_detect`` (round 10; pairs with
+    :func:`streaming_cusum` so both Phase-II charts have streaming
+    forms).  ``target``/``sd`` are the pinned in-control parameters.
+
+    ``applyInPandasWithState`` keeps (E, t, n_alarms, first_alarm_n)
+    per series — O(1) doubles.  Within a micro-batch the recursion
+    E_i = λz_i + (1−λ)E_{i−1} folds in event-time order via the
+    closed form E_i = a^i·(E₀ + λ·Σ_{j≤i} z_j·a^{−j}) (a = 1−λ),
+    chunked so a^{−j} never overflows — vectorized numpy, not a
+    Python row loop.  The UCL uses the exact variance ramp
+    L·√(λ/(2−λ)·(1−a^{2t})) with the GLOBAL index t carried in state,
+    so emissions are bit-identical to the batch chart on the same
+    ordered data (the property suite pins this).
+    """
+    import math
+
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    from fast_causal_inference_spark.serialization import (
+        ensure_udf_serializable,
+    )
+
+    if sd <= 0:
+        raise ValueError("sd must be positive")
+    if not 0 < lam <= 1:
+        raise ValueError("lam must lie in (0, 1]")
+    if L <= 0:
+        raise ValueError("L must be positive")
+    gcol = group_col or "__series"
+    base = stream if group_col else stream.withColumn(gcol, F.lit("all"))
+    prepared = (_with_event_time(base, ts_col)
+                .withWatermark(ts_col, watermark)
+                .select(F.col(gcol).cast("string").alias("g"),
+                        F.col(ts_col).alias("ts"),
+                        ((F.expr(value).cast("double")
+                          - F.lit(float(target))) / F.lit(float(sd)))
+                        .alias("z"))
+                # cumulative state: NaN must be dropped like NULL
+                .where(F.col("z").isNotNull() & ~F.isnan(F.col("z"))))
+
+    out_schema = T.StructType([
+        T.StructField("g", T.StringType()),
+        T.StructField("n", T.DoubleType()),
+        T.StructField("ewma", T.DoubleType()),
+        T.StructField("ucl", T.DoubleType()),
+        T.StructField("n_alarms", T.DoubleType()),
+        T.StructField("first_alarm_n", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("e", T.DoubleType()),
+        T.StructField("n", T.DoubleType()),
+        T.StructField("n_alarms", T.DoubleType()),
+        T.StructField("first_alarm_n", T.DoubleType()),
+    ])
+    lam_f, L_f = float(lam), float(L)
+    a = 1.0 - lam_f
+    # largest chunk with a^-chunk still far below float64 overflow
+    chunk = 4096 if a <= 0 else \
+        max(1, min(4096, int(300.0 / max(1e-12, -math.log10(a)))))
+
+    def update(key, pdfs, state: GroupState):
+        import numpy as _np
+        import pandas as _pd
+
+        if state.exists:
+            e, n, n_al, first = state.get
+        else:
+            e, n, n_al, first = 0.0, 0.0, 0.0, float("nan")
+        vf = lam_f / (2.0 - lam_f)
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            z = pdf["z"].to_numpy(dtype=float)
+            for c0 in range(0, len(z), chunk):
+                zc = z[c0:c0 + chunk]
+                m = len(zc)
+                if a == 0.0:                 # lam == 1: E_i = z_i
+                    ev = zc.copy()
+                else:
+                    i1 = _np.arange(1, m + 1, dtype=float)
+                    ev = a ** i1 * (e + lam_f
+                                    * _np.cumsum(zc * a ** (-i1)))
+                t_glob = n + _np.arange(1, m + 1, dtype=float)
+                ucl = L_f * _np.sqrt(vf * (1.0 - a ** (2.0 * t_glob)))
+                al = _np.abs(ev) > ucl
+                if al.any() and _np.isnan(first):
+                    first = n + float(al.argmax()) + 1.0
+                n_al += float(al.sum())
+                n += float(m)
+                e = float(ev[-1])
+        state.update((e, n, n_al, first))
+        t = n if n > 0 else 1.0
+        yield _pd.DataFrame(
+            [(key[0], n, e,
+              L_f * math.sqrt(vf * (1.0 - a ** (2.0 * t))),
+              n_al, first)],
+            columns=[f.name for f in out_schema])
+
+    ensure_udf_serializable()
+    return prepared.groupBy("g").applyInPandasWithState(
+        update, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout)

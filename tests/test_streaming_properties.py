@@ -242,3 +242,57 @@ def test_sessionize_gap_semantics_and_order_invariance(spark, data):
     wide = sessionize(df, "user", "ts",
                       gap=f"{int(max(deltas)) + 1} seconds").toPandas()
     assert len(wide) == 1 and wide["n_events"].iloc[0] == n
+
+
+def _ewma_offline(z, lam, L):
+    """Scalar textbook EWMA recursion — the independent oracle."""
+    a = 1.0 - lam
+    e = 0.0
+    n_al = 0
+    first = float("nan")
+    for i, zi in enumerate(z):
+        e = lam * zi + a * e
+        ucl = L * math.sqrt(lam / (2 - lam) * (1 - a ** (2 * (i + 1))))
+        if abs(e) > ucl:
+            n_al += 1
+            if math.isnan(first):
+                first = i + 1.0
+    return e, n_al, first
+
+
+@given(data=st.data())
+@settings(**_SETTINGS)
+def test_streaming_ewma_matches_offline_scalar_loop(spark, data):
+    """streaming_ewma's chunked closed-form fold inside the REAL
+    applyInPandasWithState path equals the textbook one-step recursion
+    with the global-index variance-ramped UCL, including across
+    micro-batch state carries and for extreme lambda."""
+    from fast_causal_inference_spark.streaming.ops import streaming_ewma
+
+    n = data.draw(st.integers(15, 70))
+    cut = data.draw(st.integers(4, 12))
+    drift = data.draw(st.floats(-3.0, 3.0))
+    lam = data.draw(st.sampled_from([0.05, 0.2, 0.6, 0.95, 1.0]))
+    seed = data.draw(st.integers(0, 10_000))
+    rng = np.random.default_rng(seed)
+    z = rng.normal(0, 1, n)
+    z[cut:] += drift
+    pdf = pd.DataFrame({
+        "ts": pd.date_range("2026-01-01", periods=n, freq="1s"),
+        "x": z * 3.0 - 7.0})                  # target -7, sd 3
+    d = _write_files(spark, pdf, 3)
+    try:
+        name = _name("ewma")
+        out = streaming_ewma(_stream(spark, d, True), "x", "ts",
+                             target=-7.0, sd=3.0, lam=lam, L=2.8)
+        run_to_memory(out, name, output_mode="append")
+        got = spark.table(name).toPandas().iloc[-1]
+        e, n_al, first = _ewma_offline(z, lam, 2.8)
+        assert got["n"] == n
+        assert got["ewma"] == pytest.approx(e, abs=1e-9)
+        assert got["n_alarms"] == n_al
+        assert (got["first_alarm_n"] == pytest.approx(first)
+                or (math.isnan(got["first_alarm_n"])
+                    and math.isnan(first)))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
