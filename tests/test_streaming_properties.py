@@ -197,11 +197,15 @@ def test_ewma_detect_matches_textbook_recursion(spark, data):
 
 
 def _sessions_offline(offsets_sec, gap_sec):
-    """Offline gap splitter: session count + events per session."""
+    """Offline gap splitter: session count + events per session.
+    Spark's session_window end is INCLUSIVE at the boundary — an event
+    exactly gap seconds after the previous one still merges (verified
+    empirically: deltas [10,10] with gap 10s -> ONE session), so the
+    split condition is strictly-greater."""
     counts = []
     cur = 1
     for a, b in zip(offsets_sec, offsets_sec[1:]):
-        if b - a >= gap_sec:
+        if b - a > gap_sec:
             counts.append(cur)
             cur = 1
         else:
