@@ -2788,6 +2788,7 @@ def q_ttest_2samp_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fast_causal_inference_spark.operators.ttest import (
         cluster_ttest_2samp,
         cupac_ttest_2samp,
+        edgeworth_components,
         equivalence_ttest_2samp,
         mean_z_test,
         student_ttest,
@@ -2834,6 +2835,19 @@ def q_ttest_2samp_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             ev, "avg(value)", "treatment", margin=5.0)
             .withColumn("t_stat",
                         F.least(F.col("z_lower"), -F.col("z_upper")))),
+        # Edgeworth one-sided correction (r10 verdict ask): the row
+        # value-checks the third-moment pass as arithmetic — per-arm
+        # influence skewness ride mean0/mean1, gamma_eff rides estimate,
+        # and the polynomial term gamma*(2t^2+1)/6 rides t_stat; only
+        # the Phi/phi evaluation stays driver-side (pinned by the MC
+        # suite in tests/test_edgeworth.py)
+        ("edgeworth", lambda: edgeworth_components(
+            ev, "avg(value)", "treatment", alternative="greater")
+            .select("n0", "n1",
+                    F.col("skew0").alias("mean0"),
+                    F.col("skew1").alias("mean1"),
+                    F.col("gamma_eff").alias("estimate"), "stderr",
+                    F.col("poly_term").alias("t_stat"))),
     ]
 
     def _run(name, build):
@@ -2984,6 +2998,27 @@ pse_f AS (
          ((1/m2)*(1/m2)*v11 + 2*(1/m2)*(-m1/(m2*m2))*v12
           + (m1/(m2*m2))*(m1/(m2*m2))*v22)/n AS v
   FROM sc_cells
+), ew_arms AS (
+  -- Edgeworth third-moment pass: per-arm POPULATION mu3/var of the
+  -- influence value (= value - arm mean for a plain avg metric) via
+  -- raw moments: mu3 = E[x^3] - 3 m E[x^2] + 2 m^3
+  SELECT CAST(user_id % 2 AS INT) AS arm,
+         CAST(count(value) AS DOUBLE) AS n,
+         avg(value) AS m, var_samp(value) AS v,
+         avg(value*value) - avg(value)*avg(value) AS varp,
+         avg(value*value*value) - 3*avg(value)*avg(value*value)
+           + 2*avg(value)*avg(value)*avg(value) AS mu3
+  FROM events GROUP BY 1
+), ew AS (
+  SELECT a0.n AS n0, a1.n AS n1,
+         a0.mu3/pow(a0.varp, 1.5) AS skew0,
+         a1.mu3/pow(a1.varp, 1.5) AS skew1,
+         sqrt(a0.v/a0.n + a1.v/a1.n) AS se,
+         (a1.m - a0.m)/sqrt(a0.v/a0.n + a1.v/a1.n) AS t,
+         (a1.mu3/(a1.n*a1.n) - a0.mu3/(a0.n*a0.n))
+           / pow(sqrt(a0.v/a0.n + a1.v/a1.n), 3) AS gam
+  FROM (SELECT * FROM ew_arms WHERE arm = 0) a0,
+       (SELECT * FROM ew_arms WHERE arm = 1) a1
 )
 SELECT 'plain' AS variant, round(n0, 6) AS n0, round(n1, 6) AS n1,
        round(m0, 6) AS mean0, round(m1, 6) AS mean1,
@@ -3059,6 +3094,11 @@ SELECT 'tost', round(n0, 6), round(n1, 6), round(m0, 6), round(m1, 6),
        round(least((m1 - m0 + 5.0)/sqrt(v0/n0 + v1/n1),
                    -((m1 - m0 - 5.0)/sqrt(v0/n0 + v1/n1))), 6)
 FROM ev_arms
+UNION ALL
+SELECT 'edgeworth', round(n0, 6), round(n1, 6),
+       round(skew0, 6), round(skew1, 6), round(gam, 6),
+       round(se, 6), round(gam*(2*t*t + 1)/6, 6)
+FROM ew
 """
 
 

@@ -145,8 +145,58 @@ def _preflight_load() -> dict:
     return snap
 
 
+def _provenance() -> dict:
+    """Stamp the record with the exact tree it measured: the git HEAD
+    hash, whether the working tree is dirty, and the sha256 of the entry
+    file actually imported — so "at-HEAD" claims are self-proving
+    instead of resting on commit ordering (round-10 verdict nit #1)."""
+    import hashlib
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prov: dict = {}
+    try:
+        prov["git_head"] = subprocess.run(
+            ["git", "rev-parse", "HEAD"], cwd=here, capture_output=True,
+            text=True, timeout=10).stdout.strip()
+        prov["git_dirty"] = bool(subprocess.run(
+            ["git", "status", "--porcelain"], cwd=here, capture_output=True,
+            text=True, timeout=10).stdout.strip())
+    except (OSError, subprocess.SubprocessError):
+        pass
+    for label, fname in (("entry_sha256", "__spark_entry__.py"),
+                         ("bench_sha256", "bench.py")):
+        try:
+            with open(os.path.join(here, fname), "rb") as fh:
+                prov[label] = hashlib.sha256(fh.read()).hexdigest()[:16]
+        except OSError:
+            pass
+    return prov
+
+
+def _settle(max_wait: float = 150.0, target: float = 2.0) -> float:
+    """Bounded wait for the machine to go idle before measuring.  The
+    driver invokes bench right after the test suite, so the 1-min
+    loadavg routinely starts at 8-13 (round-10's driver record captured
+    a loadavg-12.99 run); waiting out the decay makes the DRIVER-VISIBLE
+    record the idle one instead of only a later local re-run.  Capped so
+    a genuinely busy machine still produces a (self-identifying,
+    load-annotated) record."""
+    waited = 0.0
+    try:
+        while waited < max_wait and os.getloadavg()[0] > target:
+            time.sleep(5.0)
+            waited += 5.0
+    except OSError:
+        pass
+    return waited
+
+
 def main() -> None:
+    settle_wait = _settle(
+        float(os.environ.get("SPARK_GRAFT_SETTLE_MAX", "150")))
     preflight = _preflight_load()
+    preflight["settle_wait_sec"] = settle_wait
     import __spark_entry__ as entry
 
     from pyspark.sql import SparkSession
@@ -305,6 +355,7 @@ def main() -> None:
         # both scales clear Spark caches after every family since
         # round 10, so cross-scale ratios measure data scaling
         "cache_policy": "isolated-per-family",
+        "provenance": _provenance(),
     }
     if errors:
         out["errors"] = errors

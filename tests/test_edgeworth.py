@@ -139,3 +139,35 @@ def test_edgeworth_gateway_forms(spark):
                       "from edgeworth").toPandas().iloc[0]
     assert not math.isnan(out3["p_value"])
     assert out3["stderr"] <= p_edge["stderr"] * 1.05  # CUPED tightens
+
+
+def test_edgeworth_components_consistency(spark):
+    """edgeworth_components exposes the same arithmetic the edgeworth=True
+    path consumes: identical corrected p, poly_term = gamma*(2t^2+1)/6,
+    and per-arm skewness matching a direct numpy computation."""
+    from fast_causal_inference_spark.operators.ttest import (
+        edgeworth_components,
+        ttest_2samp,
+    )
+
+    rng = np.random.default_rng(11)
+    n0, n1 = 700, 650
+    ys = np.concatenate([rng.lognormal(0, 1, n0),
+                         rng.lognormal(0.05, 1, n1)])
+    tcol = np.concatenate([np.zeros(n0, int), np.ones(n1, int)])
+    df = spark.createDataFrame(pd.DataFrame({"y": ys, "t": tcol}))
+    comp = edgeworth_components(df, "avg(y)", "t",
+                                alternative="greater").toPandas().iloc[0]
+    ref = ttest_2samp(df, "avg(y)", "t", alternative="greater",
+                      edgeworth=True).toPandas().iloc[0]
+    assert comp["p_value"] == pytest.approx(float(ref["p_value"]))
+    assert comp["t_stat"] == pytest.approx(float(ref["t_stat"]))
+    assert comp["stderr"] == pytest.approx(float(ref["stderr"]))
+    t = comp["t_stat"]
+    assert comp["poly_term"] == pytest.approx(
+        comp["gamma_eff"] * (2 * t * t + 1) / 6)
+    for arm, dat in ((0, ys[:n0]), (1, ys[n0:])):
+        mu3 = float(np.mean((dat - dat.mean()) ** 3))
+        skew = mu3 / float(np.mean((dat - dat.mean()) ** 2)) ** 1.5
+        assert comp[f"skew{arm}"] == pytest.approx(skew, rel=1e-9)
+    assert comp["n0"] == n0 and comp["n1"] == n1
