@@ -3518,12 +3518,18 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     genuinely end-to-end value-checked (pure-Python BMP/PNG/JPEG/GIF/
     WAV/FLAC codecs; lossy mp3/mp4 decode still raises).
 
-    Round 10 adds four oracle-gated modalities (19 total, 47 rows/doc):
-    image_tiff (LZW + predictor-2 + planar round trip), audio_aiff and
-    audio_au (exact big-endian PCM-16 round trips), and audio_ima4
-    (Apple QuickTime IMA — constants at multiples of 128 are the exact
-    class; batched packet-vectorized encode/decode with every 16th doc
-    running the full AIFC container path)."""
+    Round 10 adds four oracle-gated modalities: image_tiff (LZW +
+    predictor-2 + planar round trip), audio_aiff and audio_au (exact
+    big-endian PCM-16 round trips), and audio_ima4 (Apple QuickTime
+    IMA — constants at multiples of 128 are the exact class; batched
+    packet-vectorized encode/decode with every 16th doc running the
+    full AIFC container path).
+
+    Round 11 adds audio_ulaw and audio_alaw (21 modalities, 51 rows/
+    doc): AIFC G.711 companding — constants AT an expansion-table level
+    round-trip exactly, and the signed 'mean' feature value-checks the
+    full ITU closed-form expansion DuckDB re-derives from (sign, exp,
+    mantissa) hex draws."""
     from fast_causal_inference_spark.datapipe.multimodal import (
         audio_stats,
         decode_audio,
@@ -3621,6 +3627,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_wav_ms,
     )
     from fast_causal_inference_spark.datapipe.multimodal import (
+        encode_aifc_g711,
         encode_aifc_ima4,
         encode_aiff,
         encode_au,
@@ -3784,6 +3791,38 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((doc_id, "audio_au", "rms",
                              float(_np.sqrt(_np.mean(
                                  xu.astype(_np.float64) ** 2)))))
+                # AIFC G.711 ulaw/alaw (round 11): constants AT a G.711
+                # expansion-table level are the exact class (the
+                # nearest-code compressor returns the generating code,
+                # so compress -> expand is the identity); the level
+                # itself is the ITU closed form DuckDB re-derives from
+                # (sign, exponent, mantissa) hex draws — the signed
+                # 'mean' feature checks the full signed expansion, not
+                # just a magnitude
+                n_u = int(hx[18:21], 16) % 500 + 64
+                sg_u = 1 if int(hx[21], 16) % 2 == 0 else -1
+                ex_u = int(hx[22], 16) % 8
+                mt_u = int(hx[23], 16)
+                lvl_u = sg_u * ((((mt_u << 3) | 0x84) << ex_u) - 0x84)
+                xg, _ = decode_audio(encode_aifc_g711(
+                    _np.full(n_u, lvl_u, dtype=_np.int16), 8000, "ulaw"))
+                rows.append((doc_id, "audio_ulaw", "n_samples",
+                             float(len(xg))))
+                rows.append((doc_id, "audio_ulaw", "mean",
+                             float(_np.mean(xg.astype(_np.float64)))))
+                n_al = int(hx[24:27], 16) % 500 + 64
+                sg_a = 1 if int(hx[27], 16) % 2 == 0 else -1
+                ex_a = int(hx[28], 16) % 8
+                mt_a = int(hx[29], 16)
+                mag_a = (mt_a << 4) + 0x8 if ex_a == 0 else \
+                    ((mt_a << 4) + 0x108) << (ex_a - 1)
+                xga, _ = decode_audio(encode_aifc_g711(
+                    _np.full(n_al, sg_a * mag_a, dtype=_np.int16),
+                    8000, "alaw"))
+                rows.append((doc_id, "audio_alaw", "n_samples",
+                             float(len(xga))))
+                rows.append((doc_id, "audio_alaw", "mean",
+                             float(_np.mean(xga.astype(_np.float64)))))
                 # ADPCM (round 9): two exact-representable signal
                 # classes make the LOSSY codecs value-checkable —
                 # IMA at step-index 0 encodes constants exactly
@@ -4040,6 +4079,32 @@ SELECT doc_id, 'audio_ima4', 'n_samples',
 UNION ALL
 SELECT doc_id, 'audio_ima4', 'rms',
        CAST(ABS((('0x' || substr(hx, 54, 3))::BIGINT % 256 - 128) * 128)
+            AS DOUBLE) FROM h
+UNION ALL
+SELECT doc_id, 'audio_ulaw', 'n_samples',
+       CAST(('0x' || substr(hx, 19, 3))::BIGINT % 500 + 64 AS DOUBLE) FROM h
+UNION ALL
+SELECT doc_id, 'audio_ulaw', 'mean',
+       -- ITU G.711 mu-law expansion: sign * (((mant*8 + 132) << exp) - 132)
+       CAST((CASE WHEN ('0x' || substr(hx, 22, 1))::BIGINT % 2 = 0
+                  THEN 1 ELSE -1 END)
+            * ((('0x' || substr(hx, 24, 1))::BIGINT * 8 + 132)
+               * power(2, ('0x' || substr(hx, 23, 1))::BIGINT % 8) - 132)
+            AS DOUBLE) FROM h
+UNION ALL
+SELECT doc_id, 'audio_alaw', 'n_samples',
+       CAST(('0x' || substr(hx, 25, 3))::BIGINT % 500 + 64 AS DOUBLE) FROM h
+UNION ALL
+SELECT doc_id, 'audio_alaw', 'mean',
+       -- ITU G.711 A-law expansion: seg 0 = mant*16 + 8,
+       -- seg e>0 = (mant*16 + 264) << (e-1)
+       CAST((CASE WHEN ('0x' || substr(hx, 28, 1))::BIGINT % 2 = 0
+                  THEN 1 ELSE -1 END)
+            * (CASE WHEN ('0x' || substr(hx, 29, 1))::BIGINT % 8 = 0
+                    THEN ('0x' || substr(hx, 30, 1))::BIGINT * 16 + 8
+                    ELSE (('0x' || substr(hx, 30, 1))::BIGINT * 16 + 264)
+                         * power(2, ('0x' || substr(hx, 29, 1))::BIGINT % 8 - 1)
+               END)
             AS DOUBLE) FROM h
 """
 

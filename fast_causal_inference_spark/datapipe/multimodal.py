@@ -25,7 +25,10 @@ Decode support is two-tier:
   integer state machines in ``datapipe/adpcm.py``, validated by
   hand-computed step-table fixtures, byte-pinned goldens and exact
   encoder-reconstruction equality), so telephony/game-audio WAVs
-  decode for real too.
+  decode for real too.  Round 11 extends G.711 µ-law/A-law companding
+  to the AIFC framing (compression types ``ulaw``/``alaw`` and the
+  QuickTime uppercase variants) — the same ITU expansion tables the
+  WAV format-6/7 and AU encoding-1/27 paths already validate.
 * **Lossy DSP/entropy-coded audio/video (MP3/MP4-AAC/Ogg-Vorbis/Opus
   and video codecs) is explicitly OUT OF SCOPE for in-container
   decode** — a deliberate round-6 decision, not an implicit promise:
@@ -971,10 +974,53 @@ def encode_aifc_ima4(samples: np.ndarray,
     return b"FORM" + struct.pack(">L", len(body)) + body
 
 
+def _g711_nearest_codes(x: np.ndarray, table: np.ndarray) -> np.ndarray:
+    """Quantize int16 samples to G.711 codes by inverting the expansion
+    table (nearest level by magnitude) — the compressor half both the
+    AU and AIFC G.711 encoders share; samples already AT a table level
+    round-trip exactly."""
+    t = table.astype(np.int64)
+    order = np.argsort(t)
+    idx = np.searchsorted(t[order], np.asarray(x, np.int64))
+    idx = np.clip(idx, 0, 255)
+    lo = np.clip(idx - 1, 0, 255)
+    pick = np.where(
+        np.abs(t[order[lo]] - x) <= np.abs(t[order[idx]] - x), lo, idx)
+    return order[pick].astype(np.uint8)
+
+
+def encode_aifc_g711(samples: np.ndarray, sample_rate: int = 8_000,
+                     law: str = "ulaw") -> bytes:
+    """Serialize int16 mono samples as an AIFC container with G.711
+    'ulaw' or 'alaw' compression (FORM/AIFC + FVER + COMM[ulaw|alaw] +
+    SSND of one companded byte per sample).  Same ITU-T tables as the
+    WAV format-6/7 and AU encoding-1/27 paths — AIFC only frames the
+    codec differently (AIFF-C spec compression types; QuickTime writes
+    the uppercase variants, which decode_aiff also accepts)."""
+    if law not in ("ulaw", "alaw"):
+        raise ValueError("law must be 'ulaw' or 'alaw'")
+    x = np.asarray(samples, dtype=np.int16).reshape(-1)
+    table = _mulaw_table() if law == "ulaw" else _alaw_table()
+    data = _g711_nearest_codes(x, table).tobytes()
+    name = b"\x09" + (b"ITU u-law" if law == "ulaw" else b"ITU A-law")
+    # pstring: count 9 + 9 chars = 10 bytes, already even — no pad
+    comm = struct.pack(">hLh", 1, len(x), 16) \
+        + _float_to_f80(float(sample_rate)) + law.encode("ascii") + name
+    fver = struct.pack(">L", 0xA2805140)      # AIFC version 1
+    ssnd = struct.pack(">LL", 0, 0) + data
+    body = b"AIFC" \
+        + b"FVER" + struct.pack(">L", len(fver)) + fver \
+        + b"COMM" + struct.pack(">L", len(comm)) + comm \
+        + b"SSND" + struct.pack(">L", len(ssnd)) + ssnd \
+        + (b"\x00" if len(ssnd) % 2 else b"")
+    return b"FORM" + struct.pack(">L", len(body)) + body
+
+
 def decode_aiff(payload: bytes) -> tuple[np.ndarray, int]:
     """Decode AIFF/AIFC — big-endian PCM 8/16/24/32, little-endian
-    'sowt', or Apple 'ima4' ADPCM — into (int16 mono samples, rate).
-    Remaining compressed AIFC codecs raise."""
+    'sowt', Apple 'ima4' ADPCM, or G.711 'ulaw'/'alaw' ('ULAW'/'ALAW')
+    — into (int16 mono samples, rate).  Remaining compressed AIFC
+    codecs raise."""
     if payload[:4] != b"FORM" or payload[8:12] not in (b"AIFF", b"AIFC"):
         raise ValueError("not an AIFF payload")
     is_aifc = payload[8:12] == b"AIFC"
@@ -1006,6 +1052,17 @@ def decode_aiff(payload: bytes) -> tuple[np.ndarray, int]:
             if ch > 1:
                 x = x.mean(axis=1)
             return x.reshape(-1).astype(np.int16), rate
+        if ctype in (b"ulaw", b"ULAW", b"alaw", b"ALAW"):
+            # G.711 companded bytes — one per sample per channel
+            table = _mulaw_table() if ctype in (b"ulaw", b"ULAW") \
+                else _alaw_table()
+            x = table[np.frombuffer(data, np.uint8)].astype(np.int64)
+            x = x[:len(x) // ch * ch]
+            if _n:
+                x = x[:_n * ch]
+            if ch > 1:
+                x = x.reshape(-1, ch).mean(axis=1)
+            return x.astype(np.int16), rate
         if ctype not in (b"NONE", b"sowt"):
             raise NotImplementedError(
                 f"AIFC compression {ctype!r} needs a codec library")
@@ -1038,24 +1095,16 @@ def decode_aiff(payload: bytes) -> tuple[np.ndarray, int]:
 def encode_au(samples: np.ndarray, sample_rate: int = 16_000,
               encoding: int = 3) -> bytes:
     """Serialize int16 mono samples as a Sun/NeXT AU file (big-endian;
-    encoding 3 = linear PCM-16, 1 = G.711 mu-law via the same
-    companding tables ``decode_wav`` uses)."""
+    encoding 3 = linear PCM-16, 1 = G.711 mu-law, 27 = G.711 A-law via
+    the same companding tables ``decode_wav`` uses)."""
     x = np.asarray(samples, dtype=np.int16)
     if encoding == 3:
         data = x.astype(">i2").tobytes()
-    elif encoding == 1:
-        # invert the mu-law expansion table (nearest code by magnitude)
-        table = _mulaw_table().astype(np.int64)
-        order = np.argsort(table)
-        idx = np.searchsorted(table[order], x.astype(np.int64))
-        idx = np.clip(idx, 0, 255)
-        lo = np.clip(idx - 1, 0, 255)
-        pick = np.where(
-            np.abs(table[order[lo]] - x) <= np.abs(table[order[idx]] - x),
-            lo, idx)
-        data = order[pick].astype(np.uint8).tobytes()
+    elif encoding in (1, 27):
+        table = _mulaw_table() if encoding == 1 else _alaw_table()
+        data = _g711_nearest_codes(x, table).tobytes()
     else:
-        raise NotImplementedError("encode_au supports encodings 1 and 3")
+        raise NotImplementedError("encode_au supports encodings 1, 3, 27")
     hdr = struct.pack(">4sLLLLL", b".snd", 24, len(data), encoding,
                       sample_rate, 1)
     return hdr + data

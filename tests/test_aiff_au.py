@@ -288,3 +288,85 @@ def test_ima4_batch_matches_sequential_quality_and_exact_constants():
     assert len(one) % 34 == 0
     assert np.array_equal(
         decode_ima4_packets(one, 1)[:len(sigs[2]), 0], decs[2])
+
+
+# ------------------------------------------------------- AIFC G.711
+
+def test_aifc_g711_exact_levels_roundtrip():
+    """Constants at a G.711 expansion-table level survive AIFC
+    compress -> expand exactly, for both laws and both letter cases."""
+    from fast_causal_inference_spark.datapipe.multimodal import (
+        decode_audio,
+        encode_aifc_g711,
+    )
+
+    for law, table in (("ulaw", _mulaw_table()), ("alaw", _alaw_table())):
+        for code in (0, 1, 77, 130, 200, 255):
+            lvl = int(table[code])
+            y, rate = decode_audio(
+                encode_aifc_g711(np.full(97, lvl, np.int16), 8000, law))
+            assert rate == 8000 and len(y) == 97
+            assert np.all(y == lvl), (law, code)
+    # QuickTime writes the uppercase compression type
+    p = encode_aifc_g711(np.full(9, int(_mulaw_table()[42]), np.int16),
+                         8000, "ulaw")
+    i = p.find(b"ulaw")
+    y, _ = decode_aiff(p[:i] + b"ULAW" + p[i + 4:])
+    assert np.all(y == int(_mulaw_table()[42]))
+
+
+def test_aifc_g711_lossy_nearest_level():
+    """Arbitrary int16 input maps every sample to a REAL G.711 level
+    within the worst-case top-segment step (mu-law 1024, A-law 1024)."""
+    from fast_causal_inference_spark.datapipe.multimodal import (
+        decode_aiff,
+        encode_aifc_g711,
+    )
+
+    rng = np.random.default_rng(5)
+    x = rng.integers(-32000, 32000, 800).astype(np.int16)
+    for law, table in (("ulaw", _mulaw_table()), ("alaw", _alaw_table())):
+        y, _ = decode_aiff(encode_aifc_g711(x, 8000, law))
+        levels = set(int(t) for t in table)
+        assert all(int(v) in levels for v in y)
+        assert np.abs(y.astype(np.int64) - x).max() <= 1024
+
+
+def test_au_alaw_encoding_27():
+    from fast_causal_inference_spark.datapipe.multimodal import (
+        decode_au,
+        encode_au,
+    )
+
+    al = _alaw_table()
+    lvl = int(al[100])
+    y, rate = decode_au(encode_au(np.full(33, lvl, np.int16), 8000,
+                                  encoding=27))
+    assert rate == 8000 and np.all(y == lvl)
+
+
+def test_aifc_g711_stereo_monomix():
+    """Two-channel G.711 AIFC decodes with a channel mean, trimmed to
+    numSampleFrames."""
+    from fast_causal_inference_spark.datapipe.multimodal import (
+        _g711_nearest_codes,
+        decode_aiff,
+    )
+    import struct
+
+    table = _mulaw_table()
+    l_lvl, r_lvl = int(table[60]), int(table[200])
+    inter = np.empty(20, np.int16)
+    inter[0::2], inter[1::2] = l_lvl, r_lvl
+    codes = _g711_nearest_codes(inter, table).tobytes()
+    from fast_causal_inference_spark.datapipe.multimodal import _float_to_f80
+    name = b"\x09ITU u-law"
+    comm = struct.pack(">hLh", 2, 10, 16) + _float_to_f80(8000.0) \
+        + b"ulaw" + name
+    ssnd = struct.pack(">LL", 0, 0) + codes
+    body = (b"AIFC"
+            + b"COMM" + struct.pack(">L", len(comm)) + comm
+            + b"SSND" + struct.pack(">L", len(ssnd)) + ssnd)
+    y, rate = decode_aiff(b"FORM" + struct.pack(">L", len(body)) + body)
+    assert rate == 8000 and len(y) == 10
+    assert np.all(y == np.int16((l_lvl + r_lvl) / 2))
