@@ -781,9 +781,16 @@ def _dispatch(fn: str, df: DataFrame, pos: list, kw: dict,
                       r"\s*(.+?)\s*,\s*([\d.]+)\s*\)\s*$", expr)
         if mq:
             # gateway parameterized form bootStrap('quantile(0.5)(x)')
+            # — routed to the mergeable-centroid SKETCH path by default
+            # (round 11): the gateway targets cluster-scale tables, and
+            # the sketch's shuffle is independent of row count where
+            # the exact percentile path pays a B-fold explode.  Pass
+            # method='exact' to override.
+            kwq = dict(kw)
+            kwq.setdefault("method", "sketch")
             return resample.boot_strap_quantile(
                 df, mq.group(1), float(mq.group(2)), n_resamples=B,
-                **{k: v for k, v in kw.items()})
+                **kwq)
         return resample.boot_strap(df, expr, n_resamples=B,
                                    **{k: v for k, v in kw.items()})
     if fn == "permutation":

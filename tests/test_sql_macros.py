@@ -635,3 +635,66 @@ def test_create_view_passthrough_and_chinese_sql(spark, ab_df):
     n1 = sql(spark, "SELECT count(*) AS n FROM zh_tbl WHERE 分母 = 1") \
         .collect()[0]["n"]
     assert n1 == 150
+
+
+# -- round 11: macro routing to the scale-safe resample paths ---------------
+
+
+def test_bootstrap_quantile_macro_routes_to_sketch(spark, monkeypatch):
+    """The gateway's parameterized quantile form dispatches to
+    boot_strap_quantile(method='sketch') — the mergeable-centroid path
+    whose shuffle is independent of row count — and the macro result is
+    IDENTICAL to the direct Python API call (same seed, same plan)."""
+    from fast_causal_inference_spark.operators import resample
+
+    seen = {}
+    orig = resample.boot_strap_quantile
+
+    def spy(*a, **k):
+        seen.update(k)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(resample, "boot_strap_quantile", spy)
+    got = sql(spark, "SELECT bootStrap('quantile(0.5)(x1)', 10, 4) "
+                     "FROM ab").toPandas().sort_values("replica_id")
+    assert seen.get("method") == "sketch"
+    want = orig(spark.table("ab"), "x1", 0.5, n_resamples=10,
+                method="sketch").toPandas().sort_values("replica_id")
+    assert list(got["value"]) == pytest.approx(list(want["value"]))
+    # explicit override falls back to the exact percentile path
+    seen.clear()
+    sql(spark, "SELECT bootStrap('quantile(0.5)(x1)', 5, 4, "
+               "method='exact') FROM ab").count()
+    assert seen.get("method") == "exact"
+
+
+def test_permutation_mde_macro_routes_to_alt(spark, monkeypatch):
+    """permutation(..., pnum, mde, mde_type) with a nonzero mde
+    dispatches to permutation_alt (the reference per-replicate-redraw
+    semantics) and matches the direct Python API call exactly."""
+    import pandas as pd
+
+    from fast_causal_inference_spark.operators import resample
+
+    calls = []
+    orig = resample.permutation_alt
+
+    def spy(*a, **k):
+        calls.append(k)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(resample, "permutation_alt", spy)
+    got = sql(spark, "SELECT permutation("
+                     "'ttest_2samp(avg(x1), TREATMENT)', 7, 0.5, 1) "
+                     "FROM ab").toPandas()
+    assert calls and calls[0] == {"permutation_num": 7, "mde": 0.5,
+                                  "mde_type": 1}
+    want = pd.DataFrame(orig(spark.table("ab"), "avg(x1)",
+                             permutation_num=7, mde=0.5, mde_type=1))
+    for c in ("p_value", "observed_diff", "n_permutations"):
+        assert got[c].iloc[0] == pytest.approx(float(want[c].iloc[0]))
+    # mde=0 keeps the classic fixed-label sharp-null path
+    calls.clear()
+    sql(spark, "SELECT permutation('ttest_2samp(avg(x1), TREATMENT)', "
+               "4) FROM ab").count()
+    assert not calls
