@@ -354,6 +354,149 @@ FROM (
 """
 
 
+def q_streaming_charts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUSUM + EWMA control charts, executed as REAL
+    ``applyInPandasWithState`` file-source streams (round 11 — the
+    verdict's 'gate the streaming charts' ask).
+
+    One availableNow micro-batch folds the whole events table per
+    series (event_type), so each chart's single append emission is the
+    batch chart's final state on the same ordered data — the equality
+    the property suite (tests/test_streaming_properties.py) pins
+    against the textbook recursions.  Event time is derived from the
+    UNIQUE event_id (timestamp_micros), so the in-batch sort and the
+    oracle's ORDER BY agree with no tie ambiguity.  The DuckDB oracle
+    re-derives both charts with a recursive CTE running the textbook
+    recursions C⁺ = max(0, C⁺+z−k) / E = λz+(1−λ)E over the same
+    order — the closed-form prefix-sum folds inside the stream are
+    the reflection identity of exactly these recursions.  NaN
+    first_alarm_n (series that never alarm) maps to -1 on both sides.
+    """
+    import math
+    import os
+    import shutil
+    import tempfile
+
+    from fast_causal_inference_spark.streaming.ops import (
+        streaming_cusum,
+        streaming_ewma,
+    )
+
+    sch = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    tmp = tempfile.mkdtemp(prefix="charts_stream_")
+    rows = []
+    try:
+        os.mkdir(tmp + "/in")
+        _symlink_parquet(f"{sf_dir}/events.parquet", tmp + "/in")
+        stream = spark.readStream.schema(sch).parquet(tmp + "/in")
+        # strict per-series event-time from the unique event_id; the
+        # %5 thinning bounds the oracle's recursive-CTE depth (~400
+        # steps/series at sf0.01) while the stream still folds real
+        # hundreds-of-steps state per series
+        stream = (stream.where(F.col("event_id") % 5 == 0)
+                  .withColumn("ets",
+                              F.timestamp_micros(F.col("event_id"))))
+
+        charts = {
+            "cusum": streaming_cusum(stream, "value", "ets", 50.0, 50.0,
+                                     group_col="event_type", k=0.5,
+                                     h=5.0, watermark="1 day"),
+            "ewma": streaming_ewma(stream, "value", "ets", 50.0, 50.0,
+                                   group_col="event_type", lam=0.2,
+                                   L=3.0, watermark="1 day"),
+        }
+        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            for chart, st in charts.items():
+                qname = f"charts_gate_{chart}"
+                q = (st.writeStream.format("memory").queryName(qname)
+                     .outputMode("append").trigger(availableNow=True)
+                     .start())
+                if not q.awaitTermination(180):
+                    q.stop()
+                    raise TimeoutError(
+                        f"streaming {chart} chart did not finish in 180s")
+                landed = spark.table(qname).collect()
+                spark.catalog.dropTempView(qname)
+                if not landed:
+                    raise RuntimeError(
+                        f"streaming {chart} chart landed zero emissions")
+                stats = ("n", "cusum_pos", "cusum_neg") \
+                    if chart == "cusum" else ("n", "ewma", "ucl")
+                for r in landed:
+                    for stat in stats + ("n_alarms", "first_alarm_n"):
+                        v = r[stat]
+                        # never-alarmed series carry NaN state, which
+                        # lands as NULL through the Arrow sink
+                        if stat == "first_alarm_n" and (
+                                v is None or math.isnan(v)):
+                            v = -1.0
+                        rows.append((chart, str(r["g"]), stat,
+                                     round(float(v), 6)))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "chart string, g string, feature string, value double")
+
+
+_STREAMING_CHARTS_SQL = """
+WITH RECURSIVE src AS MATERIALIZED (
+  SELECT event_type AS g,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY event_id) AS rn,
+         (value - 50.0)/50.0 AS z
+  FROM events WHERE value IS NOT NULL AND event_id % 5 = 0
+), nmax AS (SELECT g, max(rn) AS n FROM src GROUP BY g),
+rec AS (
+  SELECT g, 0 AS rn,
+         CAST(0 AS DOUBLE) AS cp, CAST(0 AS DOUBLE) AS cn,
+         CAST(0 AS DOUBLE) AS ca, CAST(NULL AS DOUBLE) AS cf,
+         CAST(0 AS DOUBLE) AS e, CAST(0 AS DOUBLE) AS ea,
+         CAST(NULL AS DOUBLE) AS ef
+  FROM nmax
+  UNION ALL
+  SELECT s.g, s.rn,
+         greatest(0.0, r.cp + s.z - 0.5),
+         greatest(0.0, r.cn - s.z - 0.5),
+         r.ca + CASE WHEN greatest(0.0, r.cp + s.z - 0.5) > 5.0
+                       OR greatest(0.0, r.cn - s.z - 0.5) > 5.0
+                     THEN 1.0 ELSE 0.0 END,
+         COALESCE(r.cf, CASE WHEN greatest(0.0, r.cp + s.z - 0.5) > 5.0
+                               OR greatest(0.0, r.cn - s.z - 0.5) > 5.0
+                             THEN CAST(s.rn AS DOUBLE) END),
+         0.2*s.z + 0.8*r.e,
+         r.ea + CASE WHEN abs(0.2*s.z + 0.8*r.e) >
+                          3.0*sqrt(0.2/1.8*(1.0 - power(0.8, 2.0*s.rn)))
+                     THEN 1.0 ELSE 0.0 END,
+         COALESCE(r.ef, CASE WHEN abs(0.2*s.z + 0.8*r.e) >
+                          3.0*sqrt(0.2/1.8*(1.0 - power(0.8, 2.0*s.rn)))
+                             THEN CAST(s.rn AS DOUBLE) END)
+  FROM rec r JOIN src s ON s.g = r.g AND s.rn = r.rn + 1
+), fin AS (
+  SELECT r.* FROM rec r JOIN nmax ON r.g = nmax.g AND r.rn = nmax.n
+)
+SELECT chart, g, feature, round(value, 6) AS value FROM (
+  SELECT 'cusum' AS chart, g, 'n' AS feature,
+         CAST(rn AS DOUBLE) AS value FROM fin
+  UNION ALL SELECT 'cusum', g, 'cusum_pos', cp FROM fin
+  UNION ALL SELECT 'cusum', g, 'cusum_neg', cn FROM fin
+  UNION ALL SELECT 'cusum', g, 'n_alarms', ca FROM fin
+  UNION ALL SELECT 'cusum', g, 'first_alarm_n', COALESCE(cf, -1.0)
+  FROM fin
+  UNION ALL SELECT 'ewma', g, 'n', CAST(rn AS DOUBLE) FROM fin
+  UNION ALL SELECT 'ewma', g, 'ewma', e FROM fin
+  UNION ALL SELECT 'ewma', g, 'ucl',
+    3.0*sqrt(0.2/1.8*(1.0 - power(0.8, 2.0*rn))) FROM fin
+  UNION ALL SELECT 'ewma', g, 'n_alarms', ea FROM fin
+  UNION ALL SELECT 'ewma', g, 'first_alarm_n', COALESCE(ef, -1.0)
+  FROM fin
+)
+"""
+
+
 def q_ols_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Simple OLS l_discount ~ l_tax with full inference columns."""
     from fast_causal_inference_spark.operators.ols import ols_coef_df
@@ -6158,6 +6301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ttest_2samp": q_ttest_2samp_family,
         "ttests_2samp": q_ttests_2samp,
         "srm": q_srm,
+        "streaming_charts": q_streaming_charts,
         "xexpt_ttest_2samp": q_xexpt_family,
         "xexpt_grouped": q_xexpt_grouped,
         "mann_whitney_utest": q_mann_whitney,
@@ -6235,6 +6379,7 @@ def oracle_sql() -> dict[str, str]:
         "ttest_2samp": _TTEST_FAMILY_SQL,
         "ttests_2samp": _TTESTS_SQL,
         "srm": _SRM_SQL,
+        "streaming_charts": _STREAMING_CHARTS_SQL,
         "xexpt_ttest_2samp": _XEXPT_FAMILY_SQL,
         "xexpt_grouped": _XEXPT_GROUPED_SQL,
         "mann_whitney_utest": _MW_SQL,

@@ -300,3 +300,46 @@ def test_streaming_ewma_matches_offline_scalar_loop(spark, data):
                     and math.isnan(first)))
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_charts_gate_matches_batch_detect(spark):
+    """The streaming_charts oracle gate's final emissions equal the
+    BATCH cusum_detect/ewma_detect charts run over the same thinned,
+    event_id-ordered events slice (the round-11 verdict ask: stream
+    emissions == batch chart on the same ordered data)."""
+    import __spark_entry__ as entry
+    from fast_causal_inference_spark.operators.changepoint import (
+        cusum_detect,
+        ewma_detect,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = entry.queries()["streaming_charts"](spark, sf).toPandas()
+    ev = (entry._load(spark, sf, "events")
+          .where(F.col("event_id") % 5 == 0))
+
+    cu = cusum_detect(ev, "value", "event_id", group_by="event_type",
+                      target=50.0, sd=50.0, k=0.5, h=5.0).toPandas()
+    ew = ewma_detect(ev, "value", "event_id", group_by="event_type",
+                     target=50.0, sd=50.0, lam=0.2, L=3.0).toPandas()
+    for g, sub in got[got["chart"] == "cusum"].groupby("g"):
+        want = cu[cu["event_type"] == g].sort_values("event_id")
+        vals = dict(zip(sub["feature"], sub["value"]))
+        assert vals["n"] == len(want)
+        assert vals["cusum_pos"] == pytest.approx(
+            float(want["cusum_pos"].iloc[-1]), abs=1e-6)
+        assert vals["cusum_neg"] == pytest.approx(
+            float(want["cusum_neg"].iloc[-1]), abs=1e-6)
+        assert vals["n_alarms"] == float(want["alarm"].sum())
+        alarms = np.flatnonzero(want["alarm"].to_numpy())
+        first = float(alarms[0] + 1) if len(alarms) else -1.0
+        assert vals["first_alarm_n"] == first
+    for g, sub in got[got["chart"] == "ewma"].groupby("g"):
+        want = ew[ew["event_type"] == g].sort_values("event_id")
+        vals = dict(zip(sub["feature"], sub["value"]))
+        assert vals["n"] == len(want)
+        assert vals["ewma"] == pytest.approx(
+            float(want["ewma"].iloc[-1]), abs=1e-6)
+        assert vals["ucl"] == pytest.approx(
+            float(want["ucl"].iloc[-1]), abs=1e-6)
+        assert vals["n_alarms"] == float(want["alarm"].sum())
