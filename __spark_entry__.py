@@ -3907,9 +3907,19 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # over generate_series
                 gx, gy = _np.meshgrid(_np.arange(wv), _np.arange(hv))
                 grad = ((cval + 3 * gx + 5 * gy) % 256).astype(_np.uint8)
-                tif = decode_image(encode_tiff(
-                    _np.repeat(grad[:, :, None], 3, axis=2),
-                    lzw=True, predictor=True, planar=True))
+                rgb3 = _np.repeat(grad[:, :, None], 3, axis=2)
+                # round 11: the unused hash nibble picks between the
+                # strip path (LZW + predictor-2 + planar) and the NEW
+                # 16-bit TILED path (v16 = v8*257 reduces back exactly
+                # via >>8, so the closed-form gradient oracle holds for
+                # both layouts)
+                if int(hx[56], 16) % 2:
+                    tif = decode_image(encode_tiff(
+                        rgb3.astype(_np.uint16) * 257, tile=(8, 8),
+                        deflate=True, predictor=True))
+                else:
+                    tif = decode_image(encode_tiff(
+                        rgb3, lzw=True, predictor=True, planar=True))
                 rows.append((doc_id, "image_tiff", "width",
                              float(tif.shape[1])))
                 rows.append((doc_id, "image_tiff", "height",

@@ -552,25 +552,28 @@ def _packbits_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _hdiff_encode(raw: bytes, h: int, w: int, spp: int) -> bytes:
-    """TIFF predictor 2 (horizontal differencing), forward direction:
-    each sample minus the previous sample of the SAME channel in the
-    row."""
-    a = np.frombuffer(raw, np.uint8).reshape(h, w, spp).astype(np.int64)
-    d = a.copy()
-    d[:, 1:, :] = (a[:, 1:, :] - a[:, :-1, :]) & 0xFF
-    return d.astype(np.uint8).tobytes()
-
-
 def encode_tiff(arr: np.ndarray, packbits: bool = False,
                 lzw: bool = False, predictor: bool = False,
-                planar: bool = False, deflate: bool = False) -> bytes:
-    """Encode (h, w, 3) uint8 RGB (or (h, w) grayscale) as a
-    little-endian TIFF — uncompressed, PackBits, LZW (compression 5),
-    or Adobe Deflate (compression 8, stdlib zlib), optionally with
+                planar: bool = False, deflate: bool = False,
+                tile: tuple[int, int] | None = None) -> bytes:
+    """Encode (h, w, 3) RGB (or (h, w) grayscale) as a little-endian
+    TIFF — uncompressed, PackBits, LZW (compression 5), or Adobe
+    Deflate (compression 8, stdlib zlib), optionally with
     horizontal-differencing predictor 2; ``planar=True`` writes
-    PlanarConfiguration 2 (one strip per sample plane)."""
-    a = np.asarray(arr, dtype=np.uint8)
+    PlanarConfiguration 2 (one strip/tile set per sample plane).
+
+    Round 11: a ``uint16`` input writes BitsPerSample 16 (predictor
+    differencing mod 65536), and ``tile=(tile_length, tile_width)``
+    writes the TILED layout (tags 322/323/324/325, edge tiles
+    zero-padded to full tile size, predictor per tile row — each tile
+    compresses as an independent image, per the TIFF 6.0 spec)."""
+    a = np.asarray(arr)
+    if a.dtype == np.uint16:
+        bits = 16
+    else:
+        a = a.astype(np.uint8)
+        bits = 8
+    mask = (1 << bits) - 1
     gray = a.ndim == 2
     h, w = a.shape[:2]
     spp = 1 if gray else 3
@@ -585,48 +588,70 @@ def encode_tiff(arr: np.ndarray, packbits: bool = False,
         comp, compress = 32773, _packbits_encode
     else:
         comp, compress = 1, bytes
-    if planar:
-        raws = [np.ascontiguousarray(a[:, :, c]).tobytes()
-                for c in range(spp)]
-        strip_spp = 1
+    a3 = a.reshape(h, w, spp)
+    planes = [a3[:, :, c:c + 1] for c in range(spp)] if planar else [a3]
+    strip_spp = 1 if planar else spp
+    if tile:
+        tl, tw = int(tile[0]), int(tile[1])
+        if tl <= 0 or tw <= 0:
+            raise ValueError("tile dims must be positive")
+        chunks = []
+        for p in planes:
+            for ty in range(0, h, tl):
+                for tx in range(0, w, tw):
+                    t = np.zeros((tl, tw, strip_spp), a.dtype)
+                    sub = p[ty:ty + tl, tx:tx + tw, :]
+                    t[:sub.shape[0], :sub.shape[1], :] = sub
+                    chunks.append(t)
     else:
-        raws = [a.tobytes()]
-        strip_spp = spp
+        chunks = planes
     if predictor:
-        raws = [_hdiff_encode(r, h, w, strip_spp) for r in raws]
-    strips = [compress(r) for r in raws]
-    # IFD after the 8-byte header; strip data after the IFD
+        diffed = []
+        for c in chunks:
+            d = c.astype(np.int64)
+            d[:, 1:, :] = (d[:, 1:, :] - d[:, :-1, :]) & mask
+            diffed.append(d.astype(a.dtype))
+        chunks = diffed
+    dt = "<u2" if bits == 16 else np.uint8
+    strips = [compress(np.ascontiguousarray(c).astype(dt).tobytes())
+              for c in chunks]
+    # IFD after the 8-byte header; strip/tile data after the IFD
     tags = [
         (256, 3, 1, w), (257, 3, 1, h),
         (259, 3, 1, comp),
         (262, 3, 1, 1 if gray else 2),     # BlackIsZero / RGB
         (277, 3, 1, spp),
-        (278, 3, 1, h),                    # rows per strip
     ]
+    if tile:
+        tags += [(322, 3, 1, tw), (323, 3, 1, tl)]
+        off_tag, cnt_tag = 324, 325
+    else:
+        tags.append((278, 3, 1, h))        # rows per strip
+        off_tag, cnt_tag = 273, 279
     if predictor:
         tags.append((317, 3, 1, 2))
     if planar:
         tags.append((284, 3, 1, 2))
-    # out-of-line value areas: BitsPerSample (RGB), strip offset /
-    # byte-count arrays (planar writes one strip per plane)
-    n_tags = len(tags) + 3                 # + BitsPerSample + 273/279
+    # out-of-line value areas: BitsPerSample (RGB), strip/tile offset /
+    # byte-count arrays
+    n_tags = len(tags) + 3                 # + BitsPerSample + offs/cnts
     ifd_at = 8
     ifd_size = 2 + 12 * n_tags + 4
     extra_at = ifd_at + ifd_size
     extra = b""
     if gray:
-        tags.append((258, 3, 1, 8))
+        tags.append((258, 3, 1, bits))
     else:
         tags.append((258, 3, 3, extra_at))
-        extra = struct.pack("<HHH", 8, 8, 8) + b"\x00" * 2
+        extra = struct.pack("<HHH", bits, bits, bits) + b"\x00" * 2
     ns = len(strips)
     counts = [len(s) for s in strips]
     if ns == 1:
         data_at = extra_at + len(extra)
-        tags.append((273, 4, 1, data_at))
-        tags.append((279, 4, 1, counts[0]))
+        tags.append((off_tag, 4, 1, data_at))
+        tags.append((cnt_tag, 4, 1, counts[0]))
     else:
-        # two LONG arrays out-of-line, then the strip data
+        # two LONG arrays out-of-line, then the chunk data
         arr_at = extra_at + len(extra)
         data_at = arr_at + 8 * ns
         offs = []
@@ -634,8 +659,8 @@ def encode_tiff(arr: np.ndarray, packbits: bool = False,
         for c in counts:
             offs.append(at)
             at += c
-        tags.append((273, 4, ns, arr_at))
-        tags.append((279, 4, ns, arr_at + 4 * ns))
+        tags.append((off_tag, 4, ns, arr_at))
+        tags.append((cnt_tag, 4, ns, arr_at + 4 * ns))
         extra += struct.pack(f"<{ns}I", *offs)
         extra += struct.pack(f"<{ns}I", *counts)
     tags.sort()
@@ -654,9 +679,10 @@ def encode_tiff(arr: np.ndarray, packbits: bool = False,
 def decode_tiff(payload: bytes) -> np.ndarray:
     """Decode a baseline TIFF (both byte orders; uncompressed,
     PackBits, LZW, or Adobe/legacy Deflate with optional
-    horizontal-differencing predictor 2; 8-bit grayscale / RGB /
-    palette; chunky or planar; multi-strip) into an (h, w, 3) uint8
-    RGB array.  JPEG-in-TIFF and other compressions raise
+    horizontal-differencing predictor 2; 8- or 16-bit grayscale / RGB,
+    8-bit palette; chunky or planar; multi-strip OR tiled — round 11)
+    into an (h, w, 3) uint8 RGB array (16-bit samples reduce via >>8,
+    the PNG-16 convention).  JPEG-in-TIFF and other compressions raise
     ``NotImplementedError``."""
     if payload[:4] == b"II\x2a\x00":
         bo = "<"
@@ -698,8 +724,10 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     photo = one(262, 1)
     spp = one(277, 1)
     bps = values(258, [8])
-    if any(b != 8 for b in bps):
-        raise NotImplementedError("only 8-bit TIFF samples supported")
+    bits = bps[0]
+    if bits not in (8, 16) or any(b != bits for b in bps):
+        raise NotImplementedError(
+            "only uniform 8- or 16-bit TIFF samples supported")
     if comp not in (1, 5, 8, 32946, 32773):
         raise NotImplementedError(
             f"TIFF compression {comp} needs a codec library "
@@ -712,46 +740,92 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     planar = one(284, 1)
     if planar not in (1, 2):
         raise ValueError(f"TIFF: invalid PlanarConfiguration {planar}")
-    # PlanarConfiguration 2: one set of strips PER SAMPLE PLANE, each
-    # strip holding 1 sample/pixel; reassembled by plane transpose
+    # PlanarConfiguration 2: one set of strips/tiles PER SAMPLE PLANE,
+    # each holding 1 sample/pixel; reassembled by plane transpose
     strip_spp = 1 if (planar == 2 and spp > 1) else spp
-    offsets = values(273)
-    counts = values(279)
-    rps = one(278, h)
-    if not offsets or not counts or len(offsets) != len(counts):
-        raise ValueError("TIFF: missing strip layout")
-    rows_done = 0
-    raw = bytearray()
-    for off, cnt in zip(offsets, counts):
-        rows = min(rps, h - rows_done)
-        expect = rows * w * strip_spp
-        strip = payload[off:off + cnt]
+    bpb = bits // 8
+    mask = (1 << bits) - 1
+    dt = np.uint8 if bits == 8 else np.dtype(f"{bo}u2")
+
+    def _expand(chunk: bytes, expect_bytes: int) -> bytes:
         if comp == 32773:
-            raw += _packbits_decode(strip, expect)
-        elif comp == 5:
-            raw += _lzw_decode_tiff(strip, expect)
-        elif comp in (8, 32946):             # Adobe / legacy Deflate
+            return _packbits_decode(chunk, expect_bytes)
+        if comp == 5:
+            return _lzw_decode_tiff(chunk, expect_bytes)
+        if comp in (8, 32946):               # Adobe / legacy Deflate
             import zlib
 
-            d = zlib.decompress(strip)
-            if len(d) < expect:
+            d = zlib.decompress(chunk)
+            if len(d) < expect_bytes:
                 raise ValueError("TIFF: deflate strip short of rows")
-            raw += d[:expect]
-        else:
-            if len(strip) < expect:
-                raise ValueError("TIFF: strip short of row data")
-            raw += strip[:expect]
-        rows_done += rows
-        if rows_done >= h:
-            rows_done = 0                  # next plane (planar == 2)
-    a = np.frombuffer(bytes(raw), np.uint8, h * w * spp)
-    if planar == 2 and spp > 1:
-        a = np.ascontiguousarray(
-            a.reshape(spp, h, w).transpose(1, 2, 0)).reshape(-1)
-    if pred == 2:
-        # undo horizontal differencing: per-channel cumsum along x
-        d = a.reshape(h, w, spp).astype(np.int64)
-        a = (np.cumsum(d, axis=1) & 0xFF).astype(np.uint8).reshape(-1)
+            return d[:expect_bytes]
+        if len(chunk) < expect_bytes:
+            raise ValueError("TIFF: strip short of row data")
+        return chunk[:expect_bytes]
+
+    tw = one(322)
+    if tw:                                 # TILED layout (round 11)
+        tl = one(323)
+        offsets = values(324)
+        counts = values(325)
+        if not tl or not offsets or not counts \
+                or len(offsets) != len(counts):
+            raise ValueError("TIFF: missing tile layout")
+        ta, td = -(-w // tw), -(-h // tl)
+        nplanes = spp if strip_spp == 1 and spp > 1 else 1
+        if len(offsets) != ta * td * nplanes:
+            raise ValueError("TIFF: tile count mismatch")
+        out16 = np.zeros((h, w, spp), np.int64)
+        idx = 0
+        for p in range(nplanes):
+            for ty in range(td):
+                for tx in range(ta):
+                    off, cnt = offsets[idx], counts[idx]
+                    idx += 1
+                    buf = _expand(payload[off:off + cnt],
+                                  tl * tw * strip_spp * bpb)
+                    t = np.frombuffer(buf, dt).reshape(tl, tw,
+                                                       strip_spp)
+                    if pred == 2:
+                        # predictor restarts at every tile's left edge
+                        # (tiles compress as independent images)
+                        t = np.cumsum(t.astype(np.int64), axis=1) & mask
+                    ys, xs = ty * tl, tx * tw
+                    sub = t[:min(tl, h - ys), :min(tw, w - xs), :]
+                    if nplanes > 1:
+                        out16[ys:ys + sub.shape[0],
+                              xs:xs + sub.shape[1], p] = sub[:, :, 0]
+                    else:
+                        out16[ys:ys + sub.shape[0],
+                              xs:xs + sub.shape[1], :] = sub
+        a = out16.reshape(-1)
+    else:
+        offsets = values(273)
+        counts = values(279)
+        rps = one(278, h)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF: missing strip layout")
+        rows_done = 0
+        raw = bytearray()
+        for off, cnt in zip(offsets, counts):
+            rows = min(rps, h - rows_done)
+            raw += _expand(payload[off:off + cnt],
+                           rows * w * strip_spp * bpb)
+            rows_done += rows
+            if rows_done >= h:
+                rows_done = 0              # next plane (planar == 2)
+        a = np.frombuffer(bytes(raw), dt, h * w * spp).astype(np.int64)
+        if planar == 2 and spp > 1:
+            a = np.ascontiguousarray(
+                a.reshape(spp, h, w).transpose(1, 2, 0)).reshape(-1)
+        if pred == 2:
+            # undo horizontal differencing: per-channel cumsum along x
+            # (strips hold whole rows, so whole-image cumsum is exact)
+            d = a.reshape(h, w, spp)
+            a = (np.cumsum(d, axis=1) & mask).reshape(-1)
+    if bits == 16:
+        a = a >> 8                         # same reduction as PNG-16
+    a = a.astype(np.uint8)
     if spp == 3:
         rgb = a.reshape(h, w, 3)
         if photo != 2:

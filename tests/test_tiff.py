@@ -272,3 +272,76 @@ def test_deflate_compression_roundtrip():
     bad = bytes(good[:-old_len]) + short
     with pytest.raises(ValueError, match="deflate strip short"):
         decode_tiff(bad)
+
+
+# ----------------------------------------------- round 11: 16-bit + tiles
+
+def test_16bit_roundtrip_matrix():
+    """uint16 input writes BitsPerSample 16; values that are v8*257
+    reduce back exactly (>>8, the PNG-16 convention) across the
+    compression x predictor x planar matrix."""
+    rng = np.random.default_rng(41)
+    v8 = rng.integers(0, 256, (11, 7, 3), dtype=np.uint16)
+    img16 = (v8 * 257).astype(np.uint16)
+    for kw in ({}, {"lzw": True}, {"deflate": True}, {"packbits": True},
+               {"lzw": True, "predictor": True},
+               {"deflate": True, "predictor": True, "planar": True},
+               {"predictor": True, "planar": True}):
+        got = decode_tiff(encode_tiff(img16, **kw))
+        assert got.dtype == np.uint8
+        assert np.array_equal(got, v8.astype(np.uint8)), kw
+    # grayscale 16-bit
+    g16 = (rng.integers(0, 256, (5, 9), dtype=np.uint16) * 257)
+    got = decode_tiff(encode_tiff(g16.astype(np.uint16), lzw=True,
+                                  predictor=True))
+    assert np.array_equal(got[:, :, 0], (g16 >> 8).astype(np.uint8))
+    # arbitrary 16-bit values reduce by >> 8
+    raw16 = rng.integers(0, 65536, (6, 6, 3), dtype=np.uint16)
+    got = decode_tiff(encode_tiff(raw16, deflate=True, predictor=True))
+    assert np.array_equal(got, (raw16 >> 8).astype(np.uint8))
+
+
+def test_tiled_layout_roundtrip_matrix():
+    """TileWidth/TileLength layout: edge tiles pad and crop correctly,
+    predictor restarts at each tile's left edge, planar writes one tile
+    set per plane — across compressions and both bit depths."""
+    rng = np.random.default_rng(43)
+    img = rng.integers(0, 256, (21, 13, 3), dtype=np.uint8)
+    for tile in ((16, 16), (8, 8), (21, 13), (5, 7)):
+        for kw in ({}, {"lzw": True, "predictor": True},
+                   {"deflate": True, "planar": True},
+                   {"packbits": True, "predictor": True,
+                    "planar": True}):
+            got = decode_tiff(encode_tiff(img, tile=tile, **kw))
+            assert np.array_equal(got, img), (tile, kw)
+    # tiled grayscale + tiled 16-bit
+    g = rng.integers(0, 256, (10, 17), dtype=np.uint8)
+    assert np.array_equal(
+        decode_tiff(encode_tiff(g, tile=(4, 16), lzw=True,
+                                predictor=True))[:, :, 0], g)
+    img16 = (rng.integers(0, 256, (9, 9, 3), dtype=np.uint16) * 257)
+    got = decode_tiff(encode_tiff(img16.astype(np.uint16), tile=(8, 8),
+                                  deflate=True, predictor=True))
+    assert np.array_equal(got, (img16 >> 8).astype(np.uint8))
+
+
+def test_tiled_corrupt_raises():
+    img = np.zeros((8, 8, 3), np.uint8)
+    p = bytearray(encode_tiff(img, tile=(8, 8)))
+    # drop the TileLength tag value -> missing tile layout
+    at = p.find(struct.pack("<HH", 323, 3))
+    assert at > 0
+    struct.pack_into("<HH", p, at, 60000, 3)   # rename the tag away
+    with pytest.raises(ValueError, match="tile"):
+        decode_tiff(bytes(p))
+
+
+def test_mixed_bit_depth_raises():
+    img = np.zeros((4, 4, 3), np.uint8)
+    p = bytearray(encode_tiff(img))
+    # BitsPerSample is out-of-line for RGB: forge (8, 16, 8)
+    at = p.find(struct.pack("<HHI", 258, 3, 3))
+    (off,) = struct.unpack_from("<I", p, at + 8)
+    struct.pack_into("<HHH", p, off, 8, 16, 8)
+    with pytest.raises(NotImplementedError, match="uniform"):
+        decode_tiff(bytes(p))
