@@ -213,33 +213,6 @@ def q_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
         st = streaming_ttest_2samp(stream, "avg(value)", "arm", "ts",
                                    window_duration="1 day",
                                    watermark="1 day", with_p_value=False)
-        # scope the stream's shuffle partitions down (one state store per
-        # partition; a handful of day-windows needs nowhere near 32) —
-        # same knob as the corpus ingest gate, values layout-independent
-        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        try:
-            q = (st.writeStream.format("memory")
-                 .queryName("srm_stream_gate")
-                 .outputMode("complete").trigger(availableNow=True)
-                 .start())
-            if not q.awaitTermination(180):
-                q.stop()
-                raise TimeoutError(
-                    "srm streaming t-test did not finish in 180s — "
-                    "failing loudly instead of reading a partial window "
-                    "set")
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
-        landed = spark.table("srm_stream_gate").collect()
-        # the memory sink registers a temp view holding the sink rows —
-        # drop it so repeated bench runs don't stack retained sinks
-        spark.catalog.dropTempView("srm_stream_gate")
-        if not landed:
-            raise RuntimeError(
-                "srm streaming gate landed zero windows — the file-stream "
-                "source saw no input (check the parquet symlinks)")
-
         # always-valid mSPRT monitor, ALSO executed as a real stream over
         # the same file source (applyInPandasWithState).  availableNow
         # with no maxFilesPerTrigger folds all input into ONE micro-batch,
@@ -253,13 +226,29 @@ def q_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         st2 = streaming_sequential_ttest(stream, "value", "arm", "ts",
                                          tau=1.0, watermark="1 day")
+        # scope both streams' shuffle partitions down (one state store
+        # per partition; a handful of day-windows needs nowhere near
+        # 32) — same knob as the corpus ingest gate, values
+        # layout-independent.  Round 11: START both queries, then await
+        # both — the two independent state machines overlap instead of
+        # paying two serial stream walls.
         prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", "8")
         try:
+            q = (st.writeStream.format("memory")
+                 .queryName("srm_stream_gate")
+                 .outputMode("complete").trigger(availableNow=True)
+                 .start())
             q2 = (st2.writeStream.format("memory")
                   .queryName("srm_msprt_gate")
                   .outputMode("append").trigger(availableNow=True)
                   .start())
+            if not q.awaitTermination(180):
+                q.stop()
+                raise TimeoutError(
+                    "srm streaming t-test did not finish in 180s — "
+                    "failing loudly instead of reading a partial window "
+                    "set")
             if not q2.awaitTermination(180):
                 q2.stop()
                 raise TimeoutError(
@@ -267,6 +256,14 @@ def q_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "loudly instead of reading a partial state")
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        landed = spark.table("srm_stream_gate").collect()
+        # the memory sink registers a temp view holding the sink rows —
+        # drop it so repeated bench runs don't stack retained sinks
+        spark.catalog.dropTempView("srm_stream_gate")
+        if not landed:
+            raise RuntimeError(
+                "srm streaming gate landed zero windows — the file-stream "
+                "source saw no input (check the parquet symlinks)")
         msprt = spark.table("srm_msprt_gate").collect()
         spark.catalog.dropTempView("srm_msprt_gate")
         if not msprt:
@@ -408,15 +405,21 @@ def q_streaming_charts(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", "8")
         try:
-            for chart, st in charts.items():
-                qname = f"charts_gate_{chart}"
-                q = (st.writeStream.format("memory").queryName(qname)
-                     .outputMode("append").trigger(availableNow=True)
-                     .start())
+            # start BOTH chart queries, then await both — the two
+            # independent state machines overlap (same pattern as the
+            # srm gate's two streams)
+            queries = {
+                chart: st.writeStream.format("memory")
+                .queryName(f"charts_gate_{chart}")
+                .outputMode("append").trigger(availableNow=True).start()
+                for chart, st in charts.items()}
+            for chart, q in queries.items():
                 if not q.awaitTermination(180):
                     q.stop()
                     raise TimeoutError(
                         f"streaming {chart} chart did not finish in 180s")
+            for chart in charts:
+                qname = f"charts_gate_{chart}"
                 landed = spark.table(qname).collect()
                 spark.catalog.dropTempView(qname)
                 if not landed:

@@ -36,23 +36,24 @@ _SF1_KNOWN = [
 ]
 
 
-def _ensure_sf1(spark, sf_dir: str) -> str:
-    """Synthesize a ×10 replica of the sf0.1 tables under the repo
-    (one-time, cached on disk).  Ids shift per replica so keys stay
+def _ensure_scaled(spark, sf_dir: str, factor: int, name: str) -> str:
+    """Synthesize a ×``factor`` replica of the sf0.1 tables under the
+    repo (one-time, cached on disk).  Ids shift per replica so keys stay
     unique; document tokens get a replica suffix AND replica embeddings
     get a per-replica dimension rotation, so the duplicate/near-dup pair
-    structure scales linearly (×10 independent clusters) instead of
+    structure scales linearly (×factor independent clusters) instead of
     quadratically (every doc/vector near-dup — or LSH-bucket-colliding —
-    with its 9 clones; see the embeddings branch below)."""
+    with its clones; see the embeddings branch below)."""
     from pyspark.sql import functions as F
 
     out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "benchdata", "sf1")
+                           "benchdata", name)
     marker = os.path.join(out_dir, "_DONE_v3")
     if os.path.exists(marker):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
-    rep = F.explode(F.array(*[F.lit(i) for i in range(10)])).alias("__rep")
+    rep = F.explode(F.array(*[F.lit(i) for i in range(factor)])) \
+        .alias("__rep")
     specs = {
         # table -> (id columns to shift, text column or None)
         "lineitem": (["l_orderkey"], None),
@@ -86,7 +87,8 @@ def _ensure_sf1(spark, sf_dir: str) -> str:
                                  F.col("__rep").cast("string")))))
         if table == "embeddings":
             # each replica gets a per-replica DIMENSION ROTATION (shift
-            # 7·rep, 7 coprime to the width so all shifts are distinct):
+            # 7·rep, 7 coprime to the width so shifts stay distinct for
+            # any factor below width/gcd — 10 and 30 both qualify):
             # cosines WITHIN a replica are rotation-invariant, so every
             # replica is an independent copy of the original cluster
             # structure, while cross-replica cosines — and, crucially,
@@ -365,7 +367,7 @@ def main() -> None:
     # overhead-bound, not data-bound (SCALE.md ×1→×4 probe, extended ×10)
     if os.environ.get("SPARK_GRAFT_SF1", "1") == "1" and sf_val == 0.1:
         try:
-            sf1_dir = _ensure_sf1(spark, SF_DIR)
+            sf1_dir = _ensure_scaled(spark, SF_DIR, 10, "sf1")
             spark.catalog.clearCache()
             sf1_times: dict[str, float] = {}
             sf1_errors: dict[str, str] = {}

@@ -193,9 +193,29 @@ def entropy_balancing(df: DataFrame, T: str, features: list[str],
                 H[i, j] = H[j, i] = float(r[f"h{i}_{j}"])
         return s, g, H
 
+    # small-input fast path (round 11, design.collect_small_design):
+    # collect the centered control design once; the dual Newton scans
+    # (and step-halving re-scans) run driver-side in numpy
+    from fast_causal_inference_spark.operators.design import (
+        collect_small_design,
+    )
+
+    des = collect_small_design(ctl, cs, F.lit(0.0), F.lit(0.0))
+
+    def _scan_np(lam: np.ndarray, shift: float):
+        C, _, _ = des
+        with np.errstate(over="ignore", under="ignore"):
+            e = np.exp(C @ lam - shift)
+        s = float(e.sum())
+        g = C.T @ e
+        H = (C * e[:, None]).T @ C
+        return s, g, H
+
+    scan = _scan_np if des is not None else _scan
+
     lam = np.zeros(k)
     shift = 0.0                   # running log-scale guard against overflow
-    s, g, H = _scan(lam, shift)
+    s, g, H = scan(lam, shift)
     obj = np.log(s) + shift       # log sum exp — the dual objective
     converged = False
     it = 0
@@ -214,7 +234,7 @@ def entropy_balancing(df: DataFrame, T: str, features: list[str],
             break
         trial = lam + step
         shift2 = shift + float(step @ grad)       # keep exp() centered
-        s2, g2, H2 = _scan(trial, shift2)
+        s2, g2, H2 = scan(trial, shift2)
         obj2 = np.log(s2) + shift2
         halvings = 0
         while not np.isfinite(obj2) or obj2 > obj + 1e-12 * abs(obj):
@@ -228,7 +248,7 @@ def entropy_balancing(df: DataFrame, T: str, features: list[str],
             step *= 0.5
             trial = lam + step
             shift2 = shift + float(step @ grad)
-            s2, g2, H2 = _scan(trial, shift2)
+            s2, g2, H2 = scan(trial, shift2)
             obj2 = np.log(s2) + shift2
             halvings += 1
         lam, s, g, H, obj, shift = trial, s2, g2, H2, obj2, shift2

@@ -22,11 +22,55 @@ Callers follow the repo convention (cf. ``ordinal.py``, ``kstest.py``):
 
 from __future__ import annotations
 
+import os
+
+import numpy as np
 from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["persist_design"]
+__all__ = ["persist_design", "collect_small_design",
+           "SMALL_DESIGN_MAX_ROWS"]
+
+# Small-input cutoff for the iterative solvers (round 11) — the same
+# idea as the rank tests' small-input cutoff (mann_whitney.py:193): a
+# design of <= this many rows is a few dozen MB of doubles, so the
+# solver collects it ONCE and iterates driver-side in numpy, paying one
+# Spark job instead of one per IRLS/Newton step (each step's job costs
+# ~100-200 ms of scheduling+Catalyst latency that dwarfs the numpy
+# arithmetic).  Above the cutoff the distributed Gramian path runs
+# unchanged — that is the 100 TB path, and the estimates are identical
+# up to float-summation order either way.
+SMALL_DESIGN_MAX_ROWS = int(os.environ.get(
+    "FCIS_SMALL_DESIGN_ROWS", "300000"))
+
+
+def collect_small_design(df: DataFrame, xs: list[Column], y: Column,
+                         off: Column,
+                         max_rows: int | None = None,
+                         ) -> tuple[np.ndarray, np.ndarray,
+                                    np.ndarray] | None:
+    """Collect the projected design as ``(X[n,p], y[n], off[n])`` numpy
+    arrays when it has at most ``max_rows`` complete-case rows; return
+    None above the cutoff (callers keep their distributed loop).
+
+    ONE bounded scan: ``LIMIT max_rows+1`` caps what a huge table can
+    ship to the driver — the attempt itself stays O(cutoff) even at
+    100 TB."""
+    lim = SMALL_DESIGN_MAX_ROWS if max_rows is None else int(max_rows)
+    if lim <= 0:
+        return None
+    p = len(xs)
+    sel = [c.alias(f"__cx{i}__") for i, c in enumerate(xs)]
+    pdf = df.select(*sel, y.alias("__cy__"), off.alias("__co__")) \
+        .limit(lim + 1).toPandas()
+    if len(pdf) > lim:
+        return None
+    X = np.column_stack([pdf[f"__cx{i}__"].to_numpy(dtype=float)
+                         for i in range(p)]) if p else \
+        np.empty((len(pdf), 0))
+    return (X, pdf["__cy__"].to_numpy(dtype=float),
+            pdf["__co__"].to_numpy(dtype=float))
 
 
 def persist_design(df: DataFrame, y: Column, feat_cols: list[Column],

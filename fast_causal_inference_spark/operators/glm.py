@@ -150,6 +150,31 @@ def _irls_wz(family: str, mu: Column, etac: Column, yc: Column,
     return s, z
 
 
+def _irls_wz_np(family: str, mu: np.ndarray, eta: np.ndarray,
+                y: np.ndarray, off: np.ndarray,
+                var_power: float) -> tuple[np.ndarray, np.ndarray]:
+    """numpy twin of :func:`_irls_wz` for the collected-design
+    small-input path (design.collect_small_design) — identical per-row
+    algebra, driver-side."""
+    if family == "gaussian":
+        s = np.ones_like(mu)
+        dmu = np.ones_like(mu)
+    elif family == "binomial":               # canonical logit
+        s = mu * (1.0 - mu) + 1e-10
+        dmu = s
+    elif family in ("poisson", "quasipoisson"):
+        s = mu + 1e-10
+        dmu = mu
+    elif family == "tweedie":
+        s = mu ** (2.0 - var_power) + 1e-10
+        dmu = mu
+    else:                                    # gamma log link: w = 1
+        s = np.ones_like(mu)
+        dmu = mu
+    z = (eta - off) + (y - mu) / dmu
+    return s, z
+
+
 def _dev_pearson(family: str, y: Column, mu: Column,
                  var_power: float) -> tuple[Column, Column]:
     """(unit deviance, Pearson χ² term) Columns at μ — the single
@@ -279,11 +304,26 @@ def glm(df: DataFrame, formula: str, family: str = "poisson",
         if use_bias and float(m0["m"]) > 0:
             beta[0] = math.log(float(m0["m"]))
 
-    n = 0.0
-    converged = False
-    it = 0
-    A = np.eye(p)
-    for it in range(1, max_iter + 1):
+    # small-input fast path (round 11, see design.collect_small_design):
+    # collect the persisted design ONCE and run the iterations in numpy
+    # — identical per-row algebra, one Spark job instead of one per step
+    from fast_causal_inference_spark.operators.design import (
+        collect_small_design,
+    )
+
+    des = collect_small_design(df, xs, y, off)
+
+    def _sums_np(beta: np.ndarray) -> tuple[np.ndarray, np.ndarray,
+                                            float]:
+        Xd, yv, ov = des
+        eta_v = Xd @ beta + ov
+        mu_v = np.exp(eta_v) if log_link else eta_v
+        w_v, z_v = _irls_wz_np(family, mu_v, eta_v, yv, ov, var_power)
+        Xw = Xd * w_v[:, None]
+        return Xw.T @ Xd, Xd.T @ (w_v * z_v), float(len(yv))
+
+    def _sums_spark(beta: np.ndarray) -> tuple[np.ndarray, np.ndarray,
+                                               float]:
         eta: Column = F.lit(float(beta[0])) * xs[0]
         for j in range(1, p):
             eta = eta + F.lit(float(beta[j])) * xs[j]
@@ -319,13 +359,21 @@ def glm(df: DataFrame, formula: str, family: str = "poisson",
                 aggs.append(F.sum(sc * ps[i] * ps[j]).alias(f"a{i}_{j}"))
         aggs.append(F.count(F.col("__yy__")).alias("n__"))
         row = step.agg(*aggs).collect()[0]
-        n = float(row["n__"])
         A = np.empty((p, p))
         b = np.empty(p)
         for i in range(p):
             b[i] = row[f"b{i}"]
             for j in range(i, p):
                 A[i, j] = A[j, i] = row[f"a{i}_{j}"]
+        return A, b, float(row["n__"])
+
+    sums = _sums_np if des is not None else _sums_spark
+    n = 0.0
+    converged = False
+    it = 0
+    A = np.eye(p)
+    for it in range(1, max_iter + 1):
+        A, b, n = sums(beta)
         try:
             new_beta = np.linalg.solve(A, b)
         except np.linalg.LinAlgError:
@@ -810,71 +858,118 @@ def _binomial_glm(df: DataFrame, formula: str, link: str,
         ex = F.exp(eta)                       # cloglog: μ = 1 − e^{−e^η}
         return 1.0 - F.exp(-ex), ex * F.exp(-ex)
 
+    _erf_np = np.frompyfunc(math.erf, 1, 1)
+
+    def _mu_dmu_np(eta: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """numpy twin of _mu_dmu for the collected-design path."""
+        if link == "logit":
+            mu = 1.0 / (1.0 + np.exp(-eta))
+            return mu, mu * (1.0 - mu)
+        if link == "probit":
+            mu = 0.5 * (1.0 + _erf_np(eta / math.sqrt(2.0))
+                        .astype(float))
+            dmu = np.exp(-eta * eta / 2.0) / math.sqrt(2.0 * math.pi)
+            return mu, dmu
+        ex = np.exp(eta)
+        return 1.0 - np.exp(-ex), ex * np.exp(-ex)
+
     def _dev_term(mu: Column) -> Column:
         # shared clamped binomial unit deviance (_dev_pearson)
         return _dev_pearson("binomial", y, mu, var_power=1.5)[0]
 
+    # small-input fast path (round 11, design.collect_small_design):
+    # iterate driver-side in numpy off one collected design
+    from fast_causal_inference_spark.operators.design import (
+        collect_small_design,
+    )
+
+    des = collect_small_design(df, xs, y, off)
+
     def _irls(beta: np.ndarray, cols: list[Column], pp: int,
               validate: bool = False,
+              np_design: tuple | None = None,
               ) -> tuple[np.ndarray, np.ndarray, float, int, bool]:
         A = np.eye(pp)
         n = 0.0
         it = 0
         conv = False
+        if np_design is not None and validate:
+            _, yv0, _ = np_design
+            if len(yv0) == 0:
+                df.unpersist()
+                raise ValueError("no non-NULL outcome rows")
+            if yv0.min() < 0 or yv0.max() > 1:
+                df.unpersist()
+                raise ValueError("binomial family needs y in [0, 1]")
         for it in range(1, max_iter + 1):
-            eta: Column = F.lit(float(beta[0])) * cols[0]
-            for j in range(1, pp):
-                eta = eta + F.lit(float(beta[j])) * cols[j]
-            eta = eta + off
-            # staged Projects: η once, then μ/dμ once (the probit erf
-            # chain is referenced three times by w/z — CollapseProject
-            # keeps multi-referenced non-cheap aliases materialized),
-            # then w/z.  Per-row arithmetic — hence every float sum —
-            # is bit-identical to the inlined form.
-            base = df.select(*[c.alias(f"__p{i}__")
-                               for i, c in enumerate(cols)],
-                             y.alias("__yy__"), eta.alias("__eta__"),
-                             off.alias("__o__"))
-            etac, yc = F.col("__eta__"), F.col("__yy__")
-            mu, dmu = _mu_dmu(etac)
-            mid = base.select("*", mu.alias("__mu__"),
-                              (dmu + F.lit(EPS)).alias("__dmu__"))
-            muc, dmuc = F.col("__mu__"), F.col("__dmu__")
-            w = dmuc * dmuc / (muc * (1.0 - muc) + F.lit(EPS))
-            z = (etac - F.col("__o__")) + (yc - muc) / dmuc
-            step = mid.select(*[F.col(f"__p{i}__") for i in range(pp)],
-                              w.alias("__w__"), z.alias("__z__"),
-                              F.col("__yy__"))
-            ps = [F.col(f"__p{i}__") for i in range(pp)]
-            wc, zc = F.col("__w__"), F.col("__z__")
-            aggs = []
-            for i in range(pp):
-                aggs.append(F.sum(wc * ps[i] * zc).alias(f"b{i}"))
-                for j in range(i, pp):
-                    aggs.append(F.sum(wc * ps[i] * ps[j])
-                                .alias(f"a{i}_{j}"))
-            aggs.append(F.count(F.col("__yy__")).alias("n__"))
-            if validate and it == 1:
-                # fold the input-validation scan into the first
-                # iteration's aggregation (saves a full pass)
-                aggs += [F.avg(F.col("__yy__")).alias("m0__"),
-                         F.min(F.col("__yy__")).alias("lo__"),
-                         F.max(F.col("__yy__")).alias("hi__")]
-            row = step.agg(*aggs).collect()[0]
-            if validate and it == 1:
-                if row["m0__"] is None:
-                    df.unpersist()
-                    raise ValueError("no non-NULL outcome rows")
-                if float(row["lo__"]) < 0 or float(row["hi__"]) > 1:
-                    df.unpersist()
-                    raise ValueError("binomial family needs y in [0, 1]")
-            n = float(row["n__"])
-            A = np.empty((pp, pp))
-            b = np.empty(pp)
-            for i in range(pp):
-                b[i] = row[f"b{i}"]
-                for j in range(i, pp):
-                    A[i, j] = A[j, i] = row[f"a{i}_{j}"]
+            if np_design is not None:
+                X_, yv, ov = np_design
+                eta_v = X_ @ beta + ov
+                mu_v, dmu_v = _mu_dmu_np(eta_v)
+                dmu_v = dmu_v + EPS
+                w_v = dmu_v * dmu_v / (mu_v * (1.0 - mu_v) + EPS)
+                z_v = (eta_v - ov) + (yv - mu_v) / dmu_v
+                Xw = X_ * w_v[:, None]
+                A = Xw.T @ X_
+                b = X_.T @ (w_v * z_v)
+                n = float(len(yv))
+            else:
+                eta: Column = F.lit(float(beta[0])) * cols[0]
+                for j in range(1, pp):
+                    eta = eta + F.lit(float(beta[j])) * cols[j]
+                eta = eta + off
+                # staged Projects: η once, then μ/dμ once (the probit
+                # erf chain is referenced three times by w/z —
+                # CollapseProject keeps multi-referenced non-cheap
+                # aliases materialized), then w/z.  Per-row arithmetic
+                # — hence every float sum — is bit-identical to the
+                # inlined form.
+                base = df.select(*[c.alias(f"__p{i}__")
+                                   for i, c in enumerate(cols)],
+                                 y.alias("__yy__"), eta.alias("__eta__"),
+                                 off.alias("__o__"))
+                etac, yc = F.col("__eta__"), F.col("__yy__")
+                mu, dmu = _mu_dmu(etac)
+                mid = base.select("*", mu.alias("__mu__"),
+                                  (dmu + F.lit(EPS)).alias("__dmu__"))
+                muc, dmuc = F.col("__mu__"), F.col("__dmu__")
+                w = dmuc * dmuc / (muc * (1.0 - muc) + F.lit(EPS))
+                z = (etac - F.col("__o__")) + (yc - muc) / dmuc
+                step = mid.select(*[F.col(f"__p{i}__")
+                                    for i in range(pp)],
+                                  w.alias("__w__"), z.alias("__z__"),
+                                  F.col("__yy__"))
+                ps = [F.col(f"__p{i}__") for i in range(pp)]
+                wc, zc = F.col("__w__"), F.col("__z__")
+                aggs = []
+                for i in range(pp):
+                    aggs.append(F.sum(wc * ps[i] * zc).alias(f"b{i}"))
+                    for j in range(i, pp):
+                        aggs.append(F.sum(wc * ps[i] * ps[j])
+                                    .alias(f"a{i}_{j}"))
+                aggs.append(F.count(F.col("__yy__")).alias("n__"))
+                if validate and it == 1:
+                    # fold the input-validation scan into the first
+                    # iteration's aggregation (saves a full pass)
+                    aggs += [F.avg(F.col("__yy__")).alias("m0__"),
+                             F.min(F.col("__yy__")).alias("lo__"),
+                             F.max(F.col("__yy__")).alias("hi__")]
+                row = step.agg(*aggs).collect()[0]
+                if validate and it == 1:
+                    if row["m0__"] is None:
+                        df.unpersist()
+                        raise ValueError("no non-NULL outcome rows")
+                    if float(row["lo__"]) < 0 or float(row["hi__"]) > 1:
+                        df.unpersist()
+                        raise ValueError(
+                            "binomial family needs y in [0, 1]")
+                n = float(row["n__"])
+                A = np.empty((pp, pp))
+                b = np.empty(pp)
+                for i in range(pp):
+                    b[i] = row[f"b{i}"]
+                    for j in range(i, pp):
+                        A[i, j] = A[j, i] = row[f"a{i}_{j}"]
             try:
                 new_beta = np.linalg.solve(A, b)
             except np.linalg.LinAlgError:
@@ -887,7 +982,8 @@ def _binomial_glm(df: DataFrame, formula: str, link: str,
                 break
         return beta, A, n, it, conv
 
-    beta, A, n, it, converged = _irls(np.zeros(p), xs, p, validate=True)
+    beta, A, n, it, converged = _irls(np.zeros(p), xs, p, validate=True,
+                                      np_design=des)
 
     if not compute_stats:
         # nuisance-fit fast path (see glm()): beta/stderr only, no
@@ -918,7 +1014,10 @@ def _binomial_glm(df: DataFrame, formula: str, link: str,
     elif use_bias:
         # intercept-only + fixed offset: no closed form — reuse the
         # Fisher loop at p=1 (a handful of tiny scans), then one scan
-        b0, _, _, _, _ = _irls(np.zeros(1), [F.lit(1.0)], 1)
+        des0 = None if des is None else \
+            (np.ones((len(des[1]), 1)), des[1], des[2])
+        b0, _, _, _, _ = _irls(np.zeros(1), [F.lit(1.0)], 1,
+                               np_design=des0)
         mu0, _ = _mu_dmu(F.lit(float(b0[0])) + off)
         null_dev = float(df.agg(F.sum(_dev_term(mu0)).alias("nd"))
                          .collect()[0]["nd"])
@@ -986,6 +1085,16 @@ def negative_binomial_regression(df: DataFrame, formula: str,
         df.unpersist()
         raise ValueError("negative-binomial family needs non-negative y")
 
+    # small-input fast path (round 11, design.collect_small_design):
+    # the α-round structure multiplies the per-step job cost (outer
+    # dispersion rounds × inner IRLS), so the collected path pays off
+    # more here than anywhere else in the GLM zoo
+    from fast_causal_inference_spark.operators.design import (
+        collect_small_design,
+    )
+
+    des = collect_small_design(df, xs, y, off)
+
     def _eta(beta):
         e: Column = F.lit(float(beta[0])) * xs[0]
         for j in range(1, p):
@@ -999,31 +1108,43 @@ def negative_binomial_regression(df: DataFrame, formula: str,
         it = 0
         conv = False
         for it in range(1, max_iter + 1):
-            mu = F.exp(_eta(beta))
-            w = mu / (1 + F.lit(float(a_disp)) * mu) + F.lit(1e-10)
-            z = (_eta(beta) - off) + (y - mu) / (mu + F.lit(1e-10))
-            # project w/z once per row (see glm(): inlining expands the
-            # exp chain into every agg expression)
-            step = df.select(*[c.alias(f"__p{i}__")
-                               for i, c in enumerate(xs)],
-                             w.alias("__w__"), z.alias("__z__"),
-                             y.alias("__yy__"))
-            ps = [F.col(f"__p{i}__") for i in range(p)]
-            wc, zc = F.col("__w__"), F.col("__z__")
-            aggs = []
-            for i in range(p):
-                aggs.append(F.sum(wc * ps[i] * zc).alias(f"b{i}"))
-                for j in range(i, p):
-                    aggs.append(F.sum(wc * ps[i] * ps[j]).alias(f"a{i}_{j}"))
-            aggs.append(F.count(F.col("__yy__")).alias("n__"))
-            row = step.agg(*aggs).collect()[0]
-            n = float(row["n__"])
-            A = np.empty((p, p))
-            b = np.empty(p)
-            for i in range(p):
-                b[i] = row[f"b{i}"]
-                for j in range(i, p):
-                    A[i, j] = A[j, i] = row[f"a{i}_{j}"]
+            if des is not None:
+                X_, yv, ov = des
+                eta_v = X_ @ beta + ov
+                mu_v = np.exp(eta_v)
+                w_v = mu_v / (1 + float(a_disp) * mu_v) + 1e-10
+                z_v = (eta_v - ov) + (yv - mu_v) / (mu_v + 1e-10)
+                Xw = X_ * w_v[:, None]
+                A = Xw.T @ X_
+                b = X_.T @ (w_v * z_v)
+                n = float(len(yv))
+            else:
+                mu = F.exp(_eta(beta))
+                w = mu / (1 + F.lit(float(a_disp)) * mu) + F.lit(1e-10)
+                z = (_eta(beta) - off) + (y - mu) / (mu + F.lit(1e-10))
+                # project w/z once per row (see glm(): inlining expands
+                # the exp chain into every agg expression)
+                step = df.select(*[c.alias(f"__p{i}__")
+                                   for i, c in enumerate(xs)],
+                                 w.alias("__w__"), z.alias("__z__"),
+                                 y.alias("__yy__"))
+                ps = [F.col(f"__p{i}__") for i in range(p)]
+                wc, zc = F.col("__w__"), F.col("__z__")
+                aggs = []
+                for i in range(p):
+                    aggs.append(F.sum(wc * ps[i] * zc).alias(f"b{i}"))
+                    for j in range(i, p):
+                        aggs.append(F.sum(wc * ps[i] * ps[j])
+                                    .alias(f"a{i}_{j}"))
+                aggs.append(F.count(F.col("__yy__")).alias("n__"))
+                row = step.agg(*aggs).collect()[0]
+                n = float(row["n__"])
+                A = np.empty((p, p))
+                b = np.empty(p)
+                for i in range(p):
+                    b[i] = row[f"b{i}"]
+                    for j in range(i, p):
+                        A[i, j] = A[j, i] = row[f"a{i}_{j}"]
             try:
                 new_beta = np.linalg.solve(A, b)
             except np.linalg.LinAlgError:
@@ -1046,13 +1167,19 @@ def negative_binomial_regression(df: DataFrame, formula: str,
     if alpha is None:
         a_disp = 0.0
         for _ in range(max(alpha_rounds, 1)):
-            mu = F.exp(_eta(beta))
             # aux OLS of u=((y−μ)²−y)/μ on μ through origin:
             # α̂ = Σμ·u / Σμ² and μ·u = (y−μ)²−y, so two sums suffice
-            aux = df.agg(
-                F.sum((y - mu) * (y - mu) - y).alias("num"),
-                F.sum(mu * mu).alias("den")).collect()[0]
-            a_new = max(float(aux["num"]) / float(aux["den"]), 0.0)
+            if des is not None:
+                X_, yv, ov = des
+                mu_v = np.exp(X_ @ beta + ov)
+                a_new = max(float(np.sum((yv - mu_v) ** 2 - yv))
+                            / float(np.sum(mu_v * mu_v)), 0.0)
+            else:
+                mu = F.exp(_eta(beta))
+                aux = df.agg(
+                    F.sum((y - mu) * (y - mu) - y).alias("num"),
+                    F.sum(mu * mu).alias("den")).collect()[0]
+                a_new = max(float(aux["num"]) / float(aux["den"]), 0.0)
             if abs(a_new - a_disp) < 1e-8:
                 a_disp = a_new
                 break
@@ -1087,13 +1214,22 @@ def negative_binomial_regression(df: DataFrame, formula: str,
         b0 = np.array([math.log(max(float(fin["ysum"])
                                     / float(fin["seo"]), 1e-12))])
         for _ in range(max_iter):
-            eta0 = F.lit(float(b0[0])) + off
-            mu0 = F.exp(eta0)
-            w0 = mu0 / (1 + F.lit(float(a_disp)) * mu0) + F.lit(1e-10)
-            z0 = F.lit(float(b0[0])) + (y - mu0) / (mu0 + F.lit(1e-10))
-            r0 = df.agg(F.sum(w0 * z0).alias("b"),
-                        F.sum(w0).alias("a")).collect()[0]
-            nb0 = float(r0["b"]) / float(r0["a"])
+            if des is not None:
+                _, yv, ov = des
+                mu0_v = np.exp(float(b0[0]) + ov)
+                w0_v = mu0_v / (1 + float(a_disp) * mu0_v) + 1e-10
+                z0_v = float(b0[0]) + (yv - mu0_v) / (mu0_v + 1e-10)
+                nb0 = float(np.sum(w0_v * z0_v)) / float(np.sum(w0_v))
+            else:
+                eta0 = F.lit(float(b0[0])) + off
+                mu0 = F.exp(eta0)
+                w0 = mu0 / (1 + F.lit(float(a_disp)) * mu0) \
+                    + F.lit(1e-10)
+                z0 = F.lit(float(b0[0])) \
+                    + (y - mu0) / (mu0 + F.lit(1e-10))
+                r0 = df.agg(F.sum(w0 * z0).alias("b"),
+                            F.sum(w0).alias("a")).collect()[0]
+                nb0 = float(r0["b"]) / float(r0["a"])
             d0 = abs(nb0 - float(b0[0]))
             b0 = np.array([nb0])
             if d0 < tol:

@@ -150,7 +150,79 @@ def ordered_logit(df: DataFrame, formula: str, max_iter: int = 50,
                     float(r[f"hbb{i}_{j2}"])
         return float(r["ll"]), g, H
 
-    ll, g, H = _scan(theta)
+    # small-input fast path (round 11, design.SMALL_DESIGN_MAX_ROWS):
+    # collect (category index, X) ONCE and run every Newton scan —
+    # including the step-halving re-scans — driver-side in numpy.
+    # Identical per-row algebra to _scan; the distributed scan remains
+    # the above-cutoff (100 TB) path.
+    from fast_causal_inference_spark.operators.design import (
+        SMALL_DESIGN_MAX_ROWS,
+    )
+
+    des = None
+    _pdf = sub.select(idx.alias("__i"),
+                      *[F.col(f"__x{i}") for i in range(k)]) \
+        .limit(SMALL_DESIGN_MAX_ROWS + 1).toPandas()
+    if len(_pdf) <= SMALL_DESIGN_MAX_ROWS:
+        des = (_pdf["__i"].to_numpy(dtype=np.int64),
+               np.column_stack([_pdf[f"__x{i}"].to_numpy(dtype=float)
+                                for i in range(k)]))
+    del _pdf
+
+    def _scan_np(th: np.ndarray):
+        iv, Xv = des
+        alpha, beta = th[:J - 1], th[J - 1:]
+        with np.errstate(over="ignore", under="ignore"):
+            eta_v = Xv @ beta
+            top = iv == J - 1
+            bot = iv == 0
+            A_v = np.where(top, np.inf,
+                           np.take(np.append(alpha, 0.0), iv) - eta_v)
+            B_v = np.where(
+                bot, -np.inf,
+                np.take(np.append(alpha, 0.0),
+                        np.maximum(iv - 1, 0)) - eta_v)
+            sA = np.where(top, 1.0, 1.0 / (1.0 + np.exp(-A_v)))
+            sB = np.where(bot, 0.0, 1.0 / (1.0 + np.exp(-B_v)))
+        fA = np.where(top, 0.0, sA * (1.0 - sA))
+        fB = np.where(bot, 0.0, sB * (1.0 - sB))
+        fpA = np.where(top, 0.0, fA * (1.0 - 2.0 * sA))
+        fpB = np.where(bot, 0.0, fB * (1.0 - 2.0 * sB))
+        P = sA - sB + 1e-300
+        lA = fA / P
+        lB = -fB / P
+        lAA = fpA / P - lA * lA
+        lBB = -fpB / P - lB * lB
+        lAB = fA * fB / (P * P)
+        if np.all(P > 0):
+            ll = float(np.log(P).sum())
+        else:                                # inverted cutpoints: reject
+            ll = float("-inf")
+        # one-hot masks: column m of U flags rows whose UPPER cut is
+        # α_m (category m); of W, rows whose LOWER cut is α_m (cat m+1)
+        U = np.zeros((len(iv), J - 1))
+        W = np.zeros((len(iv), J - 1))
+        U[np.arange(len(iv))[iv < J - 1], iv[iv < J - 1]] = 1.0
+        W[np.arange(len(iv))[iv > 0], iv[iv > 0] - 1] = 1.0
+        p_tot = J - 1 + k
+        g = np.zeros(p_tot)
+        H = np.zeros((p_tot, p_tot))
+        g[:J - 1] = U.T @ lA + W.T @ lB
+        np.fill_diagonal(H[:J - 1, :J - 1], U.T @ lAA + W.T @ lBB)
+        off_diag = W.T @ lAB                  # α_m–α_{m+1} coupling:
+        for m in range(J - 2):                # rows in category m+1
+            H[m, m + 1] = H[m + 1, m] = off_diag[m]
+        hab = -(U.T @ (Xv * (lAA + lAB)[:, None])
+                + W.T @ (Xv * (lAB + lBB)[:, None]))
+        H[:J - 1, J - 1:] = hab
+        H[J - 1:, :J - 1] = hab.T
+        g[J - 1:] = -Xv.T @ (lA + lB)
+        curv = lAA + 2.0 * lAB + lBB
+        H[J - 1:, J - 1:] = Xv.T @ (Xv * curv[:, None])
+        return ll, g, H
+
+    scan = _scan_np if des is not None else _scan
+    ll, g, H = scan(theta)
     converged = False
     it = 0
     for it in range(1, max_iter + 1):
@@ -159,13 +231,13 @@ def ordered_logit(df: DataFrame, formula: str, max_iter: int = 50,
         except np.linalg.LinAlgError:
             step = np.linalg.pinv(H) @ g
         new = theta - step
-        ll_new, g_new, H_new = _scan(new)
+        ll_new, g_new, H_new = scan(new)
         halves = 0
         while (not np.isfinite(ll_new) or ll_new < ll - 1e-12) \
                 and halves < 20:
             step = step / 2.0
             new = theta - step
-            ll_new, g_new, H_new = _scan(new)
+            ll_new, g_new, H_new = scan(new)
             halves += 1
         done = float(np.max(np.abs(new - theta))) < tol \
             or abs(ll_new - ll) < tol

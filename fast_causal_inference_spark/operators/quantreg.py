@@ -196,10 +196,37 @@ def quantile_regression_multi(df: DataFrame, formula: str,
                 S[i, j] = S[j, i] = float(row[f"s{i}_{j}"])
         return g, H, S, float(row["loss__"]), float(row["n__"])
 
+    # small-input fast path (round 11, design.collect_small_design):
+    # collect the complete-case design once; every Newton scan —
+    # including the line-search re-scans — runs driver-side in numpy
+    # with the identical smoothed-check-loss algebra
+    from fast_causal_inference_spark.operators.design import (
+        collect_small_design,
+    )
+
+    des = collect_small_design(df, xs, y, F.lit(0.0))
+
+    def _scan_np(b: np.ndarray, hh: float, tau: float):
+        X_, yv, _ = des
+        with np.errstate(over="ignore", under="ignore"):
+            r = yv - X_ @ b
+            sig = 1.0 / (1.0 + np.exp(-r / hh))
+            w = sig * (1.0 - sig) / hh
+            g1 = tau - (1.0 - sig)
+            # h*softplus(-r/h) stably: max(-r,0) + h*log1p(exp(-|r|/h))
+            loss = (tau * r + np.maximum(-r, 0.0)
+                    + hh * np.log1p(np.exp(-np.abs(r) / hh)))
+        g = X_.T @ g1
+        H = (X_ * w[:, None]).T @ X_
+        S = X_.T @ X_
+        return g, H, S, float(loss.sum()), float(len(yv))
+
+    scan = _scan_np if des is not None else _scan
+
     def _newton(beta: np.ndarray, hh: float, tau: float,
                 iters_budget: int, step_tol: float):
         """Damped Newton at fixed bandwidth hh from the given start."""
-        g, H, S, loss, n = _scan(beta, hh, tau)
+        g, H, S, loss, n = scan(beta, hh, tau)
         converged = False
         it = 0
         for it in range(1, iters_budget + 1):
@@ -212,12 +239,12 @@ def quantile_regression_multi(df: DataFrame, formula: str,
                 converged = True
                 break
             trial = beta + step
-            g2, H2, S2, loss2, n = _scan(trial, hh, tau)
+            g2, H2, S2, loss2, n = scan(trial, hh, tau)
             halvings = 0
             while loss2 > loss + 1e-12 * abs(loss) and halvings < 20:
                 step *= 0.5
                 trial = beta + step
-                g2, H2, S2, loss2, n = _scan(trial, hh, tau)
+                g2, H2, S2, loss2, n = scan(trial, hh, tau)
                 halvings += 1
             if loss2 > loss + 1e-12 * abs(loss):
                 # the halving budget ran out WITHOUT finding descent —
