@@ -34,15 +34,20 @@ __all__ = ["persist_design", "collect_small_design",
 
 # Small-input cutoff for the iterative solvers (round 11) — the same
 # idea as the rank tests' small-input cutoff (mann_whitney.py:193): a
-# design of <= this many rows is a few dozen MB of doubles, so the
-# solver collects it ONCE and iterates driver-side in numpy, paying one
-# Spark job instead of one per IRLS/Newton step (each step's job costs
-# ~100-200 ms of scheduling+Catalyst latency that dwarfs the numpy
-# arithmetic).  Above the cutoff the distributed Gramian path runs
-# unchanged — that is the 100 TB path, and the estimates are identical
-# up to float-summation order either way.
+# design under the cutoff is at most a couple hundred MB of doubles, so
+# the solver collects it ONCE and iterates driver-side in numpy, paying
+# one Spark job instead of one per IRLS/Newton step (each step's job
+# costs ~180 ms scheduling + ~300-420 ms Catalyst latency — SCALE.md
+# round-6 decomposition — that dwarfs the numpy arithmetic).  Above the
+# cutoff the distributed Gramian path runs unchanged — that is the
+# 100 TB path, and the estimates are identical up to float-summation
+# order either way.  The cutoff is CELL-budgeted (rows × design width),
+# so wide designs collect proportionally fewer rows and driver memory
+# stays bounded at ~MAX_CELLS × 8 bytes regardless of p.
 SMALL_DESIGN_MAX_ROWS = int(os.environ.get(
-    "FCIS_SMALL_DESIGN_ROWS", "300000"))
+    "FCIS_SMALL_DESIGN_ROWS", "2000000"))
+SMALL_DESIGN_MAX_CELLS = int(os.environ.get(
+    "FCIS_SMALL_DESIGN_CELLS", "16000000"))
 
 
 def collect_small_design(df: DataFrame, xs: list[Column], y: Column,
@@ -51,13 +56,15 @@ def collect_small_design(df: DataFrame, xs: list[Column], y: Column,
                          ) -> tuple[np.ndarray, np.ndarray,
                                     np.ndarray] | None:
     """Collect the projected design as ``(X[n,p], y[n], off[n])`` numpy
-    arrays when it has at most ``max_rows`` complete-case rows; return
-    None above the cutoff (callers keep their distributed loop).
+    arrays when it fits the small-design budget (min of the row cap and
+    the cell budget divided by the design width); return None above the
+    cutoff (callers keep their distributed loop).
 
-    ONE bounded scan: ``LIMIT max_rows+1`` caps what a huge table can
-    ship to the driver — the attempt itself stays O(cutoff) even at
+    ONE bounded scan: ``LIMIT lim+1`` caps what a huge table can ship
+    to the driver — the attempt itself stays O(cutoff) even at
     100 TB."""
     lim = SMALL_DESIGN_MAX_ROWS if max_rows is None else int(max_rows)
+    lim = min(lim, SMALL_DESIGN_MAX_CELLS // max(len(xs) + 2, 1))
     if lim <= 0:
         return None
     p = len(xs)

@@ -156,14 +156,17 @@ def ordered_logit(df: DataFrame, formula: str, max_iter: int = 50,
     # Identical per-row algebra to _scan; the distributed scan remains
     # the above-cutoff (100 TB) path.
     from fast_causal_inference_spark.operators.design import (
+        SMALL_DESIGN_MAX_CELLS,
         SMALL_DESIGN_MAX_ROWS,
     )
 
     des = None
+    _lim = min(SMALL_DESIGN_MAX_ROWS,
+               SMALL_DESIGN_MAX_CELLS // max(k + 1, 1))
     _pdf = sub.select(idx.alias("__i"),
                       *[F.col(f"__x{i}") for i in range(k)]) \
-        .limit(SMALL_DESIGN_MAX_ROWS + 1).toPandas()
-    if len(_pdf) <= SMALL_DESIGN_MAX_ROWS:
+        .limit(_lim + 1).toPandas()
+    if len(_pdf) <= _lim:
         des = (_pdf["__i"].to_numpy(dtype=np.int64),
                np.column_stack([_pdf[f"__x{i}"].to_numpy(dtype=float)
                                 for i in range(k)]))
