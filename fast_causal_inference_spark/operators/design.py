@@ -53,6 +53,7 @@ SMALL_DESIGN_MAX_CELLS = int(os.environ.get(
 def collect_small_design(df: DataFrame, xs: list[Column], y: Column,
                          off: Column,
                          max_rows: int | None = None,
+                         n_rows: int | None = None,
                          ) -> tuple[np.ndarray, np.ndarray,
                                     np.ndarray] | None:
     """Collect the projected design as ``(X[n,p], y[n], off[n])`` numpy
@@ -60,19 +61,24 @@ def collect_small_design(df: DataFrame, xs: list[Column], y: Column,
     the cell budget divided by the design width); return None above the
     cutoff (callers keep their distributed loop).
 
-    ONE bounded scan: ``LIMIT lim+1`` caps what a huge table can ship
-    to the driver — the attempt itself stays O(cutoff) even at
-    100 TB."""
+    The size gate is a COUNT first (pass ``n_rows`` when the caller
+    already knows it): counting prunes every projected column, so an
+    over-cutoff table costs one cheap aggregate — an earlier LIMIT-probe
+    variant shipped cutoff-many Arrow rows to the driver before giving
+    up, a measured multi-second tax on every big-input solver call.
+    The count also materializes the caller's persisted design, work the
+    distributed loop needs anyway."""
     lim = SMALL_DESIGN_MAX_ROWS if max_rows is None else int(max_rows)
     lim = min(lim, SMALL_DESIGN_MAX_CELLS // max(len(xs) + 2, 1))
     if lim <= 0:
         return None
+    n = int(df.count()) if n_rows is None else int(n_rows)
+    if n > lim:
+        return None
     p = len(xs)
     sel = [c.alias(f"__cx{i}__") for i, c in enumerate(xs)]
     pdf = df.select(*sel, y.alias("__cy__"), off.alias("__co__")) \
-        .limit(lim + 1).toPandas()
-    if len(pdf) > lim:
-        return None
+        .toPandas()
     X = np.column_stack([pdf[f"__cx{i}__"].to_numpy(dtype=float)
                          for i in range(p)]) if p else \
         np.empty((len(pdf), 0))

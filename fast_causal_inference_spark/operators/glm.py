@@ -287,10 +287,15 @@ def glm(df: DataFrame, formula: str, family: str = "poisson",
         use_bias=use_bias)
 
     beta = np.zeros(p)
+    n0 = None
     if log_link:
         # start eta at log(mean(y)) via the intercept when present —
-        # exp(0)=1 is a poor start for large counts
-        m0 = df.agg(F.avg(y).alias("m"), F.min(y).alias("lo")).collect()[0]
+        # exp(0)=1 is a poor start for large counts; the scan also
+        # materializes the persisted design and yields the row count the
+        # small-design gate needs (saves its count job)
+        m0 = df.agg(F.avg(y).alias("m"), F.min(y).alias("lo"),
+                    F.count(F.lit(1)).alias("n")).collect()[0]
+        n0 = int(m0["n"])
         if m0["m"] is None:
             df.unpersist()
             raise ValueError("no non-NULL outcome rows")
@@ -311,7 +316,7 @@ def glm(df: DataFrame, formula: str, family: str = "poisson",
         collect_small_design,
     )
 
-    des = collect_small_design(df, xs, y, off)
+    des = collect_small_design(df, xs, y, off, n_rows=n0)
 
     def _sums_np(beta: np.ndarray) -> tuple[np.ndarray, np.ndarray,
                                             float]:
@@ -837,7 +842,8 @@ def _binomial_glm(df: DataFrame, formula: str, link: str,
     df = df.where(cc)
     EPS = 1e-10
     # persist the projected design for the Fisher-scoring loop
-    # (design.py); the m0 scan below doubles as its materialization
+    # (design.py); the small-design count gate doubles as its
+    # materialization
     from fast_causal_inference_spark.operators.design import persist_design
 
     df, y, xs, off = persist_design(
@@ -1077,7 +1083,8 @@ def negative_binomial_regression(df: DataFrame, formula: str,
         off=F.expr(offset).cast("double") if offset is not None else None,
         use_bias=use_bias)
 
-    m0 = df.agg(F.avg(y).alias("m"), F.min(y).alias("lo")).collect()[0]
+    m0 = df.agg(F.avg(y).alias("m"), F.min(y).alias("lo"),
+                F.count(F.lit(1)).alias("n")).collect()[0]
     if m0["m"] is None:
         df.unpersist()
         raise ValueError("no non-NULL outcome rows")
@@ -1093,7 +1100,7 @@ def negative_binomial_regression(df: DataFrame, formula: str,
         collect_small_design,
     )
 
-    des = collect_small_design(df, xs, y, off)
+    des = collect_small_design(df, xs, y, off, n_rows=int(m0["n"]))
 
     def _eta(beta):
         e: Column = F.lit(float(beta[0])) * xs[0]

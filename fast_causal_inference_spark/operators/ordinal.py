@@ -163,14 +163,14 @@ def ordered_logit(df: DataFrame, formula: str, max_iter: int = 50,
     des = None
     _lim = min(SMALL_DESIGN_MAX_ROWS,
                SMALL_DESIGN_MAX_CELLS // max(k + 1, 1))
-    _pdf = sub.select(idx.alias("__i"),
-                      *[F.col(f"__x{i}") for i in range(k)]) \
-        .limit(_lim + 1).toPandas()
-    if len(_pdf) <= _lim:
+    if n <= _lim:                 # n already known from the counts scan
+        _pdf = sub.select(idx.alias("__i"),
+                          *[F.col(f"__x{i}") for i in range(k)]) \
+            .toPandas()
         des = (_pdf["__i"].to_numpy(dtype=np.int64),
                np.column_stack([_pdf[f"__x{i}"].to_numpy(dtype=float)
                                 for i in range(k)]))
-    del _pdf
+        del _pdf
 
     def _scan_np(th: np.ndarray):
         iv, Xv = des

@@ -127,9 +127,11 @@ def heckman(df: DataFrame, outcome_formula: str, selection_formula: str,
 
     lim = min(SMALL_DESIGN_MAX_ROWS,
               SMALL_DESIGN_MAX_CELLS // max(pw + kzz + 2, 1))
-    _pdf = selw.limit(lim + 1).toPandas()
     des = None
-    if len(_pdf) <= lim:
+    # count-gate (see design.collect_small_design): counting prunes the
+    # erf-chain columns and materializes the persisted design either way
+    if int(selw.count()) <= lim:
+        _pdf = selw.toPandas()
         ones = np.ones(len(_pdf))
         des = (np.column_stack(
                    [ones] + [_pdf[f"__w{i}__"].to_numpy(dtype=float)
@@ -139,7 +141,7 @@ def heckman(df: DataFrame, outcome_formula: str, selection_formula: str,
                              for j in range(1, kzz)]),
                _pdf["__d__"].to_numpy(dtype=float),
                _pdf["__y__"].to_numpy(dtype=float))
-    del _pdf
+        del _pdf
 
     if des is not None:
         Wm, Zm, dv, yv = des
@@ -225,8 +227,9 @@ def heckman(df: DataFrame, outcome_formula: str, selection_formula: str,
         w0.alias("__w0__"))
     limf = min(SMALL_DESIGN_MAX_ROWS,
                SMALL_DESIGN_MAX_CELLS // max(kz + 2, 1))
-    _pf = stepf.limit(limf + 1).toPandas()
-    if len(_pf) <= limf:
+    _pf = None
+    if int(stepf.count()) <= limf:   # count prunes the erf column
+        _pf = stepf.toPandas()
         Zf_np = np.column_stack([_pf[f"__z{j}__"].to_numpy(dtype=float)
                                  for j in range(kz)])
         w0_np = _pf["__w0__"].to_numpy(dtype=float)
