@@ -144,6 +144,37 @@ def _preflight_load() -> dict:
             1.0 - (i2 - i1) / dt, 4) if dt else None
     except (OSError, IndexError, ValueError):
         pass
+    # fixed-work CPU canary: the host runs phases ~25-30% apart (the
+    # round-11 A/B: the SAME r10 commit measured 307 s sf1 in one phase
+    # and 437 s in another) — a 1-thread python loop + a small numpy
+    # GEMM, both deterministic work, let any two records be normalized
+    # against each other without re-running either tree
+    try:
+        def _loop_once() -> float:
+            t0 = time.perf_counter()
+            s = 0
+            for i in range(5_000_000):
+                s += i * i
+            return time.perf_counter() - t0
+
+        import numpy as _np
+        a = _np.full((1024, 1024), 1.0 / 3.0)
+
+        def _gemm_once() -> float:
+            t0 = time.perf_counter()
+            for _ in range(4):
+                a @ a
+            return time.perf_counter() - t0
+
+        # min-of-3: the best sample is the least-interrupted one, i.e.
+        # the machine's current top speed; the phases flap second to
+        # second so a single sample can land on a scheduler hiccup
+        snap["cpu_canary_loop_sec"] = round(
+            min(_loop_once() for _ in range(3)), 4)
+        snap["cpu_canary_gemm_sec"] = round(
+            min(_gemm_once() for _ in range(3)), 4)
+    except Exception:
+        pass
     return snap
 
 
@@ -432,6 +463,11 @@ def main() -> None:
                 out["sf1_skipped"] = sf1_skipped
         except Exception as exc:         # never fail the headline bench
             out["sf1_error"] = f"{type(exc).__name__}: {exc}"
+
+    # postflight canary: the host's fast/slow phase can flip mid-suite
+    # (round-11: preflight loop 0.26 s yet the suite ran in the slow
+    # phase) — the pre/post pair brackets the run
+    out["postflight"] = _preflight_load()
 
     line = json.dumps(out)
     print(line)
