@@ -198,9 +198,13 @@ def entropy_balancing(df: DataFrame, T: str, features: list[str],
     # (and step-halving re-scans) run driver-side in numpy
     from fast_causal_inference_spark.operators.design import (
         collect_small_design,
+        repartition_big_design,
     )
 
-    des = collect_small_design(ctl, cs, F.lit(0.0), F.lit(0.0))
+    des = collect_small_design(ctl, cs, F.lit(0.0), F.lit(0.0),
+                               n_rows=int(n0))
+    if des is None:
+        ctl = repartition_big_design(ctl, int(n0))
 
     def _scan_np(lam: np.ndarray, shift: float):
         C, _, _ = des

@@ -86,6 +86,53 @@ def collect_small_design(df: DataFrame, xs: list[Column], y: Column,
             pdf["__co__"].to_numpy(dtype=float))
 
 
+def repartition_big_design(df: DataFrame, n_rows: int,
+                           min_rows: int = 3_000_000) -> DataFrame:
+    """Spread an ABOVE-cutoff persisted design across the session's
+    cores when the source layout yields fewer splits than cores.
+
+    Iterative solvers scan the cached design once per IRLS/Newton step;
+    a big single-file parquet source (one split under
+    ``maxPartitionBytes``) serializes EVERY step on one core — measured
+    at a ×30 replica: a quantreg Newton scan of an 18M-row design took
+    ~4 s on its single cached partition vs ~0.3 s spread across 32.
+    One round-robin shuffle at solver init buys every subsequent scan
+    full parallelism; round robin keeps the layout deterministic for a
+    given (source layout, target count).
+
+    Only call this on the ``collect_small_design(...) is None`` branch:
+    below the cutoff the collected numpy path never scans the cache
+    again, and the golden-oracle scales (sf0.01) always sit below the
+    cutoff, so their float-sum combine order is untouched.
+
+    Returns the repartitioned, persisted child (materialized before the
+    parent cache is dropped); the caller's ``unpersist()`` contract
+    transfers to the returned frame."""
+    if n_rows < min_rows:
+        return df
+    try:
+        spark = df.sparkSession
+        cores = spark.sparkContext.defaultParallelism
+        # partition COUNT lies about distribution: a single-row-group
+        # parquet file (any one-file table a single writer produced)
+        # splits into byte ranges of which exactly ONE holds every row
+        # — getNumPartitions() says 28, the scan runs on 1 core.  Ask
+        # for the true row spread instead: one cheap JVM aggregation
+        # over the cache the caller's count gate just materialized (a
+        # python-side first-row probe was measured 20x slower — it
+        # drags rows through the Arrow socket).
+        spread = df.groupBy(F.spark_partition_id()).count() \
+            .where(F.col("count") > 0).count()
+    except Exception:
+        return df
+    if spread >= min(cores, 8):
+        return df
+    work = df.repartition(cores).persist(StorageLevel.MEMORY_AND_DISK)
+    work.count()
+    df.unpersist()
+    return work
+
+
 def persist_design(df: DataFrame, y: Column, feat_cols: list[Column],
                    off: Column | None = None, use_bias: bool = True,
                    ) -> tuple[DataFrame, Column, list[Column], Column]:

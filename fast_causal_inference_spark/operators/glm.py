@@ -314,9 +314,16 @@ def glm(df: DataFrame, formula: str, family: str = "poisson",
     # — identical per-row algebra, one Spark job instead of one per step
     from fast_causal_inference_spark.operators.design import (
         collect_small_design,
+        repartition_big_design,
     )
 
+    if n0 is None:
+        n0 = int(df.count())
     des = collect_small_design(df, xs, y, off, n_rows=n0)
+    if des is None:
+        # big design: spread the cache across cores before the IRLS
+        # loop starts re-scanning it (design.repartition_big_design)
+        df = repartition_big_design(df, n0)
 
     def _sums_np(beta: np.ndarray) -> tuple[np.ndarray, np.ndarray,
                                             float]:
@@ -887,9 +894,13 @@ def _binomial_glm(df: DataFrame, formula: str, link: str,
     # iterate driver-side in numpy off one collected design
     from fast_causal_inference_spark.operators.design import (
         collect_small_design,
+        repartition_big_design,
     )
 
-    des = collect_small_design(df, xs, y, off)
+    _nb = int(df.count())
+    des = collect_small_design(df, xs, y, off, n_rows=_nb)
+    if des is None:
+        df = repartition_big_design(df, _nb)
 
     def _irls(beta: np.ndarray, cols: list[Column], pp: int,
               validate: bool = False,
@@ -1098,9 +1109,12 @@ def negative_binomial_regression(df: DataFrame, formula: str,
     # more here than anywhere else in the GLM zoo
     from fast_causal_inference_spark.operators.design import (
         collect_small_design,
+        repartition_big_design,
     )
 
     des = collect_small_design(df, xs, y, off, n_rows=int(m0["n"]))
+    if des is None:
+        df = repartition_big_design(df, int(m0["n"]))
 
     def _eta(beta):
         e: Column = F.lit(float(beta[0])) * xs[0]

@@ -104,9 +104,13 @@ def logistic_regression(df: DataFrame, formula: str, use_bias: bool = True,
     # as NaN through Arrow).
     from fast_causal_inference_spark.operators.design import (
         collect_small_design,
+        repartition_big_design,
     )
 
-    des = collect_small_design(df, xs, y, F.lit(0.0))
+    _nr = int(df.count())
+    des = collect_small_design(df, xs, y, F.lit(0.0), n_rows=_nr)
+    if des is None:
+        df = repartition_big_design(df, _nr)
     if des is not None:
         X_all, y_all, _ = des
         mx = ~np.isnan(X_all).any(axis=1)

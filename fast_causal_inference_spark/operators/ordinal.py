@@ -171,6 +171,12 @@ def ordered_logit(df: DataFrame, formula: str, max_iter: int = 50,
                np.column_stack([_pdf[f"__x{i}"].to_numpy(dtype=float)
                                 for i in range(k)]))
         del _pdf
+    else:
+        from fast_causal_inference_spark.operators.design import (
+            repartition_big_design,
+        )
+
+        sub = repartition_big_design(sub, int(n))
 
     def _scan_np(th: np.ndarray):
         iv, Xv = des

@@ -161,20 +161,32 @@ def quantile_regression_multi(df: DataFrame, formula: str,
         df.unpersist()
         raise ValueError(f"bandwidth h must be positive, got {h}")
 
+    _S_cache: list = [None]         # X'X memo for the distributed scans
+
     def _scan(b: np.ndarray, h: float, tau: float):
         eta: Column = F.lit(float(b[0])) * xs[0]
         for j in range(1, p):
             eta = eta + F.lit(float(b[j])) * xs[j]
         r = y - eta
-        sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-r / F.lit(h)))
-        w = sig * (F.lit(1.0) - sig) / F.lit(h)          # loss''
-        g1 = F.lit(tau) - (F.lit(1.0) - sig)             # loss' in r
-        # project w/g1/loss once per row (inlining would expand the
-        # logistic-kernel chain into every agg expression)
-        step = df.select(*[c.alias(f"__p{i}__") for i, c in enumerate(xs)],
-                         w.alias("__w__"), g1.alias("__g1__"),
-                         _smoothed_loss_col(r, tau, h).alias("__l__"),
-                         y.alias("__yy__"))
+        # two-stage projection (the glm.py pattern): materialize r and
+        # the ONE sigmoid first — a flat Project inlines the EXP chain
+        # into w (twice), g1 and the loss term, i.e. 4 EXP evaluations
+        # per row where one suffices (CollapseProject keeps the staged
+        # multi-referenced non-cheap alias in place; per-row arithmetic
+        # — hence every float sum — is unchanged)
+        base = df.select(*[c.alias(f"__p{i}__") for i, c in enumerate(xs)],
+                         r.alias("__r__"), y.alias("__yy__"))
+        rc = F.col("__r__")
+        mid = base.select(
+            "*", (F.lit(1.0) / (F.lit(1.0)
+                                + F.exp(-rc / F.lit(h)))).alias("__s__"))
+        sigc = F.col("__s__")
+        w = sigc * (F.lit(1.0) - sigc) / F.lit(h)        # loss''
+        g1 = F.lit(tau) - (F.lit(1.0) - sigc)            # loss' in r
+        step = mid.select(*[F.col(f"__p{i}__") for i in range(p)],
+                          w.alias("__w__"), g1.alias("__g1__"),
+                          _smoothed_loss_col(rc, tau, h).alias("__l__"),
+                          F.col("__yy__"))
         ps = [F.col(f"__p{i}__") for i in range(p)]
         wc, g1c = F.col("__w__"), F.col("__g1__")
         aggs = []
@@ -183,18 +195,27 @@ def quantile_regression_multi(df: DataFrame, formula: str,
             aggs.append(F.sum(ps[i] * g1c).alias(f"g{i}"))
             for j in range(i, p):
                 aggs.append(F.sum(wc * ps[i] * ps[j]).alias(f"h{i}_{j}"))
-                aggs.append(F.sum(ps[i] * ps[j]).alias(f"s{i}_{j}"))
+                if _S_cache[0] is None:
+                    # S = X'X is β- and τ-independent: pay its p(p+1)/2
+                    # sums on the FIRST scan only (every later scan of
+                    # the Newton/line-search sequence drops them)
+                    aggs.append(F.sum(ps[i] * ps[j]).alias(f"s{i}_{j}"))
         aggs.append(F.sum(F.col("__l__")).alias("loss__"))
         aggs.append(F.count(F.col("__yy__")).alias("n__"))
         row = step.agg(*aggs).collect()[0]
         g = np.array([float(row[f"g{i}"]) for i in range(p)])
         H = np.empty((p, p))
-        S = np.empty((p, p))
         for i in range(p):
             for j in range(i, p):
                 H[i, j] = H[j, i] = float(row[f"h{i}_{j}"])
-                S[i, j] = S[j, i] = float(row[f"s{i}_{j}"])
-        return g, H, S, float(row["loss__"]), float(row["n__"])
+        if _S_cache[0] is None:
+            S = np.empty((p, p))
+            for i in range(p):
+                for j in range(i, p):
+                    S[i, j] = S[j, i] = float(row[f"s{i}_{j}"])
+            _S_cache[0] = S
+        return (g, H, _S_cache[0], float(row["loss__"]),
+                float(row["n__"]))
 
     # small-input fast path (round 11, design.collect_small_design):
     # collect the complete-case design once; every Newton scan —
@@ -202,9 +223,12 @@ def quantile_regression_multi(df: DataFrame, formula: str,
     # with the identical smoothed-check-loss algebra
     from fast_causal_inference_spark.operators.design import (
         collect_small_design,
+        repartition_big_design,
     )
 
-    des = collect_small_design(df, xs, y, F.lit(0.0))
+    des = collect_small_design(df, xs, y, F.lit(0.0), n_rows=int(n0))
+    if des is None:
+        df = repartition_big_design(df, int(n0))
 
     def _scan_np(b: np.ndarray, hh: float, tau: float):
         X_, yv, _ = des

@@ -130,7 +130,15 @@ def heckman(df: DataFrame, outcome_formula: str, selection_formula: str,
     des = None
     # count-gate (see design.collect_small_design): counting prunes the
     # erf-chain columns and materializes the persisted design either way
-    if int(selw.count()) <= lim:
+    _nsel = int(selw.count())
+    if _nsel > lim:
+        from fast_causal_inference_spark.operators.design import (
+            repartition_big_design,
+        )
+
+        selw = repartition_big_design(selw, _nsel)
+        sel = selw
+    if _nsel <= lim:
         _pdf = selw.toPandas()
         ones = np.ones(len(_pdf))
         des = (np.column_stack(
