@@ -48,7 +48,7 @@ def _ensure_scaled(spark, sf_dir: str, factor: int, name: str) -> str:
 
     out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "benchdata", name)
-    marker = os.path.join(out_dir, "_DONE_v3")
+    marker = os.path.join(out_dir, "_DONE_v4")
     if os.path.exists(marker):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
@@ -107,7 +107,13 @@ def _ensure_scaled(spark, sf_dir: str, factor: int, name: str) -> str:
                             F.col("embedding"),
                             (F.pmod(i + 7 * F.col("__rep"), width) + 1)
                             .cast("int")))))
-        rep_df.drop("__rep").write.mode("overwrite") \
+        # realistic multi-file layout: the naive single-task write made
+        # ONE file with ONE row group, and a one-row-group file is ONE
+        # effective scan partition no matter how Spark splits its byte
+        # ranges — every downstream family scanned the fact tables on a
+        # single core.  Production tables at any real scale have many
+        # files/row groups; 32 round-robin files reproduce that.
+        rep_df.drop("__rep").repartition(32).write.mode("overwrite") \
             .parquet(f"{out_dir}/{table}.parquet")
     with open(marker, "w") as f:
         f.write("ok\n")
