@@ -25,10 +25,30 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+# Lazy-DataFrame memo: one (session, dir, table) → DataFrame plan.  Every
+# family gate re-called ``spark.read.parquet`` for its base tables, and each
+# call pays a driver file-listing plus a 1-task schema-inference job
+# (~50-150 ms) — ~100 such jobs per suite run, pure fixed cost (guide §6:
+# listing/planning overhead; §1.2: don't repeat work you can share).  The
+# memo shares the LAZY plan only — no data is persisted, every action still
+# recomputes from parquet, and the plan is identical to a fresh read, so
+# per-query results and their oracle hashes are unchanged.  Keyed by the
+# session's id so a stopped/restarted session never resurrects a stale plan.
+_LOAD_MEMO: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
+
+
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from fast_causal_inference_spark.sources.tables import load_table
 
-    return load_table(spark, sf_dir, name)
+    # the memo pins the session object, so id() cannot be recycled while
+    # the entry lives; a genuinely new session simply misses
+    key = (id(spark), sf_dir, name)
+    hit = _LOAD_MEMO.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    df = load_table(spark, sf_dir, name)
+    _LOAD_MEMO[key] = (spark, df)
+    return df
 
 
 def _round_all(df: DataFrame, keep: list[str], cols: list[str], nd: int = 6) -> DataFrame:

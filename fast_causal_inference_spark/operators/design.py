@@ -29,8 +29,23 @@ from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["persist_design", "collect_small_design",
+__all__ = ["persist_design", "collect_small_design", "collect_columns",
            "SMALL_DESIGN_MAX_ROWS"]
+
+
+def collect_columns(df: DataFrame) -> dict[str, np.ndarray]:
+    """Collect every column of a (projected, numeric) frame as float64
+    numpy arrays, via Arrow without the pandas block-consolidation step
+    (the hottest driver line of the solver families under sampling);
+    identical values/row order to ``toPandas()`` (NULL → NaN)."""
+    try:
+        tbl = df.toArrow()
+        return {nm: tbl.column(i).to_numpy(zero_copy_only=False)
+                    .astype(float, copy=False)
+                for i, nm in enumerate(tbl.column_names)}
+    except Exception:
+        pdf = df.toPandas()
+        return {nm: pdf[nm].to_numpy(dtype=float) for nm in pdf.columns}
 
 # Small-input cutoff for the iterative solvers (round 11) — the same
 # idea as the rank tests' small-input cutoff (mann_whitney.py:193): a
@@ -77,13 +92,11 @@ def collect_small_design(df: DataFrame, xs: list[Column], y: Column,
         return None
     p = len(xs)
     sel = [c.alias(f"__cx{i}__") for i, c in enumerate(xs)]
-    pdf = df.select(*sel, y.alias("__cy__"), off.alias("__co__")) \
-        .toPandas()
-    X = np.column_stack([pdf[f"__cx{i}__"].to_numpy(dtype=float)
-                         for i in range(p)]) if p else \
-        np.empty((len(pdf), 0))
-    return (X, pdf["__cy__"].to_numpy(dtype=float),
-            pdf["__co__"].to_numpy(dtype=float))
+    cols = collect_columns(
+        df.select(*sel, y.alias("__cy__"), off.alias("__co__")))
+    X = np.column_stack([cols[f"__cx{i}__"] for i in range(p)]) if p else \
+        np.empty((len(cols["__cy__"]), 0))
+    return X, cols["__cy__"], cols["__co__"]
 
 
 def repartition_big_design(df: DataFrame, n_rows: int,

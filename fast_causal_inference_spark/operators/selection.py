@@ -139,16 +139,20 @@ def heckman(df: DataFrame, outcome_formula: str, selection_formula: str,
         selw = repartition_big_design(selw, _nsel)
         sel = selw
     if _nsel <= lim:
-        _pdf = selw.toPandas()
-        ones = np.ones(len(_pdf))
+        from fast_causal_inference_spark.operators.design import (
+            collect_columns,
+        )
+
+        _pdf = collect_columns(selw)
+        ones = np.ones(_nsel)
         des = (np.column_stack(
-                   [ones] + [_pdf[f"__w{i}__"].to_numpy(dtype=float)
+                   [ones] + [_pdf[f"__w{i}__"]
                              for i in range(1, pw)]),
                np.column_stack(
-                   [ones] + [_pdf[f"__z{j}__"].to_numpy(dtype=float)
+                   [ones] + [_pdf[f"__z{j}__"]
                              for j in range(1, kzz)]),
-               _pdf["__d__"].to_numpy(dtype=float),
-               _pdf["__y__"].to_numpy(dtype=float))
+               _pdf["__d__"],
+               _pdf["__y__"])
         del _pdf
 
     if des is not None:
@@ -237,10 +241,13 @@ def heckman(df: DataFrame, outcome_formula: str, selection_formula: str,
                SMALL_DESIGN_MAX_CELLS // max(kz + 2, 1))
     _pf = None
     if int(stepf.count()) <= limf:   # count prunes the erf column
-        _pf = stepf.toPandas()
-        Zf_np = np.column_stack([_pf[f"__z{j}__"].to_numpy(dtype=float)
-                                 for j in range(kz)])
-        w0_np = _pf["__w0__"].to_numpy(dtype=float)
+        from fast_causal_inference_spark.operators.design import (
+            collect_columns,
+        )
+
+        _pf = collect_columns(stepf)
+        Zf_np = np.column_stack([_pf[f"__z{j}__"] for j in range(kz)])
+        w0_np = _pf["__w0__"]
         Fz = (Zf_np * w0_np[:, None]).T @ Zf_np
     else:
         zf = [F.col(f"__z{j}__") for j in range(kz)]

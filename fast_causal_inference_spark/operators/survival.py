@@ -18,6 +18,88 @@ from pyspark.sql import functions as F
 from fast_causal_inference_spark import stats_distributions as dist
 
 
+def _collect_small_tex(sub: DataFrame, k: int, n: int):
+    """Collect a projected ``(__t, __e, __x0..)`` survival design as numpy
+    arrays when it fits the shared small-design budget (see
+    ``design.collect_small_design``); ``None`` above the cutoff.
+
+    The iterative fitters below (Cox partial likelihood, Weibull AFT,
+    Grambsch-Therneau) otherwise pay ONE Spark aggregation job per
+    Newton step — each ~0.1-0.4 s of scheduling+Catalyst fixed cost that
+    dwarfs the arithmetic at small n (guide §1.2: fix the algorithm's
+    pass count first).  Below the cutoff the solver collects once and
+    iterates driver-side; above it the distributed per-step scan — the
+    100 TB path — runs unchanged."""
+    from fast_causal_inference_spark.operators.design import (
+        SMALL_DESIGN_MAX_CELLS,
+        SMALL_DESIGN_MAX_ROWS,
+    )
+
+    from fast_causal_inference_spark.operators.design import (
+        collect_columns,
+    )
+
+    lim = min(SMALL_DESIGN_MAX_ROWS,
+              SMALL_DESIGN_MAX_CELLS // max(k + 2, 1))
+    if n > lim:
+        return None
+    cols = collect_columns(sub)
+    t, e = cols["__t"], cols["__e"]
+    X = (np.column_stack([cols[f"__x{i}"] for i in range(k)]) if k else
+         np.empty((len(t), 0)))
+    return t, e, X
+
+
+class _CoxGroupedRows:
+    """Per-event-time sufficient sums for one Newton step, computed
+    driver-side from collected arrays — same relation the distributed
+    ``groupBy(__t)`` scan produces (descending time order, same keys)."""
+
+    def __init__(self, t: np.ndarray, e: np.ndarray, X: np.ndarray):
+        order = np.argsort(-t, kind="stable")
+        self.t = t[order]
+        self.e = e[order]
+        self.X = X[order]
+        self.starts = np.flatnonzero(
+            np.r_[True, self.t[1:] != self.t[:-1]])
+        self.tg = self.t[self.starts]
+
+    def rows(self, beta: np.ndarray, efron: bool,
+             with_n: bool = False) -> list[dict]:
+        X, e, starts = self.X, self.e, self.starts
+        k = X.shape[1]
+        xb = X @ beta
+        w = np.exp(xb)
+
+        def red(a):
+            return np.add.reduceat(a, starts)
+
+        cols = {"sw": red(w), "d": red(e), "sxb_e": red(e * xb)}
+        if with_n:
+            cols["n"] = red(np.ones(len(e)))
+        if efron:
+            cols["swe"] = red(e * w)
+        for i in range(k):
+            xi = X[:, i]
+            cols[f"swx{i}"] = red(w * xi)
+            cols[f"sx{i}_e"] = red(e * xi)
+            if efron:
+                cols[f"swxe{i}"] = red(e * w * xi)
+            for j in range(i, k):
+                xj = X[:, j]
+                cols[f"swxx{i}_{j}"] = red(w * xi * xj)
+                if efron:
+                    cols[f"swxxe{i}_{j}"] = red(e * w * xi * xj)
+        names = list(cols)
+        vecs = [cols[nm] for nm in names]
+        out = []
+        for g in range(len(self.tg)):
+            rec = {nm: float(v[g]) for nm, v in zip(names, vecs)}
+            rec["__t"] = float(self.tg[g])
+            out.append(rec)
+        return out
+
+
 def kaplan_meier(df: DataFrame, time: str, event: str,
                  group: str | None = None,
                  weight: str | None = None) -> pd.DataFrame:
@@ -230,6 +312,39 @@ def aalen_johansen(df: DataFrame, time: str, event: str,
     return res
 
 
+def _cox_grouped_scan(sub: DataFrame, k: int, beta: np.ndarray,
+                      efron: bool) -> list:
+    """One distributed Newton-step scan: the per-event-time sufficient
+    sums as a ``groupBy(__t)`` aggregation (shuffle: #distinct-times ×
+    k² doubles), descending time order.  This is the 100 TB path; the
+    small-design branch computes the identical relation driver-side."""
+    xb = None
+    for i in range(k):
+        term = float(beta[i]) * F.col(f"__x{i}")
+        xb = term if xb is None else xb + term
+    w = F.exp(xb)
+    e = F.col("__e")
+    aggs = [F.sum(w).alias("sw"),
+            F.sum(e).alias("d"),
+            F.sum(e * xb).alias("sxb_e")]
+    if efron:
+        aggs.append(F.sum(e * w).alias("swe"))
+    for i in range(k):
+        aggs.append(F.sum(w * F.col(f"__x{i}")).alias(f"swx{i}"))
+        aggs.append(F.sum(e * F.col(f"__x{i}")).alias(f"sx{i}_e"))
+        if efron:
+            aggs.append(F.sum(e * w * F.col(f"__x{i}"))
+                        .alias(f"swxe{i}"))
+        for j in range(i, k):
+            aggs.append(F.sum(w * F.col(f"__x{i}") * F.col(f"__x{j}"))
+                        .alias(f"swxx{i}_{j}"))
+            if efron:
+                aggs.append(
+                    F.sum(e * w * F.col(f"__x{i}") * F.col(f"__x{j}"))
+                    .alias(f"swxxe{i}_{j}"))
+    return sub.groupBy("__t").agg(*aggs).orderBy(F.desc("__t")).collect()
+
+
 def cox_ph(df: DataFrame, time: str, event: str, covariates: list[str],
            max_iter: int = 25, tol: float = 1e-9,
            ties: str = "breslow") -> pd.DataFrame:
@@ -261,44 +376,29 @@ def cox_ph(df: DataFrame, time: str, event: str, covariates: list[str],
     ecol = F.expr(event).cast("double").alias("__e")
     xs = [F.expr(c).cast("double").alias(f"__x{i}")
           for i, c in enumerate(covariates)]
-    sub = df.select(tcol, ecol, *xs).na.drop().cache()
+    sub = df.select(tcol, ecol, *xs).na.drop()
     # empty after complete-case: the Newton loop would silently
     # 'converge' at beta = 0 with converged=True and all-NaN inference
-    # (weibull_aft raises for the identical input)
-    if sub.limit(1).count() == 0:
-        sub.unpersist()
+    # (weibull_aft raises for the identical input).  The count is
+    # column-pruned (cheap) and doubles as the small-design gate.
+    n_rows = int(sub.count())
+    if n_rows == 0:
         raise ValueError(
             "cox_ph: no complete-case rows (every row has a NULL in "
             "time/event/covariates)")
+    tex = _collect_small_tex(sub, k, n_rows)
+    if tex is not None:
+        grouped = _CoxGroupedRows(*tex)
+    else:
+        sub = sub.cache()
     beta = np.zeros(k)
     loglik_prev = -np.inf
+    efron = ties == "efron"
     for _ in range(max_iter):
-        xb = None
-        for i in range(k):
-            term = float(beta[i]) * F.col(f"__x{i}")
-            xb = term if xb is None else xb + term
-        w = F.exp(xb)
-        e = F.col("__e")
-        efron = ties == "efron"
-        aggs = [F.sum(w).alias("sw"),
-                F.sum(e).alias("d"),
-                F.sum(e * xb).alias("sxb_e")]
-        if efron:
-            aggs.append(F.sum(e * w).alias("swe"))
-        for i in range(k):
-            aggs.append(F.sum(w * F.col(f"__x{i}")).alias(f"swx{i}"))
-            aggs.append(F.sum(e * F.col(f"__x{i}")).alias(f"sx{i}_e"))
-            if efron:
-                aggs.append(F.sum(e * w * F.col(f"__x{i}"))
-                            .alias(f"swxe{i}"))
-            for j in range(i, k):
-                aggs.append(F.sum(w * F.col(f"__x{i}") * F.col(f"__x{j}"))
-                            .alias(f"swxx{i}_{j}"))
-                if efron:
-                    aggs.append(
-                        F.sum(e * w * F.col(f"__x{i}") * F.col(f"__x{j}"))
-                        .alias(f"swxxe{i}_{j}"))
-        rows = sub.groupBy("__t").agg(*aggs).orderBy(F.desc("__t")).collect()
+        if tex is not None:
+            rows = grouped.rows(beta, efron)
+        else:
+            rows = _cox_grouped_scan(sub, k, beta, efron)
 
         # suffix (risk-set) accumulation over descending time on the driver
         U = np.zeros(k)
@@ -370,7 +470,8 @@ def cox_ph(df: DataFrame, time: str, event: str, covariates: list[str],
         loglik_prev = loglik
     else:
         converged = False
-    sub.unpersist()
+    if tex is None:
+        sub.unpersist()
     if not converged:
         import warnings
 
@@ -567,21 +668,29 @@ def proportional_hazards_test(df: DataFrame, time: str, event: str,
     xs = [F.expr(c).cast("double").alias(f"__x{i}")
           for i, c in enumerate(covariates)]
     sub = df.select(tcol, ecol, *xs).na.drop()
-    xb = None
-    for i in range(k):
-        term = float(beta[i]) * F.col(f"__x{i}")
-        xb = term if xb is None else xb + term
-    w = F.exp(xb)
-    e = F.col("__e")
-    aggs = [F.sum(w).alias("sw"), F.sum(e).alias("d"),
-            F.count(F.lit(1)).alias("n")]
-    for i in range(k):
-        aggs.append(F.sum(w * F.col(f"__x{i}")).alias(f"swx{i}"))
-        aggs.append(F.sum(e * F.col(f"__x{i}")).alias(f"sx{i}_e"))
-        for j in range(i, k):
-            aggs.append(F.sum(w * F.col(f"__x{i}") * F.col(f"__x{j}"))
-                        .alias(f"swxx{i}_{j}"))
-    rows = sub.groupBy("__t").agg(*aggs).orderBy(F.desc("__t")).collect()
+    n_rows = int(sub.count())
+    if n_rows == 0:
+        raise ValueError("proportional_hazards_test: no complete rows")
+    tex = _collect_small_tex(sub, k, n_rows)
+    if tex is not None:
+        rows = _CoxGroupedRows(*tex).rows(beta, efron=False, with_n=True)
+    else:
+        xb = None
+        for i in range(k):
+            term = float(beta[i]) * F.col(f"__x{i}")
+            xb = term if xb is None else xb + term
+        w = F.exp(xb)
+        e = F.col("__e")
+        aggs = [F.sum(w).alias("sw"), F.sum(e).alias("d"),
+                F.count(F.lit(1)).alias("n")]
+        for i in range(k):
+            aggs.append(F.sum(w * F.col(f"__x{i}")).alias(f"swx{i}"))
+            aggs.append(F.sum(e * F.col(f"__x{i}")).alias(f"sx{i}_e"))
+            for j in range(i, k):
+                aggs.append(F.sum(w * F.col(f"__x{i}") * F.col(f"__x{j}"))
+                            .alias(f"swxx{i}_{j}"))
+        rows = sub.groupBy("__t").agg(*aggs).orderBy(F.desc("__t")) \
+            .collect()
     if not rows:
         raise ValueError("proportional_hazards_test: no complete rows")
 
@@ -691,44 +800,79 @@ def weibull_aft(df: DataFrame, time: str, event: str,
     ecol = F.expr(event).cast("double").alias("__e")
     xcols = [F.expr(c).cast("double").alias(f"__x{i}")
              for i, c in enumerate(covariates)]
-    sub = df.select(tcol, ecol, *xcols).na.drop().cache()
+    sub = df.select(tcol, ecol, *xcols).na.drop()
     chk = sub.agg(F.min("__t").alias("lo"), F.min("__e").alias("elo"),
                   F.max("__e").alias("ehi"),
                   F.count(F.lit(1)).alias("n")).collect()[0]
     if chk["lo"] is None or float(chk["n"]) == 0:
-        sub.unpersist()
         raise ValueError("no complete-case rows")
     if float(chk["lo"]) <= 0:
-        sub.unpersist()
         raise ValueError("weibull_aft needs strictly positive times")
     if float(chk["elo"]) < 0 or float(chk["ehi"]) > 1:
-        sub.unpersist()
         raise ValueError("event indicator must lie in [0, 1]")
+    # small-design fast path: one collect, then every Newton scan (and
+    # each step-halving re-scan) is numpy instead of a Spark job
+    tex = _collect_small_tex(sub, k, int(chk["n"]))
+    if tex is None:
+        sub = sub.cache()
     p = k + 1                                   # intercept first
     xs = [F.lit(1.0)] + [F.col(f"__x{i}") for i in range(k)]
     lt = F.log("__t")
     dl = F.col("__e")
 
+    if tex is not None:
+        tn, en, Xn = tex
+        Xn1 = np.column_stack([np.ones(len(tn)), Xn])   # [1, x...]
+        ltn = np.log(tn)
+
     # OLS of log t on X seeds β (ignores censoring — a start, not a fit)
-    aggs = []
-    for i in range(p):
-        aggs.append(F.sum(xs[i] * lt).alias(f"b{i}"))
-        for j in range(i, p):
-            aggs.append(F.sum(xs[i] * xs[j]).alias(f"a{i}_{j}"))
-    r0 = sub.agg(*aggs).collect()[0]
     A0 = np.empty((p, p))
     b0 = np.empty(p)
-    for i in range(p):
-        b0[i] = r0[f"b{i}"]
-        for j in range(i, p):
-            A0[i, j] = A0[j, i] = r0[f"a{i}_{j}"]
+    if tex is not None:
+        for i in range(p):
+            b0[i] = float((Xn1[:, i] * ltn).sum())
+            for j in range(i, p):
+                A0[i, j] = A0[j, i] = float((Xn1[:, i] * Xn1[:, j]).sum())
+    else:
+        aggs = []
+        for i in range(p):
+            aggs.append(F.sum(xs[i] * lt).alias(f"b{i}"))
+            for j in range(i, p):
+                aggs.append(F.sum(xs[i] * xs[j]).alias(f"a{i}_{j}"))
+        r0 = sub.agg(*aggs).collect()[0]
+        for i in range(p):
+            b0[i] = r0[f"b{i}"]
+            for j in range(i, p):
+                A0[i, j] = A0[j, i] = r0[f"a{i}_{j}"]
     theta = np.zeros(p + 1)                     # [β..., s=log σ]
     try:
         theta[:p] = np.linalg.solve(A0, b0)
     except np.linalg.LinAlgError:
         theta[:p] = np.linalg.lstsq(A0, b0, rcond=None)[0]
 
-    def _scan(th: np.ndarray):
+    def _scan_np(th: np.ndarray):
+        # numpy mirror of the distributed _scan: same sufficient sums
+        beta, s = th[:p], float(th[p])
+        sig = math.exp(s)
+        xb = Xn1 @ beta
+        z = (ltn - xb) / sig
+        u = np.exp(z)
+        ll = float((en * (z - s) - u + en * -ltn).sum())
+        g = np.empty(p + 1)
+        H = np.empty((p + 1, p + 1))
+        for i in range(p):
+            g[i] = float((Xn1[:, i] * (u - en)).sum()) / sig
+            H[i, p] = H[p, i] = \
+                -float((Xn1[:, i] * (z * u + (u - en))).sum()) / sig
+            for j in range(i, p):
+                H[i, j] = H[j, i] = \
+                    -float((Xn1[:, i] * Xn1[:, j] * u).sum()) / (sig * sig)
+        g[p] = float((z * (u - en) - en).sum())
+        H[p, p] = -(float((z * u).sum()) + float((z * z * u).sum())
+                    - float((z * en).sum()))
+        return ll, g, H
+
+    def _scan_spark(th: np.ndarray):
         beta, s = th[:p], float(th[p])
         sig = math.exp(s)
         xb: Column = F.lit(float(beta[0])) * xs[0]
@@ -760,6 +904,8 @@ def weibull_aft(df: DataFrame, time: str, event: str,
         H[p, p] = -(float(r["zu"]) + float(r["zzu"]) - float(r["zd"]))
         return ll, g, H
 
+    _scan = _scan_np if tex is not None else _scan_spark
+
     ll, g, H = _scan(theta)
     converged = False
     it = 0
@@ -782,8 +928,11 @@ def weibull_aft(df: DataFrame, time: str, event: str,
         if done:
             converged = True
             break
-    n_ev = float(sub.agg(F.sum(dl).alias("d")).collect()[0]["d"])
-    sub.unpersist()
+    if tex is not None:
+        n_ev = float(en.sum())
+    else:
+        n_ev = float(sub.agg(F.sum(dl).alias("d")).collect()[0]["d"])
+        sub.unpersist()
 
     cov = np.linalg.pinv(-H)
     se = np.sqrt(np.maximum(np.diag(cov), 0.0))

@@ -10,6 +10,7 @@ reference UDAFs' update/merge/serialize cycle (SURVEY.md §4).
 from __future__ import annotations
 
 import os
+import sys
 
 import pandas as pd
 from pyspark.sql import SparkSession
@@ -40,8 +41,43 @@ _DEFAULTS = {
 }
 
 
+_ALLOCATOR_TUNED = False
+
+
+def tune_driver_allocator() -> None:
+    """Keep large numpy temporaries on the malloc arena and never trim it.
+
+    The driver-side finalizers (collected small-design solvers, the
+    group-sequential boundary recursion, pandas conversions) allocate
+    multi-MB numpy temporaries per call.  glibc's defaults serve those
+    via mmap and return them on free (dynamic mmap/trim thresholds), so
+    every call re-faults every page; on kernels where first-touch faults
+    are expensive (measured here: ~50-100 µs/4K page under the
+    sandboxed kernel — one 32 MB broadcast expression cost 5.2 s in the
+    bench driver vs 0.05 s once pages are retained) that is a silent
+    ~100x tax on all driver-side math.  Raising M_MMAP_THRESHOLD keeps
+    the blocks on the arena, and a high M_TRIM_THRESHOLD stops free()
+    from giving the pages back, so each size class faults once per
+    process.  Bounded (~0.5 GB retained worst-case), glibc-only, and a
+    no-op anywhere mallopt is unavailable."""
+    global _ALLOCATOR_TUNED
+    if _ALLOCATOR_TUNED or not sys.platform.startswith("linux"):
+        return
+    _ALLOCATOR_TUNED = True
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6")
+        libc.mallopt(-3, 256 * 1024 * 1024)    # M_MMAP_THRESHOLD
+        libc.mallopt(-1, 512 * 1024 * 1024)    # M_TRIM_THRESHOLD
+        libc.mallopt(-2, 16 * 1024 * 1024)     # M_TOP_PAD
+    except Exception:
+        pass
+
+
 def configure_session(builder: SparkSession.Builder) -> SparkSession.Builder:
     """Apply engine defaults to an existing builder."""
+    tune_driver_allocator()
     for k, v in _DEFAULTS.items():
         builder = builder.config(k, v)
     return builder
