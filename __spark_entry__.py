@@ -1643,20 +1643,17 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.where(F.col("doc_id") < 10).unionByName(spliced),
         n=10, min_run_tokens=30)
 
-    rows_doc = surv.select(
+    # one aggregation instead of three self-unioned ones (each ran the
+    # full dedup pipeline again); stack reshapes to the same long rows
+    rows_doc = surv.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum("doc_id").cast("double").alias("__s"),
+        F.sum(F.col("doc_id") * F.col("doc_id")).cast("double")
+        .alias("__ss")
+    ).select(
         F.lit("doc").alias("variant"), F.lit("survivors").alias("item"),
-        F.lit("n").alias("stat"),
-        F.count(F.lit(1)).cast("double").alias("value")).unionByName(
-        surv.select(F.lit("doc").alias("variant"),
-                    F.lit("survivors").alias("item"),
-                    F.lit("id_sum").alias("stat"),
-                    F.sum("doc_id").cast("double").alias("value"))
-    ).unionByName(
-        surv.select(F.lit("doc").alias("variant"),
-                    F.lit("survivors").alias("item"),
-                    F.lit("id_sq_sum").alias("stat"),
-                    F.sum(F.col("doc_id") * F.col("doc_id"))
-                    .cast("double").alias("value")))
+        F.expr("stack(3, 'n', __n, 'id_sum', __s, 'id_sq_sum', __ss) "
+               "as (stat, value)"))
     rows_span = spans.select(
         F.lit("substring").alias("variant"),
         F.concat_ws("-", F.col("id_a").cast("string"),
@@ -4954,15 +4951,16 @@ def g_matching_prognostic(spark: SparkSession, sf_dir: str,
            .groupBy(F.floor(F.col("__prognostic") / 2000.0).alias("cell"))
            .agg(F.count(F.lit(1)).alias("n_matched"),
                 F.sum("arm").alias("n_treated")))
-    return out.select(F.lit("prognostic").alias("variant"),
-                      F.col("cell").cast("string").alias("item"),
-                      F.lit("n_matched").alias("stat"),
-                      F.col("n_matched").cast("double").alias("value")) \
-        .unionByName(out.select(
-            F.lit("prognostic").alias("variant"),
-            F.col("cell").cast("string").alias("item"),
-            F.lit("n_treated").alias("stat"),
-            F.col("n_treated").cast("double").alias("value")))
+    # one pass: the former self-unionByName of two projections of `out`
+    # executed the whole window-matching pipeline TWICE (two identical
+    # scan→window→agg subtrees in the plan); stack() emits both long
+    # rows per cell from a single execution — same rows, order aside
+    return out.select(
+        F.lit("prognostic").alias("variant"),
+        F.col("cell").cast("string").alias("item"),
+        F.expr("stack(2, 'n_matched', cast(n_matched as double), "
+               "'n_treated', cast(n_treated as double)) "
+               "as (stat, value)"))
 
 
 def q_paired_ttest(spark: SparkSession, sf_dir: str,

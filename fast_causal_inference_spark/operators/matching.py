@@ -41,12 +41,54 @@ def caliper_matching(df: DataFrame, score: str, index: str,
 
     out = df.withColumn("__t", t).withColumn("__bucket", bucket)
     cell = ["__bucket", *exacts]
+
+    # Within-arm random order via a DETERMINISTIC per-row hash draw over
+    # every (atomic) input column + the seed, ranked in two levels:
+    # row_number within (cell, arm, salt=draw mod 64) plus the cumulative
+    # counts of lower salts.  The direct form — row_number().over(
+    # partitionBy(cell, arm).orderBy(rand(seed))) — puts an entire cell
+    # in ONE window partition, and a degenerate score distribution (all
+    # scores inside one caliper, the common "matched everything" case)
+    # serializes the whole table through a single-core sort: measured
+    # 24 s of the 29 s matching family at the ×10 bench replica, and a
+    # guaranteed straggler at 100 TB (guide §2.5: one giant key).  The
+    # salted form shuffles the data ONCE, sorts bounded partitions, and
+    # joins a cells×arms×64-row count relation back on the partitioning
+    # keys (no second data exchange).  The hash draw also makes the
+    # permutation a pure function of (data, seed) — the old rand(seed)
+    # order was partition-layout-dependent — at the cost of changing
+    # WHICH equally-eligible rows a given seed matches (counts, quotas,
+    # and every oracle-checked aggregate are permutation-invariant).
+    _N_SALT = 64                   # FIXED: part of the value contract
+    hash_cols = [F.col(fld.name) for fld in df.schema.fields
+                 if fld.dataType.typeName() not in
+                 ("array", "map", "struct", "binary")]
+    draw = F.xxhash64(F.lit(int(seed)), bucket, *hash_cols)
+    out = (out.withColumn("__draw", draw)
+              .withColumn("__salt", F.pmod(F.col("__draw"),
+                                           F.lit(_N_SALT)).cast("int")))
+    w_sub = Window.partitionBy(*cell, "__t", "__salt").orderBy("__draw")
+    ranked = out.withColumn("__rnsub", F.row_number().over(w_sub))
+
+    cnts = out.groupBy(*cell, "__t", "__salt") \
+        .agg(F.count(F.lit(1)).alias("__c"))
+    w_off = (Window.partitionBy(*cell, "__t").orderBy("__salt")
+             .rowsBetween(Window.unboundedPreceding, -1))
     w_cell = Window.partitionBy(*cell)
-    cnt1 = F.sum(F.when(F.col("__t") == 1, 1).otherwise(0)).over(w_cell)
-    cnt0 = F.sum(F.when(F.col("__t") == 0, 1).otherwise(0)).over(w_cell)
-    quota = F.least(cnt1, F.floor(cnt0 / k))
-    w_arm = Window.partitionBy(*cell, "__t").orderBy(F.rand(seed))
-    rn = F.row_number().over(w_arm)
+    cnts = (cnts
+            .withColumn("__off", F.coalesce(F.sum("__c").over(w_off),
+                                            F.lit(0)))
+            .withColumn("__cnt1", F.sum(
+                F.when(F.col("__t") == 1, F.col("__c")).otherwise(0))
+                .over(w_cell))
+            .withColumn("__cnt0", F.sum(
+                F.when(F.col("__t") == 0, F.col("__c")).otherwise(0))
+                .over(w_cell))
+            .select(*cell, "__t", "__salt", "__off", "__cnt1", "__cnt0"))
+
+    joined = ranked.join(cnts, [*cell, "__t", "__salt"], "left")
+    rn = F.col("__rnsub") + F.col("__off")
+    quota = F.least(F.col("__cnt1"), F.floor(F.col("__cnt0") / k))
 
     pair_local = (F.when((F.col("__t") == 1) & (rn <= quota), rn)
                   .when((F.col("__t") == 0) & (rn <= quota * k),
@@ -60,8 +102,9 @@ def caliper_matching(df: DataFrame, score: str, index: str,
         F.xxhash64(F.concat_ws("\x1f", F.col("__bucket").cast("string"),
                                *[F.col(c).cast("string") for c in exacts],
                                pair_local.cast("string"))))
-    return (out.withColumn(match_col, pair_id)
-               .drop("__t", "__bucket"))
+    return (joined.withColumn(match_col, pair_id)
+                  .drop("__t", "__bucket", "__draw", "__salt", "__rnsub",
+                        "__off", "__cnt1", "__cnt0"))
 
 
 def caliper_matching_signed(df: DataFrame, t_expr: str, score: str,

@@ -80,6 +80,18 @@ def configure_session(builder: SparkSession.Builder) -> SparkSession.Builder:
     tune_driver_allocator()
     for k, v in _DEFAULTS.items():
         builder = builder.config(k, v)
+    # read the env-tunable knobs at CALL time: _DEFAULTS snapshots the
+    # environment at import, so a harness that sets SPARK_GRAFT_* after
+    # importing this module (bench.py did, for the 16g bench heap) was
+    # silently ignored — the bench JVM ran with the 8g library default
+    # and major-GC'd mid-suite (the "roaming stall" signature in the
+    # round-10/11 records)
+    builder = builder.config(
+        "spark.driver.memory",
+        os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    builder = builder.config(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
     return builder
 
 

@@ -138,11 +138,14 @@ def main() -> None:
                 pending[ev["Job ID"]] = (
                     ev.get("Properties", {}).get("spark.job.description", ""),
                     ev["Submission Time"],
-                    [s["Stage ID"] for s in ev.get("Stage Infos", [])])
+                    [s["Stage ID"] for s in ev.get("Stage Infos", [])],
+                    [s["Stage Name"].split("\n")[0]
+                     for s in ev.get("Stage Infos", [])])
             elif e == "SparkListenerJobEnd":
                 p = pending.pop(ev["Job ID"], None)
                 if p:
-                    jobs.append((p[0], p[1], ev["Completion Time"], p[2]))
+                    jobs.append((p[0], p[1], ev["Completion Time"], p[2],
+                                 p[3]))
             elif e == "SparkListenerStageCompleted":
                 si = ev["Stage Info"]
                 stages[si["Stage ID"]] = {
@@ -199,7 +202,18 @@ def main() -> None:
                       f"{st['name']}")
             slow_jobs = sorted(fam_jobs, key=lambda j: -(j[2] - j[1]))[:8]
             for j in slow_jobs:
-                print(f"  job {(j[2]-j[1])/1000:6.2f}s  stages={j[3][:6]}")
+                print(f"  job {(j[2]-j[1])/1000:6.2f}s  stages={j[3][:6]} "
+                      f" {j[4][0][:70] if j[4] else '?'}")
+            import collections as _c
+            bycs = _c.Counter()
+            bytime = _c.Counter()
+            for j in fam_jobs:
+                cs = j[4][0][:70] if j[4] else "?"
+                bycs[cs] += 1
+                bytime[cs] += (j[2] - j[1]) / 1000.0
+            print("  -- jobs by callsite --")
+            for cs, cnt in bycs.most_common(10):
+                print(f"  {cnt:3d} jobs {bytime[cs]:6.2f}s  {cs}")
 
 
 if __name__ == "__main__":

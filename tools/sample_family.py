@@ -54,7 +54,7 @@ def main() -> None:
             sampler_tid[0] = threading.get_ident()
             while not stop.is_set():
                 for tid, frame in sys._current_frames().items():
-                    if tid in (main_tid, sampler_tid[0]):
+                    if tid == sampler_tid[0]:
                         continue
                     # walk to the deepest frame; record leaf plus the
                     # deepest repo frame for attribution
