@@ -3694,13 +3694,8 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     full ITU closed-form expansion DuckDB re-derives from (sign, exp,
     mantissa) hex draws."""
     from fast_causal_inference_spark.datapipe.multimodal import (
-        audio_stats,
         decode_audio,
-        image_stats,
-        synthesize_audio_column,
-        synthesize_image_column,
-        synthesize_media_column,
-        video_frame_sample,
+        encode_wav,
     )
 
     # repartition once: the single parquet file scans as 1-4 splits,
@@ -3708,21 +3703,18 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (_load(spark, sf_dir, "documents").select("doc_id", "text")
          .repartition(int(spark.conf.get(
              "spark.sql.shuffle.partitions", "32"))))
-    media = synthesize_media_column(d, "text")
-    # strict=False is the explicit opt-in: video decode is a documented
-    # scope cut (no ffmpeg in-container), so this row exercises the
-    # frame-explode PLUMBING on content-seeded fakes, value-gated as such
-    vid = (video_frame_sample(media, max_frames=8, strict=False)
-           .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames"))
-           .select("doc_id", F.lit("video").alias("modality"),
-                   F.lit("n_frames").alias("feature"),
-                   F.col("n_frames").cast("double").alias("value")))
-    img = image_stats(synthesize_image_column(d, "text"))
-    img_long = img.select(
-        "doc_id", F.lit("image").alias("modality"),
-        F.expr("stack(3, 'width', CAST(width AS DOUBLE), "
-               "'height', CAST(height AS DOUBLE), "
-               "'mean_pixel', mean_pixel) AS (feature, value)"))
+    # round 11: the remaining three separate Arrow stages — video
+    # (synthesize_media_column → video_frame_sample → groupBy), image
+    # (synthesize_image_column → image_stats) and audio
+    # (synthesize_audio_column → audio_stats) — are folded into the ONE
+    # fused mapInPandas below, continuing the round-9/10 fusion: each
+    # stage paid a full Arrow text-column transfer plus stage overhead
+    # (and the video branch a shuffle) while its per-doc kernel work is
+    # sub-millisecond.  The fused rows call the SAME public per-payload
+    # kernels (image_payload_for_text → decode_image, encode_wav →
+    # decode_audio, the sha256 frame-count derivation), so every value
+    # is bit-identical; the column-pass operators stay exercised by the
+    # datapipe pytest suites.
     # same derivation through the stdlib-zlib PNG decoder (inflate +
     # scanline unfilter) AND the own-Huffman-and-IDCT baseline JPEG
     # decoder (q=100 constant-color payloads roundtrip bit-exactly, so
@@ -3750,11 +3742,6 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _flac_probe_stats mapInPandas below — the separate Arrow stages
     # each cost ~1 s of stage overhead at gate scale while the actual
     # per-doc work is sub-millisecond (the r9 verdict's item 8)
-    aud = audio_stats(synthesize_audio_column(d, "text"))
-    aud_long = aud.select(
-        "doc_id", F.lit("audio").alias("modality"),
-        F.expr("stack(2, 'n_samples', CAST(n_samples AS DOUBLE), "
-               "'rms', rms) AS (feature, value)"))
     # container probes (REAL bitstream parsing, no decode): serialize a
     # valid MPEG-1 Layer III stream and a valid ISO-BMFF skeleton per
     # doc with sha256-derived field values, run the public
@@ -3817,6 +3804,30 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             adpcm_meta = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 hx = _hashlib.sha256(str(text).encode()).hexdigest()
+                # video / image / audio rows (former separate stages),
+                # same public derivations: synthesize_media_column is
+                # sha2-hex cast to binary = the hex string's bytes
+                n_fr = int.from_bytes(
+                    _hashlib.sha256(hx.encode()).digest()[:2],
+                    "big") % 8 + 1
+                rows.append((doc_id, "video", "n_frames", float(n_fr)))
+                bmp = decode_image(image_payload_for_text(text, "bmp"))
+                rows.append((doc_id, "image", "width",
+                             float(bmp.shape[1])))
+                rows.append((doc_id, "image", "height",
+                             float(bmp.shape[0])))
+                rows.append((doc_id, "image", "mean_pixel",
+                             float(bmp.astype(_np.float64).mean())))
+                n_wav = int(hx[10:14], 16) % 2000 + 100
+                amp_w = int(hx[14:18], 16) % 30000
+                xw, _rw = decode_audio(encode_wav(
+                    _np.full(n_wav, amp_w, dtype=_np.int16), 16000))
+                rows.append((doc_id, "audio", "n_samples",
+                             float(len(xw))))
+                rows.append((doc_id, "audio", "rms",
+                             float(_np.sqrt(_np.mean(
+                                 xw.astype(_np.float64) ** 2)))
+                             if len(xw) else 0.0))
                 # image codecs through the SAME public derivation +
                 # dispatcher the synthesize/image_stats pipeline uses.
                 # jpeg_prog: the identical hash-derived constant-color
@@ -4067,11 +4078,9 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield _pd.DataFrame(
                 rows, columns=["doc_id", "modality", "feature", "value"])
 
-    flac_probe_long = d.mapInPandas(
+    out = d.mapInPandas(
         _flac_probe_stats,
         "doc_id long, modality string, feature string, value double")
-    out = (vid.unionByName(img_long)
-           .unionByName(aud_long).unionByName(flac_probe_long))
     return out.select("doc_id", "modality", "feature",
                       F.round("value", 6).alias("value"))
 
