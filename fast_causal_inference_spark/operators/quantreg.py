@@ -230,6 +230,11 @@ def quantile_regression_multi(df: DataFrame, formula: str,
     if des is None:
         df = repartition_big_design(df, int(n0))
 
+    # X'X is independent of (b, h, tau): compute it once instead of per
+    # Newton/line-search scan (the sandwich S is the same object every
+    # scan returned anyway — bit-identical, one GEMM per solve saved)
+    _S_np = des[0].T @ des[0] if des is not None else None
+
     def _scan_np(b: np.ndarray, hh: float, tau: float):
         X_, yv, _ = des
         with np.errstate(over="ignore", under="ignore"):
@@ -242,8 +247,7 @@ def quantile_regression_multi(df: DataFrame, formula: str,
                     + hh * np.log1p(np.exp(-np.abs(r) / hh)))
         g = X_.T @ g1
         H = (X_ * w[:, None]).T @ X_
-        S = X_.T @ X_
-        return g, H, S, float(loss.sum()), float(len(yv))
+        return g, H, _S_np, float(loss.sum()), float(len(yv))
 
     scan = _scan_np if des is not None else _scan
 
