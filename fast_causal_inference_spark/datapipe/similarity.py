@@ -195,12 +195,16 @@ def lsh_knn(df: DataFrame, queries: DataFrame, k: int = 10,
     corpus_b = with_buckets(df, vec_col, [id_col])
     query_b = with_buckets(queries, query_vec_col, [query_id_col])
     cand = (corpus_b.join(F.broadcast(query_b), ["table", "bucket"])
-            .select(query_id_col, id_col, vec_col, query_vec_col)
-            .dropDuplicates([query_id_col, id_col]))
-    scored = cand.select(query_id_col, id_col,
-                         cosine(F.col(vec_col), F.col(query_vec_col))
-                         .alias("score")) \
-        .where(F.col("score").isNotNull())   # see knn_bruteforce note
+            .select(query_id_col, id_col, vec_col, query_vec_col))
+    # score BEFORE the candidate dedup: duplicate (query, id) collisions
+    # carry the identical vectors, hence the identical score, so
+    # dedup-after-scoring keeps the same rows while the dropDuplicates
+    # exchange moves (qid, id, score) triples instead of both vectors
+    scored = (cand.select(query_id_col, id_col,
+                          cosine(F.col(vec_col), F.col(query_vec_col))
+                          .alias("score"))
+              .where(F.col("score").isNotNull())  # see knn_bruteforce note
+              .dropDuplicates([query_id_col, id_col]))
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.col(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
                   .where(F.col("rank") <= k))
@@ -254,11 +258,18 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                        F.col("l.bucket") == F.col("r.bucket"),
                        F.col("l.id") < F.col("r.id")])
             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-                    F.col("l.v").alias("va"), F.col("r.v").alias("vb"))
-            .dropDuplicates(["id_a", "id_b"]))
+                    F.col("l.v").alias("va"), F.col("r.v").alias("vb")))
+    # verify BEFORE the pair dedup (guide §2.3: filter/shrink before the
+    # exchange): a pair colliding in several tables has the identical
+    # cosine in each copy, so dedup-after-filter emits the same rows —
+    # but the dropDuplicates exchange now carries only the few
+    # (id_a, id_b, cosine) survivors instead of every candidate with BOTH
+    # 64-float vectors attached (the map-side cosine costs at most the
+    # n_tables-fold duplicate factor, far cheaper than shuffling payloads)
     return (cand.withColumn("cosine", cosine(F.col("va"), F.col("vb")))
                 .where(F.col("cosine") >= threshold)
-                .select("id_a", "id_b", "cosine"))
+                .select("id_a", "id_b", "cosine")
+                .dropDuplicates(["id_a", "id_b"]))
 
 
 # ---------------------------------------------------------------------------
