@@ -25,6 +25,7 @@ monitor scales exactly like ``ttest_2samp``.
 from __future__ import annotations
 
 import math
+import threading
 
 import numpy as np
 import pandas as pd
@@ -37,6 +38,7 @@ __all__ = ["alpha_spending", "conditional_power",
            "group_sequential_boundaries", "group_sequential_ttest"]
 
 _GRID = 2001          # sub-density grid points per look
+_KERN_TLS = threading.local()  # reused _GRID x _GRID kernel buffer
 
 # C-speed exact normal tails for the boundary recursion: the library
 # erf routes through an iterative incomplete-gamma continued fraction
@@ -122,8 +124,26 @@ def group_sequential_boundaries(info_fractions, alpha: float = 0.05,
         else:
             g, f = grid, density
             dx = g[1] - g[0]
-            kern = np.exp(-(new_grid[:, None] - g[None, :]) ** 2
-                          / (2 * tau)) / math.sqrt(2 * math.pi * tau)
+            # in-place pipeline over ONE reused buffer: the broadcast
+            # expression form allocates four _GRID x _GRID (32 MB)
+            # temporaries per look, and under this kernel's expensive
+            # first-touch faults the allocation churn — not the exps —
+            # dominated the family's driver time (the bench's bimodal
+            # 1.3 s / 10 s spread).  The thread-local buffer keeps the
+            # pages faulted in across looks AND calls.  Each step below
+            # is the same elementwise op on the same values (np.square is
+            # ** 2, (-x)/c == -(x/c) in IEEE), so the kernel matrix and
+            # every boundary derived from it are bit-identical.
+            kern = getattr(_KERN_TLS, "buf", None)
+            if kern is None or kern.shape != (len(new_grid), len(g)):
+                kern = np.empty((len(new_grid), len(g)))
+                _KERN_TLS.buf = kern
+            np.subtract.outer(new_grid, g, out=kern)
+            np.square(kern, out=kern)
+            np.divide(kern, 2 * tau, out=kern)
+            np.negative(kern, out=kern)
+            np.exp(kern, out=kern)
+            kern /= math.sqrt(2 * math.pi * tau)
             new_density = kern @ f * dx
         grid, density = new_grid, new_density
         t_prev, spent_prev = t_k, spend_k
