@@ -15,15 +15,16 @@ Method (per arm a ∈ {0, 1}):
      ``groupBy(arm, fold)`` Gramian scan (``ols_grouped``);
   3. conformity scores sᵢ = |yᵢ − μ̂ₐ(xᵢ)| on the calibration fold; the
      conformal quantile q̂ₐ is the ⌈(n+1)(1−α)⌉-th smallest score
-     (``approxQuantile`` at rel=1e-6 — exact order statistics);
+     (exact order statistic via sketch-bracket + in-bracket refine);
   4. the Y(a) band is μ̂ₐ(x) ± q̂ₐ; the ITE band is
      [τ̂(x) − (q̂₁+q̂₀), τ̂(x) + (q̂₁+q̂₀)] with τ̂ = μ̂₁ − μ̂₀ — a
      Bonferroni-style combination, so ITE coverage ≥ 1 − 2α
      marginally (each counterfactual band holds at 1 − α).
 
-Plan shape: one Gramian scan (step 2) + one per-arm score aggregation
-(step 3); scoring is pure Column arithmetic.  Driver state is 2 models
-+ 2 scalars — 100 TB safe.
+Plan shape: one Gramian scan (step 2) + three cheap score aggregations
+(step 3: bracket sketch, rank counts, bounded in-bracket collect);
+scoring is pure Column arithmetic.  Driver state is 2 models + 2 scalars
++ the ≲10⁴-value bracket — 100 TB safe.
 """
 
 from __future__ import annotations
@@ -149,38 +150,98 @@ def conformal_fit(df: DataFrame, Y: str, T: str, X: list[str],
         if n1 == 0 or n0 == 0:
             raise ValueError("conformal_fit: empty calibration fold "
                              f"(treated n={n1}, control n={n0})")
-        probes = []
+        ranks = []
         for arm, n in ((1, n1), (0, n0)):
-            # the ⌈(n+1)(1−α)⌉-th order statistic as a probability for the
-            # exact discrete quantile sketch; rank > n means +inf band
+            # the ⌈(n+1)(1−α)⌉-th order statistic; rank > n means +inf band
             rank = math.ceil((n + 1) * (1 - alpha))
             if rank > n:
                 raise ValueError(
                     f"conformal_fit: calibration arm {arm} has n={n} < "
                     f"ceil((n+1)(1-alpha)) rows; lower alpha or add data")
-            # probe at the BUCKET MIDPOINT (rank-0.5)/n, not rank/n: the
-            # sketch maps a probability back to a rank via ceil(p*count),
-            # and rank/n*n can land at rank+epsilon in floats (e.g.
-            # 509/564*564 = 509.0000000000001 → ceil gives the 510th
-            # order statistic).  The midpoint is 0.5 from either
-            # boundary, so ceil recovers exactly `rank` for every n.
-            probes.append((rank - 0.5) / n)
-        # BOTH arms' quantiles in ONE aggregation: percentile_approx at
-        # accuracy 10^6 runs the same Greenwald-Khanna summary as
-        # approxQuantile(relativeError=1e-6) — exact order statistics at
-        # any realistic calibration size
-        qrow = scored.agg(
-            F.percentile_approx(F.when(F.col("__arm") == 1, F.col("__s")),
-                                F.lit(probes[0]), F.lit(1_000_000))
-            .alias("q1"),
-            F.percentile_approx(F.when(F.col("__arm") == 0, F.col("__s")),
-                                F.lit(probes[1]), F.lit(1_000_000))
-            .alias("q0")).collect()[0]
-        q1, q0 = float(qrow["q1"]), float(qrow["q0"])
+            ranks.append(rank)
+        q1, q0 = _order_stats_two_arms(scored, ranks[0], n1, ranks[1], n0)
     finally:
         work.unpersist()
     return ConformalIte(mu1=mu1, mu0=mu0, q1=q1, q0=q0, alpha=alpha,
                         n_cal1=n1, n_cal0=n0)
+
+
+def _order_stats_two_arms(scored: DataFrame, rank1: int, n1: int,
+                          rank0: int, n0: int) -> tuple[float, float]:
+    """EXACT ``rank``-th smallest ``__s`` per arm, by bracket-and-refine.
+
+    The old single-pass route — ``percentile_approx`` at accuracy 10⁶ —
+    keeps a Greenwald-Khanna summary of up to 10⁶ samples per partition
+    and its per-row update cost grows with the accuracy knob; it was the
+    measured straggler of the whole family at bench ×10 volume (4-5 s of
+    the 7-10 s conformal step) and, worse, it silently stops being exact
+    once n > 10⁶ (rank error ⌊n·10⁻⁶⌋).  Selection wants two CHEAP
+    passes, not one expensive one (guide §2.2 — shuffle/aggregate less):
+
+      1. bracket: one default-accuracy (10⁴) sketch probing the target
+         rank ± a margin ≥ its worst-case rank error, giving values
+         [lo, hi] that provably straddle the true order statistic;
+      2. refine: count ``__s < lo`` and collect the few in-bracket
+         values (≈ 6·n·10⁻⁴ rows), then index the exact rank on the
+         driver.
+
+    Identical results wherever the old path was exact (all n ≤ 10⁶: both
+    compute the same true order statistic), exact — not approximate —
+    above that, and the driver pull is bounded by the bracket width.  If
+    a pathological value distribution defeats the bracket (a value mass
+    straddling both probes), fall back to the old exact-at-this-n sketch
+    rather than ever returning a wrong rank."""
+    arm = F.col("__arm")
+    s = F.col("__s")
+    probes = []
+    for rank, n in ((rank1, n1), (rank0, n0)):
+        # GK rank error at relativeError 1e-4 is ≤ floor(n*1e-4); probe
+        # 2x that plus slack on both sides, clamped to valid ranks.
+        # (rank-0.5)/n maps back to exactly `rank` through the sketch's
+        # ceil(p*count) inversion — see the midpoint note in git history.
+        m = 2 * math.floor(n * 1e-4) + 8
+        lo_r, hi_r = max(1, rank - m), min(n, rank + m)
+        probes.append(((lo_r - 0.5) / n, (hi_r - 0.5) / n))
+    brow = scored.agg(
+        F.percentile_approx(F.when(arm == 1, s),
+                            F.array(F.lit(probes[0][0]), F.lit(probes[0][1])),
+                            F.lit(10_000)).alias("b1"),
+        F.percentile_approx(F.when(arm == 0, s),
+                            F.array(F.lit(probes[1][0]), F.lit(probes[1][1])),
+                            F.lit(10_000)).alias("b0")).collect()[0]
+    (lo1, hi1), (lo0, hi0) = brow["b1"], brow["b0"]
+    in1 = (arm == 1) & (s >= lo1) & (s <= hi1)
+    in0 = (arm == 0) & (s >= lo0) & (s <= hi0)
+    crow = scored.agg(
+        F.count(F.when((arm == 1) & (s < lo1), F.lit(1))).alias("below1"),
+        F.count(F.when(in1, F.lit(1))).alias("cnt1"),
+        F.count(F.when((arm == 0) & (s < lo0), F.lit(1))).alias("below0"),
+        F.count(F.when(in0, F.lit(1))).alias("cnt0")).collect()[0]
+    out: list[float | None] = [None, None]
+    # driver-pull guard: a value mass tied exactly at a probe value can
+    # make the bracket arbitrarily wide — never collect more than ~8 MB
+    if max(int(crow["cnt1"]), int(crow["cnt0"])) <= 1_000_000:
+        rrow = scored.agg(
+            F.sort_array(F.collect_list(F.when(in1, s))).alias("in1"),
+            F.sort_array(F.collect_list(F.when(in0, s))).alias("in0"),
+        ).collect()[0]
+        for i, (rank, below, vals) in enumerate(
+                ((rank1, crow["below1"], rrow["in1"]),
+                 (rank0, crow["below0"], rrow["in0"]))):
+            idx = rank - int(below) - 1
+            out[i] = float(vals[idx]) if 0 <= idx < len(vals) else None
+    if out[0] is not None and out[1] is not None:
+        return out[0], out[1]
+    # bracket miss (possible only under adversarial duplicate mass at the
+    # probe values): the old one-pass exact-at-this-n sketch decides
+    qrow = scored.agg(
+        F.percentile_approx(F.when(arm == 1, s),
+                            F.lit((rank1 - 0.5) / n1), F.lit(1_000_000))
+        .alias("q1"),
+        F.percentile_approx(F.when(arm == 0, s),
+                            F.lit((rank0 - 0.5) / n0), F.lit(1_000_000))
+        .alias("q0")).collect()[0]
+    return float(qrow["q1"]), float(qrow["q0"])
 
 
 def conformal_ite(df: DataFrame, Y: str, T: str, X: list[str],

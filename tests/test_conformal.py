@@ -91,6 +91,27 @@ def test_conformal_quantile_is_exact_order_stat(spark):
         assert q == pytest.approx(s[rank - 1], rel=1e-12)
 
 
+def test_order_stat_bracket_refine_ties_and_edges(spark):
+    # the bracket-and-refine selection must return EXACT order statistics
+    # even when the distribution is tie-heavy (value mass sitting on the
+    # bracket probes) and at the extreme ranks 1 and n
+    from fast_causal_inference_spark.operators.conformal import (
+        _order_stats_two_arms,
+    )
+    rng = np.random.default_rng(7)
+    v1 = np.round(rng.normal(size=4001), 1)      # ~60 distinct values
+    v0 = np.concatenate([np.full(2000, 3.25), rng.uniform(size=1501)])
+    pdf = pd.DataFrame({
+        "__arm": np.r_[np.ones(len(v1), int), np.zeros(len(v0), int)],
+        "__s": np.r_[v1, v0]})
+    sdf = spark.createDataFrame(pdf).repartition(7)
+    for r1, r0 in ((1, 1), (len(v1), len(v0)),
+                   (int(0.9 * len(v1)), int(0.9 * len(v0)))):
+        q1, q0 = _order_stats_two_arms(sdf, r1, len(v1), r0, len(v0))
+        assert q1 == pytest.approx(np.sort(v1)[r1 - 1], rel=1e-12)
+        assert q0 == pytest.approx(np.sort(v0)[r0 - 1], rel=1e-12)
+
+
 def test_validation_errors(trial_sdf):
     with pytest.raises(ValueError, match="alpha"):
         conformal_fit(trial_sdf, "y", "t", ["x1"], alpha=1.5)
