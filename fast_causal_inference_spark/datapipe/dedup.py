@@ -613,37 +613,54 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
         return pairs.sparkSession.createDataFrame(
             [], f"id {id_type}, component {id_type}")
     # small graphs (the normal case: pairs are the COMPRESSED dedup output)
-    # solve on the driver with union-find — the distributed loop costs
-    # ~20 scheduled jobs, pure overhead below millions of edges
+    # solve on the driver — the distributed loop costs ~20 scheduled jobs,
+    # pure overhead below millions of edges.  Vectorized min-label
+    # propagation over DENSE indices (np.unique sorts ascending, so index
+    # order == id order and min-index == min-id): every round takes each
+    # node's label to the min across its edges, then pointer-jumps
+    # (label <- label[label]) to a per-round fixpoint — the same fixpoint
+    # as union-find with union-by-min, in O(m) numpy work per round and
+    # O(log n) rounds, without the per-edge Python dict loop that
+    # dominated the driver gap at sf1.
     if n_edges <= 2_000_000:
+        import numpy as np
         import pandas as pd
 
-        ep = edges.toPandas()
-        parent: dict = {}
-
-        def find(x):
-            r = x
-            while parent.get(r, r) != r:
-                r = parent[r]
-            while parent.get(x, x) != r:
-                parent[x], x = r, parent[x]
-            return r
-
-        for u, v in zip(ep["u"], ep["v"]):
-            ru, rv = find(u), find(v)
-            if ru != rv:
-                # min id becomes the root
-                lo, hi = (ru, rv) if ru < rv else (rv, ru)
-                parent[hi] = lo
-        ids = pd.unique(pd.concat([ep["u"], ep["v"]]))
-        out = pd.DataFrame({"id": ids,
-                            "component": [find(i) for i in ids]})
+        try:
+            tbl = edges.toArrow()
+            eu_raw = tbl.column(0).to_numpy(zero_copy_only=False)
+            ev_raw = tbl.column(1).to_numpy(zero_copy_only=False)
+        except Exception:                # non-Arrow-convertible id types
+            ep = edges.toPandas()
+            eu_raw = ep["u"].to_numpy()
+            ev_raw = ep["v"].to_numpy()
+        ids, inv = np.unique(np.concatenate([eu_raw, ev_raw]),
+                             return_inverse=True)
+        m = len(eu_raw)
+        eu, ev = inv[:m], inv[m:]
+        label = np.arange(len(ids), dtype=np.int64)
+        while True:
+            prev = label
+            # min label across each edge, applied to both endpoints
+            mn = np.minimum(label[eu], label[ev])
+            label = label.copy()
+            np.minimum.at(label, eu, mn)
+            np.minimum.at(label, ev, mn)
+            # pointer jumping: label[i] <= i stays invariant, so
+            # label[label] only decreases — iterate to the round fixpoint
+            while True:
+                nxt = label[label]
+                if np.array_equal(nxt, label):
+                    break
+                label = nxt
+            if np.array_equal(label, prev):
+                break
+        out = pd.DataFrame({"id": ids, "component": ids[label]})
         # explicit schema: pandas inference would return bigint for
         # integer ids, making the output type depend on WHICH path ran
         # (empty / driver / distributed) instead of on the input type
         return pairs.sparkSession.createDataFrame(
-            out.sort_values("id"),
-            f"id {id_type}, component {id_type}")
+            out, f"id {id_type}, component {id_type}")
     # size the iteration shuffles to the pair graph
     parts = int(max(2, min(200, n_edges // 500_000 + 2)))
     edges = edges.repartition(parts, "u").localCheckpoint(eager=True)

@@ -317,6 +317,59 @@ def test_connected_components_chain_and_clique(spark):
                    20: 20, 21: 20}
 
 
+def test_connected_components_matches_union_find(spark):
+    """The vectorized min-label driver path (round 11) must equal a
+    plain union-find on adversarial shapes: a long chain (worst case
+    for label propagation — pointer jumping must converge), random
+    graphs, and lexicographically-ordered string ids."""
+    import numpy as np
+    import pandas as pd
+
+    from fast_causal_inference_spark.datapipe.dedup import (
+        connected_components,
+    )
+
+    def reference(us, vs):
+        parent: dict = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                x = parent[x]
+            return x
+
+        nodes = set()
+        for u, v in zip(us, vs):
+            if u == v:                   # self-loops are dropped upstream
+                continue
+            nodes.add(u)
+            nodes.add(v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                lo, hi = (ru, rv) if ru < rv else (rv, ru)
+                parent[hi] = lo
+        return {n: find(n) for n in sorted(nodes)}
+
+    cases = []
+    # 500-node path: diameter 499, needs O(log n) pointer-jump rounds
+    cases.append((list(range(500)), list(range(1, 501))))
+    rng = np.random.default_rng(7)
+    for _ in range(3):
+        us = rng.integers(0, 200, 300).tolist()
+        vs = rng.integers(0, 200, 300).tolist()
+        cases.append((us, vs))
+    # string ids: min is lexicographic
+    cases.append((["b", "c", "x"], ["a", "b", "y"]))
+
+    for us, vs in cases:
+        pairs = spark.createDataFrame(
+            pd.DataFrame({"id_a": us, "id_b": vs}))
+        got = connected_components(pairs).toPandas()
+        want = reference(us, vs)
+        assert dict(zip(got.id, got.component)) == want
+        # output is sorted by id (golden-pinned row order)
+        assert list(got.id) == sorted(want)
+
+
 def test_dedup_clusters_transitive(spark):
     import pandas as pd
 
