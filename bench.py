@@ -231,11 +231,40 @@ def _settle(max_wait: float = 150.0, target: float = 2.0) -> float:
     return waited
 
 
+def _settle_canary(max_wait: float, target: float) -> tuple[float, float]:
+    """Bounded wait for the HOST's fast phase.  The box this runs on
+    phase-drifts 2-4x (external contention invisible to loadavg — zero
+    local processes, busy_frac ~0, yet the fixed-work canary swings
+    0.23 -> 0.5+ s); a record taken in the slow phase understates every
+    optimization.  Poll the preflight canary loop until it clears
+    ``target`` or the budget is spent — either way the record still
+    carries the measured pre/post canaries, so it stays self-diagnosing.
+    Returns (seconds waited, last canary)."""
+    def _canary() -> float:
+        t0 = time.perf_counter()
+        s = 0
+        for i in range(5_000_000):
+            s += i * i
+        return time.perf_counter() - t0
+
+    waited = 0.0
+    last = min(_canary() for _ in range(3))
+    while last > target and waited < max_wait:
+        time.sleep(10.0)
+        waited += 10.0
+        last = min(_canary() for _ in range(3))
+    return waited, round(last, 4)
+
+
 def main() -> None:
     settle_wait = _settle(
         float(os.environ.get("SPARK_GRAFT_SETTLE_MAX", "150")))
+    canary_wait, _ = _settle_canary(
+        float(os.environ.get("SPARK_GRAFT_CANARY_SETTLE", "120")),
+        float(os.environ.get("SPARK_GRAFT_CANARY_TARGET", "0.35")))
     preflight = _preflight_load()
     preflight["settle_wait_sec"] = settle_wait
+    preflight["canary_settle_sec"] = canary_wait
     import __spark_entry__ as entry
 
     from pyspark.sql import SparkSession

@@ -109,28 +109,44 @@ def conformal_fit(df: DataFrame, Y: str, T: str, X: list[str],
     work = work.withColumn("__fold", F.pmod(h, F.lit(2)).cast("int"))
     work = work.persist()
     try:
+        # the feature-hash fold is DETERMINISTIC IN X: with
+        # low-cardinality features each covariate cell lands wholly
+        # in one fold, so mu-hat fits on one stratum and calibrates
+        # on the other — the exchangeability argument (and the
+        # coverage guarantee) is void.  Detect and refuse; an id-like
+        # fold_expr restores a proper random split.  The guard's
+        # countDistinct job OVERLAPS the grouped Gramian fit (guide
+        # §2.6: independent jobs from a driver thread back-fill the
+        # other's task tail); its verdict is still checked before any
+        # model is used, so the refusal semantics are unchanged.
+        guard_fut = None
+        pool = None
         if fold_expr is None:
-            # the feature-hash fold is DETERMINISTIC IN X: with
-            # low-cardinality features each covariate cell lands wholly
-            # in one fold, so mu-hat fits on one stratum and calibrates
-            # on the other — the exchangeability argument (and the
-            # coverage guarantee) is void.  Detect and refuse; an id-like
-            # fold_expr restores a proper random split.
-            n_cells = work.agg(
-                F.countDistinct(*[F.expr(c) for c in X])).collect()[0][0]
-            if n_cells < 20:
-                raise ValueError(
-                    f"conformal_fit: the default fold splits by feature "
-                    f"hash, but X has only {n_cells} distinct value "
-                    "cells — each cell falls entirely in one fold, so "
-                    "the fit and calibration folds cover disjoint "
-                    "covariate strata and the conformal coverage "
-                    "guarantee does not hold.  Pass fold_expr= on a "
-                    "pre-treatment id column (e.g. fold_expr='user_id')")
-        rhs = "+".join(X)
-        models = ols_grouped(
-            work, f"__y ~ {rhs}",
-            "concat(cast(__arm as string), ':', cast(__fold as string))")
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(max_workers=1)
+            guard_fut = pool.submit(
+                lambda: work.agg(F.countDistinct(
+                    *[F.expr(c) for c in X])).collect()[0][0])
+        try:
+            rhs = "+".join(X)
+            models = ols_grouped(
+                work, f"__y ~ {rhs}",
+                "concat(cast(__arm as string), ':', cast(__fold as string))")
+            if guard_fut is not None:
+                n_cells = guard_fut.result()
+                if n_cells < 20:
+                    raise ValueError(
+                        f"conformal_fit: the default fold splits by feature "
+                        f"hash, but X has only {n_cells} distinct value "
+                        "cells — each cell falls entirely in one fold, so "
+                        "the fit and calibration folds cover disjoint "
+                        "covariate strata and the conformal coverage "
+                        "guarantee does not hold.  Pass fold_expr= on a "
+                        "pre-treatment id column (e.g. fold_expr='user_id')")
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=True)
         try:
             mu1, mu0 = models["1:0"], models["0:0"]
         except KeyError as exc:
