@@ -441,6 +441,11 @@ def main() -> None:
         try:
             sf1_dir = _ensure_scaled(spark, SF_DIR, 10, "sf1")
             spark.catalog.clearCache()
+            # the sf1 block is single-shot and starts minutes after the
+            # preflight — snapshot the canary again so a mid-run host
+            # phase flip (the round-11 t_learner 53 s cell vs 22.6 s
+            # solo) is visible in the record itself
+            out["sf1_preflight"] = _preflight_load()
             sf1_times: dict[str, float] = {}
             sf1_errors: dict[str, str] = {}
             sf1_skipped: list[str] = []
