@@ -198,9 +198,17 @@ def _provenance() -> dict:
         prov["git_head"] = subprocess.run(
             ["git", "rev-parse", "HEAD"], cwd=here, capture_output=True,
             text=True, timeout=10).stdout.strip()
-        prov["git_dirty"] = bool(subprocess.run(
+        # dirty = SOURCE differs from HEAD.  The bench's own durable
+        # outputs (bench_out.json and the appended BENCH_LOCAL_r*.json
+        # record files) are excluded: every run appends a record, so
+        # counting them would mark every at-HEAD run after the first
+        # dirty (round-11 records 10-11 were exactly this false positive)
+        status = [ln for ln in subprocess.run(
             ["git", "status", "--porcelain"], cwd=here, capture_output=True,
-            text=True, timeout=10).stdout.strip())
+            text=True, timeout=10).stdout.splitlines()
+            if ln.strip() and not ln[3:].startswith(
+                ("bench_out.json", "BENCH_LOCAL_r"))]
+        prov["git_dirty"] = bool(status)
     except (OSError, subprocess.SubprocessError):
         pass
     for label, fname in (("entry_sha256", "__spark_entry__.py"),
@@ -265,6 +273,10 @@ def main() -> None:
     preflight = _preflight_load()
     preflight["settle_wait_sec"] = settle_wait
     preflight["canary_settle_sec"] = canary_wait
+    # stamp the tree NOW: this is the tree whose modules the run imports;
+    # stamping at record-build time instead would describe whatever the
+    # tree looks like after the (possibly long) run
+    provenance = _provenance()
     import __spark_entry__ as entry
 
     from pyspark.sql import SparkSession
@@ -423,7 +435,7 @@ def main() -> None:
         # both scales clear Spark caches after every family since
         # round 10, so cross-scale ratios measure data scaling
         "cache_policy": "isolated-per-family",
-        "provenance": _provenance(),
+        "provenance": provenance,
     }
     # the round's designated record: set SPARK_GRAFT_OFFICIAL=1 on the
     # one idle at-HEAD run so the committed file self-identifies which
