@@ -553,24 +553,38 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     l, r = ranked.alias("l"), ranked.alias("r")
     # length filter: J(a,b) ≥ t ⇒ t·|a| ≤ |b| ≤ |a|/t — prunes candidates
     # before the (expensive) exact verification, exactly.  The positional
-    # filter (PPJoin, Xiao et al. 2008) is exact too: a shared shingle at
-    # prefix positions (rk_l, rk_r) caps the achievable overlap at
-    # 1 + min(na − rk_l, nb − rk_r), and J ≥ t needs overlap ≥
-    # t/(1+t)·(na+nb); a pair survives if ANY shared prefix shingle
-    # passes, so pruning loses no true pair while shedding most of the
-    # boilerplate-driven candidate mass before the verification join.
-    overlap_cap = 1 + F.least(F.col("l.n_sh") - F.col("l.rk"),
-                              F.col("r.n_sh") - F.col("r.rk"))
+    # filter (PPJoin, Xiao et al. 2008) is exact too, and is applied in
+    # its ACCUMULATED form over all shared prefix shingles of a pair:
+    # with c = |prefix(a) ∩ prefix(b)| and (il, jr) the per-doc ranks of
+    # the globally-LAST shared prefix shingle, every other common shingle
+    # of the pair ranks after (il, jr) in BOTH docs — doc-local row
+    # numbers follow the one global (doc-frequency, hash) order, so a
+    # common shingle ranked before il in doc a would also rank before
+    # jr ≤ |prefix(b)| in doc b and be counted in c already.  Hence
+    # overlap ≤ c + min(na − il, nb − jr), and J ≥ t needs overlap ≥
+    # ⌈t/(1+t)·(na+nb)⌉.  This bound is provably ≤ the per-event bound
+    # 1 + min(na − rk_l, nb − rk_r) at the FIRST shared shingle (ranks of
+    # the last shared shingle trail the first by ≥ c−1 on both sides), so
+    # it prunes a superset of what the survive-if-ANY-event form pruned
+    # while still losing no true pair; the groupBy that evaluates it is
+    # the same pair-keyed exchange the old dropDuplicates paid, with
+    # map-side partial aggregation collapsing the per-event rows.
     overlap_req = F.ceil(F.lit(threshold / (1.0 + threshold))
-                         * (F.col("l.n_sh") + F.col("r.n_sh")))
+                         * (F.col("na") + F.col("nb")))
     cand = (l.join(r, [F.col("l.gh") == F.col("r.gh"),
                        F.col("l.id") < F.col("r.id"),
                        F.col("r.n_sh") >= threshold * F.col("l.n_sh"),
-                       F.col("l.n_sh") >= threshold * F.col("r.n_sh"),
-                       overlap_cap >= overlap_req])
-            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-                    F.col("l.n_sh").alias("na"), F.col("r.n_sh").alias("nb"))
-            .dropDuplicates(["id_a", "id_b"]))
+                       F.col("l.n_sh") >= threshold * F.col("r.n_sh")])
+            .groupBy(F.col("l.id").alias("id_a"),
+                     F.col("r.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("c"),
+                 F.max("l.rk").alias("il"), F.max("r.rk").alias("jr"),
+                 F.first("l.n_sh").alias("na"),
+                 F.first("r.n_sh").alias("nb"))
+            .where(F.col("c") + F.least(F.col("na") - F.col("il"),
+                                        F.col("nb") - F.col("jr"))
+                   >= overlap_req)
+            .select("id_a", "id_b", "na", "nb"))
     verified = _verify_jaccard(cand, inv, threshold)
     # the pair relation is the COMPRESSED output (output-proportional, tiny
     # vs corpus) — cache it so downstream consumers (dedup drop, transitive
