@@ -6117,7 +6117,11 @@ def q_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: mix.groupBy("lang").agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("doc_id").alias("id_sum")).collect(),
-        lambda: sh.toPandas(),
+        # only the first 10 shuffled positions are declared — limit(10)
+        # is row-identical (CollectLimit drains the deterministic
+        # partition-0 sort first) and keeps the 600k-id Arrow collect
+        # off the driver (guide §5)
+        lambda: sh.limit(10).toPandas(),
         lambda: pk.agg(
             F.countDistinct("pack_id").alias("n_packs"),
             F.count(F.lit(1)).alias("n_docs"),
