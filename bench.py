@@ -430,6 +430,9 @@ def main() -> None:
         "runs": max(RUNS, 1),
         "queries_runs": runs,
         "sf": sf_val,
+        # the driver re-runs the bench at a lower core count to measure
+        # scaling — records must say which master they measured
+        "cpus": CPUS,
         "preflight": preflight,
         "loadavg_per_family": loads,
         # both scales clear Spark caches after every family since
