@@ -4267,11 +4267,14 @@ SELECT doc_id, 'audio_ulaw', 'n_samples',
        CAST(('0x' || substr(hx, 19, 3))::BIGINT % 500 + 64 AS DOUBLE) FROM h
 UNION ALL
 SELECT doc_id, 'audio_ulaw', 'mean',
-       -- ITU G.711 mu-law expansion: sign * (((mant*8 + 132) << exp) - 132)
+       -- ITU G.711 mu-law expansion: sign * (((mant*8 + 132) << exp) - 132).
+       -- All-integer (shift, not power()): the float form produced -0.0 for
+       -- (sign=-1, exp=0, mant=0) while Spark's integer sample mean is +0.0
        CAST((CASE WHEN ('0x' || substr(hx, 22, 1))::BIGINT % 2 = 0
                   THEN 1 ELSE -1 END)
             * ((('0x' || substr(hx, 24, 1))::BIGINT * 8 + 132)
-               * power(2, ('0x' || substr(hx, 23, 1))::BIGINT % 8) - 132)
+               * (CAST(1 AS BIGINT)
+                  << (('0x' || substr(hx, 23, 1))::BIGINT % 8)) - 132)
             AS DOUBLE) FROM h
 UNION ALL
 SELECT doc_id, 'audio_alaw', 'n_samples',
@@ -4279,13 +4282,17 @@ SELECT doc_id, 'audio_alaw', 'n_samples',
 UNION ALL
 SELECT doc_id, 'audio_alaw', 'mean',
        -- ITU G.711 A-law expansion: seg 0 = mant*16 + 8,
-       -- seg e>0 = (mant*16 + 264) << (e-1)
+       -- seg e>0 = (mant*16 + 264) << (e-1).  All-integer like the mu-law
+       -- row (the magnitude here is >= 8 so the -0.0 hazard cannot occur,
+       -- but the shift keeps the whole form in BIGINT; value-identical on
+       -- all 256 sign/exp/mant combinations)
        CAST((CASE WHEN ('0x' || substr(hx, 28, 1))::BIGINT % 2 = 0
                   THEN 1 ELSE -1 END)
             * (CASE WHEN ('0x' || substr(hx, 29, 1))::BIGINT % 8 = 0
                     THEN ('0x' || substr(hx, 30, 1))::BIGINT * 16 + 8
                     ELSE (('0x' || substr(hx, 30, 1))::BIGINT * 16 + 264)
-                         * power(2, ('0x' || substr(hx, 29, 1))::BIGINT % 8 - 1)
+                         * (CAST(1 AS BIGINT)
+                            << (('0x' || substr(hx, 29, 1))::BIGINT % 8 - 1))
                END)
             AS DOUBLE) FROM h
 """
@@ -6389,6 +6396,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": q_text_profile,
         "media_features": q_media_features,
         "vector_functions": q_vector_functions,
+    }
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Gates computed and timed by the bench but NOT in ``queries()``.
+
+    The round driver records at most 50 correctness rows (see the note
+    above the round-4 gates): round 11 declared 51 families and the
+    51st (``feature_encoding``, the last dict entry) silently fell out
+    of the driver's verified window — a declared-but-unverified query.
+    The declared set is therefore held at exactly the 50 families the
+    driver verifies; ``feature_encoding`` stays fully alive here — the
+    bench still times it every run (its ``queries`` key is never
+    removed from the bench record) and ``tests/test_oracle_parity.py``
+    still checks it against its DuckDB oracle at sf0.01."""
+    return {
         "feature_encoding": q_feature_encoding,
     }
 
@@ -6547,5 +6570,13 @@ def oracle_sql() -> dict[str, str]:
         "media_features": _MEDIA_FEATURES_SQL,
         "text_profile": _TEXT_PROFILE_SQL,
         "vector_functions": _VECTOR_FUNCTIONS_SQL,
+    }
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    """DuckDB oracles for ``extra_queries()`` (locally verified by
+    ``tests/test_oracle_parity.py``; outside the driver's 50-row
+    correctness window — see ``extra_queries``)."""
+    return {
         "feature_encoding": _FEATURE_ENCODING_SQL,
     }

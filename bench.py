@@ -198,16 +198,30 @@ def _provenance() -> dict:
         prov["git_head"] = subprocess.run(
             ["git", "rev-parse", "HEAD"], cwd=here, capture_output=True,
             text=True, timeout=10).stdout.strip()
-        # dirty = SOURCE differs from HEAD.  The bench's own durable
-        # outputs (bench_out.json and the appended BENCH_LOCAL_r*.json
-        # record files) are excluded: every run appends a record, so
-        # counting them would mark every at-HEAD run after the first
-        # dirty (round-11 records 10-11 were exactly this false positive)
+        # dirty = SOURCE differs from HEAD.  Measurement artifacts are
+        # excluded: the bench's own outputs (bench_out.json, the appended
+        # BENCH_LOCAL_r* records) AND the round driver's own record files
+        # (BENCH_r*/CORRECTNESS_r*/PERF_r*/VERIFY_r*, VERDICT/ADVICE) —
+        # the driver writes those while its bench runs, so counting them
+        # marked exactly the records that matter dirty (r11 driver record)
+        import fnmatch
+        artifacts = ("bench_out.json", "BENCH_LOCAL_r*", "BENCH_r*.json",
+                     "CORRECTNESS_r*.json", "PERF_r*.json", "VERIFY_r*.json",
+                     "ABTEST_*.json", "VERDICT.md", "ADVICE.md")
+
+        def _is_artifact(raw: str) -> bool:
+            p = raw.strip()
+            if " -> " in p:              # rename entry: judge the NEW path
+                p = p.split(" -> ", 1)[1].strip()
+            if len(p) >= 2 and p[0] == '"' and p[-1] == '"':
+                p = p[1:-1]              # porcelain quotes special chars
+            return any(fnmatch.fnmatch(os.path.basename(p), pat)
+                       for pat in artifacts)
+
         status = [ln for ln in subprocess.run(
             ["git", "status", "--porcelain"], cwd=here, capture_output=True,
             text=True, timeout=10).stdout.splitlines()
-            if ln.strip() and not ln[3:].startswith(
-                ("bench_out.json", "BENCH_LOCAL_r"))]
+            if ln.strip() and not _is_artifact(ln[3:])]
         prov["git_dirty"] = bool(status)
     except (OSError, subprocess.SubprocessError):
         pass
@@ -267,12 +281,13 @@ def _settle_canary(max_wait: float, target: float) -> tuple[float, float]:
 def main() -> None:
     settle_wait = _settle(
         float(os.environ.get("SPARK_GRAFT_SETTLE_MAX", "150")))
-    canary_wait, _ = _settle_canary(
+    canary_wait, canary_last = _settle_canary(
         float(os.environ.get("SPARK_GRAFT_CANARY_SETTLE", "120")),
         float(os.environ.get("SPARK_GRAFT_CANARY_TARGET", "0.35")))
     preflight = _preflight_load()
     preflight["settle_wait_sec"] = settle_wait
     preflight["canary_settle_sec"] = canary_wait
+    preflight["canary_settle_last"] = canary_last
     # stamp the tree NOW: this is the tree whose modules the run imports;
     # stamping at record-build time instead would describe whatever the
     # tree looks like after the (possibly long) run
@@ -368,7 +383,11 @@ def main() -> None:
     minhash_lsh_pairs(toy, threshold=0.5).count()
     spark.catalog.clearCache()
 
-    qs = entry.queries()
+    # declared families plus the bench-only extras: the driver verifies at
+    # most 50 correctness rows, so extra_queries() holds what exceeds that
+    # window (feature_encoding since round 12) — still timed every run, its
+    # bench `queries` key is never removed or renamed
+    qs = {**entry.queries(), **entry.extra_queries()}
 
     # NOTE: earlier rounds ran every gate once at sf0.001 here so measured
     # runs hit warm codegen for their own generated classes.  With

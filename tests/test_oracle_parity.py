@@ -33,8 +33,10 @@ def _entries():
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __spark_entry__ as entry
 
-    qs = entry.queries()
-    os_ = entry.oracle_sql()
+    # declared families PLUS the bench-only extras (outside the driver's
+    # 50-row correctness window but still oracle-checked here)
+    qs = {**entry.queries(), **entry.extra_queries()}
+    os_ = {**entry.oracle_sql(), **entry.extra_oracle_sql()}
     return [(name, qs[name], os_.get(name)) for name in qs]
 
 

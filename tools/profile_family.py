@@ -72,7 +72,7 @@ def main() -> None:
     spark.range(10000).select(F.sum(_warm(F.col("id").cast("double")))).collect()
     spark.createDataFrame(pd.DataFrame({"a": [1.0, 2.0]})).count()
 
-    qs = entry.queries()
+    qs = {**entry.queries(), **entry.extra_queries()}
     sc = spark.sparkContext
     marks = {}
     for name in args.names:

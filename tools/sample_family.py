@@ -40,7 +40,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    qs = entry.queries()
+    qs = {**entry.queries(), **entry.extra_queries()}
     for name in args.names:
         qs[name](spark, args.sf).count()        # warm run
         spark.catalog.clearCache()
