@@ -165,13 +165,18 @@ class _BitReader:
         self._ones = np.flatnonzero(self.bits)
         self.pos = 0
         self.n = len(self.bits)
+        # the same stream as one big integer: scalar reads are a single
+        # C shift+mask instead of a per-bit numpy iteration (bits[0] is
+        # the MSB of byte 0, so big-endian int.from_bytes matches)
+        self._ival = int.from_bytes(payload, "big")
 
     def read(self, nbits: int) -> int:
         if self.pos + nbits > self.n:
             raise ValueError("truncated FLAC bitstream")
-        v = 0
-        for b in self.bits[self.pos:self.pos + nbits]:
-            v = (v << 1) | int(b)
+        if nbits == 0:
+            return 0
+        v = (self._ival >> (self.n - self.pos - nbits)) \
+            & ((1 << nbits) - 1)
         self.pos += nbits
         return v
 
@@ -212,28 +217,40 @@ class _BitReader:
         fields in one matrix read."""
         if count == 0:
             return np.zeros(0, dtype=np.int64)
-        ones = self._ones
-        ptr = int(np.searchsorted(ones, self.pos))
+        # walk the ones index as a PYTHON list: the per-code loop below
+        # reads one element per code (plus skips inside low-bit fields),
+        # and numpy scalar __getitem__ per read was a measured hot spot
+        # of the fused media kernel — the lazily-built list is cached on
+        # the reader and shared by every subframe of the stream
+        ones = getattr(self, "_ones_list", None)
+        if ones is None:
+            ones = self._ones.tolist()
+            self._ones_list = ones
+        from bisect import bisect_left
+        ptr = bisect_left(ones, self.pos)
         pos = self.pos
         n_ones = len(ones)
-        ts = np.empty(count, dtype=np.int64)
-        qs = np.empty(count, dtype=np.int64)
+        ts = [0] * count
+        qs = [0] * count
         for i in range(count):
-            while True:
-                if ptr >= n_ones:
-                    raise ValueError("truncated FLAC bitstream (rice)")
-                t = ones[ptr]
-                ptr += 1
-                if t >= pos:
-                    break
+            # C binary search for the terminator instead of walking the
+            # one-bits buried inside the previous code's low-bit field
+            # (for param p, ~p/2 ones per code were walked one by one)
+            ptr = bisect_left(ones, pos, ptr)
+            if ptr >= n_ones:
+                raise ValueError("truncated FLAC bitstream (rice)")
+            t = ones[ptr]
+            ptr += 1
             ts[i] = t
             qs[i] = t - pos
             pos = t + 1 + param
         if pos > self.n:
             raise ValueError("truncated FLAC bitstream (rice lows)")
         self.pos = int(pos)
+        qs = np.asarray(qs, dtype=np.int64)
         if param:
-            idx = ts[:, None] + 1 + np.arange(param, dtype=np.int64)
+            idx = (np.asarray(ts, dtype=np.int64)[:, None]
+                   + 1 + np.arange(param, dtype=np.int64))
             w = 1 << np.arange(param - 1, -1, -1, dtype=np.int64)
             lows = self.bits[idx].astype(np.int64) @ w
         else:

@@ -129,7 +129,17 @@ def _fdct2(block: np.ndarray) -> np.ndarray:
 
 
 def _build_decode_table(bits: list[int], huffval: list[int]) -> dict:
-    """(length, code) → symbol, from the BITS/HUFFVAL spec encoding."""
+    """(length, code) → symbol, from the BITS/HUFFVAL spec encoding.
+
+    Memoized on the spec bytes: the Annex-K tables recur on every
+    encode/decode call (and most real streams carry the same four DHT
+    segments), so rebuilding the dict per call was a measured hot spot
+    of the per-doc codec profile.  Callers treat the table as
+    read-only."""
+    key = (bytes(bits), bytes(huffval))
+    table = _DECODE_TABLE_MEMO.get(key)
+    if table is not None:
+        return table
     table = {}
     code = 0
     k = 0
@@ -139,12 +149,22 @@ def _build_decode_table(bits: list[int], huffval: list[int]) -> dict:
             code += 1
             k += 1
         code <<= 1
+    _DECODE_TABLE_MEMO[key] = table
     return table
 
 
+_DECODE_TABLE_MEMO: dict = {}
+_ENCODE_TABLE_MEMO: dict = {}
+
+
 def _build_encode_table(bits: list[int], huffval: list[int]) -> dict:
-    return {sym: (length, code)
-            for (length, code), sym in _build_decode_table(bits, huffval).items()}
+    key = (bytes(bits), bytes(huffval))
+    table = _ENCODE_TABLE_MEMO.get(key)
+    if table is None:
+        table = {sym: (length, code) for (length, code), sym
+                 in _build_decode_table(bits, huffval).items()}
+        _ENCODE_TABLE_MEMO[key] = table
+    return table
 
 
 class _BitReader:
@@ -707,8 +727,11 @@ def _quantize_block(block: np.ndarray, dq: np.ndarray) -> np.ndarray:
 
 def _encode_block(bw: _BitWriter, block: np.ndarray, dq: np.ndarray,
                   pred: int, enc_dc: dict, enc_ac: dict) -> int:
-    zz = _quantize_block(block, dq)
-    diff = int(zz[0]) - pred
+    # one tolist() up front: the per-coefficient loop below reads Python
+    # ints instead of paying a numpy scalar __getitem__ per coefficient
+    # (measured hot in the fused media kernel's per-doc profile)
+    zz = _quantize_block(block, dq).tolist()
+    diff = zz[0] - pred
     t, code = _magnitude(diff) if diff else (0, 0)
     bw.write(*enc_dc[t])
     if t:
@@ -718,7 +741,7 @@ def _encode_block(bw: _BitWriter, block: np.ndarray, dq: np.ndarray,
     while last > 0 and zz[last] == 0:
         last -= 1
     for k in range(1, last + 1):
-        v = int(zz[k])
+        v = zz[k]
         if v == 0:
             run += 1
             continue
@@ -731,7 +754,7 @@ def _encode_block(bw: _BitWriter, block: np.ndarray, dq: np.ndarray,
         run = 0
     if last < 63:
         bw.write(*enc_ac[0x00])                   # EOB
-    return int(zz[0])
+    return zz[0]
 
 
 def _encode_progressive_scans(zz_blocks: list[np.ndarray],
@@ -744,6 +767,13 @@ def _encode_progressive_scans(zz_blocks: list[np.ndarray],
     component.  Returns [(scan_header_fields, entropy_bytes), ...]."""
     out = []
     n_comp = len(zz_blocks)
+    # one tolist() per component: every loop below reads Python ints
+    # from nested lists instead of paying a numpy scalar __getitem__
+    # per coefficient (measured hot in the fused media kernel profile);
+    # control flow is unchanged, so the bitstream is bit-identical
+    zz_lists = [zb.tolist() for zb in zz_blocks]
+    dc_lists = [[[row[0] for row in brow] for brow in zl]
+                for zl in zz_lists]
 
     # scan 1: DC first, Al=1, interleaved over MCUs
     bw1 = _BitWriter()
@@ -755,8 +785,7 @@ def _encode_progressive_scans(zz_blocks: list[np.ndarray],
                 ti = min(ci, 1)
                 for vy in range(v):
                     for vx in range(hh):
-                        dc = int(zz_blocks[ci][my * v + vy,
-                                               mx * hh + vx, 0]) >> 1
+                        dc = dc_lists[ci][my * v + vy][mx * hh + vx] >> 1
                         diff = dc - preds[ci]
                         preds[ci] = dc
                         t, code = _magnitude(diff) if diff else (0, 0)
@@ -775,9 +804,8 @@ def _encode_progressive_scans(zz_blocks: list[np.ndarray],
                 _, _, hh, v = grids[ci]
                 for vy in range(v):
                     for vx in range(hh):
-                        bw2.write(1, int(zz_blocks[ci][my * v + vy,
-                                                       mx * hh + vx,
-                                                       0]) & 1)
+                        bw2.write(1, dc_lists[ci][my * v + vy]
+                                  [mx * hh + vx] & 1)
     bw2.flush()
     out.append((comps_all, 0, 0, 1, 0, bytes(bw2.out)))
 
@@ -801,9 +829,11 @@ def _encode_progressive_scans(zz_blocks: list[np.ndarray],
                 eobrun -= 1
         for by in range(nbh):
             for bx in range(nbw):
-                zz = zz_blocks[ci][by, bx]
+                zz = zz_lists[ci][by][bx]
                 # point transform: magnitude shift toward zero (G.1.2.2)
-                t1 = np.sign(zz[1:]) * (np.abs(zz[1:]) >> 1)
+                # — sign(x) * (|x| >> 1) on Python ints
+                t1 = [(x >> 1) if x >= 0 else -((-x) >> 1)
+                      for x in zz[1:]]
                 last = 63
                 while last > 0 and t1[last - 1] == 0:
                     last -= 1
@@ -813,7 +843,7 @@ def _encode_progressive_scans(zz_blocks: list[np.ndarray],
                 flush_eob()
                 run = 0
                 for k in range(1, last + 1):
-                    v = int(t1[k - 1])
+                    v = t1[k - 1]
                     if v == 0:
                         run += 1
                         continue
@@ -836,8 +866,8 @@ def _encode_progressive_scans(zz_blocks: list[np.ndarray],
         bw = _BitWriter()
         for by in range(nbh):
             for bx in range(nbw):
-                zz = zz_blocks[ci][by, bx]
-                absv = np.abs(zz[1:])             # Al = 0
+                zz = zz_lists[ci][by][bx]
+                absv = [abs(x) for x in zz[1:]]   # Al = 0
                 eobk = 0
                 for k in range(1, 64):
                     if absv[k - 1] == 1:
@@ -845,7 +875,7 @@ def _encode_progressive_scans(zz_blocks: list[np.ndarray],
                 r = 0
                 br: list[int] = []
                 for k in range(1, 64):
-                    t = int(absv[k - 1])
+                    t = absv[k - 1]
                     if t == 0:
                         r += 1
                         continue

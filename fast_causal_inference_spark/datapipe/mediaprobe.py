@@ -626,12 +626,12 @@ def build_mp3(n_frames: int, bitrate_index: int = 9, rate_index: int = 0,
             | (bitrate_index << 12) | (rate_index << 10) | (pad << 9) \
             | (mode_bits << 6)
         frame_bytes = 144_000 * kbps // rate + pad
-        body = bytearray(rng.integers(0, 255, frame_bytes - 4,
-                                      dtype=np.uint8))
+        draw = rng.integers(0, 255, frame_bytes - 4, dtype=np.uint8)
         # keep payload sync-free so the resync scan can't misfire
-        for j in range(len(body)):
-            if body[j] == 0xFF:
-                body[j] = 0xFE
+        # (vectorized mask — the old per-byte Python loop was a measured
+        # hot spot of the fused media kernel; 0xFF -> 0xFE as before)
+        draw[draw == 0xFF] = 0xFE
+        body = bytearray(draw.tobytes())
         if i == 0 and xing:
             side = 17 if mono else 32
             at = side                          # relative to body start
@@ -646,14 +646,28 @@ def _box(typ: bytes, payload: bytes) -> bytes:
     return struct.pack(">I", 8 + len(payload)) + typ + payload
 
 
-def _ogg_crc(data: bytes) -> int:
-    """Ogg page CRC-32: poly 0x04C11DB7, init 0, no reflection."""
-    r = 0
-    for byte in data:
-        r ^= byte << 24
+def _ogg_crc_table() -> list[int]:
+    table = []
+    for byte in range(256):
+        r = byte << 24
         for _ in range(8):
             r = ((r << 1) ^ 0x04C11DB7) & 0xFFFFFFFF if r & 0x80000000 \
                 else (r << 1) & 0xFFFFFFFF
+        table.append(r)
+    return table
+
+
+_OGG_CRC_TABLE = _ogg_crc_table()
+
+
+def _ogg_crc(data: bytes) -> int:
+    """Ogg page CRC-32: poly 0x04C11DB7, init 0, no reflection.
+    Table-driven byte-at-a-time (identical to the textbook bit-loop;
+    the per-bit form was a measured hot spot of the media kernel)."""
+    r = 0
+    table = _OGG_CRC_TABLE
+    for byte in data:
+        r = ((r << 8) & 0xFFFFFFFF) ^ table[(r >> 24) ^ byte]
     return r
 
 

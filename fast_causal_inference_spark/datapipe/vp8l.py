@@ -65,49 +65,66 @@ assert len(KDIST_MAP) == 120
 
 class _LsbReader:
     """LSB-first bit reader (DEFLATE convention: value fields read
-    low-bit-first; prefix codes read bit-by-bit MSB-of-code-first)."""
+    low-bit-first; prefix codes read bit-by-bit MSB-of-code-first).
+
+    The stream is held as ONE little-endian integer so every read is a
+    C shift+mask instead of a per-bit Python loop (bit k of the stream
+    is bit k of the integer)."""
 
     def __init__(self, data: bytes):
         self.data = data
-        self.pos = 0          # byte position
-        self.bit = 0          # bit position inside current byte
+        self._ival = int.from_bytes(data, "little")
+        self._nbits = 8 * len(data)
+        self._at = 0          # absolute bit position
 
     def read_bit(self) -> int:
-        if self.pos >= len(self.data):
+        at = self._at
+        if at >= self._nbits:
             raise ValueError("VP8L: bitstream exhausted")
-        b = (self.data[self.pos] >> self.bit) & 1
-        self.bit += 1
-        if self.bit == 8:
-            self.bit = 0
-            self.pos += 1
-        return b
+        self._at = at + 1
+        return (self._ival >> at) & 1
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for i in range(n):
-            v |= self.read_bit() << i
-        return v
+        at = self._at
+        if at + n > self._nbits:
+            raise ValueError("VP8L: bitstream exhausted")
+        self._at = at + n
+        return (self._ival >> at) & ((1 << n) - 1)
+
+
+# reversed low-16-bit lookup: code reversed within `length` bits is
+# _REV16[code] >> (16 - length) (VP8L prefix codes are at most 15 bits)
+_REV16 = [0] * 65536
+for _i in range(65536):
+    _v = _i
+    _r = 0
+    for _ in range(16):
+        _r = (_r << 1) | (_v & 1)
+        _v >>= 1
+    _REV16[_i] = _r
+del _i, _v, _r
 
 
 class _LsbWriter:
     def __init__(self):
         self.out = bytearray()
-        self.cur = 0
-        self.bit = 0
+        self.cur = 0          # pending bits, LSB-first (bit i = i-th)
+        self.bit = 0          # number of pending bits
 
     def write_bits(self, value: int, n: int):
-        for i in range(n):
-            self.cur |= ((value >> i) & 1) << self.bit
-            self.bit += 1
-            if self.bit == 8:
-                self.out.append(self.cur)
-                self.cur = 0
-                self.bit = 0
+        if n <= 0:
+            return
+        self.cur |= (value & ((1 << n) - 1)) << self.bit
+        self.bit += n
+        while self.bit >= 8:
+            self.out.append(self.cur & 0xFF)
+            self.cur >>= 8
+            self.bit -= 8
 
     def write_code(self, code: int, length: int):
         """Prefix-code bits go MSB of the code first."""
-        for i in range(length - 1, -1, -1):
-            self.write_bits((code >> i) & 1, 1)
+        if length:
+            self.write_bits(_REV16[code] >> (16 - length), length)
 
     def getvalue(self) -> bytes:
         tail = bytes([self.cur]) if self.bit else b""
@@ -120,9 +137,15 @@ class _PrefixCode:
     """Canonical prefix decoder: dict (len, code) -> symbol; a
     zero-length single-symbol code consumes no bits."""
 
-    def __init__(self, lengths):
+    def __init__(self, lengths, _pairs=None):
         self.single = None
-        nz = [(ln, sym) for sym, ln in enumerate(lengths) if ln > 0]
+        # _pairs: precomputed [(sym, len), ...] sorted by sym — the
+        # simple-code fast path skips the full alphabet scan (most
+        # codes in small images are 1-2 symbol simple codes)
+        if _pairs is None:
+            _pairs = [(sym, ln) for sym, ln in enumerate(lengths)
+                      if ln > 0]
+        nz = [(ln, sym) for sym, ln in _pairs]
         if not nz:
             raise ValueError("VP8L: empty prefix code")
         if len(nz) == 1:
@@ -141,10 +164,9 @@ class _PrefixCode:
             code = (code + bl_count[ln - 1]) << 1
             next_code[ln] = code
         table = {}
-        for sym, ln in enumerate(lengths):
-            if ln > 0:
-                table[(ln, next_code[ln])] = sym
-                next_code[ln] += 1
+        for sym, ln in _pairs:               # ascending symbol order
+            table[(ln, next_code[ln])] = sym
+            next_code[ln] += 1
         # over-subscribed / incomplete codes are corrupt
         kraft = sum(1 / (1 << ln) for ln, _ in nz)
         if abs(kraft - 1.0) > 1e-9:
@@ -169,18 +191,16 @@ def _read_prefix_code(rdr: _LsbReader, alphabet_size: int) -> _PrefixCode:
         num_symbols = rdr.read_bit() + 1
         first_8bits = rdr.read_bit()
         sym0 = rdr.read_bits(8 if first_8bits else 1)
-        lengths = [0] * alphabet_size
         if num_symbols == 2:
             sym1 = rdr.read_bits(8)
             if sym0 >= alphabet_size or sym1 >= alphabet_size:
                 raise ValueError("VP8L: simple-code symbol overflow")
-            lengths[sym0] = 1
-            lengths[sym1] = 1
+            pairs = sorted({(sym0, 1), (sym1, 1)})
         else:
             if sym0 >= alphabet_size:
                 raise ValueError("VP8L: simple-code symbol overflow")
-            lengths[sym0] = 1
-        return _PrefixCode(lengths)
+            pairs = [(sym0, 1)]
+        return _PrefixCode(None, _pairs=pairs)
     # full form: code-length codes
     num_cl = 4 + rdr.read_bits(4)
     cl_lengths = [0] * 19
@@ -595,6 +615,9 @@ def _build_lengths(freq: np.ndarray, max_len: int = 15) -> np.ndarray:
 
 
 def _canonical_codes(lengths) -> dict:
+    if isinstance(lengths, np.ndarray):
+        lengths = lengths.tolist()    # Python ints: the enumerations
+        # below were numpy-scalar-read hot spots in the media kernel
     nz = [(int(ln), sym) for sym, ln in enumerate(lengths) if ln > 0]
     max_len = max(ln for ln, _ in nz)
     bl_count = [0] * (max_len + 1)
@@ -618,6 +641,8 @@ def _write_prefix_code(wr: _LsbWriter, lengths) -> dict:
     """Serialize a prefix code (simple form when possible, else the
     full code-length-code form) and return the symbol->(code, len)
     map for subsequent payload writing."""
+    if isinstance(lengths, np.ndarray):
+        lengths = lengths.tolist()
     used = [s for s, ln in enumerate(lengths) if ln > 0]
     if 1 <= len(used) <= 2 and max(used) < 256:
         wr.write_bits(1, 1)                 # simple
@@ -720,7 +745,9 @@ def _encode_image_stream(wr: _LsbWriter, argb: np.ndarray, w: int,
                          is_level0: bool = False):
     """Literal + distance-1 run encoder with one prefix-code group."""
     n = w * h
-    argb = argb.reshape(-1)
+    # Python ints: the per-pixel run scan below was a numpy-scalar-read
+    # hot spot in the media kernel's per-doc profile
+    argb = argb.reshape(-1).tolist()
     # tokens: ('lit', px) or ('run', length)
     tokens = []
     i = 0
@@ -737,7 +764,7 @@ def _encode_image_stream(wr: _LsbWriter, argb: np.ndarray, w: int,
                     left -= take
                 i += run
                 continue
-        tokens.append(("lit", int(argb[i])))
+        tokens.append(("lit", argb[i]))
         i += 1
     gf = np.zeros(256 + 24, dtype=np.int64)
     rf = np.zeros(256, dtype=np.int64)

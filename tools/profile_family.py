@@ -33,8 +33,9 @@ def main() -> None:
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
     ap.add_argument("--runs", type=int, default=1)
     ap.add_argument("--explain", action="store_true",
-                    help="also dump explain('formatted') to plans/r11/")
+                    help="also dump explain('formatted') to --plans-dir")
     ap.add_argument("--explain-suffix", default="before")
+    ap.add_argument("--plans-dir", default="plans/r12")
     args = ap.parse_args()
 
     import __spark_entry__ as entry
@@ -95,9 +96,10 @@ def main() -> None:
                     with contextlib.redirect_stdout(buf):
                         df.explain("formatted")
                     plan = buf.getvalue()
-                os.makedirs("plans/r11", exist_ok=True)
-                with open(f"plans/r11/{name}_{args.explain_suffix}.txt",
-                          "w") as fh:
+                os.makedirs(args.plans_dir, exist_ok=True)
+                with open(os.path.join(
+                        args.plans_dir,
+                        f"{name}_{args.explain_suffix}.txt"), "w") as fh:
                     fh.write(plan)
             df.count()
             t1 = time.time()
