@@ -353,16 +353,31 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
                     F.explode(bind_once(tokens(F.col(text_col)),
                                         lambda x: x)).alias("t"))
             .withColumn("h", F.xxhash64("t")))
-    votes = toks.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n"),
-        *[F.sum((F.col("h").bitwiseAND(F.lit(m).cast("long")) != 0)
-                .cast("int")).alias(f"b{i}") for i, m in enumerate(masks)])
+    # collapse repeated tokens BEFORE the 64 bit-test sums: natural text
+    # repeats tokens (measured 2.33× on this corpus at sf0.1 and sf1),
+    # and grouping by (id, h) on id-partitioned rows is partition-local
+    # (HashPartitioning(id) clusters every (id, h) group), so the cheap
+    # count pass adds no exchange while the wide bit-test aggregation
+    # then runs over distinct hashes weighted by their counts — exact:
+    # Σ_tokens bit(h) = Σ_distinct c·bit(h).  The per-bit aggregates are
+    # single parsed SQL strings (one py4j call each instead of ~6 — the
+    # thread sample put ~0.3-0.45 s of driver time in Column chatter);
+    # shiftleft(1L, i) folds to the same signed-64 mask constants.
+    cnts = toks.groupBy("id", "h").agg(F.count(F.lit(1)).alias("c"))
+    votes = cnts.groupBy("id").agg(
+        F.sum("c").alias("n"),
+        *[F.expr(
+            f"sum(CASE WHEN (h & shiftleft(CAST(1 AS BIGINT), {i})) != 0 "
+            f"THEN c ELSE CAST(0 AS BIGINT) END) AS b{i}")
+          for i in range(len(masks))])
     # shallow aggregate-over-zip instead of a 64-deep bitwiseOR chain —
     # identical values (ties → 0), but the nested chain made Janino
     # compile a 64-level expression tree (seconds of cold-start per plan)
-    masks_arr = F.array(*[F.lit(m).cast("long") for m in masks])
-    bvals = F.array(*[F.col(f"b{i}").cast("long")
-                      for i in range(len(masks))])
+    masks_arr = F.expr("array(" + ", ".join(
+        f"shiftleft(CAST(1 AS BIGINT), {i})"
+        for i in range(len(masks))) + ")")
+    bvals = F.expr("array(" + ", ".join(
+        f"CAST(b{i} AS BIGINT)" for i in range(len(masks))) + ")")
     packed = F.aggregate(
         F.zip_with(bvals, masks_arr,
                    lambda v, m: F.when(v * 2 > F.col("n"), m)
@@ -483,6 +498,15 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
                              hamming64(F.col("sig_a"), F.col("sig_b"))
                              .cast("int"))
                  .where(F.col("hamming") <= max_hamming))
+    # REJECTED with measurements (r12): canonical-combination emission
+    # (keep a pair only at the first m-subset of its equal-block set,
+    # removing this dropDuplicates exchange outright) was implemented,
+    # verified output-identical at k=2/3/5/8, and measured a wash-to-
+    # slower at both scales: Catalyst already pushes the hamming filter
+    # BELOW this aggregate (the filter depends only on the grouping
+    # keys), so the dedup exchange only ever carries hamming-qualified
+    # pairs, while the canonical test pays an 11-term equal-block CASE
+    # chain on every raw join match (measured 86M rows at sf1).
     # expansion: every member pair of a verified signature pair, each
     # exactly once (the signature pair is unique, so no dedup needed);
     # least/greatest restores the id_a < id_b contract
