@@ -128,22 +128,41 @@ def conformal_fit(df: DataFrame, Y: str, T: str, X: list[str],
             guard_fut = pool.submit(
                 lambda: work.agg(F.countDistinct(
                     *[F.expr(c) for c in X])).collect()[0][0])
+        def _check_guard() -> None:
+            n_cells = guard_fut.result()
+            if n_cells < 20:
+                raise ValueError(
+                    f"conformal_fit: the default fold splits by feature "
+                    f"hash, but X has only {n_cells} distinct value "
+                    "cells — each cell falls entirely in one fold, so "
+                    "the fit and calibration folds cover disjoint "
+                    "covariate strata and the conformal coverage "
+                    "guarantee does not hold.  Pass fold_expr= on a "
+                    "pre-treatment id column (e.g. fold_expr='user_id')")
+
         try:
             rhs = "+".join(X)
-            models = ols_grouped(
-                work, f"__y ~ {rhs}",
-                "concat(cast(__arm as string), ':', cast(__fold as string))")
+            try:
+                models = ols_grouped(
+                    work, f"__y ~ {rhs}",
+                    "concat(cast(__arm as string), ':', "
+                    "cast(__fold as string))")
+            except Exception:
+                # degenerate low-cardinality X can make the grouped fit
+                # itself fail — prefer the guard's diagnostic refusal
+                # over whatever the fit threw, so the overlap never
+                # masks the clear message (the guard job still runs to
+                # completion either way)
+                if guard_fut is not None:
+                    try:
+                        _check_guard()
+                    except ValueError:
+                        raise
+                    except Exception:
+                        pass             # guard itself failed: fall through
+                raise
             if guard_fut is not None:
-                n_cells = guard_fut.result()
-                if n_cells < 20:
-                    raise ValueError(
-                        f"conformal_fit: the default fold splits by feature "
-                        f"hash, but X has only {n_cells} distinct value "
-                        "cells — each cell falls entirely in one fold, so "
-                        "the fit and calibration folds cover disjoint "
-                        "covariate strata and the conformal coverage "
-                        "guarantee does not hold.  Pass fold_expr= on a "
-                        "pre-treatment id column (e.g. fold_expr='user_id')")
+                _check_guard()
         finally:
             if pool is not None:
                 pool.shutdown(wait=True)

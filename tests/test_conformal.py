@@ -119,3 +119,26 @@ def test_validation_errors(trial_sdf):
         conformal_fit(trial_sdf, "y", "t", [])
     with pytest.raises(ValueError, match="calibration|fit fold|n="):
         conformal_fit(trial_sdf.limit(4), "y", "t", ["x1"], alpha=0.01)
+
+
+def test_guard_refusal_not_masked_by_fit_failure(trial_sdf, monkeypatch):
+    """When the grouped fit itself blows up on degenerate low-cardinality
+    X, the fold-guard's diagnostic ValueError must surface instead of the
+    fit's exception (the guard job overlaps the fit — ADVICE r11)."""
+    import pyspark.sql.functions as F
+
+    from fast_causal_inference_spark.operators import conformal as mod
+
+    def _boom(*a, **k):
+        raise RuntimeError("synthetic grouped-fit failure")
+
+    monkeypatch.setattr(mod, "ols_grouped", _boom)
+    degenerate = trial_sdf.withColumn("x1", (F.col("x1") > 0).cast("double")) \
+                          .withColumn("x2", F.lit(1.0))
+    with pytest.raises(ValueError, match="distinct value cells"):
+        mod.conformal_fit(degenerate, "y", "t", ["x1", "x2"], alpha=0.1,
+                          seed=3)
+    # non-degenerate X: the fit's own exception must still propagate
+    with pytest.raises(RuntimeError, match="synthetic grouped-fit"):
+        mod.conformal_fit(trial_sdf, "y", "t", ["x1", "x2"], alpha=0.1,
+                          seed=3)
