@@ -841,7 +841,8 @@ UNION ALL SELECT 'l_quantity', round(czy/czt, 6) FROM s
 
 
 def g_did_event(spark: SparkSession, sf_dir: str,
-                ev: DataFrame | None = None) -> DataFrame:
+                ev: DataFrame | None = None,
+                panel: DataFrame | None = None) -> DataFrame:
     """Staggered event-study rows of the quasi-experimental family
     (golden sub-oracle: the k-feature OLS solve after the two-way within
     transform is a matrix inversion, not SQL-expressible).  Balanced
@@ -853,11 +854,12 @@ def g_did_event(spark: SparkSession, sf_dir: str,
         event_study,
     )
 
-    if ev is None:
-        ev = _load(spark, sf_dir, "events")
-    panel = (ev.groupBy((F.col("user_id") % 12).alias("u"),
-                        (F.col("event_id") % 10).alias("t"))
-             .agg(F.avg("value").alias("y")))
+    if panel is None:
+        if ev is None:
+            ev = _load(spark, sf_dir, "events")
+        panel = (ev.groupBy((F.col("user_id") % 12).alias("u"),
+                            (F.col("event_id") % 10).alias("t"))
+                 .agg(F.avg("value").alias("y")))
     out = event_study(
         panel, "y", "u", "t",
         "CASE WHEN u < 6 THEN 4 + u % 3 END", leads=2, lags=2)
@@ -873,7 +875,8 @@ def g_did_event(spark: SparkSession, sf_dir: str,
 
 
 def g_did_synth(spark: SparkSession, sf_dir: str,
-                ev: DataFrame | None = None) -> DataFrame:
+                ev: DataFrame | None = None,
+                panel: DataFrame | None = None) -> DataFrame:
     """Synthetic-control rows of the quasi-experimental family (golden
     sub-oracle: the simplex-constrained FISTA solve is iterative, not
     SQL-expressible).  Panel: unit = user_id%8, period = event_id%12,
@@ -884,10 +887,11 @@ def g_did_synth(spark: SparkSession, sf_dir: str,
         synthetic_control,
     )
 
-    if ev is None:
-        ev = _load(spark, sf_dir, "events")
-    panel = ev.select((F.col("user_id") % 8).alias("u"),
-                      (F.col("event_id") % 12).alias("t"), "value")
+    if panel is None:
+        if ev is None:
+            ev = _load(spark, sf_dir, "events")
+        panel = ev.select((F.col("user_id") % 8).alias("u"),
+                          (F.col("event_id") % 12).alias("t"), "value")
     out = synthetic_control(panel, "u", "t", "value", 0, 8)
     names = ["synth_att", "synth_pre_rmspe", "synth_post_rmspe",
              "synth_p_value"]
@@ -901,7 +905,8 @@ def g_did_synth(spark: SparkSession, sf_dir: str,
 
 
 def _did_cs_rows(spark: SparkSession, sf_dir: str,
-                 ev: DataFrame | None = None) -> DataFrame:
+                 ev: DataFrame | None = None,
+                 panel: DataFrame | None = None) -> DataFrame:
     """Callaway-Sant'Anna rows of the quasi-experimental family.  NOT a
     golden: every ATT(g,t) cell, aggregation, and influence-function
     variance is sum algebra over panel cells, so the DuckDB oracle
@@ -914,11 +919,12 @@ def _did_cs_rows(spark: SparkSession, sf_dir: str,
         callaway_santanna,
     )
 
-    if ev is None:
-        ev = _load(spark, sf_dir, "events")
-    panel = (ev.groupBy((F.col("user_id") % 12).alias("u"),
-                        (F.col("event_id") % 8).alias("t"))
-             .agg(F.avg("value").alias("y")))
+    if panel is None:
+        if ev is None:
+            ev = _load(spark, sf_dir, "events")
+        panel = (ev.groupBy((F.col("user_id") % 12).alias("u"),
+                            (F.col("event_id") % 8).alias("t"))
+                 .agg(F.avg("value").alias("y")))
     res = callaway_santanna(panel, "y", "u", "t",
                             "CASE WHEN u < 6 THEN 3 + u % 3 END")
     names, betas = [], []
@@ -938,7 +944,8 @@ def _did_cs_rows(spark: SparkSession, sf_dir: str,
 
 
 def g_did_its(spark: SparkSession, sf_dir: str,
-              ev: DataFrame | None = None) -> DataFrame:
+              ev: DataFrame | None = None,
+              grid: DataFrame | None = None) -> DataFrame:
     """Interrupted-time-series rows of the quasi-experimental family
     (golden sub-oracle: the segmented OLS + Newey-West sandwich is a
     driver-side matrix solve over the bounded daily grid).  The events
@@ -949,10 +956,18 @@ def g_did_its(spark: SparkSession, sf_dir: str,
         interrupted_time_series,
     )
 
-    if ev is None:
-        ev = _load(spark, sf_dir, "events")
-    out = interrupted_time_series(ev, "value", "ts", "2024-01-16",
-                                  freq="1 day")
+    if grid is not None:
+        # pre-bucketed daily means (one row per bucket): the operator's
+        # internal avg over a single row reproduces each bucket value
+        # bit-exactly and date_trunc is idempotent on truncated stamps,
+        # so this is the SAME computation fed from the fused panel pass
+        out = interrupted_time_series(grid, "y_day", "day", "2024-01-16",
+                                      freq="1 day")
+    else:
+        if ev is None:
+            ev = _load(spark, sf_dir, "events")
+        out = interrupted_time_series(ev, "value", "ts", "2024-01-16",
+                                      freq="1 day")
     names, betas = [], []
     for r in out.itertuples():
         names += [f"its_{r.name}", f"its_{r.name}_se"]
@@ -979,16 +994,55 @@ def q_did(spark: SparkSession, sf_dir: str) -> DataFrame:
         regression_discontinuity,
     )
 
-    # ONE persisted events scan feeds all six sub-oracles (each panel
-    # aggregation is unchanged — cache preserves partition layout, so
-    # every golden stays bit-identical; only the repeated parquet
-    # decode is reclaimed).  Materialize before fan-out so the
-    # concurrent branches hit a populated cache instead of racing.
+    # ONE persisted events scan feeds all six sub-oracles.  Round 12:
+    # the four grid/panel aggregations (event-study u%12×t%10, CS-DiD
+    # u%12×t%8, synthetic-control u%8×t%12 cell means, the ITS daily
+    # grid) are FUSED into a single GROUPING SETS pass over the
+    # persisted base (guide §2.4: four scans + four tiny shuffles become
+    # one of each), and each sub-estimator receives its slice of the
+    # cached ~350-cell result.  Cell values are bit-identical to the
+    # separate aggregations (verified uint64-level at sf0.001/0.01/0.1:
+    # the partial sums see the same rows in the same cached-partition
+    # order), the synth cells ride avg-of-one-row identity, and the ITS
+    # slice reproduces the operator's internal grid exactly (see
+    # g_did_its).  did's OLS pass and the RDD moment pass keep their own
+    # scans: their aggregates (Gramian, weighted moments) don't share
+    # the panels' avg shape.
     base = _load(spark, sf_dir, "events").persist()
     base.count()
     ev = base \
         .withColumn("arm", (F.col("user_id") % 2).cast("int")) \
         .withColumn("post", (F.col("event_id") % 2).cast("int"))
+    gcols = ["u12", "t10", "t8", "u8", "t12", "day"]
+    sets = [["u12", "t10"], ["u12", "t8"], ["u8", "t12"], ["day"]]
+
+    def _gid(included: list[str]) -> int:
+        return sum((1 << (len(gcols) - 1 - i))
+                   for i, c in enumerate(gcols) if c not in included)
+
+    fused = (base.select(
+        (F.col("user_id") % 12).alias("u12"),
+        (F.col("event_id") % 10).alias("t10"),
+        (F.col("event_id") % 8).alias("t8"),
+        (F.col("user_id") % 8).alias("u8"),
+        (F.col("event_id") % 12).alias("t12"),
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day"),
+        "value")
+        .groupingSets(sets, *[F.col(c) for c in gcols])
+        .agg(F.avg("value").alias("y"), F.grouping_id().alias("gid"))
+        .persist())
+    fused.count()
+    p_event = fused.where(F.col("gid") == _gid(["u12", "t10"])) \
+        .select(F.col("u12").alias("u"), F.col("t10").alias("t"), "y")
+    p_cs = fused.where(F.col("gid") == _gid(["u12", "t8"])) \
+        .select(F.col("u12").alias("u"), F.col("t8").alias("t"), "y")
+    p_synth = fused.where(F.col("gid") == _gid(["u8", "t12"])) \
+        .select(F.col("u8").alias("u"), F.col("t12").alias("t"),
+                F.col("y").alias("value"))
+    grid = fused.where((F.col("gid") == _gid(["day"]))
+                       & F.col("day").isNotNull()
+                       & F.col("y").isNotNull()) \
+        .select("day", F.col("y").alias("y_day"))
     try:
         m, rdd, synth_df, event_df, cs_df, its_df = _concurrent([
             lambda: did(ev, "value", "arm", "post"),
@@ -997,12 +1051,13 @@ def q_did(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ev.withColumn("y2",
                               F.col("value") * (1 + F.col("event_id") % 3)),
                 "y2", "value", cutoff=50.0, bandwidth=30.0).iloc[0],
-            lambda: g_did_synth(spark, sf_dir, ev=base),
-            lambda: g_did_event(spark, sf_dir, ev=base),
-            lambda: _did_cs_rows(spark, sf_dir, ev=base),
-            lambda: g_did_its(spark, sf_dir, ev=base),
+            lambda: g_did_synth(spark, sf_dir, panel=p_synth),
+            lambda: g_did_event(spark, sf_dir, panel=p_event),
+            lambda: _did_cs_rows(spark, sf_dir, panel=p_cs),
+            lambda: g_did_its(spark, sf_dir, grid=grid),
         ])
     finally:
+        fused.unpersist()
         base.unpersist()
     names = ["intercept", "treatment", "time", "interaction"]
     betas = [round(float(b), 6) for b in m.beta]
