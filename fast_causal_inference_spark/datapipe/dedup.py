@@ -20,6 +20,8 @@ pipelines:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -668,7 +670,15 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
     # as union-find with union-by-min, in O(m) numpy work per round and
     # O(log n) rounds, without the per-edge Python dict loop that
     # dominated the driver gap at sf1.
-    if n_edges <= 2_000_000:
+    # Cutoff (round-12 crossover A/B, SCALE.md): on a 4.1M-edge graph
+    # (400k 5-cliques + a 100k chain) the driver branch runs 7-12 s vs
+    # 125-131 s for the distributed loop (the chain costs it ~17
+    # pointer-jump rounds of joins); at 20M edges the driver branch is
+    # 23-34 s at 2.8 GB peak Python RSS (~0.14 GB per M edges), both
+    # branches output-identical.  Default 20M (~3 GB driver headroom),
+    # env-tunable for bigger drivers or leaner ones.
+    if n_edges <= int(os.environ.get(
+            "SPARK_GRAFT_CC_DRIVER_EDGES", "20000000")):
         import numpy as np
         import pandas as pd
 
