@@ -55,10 +55,17 @@ def test_oracle_parity(spark, name, fn, sql):
     for c in got.columns:
         g, w = got[c].to_numpy(), want[c].to_numpy()
         if np.issubdtype(g.dtype, np.number):
-            mism = ~np.isclose(g.astype(float), w.astype(float),
-                               rtol=0, atol=0, equal_nan=True)
+            # BIT-level compare (uint64 view), not value equality: the
+            # round driver hashes values, so -0.0 vs +0.0 fails there
+            # while == (and np.isclose at zero tolerance) passes — the
+            # exact escape that cost round 11 (mu-law mean closed form).
+            # Exact value equality already implies bit equality for
+            # every other float, so this adds no flakiness.
+            gf, wf = g.astype(float), w.astype(float)
+            mism = (gf.view(np.uint64) != wf.view(np.uint64)) \
+                & ~(np.isnan(gf) & np.isnan(wf))
             assert not mism.any(), \
-                f"{name}.{c}: {g[mism][:5]} != {w[mism][:5]} (exact compare)"
+                f"{name}.{c}: {gf[mism][:5]} != {wf[mism][:5]} (bit compare)"
         else:
             assert (g == w).all(), f"{name}.{c}: value mismatch"
 
